@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship profile of sf0.001 lineitem (smoke check).
+``queries()``/``oracle_sql()`` — per-operator correctness pairs vs DuckDB,
+run by the driver at sf0.01 (row-count + schema + value-hash compare).
 """
 
 from __future__ import annotations
@@ -15,24 +13,23 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full profile of sf0.001 lineitem → one row per column."""
+    from spark_df_profiling_spark import profile
+    from spark_df_profiling_spark.config import EXACT_CONFIG
+
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    return profile(df, EXACT_CONFIG)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from spark_df_profiling_spark.oracle import SPARK_QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(SPARK_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for each queries() entry."""
+    from spark_df_profiling_spark.oracle import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -1,0 +1,1 @@
+"""Reusable column-expression builders (all JVM-side, no Python UDFs)."""

@@ -1,0 +1,58 @@
+"""Top-k value frequencies for categorical columns (SURVEY §2.4 C1-C4).
+
+The reference runs, per categorical column, a cached
+``groupBy(c).count().orderBy(desc).limit(50)`` plus two extra count jobs for
+the "Other values" buckets (``base.py::describe>>describe_categorical_1d``).
+That is O(#categorical-columns) shuffles over the full table.
+
+Here ALL categorical columns share ONE shuffle: the columns are stacked into
+``(col_name, value)`` pairs with the ``stack`` generator (a narrow map-side
+transform — no extra scan per column), aggregated by
+``groupBy(col_name, value)`` (partial+final hash agg), and ranked with a
+single ``row_number`` window over the (already tiny) aggregated counts.
+"Other" buckets (C3/C4) are derived arithmetically from pass-1 stats —
+no extra scan, unlike the reference's two extra jobs.
+
+Ties are broken by value ascending so results are deterministic (needed for
+the DuckDB oracle's value-hash comparison).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def topk_frequencies(df: DataFrame, cat_cols: list[str],
+                     k: int) -> dict[str, list[tuple[str, int]]]:
+    """Return {column: [(value, count), ...]} for the top-k values of each
+    categorical column, computed in one Spark job."""
+    if not cat_cols:
+        return {}
+    stacked = stack_columns(df, cat_cols)
+    counts = (stacked
+              .where(F.col("value").isNotNull())
+              .groupBy("col_name", "value")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    w = (Window.partitionBy("col_name")
+         .orderBy(F.desc("cnt"), F.asc("value")))
+    top = (counts
+           .withColumn("rk", F.row_number().over(w))
+           .where(F.col("rk") <= k)
+           .select("col_name", "value", "cnt", "rk"))
+    out: dict[str, list[tuple[str, int]]] = {c: [] for c in cat_cols}
+    rows = top.collect()
+    for r in sorted(rows, key=lambda r: (r["col_name"], r["rk"])):
+        out[r["col_name"]].append((r["value"], r["cnt"]))
+    return out
+
+
+def stack_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """UNPIVOT the given columns to (col_name, value string) pairs."""
+    casted = df.select(
+        *[df[c].cast("string").alias(f"__s{i}") for i, c in enumerate(cols)])
+    parts = ", ".join(
+        f"'{c.replace(chr(39), chr(39)*2)}', __s{i}"
+        for i, c in enumerate(cols))
+    return casted.select(
+        F.expr(f"stack({len(cols)}, {parts}) as (col_name, value)"))

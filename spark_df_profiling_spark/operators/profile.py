@@ -1,0 +1,336 @@
+"""The profiling core: ``profile(df) -> DataFrame`` (one row per column).
+
+Re-implements the full statistics surface of the reference's
+``base.py::describe`` (public v1.1.13 — SURVEY.md §2) with the idiomatic
+Spark lifecycle from SURVEY §3:
+
+    pass 0  schema-only type dispatch                       (no job)
+    pass 1  ONE wide agg: counts/distinct/moments/quantiles/
+            zeros/infinities/first/min/max                   (1 job)
+    pass 2  MAD + histograms (need pass-1 mean/min/max)      (1 job)
+    pass 3  full Pearson matrix via pyspark.ml               (1 job)
+    pass 4  all categorical top-k freqs, one stacked shuffle (1 job)
+
+vs the reference's O(#stats x #cols + k^2) jobs.  The result is a *Spark
+DataFrame* of per-column statistics — nothing scale-dependent is collected
+to the driver (only O(#cols) aggregate scalars cross py4j).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from spark_df_profiling_spark import schema as S
+from spark_df_profiling_spark.config import DEFAULT_CONFIG, ProfileConfig
+from spark_df_profiling_spark.operators import correlation as C
+from spark_df_profiling_spark.operators import frequency as FR
+from spark_df_profiling_spark.plans import wide_agg as W
+
+# Explicit result schema — stable across inputs (the driver smoke check
+# requires a stable schema for entry()).
+PROFILE_SCHEMA = T.StructType([
+    T.StructField("column", T.StringType(), False),
+    T.StructField("pos", T.IntegerType(), False),
+    T.StructField("dtype", T.StringType(), False),
+    T.StructField("type_class", T.StringType(), False),
+    T.StructField("n", T.LongType(), False),
+    T.StructField("count", T.LongType(), False),
+    T.StructField("n_missing", T.LongType(), False),
+    T.StructField("p_missing", T.DoubleType(), True),
+    T.StructField("distinct_count", T.LongType(), True),
+    T.StructField("p_unique", T.DoubleType(), True),
+    T.StructField("is_unique", T.BooleanType(), True),
+    T.StructField("n_infinite", T.LongType(), True),
+    T.StructField("p_infinite", T.DoubleType(), True),
+    T.StructField("n_nan", T.LongType(), True),
+    T.StructField("n_zeros", T.LongType(), True),
+    T.StructField("p_zeros", T.DoubleType(), True),
+    T.StructField("mean", T.DoubleType(), True),
+    T.StructField("std", T.DoubleType(), True),
+    T.StructField("variance", T.DoubleType(), True),
+    T.StructField("skewness", T.DoubleType(), True),
+    T.StructField("kurtosis", T.DoubleType(), True),
+    T.StructField("sum_value", T.DoubleType(), True),
+    T.StructField("min_num", T.DoubleType(), True),
+    T.StructField("max_num", T.DoubleType(), True),
+    T.StructField("range_num", T.DoubleType(), True),
+    T.StructField("q05", T.DoubleType(), True),
+    T.StructField("q25", T.DoubleType(), True),
+    T.StructField("q50", T.DoubleType(), True),
+    T.StructField("q75", T.DoubleType(), True),
+    T.StructField("q95", T.DoubleType(), True),
+    T.StructField("iqr", T.DoubleType(), True),
+    T.StructField("cv", T.DoubleType(), True),
+    T.StructField("mad", T.DoubleType(), True),
+    T.StructField("min_date", T.StringType(), True),
+    T.StructField("max_date", T.StringType(), True),
+    T.StructField("range_seconds", T.DoubleType(), True),
+    T.StructField("first_value", T.StringType(), True),
+    T.StructField("top_value", T.StringType(), True),
+    T.StructField("top_freq", T.LongType(), True),
+    T.StructField("freq", T.ArrayType(T.StructType([
+        T.StructField("value", T.StringType(), True),
+        T.StructField("cnt", T.LongType(), True),
+    ])), True),
+    T.StructField("histogram", T.ArrayType(T.StructType([
+        T.StructField("bin_left", T.DoubleType(), True),
+        T.StructField("bin_right", T.DoubleType(), True),
+        T.StructField("cnt", T.LongType(), True),
+    ])), True),
+    T.StructField("mean_size", T.DoubleType(), True),
+    T.StructField("min_size", T.LongType(), True),
+    T.StructField("max_size", T.LongType(), True),
+    T.StructField("corr_with", T.StringType(), True),
+    T.StructField("corr_value", T.DoubleType(), True),
+])
+
+
+@dataclass
+class ProfileResult:
+    """Machine-readable profile (reference: the ``description_set`` dict
+    of ``base.py::describe`` — ``{'table', 'variables', 'freq'}``)."""
+
+    variables: DataFrame                 # one row per column (PROFILE_SCHEMA)
+    table: dict[str, Any]                # dataset-level stats (T1-T5)
+    freq: dict[str, list[tuple[str, int]]]  # per-CAT-column top-k
+    sample: DataFrame                    # head sample (T6)
+    correlations: dict[tuple[str, str], float] = field(default_factory=dict)
+    rejected: dict[str, tuple[str, float]] = field(default_factory=dict)
+
+    def get_rejected_variables(self, threshold: float = 0.9) -> list[str]:
+        """Reference API parity: ``ProfileReport.get_rejected_variables``."""
+        return [c for c, (_, rho) in self.rejected.items() if rho > threshold]
+
+
+def describe(df: DataFrame,
+             cfg: ProfileConfig = DEFAULT_CONFIG) -> ProfileResult:
+    """Profile every column of ``df``; ~4 Spark jobs total.
+
+    Raises ``TypeError`` for non-DataFrame input and ``ValueError`` for an
+    empty DataFrame — the reference's input contract
+    (``base.py::describe``, SURVEY §1.1).
+    """
+    if not isinstance(df, DataFrame):
+        raise TypeError("df must be a pyspark.sql.DataFrame, got %r"
+                        % type(df).__name__)
+    spark = df.sparkSession
+    original_names = [f.name for f in df.schema.fields]
+    # Re-alias every column to a safe internal name so dots/spaces/backticks
+    # in user column names can't break generated expressions anywhere below.
+    safe_df = df.select(*[
+        F.col("`%s`" % name.replace("`", "``")).alias(f"__c{i}")
+        for i, name in enumerate(original_names)])
+    orig_df, df = df, safe_df
+    fields = df.schema.fields
+    base_classes = [
+        S.dtype_class(f.dataType, fix_decimal=cfg.fix_decimal,
+                      profile_complex=cfg.profile_complex)
+        for f in fields]
+
+    # ---- pass 1: the wide agg ------------------------------------------
+    p1 = W.run_chunked_agg(df, W.build_pass1_exprs(df, base_classes, cfg),
+                           cfg)
+    n = int(p1.get("__n") or 0)
+    if n == 0:
+        raise ValueError("df cannot be empty")
+
+    distincts = [int(p1.get(W.stat_key(i, "distinct")) or 0)
+                 for i in range(len(fields))]
+    classes = [S.resolve_class(bc, d, n)
+               for bc, d in zip(base_classes, distincts)]
+
+    # ---- pass 2: MAD + histograms --------------------------------------
+    p2_exprs = W.build_pass2_exprs(df, classes, p1, cfg)
+    p2 = W.run_chunked_agg(df, p2_exprs, cfg) if p2_exprs else {}
+
+    # ---- pass 3: correlation matrix + greedy rejection -----------------
+    safe_to_orig = {f"__c{i}": name
+                    for i, name in enumerate(original_names)}
+    num_cols = [f.name for f, cls in zip(fields, classes)
+                if S.is_numeric(cls)]
+    correlations: dict[tuple[str, str], float] = {}
+    rejected: dict[str, tuple[str, float]] = {}
+    if cfg.compute_correlations and cfg.corr_reject is not None \
+            and len(num_cols) >= 2:
+        corr_safe = C.correlation_matrix(df, num_cols)
+        rej_safe = C.greedy_rejection(num_cols, corr_safe, cfg.corr_reject)
+        correlations = {(safe_to_orig[x], safe_to_orig[y]): v
+                        for (x, y), v in corr_safe.items()}
+        rejected = {safe_to_orig[x]: (safe_to_orig[y], rho)
+                    for x, (y, rho) in rej_safe.items()}
+
+    # ---- pass 4: stacked top-k frequencies -----------------------------
+    freq_cols = [f.name for f, cls in zip(fields, classes)
+                 if cls in (S.CAT, S.UNIQUE)]
+    freqs = {safe_to_orig[c]: v
+             for c, v in FR.topk_frequencies(df, freq_cols,
+                                             cfg.top_k).items()}
+
+    # ---- assemble the profile DataFrame (driver: O(#cols) scalars) -----
+    rows = []
+    for i, (f_, base_cls, cls) in enumerate(
+            zip(fields, base_classes, classes)):
+        rows.append(_assemble_row(i, f_, base_cls, cls, n, p1, p2,
+                                  freqs, rejected, cfg,
+                                  name=original_names[i]))
+    variables = spark.createDataFrame(rows, PROFILE_SCHEMA)
+
+    # ---- table-level stats (T1-T5) -------------------------------------
+    nvar = len(fields)
+    total_missing = sum(r["n_missing"] for r in rows)
+    type_counts: dict[str, int] = {}
+    for r in rows:
+        type_counts[r["type_class"]] = type_counts.get(r["type_class"], 0) + 1
+    table = {
+        "n": n,
+        "nvar": nvar,
+        "total_missing": (total_missing / (n * nvar)) if n * nvar else 0.0,
+        "types": type_counts,
+        "n_duplicates": None,   # opt-in via operators.dedup (full-row hash)
+        "memsize": 0,           # reference parity: hardcoded 0 (SURVEY T5)
+        "rejected": type_counts.get("CONST", 0) + type_counts.get("CORR", 0),
+    }
+    return ProfileResult(
+        variables=variables,
+        table=table,
+        freq=freqs,
+        sample=orig_df.limit(cfg.sample),
+        correlations=correlations,
+        rejected=rejected,
+    )
+
+
+def profile(df: DataFrame,
+            cfg: ProfileConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Convenience: just the per-column statistics DataFrame."""
+    return describe(df, cfg).variables
+
+
+def _assemble_row(i: int, f_: T.StructField, base_cls: str, cls: str,
+                  n: int, p1: dict, p2: dict,
+                  freqs: dict, rejected: dict,
+                  cfg: ProfileConfig, name: str | None = None) -> dict[str, Any]:
+    k = W.stat_key
+    name = name if name is not None else f_.name
+    cnt = int(p1.get(k(i, "count")) or 0)
+    distinct = int(p1.get(k(i, "distinct")) or 0)
+    n_missing = n - cnt
+    is_num = S.is_numeric(cls)
+
+    def fnum(stat: str, src: dict = p1) -> float | None:
+        v = src.get(k(i, stat))
+        return float(v) if v is not None else None
+
+    row: dict[str, Any] = {
+        "column": name,
+        "pos": i,
+        "dtype": f_.dataType.simpleString(),
+        "type_class": S.render_class(cls),
+        "n": n,
+        "count": cnt,
+        "n_missing": n_missing,
+        "p_missing": n_missing / n if n else None,
+        "distinct_count": distinct,
+        "p_unique": distinct / cnt if cnt else None,
+        "is_unique": distinct == n,
+        "n_infinite": None, "p_infinite": None, "n_nan": None,
+        "n_zeros": None, "p_zeros": None,
+        "mean": None, "std": None, "variance": None, "skewness": None,
+        "kurtosis": None, "sum_value": None, "min_num": None,
+        "max_num": None, "range_num": None,
+        "q05": None, "q25": None, "q50": None, "q75": None, "q95": None,
+        "iqr": None, "cv": None, "mad": None,
+        "min_date": None, "max_date": None, "range_seconds": None,
+        "first_value": p1.get(k(i, "first")),
+        "top_value": None, "top_freq": None,
+        "freq": None, "histogram": None,
+        "mean_size": None, "min_size": None, "max_size": None,
+        "corr_with": None, "corr_value": None,
+    }
+
+    if is_num:
+        mean, mn, mx = fnum("mean"), fnum("min"), fnum("max")
+        std = fnum("std")
+        zeros = p1.get(k(i, "zeros"))
+        inf = p1.get(k(i, "inf"))
+        nan = p1.get(k(i, "nan"))
+        row.update({
+            "mean": mean, "std": std, "variance": fnum("variance"),
+            "skewness": fnum("skewness"), "kurtosis": fnum("kurtosis"),
+            "sum_value": fnum("sum"),
+            "min_num": mn, "max_num": mx,
+            "range_num": (mx - mn) if mn is not None and mx is not None
+            else None,
+            "n_zeros": int(zeros) if zeros is not None else 0,
+            "p_zeros": (int(zeros) / n) if zeros is not None and n else None,
+            "n_infinite": int(inf) if inf is not None else 0,
+            "p_infinite": (int(inf) / n) if inf is not None and n else 0.0,
+            "n_nan": int(nan) if nan is not None else 0,
+            "mad": fnum("mad", p2),
+        })
+        qs = p1.get(k(i, "quantiles"))
+        if qs is not None:
+            labels = ["q05", "q25", "q50", "q75", "q95"]
+            for lbl, v in zip(labels, list(qs)):
+                row[lbl] = float(v) if v is not None else None
+            if row["q75"] is not None and row["q25"] is not None:
+                row["iqr"] = row["q75"] - row["q25"]
+        if std is not None and mean is not None and mean != 0 \
+                and math.isfinite(mean):
+            row["cv"] = std / mean
+        if cfg.compute_histograms and mn is not None and mx is not None \
+                and math.isfinite(mn) and math.isfinite(mx):
+            row["histogram"] = _histogram_from(p2, i, mn, mx, cnt, cfg)
+    elif cls == S.DATE:
+        mn_d, mx_d = p1.get(k(i, "min_date")), p1.get(k(i, "max_date"))
+        row.update({
+            "min_date": mn_d.isoformat() if mn_d is not None else None,
+            "max_date": mx_d.isoformat() if mx_d is not None else None,
+            "range_seconds": W.date_range_seconds(mn_d, mx_d),
+        })
+    elif cls in (S.ARRAY, S.MAP):
+        ms = p1.get(k(i, "mean_size"))
+        row.update({
+            "mean_size": float(ms) if ms is not None else None,
+            "min_size": p1.get(k(i, "min_size")),
+            "max_size": p1.get(k(i, "max_size")),
+        })
+
+    fr = freqs.get(name)
+    if fr:
+        row["freq"] = [{"value": v, "cnt": c} for v, c in fr]
+        row["top_value"], row["top_freq"] = fr[0]
+
+    if name in rejected:
+        kept, rho = rejected[name]
+        row["type_class"] = "CORR"
+        row["corr_with"] = kept
+        row["corr_value"] = rho
+    return row
+
+
+def _histogram_from(p2: dict, i: int, mn: float, mx: float, cnt: int,
+                    cfg: ProfileConfig) -> list[dict[str, Any]] | None:
+    k = W.stat_key
+    if mx <= mn:
+        # Degenerate single-bin histogram (min == max).
+        return [{"bin_left": mn, "bin_right": mx, "cnt": cnt}]
+    width = (mx - mn) / cfg.bins
+    out = []
+    for b in range(cfg.bins):
+        v = p2.get(k(i, f"hist{b}"))
+        if v is None:
+            return None
+        out.append({
+            "bin_left": mn + width * b,
+            "bin_right": mx if b == cfg.bins - 1 else mn + width * (b + 1),
+            "cnt": int(v),
+        })
+    return out

@@ -1,0 +1,461 @@
+"""DuckDB-oracle query registry (the driver's correctness gate).
+
+Every SQL-expressible kernel from SURVEY.md §2 gets a (PySpark query,
+DuckDB SQL) pair.  The driver runs both at sf0.01 and compares row count +
+schema + order-insensitive value hash, so:
+
+* every computed column is aliased IDENTICALLY on both sides;
+* floating-point aggregates are normalized to 5 significant digits via
+  ``%.5e`` formatting on BOTH sides (Spark's one-pass streaming moments vs
+  DuckDB's two-pass differ in the last few ulps — 5 significant digits is
+  also what the reference's report formatters show);
+* exact values (counts, raw data values, min/max, epoch seconds) are left
+  unformatted;
+* DuckDB ``sum(BIGINT)`` returns HUGEINT and is cast back to BIGINT;
+* Spark kernels run in exact mode (exact percentile / countDistinct)
+  because sketches can't hash-match an oracle;
+* DuckDB's ``skewness``/``kurtosis`` are *sample*-adjusted while Spark's
+  are population-form (g1 / excess g2) — the oracle computes Spark
+  semantics from central moments explicitly.
+
+Registry is consumed by ``__spark_entry__.queries()/oracle_sql()``.
+Entries with ``sql=None`` are non-SQL-expressible (LSH sketches, streaming
+state) and get the driver's weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def _register(name: str, fn: Callable, sql: Optional[str]) -> None:
+    SPARK_QUERIES[name] = fn
+    if sql is not None:
+        ORACLE_SQL[name] = sql
+
+
+def query(name: str, sql: Optional[str]):
+    def deco(fn):
+        _register(name, fn, sql)
+        return fn
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    if table == "events":
+        # events.parquet stores TIMESTAMP(NANOS), which Spark 4 refuses
+        # without the legacy conf; ts is then a LONG of epoch-nanoseconds.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def epoch_seconds(df: DataFrame, col: str) -> Column:
+    """Epoch seconds of a timestamp column, timezone-independent.
+
+    The test parquet stores naive (isAdjustedToUTC=false) timestamps, which
+    Spark reads as TIMESTAMP_NTZ; ``unix_seconds`` only accepts LTZ, so NTZ
+    goes through ``timestampdiff`` from the naive epoch — matching DuckDB's
+    ``epoch()`` on its naive TIMESTAMP.
+    """
+    dt = dict(df.dtypes)[col]
+    if dt.startswith("timestamp_ntz"):
+        return F.expr(
+            f"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+            f"`{col}`)")
+    return F.unix_seconds(F.col(col))
+
+
+def sig(col: Column) -> Column:
+    """Normalize a float statistic to 5 significant digits (string)."""
+    return F.format_string("%.5e", col.cast("double"))
+
+
+# DuckDB-side equivalent of sig(); %g/%e semantics match at 5 digits.
+def _psig(expr: str) -> str:
+    return f"printf('%.5e', CAST({expr} AS DOUBLE))"
+
+
+# ---------------------------------------------------------------------------
+# N1-N9: numeric moments on lineitem.l_extendedprice (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+@query("num_moments", f"""
+WITH m AS (SELECT avg(l_extendedprice) AS mu,
+                  count(l_extendedprice) AS c FROM lineitem)
+SELECT count(*) AS cnt,
+       count(DISTINCT l_extendedprice) AS n_distinct,
+       {_psig('avg(l_extendedprice)')} AS mean_s,
+       {_psig('stddev_samp(l_extendedprice)')} AS std_s,
+       {_psig('var_samp(l_extendedprice)')} AS var_s,
+       {_psig('''avg(pow(l_extendedprice - m.mu, 3))
+               / pow(avg(pow(l_extendedprice - m.mu, 2)), 1.5)''')} AS skew_s,
+       {_psig('''avg(pow(l_extendedprice - m.mu, 4))
+               / pow(avg(pow(l_extendedprice - m.mu, 2)), 2) - 3''')} AS kurt_s,
+       {_psig('sum(l_extendedprice)')} AS sum_s,
+       min(l_extendedprice) AS min_v,
+       max(l_extendedprice) AS max_v,
+       max(l_extendedprice) - min(l_extendedprice) AS range_v,
+       {_psig('stddev_samp(l_extendedprice) / avg(l_extendedprice)')} AS cv_s
+FROM lineitem, m
+GROUP BY m.mu, m.c
+""")
+def num_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    c = li["l_extendedprice"]
+    return li.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count_distinct(c).alias("n_distinct"),
+        sig(F.mean(c)).alias("mean_s"),
+        sig(F.stddev_samp(c)).alias("std_s"),
+        sig(F.var_samp(c)).alias("var_s"),
+        sig(F.skewness(c)).alias("skew_s"),
+        sig(F.kurtosis(c)).alias("kurt_s"),
+        sig(F.sum(c)).alias("sum_s"),
+        F.min(c).alias("min_v"),
+        F.max(c).alias("max_v"),
+        (F.max(c) - F.min(c)).alias("range_v"),
+        sig(F.stddev_samp(c) / F.mean(c)).alias("cv_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# N6: exact quantiles (percentile == quantile_cont interpolation)
+# ---------------------------------------------------------------------------
+@query("num_quantiles", f"""
+SELECT {_psig('quantile_cont(l_extendedprice, 0.05)')} AS q05,
+       {_psig('quantile_cont(l_extendedprice, 0.25)')} AS q25,
+       {_psig('quantile_cont(l_extendedprice, 0.50)')} AS q50,
+       {_psig('quantile_cont(l_extendedprice, 0.75)')} AS q75,
+       {_psig('quantile_cont(l_extendedprice, 0.95)')} AS q95,
+       {_psig('''quantile_cont(l_extendedprice, 0.75)
+               - quantile_cont(l_extendedprice, 0.25)''')} AS iqr
+FROM lineitem
+""")
+def num_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.expr("percentile(l_extendedprice, "
+               "array(0.05, 0.25, 0.50, 0.75, 0.95))")
+    arr = li.agg(q.alias("qs"))
+    return arr.select(
+        sig(F.col("qs")[0]).alias("q05"),
+        sig(F.col("qs")[1]).alias("q25"),
+        sig(F.col("qs")[2]).alias("q50"),
+        sig(F.col("qs")[3]).alias("q75"),
+        sig(F.col("qs")[4]).alias("q95"),
+        sig(F.col("qs")[3] - F.col("qs")[1]).alias("iqr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# N10: MAD — mean absolute deviation around the mean (2-pass)
+# ---------------------------------------------------------------------------
+@query("num_mad", f"""
+WITH m AS (SELECT avg(l_extendedprice) AS mu FROM lineitem)
+SELECT {_psig('avg(abs(l_extendedprice - m.mu))')} AS mad_s
+FROM lineitem, m GROUP BY m.mu
+""")
+def num_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    mu = F.broadcast(li.agg(F.mean("l_extendedprice").alias("__mu")))
+    return (li.crossJoin(mu)
+            .agg(sig(F.avg(F.abs(F.col("l_extendedprice") - F.col("__mu"))))
+                 .alias("mad_s")))
+
+
+# ---------------------------------------------------------------------------
+# N11: zero counts (l_suppkey / l_discount / l_tax)
+# ---------------------------------------------------------------------------
+@query("num_zeros", """
+SELECT CAST(sum(CASE WHEN l_suppkey = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS zeros_suppkey,
+       CAST(sum(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS zeros_discount,
+       CAST(sum(CASE WHEN l_tax = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS zeros_tax,
+       CAST(sum(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+           / count(*) AS p_zeros_discount
+FROM lineitem
+""")
+def num_zeros(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+
+    def z(c):
+        return F.sum(F.when(li[c] == 0, 1).otherwise(0))
+
+    return li.agg(
+        z("l_suppkey").alias("zeros_suppkey"),
+        z("l_discount").alias("zeros_discount"),
+        z("l_tax").alias("zeros_tax"),
+        (z("l_discount").cast("double") / F.count(F.lit(1)))
+        .alias("p_zeros_discount"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# N12: histograms (shared arithmetic — see operators/histogram.py)
+# ---------------------------------------------------------------------------
+def _hist_query(table: str, col: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from spark_df_profiling_spark.operators.histogram import histogram
+        return histogram(_t(spark, sf_dir, table), col, 10)
+    return fn
+
+
+from spark_df_profiling_spark.operators.histogram import histogram_sql  # noqa: E402
+
+_register("histogram_extendedprice",
+          _hist_query("lineitem", "l_extendedprice"),
+          histogram_sql("lineitem", "l_extendedprice", 10))
+_register("histogram_retailprice",
+          _hist_query("part", "p_retailprice"),
+          histogram_sql("part", "p_retailprice", 10))
+
+
+# ---------------------------------------------------------------------------
+# C1: top-k frequency table (deterministic tie-break by value)
+# ---------------------------------------------------------------------------
+@query("freq_topk", """
+SELECT o_orderpriority AS value, count(*) AS cnt
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY cnt DESC, value
+LIMIT 5
+""")
+def freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy(o["o_orderpriority"].alias("value"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("value"))
+            .limit(5))
+
+
+# ---------------------------------------------------------------------------
+# C2: mode (deterministic)
+# ---------------------------------------------------------------------------
+@query("mode_returnflag", """
+SELECT l_returnflag AS value, count(*) AS cnt
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY cnt DESC, value
+LIMIT 1
+""")
+def mode_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy(li["l_returnflag"].alias("value"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("value"))
+            .limit(1))
+
+
+# ---------------------------------------------------------------------------
+# C3/C4: "Other values" buckets, derived without extra scans
+# ---------------------------------------------------------------------------
+@query("freq_other_bucket", """
+WITH counts AS (
+    SELECT props AS value, count(*) AS cnt FROM events GROUP BY props
+), top AS (
+    SELECT * FROM counts ORDER BY cnt DESC, value LIMIT 10
+)
+SELECT (SELECT count(*) FROM top) AS n_top,
+       (SELECT CAST(sum(cnt) AS BIGINT) FROM top) AS top_rows,
+       (SELECT count(*) FROM events)
+         - (SELECT CAST(sum(cnt) AS BIGINT) FROM top) AS other_rows,
+       (SELECT count(*) FROM counts)
+         - (SELECT count(*) FROM top) AS other_distinct
+""")
+def freq_other_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    counts = (ev.groupBy(ev["props"].alias("value"))
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    top = counts.orderBy(F.desc("cnt"), F.asc("value")).limit(10)
+    top_agg = top.agg(
+        F.count(F.lit(1)).alias("n_top"),
+        F.sum("cnt").alias("top_rows"))
+    all_agg = counts.agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.sum("cnt").alias("n_rows"))
+    return (top_agg.crossJoin(all_agg)
+            .select(
+                F.col("n_top"),
+                F.col("top_rows"),
+                (F.col("n_rows") - F.col("top_rows")).alias("other_rows"),
+                (F.col("n_values") - F.col("n_top")).alias("other_distinct")))
+
+
+# ---------------------------------------------------------------------------
+# D1/D2: temporal extrema + range (epoch seconds, tz-independent)
+# ---------------------------------------------------------------------------
+@query("date_minmax", """
+SELECT CAST(floor(epoch(min(l_shipdate))) AS BIGINT) AS min_epoch,
+       CAST(floor(epoch(max(l_shipdate))) AS BIGINT) AS max_epoch,
+       CAST(floor(epoch(max(l_shipdate))) AS BIGINT)
+         - CAST(floor(epoch(min(l_shipdate))) AS BIGINT) AS range_seconds
+FROM lineitem
+""")
+def date_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    ep = li.select(epoch_seconds(li, "l_shipdate").alias("__ep"))
+    mn, mx = F.min("__ep"), F.max("__ep")
+    return ep.agg(
+        mn.alias("min_epoch"),
+        mx.alias("max_epoch"),
+        (mx - mn).alias("range_seconds"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# U1-U3: per-column universal stats for all 11 lineitem columns,
+# computed in ONE wide agg and reshaped with stack (no per-column jobs).
+# ---------------------------------------------------------------------------
+_LINEITEM_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                  "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                  "l_returnflag", "l_linestatus", "l_shipdate"]
+
+_universal_sql = "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS column_name, count({c}) AS cnt, "
+    f"count(DISTINCT {c}) AS n_distinct, "
+    f"count(*) - count({c}) AS n_missing FROM lineitem"
+    for c in _LINEITEM_COLS)
+
+
+@query("universal_stats", _universal_sql)
+def universal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(_LINEITEM_COLS):
+        aggs.append(F.count(li[c]).alias(f"cnt_{i}"))
+        aggs.append(F.count_distinct(li[c]).alias(f"dis_{i}"))
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', cnt_{i}, dis_{i}, __n - cnt_{i}"
+        for i, c in enumerate(_LINEITEM_COLS))
+    return one.select(F.expr(
+        f"stack({len(_LINEITEM_COLS)}, {stack_args}) "
+        "as (column_name, cnt, n_distinct, n_missing)"))
+
+
+# ---------------------------------------------------------------------------
+# T1-T3: dataset-level overview
+# ---------------------------------------------------------------------------
+@query("table_overview", """
+SELECT count(*) AS n,
+       11 AS nvar,
+       count(*) * 11 AS n_cells,
+       0 AS total_missing
+FROM lineitem
+""")
+def table_overview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    missing = sum(
+        (F.count(F.lit(1)) - F.count(li[c])) for c in _LINEITEM_COLS)
+    return li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.lit(11).alias("nvar"),
+        (F.count(F.lit(1)) * 11).alias("n_cells"),
+        missing.cast("int").alias("total_missing"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# R1: Pearson correlation matrix — ONE Spark job via pyspark.ml
+# (reference: O(k^2) df.corr jobs — base.py::describe>>corr_matrix)
+# ---------------------------------------------------------------------------
+_NUM_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+             "l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+_corr_sql = "\nUNION ALL\n".join(
+    f"SELECT '{x}' AS col_x, '{y}' AS col_y, "
+    f"{_psig(f'corr({x}, {y})')} AS rho FROM lineitem"
+    for i, x in enumerate(_NUM_COLS) for y in _NUM_COLS[i + 1:])
+
+
+@query("corr_matrix", _corr_sql)
+def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_df_profiling_spark.operators.correlation import (
+        correlation_matrix,
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    mat = correlation_matrix(li, _NUM_COLS)
+    rows = [(x, y, mat[(x, y)])
+            for i, x in enumerate(_NUM_COLS) for y in _NUM_COLS[i + 1:]]
+    out = spark.createDataFrame(rows, "col_x string, col_y string, "
+                                      "rho_raw double")
+    return out.select("col_x", "col_y", sig(F.col("rho_raw")).alias("rho"))
+
+
+# ---------------------------------------------------------------------------
+# Grouped profiling (groupBy multi-agg — TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+@query("group_profile", f"""
+SELECT l_returnflag, l_linestatus,
+       count(*) AS cnt,
+       {_psig('sum(l_quantity)')} AS sum_qty,
+       {_psig('avg(l_extendedprice)')} AS avg_price,
+       {_psig('avg(l_discount)')} AS avg_disc,
+       {_psig('sum(l_extendedprice * (1 - l_discount))')} AS sum_disc_price
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""")
+def group_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 sig(F.sum("l_quantity")).alias("sum_qty"),
+                 sig(F.avg("l_extendedprice")).alias("avg_price"),
+                 sig(F.avg("l_discount")).alias("avg_disc"),
+                 sig(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))))
+                 .alias("sum_disc_price"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+# ---------------------------------------------------------------------------
+# U4/G2: uniqueness check on customer key
+# ---------------------------------------------------------------------------
+@query("unique_stats", """
+SELECT count(*) AS n,
+       count(DISTINCT c_custkey) AS n_distinct,
+       CAST(count(DISTINCT c_custkey) = count(*) AS BOOLEAN) AS is_unique,
+       min(c_custkey) AS min_key,
+       max(c_custkey) AS max_key
+FROM customer
+""")
+def unique_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = _t(spark, sf_dir, "customer")
+    return cu.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col("c_custkey")).alias("n_distinct"),
+        (F.count_distinct(F.col("c_custkey")) == F.count(F.lit(1)))
+        .alias("is_unique"),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T6: deterministic head sample
+# ---------------------------------------------------------------------------
+@query("sample_head", """
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity,
+       l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+       CAST(floor(epoch(l_shipdate)) AS BIGINT) AS ship_epoch
+FROM lineitem
+ORDER BY l_orderkey, l_linenumber, l_partkey
+LIMIT 5
+""")
+def sample_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus",
+        epoch_seconds(li, "l_shipdate").alias("ship_epoch"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey")
+        .limit(5))

@@ -1,0 +1,178 @@
+"""Wide-agg plan: every per-column statistic in ONE Spark job.
+
+The reference (``base.py::describe``, public v1.1.13) issues ~10-12 Spark
+jobs *per column* (separate agg / percentile / mad / zeros / histogram /
+distinct / count actions — SURVEY.md §2.3).  Here all pass-1 statistics for
+*all* columns are flattened into a single ``df.agg(*exprs)``: Catalyst plans
+it as one 2-phase HashAggregate (partial map-side + final), so the input is
+scanned exactly once regardless of column count.
+
+Scale notes (100 TB):
+* Expression lists are chunked at ``cfg.max_agg_exprs`` to stay clear of
+  whole-stage-codegen's 64KB method / constant-pool limits — each chunk is
+  an independent single-pass job (SURVEY §4 "our one real physical-design
+  risk").
+* Distinct counts default to ``approx_count_distinct`` (HLL++): exact
+  multi-column countDistinct forces an Expand-based plan whose row
+  multiplication is catastrophic at scale.  The oracle/test path flips
+  ``cfg.exact_distinct``.
+* Numeric sums are computed in DOUBLE: Spark 4 runs ANSI mode by default,
+  where bigint sum overflow raises — at 100 TB an int64 sum overflow is not
+  hypothetical.
+* Aggregation state for percentile/percentile_approx routes to
+  ObjectHashAggregate automatically; everything else stays codegen'd.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from spark_df_profiling_spark import schema as S
+from spark_df_profiling_spark.config import ProfileConfig
+
+
+def _key(i: int, stat: str) -> str:
+    return f"c{i}__{stat}"
+
+
+def build_pass1_exprs(df: DataFrame, classes: list[str],
+                      cfg: ProfileConfig) -> list[Column]:
+    """Expression list for pass 1 (no prior results needed).
+
+    Covers SURVEY §2 kernels T1, U1-U5, N1-N6, N11, C-prep, D1, G1.
+    """
+    exprs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for i, (field, cls) in enumerate(zip(df.schema.fields, classes)):
+        c = df[field.name]
+        exprs.append(F.count(c).alias(_key(i, "count")))
+        if cfg.exact_distinct:
+            exprs.append(F.count_distinct(c).alias(_key(i, "distinct")))
+        else:
+            exprs.append(
+                F.approx_count_distinct(c, cfg.distinct_rsd)
+                .alias(_key(i, "distinct")))
+        # first non-null value: CONST profile (G1) + report sample, cheap
+        # for every column.  Complex types stringify via cast.
+        exprs.append(F.first(c, ignorenulls=True).cast("string")
+                     .alias(_key(i, "first")))
+
+        if S.is_numeric(cls):
+            cd = c.cast("double")
+            exprs.extend([
+                F.mean(cd).alias(_key(i, "mean")),
+                F.min(c).cast("double").alias(_key(i, "min")),
+                F.max(c).cast("double").alias(_key(i, "max")),
+                F.var_samp(cd).alias(_key(i, "variance")),
+                F.stddev_samp(cd).alias(_key(i, "std")),
+                F.skewness(cd).alias(_key(i, "skewness")),
+                F.kurtosis(cd).alias(_key(i, "kurtosis")),
+                F.sum(cd).alias(_key(i, "sum")),
+                F.sum(F.when(c == 0, 1).otherwise(0)).alias(_key(i, "zeros")),
+            ])
+            if cls == S.NUM_FLOAT:
+                exprs.append(
+                    F.sum(F.when(cd.isin(float("inf"), float("-inf")), 1)
+                          .otherwise(0)).alias(_key(i, "inf")))
+                exprs.append(
+                    F.sum(F.when(F.isnan(cd), 1).otherwise(0))
+                    .alias(_key(i, "nan")))
+            qs = ", ".join(repr(q) for q in cfg.quantiles)
+            col_sql = f"CAST(`{field.name}` AS DOUBLE)"
+            if cfg.exact_quantiles:
+                q_expr = F.expr(f"percentile({col_sql}, array({qs}))")
+            else:
+                q_expr = F.expr(
+                    f"percentile_approx({col_sql}, array({qs}), "
+                    f"{cfg.quantile_accuracy})")
+            exprs.append(q_expr.alias(_key(i, "quantiles")))
+        elif cls == S.DATE:
+            exprs.append(F.min(c).alias(_key(i, "min_date")))
+            exprs.append(F.max(c).alias(_key(i, "max_date")))
+        elif cls in (S.ARRAY, S.MAP):
+            exprs.extend([
+                F.avg(F.size(c)).alias(_key(i, "mean_size")),
+                F.min(F.size(c)).cast("long").alias(_key(i, "min_size")),
+                F.max(F.size(c)).cast("long").alias(_key(i, "max_size")),
+            ])
+    return exprs
+
+
+def build_pass2_exprs(df: DataFrame, classes: list[str], pass1: dict[str, Any],
+                      cfg: ProfileConfig) -> list[Column]:
+    """Expressions that need pass-1 results: MAD (N10) + histograms (N12).
+
+    MAD is the reference's *mean* absolute deviation around the mean
+    (``base.py::describe>>describe_integer_1d``), an inherently two-pass
+    statistic.  Histogram bins are equal-width on [min, max] with the last
+    bin right-closed, matching ``base.py::describe>>create_hist_data``.
+    """
+    exprs: list[Column] = []
+    for i, (field, cls) in enumerate(zip(df.schema.fields, classes)):
+        if not S.is_numeric(cls):
+            continue
+        cnt = pass1.get(_key(i, "count")) or 0
+        mean = pass1.get(_key(i, "mean"))
+        mn = pass1.get(_key(i, "min"))
+        mx = pass1.get(_key(i, "max"))
+        c = df[field.name].cast("double")
+        if cfg.compute_mad and cnt > 0 and mean is not None \
+                and math.isfinite(mean):
+            exprs.append(F.avg(F.abs(c - F.lit(mean)))
+                         .alias(_key(i, "mad")))
+        if cfg.compute_histograms and cnt > 0 and mn is not None \
+                and mx is not None and math.isfinite(mn) and math.isfinite(mx) \
+                and mx > mn:
+            width = (mx - mn) / cfg.bins
+            for b in range(cfg.bins):
+                left = mn + width * b
+                if b == cfg.bins - 1:
+                    cond = (c >= F.lit(left)) & (c <= F.lit(mx)) \
+                        & ~F.isnan(c)
+                else:
+                    right = mn + width * (b + 1)
+                    cond = (c >= F.lit(left)) & (c < F.lit(right)) \
+                        & ~F.isnan(c)
+                exprs.append(F.sum(F.when(cond, 1).otherwise(0))
+                             .alias(_key(i, f"hist{b}")))
+    return exprs
+
+
+def run_chunked_agg(df: DataFrame, exprs: list[Column],
+                    cfg: ProfileConfig) -> dict[str, Any]:
+    """Execute a wide agg, chunked to respect codegen limits.
+
+    Each chunk is one Spark job (one full scan); with default settings a
+    table needs >~25 columns before a second chunk appears.  Returns the
+    merged {alias: value} dict.
+    """
+    out: dict[str, Any] = {}
+    if not exprs:
+        return out
+    step = max(1, cfg.max_agg_exprs)
+    for start in range(0, len(exprs), step):
+        chunk = exprs[start:start + step]
+        row = df.agg(*chunk).collect()[0]
+        out.update(row.asDict())
+    return out
+
+
+def stat_key(i: int, stat: str) -> str:
+    """Public accessor for the alias scheme (used by the orchestrator)."""
+    return _key(i, stat)
+
+
+def date_range_seconds(mn: Any, mx: Any) -> float | None:
+    """Driver-side D2: range of a date/timestamp column in seconds."""
+    if mn is None or mx is None:
+        return None
+    if isinstance(mn, _dt.datetime) and isinstance(mx, _dt.datetime):
+        return (mx - mn).total_seconds()
+    if isinstance(mn, _dt.date) and isinstance(mx, _dt.date):
+        return float((mx - mn).days * 86400)
+    return None

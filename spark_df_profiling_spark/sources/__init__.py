@@ -1,0 +1,48 @@
+"""Source connectors: load the test tables / arbitrary formats.
+
+The reference takes a ready-made DataFrame (no source layer of its own);
+these helpers standardize how the engine reads inputs.  All readers go
+through ``spark.read`` so Catalyst's pushdown/pruning applies (filters and
+column selections reach the parquet scan — verify with
+``df.explain('formatted')``: PushedFilters / ReadSchema).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def load_table(spark: SparkSession, name: str,
+               sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """Read one test table (parquet)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_all(spark: SparkSession,
+             sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    return {t: load_table(spark, t, sf_dir) for t in TABLES}
+
+
+def read_any(spark: SparkSession, path: str, fmt: str | None = None,
+             **options) -> DataFrame:
+    """Generic reader: parquet/csv/json/orc by extension or explicit fmt."""
+    if fmt is None:
+        ext = os.path.splitext(path)[1].lstrip(".").lower()
+        fmt = {"pq": "parquet"}.get(ext, ext) or "parquet"
+    reader = spark.read
+    if fmt == "csv":
+        reader = reader.option("header", "true").option("inferSchema", "true")
+    return reader.options(**options).format(fmt).load(path)
+
+
+def write_profile(profile_df: DataFrame, path: str,
+                  mode: str = "overwrite") -> None:
+    """Persist a profile DataFrame as parquet (the engine's native sink)."""
+    profile_df.write.mode(mode).parquet(path)
