@@ -1,0 +1,141 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set (matches BASELINE.md targets):
+  profile_lineitem   full profile() of lineitem (~600k rows at sf0.1)
+  profile_core8      profile() of all 8 core tables
+  group_profile      TPC-H Q1-style grouped aggregation
+  corr_matrix        full Pearson matrix, lineitem numeric columns (1 job)
+  freq_topk          stacked top-k frequencies, all lineitem CAT columns
+  dedup_exact        exact text dedup of documents (keep-first)
+  minhash_neardup    MinHashLSH near-dup candidates on documents
+  knn_bruteforce     exact cosine top-10, 20 queries vs embeddings corpus
+  text_features      full text-feature extraction over documents
+  window_profile     1-day tumbling-window profile of events
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .appName("spark-df-profiling-bench")
+        .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from spark_df_profiling_spark import ProfileConfig, profile
+    from spark_df_profiling_spark.operators.dedup import (
+        exact_dedup, minhash_candidates)
+    from spark_df_profiling_spark.operators.similarity import knn_bruteforce
+    from spark_df_profiling_spark.operators.text import text_features
+    from spark_df_profiling_spark.oracle import SPARK_QUERIES
+
+    def t(name):
+        return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+    scale_cfg = ProfileConfig()  # approx distinct + approx quantiles
+
+    core8 = ["region", "nation", "customer", "supplier", "part", "orders",
+             "lineitem", "events"]
+
+    def bench_profile_lineitem():
+        profile(t("lineitem"), scale_cfg).collect()
+
+    def bench_profile_core8():
+        for name in core8:
+            profile(t(name), scale_cfg).collect()
+
+    def bench_group_profile():
+        SPARK_QUERIES["group_profile"](spark, sf_dir).collect()
+
+    def bench_corr_matrix():
+        SPARK_QUERIES["corr_matrix"](spark, sf_dir).collect()
+
+    def bench_freq_topk():
+        from spark_df_profiling_spark.operators.frequency import (
+            topk_frequencies)
+        li = t("lineitem")
+        topk_frequencies(li, ["l_returnflag", "l_linestatus"], 50)
+
+    def bench_dedup_exact():
+        exact_dedup(t("documents"), cols=["text"],
+                    order_col="doc_id").count()
+
+    def bench_minhash_neardup():
+        minhash_candidates(t("documents"), "text", "doc_id",
+                           jaccard_max_distance=0.3).count()
+
+    def bench_knn_bruteforce():
+        emb = t("embeddings")
+        knn_bruteforce(emb, emb.where(F.col("vec_id") < 20),
+                       k=10).collect()
+
+    def bench_text_features():
+        text_features(t("documents"), "text") \
+            .agg(F.sum("f_n_tokens"), F.avg("f_quality"),
+                 F.count_distinct("f_fingerprint"),
+                 F.count_distinct("f_lang")).collect()
+
+    def bench_window_profile():
+        SPARK_QUERIES["window_profile_events"](spark, sf_dir).collect()
+
+    benches = {
+        "profile_lineitem": bench_profile_lineitem,
+        "profile_core8": bench_profile_core8,
+        "group_profile": bench_group_profile,
+        "corr_matrix": bench_corr_matrix,
+        "freq_topk": bench_freq_topk,
+        "dedup_exact": bench_dedup_exact,
+        "minhash_neardup": bench_minhash_neardup,
+        "knn_bruteforce": bench_knn_bruteforce,
+        "text_features": bench_text_features,
+        "window_profile": bench_window_profile,
+    }
+
+    # tiny warm-up so JVM/codegen startup isn't billed to the first query
+    t("region").count()
+
+    timings: dict[str, float] = {}
+    for name, fn in benches.items():
+        t0 = time.time()
+        try:
+            fn()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # record failures without killing bench
+            timings[name] = -1.0
+            print(f"bench {name} FAILED: {exc}", file=sys.stderr)
+
+    total = round(sum(v for v in timings.values() if v >= 0), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,217 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+The reference library has no dedup (it is a profiler); these are the
+BASELINE.json north-star extensions, designed Spark-first for 100 TB:
+
+* exact dedup: hash-groupBy keep-first — ONE shuffle on a 256-bit content
+  hash (uniformly distributed, so no key skew by construction);
+* MinHash + LSH near-dup: shingle -> minhash signature -> band buckets ->
+  bucket join.  Candidate generation never compares all pairs: only rows
+  sharing a band bucket meet in the join, which is the standard
+  sub-quadratic LSH bound;
+* SimHash: 64-bit signature entirely with built-in JVM expressions
+  (xxhash64 + higher-order aggregate — NO Python UDFs), banded for
+  candidate joins, verified with bit_count(xor) Hamming distance;
+* n-gram Jaccard: exact verification on LSH candidates only;
+* embedding cosine near-dup: see operators/similarity.py.
+
+Every heavy step is a DataFrame op (hash partitioning, AQE-coalesced
+shuffles, broadcast where one side is small).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+def content_hash(cols: list[str]) -> Column:
+    """256-bit content hash over the given columns (null-safe)."""
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
+             for c in cols]
+    return F.sha2(F.concat_ws("\x01", *parts), 256)
+
+
+def exact_dedup(df: DataFrame, cols: list[str] | None = None,
+                order_col: str | None = None) -> DataFrame:
+    """Keep the first row per distinct content (deterministic keep-first).
+
+    ``cols`` — columns defining identity (default: all columns).
+    ``order_col`` — ascending tiebreaker choosing the survivor (required
+    for a deterministic result; without it Spark keeps an arbitrary row).
+
+    Plan: one shuffle on the content hash; ``row_number`` within each hash
+    partition.  The hash key is uniform, so partitions stay balanced at
+    any scale.  At 100 TB prefer ``order_col`` = a monotonically
+    increasing id so the window sort is cheap per group (groups are tiny).
+    """
+    cols = cols or df.columns
+    h = content_hash(cols).alias("__h")
+    with_h = df.select("*", h)
+    if order_col is None:
+        # distinct-by-hash without a deterministic survivor
+        return (with_h.groupBy("__h")
+                .agg(*[F.first(c).alias(c) for c in df.columns])
+                .drop("__h"))
+    w = Window.partitionBy("__h").orderBy(F.asc(order_col))
+    return (with_h
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__h", "__rn"))
+
+
+def dedup_stats(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """(n_rows, n_distinct, n_duplicates) — one wide-agg job."""
+    cols = cols or df.columns
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(content_hash(cols)).alias("n_distinct"),
+        (F.count(F.lit(1)) - F.count_distinct(content_hash(cols)))
+        .alias("n_duplicates"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup (pyspark.ml)
+# ---------------------------------------------------------------------------
+def shingle(df: DataFrame, text_col: str, n: int = 3,
+            out_col: str = "__shingles") -> DataFrame:
+    """Word n-gram shingles as an array column (built-in NGram)."""
+    from pyspark.ml.feature import NGram, Tokenizer
+    tok = Tokenizer(inputCol=text_col, outputCol="__tokens")
+    ng = NGram(n=n, inputCol="__tokens", outputCol=out_col)
+    return ng.transform(tok.transform(df)).drop("__tokens")
+
+
+def minhash_candidates(df: DataFrame, text_col: str, id_col: str,
+                       shingle_n: int = 3, num_features: int = 1 << 18,
+                       num_hashes: int = 16,
+                       jaccard_max_distance: float = 0.2) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHashLSH.
+
+    Returns (id_a, id_b, jaccard_distance) with id_a < id_b.  The
+    ``approxSimilarityJoin`` is a self-join on LSH band buckets — at scale
+    the shuffle is on bucket keys, never a cartesian product.  Empty
+    shingle sets (docs shorter than ``shingle_n`` words) are filtered, as
+    MinHash is undefined for empty sets.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+    sh = shingle(df.select(id_col, text_col), text_col, shingle_n)
+    tf = HashingTF(inputCol="__shingles", outputCol="__features",
+                   numFeatures=num_features, binary=True)
+    feat = tf.transform(sh).where(
+        F.size(F.col("__shingles")) > 0).select(id_col, "__features")
+    lsh = MinHashLSH(inputCol="__features", outputCol="__hashes",
+                     numHashTables=num_hashes, seed=42)
+    model = lsh.fit(feat)
+    joined = model.approxSimilarityJoin(feat, feat, jaccard_max_distance,
+                                        distCol="jaccard_distance")
+    return (joined
+            .select(F.col(f"datasetA.{id_col}").alias("id_a"),
+                    F.col(f"datasetB.{id_col}").alias("id_b"),
+                    F.col("jaccard_distance"))
+            .where(F.col("id_a") < F.col("id_b")))
+
+
+def near_dedup_minhash(df: DataFrame, text_col: str, id_col: str,
+                       **kwargs) -> DataFrame:
+    """Drop near-duplicates, keeping the smallest id of each near-dup
+    cluster (single-link via the candidate pair graph's min edge —
+    one pass, no iterative connected components; adequate for the
+    dominant case of pairwise/small clusters)."""
+    pairs = minhash_candidates(df, text_col, id_col, **kwargs)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash (pure built-in expressions, no UDF)
+# ---------------------------------------------------------------------------
+def simhash64(text_col: str | Column, bits: int = 64) -> Column:
+    """64-bit SimHash of whitespace tokens, entirely JVM-side.
+
+    Per token, ``xxhash64`` supplies the 64-bit hash; per bit position a
+    +1/-1 vote is aggregated with the higher-order ``aggregate`` over the
+    token array; the sign vector re-assembles into a BIGINT signature.
+    Near-dup pairs then satisfy ``bit_count(a ^ b) <= k``.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    tokens = F.split(F.lower(c), r"\s+")
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    sig = None
+    for b in range(bits):
+        vote = F.aggregate(
+            hashes, F.lit(0).cast("long"),
+            lambda acc, h: acc + F.when(
+                F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1)).otherwise(F.lit(-1)))
+        bit = F.when(vote > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return sig
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
+                       max_hamming: int = 3,
+                       n_bands: int = 4) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+
+    Banding: the 64-bit signature splits into ``n_bands`` equal slices; a
+    pair within Hamming distance ``n_bands - 1`` must agree on at least
+    one full band (pigeonhole), so the self-join runs per band key — a
+    bucket shuffle, not a cross join.  Verification computes the exact
+    Hamming distance with ``bit_count(xor)``.
+    """
+    band_bits = 64 // n_bands
+    mask = (1 << band_bits) - 1
+    sig = df.select(F.col(id_col).alias("id"),
+                    simhash64(text_col).alias("sig"))
+    bands = sig.select(
+        "id", "sig",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.shiftright("sig", b * band_bits)
+                     .bitwiseAND(F.lit(mask)).alias("key"))
+            for b in range(n_bands)])).alias("bk"))
+    bands = bands.select("id", "sig", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (a.join(b, on=["band", "key"])
+             .where(F.col("a.id") < F.col("b.id"))
+             .select(F.col("a.id").alias("id_a"),
+                     F.col("b.id").alias("id_b"),
+                     F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+                     .alias("hamming"))
+             .distinct()
+             .where(F.col("hamming") <= max_hamming))
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard (verification kernel for LSH candidates)
+# ---------------------------------------------------------------------------
+def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
+                        candidates: DataFrame, n: int = 3) -> DataFrame:
+    """Exact token-n-gram Jaccard for candidate (id_a, id_b) pairs.
+
+    Joins shingle sets onto the (small) candidate table — broadcast when
+    candidates fit — and computes |A∩B| / |A∪B| with array_intersect /
+    array_union on deduplicated shingle arrays.  At scale this runs on
+    LSH candidates only; never on the full cross product.
+    """
+    sh = (shingle(df.select(id_col, text_col), text_col, n)
+          .select(F.col(id_col).alias("id"),
+                  F.array_distinct("__shingles").alias("sh")))
+    out = (candidates
+           .join(sh.select(F.col("id").alias("id_a"),
+                           F.col("sh").alias("sh_a")), on="id_a")
+           .join(sh.select(F.col("id").alias("id_b"),
+                           F.col("sh").alias("sh_b")), on="id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return out.select(
+        "id_a", "id_b",
+        (inter.cast("double") / union).alias("jaccard"))

@@ -1,0 +1,142 @@
+"""Similarity search over embedding columns (array<float>).
+
+North-star extension (BASELINE.json): approximate-nearest-neighbor over
+``embeddings.embedding`` with a brute-force cosine baseline.
+
+Scale design:
+* brute-force top-k broadcasts the (small) query set against the corpus —
+  a map-side nested loop with NO shuffle of the corpus; the only shuffle
+  is the final per-query top-k (tiny);
+* dot products run through higher-order functions (``zip_with`` +
+  ``aggregate``) — JVM-side, no Python crossing;
+* the scale path is LSH bucketing (``BucketedRandomProjectionLSH``) or
+  IVF (KMeans coarse quantizer + probe-top-clusters), both sub-linear in
+  corpus size per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i in double precision (JVM higher-order functions)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def knn_bruteforce(corpus: DataFrame, queries: DataFrame,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   k: int = 10, metric: str = "cosine") -> DataFrame:
+    """Exact top-k neighbors of each query row against the corpus.
+
+    Returns (query_id, neighbor_id, sim, rank), self-matches excluded,
+    ties broken by neighbor_id for determinism.  The query side is
+    broadcast — at 100 TB the corpus streams through executors once.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("__qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("__cv"))
+    joined = c.crossJoin(F.broadcast(q)).where(
+        F.col("neighbor_id") != F.col("query_id"))
+    if metric == "cosine":
+        sim = cosine(F.col("__qv"), F.col("__cv"))
+    elif metric == "dot":
+        sim = dot(F.col("__qv"), F.col("__cv"))
+    else:
+        raise ValueError(f"unknown metric: {metric}")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id"))
+    return (joined.select("query_id", "neighbor_id", sim.alias("sim"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
+def ann_lsh(corpus: DataFrame, queries: DataFrame,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            k: int = 10, bucket_length: float = 2.0,
+            num_tables: int = 4) -> DataFrame:
+    """Approximate top-k via BucketedRandomProjectionLSH (Euclidean).
+
+    Scale path: each query only meets corpus rows sharing an LSH bucket.
+    Euclidean distance on L2-NORMALIZED vectors is monotone in cosine
+    (d² = 2 − 2·cos), so normalizing first makes this a cosine ANN.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+    from pyspark.ml.functions import array_to_vector
+
+    def prep(df, idc):
+        vec = df.select(F.col(id_col).alias(idc),
+                        array_to_vector(
+                            F.transform(F.col(vec_col),
+                                        lambda x: x.cast("double")))
+                        .alias("__v"))
+        return Normalizer(inputCol="__v", outputCol="__nv", p=2.0) \
+            .transform(vec).select(idc, "__nv")
+
+    cp, qp = prep(corpus, "neighbor_id"), prep(queries, "query_id")
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="__nv", outputCol="__h", seed=42,
+        bucketLength=bucket_length, numHashTables=num_tables)
+    model = lsh.fit(cp)
+    # threshold 2.0 covers the full cosine range on unit vectors
+    joined = model.approxSimilarityJoin(cp, qp, 2.0, distCol="__d") \
+        .select(F.col("datasetB.query_id").alias("query_id"),
+                F.col("datasetA.neighbor_id").alias("neighbor_id"),
+                (1.0 - F.col("__d") * F.col("__d") / 2.0).alias("sim")) \
+        .where(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id"))
+    return (joined.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
+def embedding_near_dup(df: DataFrame, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       min_cosine: float = 0.995) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= τ).
+
+    Uses the LSH bucket join (normalized Euclidean ≤ sqrt(2-2τ)) so the
+    pair generation is sub-quadratic; exact cosine re-verified on
+    candidates.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+    from pyspark.ml.functions import array_to_vector
+
+    vec = df.select(F.col(id_col).alias("id"),
+                    F.col(vec_col).alias("__a"),
+                    array_to_vector(
+                        F.transform(F.col(vec_col),
+                                    lambda x: x.cast("double")))
+                    .alias("__v"))
+    norm = Normalizer(inputCol="__v", outputCol="__nv", p=2.0) \
+        .transform(vec).select("id", "__a", "__nv")
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="__nv", outputCol="__h", seed=42,
+        bucketLength=1.0, numHashTables=4)
+    model = lsh.fit(norm)
+    thresh = float((2.0 - 2.0 * min_cosine) ** 0.5)
+    cand = model.approxSimilarityJoin(norm, norm, thresh, distCol="__d") \
+        .select(F.col("datasetA.id").alias("id_a"),
+                F.col("datasetA.__a").alias("__va"),
+                F.col("datasetB.id").alias("id_b"),
+                F.col("datasetB.__a").alias("__vb")) \
+        .where(F.col("id_a") < F.col("id_b"))
+    return (cand.select(
+        "id_a", "id_b",
+        cosine(F.col("__va"), F.col("__vb")).alias("cosine_sim"))
+        .where(F.col("cosine_sim") >= min_cosine))

@@ -1,0 +1,169 @@
+"""Text-analysis operators for training-data pipelines (north star).
+
+All kernels are built-in JVM expressions (no Python UDFs) so they run
+inside whole-stage codegen over arbitrarily large corpora:
+
+* counting/quality features: length arithmetic + regexp_replace;
+* token counting: whitespace split + a BPE-ish regex tokenizer;
+* document fingerprinting: min-MD5 over word 3-gram shingles (a 1-hash
+  MinHash — stable content fingerprint for shingle-level dedup);
+* language ID: stopword-hit scoring + CJK character detection with a
+  deterministic argmax (array_max over (score, lang) structs);
+* quality scoring: bounded composite of the ratio features.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish tokenizer: letter runs, digit runs, single non-space symbols.
+TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def n_chars(col) -> Column:
+    return F.length(_c(col))
+
+
+def n_tokens_ws(col) -> Column:
+    """Whitespace token count (single-space split, matches DuckDB
+    string_split semantics)."""
+    return F.size(F.split(_c(col), " "))
+
+
+def n_tokens_bpe(col) -> Column:
+    return F.size(F.expr(
+        f"regexp_extract_all({_sql(col)}, '{TOKEN_REGEX}', 0)"))
+
+
+def _sql(col) -> str:
+    if isinstance(col, str):
+        return f"`{col}`"
+    raise TypeError("expression form requires a column name")
+
+
+def _kept_len(col, char_class: str) -> Column:
+    """Length after keeping only chars in the class."""
+    return F.length(F.regexp_replace(_c(col), f"[^{char_class}]", ""))
+
+
+def alpha_ratio(col) -> Column:
+    return _kept_len(col, "A-Za-z") / F.length(_c(col))
+
+
+def digit_ratio(col) -> Column:
+    return _kept_len(col, "0-9") / F.length(_c(col))
+
+
+def space_ratio(col) -> Column:
+    return _kept_len(col, " ") / F.length(_c(col))
+
+
+def upper_ratio(col) -> Column:
+    return _kept_len(col, "A-Z") / F.length(_c(col))
+
+
+def punct_ratio(col) -> Column:
+    return (F.length(_c(col))
+            - _kept_len(col, "A-Za-z0-9 ")) / F.length(_c(col))
+
+
+def avg_token_len(col) -> Column:
+    toks = F.split(_c(col), " ")
+    return (F.aggregate(toks, F.lit(0).cast("long"),
+                        lambda a, t: a + F.length(t)).cast("double")
+            / F.size(toks))
+
+
+def fingerprint_min_shingle(col: str) -> Column:
+    """Document fingerprint: min MD5 over word 3-gram shingles.
+
+    A single-hash MinHash — equal fingerprints ⇒ sharing the minimal
+    shingle (high-probability near-dup signal); falls back to MD5 of the
+    whole text for documents shorter than 3 tokens.  Expressed so the
+    identical computation runs in DuckDB (md5 + list ops) for the oracle.
+    """
+    return F.expr(f"""
+        CASE WHEN size(split(`{col}`, ' ')) >= 3 THEN
+            array_min(transform(
+                sequence(0, size(split(`{col}`, ' ')) - 3),
+                i -> md5(concat_ws(' ',
+                        split(`{col}`, ' ')[i],
+                        split(`{col}`, ' ')[i + 1],
+                        split(`{col}`, ' ')[i + 2]))))
+        ELSE md5(`{col}`) END""")
+
+
+# --- language ID -----------------------------------------------------------
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "zu", "mit"],
+    "es": ["el", "la", "de", "que", "los", "es", "una", "por", "con"],
+    "fr": ["le", "la", "les", "des", "est", "une", "dans", "pour", "que"],
+}
+CJK_REGEX = r"[一-鿿]"
+
+
+def lang_scores(col) -> dict[str, Column]:
+    """Stopword-hit count per language + CJK char count for zh."""
+    toks = F.split(F.lower(_c(col)), r"\s+")
+    out: dict[str, Column] = {}
+    for lang, words in STOPWORDS.items():
+        wordset = F.array(*[F.lit(w) for w in words])
+        out[lang] = F.size(
+            F.filter(toks, lambda t: F.array_contains(wordset, t)))
+    # each CJK char counts as one hit (no spaces between zh "words")
+    out["zh"] = F.length(_c(col)) \
+        - F.length(F.regexp_replace(_c(col), CJK_REGEX, ""))
+    return out
+
+
+def lang_id(col, default: str = "und") -> Column:
+    """Deterministic heuristic language ID.
+
+    argmax over per-language scores via array_max on (score, lang)
+    structs — struct comparison orders by score then lang name, so ties
+    break deterministically.  Returns ``default`` when no signal.
+    """
+    scores = lang_scores(col)
+    entries = F.array(*[
+        F.struct(s.cast("long").alias("score"), F.lit(lang).alias("lang"))
+        for lang, s in sorted(scores.items())])
+    best = F.array_max(entries)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit(default))
+
+
+def quality_score(col) -> Column:
+    """Composite quality in [0, 1]: favors alphabetic text with sane
+    token lengths and some minimum length (heuristic, deterministic)."""
+    c = _c(col)
+    len_score = F.least(F.length(c) / F.lit(200.0), F.lit(1.0))
+    alpha = alpha_ratio(col)
+    tok = avg_token_len(col)
+    tok_score = F.when((tok >= 2) & (tok <= 12), F.lit(1.0)) \
+        .otherwise(F.lit(0.3))
+    return (F.lit(0.4) * alpha + F.lit(0.3) * len_score
+            + F.lit(0.3) * tok_score)
+
+
+def text_features(df: DataFrame, text_col: str) -> DataFrame:
+    """All per-document text features as additional columns."""
+    return df.select(
+        "*",
+        n_chars(text_col).alias("f_n_chars"),
+        n_tokens_ws(text_col).alias("f_n_tokens"),
+        n_tokens_bpe(text_col).alias("f_n_tokens_bpe"),
+        alpha_ratio(text_col).alias("f_alpha_ratio"),
+        digit_ratio(text_col).alias("f_digit_ratio"),
+        space_ratio(text_col).alias("f_space_ratio"),
+        upper_ratio(text_col).alias("f_upper_ratio"),
+        punct_ratio(text_col).alias("f_punct_ratio"),
+        avg_token_len(text_col).alias("f_avg_token_len"),
+        fingerprint_min_shingle(text_col).alias("f_fingerprint"),
+        lang_id(text_col).alias("f_lang"),
+        quality_score(text_col).alias("f_quality"),
+    )

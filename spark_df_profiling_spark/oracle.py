@@ -459,3 +459,389 @@ def sample_head(spark: SparkSession, sf_dir: str) -> DataFrame:
         epoch_seconds(li, "l_shipdate").alias("ship_epoch"))
         .orderBy("l_orderkey", "l_linenumber", "l_partkey")
         .limit(5))
+
+
+# ===========================================================================
+# North-star extension kernels (SURVEY §2.9): text analysis, dedup,
+# similarity search, multimodal plumbing, windowed/streaming profiles.
+# ===========================================================================
+
+# ---------------------------------------------------------------------------
+# Text analysis: per-language stats incl. the stored-n_chars cross-check
+# ---------------------------------------------------------------------------
+@query("text_stats_by_lang", f"""
+SELECT lang,
+       count(*) AS cnt,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(CASE WHEN length(text) = n_chars THEN 1 ELSE 0 END)
+            AS BIGINT) AS chars_match,
+       {_psig("avg(length(text))")} AS avg_len,
+       {_psig("avg(len(string_split(text, ' ')))")} AS avg_tokens
+FROM documents GROUP BY lang ORDER BY lang
+""")
+def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_df_profiling_spark.operators import text as TX
+    d = _t(spark, sf_dir, "documents")
+    return (d.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.sum("n_chars").alias("sum_chars"),
+                 F.sum(F.when(F.length("text") == F.col("n_chars"), 1)
+                       .otherwise(0)).alias("chars_match"),
+                 sig(F.avg(F.length("text"))).alias("avg_len"),
+                 sig(F.avg(TX.n_tokens_ws("text"))).alias("avg_tokens"))
+            .orderBy("lang"))
+
+
+@query("text_quality_by_lang", f"""
+SELECT lang,
+       {_psig("avg(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))"
+              " / length(text))")} AS avg_alpha_ratio,
+       {_psig("avg(length(regexp_replace(text, '[^0-9]', '', 'g'))"
+              " / length(text))")} AS avg_digit_ratio,
+       {_psig("avg(length(regexp_replace(text, '[^ ]', '', 'g'))"
+              " / length(text))")} AS avg_space_ratio,
+       {_psig("avg((length(text) - length(regexp_replace(text, "
+              "'[^A-Za-z0-9 ]', '', 'g'))) / length(text))")}
+           AS avg_punct_ratio
+FROM documents GROUP BY lang ORDER BY lang
+""")
+def text_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_df_profiling_spark.operators import text as TX
+    d = _t(spark, sf_dir, "documents")
+    return (d.groupBy("lang")
+            .agg(sig(F.avg(TX.alpha_ratio("text")))
+                 .alias("avg_alpha_ratio"),
+                 sig(F.avg(TX.digit_ratio("text")))
+                 .alias("avg_digit_ratio"),
+                 sig(F.avg(TX.space_ratio("text")))
+                 .alias("avg_space_ratio"),
+                 sig(F.avg(TX.punct_ratio("text")))
+                 .alias("avg_punct_ratio"))
+            .orderBy("lang"))
+
+
+@query("token_count_bpe", """
+SELECT lang,
+       CAST(sum(len(regexp_extract_all(text,
+            '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT) AS total_tokens,
+       CAST(max(len(regexp_extract_all(text,
+            '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT) AS max_tokens
+FROM documents GROUP BY lang ORDER BY lang
+""")
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_df_profiling_spark.operators import text as TX
+    d = _t(spark, sf_dir, "documents")
+    return (d.groupBy("lang")
+            .agg(F.sum(TX.n_tokens_bpe("text")).alias("total_tokens"),
+                 F.max(TX.n_tokens_bpe("text")).cast("long")
+                 .alias("max_tokens"))
+            .orderBy("lang"))
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprint: min-MD5 over word 3-gram shingles (both engines
+# compute the identical shingle set and md5)
+# ---------------------------------------------------------------------------
+@query("doc_fingerprint", """
+WITH p AS (SELECT doc_id, text, string_split(text, ' ') AS parts
+           FROM documents WHERE doc_id < 20)
+SELECT doc_id,
+       CASE WHEN len(parts) >= 3 THEN
+           list_min([md5(parts[i] || ' ' || parts[i+1] || ' ' || parts[i+2])
+                     for i in range(1, len(parts) - 1)])
+       ELSE md5(text) END AS fingerprint
+FROM p ORDER BY doc_id
+""")
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_df_profiling_spark.operators import text as TX
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
+    return (d.select("doc_id",
+                     TX.fingerprint_min_shingle("text").alias("fingerprint"))
+            .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# Dedup: exact keep-first + stats (SURVEY §2.9 / north star)
+# ---------------------------------------------------------------------------
+@query("dedup_exact_kept", """
+SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+""")
+def dedup_exact_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_df_profiling_spark.operators.dedup import exact_dedup
+    d = _t(spark, sf_dir, "documents")
+    return exact_dedup(d, cols=["text"], order_col="doc_id") \
+        .select("doc_id")
+
+
+@query("dedup_stats_documents", """
+SELECT count(*) AS n_rows,
+       count(DISTINCT text) AS n_distinct,
+       count(*) - count(DISTINCT text) AS n_duplicates
+FROM documents
+""")
+def dedup_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_df_profiling_spark.operators.dedup import dedup_stats
+    return dedup_stats(_t(spark, sf_dir, "documents"), cols=["text"])
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard on constructed near-dup pairs (deterministic — the
+# LSH candidate version is rows-only below)
+# ---------------------------------------------------------------------------
+@query("ngram_jaccard_mutated", f"""
+WITH base AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks
+  FROM documents WHERE doc_id < 100
+), pair AS (
+  SELECT doc_id, text,
+         array_to_string(toks[1:len(toks)-1], ' ') || ' xyzzy' AS mut
+  FROM base
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(string_split(text,' ')[i:i+2], ' ')
+                        for i in range(1, len(string_split(text,' ')) - 1)])
+             AS sh_a,
+         list_distinct([array_to_string(string_split(mut,' ')[i:i+2], ' ')
+                        for i in range(1, len(string_split(mut,' ')) - 1)])
+             AS sh_b
+  FROM pair
+  WHERE len(string_split(text,' ')) >= 3 AND len(string_split(mut,' ')) >= 3
+)
+SELECT doc_id,
+       {_psig('''len(list_filter(sh_a, s -> list_contains(sh_b, s)))
+              / (len(sh_a) + len(sh_b)
+                 - len(list_filter(sh_a, s -> list_contains(sh_b, s))))''')}
+           AS jaccard_s
+FROM sh ORDER BY doc_id
+""")
+def ngram_jaccard_mutated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    toks = F.split(F.col("text"), " ")
+    mut = F.concat(
+        F.concat_ws(" ", F.slice(toks, 1, F.size(toks) - 1)),
+        F.lit(" xyzzy"))
+    pair = d.select("doc_id", "text", mut.alias("mut"))
+    # 3-gram shingles via sequence+transform (0-based in Spark)
+    sh = pair.select(
+        "doc_id",
+        F.array_distinct(F.expr(
+            "transform(sequence(0, size(split(text, ' ')) - 3), "
+            "i -> concat_ws(' ', split(text, ' ')[i], "
+            "split(text, ' ')[i+1], split(text, ' ')[i+2]))"))
+        .alias("sh_a"),
+        F.array_distinct(F.expr(
+            "transform(sequence(0, size(split(mut, ' ')) - 3), "
+            "i -> concat_ws(' ', split(mut, ' ')[i], "
+            "split(mut, ' ')[i+1], split(mut, ' ')[i+2]))"))
+        .alias("sh_b"),
+        F.expr("size(split(text, ' '))").alias("__nt"),
+        F.expr("size(split(mut, ' '))").alias("__nm"),
+    ).where((F.col("__nt") >= 3) & (F.col("__nm") >= 3))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (sh.select("doc_id",
+                      sig(inter.cast("double") / union).alias("jaccard_s"))
+            .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search: exact brute-force cosine top-k (oracle) — the LSH ANN
+# variant is rows-only below
+# ---------------------------------------------------------------------------
+@query("knn_bruteforce", f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+      FROM embeddings),
+p AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, cv)
+           / (sqrt(list_dot_product(qv, qv))
+              * sqrt(list_dot_product(cv, cv))) AS cos
+  FROM q, c WHERE neighbor_id != query_id
+), r AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM p
+)
+SELECT query_id, neighbor_id, {_psig('cos')} AS sim_s, rank
+FROM r WHERE rank <= 3 ORDER BY query_id, rank
+""")
+def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_df_profiling_spark.operators.similarity import knn_bruteforce
+    e = _t(spark, sf_dir, "embeddings")
+    out = knn_bruteforce(e, e.where(F.col("vec_id") < 5), k=3)
+    return (out.select("query_id", "neighbor_id",
+                       sig(F.col("sim")).alias("sim_s"), "rank")
+            .orderBy("query_id", "rank"))
+
+
+@query("embedding_norm_by_label", f"""
+SELECT label, count(*) AS cnt,
+       {_psig('''avg(sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))''')}
+           AS avg_norm
+FROM embeddings GROUP BY label ORDER BY label
+""")
+def embedding_norm_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_df_profiling_spark.operators.similarity import l2_norm
+    e = _t(spark, sf_dir, "embeddings")
+    return (e.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 sig(F.avg(l2_norm(F.col("embedding")))).alias("avg_norm"))
+            .orderBy("label"))
+
+
+# ---------------------------------------------------------------------------
+# Windowed (streaming-identical) profile of events + JSON props stats
+# ---------------------------------------------------------------------------
+@query("window_profile_events", f"""
+SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 AS window_epoch,
+       event_type,
+       count(*) AS cnt,
+       {_psig('avg(value)')} AS mean_s,
+       min(value) AS min_v,
+       max(value) AS max_v,
+       {_psig('sum(value)')} AS sum_s
+FROM events
+GROUP BY 1, 2 ORDER BY 1, 2
+""")
+def window_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_df_profiling_spark.streaming import windowed_profile
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn(
+        "ts_ts", F.timestamp_micros(F.expr("ts div 1000")))
+    prof = windowed_profile(ev, "ts_ts", "value", "1 day",
+                            group_col="event_type")
+    return (prof.select(
+        F.unix_seconds(F.col("window_start")).alias("window_epoch"),
+        "event_type", "cnt",
+        sig(F.col("mean")).alias("mean_s"),
+        "min_v", "max_v",
+        sig(F.col("sum_v")).alias("sum_s"))
+        .orderBy("window_epoch", "event_type"))
+
+
+@query("json_props_stats", f"""
+SELECT event_type,
+       count(*) AS cnt,
+       {_psig("avg(CAST(regexp_extract(props, '[0-9]+') AS BIGINT))")}
+           AS avg_k,
+       CAST(max(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT)
+           AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+""")
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), "[0-9]+", 0).cast("long")
+    return (ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 sig(F.avg(k)).alias("avg_k"),
+                 F.max(k).alias("max_k"))
+            .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing: binary payload through mapInPandas (Arrow batches)
+# vs pure-SQL oracle on the same bytes
+# ---------------------------------------------------------------------------
+@query("multimodal_meta", """
+SELECT doc_id AS media_id,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256_hex,
+       ascii(substr(text, 1, 1)) AS first_byte
+FROM documents WHERE doc_id < 20 ORDER BY media_id
+""")
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_df_profiling_spark.operators.multimodal import (
+        attach_binary_payload, extract_features,
+    )
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
+    media = attach_binary_payload(d, "text", "doc_id")
+    return extract_features(media).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# Rows-only checks (non-SQL-expressible: LSH sketches, xxhash simhash,
+# heuristic lang-id, true structured streaming)
+# ---------------------------------------------------------------------------
+@query("minhash_neardup_pairs", None)
+def minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH near-dup candidates between documents and mutated copies
+    (last token replaced) — demonstrates MinHashLSH finding planted
+    near-dups; jaccard distances verified exactly by
+    ngram_jaccard_mutated above."""
+    from spark_df_profiling_spark.operators.dedup import minhash_candidates
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100) \
+        .select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    mut = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.concat_ws(" ", F.slice(toks, 1, F.size(toks) - 1)),
+                 F.lit(" xyzzy")).alias("text"))
+    both = d.unionByName(mut)
+    return minhash_candidates(both, "text", "doc_id",
+                              jaccard_max_distance=0.5)
+
+
+@query("simhash_sample", None)
+def simhash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash signatures (xxhash64 has no DuckDB equivalent)."""
+    from spark_df_profiling_spark.operators.dedup import simhash64
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
+    return (d.select("doc_id", simhash64("text").alias("simhash"))
+            .orderBy("doc_id"))
+
+
+@query("simhash_near_pairs", None)
+def simhash_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash near-dup pairs on documents + mutated copies."""
+    from spark_df_profiling_spark.operators.dedup import simhash_near_pairs
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100) \
+        .select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    mut = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.concat_ws(" ", F.slice(toks, 1, F.size(toks) - 1)),
+                 F.lit(" xyzzy")).alias("text"))
+    return simhash_near_pairs(d.unionByName(mut), "text", "doc_id",
+                              max_hamming=10)
+
+
+@query("ann_lsh_topk", None)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via BucketedRandomProjectionLSH (scale path of
+    knn_bruteforce; recall measured in tests, not hash-matched)."""
+    from spark_df_profiling_spark.operators.similarity import ann_lsh
+    e = _t(spark, sf_dir, "embeddings")
+    return ann_lsh(e, e.where(F.col("vec_id") < 5), k=3) \
+        .orderBy("query_id", "rank")
+
+
+@query("lang_id_documents", None)
+def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID distribution (deterministic but
+    heuristic — pinned by unit tests on constructed sentences)."""
+    from spark_df_profiling_spark.operators.text import lang_id
+    d = _t(spark, sf_dir, "documents")
+    return (d.select(lang_id("text").alias("lang_pred"))
+            .groupBy("lang_pred").count().orderBy("lang_pred"))
+
+
+@query("streaming_profile_events", None)
+def streaming_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE Structured Streaming windowed profile (availableNow trigger
+    into a memory sink); same aggregation plan as window_profile_events."""
+    from spark_df_profiling_spark.streaming import (
+        events_stream, run_stream_to_memory, windowed_profile,
+    )
+    stream = events_stream(spark, sf_dir)
+    prof = windowed_profile(stream, "ts_ts", "value", "1 day",
+                            watermark="1 hour", group_col="event_type")
+    run_stream_to_memory(prof, "stream_profile_out")
+    return (spark.table("stream_profile_out")
+            .select(F.unix_seconds(F.col("window_start"))
+                    .alias("window_epoch"),
+                    "event_type", "cnt")
+            .orderBy("window_epoch", "event_type"))

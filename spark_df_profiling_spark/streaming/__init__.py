@@ -1,0 +1,85 @@
+"""Structured-Streaming profiling (extension; the reference is batch-only).
+
+``windowed_profile`` builds the same wide-agg statistics per tumbling
+event-time window with a watermark for late data.  The aggregation is
+identical in batch and streaming (it is the same unresolved plan), which
+is what makes the batch DuckDB oracle meaningful for the streaming path.
+
+At scale: partial aggregation happens per micro-batch map-side; state
+store size is O(windows x groups), not O(rows); the watermark bounds
+state retention.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_stats_exprs(value_col: str) -> list:
+    """Streaming-safe statistics (no percentile/distinct state blowup:
+    approx_count_distinct is sketch-mergeable and streaming-legal)."""
+    c = F.col(value_col)
+    return [
+        F.count(F.lit(1)).alias("cnt"),
+        F.avg(c).alias("mean"),
+        F.min(c).alias("min_v"),
+        F.max(c).alias("max_v"),
+        F.stddev_samp(c).alias("std"),
+        F.sum(c).alias("sum_v"),
+        F.approx_count_distinct(value_col).alias("approx_distinct"),
+    ]
+
+
+def windowed_profile(df: DataFrame, ts_col: str, value_col: str,
+                     window: str = "1 day",
+                     watermark: str | None = "1 hour",
+                     group_col: str | None = None) -> DataFrame:
+    """Tumbling-window profile; works on both batch and streaming frames.
+
+    Streaming frames get a watermark (required for append-mode window
+    aggs); batch frames run the identical plan without one.
+    """
+    if df.isStreaming and watermark is not None:
+        df = df.withWatermark(ts_col, watermark)
+    keys = [F.window(F.col(ts_col), window).alias("w")]
+    if group_col:
+        keys.append(F.col(group_col))
+    out = df.groupBy(*keys).agg(*windowed_stats_exprs(value_col))
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        *([F.col(group_col)] if group_col else []),
+        "cnt", "mean", "min_v", "max_v", "std", "sum_v", "approx_distinct")
+
+
+def events_stream(spark, sf_dir: str, schema=None) -> DataFrame:
+    """Read the events table as a bounded file stream (test harness).
+
+    The nanos timestamp arrives as LONG (legacy conf) and is converted to
+    a proper timestamp column ``ts_ts`` for event-time semantics.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # The file-stream source requires a directory; pathGlobFilter scopes
+    # the read to the single events file inside sf_dir.
+    stream = (spark.readStream
+              .schema(static.schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir))
+    return stream.withColumn(
+        "ts_ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+
+
+def run_stream_to_memory(stream_df: DataFrame, table_name: str,
+                         timeout_sec: int = 120) -> None:
+    """Execute a bounded stream with availableNow into a memory sink and
+    wait for completion (used by tests and rows-only driver checks)."""
+    q = (stream_df.writeStream
+         .format("memory")
+         .queryName(table_name)
+         .outputMode("complete")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination(timeout_sec)

@@ -1,0 +1,92 @@
+"""Dedup operators: exact keep-first, MinHashLSH, SimHash, n-gram Jaccard."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_df_profiling_spark.operators import dedup as D
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark, docs):
+    """FIXTURES.md B.4-style: base docs + exact copies + near-dups."""
+    base = docs.select("doc_id", "text").where(F.col("doc_id") < 100)
+    exact = base.select((F.col("doc_id") + 1000).alias("doc_id"), "text")
+    toks = F.split(F.col("text"), " ")
+    near = base.select(
+        (F.col("doc_id") + 2000).alias("doc_id"),
+        F.concat(F.concat_ws(" ", F.slice(toks, 1, F.size(toks) - 1)),
+                 F.lit(" xyzzy")).alias("text"))
+    return base.unionByName(exact).unionByName(near)
+
+
+def test_exact_dedup_keep_first(spark, dup_docs):
+    kept = D.exact_dedup(dup_docs, cols=["text"], order_col="doc_id")
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    # all 100 originals survive (smallest id per text), 100 exact copies
+    # dropped, 100 near-dups survive (different text)
+    assert kept.count() == 200
+    assert all(i < 100 or i >= 2000 for i in ids)
+
+
+def test_dedup_stats(dup_docs):
+    r = D.dedup_stats(dup_docs, cols=["text"]).collect()[0]
+    assert r["n_rows"] == 300
+    assert r["n_distinct"] == 200
+    assert r["n_duplicates"] == 100
+
+
+def test_minhash_finds_planted_neardups(dup_docs):
+    pairs = D.minhash_candidates(dup_docs, "text", "doc_id",
+                                 jaccard_max_distance=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # exact copies must be found (jaccard distance 0)
+    exact_pairs = {(i, i + 1000) for i in range(100)}
+    assert exact_pairs <= got
+    # most near-dups (one token changed) should be found too
+    near_found = sum(1 for i in range(100) if (i, i + 2000) in got)
+    assert near_found >= 90
+
+
+def test_near_dedup_minhash_drops_losers(dup_docs):
+    kept = D.near_dedup_minhash(dup_docs, "text", "doc_id",
+                                jaccard_max_distance=0.5)
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    # every exact copy is dropped; nearly all base docs survive (the
+    # corpus contains a few ORGANIC near-dup pairs — e.g. docs 8~12 with
+    # jaccard distance < 0.1 at sf0.001 — whose later member is
+    # legitimately deduplicated)
+    assert all(i + 1000 not in ids for i in range(100))
+    assert sum(1 for i in range(100) if i in ids) >= 95
+
+
+def test_simhash_deterministic_and_near(spark, dup_docs):
+    sigs = dup_docs.select(
+        "doc_id", D.simhash64("text").alias("sig")).collect()
+    by_id = {r["doc_id"]: r["sig"] for r in sigs}
+    # identical text => identical signature
+    assert all(by_id[i] == by_id[i + 1000] for i in range(100))
+    # signatures are 64-bit values, not all equal
+    assert len({r["sig"] for r in sigs}) > 50
+
+
+def test_simhash_near_pairs_hamming(dup_docs):
+    pairs = D.simhash_near_pairs(dup_docs, "text", "doc_id",
+                                 max_hamming=0, n_bands=4)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert {(i, i + 1000) for i in range(100)} <= got
+
+
+def test_ngram_jaccard_exact_values(spark, dup_docs):
+    cand = spark.createDataFrame(
+        [(i, i + 1000) for i in range(100)]
+        + [(i, i + 2000) for i in range(100)], "id_a long, id_b long")
+    j = D.ngram_jaccard_pairs(dup_docs, "text", "doc_id", cand, n=3)
+    rows = {(r["id_a"], r["id_b"]): r["jaccard"] for r in j.collect()}
+    for i in range(100):
+        assert rows[(i, i + 1000)] == pytest.approx(1.0)  # exact copies
+        assert 0.5 < rows[(i, i + 2000)] < 1.0  # one-token mutation

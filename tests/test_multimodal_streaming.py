@@ -1,0 +1,64 @@
+"""Multimodal binary plumbing + Structured Streaming profile."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_df_profiling_spark.operators import multimodal as MM
+from spark_df_profiling_spark import streaming as ST
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .where(F.col("doc_id") < 50)
+    return MM.attach_binary_payload(docs, "text", "doc_id")
+
+
+def test_media_schema(media):
+    assert [f.name for f in media.schema.fields] == \
+        ["media_id", "payload", "meta"]
+    assert media.schema["payload"].dataType.simpleString() == "binary"
+
+
+def test_extract_features_arrow_roundtrip(spark, sf_dir, media):
+    feats = {r["media_id"]: r for r in MM.extract_features(media).collect()}
+    docs = {r["doc_id"]: r["text"] for r in
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .where(F.col("doc_id") < 50).collect()}
+    assert len(feats) == len(docs)
+    for did, text in docs.items():
+        b = text.encode("utf-8")
+        assert feats[did]["n_bytes"] == len(b)
+        assert feats[did]["sha256_hex"] == hashlib.sha256(b).hexdigest()
+        assert feats[did]["first_byte"] == b[0]
+
+
+def test_decode_stub_raises(media):
+    # NotImplementedError is raised executor-side, so it surfaces wrapped
+    # in PySpark's PythonException — match on the message.
+    with pytest.raises(Exception, match="PIL"):
+        MM.resize_images(media, 64, 64).collect()
+
+
+def test_streaming_profile_matches_batch(spark, sf_dir):
+    # True Structured Streaming (availableNow) must equal the identical
+    # batch aggregation — same unresolved plan, same results.
+    stream = ST.events_stream(spark, sf_dir)
+    prof = ST.windowed_profile(stream, "ts_ts", "value", "1 day",
+                               watermark="1 hour", group_col="event_type")
+    ST.run_stream_to_memory(prof, "t_stream_out")
+    got = {(r["window_start"], r["event_type"]): (r["cnt"], r["mean"])
+           for r in spark.table("t_stream_out").collect()}
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts_ts", F.timestamp_micros(F.expr("ts div 1000")))
+    batch = ST.windowed_profile(ev, "ts_ts", "value", "1 day",
+                                group_col="event_type")
+    want = {(r["window_start"], r["event_type"]): (r["cnt"], r["mean"])
+            for r in batch.collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert got[k][1] == pytest.approx(want[k][1], rel=1e-9)

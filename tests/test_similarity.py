@@ -1,0 +1,73 @@
+"""Similarity search: brute-force cosine top-k + LSH ANN recall."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_df_profiling_spark.operators import similarity as SIM
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def planted(spark, emb):
+    """FIXTURES.md B.5-style: base vectors + perturbed + scaled copies."""
+    base = emb.where(F.col("vec_id") < 50)
+    pert = base.select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform(F.col("embedding"),
+                    lambda x, i: F.when(i == 0, x + F.lit(0.001))
+                    .otherwise(x)).alias("embedding"),
+        "label")
+    scaled = base.select(
+        (F.col("vec_id") + 2000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * 2).alias("embedding"),
+        "label")
+    return base.unionByName(pert).unionByName(scaled)
+
+
+def test_knn_top1_is_planted_copy(planted):
+    out = SIM.knn_bruteforce(planted, planted.where(F.col("vec_id") < 50),
+                             k=2)
+    top1 = {r["query_id"]: (r["neighbor_id"], r["sim"])
+            for r in out.collect() if r["rank"] == 1}
+    hits = 0
+    for qid, (nid, sim) in top1.items():
+        # nearest must be the perturbed or the scaled copy, cosine ~ 1.0
+        if nid in (qid + 1000, qid + 2000):
+            hits += 1
+            assert sim > 0.999
+    assert hits == 50
+
+
+def test_cosine_scale_invariant(planted):
+    # cosine(base, 2*base) == 1.0 — pins the metric choice vs Euclidean
+    out = SIM.knn_bruteforce(
+        planted.where((F.col("vec_id") == 0) | (F.col("vec_id") == 2000)),
+        planted.where(F.col("vec_id") == 0), k=1)
+    r = out.collect()[0]
+    assert r["neighbor_id"] == 2000
+    assert r["sim"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_ann_lsh_recall_vs_bruteforce(emb):
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = SIM.knn_bruteforce(emb, queries, k=5)
+    approx = SIM.ann_lsh(emb, queries, k=5, bucket_length=4.0,
+                         num_tables=6)
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    ap = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.5  # LSH with these params finds most true neighbors
+
+
+def test_embedding_near_dup_finds_planted(planted):
+    pairs = SIM.embedding_near_dup(planted, min_cosine=0.999)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # perturbed copies (cosine ~ 0.9999997) and scaled copies (cosine 1.0)
+    found_pert = sum(1 for i in range(50) if (i, i + 1000) in got)
+    found_scaled = sum(1 for i in range(50) if (i, i + 2000) in got)
+    assert found_pert >= 45
+    assert found_scaled >= 45

@@ -1,0 +1,91 @@
+"""Text analysis: features, lang-id, fingerprint, quality."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_df_profiling_spark.operators import text as TX
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_n_chars_matches_stored(docs):
+    r = docs.select(
+        F.sum(F.when(TX.n_chars("text") == F.col("n_chars"), 1)
+              .otherwise(0)).alias("match"),
+        F.count(F.lit(1)).alias("n")).collect()[0]
+    # FIXTURES.md: stored n_chars must equal computed length — free oracle
+    assert r["match"] == r["n"]
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [("hello world foo",), ("a b",), ("x",)], "t string")
+    rows = df.select(TX.n_tokens_ws("t").alias("ws"),
+                     TX.n_tokens_bpe("t").alias("bpe")).collect()
+    assert [r["ws"] for r in rows] == [3, 2, 1]
+    assert [r["bpe"] for r in rows] == [3, 2, 1]
+
+
+def test_bpe_tokenizer_splits_symbols(spark):
+    df = spark.createDataFrame([("ab12,cd ef!",)], "t string")
+    r = df.select(TX.n_tokens_bpe("t").alias("n")).collect()[0]
+    # ab | 12 | , | cd | ef | !  -> 6
+    assert r["n"] == 6
+
+
+def test_ratios(spark):
+    df = spark.createDataFrame([("Ab1 c!",)], "t string")
+    r = df.select(
+        TX.alpha_ratio("t").alias("a"), TX.digit_ratio("t").alias("d"),
+        TX.space_ratio("t").alias("s"), TX.upper_ratio("t").alias("u"),
+        TX.punct_ratio("t").alias("p")).collect()[0]
+    assert r["a"] == pytest.approx(3 / 6)
+    assert r["d"] == pytest.approx(1 / 6)
+    assert r["s"] == pytest.approx(1 / 6)
+    assert r["u"] == pytest.approx(1 / 6)
+    assert r["p"] == pytest.approx(1 / 6)
+
+
+def test_lang_id_constructed_sentences(spark):
+    data = [
+        ("the cat is on the mat and it is happy", "en"),
+        ("der hund ist nicht in das haus und die katze", "de"),
+        ("el perro es de la casa que los gatos", "es"),
+        ("le chien est dans les maisons pour une fete", "fr"),
+        ("这是一个中文句子", "zh"),
+        ("zzz qqq www", "und"),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in data], "t string")
+    got = [r[0] for r in df.select(TX.lang_id("t")).collect()]
+    assert got == [lang for _, lang in data]
+
+
+def test_fingerprint_properties(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "totally different words"),
+         (4, "ab")], "id long, t string")
+    rows = {r["id"]: r["fp"] for r in df.select(
+        "id", TX.fingerprint_min_shingle("t").alias("fp")).collect()}
+    assert rows[1] == rows[2]            # same text -> same fingerprint
+    assert rows[1] != rows[3]            # different text -> different
+    assert len(rows[4]) == 32            # short text falls back to md5
+
+
+def test_quality_score_bounds(docs):
+    r = docs.select(
+        F.min(TX.quality_score("text")).alias("mn"),
+        F.max(TX.quality_score("text")).alias("mx")).collect()[0]
+    assert 0.0 <= r["mn"] <= r["mx"] <= 1.0
+
+
+def test_text_features_all_columns(docs):
+    out = TX.text_features(docs.limit(10), "text")
+    expected = {"f_n_chars", "f_n_tokens", "f_n_tokens_bpe",
+                "f_alpha_ratio", "f_digit_ratio", "f_space_ratio",
+                "f_upper_ratio", "f_punct_ratio", "f_avg_token_len",
+                "f_fingerprint", "f_lang", "f_quality"}
+    assert expected <= set(out.columns)
+    assert out.count() == 10
