@@ -23,6 +23,48 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def correlation_exprs(df: DataFrame, num_cols: list[str]) -> list:
+    """Pearson matrix as pass-1 aggregate EXPRESSIONS (zero extra jobs).
+
+    ``F.corr`` is a declarative aggregate, so the k·(k-1)/2 upper-triangle
+    correlations ride the same single-pass wide agg as every other
+    statistic — where the reference spends O(k^2) separate Spark jobs
+    (``base.py::describe>>corr_matrix``), this costs zero extra passes.
+
+    Listwise deletion (reference semantics: ``na.drop(how='any')`` across
+    ALL numeric columns) is emulated by null-masking each operand with
+    "every numeric column non-null", which Catalyst folds into the same
+    scan.
+    """
+    allnn = None
+    for c in num_cols:
+        cond = df[c].isNotNull() & ~F.isnan(df[c].cast("double"))
+        allnn = cond if allnn is None else (allnn & cond)
+    out = []
+    for i, x in enumerate(num_cols):
+        for j in range(i + 1, len(num_cols)):
+            y = num_cols[j]
+            mx = F.when(allnn, df[x].cast("double"))
+            my = F.when(allnn, df[y].cast("double"))
+            out.append(F.corr(mx, my).alias(f"__corr_{i}_{j}"))
+    return out
+
+
+def decode_correlation_row(row: dict, num_cols: list[str]
+                           ) -> dict[tuple[str, str], float]:
+    """Turn the pass-1 result row back into a symmetric {pair: rho} dict."""
+    out: dict[tuple[str, str], float] = {}
+    for i, x in enumerate(num_cols):
+        out[(x, x)] = 1.0
+        for j in range(i + 1, len(num_cols)):
+            y = num_cols[j]
+            v = row.get(f"__corr_{i}_{j}")
+            rho = float(v) if v is not None else float("nan")
+            out[(x, y)] = rho
+            out[(y, x)] = rho
+    return out
+
+
 def correlation_matrix(df: DataFrame,
                        num_cols: list[str]) -> dict[tuple[str, str], float]:
     """Full Pearson matrix over num_cols in one Spark job.

@@ -135,8 +135,24 @@ def describe(df: DataFrame,
         for f in fields]
 
     # ---- pass 1: the wide agg ------------------------------------------
-    p1 = W.run_chunked_agg(df, W.build_pass1_exprs(df, base_classes, cfg),
-                           cfg)
+    # Very wide plans lose codegen'd projections at the default
+    # codegen.maxFields=100; profiles routinely exceed that.
+    try:
+        spark.conf.set("spark.sql.codegen.maxFields", "500")
+    except Exception:
+        pass
+    p1_exprs = W.build_pass1_exprs(df, base_classes, cfg)
+    # Correlation matrix rides pass 1 as declarative corr() expressions
+    # (zero extra jobs) up to 50 numeric columns; beyond that the
+    # expression count grows O(k^2) and the one-job ml.stat path wins.
+    dtype_num_cols = [f.name for f, cls in zip(fields, base_classes)
+                      if S.is_numeric(cls)]
+    corr_in_pass1 = (cfg.compute_correlations
+                     and cfg.corr_reject is not None
+                     and 2 <= len(dtype_num_cols) <= 50)
+    if corr_in_pass1:
+        p1_exprs.extend(C.correlation_exprs(df, dtype_num_cols))
+    p1 = W.run_chunked_agg(df, p1_exprs, cfg)
     n = int(p1.get("__n") or 0)
     if n == 0:
         raise ValueError("df cannot be empty")
@@ -150,7 +166,9 @@ def describe(df: DataFrame,
     p2_exprs = W.build_pass2_exprs(df, classes, p1, cfg)
     p2 = W.run_chunked_agg(df, p2_exprs, cfg) if p2_exprs else {}
 
-    # ---- pass 3: correlation matrix + greedy rejection -----------------
+    # ---- correlation matrix + greedy rejection -------------------------
+    # Rejection applies among columns RESOLVED as NUM (a constant numeric
+    # column is CONST-class and never participates — reference order).
     safe_to_orig = {f"__c{i}": name
                     for i, name in enumerate(original_names)}
     num_cols = [f.name for f, cls in zip(fields, classes)
@@ -159,16 +177,22 @@ def describe(df: DataFrame,
     rejected: dict[str, tuple[str, float]] = {}
     if cfg.compute_correlations and cfg.corr_reject is not None \
             and len(num_cols) >= 2:
-        corr_safe = C.correlation_matrix(df, num_cols)
+        if corr_in_pass1:
+            corr_safe = C.decode_correlation_row(p1, dtype_num_cols)
+        else:
+            corr_safe = C.correlation_matrix(df, num_cols)
         rej_safe = C.greedy_rejection(num_cols, corr_safe, cfg.corr_reject)
         correlations = {(safe_to_orig[x], safe_to_orig[y]): v
-                        for (x, y), v in corr_safe.items()}
+                        for (x, y), v in corr_safe.items()
+                        if x in set(num_cols) and y in set(num_cols)}
         rejected = {safe_to_orig[x]: (safe_to_orig[y], rho)
                     for x, (y, rho) in rej_safe.items()}
 
     # ---- pass 4: stacked top-k frequencies -----------------------------
+    # CONST columns ride along: their single top value doubles as the
+    # G1 "first value" (keeps string aggregates out of the wide agg).
     freq_cols = [f.name for f, cls in zip(fields, classes)
-                 if cls in (S.CAT, S.UNIQUE)]
+                 if cls in (S.CAT, S.UNIQUE, S.CONST)]
     freqs = {safe_to_orig[c]: v
              for c, v in FR.topk_frequencies(df, freq_cols,
                                              cfg.top_k).items()}
@@ -248,7 +272,7 @@ def _assemble_row(i: int, f_: T.StructField, base_cls: str, cls: str,
         "q05": None, "q25": None, "q50": None, "q75": None, "q95": None,
         "iqr": None, "cv": None, "mad": None,
         "min_date": None, "max_date": None, "range_seconds": None,
-        "first_value": p1.get(k(i, "first")),
+        "first_value": None,
         "top_value": None, "top_freq": None,
         "freq": None, "histogram": None,
         "mean_size": None, "min_size": None, "max_size": None,
@@ -275,7 +299,7 @@ def _assemble_row(i: int, f_: T.StructField, base_cls: str, cls: str,
             "n_nan": int(nan) if nan is not None else 0,
             "mad": fnum("mad", p2),
         })
-        qs = p1.get(k(i, "quantiles"))
+        qs = p2.get(k(i, "quantiles"))
         if qs is not None:
             labels = ["q05", "q25", "q50", "q75", "q95"]
             for lbl, v in zip(labels, list(qs)):
@@ -307,6 +331,7 @@ def _assemble_row(i: int, f_: T.StructField, base_cls: str, cls: str,
     if fr:
         row["freq"] = [{"value": v, "cnt": c} for v, c in fr]
         row["top_value"], row["top_freq"] = fr[0]
+        row["first_value"] = fr[0][0]
 
     if name in rejected:
         kept, rho = rejected[name]

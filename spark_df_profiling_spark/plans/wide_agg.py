@@ -57,10 +57,12 @@ def build_pass1_exprs(df: DataFrame, classes: list[str],
             exprs.append(
                 F.approx_count_distinct(c, cfg.distinct_rsd)
                 .alias(_key(i, "distinct")))
-        # first non-null value: CONST profile (G1) + report sample, cheap
-        # for every column.  Complex types stringify via cast.
-        exprs.append(F.first(c, ignorenulls=True).cast("string")
-                     .alias(_key(i, "first")))
+        # NOTE: no first()/min()/max() over STRING columns here — a single
+        # string-buffered aggregate disqualifies HashAggregateExec (string
+        # buffers are immutable in UnsafeRow) and demotes the ENTIRE wide
+        # agg to interpreted SortAggregate, losing whole-stage codegen for
+        # every expression.  The CONST value (G1) comes from the frequency
+        # pass instead (a CONST column's top value is its value).
 
         if S.is_numeric(cls):
             cd = c.cast("double")
@@ -82,15 +84,11 @@ def build_pass1_exprs(df: DataFrame, classes: list[str],
                 exprs.append(
                     F.sum(F.when(F.isnan(cd), 1).otherwise(0))
                     .alias(_key(i, "nan")))
-            qs = ", ".join(repr(q) for q in cfg.quantiles)
-            col_sql = f"CAST(`{field.name}` AS DOUBLE)"
-            if cfg.exact_quantiles:
-                q_expr = F.expr(f"percentile({col_sql}, array({qs}))")
-            else:
-                q_expr = F.expr(
-                    f"percentile_approx({col_sql}, array({qs}), "
-                    f"{cfg.quantile_accuracy})")
-            exprs.append(q_expr.alias(_key(i, "quantiles")))
+            # NOTE: quantiles deliberately live in pass 2 — a single
+            # percentile/percentile_approx expression demotes the WHOLE
+            # aggregate from HashAggregate(codegen) to ObjectHashAggregate
+            # (interpreted), slowing every other expression ~2x.  Keeping
+            # pass 1 sketch-free keeps it inside whole-stage codegen.
         elif cls == S.DATE:
             exprs.append(F.min(c).alias(_key(i, "min_date")))
             exprs.append(F.max(c).alias(_key(i, "max_date")))
@@ -105,12 +103,14 @@ def build_pass1_exprs(df: DataFrame, classes: list[str],
 
 def build_pass2_exprs(df: DataFrame, classes: list[str], pass1: dict[str, Any],
                       cfg: ProfileConfig) -> list[Column]:
-    """Expressions that need pass-1 results: MAD (N10) + histograms (N12).
+    """Pass-2 expressions: quantiles (N6), MAD (N10), histograms (N12).
 
     MAD is the reference's *mean* absolute deviation around the mean
     (``base.py::describe>>describe_integer_1d``), an inherently two-pass
     statistic.  Histogram bins are equal-width on [min, max] with the last
     bin right-closed, matching ``base.py::describe>>create_hist_data``.
+    Quantile sketches sit here (not pass 1) so the ObjectHashAggregate
+    they force is paid once, on this smaller expression set.
     """
     exprs: list[Column] = []
     for i, (field, cls) in enumerate(zip(df.schema.fields, classes)):
@@ -121,6 +121,16 @@ def build_pass2_exprs(df: DataFrame, classes: list[str], pass1: dict[str, Any],
         mn = pass1.get(_key(i, "min"))
         mx = pass1.get(_key(i, "max"))
         c = df[field.name].cast("double")
+        if cnt > 0:
+            qs = ", ".join(repr(q) for q in cfg.quantiles)
+            col_sql = f"CAST(`{field.name}` AS DOUBLE)"
+            if cfg.exact_quantiles:
+                q_expr = F.expr(f"percentile({col_sql}, array({qs}))")
+            else:
+                q_expr = F.expr(
+                    f"percentile_approx({col_sql}, array({qs}), "
+                    f"{cfg.quantile_accuracy})")
+            exprs.append(q_expr.alias(_key(i, "quantiles")))
         if cfg.compute_mad and cnt > 0 and mean is not None \
                 and math.isfinite(mean):
             exprs.append(F.avg(F.abs(c - F.lit(mean)))

@@ -149,6 +149,6 @@ def test_profile_returns_dataframe(lineitem):
 
 def test_approx_mode_close(lineitem):
     rows = {r["column"]: r for r in profile(lineitem).collect()}
-    # HLL++ rsd=0.01 → within a few % of exact
-    assert abs(rows["l_orderkey"]["distinct_count"] - 1473) <= 60
+    # HLL++ rsd=0.05 → within ~3 sigma (15%) of exact
+    assert abs(rows["l_orderkey"]["distinct_count"] - 1473) <= 250
     assert rows["l_returnflag"]["distinct_count"] == 3
