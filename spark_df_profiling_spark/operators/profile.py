@@ -218,7 +218,9 @@ def describe(df: DataFrame,
         "total_missing": (total_missing / (n * nvar)) if n * nvar else 0.0,
         "types": type_counts,
         "n_duplicates": None,   # opt-in via operators.dedup (full-row hash)
-        "memsize": 0,           # reference parity: hardcoded 0 (SURVEY T5)
+        # T5: the reference hardcodes memsize 0; we report real input
+        # bytes when the source files are resolvable (no Spark job).
+        "memsize": _input_bytes(orig_df),
         "rejected": type_counts.get("CONST", 0) + type_counts.get("CORR", 0),
     }
     return ProfileResult(
@@ -235,6 +237,27 @@ def profile(df: DataFrame,
             cfg: ProfileConfig = DEFAULT_CONFIG) -> DataFrame:
     """Convenience: just the per-column statistics DataFrame."""
     return describe(df, cfg).variables
+
+
+def _input_bytes(df: DataFrame) -> int:
+    """Total size of the DataFrame's input files (metadata only).
+
+    Local file:// paths are sized via the OS; anything else returns 0
+    rather than issuing remote filesystem calls from the driver.
+    """
+    import os
+    total = 0
+    try:
+        for f in df.inputFiles():
+            if f.startswith("file:"):
+                p = f[len("file:"):]
+                while p.startswith("//"):
+                    p = p[1:]
+                if os.path.exists(p):
+                    total += os.path.getsize(p)
+    except Exception:
+        return 0
+    return total
 
 
 def _assemble_row(i: int, f_: T.StructField, base_cls: str, cls: str,
@@ -319,6 +342,10 @@ def _assemble_row(i: int, f_: T.StructField, base_cls: str, cls: str,
             "max_date": mx_d.isoformat() if mx_d is not None else None,
             "range_seconds": W.date_range_seconds(mn_d, mx_d),
         })
+        mn_e, mx_e = W._to_epoch(mn_d), W._to_epoch(mx_d)
+        if cfg.compute_histograms and mn_e is not None and mx_e is not None \
+                and mx_e > mn_e:
+            row["histogram"] = _histogram_from(p2, i, mn_e, mx_e, cnt, cfg)
     elif cls in (S.ARRAY, S.MAP):
         ms = p1.get(k(i, "mean_size"))
         row.update({

@@ -73,13 +73,37 @@ def epoch_seconds(df: DataFrame, col: str) -> Column:
 
 
 def sig(col: Column) -> Column:
-    """Normalize a float statistic to 5 significant digits (string)."""
-    return F.format_string("%.5e", col.cast("double"))
+    """Normalize a float statistic to 5 significant digits — ARITHMETIC
+    rounding, not printf.
+
+    Java's ``%.5e`` formats from the double's shortest decimal repr with
+    HALF_UP while C/DuckDB's printf rounds the exact binary expansion, so
+    the two disagree whenever the shortest repr is a decimal tie at digit
+    6 (e.g. an integral-sum mean like 25.40225).  Doing the rounding as
+    IEEE arithmetic — mantissa = floor(x / 10^(floor(log10|x|) - 4) + .5)
+    — produces bit-identical results in both engines because the inputs
+    are (near-)identical doubles and every op is deterministic.
+    Output: "<mantissa>e<exponent>" string, "0" for zero, NULL for NULL.
+    """
+    c = col.cast("double")
+    m = F.floor(F.log10(F.abs(c)))  # long
+    scale = F.pow(F.lit(10.0), (m - F.lit(4)).cast("double"))
+    mant = F.floor(c / scale + F.lit(0.5)).cast("long")
+    return (F.when(c.isNull(), F.lit(None).cast("string"))
+            .when(c == 0, F.lit("0"))
+            .otherwise(F.concat(mant.cast("string"), F.lit("e"),
+                                m.cast("long").cast("string"))))
 
 
-# DuckDB-side equivalent of sig(); %g/%e semantics match at 5 digits.
 def _psig(expr: str) -> str:
-    return f"printf('%.5e', CAST({expr} AS DOUBLE))"
+    """DuckDB-side equivalent of sig() — the identical arithmetic."""
+    x = f"CAST({expr} AS DOUBLE)"
+    m = f"floor(log10(abs({x})))"
+    mant = f"CAST(floor({x} / pow(10, {m} - 4) + 0.5) AS BIGINT)"
+    return (f"CASE WHEN {x} IS NULL THEN NULL "
+            f"WHEN {x} = 0 THEN '0' "
+            f"ELSE CAST({mant} AS VARCHAR) || 'e' || "
+            f"CAST(CAST({m} AS BIGINT) AS VARCHAR) END")
 
 
 # ---------------------------------------------------------------------------
@@ -845,3 +869,86 @@ def streaming_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("window_epoch"),
                     "event_type", "cnt")
             .orderBy("window_epoch", "event_type"))
+
+
+# ---------------------------------------------------------------------------
+# FLAGSHIP: the full profile() of lineitem, column-by-column, vs a
+# generated DuckDB oracle (one UNION-ALL branch per column).  This is the
+# profile engine itself under the hash-compare — not a hand-written
+# per-kernel query.
+# ---------------------------------------------------------------------------
+_LINEITEM_CLASSES = {
+    "l_orderkey": "NUM", "l_partkey": "NUM", "l_suppkey": "NUM",
+    "l_linenumber": "NUM", "l_quantity": "NUM", "l_extendedprice": "NUM",
+    "l_discount": "NUM", "l_tax": "NUM",
+    "l_returnflag": "CAT", "l_linestatus": "CAT",
+    "l_shipdate": "DATE",
+}
+
+
+def _profile_full_sql() -> str:
+    parts = []
+    for c, cls in _LINEITEM_CLASSES.items():
+        common = (f"SELECT '{c}' AS column_name, '{cls}' AS type_class, "
+                  f"count({c}) AS cnt, count(*) - count({c}) AS n_missing, "
+                  f"count(DISTINCT {c}) AS n_distinct")
+        if cls == "NUM":
+            parts.append(f"""{common},
+  {_psig(f'avg({c})')} AS mean_s,
+  {_psig(f'stddev_samp({c})')} AS std_s,
+  {_psig(f'quantile_cont({c}, 0.5)')} AS q50_s,
+  CAST(min({c}) AS DOUBLE) AS min_num,
+  CAST(max({c}) AS DOUBLE) AS max_num,
+  CAST(sum(CASE WHEN {c} = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zeros,
+  CAST(NULL AS BIGINT) AS min_epoch, CAST(NULL AS BIGINT) AS max_epoch,
+  CAST(NULL AS VARCHAR) AS top_value, CAST(NULL AS BIGINT) AS top_freq
+FROM lineitem""")
+        elif cls == "CAT":
+            parts.append(f"""{common},
+  CAST(NULL AS VARCHAR) AS mean_s, CAST(NULL AS VARCHAR) AS std_s,
+  CAST(NULL AS VARCHAR) AS q50_s,
+  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+  CAST(NULL AS BIGINT) AS n_zeros,
+  CAST(NULL AS BIGINT) AS min_epoch, CAST(NULL AS BIGINT) AS max_epoch,
+  (SELECT {c} FROM lineitem GROUP BY {c}
+   ORDER BY count(*) DESC, {c} LIMIT 1) AS top_value,
+  (SELECT count(*) FROM lineitem GROUP BY {c}
+   ORDER BY count(*) DESC, {c} LIMIT 1) AS top_freq
+FROM lineitem""")
+        else:  # DATE
+            parts.append(f"""{common},
+  CAST(NULL AS VARCHAR) AS mean_s, CAST(NULL AS VARCHAR) AS std_s,
+  CAST(NULL AS VARCHAR) AS q50_s,
+  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+  CAST(NULL AS BIGINT) AS n_zeros,
+  CAST(floor(epoch(min({c}))) AS BIGINT) AS min_epoch,
+  CAST(floor(epoch(max({c}))) AS BIGINT) AS max_epoch,
+  CAST(NULL AS VARCHAR) AS top_value, CAST(NULL AS BIGINT) AS top_freq
+FROM lineitem""")
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("profile_full", _profile_full_sql())
+def profile_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_df_profiling_spark import profile
+    from spark_df_profiling_spark.config import EXACT_CONFIG
+    prof = profile(_t(spark, sf_dir, "lineitem"), EXACT_CONFIG)
+    ep = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        "to_timestamp_ntz(replace(min_date, 'T', ' ')))").cast("long")
+    ep_max = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        "to_timestamp_ntz(replace(max_date, 'T', ' ')))").cast("long")
+    return prof.select(
+        F.col("column").alias("column_name"),
+        "type_class",
+        F.col("count").alias("cnt"),
+        "n_missing",
+        F.col("distinct_count").alias("n_distinct"),
+        sig(F.col("mean")).alias("mean_s"),
+        sig(F.col("std")).alias("std_s"),
+        sig(F.col("q50")).alias("q50_s"),
+        "min_num", "max_num", "n_zeros",
+        ep.alias("min_epoch"), ep_max.alias("max_epoch"),
+        "top_value", "top_freq",
+    )

@@ -114,6 +114,26 @@ def build_pass2_exprs(df: DataFrame, classes: list[str], pass1: dict[str, Any],
     """
     exprs: list[Column] = []
     for i, (field, cls) in enumerate(zip(df.schema.fields, classes)):
+        if cls == S.DATE and cfg.compute_histograms:
+            # D3 extension (reference has no date histogram): equal-width
+            # bins over epoch seconds, edges from pass-1 min/max.
+            mn_d = pass1.get(_key(i, "min_date"))
+            mx_d = pass1.get(_key(i, "max_date"))
+            mn_e = _to_epoch(mn_d)
+            mx_e = _to_epoch(mx_d)
+            if mn_e is not None and mx_e is not None and mx_e > mn_e:
+                ep = _epoch_expr(df, field.name)
+                width = (mx_e - mn_e) / cfg.bins
+                for b in range(cfg.bins):
+                    left = mn_e + width * b
+                    if b == cfg.bins - 1:
+                        cond = (ep >= F.lit(left)) & (ep <= F.lit(mx_e))
+                    else:
+                        right = mn_e + width * (b + 1)
+                        cond = (ep >= F.lit(left)) & (ep < F.lit(right))
+                    exprs.append(F.sum(F.when(cond, 1).otherwise(0))
+                                 .alias(_key(i, f"hist{b}")))
+            continue
         if not S.is_numeric(cls):
             continue
         cnt = pass1.get(_key(i, "count")) or 0
@@ -175,6 +195,29 @@ def run_chunked_agg(df: DataFrame, exprs: list[Column],
 def stat_key(i: int, stat: str) -> str:
     """Public accessor for the alias scheme (used by the orchestrator)."""
     return _key(i, stat)
+
+
+def _to_epoch(v: Any) -> float | None:
+    """Driver-side datetime/date -> epoch seconds (UTC-naive)."""
+    if isinstance(v, _dt.datetime):
+        return v.replace(tzinfo=_dt.timezone.utc).timestamp()
+    if isinstance(v, _dt.date):
+        return float(
+            _dt.datetime(v.year, v.month, v.day,
+                         tzinfo=_dt.timezone.utc).timestamp())
+    return None
+
+
+def _epoch_expr(df: DataFrame, col: str) -> Column:
+    """Epoch-seconds expression for LTZ/NTZ timestamp or date columns."""
+    dt = dict(df.dtypes)[col]
+    if dt.startswith("timestamp_ntz"):
+        return F.expr(
+            f"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+            f"`{col}`)").cast("double")
+    if dt == "date":
+        return (F.unix_date(F.col(col)).cast("double") * 86400.0)
+    return F.unix_seconds(F.col(col)).cast("double")
 
 
 def date_range_seconds(mn: Any, mx: Any) -> float | None:
