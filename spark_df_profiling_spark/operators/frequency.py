@@ -23,10 +23,22 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def topk_frequencies(df: DataFrame, cat_cols: list[str],
-                     k: int) -> dict[str, list[tuple[str, int]]]:
+def topk_frequencies(df: DataFrame, cat_cols: list[str], k: int,
+                     sub_partitions: int = 64
+                     ) -> dict[str, list[tuple[str, int]]]:
     """Return {column: [(value, count), ...]} for the top-k values of each
-    categorical column, computed in one Spark job."""
+    categorical column, computed in one Spark job.
+
+    Scale-safe two-phase top-k: a single ``row_number`` window partitioned
+    by ``col_name`` alone would funnel EVERY distinct value of a column
+    through one task (col_name has only #columns distinct values — the
+    worst possible window key at 100 TB).  Phase 1 ranks within
+    ``(col_name, hash(value) % sub_partitions)`` — parallel, each bucket
+    keeps its local top-k; phase 2 ranks the surviving
+    ``sub_partitions x k`` rows per column — trivially small.  The local
+    top-k provably contains the global top-k (a value's full count lives
+    in exactly one bucket since the bucket key is a function of the
+    value)."""
     if not cat_cols:
         return {}
     stacked = stack_columns(df, cat_cols)
@@ -34,10 +46,17 @@ def topk_frequencies(df: DataFrame, cat_cols: list[str],
               .where(F.col("value").isNotNull())
               .groupBy("col_name", "value")
               .agg(F.count(F.lit(1)).alias("cnt")))
-    w = (Window.partitionBy("col_name")
-         .orderBy(F.desc("cnt"), F.asc("value")))
-    top = (counts
-           .withColumn("rk", F.row_number().over(w))
+    bucket = F.pmod(F.xxhash64(F.col("value")), F.lit(sub_partitions))
+    w_local = (Window.partitionBy("col_name", bucket)
+               .orderBy(F.desc("cnt"), F.asc("value")))
+    local_top = (counts
+                 .withColumn("rk", F.row_number().over(w_local))
+                 .where(F.col("rk") <= k)
+                 .drop("rk"))
+    w_global = (Window.partitionBy("col_name")
+                .orderBy(F.desc("cnt"), F.asc("value")))
+    top = (local_top
+           .withColumn("rk", F.row_number().over(w_global))
            .where(F.col("rk") <= k)
            .select("col_name", "value", "cnt", "rk"))
     out: dict[str, list[tuple[str, int]]] = {c: [] for c in cat_cols}

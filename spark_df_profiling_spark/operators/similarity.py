@@ -140,3 +140,62 @@ def embedding_near_dup(df: DataFrame, id_col: str = "vec_id",
         "id_a", "id_b",
         cosine(F.col("__va"), F.col("__vb")).alias("cosine_sim"))
         .where(F.col("cosine_sim") >= min_cosine))
+
+
+def ann_ivf(corpus: DataFrame, queries: DataFrame,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            k: int = 10, n_clusters: int = 16,
+            n_probe: int = 4) -> DataFrame:
+    """IVF-style ANN: KMeans coarse quantizer + probe-top-clusters.
+
+    The 100 TB pattern: cluster the corpus once (KMeans on a sample is
+    fine at scale), store the cluster id as a partition-friendly column,
+    then answer queries by scanning only the ``n_probe`` nearest clusters
+    — a fraction n_probe/n_clusters of the corpus per query.  Join is on
+    cluster id (bucketable); the final top-k window is per query.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    def with_vec(df, idc):
+        return df.select(
+            F.col(id_col).alias(idc),
+            F.col(vec_col).alias(f"__arr_{idc}"),
+            array_to_vector(
+                F.transform(F.col(vec_col), lambda x: x.cast("double")))
+            .alias("__v"))
+
+    cp = with_vec(corpus, "neighbor_id")
+    km = KMeans(k=n_clusters, seed=42, featuresCol="__v",
+                predictionCol="__cluster")
+    model = km.fit(cp.select("__v"))
+    cp_assigned = model.transform(cp) \
+        .select("neighbor_id", "__arr_neighbor_id", "__cluster")
+
+    # centroid table is tiny: broadcast to rank clusters per query
+    centroids = [(int(i), [float(x) for x in c])
+                 for i, c in enumerate(model.clusterCenters())]
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(
+        centroids, "cluster int, centroid array<double>")
+    qp = queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("__qarr"))
+    q_cluster = (qp.crossJoin(F.broadcast(cent_df))
+                 .select("query_id", "__qarr", "cluster",
+                         dot(F.col("__qarr"), F.col("centroid"))
+                         .alias("__score")))
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("__score"), F.asc("cluster"))
+    probes = (q_cluster.withColumn("pr", F.row_number().over(w_probe))
+              .where(F.col("pr") <= n_probe)
+              .select("query_id", "__qarr",
+                      F.col("cluster").alias("__cluster")))
+
+    joined = probes.join(cp_assigned, on="__cluster") \
+        .where(F.col("query_id") != F.col("neighbor_id"))
+    sim = cosine(F.col("__qarr"), F.col("__arr_neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id"))
+    return (joined.select("query_id", "neighbor_id", sim.alias("sim"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))

@@ -952,3 +952,46 @@ def profile_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         ep.alias("min_epoch"), ep_max.alias("max_epoch"),
         "top_value", "top_freq",
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped profiling operator (public API; one shuffle on the group keys)
+# ---------------------------------------------------------------------------
+@query("grouped_profile_op", f"""
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_rows,
+       count(l_quantity) AS l_quantity__count,
+       {_psig('avg(l_quantity)')} AS l_quantity__mean_s,
+       {_psig('stddev_samp(l_quantity)')} AS l_quantity__std_s,
+       CAST(min(l_quantity) AS DOUBLE) AS l_quantity__min,
+       CAST(max(l_quantity) AS DOUBLE) AS l_quantity__max,
+       {_psig('sum(l_extendedprice)')} AS l_extendedprice__sum_s,
+       {_psig('avg(l_extendedprice)')} AS l_extendedprice__mean_s
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""")
+def grouped_profile_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_df_profiling_spark.operators.groupby import grouped_profile
+    li = _t(spark, sf_dir, "lineitem")
+    g = grouped_profile(li, ["l_returnflag", "l_linestatus"],
+                        ["l_quantity", "l_extendedprice"])
+    return (g.select(
+        "l_returnflag", "l_linestatus", "n_rows",
+        "l_quantity__count",
+        sig(F.col("l_quantity__mean")).alias("l_quantity__mean_s"),
+        sig(F.col("l_quantity__std")).alias("l_quantity__std_s"),
+        F.col("l_quantity__min"), F.col("l_quantity__max"),
+        sig(F.col("l_extendedprice__sum")).alias("l_extendedprice__sum_s"),
+        sig(F.col("l_extendedprice__mean")).alias("l_extendedprice__mean_s"))
+        .orderBy("l_returnflag", "l_linestatus"))
+
+
+@query("ann_ivf_topk", None)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (KMeans + probe-top-clusters) ANN — rows-only; recall vs
+    brute force is pinned in tests."""
+    from spark_df_profiling_spark.operators.similarity import ann_ivf
+    e = _t(spark, sf_dir, "embeddings")
+    return ann_ivf(e, e.where(F.col("vec_id") < 5), k=3,
+                   n_clusters=8, n_probe=4).orderBy("query_id", "rank")

@@ -1,0 +1,98 @@
+"""Plan-shape and job-count guarantees (the scale story, asserted)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_df_profiling_spark import ProfileConfig, profile
+
+
+def _job_count(spark, fn):
+    """Count Spark jobs triggered by fn() via a dedicated job group."""
+    sc = spark.sparkContext
+    sc.setJobGroup("job-count-probe", "counting jobs", False)
+    try:
+        fn()
+        ids = sc.statusTracker().getJobIdsForGroup("job-count-probe")
+        return len(ids)
+    finally:
+        sc.setJobGroup(None, None, False)
+
+
+def test_profile_job_count(spark, lineitem):
+    # BASELINE.md: <= 4 + #categorical columns; our design: 3 ACTIONS
+    # (pass1 wide agg incl. corr exprs, pass2 sketches, stacked freq).
+    # AQE materializes every exchange as its own bookkeeping job, so job
+    # count only equals action count with AQE off for the probe.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        n = _job_count(spark, lambda: profile(lineitem))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert n <= 4, f"profile() ran {n} jobs, expected <= 4"
+
+
+def test_pass1_is_hash_aggregate(spark, lineitem):
+    from spark_df_profiling_spark import schema as S
+    from spark_df_profiling_spark.plans import wide_agg as W
+    cfg = ProfileConfig()
+    classes = [S.dtype_class(f.dataType) for f in lineitem.schema.fields]
+    agg = lineitem.agg(*W.build_pass1_exprs(lineitem, classes, cfg))
+    agg.collect()
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "SortAggregate" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_knn_broadcasts_queries(spark, sf_dir):
+    from spark_df_profiling_spark.operators.similarity import knn_bruteforce
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = knn_bruteforce(emb, emb.where(F.col("vec_id") < 3), k=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+        .where(F.col("l_quantity") > 25).select("l_orderkey", "l_quantity")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity" \
+        in plan
+    # column pruning: scan schema holds only the two referenced columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_two_phase_topk_matches_single_phase(spark, lineitem):
+    from spark_df_profiling_spark.operators.frequency import topk_frequencies
+    a = topk_frequencies(lineitem, ["l_returnflag", "l_linestatus"], 3,
+                         sub_partitions=64)
+    b = topk_frequencies(lineitem, ["l_returnflag", "l_linestatus"], 3,
+                         sub_partitions=1)
+    assert a == b
+
+
+def test_ann_ivf_recall(spark, sf_dir):
+    from spark_df_profiling_spark.operators.similarity import (
+        ann_ivf, knn_bruteforce)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in knn_bruteforce(emb, queries, k=5).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in ann_ivf(emb, queries, k=5, n_clusters=8,
+                               n_probe=4).collect()}
+    # probing half the clusters should catch a decent share of true top-5
+    assert len(exact & approx) / len(exact) >= 0.4
+
+
+def test_grouped_profile(spark, lineitem):
+    from spark_df_profiling_spark.operators.groupby import grouped_profile
+    g = grouped_profile(lineitem, ["l_returnflag"], ["l_quantity"])
+    rows = {r["l_returnflag"]: r for r in g.collect()}
+    assert len(rows) == 3
+    total = sum(r["n_rows"] for r in rows.values())
+    assert total == 6000
+    for r in rows.values():
+        assert r["l_quantity__min"] >= 1.0
+        assert r["l_quantity__max"] <= 50.0
+    with pytest.raises(ValueError):
+        grouped_profile(lineitem, [])
