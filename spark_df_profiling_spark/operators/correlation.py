@@ -46,7 +46,14 @@ def correlation_exprs(df: DataFrame, num_cols: list[str]) -> list:
             y = num_cols[j]
             mx = F.when(allnn, df[x].cast("double"))
             my = F.when(allnn, df[y].cast("double"))
-            out.append(F.corr(mx, my).alias(f"__corr_{i}_{j}"))
+            # NOT F.corr: under ANSI mode (Spark 4 default) corr RAISES
+            # DIVIDE_BY_ZERO when either side has zero variance (e.g. a
+            # column constant after masking).  covar/stddev with a
+            # when-guard short-circuits the division instead, yielding
+            # NULL — which greedy_rejection already treats as "no corr".
+            denom = F.stddev_samp(mx) * F.stddev_samp(my)
+            rho = F.when(denom > 0, F.covar_samp(mx, my) / denom)
+            out.append(rho.alias(f"__corr_{i}_{j}"))
     return out
 
 

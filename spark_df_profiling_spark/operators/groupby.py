@@ -43,3 +43,25 @@ def grouped_profile(df: DataFrame, keys: list[str],
             F.sum(cd).alias(f"{c}__sum"),
         ])
     return df.groupBy(*keys).agg(*aggs)
+
+
+def salted_agg(df: DataFrame, key: str, agg_col: str,
+               n_salts: int = 32) -> DataFrame:
+    """Skew-resistant count+sum per key: two-stage aggregation.
+
+    Stage 1 aggregates on (key, random-ish salt) — a hot key's rows fan
+    out over ``n_salts`` reducers instead of one; stage 2 merges the
+    per-salt partials (at most ``n_salts`` rows per key).  Use when a
+    single group holds a scale-breaking share of rows and AQE's skew
+    handling doesn't apply (it only splits join partitions).
+    Returns (key, cnt, sum_value).
+    """
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()),
+                  F.lit(n_salts)).alias("__salt")
+    partial = (df.select(F.col(key), F.col(agg_col), salt)
+               .groupBy(key, "__salt")
+               .agg(F.count(F.lit(1)).alias("__c"),
+                    F.sum(F.col(agg_col).cast("double")).alias("__s")))
+    return (partial.groupBy(key)
+            .agg(F.sum("__c").alias("cnt"),
+                 F.sum("__s").alias("sum_value")))

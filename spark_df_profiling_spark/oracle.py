@@ -995,3 +995,80 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     return ann_ivf(e, e.where(F.col("vec_id") < 5), k=3,
                    n_clusters=8, n_probe=4).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Classic relational operators (SURVEY §2.9 categories: joins, windows,
+# set ops, rollup) — present in the engine's toolbox, oracle-checked.
+# ---------------------------------------------------------------------------
+@query("join_broadcast_dim", f"""
+SELECT c.c_mktsegment,
+       count(*) AS cnt,
+       {_psig('sum(o.o_totalprice)')} AS sum_price_s
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+""")
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dim join: the dim side is explicitly broadcast (at 100 TB
+    the orders fact never shuffles for this join)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 sig(F.sum("o_totalprice")).alias("sum_price_s"))
+            .orderBy("c_mktsegment"))
+
+
+@query("window_topn_per_group", """
+SELECT o_custkey, o_orderkey, rnk FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders) t
+WHERE rnk <= 2 AND o_custkey < 20
+ORDER BY o_custkey, rnk
+""")
+def window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (o.withColumn("rnk", F.row_number().over(w))
+            .where((F.col("rnk") <= 2) & (F.col("o_custkey") < 20))
+            .select("o_custkey", "o_orderkey", "rnk")
+            .orderBy("o_custkey", "rnk"))
+
+
+@query("set_ops_nations", """
+SELECT n_nationkey FROM nation
+INTERSECT
+SELECT DISTINCT c_nationkey FROM customer
+ORDER BY n_nationkey
+""")
+def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation").select(F.col("n_nationkey"))
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("n_nationkey"))
+    return n.intersect(c).orderBy("n_nationkey")
+
+
+@query("rollup_counts", """
+SELECT coalesce(l_returnflag, '<all>') AS l_returnflag,
+       coalesce(l_linestatus, '<all>') AS l_linestatus,
+       count(*) AS cnt
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+""")
+def rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.coalesce(F.col("l_returnflag"), F.lit("<all>"))
+                    .alias("l_returnflag"),
+                    F.coalesce(F.col("l_linestatus"), F.lit("<all>"))
+                    .alias("l_linestatus"),
+                    F.col("cnt"))
+            .orderBy("l_returnflag", "l_linestatus"))
