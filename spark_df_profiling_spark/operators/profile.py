@@ -120,6 +120,11 @@ def describe(df: DataFrame,
     if not isinstance(df, DataFrame):
         raise TypeError("df must be a pyspark.sql.DataFrame, got %r"
                         % type(df).__name__)
+    if df.isStreaming:
+        raise ValueError(
+            "describe()/profile() are batch operators; for a streaming "
+            "DataFrame use spark_df_profiling_spark.streaming."
+            "windowed_profile (tumbling/sliding windows + watermark)")
     spark = df.sparkSession
     original_names = [f.name for f in df.schema.fields]
     # Re-alias every column to a safe internal name so dots/spaces/backticks

@@ -1072,3 +1072,89 @@ def rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("l_linestatus"),
                     F.col("cnt"))
             .orderBy("l_returnflag", "l_linestatus"))
+
+
+# ---------------------------------------------------------------------------
+# Session windows (gap-based) — Spark session_window vs the classic
+# gaps-and-islands SQL; sliding windows; custom stateful streaming op.
+# ---------------------------------------------------------------------------
+@query("session_profile_events", """
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) // 1000 AS tus FROM events
+), d AS (
+  SELECT user_id, tus,
+         CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus)
+                   IS NULL THEN 1
+              WHEN tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus)
+                   >= 3600000000 THEN 1
+              ELSE 0 END AS brk
+  FROM e
+), s AS (
+  SELECT user_id,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY tus
+                        ROWS UNBOUNDED PRECEDING) AS sess
+  FROM d
+), g AS (
+  SELECT user_id, sess, count(*) AS n_events FROM s GROUP BY 1, 2
+)
+SELECT user_id,
+       count(*) AS n_sessions,
+       CAST(sum(n_events) AS BIGINT) AS n_events_total,
+       CAST(max(n_events) AS BIGINT) AS max_session_events
+FROM g GROUP BY user_id ORDER BY user_id
+""")
+def session_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_df_profiling_spark.streaming import session_profile
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts_ts", F.timestamp_micros(F.expr("ts div 1000")))
+    sess = session_profile(ev, "ts_ts", "user_id", gap="1 hour")
+    return (sess.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_sessions"),
+                 F.sum("n_events").alias("n_events_total"),
+                 F.max("n_events").alias("max_session_events"))
+            .orderBy("user_id"))
+
+
+@query("sliding_window_events", f"""
+WITH e AS (
+  SELECT value, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
+), w AS (
+  SELECT value, ((es // 43200) - k.k) * 43200 AS window_epoch
+  FROM e, (SELECT unnest([0, 1]) AS k) k
+)
+SELECT window_epoch,
+       count(*) AS cnt,
+       {_psig('avg(value)')} AS mean_s,
+       {_psig('sum(value)')} AS sum_s
+FROM w GROUP BY window_epoch ORDER BY window_epoch
+""")
+def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from spark_df_profiling_spark.streaming import sliding_profile
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts_ts", F.timestamp_micros(F.expr("ts div 1000")))
+    out = sliding_profile(ev, "ts_ts", "value",
+                          window="1 day", slide="12 hours")
+    return (out.select(
+        F.unix_seconds(F.col("window_start")).alias("window_epoch"),
+        "cnt",
+        sig(F.col("mean")).alias("mean_s"),
+        sig(F.col("sum_v")).alias("sum_s"))
+        .orderBy("window_epoch"))
+
+
+@query("stateful_user_totals", None)
+def stateful_user_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running totals with GroupState — rows-only (state evolution
+    is not SQL-expressible; final totals pinned against batch in tests).
+    """
+    from spark_df_profiling_spark.streaming import (
+        events_stream, run_stream_to_memory, stateful_user_totals)
+    stream = events_stream(spark, sf_dir)
+    totals = stateful_user_totals(stream, "user_id", "value")
+    run_stream_to_memory(totals, "stateful_totals_out",
+                         output_mode="update")
+    return (spark.table("stateful_totals_out")
+            .groupBy("key")
+            .agg(F.max("total_events").alias("total_events"))
+            .orderBy("key"))

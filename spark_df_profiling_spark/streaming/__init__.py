@@ -73,13 +73,94 @@ def events_stream(spark, sf_dir: str, schema=None) -> DataFrame:
 
 
 def run_stream_to_memory(stream_df: DataFrame, table_name: str,
-                         timeout_sec: int = 120) -> None:
+                         timeout_sec: int = 120,
+                         output_mode: str = "complete") -> None:
     """Execute a bounded stream with availableNow into a memory sink and
-    wait for completion (used by tests and rows-only driver checks)."""
+    wait for completion (used by tests and rows-only driver checks).
+    ``applyInPandasWithState`` operators require output_mode="update"."""
     q = (stream_df.writeStream
          .format("memory")
          .queryName(table_name)
-         .outputMode("complete")
+         .outputMode(output_mode)
          .trigger(availableNow=True)
          .start())
     q.awaitTermination(timeout_sec)
+
+
+def sliding_profile(df: DataFrame, ts_col: str, value_col: str,
+                    window: str = "1 day", slide: str = "12 hours",
+                    watermark: str | None = "1 hour") -> DataFrame:
+    """Sliding-window variant of :func:`windowed_profile` (overlapping
+    windows; each row contributes to window/slide windows)."""
+    if df.isStreaming and watermark is not None:
+        df = df.withWatermark(ts_col, watermark)
+    out = (df.groupBy(F.window(F.col(ts_col), window, slide).alias("w"))
+           .agg(*windowed_stats_exprs(value_col)))
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "cnt", "mean", "min_v", "max_v", "std", "sum_v", "approx_distinct")
+
+
+def session_profile(df: DataFrame, ts_col: str, key_col: str,
+                    gap: str = "1 hour",
+                    watermark: str | None = "1 hour") -> DataFrame:
+    """Per-key session windows (gap-based), batch and streaming.
+
+    A session closes when no event arrives within ``gap`` of the LAST
+    event — Spark's ``session_window`` merges overlapping per-event
+    windows, which is exactly the classic gaps-and-islands computation
+    (the batch DuckDB oracle expresses it with lag + cumulative sum).
+    Returns per (key, session): event count and session bounds.
+    """
+    if df.isStreaming and watermark is not None:
+        df = df.withWatermark(ts_col, watermark)
+    return (df.groupBy(F.session_window(F.col(ts_col), gap).alias("w"),
+                       F.col(key_col))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col(key_col),
+                    F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"),
+                    "n_events"))
+
+
+def stateful_user_totals(stream_df: DataFrame, key_col: str = "user_id",
+                         value_col: str = "value") -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``.
+
+    Maintains per-key running (count, sum) GroupState across
+    micro-batches and emits the updated totals each batch — the pattern
+    for any custom accumulator the built-in windowed aggs can't express.
+    State size is O(#keys); pair with a timeout for unbounded key spaces.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState, GroupStateTimeout)
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("key", T.LongType()),
+        T.StructField("total_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("cnt", T.LongType()),
+        T.StructField("sm", T.DoubleType()),
+    ])
+
+    def update(key, pdfs, state: GroupState):
+        cnt, sm = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            cnt += len(pdf)
+            sm += float(pdf[value_col].sum())
+        state.update((cnt, sm))
+        yield pd.DataFrame({"key": [key[0]], "total_events": [cnt],
+                            "total_value": [sm]})
+
+    return (stream_df
+            .select(F.col(key_col).cast("long").alias(key_col),
+                    F.col(value_col).cast("double").alias(value_col))
+            .groupBy(key_col)
+            .applyInPandasWithState(
+                update, out_schema, state_schema, "update",
+                GroupStateTimeout.NoTimeout))

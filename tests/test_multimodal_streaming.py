@@ -62,3 +62,56 @@ def test_streaming_profile_matches_batch(spark, sf_dir):
     for k in want:
         assert got[k][0] == want[k][0]
         assert got[k][1] == pytest.approx(want[k][1], rel=1e-9)
+
+
+def test_session_profile_batch_matches_python(spark, sf_dir):
+    from spark_df_profiling_spark.streaming import session_profile
+    import pyspark.sql.functions as FN
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts_ts", FN.timestamp_micros(FN.expr("ts div 1000")))
+    got = {(r["user_id"]): 0 for r in ev.select("user_id").distinct().collect()}
+    sess = session_profile(ev, "ts_ts", "user_id", gap="1 hour")
+    for r in sess.groupBy("user_id").count().collect():
+        got[r["user_id"]] = r["count"]
+    # python reference: gaps-and-islands per user
+    rows = ev.select("user_id", "ts").collect()
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r["user_id"], []).append(r["ts"] // 1000)
+    gap_us = 3600 * 1000000
+    for uid, ts_list in per_user.items():
+        ts_list.sort()
+        n_sessions = 1 + sum(
+            1 for a, b in zip(ts_list, ts_list[1:]) if b - a >= gap_us)
+        assert got[uid] == n_sessions, f"user {uid}"
+
+
+def test_stateful_totals_match_batch(spark, sf_dir):
+    from spark_df_profiling_spark.streaming import (
+        events_stream, run_stream_to_memory, stateful_user_totals)
+    import pyspark.sql.functions as FN
+    stream = events_stream(spark, sf_dir)
+    totals = stateful_user_totals(stream, "user_id", "value")
+    run_stream_to_memory(totals, "t_stateful_out", output_mode="update")
+    got = {r["key"]: (r["total_events"], r["total_value"])
+           for r in spark.table("t_stateful_out")
+           .groupBy("key")
+           .agg(FN.max("total_events").alias("total_events"),
+                FN.max("total_value").alias("total_value")).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    want = {r["user_id"]: (r["c"], r["s"])
+            for r in ev.groupBy("user_id")
+            .agg(FN.count(FN.lit(1)).alias("c"),
+                 FN.sum("value").alias("s")).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert got[k][1] == pytest.approx(want[k][1], rel=1e-9)
+
+
+def test_describe_rejects_streaming_input(spark, sf_dir):
+    from spark_df_profiling_spark import describe
+    from spark_df_profiling_spark.streaming import events_stream
+    with pytest.raises(ValueError, match="windowed_profile"):
+        describe(events_stream(spark, sf_dir))
