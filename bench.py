@@ -100,6 +100,15 @@ def main() -> None:
     def bench_window_profile():
         SPARK_QUERIES["window_profile_events"](spark, sf_dir).collect()
 
+    def bench_profile_documents():
+        profile(t("documents"), scale_cfg).collect()
+
+    def bench_profile_embeddings():
+        profile(t("embeddings"), scale_cfg).collect()
+
+    def bench_session_profile():
+        SPARK_QUERIES["session_profile_events"](spark, sf_dir).collect()
+
     benches = {
         "profile_lineitem": bench_profile_lineitem,
         "profile_core8": bench_profile_core8,
@@ -111,6 +120,9 @@ def main() -> None:
         "knn_bruteforce": bench_knn_bruteforce,
         "text_features": bench_text_features,
         "window_profile": bench_window_profile,
+        "profile_documents": bench_profile_documents,
+        "profile_embeddings": bench_profile_embeddings,
+        "session_profile": bench_session_profile,
     }
 
     # tiny warm-up so JVM/codegen startup isn't billed to the first query

@@ -127,11 +127,11 @@ def describe(df: DataFrame,
             "windowed_profile (tumbling/sliding windows + watermark)")
     spark = df.sparkSession
     original_names = [f.name for f in df.schema.fields]
-    # Re-alias every column to a safe internal name so dots/spaces/backticks
-    # in user column names can't break generated expressions anywhere below.
-    safe_df = df.select(*[
-        F.col("`%s`" % name.replace("`", "``")).alias(f"__c{i}")
-        for i, name in enumerate(original_names)])
+    # Rename every column POSITIONALLY to a safe internal name so that
+    # dots/spaces/backticks AND duplicate column names can't break the
+    # generated expressions anywhere below (toDF renames by position,
+    # unlike F.col which resolves by — possibly ambiguous — name).
+    safe_df = df.toDF(*[f"__c{i}" for i in range(len(original_names))])
     orig_df, df = df, safe_df
     fields = df.schema.fields
     base_classes = [

@@ -1158,3 +1158,62 @@ def stateful_user_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("key")
             .agg(F.max("total_events").alias("total_events"))
             .orderBy("key"))
+
+
+# ---------------------------------------------------------------------------
+# Universal stats over the text and vector tables (documents/embeddings
+# profiling under the oracle, including the ARRAY column)
+# ---------------------------------------------------------------------------
+@query("universal_documents", """
+SELECT 'doc_id' AS column_name, count(doc_id) AS cnt,
+       count(DISTINCT doc_id) AS n_distinct FROM documents
+UNION ALL
+SELECT 'text', count(text), count(DISTINCT text) FROM documents
+UNION ALL
+SELECT 'lang', count(lang), count(DISTINCT lang) FROM documents
+UNION ALL
+SELECT 'source', count(source), count(DISTINCT source) FROM documents
+UNION ALL
+SELECT 'n_chars', count(n_chars), count(DISTINCT n_chars) FROM documents
+""")
+def universal_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    aggs = []
+    for c in ["doc_id", "text", "lang", "source", "n_chars"]:
+        aggs.append(F.count(d[c]).alias(f"cnt_{c}"))
+        aggs.append(F.count_distinct(d[c]).alias(f"dis_{c}"))
+    one = d.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', cnt_{c}, dis_{c}"
+        for c in ["doc_id", "text", "lang", "source", "n_chars"])
+    return one.select(F.expr(
+        f"stack(5, {stack_args}) as (column_name, cnt, n_distinct)"))
+
+
+@query("embedding_array_stats", f"""
+SELECT count(embedding) AS cnt,
+       count(DISTINCT embedding) AS n_distinct,
+       CAST(min(len(embedding)) AS BIGINT) AS min_len,
+       CAST(max(len(embedding)) AS BIGINT) AS max_len,
+       {_psig('avg(len(embedding))')} AS mean_len_s,
+       {_psig('''avg(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))''')}
+           AS mean_sq_norm_s
+FROM embeddings
+""")
+def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARRAY-column profiling kernels (the reference raises
+    NotImplementedError for any complex type — SURVEY §1.2)."""
+    e = _t(spark, sf_dir, "embeddings")
+    c = e["embedding"]
+    sq = F.aggregate(
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda a, v: a + v)
+    return e.agg(
+        F.count(c).alias("cnt"),
+        F.count_distinct(c).alias("n_distinct"),
+        F.min(F.size(c)).cast("long").alias("min_len"),
+        F.max(F.size(c)).cast("long").alias("max_len"),
+        sig(F.avg(F.size(c))).alias("mean_len_s"),
+        sig(F.avg(sq)).alias("mean_sq_norm_s"),
+    )

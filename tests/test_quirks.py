@@ -186,3 +186,37 @@ def test_single_value_histogram_degenerate(spark):
     rows = _rows(describe(df, cfg))
     hist = rows["q"]["histogram"]
     assert sum(b["cnt"] for b in hist) == 100
+
+
+def test_single_row_table(spark):
+    df = spark.createDataFrame([(1, "x", 2.5)], "a bigint, b string, c double")
+    rows = _rows(describe(df, EXACT_CONFIG))
+    # one row: every column is CONST (distinct == 1 wins over dtype)
+    assert all(r["type_class"] == "CONST" for r in rows.values())
+    assert rows["c"]["n"] == 1
+
+
+def test_duplicate_column_names(spark):
+    # Spark allows duplicate output names; safe positional aliasing must
+    # keep both profiles apart
+    df = spark.createDataFrame([(i, i * 2.0) for i in range(50)],
+                               "x bigint, y double") \
+        .selectExpr("x", "y as x")
+    res = describe(df, EXACT_CONFIG)
+    rows = res.variables.collect()
+    assert len(rows) == 2
+    assert [r["column"] for r in rows] == ["x", "x"]
+    assert {r["pos"] for r in rows} == {0, 1}
+    means = sorted(r["mean"] for r in rows)
+    assert means[1] == pytest.approx(2 * means[0])
+
+
+def test_all_columns_null(spark):
+    df = spark.createDataFrame([(None, None)] * 10,
+                               "a double, b string")
+    rows = _rows(describe(df, EXACT_CONFIG))
+    for r in rows.values():
+        assert r["type_class"] == "CONST"
+        assert r["count"] == 0
+        assert r["n_missing"] == 10
+        assert r["first_value"] is None
