@@ -63,8 +63,11 @@ def main() -> None:
         profile(t("lineitem"), scale_cfg).collect()
 
     def bench_profile_core8():
-        for name in core8:
-            profile(t(name), scale_cfg).collect()
+        from spark_df_profiling_spark.operators.profile import profile_many
+        res = profile_many({name: t(name) for name in core8}, scale_cfg,
+                           max_threads=8)
+        for r in res.values():
+            r.variables.collect()
 
     def bench_group_profile():
         SPARK_QUERIES["group_profile"](spark, sf_dir).collect()

@@ -391,3 +391,26 @@ def _histogram_from(p2: dict, i: int, mn: float, mx: float, cnt: int,
             "cnt": int(v),
         })
     return out
+
+
+def profile_many(dfs: dict[str, DataFrame],
+                 cfg: ProfileConfig = DEFAULT_CONFIG,
+                 max_threads: int = 8) -> dict[str, "ProfileResult"]:
+    """Profile a catalog of tables concurrently.
+
+    Each profile is only ~3 Spark actions whose cluster work is brief;
+    the wall-clock is dominated by per-table plan compilation, which is
+    driver-side and embarrassingly parallel.  Running profiles from a
+    thread pool overlaps planning with execution across tables (Spark's
+    scheduler handles concurrent jobs natively — FAIR scheduling
+    recommended on shared clusters).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    out: dict[str, ProfileResult] = {}
+    with ThreadPoolExecutor(max_workers=max_threads) as pool:
+        futures = {name: pool.submit(describe, df, cfg)
+                   for name, df in dfs.items()}
+        for name, fut in futures.items():
+            out[name] = fut.result()
+    return out

@@ -152,3 +152,13 @@ def test_approx_mode_close(lineitem):
     # HLL++ rsd=0.05 → within ~3 sigma (15%) of exact
     assert abs(rows["l_orderkey"]["distinct_count"] - 1473) <= 250
     assert rows["l_returnflag"]["distinct_count"] == 3
+
+
+def test_profile_many_concurrent(spark, sf_dir):
+    from spark_df_profiling_spark.operators.profile import profile_many
+    names = ["region", "nation", "customer", "orders"]
+    dfs = {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in names}
+    out = profile_many(dfs, max_threads=4)
+    assert set(out) == set(names)
+    assert out["orders"].variables.count() == 6
+    assert out["region"].table["n"] == 5
