@@ -86,16 +86,23 @@ def fingerprint_min_shingle(col: str) -> Column:
     shingle (high-probability near-dup signal); falls back to MD5 of the
     whole text for documents shorter than 3 tokens.  Expressed so the
     identical computation runs in DuckDB (md5 + list ops) for the oracle.
+
+    The token array is bound ONCE per row as a lambda variable (the
+    single-element-transform "let" idiom): higher-order functions run
+    interpreted without common-subexpression elimination, so a naive
+    ``split(col)[i]`` inside the per-shingle lambda would re-split the
+    whole document for every shingle — O(tokens^2) per document.
     """
     return F.expr(f"""
-        CASE WHEN size(split(`{col}`, ' ')) >= 3 THEN
-            array_min(transform(
-                sequence(0, size(split(`{col}`, ' ')) - 3),
-                i -> md5(concat_ws(' ',
-                        split(`{col}`, ' ')[i],
-                        split(`{col}`, ' ')[i + 1],
-                        split(`{col}`, ' ')[i + 2]))))
-        ELSE md5(`{col}`) END""")
+        coalesce(
+            element_at(transform(array(split(`{col}`, ' ')), toks ->
+                CASE WHEN size(toks) >= 3 THEN
+                    array_min(transform(
+                        sequence(0, size(toks) - 3),
+                        i -> md5(concat_ws(' ', toks[i], toks[i + 1],
+                                           toks[i + 2]))))
+                END), 1),
+            md5(`{col}`))""")
 
 
 # --- language ID -----------------------------------------------------------
