@@ -23,37 +23,42 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def correlation_exprs(df: DataFrame, num_cols: list[str]) -> list:
-    """Pearson matrix as pass-1 aggregate EXPRESSIONS (zero extra jobs).
+def correlation_exprs(df: DataFrame, num_cols: list[str]) -> list[str]:
+    """Pearson matrix as pass-1 aggregate SQL expressions (zero extra jobs).
 
-    ``F.corr`` is a declarative aggregate, so the k·(k-1)/2 upper-triangle
-    correlations ride the same single-pass wide agg as every other
-    statistic — where the reference spends O(k^2) separate Spark jobs
-    (``base.py::describe>>corr_matrix``), this costs zero extra passes.
+    Pearson corr is a declarative aggregate, so the k·(k-1)/2
+    upper-triangle correlations ride the same single-pass wide agg as
+    every other statistic — where the reference spends O(k^2) separate
+    Spark jobs (``base.py::describe>>corr_matrix``), this costs zero
+    extra passes.  SQL-string form for the same reason as
+    ``build_pass1_exprs`` (py4j round-trip elimination); Catalyst dedups
+    the repeated stddev/covar aggregate children, so the textual
+    repetition costs nothing physically.
 
     Listwise deletion (reference semantics: ``na.drop(how='any')`` across
     ALL numeric columns) is emulated by null-masking each operand with
     "every numeric column non-null", which Catalyst folds into the same
     scan.
     """
-    allnn = None
-    for c in num_cols:
-        cond = df[c].isNotNull() & ~F.isnan(df[c].cast("double"))
-        allnn = cond if allnn is None else (allnn & cond)
-    out = []
+    allnn = " AND ".join(
+        f"({f'`{c}`'} IS NOT NULL AND NOT isnan(CAST(`{c}` AS DOUBLE)))"
+        for c in num_cols)
+    out: list[str] = []
     for i, x in enumerate(num_cols):
         for j in range(i + 1, len(num_cols)):
             y = num_cols[j]
-            mx = F.when(allnn, df[x].cast("double"))
-            my = F.when(allnn, df[y].cast("double"))
-            # NOT F.corr: under ANSI mode (Spark 4 default) corr RAISES
+            mx = f"CASE WHEN {allnn} THEN CAST(`{x}` AS DOUBLE) END"
+            my = f"CASE WHEN {allnn} THEN CAST(`{y}` AS DOUBLE) END"
+            # NOT corr(): under ANSI mode (Spark 4 default) corr RAISES
             # DIVIDE_BY_ZERO when either side has zero variance (e.g. a
             # column constant after masking).  covar/stddev with a
-            # when-guard short-circuits the division instead, yielding
+            # CASE-guard short-circuits the division instead, yielding
             # NULL — which greedy_rejection already treats as "no corr".
-            denom = F.stddev_samp(mx) * F.stddev_samp(my)
-            rho = F.when(denom > 0, F.covar_samp(mx, my) / denom)
-            out.append(rho.alias(f"__corr_{i}_{j}"))
+            denom = f"(stddev_samp({mx}) * stddev_samp({my}))"
+            out.append(
+                f"CASE WHEN {denom} > 0 THEN "
+                f"covar_samp({mx}, {my}) / {denom} END "
+                f"AS `__corr_{i}_{j}`")
     return out
 
 

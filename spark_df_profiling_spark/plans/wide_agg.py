@@ -29,9 +29,7 @@ import datetime as _dt
 import math
 from typing import Any
 
-from pyspark.sql import Column, DataFrame
-from pyspark.sql import functions as F
-from pyspark.sql import types as T
+from pyspark.sql import DataFrame
 
 from spark_df_profiling_spark import schema as S
 from spark_df_profiling_spark.config import ProfileConfig
@@ -41,22 +39,38 @@ def _key(i: int, stat: str) -> str:
     return f"c{i}__{stat}"
 
 
+def _dlit(v: float) -> str:
+    """Exact DOUBLE literal: ``repr(float)`` is shortest-round-trip and
+    Java's ``Double.parseDouble`` reads it back bit-exact."""
+    return f"double('{v!r}')"
+
+
 def build_pass1_exprs(df: DataFrame, classes: list[str],
-                      cfg: ProfileConfig) -> list[Column]:
-    """Expression list for pass 1 (no prior results needed).
+                      cfg: ProfileConfig) -> list[str]:
+    """SQL aggregate-expression list for pass 1 (no prior results needed).
 
     Covers SURVEY §2 kernels T1, U1-U5, N1-N6, N11, C-prep, D1, G1.
+
+    Expressions are SQL *strings*, not Column objects: building a Column
+    costs ~10 py4j socket round-trips and a wide profile needs hundreds of
+    expressions — string building is pure Python (measured: ~1.2s of py4j
+    chatter per table collapsed to one ``selectExpr`` call per chunk).
+    Callers pass them to :func:`run_chunked_agg` (or ``df.selectExpr``).
+    Column names are backtick-quoted; ``describe()`` renames columns to
+    ``__c{i}`` first, so embedded backticks can't occur in the hot path.
     """
-    exprs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    exprs: list[str] = ["count(1) AS `__n`"]
     for i, (field, cls) in enumerate(zip(df.schema.fields, classes)):
-        c = df[field.name]
-        exprs.append(F.count(c).alias(_key(i, "count")))
+        c = f"`{field.name}`"
+        k = _key(i, "count")
+        exprs.append(f"count({c}) AS `{k}`")
         if cfg.exact_distinct:
-            exprs.append(F.count_distinct(c).alias(_key(i, "distinct")))
+            exprs.append(
+                f"count(DISTINCT {c}) AS `{_key(i, 'distinct')}`")
         else:
             exprs.append(
-                F.approx_count_distinct(c, cfg.distinct_rsd)
-                .alias(_key(i, "distinct")))
+                f"approx_count_distinct({c}, {cfg.distinct_rsd!r}) "
+                f"AS `{_key(i, 'distinct')}`")
         # NOTE: no first()/min()/max() over STRING columns here — a single
         # string-buffered aggregate disqualifies HashAggregateExec (string
         # buffers are immutable in UnsafeRow) and demotes the ENTIRE wide
@@ -65,54 +79,60 @@ def build_pass1_exprs(df: DataFrame, classes: list[str],
         # pass instead (a CONST column's top value is its value).
 
         if S.is_numeric(cls):
-            cd = c.cast("double")
+            cd = f"CAST({c} AS DOUBLE)"
             exprs.extend([
-                F.mean(cd).alias(_key(i, "mean")),
-                F.min(c).cast("double").alias(_key(i, "min")),
-                F.max(c).cast("double").alias(_key(i, "max")),
-                F.var_samp(cd).alias(_key(i, "variance")),
-                F.stddev_samp(cd).alias(_key(i, "std")),
-                F.skewness(cd).alias(_key(i, "skewness")),
-                F.kurtosis(cd).alias(_key(i, "kurtosis")),
-                F.sum(cd).alias(_key(i, "sum")),
-                F.sum(F.when(c == 0, 1).otherwise(0)).alias(_key(i, "zeros")),
+                f"avg({cd}) AS `{_key(i, 'mean')}`",
+                f"CAST(min({c}) AS DOUBLE) AS `{_key(i, 'min')}`",
+                f"CAST(max({c}) AS DOUBLE) AS `{_key(i, 'max')}`",
+                f"var_samp({cd}) AS `{_key(i, 'variance')}`",
+                f"stddev_samp({cd}) AS `{_key(i, 'std')}`",
+                f"skewness({cd}) AS `{_key(i, 'skewness')}`",
+                f"kurtosis({cd}) AS `{_key(i, 'kurtosis')}`",
+                f"sum({cd}) AS `{_key(i, 'sum')}`",
+                f"sum(CASE WHEN {c} = 0 THEN 1 ELSE 0 END) "
+                f"AS `{_key(i, 'zeros')}`",
             ])
             if cls == S.NUM_FLOAT:
                 exprs.append(
-                    F.sum(F.when(cd.isin(float("inf"), float("-inf")), 1)
-                          .otherwise(0)).alias(_key(i, "inf")))
+                    f"sum(CASE WHEN {cd} IN (double('Infinity'), "
+                    f"double('-Infinity')) THEN 1 ELSE 0 END) "
+                    f"AS `{_key(i, 'inf')}`")
                 exprs.append(
-                    F.sum(F.when(F.isnan(cd), 1).otherwise(0))
-                    .alias(_key(i, "nan")))
+                    f"sum(CASE WHEN isnan({cd}) THEN 1 ELSE 0 END) "
+                    f"AS `{_key(i, 'nan')}`")
             # NOTE: quantiles deliberately live in pass 2 — a single
             # percentile/percentile_approx expression demotes the WHOLE
             # aggregate from HashAggregate(codegen) to ObjectHashAggregate
             # (interpreted), slowing every other expression ~2x.  Keeping
             # pass 1 sketch-free keeps it inside whole-stage codegen.
         elif cls == S.DATE:
-            exprs.append(F.min(c).alias(_key(i, "min_date")))
-            exprs.append(F.max(c).alias(_key(i, "max_date")))
+            exprs.append(f"min({c}) AS `{_key(i, 'min_date')}`")
+            exprs.append(f"max({c}) AS `{_key(i, 'max_date')}`")
         elif cls in (S.ARRAY, S.MAP):
             exprs.extend([
-                F.avg(F.size(c)).alias(_key(i, "mean_size")),
-                F.min(F.size(c)).cast("long").alias(_key(i, "min_size")),
-                F.max(F.size(c)).cast("long").alias(_key(i, "max_size")),
+                f"avg(size({c})) AS `{_key(i, 'mean_size')}`",
+                f"CAST(min(size({c})) AS BIGINT) "
+                f"AS `{_key(i, 'min_size')}`",
+                f"CAST(max(size({c})) AS BIGINT) "
+                f"AS `{_key(i, 'max_size')}`",
             ])
     return exprs
 
 
 def build_pass2_exprs(df: DataFrame, classes: list[str], pass1: dict[str, Any],
-                      cfg: ProfileConfig) -> list[Column]:
-    """Pass-2 expressions: quantiles (N6), MAD (N10), histograms (N12).
+                      cfg: ProfileConfig) -> list[str]:
+    """Pass-2 SQL expressions: quantiles (N6), MAD (N10), histograms (N12).
 
     MAD is the reference's *mean* absolute deviation around the mean
     (``base.py::describe>>describe_integer_1d``), an inherently two-pass
     statistic.  Histogram bins are equal-width on [min, max] with the last
     bin right-closed, matching ``base.py::describe>>create_hist_data``.
     Quantile sketches sit here (not pass 1) so the ObjectHashAggregate
-    they force is paid once, on this smaller expression set.
+    they force is paid once, on this smaller expression set.  Bin-edge
+    literals are emitted with :func:`_dlit`, so the SQL form computes the
+    bit-exact same bins as driver-side float arithmetic.
     """
-    exprs: list[Column] = []
+    exprs: list[str] = []
     for i, (field, cls) in enumerate(zip(df.schema.fields, classes)):
         if cls == S.DATE and cfg.compute_histograms:
             # D3 extension (reference has no date histogram): equal-width
@@ -122,17 +142,20 @@ def build_pass2_exprs(df: DataFrame, classes: list[str], pass1: dict[str, Any],
             mn_e = _to_epoch(mn_d)
             mx_e = _to_epoch(mx_d)
             if mn_e is not None and mx_e is not None and mx_e > mn_e:
-                ep = _epoch_expr(df, field.name)
+                ep = _epoch_sql(df, field.name)
                 width = (mx_e - mn_e) / cfg.bins
                 for b in range(cfg.bins):
                     left = mn_e + width * b
                     if b == cfg.bins - 1:
-                        cond = (ep >= F.lit(left)) & (ep <= F.lit(mx_e))
+                        cond = (f"{ep} >= {_dlit(left)} "
+                                f"AND {ep} <= {_dlit(mx_e)}")
                     else:
                         right = mn_e + width * (b + 1)
-                        cond = (ep >= F.lit(left)) & (ep < F.lit(right))
-                    exprs.append(F.sum(F.when(cond, 1).otherwise(0))
-                                 .alias(_key(i, f"hist{b}")))
+                        cond = (f"{ep} >= {_dlit(left)} "
+                                f"AND {ep} < {_dlit(right)}")
+                    exprs.append(
+                        f"sum(CASE WHEN {cond} THEN 1 ELSE 0 END) "
+                        f"AS `{_key(i, f'hist{b}')}`")
             continue
         if not S.is_numeric(cls):
             continue
@@ -140,21 +163,20 @@ def build_pass2_exprs(df: DataFrame, classes: list[str], pass1: dict[str, Any],
         mean = pass1.get(_key(i, "mean"))
         mn = pass1.get(_key(i, "min"))
         mx = pass1.get(_key(i, "max"))
-        c = df[field.name].cast("double")
+        c = f"CAST(`{field.name}` AS DOUBLE)"
         if cnt > 0:
             qs = ", ".join(repr(q) for q in cfg.quantiles)
-            col_sql = f"CAST(`{field.name}` AS DOUBLE)"
             if cfg.exact_quantiles:
-                q_expr = F.expr(f"percentile({col_sql}, array({qs}))")
+                exprs.append(f"percentile({c}, array({qs})) "
+                             f"AS `{_key(i, 'quantiles')}`")
             else:
-                q_expr = F.expr(
-                    f"percentile_approx({col_sql}, array({qs}), "
-                    f"{cfg.quantile_accuracy})")
-            exprs.append(q_expr.alias(_key(i, "quantiles")))
+                exprs.append(
+                    f"percentile_approx({c}, array({qs}), "
+                    f"{cfg.quantile_accuracy}) AS `{_key(i, 'quantiles')}`")
         if cfg.compute_mad and cnt > 0 and mean is not None \
                 and math.isfinite(mean):
-            exprs.append(F.avg(F.abs(c - F.lit(mean)))
-                         .alias(_key(i, "mad")))
+            exprs.append(f"avg(abs({c} - {_dlit(mean)})) "
+                         f"AS `{_key(i, 'mad')}`")
         if cfg.compute_histograms and cnt > 0 and mn is not None \
                 and mx is not None and math.isfinite(mn) and math.isfinite(mx) \
                 and mx > mn:
@@ -162,19 +184,19 @@ def build_pass2_exprs(df: DataFrame, classes: list[str], pass1: dict[str, Any],
             for b in range(cfg.bins):
                 left = mn + width * b
                 if b == cfg.bins - 1:
-                    cond = (c >= F.lit(left)) & (c <= F.lit(mx)) \
-                        & ~F.isnan(c)
+                    cond = (f"{c} >= {_dlit(left)} AND {c} <= {_dlit(mx)} "
+                            f"AND NOT isnan({c})")
                 else:
                     right = mn + width * (b + 1)
-                    cond = (c >= F.lit(left)) & (c < F.lit(right)) \
-                        & ~F.isnan(c)
-                exprs.append(F.sum(F.when(cond, 1).otherwise(0))
-                             .alias(_key(i, f"hist{b}")))
+                    cond = (f"{c} >= {_dlit(left)} AND {c} < {_dlit(right)} "
+                            f"AND NOT isnan({c})")
+                exprs.append(f"sum(CASE WHEN {cond} THEN 1 ELSE 0 END) "
+                             f"AS `{_key(i, f'hist{b}')}`")
     return exprs
 
 
-def _expr_class(e: Column) -> str:
-    """Classify an aggregate expression by its buffer/exec impact.
+def _expr_class(s: str) -> str:
+    """Classify an aggregate SQL expression by its buffer/exec impact.
 
     * ``sketch``  — HLL++ (``approx_count_distinct``): ~52 LONG buffer
       slots per column.  A dozen of these pushes the aggregate past
@@ -190,9 +212,7 @@ def _expr_class(e: Column) -> str:
       2-6 fixed-width buffer slots each, stays inside HashAggregateExec
       whole-stage codegen when chunked below the maxFields budget.
     """
-    s = e._jc.toString()
-    if "approx_count_distinct" in s or "hyperloglog" in s \
-            or "count(DISTINCT" in s:
+    if "approx_count_distinct" in s or "count(DISTINCT" in s:
         # exact count_distinct also isolated: it plans via Expand (one
         # duplicated row-stream per DISTINCT column) — grouping the
         # distincts together caps the Expand multiplication to the
@@ -210,7 +230,7 @@ def _expr_class(e: Column) -> str:
 _CHUNK_CAP = {"light": 64, "sketch": 48, "object": 32}
 
 
-def run_chunked_agg(df: DataFrame, exprs: list[Column],
+def run_chunked_agg(df: DataFrame, exprs: list[str],
                     cfg: ProfileConfig) -> dict[str, Any]:
     """Execute a wide agg, chunked by buffer class, chunks run CONCURRENTLY.
 
@@ -220,27 +240,30 @@ def run_chunked_agg(df: DataFrame, exprs: list[Column],
     * percentile sketches demote a chunk to ObjectHashAggregateExec; they
       get their own chunk so histograms/MAD stay codegen'd.
 
-    Each chunk is one Spark job (one scan).  Chunks are submitted from a
-    small thread pool: Spark schedules concurrent jobs natively, so on a
-    multi-core driver the scans overlap; on a real cluster each chunk's
-    tasks also fan out across executors.  Returns merged {alias: value}.
+    Each chunk is one Spark job (one scan) issued as a single
+    ``selectExpr`` — one py4j round-trip however many expressions the
+    chunk holds.  Chunks are submitted from a small thread pool: Spark
+    schedules concurrent jobs natively, so on a multi-core driver the
+    scans overlap; on a real cluster each chunk's tasks also fan out
+    across executors.  Returns merged {alias: value}.
     """
     out: dict[str, Any] = {}
     if not exprs:
         return out
-    groups: dict[str, list[Column]] = {"light": [], "sketch": [], "object": []}
+    groups: dict[str, list[str]] = {"light": [], "sketch": [], "object": []}
     for e in exprs:
         groups[_expr_class(e)].append(e)
-    chunks: list[list[Column]] = []
+    chunks: list[list[str]] = []
     for klass, es in groups.items():
         step = max(1, min(cfg.max_agg_exprs, _CHUNK_CAP[klass]))
         for start in range(0, len(es), step):
             chunks.append(es[start:start + step])
     if len(chunks) == 1:
-        return df.agg(*chunks[0]).collect()[0].asDict()
+        return df.selectExpr(*chunks[0]).collect()[0].asDict()
     from concurrent.futures import ThreadPoolExecutor
     with ThreadPoolExecutor(max_workers=min(8, len(chunks))) as pool:
-        for row in pool.map(lambda ch: df.agg(*ch).collect()[0], chunks):
+        for row in pool.map(lambda ch: df.selectExpr(*ch).collect()[0],
+                            chunks):
             out.update(row.asDict())
     return out
 
@@ -261,16 +284,15 @@ def _to_epoch(v: Any) -> float | None:
     return None
 
 
-def _epoch_expr(df: DataFrame, col: str) -> Column:
-    """Epoch-seconds expression for LTZ/NTZ timestamp or date columns."""
+def _epoch_sql(df: DataFrame, col: str) -> str:
+    """Epoch-seconds SQL expression for LTZ/NTZ timestamp or date cols."""
     dt = dict(df.dtypes)[col]
     if dt.startswith("timestamp_ntz"):
-        return F.expr(
-            f"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
-            f"`{col}`)").cast("double")
+        return (f"CAST(timestampdiff(SECOND, "
+                f"TIMESTAMP_NTZ '1970-01-01 00:00:00', `{col}`) AS DOUBLE)")
     if dt == "date":
-        return (F.unix_date(F.col(col)).cast("double") * 86400.0)
-    return F.unix_seconds(F.col(col)).cast("double")
+        return f"(CAST(unix_date(`{col}`) AS DOUBLE) * 86400.0)"
+    return f"CAST(unix_seconds(`{col}`) AS DOUBLE)"
 
 
 def date_range_seconds(mn: Any, mx: Any) -> float | None:
