@@ -88,7 +88,7 @@ def shingle(df: DataFrame, text_col: str, n: int = 3,
 
 def minhash_candidates(df: DataFrame, text_col: str, id_col: str,
                        shingle_n: int = 3, num_features: int = 1 << 18,
-                       num_hashes: int = 16,
+                       num_hashes: int = 8,
                        jaccard_max_distance: float = 0.2) -> DataFrame:
     """Near-duplicate candidate pairs via MinHashLSH.
 
@@ -97,6 +97,13 @@ def minhash_candidates(df: DataFrame, text_col: str, id_col: str,
     the shuffle is on bucket keys, never a cartesian product.  Empty
     shingle sets (docs shorter than ``shingle_n`` words) are filtered, as
     MinHash is undefined for empty sets.
+
+    ``num_hashes`` trades recall for join volume (each hash table is one
+    exploded copy of the dataset in the bucket join).  Dedup thresholds
+    target high similarity, where few tables suffice: at Jaccard
+    similarity s the miss probability is (1-s)^num_hashes — for s=0.7
+    and 8 tables that is 7e-5.  Raise it when hunting LOW-similarity
+    pairs, not for near-dup dedup.
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
     sh = shingle(df.select(id_col, text_col), text_col, shingle_n)
@@ -114,6 +121,96 @@ def minhash_candidates(df: DataFrame, text_col: str, id_col: str,
                     F.col(f"datasetB.{id_col}").alias("id_b"),
                     F.col("jaccard_distance"))
             .where(F.col("id_a") < F.col("id_b")))
+
+
+def shingle_expr(text_col: str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as a pure-SQL expression.
+
+    Lowercases and splits on whitespace (the same normalization as
+    ml.feature.Tokenizer), then forms n-grams with ``slice`` +
+    ``concat_ws``.  The token array is let-bound once per row (the
+    single-element-transform idiom — higher-order functions are
+    interpreted without CSE, so inline re-splits would be O(tokens^2)).
+    Documents shorter than ``n`` tokens yield an empty array.
+    """
+    return F.expr(f"""
+        element_at(transform(array(split(lower(`{text_col}`), '\\\\s+')),
+            toks -> CASE WHEN size(toks) >= {n} THEN
+                array_distinct(transform(
+                    sequence(0, size(toks) - {n}),
+                    i -> concat_ws(' ', slice(toks, i + 1, {n}))))
+            ELSE array() END), 1)""")
+
+
+def minhash_candidates_native(df: DataFrame, text_col: str, id_col: str,
+                              shingle_n: int = 3, num_hashes: int = 16,
+                              rows_per_band: int = 1,
+                              jaccard_max_distance: float = 0.2,
+                              max_bucket_size: int | None = None
+                              ) -> DataFrame:
+    """Near-duplicate pairs via MinHash+LSH in pure DataFrame expressions.
+
+    Same contract as :func:`minhash_candidates` (returns
+    ``(id_a, id_b, jaccard_distance)`` with ``id_a < id_b`` and EXACT
+    n-gram Jaccard distance <= threshold) but built entirely from
+    ``xxhash64``/higher-order functions — no ml pipeline, no VectorUDT
+    serialization, no model fit.  Pipeline:
+
+      shingles -> signature: sig[s] = min(xxhash64(s, shingle))
+               -> band keys: xxhash64(slice(sig, band)) per band
+               -> self-join per (band, key)  [bucket shuffle, never n^2]
+               -> exact Jaccard verification on candidates only.
+
+    ``rows_per_band=1`` with ``num_hashes`` bands reproduces
+    MinHashLSH's candidate semantics (pair agrees on >= 1 hash).  At
+    100 TB set ``rows_per_band`` 2-4 to cut candidate volume (standard
+    S-curve tuning) and ``max_bucket_size`` to drop degenerate buckets
+    (boilerplate shingles shared by millions of docs would otherwise
+    square inside one bucket).
+
+    Perf note: signature evaluation runs through interpreted
+    higher-order functions (~1us per shingle-hash), so on a single node
+    the ml-based :func:`minhash_candidates` is ~2x faster; this variant
+    exists for ml-free deployments and for its tunable banding, and
+    distributes identically (the heavy stages are ordinary shuffles).
+    """
+    b = num_hashes // rows_per_band
+    sh = (df.select(F.col(id_col).alias("id"),
+                    shingle_expr(text_col, shingle_n).alias("sh"))
+          .where(F.size("sh") > 0))
+    sig = sh.select(
+        "id", "sh",
+        F.expr(f"""transform(sequence(0, {num_hashes - 1}),
+                   s -> array_min(transform(sh, x -> xxhash64(s, x))))
+                """).alias("sig"))
+    bands = sig.select(
+        "id",
+        F.explode(F.expr(f"""transform(sequence(0, {b - 1}),
+            i -> struct(i AS band,
+                        xxhash64(slice(sig, i * {rows_per_band} + 1,
+                                       {rows_per_band})) AS key))
+            """)).alias("bk")).select("id", "bk.band", "bk.key")
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "key")
+        bands = (bands.withColumn("__bsz", F.count(F.lit(1)).over(w))
+                 .where(F.col("__bsz") <= max_bucket_size)
+                 .drop("__bsz"))
+    a, bb = bands.alias("a"), bands.alias("b")
+    cand = (a.join(bb, on=["band", "key"])
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"))
+            .distinct())
+    sh_a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = (cand.join(sh_a, "id_a").join(sh_b, "id_b")
+                .select("id_a", "id_b",
+                        (1.0 - F.size(F.array_intersect("sh_a", "sh_b"))
+                         .cast("double")
+                         / F.size(F.array_union("sh_a", "sh_b")))
+                        .alias("jaccard_distance"))
+                .where(F.col("jaccard_distance") <= jaccard_max_distance))
+    return verified
 
 
 def near_dedup_minhash(df: DataFrame, text_col: str, id_col: str,

@@ -809,6 +809,57 @@ def minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                               jaccard_max_distance=0.5)
 
 
+@query("minhash_native_pairs", f"""
+WITH d AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 100
+), m AS (
+  SELECT doc_id + 100000 AS doc_id,
+         array_to_string(string_split(text,' ')[1:len(string_split(text,' '))-1],
+                         ' ') || ' xyzzy' AS text
+  FROM d
+), allx AS (
+  SELECT * FROM d UNION ALL SELECT * FROM m
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(toks[i:i+2], ' ')
+                        for i in range(1, len(toks) - 1)]) AS sh
+  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+        FROM allx)
+  WHERE len(toks) >= 3
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_filter(a.sh, s -> list_contains(b.sh, s))) AS i,
+         len(a.sh) + len(b.sh)
+           - len(list_filter(a.sh, s -> list_contains(b.sh, s))) AS u
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, {_psig('1.0 - i / u')} AS jaccard_distance
+FROM pairs WHERE 1.0 - i / u <= 0.5
+""")
+def minhash_native_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-SQL MinHash+LSH (no ml pipeline) vs an ALL-PAIRS exact
+    Jaccard oracle: the DuckDB side enumerates every qualifying pair, so
+    a hash match proves the deterministic-seeded LSH candidate stage
+    missed nothing at this threshold (16 tables -> miss prob (1-s)^16,
+    and the verification stage computes the identical exact Jaccard)."""
+    from spark_df_profiling_spark.operators.dedup import (
+        minhash_candidates_native)
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100) \
+        .select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    mut = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.concat_ws(" ", F.slice(toks, 1, F.size(toks) - 1)),
+                 F.lit(" xyzzy")).alias("text"))
+    both = d.unionByName(mut)
+    out = minhash_candidates_native(both, "text", "doc_id",
+                                    num_hashes=16,
+                                    jaccard_max_distance=0.5)
+    return out.select("id_a", "id_b",
+                      sig(F.col("jaccard_distance"))
+                      .alias("jaccard_distance"))
+
+
 @query("simhash_sample", None)
 def simhash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash signatures (xxhash64 has no DuckDB equivalent)."""

@@ -52,6 +52,18 @@ def test_minhash_finds_planted_neardups(dup_docs):
     assert near_found >= 90
 
 
+def test_minhash_native_finds_planted_neardups(dup_docs):
+    pairs = D.minhash_candidates_native(dup_docs, "text", "doc_id",
+                                        jaccard_max_distance=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert {(i, i + 1000) for i in range(100)} <= got
+    assert sum(1 for i in range(100) if (i, i + 2000) in got) >= 90
+    # verified distances are exact n-gram Jaccard: exact copies at 0.0
+    d = {(r["id_a"], r["id_b"]): r["jaccard_distance"]
+         for r in pairs.collect()}
+    assert all(d[(i, i + 1000)] == 0.0 for i in range(100))
+
+
 def test_near_dedup_minhash_drops_losers(dup_docs):
     kept = D.near_dedup_minhash(dup_docs, "text", "doc_id",
                                 jaccard_max_distance=0.5)
