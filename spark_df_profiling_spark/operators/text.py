@@ -105,6 +105,72 @@ def fingerprint_min_shingle(col: str) -> Column:
             md5(`{col}`))""")
 
 
+# --- rolling hash + winnowing fingerprints ---------------------------------
+# Polynomial (Rabin-Karp) base/modulus chosen so every intermediate stays
+# < 2^38 — Spark 4 runs ANSI mode where BIGINT overflow RAISES, so the
+# classic "let it wrap mod 2^64" trick is off the table; a sub-2^31 prime
+# modulus keeps h*B + c exact in both Spark and DuckDB.
+_RH_BASE = 131
+_RH_MOD = 1_000_000_007
+
+
+def rolling_hash(col) -> Column:
+    """Polynomial rolling hash of the whole string (Rabin-Karp form).
+
+    h = (((c0*B + c1)*B + c2)...) mod M over character codes — the same
+    recurrence a rolling-window matcher extends/retracts in O(1).  One
+    interpreted pass over the char array (O(n)); identical arithmetic is
+    SQL-expressible in DuckDB for the oracle.
+    """
+    c = _c(col)
+    return F.aggregate(
+        F.split(c, ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * _RH_BASE + F.ascii(ch)) % _RH_MOD)
+
+
+def winnow_fingerprints(col, k: int = 5, w: int = 4) -> Column:
+    """MOSS-style winnowing fingerprint set (array<bigint>, sorted).
+
+    1. hash every k-gram of characters with the polynomial rolling hash;
+    2. slide a window of ``w`` consecutive k-gram hashes, keep each
+       window's minimum;
+    3. the distinct minima are the document's fingerprints.
+
+    Guarantee (Schleimer/Wilkerson/Aiken 2003): any shared substring of
+    length >= w+k-1 between two documents yields at least one shared
+    fingerprint, so fingerprint overlap lower-bounds copied content.
+    Documents shorter than k+w-1 chars fall back to the whole-string
+    hash.  All arrays are let-bound once (higher-order functions are
+    interpreted — no CSE), so cost is O(n*k) per document, constant
+    memory beyond the char array.
+    """
+    c = _c(col)
+    chars = F.split(c, "")
+    # k-gram hash at position i (0-based): fold over the k chars
+    kgram = (
+        "transform(sequence(0, size(chars) - %d), "
+        " i -> aggregate(slice(chars, i + 1, %d), 0L, "
+        "      (acc, ch) -> (acc * %d + ascii(ch)) %% %d))"
+        % (k, k, _RH_BASE, _RH_MOD))
+    windowed = (
+        "transform(sequence(0, size(kh) - %d), "
+        " j -> array_min(slice(kh, j + 1, %d)))" % (w, w))
+    inner = (
+        "element_at(transform(array(%s), kh -> "
+        " CASE WHEN size(kh) >= %d THEN array_sort(array_distinct(%s)) "
+        "      ELSE array_sort(array_distinct(kh)) END), 1)"
+        % (kgram, w, windowed))
+    expr = ("element_at(transform(array(split({src}, '')), chars -> "
+            " CASE WHEN size(chars) >= %d THEN %s END), 1)"
+            % (k, inner))
+    whole = F.array(rolling_hash(col))
+    src = _sql(col) if isinstance(col, str) else None
+    if src is None:
+        raise TypeError("winnow_fingerprints requires a column name")
+    return F.coalesce(F.expr(expr.format(src=src)), whole)
+
+
 # --- language ID -----------------------------------------------------------
 STOPWORDS = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for"],

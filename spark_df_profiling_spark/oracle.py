@@ -584,6 +584,37 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+@query("winnow_fingerprint", """
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+c AS (SELECT doc_id,
+             list_transform(string_split(text, ''), ch -> ord(ch)) AS codes
+      FROM d),
+kh AS (SELECT doc_id,
+              CASE WHEN len(codes) >= 5 THEN
+                  [list_reduce(list_prepend(CAST(0 AS BIGINT), codes[i:i+4]),
+                               (a, b) -> (a * 131 + b) % 1000000007)
+                   for i in range(1, len(codes) - 3)]
+              ELSE [list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+                                (a, b) -> (a * 131 + b) % 1000000007)]
+              END AS kh
+       FROM c),
+wf AS (SELECT doc_id,
+              CASE WHEN len(kh) >= 4 THEN
+                  list_distinct([list_min(kh[j:j+3])
+                                 for j in range(1, len(kh) - 2)])
+              ELSE list_distinct(kh) END AS fp
+       FROM kh)
+SELECT doc_id, unnest(fp) AS fp FROM wf
+""")
+def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style winnowing fingerprints (rolling k-gram hash, window
+    minima) — one row per (doc, fingerprint), order-insensitive."""
+    from spark_df_profiling_spark.operators import text as TX
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    return d.select("doc_id",
+                    F.explode(TX.winnow_fingerprints("text")).alias("fp"))
+
+
 # ---------------------------------------------------------------------------
 # Dedup: exact keep-first + stats (SURVEY §2.9 / north star)
 # ---------------------------------------------------------------------------

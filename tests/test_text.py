@@ -74,6 +74,38 @@ def test_fingerprint_properties(spark):
     assert len(rows[4]) == 32            # short text falls back to md5
 
 
+def test_rolling_hash_matches_python(spark):
+    texts = ["hello world this is a test", "ab", "x" * 40]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "id long, t string")
+    rows = {r["id"]: r["rh"] for r in df.select(
+        "id", TX.rolling_hash("t").alias("rh")).collect()}
+
+    def rh(s):
+        h = 0
+        for ch in s:
+            h = (h * TX._RH_BASE + ord(ch)) % TX._RH_MOD
+        return h
+
+    assert all(rows[i] == rh(t) for i, t in enumerate(texts))
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    # Schleimer et al.: sharing a substring of length >= w+k-1 (= 8 with
+    # k=5, w=4) guarantees at least one shared fingerprint.
+    common = "the quick brown fox jumps"
+    df = spark.createDataFrame(
+        [(1, "AAAA " + common + " BBBB"),
+         (2, "xyzzy plugh " + common + " grault"),
+         (3, "completely unrelated sentence content here")],
+        "id long, t string")
+    rows = {r["id"]: set(r["fp"]) for r in df.select(
+        "id", TX.winnow_fingerprints("t").alias("fp")).collect()}
+    assert rows[1] & rows[2]            # shared substring -> shared fp
+    assert not (rows[1] & rows[3]) or len(rows[1] & rows[3]) < len(
+        rows[1] & rows[2])              # unrelated docs share less
+
+
 def test_quality_score_bounds(docs):
     r = docs.select(
         F.min(TX.quality_score("text")).alias("mn"),
