@@ -105,6 +105,30 @@ def ann_lsh(corpus: DataFrame, queries: DataFrame,
             .where(F.col("rank") <= k))
 
 
+def embedding_near_dup_exact(df: DataFrame, id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             min_cosine: float = 0.995) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (id_a < id_b, cosine >= τ).
+
+    Brute-force self-join — O(n²) pairs, so this is the verification /
+    small-set path (e.g. within one dedup bucket or a sampled audit);
+    ``embedding_near_dup`` (LSH) is the 100 TB path.  The smaller side
+    is broadcast, so the corpus itself never shuffles.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
+                  l2_norm(F.col(vec_col)).alias("__na"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
+                  l2_norm(F.col(vec_col)).alias("__nb"))
+    # norms are computed once per ROW before the join — higher-order
+    # functions run interpreted, so recomputing them per PAIR would
+    # triple the dominant cost of the O(n^2) stage
+    return (a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    (dot(F.col("__va"), F.col("__vb"))
+                     / (F.col("__na") * F.col("__nb"))).alias("cosine_sim"))
+            .where(F.col("cosine_sim") >= min_cosine))
+
+
 def embedding_near_dup(df: DataFrame, id_col: str = "vec_id",
                        vec_col: str = "embedding",
                        min_cosine: float = 0.995) -> DataFrame:

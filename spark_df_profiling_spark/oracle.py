@@ -748,6 +748,60 @@ def embedding_norm_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("label"))
 
 
+@query("embedding_neardup_exact", f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+           FROM embeddings WHERE vec_id < 300),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v))
+              * sqrt(list_dot_product(b.v, b.v))) AS cos
+  FROM e a, e b WHERE a.vec_id < b.vec_id)
+SELECT id_a, id_b, {_psig('cos')} AS cos_s
+FROM p WHERE cos >= 0.40 ORDER BY id_a, id_b
+""")
+def embedding_neardup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (brute force, hash-checked).
+
+    The LSH variant (`minhash`/`ann_lsh` family) is the scale path; this
+    pins the exact pair semantics against an all-pairs DuckDB oracle.
+    """
+    from spark_df_profiling_spark.operators.similarity import (
+        embedding_near_dup_exact)
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    out = embedding_near_dup_exact(e, min_cosine=0.40)
+    return (out.select("id_a", "id_b",
+                       sig(F.col("cosine_sim")).alias("cos_s"))
+            .orderBy("id_a", "id_b"))
+
+
+@query("quality_score_by_lang", f"""
+WITH f AS (
+  SELECT lang,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+           / length(text) AS alpha,
+         least(length(text) / 200.0, 1.0) AS len_score,
+         list_reduce(list_transform(string_split(text, ' '),
+                                    t -> CAST(length(t) AS BIGINT)),
+                     (a, b) -> a + b)
+           / len(string_split(text, ' ')) AS atl
+  FROM documents)
+SELECT lang,
+       {_psig("avg(0.4 * alpha + 0.3 * len_score + 0.3 * "
+              "(CASE WHEN atl >= 2 AND atl <= 12 "
+              "THEN 1.0 ELSE 0.3 END))")} AS avg_quality
+FROM f GROUP BY lang ORDER BY lang
+""")
+def quality_score_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite text-quality score averaged per language (SURVEY §2.9
+    quality scoring) — identical arithmetic replicated in DuckDB."""
+    from spark_df_profiling_spark.operators import text as TX
+    d = _t(spark, sf_dir, "documents")
+    return (d.groupBy("lang")
+            .agg(sig(F.avg(TX.quality_score("text"))).alias("avg_quality"))
+            .orderBy("lang"))
+
+
 # ---------------------------------------------------------------------------
 # Windowed (streaming-identical) profile of events + JSON props stats
 # ---------------------------------------------------------------------------

@@ -71,3 +71,16 @@ def test_embedding_near_dup_finds_planted(planted):
     found_scaled = sum(1 for i in range(50) if (i, i + 2000) in got)
     assert found_pert >= 45
     assert found_scaled >= 45
+
+
+def test_embedding_near_dup_exact_finds_all_planted(planted):
+    pairs = SIM.embedding_near_dup_exact(planted, min_cosine=0.999)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # exact brute force misses NOTHING: every planted pair must appear
+    assert all((i, i + 1000) in got for i in range(50))
+    assert all((i, i + 2000) in got for i in range(50))
+    # and exact recall upper-bounds the LSH path
+    lsh = {(r["id_a"], r["id_b"])
+           for r in SIM.embedding_near_dup(planted, min_cosine=0.999)
+           .collect()}
+    assert lsh <= got
