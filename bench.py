@@ -112,6 +112,12 @@ def main() -> None:
     def bench_session_profile():
         SPARK_QUERIES["session_profile_events"](spark, sf_dir).collect()
 
+    def bench_asof_join():
+        SPARK_QUERIES["asof_click_attribution"](spark, sf_dir).collect()
+
+    def bench_range_join():
+        SPARK_QUERIES["range_join_event_windows"](spark, sf_dir).collect()
+
     benches = {
         "profile_lineitem": bench_profile_lineitem,
         "profile_core8": bench_profile_core8,
@@ -126,6 +132,8 @@ def main() -> None:
         "profile_documents": bench_profile_documents,
         "profile_embeddings": bench_profile_embeddings,
         "session_profile": bench_session_profile,
+        "asof_join": bench_asof_join,
+        "range_join": bench_range_join,
     }
 
     # Warm-up: JVM startup, parquet reader, and the profiling codepaths

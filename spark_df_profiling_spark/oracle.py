@@ -1210,6 +1210,71 @@ def rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("l_returnflag", "l_linestatus"))
 
 
+@query("asof_click_attribution", f"""
+WITH c AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tus
+           FROM events WHERE event_type = 'click'),
+v AS (SELECT event_id AS view_id, user_id, epoch_ns(ts) // 1000 AS tus
+      FROM events WHERE event_type = 'view')
+SELECT c.event_id, v.view_id,
+       {_psig('(c.tus - v.tus) / 1000000.0')} AS lag_s
+FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.tus >= v.tus
+ORDER BY c.event_id
+""")
+def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (click → latest prior view per user) vs DuckDB's native
+    ASOF LEFT JOIN — pins inclusive-tie, left-outer, latest-prior
+    semantics of `operators/joins.py::asof_join`."""
+    from spark_df_profiling_spark.operators.joins import asof_join
+    ev = _t(spark, sf_dir, "events")
+    # ts is epoch-NANOS long (see _t); integer-div to micros, which both
+    # engines treat exactly (no double rounding in the join keys)
+    c = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.expr("ts div 1000").alias("tus"))
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id",
+        F.expr("ts div 1000").alias("tus"))
+    out = asof_join(c, v, on="user_id", left_ts="tus")
+    return (out.select(
+        "event_id", F.col("r_view_id").alias("view_id"),
+        sig((F.col("tus") - F.col("r_tus")) / F.lit(1000000.0))
+        .alias("lag_s"))
+        .orderBy("event_id"))
+
+
+_EV_EPOCH_US = 1_704_067_200_000_000  # 2024-01-01 00:00:00 naive, micros
+
+
+@query("range_join_event_windows", f"""
+WITH iv AS (SELECT i AS iid,
+                   {_EV_EPOCH_US} + i * 14400000000 AS lo,
+                   {_EV_EPOCH_US} + i * 14400000000 + 21600000000 AS hi
+            FROM range(0, 186) t(i)),
+e AS (SELECT epoch_ns(ts) // 1000 AS tus, value FROM events)
+SELECT iid, count(*) AS cnt, {_psig('sum(e.value)')} AS sum_v
+FROM iv JOIN e ON e.tus >= iv.lo AND e.tus < iv.hi
+GROUP BY iid ORDER BY iid
+""")
+def range_join_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: events into OVERLAPPING 6h windows every 4h (each event
+    lands in 1-2 windows) — bucketed-equi-join plan vs DuckDB's plain
+    inequality join."""
+    from spark_df_profiling_spark.operators.joins import range_join_buckets
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(F.expr("ts div 1000").alias("tus"), "value")
+    iv = spark.range(0, 186).select(
+        F.col("id").alias("iid"),
+        (F.lit(_EV_EPOCH_US) + F.col("id") * F.lit(14_400_000_000))
+        .alias("lo"),
+        (F.lit(_EV_EPOCH_US) + F.col("id") * F.lit(14_400_000_000)
+         + F.lit(21_600_000_000)).alias("hi"))
+    joined = range_join_buckets(pts, iv, "tus", "lo", "hi",
+                                bucket_width=14_400_000_000.0)
+    return (joined.groupBy("iid")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 sig(F.sum("value")).alias("sum_v"))
+            .orderBy("iid"))
+
+
 # ---------------------------------------------------------------------------
 # Session windows (gap-based) — Spark session_window vs the classic
 # gaps-and-islands SQL; sliding windows; custom stateful streaming op.
