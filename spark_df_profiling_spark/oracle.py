@@ -1210,6 +1210,73 @@ def rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("l_returnflag", "l_linestatus"))
 
 
+@query("pivot_qty_by_status", f"""
+SELECT l_returnflag,
+       {_psig("sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END)")}
+         AS qty_F,
+       {_psig("sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END)")}
+         AS qty_O
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""")
+def pivot_qty_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (groupBy + pivot + agg) vs DuckDB conditional aggregation.
+
+    Pivot values are given explicitly — at scale the implicit
+    distinct-scan pass is an extra job, and explicit values keep the
+    output schema stable."""
+    li = _t(spark, sf_dir, "lineitem")
+    piv = (li.groupBy("l_returnflag")
+           .pivot("l_linestatus", ["F", "O"])
+           .agg(F.sum("l_quantity")))
+    return (piv.select("l_returnflag",
+                       sig(F.col("F")).alias("qty_F"),
+                       sig(F.col("O")).alias("qty_O"))
+            .orderBy("l_returnflag"))
+
+
+@query("cube_counts", """
+SELECT coalesce(l_returnflag, '<all>') AS l_returnflag,
+       coalesce(l_linestatus, '<all>') AS l_linestatus,
+       count(*) AS cnt
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+""")
+def cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (all 2^k grouping combinations) vs DuckDB."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.cube("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.coalesce(F.col("l_returnflag"), F.lit("<all>"))
+                    .alias("l_returnflag"),
+                    F.coalesce(F.col("l_linestatus"), F.lit("<all>"))
+                    .alias("l_linestatus"),
+                    F.col("cnt"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+@query("grouping_sets_counts", """
+SELECT coalesce(o_orderstatus, '<all>') AS o_orderstatus,
+       coalesce(o_orderpriority, '<all>') AS o_orderpriority,
+       count(*) AS cnt
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+ORDER BY o_orderstatus, o_orderpriority
+""")
+def grouping_sets_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither rollup nor cube shape) vs DuckDB."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__gs_orders")
+    return spark.sql("""
+        SELECT coalesce(o_orderstatus, '<all>') AS o_orderstatus,
+               coalesce(o_orderpriority, '<all>') AS o_orderpriority,
+               count(*) AS cnt
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        ORDER BY o_orderstatus, o_orderpriority
+    """)
+
+
 @query("asof_click_attribution", f"""
 WITH c AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tus
            FROM events WHERE event_type = 'click'),
