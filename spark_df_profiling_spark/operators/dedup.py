@@ -174,6 +174,13 @@ def minhash_candidates_native(df: DataFrame, text_col: str, id_col: str,
     exists for ml-free deployments and for its tunable banding, and
     distributes identically (the heavy stages are ordinary shuffles).
     """
+    if not (1 <= rows_per_band <= num_hashes) \
+            or num_hashes % rows_per_band != 0:
+        # a non-divisor would silently drop trailing hashes; > num_hashes
+        # gives b=0 and a descending sequence() building garbage keys
+        raise ValueError(
+            f"rows_per_band must divide num_hashes and lie in "
+            f"[1, {num_hashes}]: got {rows_per_band}")
     b = num_hashes // rows_per_band
     sh = (df.select(F.col(id_col).alias("id"),
                     shingle_expr(text_col, shingle_n).alias("sh"))
@@ -213,14 +220,71 @@ def minhash_candidates_native(df: DataFrame, text_col: str, id_col: str,
     return verified
 
 
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """(id, component) for every node in the (id_a, id_b) pair graph;
+    ``component`` is the smallest id reachable from the node.
+
+    Iterative min-label propagation: each round every node adopts the
+    minimum label among itself and its neighbors, converging in
+    graph-diameter rounds (near-dup clusters are dense — boilerplate
+    clusters are near-cliques — so diameter is small in practice; the
+    classic alternative for adversarially long chains is
+    large-star/small-star, O(log n) rounds).  Each round is one join +
+    one groupBy shuffle on node id; ``localCheckpoint`` truncates the
+    lineage so the plan doesn't grow across iterations.  Terminates
+    early when a round changes no label.
+    """
+    edges = pairs.select(F.col("id_a").alias("src"),
+                         F.col("id_b").alias("dst"))
+    edges = (edges.union(edges.select(F.col("dst").alias("src"),
+                                      F.col("src").alias("dst")))
+             .distinct().localCheckpoint(eager=False))
+    labels = (edges.select("src").distinct()
+              .select("src", F.col("src").alias("comp")))
+    for _ in range(max_iter):
+        nbr_min = (edges
+                   .join(labels.select(F.col("src").alias("dst"),
+                                       F.col("comp").alias("dst_comp")),
+                         on="dst")
+                   .groupBy("src")
+                   .agg(F.min("dst_comp").alias("nbr_comp")))
+        new_labels = (labels.join(nbr_min, on="src", how="left")
+                      .select("src",
+                              F.least(F.col("comp"),
+                                      F.coalesce("nbr_comp", "comp"))
+                              .alias("comp"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), on="src")
+                   .where(F.col("n.comp") != F.col("o.comp")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("src").alias("id"), "comp")
+
+
 def near_dedup_minhash(df: DataFrame, text_col: str, id_col: str,
+                       transitive: bool = True, native: bool = False,
                        **kwargs) -> DataFrame:
-    """Drop near-duplicates, keeping the smallest id of each near-dup
-    cluster (single-link via the candidate pair graph's min edge —
-    one pass, no iterative connected components; adequate for the
-    dominant case of pairwise/small clusters)."""
-    pairs = minhash_candidates(df, text_col, id_col, **kwargs)
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    """Drop near-duplicates, keeping exactly one row (the smallest id)
+    per near-dup CLUSTER.
+
+    ``transitive=True`` (default) closes the candidate-pair graph with
+    :func:`connected_components`, so a chain A~B~C keeps only A — the
+    correct semantics for boilerplate-heavy corpora where clusters are
+    large.  ``transitive=False`` is the cheaper one-pass single-link
+    approximation (drop every id that appears as the larger side of any
+    pair): correct for isolated pairs, over-drops on chains.
+    ``native=True`` uses the ml-free pure-SQL candidate generator.
+    """
+    gen = minhash_candidates_native if native else minhash_candidates
+    pairs = gen(df, text_col, id_col, **kwargs)
+    if transitive:
+        comp = connected_components(pairs.select("id_a", "id_b"))
+        losers = (comp.where(F.col("id") != F.col("comp"))
+                  .select(F.col("id").alias(id_col)))
+    else:
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, on=id_col, how="left_anti")
 
 
@@ -230,26 +294,39 @@ def near_dedup_minhash(df: DataFrame, text_col: str, id_col: str,
 def simhash64(text_col: str | Column, bits: int = 64) -> Column:
     """64-bit SimHash of whitespace tokens, entirely JVM-side.
 
-    Per token, ``xxhash64`` supplies the 64-bit hash; per bit position a
-    +1/-1 vote is aggregated with the higher-order ``aggregate`` over the
-    token array; the sign vector re-assembles into a BIGINT signature.
-    Near-dup pairs then satisfy ``bit_count(a ^ b) <= k``.
+    Per token, ``xxhash64`` supplies the 64-bit hash; ONE higher-order
+    ``aggregate`` pass folds all token hashes into a ``bits``-element
+    +1/-1 vote array (``zip_with`` against a bit-mask array); the sign
+    vector re-assembles into a BIGINT signature.  Near-dup pairs then
+    satisfy ``bit_count(a ^ b) <= k``.
+
+    Single-pass on purpose: interpreted higher-order functions don't
+    CSE, so the naive per-bit formulation re-walks the token array (and
+    re-evaluates the split+hash transform feeding it) 64 times —
+    O(64·tokens) interpreted work where one O(tokens) fold with a
+    64-wide accumulator suffices.
     """
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     tokens = F.split(F.lower(c), r"\s+")
     hashes = F.transform(tokens, lambda t: F.xxhash64(t))
-    sig = None
-    for b in range(bits):
-        vote = F.aggregate(
-            hashes, F.lit(0).cast("long"),
-            lambda acc, h: acc + F.when(
-                F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
-                F.lit(1)).otherwise(F.lit(-1)))
-        bit = F.when(vote > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long"))
-        term = F.shiftleft(bit, b)
-        sig = term if sig is None else sig.bitwiseOR(term)
-    return sig
+    # mask for bit b; the sign bit can't be written as a positive literal
+    masks = F.array(*[
+        F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
+        for b in range(bits)])
+    zero = F.array_repeat(F.lit(0).cast("long"), bits)
+    votes = F.aggregate(
+        hashes, zero,
+        lambda acc, h: F.zip_with(
+            acc, masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0,
+                                    F.lit(1)).otherwise(F.lit(-1))))
+    # vote > 0 -> bit set; OR the masks of the set bits back together
+    return F.aggregate(
+        F.zip_with(votes, masks,
+                   lambda v, m: F.when(v > 0, m)
+                   .otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x))
 
 
 def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,

@@ -32,7 +32,8 @@ def asof_join(left: DataFrame, right: DataFrame,
               left_ts: str = "ts", right_ts: Optional[str] = None,
               direction: str = "backward",
               tolerance: Optional[int] = None,
-              right_prefix: str = "r_") -> DataFrame:
+              right_prefix: str = "r_",
+              time_bucket: Optional[float] = None) -> DataFrame:
     """As-of join: latest (backward) / earliest (forward) right row per key.
 
     Semantics match DuckDB/pandas ``ASOF JOIN``: backward keeps, for each
@@ -40,7 +41,9 @@ def asof_join(left: DataFrame, right: DataFrame,
     (ties on the timestamp include the right row); forward the smallest
     ``right_ts >= left_ts``.  Unmatched left rows keep NULL right fields
     (left-outer).  ``tolerance`` (same units as the ts columns) nulls out
-    matches further away than the given gap.
+    matches further away than the given gap.  NULL timestamps never
+    match (DuckDB/pandas behavior): right rows with NULL ts are dropped,
+    left rows with NULL ts come back unmatched.
 
     Scale design: both sides are unioned with a side marker and windowed
     once — ONE shuffle on ``on`` + in-partition sort, no range-join blowup
@@ -49,9 +52,18 @@ def asof_join(left: DataFrame, right: DataFrame,
     (per-column lasts would blend different right rows when payload
     fields are legitimately NULL).
 
+    ``time_bucket`` is the skew escape: a bare ``partitionBy(keys)``
+    funnels a power-law key's entire history through one task.  When set
+    (numeric ts columns only), rows are windowed per ``(key, coarse time
+    bucket)`` instead, and a per-bucket carry table (one row per key ×
+    bucket, cumulatively propagated) provides the cross-bucket match, so
+    no task ever sees more than one hot-key bucket.  Same results,
+    bounded partitions.
+
     The ts columns keep their native type (no double cast — int64
-    epoch-nanos exceed double's 2^53 exact range); ``tolerance`` needs a
-    numeric ts column (convert timestamps to epoch first).
+    epoch-nanos exceed double's 2^53 exact range); ``tolerance`` and
+    ``time_bucket`` need a numeric ts column (convert timestamps to
+    epoch first).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward: {direction}")
@@ -63,32 +75,87 @@ def asof_join(left: DataFrame, right: DataFrame,
     if clash:
         raise ValueError(f"right_prefix collides with left columns: {clash}")
 
+    # NULL right timestamps must never become a match (they'd sort NULLS
+    # FIRST under asc and shadow "no predecessor" with a real payload)
+    right = right.where(F.col(right_ts).isNotNull())
+
     rstruct = F.struct(F.col(right_ts).alias("__rts"),
                        *[F.col(c) for c in payload])
+    rtype = right.select(rstruct).schema[0].dataType
     l2 = left.select(*[F.col(c) for c in left.columns],
                      F.col(left_ts).alias("__ts"),
                      F.lit(1).alias("__side"),
-                     F.lit(None).cast(
-                         right.select(rstruct).schema[0].dataType
-                         .simpleString()).alias("__r"))
+                     F.lit(None).cast(rtype).alias("__r"))
+    # DataType objects passed straight to cast (no simpleString round-trip
+    # — DDL-unparseable column names would break it), fields from
+    # left.schema so duplicate names don't collapse as they would in a dict
     r2 = right.select(*[F.col(k) for k in keys],
-                      *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
-                        for c in left.columns if c not in keys],
+                      *[F.lit(None).cast(f.dataType).alias(f.name)
+                        for f in left.schema.fields if f.name not in keys],
                       F.col(right_ts).alias("__ts"),
                       F.lit(0).alias("__side"),
                       rstruct.alias("__r")).select(*l2.columns)
+    both = l2.unionByName(r2)
 
     # at equal ts the right row must sort first so the left row sees it
-    # (ASOF's >= / <= is inclusive) — side 0 < 1 handles both directions
-    order = ([F.asc("__ts"), F.asc("__side")] if direction == "backward"
-             else [F.desc("__ts"), F.asc("__side")])
-    w = (Window.partitionBy(*keys).orderBy(*order)
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    matched = (l2.unionByName(r2)
-               .withColumn("__m", F.last("__r", ignorenulls=True).over(w))
-               .where(F.col("__side") == 1))
+    # (ASOF's >= / <= is inclusive) — side 0 < 1 handles both directions.
+    # carry rows (side -1, skew path) sort before everything in a bucket.
+    backward = direction == "backward"
+    if time_bucket is None:
+        order = ([F.asc("__ts"), F.asc("__side")] if backward
+                 else [F.desc("__ts"), F.asc("__side")])
+        w = (Window.partitionBy(*keys).orderBy(*order)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        matched = (both
+                   .withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+                   .where(F.col("__side") == 1))
+    else:
+        bkt = F.floor(F.col("__ts").cast("double") / F.lit(float(time_bucket)))
+        both = both.withColumn("__bkt", bkt)
+        # per-(key,bucket) best right row — the struct sorts by __rts first,
+        # so max/min over it picks the latest/earliest right row atomically
+        agg = (F.max("__r") if backward else F.min("__r")).alias("__lastr")
+        per_bucket = (both.where(F.col("__side") == 0)
+                      .groupBy(*keys, "__bkt").agg(agg))
+        # cumulative carry: for each bucket either side touches, the best
+        # right row from all STRICTLY earlier (backward) / later (forward)
+        # buckets.  One row per (key, bucket) — tiny even for a hot key.
+        all_buckets = both.select(*keys, "__bkt").distinct()
+        corder = F.asc("__bkt") if backward else F.desc("__bkt")
+        cw = (Window.partitionBy(*keys).orderBy(corder)
+              .rowsBetween(Window.unboundedPreceding, -1))
+        carries = (all_buckets
+                   .join(per_bucket, [*keys, "__bkt"], "left")
+                   .withColumn("__r", F.last("__lastr", ignorenulls=True)
+                               .over(cw))
+                   .where(F.col("__r").isNotNull())
+                   .select(*keys, "__bkt",
+                           *[F.lit(None).cast(f.dataType).alias(f.name)
+                             for f in left.schema.fields
+                             if f.name not in keys],
+                           # carry sorts before any real row in its bucket:
+                           # backward asc → ts = bucket start, side -1;
+                           # forward desc → ts = bucket end, side -1
+                           (F.col("__bkt").cast("double")
+                            * F.lit(float(time_bucket))
+                            + (F.lit(0.0) if backward
+                               else F.lit(float(time_bucket))))
+                           .cast(both.schema["__ts"].dataType).alias("__ts"),
+                           F.lit(-1).alias("__side"),
+                           F.col("__r")).select(*both.columns))
+        order = ([F.asc("__ts"), F.asc("__side")] if backward
+                 else [F.desc("__ts"), F.asc("__side")])
+        w = (Window.partitionBy(*keys, "__bkt").orderBy(*order)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        matched = (both.unionByName(carries)
+                   .withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+                   .where(F.col("__side") == 1)
+                   .drop("__bkt"))
+    # a left row with NULL ts has no predecessor/successor by definition
+    matched = matched.withColumn(
+        "__m", F.when(F.col("__ts").isNotNull(), F.col("__m")))
     if tolerance is not None:
-        gap = (F.col("__ts") - F.col("__m.__rts") if direction == "backward"
+        gap = (F.col("__ts") - F.col("__m.__rts") if backward
                else F.col("__m.__rts") - F.col("__ts"))
         matched = matched.withColumn(
             "__m", F.when(gap <= F.lit(tolerance), F.col("__m")))
@@ -112,14 +179,25 @@ def range_join_buckets(points: DataFrame, intervals: DataFrame,
     the residual filter, narrower multiplies the interval explosion.
     Overlapping intervals are fine (a point matches each one it falls
     in, exactly once, since the point lives in a single bucket).
+    Degenerate intervals (``end <= start``) are dropped up front — they
+    can match nothing, and an inverted ``sequence()`` would otherwise
+    run DESCENDING and explode spurious buckets.
     """
     p = points.withColumn(
         "__bkt", F.floor(F.col(point_col).cast("double") / bucket_width))
-    iv = intervals.withColumn("__bkt", F.explode(F.sequence(
-        F.floor(F.col(start_col).cast("double") / bucket_width),
-        # end is exclusive: the bucket containing `end` still overlaps
-        # [start, end) unless end sits exactly on the bucket edge
-        F.floor((F.col(end_col).cast("double") - 1e-9) / bucket_width))))
+    lo = F.floor(F.col(start_col).cast("double") / bucket_width)
+    # end is exclusive: the bucket containing `end` still overlaps
+    # [start, end) unless end sits exactly on the bucket edge.  Exact
+    # edge test, not an epsilon — an epsilon is magnitude-dependent (a
+    # no-op above ~4e6, e.g. epoch-micros data).
+    e = F.col(end_col).cast("double")
+    ebkt = F.floor(e / bucket_width)
+    hi = F.when(e == ebkt * F.lit(float(bucket_width)), ebkt - 1) \
+         .otherwise(ebkt)
+    iv = (intervals
+          .where(F.col(end_col) > F.col(start_col))
+          .withColumn("__bkt", F.explode(
+              F.sequence(lo, F.greatest(lo, hi)))))
     if broadcast_intervals:
         iv = F.broadcast(iv)
     return (p.join(iv, "__bkt")

@@ -242,10 +242,16 @@ def run_chunked_agg(df: DataFrame, exprs: list[str],
 
     Each chunk is one Spark job (one scan) issued as a single
     ``selectExpr`` — one py4j round-trip however many expressions the
-    chunk holds.  Chunks are submitted from a small thread pool: Spark
-    schedules concurrent jobs natively, so on a multi-core driver the
-    scans overlap; on a real cluster each chunk's tasks also fan out
-    across executors.  Returns merged {alias: value}.
+    chunk holds.  Chunks are submitted from ``pyspark.InheritableThread``
+    workers (NOT a plain ThreadPoolExecutor): in pinned-thread mode each
+    Python thread maps to its own JVM thread, so a bare pool thread would
+    silently drop the caller's job group / job description / scheduler
+    pool — InheritableThread copies those local properties, keeping the
+    chunk jobs attributable in the Spark UI and cancellable via the
+    user's ``cancelJobGroup``.  Spark schedules concurrent jobs natively,
+    so on a multi-core driver the scans overlap; on a real cluster each
+    chunk's tasks also fan out across executors.  Returns merged
+    {alias: value}.
     """
     out: dict[str, Any] = {}
     if not exprs:
@@ -260,11 +266,26 @@ def run_chunked_agg(df: DataFrame, exprs: list[str],
             chunks.append(es[start:start + step])
     if len(chunks) == 1:
         return df.selectExpr(*chunks[0]).collect()[0].asDict()
-    from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(max_workers=min(8, len(chunks))) as pool:
-        for row in pool.map(lambda ch: df.selectExpr(*ch).collect()[0],
-                            chunks):
-            out.update(row.asDict())
+    from pyspark import InheritableThread
+    rows: list[Any] = [None] * len(chunks)
+    errs: list[BaseException] = []
+
+    def _run(idx: int, ch: list[str]) -> None:
+        try:
+            rows[idx] = df.selectExpr(*ch).collect()[0]
+        except BaseException as e:  # re-raised on the caller thread
+            errs.append(e)
+
+    threads = [InheritableThread(target=_run, args=(i, ch))
+               for i, ch in enumerate(chunks)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errs:
+        raise errs[0]
+    for row in rows:
+        out.update(row.asDict())
     return out
 
 

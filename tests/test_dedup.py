@@ -102,3 +102,60 @@ def test_ngram_jaccard_exact_values(spark, dup_docs):
     for i in range(100):
         assert rows[(i, i + 1000)] == pytest.approx(1.0)  # exact copies
         assert 0.5 < rows[(i, i + 2000)] < 1.0  # one-token mutation
+
+
+def test_simhash_pinned_signatures(spark):
+    # fixture pin: the single-pass (fold-once) formulation must produce
+    # the exact signatures of the per-bit formulation it replaced
+    df = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog",),
+         ("hello world",), ("a",), ("",)], "text string")
+    got = {r["text"]: r["sig"] for r in
+           df.select("text", D.simhash64("text").alias("sig")).collect()}
+    assert got == {
+        "the quick brown fox jumps over the lazy dog":
+            -7573889167326994222,
+        "hello world": 4828021670264516882,
+        "a": -8582455328737087284,
+        "": -7444071767201028348,
+    }
+
+
+def test_minhash_native_validates_rows_per_band(dup_docs):
+    for bad in (0, 3, 17, -1):
+        with pytest.raises(ValueError):
+            D.minhash_candidates_native(dup_docs, "text", "doc_id",
+                                        num_hashes=16, rows_per_band=bad)
+
+
+def test_connected_components_chain_and_star(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),        # chain 1-2-3-4
+         (10, 30), (20, 30),            # star via shared node
+         (100, 200)],                   # isolated pair
+        "id_a long, id_b long")
+    comp = {r["id"]: r["comp"]
+            for r in D.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1,
+                    10: 10, 20: 10, 30: 10,
+                    100: 100, 200: 100}
+
+
+def test_near_dedup_transitive_chain_one_survivor(spark):
+    # planted A~B~C chain: A~B and B~C are near-dups, A~C is not;
+    # transitive closure must keep exactly one survivor (A)
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliett kilo lima mike november oscar papa quebec romeo "
+            "sierra tango uniform victor whiskey xray yankee zulu").split()
+    a = " ".join(base)
+    b = " ".join(base[:-5] + ["one", "two", "three", "four", "five"])
+    c = " ".join(["six", "seven", "eight", "nine", "ten"] + base[5:-5]
+                 + ["one", "two", "three", "four", "five"])
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)],
+                               "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]) for r in D.minhash_candidates_native(
+        df, "text", "doc_id", jaccard_max_distance=0.5).collect()}
+    assert pairs == {(1, 2), (2, 3)}  # the chain, no A~C edge
+    kept = D.near_dedup_minhash(df, "text", "doc_id", transitive=True,
+                                native=True, jaccard_max_distance=0.5)
+    assert [r["doc_id"] for r in kept.collect()] == [1]

@@ -103,3 +103,97 @@ def test_range_join_plan_is_hash_join(spark):
     plan = J.range_join_buckets(pts, ivs, "x", "lo", "hi", 16)._jdf \
         .queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_asof_null_timestamps_never_match(spark):
+    # right NULL ts must not become anyone's match; left NULL ts stays
+    # unmatched (DuckDB/pandas ASOF semantics)
+    t = spark.createDataFrame([(1, 5), (1, None), (1, 100)],
+                              "k int, ts long")
+    q = spark.createDataFrame([(1, None, 99), (1, 50, 7)],
+                              "k int, ts long, px int")
+    rows = {r["ts"]: (r["r_ts"], r["r_px"])
+            for r in J.asof_join(t, q, on="k").collect()}
+    assert rows[5] == (None, None)       # no real predecessor
+    assert rows[None] == (None, None)    # NULL left ts: unmatched
+    assert rows[100] == (50, 7)
+
+
+def test_asof_time_bucketed_matches_plain(trades_quotes):
+    t, q, expect = trades_quotes
+    out = J.asof_join(t, q, on="sym", time_bucket=500.0).collect()
+    assert len(out) == len(expect)
+    for r in out:
+        want = expect[(r["sym"], r["ts"], r["trade_id"])]
+        got = None if r["r_ts"] is None else (r["r_ts"], r["r_quote_px"])
+        assert got == want
+
+
+def test_asof_time_bucketed_hot_key(spark):
+    # planted hot key: one key owns most rows; bucketed path must still
+    # match the naive per-key python oracle, both directions
+    rng = random.Random(3)
+    trades = [("HOT" if i % 10 else f"cold{i}", rng.randint(0, 100_000), i)
+              for i in range(2000)]
+    # unique quote ts per key: duplicate (key, ts) quotes would make the
+    # asof tie-break between two right rows nondeterministic
+    uniq_ts = rng.sample(range(0, 100_000), 1500)
+    quotes = [("HOT" if j % 10 else f"cold{j}", uniq_ts[j], j)
+              for j in range(1500)]
+    t = spark.createDataFrame(trades, "sym string, ts long, trade_id long")
+    q = spark.createDataFrame(quotes, "sym string, ts long, qid long")
+    by_sym = {}
+    for sym, ts, qid in quotes:
+        by_sym.setdefault(sym, []).append((ts, qid))
+    for direction in ("backward", "forward"):
+        expect = {}
+        for sym, ts, tid in trades:
+            best = None
+            for qts, qid in by_sym.get(sym, []):
+                if direction == "backward":
+                    ok = qts <= ts and (best is None or qts > best[0] or
+                                        (qts == best[0] and qid > best[1]))
+                else:
+                    ok = qts >= ts and (best is None or qts < best[0] or
+                                        (qts == best[0] and qid > best[1]))
+                if ok:
+                    best = (qts, qid)
+            expect[tid] = None if best is None else best[0]
+        out = J.asof_join(t, q, on="sym", direction=direction,
+                          time_bucket=5_000.0).collect()
+        assert len(out) == len(trades)
+        for r in out:
+            assert r["r_ts"] == expect[r["trade_id"]], \
+                f"{direction} trade {r['trade_id']}"
+
+
+def test_range_join_degenerate_and_edge_intervals(spark):
+    # empty/inverted intervals match nothing (and must not explode
+    # descending bucket sequences); end exactly on a bucket edge must not
+    # pull in the next bucket
+    pts = spark.createDataFrame([(1, 5), (2, 16), (3, 31)],
+                                "pid long, x long")
+    ivs = spark.createDataFrame(
+        [(1, 0, 16),    # end on bucket edge (width 16): covers x<16 only
+         (2, 10, 10),   # empty
+         (3, 40, 20),   # inverted
+         (4, 30, 32)],  # normal
+        "iid long, lo long, hi long")
+    got = {(r["pid"], r["iid"]) for r in J.range_join_buckets(
+        pts, ivs, "x", "lo", "hi", bucket_width=16).collect()}
+    assert got == {(1, 1), (3, 4)}
+
+
+def test_range_join_large_magnitude_epoch_micros(spark):
+    # epoch-microsecond magnitudes (~1.7e18? no — 1.7e15) where the old
+    # 1e-9 epsilon was a no-op; exact edge arithmetic must still exclude
+    # an end sitting on a bucket edge
+    base = 1_700_000_000_000_000  # epoch micros
+    w = 1_000_000.0
+    pts = spark.createDataFrame([(1, base + 999_999), (2, base + 1_000_000)],
+                                "pid long, x long")
+    ivs = spark.createDataFrame([(1, base, base + 1_000_000)],
+                                "iid long, lo long, hi long")
+    got = {(r["pid"], r["iid"]) for r in J.range_join_buckets(
+        pts, ivs, "x", "lo", "hi", bucket_width=w).collect()}
+    assert got == {(1, 1)}

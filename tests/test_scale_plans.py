@@ -9,13 +9,20 @@ from spark_df_profiling_spark import ProfileConfig, profile
 def _job_count(spark, fn):
     """Count Spark jobs triggered by fn(), across ALL threads.
 
-    Uses the DAGScheduler's global job-id counter (job groups are
-    thread-local, and run_chunked_agg submits chunks from a pool).
+    Public-API probe: tag the calling thread with a unique job group —
+    run_chunked_agg's InheritableThread workers inherit it — then count
+    via statusTracker().getJobIdsForGroup (stable API, unlike the
+    DAGScheduler job-id counter).
     """
+    import uuid
     sc = spark.sparkContext
-    before = sc._jsc.sc().dagScheduler().nextJobId()
-    fn()
-    return sc._jsc.sc().dagScheduler().nextJobId() - before
+    group = f"job-count-probe-{uuid.uuid4().hex}"
+    sc.setJobGroup(group, "job-count probe")
+    try:
+        fn()
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    return len(sc.statusTracker().getJobIdsForGroup(group))
 
 
 def test_profile_job_count(spark, lineitem):
