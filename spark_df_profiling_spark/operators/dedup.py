@@ -241,6 +241,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
              .distinct().localCheckpoint(eager=False))
     labels = (edges.select("src").distinct()
               .select("src", F.col("src").alias("comp")))
+    changed = -1
     for _ in range(max_iter):
         nbr_min = (edges
                    .join(labels.select(F.col("src").alias("dst"),
@@ -260,6 +261,16 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # silently returning partial labels would make transitive dedup
+        # keep several survivors per cluster with no sign anything broke
+        import warnings
+        warnings.warn(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); returned components are "
+            f"an under-merge — raise max_iter (diameter-bound) or switch "
+            f"to large-star/small-star for adversarially long chains",
+            RuntimeWarning, stacklevel=2)
     return labels.select(F.col("src").alias("id"), "comp")
 
 
@@ -291,14 +302,33 @@ def near_dedup_minhash(df: DataFrame, text_col: str, id_col: str,
 # ---------------------------------------------------------------------------
 # SimHash (pure built-in expressions, no UDF)
 # ---------------------------------------------------------------------------
-def simhash64(text_col: str | Column, bits: int = 64) -> Column:
+def _token_hash64(token: Column, hash_fn: str) -> Column:
+    """64-bit per-token hash.  ``xxhash64`` is the fast JVM default;
+    ``md5`` takes the first 16 hex chars of md5 — slower (string ops)
+    but reproducible in any engine with an md5(), which is what makes
+    the DuckDB oracle for simhash possible.  The two 32-bit halves are
+    converted separately (``conv`` is exact below 2^32) and recombined
+    with shift/or — the wrap into a signed long reproduces the unsigned
+    bit pattern, which is all SimHash needs."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(token)
+    if hash_fn == "md5":
+        h = F.md5(token)
+        hi = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+        return F.shiftleft(hi, 32).bitwiseOR(lo)
+    raise ValueError(f"hash_fn must be xxhash64|md5: {hash_fn}")
+
+
+def simhash64(text_col: str | Column, bits: int = 64,
+              hash_fn: str = "xxhash64") -> Column:
     """64-bit SimHash of whitespace tokens, entirely JVM-side.
 
-    Per token, ``xxhash64`` supplies the 64-bit hash; ONE higher-order
-    ``aggregate`` pass folds all token hashes into a ``bits``-element
-    +1/-1 vote array (``zip_with`` against a bit-mask array); the sign
-    vector re-assembles into a BIGINT signature.  Near-dup pairs then
-    satisfy ``bit_count(a ^ b) <= k``.
+    Per token, :func:`_token_hash64` supplies the 64-bit hash; ONE
+    higher-order ``aggregate`` pass folds all token hashes into a
+    ``bits``-element +1/-1 vote array (``zip_with`` against a bit-mask
+    array); the sign vector re-assembles into a BIGINT signature.
+    Near-dup pairs then satisfy ``bit_count(a ^ b) <= k``.
 
     Single-pass on purpose: interpreted higher-order functions don't
     CSE, so the naive per-bit formulation re-walks the token array (and
@@ -308,7 +338,7 @@ def simhash64(text_col: str | Column, bits: int = 64) -> Column:
     """
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     tokens = F.split(F.lower(c), r"\s+")
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    hashes = F.transform(tokens, lambda t: _token_hash64(t, hash_fn))
     # mask for bit b; the sign bit can't be written as a positive literal
     masks = F.array(*[
         F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
@@ -331,7 +361,8 @@ def simhash64(text_col: str | Column, bits: int = 64) -> Column:
 
 def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
                        max_hamming: int = 3,
-                       n_bands: int = 4) -> DataFrame:
+                       n_bands: int = 4,
+                       hash_fn: str = "xxhash64") -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming.
 
     Banding: the 64-bit signature splits into ``n_bands`` equal slices; a
@@ -339,11 +370,22 @@ def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str,
     one full band (pigeonhole), so the self-join runs per band key — a
     bucket shuffle, not a cross join.  Verification computes the exact
     Hamming distance with ``bit_count(xor)``.
+
+    ``max_hamming`` must be <= ``n_bands - 1``: beyond that the
+    pigeonhole guarantee is void and pairs would be silently lost —
+    raise instead of returning an incomplete answer.
     """
+    if not 1 <= n_bands <= 64:
+        raise ValueError(f"n_bands must be in [1, 64]: {n_bands}")
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs n_bands >= {max_hamming + 1} "
+            f"(got {n_bands}): a pair with k differing bits is only "
+            f"guaranteed to share a band when k <= n_bands - 1")
     band_bits = 64 // n_bands
     mask = (1 << band_bits) - 1
     sig = df.select(F.col(id_col).alias("id"),
-                    simhash64(text_col).alias("sig"))
+                    simhash64(text_col, hash_fn=hash_fn).alias("sig"))
     bands = sig.select(
         "id", "sig",
         F.explode(F.array(*[

@@ -67,6 +67,10 @@ def asof_join(left: DataFrame, right: DataFrame,
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward: {direction}")
+    if time_bucket is not None and not time_bucket > 0:
+        # 0 would divide-to-Infinity, negative inverts bucket order —
+        # both produce silently wrong join output
+        raise ValueError(f"time_bucket must be > 0: {time_bucket}")
     keys = [on] if isinstance(on, str) else list(on)
     right_ts = right_ts or left_ts
     payload = [c for c in right.columns if c not in keys and c != right_ts]
@@ -110,7 +114,21 @@ def asof_join(left: DataFrame, right: DataFrame,
                    .withColumn("__m", F.last("__r", ignorenulls=True).over(w))
                    .where(F.col("__side") == 1))
     else:
-        bkt = F.floor(F.col("__ts").cast("double") / F.lit(float(time_bucket)))
+        ts_type = both.schema["__ts"].dataType.typeName()
+        int_ts = (ts_type in ("long", "integer", "short", "byte")
+                  and float(time_bucket).is_integer())
+        if int_ts:
+            # exact integer floor-division: int64 epoch-nanos exceed
+            # double's 2^53 exact range, so the double path can
+            # mis-bucket large timestamps.  `div` truncates toward
+            # zero; aligning the numerator down to a bucket multiple
+            # first makes it a true floor for negative ts too.
+            tb = int(time_bucket)
+            mod = f"(((__ts % {tb}) + {tb}) % {tb})"
+            bkt = F.expr(f"(__ts - {mod}) div {tb}")
+        else:
+            bkt = F.floor(F.col("__ts").cast("double")
+                          / F.lit(float(time_bucket)))
         both = both.withColumn("__bkt", bkt)
         # per-(key,bucket) best right row — the struct sorts by __rts first,
         # so max/min over it picks the latest/earliest right row atomically
@@ -136,10 +154,16 @@ def asof_join(left: DataFrame, right: DataFrame,
                            # carry sorts before any real row in its bucket:
                            # backward asc → ts = bucket start, side -1;
                            # forward desc → ts = bucket end, side -1
-                           (F.col("__bkt").cast("double")
-                            * F.lit(float(time_bucket))
-                            + (F.lit(0.0) if backward
-                               else F.lit(float(time_bucket))))
+                           # (integer multiply on the int path — an
+                           # inexact bkt*width above 2^53 could sort the
+                           # carry AFTER real rows and drop its match)
+                           ((F.col("__bkt") * F.lit(int(time_bucket))
+                             + F.lit(0 if backward else int(time_bucket)))
+                            if int_ts else
+                            (F.col("__bkt").cast("double")
+                             * F.lit(float(time_bucket))
+                             + (F.lit(0.0) if backward
+                                else F.lit(float(time_bucket)))))
                            .cast(both.schema["__ts"].dataType).alias("__ts"),
                            F.lit(-1).alias("__side"),
                            F.col("__r")).select(*both.columns))

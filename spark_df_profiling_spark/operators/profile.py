@@ -400,17 +400,18 @@ def profile_many(dfs: dict[str, DataFrame],
 
     Each profile is only ~3 Spark actions whose cluster work is brief;
     the wall-clock is dominated by per-table plan compilation, which is
-    driver-side and embarrassingly parallel.  Running profiles from a
-    thread pool overlaps planning with execution across tables (Spark's
-    scheduler handles concurrent jobs natively — FAIR scheduling
-    recommended on shared clusters).
+    driver-side and embarrassingly parallel.  Profiles run on
+    ``InheritableThread`` workers (same rationale as
+    ``run_chunked_agg``: pinned-thread mode maps Python threads to JVM
+    threads, so plain pool threads would drop the caller's job group /
+    description / scheduler pool — breaking Spark-UI attribution and
+    ``cancelJobGroup``).  Spark's scheduler handles concurrent jobs
+    natively — FAIR scheduling recommended on shared clusters.
     """
-    from concurrent.futures import ThreadPoolExecutor
+    from spark_df_profiling_spark.plans.wide_agg import run_inheritable
 
-    out: dict[str, ProfileResult] = {}
-    with ThreadPoolExecutor(max_workers=max_threads) as pool:
-        futures = {name: pool.submit(describe, df, cfg)
-                   for name, df in dfs.items()}
-        for name, fut in futures.items():
-            out[name] = fut.result()
-    return out
+    names = list(dfs)
+    results = run_inheritable(
+        [(lambda df=dfs[n]: describe(df, cfg)) for n in names],
+        max_concurrency=max_threads)
+    return dict(zip(names, results))

@@ -69,12 +69,20 @@ def knn_bruteforce(corpus: DataFrame, queries: DataFrame,
 def ann_lsh(corpus: DataFrame, queries: DataFrame,
             id_col: str = "vec_id", vec_col: str = "embedding",
             k: int = 10, bucket_length: float = 2.0,
-            num_tables: int = 4) -> DataFrame:
+            num_tables: int = 4, min_cosine: float = 0.0) -> DataFrame:
     """Approximate top-k via BucketedRandomProjectionLSH (Euclidean).
 
     Scale path: each query only meets corpus rows sharing an LSH bucket.
     Euclidean distance on L2-NORMALIZED vectors is monotone in cosine
     (d² = 2 − 2·cos), so normalizing first makes this a cosine ANN.
+
+    ``min_cosine`` bounds the candidate set: only neighbors with cosine
+    >= min_cosine can qualify, which caps the similarity-join volume by
+    DISTANCE, not just by bucket collisions — without it a skewed bucket
+    on a 100 TB corpus degenerates toward a giant join.  The default 0.0
+    (orthogonal) already halves the search space; raise it whenever the
+    use case tolerates a similarity floor.  Set -1.0 only for tiny
+    corpora where the full range is genuinely wanted.
     """
     from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
     from pyspark.ml.functions import array_to_vector
@@ -88,13 +96,17 @@ def ann_lsh(corpus: DataFrame, queries: DataFrame,
         return Normalizer(inputCol="__v", outputCol="__nv", p=2.0) \
             .transform(vec).select(idc, "__nv")
 
+    if not -1.0 <= min_cosine <= 1.0:
+        raise ValueError(f"min_cosine must be in [-1, 1]: {min_cosine}")
     cp, qp = prep(corpus, "neighbor_id"), prep(queries, "query_id")
     lsh = BucketedRandomProjectionLSH(
         inputCol="__nv", outputCol="__h", seed=42,
         bucketLength=bucket_length, numHashTables=num_tables)
     model = lsh.fit(cp)
-    # threshold 2.0 covers the full cosine range on unit vectors
-    joined = model.approxSimilarityJoin(cp, qp, 2.0, distCol="__d") \
+    # on unit vectors d = sqrt(2 - 2*cos), so a cosine floor is exactly
+    # a Euclidean ceiling (same derivation as embedding_near_dup)
+    thresh = float((2.0 - 2.0 * min_cosine) ** 0.5)
+    joined = model.approxSimilarityJoin(cp, qp, thresh, distCol="__d") \
         .select(F.col("datasetB.query_id").alias("query_id"),
                 F.col("datasetA.neighbor_id").alias("neighbor_id"),
                 (1.0 - F.col("__d") * F.col("__d") / 2.0).alias("sim")) \

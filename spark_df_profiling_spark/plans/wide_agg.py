@@ -266,27 +266,51 @@ def run_chunked_agg(df: DataFrame, exprs: list[str],
             chunks.append(es[start:start + step])
     if len(chunks) == 1:
         return df.selectExpr(*chunks[0]).collect()[0].asDict()
+    rows = run_inheritable(
+        [(lambda ch=ch: df.selectExpr(*ch).collect()[0])
+         for ch in chunks])
+    for row in rows:
+        out.update(row.asDict())
+    return out
+
+
+def run_inheritable(fns: list, max_concurrency: int = 8) -> list:
+    """Run thunks on ``pyspark.InheritableThread`` workers, at most
+    ``max_concurrency`` at a time; returns results in input order.
+
+    InheritableThread (NOT a plain ThreadPoolExecutor) because in
+    pinned-thread mode each Python thread maps to its own JVM thread and
+    a bare pool thread silently drops the caller's job group / job
+    description / scheduler pool.  The semaphore bounds how many Spark
+    jobs are in flight at once — one unbounded thread per task would let
+    a very wide profile spike driver memory, py4j traffic and scheduler
+    contention.  The first failure is re-raised on the caller thread.
+    """
+    import threading
     from pyspark import InheritableThread
-    rows: list[Any] = [None] * len(chunks)
+
+    results: list[Any] = [None] * len(fns)
     errs: list[BaseException] = []
+    gate = threading.Semaphore(max_concurrency)
 
-    def _run(idx: int, ch: list[str]) -> None:
-        try:
-            rows[idx] = df.selectExpr(*ch).collect()[0]
-        except BaseException as e:  # re-raised on the caller thread
-            errs.append(e)
+    def _run(idx: int, fn) -> None:
+        with gate:
+            if errs:  # don't launch more jobs after a failure
+                return
+            try:
+                results[idx] = fn()
+            except BaseException as e:  # re-raised on the caller thread
+                errs.append(e)
 
-    threads = [InheritableThread(target=_run, args=(i, ch))
-               for i, ch in enumerate(chunks)]
+    threads = [InheritableThread(target=_run, args=(i, fn))
+               for i, fn in enumerate(fns)]
     for t in threads:
         t.start()
     for t in threads:
         t.join()
     if errs:
         raise errs[0]
-    for row in rows:
-        out.update(row.asDict())
-    return out
+    return results
 
 
 def stat_key(i: int, stat: str) -> str:

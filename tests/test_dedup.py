@@ -159,3 +159,54 @@ def test_near_dedup_transitive_chain_one_survivor(spark):
     kept = D.near_dedup_minhash(df, "text", "doc_id", transitive=True,
                                 native=True, jaccard_max_distance=0.5)
     assert [r["doc_id"] for r in kept.collect()] == [1]
+
+
+def test_simhash_band_contract_validated(dup_docs):
+    # pigeonhole guarantee: k differing bits need n_bands >= k+1 —
+    # silently losing pairs is worse than refusing
+    with pytest.raises(ValueError, match="max_hamming"):
+        D.simhash_near_pairs(dup_docs, "text", "doc_id",
+                             max_hamming=4, n_bands=4)
+    with pytest.raises(ValueError, match="n_bands"):
+        D.simhash_near_pairs(dup_docs, "text", "doc_id",
+                             max_hamming=0, n_bands=0)
+
+
+def test_simhash_md5_matches_python(spark):
+    # hash_fn='md5' exists so engines without xxhash64 (the DuckDB
+    # oracle) can replay signatures bit-for-bit; pin against a
+    # from-scratch Python reimplementation
+    import hashlib
+
+    def py_simhash(text):
+        votes = [0] * 64
+        for tok in text.lower().split():
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:16], 16)
+            for b in range(64):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        sig = sum(1 << b for b in range(64) if votes[b] > 0)
+        return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "lorem ipsum dolor sit amet consectetur",
+             "a b a b c"]
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "id long, text string")
+    got = {r["id"]: r["sig"] for r in df.select(
+        "id", D.simhash64("text", hash_fn="md5").alias("sig")).collect()}
+    assert got == {i: py_simhash(t) for i, t in enumerate(texts)}
+
+
+def test_simhash_bad_hash_fn():
+    with pytest.raises(ValueError, match="hash_fn"):
+        D.simhash64("text", hash_fn="sha1")
+
+
+def test_connected_components_warns_nonconverged(spark):
+    # 7-node path graph (diameter 6): min-label propagation moves one
+    # hop per round, so max_iter=1 cannot converge — must warn, not
+    # silently under-merge
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(6)],
+                                  "id_a long, id_b long")
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        D.connected_components(pairs, max_iter=1)

@@ -197,3 +197,41 @@ def test_range_join_large_magnitude_epoch_micros(spark):
     got = {(r["pid"], r["iid"]) for r in J.range_join_buckets(
         pts, ivs, "x", "lo", "hi", bucket_width=w).collect()}
     assert got == {(1, 1)}
+
+
+def test_asof_time_bucket_validated(spark):
+    t = spark.createDataFrame([(1, 100)], "k int, ts long")
+    q = spark.createDataFrame([(1, 90, 9)], "k int, ts long, px int")
+    for bad in (0, -5, -0.5):
+        with pytest.raises(ValueError, match="time_bucket"):
+            J.asof_join(t, q, on="k", time_bucket=bad)
+
+
+def test_asof_bucketed_exact_beyond_double_2_53(spark):
+    # int64 epoch-nano-style timestamps above double's 2^53 exact range:
+    # the integer bucketing path must keep exact asof semantics where a
+    # double round-trip could mis-bucket or sort the carry row after
+    # real rows (dropping its match)
+    base = 1 << 60
+    t = spark.createDataFrame(
+        [(1, base + 3), (1, base + 10), (1, base + 1_000_003)],
+        "k int, ts long")
+    q = spark.createDataFrame(
+        [(1, base + 5, 1), (1, base + 1_000_000, 2)],
+        "k int, ts long, qid int")
+    rows = {r["ts"] - base: r["r_qid"]
+            for r in J.asof_join(t, q, on="k",
+                                 time_bucket=1000).collect()}
+    # +3: no quote at or before; +10: quote at +5 (cross = same bucket);
+    # +1_000_003: quote at +1_000_000 carried across ~1000 buckets
+    assert rows == {3: None, 10: 1, 1_000_003: 2}
+
+
+def test_asof_bucketed_negative_int_ts(spark):
+    # integer floor-division path must floor (not truncate) for ts < 0
+    t = spark.createDataFrame([(1, -5), (1, 5)], "k int, ts long")
+    q = spark.createDataFrame([(1, -7, 1), (1, 2, 2)],
+                              "k int, ts long, qid int")
+    rows = {r["ts"]: r["r_qid"]
+            for r in J.asof_join(t, q, on="k", time_bucket=10).collect()}
+    assert rows == {-5: 1, 5: 2}

@@ -162,3 +162,35 @@ def test_profile_many_concurrent(spark, sf_dir):
     assert set(out) == set(names)
     assert out["orders"].variables.count() == 6
     assert out["region"].table["n"] == 5
+
+
+def test_run_inheritable_order_bound_and_errors(spark):
+    import threading
+    import time
+
+    from spark_df_profiling_spark.plans.wide_agg import run_inheritable
+
+    live, peak = 0, 0
+    lock = threading.Lock()
+
+    def mk(i):
+        def f():
+            nonlocal live, peak
+            with lock:
+                live += 1
+                peak = max(peak, live)
+            time.sleep(0.05)
+            with lock:
+                live -= 1
+            return i
+        return f
+
+    out = run_inheritable([mk(i) for i in range(10)], max_concurrency=3)
+    assert out == list(range(10))  # input order preserved
+    assert peak <= 3  # semaphore really bounds in-flight work
+
+    def boom():
+        raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError, match="boom"):
+        run_inheritable([boom])

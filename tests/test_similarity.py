@@ -84,3 +84,23 @@ def test_embedding_near_dup_exact_finds_all_planted(planted):
            for r in SIM.embedding_near_dup(planted, min_cosine=0.999)
            .collect()}
     assert lsh <= got
+
+
+def test_ann_lsh_min_cosine_validated(planted):
+    with pytest.raises(ValueError, match="min_cosine"):
+        SIM.ann_lsh(planted, planted.limit(1), min_cosine=1.5)
+
+
+def test_ann_lsh_min_cosine_bounds_candidates(planted):
+    # a cosine floor translates to a Euclidean ceiling on unit vectors;
+    # results within the floor must be unaffected, results below it gone
+    q = planted.where(F.col("vec_id") < 3)
+    lo = SIM.ann_lsh(planted, q, k=5, min_cosine=-1.0)
+    hi = SIM.ann_lsh(planted, q, k=5, min_cosine=0.999)
+    hi_rows = hi.collect()
+    assert all(r["sim"] >= 0.999 - 1e-9 for r in hi_rows)
+    lo_pairs = {(r["query_id"], r["neighbor_id"]): r["sim"]
+                for r in lo.collect()}
+    # every surviving high-floor pair exists in the unrestricted run
+    for r in hi_rows:
+        assert (r["query_id"], r["neighbor_id"]) in lo_pairs
