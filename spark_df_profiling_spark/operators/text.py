@@ -72,14 +72,18 @@ def punct_ratio(col) -> Column:
             - _kept_len(col, "A-Za-z0-9 ")) / F.length(_c(col))
 
 
-def avg_token_len(col) -> Column:
-    toks = F.split(_c(col), " ")
+def avg_token_len(col, toks: Column | None = None) -> Column:
+    """``toks`` lets callers pass a pre-bound ``split(col, ' ')`` array
+    (higher-order functions run interpreted with no CSE, so re-splitting
+    per consumer is a real cost — see :func:`text_features`)."""
+    if toks is None:
+        toks = F.split(_c(col), " ")
     return (F.aggregate(toks, F.lit(0).cast("long"),
                         lambda a, t: a + F.length(t)).cast("double")
             / F.size(toks))
 
 
-def fingerprint_min_shingle(col: str) -> Column:
+def fingerprint_min_shingle(col: str, toks_col: str | None = None) -> Column:
     """Document fingerprint: min MD5 over word 3-gram shingles.
 
     A single-hash MinHash — equal fingerprints ⇒ sharing the minimal
@@ -92,10 +96,13 @@ def fingerprint_min_shingle(col: str) -> Column:
     interpreted without common-subexpression elimination, so a naive
     ``split(col)[i]`` inside the per-shingle lambda would re-split the
     whole document for every shingle — O(tokens^2) per document.
+    ``toks_col`` names an already-materialized token-array column to use
+    instead of splitting (see :func:`text_features`).
     """
+    src = f"`{toks_col}`" if toks_col else f"split(`{col}`, ' ')"
     return F.expr(f"""
         coalesce(
-            element_at(transform(array(split(`{col}`, ' ')), toks ->
+            element_at(transform(array({src}), toks ->
                 CASE WHEN size(toks) >= 3 THEN
                     array_min(transform(
                         sequence(0, size(toks) - 3),
@@ -181,9 +188,15 @@ STOPWORDS = {
 CJK_REGEX = r"[一-鿿]"
 
 
-def lang_scores(col) -> dict[str, Column]:
-    """Stopword-hit count per language + CJK char count for zh."""
-    toks = F.split(F.lower(_c(col)), r"\s+")
+def lang_scores(col, toks: Column | None = None) -> dict[str, Column]:
+    """Stopword-hit count per language + CJK char count for zh.
+
+    ``toks`` lets callers pass a pre-bound ``split(lower(col), '\\s+')``
+    array: each per-language filter is an interpreted higher-order
+    function that would otherwise re-lowercase and re-split the whole
+    document (len(STOPWORDS) times per row)."""
+    if toks is None:
+        toks = F.split(F.lower(_c(col)), r"\s+")
     out: dict[str, Column] = {}
     for lang, words in STOPWORDS.items():
         wordset = F.array(*[F.lit(w) for w in words])
@@ -195,14 +208,15 @@ def lang_scores(col) -> dict[str, Column]:
     return out
 
 
-def lang_id(col, default: str = "und") -> Column:
+def lang_id(col, default: str = "und",
+            toks: Column | None = None) -> Column:
     """Deterministic heuristic language ID.
 
     argmax over per-language scores via array_max on (score, lang)
     structs — struct comparison orders by score then lang name, so ties
     break deterministically.  Returns ``default`` when no signal.
     """
-    scores = lang_scores(col)
+    scores = lang_scores(col, toks=toks)
     entries = F.array(*[
         F.struct(s.cast("long").alias("score"), F.lit(lang).alias("lang"))
         for lang, s in sorted(scores.items())])
@@ -210,13 +224,13 @@ def lang_id(col, default: str = "und") -> Column:
     return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit(default))
 
 
-def quality_score(col) -> Column:
+def quality_score(col, toks: Column | None = None) -> Column:
     """Composite quality in [0, 1]: favors alphabetic text with sane
     token lengths and some minimum length (heuristic, deterministic)."""
     c = _c(col)
     len_score = F.least(F.length(c) / F.lit(200.0), F.lit(1.0))
     alpha = alpha_ratio(col)
-    tok = avg_token_len(col)
+    tok = avg_token_len(col, toks=toks)
     tok_score = F.when((tok >= 2) & (tok <= 12), F.lit(1.0)) \
         .otherwise(F.lit(0.3))
     return (F.lit(0.4) * alpha + F.lit(0.3) * len_score
@@ -224,19 +238,37 @@ def quality_score(col) -> Column:
 
 
 def text_features(df: DataFrame, text_col: str) -> DataFrame:
-    """All per-document text features as additional columns."""
-    return df.select(
+    """All per-document text features as additional columns.
+
+    The two token arrays (whitespace split; lowercased ``\\s+`` split)
+    are materialized ONCE in a first projection and every interpreted
+    higher-order kernel references them.  Without this, each consumer
+    re-splits the document: avg_token_len + fingerprint + quality use
+    the ws array (3 splits), the per-language stopword filters use the
+    lowercased array (4 splits) — all interpreted, no CSE.  Catalyst's
+    CollapseProject keeps the two-stage shape because inlining would
+    duplicate a non-cheap expression referenced several times; the
+    regexp/length kernels stay whole-stage-codegen either way.
+    """
+    tws, tlc = "__tf_toks_ws", "__tf_toks_lc"
+    step = df.select(
         "*",
+        F.split(F.col(text_col), " ").alias(tws),
+        F.split(F.lower(F.col(text_col)), r"\s+").alias(tlc))
+    toks_ws, toks_lc = F.col(tws), F.col(tlc)
+    return step.select(
+        *df.columns,
         n_chars(text_col).alias("f_n_chars"),
-        n_tokens_ws(text_col).alias("f_n_tokens"),
+        F.size(toks_ws).alias("f_n_tokens"),
         n_tokens_bpe(text_col).alias("f_n_tokens_bpe"),
         alpha_ratio(text_col).alias("f_alpha_ratio"),
         digit_ratio(text_col).alias("f_digit_ratio"),
         space_ratio(text_col).alias("f_space_ratio"),
         upper_ratio(text_col).alias("f_upper_ratio"),
         punct_ratio(text_col).alias("f_punct_ratio"),
-        avg_token_len(text_col).alias("f_avg_token_len"),
-        fingerprint_min_shingle(text_col).alias("f_fingerprint"),
-        lang_id(text_col).alias("f_lang"),
-        quality_score(text_col).alias("f_quality"),
+        avg_token_len(text_col, toks=toks_ws).alias("f_avg_token_len"),
+        fingerprint_min_shingle(text_col, toks_col=tws)
+        .alias("f_fingerprint"),
+        lang_id(text_col, toks=toks_lc).alias("f_lang"),
+        quality_score(text_col, toks=toks_ws).alias("f_quality"),
     )

@@ -110,3 +110,17 @@ def test_grouped_profile(spark, lineitem):
         assert r["l_quantity__max"] <= 50.0
     with pytest.raises(ValueError):
         grouped_profile(lineitem, [])
+
+
+def test_text_features_binds_token_arrays_once(spark, sf_dir):
+    # interpreted higher-order kernels must reference the materialized
+    # token arrays, not re-split per consumer; CollapseProject would
+    # undo this if the arrays looked cheap to duplicate
+    from spark_df_profiling_spark.operators.text import text_features
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = text_features(d, "text")._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    assert plan.count("split(text#") <= 1, \
+        f"whitespace split duplicated:\n{plan}"
+    assert plan.count("split(lower(text") <= 1, \
+        f"lowercased split duplicated:\n{plan}"
