@@ -276,6 +276,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
 
 def near_dedup_minhash(df: DataFrame, text_col: str, id_col: str,
                        transitive: bool = True, native: bool = False,
+                       pre_collapse_exact: bool = True,
                        **kwargs) -> DataFrame:
     """Drop near-duplicates, keeping exactly one row (the smallest id)
     per near-dup CLUSTER.
@@ -287,16 +288,49 @@ def near_dedup_minhash(df: DataFrame, text_col: str, id_col: str,
     approximation (drop every id that appears as the larger side of any
     pair): correct for isolated pairs, over-drops on chains.
     ``native=True`` uses the ml-free pure-SQL candidate generator.
+
+    ``pre_collapse_exact`` (default on) first collapses EXACT text
+    duplicates with one hash-groupBy and runs MinHash on distinct texts
+    only.  Identical texts are Jaccard-distance-0 near-dups at any
+    threshold and each exact group's survivor is its min id — exactly
+    what the full pipeline would keep — so results are unchanged, but
+    the LSH join volume and the interpreted exact-Jaccard verification
+    shrink QUADRATICALLY in the duplication factor (a corpus where every
+    text appears 10× otherwise pushes 45 trivial within-copy pairs per
+    text through candidate generation and verification; real crawl
+    corpora are 30-60% exact dups).  Only texts with >= shingle_n
+    tokens collapse — shorter texts never enter the pair graph (MinHash
+    is undefined on empty shingle sets), so every copy of them survives,
+    matching the no-collapse path bit for bit.
     """
     gen = minhash_candidates_native if native else minhash_candidates
-    pairs = gen(df, text_col, id_col, **kwargs)
+    if not pre_collapse_exact:
+        pairs = gen(df, text_col, id_col, **kwargs)
+        if transitive:
+            comp = connected_components(pairs.select("id_a", "id_b"))
+            losers = (comp.where(F.col("id") != F.col("comp"))
+                      .select(F.col("id").alias(id_col)))
+        else:
+            losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        return df.join(losers, on=id_col, how="left_anti")
+
+    n = kwargs.get("shingle_n", 3)
+    work = df.select(id_col, text_col)
+    # null-safe: NULL text has no shingles -> never in the pair graph
+    eligible = F.coalesce(
+        F.size(F.split(F.col(text_col), r"\s+")) >= n, F.lit(False))
+    reps = exact_dedup(work.where(eligible), cols=[text_col],
+                       order_col=id_col)
+    pairs = gen(reps, text_col, id_col, **kwargs)
     if transitive:
         comp = connected_components(pairs.select("id_a", "id_b"))
         losers = (comp.where(F.col("id") != F.col("comp"))
                   .select(F.col("id").alias(id_col)))
     else:
         losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    return df.join(losers, on=id_col, how="left_anti")
+    kept = (reps.select(id_col).join(losers, on=id_col, how="left_anti")
+            .unionByName(work.where(~eligible).select(id_col)))
+    return df.join(kept, on=id_col, how="left_semi")
 
 
 # ---------------------------------------------------------------------------

@@ -11,6 +11,11 @@ output surfaces mirror the reference (``__init__.py::ProfileReport``):
 The reference renders matplotlib PNG histograms driver-side; here histograms
 are *data* (bin arrays in the profile DataFrame) rendered as inline SVG/CSS
 bars — no matplotlib dependency, nothing scale-dependent on the driver.
+
+Rendering is template-driven when jinja2 is importable (reference
+``templates.py`` ≈L5-15 + ``templates/*.html`` parity — same template
+names and section structure; see ``report/templates.py``), with a
+dependency-free string-builder fallback producing the same sections.
 """
 
 from __future__ import annotations
@@ -72,27 +77,30 @@ class ProfileReport:
 
 
 def alerts_for(row: dict[str, Any]) -> list[str]:
-    """Reference alert messages (templates.py::messages thresholds)."""
+    """Reference alert messages (templates.py::messages thresholds);
+    the message strings live in ``report.templates.MESSAGES``."""
+    from spark_df_profiling_spark.report.templates import MESSAGES
     out = []
     cls = row.get("type_class")
     if cls == "CONST":
-        out.append("is constant and should be ignored")
+        out.append(MESSAGES["CONST"])
     if cls == "CORR":
-        out.append(
-            f"is highly correlated with {row.get('corr_with')} "
-            f"(ρ = {row.get('corr_value'):.5f}) and should be ignored")
+        out.append(MESSAGES["CORR"].format(
+            corr_with=row.get("corr_with"),
+            corr_value=row.get("corr_value")))
     if (row.get("p_missing") or 0) > 0:
-        out.append(f"has {row['n_missing']} missing values "
-                   f"({100 * row['p_missing']:.1f}%)")
+        out.append(MESSAGES["missing"].format(
+            n_missing=row["n_missing"],
+            p_missing_pct=100 * row["p_missing"]))
     if (row.get("p_zeros") or 0) > P_ZEROS_CUTOFF:
-        out.append(f"has {row['n_zeros']} zeros "
-                   f"({100 * row['p_zeros']:.1f}%)")
+        out.append(MESSAGES["zeros"].format(
+            n_zeros=row["n_zeros"], p_zeros_pct=100 * row["p_zeros"]))
     if (row.get("skewness") or 0) > SKEWNESS_CUTOFF:
-        out.append("is highly skewed")
+        out.append(MESSAGES["skewed"].format(skewness=row["skewness"]))
     if cls == "CAT" and (row.get("distinct_count") or 0) \
             > HIGH_CARDINALITY_CUTOFF:
-        out.append(f"has a high cardinality: {row['distinct_count']} "
-                   "distinct values")
+        out.append(MESSAGES["cardinality"].format(
+            distinct_count=row["distinct_count"]))
     return out
 
 
@@ -109,8 +117,77 @@ def _fmt(v: Any) -> str:
     return _html.escape(str(v))
 
 
+def _row_context(r: dict[str, Any]) -> dict[str, Any]:
+    """Per-variable template context: alerts + precomputed freq rows
+    (incl. the reference's "Other values" / "(Missing)" buckets, C3-C4)
+    + histogram bars scaled to the tallest bin."""
+    n = r.get("n") or 1
+    raw = r.get("freq") or []
+    freq = []
+    for item in raw[:10]:
+        pct = 100.0 * item["cnt"] / n
+        freq.append({"value": item["value"], "cnt": item["cnt"],
+                     "pct": f"{pct:.1f}", "width": f"{min(100.0, pct):.1f}"})
+    shown = sum(item["cnt"] for item in raw[:10])
+    other = (r.get("count") or 0) - shown
+    n_other_distinct = (r.get("distinct_count") or 0) - len(raw[:10])
+    if other > 0 and n_other_distinct > 0:
+        pct = 100.0 * other / n
+        freq.append({"value": f"Other values ({n_other_distinct})",
+                     "cnt": other, "pct": f"{pct:.1f}",
+                     "width": f"{min(100.0, pct):.1f}"})
+    if (r.get("n_missing") or 0) > 0:
+        pct = 100.0 * r["n_missing"] / n
+        freq.append({"value": "(Missing)", "cnt": r["n_missing"],
+                     "pct": f"{pct:.1f}", "width": f"{min(100.0, pct):.1f}"})
+    hist = []
+    hb = r.get("histogram") or []
+    if hb:
+        peak = max(x["cnt"] for x in hb) or 1
+        for b in hb:
+            hist.append({
+                "title": f"[{b['bin_left']:.4g}, {b['bin_right']:.4g}): "
+                         f"{b['cnt']}",
+                "height": int(round(60.0 * b["cnt"] / peak))})
+    return {"r": r, "alerts": alerts_for(r), "freq": freq,
+            "mini_freq": freq[:3], "hist": hist}
+
+
+def _render_templated(desc) -> str:
+    """Jinja2 path: reference template registry, row dispatch by type."""
+    from spark_df_profiling_spark.report import templates as TPL
+    rows = [r.asDict(recursive=True) for r in desc.variables.collect()]
+    t = desc.table
+    warnings = [(r["column"], a) for r in rows for a in alerts_for(r)]
+    parts = [TPL.template("overview").render(
+        table=t, types=sorted(t["types"].items()), warnings=warnings)]
+    parts.append('<div class="section" id="variables">')
+    parts.append("<h1>Variables</h1>")
+    for r in rows:
+        name = TPL.ROW_TEMPLATES.get(r["type_class"], "row_obj")
+        parts.append(TPL.template(name).render(**_row_context(r)))
+    parts.append("</div>")
+    sample_rows = desc.sample.collect()
+    parts.append(TPL.template("sample").render(
+        columns=sample_rows[0].__fields__ if sample_rows else [],
+        rows=[list(sr) for sr in sample_rows]))
+    from markupsafe import Markup
+    return TPL.template("wrapper").render(content=Markup("\n".join(parts)))
+
+
 def render_html(desc) -> str:
-    """Assemble the overview / variables / sample sections (SURVEY §2.8)."""
+    """Assemble the overview / variables / sample sections (SURVEY §2.8).
+
+    Uses the reference-parity Jinja2 templates when jinja2 is importable,
+    else the dependency-free builder below (same sections)."""
+    from spark_df_profiling_spark.report import templates as TPL
+    if TPL.available():
+        return _render_templated(desc)
+    return _render_basic(desc)
+
+
+def _render_basic(desc) -> str:
+    """String-builder fallback (no jinja2): same three sections."""
     rows = [r.asDict(recursive=True) for r in desc.variables.collect()]
     t = desc.table
     parts = ["<h1>Overview</h1><table class='stats'>"]
@@ -171,6 +248,10 @@ def render_html(desc) -> str:
 
 
 def _wrap(content: str) -> str:
+    from spark_df_profiling_spark.report import templates as TPL
+    if TPL.available():
+        from markupsafe import Markup
+        return TPL.template("base").render(content=Markup(content))
     return ("<!doctype html><html><head><meta charset='utf-8'>"
             "<style>body{font-family:sans-serif;margin:2em}"
             "table.stats td{padding:2px 8px;border-bottom:1px solid #eee}"

@@ -210,3 +210,23 @@ def test_connected_components_warns_nonconverged(spark):
                                   "id_a long, id_b long")
     with pytest.warns(RuntimeWarning, match="did not converge"):
         D.connected_components(pairs, max_iter=1)
+
+
+def test_pre_collapse_exact_matches_plain_path(spark, dup_docs):
+    # the exact-dup pre-collapse must be invisible in the result: same
+    # survivors as the no-collapse pipeline on a corpus with exact
+    # copies, near-dups, AND a short text whose copies never shingle
+    shorts = spark.createDataFrame(
+        [(9001, "too short"), (9002, "too short"), (9003, None)],
+        "doc_id long, text string")
+    corpus = dup_docs.unionByName(shorts)
+    kw = dict(jaccard_max_distance=0.5, num_hashes=16)
+    a = {r["doc_id"] for r in D.near_dedup_minhash(
+        corpus, "text", "doc_id", transitive=True, native=True,
+        pre_collapse_exact=False, **kw).collect()}
+    b = {r["doc_id"] for r in D.near_dedup_minhash(
+        corpus, "text", "doc_id", transitive=True, native=True,
+        pre_collapse_exact=True, **kw).collect()}
+    assert a == b
+    # sub-shingle texts: every copy survives either way
+    assert {9001, 9002, 9003} <= b

@@ -1,0 +1,94 @@
+"""Scale rehearsal: run the flagship paths at ~10x the largest on-disk SF.
+
+The container only ships sf0.1 (~600k-row lineitem, 5k documents), so
+this replicates the parquet inputs in-memory (id-shifted unions — no
+files written) to push row counts past what the bench exercises:
+
+* profile() on a ~6M-row lineitem — chunked wide aggs, HLL sketches,
+  quantile pass, correlation expressions;
+* native MinHash near-dedup on documents x10 — each text appears 10
+  times, so every LSH band bucket is 10x denser (planted skew) and the
+  exact-duplicate path, bucket caps, and connected components all fire;
+* exact dedup + text_features on the same corpus.
+
+Findings go to BASELINE.md (run manually; not part of bench.py because
+the replication cost itself would dominate the headline metric).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+REPLICAS = 10
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+
+
+def replicate(df: DataFrame, id_cols: list[str], n: int) -> DataFrame:
+    """n id-shifted copies; unique ids keep keep-first semantics sane."""
+    shift = 10_000_000
+    out = df
+    for i in range(1, n):
+        out = out.unionByName(df.select(*[
+            (F.col(c) + i * shift).alias(c) if c in id_cols else F.col(c)
+            for c in df.columns]))
+    return out
+
+
+def main() -> None:
+    spark = (SparkSession.builder.master("local[32]")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory", "32g")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t = lambda name: spark.read.parquet(f"{SF_DIR}/{name}.parquet")
+
+    li = replicate(t("lineitem"), ["l_orderkey"], REPLICAS)
+    n_li = li.count()
+    from spark_df_profiling_spark import profile
+    t0 = time.time()
+    profile(li).collect()
+    t_profile = time.time() - t0
+    print(f"profile lineitem x{REPLICAS} ({n_li} rows): "
+          f"{t_profile:.1f}s", flush=True)
+
+    docs = replicate(t("documents"), ["doc_id"], REPLICAS)
+    n_docs = docs.count()
+
+    from spark_df_profiling_spark.operators.dedup import (
+        dedup_stats, exact_dedup, near_dedup_minhash)
+    t0 = time.time()
+    stats = dedup_stats(docs, cols=["text"]).collect()[0]
+    kept_exact = exact_dedup(docs, cols=["text"],
+                             order_col="doc_id").count()
+    t_exact = time.time() - t0
+    print(f"exact dedup docs x{REPLICAS} ({n_docs} rows): "
+          f"{t_exact:.1f}s  n_distinct={stats['n_distinct']} "
+          f"kept={kept_exact}", flush=True)
+
+    t0 = time.time()
+    kept = near_dedup_minhash(docs, "text", "doc_id", transitive=False,
+                              native=True, num_hashes=16,
+                              jaccard_max_distance=0.3).count()
+    t_near = time.time() - t0
+    print(f"near-dedup (native minhash) docs x{REPLICAS}: "
+          f"{t_near:.1f}s  kept={kept}", flush=True)
+
+    from spark_df_profiling_spark.operators.text import text_features
+    t0 = time.time()
+    text_features(docs, "text").select(
+        F.max("f_n_chars"), F.min("f_fingerprint"),
+        F.count_distinct("f_lang"), F.sum("f_quality")).collect()
+    t_text = time.time() - t0
+    print(f"text_features docs x{REPLICAS}: {t_text:.1f}s", flush=True)
+
+
+if __name__ == "__main__":
+    main()
