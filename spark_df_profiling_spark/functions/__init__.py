@@ -1,1 +1,51 @@
-"""Reusable column-expression builders (all JVM-side, no Python UDFs)."""
+"""Public column-function namespace (all JVM-side, no Python UDFs).
+
+``from spark_df_profiling_spark import functions as PF`` mirrors how
+``pyspark.sql.functions`` is used: every export is a Column-expression
+builder that composes inside ``select``/``agg``/``where`` and stays in
+whole-stage codegen (the higher-order ones run interpreted but remain
+JVM-side — no Python crossing).  These are re-exports of the kernels the
+operators are built from, so pipelines can mix them with their own
+expressions without importing operator modules individually.
+
+>>> df.select(PF.lang_id("text"), PF.quality_score("text"))
+>>> df.select(PF.simhash64("text").alias("sig"))
+>>> df.where(PF.cosine("emb_a", "emb_b") > 0.9)
+"""
+
+from __future__ import annotations
+
+from spark_df_profiling_spark.operators.dedup import (
+    content_hash,
+    simhash64,
+)
+from spark_df_profiling_spark.operators.similarity import (
+    cosine,
+    dot,
+    l2_norm,
+)
+from spark_df_profiling_spark.operators.text import (
+    alpha_ratio,
+    avg_token_len,
+    digit_ratio,
+    fingerprint_min_shingle,
+    lang_id,
+    lang_scores,
+    n_chars,
+    n_tokens_bpe,
+    n_tokens_ws,
+    punct_ratio,
+    quality_score,
+    rolling_hash,
+    space_ratio,
+    upper_ratio,
+    winnow_fingerprints,
+)
+
+__all__ = [
+    "alpha_ratio", "avg_token_len", "content_hash", "cosine",
+    "digit_ratio", "dot", "fingerprint_min_shingle", "l2_norm", "lang_id",
+    "lang_scores", "n_chars", "n_tokens_bpe", "n_tokens_ws", "punct_ratio",
+    "quality_score", "rolling_hash", "simhash64", "space_ratio",
+    "upper_ratio", "winnow_fingerprints",
+]

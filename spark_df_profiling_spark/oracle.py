@@ -313,22 +313,39 @@ def freq_other_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # D1/D2: temporal extrema + range (epoch seconds, tz-independent)
 # ---------------------------------------------------------------------------
-@query("date_minmax", """
-SELECT CAST(floor(epoch(min(l_shipdate))) AS BIGINT) AS min_epoch,
-       CAST(floor(epoch(max(l_shipdate))) AS BIGINT) AS max_epoch,
+_DATE_EPOCH_SUB = ("(SELECT CAST(floor(epoch(l_shipdate)) AS BIGINT) "
+                   "AS ep FROM lineitem)")
+
+
+@query("date_minmax", f"""
+SELECT 'minmax' AS part,
+       CAST(floor(epoch(min(l_shipdate))) AS BIGINT) AS v1,
+       CAST(floor(epoch(max(l_shipdate))) AS BIGINT) AS v2,
        CAST(floor(epoch(max(l_shipdate))) AS BIGINT)
-         - CAST(floor(epoch(min(l_shipdate))) AS BIGINT) AS range_seconds
+         - CAST(floor(epoch(min(l_shipdate))) AS BIGINT) AS v3
 FROM lineitem
+UNION ALL
+SELECT 'hist', bin, cnt, CAST(NULL AS BIGINT)
+FROM ({histogram_sql(_DATE_EPOCH_SUB, 'ep', 10)})
+ORDER BY part, v1
 """)
 def date_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1/D2 extrema + the D3 date-histogram extension (equal-width bins
+    over epoch seconds) in one graded row set, tagged by ``part`` —
+    (part='minmax', v1=min_epoch, v2=max_epoch, v3=range_seconds) and
+    (part='hist', v1=bin, v2=cnt)."""
+    from spark_df_profiling_spark.operators.histogram import histogram
     li = _t(spark, sf_dir, "lineitem")
-    ep = li.select(epoch_seconds(li, "l_shipdate").alias("__ep"))
-    mn, mx = F.min("__ep"), F.max("__ep")
-    return ep.agg(
-        mn.alias("min_epoch"),
-        mx.alias("max_epoch"),
-        (mx - mn).alias("range_seconds"),
-    )
+    ep = li.select(epoch_seconds(li, "l_shipdate").alias("ep"))
+    mn, mx = F.min("ep"), F.max("ep")
+    mmx = ep.agg(mn.alias("v1"), mx.alias("v2"),
+                 (mx - mn).alias("v3")) \
+        .select(F.lit("minmax").alias("part"), "v1", "v2", "v3")
+    hist = histogram(ep, "ep", 10).select(
+        F.lit("hist").alias("part"),
+        F.col("bin").alias("v1"), F.col("cnt").alias("v2"),
+        F.lit(None).cast("long").alias("v3"))
+    return mmx.unionByName(hist).orderBy("part", "v1")
 
 
 # ---------------------------------------------------------------------------
@@ -1584,21 +1601,34 @@ def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("window_epoch"))
 
 
-@query("stateful_user_totals", None)
+@query("stateful_user_totals", """
+SELECT user_id AS key, count(*) AS total_events,
+       CAST(round(sum("value") * 100) AS BIGINT) AS total_value_cents
+FROM events GROUP BY user_id ORDER BY key
+""")
 def stateful_user_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
-    per-user running totals with GroupState — rows-only (state evolution
-    is not SQL-expressible; final totals pinned against batch in tests).
-    """
+    per-user running (count, sum) GroupState.  Hash-checked: the count
+    only grows, so per key the update row with max total_events IS the
+    final state (max over (total_events, total_value) structs is an
+    argmax on the count), and the final state of a converged availableNow
+    run must equal the plain batch GROUP BY the oracle computes.  The
+    sum is compared as integer cents: values carry 2 decimals, so the
+    exact sum is a 0.01 multiple and rounding kills the fp accumulation
+    noise that a significant-digit compare can straddle (pandas batch
+    order vs DuckDB order disagreed in the 5th digit on one key)."""
     from spark_df_profiling_spark.streaming import (
         events_stream, run_stream_to_memory, stateful_user_totals)
     stream = events_stream(spark, sf_dir)
     totals = stateful_user_totals(stream, "user_id", "value")
     run_stream_to_memory(totals, "stateful_totals_out",
                          output_mode="update")
+    final = F.max(F.struct("total_events", "total_value")).alias("s")
     return (spark.table("stateful_totals_out")
-            .groupBy("key")
-            .agg(F.max("total_events").alias("total_events"))
+            .groupBy("key").agg(final)
+            .select("key", F.col("s.total_events").alias("total_events"),
+                    F.round(F.col("s.total_value") * 100).cast("long")
+                    .alias("total_value_cents"))
             .orderBy("key"))
 
 

@@ -121,3 +121,24 @@ def test_text_features_all_columns(docs):
                 "f_fingerprint", "f_lang", "f_quality"}
     assert expected <= set(out.columns)
     assert out.count() == 10
+
+
+def test_functions_namespace(spark):
+    # public column-function surface: composes like pyspark.sql.functions
+    from spark_df_profiling_spark import functions as PF
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog",
+          [1.0, 0.0], [0.6, 0.8])],
+        "id long, text string, a array<double>, b array<double>")
+    row = df.select(
+        PF.n_tokens_ws("text").alias("nt"),
+        PF.lang_id("text").alias("lang"),
+        PF.simhash64("text").alias("sig"),
+        PF.content_hash(["text"]).alias("h"),
+        PF.cosine(df["a"], df["b"]).alias("cos")).collect()[0]
+    assert row["nt"] == 9
+    assert row["lang"] == "en"
+    assert isinstance(row["sig"], int)
+    assert len(row["h"]) == 64
+    assert abs(row["cos"] - 0.6) < 1e-12
+    assert set(PF.__all__) <= set(dir(PF))
