@@ -46,3 +46,38 @@ def write_profile(profile_df: DataFrame, path: str,
                   mode: str = "overwrite") -> None:
     """Persist a profile DataFrame as parquet (the engine's native sink)."""
     profile_df.write.mode(mode).parquet(path)
+
+
+def write_partitioned(df: DataFrame, path: str, partition_cols: list[str],
+                      mode: str = "overwrite",
+                      max_records_per_file: int | None = None) -> None:
+    """Partition-pruned sink: one directory level per partition column.
+
+    The 100 TB layout decision: downstream queries filtering on
+    ``partition_cols`` (date, source, lang...) prune whole directories
+    at planning time instead of scanning.  Choose LOW-cardinality
+    columns — a high-cardinality partition column creates millions of
+    tiny files (the classic small-files failure).
+    ``max_records_per_file`` caps file size for post-shuffle skew.
+    """
+    w = df.write.mode(mode)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed(df: DataFrame, table_name: str, bucket_cols: list[str],
+                   num_buckets: int = 64, sort_cols: list[str] | None = None,
+                   mode: str = "overwrite") -> None:
+    """Bucketed sink (saveAsTable — bucketing needs catalog metadata).
+
+    Pre-shuffles rows into ``num_buckets`` stable hash buckets on
+    ``bucket_cols``; two tables bucketed the same way join WITHOUT a
+    shuffle (Exchange disappears from the plan), which is how repeated
+    big-big joins amortize their shuffle at scale.  ``sort_cols`` also
+    pre-sorts within buckets (sort-merge join skips its sort).
+    """
+    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table_name)

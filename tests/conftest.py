@@ -1,3 +1,5 @@
+import tempfile
+
 import pytest
 from pyspark.sql import SparkSession
 
@@ -7,7 +9,15 @@ def spark():
     spark = (
         SparkSession.builder.master("local[4]")
         .config("spark.sql.shuffle.partitions", "8")
+        # saveAsTable (bucketed-sink tests) needs a warehouse; keep it
+        # out of the repo tree (static conf — must be set at creation)
+        .config("spark.sql.warehouse.dir", tempfile.mkdtemp())
         .config("spark.sql.adaptive.enabled", "true")
+        # events.parquet is TIMESTAMP(NANOS); without this every read of
+        # it throws PARQUET_TYPE_ILLEGAL.  Set here (not in individual
+        # test files) so single-file pytest runs don't depend on another
+        # file having set it first on the shared session.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "4g")
         .appName("spark-df-profiling-tests")

@@ -59,3 +59,61 @@ def test_write_profile_sink(spark, lineitem, tmp_path):
     r = {x["column"]: x for x in back.collect()}
     assert r["l_extendedprice"]["histogram"] is not None
     assert r["l_returnflag"]["freq"] is not None
+
+
+def test_write_partitioned_prunes(spark, sf_dir, tmp_path):
+    from spark_df_profiling_spark.sources import write_partitioned
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "docs_by_lang")
+    write_partitioned(d, out, ["lang"])
+    back = spark.read.parquet(out)
+    assert back.count() == d.count()
+    # partition pruning: a lang filter must reach the scan as a
+    # PartitionFilter, not a data filter over all files
+    plan = back.where(F.col("lang") == "en")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(lang" in plan
+
+
+def test_write_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    from spark_df_profiling_spark.sources import write_bucketed
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    write_bucketed(d.select("doc_id", "lang"), "b_left", ["doc_id"],
+                   num_buckets=8, sort_cols=["doc_id"])
+    write_bucketed(d.select("doc_id", "source"), "b_right", ["doc_id"],
+                   num_buckets=8, sort_cols=["doc_id"])
+    j = spark.table("b_left").join(spark.table("b_right"), "doc_id")
+    assert j.count() == d.count()
+    # co-bucketed join: no shuffle on either side
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_streaming_dedup_matches_batch(spark, sf_dir):
+    from spark_df_profiling_spark.streaming import (
+        events_stream, run_stream_to_memory, streaming_dedup)
+    stream = events_stream(spark, sf_dir)
+    deduped = streaming_dedup(stream, ["user_id", "event_type"],
+                              watermark="10 days")
+    run_stream_to_memory(deduped.select("user_id", "event_type"),
+                         "stream_dedup_out", output_mode="append")
+    got = spark.table("stream_dedup_out").count()
+    # batch oracle: same distinct key count (test data spans < watermark,
+    # so the within-watermark semantics equal global dropDuplicates)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    want = ev.select("user_id", "event_type").distinct().count()
+    assert got == want
+
+
+def test_build_session_tuned_defaults(spark):
+    from spark_df_profiling_spark.session import build_session
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        s = build_session()  # getOrCreate: returns the shared session
+        assert s.conf.get("spark.sql.adaptive.enabled") == "true"
+        assert s.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+        got = int(s.conf.get("spark.sql.shuffle.partitions"))
+        assert got == 2 * s.sparkContext.defaultParallelism
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
