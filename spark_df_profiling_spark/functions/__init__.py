@@ -19,6 +19,9 @@ from spark_df_profiling_spark.operators.dedup import (
     content_hash,
     simhash64,
 )
+from spark_df_profiling_spark.operators.sampling import (
+    hash_bucket,
+)
 from spark_df_profiling_spark.operators.similarity import (
     cosine,
     dot,
@@ -28,24 +31,30 @@ from spark_df_profiling_spark.operators.text import (
     alpha_ratio,
     avg_token_len,
     digit_ratio,
+    dup_ngram_ratio,
     fingerprint_min_shingle,
     lang_id,
     lang_scores,
     n_chars,
     n_tokens_bpe,
     n_tokens_ws,
+    pii_count,
     punct_ratio,
     quality_score,
     rolling_hash,
     space_ratio,
+    top_token_ratio,
+    type_token_ratio,
     upper_ratio,
     winnow_fingerprints,
 )
 
 __all__ = [
     "alpha_ratio", "avg_token_len", "content_hash", "cosine",
-    "digit_ratio", "dot", "fingerprint_min_shingle", "l2_norm", "lang_id",
-    "lang_scores", "n_chars", "n_tokens_bpe", "n_tokens_ws", "punct_ratio",
+    "digit_ratio", "dot", "dup_ngram_ratio", "fingerprint_min_shingle",
+    "hash_bucket", "l2_norm", "lang_id", "lang_scores", "n_chars",
+    "n_tokens_bpe", "n_tokens_ws", "pii_count", "punct_ratio",
     "quality_score", "rolling_hash", "simhash64", "space_ratio",
-    "upper_ratio", "winnow_fingerprints",
+    "top_token_ratio", "type_token_ratio", "upper_ratio",
+    "winnow_fingerprints",
 ]

@@ -1,0 +1,143 @@
+"""Dataset drift detection: Population Stability Index between snapshots.
+
+When a new crawl/snapshot lands, a training pipeline compares its column
+distributions against the reference corpus before mixing it in.  PSI is
+the standard scorecard metric:
+
+    PSI = Σ_bins (p_ref − p_new) · ln(p_ref / p_new)
+
+with the usual reading: < 0.1 stable, 0.1–0.25 moderate shift, > 0.25
+action required.
+
+Scale design — one scan per dataset, total, regardless of column count:
+
+* every column's bin id is computed in a single projection, then
+  ``stack``-exploded to ``(column, bucket)`` rows — the follow-up
+  aggregation shuffles only ``#cols × #bins`` rows, not the data;
+* numeric bin edges come from the REFERENCE side's min/max (one
+  aggregate job collecting O(#cols) scalars, the same driver-side
+  pattern ``profile`` uses for histogram edges), then ride along as
+  literals — both datasets bucket identically with zero coordination;
+* zero-probability bins are floored at ``eps`` (the standard PSI
+  continuity fix), so a category/bin seen on one side only contributes
+  a finite, well-defined term.
+
+Everything is built-in expressions (codegen'd).  ``psi`` comes back as a
+raw double; cross-engine comparisons should normalize to significant
+digits (summation order differs in the last ulps between engines).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EPS = 1e-6
+
+
+def _bucket_counts(df: DataFrame, exprs: dict[str, F.Column]) -> DataFrame:
+    """(column, bucket, n) in ONE scan via stack-explode of all columns."""
+    pairs = ", ".join(f"'{name}', `__bkt_{name}`" for name in exprs)
+    staged = df.select(*[e.alias(f"__bkt_{n}") for n, e in exprs.items()])
+    stacked = staged.select(
+        F.expr(f"stack({len(exprs)}, {pairs}) as (column, bucket)"))
+    return (stacked.where(F.col("bucket").isNotNull())
+            .groupBy("column", "bucket")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def _psi_from_counts(ref_counts: DataFrame,
+                     new_counts: DataFrame) -> DataFrame:
+    """Join per-bucket proportions and fold the PSI sum per column."""
+    tot_r = (ref_counts.groupBy("column")
+             .agg(F.sum("n").alias("tot_r")))
+    tot_n = (new_counts.groupBy("column")
+             .agg(F.sum("n").alias("tot_n")))
+    joined = (ref_counts.withColumnRenamed("n", "n_r")
+              .join(new_counts.withColumnRenamed("n", "n_n"),
+                    ["column", "bucket"], "full_outer")
+              .join(F.broadcast(tot_r), "column")
+              .join(F.broadcast(tot_n), "column"))
+    p_r = F.greatest(F.coalesce(F.col("n_r"), F.lit(0)) / F.col("tot_r"),
+                     F.lit(EPS))
+    p_n = F.greatest(F.coalesce(F.col("n_n"), F.lit(0)) / F.col("tot_n"),
+                     F.lit(EPS))
+    term = (p_r - p_n) * F.log(p_r / p_n)
+    # raw double — callers needing cross-engine comparison normalize to
+    # significant digits themselves (summation order is engine-specific
+    # in the last ulps)
+    return (joined.groupBy("column")
+            .agg(F.sum(term).alias("psi")))
+
+
+def psi_numeric(ref: DataFrame, new: DataFrame, cols: Sequence[str],
+                bins: int = 10) -> DataFrame:
+    """PSI per numeric column → (column, psi), edges fit on ``ref``.
+
+    Rows outside the reference range clamp into the edge bins (bucket 0
+    / bins-1) — out-of-range mass IS drift and must score, not vanish.
+    NULLs are excluded on both sides (missingness drift is
+    ``psi_categorical`` on an is-null indicator if needed).
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2: {bins}")
+    edges_row = ref.agg(*[F.min(c).alias(f"mn_{c}") for c in cols],
+                        *[F.max(c).alias(f"mx_{c}") for c in cols]) \
+        .collect()[0]
+
+    def bucket_expr(c: str) -> F.Column:
+        mn = float(edges_row[f"mn_{c}"])
+        mx = float(edges_row[f"mx_{c}"])
+        if mx <= mn:  # constant column: everything in bucket 0
+            return F.when(F.col(c).isNotNull(), F.lit("0"))
+        width = (mx - mn) / bins
+        raw = F.floor((F.col(c) - F.lit(mn)) / F.lit(width))
+        clamped = F.least(F.greatest(raw, F.lit(0)),
+                          F.lit(bins - 1))
+        return F.when(F.col(c).isNotNull(), clamped.cast("string"))
+
+    exprs = {c: bucket_expr(c) for c in cols}
+    return _psi_from_counts(_bucket_counts(ref, exprs),
+                            _bucket_counts(new, exprs))
+
+
+def psi_categorical(ref: DataFrame, new: DataFrame,
+                    cols: Sequence[str]) -> DataFrame:
+    """PSI per categorical column — each distinct value is a bucket.
+
+    Meant for low-cardinality columns (status/flag/language codes); for
+    high-cardinality columns bucket first (the shuffle is #values rows
+    per column).  A value present on only one side gets the ``eps``
+    floor on the other, contributing a large-but-finite term.
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    exprs = {c: F.col(c).cast("string") for c in cols}
+    return _psi_from_counts(_bucket_counts(ref, exprs),
+                            _bucket_counts(new, exprs))
+
+
+def psi_report(ref: DataFrame, new: DataFrame,
+               numeric_cols: Sequence[str] = (),
+               categorical_cols: Sequence[str] = (),
+               bins: int = 10) -> DataFrame:
+    """Combined numeric + categorical PSI with a severity band column."""
+    parts = []
+    if numeric_cols:
+        parts.append(psi_numeric(ref, new, numeric_cols, bins=bins))
+    if categorical_cols:
+        parts.append(psi_categorical(ref, new, categorical_cols))
+    if not parts:
+        raise ValueError("need at least one column")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.withColumn(
+        "band",
+        F.when(F.col("psi") < 0.1, F.lit("stable"))
+        .when(F.col("psi") < 0.25, F.lit("moderate"))
+        .otherwise(F.lit("shifted")))

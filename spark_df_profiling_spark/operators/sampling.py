@@ -1,0 +1,151 @@
+"""Deterministic hash-based sampling and dataset splitting.
+
+Training-data pipelines need *reproducible* sampling: `df.sample()` /
+`rand()` are seeded per-task, so a task retry, a partition-count change,
+or an AQE re-plan silently changes which rows are kept — poison for
+train/val/test splits that must stay disjoint across reruns and engines.
+Every operator here instead derives a bucket in ``[0, BUCKETS)`` from a
+cryptographic hash of a row key, so membership is a pure function of the
+row (plus an explicit seed):
+
+* identical results on every run, every partition layout, every retry;
+* the same rule is expressible in any engine (the DuckDB oracles run the
+  identical md5 arithmetic) — splits survive an engine migration;
+* no shuffle and no extra scan: each operator is a single codegen'd
+  filter/projection pushed onto the scan.
+
+Scale notes: the hash is md5 (portable everywhere) of ``key || ':' ||
+seed``; the first 15 hex digits (60 bits) go through base-16 → decimal
+conversion, staying exact in an int64 (and in DuckDB's BIGINT).  Bucket
+skew is the hash's uniformity — at 1e6 buckets the sampling error at any
+fraction is O(1/1000) of the population per bucket boundary, independent
+of data size.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: bucket space for all fraction arithmetic (1e6 → fraction granularity 1e-6)
+BUCKETS = 1_000_000
+
+
+def _c(col: Union[str, Column]) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def hash_bucket(col: Union[str, Column], seed: int = 0,
+                buckets: int = BUCKETS) -> Column:
+    """Deterministic bucket in ``[0, buckets)`` from md5 of the key.
+
+    Engine-portable: DuckDB computes the identical value with
+    ``('0x' || substr(md5(key || ':' || seed), 1, 15))::BIGINT %
+    buckets``.  60 bits of hash keep the conversion exact in int64; md5's
+    uniformity makes the bucket distribution uniform regardless of key
+    distribution (sequential ids, skewed ids — doesn't matter).
+    """
+    if buckets <= 0:
+        raise ValueError(f"buckets must be > 0: {buckets}")
+    key = F.concat_ws(":", _c(col).cast("string"), F.lit(str(seed)))
+    return (F.conv(F.substring(F.md5(key), 1, 15), 16, 10)
+            .cast("bigint") % buckets)
+
+
+def sample_hash(df: DataFrame, key_col: Union[str, Column],
+                fraction: float, seed: int = 0) -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows by key hash.
+
+    A pure filter (``bucket < fraction * BUCKETS``): pushed to the scan,
+    no shuffle, retry-safe, and the SAME rows come back on every engine
+    and every run.  Rows sharing a key are kept or dropped together —
+    pass a unique id for row-level sampling, a group key (e.g. user_id)
+    for leakage-free group-level sampling.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1]: {fraction}")
+    cut = int(round(fraction * BUCKETS))
+    return df.where(hash_bucket(key_col, seed) < F.lit(cut))
+
+
+def hash_split(df: DataFrame, key_col: Union[str, Column],
+               weights: Mapping[str, float], seed: int = 0,
+               split_col: str = "split") -> DataFrame:
+    """Assign every row to a named split by cumulative hash ranges.
+
+    ``weights`` maps split name → weight (normalized internally); e.g.
+    ``{"train": 0.8, "val": 0.1, "test": 0.1}``.  Assignment order is
+    the mapping's iteration order, so ranges are stable for a given
+    call.  Splits are disjoint and exhaustive by construction, stay
+    consistent across engines/runs/retries, and rows sharing a key land
+    in the same split (group-level leakage control, same as
+    :func:`sample_hash`).  Single projection — no shuffle, no extra scan.
+    """
+    names = list(weights)
+    if not names:
+        raise ValueError("weights must be non-empty")
+    total = float(sum(weights[n] for n in names))
+    if total <= 0 or any(weights[n] < 0 for n in names):
+        raise ValueError(f"weights must be >= 0 with a positive sum: "
+                         f"{dict(weights)}")
+    bucket = hash_bucket(key_col, seed)
+    # cumulative integer thresholds; the last split absorbs rounding
+    cuts, acc = [], 0.0
+    for n in names[:-1]:
+        acc += weights[n] / total
+        cuts.append(int(round(acc * BUCKETS)))
+    expr: Column = F.lit(names[-1])
+    for name, cut in zip(reversed(names[:-1]), reversed(cuts)):
+        expr = F.when(bucket < F.lit(cut), F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)
+
+
+def stratified_sample_hash(df: DataFrame, strata_col: str,
+                           fractions: Mapping[str, float],
+                           key_col: Union[str, Column],
+                           seed: int = 0,
+                           default_fraction: float = 0.0) -> DataFrame:
+    """Deterministic per-stratum sampling (e.g. rebalance a language mix).
+
+    ``fractions`` maps stratum value → keep fraction; strata absent from
+    the map keep ``default_fraction``.  Still a single codegen'd filter —
+    the per-stratum cut is a CASE expression on ``strata_col``, so there
+    is no shuffle and no per-stratum job (contrast ``df.stat.sampleBy``,
+    which is rand()-based and retry-unstable).  Typical use: downsample
+    over-represented web crawl languages to a target mixture before
+    training.
+    """
+    for k, v in fractions.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"fraction for {k!r} must be in [0, 1]: {v}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(
+            f"default_fraction must be in [0, 1]: {default_fraction}")
+    cut: Column = F.lit(int(round(default_fraction * BUCKETS)))
+    for value, frac in fractions.items():
+        cut = F.when(F.col(strata_col) == F.lit(value),
+                     F.lit(int(round(frac * BUCKETS)))).otherwise(cut)
+    return df.where(hash_bucket(key_col, seed) < cut)
+
+
+def split_counts(df: DataFrame, key_col: str,
+                 weights: Mapping[str, float], seed: int = 0,
+                 by: Optional[Sequence[str]] = None) -> DataFrame:
+    """Audit a split: row counts per split (× optional dimensions).
+
+    The cheap sanity check a pipeline runs after (re)defining a split:
+    one aggregation over the assignment projection.
+    """
+    assigned = hash_split(df, key_col, weights, seed=seed)
+    keys = ["split", *(by or [])]
+    return (assigned.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("n_rows")))
+
+
+def duckdb_bucket_sql(key_sql: str, seed: int = 0,
+                      buckets: int = BUCKETS) -> str:
+    """The DuckDB expression computing the identical bucket (oracle use)."""
+    return (f"(('0x' || substr(md5(({key_sql})::VARCHAR || ':{seed}'), "
+            f"1, 15))::BIGINT % {buckets})")

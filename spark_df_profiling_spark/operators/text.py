@@ -237,6 +237,125 @@ def quality_score(col, toks: Column | None = None) -> Column:
             + F.lit(0.3) * tok_score)
 
 
+# --- repetition / diversity (Gopher-style quality rules) -------------------
+# Rae et al. 2021 ("Scaling Language Models: ... Gopher", §A.1.1) filter
+# web documents by repetition: fraction of duplicate lines/n-grams and
+# fraction of tokens in the most common token.  These are the in-row
+# equivalents — one interpreted HOF pass per document, no shuffle.
+
+
+def type_token_ratio(col, toks: Column | None = None) -> Column:
+    """Distinct tokens / total tokens (1.0 = no repetition)."""
+    if toks is None:
+        toks = F.split(_c(col), " ")
+    return F.size(F.array_distinct(toks)) / F.size(toks)
+
+
+def top_token_ratio(col, toks: Column | None = None) -> Column:
+    """Fraction of tokens equal to the single most common token.
+
+    Per-row cost is O(distinct × tokens) interpreted — bounded by the
+    document length, independent of corpus size, so it stays a
+    narrow-only projection at any scale (vs explode + groupBy, which
+    would shuffle the whole corpus token stream).
+    """
+    if toks is None:
+        toks = F.split(_c(col), " ")
+    counts = F.transform(
+        F.array_distinct(toks),
+        lambda d: F.size(F.filter(toks, lambda t: t == d)))
+    return F.array_max(counts) / F.size(toks)
+
+
+def dup_ngram_ratio(col, n: int = 2, toks: Column | None = None) -> Column:
+    """Fraction of word n-grams that are repeats (1 - distinct/total).
+
+    0.0 for documents with < n tokens (no n-grams → nothing repeated).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1: {n}")
+    if toks is None:
+        toks = F.split(_c(col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int"))
+                   for j in range(n)]))
+    # the CASE guard must gate the n-gram construction itself: for
+    # size(toks) < n, sequence(0, size-n) runs DESCENDING and
+    # element_at(toks, 0) raises under ANSI — CASE's lazy branch
+    # evaluation keeps that expression from ever running on short docs
+    return F.when(
+        F.size(toks) >= n,
+        F.lit(1.0) - F.size(F.array_distinct(grams)) / F.size(grams)
+    ).otherwise(F.lit(0.0))
+
+
+def repetition_stats(df: DataFrame, text_col: str) -> DataFrame:
+    """Per-document repetition features (+ a Gopher-style keep flag).
+
+    Adds ``r_type_token_ratio``, ``r_top_token_ratio``,
+    ``r_dup_2gram_ratio``, ``r_dup_3gram_ratio`` and ``r_keep`` (the
+    conjunction of the published-style thresholds: top token < 30% of
+    the document, < 20% duplicate 2-grams, < 18% duplicate 3-grams).
+    The token array is bound once (interpreted HOFs have no CSE).
+    """
+    tcol = "__rep_toks"
+    step = df.select("*", F.split(F.col(text_col), " ").alias(tcol))
+    toks = F.col(tcol)
+    out = step.select(
+        *df.columns,
+        type_token_ratio(text_col, toks=toks).alias("r_type_token_ratio"),
+        top_token_ratio(text_col, toks=toks).alias("r_top_token_ratio"),
+        dup_ngram_ratio(text_col, 2, toks=toks).alias("r_dup_2gram_ratio"),
+        dup_ngram_ratio(text_col, 3, toks=toks).alias("r_dup_3gram_ratio"),
+    )
+    return out.withColumn(
+        "r_keep",
+        (F.col("r_top_token_ratio") < 0.3)
+        & (F.col("r_dup_2gram_ratio") < 0.2)
+        & (F.col("r_dup_3gram_ratio") < 0.18))
+
+
+# --- PII / URL scan --------------------------------------------------------
+# Patterns restricted to syntax RE2/PCRE/DuckDB all parse identically
+# (char classes, +, bounded repeats — no lookaround, no backrefs).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[A-Za-z0-9./_%#?&=-]+",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+    "phone": r"\+[0-9][0-9 ()-]{6,14}[0-9]",
+}
+
+
+def pii_count(col, kind: str) -> Column:
+    """Occurrences of one PII pattern (JVM regexp, codegen'd)."""
+    if kind not in PII_PATTERNS:
+        raise ValueError(f"kind must be one of {sorted(PII_PATTERNS)}: "
+                         f"{kind}")
+    # pattern passed as a literal Column, NOT through F.expr — SQL string
+    # parsing would strip the \-escapes (`\.` → any-char, `\+` → dangling)
+    return F.size(F.regexp_extract_all(
+        _c(col), F.lit(PII_PATTERNS[kind]), F.lit(0)))
+
+
+def pii_scan(df: DataFrame, text_col: str) -> DataFrame:
+    """Add per-document PII counts + ``pii_any`` flag.
+
+    The redact/drop decision stays with the caller; this is the scan a
+    pipeline runs to quantify leakage before filtering.  All counts are
+    single-pass JVM regexes — no Python crossing, no shuffle.
+    """
+    counts = {k: pii_count(text_col, k) for k in PII_PATTERNS}
+    out = df.select(
+        "*", *[c.alias(f"pii_{k}") for k, c in sorted(counts.items())])
+    any_expr = None
+    for k in sorted(PII_PATTERNS):
+        term = F.col(f"pii_{k}") > 0
+        any_expr = term if any_expr is None else (any_expr | term)
+    return out.withColumn("pii_any", any_expr)
+
+
 def text_features(df: DataFrame, text_col: str) -> DataFrame:
     """All per-document text features as additional columns.
 

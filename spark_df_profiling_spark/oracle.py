@@ -1689,3 +1689,227 @@ def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig(F.avg(F.size(c))).alias("mean_len_s"),
         sig(F.avg(sq)).alias("mean_sq_norm_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash sampling / splitting (operators/sampling.py) — the
+# DuckDB side recomputes the identical md5-bucket arithmetic, proving the
+# split rule is engine-portable (the operator's whole point).
+# ---------------------------------------------------------------------------
+_BK = ("(('0x' || substr(md5(doc_id::VARCHAR || ':{seed}'), 1, 15))::BIGINT"
+       " % 1000000)")
+
+
+@query("split_assign_counts", f"""
+SELECT CASE WHEN {_BK.format(seed=42)} < 800000 THEN 'train'
+            WHEN {_BK.format(seed=42)} < 900000 THEN 'val'
+            ELSE 'test' END AS split,
+       lang, count(*) AS n_rows
+FROM documents
+GROUP BY split, lang
+ORDER BY split, lang
+""")
+def split_assign_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 80/10/10 train/val/test split audit (by lang)."""
+    from spark_df_profiling_spark.operators.sampling import split_counts
+    d = _t(spark, sf_dir, "documents")
+    return split_counts(
+        d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1},
+        seed=42, by=["lang"]).orderBy("split", "lang")
+
+
+@query("sample_hash_docs", f"""
+SELECT doc_id, lang
+FROM documents
+WHERE {_BK.format(seed=7)} < 100000
+ORDER BY doc_id
+""")
+def sample_hash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% sample — exact membership must match DuckDB."""
+    from spark_df_profiling_spark.operators.sampling import sample_hash
+    d = _t(spark, sf_dir, "documents")
+    return (sample_hash(d, "doc_id", 0.10, seed=7)
+            .select("doc_id", "lang").orderBy("doc_id"))
+
+
+@query("stratified_sample_counts", f"""
+SELECT lang, count(*) AS n_rows
+FROM documents
+WHERE {_BK.format(seed=3)} <
+      CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
+                ELSE 50000 END
+GROUP BY lang
+ORDER BY lang
+""")
+def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic downsampling (language rebalancing)."""
+    from spark_df_profiling_spark.operators.sampling import (
+        stratified_sample_hash)
+    d = _t(spark, sf_dir, "documents")
+    kept = stratified_sample_hash(
+        d, "lang", {"en": 0.5, "de": 0.25}, "doc_id",
+        seed=3, default_fraction=0.05)
+    return (kept.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_rows")).orderBy("lang"))
+
+
+# ---------------------------------------------------------------------------
+# Repetition / diversity stats (Gopher-style quality rules)
+# ---------------------------------------------------------------------------
+@query("repetition_by_lang", f"""
+WITH feats AS (
+  SELECT lang,
+    len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) AS ttr,
+    list_max(list_transform(list_distinct(toks),
+        d -> len(list_filter(toks, t -> t = d))))
+      / CAST(len(toks) AS DOUBLE) AS toptok,
+    CASE WHEN len(toks) >= 2 THEN
+      1.0 - len(list_distinct(list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i+1])))
+          / CAST(len(toks) - 1 AS DOUBLE)
+    ELSE 0.0 END AS dup2,
+    CASE WHEN len(toks) >= 3 THEN
+      1.0 - len(list_distinct(list_transform(range(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))
+          / CAST(len(toks) - 2 AS DOUBLE)
+    ELSE 0.0 END AS dup3
+  FROM (SELECT lang, string_split(text, ' ') AS toks FROM documents)
+)
+SELECT lang,
+       {_psig('avg(ttr)')} AS ttr_s,
+       {_psig('avg(toptok)')} AS toptok_s,
+       {_psig('avg(dup2)')} AS dup2_s,
+       {_psig('avg(dup3)')} AS dup3_s,
+       CAST(sum(CASE WHEN toptok < 0.3 AND dup2 < 0.2 AND dup3 < 0.18
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+FROM feats
+GROUP BY lang
+ORDER BY lang
+""")
+def repetition_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language repetition profile + Gopher-style keep counts."""
+    from spark_df_profiling_spark.operators.text import repetition_stats
+    d = _t(spark, sf_dir, "documents")
+    r = repetition_stats(d, "text")
+    return (r.groupBy("lang").agg(
+        sig(F.avg("r_type_token_ratio")).alias("ttr_s"),
+        sig(F.avg("r_top_token_ratio")).alias("toptok_s"),
+        sig(F.avg("r_dup_2gram_ratio")).alias("dup2_s"),
+        sig(F.avg("r_dup_3gram_ratio")).alias("dup3_s"),
+        F.sum(F.when(F.col("r_keep"), 1).otherwise(0)).cast("long")
+        .alias("n_keep"),
+    ).orderBy("lang"))
+
+
+# ---------------------------------------------------------------------------
+# PII / URL scan — corpus totals (the driver corpus is synthetic word
+# salad, so totals are legitimately 0; the regex kernels are
+# fixture-tested in tests/test_text.py with planted PII)
+# ---------------------------------------------------------------------------
+@query("pii_scan_docs", """
+SELECT
+  CAST(sum(len(regexp_extract_all(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))) AS BIGINT)
+    AS n_email,
+  CAST(sum(len(regexp_extract_all(text,
+      'https?://[A-Za-z0-9./_%#?&=-]+'))) AS BIGINT) AS n_url,
+  CAST(sum(len(regexp_extract_all(text,
+      '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}'))) AS BIGINT)
+    AS n_ipv4,
+  CAST(sum(len(regexp_extract_all(text,
+      '\\+[0-9][0-9 ()-]{6,14}[0-9]'))) AS BIGINT) AS n_phone,
+  CAST(sum(CASE WHEN len(regexp_extract_all(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) > 0
+      OR len(regexp_extract_all(text,
+      'https?://[A-Za-z0-9./_%#?&=-]+')) > 0
+      OR len(regexp_extract_all(text,
+      '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) > 0
+      OR len(regexp_extract_all(text,
+      '\\+[0-9][0-9 ()-]{6,14}[0-9]')) > 0
+      THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_flagged
+FROM documents
+""")
+def pii_scan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level PII exposure totals."""
+    from spark_df_profiling_spark.operators.text import pii_scan
+    d = _t(spark, sf_dir, "documents")
+    s = pii_scan(d, "text")
+    return s.agg(
+        F.sum("pii_email").cast("long").alias("n_email"),
+        F.sum("pii_url").cast("long").alias("n_url"),
+        F.sum("pii_ipv4").cast("long").alias("n_ipv4"),
+        F.sum("pii_phone").cast("long").alias("n_phone"),
+        F.sum(F.when(F.col("pii_any"), 1).otherwise(0)).cast("long")
+        .alias("n_docs_flagged"))
+
+
+# ---------------------------------------------------------------------------
+# Drift detection: PSI between the pre-/post-1995-06-17 halves of
+# lineitem (operators/drift.py).  The DuckDB oracle recomputes the full
+# pipeline — reference-side bin edges, clamped bucketing, eps-floored
+# proportions, the PSI fold — proving the metric is engine-portable.
+# ---------------------------------------------------------------------------
+_DRIFT_EPOCH = 803347200  # 1995-06-17 00:00:00 (naive)
+_DRIFT_NUM = [("l_quantity", "q"), ("l_extendedprice", "p"),
+              ("l_discount", "d"), ("l_tax", "t")]
+_DRIFT_CAT = ["l_returnflag", "l_linestatus"]
+
+
+def _drift_bucket_sql(src: str) -> str:
+    parts = []
+    for c, s in _DRIFT_NUM:
+        parts.append(
+            f"SELECT '{c}' AS col, CAST(CAST(least(greatest("
+            f"floor(({c} - e.mn{s}) / ((e.mx{s} - e.mn{s}) / 10)), 0), 9)"
+            f" AS BIGINT) AS VARCHAR) AS bucket "
+            f"FROM {src}, e WHERE {c} IS NOT NULL")
+    for c in _DRIFT_CAT:
+        parts.append(f"SELECT '{c}', {c} FROM {src} "
+                     f"WHERE {c} IS NOT NULL")
+    return "\nUNION ALL\n".join(parts)
+
+
+_DRIFT_SQL = f"""
+WITH ref AS (SELECT * FROM lineitem
+             WHERE epoch(l_shipdate) < {_DRIFT_EPOCH}),
+     nw AS (SELECT * FROM lineitem
+            WHERE epoch(l_shipdate) >= {_DRIFT_EPOCH}),
+     e AS (SELECT
+       {", ".join(f"min({c}) AS mn{s}, max({c}) AS mx{s}"
+                  for c, s in _DRIFT_NUM)} FROM ref),
+     rb AS ({_drift_bucket_sql("ref")}),
+     nb AS ({_drift_bucket_sql("nw")}),
+     cr AS (SELECT col, bucket, count(*) AS n FROM rb GROUP BY col, bucket),
+     cn AS (SELECT col, bucket, count(*) AS n FROM nb GROUP BY col, bucket),
+     tr AS (SELECT col, sum(n) AS t FROM cr GROUP BY col),
+     tn AS (SELECT col, sum(n) AS t FROM cn GROUP BY col),
+     j AS (SELECT coalesce(cr.col, cn.col) AS col,
+                  coalesce(cr.n, 0) AS n_r, coalesce(cn.n, 0) AS n_n
+           FROM cr FULL OUTER JOIN cn
+             ON cr.col = cn.col AND cr.bucket = cn.bucket),
+     p AS (SELECT j.col,
+                  greatest(j.n_r / CAST(tr.t AS DOUBLE), 1e-6) AS pr,
+                  greatest(j.n_n / CAST(tn.t AS DOUBLE), 1e-6) AS pn
+           FROM j JOIN tr ON j.col = tr.col JOIN tn ON j.col = tn.col)
+SELECT col AS "column",
+       {_psig('sum((pr - pn) * ln(pr / pn))')} AS psi_s,
+       CASE WHEN sum((pr - pn) * ln(pr / pn)) < 0.1 THEN 'stable'
+            WHEN sum((pr - pn) * ln(pr / pn)) < 0.25 THEN 'moderate'
+            ELSE 'shifted' END AS band
+FROM p GROUP BY col ORDER BY "column"
+"""
+
+
+@query("drift_psi_lineitem", _DRIFT_SQL)
+def drift_psi_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift report between the two date halves of lineitem."""
+    from spark_df_profiling_spark.operators.drift import psi_report
+    li = _t(spark, sf_dir, "lineitem")
+    ep = epoch_seconds(li, "l_shipdate")
+    ref = li.where(ep < _DRIFT_EPOCH)
+    new = li.where(ep >= _DRIFT_EPOCH)
+    rep = psi_report(ref, new,
+                     numeric_cols=[c for c, _ in _DRIFT_NUM],
+                     categorical_cols=_DRIFT_CAT, bins=10)
+    return (rep.select("column", sig(F.col("psi")).alias("psi_s"), "band")
+            .orderBy("column"))

@@ -1,0 +1,202 @@
+"""Tests for sampling/split, repetition, PII scan, and drift operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_df_profiling_spark.operators.drift import (
+    psi_categorical,
+    psi_numeric,
+    psi_report,
+)
+from spark_df_profiling_spark.operators.sampling import (
+    hash_bucket,
+    hash_split,
+    sample_hash,
+    split_counts,
+    stratified_sample_hash,
+)
+from spark_df_profiling_spark.operators.text import (
+    dup_ngram_ratio,
+    pii_scan,
+    repetition_stats,
+    top_token_ratio,
+    type_token_ratio,
+)
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.range(0, 10_000).withColumnRenamed("id", "key")
+
+
+# --- deterministic sampling / splitting ------------------------------------
+
+def test_hash_split_disjoint_exhaustive_deterministic(ids):
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = hash_split(ids, "key", w, seed=1)
+    counts = {r["split"]: r["count"]
+              for r in a.groupBy("split").count().collect()}
+    assert sum(counts.values()) == 10_000          # exhaustive
+    assert abs(counts["train"] - 8000) < 200       # ~weights
+    assert abs(counts["val"] - 1000) < 120
+    # rerun → identical assignment (hash, not rand)
+    b = hash_split(ids, "key", w, seed=1)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # different seed → different assignment
+    c = hash_split(ids, "key", w, seed=2)
+    assert a.exceptAll(c).count() > 0
+
+
+def test_sample_hash_subset_semantics(ids):
+    s10 = sample_hash(ids, "key", 0.10, seed=5)
+    s20 = sample_hash(ids, "key", 0.20, seed=5)
+    n10, n20 = s10.count(), s20.count()
+    assert abs(n10 - 1000) < 150 and abs(n20 - 2000) < 200
+    # fractions are NESTED for a fixed seed (bucket < cut is monotone):
+    # growing a sample keeps every previously sampled row
+    assert s10.exceptAll(s20).count() == 0
+    assert sample_hash(ids, "key", 0.0).count() == 0
+    assert sample_hash(ids, "key", 1.0).count() == 10_000
+
+
+def test_stratified_sample_and_validation(spark):
+    df = spark.range(0, 6000).select(
+        F.col("id").alias("key"),
+        F.when(F.col("id") % 3 == 0, "en")
+        .when(F.col("id") % 3 == 1, "de").otherwise("fr").alias("lang"))
+    kept = stratified_sample_hash(df, "lang", {"en": 0.5, "de": 0.1},
+                                  "key", seed=9)
+    got = {r["lang"]: r["count"]
+           for r in kept.groupBy("lang").count().collect()}
+    assert abs(got.get("en", 0) - 1000) < 150
+    assert abs(got.get("de", 0) - 200) < 80
+    assert "fr" not in got                      # default_fraction=0
+    with pytest.raises(ValueError):
+        stratified_sample_hash(df, "lang", {"en": 1.5}, "key")
+    with pytest.raises(ValueError):
+        sample_hash(df, "key", -0.1)
+    with pytest.raises(ValueError):
+        hash_split(df, "key", {})
+    with pytest.raises(ValueError):
+        hash_bucket("key", buckets=0)
+
+
+def test_split_counts_by_dimension(spark):
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("key"),
+        (F.col("id") % 2 == 0).alias("even"))
+    out = split_counts(df, "key", {"a": 0.5, "b": 0.5}, by=["even"])
+    rows = out.collect()
+    assert sum(r["n_rows"] for r in rows) == 1000
+    assert {(r["split"], r["even"]) for r in rows} == {
+        ("a", True), ("a", False), ("b", True), ("b", False)}
+
+
+def test_hash_split_group_consistency(spark):
+    # rows sharing a key land in the same split (leakage control)
+    df = spark.range(0, 3000).select(
+        (F.col("id") % 100).alias("user"), F.col("id").alias("row"))
+    a = hash_split(df, "user", {"train": 0.7, "test": 0.3}, seed=4)
+    assert (a.groupBy("user")
+            .agg(F.count_distinct("split").alias("k"))
+            .where(F.col("k") > 1).count()) == 0
+
+
+# --- repetition / diversity -------------------------------------------------
+
+def test_repetition_kernels(spark):
+    df = spark.createDataFrame(
+        [("uniq", "a b c d e f g h"),
+         ("rep", "spam spam spam spam spam spam spam ham"),
+         ("short", "x")],
+        ["k", "t"])
+    got = {r["k"]: r for r in df.select(
+        "k",
+        type_token_ratio("t").alias("ttr"),
+        top_token_ratio("t").alias("top"),
+        dup_ngram_ratio("t", 2).alias("d2"),
+        dup_ngram_ratio("t", 3).alias("d3")).collect()}
+    assert got["uniq"]["ttr"] == 1.0 and got["uniq"]["d2"] == 0.0
+    assert got["rep"]["top"] == pytest.approx(7 / 8)
+    # 7 bigrams: spam-spam x6 + spam-ham → 2 distinct → 1 - 2/7
+    assert got["rep"]["d2"] == pytest.approx(1 - 2 / 7)
+    assert got["short"]["d2"] == 0.0 and got["short"]["d3"] == 0.0
+    with pytest.raises(ValueError):
+        dup_ngram_ratio("t", 0)
+
+
+def test_repetition_stats_keep_flag(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "buy buy buy buy buy buy buy buy buy now")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in repetition_stats(df, "text").collect()}
+    assert out[1]["r_keep"] is True
+    assert out[2]["r_keep"] is False
+    assert out[2]["r_top_token_ratio"] == pytest.approx(0.9)
+
+
+# --- PII scan ---------------------------------------------------------------
+
+def test_pii_scan_planted(spark):
+    df = spark.createDataFrame(
+        [(1, "contact bob@example.com or visit https://ex.org/a?b=1"),
+         (2, "server at 10.0.42.7, call +1 (555) 123-4567"),
+         (3, "nothing sensitive here at all")],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in pii_scan(df, "text").collect()}
+    assert got[1]["pii_email"] == 1 and got[1]["pii_url"] == 1
+    assert got[1]["pii_any"] is True
+    assert got[2]["pii_ipv4"] == 1 and got[2]["pii_phone"] == 1
+    assert got[3]["pii_any"] is False
+    assert all(got[3][f"pii_{k}"] == 0
+               for k in ("email", "url", "ipv4", "phone"))
+
+
+# --- drift (PSI) ------------------------------------------------------------
+
+def test_psi_identical_distributions_near_zero(spark):
+    a = spark.range(0, 4000).select((F.col("id") % 100).alias("x"))
+    out = psi_numeric(a, a, ["x"], bins=10).collect()
+    assert len(out) == 1
+    assert abs(out[0]["psi"]) < 1e-9
+
+
+def test_psi_shifted_distribution_flagged(spark):
+    ref = spark.range(0, 4000).select(
+        (F.col("id") % 100).cast("double").alias("x"),
+        F.when(F.col("id") % 4 == 0, "a").otherwise("b").alias("c"))
+    # heavy right shift + a category that flips proportions
+    new = spark.range(0, 4000).select(
+        ((F.col("id") % 100) + 80).cast("double").alias("x"),
+        F.when(F.col("id") % 4 == 0, "b").otherwise("a").alias("c"))
+    rep = {r["column"]: r for r in
+           psi_report(ref, new, numeric_cols=["x"],
+                      categorical_cols=["c"]).collect()}
+    assert rep["x"]["psi"] > 0.25 and rep["x"]["band"] == "shifted"
+    assert rep["c"]["psi"] > 0.25 and rep["c"]["band"] == "shifted"
+
+
+def test_psi_unseen_category_finite(spark):
+    ref = spark.range(0, 100).select(F.lit("a").alias("c"))
+    new = spark.range(0, 100).select(
+        F.when(F.col("id") < 50, "a").otherwise("zz").alias("c"))
+    out = psi_categorical(ref, new, ["c"]).collect()
+    psi = out[0]["psi"]
+    assert 0 < psi < float("inf")
+
+
+def test_psi_validation(spark):
+    a = spark.range(0, 10).select(F.col("id").cast("double").alias("x"))
+    with pytest.raises(ValueError):
+        psi_numeric(a, a, [], bins=10)
+    with pytest.raises(ValueError):
+        psi_numeric(a, a, ["x"], bins=1)
+    with pytest.raises(ValueError):
+        psi_report(a, a)
+
+
+def test_psi_constant_column(spark):
+    a = spark.range(0, 50).select(F.lit(5.0).alias("x"))
+    out = psi_numeric(a, a, ["x"]).collect()
+    assert abs(out[0]["psi"]) < 1e-12
