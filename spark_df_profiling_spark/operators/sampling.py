@@ -144,6 +144,50 @@ def split_counts(df: DataFrame, key_col: str,
             .agg(F.count(F.lit(1)).alias("n_rows")))
 
 
+def mixture_sample(df: DataFrame, source_col: str,
+                   weights: Mapping[str, float],
+                   key_col: Union[str, Column],
+                   seed: int = 0) -> DataFrame:
+    """Downsample sources to a target mixture (training-mix construction).
+
+    ``weights`` maps source value → target proportion of the OUTPUT.
+    The op finds the largest output achievable without upsampling any
+    source — ``total = min_s(count_s / weight_s)`` — and keeps a
+    deterministic ``weight_s · total / count_s`` fraction of each source
+    (the binding source keeps everything).  Sources absent from
+    ``weights`` are dropped.
+
+    Fully distributed: per-source counts come from one aggregation whose
+    result (O(#sources) rows) broadcast-joins back onto the data; the
+    keep decision is the same md5-bucket filter as :func:`sample_hash`,
+    with the cut computed via ``floor`` on both sides of the join so the
+    identical rule is replayable in any engine.  No driver collect, no
+    repartition of the corpus — one scan + one broadcast hash join.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    for k, v in weights.items():
+        if v <= 0:
+            raise ValueError(f"weight for {k!r} must be > 0: {v}")
+    wmap = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
+    counts = (df.where(F.col(source_col).isin(*weights))
+              .groupBy(source_col)
+              .agg(F.count(F.lit(1)).alias("__src_n")))
+    # total = min over sources of count/weight; fraction_s = w_s*total/n_s
+    per_src = counts.withColumn(
+        "__ratio", F.col("__src_n") / wmap[F.col(source_col)])
+    total = per_src.agg(F.min("__ratio").alias("__total"))
+    cuts = (per_src.crossJoin(F.broadcast(total))
+            .withColumn(
+                "__cut",
+                F.floor(wmap[F.col(source_col)] * F.col("__total")
+                        / F.col("__src_n") * F.lit(BUCKETS)))
+            .select(source_col, "__cut"))
+    return (df.join(F.broadcast(cuts), source_col)
+            .where(hash_bucket(key_col, seed) < F.col("__cut"))
+            .drop("__cut"))
+
+
 def duckdb_bucket_sql(key_sql: str, seed: int = 0,
                       buckets: int = BUCKETS) -> str:
     """The DuckDB expression computing the identical bucket (oracle use)."""

@@ -1913,3 +1913,37 @@ def drift_psi_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
                      categorical_cols=_DRIFT_CAT, bins=10)
     return (rep.select("column", sig(F.col("psi")).alias("psi_s"), "band")
             .orderBy("column"))
+
+
+@query("mixture_sample_counts", """
+WITH c AS (
+  SELECT source, count(*) AS n,
+         CASE source WHEN 'src0' THEN CAST(0.5 AS DOUBLE)
+                     WHEN 'src1' THEN CAST(0.3 AS DOUBLE)
+                     WHEN 'src2' THEN CAST(0.2 AS DOUBLE) END AS w
+  FROM documents WHERE source IN ('src0', 'src1', 'src2')
+  GROUP BY source
+), t AS (SELECT min(n / w) AS total FROM c),
+cuts AS (SELECT source, floor(w * t.total / n * 1000000) AS cut
+         FROM c, t)
+SELECT d.source, count(*) AS n_rows
+FROM documents d JOIN cuts ON d.source = cuts.source
+WHERE (('0x' || substr(md5(d.doc_id::VARCHAR || ':11'), 1, 15))::BIGINT
+       % 1000000) < cut
+GROUP BY d.source ORDER BY d.source
+""")
+def mixture_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix construction: rebalance sources to 0.5/0.3/0.2.
+
+    The DuckDB side replays the ENTIRE mixture pipeline — per-source
+    counts, the min(count/weight) feasible total, floor-cut fractions,
+    md5-bucket membership — proving the mixture rule is engine-portable
+    end to end.
+    """
+    from spark_df_profiling_spark.operators.sampling import mixture_sample
+    d = _t(spark, sf_dir, "documents")
+    out = mixture_sample(d, "source",
+                         {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+                         "doc_id", seed=11)
+    return (out.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_rows")).orderBy("source"))

@@ -200,3 +200,28 @@ def test_psi_constant_column(spark):
     a = spark.range(0, 50).select(F.lit(5.0).alias("x"))
     out = psi_numeric(a, a, ["x"]).collect()
     assert abs(out[0]["psi"]) < 1e-12
+
+
+def test_mixture_sample_proportions_and_binding_source(spark):
+    from spark_df_profiling_spark.operators.sampling import mixture_sample
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("key"),
+        F.when(F.col("id") < 2000, "web")
+        .when(F.col("id") < 2600, "books").otherwise("code").alias("src"))
+    # counts: web 2000, books 600, code 400; weights 0.5/0.25/0.25
+    # total = min(2000/.5, 600/.25, 400/.25) = 1600
+    # keep: web 800 (40%), books 400 (66.7%), code 400 (ALL - binding)
+    out = mixture_sample(df, "src", {"web": 0.5, "books": 0.25,
+                                     "code": 0.25}, "key", seed=2)
+    got = {r["src"]: r["count"]
+           for r in out.groupBy("src").count().collect()}
+    assert got["code"] == 400                      # binding source: all
+    assert abs(got["web"] - 800) < 120
+    assert abs(got["books"] - 400) < 90
+    # unlisted sources dropped
+    out2 = mixture_sample(df, "src", {"web": 1.0}, "key")
+    assert out2.select("src").distinct().collect()[0]["src"] == "web"
+    with pytest.raises(ValueError):
+        mixture_sample(df, "src", {"web": 0.0}, "key")
+    with pytest.raises(ValueError):
+        mixture_sample(df, "src", {}, "key")
