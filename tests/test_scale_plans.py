@@ -124,3 +124,60 @@ def test_text_features_binds_token_arrays_once(spark, sf_dir):
         f"whitespace split duplicated:\n{plan}"
     assert plan.count("split(lower(text") <= 1, \
         f"lowercased split duplicated:\n{plan}"
+
+
+# --- new pipeline operators: plan shape at scale ---------------------------
+
+def test_sample_and_split_plans_have_no_shuffle(spark, sf_dir):
+    """Hash sampling/splitting must stay a pure scan-side projection/
+    filter — zero Exchange nodes, so at 100 TB they add no shuffle."""
+    from spark_df_profiling_spark.operators.sampling import (
+        hash_split, sample_hash)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for df in (sample_hash(d, "doc_id", 0.1),
+               hash_split(d, "doc_id", {"a": 0.5, "b": 0.5})):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "BatchScan" in plan or "FileScan" in plan
+
+
+def test_mixture_sample_joins_broadcast(spark, sf_dir):
+    """The per-source cut table is O(#sources) rows — the corpus join
+    must be a broadcast hash join, never a sort-merge shuffle of the
+    corpus."""
+    from spark_df_profiling_spark.operators.sampling import mixture_sample
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = mixture_sample(d, "source", {"src0": 0.6, "src1": 0.4},
+                         "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_repetition_stats_plan_is_narrow(spark, sf_dir):
+    """Per-document repetition features are in-row HOFs: no Exchange,
+    no per-token explode — corpus-size-independent plan shape."""
+    from spark_df_profiling_spark.operators.text import repetition_stats
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = repetition_stats(d, "text")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Generate" not in plan        # no explode of the token stream
+
+
+def test_psi_shuffles_only_bucket_rows(spark, sf_dir):
+    """PSI aggregates (column, bucket) pairs: every Exchange in the plan
+    sits ABOVE a partial HashAggregate (map-side combine first), so the
+    shuffled rows are O(#cols x #bins) per task, not the dataset."""
+    from spark_df_profiling_spark.operators.drift import psi_numeric
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ref = li.where(F.col("l_orderkey") % 2 == 0)
+    new = li.where(F.col("l_orderkey") % 2 == 1)
+    out = psi_numeric(ref, new, ["l_quantity", "l_discount"], bins=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+    # every hashpartitioning exchange key set is (column, bucket)-level
+    # or the final per-column regroup — none partitions by a data column
+    for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
+        keys = m.group(1)
+        assert "l_quantity" not in keys and "l_discount" not in keys, keys
