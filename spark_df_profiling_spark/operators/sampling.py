@@ -144,6 +144,29 @@ def split_counts(df: DataFrame, key_col: str,
             .agg(F.count(F.lit(1)).alias("n_rows")))
 
 
+def sample_exact_k(df: DataFrame, strata_col: str, k: int,
+                   key_col: Union[str, Column], seed: int = 0) -> DataFrame:
+    """Exactly ``k`` rows per stratum, chosen deterministically.
+
+    Rank by ``(hash_bucket, key)`` inside each stratum and keep rank <=
+    k — a uniform random-looking but fully reproducible choice (same
+    k rows on every run/engine).  Use for eval-set carving ("5 docs per
+    language") where *exact* counts matter and fractions don't.
+
+    Scale note: one shuffle on ``strata_col``; the per-stratum sort is
+    the cost.  For huge strata pre-thin with :func:`sample_hash` at a
+    few × k/stratum_size first (membership stays deterministic since
+    both stages are pure hash functions), then rank the survivors.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    from pyspark.sql import Window
+    w = Window.partitionBy(strata_col).orderBy(
+        hash_bucket(key_col, seed).asc(), _c(key_col).asc())
+    return (df.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= k).drop("__rk"))
+
+
 def mixture_sample(df: DataFrame, source_col: str,
                    weights: Mapping[str, float],
                    key_col: Union[str, Column],

@@ -317,6 +317,37 @@ def repetition_stats(df: DataFrame, text_col: str) -> DataFrame:
         & (F.col("r_dup_3gram_ratio") < 0.18))
 
 
+def vocab_topk(df: DataFrame, text_col: str, k: int = 20,
+               sub_partitions: int = 64) -> DataFrame:
+    """Corpus vocabulary: top-k tokens by frequency → (token, cnt).
+
+    The one text op that NEEDS a token-stream shuffle (corpus-global
+    counts), done skew-safely: explode → partial+final hash agg on the
+    token, then the same two-phase top-k as ``topk_frequencies`` — a
+    local rank within ``hash(token) % sub_partitions`` buckets before
+    the final rank, so no single task ever sees the whole vocabulary
+    (stop-word counts are the classic skew: the partial agg combines
+    them map-side, the bucketed rank keeps the reduce side parallel).
+    Ties break by token ascending (deterministic for the oracle).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    from pyspark.sql import Window
+    counts = (df.select(F.explode(F.split(_c(text_col), " "))
+                        .alias("token"))
+              .where(F.col("token") != "")
+              .groupBy("token")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    bucket = F.pmod(F.xxhash64(F.col("token")), F.lit(sub_partitions))
+    w_local = Window.partitionBy(bucket).orderBy(
+        F.desc("cnt"), F.asc("token"))
+    local_top = (counts.withColumn("rk", F.row_number().over(w_local))
+                 .where(F.col("rk") <= k).drop("rk"))
+    w_global = Window.partitionBy().orderBy(F.desc("cnt"), F.asc("token"))
+    return (local_top.withColumn("rk", F.row_number().over(w_global))
+            .where(F.col("rk") <= k).drop("rk"))
+
+
 # --- PII / URL scan --------------------------------------------------------
 # Patterns restricted to syntax RE2/PCRE/DuckDB all parse identically
 # (char classes, +, bounded repeats — no lookaround, no backrefs).

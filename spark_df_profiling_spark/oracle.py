@@ -1765,6 +1765,13 @@ WHERE {_BK.format(seed=3)} <
       CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
                 ELSE 50000 END
 GROUP BY lang
+UNION ALL
+SELECT 'exactk', CAST(doc_id AS VARCHAR), 1
+FROM (SELECT doc_id,
+             row_number() OVER (PARTITION BY lang
+                 ORDER BY {_BK.format(seed=5)} ASC, doc_id ASC) AS rk
+      FROM documents)
+WHERE rk <= 5
 ORDER BY part, k
 """)
 def hash_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1795,7 +1802,13 @@ def hash_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.lit("strat").alias("part"),
                 F.col("lang").alias("k"), "n"))
-    return split.unionByName(samp).unionByName(strat).orderBy("part", "k")
+    from spark_df_profiling_spark.operators.sampling import sample_exact_k
+    exactk = (sample_exact_k(d, "lang", 5, "doc_id", seed=5)
+              .select(F.lit("exactk").alias("part"),
+                      F.col("doc_id").cast("string").alias("k"),
+                      F.lit(1).cast("long").alias("n")))
+    return (split.unionByName(samp).unionByName(strat)
+            .unionByName(exactk).orderBy("part", "k"))
 
 
 # ---------------------------------------------------------------------------
@@ -1992,3 +2005,20 @@ def mixture_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "doc_id", seed=11)
     return (out.groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_rows")).orderBy("source"))
+
+
+@query("vocab_top_tokens", """
+SELECT token, count(*) AS cnt
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+WHERE token <> ''
+GROUP BY token
+ORDER BY cnt DESC, token
+LIMIT 20
+""")
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global top-20 vocabulary (skew-safe two-phase top-k over
+    the exploded token stream — the stop-word head is the classic skew
+    case; map-side partial agg + bucketed local rank keep it parallel)."""
+    from spark_df_profiling_spark.operators.text import vocab_topk
+    d = _t(spark, sf_dir, "documents")
+    return vocab_topk(d, "text", k=20)

@@ -225,3 +225,31 @@ def test_mixture_sample_proportions_and_binding_source(spark):
         mixture_sample(df, "src", {"web": 0.0}, "key")
     with pytest.raises(ValueError):
         mixture_sample(df, "src", {}, "key")
+
+
+def test_sample_exact_k_counts_and_determinism(spark):
+    from spark_df_profiling_spark.operators.sampling import sample_exact_k
+    df = spark.range(0, 900).select(
+        F.col("id").alias("key"), (F.col("id") % 3).alias("g"))
+    a = sample_exact_k(df, "g", 7, "key", seed=1)
+    counts = {r["g"]: r["count"]
+              for r in a.groupBy("g").count().collect()}
+    assert counts == {0: 7, 1: 7, 2: 7}
+    b = sample_exact_k(df, "g", 7, "key", seed=1)
+    assert a.exceptAll(b).count() == 0
+    # k larger than a stratum keeps the whole stratum
+    tiny = df.where(F.col("key") < 5)
+    assert sample_exact_k(tiny, "g", 10, "key").count() == 5
+    with pytest.raises(ValueError):
+        sample_exact_k(df, "g", 0, "key")
+
+
+def test_vocab_topk_exact_counts(spark):
+    from spark_df_profiling_spark.operators.text import vocab_topk
+    df = spark.createDataFrame(
+        [("a b a",), ("b a c",), ("d b",)], ["text"])
+    got = [(r["token"], r["cnt"]) for r in
+           vocab_topk(df, "text", k=3).collect()]
+    assert got == [("a", 3), ("b", 3), ("c", 1)]   # tie a<b, then c<d
+    with pytest.raises(ValueError):
+        vocab_topk(df, "text", k=0)
