@@ -1864,34 +1864,47 @@ def repetition_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 # salad, so totals are legitimately 0; the regex kernels are
 # fixture-tested in tests/test_text.py with planted PII)
 # ---------------------------------------------------------------------------
-@query("pii_scan_docs", """
-SELECT
-  CAST(sum(len(regexp_extract_all(text,
-      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))) AS BIGINT)
-    AS n_email,
-  CAST(sum(len(regexp_extract_all(text,
-      'https?://[A-Za-z0-9./_%#?&=-]+'))) AS BIGINT) AS n_url,
-  CAST(sum(len(regexp_extract_all(text,
-      '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}'))) AS BIGINT)
-    AS n_ipv4,
-  CAST(sum(len(regexp_extract_all(text,
-      '\\+[0-9][0-9 ()-]{6,14}[0-9]'))) AS BIGINT) AS n_phone,
-  CAST(sum(CASE WHEN len(regexp_extract_all(text,
-      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) > 0
-      OR len(regexp_extract_all(text,
-      'https?://[A-Za-z0-9./_%#?&=-]+')) > 0
-      OR len(regexp_extract_all(text,
-      '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) > 0
-      OR len(regexp_extract_all(text,
-      '\\+[0-9][0-9 ()-]{6,14}[0-9]')) > 0
-      THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_flagged
-FROM documents
-""")
+# The driver corpus is synthetic word salad (zero PII), so the graded
+# row also folds in a constructed fixture — identical literals on both
+# engines — to prove the regexes fire identically, not just that 0 == 0.
+_PII_FIXTURES = [
+    "contact alice@example.org or bob.smith+tag@mail.co",
+    "mirror https://data.example.com/set?a=1&b=2 or http://old.example.net/x",
+    "host 192.168.0.1 fallback 10.0.0.254",
+    "call +1 (415) 555-0100 today",
+    "clean row with no sensitive content",
+]
+
+
+def _pii_sql() -> str:
+    from spark_df_profiling_spark.operators.text import PII_PATTERNS
+    cnt = {k: f"len(regexp_extract_all(text, '{p}'))"
+           for k, p in PII_PATTERNS.items()}
+    flag = " OR ".join(f"{c} > 0" for c in cnt.values())
+    values = ",\n        ".join(f"('{t}')" for t in _PII_FIXTURES)
+    return f"""
+WITH corpus AS (
+    SELECT text FROM documents
+    UNION ALL
+    SELECT * FROM (VALUES {values}) fixture(text)
+)
+SELECT CAST(sum({cnt['email']}) AS BIGINT) AS n_email,
+       CAST(sum({cnt['url']}) AS BIGINT) AS n_url,
+       CAST(sum({cnt['ipv4']}) AS BIGINT) AS n_ipv4,
+       CAST(sum({cnt['phone']}) AS BIGINT) AS n_phone,
+       CAST(sum(CASE WHEN {flag} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_docs_flagged
+FROM corpus
+"""
+
+
+@query("pii_scan_docs", _pii_sql())
 def pii_scan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-level PII exposure totals."""
+    """Corpus-level PII exposure totals (corpus + planted fixture)."""
     from spark_df_profiling_spark.operators.text import pii_scan
-    d = _t(spark, sf_dir, "documents")
-    s = pii_scan(d, "text")
+    d = _t(spark, sf_dir, "documents").select("text")
+    fix = spark.createDataFrame([(t,) for t in _PII_FIXTURES], ["text"])
+    s = pii_scan(d.unionByName(fix), "text")
     return s.agg(
         F.sum("pii_email").cast("long").alias("n_email"),
         F.sum("pii_url").cast("long").alias("n_url"),

@@ -28,14 +28,31 @@ REPLICAS = 10
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 
 
-def replicate(df: DataFrame, id_cols: list[str], n: int) -> DataFrame:
-    """n id-shifted copies; unique ids keep keep-first semantics sane."""
+def replicate(df: DataFrame, id_cols: list[str], n: int,
+              materialize_as: str | None = None,
+              spark: SparkSession | None = None) -> DataFrame:
+    """n id-shifted copies; unique ids keep keep-first semantics sane.
+
+    ``materialize_as`` writes the union to a temp parquet and reads it
+    back: every downstream stage of the raw 10-branch union plan
+    re-executes all 10 scans+projections, so multi-stage operators
+    (near-dedup: shingle→minhash→band→join→verify) pay the replication
+    harness ~once per stage.  A real 10x corpus is one dataset on disk —
+    materializing measures the ENGINE, the raw union measures the
+    harness.  (BASELINE.md records both for profile: 176.9s union vs
+    50.2s materialized at round 2.)
+    """
     shift = 10_000_000
     out = df
     for i in range(1, n):
         out = out.unionByName(df.select(*[
             (F.col(c) + i * shift).alias(c) if c in id_cols else F.col(c)
             for c in df.columns]))
+    if materialize_as:
+        import tempfile
+        path = f"{tempfile.mkdtemp()}/{materialize_as}.parquet"
+        out.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
     return out
 
 
@@ -50,7 +67,8 @@ def main() -> None:
 
     t = lambda name: spark.read.parquet(f"{SF_DIR}/{name}.parquet")
 
-    li = replicate(t("lineitem"), ["l_orderkey"], REPLICAS)
+    li = replicate(t("lineitem"), ["l_orderkey"], REPLICAS,
+                   materialize_as="lineitem_x10", spark=spark)
     n_li = li.count()
     from spark_df_profiling_spark import profile
     t0 = time.time()
@@ -59,7 +77,8 @@ def main() -> None:
     print(f"profile lineitem x{REPLICAS} ({n_li} rows): "
           f"{t_profile:.1f}s", flush=True)
 
-    docs = replicate(t("documents"), ["doc_id"], REPLICAS)
+    docs = replicate(t("documents"), ["doc_id"], REPLICAS,
+                     materialize_as="documents_x10", spark=spark)
     n_docs = docs.count()
 
     from spark_df_profiling_spark.operators.dedup import (
@@ -88,6 +107,54 @@ def main() -> None:
         F.count_distinct("f_lang"), F.sum("f_quality")).collect()
     t_text = time.time() - t0
     print(f"text_features docs x{REPLICAS}: {t_text:.1f}s", flush=True)
+
+    # round-3 operators: sampling/split (shuffle-free), mixture
+    # (broadcast cut join), repetition HOFs, vocab top-k (token-stream
+    # shuffle), PSI drift (bucket-row shuffle only)
+    from spark_df_profiling_spark.operators.sampling import (
+        hash_split, mixture_sample)
+    t0 = time.time()
+    splits = (hash_split(docs, "doc_id",
+                         {"train": 0.9, "val": 0.05, "test": 0.05})
+              .groupBy("split").count().collect())
+    t_split = time.time() - t0
+    print(f"hash_split docs x{REPLICAS}: {t_split:.1f}s  "
+          f"{sorted((r['split'], r['count']) for r in splits)}",
+          flush=True)
+
+    weights = {f"src{i}": (0.3 if i < 2 else 0.4 / 18)
+               for i in range(20)}
+    t0 = time.time()
+    n_mix = mixture_sample(docs, "source", weights, "doc_id").count()
+    t_mix = time.time() - t0
+    print(f"mixture_sample docs x{REPLICAS}: {t_mix:.1f}s  kept={n_mix}",
+          flush=True)
+
+    from spark_df_profiling_spark.operators.text import (
+        repetition_stats, vocab_topk)
+    t0 = time.time()
+    repetition_stats(docs, "text").agg(
+        F.sum(F.when(F.col("r_keep"), 1).otherwise(0))).collect()
+    t_rep = time.time() - t0
+    print(f"repetition_stats docs x{REPLICAS}: {t_rep:.1f}s", flush=True)
+
+    t0 = time.time()
+    vocab = vocab_topk(docs, "text", k=20).collect()
+    t_vocab = time.time() - t0
+    print(f"vocab_topk docs x{REPLICAS}: {t_vocab:.1f}s  "
+          f"top={vocab[0]['token']}:{vocab[0]['cnt']}", flush=True)
+
+    from spark_df_profiling_spark.operators.drift import psi_report
+    ref = li.where(F.col("l_orderkey") % 2 == 0)
+    new = li.where(F.col("l_orderkey") % 2 == 1)
+    t0 = time.time()
+    psi_report(ref, new,
+               numeric_cols=["l_quantity", "l_extendedprice",
+                             "l_discount", "l_tax"],
+               categorical_cols=["l_returnflag", "l_linestatus"]).collect()
+    t_psi = time.time() - t0
+    print(f"psi_report lineitem x{REPLICAS} halves: {t_psi:.1f}s",
+          flush=True)
 
 
 if __name__ == "__main__":
