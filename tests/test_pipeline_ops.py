@@ -253,3 +253,30 @@ def test_vocab_topk_exact_counts(spark):
     assert got == [("a", 3), ("b", 3), ("c", 1)]   # tie a<b, then c<d
     with pytest.raises(ValueError):
         vocab_topk(df, "text", k=0)
+
+
+def test_hash_bucket_matches_python_hashlib(spark):
+    """Engine-portability proof against a THIRD implementation: the
+    md5-bucket arithmetic recomputed with Python hashlib must agree with
+    Spark's conv(substr(md5)) for arbitrary keys and seeds (DuckDB
+    agreement is covered by the oracle harness)."""
+    import hashlib
+    import random
+
+    from spark_df_profiling_spark.operators.sampling import (
+        BUCKETS, hash_bucket)
+
+    def py_bucket(key, seed):
+        h = hashlib.md5(f"{key}:{seed}".encode()).hexdigest()
+        return int(h[:15], 16) % BUCKETS
+
+    rng = random.Random(20260813)
+    keys = ([rng.randrange(-10**12, 10**12) for _ in range(40)]
+            + [0, -1, 1, 10**15])
+    df = spark.createDataFrame([(k,) for k in keys], ["key"])
+    for seed in (0, 7, 424242):
+        got = {r["key"]: r["b"]
+               for r in df.select(
+                   "key", hash_bucket("key", seed=seed).alias("b"))
+               .collect()}
+        assert got == {k: py_bucket(k, seed) for k in keys}, seed
