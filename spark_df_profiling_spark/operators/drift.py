@@ -106,17 +106,27 @@ def psi_numeric(ref: DataFrame, new: DataFrame, cols: Sequence[str],
 
 
 def psi_categorical(ref: DataFrame, new: DataFrame,
-                    cols: Sequence[str]) -> DataFrame:
+                    cols: Sequence[str],
+                    include_nulls: bool = False) -> DataFrame:
     """PSI per categorical column — each distinct value is a bucket.
 
     Meant for low-cardinality columns (status/flag/language codes); for
     high-cardinality columns bucket first (the shuffle is #values rows
     per column).  A value present on only one side gets the ``eps``
     floor on the other, contributing a large-but-finite term.
+
+    ``include_nulls=True`` maps NULL to its own ``__null__`` bucket so a
+    missing-rate shift scores as drift (a new upstream dropping a field
+    is the classic silent corruption; the default excludes NULLs to
+    match :func:`psi_numeric`).
     """
     if not cols:
         raise ValueError("cols must be non-empty")
-    exprs = {c: F.col(c).cast("string") for c in cols}
+    if include_nulls:
+        exprs = {c: F.coalesce(F.col(c).cast("string"),
+                               F.lit("__null__")) for c in cols}
+    else:
+        exprs = {c: F.col(c).cast("string") for c in cols}
     return _psi_from_counts(_bucket_counts(ref, exprs),
                             _bucket_counts(new, exprs))
 

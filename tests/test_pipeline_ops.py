@@ -280,3 +280,21 @@ def test_hash_bucket_matches_python_hashlib(spark):
                    "key", hash_bucket("key", seed=seed).alias("b"))
                .collect()}
         assert got == {k: py_bucket(k, seed) for k in keys}, seed
+
+
+def test_psi_null_rate_drift_scored(spark):
+    # same non-null distribution, but nulls appear in `new`: invisible
+    # by default, scored with include_nulls=True
+    ref = spark.range(0, 1000).select(
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("c"))
+    # null 25% of rows, drawn EQUALLY from a and b (ids 0,1 mod 8), so
+    # the non-null a:b mix stays exactly 1:1 — null-blind PSI sees no
+    # drift at all
+    new = spark.range(0, 1000).select(
+        F.when(F.col("id") % 8 < 2, None)
+        .when(F.col("id") % 2 == 0, "a").otherwise("b").alias("c"))
+    default = psi_categorical(ref, new, ["c"]).collect()[0]["psi"]
+    scored = psi_categorical(ref, new, ["c"],
+                             include_nulls=True).collect()[0]["psi"]
+    assert default < 0.05          # null-blind: distributions look close
+    assert scored > 0.25           # 25% of rows went missing -> flagged
