@@ -42,6 +42,14 @@ def build_session(app_name: str = "spark-df-profiling",
          .config("spark.sql.execution.arrow.maxRecordsPerBatch",
                  str(arrow_batch_rows))
          .config("spark.sql.parquet.filterPushdown", "true")
+         # runtime join pruning: inject a bloom filter built from the
+         # filtered small side into the big side's scan (big-big joins
+         # where one side is selectively filtered — the 100 TB case
+         # static pushdown can't see).  Explicit because deployments
+         # still on 3.x defaults have it off.
+         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+         .config("spark.sql.optimizer.runtime.bloomFilter."
+                 "creationSideThreshold", "100MB")
          .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024)))
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

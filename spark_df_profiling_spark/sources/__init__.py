@@ -50,7 +50,8 @@ def write_profile(profile_df: DataFrame, path: str,
 
 def write_partitioned(df: DataFrame, path: str, partition_cols: list[str],
                       mode: str = "overwrite",
-                      max_records_per_file: int | None = None) -> None:
+                      max_records_per_file: int | None = None,
+                      sort_by: list[str] | None = None) -> None:
     """Partition-pruned sink: one directory level per partition column.
 
     The 100 TB layout decision: downstream queries filtering on
@@ -59,7 +60,15 @@ def write_partitioned(df: DataFrame, path: str, partition_cols: list[str],
     columns — a high-cardinality partition column creates millions of
     tiny files (the classic small-files failure).
     ``max_records_per_file`` caps file size for post-shuffle skew.
+
+    ``sort_by`` clusters rows within each output task before writing, so
+    parquet row-group min/max stats become selective on those columns —
+    point/range filters then skip whole row groups at scan time (the
+    data-skipping layer BELOW directory pruning; pick the columns the
+    hot queries filter on, e.g. a timestamp or id).
     """
+    if sort_by:
+        df = df.sortWithinPartitions(*sort_by)
     w = df.write.mode(mode)
     if max_records_per_file:
         w = w.option("maxRecordsPerFile", max_records_per_file)

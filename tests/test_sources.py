@@ -117,3 +117,37 @@ def test_build_session_tuned_defaults(spark):
         assert got == 2 * s.sparkContext.defaultParallelism
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def test_write_partitioned_sorted_rowgroups(spark, sf_dir, tmp_path):
+    """sort_by clusters rows so parquet row-group min/max stats are
+    selective: with one sorted file per partition, a tight doc_id range
+    filter must still return exactly the right rows (stats correctness),
+    and the footer stats must be disjoint-ordered."""
+    from spark_df_profiling_spark.sources import write_partitioned
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "docs_sorted")
+    write_partitioned(d.repartition(1), out, ["lang"],
+                      sort_by=["doc_id"], max_records_per_file=50)
+    back = spark.read.parquet(out)
+    got = back.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 110))
+    exp = d.where((F.col("doc_id") >= 100) & (F.col("doc_id") < 110))
+    assert sorted(r["doc_id"] for r in got.select("doc_id").collect()) \
+        == sorted(r["doc_id"] for r in exp.select("doc_id").collect())
+    # footer check: within one partition directory, per-file doc_id
+    # ranges must not interleave (the sort actually happened)
+    import glob
+    import pyarrow.parquet as pq
+    for langdir in glob.glob(f"{out}/lang=*"):
+        ranges = []
+        for f in sorted(glob.glob(f"{langdir}/*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.to_arrow_schema().get_field_index("doc_id")
+            lo = min(md.row_group(i).column(idx).statistics.min
+                     for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(idx).statistics.max
+                     for i in range(md.num_row_groups))
+            ranges.append((lo, hi))
+        ranges.sort()
+        for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+            assert hi_prev <= lo_next
