@@ -298,3 +298,15 @@ def test_psi_null_rate_drift_scored(spark):
                              include_nulls=True).collect()[0]["psi"]
     assert default < 0.05          # null-blind: distributions look close
     assert scored > 0.25           # 25% of rows went missing -> flagged
+
+
+def test_mixture_sample_absent_source_graceful(spark):
+    from spark_df_profiling_spark.operators.sampling import mixture_sample
+    df = spark.range(0, 100).select(
+        F.col("id").alias("key"), F.lit("web").alias("src"))
+    # a weighted source absent from the data: feasible total is set by
+    # the present sources only
+    out = mixture_sample(df, "src", {"web": 0.5, "ghost": 0.5}, "key")
+    assert out.count() == 100          # web is binding -> keeps all
+    # no weighted source present at all -> empty result, no error
+    assert mixture_sample(df, "src", {"ghost": 1.0}, "key").count() == 0
