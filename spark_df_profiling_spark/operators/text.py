@@ -348,6 +348,44 @@ def vocab_topk(df: DataFrame, text_col: str, k: int = 20,
             .where(F.col("rk") <= k).drop("rk"))
 
 
+def unigram_logprob(df: DataFrame, text_col: str, id_col: str,
+                    vocab_size: int = 50_000) -> DataFrame:
+    """Mean unigram log-probability per document (LM-quality signal).
+
+    The cheap end of the CCNet idea — score each document by how
+    "corpus-typical" its tokens are; gibberish, boilerplate, and
+    wrong-language text score low.  Self-scored against the corpus's own
+    unigram distribution:
+
+    1. corpus token counts (map-side partial agg — stop-word mass
+       collapses before the shuffle), total kept as one scalar;
+    2. the top-``vocab_size`` vocabulary broadcast-joins onto the
+       exploded token stream (no shuffle of the stream for the join);
+    3. out-of-vocabulary tokens get a half-count floor
+       ``ln(0.5/total)``, then one shuffle re-aggregates by ``id_col``.
+
+    Cost at scale: two passes over the token stream + one groupBy on the
+    document id — the re-agg is the unavoidable shuffle (per-doc means
+    need the doc's tokens back together); everything else is broadcast.
+    Adds ``lp_mean`` (higher = more typical) to one row per document.
+    """
+    if vocab_size < 1:
+        raise ValueError(f"vocab_size must be >= 1: {vocab_size}")
+    toks = (df.select(id_col,
+                      F.explode(F.split(_c(text_col), " ")).alias("token"))
+            .where(F.col("token") != ""))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt")).collect()[0][0] or 1
+    vocab = (counts.orderBy(F.desc("cnt"), F.asc("token"))
+             .limit(vocab_size)
+             .withColumn("lp", F.log(F.col("cnt") / F.lit(float(total)))))
+    oov = float(__import__("math").log(0.5 / total))
+    scored = (toks.join(F.broadcast(vocab.select("token", "lp")),
+                        "token", "left")
+              .withColumn("lp", F.coalesce(F.col("lp"), F.lit(oov))))
+    return scored.groupBy(id_col).agg(F.avg("lp").alias("lp_mean"))
+
+
 # --- PII / URL scan --------------------------------------------------------
 # Patterns restricted to syntax RE2/PCRE/DuckDB all parse identically
 # (char classes, +, bounded repeats — no lookaround, no backrefs).

@@ -142,3 +142,39 @@ def test_functions_namespace(spark):
     assert len(row["h"]) == 64
     assert abs(row["cos"] - 0.6) < 1e-12
     assert set(PF.__all__) <= set(dir(PF))
+
+
+def test_unigram_logprob_matches_python(spark):
+    """Exact parity with a Python replication on a tiny corpus, and the
+    quality ordering: a doc of corpus-typical tokens outscores one made
+    of rare tokens."""
+    import math
+
+    from spark_df_profiling_spark.operators.text import unigram_logprob
+    rows = [(1, "the cat sat on the mat"),
+            (2, "the dog sat on the rug"),
+            (3, "zyx qwv jkl")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["lp_mean"]
+           for r in unigram_logprob(df, "text", "doc_id").collect()}
+
+    toks = [t for _, s in rows for t in s.split(" ")]
+    total = len(toks)
+    cnt = {t: toks.count(t) for t in set(toks)}
+    exp = {d: sum(math.log(cnt[t] / total) for t in s.split(" "))
+           / len(s.split(" "))
+           for d, s in rows}
+    for d in exp:
+        assert got[d] == pytest.approx(exp[d], rel=1e-12)
+    assert got[1] > got[3] and got[2] > got[3]
+
+    # vocab truncation: with vocab_size=1 only 'the' stays in-vocab,
+    # everything else gets the OOV floor log(0.5/total)
+    got1 = {r["doc_id"]: r["lp_mean"]
+            for r in unigram_logprob(df, "text", "doc_id",
+                                     vocab_size=1).collect()}
+    oov = math.log(0.5 / total)
+    exp3 = oov                       # doc 3 is all-OOV
+    assert got1[3] == pytest.approx(exp3, rel=1e-12)
+    with pytest.raises(ValueError):
+        unigram_logprob(df, "text", "doc_id", vocab_size=0)
