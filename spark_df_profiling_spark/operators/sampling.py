@@ -46,10 +46,16 @@ def hash_bucket(col: Union[str, Column], seed: int = 0,
     buckets``.  60 bits of hash keep the conversion exact in int64; md5's
     uniformity makes the bucket distribution uniform regardless of key
     distribution (sequential ids, skewed ids — doesn't matter).
+
+    NULL keys yield a NULL bucket (``concat`` propagates NULL exactly
+    like SQL ``||``), so every downstream comparison behaves as the
+    equivalent SQL does: a ``bucket < cut`` filter DROPS NULL-key rows,
+    and a CASE assignment falls through to its ELSE branch.  Sample with
+    a non-null key (or ``coalesce`` one in) if NULL rows must be kept.
     """
     if buckets <= 0:
         raise ValueError(f"buckets must be > 0: {buckets}")
-    key = F.concat_ws(":", _c(col).cast("string"), F.lit(str(seed)))
+    key = F.concat(_c(col).cast("string"), F.lit(f":{seed}"))
     return (F.conv(F.substring(F.md5(key), 1, 15), 16, 10)
             .cast("bigint") % buckets)
 
@@ -62,7 +68,8 @@ def sample_hash(df: DataFrame, key_col: Union[str, Column],
     no shuffle, retry-safe, and the SAME rows come back on every engine
     and every run.  Rows sharing a key are kept or dropped together —
     pass a unique id for row-level sampling, a group key (e.g. user_id)
-    for leakage-free group-level sampling.
+    for leakage-free group-level sampling.  NULL keys are dropped (the
+    bucket is NULL, same as the SQL ``||`` oracle).
     """
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1]: {fraction}")
@@ -82,6 +89,8 @@ def hash_split(df: DataFrame, key_col: Union[str, Column],
     consistent across engines/runs/retries, and rows sharing a key land
     in the same split (group-level leakage control, same as
     :func:`sample_hash`).  Single projection — no shuffle, no extra scan.
+    NULL keys land in the LAST split (NULL bucket → every ``WHEN`` is
+    NULL → ELSE branch), matching the equivalent SQL CASE.
     """
     names = list(weights)
     if not names:
@@ -162,7 +171,8 @@ def sample_exact_k(df: DataFrame, strata_col: str, k: int,
         raise ValueError(f"k must be >= 1: {k}")
     from pyspark.sql import Window
     w = Window.partitionBy(strata_col).orderBy(
-        hash_bucket(key_col, seed).asc(), _c(key_col).asc())
+        hash_bucket(key_col, seed).asc_nulls_last(),
+        _c(key_col).asc_nulls_last())
     return (df.withColumn("__rk", F.row_number().over(w))
             .where(F.col("__rk") <= k).drop("__rk"))
 
