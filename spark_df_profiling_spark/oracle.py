@@ -31,6 +31,10 @@ from typing import Optional
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spark_df_profiling_spark.sources import (
+    event_time_micros, with_event_time,
+)
+
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
 
@@ -50,8 +54,10 @@ def query(name: str, sql: Optional[str]):
 
 def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if table == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which Spark 4 refuses
-        # without the legacy conf; ts is then a LONG of epoch-nanoseconds.
+        # events.ts has shipped as TIMESTAMP(NANOS) (→ LONG epoch-nanos
+        # under the legacy conf) and as timestamp[us] (→ TIMESTAMP_NTZ)
+        # across driver data refreshes; sources.event_time_micros /
+        # with_event_time adapt to whichever dtype loads.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
@@ -877,13 +883,11 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """)
 def window_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_df_profiling_spark.streaming import windowed_profile
-    ev = _t(spark, sf_dir, "events")
-    ev = ev.withColumn(
-        "ts_ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = with_event_time(_t(spark, sf_dir, "events"))
     prof = windowed_profile(ev, "ts_ts", "value", "1 day",
                             group_col="event_type")
     return (prof.select(
-        F.unix_seconds(F.col("window_start")).alias("window_epoch"),
+        epoch_seconds(prof, "window_start").alias("window_epoch"),
         "event_type", "cnt",
         sig(F.col("mean")).alias("mean_s"),
         "min_v", "max_v",
@@ -1266,8 +1270,9 @@ def streaming_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     prof = windowed_profile(stream, "ts_ts", "value", "1 day",
                             watermark="1 hour", group_col="event_type")
     run_stream_to_memory(prof, "stream_profile_out")
-    return (spark.table("stream_profile_out")
-            .select(F.unix_seconds(F.col("window_start"))
+    out = spark.table("stream_profile_out")
+    return (out
+            .select(epoch_seconds(out, "window_start")
                     .alias("window_epoch"),
                     "event_type", "cnt")
             .orderBy("window_epoch", "event_type"))
@@ -1533,13 +1538,15 @@ def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics of `operators/joins.py::asof_join`."""
     from spark_df_profiling_spark.operators.joins import asof_join
     ev = _t(spark, sf_dir, "events")
-    # ts is epoch-NANOS long (see _t); integer-div to micros, which both
-    # engines treat exactly (no double rounding in the join keys)
+    # event_time_micros adapts to the stored ts dtype; integer micros as
+    # the join key means both engines compare exactly (no double
+    # rounding in the join keys)
+    tus = event_time_micros(ev)
     c = ev.where(F.col("event_type") == "click").select(
-        "event_id", "user_id", F.expr("ts div 1000").alias("tus"))
+        "event_id", "user_id", tus.alias("tus"))
     v = ev.where(F.col("event_type") == "view").select(
         F.col("event_id").alias("view_id"), "user_id",
-        F.expr("ts div 1000").alias("tus"))
+        tus.alias("tus"))
     out = asof_join(c, v, on="user_id", left_ts="tus")
     return (out.select(
         "event_id", F.col("r_view_id").alias("view_id"),
@@ -1567,7 +1574,7 @@ def range_join_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     inequality join."""
     from spark_df_profiling_spark.operators.joins import range_join_buckets
     ev = _t(spark, sf_dir, "events")
-    pts = ev.select(F.expr("ts div 1000").alias("tus"), "value")
+    pts = ev.select(event_time_micros(ev).alias("tus"), "value")
     iv = spark.range(0, 186).select(
         F.col("id").alias("iid"),
         (F.lit(_EV_EPOCH_US) + F.col("id") * F.lit(14_400_000_000))
@@ -1613,8 +1620,7 @@ FROM g GROUP BY user_id ORDER BY user_id
 """)
 def session_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_df_profiling_spark.streaming import session_profile
-    ev = _t(spark, sf_dir, "events").withColumn(
-        "ts_ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = with_event_time(_t(spark, sf_dir, "events"))
     sess = session_profile(ev, "ts_ts", "user_id", gap="1 hour")
     return (sess.groupBy("user_id")
             .agg(F.count(F.lit(1)).alias("n_sessions"),
@@ -1638,12 +1644,11 @@ FROM w GROUP BY window_epoch ORDER BY window_epoch
 """)
 def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_df_profiling_spark.streaming import sliding_profile
-    ev = _t(spark, sf_dir, "events").withColumn(
-        "ts_ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = with_event_time(_t(spark, sf_dir, "events"))
     out = sliding_profile(ev, "ts_ts", "value",
                           window="1 day", slide="12 hours")
     return (out.select(
-        F.unix_seconds(F.col("window_start")).alias("window_epoch"),
+        epoch_seconds(out, "window_start").alias("window_epoch"),
         "cnt",
         sig(F.col("mean")).alias("mean_s"),
         sig(F.col("sum_v")).alias("sum_s"))

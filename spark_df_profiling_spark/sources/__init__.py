@@ -11,17 +11,96 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
+# Naive (timezone-less) epoch origin — the anchor for all event-time
+# arithmetic so no computation ever consults the session timezone.
+_NAIVE_EPOCH = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+
+def event_time_micros(df: DataFrame, ts_col: str = "ts") -> Column:
+    """Epoch microseconds of an event timestamp, whatever physical type
+    the parquet writer of the day produced.  Timezone-independent.
+
+    The driver's ``events.parquet`` has shipped two encodings so far:
+
+    * ``timestamp[ns]`` — Spark 4 reads it only with
+      ``spark.sql.legacy.parquet.nanosAsLong``, i.e. a LONG of
+      epoch-nanoseconds → integer-div to micros;
+    * ``timestamp[us]`` (isAdjustedToUTC=false) — Spark reads
+      ``TIMESTAMP_NTZ`` → wall-clock diff from the naive epoch, which is
+      exactly DuckDB's ``epoch_ns(ts) // 1000`` on its naive TIMESTAMP.
+
+    A proper instant (``TimestampType``) goes through ``unix_micros``.
+    Every operator and oracle adapter derives its numeric event time from
+    THIS function so the next schema drift is a one-line fix, not seven
+    broken queries.
+    """
+    dt = df.schema[ts_col].dataType
+    if isinstance(dt, T.LongType):
+        return F.expr(f"`{ts_col}` div 1000")
+    if isinstance(dt, T.TimestampNTZType):
+        return F.expr(f"timestampdiff(MICROSECOND, {_NAIVE_EPOCH}, "
+                      f"`{ts_col}`)")
+    if isinstance(dt, T.TimestampType):
+        return F.unix_micros(F.col(ts_col))
+    raise TypeError(
+        f"unsupported event-time dtype {dt.simpleString()} for "
+        f"column {ts_col!r}; expected long (epoch nanos), timestamp, "
+        f"or timestamp_ntz")
+
+
+def with_event_time(df: DataFrame, ts_col: str = "ts",
+                    out_col: str = "ts_ts") -> DataFrame:
+    """Attach a timestamp-typed event-time column ``out_col``, adapting
+    to the stored dtype of ``ts_col`` (see :func:`event_time_micros`).
+
+    This is the ONLY place in the repo that constructs ``ts_ts`` — every
+    windowed/session/stateful consumer routes through here, so a driver
+    data refresh that changes the physical type cannot silently break
+    call sites again.
+
+    ``ts_ts`` is always LTZ ``TimestampType``: Structured Streaming
+    watermarks reject TIMESTAMP_NTZ (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE),
+    so NTZ wall-clocks become the instant with the same epoch micros via
+    ``timestamp_micros`` — a timezone-free construction (no session-tz
+    cast anywhere).  Downstream ``window()``/``session_window()`` bounds
+    are epoch-aligned (1970-01-01 UTC), so day/hour buckets agree exactly
+    with DuckDB's ``epoch(ts) // width`` on its naive TIMESTAMP.
+    """
+    dt = df.schema[ts_col].dataType
+    if isinstance(dt, T.TimestampType):
+        col = F.col(ts_col)
+    else:
+        col = F.timestamp_micros(event_time_micros(df, ts_col))
+    return df.withColumn(out_col, col)
+
+
+def load_events(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR,
+                event_time: bool = True) -> DataFrame:
+    """Schema-robust events loader: read + normalized ``ts_ts``.
+
+    Sets the nanos-as-long legacy conf BEFORE the read so a
+    ``timestamp[ns]`` file loads at all (harmless for other encodings),
+    then lets :func:`with_event_time` adapt to whatever arrived.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return with_event_time(df) if event_time else df
+
 
 def load_table(spark: SparkSession, name: str,
                sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Read one test table (parquet)."""
+    if name == "events":
+        return load_events(spark, sf_dir, event_time=False)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

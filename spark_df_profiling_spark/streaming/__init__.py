@@ -56,9 +56,13 @@ def windowed_profile(df: DataFrame, ts_col: str, value_col: str,
 def events_stream(spark, sf_dir: str, schema=None) -> DataFrame:
     """Read the events table as a bounded file stream (test harness).
 
-    The nanos timestamp arrives as LONG (legacy conf) and is converted to
-    a proper timestamp column ``ts_ts`` for event-time semantics.
+    The stored ``ts`` encoding has drifted across driver data refreshes
+    (LONG epoch-nanos vs TIMESTAMP_NTZ); ``sources.with_event_time`` is
+    the single dtype-adaptive normalizer that attaches the event-time
+    column ``ts_ts`` for both this streaming reader and the batch path.
     """
+    from spark_df_profiling_spark.sources import with_event_time
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
     # The file-stream source requires a directory; pathGlobFilter scopes
@@ -68,8 +72,7 @@ def events_stream(spark, sf_dir: str, schema=None) -> DataFrame:
               .option("maxFilesPerTrigger", 1)
               .option("pathGlobFilter", "events.parquet")
               .parquet(sf_dir))
-    return stream.withColumn(
-        "ts_ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return with_event_time(stream)
 
 
 def run_stream_to_memory(stream_df: DataFrame, table_name: str,

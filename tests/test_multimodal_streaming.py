@@ -6,6 +6,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from spark_df_profiling_spark.operators import multimodal as MM
+from spark_df_profiling_spark import sources as SRC
 from spark_df_profiling_spark import streaming as ST
 
 
@@ -52,8 +53,7 @@ def test_streaming_profile_matches_batch(spark, sf_dir):
     got = {(r["window_start"], r["event_type"]): (r["cnt"], r["mean"])
            for r in spark.table("t_stream_out").collect()}
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts_ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = SRC.load_events(spark, sf_dir)
     batch = ST.windowed_profile(ev, "ts_ts", "value", "1 day",
                                 group_col="event_type")
     want = {(r["window_start"], r["event_type"]): (r["cnt"], r["mean"])
@@ -66,19 +66,18 @@ def test_streaming_profile_matches_batch(spark, sf_dir):
 
 def test_session_profile_batch_matches_python(spark, sf_dir):
     from spark_df_profiling_spark.streaming import session_profile
-    import pyspark.sql.functions as FN
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts_ts", FN.timestamp_micros(FN.expr("ts div 1000")))
+    ev = SRC.load_events(spark, sf_dir)
     got = {(r["user_id"]): 0 for r in ev.select("user_id").distinct().collect()}
     sess = session_profile(ev, "ts_ts", "user_id", gap="1 hour")
     for r in sess.groupBy("user_id").count().collect():
         got[r["user_id"]] = r["count"]
-    # python reference: gaps-and-islands per user
-    rows = ev.select("user_id", "ts").collect()
+    # python reference: gaps-and-islands per user (micros via the same
+    # dtype-adaptive helper the engine uses)
+    rows = ev.select("user_id",
+                     SRC.event_time_micros(ev).alias("tus")).collect()
     per_user = {}
     for r in rows:
-        per_user.setdefault(r["user_id"], []).append(r["ts"] // 1000)
+        per_user.setdefault(r["user_id"], []).append(r["tus"])
     gap_us = 3600 * 1000000
     for uid, ts_list in per_user.items():
         ts_list.sort()
