@@ -151,3 +151,48 @@ def test_write_partitioned_sorted_rowgroups(spark, sf_dir, tmp_path):
         ranges.sort()
         for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
             assert hi_prev <= lo_next
+
+
+# ---------------------------------------------------------------------------
+# Event-time normalization: the single ts_ts constructor must adapt to
+# every physical encoding the driver's events.parquet has shipped.
+# ---------------------------------------------------------------------------
+def test_event_time_adapts_to_all_dtypes(spark):
+    import datetime as dt
+
+    from spark_df_profiling_spark.sources import (
+        event_time_micros, with_event_time)
+
+    naive = dt.datetime(2024, 1, 2, 3, 4, 5, 123456)
+    micros = 1_704_164_645_123_456  # epoch micros of that wall clock (UTC)
+
+    as_long = spark.createDataFrame(
+        [(micros * 1000,)], "ts long")                 # legacy epoch-nanos
+    as_ntz = spark.sql(
+        f"SELECT TIMESTAMP_NTZ '{naive.isoformat(sep=' ')}' AS ts")
+    as_ltz = spark.sql(f"SELECT timestamp_micros({micros}) AS ts")
+
+    for df in (as_long, as_ntz, as_ltz):
+        got = df.select(event_time_micros(df).alias("m")).collect()[0]["m"]
+        assert got == micros, df.dtypes
+        out = with_event_time(df)
+        assert dict(out.dtypes)["ts_ts"] == "timestamp", df.dtypes
+        ep = out.select(
+            F.unix_micros(F.col("ts_ts")).alias("m")).collect()[0]["m"]
+        assert ep == micros, df.dtypes
+
+
+def test_event_time_rejects_unsupported_dtype(spark):
+    from spark_df_profiling_spark.sources import event_time_micros
+
+    df = spark.createDataFrame([("x",)], "ts string")
+    with pytest.raises(TypeError, match="unsupported event-time dtype"):
+        event_time_micros(df)
+
+
+def test_load_events_attaches_ts_ts(spark, sf_dir):
+    from spark_df_profiling_spark.sources import load_events
+
+    ev = load_events(spark, sf_dir)
+    assert dict(ev.dtypes)["ts_ts"] == "timestamp"
+    assert ev.where(F.col("ts_ts").isNull()).count() == 0
