@@ -79,7 +79,8 @@ def sample_hash(df: DataFrame, key_col: Union[str, Column],
 
 def hash_split(df: DataFrame, key_col: Union[str, Column],
                weights: Mapping[str, float], seed: int = 0,
-               split_col: str = "split") -> DataFrame:
+               split_col: str = "split",
+               null_split: Optional[str] = None) -> DataFrame:
     """Assign every row to a named split by cumulative hash ranges.
 
     ``weights`` maps split name → weight (normalized internally); e.g.
@@ -89,8 +90,14 @@ def hash_split(df: DataFrame, key_col: Union[str, Column],
     consistent across engines/runs/retries, and rows sharing a key land
     in the same split (group-level leakage control, same as
     :func:`sample_hash`).  Single projection — no shuffle, no extra scan.
-    NULL keys land in the LAST split (NULL bucket → every ``WHEN`` is
-    NULL → ELSE branch), matching the equivalent SQL CASE.
+
+    NULL keys: by default they land in the LAST split (NULL bucket →
+    every ``WHEN`` is NULL → ELSE branch), matching the equivalent SQL
+    CASE — note the footgun: in the conventional ``{train, val, test}``
+    ordering that is the holdout split, so un-keyed rows silently
+    pollute eval data.  Pass ``null_split`` to route NULL keys to an
+    explicit split instead (e.g. ``"train"``, or a quarantine label not
+    in ``weights``) — still one codegen'd expression, no extra scan.
     """
     names = list(weights)
     if not names:
@@ -108,6 +115,8 @@ def hash_split(df: DataFrame, key_col: Union[str, Column],
     expr: Column = F.lit(names[-1])
     for name, cut in zip(reversed(names[:-1]), reversed(cuts)):
         expr = F.when(bucket < F.lit(cut), F.lit(name)).otherwise(expr)
+    if null_split is not None:
+        expr = F.when(bucket.isNull(), F.lit(null_split)).otherwise(expr)
     return df.withColumn(split_col, expr)
 
 
@@ -162,6 +171,13 @@ def sample_exact_k(df: DataFrame, strata_col: str, k: int,
     k rows on every run/engine).  Use for eval-set carving ("5 docs per
     language") where *exact* counts matter and fractions don't.
 
+    NULL keys are dropped before ranking, same as :func:`sample_hash`:
+    with a NULL key both sort keys are NULL, so rank order among
+    multiple NULL-key rows in a stratum would be engine/run-dependent —
+    exactly the non-determinism this operator exists to rule out.  The
+    reproducibility guarantee therefore requires ``key_col`` to be
+    unique and non-null among rows that should be sampleable.
+
     Scale note: one shuffle on ``strata_col``; the per-stratum sort is
     the cost.  For huge strata pre-thin with :func:`sample_hash` at a
     few × k/stratum_size first (membership stays deterministic since
@@ -171,9 +187,9 @@ def sample_exact_k(df: DataFrame, strata_col: str, k: int,
         raise ValueError(f"k must be >= 1: {k}")
     from pyspark.sql import Window
     w = Window.partitionBy(strata_col).orderBy(
-        hash_bucket(key_col, seed).asc_nulls_last(),
-        _c(key_col).asc_nulls_last())
-    return (df.withColumn("__rk", F.row_number().over(w))
+        hash_bucket(key_col, seed).asc(), _c(key_col).asc())
+    return (df.where(_c(key_col).isNotNull())
+            .withColumn("__rk", F.row_number().over(w))
             .where(F.col("__rk") <= k).drop("__rk"))
 
 

@@ -606,18 +606,56 @@ def _text_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("avg_quality")))
 
 
+_UNIGRAM_LP_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), toks AS (
+  SELECT doc_id, token FROM tk WHERE token <> ''
+), counts AS (
+  SELECT token, count(*) AS cnt FROM toks GROUP BY token
+), tot AS (
+  SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM counts
+), vocab AS (
+  SELECT token, ln(CAST(cnt AS DOUBLE) / total) AS lp
+  FROM counts, tot ORDER BY cnt DESC, token ASC LIMIT 50000
+), scored AS (
+  SELECT t.doc_id, coalesce(v.lp, (SELECT ln(0.5 / total) FROM tot)) AS lp
+  FROM toks t LEFT JOIN vocab v USING (token)
+), per_doc AS (
+  SELECT doc_id, avg(lp) AS lp_mean FROM scored GROUP BY doc_id
+)
+SELECT d.lang, {_psig('avg(p.lp_mean)')} AS avg_lp
+FROM per_doc p JOIN documents d USING (doc_id) GROUP BY d.lang
+"""
+
+
+def _unigram_lp_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram LM score (text.py::unigram_logprob), reduced
+    per language — the DuckDB side replicates the whole pipeline
+    (corpus counts → top-50k vocab → OOV half-count floor → per-doc
+    mean), so the operator's arithmetic is hash-checked end-to-end."""
+    from spark_df_profiling_spark.operators.text import unigram_logprob
+    d = _t(spark, sf_dir, "documents")
+    lp = unigram_logprob(d, "text", "doc_id")
+    return (d.select("doc_id", "lang").join(lp, "doc_id")
+            .groupBy("lang").agg(sig(F.avg("lp_mean")).alias("avg_lp")))
+
+
 @query("text_stats_by_lang", f"""
 SELECT s.*, q.avg_alpha_ratio, q.avg_digit_ratio, q.avg_space_ratio,
-       q.avg_punct_ratio, q.avg_quality
+       q.avg_punct_ratio, q.avg_quality, u.avg_lp
 FROM ({_TEXT_STATS_SQL}) s JOIN ({_TEXT_QUALITY_SQL}) q USING (lang)
+     JOIN ({_UNIGRAM_LP_SQL}) u USING (lang)
 ORDER BY lang
 """)
 def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text counting stats + character-class/quality ratios per language
-    in one graded row set (two independent aggs joined on lang — shares
-    a registry slot under the driver's 50-query cap)."""
+    """Text counting stats + character-class/quality ratios + unigram
+    LM score per language in one graded row set (three independent aggs
+    joined on lang — shares a registry slot under the driver's 50-query
+    cap)."""
     return (_text_stats_by_lang(spark, sf_dir)
             .join(_text_quality_by_lang(spark, sf_dir), "lang")
+            .join(_unigram_lp_by_lang(spark, sf_dir), "lang")
             .orderBy("lang"))
 
 

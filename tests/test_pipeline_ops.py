@@ -244,6 +244,39 @@ def test_sample_exact_k_counts_and_determinism(spark):
         sample_exact_k(df, "g", 0, "key")
 
 
+def test_sample_exact_k_drops_null_keys(spark):
+    # NULL keys have no deterministic rank (both sort keys NULL), so
+    # they are excluded from sampling rather than picked arbitrarily
+    from spark_df_profiling_spark.operators.sampling import sample_exact_k
+    df = spark.range(0, 100).select(
+        F.when(F.col("id") < 90, F.col("id")).alias("key"),
+        (F.col("id") % 2).alias("g"))
+    out = sample_exact_k(df, "g", 3, "key", seed=1)
+    assert out.count() == 6
+    assert out.where(F.col("key").isNull()).count() == 0
+
+
+def test_hash_split_null_keys_routing(spark):
+    df = spark.range(0, 100).select(
+        F.when(F.col("id") < 90, F.col("id")).alias("key"))
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    # default (documented footgun): NULL keys fall through to the LAST
+    # split via the SQL-CASE ELSE branch
+    dflt = hash_split(df, "key", w, seed=1)
+    assert dflt.where(F.col("key").isNull()
+                      & (F.col("split") == "test")).count() == 10
+    # opt-in routing keeps the holdout clean
+    routed = hash_split(df, "key", w, seed=1, null_split="train")
+    assert routed.where(F.col("key").isNull()
+                        & (F.col("split") == "train")).count() == 10
+    # quarantine label outside the weight map also works
+    quar = hash_split(df, "key", w, seed=1, null_split="__unkeyed__")
+    assert quar.where(F.col("split") == "__unkeyed__").count() == 10
+    # non-null assignment identical in all three
+    nn = dflt.where(F.col("key").isNotNull())
+    assert nn.exceptAll(routed.where(F.col("key").isNotNull())).count() == 0
+
+
 def test_vocab_topk_exact_counts(spark):
     from spark_df_profiling_spark.operators.text import vocab_topk
     df = spark.createDataFrame(
