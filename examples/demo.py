@@ -1,0 +1,69 @@
+"""Runnable tour of the engine (script twin of profile_demo.ipynb).
+
+Usage:  python examples/demo.py [sf_dir]
+
+Covers the reference workflow (profile a DataFrame → HTML report) plus
+the pipeline extensions: dedup, deterministic splits, and an event-time
+windowed profile.  Uses the driver-generated test tables.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+
+def main() -> None:
+    from spark_df_profiling_spark.session import build_session
+    spark = build_session("spark-df-profiling-demo", master="local[4]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # 1. The reference's workflow: ProfileReport(df) -> HTML
+    from spark_df_profiling_spark import ProfileReport
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    report = ProfileReport(li)
+    out = "/tmp/lineitem_profile.html"
+    report.to_file(out)
+    print(f"wrote {out} ({os.path.getsize(out)} bytes)")
+    print("correlation-rejected columns:",
+          report.get_rejected_variables(threshold=0.9))
+
+    # 2. The engine surface: profile() returns a DataFrame (one row per
+    #    column) you can filter/join/persist like any other
+    from spark_df_profiling_spark import profile
+    prof = profile(li)
+    prof.select("column", "type_class", "n_missing", "distinct_count") \
+        .show(5, truncate=False)
+
+    # 3. Exact + near dedup of a text corpus
+    from spark_df_profiling_spark.operators.dedup import (
+        dedup_stats, exact_dedup)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    dedup_stats(docs, "text").show()
+    kept = exact_dedup(docs, "text")
+    print("exact dedup kept", kept.count(), "of", docs.count())
+
+    # 4. Deterministic train/val/test split (hash-based: same rows on
+    #    every run, every engine, every retry)
+    from spark_df_profiling_spark.operators.sampling import hash_split
+    split = hash_split(docs, "doc_id",
+                       {"train": 0.8, "val": 0.1, "test": 0.1}, seed=42)
+    split.groupBy("split").count().orderBy("split").show()
+
+    # 5. Event-time windowed profile (dtype-adaptive events loader)
+    from spark_df_profiling_spark.sources import load_events
+    from spark_df_profiling_spark.streaming import windowed_profile
+    ev = load_events(spark, SF_DIR)
+    windowed_profile(ev, "ts_ts", "value", "1 day",
+                     group_col="event_type") \
+        .orderBy("window_start", "event_type").show(6)
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -28,14 +28,20 @@ from pyspark.sql import functions as F
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
-def content_hash(cols: list[str]) -> Column:
+def _collist(cols: str | list[str]) -> list[str]:
+    """Accept one column name or a list — a bare string would otherwise
+    iterate character-by-character into nonsense columns."""
+    return [cols] if isinstance(cols, str) else list(cols)
+
+
+def content_hash(cols: str | list[str]) -> Column:
     """256-bit content hash over the given columns (null-safe)."""
     parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
-             for c in cols]
+             for c in _collist(cols)]
     return F.sha2(F.concat_ws("\x01", *parts), 256)
 
 
-def exact_dedup(df: DataFrame, cols: list[str] | None = None,
+def exact_dedup(df: DataFrame, cols: str | list[str] | None = None,
                 order_col: str | None = None) -> DataFrame:
     """Keep the first row per distinct content (deterministic keep-first).
 
@@ -48,7 +54,7 @@ def exact_dedup(df: DataFrame, cols: list[str] | None = None,
     any scale.  At 100 TB prefer ``order_col`` = a monotonically
     increasing id so the window sort is cheap per group (groups are tiny).
     """
-    cols = cols or df.columns
+    cols = _collist(cols) if cols else df.columns
     h = content_hash(cols).alias("__h")
     with_h = df.select("*", h)
     if order_col is None:
@@ -63,9 +69,10 @@ def exact_dedup(df: DataFrame, cols: list[str] | None = None,
             .drop("__h", "__rn"))
 
 
-def dedup_stats(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+def dedup_stats(df: DataFrame,
+                cols: str | list[str] | None = None) -> DataFrame:
     """(n_rows, n_distinct, n_duplicates) — one wide-agg job."""
-    cols = cols or df.columns
+    cols = _collist(cols) if cols else df.columns
     return df.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count_distinct(content_hash(cols)).alias("n_distinct"),

@@ -92,8 +92,12 @@ def extract_features(df: DataFrame,
 def decode_image(payload: bytes) -> Any:
     """Real decoder — STUB: image libraries are not in this container.
 
-    A production deployment drops PIL/torchvision in here; the Spark
-    plumbing (extract_features / resize_images) is already shaped for it.
+    Verified unavailable (round 5): PIL, cv2, soundfile, and librosa all
+    fail to import, and installing packages is out of scope for this
+    environment — so the stub stays, by constraint rather than by
+    omission.  A production deployment drops PIL/torchvision in here;
+    the Spark plumbing (extract_features / resize_images) is already
+    shaped for it and tested with deterministic fake payloads.
     """
     try:
         from PIL import Image  # noqa: F401

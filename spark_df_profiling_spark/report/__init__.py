@@ -156,6 +156,9 @@ def _row_context(r: dict[str, Any]) -> dict[str, Any]:
 def _render_templated(desc) -> str:
     """Jinja2 path: reference template registry, row dispatch by type."""
     from spark_df_profiling_spark.report import templates as TPL
+    # O(#columns) collect by design — the variables frame has one row per
+    # profiled column, never per data row.  At 10k+ columns the HTML
+    # itself is the bottleneck, not this collect.
     rows = [r.asDict(recursive=True) for r in desc.variables.collect()]
     t = desc.table
     warnings = [(r["column"], a) for r in rows for a in alerts_for(r)]
@@ -188,6 +191,7 @@ def render_html(desc) -> str:
 
 def _render_basic(desc) -> str:
     """String-builder fallback (no jinja2): same three sections."""
+    # O(#columns) collect by design — see _render_templated
     rows = [r.asDict(recursive=True) for r in desc.variables.collect()]
     t = desc.table
     parts = ["<h1>Overview</h1><table class='stats'>"]
