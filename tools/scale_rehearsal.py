@@ -156,6 +156,62 @@ def main() -> None:
     print(f"psi_report lineitem x{REPLICAS} halves: {t_psi:.1f}s",
           flush=True)
 
+    # round-5: event-time operators at 10x — user_id shift gives 10x
+    # distinct users at the same per-user event density (the realistic
+    # scale axis), timestamps unchanged so windows get 10x denser
+    from spark_df_profiling_spark.operators.joins import (
+        asof_join, range_join_buckets)
+    from spark_df_profiling_spark.sources import (
+        event_time_micros, with_event_time)
+    from spark_df_profiling_spark.streaming import (
+        session_profile, windowed_profile)
+    ev = replicate(t("events"), ["event_id", "user_id"], REPLICAS,
+                   materialize_as="events_x10", spark=spark)
+    ev = with_event_time(ev)
+    n_ev = ev.count()
+
+    t0 = time.time()
+    windowed_profile(ev, "ts_ts", "value", "1 day",
+                     group_col="event_type").collect()
+    t_win = time.time() - t0
+    print(f"windowed_profile events x{REPLICAS} ({n_ev} rows): "
+          f"{t_win:.1f}s", flush=True)
+
+    t0 = time.time()
+    n_sess = session_profile(ev, "ts_ts", "user_id",
+                             gap="1 hour").count()
+    t_sess = time.time() - t0
+    print(f"session_profile events x{REPLICAS}: {t_sess:.1f}s  "
+          f"sessions={n_sess}", flush=True)
+
+    tus = event_time_micros(ev)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", tus.alias("tus"))
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id",
+        tus.alias("tus"))
+    t0 = time.time()
+    n_asof = asof_join(clicks, views, on="user_id",
+                       left_ts="tus").count()
+    t_asof = time.time() - t0
+    print(f"asof_join events x{REPLICAS}: {t_asof:.1f}s  "
+          f"rows={n_asof}", flush=True)
+
+    iv = spark.range(0, 186).select(
+        F.col("id").alias("iid"),
+        (F.lit(1_704_067_200_000_000)
+         + F.col("id") * F.lit(14_400_000_000)).alias("lo"),
+        (F.lit(1_704_067_200_000_000) + F.col("id") * F.lit(14_400_000_000)
+         + F.lit(21_600_000_000)).alias("hi"))
+    pts = ev.select(tus.alias("tus"), "value")
+    t0 = time.time()
+    n_rj = (range_join_buckets(pts, iv, "tus", "lo", "hi",
+                               bucket_width=14_400_000_000.0)
+            .groupBy("iid").count().count())
+    t_rj = time.time() - t0
+    print(f"range_join events x{REPLICAS}: {t_rj:.1f}s  "
+          f"windows={n_rj}", flush=True)
+
 
 if __name__ == "__main__":
     main()
