@@ -220,3 +220,18 @@ def test_all_columns_null(spark):
         assert r["count"] == 0
         assert r["n_missing"] == 10
         assert r["first_value"] is None
+
+
+def test_profile_events_table_with_ntz_timestamp(spark, sf_dir):
+    # events.ts is TIMESTAMP_NTZ in the current driver data; both it and
+    # the normalized LTZ ts_ts must profile as DATE-class with real
+    # min/max (regression guard for the r4 schema-drift breakage)
+    from spark_df_profiling_spark import profile
+    from spark_df_profiling_spark.sources import load_events
+    ev = load_events(spark, sf_dir)
+    rows = {r["column"]: r for r in profile(ev).collect()}
+    for col in ("ts", "ts_ts"):
+        assert rows[col]["type_class"] == "DATE", rows[col]
+        assert rows[col]["min_date"] is not None
+        assert rows[col]["max_date"] is not None
+        assert rows[col]["range_seconds"] > 0

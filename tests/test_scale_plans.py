@@ -181,3 +181,21 @@ def test_psi_shuffles_only_bucket_rows(spark, sf_dir):
     for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
         keys = m.group(1)
         assert "l_quantity" not in keys and "l_discount" not in keys, keys
+
+
+def test_event_time_queries_have_clean_plans(spark):
+    # The dtype-adaptive ts_ts/tus projections (sources.with_event_time /
+    # event_time_micros) must not block predicate pushdown or degrade
+    # the joins to nested loops — pins the round-5 restoration.
+    from spark_df_profiling_spark.oracle import SPARK_QUERIES
+    sf = "/root/testdata/sf0.001"
+    for q in ("asof_click_attribution", "range_join_event_windows",
+              "window_profile_events", "session_profile_events"):
+        plan = (SPARK_QUERIES[q](spark, sf)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "BroadcastNestedLoopJoin" not in plan, q
+        assert "CartesianProduct" not in plan, q
+    asof = (SPARK_QUERIES["asof_click_attribution"](spark, sf)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert ("PushedFilters: [IsNotNull(event_type), "
+            "EqualTo(event_type" in asof)
