@@ -9,8 +9,10 @@ output surfaces mirror the reference (``__init__.py::ProfileReport``):
 * ``_repr_html_``       — inline Jupyter rendering
 
 The reference renders matplotlib PNG histograms driver-side; here histograms
-are *data* (bin arrays in the profile DataFrame) rendered as inline SVG/CSS
-bars — no matplotlib dependency, nothing scale-dependent on the driver.
+are *data* (bin arrays in the profile DataFrame) rendered as inline CSS bars
+PLUS a reference-parity ``data:image/png;base64`` mini-histogram written by
+``report/png_hist.py`` (stdlib-only PNG encoder — no matplotlib dependency,
+nothing scale-dependent on the driver).
 
 Rendering is template-driven when jinja2 is importable (reference
 ``templates.py`` ≈L5-15 + ``templates/*.html`` parity — same template
@@ -142,6 +144,7 @@ def _row_context(r: dict[str, Any]) -> dict[str, Any]:
                      "pct": f"{pct:.1f}", "width": f"{min(100.0, pct):.1f}"})
     hist = []
     hb = r.get("histogram") or []
+    hist_png = None
     if hb:
         peak = max(x["cnt"] for x in hb) or 1
         for b in hb:
@@ -149,8 +152,11 @@ def _row_context(r: dict[str, Any]) -> dict[str, Any]:
                 "title": f"[{b['bin_left']:.4g}, {b['bin_right']:.4g}): "
                          f"{b['cnt']}",
                 "height": int(round(60.0 * b["cnt"] / peak))})
+        # reference-parity data-URI PNG (matplotlib-free, deterministic)
+        from spark_df_profiling_spark.report.png_hist import png_data_uri
+        hist_png = png_data_uri([b["cnt"] for b in hb])
     return {"r": r, "alerts": alerts_for(r), "freq": freq,
-            "mini_freq": freq[:3], "hist": hist}
+            "mini_freq": freq[:3], "hist": hist, "hist_png": hist_png}
 
 
 def _render_templated(desc) -> str:
@@ -236,6 +242,11 @@ def _render_basic(desc) -> str:
                 f'height:{60.0 * b["cnt"] / total:.0f}px"></div>'
                 for b in r["histogram"])
             parts.append(f"<div class='hist'>{bars}</div>")
+            from spark_df_profiling_spark.report.png_hist import (
+                png_data_uri)
+            parts.append(
+                f'<img class="mini-hist-png" alt="histogram" '
+                f'src="{png_data_uri([b["cnt"] for b in r["histogram"]])}">')
 
     parts.append("<h1>Sample</h1>")
     sample_rows = desc.sample.collect()

@@ -132,3 +132,50 @@ def test_report_fallback_renderer(spark, lineitem, monkeypatch):
     h = rep.rendered_html()
     for frag in ("Overview", "Variables", "Sample", "l_extendedprice"):
         assert frag in h
+
+
+# --- data-URI PNG mini-histograms (reference base.py::mini_histogram) ------
+
+def test_png_hist_is_valid_and_deterministic():
+    import base64
+    import struct
+    import zlib
+
+    from spark_df_profiling_spark.report.png_hist import (
+        png_data_uri, render_png)
+
+    counts = [0, 3, 10, 7, 1]
+    png = render_png(counts, height=60, bar_width=14, gap=2)
+    assert png.startswith(b"\x89PNG\r\n\x1a\n")
+    # IHDR: width = 5*14 + 4*2, height = 60, 8-bit RGBA
+    w, h, depth, ctype = struct.unpack(">IIBB", png[16:26])
+    assert (w, h, depth, ctype) == (5 * 14 + 4 * 2, 60, 8, 6)
+    # decode scanlines (filter 0) and probe pixels
+    idat_start = png.index(b"IDAT") + 4
+    idat_len = struct.unpack(">I", png[idat_start - 8:idat_start - 4])[0]
+    raw = zlib.decompress(png[idat_start:idat_start + idat_len])
+    stride = 1 + 4 * w
+
+    def px(x, y):
+        o = y * stride + 1 + 4 * x
+        return tuple(raw[o:o + 4])
+
+    bar = (0x33, 0x7A, 0xB7, 0xFF)
+    assert px(7, 59) == (0, 0, 0, 0)        # zero-count bin: empty column
+    assert px(16 + 7, 59) == bar            # bin with count 3: bottom on
+    assert px(2 * 16 + 7, 0) == bar        # peak bin reaches the top row
+    assert px(16 + 7, 0) == (0, 0, 0, 0)    # short bar: top row off
+    assert render_png(counts) == png        # deterministic
+    uri = png_data_uri(counts)
+    assert uri.startswith("data:image/png;base64,")
+    assert base64.b64decode(uri.split(",", 1)[1]) == png
+    with pytest.raises(ValueError):
+        render_png([])
+    with pytest.raises(ValueError):
+        render_png([3, -1])
+
+
+def test_report_embeds_png_histogram(spark, lineitem):
+    from spark_df_profiling_spark import ProfileReport
+    html = ProfileReport(lineitem.limit(500)).rendered_html()
+    assert "data:image/png;base64," in html
