@@ -1,0 +1,56 @@
+"""Property-based checks (hypothesis): the numeric profile kernels must
+agree with a plain-python reference on arbitrary value lists — nulls,
+signed zeros, and infinities included.  Values are magnitude-bounded so
+the python sum and Spark's partial-agg sum differ only by ulps (the
+engine's fp-order caveat is covered by the sig-digit oracle compare, not
+here).  Degenerate inputs (all-null, constant) legitimately classify as
+CONST per reference semantics and skip numeric stats — the property
+branches on the resolved class, same as the engine."""
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+finite = st.floats(allow_nan=False, allow_infinity=False,
+                   min_value=-1e6, max_value=1e6)
+values = st.lists(
+    st.one_of(st.none(), finite,
+              st.just(float("inf")), st.just(float("-inf"))),
+    min_size=1, max_size=40)
+
+
+@given(values)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_numeric_profile_matches_python(spark, data):
+    from spark_df_profiling_spark import profile
+
+    df = spark.createDataFrame([(v,) for v in data], "x double")
+    r = profile(df).collect()[0]
+    non_null = [v for v in data if v is not None]
+
+    # universal stats hold for every type class
+    assert r["n"] == len(data)
+    assert r["n_missing"] == data.count(None)
+    assert r["count"] == len(non_null)
+    assert r["distinct_count"] == len(set(non_null))
+
+    if len(set(non_null)) <= 1:
+        # all-null or constant → CONST class, numeric stats skipped
+        # (reference describe_constant_1d semantics)
+        assert r["type_class"] == "CONST"
+        return
+    assert r["type_class"] == "NUM"
+    assert r["n_infinite"] == sum(1 for v in non_null if math.isinf(v))
+    assert r["n_zeros"] == sum(1 for v in non_null if v == 0)
+    assert r["min_num"] == min(non_null)
+    assert r["max_num"] == max(non_null)
+    want_mean = sum(non_null) / len(non_null)
+    if math.isnan(want_mean):        # +inf and -inf both present
+        assert r["mean"] is None or math.isnan(r["mean"])
+    elif math.isinf(want_mean):
+        assert r["mean"] == want_mean
+    else:
+        assert r["mean"] == pytest.approx(want_mean, rel=1e-9, abs=1e-9)

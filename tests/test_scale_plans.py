@@ -199,3 +199,33 @@ def test_event_time_queries_have_clean_plans(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert ("PushedFilters: [IsNotNull(event_type), "
             "EqualTo(event_type" in asof)
+
+
+def test_profile_200_column_table(spark):
+    # Width stress: 200 mixed-type columns push the wide-agg chunker well
+    # past the codegen field budget (the 10k-column scale axis in
+    # miniature) — must complete with correct per-column stats, not die
+    # in janino or produce one giant demoted aggregate.
+    from spark_df_profiling_spark import profile
+    cols = []
+    for i in range(100):
+        cols.append((F.col("id") * (i + 1)).cast("double")
+                    .alias(f"n{i:03d}"))
+    for i in range(60):
+        cols.append(F.concat(F.lit(f"v{i}_"), (F.col("id") % 5))
+                    .alias(f"s{i:03d}"))
+    for i in range(40):
+        cols.append(F.date_add(F.lit("2024-01-01").cast("date"),
+                               (F.col("id") % 300 + i).cast("int"))
+                    .alias(f"d{i:03d}"))
+    df = spark.range(0, 2000).select(*cols)
+    prof = profile(df)
+    rows = {r["column"]: r for r in prof.collect()}
+    assert len(rows) == 200
+    assert rows["n000"]["type_class"] == "NUM"
+    assert rows["n001"]["mean"] == pytest.approx(sum(
+        i * 2 for i in range(2000)) / 2000)
+    assert rows["s000"]["type_class"] == "CAT"
+    assert rows["s000"]["distinct_count"] == 5
+    assert rows["d000"]["type_class"] == "DATE"
+    assert all(r["n"] == 2000 for r in rows.values())
