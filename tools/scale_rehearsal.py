@@ -212,6 +212,21 @@ def main() -> None:
     print(f"range_join events x{REPLICAS}: {t_rj:.1f}s  "
           f"windows={n_rj}", flush=True)
 
+    # round-5: incremental profile — one partial per replica-slice of
+    # the 6M-row lineitem (the daily-partition pattern), merge + finalize
+    from spark_df_profiling_spark.operators.incremental import (
+        finalize, merge_partials, partial_profile)
+    t0 = time.time()
+    parts = [partial_profile(li.where(F.col("l_orderkey") % 10 == i))
+             for i in range(10)]
+    fin = finalize(merge_partials(*parts)).collect()
+    t_inc = time.time() - t0
+    by_col = {r["column"]: r for r in fin}
+    print(f"incremental profile lineitem x{REPLICAS} (10 partials): "
+          f"{t_inc:.1f}s  n={by_col['l_orderkey']['n']} "
+          f"nd_est={by_col['l_orderkey']['distinct_estimate']}",
+          flush=True)
+
 
 if __name__ == "__main__":
     main()
