@@ -62,6 +62,17 @@ def main() -> None:
                      group_col="event_type") \
         .orderBy("window_start", "event_type").show(6)
 
+    # 6. Incremental profiles: profile partitions once, merge states —
+    #    the no-rescan pattern for an append-only corpus
+    from pyspark.sql import functions as F
+    from spark_df_profiling_spark.operators.incremental import (
+        finalize, merge_partials, partial_profile)
+    parts = [partial_profile(li.where(F.col("l_orderkey") % 2 == i))
+             for i in (0, 1)]
+    finalize(merge_partials(*parts)) \
+        .select("column", "n", "mean", "std", "distinct_estimate") \
+        .show(5, truncate=False)
+
     spark.stop()
 
 
