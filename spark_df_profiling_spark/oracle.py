@@ -225,19 +225,49 @@ def _num_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("mad_s")))
 
 
+_NUM_INC_SQL = f"""
+SELECT {_psig('avg(l_extendedprice)')} AS mean_inc_s,
+       {_psig('stddev_samp(l_extendedprice)')} AS std_inc_s,
+       count(l_extendedprice) AS cnt_inc
+FROM lineitem
+"""
+
+
+def _num_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same moments computed through the INCREMENTAL path — 4 hash-sliced
+    partial states merged with Chan's parallel-variance formula
+    (operators/incremental.py) — so the merge arithmetic itself is under
+    the driver's hash gate.  The DuckDB side is the plain whole-table
+    aggregate: a match proves partial+merge reproduces direct
+    computation to 5 significant digits."""
+    from spark_df_profiling_spark.operators.incremental import (
+        finalize, merge_partials, partial_profile)
+    li = _t(spark, sf_dir, "lineitem")
+    parts = [partial_profile(li.where(F.col("l_orderkey") % 4 == i),
+                             cols=["l_extendedprice"]) for i in range(4)]
+    fin = finalize(merge_partials(*parts))
+    return (fin.where(F.col("column") == "l_extendedprice")
+            .select(sig(F.col("mean")).alias("mean_inc_s"),
+                    sig(F.col("std")).alias("std_inc_s"),
+                    F.col("count").alias("cnt_inc")))
+
+
 @query("num_stats", f"""
 SELECT * FROM ({_NUM_MOMENTS_SQL}) "mo",
               ({_NUM_QUANTILES_SQL}) "qu",
-              ({_NUM_MAD_SQL}) "ma"
+              ({_NUM_MAD_SQL}) "ma",
+              ({_NUM_INC_SQL}) "inc"
 """)
 def num_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N1-N11 in one graded row: moments+zeros × exact quantiles × MAD
-    (cross join of three 1-row aggregates — kernels stay independently
-    implemented, the merge only shares a registry slot so the driver's
-    50-query grading cap fits the full operator inventory)."""
+    """N1-N11 in one graded row: moments+zeros × exact quantiles × MAD ×
+    incremental-merge replica (cross join of four 1-row aggregates —
+    kernels stay independently implemented, the merge only shares a
+    registry slot so the driver's 50-query grading cap fits the full
+    operator inventory)."""
     return (_num_moments(spark, sf_dir)
             .crossJoin(_num_quantiles(spark, sf_dir))
-            .crossJoin(_num_mad(spark, sf_dir)))
+            .crossJoin(_num_mad(spark, sf_dir))
+            .crossJoin(_num_incremental(spark, sf_dir)))
 
 
 # ---------------------------------------------------------------------------
