@@ -22,7 +22,7 @@ values = st.lists(
 
 
 @given(values)
-@settings(max_examples=8, deadline=None,
+@settings(max_examples=8, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_numeric_profile_matches_python(spark, data):
     from spark_df_profiling_spark import profile
@@ -54,3 +54,70 @@ def test_numeric_profile_matches_python(spark, data):
         assert r["mean"] == want_mean
     else:
         assert r["mean"] == pytest.approx(want_mean, rel=1e-9, abs=1e-9)
+
+
+cat_values = st.lists(
+    st.one_of(st.none(), st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FA1),
+        max_size=12)),
+    min_size=1, max_size=40)
+
+
+@given(cat_values)
+@settings(max_examples=8, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_categorical_profile_matches_python(spark, data):
+    from pyspark.sql import types as T
+
+    from spark_df_profiling_spark import profile
+
+    schema = T.StructType([T.StructField("x", T.StringType(), True)])
+    df = spark.createDataFrame([(v,) for v in data], schema)
+    r = profile(df).collect()[0]
+    non_null = [v for v in data if v is not None]
+
+    assert r["n"] == len(data)
+    assert r["n_missing"] == data.count(None)
+    assert r["count"] == len(non_null)
+    assert r["distinct_count"] == len(set(non_null))
+    if len(set(non_null)) <= 1:
+        assert r["type_class"] == "CONST"
+    elif len(set(non_null)) == len(data):
+        assert r["type_class"] == "UNIQUE"
+    else:
+        assert r["type_class"] == "CAT"
+        # mode = most frequent value, ties broken by value (deterministic)
+        from collections import Counter
+        counts = Counter(non_null)
+        best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        top_freq = (r["freq"] or [])[0]
+        assert top_freq["cnt"] == best[1]
+        assert top_freq["value"] == best[0]
+
+
+@given(st.lists(st.one_of(
+    st.none(),
+    st.dates(min_value=__import__("datetime").date(1970, 1, 2),
+             max_value=__import__("datetime").date(2100, 1, 1))),
+    min_size=1, max_size=30))
+@settings(max_examples=6, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_date_profile_matches_python(spark, data):
+    from pyspark.sql import types as T
+
+    from spark_df_profiling_spark import profile
+
+    schema = T.StructType([T.StructField("d", T.DateType(), True)])
+    df = spark.createDataFrame([(v,) for v in data], schema)
+    r = profile(df).collect()[0]
+    non_null = [v for v in data if v is not None]
+    assert r["n"] == len(data)
+    assert r["count"] == len(non_null)
+    if len(set(non_null)) <= 1:
+        assert r["type_class"] == "CONST"
+        return
+    assert r["type_class"] == "DATE"
+    assert r["min_date"] == min(non_null).isoformat()
+    assert r["max_date"] == max(non_null).isoformat()
+    assert r["range_seconds"] == pytest.approx(
+        (max(non_null) - min(non_null)).total_seconds())
