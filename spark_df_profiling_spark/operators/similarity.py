@@ -48,13 +48,20 @@ def knn_bruteforce(corpus: DataFrame, queries: DataFrame,
     broadcast — at 100 TB the corpus streams through executors once.
     """
     q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("__qv"))
+                       F.col(vec_col).alias("__qv"),
+                       l2_norm(F.col(vec_col)).alias("__qn"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).alias("__cv"))
+                      F.col(vec_col).alias("__cv"),
+                      l2_norm(F.col(vec_col)).alias("__cn"))
     joined = c.crossJoin(F.broadcast(q)).where(
         F.col("neighbor_id") != F.col("query_id"))
+    # norms are hoisted to one-per-ROW projections before the join —
+    # higher-order functions run interpreted, so expanding cosine() per
+    # PAIR would re-evaluate each norm q (resp. n) times and triple the
+    # dominant O(n·q·d) stage (same reasoning as embedding_near_dup_exact)
     if metric == "cosine":
-        sim = cosine(F.col("__qv"), F.col("__cv"))
+        sim = dot(F.col("__qv"), F.col("__cv")) \
+            / (F.col("__qn") * F.col("__cn"))
     elif metric == "dot":
         sim = dot(F.col("__qv"), F.col("__cv"))
     else:
@@ -178,20 +185,44 @@ def embedding_near_dup(df: DataFrame, id_col: str = "vec_id",
         .where(F.col("cosine_sim") >= min_cosine))
 
 
+def ivf_fit_input(cp: DataFrame, max_fit_rows: int,
+                  seed: int = 42) -> DataFrame:
+    """Cap the KMeans fit input at ~``max_fit_rows`` vectors.
+
+    KMeans is iterative (maxIter scans + a cached input): fitting on the
+    FULL corpus is the 100 TB bottleneck, while centroids from a uniform
+    sample are statistically the same quantizer.  One ``count()`` (a
+    single cheap scan) buys the sample fraction; the fit then iterates
+    over ``max_fit_rows`` rows instead of the corpus.  The full corpus is
+    still assigned to clusters afterwards with ONE ``transform`` pass.
+    """
+    if max_fit_rows <= 0:
+        return cp
+    n = cp.count()
+    if n <= max_fit_rows:
+        return cp
+    # slight over-sample so the fit sees ~max_fit_rows even with
+    # Bernoulli variance; KMeans only needs "about this many"
+    return cp.sample(fraction=min(1.0, 1.05 * max_fit_rows / n),
+                     seed=seed)
+
+
 def ann_ivf(corpus: DataFrame, queries: DataFrame,
             id_col: str = "vec_id", vec_col: str = "embedding",
             k: int = 10, n_clusters: int = 16,
-            n_probe: int = 4) -> DataFrame:
+            n_probe: int = 4, max_fit_rows: int = 100_000) -> DataFrame:
     """IVF-style ANN: KMeans coarse quantizer + probe-top-clusters.
 
-    The 100 TB pattern: cluster the corpus once (KMeans on a sample is
-    fine at scale), store the cluster id as a partition-friendly column,
-    then answer queries by scanning only the ``n_probe`` nearest clusters
-    — a fraction n_probe/n_clusters of the corpus per query.  Join is on
-    cluster id (bucketable); the final top-k window is per query.
+    The 100 TB pattern: cluster the corpus once (KMeans fits on a
+    ``max_fit_rows``-capped sample — see :func:`ivf_fit_input`; pass 0
+    to force a full-corpus fit), store the cluster id as a
+    partition-friendly column, then answer queries by scanning only the
+    ``n_probe`` nearest clusters — a fraction n_probe/n_clusters of the
+    corpus per query.  Join is on cluster id (bucketable); the final
+    top-k window is per query.
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     def with_vec(df, idc):
         return df.select(
@@ -204,9 +235,11 @@ def ann_ivf(corpus: DataFrame, queries: DataFrame,
     cp = with_vec(corpus, "neighbor_id")
     km = KMeans(k=n_clusters, seed=42, featuresCol="__v",
                 predictionCol="__cluster")
-    model = km.fit(cp.select("__v"))
+    model = km.fit(ivf_fit_input(cp, max_fit_rows).select("__v"))
     cp_assigned = model.transform(cp) \
-        .select("neighbor_id", "__arr_neighbor_id", "__cluster")
+        .select("neighbor_id", "__arr_neighbor_id",
+                l2_norm(F.col("__arr_neighbor_id")).alias("__cn"),
+                "__cluster")
 
     # centroid table is tiny: broadcast to rank clusters per query
     centroids = [(int(i), [float(x) for x in c])
@@ -215,21 +248,25 @@ def ann_ivf(corpus: DataFrame, queries: DataFrame,
     cent_df = spark.createDataFrame(
         centroids, "cluster int, centroid array<double>")
     qp = queries.select(F.col(id_col).alias("query_id"),
-                        F.col(vec_col).alias("__qarr"))
+                        F.col(vec_col).alias("__qarr"),
+                        l2_norm(F.col(vec_col)).alias("__qn"))
     q_cluster = (qp.crossJoin(F.broadcast(cent_df))
-                 .select("query_id", "__qarr", "cluster",
+                 .select("query_id", "__qarr", "__qn", "cluster",
                          dot(F.col("__qarr"), F.col("centroid"))
                          .alias("__score")))
     w_probe = Window.partitionBy("query_id").orderBy(
         F.desc("__score"), F.asc("cluster"))
     probes = (q_cluster.withColumn("pr", F.row_number().over(w_probe))
               .where(F.col("pr") <= n_probe)
-              .select("query_id", "__qarr",
+              .select("query_id", "__qarr", "__qn",
                       F.col("cluster").alias("__cluster")))
 
     joined = probes.join(cp_assigned, on="__cluster") \
         .where(F.col("query_id") != F.col("neighbor_id"))
-    sim = cosine(F.col("__qarr"), F.col("__arr_neighbor_id"))
+    # norms precomputed per ROW (corpus norm in cp_assigned, query norm
+    # in qp) — never per candidate pair; see knn_bruteforce
+    sim = dot(F.col("__qarr"), F.col("__arr_neighbor_id")) \
+        / (F.col("__qn") * F.col("__cn"))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("sim"), F.asc("neighbor_id"))
     return (joined.select("query_id", "neighbor_id", sim.alias("sim"))

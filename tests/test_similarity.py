@@ -104,3 +104,43 @@ def test_ann_lsh_min_cosine_bounds_candidates(planted):
     # every surviving high-floor pair exists in the unrestricted run
     for r in hi_rows:
         assert (r["query_id"], r["neighbor_id"]) in lo_pairs
+
+
+def test_ivf_fit_input_sampled_when_over_cap(emb):
+    # corpus larger than the cap -> fit input is a Sample of the corpus
+    capped = SIM.ivf_fit_input(emb, max_fit_rows=100)
+    plan = capped._jdf.queryExecution().optimizedPlan().toString()
+    assert "Sample" in plan
+    n = capped.count()
+    assert n <= 150  # ~100 expected; Bernoulli variance bounded
+
+    # corpus under the cap (or cap disabled) -> untouched, no Sample
+    full = SIM.ivf_fit_input(emb, max_fit_rows=10_000_000)
+    assert "Sample" not in \
+        full._jdf.queryExecution().optimizedPlan().toString()
+    off = SIM.ivf_fit_input(emb, max_fit_rows=0)
+    assert "Sample" not in \
+        off._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_ann_ivf_sampled_fit_recall(emb):
+    # recall gate holds even when KMeans fits on a sampled fraction of
+    # the corpus (the 100 TB configuration)
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in SIM.knn_bruteforce(emb, queries, k=5).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in SIM.ann_ivf(emb, queries, k=5, n_clusters=8,
+                                   n_probe=4,
+                                   max_fit_rows=500).collect()}
+    assert len(exact & approx) / len(exact) >= 0.4
+
+
+def test_knn_norms_hoisted_before_join(emb):
+    # the cosine divisor must reference the precomputed per-row norms,
+    # not re-expand l2_norm per pair: the optimized plan's join output
+    # carries __qn/__cn projections
+    out = SIM.knn_bruteforce(emb.limit(50), emb.where(F.col("vec_id") < 2),
+                             k=3)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "__qn" in plan and "__cn" in plan
