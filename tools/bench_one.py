@@ -1,0 +1,91 @@
+"""Isolated best-of-N re-measurement of a single bench query.
+
+The noise protocol (BASELINE.md): before believing any bench delta, run
+the query alone in a fresh warm JVM — one process, region-profile
+warm-up, then N timed runs, report all and the best.  Usage:
+
+    python tools/bench_one.py <query> [n_runs] [sf_dir]
+
+<query> is a key of bench.py's `benches` dict.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    name = sys.argv[1]
+    n_runs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    sf_dir = sys.argv[3] if len(sys.argv) > 3 else \
+        os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    sys.path.insert(0, "/root/repo")
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .appName(f"bench-one-{name}")
+        .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from spark_df_profiling_spark import ProfileConfig, profile
+    from spark_df_profiling_spark.operators.text import text_features
+    from spark_df_profiling_spark.oracle import SPARK_QUERIES
+
+    def t(tbl):
+        return spark.read.parquet(f"{sf_dir}/{tbl}.parquet")
+
+    scale_cfg = ProfileConfig()
+
+    fns = {
+        "window_profile": lambda: SPARK_QUERIES["window_profile_events"](
+            spark, sf_dir).collect(),
+        "session_profile": lambda: SPARK_QUERIES["session_profile_events"](
+            spark, sf_dir).collect(),
+        "asof_join": lambda: SPARK_QUERIES["asof_click_attribution"](
+            spark, sf_dir).collect(),
+        "range_join": lambda: SPARK_QUERIES["range_join_event_windows"](
+            spark, sf_dir).collect(),
+        "text_features": lambda: text_features(t("documents"), "text")
+        .agg(F.sum("f_n_tokens"), F.avg("f_quality"),
+             F.count_distinct("f_fingerprint"),
+             F.count_distinct("f_lang")).collect(),
+        "profile_documents": lambda: profile(t("documents"),
+                                             scale_cfg).collect(),
+        "profile_embeddings": lambda: profile(t("embeddings"),
+                                              scale_cfg).collect(),
+        "knn_bruteforce": lambda: __import__(
+            "spark_df_profiling_spark.operators.similarity",
+            fromlist=["knn_bruteforce"]).knn_bruteforce(
+            t("embeddings"), t("embeddings").where(F.col("vec_id") < 20),
+            k=10).collect(),
+    }
+    fn = fns[name]
+
+    # warm-up: JVM, parquet reader, profiling codegen (same as bench.py)
+    profile(t("region"), scale_cfg).collect()
+
+    runs = []
+    for _ in range(n_runs):
+        t0 = time.time()
+        fn()
+        runs.append(round(time.time() - t0, 3))
+    print(json.dumps({"query": name, "runs": runs, "best": min(runs),
+                      "sf_dir": sf_dir}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
