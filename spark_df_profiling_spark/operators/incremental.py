@@ -18,10 +18,18 @@ Mergeability per statistic:
 * ``distinct`` — Apache DataSketches HLL sketches (``hll_sketch_agg``),
   merged with ``hll_union_agg``; binary states survive a parquet
   round-trip, so the state store is just a parquet table;
-* quantiles/histograms are NOT mergeable from these states (KLL state is
-  not exposed by Spark SQL) — ``finalize`` returns the mergeable surface
-  and callers needing quantiles run :func:`operators.profile.profile`
-  over the window they care about.
+* fixed-bin histograms — additively mergeable when every partial uses
+  the SAME bin edges: pass ``hist_edges={col: (lo, hi)}`` to
+  :func:`partial_profile` (typically the min/max of the first partial —
+  see :func:`hist_edges_from_state` — or domain-known bounds) and the
+  per-bin count arrays sum element-wise in :func:`merge_partials`;
+  out-of-range values land in ``hist_below``/``hist_above`` so a later
+  partial exceeding the frozen edges is visible, never silently clamped;
+* quantiles are NOT mergeable from these states (KLL state is not
+  exposed by Spark SQL) — ``finalize`` returns the mergeable surface
+  and callers needing exact quantiles run
+  :func:`operators.profile.profile` over the window they care about
+  (the merged histogram above covers distribution *shape*).
 
 Plan shape: ``partial_profile`` is ONE job over the partition (the same
 shuffle-free partial-agg shape as the main profile pass 1);
@@ -32,7 +40,7 @@ not data.
 from __future__ import annotations
 
 from functools import reduce
-from typing import Optional, Sequence
+from typing import Mapping, Optional, Sequence, Tuple
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -44,11 +52,54 @@ _NUMERIC = (S.NUM_INT, S.NUM_FLOAT)
 #: columns of the partial-state frame (one row per profiled column)
 STATE_COLUMNS = ("column", "type_class", "n", "count", "sum",
                  "mean", "m2", "min_num", "max_num", "n_zeros",
-                 "n_infinite", "hll")
+                 "n_infinite", "hll", "hist_lo", "hist_hi", "hist",
+                 "hist_below", "hist_above")
 
 
-def _state_struct(name: str, cls: str,
-                  num_view: Optional[Column]) -> Column:
+def _hist_fields(d: Optional[Column],
+                 spec: Optional[Tuple[float, float, int]]) -> list:
+    """Fixed-bin histogram state fields (all NULL when unconfigured).
+
+    Bin arithmetic is identical to :func:`operators.histogram.histogram`
+    — ``least(floor((x - lo) * bins / (hi - lo)), bins - 1)``, last bin
+    right-closed — with the edges FROZEN by the caller instead of
+    derived per scan, which is what makes the count arrays add across
+    partials.  In-range non-NaN values land in ``hist``; values outside
+    [lo, hi] are counted in ``hist_below``/``hist_above`` (loud drift
+    signal, not silent clamping).
+    """
+    if d is None or spec is None:
+        return [F.lit(None).cast("double").alias("hist_lo"),
+                F.lit(None).cast("double").alias("hist_hi"),
+                F.lit(None).cast("array<bigint>").alias("hist"),
+                F.lit(None).cast("long").alias("hist_below"),
+                F.lit(None).cast("long").alias("hist_above")]
+    lo, hi, bins = spec
+    finite = d.isNotNull() & ~F.isnan(d)
+    bin_id = F.least(F.floor((d - F.lit(lo)) * float(bins)
+                             / (F.lit(hi) - F.lit(lo))),
+                     F.lit(bins - 1).cast("long"))
+    in_range = finite & (d >= F.lit(lo)) & (d <= F.lit(hi))
+    counts = F.array(*[
+        F.coalesce(F.sum(F.when(in_range & (bin_id == i), 1)
+                         .otherwise(0)).cast("long"),
+                   F.lit(0).cast("long"))
+        for i in range(bins)])
+    below = F.coalesce(F.sum(F.when(finite & (d < F.lit(lo)), 1)
+                             .otherwise(0)).cast("long"),
+                       F.lit(0).cast("long"))
+    above = F.coalesce(F.sum(F.when(finite & (d > F.lit(hi)), 1)
+                             .otherwise(0)).cast("long"),
+                       F.lit(0).cast("long"))
+    return [F.lit(float(lo)).alias("hist_lo"),
+            F.lit(float(hi)).alias("hist_hi"),
+            counts.alias("hist"),
+            below.alias("hist_below"), above.alias("hist_above")]
+
+
+def _state_struct(name: str, cls: str, num_view: Optional[Column],
+                  hist_spec: Optional[Tuple[float, float, int]] = None
+                  ) -> Column:
     """Mergeable per-column state as one struct aggregate.
 
     ``num_view`` is the double-valued view of the column when one exists
@@ -59,6 +110,7 @@ def _state_struct(name: str, cls: str,
     c = F.col(name)
     n = F.count(F.lit(1)).cast("long")
     cnt = F.count(c).cast("long")
+    zero_l = F.lit(0).cast("long")
     if num_view is not None:
         d = num_view
         mean = F.coalesce(F.avg(d), F.lit(0.0))
@@ -67,15 +119,20 @@ def _state_struct(name: str, cls: str,
                         F.lit(0.0))
         sm = F.coalesce(F.sum(d), F.lit(0.0))
         mn, mx = F.min(d), F.max(d)
-        zeros = F.sum(F.when(d == 0, 1).otherwise(0)).cast("long")
-        inf = F.sum(F.when(d.isin(float("inf"), float("-inf")), 1)
-                    .otherwise(0)).cast("long")
+        # coalesced like mean/m2/sum: an EMPTY partition must store 0,
+        # not NULL (a NULL would poison the additive merge's sum)
+        zeros = F.coalesce(
+            F.sum(F.when(d == 0, 1).otherwise(0)).cast("long"), zero_l)
+        inf = F.coalesce(
+            F.sum(F.when(d.isin(float("inf"), float("-inf")), 1)
+                  .otherwise(0)).cast("long"), zero_l)
     else:
-        zero = F.lit(0).cast("long")
+        d = None
         mean, m2, sm = F.lit(0.0), F.lit(0.0), F.lit(0.0)
         mn = F.min(F.lit(None).cast("double"))
         mx = F.max(F.lit(None).cast("double"))
-        zeros, inf = F.sum(zero), F.sum(zero)
+        zeros = F.coalesce(F.sum(zero_l), zero_l)
+        inf = F.coalesce(F.sum(zero_l), zero_l)
     # HLL supports integral/string/binary inputs — cast through string
     # (exact for ints/strings; doubles collapse only on equal repr)
     hll = F.hll_sketch_agg(c.cast("string"))
@@ -84,14 +141,25 @@ def _state_struct(name: str, cls: str,
         mean.alias("mean"), m2.alias("m2"),
         mn.alias("min_num"), mx.alias("max_num"),
         zeros.alias("n_zeros"), inf.alias("n_infinite"),
-        hll.alias("hll"))
+        hll.alias("hll"), *_hist_fields(d, hist_spec))
 
 
 def partial_profile(df: DataFrame,
-                    cols: Optional[Sequence[str]] = None) -> DataFrame:
+                    cols: Optional[Sequence[str]] = None,
+                    hist_edges: Optional[
+                        Mapping[str, Tuple[float, float]]] = None,
+                    hist_bins: int = 10) -> DataFrame:
     """One-scan mergeable state for each column: one output row per
     column, schema :data:`STATE_COLUMNS`.  Persist with plain
-    ``df.write.parquet`` (the HLL sketch is a binary column)."""
+    ``df.write.parquet`` (the HLL sketch is a binary column).
+
+    ``hist_edges`` maps column → (lo, hi) bin edges to additionally
+    accumulate a ``hist_bins``-bin count array for that column (numeric
+    or date/timestamp).  Every partial destined for one merge MUST use
+    the same edges — freeze them from domain knowledge or from the first
+    partial's min/max (:func:`hist_edges_from_state`); the merge fails
+    loudly on drift.
+    """
     from spark_df_profiling_spark.plans.wide_agg import _epoch_sql
 
     names = list(cols) if cols else df.columns
@@ -107,7 +175,28 @@ def partial_profile(df: DataFrame,
             return F.expr(_epoch_sql(df, c))
         return None
 
-    aggs = [_state_struct(c, classes[c], num_view(c)).alias(f"__s{i}")
+    edges = dict(hist_edges or {})
+    for c, (lo, hi) in edges.items():
+        if c not in names:
+            raise ValueError(f"hist_edges column not profiled: {c!r}")
+        if num_view(c) is None:
+            raise ValueError(
+                f"hist_edges column {c!r} has no numeric view "
+                f"(type_class {classes[c]})")
+        if not float(hi) > float(lo):
+            raise ValueError(
+                f"hist_edges for {c!r} need hi > lo: ({lo}, {hi})")
+    if hist_bins < 1:
+        raise ValueError(f"hist_bins must be >= 1: {hist_bins}")
+
+    def spec(c: str) -> Optional[Tuple[float, float, int]]:
+        if c in edges:
+            lo, hi = edges[c]
+            return (float(lo), float(hi), hist_bins)
+        return None
+
+    aggs = [_state_struct(c, classes[c], num_view(c), spec(c))
+            .alias(f"__s{i}")
             for i, c in enumerate(names)]
     one = df.agg(*aggs)
     stacked = one.select(F.explode(F.array(*[
@@ -124,8 +213,15 @@ def merge_partials(*parts: DataFrame) -> DataFrame:
     Additive stats sum; min/max combine; (count, mean, M2) triples fold
     with Chan's parallel formula inside an ``aggregate`` HOF (the list
     being folded has one element per PARTIAL, not per row — O(#partials)
-    per column); HLL sketches union.  Deterministic given the same set
-    of partials (the fold is order-sensitive only at the ulp level).
+    per column); HLL sketches union; fixed-bin histogram count arrays
+    sum element-wise.  Deterministic given the same set of partials (the
+    fold is order-sensitive only at the ulp level).
+
+    Loud-failure guards (the long-lived state-store philosophy of
+    ``test_testdata_canary``): a column whose ``type_class`` drifts
+    between stored partials (schema evolution, e.g. int → string), or
+    whose histogram edges/configuration differ, raises at execution
+    instead of silently merging into inconsistent state.
     """
     if not parts:
         raise ValueError("need at least one partial")
@@ -145,8 +241,36 @@ def merge_partials(*parts: DataFrame) -> DataFrame:
                        + F.pow(x["mean"] - acc["mean"], 2)
                        * acc["count"] * x["count"]
                        / (acc["count"] + x["count"])).alias("m2")))
-    return (allp.groupBy("column", "type_class")
-            .agg(F.sum("n").alias("n"),
+    # type_class consistency: asserted INSIDE the expression that
+    # produces the output type_class, so column pruning can never drop
+    # the check (assert_true yields NULL on pass, raises on fail)
+    tc_ok = F.assert_true(
+        F.count_distinct("type_class") == 1,
+        F.concat(F.lit("type_class drift across partials for column "),
+                 F.col("column"), F.lit(" — refusing to merge")))
+    tc = F.when(tc_ok.isNull(), F.max("type_class")).alias("type_class")
+    # histogram consistency: identical frozen edges and all-or-none
+    # coverage (a partial built without hist_edges cannot silently
+    # vanish into a merged histogram)
+    hist_ok = F.assert_true(
+        (F.count_distinct("hist_lo") <= 1)
+        & (F.count_distinct("hist_hi") <= 1)
+        & ((F.count("hist") == 0)
+           | (F.count("hist") == F.count(F.lit(1)))),
+        F.concat(F.lit("histogram edge/config drift across partials "
+                       "for column "), F.col("column"),
+                 F.lit(" — refusing to merge")))
+    hists = F.collect_list("hist")
+    hist_sum = F.when(
+        hist_ok.isNotNull() | (F.size(hists) == 0),
+        F.lit(None).cast("array<bigint>")).otherwise(
+        F.aggregate(F.slice(hists, 2, F.size(hists) - 1),
+                    F.element_at(hists, 1),
+                    lambda acc, x: F.zip_with(acc, x,
+                                              lambda a, b: a + b)))
+    return (allp.groupBy("column")
+            .agg(tc,
+                 F.sum("n").alias("n"),
                  F.sum("count").alias("count"),
                  F.sum("sum").alias("sum"),
                  triples.alias("__t"),
@@ -154,11 +278,18 @@ def merge_partials(*parts: DataFrame) -> DataFrame:
                  F.max("max_num").alias("max_num"),
                  F.sum("n_zeros").alias("n_zeros"),
                  F.sum("n_infinite").alias("n_infinite"),
-                 F.hll_union_agg("hll").alias("hll"))
+                 F.hll_union_agg("hll").alias("hll"),
+                 F.min("hist_lo").alias("hist_lo"),
+                 F.min("hist_hi").alias("hist_hi"),
+                 hist_sum.alias("hist"),
+                 F.sum("hist_below").alias("hist_below"),
+                 F.sum("hist_above").alias("hist_above"))
             .select("column", "type_class", "n", "count", "sum",
                     F.col("__t.mean").alias("mean"),
                     F.col("__t.m2").alias("m2"),
-                    "min_num", "max_num", "n_zeros", "n_infinite", "hll"))
+                    "min_num", "max_num", "n_zeros", "n_infinite", "hll",
+                    "hist_lo", "hist_hi", "hist",
+                    "hist_below", "hist_above"))
 
 
 def finalize(partials: DataFrame) -> DataFrame:
@@ -180,4 +311,21 @@ def finalize(partials: DataFrame) -> DataFrame:
         .otherwise(F.lit(None)).alias("sum"),
         "min_num", "max_num", "n_zeros", "n_infinite",
         F.hll_sketch_estimate("hll").cast("long")
-        .alias("distinct_estimate"))
+        .alias("distinct_estimate"),
+        "hist_lo", "hist_hi", "hist", "hist_below", "hist_above")
+
+
+def hist_edges_from_state(state: DataFrame) -> dict:
+    """Freeze histogram edges from an existing state's min/max: returns
+    ``{column: (min_num, max_num)}`` for every column with a numeric
+    view — the day-2+ workflow (profile day 1 plain, freeze its range,
+    pass as ``hist_edges`` for every later partial; day 1 is then
+    re-profiled once with the same edges if its bins are wanted too).
+
+    O(#columns) driver result — state, not data.
+    """
+    rows = (state.where(F.col("min_num").isNotNull()
+                        & F.col("max_num").isNotNull()
+                        & (F.col("max_num") > F.col("min_num")))
+            .select("column", "min_num", "max_num").collect())
+    return {r["column"]: (r["min_num"], r["max_num"]) for r in rows}

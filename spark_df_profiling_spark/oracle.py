@@ -278,13 +278,35 @@ def num_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 from spark_df_profiling_spark.operators.histogram import histogram_sql  # noqa: E402
 
 
+def _hist_inc_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL path's merged fixed-bin histogram: edges frozen
+    at the global min/max, counts accumulated per hash-slice partial and
+    summed element-wise in merge_partials — graded against the same
+    whole-table DuckDB GROUP BY as the direct histogram, so the additive
+    bin merge itself is under the driver's hash gate."""
+    from spark_df_profiling_spark.operators.incremental import (
+        merge_partials, partial_profile)
+    li = _t(spark, sf_dir, "lineitem")
+    mm = li.agg(F.min(F.col("l_extendedprice").cast("double")),
+                F.max(F.col("l_extendedprice").cast("double"))).collect()[0]
+    edges = {"l_extendedprice": (mm[0], mm[1])}
+    parts = [partial_profile(li.where(F.col("l_orderkey") % 4 == i),
+                             cols=["l_extendedprice"], hist_edges=edges)
+             for i in range(4)]
+    merged = merge_partials(*parts)
+    return (merged.select(F.posexplode("hist").alias("bin", "cnt"))
+            .where(F.col("cnt") > 0)
+            .select(F.lit("inc_merged").alias("src_col"),
+                    F.col("bin").cast("long").alias("bin"), "cnt"))
+
+
 def _hist_both(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_df_profiling_spark.operators.histogram import histogram
     h1 = (histogram(_t(spark, sf_dir, "lineitem"), "l_extendedprice", 10)
           .select(F.lit("l_extendedprice").alias("src_col"), "bin", "cnt"))
     h2 = (histogram(_t(spark, sf_dir, "part"), "p_retailprice", 10)
           .select(F.lit("p_retailprice").alias("src_col"), "bin", "cnt"))
-    return h1.unionByName(h2)
+    return h1.unionByName(h2).unionByName(_hist_inc_merged(spark, sf_dir))
 
 
 _register(
@@ -293,7 +315,10 @@ _register(
     f"({histogram_sql('lineitem', 'l_extendedprice', 10)})\n"
     f"UNION ALL\n"
     f"SELECT 'p_retailprice' AS src_col, * FROM "
-    f"({histogram_sql('part', 'p_retailprice', 10)})")
+    f"({histogram_sql('part', 'p_retailprice', 10)})\n"
+    f"UNION ALL\n"
+    f"SELECT 'inc_merged' AS src_col, * FROM "
+    f"({histogram_sql('lineitem', 'l_extendedprice', 10)})")
 
 
 # ---------------------------------------------------------------------------

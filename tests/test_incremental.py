@@ -113,3 +113,99 @@ def test_incremental_edge_cases(spark):
     assert out["b"]["std"] == pytest.approx(
         math.sqrt(sum((x - 5.5) ** 2 for x in (5, 5, 5, 7)) / 3))
     assert out["b"]["distinct_estimate"] == 2
+
+
+def test_merged_histogram_equals_direct(spark, lineitem):
+    # freeze edges at the GLOBAL min/max, histogram each slice, merge:
+    # the summed bins must equal operators.histogram.histogram() run
+    # directly over the whole table (same bin arithmetic, same edges)
+    from spark_df_profiling_spark.operators.histogram import histogram
+    mm = lineitem.agg(F.min(F.col("l_extendedprice").cast("double")),
+                      F.max(F.col("l_extendedprice").cast("double"))
+                      ).collect()[0]
+    edges = {"l_extendedprice": (mm[0], mm[1])}
+    parts = [partial_profile(lineitem.where(F.col("l_orderkey") % 4 == i),
+                             cols=["l_extendedprice"], hist_edges=edges)
+             for i in range(4)]
+    merged = merge_partials(*parts).collect()[0]
+    assert merged["hist_below"] == 0 and merged["hist_above"] == 0
+    direct = {r["bin"]: r["cnt"]
+              for r in histogram(lineitem, "l_extendedprice", 10).collect()}
+    got = {i: c for i, c in enumerate(merged["hist"]) if c > 0}
+    assert got == direct
+    assert sum(merged["hist"]) == merged["count"]
+
+
+def test_merged_histogram_hierarchical_and_roundtrip(spark, lineitem,
+                                                     tmp_path):
+    from spark_df_profiling_spark.operators.incremental import (
+        hist_edges_from_state)
+    first = partial_profile(lineitem.where(F.col("l_orderkey") % 4 == 0),
+                            cols=["l_extendedprice"])
+    # day-2+ workflow: freeze edges from the first partial's min/max
+    edges = hist_edges_from_state(first)
+    assert "l_extendedprice" in edges
+    parts = [partial_profile(lineitem.where(F.col("l_orderkey") % 4 == i),
+                             cols=["l_extendedprice"], hist_edges=edges)
+             for i in range(4)]
+    # parquet round-trip one partial (the state-store persistence path)
+    path = str(tmp_path / "p0.parquet")
+    parts[0].write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    flat = merge_partials(back, *parts[1:]).collect()[0]
+    tree = merge_partials(merge_partials(back, parts[1]),
+                          merge_partials(parts[2], parts[3])).collect()[0]
+    assert list(flat["hist"]) == list(tree["hist"])
+    # slice-0 edges need not cover the other slices: overflow counters
+    # absorb the out-of-range values instead of clamping them
+    assert (sum(flat["hist"]) + flat["hist_below"] + flat["hist_above"]
+            == flat["count"])
+
+
+def test_merge_type_class_drift_fails_loudly(spark):
+    import pyspark.errors
+    a = partial_profile(spark.createDataFrame([(1,)], "x int"))
+    b = partial_profile(spark.createDataFrame([("s",)], "x string"))
+    with pytest.raises(Exception, match="type_class drift"):
+        merge_partials(a, b).collect()
+
+
+def test_merge_hist_config_drift_fails_loudly(spark, lineitem):
+    sl = lineitem.where(F.col("l_orderkey") % 4 == 0)
+    with_hist = partial_profile(sl, cols=["l_extendedprice"],
+                                hist_edges={"l_extendedprice": (0., 9e4)})
+    without = partial_profile(sl, cols=["l_extendedprice"])
+    other_edges = partial_profile(sl, cols=["l_extendedprice"],
+                                  hist_edges={"l_extendedprice":
+                                              (0., 5e4)})
+    with pytest.raises(Exception, match="histogram edge/config drift"):
+        merge_partials(with_hist, without).collect()
+    with pytest.raises(Exception, match="histogram edge/config drift"):
+        merge_partials(with_hist, other_edges).collect()
+
+
+def test_hist_edges_validation(spark, lineitem):
+    with pytest.raises(ValueError, match="hi > lo"):
+        partial_profile(lineitem, cols=["l_extendedprice"],
+                        hist_edges={"l_extendedprice": (5.0, 5.0)})
+    with pytest.raises(ValueError, match="not profiled"):
+        partial_profile(lineitem, cols=["l_quantity"],
+                        hist_edges={"l_extendedprice": (0.0, 1.0)})
+    with pytest.raises(ValueError, match="no numeric view"):
+        partial_profile(lineitem, cols=["l_returnflag"],
+                        hist_edges={"l_returnflag": (0.0, 1.0)})
+
+
+def test_empty_partition_state_is_zero_not_null(spark):
+    # ADVICE r5: an empty partition must store 0 (not NULL) for
+    # n_zeros/n_infinite so the merged sums stay non-NULL
+    df = spark.createDataFrame([], "a double, b string")
+    row = {r["column"]: r for r in partial_profile(df).collect()}
+    assert row["a"]["n_zeros"] == 0 and row["a"]["n_infinite"] == 0
+    assert row["b"]["n_zeros"] == 0 and row["b"]["n_infinite"] == 0
+    nonempty = partial_profile(
+        spark.createDataFrame([(0.0, "x")], "a double, b string"))
+    out = {r["column"]: r
+           for r in finalize(merge_partials(partial_profile(df),
+                                            nonempty)).collect()}
+    assert out["a"]["n_zeros"] == 1 and out["a"]["n_infinite"] == 0
