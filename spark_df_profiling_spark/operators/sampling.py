@@ -24,6 +24,7 @@ of data size.
 
 from __future__ import annotations
 
+import warnings
 from typing import Mapping, Optional, Sequence, Union
 
 from pyspark.sql import Column, DataFrame
@@ -35,6 +36,25 @@ BUCKETS = 1_000_000
 
 def _c(col: Union[str, Column]) -> Column:
     return F.col(col) if isinstance(col, str) else col
+
+
+def _warn_if_nullable_key(df: DataFrame, key_col: Union[str, Column],
+                          message: str) -> None:
+    """One-time advisory when a plain-named key column is nullable.
+
+    Static schema check only (the operators are lazy — counting actual
+    NULLs would cost a scan); ``warnings`` default filtering dedups
+    repeats from the same call site.  Expression keys (already-coalesced
+    etc.) can't be looked up and stay silent.
+    """
+    if not isinstance(key_col, str):
+        return
+    try:
+        field = df.schema[key_col]
+    except KeyError:
+        return
+    if field.nullable:
+        warnings.warn(message, stacklevel=3)
 
 
 def hash_bucket(col: Union[str, Column], seed: int = 0,
@@ -106,6 +126,13 @@ def hash_split(df: DataFrame, key_col: Union[str, Column],
     if total <= 0 or any(weights[n] < 0 for n in names):
         raise ValueError(f"weights must be >= 0 with a positive sum: "
                          f"{dict(weights)}")
+    if null_split is None:
+        _warn_if_nullable_key(
+            df, key_col,
+            f"hash_split: key column {key_col!r} is nullable and no "
+            f"null_split was given — NULL-key rows will land in the "
+            f"LAST split ({names[-1]!r}), conventionally the holdout; "
+            f"pass null_split= to route them explicitly")
     bucket = hash_bucket(key_col, seed)
     # cumulative integer thresholds; the last split absorbs rounding
     cuts, acc = [], 0.0
@@ -178,6 +205,13 @@ def sample_exact_k(df: DataFrame, strata_col: str, k: int,
     reproducibility guarantee therefore requires ``key_col`` to be
     unique and non-null among rows that should be sampleable.
 
+    .. note:: changed in round 5 — NULL-key rows previously ranked last
+       (``asc_nulls_last``) and could be sampled when a stratum held
+       fewer than k non-null keys; they are now excluded entirely, so
+       such strata return fewer than k rows.  A one-time warning fires
+       when the key column is nullable so existing callers notice the
+       shrunken-strata possibility.
+
     Scale note: one shuffle on ``strata_col``; the per-stratum sort is
     the cost.  For huge strata pre-thin with :func:`sample_hash` at a
     few × k/stratum_size first (membership stays deterministic since
@@ -185,6 +219,12 @@ def sample_exact_k(df: DataFrame, strata_col: str, k: int,
     """
     if k < 1:
         raise ValueError(f"k must be >= 1: {k}")
+    _warn_if_nullable_key(
+        df, key_col,
+        f"sample_exact_k: key column {key_col!r} is nullable — NULL-key "
+        f"rows are excluded from sampling (determinism requires a "
+        f"non-null key), so strata dominated by NULL keys may return "
+        f"fewer than k rows; coalesce a surrogate key to include them")
     from pyspark.sql import Window
     w = Window.partitionBy(strata_col).orderBy(
         hash_bucket(key_col, seed).asc(), _c(key_col).asc())

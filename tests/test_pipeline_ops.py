@@ -343,3 +343,32 @@ def test_mixture_sample_absent_source_graceful(spark):
     assert out.count() == 100          # web is binding -> keeps all
     # no weighted source present at all -> empty result, no error
     assert mixture_sample(df, "src", {"ghost": 1.0}, "key").count() == 0
+
+
+def test_nullable_key_warnings(spark):
+    import warnings as W
+    from spark_df_profiling_spark.operators.sampling import (
+        hash_split, sample_exact_k)
+    df = spark.createDataFrame(
+        [("a", 1), (None, 2)], "k string, v int")  # k nullable
+    with W.catch_warnings(record=True) as rec:
+        W.simplefilter("always")
+        hash_split(df, "k", {"train": 0.8, "test": 0.2})
+        assert any("null_split" in str(w.message) for w in rec)
+    with W.catch_warnings(record=True) as rec:
+        W.simplefilter("always")
+        hash_split(df, "k", {"train": 0.8, "test": 0.2},
+                   null_split="train")
+        # explicit routing silences the advisory
+        assert not any("null_split" in str(w.message) for w in rec)
+    with W.catch_warnings(record=True) as rec:
+        W.simplefilter("always")
+        sample_exact_k(df, "k", 1, "k")
+        assert any("excluded from sampling" in str(w.message)
+                   for w in rec)
+    nn = spark.range(3)  # id is non-nullable by construction
+    with W.catch_warnings(record=True) as rec:
+        W.simplefilter("always")
+        hash_split(nn, "id", {"train": 1.0})
+        # non-nullable key -> silent
+        assert not any("null_split" in str(w.message) for w in rec)
