@@ -3,10 +3,13 @@
 Design per the north star: image/audio/video payloads are opaque
 ``binary`` columns with a typed metadata struct alongside.  The
 Spark-side machinery — schema, Arrow batch shape, ``mapInPandas``
-signature, partition sizing — is real and tested; the actual
-decoders (PIL/ffmpeg/etc. are not in this container) are STUBBED behind
-``try``-imports and a clearly marked ``NotImplementedError`` path, with a
-deterministic metadata extractor as the testable fake.
+signature, partition sizing — is real and tested; metadata extraction
+(``mime``/``width``/``height``) is REAL for PNG/JPEG/GIF via stdlib
+magic-byte parsing (:func:`sniff_image_meta` / :func:`sniff_meta` — no
+image library required); full pixel decoders (PIL/ffmpeg/etc. are not
+in this container) are STUBBED behind ``try``-imports and a clearly
+marked ``NotImplementedError`` path, with a deterministic feature
+extractor as the testable fake.
 
 Scale notes: ``mapInPandas`` streams Arrow record batches through one
 Python worker per core — payload bytes never materialize on the driver;
@@ -87,6 +90,105 @@ def extract_features(df: DataFrame,
 
     return df.select("media_id", "payload").mapInPandas(
         compute, schema=FEATURE_SCHEMA)
+
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+#: markers that start a JPEG Start-Of-Frame segment (dimensions live
+#: there); C4/C8/CC are huffman/arithmetic/extension tables, not frames
+_JPEG_SOF = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
+
+
+def _jpeg_dims(b: bytes) -> "tuple[int, int] | None":
+    """(width, height) from the first SOFn segment, or None.
+
+    Standard segment walk: 0xFF <marker> <2-byte big-endian length>.
+    Pure stdlib, bounded by payload length — safe inside an Arrow batch.
+    """
+    i, n = 2, len(b)
+    while i + 9 < n:
+        if b[i] != 0xFF:
+            return None
+        marker = b[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+            i += 2  # standalone markers carry no length
+            continue
+        if marker == 0xD9:  # EOI before any SOF
+            return None
+        seg_len = int.from_bytes(b[i + 2:i + 4], "big")
+        if seg_len < 2:
+            return None
+        if marker in _JPEG_SOF:
+            # SOF payload: [precision:1][height:2][width:2]...
+            h = int.from_bytes(b[i + 5:i + 7], "big")
+            w = int.from_bytes(b[i + 7:i + 9], "big")
+            return (w, h)
+        i += 2 + seg_len
+    return None
+
+
+def sniff_image_meta(payload: "bytes | None"
+                     ) -> "tuple[str | None, int | None, int | None]":
+    """(mime, width, height) from magic bytes — pure stdlib, no decoder.
+
+    Covers PNG (IHDR), JPEG (SOFn walk), and GIF (logical screen
+    descriptor); anything else returns (None, None, None).  This makes
+    ``meta`` extraction REAL for the formats whose headers are
+    deterministic, while full pixel decode stays behind
+    :func:`decode_image` (PIL is unavailable in this container —
+    verified round 5).
+    """
+    if payload is None:
+        return (None, None, None)
+    b = bytes(payload)
+    if b.startswith(_PNG_MAGIC) and len(b) >= 24 and b[12:16] == b"IHDR":
+        return ("image/png", int.from_bytes(b[16:20], "big"),
+                int.from_bytes(b[20:24], "big"))
+    if b[:3] == b"\xff\xd8\xff":
+        dims = _jpeg_dims(b)
+        return ("image/jpeg", dims[0] if dims else None,
+                dims[1] if dims else None)
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        return ("image/gif", int.from_bytes(b[6:8], "little"),
+                int.from_bytes(b[8:10], "little"))
+    return (None, None, None)
+
+
+SNIFF_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("mime", T.StringType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("n_bytes", T.LongType(), True),
+])
+
+
+def sniff_meta(df: DataFrame, batch_size: int = 1024) -> DataFrame:
+    """Header-sniffed metadata per payload via ``mapInPandas`` — the
+    same Arrow batch shape as :func:`extract_features`, with the meta
+    fields REAL for PNG/JPEG/GIF payloads (magic-byte parsing, stdlib
+    only — no image library needed)."""
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                   str(batch_size))
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [sniff_image_meta(b) for b in pdf["payload"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "mime": [m[0] for m in metas],
+                "width": pd.array([m[1] for m in metas], dtype="Int32"),
+                "height": pd.array([m[2] for m in metas], dtype="Int32"),
+                "n_bytes": [len(b) if b is not None else None
+                            for b in pdf["payload"]],
+            })
+
+    return df.select("media_id", "payload").mapInPandas(
+        compute, schema=SNIFF_SCHEMA)
 
 
 def decode_image(payload: bytes) -> Any:

@@ -114,3 +114,60 @@ def test_describe_rejects_streaming_input(spark, sf_dir):
     from spark_df_profiling_spark.streaming import events_stream
     with pytest.raises(ValueError, match="windowed_profile"):
         describe(events_stream(spark, sf_dir))
+
+
+def test_sniff_meta_extracts_real_dimensions(spark):
+    # planted payloads: a real PNG rendered by the in-repo PNG writer
+    # (deterministic), a hand-built minimal JPEG/GIF, junk, and NULL
+    from spark_df_profiling_spark.operators.multimodal import (
+        sniff_image_meta, sniff_meta)
+    from spark_df_profiling_spark.report.png_hist import render_png
+
+    png = render_png([1, 2, 3])  # 3 bars*14px + 2 gaps*2px = 46 x 60
+    jpeg = (b"\xff\xd8"                                   # SOI
+            + b"\xff\xe0" + (16).to_bytes(2, "big")       # APP0
+            + b"JFIF\x00" + bytes(9)
+            + b"\xff\xc0" + (17).to_bytes(2, "big")       # SOF0
+            + b"\x08" + (64).to_bytes(2, "big")           # height
+            + (48).to_bytes(2, "big")                     # width
+            + b"\x03" + bytes(9)
+            + b"\xff\xd9")                                # EOI
+    gif = (b"GIF89a" + (12).to_bytes(2, "little")
+           + (34).to_bytes(2, "little") + bytes(4))
+    junk = b"hello world, not an image"
+
+    # pure-python sniffer first (unit level)
+    assert sniff_image_meta(png) == ("image/png", 46, 60)
+    assert sniff_image_meta(jpeg) == ("image/jpeg", 48, 64)
+    assert sniff_image_meta(gif) == ("image/gif", 12, 34)
+    assert sniff_image_meta(junk) == (None, None, None)
+    assert sniff_image_meta(None) == (None, None, None)
+
+    # then through the Arrow mapInPandas plumbing
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(jpeg)), (3, bytearray(gif)),
+         (4, bytearray(junk)), (5, None)],
+        "media_id long, payload binary")
+    rows = {r["media_id"]: r for r in sniff_meta(df).collect()}
+    assert (rows[1]["mime"], rows[1]["width"], rows[1]["height"]) == \
+        ("image/png", 46, 60)
+    assert (rows[2]["mime"], rows[2]["width"], rows[2]["height"]) == \
+        ("image/jpeg", 48, 64)
+    assert (rows[3]["mime"], rows[3]["width"], rows[3]["height"]) == \
+        ("image/gif", 12, 34)
+    assert rows[4]["mime"] is None and rows[4]["width"] is None
+    assert rows[5]["mime"] is None and rows[5]["n_bytes"] is None
+    assert rows[1]["n_bytes"] == len(png)
+
+
+def test_sniff_meta_truncated_headers_do_not_crash(spark):
+    from spark_df_profiling_spark.operators.multimodal import (
+        sniff_image_meta)
+    from spark_df_profiling_spark.report.png_hist import render_png
+    png = render_png([5])
+    for cut in (0, 1, 7, 8, 12, 20, 23):
+        mime, w, h = sniff_image_meta(png[:cut])
+        assert w is None and h is None
+    # JPEG with SOF length lying beyond the buffer
+    bad = b"\xff\xd8\xff\xc0" + (9999).to_bytes(2, "big") + bytes(4)
+    assert sniff_image_meta(bad) == ("image/jpeg", None, None)
