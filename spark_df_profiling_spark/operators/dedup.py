@@ -472,3 +472,65 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     return out.select(
         "id_a", "id_b",
         (inter.cast("double") / union).alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style cross-document repeated-line removal
+# ---------------------------------------------------------------------------
+def line_dedup(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", min_count: int = 2,
+               sep: str = "\n") -> DataFrame:
+    """Remove lines that repeat >= ``min_count`` times across the corpus
+    (boilerplate headers/footers/nav chrome — the CCNet paragraph-dedup
+    step that precedes most web-crawl training pipelines).
+
+    Returns one row per input document:
+    ``(id_col, clean_text, n_lines, n_lines_kept, n_lines_removed)``,
+    with line order preserved and fully-boilerplate documents kept as
+    empty strings (callers drop or quarantine them explicitly —
+    vanishing rows would silently change corpus counts).
+
+    Scale design (three shuffles, all on line-granularity rows):
+
+    * lines explode with their position; the frequency count groups by
+      ``xxhash64(line)`` — an 8-byte shuffle key instead of the line
+      text (CCNet itself counts 64-bit line hashes; a hash collision
+      can only over-remove one unlucky line pair per 2^64);
+    * only hashes with count >= min_count survive the frequency pass —
+      the "common lines" table is the heavy-hitter tail, orders of
+      magnitude smaller than the corpus, so the membership join is
+      broadcast-able in practice (left_anti keeps the rare lines);
+    * documents reassemble with one groupBy on the id: collect_list of
+      (pos, line) structs, array_sort restores order JVM-side.
+    """
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2: {min_count}")
+    base = df.select(F.col(id_col),
+                     F.split(F.col(text_col), sep).alias("__ls"))
+    lines = base.select(
+        id_col, F.posexplode("__ls").alias("__pos", "__line"))
+    common = (lines
+              .groupBy(F.xxhash64("__line").alias("__h"))
+              .agg(F.count(F.lit(1)).alias("__n"))
+              .where(F.col("__n") >= min_count)
+              .select("__h"))
+    kept = (lines.withColumn("__h", F.xxhash64("__line"))
+            .join(common, "__h", "left_anti"))
+    clean = (kept.groupBy(id_col)
+             .agg(F.array_join(
+                 F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct("__pos", "__line"))),
+                     lambda s: s["__line"]),
+                 sep).alias("clean_text"),
+                 F.count(F.lit(1)).alias("n_lines_kept")))
+    return (base.select(id_col, F.size("__ls").alias("n_lines"))
+            .join(clean, id_col, "left")
+            .select(id_col,
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    "n_lines",
+                    F.coalesce("n_lines_kept", F.lit(0).cast("long"))
+                    .alias("n_lines_kept"),
+                    (F.col("n_lines")
+                     - F.coalesce("n_lines_kept", F.lit(0).cast("long")))
+                    .alias("n_lines_removed")))

@@ -797,14 +797,41 @@ SELECT 'stats', count(*),
        count(DISTINCT text),
        count(*) - count(DISTINCT text)
 FROM documents
+UNION ALL
+SELECT 'linededup', doc_id, clean_hash, n_removed FROM (
+  WITH docs AS (
+    SELECT doc_id,
+           'NAV HEADER BOILERPLATE' || chr(10) || text || chr(10) ||
+           'COPYRIGHT FOOTER' AS text
+    FROM documents WHERE doc_id < 200
+  ), counts AS (
+    SELECT line, count(*) AS n
+    FROM (SELECT unnest(string_split(text, chr(10))) AS line FROM docs)
+    GROUP BY line
+  ), common AS (
+    SELECT coalesce(list(line), []) AS cl FROM counts WHERE n >= 10
+  )
+  SELECT doc_id,
+    ('0x' || substr(md5(array_to_string(
+        list_filter(string_split(text, chr(10)),
+                    x -> NOT list_contains(cl, x)), chr(10))), 1,
+        15))::BIGINT AS clean_hash,
+    len(string_split(text, chr(10)))
+      - len(list_filter(string_split(text, chr(10)),
+            x -> NOT list_contains(cl, x))) AS n_removed
+  FROM docs, common)
 ORDER BY part, v1
 """)
 def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup survivors (keep-first by doc_id) + dedup stats in one
-    graded row set, tagged by ``part`` ('kept' rows carry the surviving
-    doc_id in v1; the 'stats' row carries n_rows/n_distinct/n_dups)."""
+    """Exact dedup survivors (keep-first by doc_id) + dedup stats +
+    CCNet-style line dedup in one graded row set, tagged by ``part``
+    ('kept' rows carry the surviving doc_id in v1; the 'stats' row
+    carries n_rows/n_distinct/n_dups; 'linededup' rows carry, per
+    constructed boilerplate-wrapped doc, a portable 60-bit md5 hash of
+    the CLEANED text in v2 — pinning exact content equality of the
+    reassembled document — and the removed-line count in v3)."""
     from spark_df_profiling_spark.operators.dedup import (
-        dedup_stats, exact_dedup)
+        dedup_stats, exact_dedup, line_dedup)
     d = _t(spark, sf_dir, "documents")
     kept = (exact_dedup(d, cols=["text"], order_col="doc_id")
             .select(F.lit("kept").alias("part"),
@@ -816,7 +843,20 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("n_rows").alias("v1"),
                      F.col("n_distinct").alias("v2"),
                      F.col("n_duplicates").alias("v3")))
-    return kept.unionByName(stats).orderBy("part", "v1")
+    wrapped = (d.where(F.col("doc_id") < 200)
+               .select("doc_id",
+                       F.concat(F.lit("NAV HEADER BOILERPLATE\n"),
+                                F.col("text"),
+                                F.lit("\nCOPYRIGHT FOOTER"))
+                       .alias("text")))
+    ld = (line_dedup(wrapped, "text", "doc_id", min_count=10)
+          .select(F.lit("linededup").alias("part"),
+                  F.col("doc_id").alias("v1"),
+                  F.conv(F.substring(F.md5("clean_text"), 1, 15), 16, 10)
+                  .cast("bigint").alias("v2"),
+                  F.col("n_lines_removed").cast("long").alias("v3")))
+    return kept.unionByName(stats).unionByName(ld) \
+        .orderBy("part", "v1")
 
 
 # ---------------------------------------------------------------------------

@@ -230,3 +230,41 @@ def test_pre_collapse_exact_matches_plain_path(spark, dup_docs):
     assert a == b
     # sub-shingle texts: every copy survives either way
     assert {9001, 9002, 9003} <= b
+
+
+def test_line_dedup_removes_boilerplate_preserves_order(spark):
+    from spark_df_profiling_spark.operators.dedup import line_dedup
+    docs = spark.createDataFrame([
+        (1, "HDR\nalpha\nbeta\nFTR"),
+        (2, "HDR\ngamma\nFTR"),
+        (3, "HDR\nFTR"),            # fully boilerplate
+        (4, "HDR\nbeta close\ndelta\nepsilon\nFTR"),
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r
+           for r in line_dedup(docs, min_count=3).collect()}
+    assert out[1]["clean_text"] == "alpha\nbeta"
+    assert out[2]["clean_text"] == "gamma"
+    # fully-boilerplate docs stay as rows (empty), never vanish
+    assert out[3]["clean_text"] == "" and out[3]["n_lines_kept"] == 0
+    assert out[3]["n_lines_removed"] == 2
+    # order preserved even with multiple kept lines
+    assert out[4]["clean_text"] == "beta close\ndelta\nepsilon"
+    assert out[4]["n_lines"] == 5 and out[4]["n_lines_removed"] == 2
+
+
+def test_line_dedup_min_count_boundary(spark):
+    from spark_df_profiling_spark.operators.dedup import line_dedup
+    import pytest as _pt
+    docs = spark.createDataFrame(
+        [(1, "x\na"), (2, "x\nb"), (3, "y\nc"), (4, "y\nd")],
+        "doc_id long, text string")
+    # x and y each appear exactly twice: removed at min_count=2,
+    # kept at min_count=3
+    out2 = {r["doc_id"]: r["clean_text"]
+            for r in line_dedup(docs, min_count=2).collect()}
+    assert out2 == {1: "a", 2: "b", 3: "c", 4: "d"}
+    out3 = {r["doc_id"]: r["clean_text"]
+            for r in line_dedup(docs, min_count=3).collect()}
+    assert out3[1] == "x\na" and out3[3] == "y\nc"
+    with _pt.raises(ValueError, match="min_count"):
+        line_dedup(docs, min_count=1)
