@@ -715,21 +715,49 @@ def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("token_count_bpe", """
-SELECT lang,
+SELECT 'by_lang' AS part, lang AS k,
        CAST(sum(len(regexp_extract_all(text,
-            '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT) AS total_tokens,
+            '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT) AS v1,
        CAST(max(len(regexp_extract_all(text,
-            '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT) AS max_tokens
-FROM documents GROUP BY lang ORDER BY lang
+            '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT) AS v2
+FROM documents GROUP BY lang
+UNION ALL
+SELECT 'pack', CAST(doc_id AS VARCHAR), start_offset,
+       start_offset // 1000 FROM (
+  SELECT doc_id,
+         CAST(coalesce(sum(len(regexp_extract_all(text,
+              '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')))
+            OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS start_offset
+  FROM documents WHERE doc_id < 50)
+ORDER BY part, k
 """)
 def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (BPE-ish regex) by language + sequence packing in
+    one graded row set: the 'pack' rows pin the distributed prefix-sum
+    shard assignment (operators/packing.py — range-repartition + driver
+    prefix of per-partition totals, never a single-partition window)
+    against DuckDB's global window cumsum over the same token counts."""
     from spark_df_profiling_spark.operators import text as TX
+    from spark_df_profiling_spark.operators.packing import pack_offsets
     d = _t(spark, sf_dir, "documents")
-    return (d.groupBy("lang")
-            .agg(F.sum(TX.n_tokens_bpe("text")).alias("total_tokens"),
-                 F.max(TX.n_tokens_bpe("text")).cast("long")
-                 .alias("max_tokens"))
-            .orderBy("lang"))
+    by_lang = (d.groupBy("lang")
+               .agg(F.sum(TX.n_tokens_bpe("text")).alias("v1"),
+                    F.max(TX.n_tokens_bpe("text")).cast("long")
+                    .alias("v2"))
+               .select(F.lit("by_lang").alias("part"),
+                       F.col("lang").alias("k"), "v1", "v2"))
+    packed = pack_offsets(
+        d.where(F.col("doc_id") < 50)
+        .withColumn("__nt", TX.n_tokens_bpe("text")),
+        "__nt", "doc_id", context_len=1000)
+    pack = packed.select(
+        F.lit("pack").alias("part"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("start_offset").alias("v1"),
+        F.col("shard_id").alias("v2"))
+    return by_lang.unionByName(pack).orderBy("part", "k")
 
 
 # ---------------------------------------------------------------------------
