@@ -460,3 +460,43 @@ def text_features(df: DataFrame, text_col: str) -> DataFrame:
         lang_id(text_col, toks=toks_lc).alias("f_lang"),
         quality_score(text_col, toks=toks_ws).alias("f_quality"),
     )
+
+
+# --- quality-filter funnel (FineWeb/C4-style sequential rule chain) --------
+def quality_funnel(df: DataFrame,
+                   rules: "list[tuple[str, Column]]") -> DataFrame:
+    """Sequential filter-funnel report: rules apply IN ORDER, each one
+    evaluated only on survivors of the previous rules (the way C4 /
+    Gopher / FineWeb pipelines stack their filters), with per-rule
+    accounting of what each rule actually cost.
+
+    ``rules`` is an ordered list of (name, keep-predicate Column).
+    Returns one row per rule: ``(rule, n_evaluated, n_dropped,
+    n_surviving)`` where ``n_evaluated`` is the survivor count entering
+    the rule.  ONE aggregate over ONE scan — the cumulative
+    conjunctions are sum(when) towers in a single codegen'd pass, never
+    one job per rule — so adding a rule to the report is free at 100 TB.
+    """
+    if not rules:
+        raise ValueError("rules must be non-empty")
+    names = [n for n, _ in rules]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate rule names: {names}")
+    aggs, prev = [], F.lit(True)
+    for i, (name, keep) in enumerate(rules):
+        surv = prev & keep
+        aggs.append(F.sum(F.when(prev, 1).otherwise(0)).cast("long")
+                    .alias(f"__in{i}"))
+        aggs.append(F.sum(F.when(surv, 1).otherwise(0)).cast("long")
+                    .alias(f"__out{i}"))
+        prev = surv
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', __in{i}, __out{i}" for i, (name, _) in enumerate(rules))
+    return (one.select(F.expr(
+        f"stack({len(rules)}, {stack_args}) "
+        f"as (rule, n_evaluated, n_surviving)"))
+        .select("rule", "n_evaluated",
+                (F.col("n_evaluated") - F.col("n_surviving"))
+                .alias("n_dropped"),
+                "n_surviving"))

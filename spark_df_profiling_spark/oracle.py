@@ -1867,8 +1867,38 @@ UNION ALL
 SELECT 'source', count(source), count(DISTINCT source) FROM documents
 UNION ALL
 SELECT 'n_chars', count(n_chars), count(DISTINCT n_chars) FROM documents
+UNION ALL
+SELECT 'funnel:len_ge_250', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN length(text) >= 250 THEN 1 ELSE 0 END)
+            AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'funnel:tokens_ge_50',
+       CAST(sum(CASE WHEN length(text) >= 250 THEN 1 ELSE 0 END)
+            AS BIGINT),
+       CAST(sum(CASE WHEN length(text) >= 250
+                 AND len(string_split(text, ' ')) >= 50
+                 THEN 1 ELSE 0 END) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'funnel:ttr_ge_05',
+       CAST(sum(CASE WHEN length(text) >= 250
+                 AND len(string_split(text, ' ')) >= 50
+                 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN length(text) >= 250
+                 AND len(string_split(text, ' ')) >= 50
+                 AND len(list_distinct(string_split(text, ' ')))
+                     / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.5
+                 THEN 1 ELSE 0 END) AS BIGINT)
+FROM documents
 """)
 def universal_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-family counts per documents column + the quality-filter FUNNEL
+    (text.py::quality_funnel) in one graded row set: 'funnel:<rule>'
+    rows carry (docs entering the rule, docs surviving it) in
+    (cnt, n_distinct) — the DuckDB side replays the same cumulative
+    CASE chain, pinning the sequential semantics."""
+    from spark_df_profiling_spark.operators.text import quality_funnel
     d = _t(spark, sf_dir, "documents")
     aggs = []
     for c in ["doc_id", "text", "lang", "source", "n_chars"]:
@@ -1878,8 +1908,20 @@ def universal_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     stack_args = ", ".join(
         f"'{c}', cnt_{c}, dis_{c}"
         for c in ["doc_id", "text", "lang", "source", "n_chars"])
-    return one.select(F.expr(
+    cols = one.select(F.expr(
         f"stack(5, {stack_args}) as (column_name, cnt, n_distinct)"))
+    toks = F.split(F.col("text"), " ")
+    funnel = quality_funnel(d, [
+        ("len_ge_250", F.length("text") >= 250),
+        ("tokens_ge_50", F.size(toks) >= 50),
+        ("ttr_ge_05",
+         F.size(F.array_distinct(toks)) / F.size(toks).cast("double")
+         >= 0.5),
+    ]).select(F.concat(F.lit("funnel:"), F.col("rule"))
+              .alias("column_name"),
+              F.col("n_evaluated").alias("cnt"),
+              F.col("n_surviving").alias("n_distinct"))
+    return cols.unionByName(funnel)
 
 
 @query("embedding_array_stats", f"""

@@ -178,3 +178,43 @@ def test_unigram_logprob_matches_python(spark):
     assert got1[3] == pytest.approx(exp3, rel=1e-12)
     with pytest.raises(ValueError):
         unigram_logprob(df, "text", "doc_id", vocab_size=0)
+
+
+def test_quality_funnel_sequential_semantics(spark):
+    from spark_df_profiling_spark.operators.text import quality_funnel
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a a a a a"), (3, "x"), (4, None)],
+        "doc_id long, text string")
+    toks = F.split(F.col("text"), " ")
+    out = {r["rule"]: r for r in quality_funnel(df, [
+        ("min_tokens", F.size(toks) >= 3),
+        ("diverse", F.size(F.array_distinct(toks)) >= 3),
+    ]).collect()}
+    # rule 1 sees all 4 docs; NULL text fails the keep predicate
+    assert out["min_tokens"]["n_evaluated"] == 4
+    assert out["min_tokens"]["n_surviving"] == 2   # docs 1 and 2
+    assert out["min_tokens"]["n_dropped"] == 2     # doc 3 (short) + NULL
+    # rule 2 only sees rule-1 survivors (sequential, not independent)
+    assert out["diverse"]["n_evaluated"] == 2
+    assert out["diverse"]["n_surviving"] == 1      # doc 2 is 'a'*5
+    import pytest as _pt
+    with _pt.raises(ValueError, match="non-empty"):
+        quality_funnel(df, [])
+    with _pt.raises(ValueError, match="duplicate"):
+        quality_funnel(df, [("r", toks.isNotNull()),
+                            ("r", toks.isNotNull())])
+
+
+def test_quality_funnel_single_job(spark):
+    from spark_df_profiling_spark.operators.text import quality_funnel
+    df = spark.range(100).withColumn("text", F.lit("w x y z"))
+    toks = F.split(F.col("text"), " ")
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    sc = spark.sparkContext
+    sc.setJobGroup("funnel_test", "funnel")
+    quality_funnel(df, [(f"r{i}", F.size(toks) >= i)
+                        for i in range(8)]).collect()
+    jobs = tracker.getJobIdsForGroup("funnel_test")
+    # 8 rules, ONE aggregation job (plus at most an AQE finalization)
+    assert len(jobs) <= 2
