@@ -534,3 +534,51 @@ def line_dedup(df: DataFrame, text_col: str = "text",
                     (F.col("n_lines")
                      - F.coalesce("n_lines_kept", F.lit(0).cast("long")))
                     .alias("n_lines_removed")))
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (eval-leakage scan)
+# ---------------------------------------------------------------------------
+def decontaminate(df: DataFrame, benchmark: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  bench_text_col: str | None = None, n: int = 8,
+                  min_hits: int = 1,
+                  broadcast_bench: bool = True) -> DataFrame:
+    """Flag corpus documents sharing >= ``min_hits`` distinct word
+    n-grams with a benchmark/eval corpus (the decontamination step every
+    pretraining pipeline runs so test sets don't leak into training).
+
+    Returns the input plus ``n_hits`` (distinct contaminated n-grams in
+    the doc) and ``contaminated``.  Normalization is
+    :func:`shingle_expr`'s (lowercase, whitespace split) on BOTH sides.
+
+    Scale design: the benchmark side reduces to DISTINCT n-gram hashes —
+    eval suites are tiny next to the corpus, so that table broadcasts
+    (``broadcast_bench=False`` falls back to a shuffle join for
+    pathological benchmark sizes); the corpus side explodes to
+    (doc, gram-hash) rows that hit the broadcast MAP-SIDE, so only
+    matching rows (rare) reach the per-doc count shuffle.  Grams travel
+    as ``xxhash64`` (8 bytes, not strings); a collision can only
+    over-flag one unlucky doc per 2^64.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1: {n}")
+    if min_hits < 1:
+        raise ValueError(f"min_hits must be >= 1: {min_hits}")
+    btc = bench_text_col or text_col
+    bench_sh = (benchmark
+                .select(F.explode(shingle_expr(btc, n)).alias("__g"))
+                .select(F.xxhash64("__g").alias("__h"))
+                .distinct())
+    if broadcast_bench:
+        bench_sh = F.broadcast(bench_sh)
+    corp = (df.select(F.col(id_col),
+                      F.explode(shingle_expr(text_col, n)).alias("__g"))
+            .select(id_col, F.xxhash64("__g").alias("__h")))
+    hits = (corp.join(bench_sh, "__h")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hits")))
+    return (df.join(hits, id_col, "left")
+            .withColumn("n_hits",
+                        F.coalesce("n_hits", F.lit(0).cast("long")))
+            .withColumn("contaminated", F.col("n_hits") >= min_hits))

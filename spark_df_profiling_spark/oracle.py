@@ -2100,31 +2100,71 @@ WITH corpus AS (
     SELECT text FROM documents
     UNION ALL
     SELECT * FROM (VALUES {values}) fixture(text)
+),
+bench_g AS (
+  SELECT DISTINCT unnest(list_distinct(
+      [array_to_string(toks[i:i+7], ' ')
+       for i in range(1, len(toks) - 6)])) AS g
+  FROM (SELECT string_split_regex(lower(array_to_string(
+            (string_split(text, ' '))[6:25], ' ')), '\\s+') AS toks
+        FROM documents WHERE doc_id BETWEEN 300 AND 319)
+  WHERE len(toks) >= 8
+),
+corp_g AS (
+  SELECT doc_id, unnest(list_distinct(
+      [array_to_string(toks[i:i+7], ' ')
+       for i in range(1, len(toks) - 6)])) AS g
+  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+        FROM documents)
+  WHERE len(toks) >= 8
+),
+decon AS (
+  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_contaminated,
+         CAST(count(*) AS BIGINT) AS decon_total_hits
+  FROM corp_g JOIN bench_g USING (g)
 )
 SELECT CAST(sum({cnt['email']}) AS BIGINT) AS n_email,
        CAST(sum({cnt['url']}) AS BIGINT) AS n_url,
        CAST(sum({cnt['ipv4']}) AS BIGINT) AS n_ipv4,
        CAST(sum({cnt['phone']}) AS BIGINT) AS n_phone,
        CAST(sum(CASE WHEN {flag} THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_docs_flagged
-FROM corpus
+           AS n_docs_flagged,
+       any_value(n_docs_contaminated) AS n_docs_contaminated,
+       any_value(decon_total_hits) AS decon_total_hits
+FROM corpus, decon
 """
 
 
 @query("pii_scan_docs", _pii_sql())
 def pii_scan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-level PII exposure totals (corpus + planted fixture)."""
+    """Corpus-level PII exposure totals (corpus + planted fixture) +
+    benchmark DECONTAMINATION summary (dedup.py::decontaminate) in one
+    graded row: the 'benchmark' is 20-token snippets of docs 300-319,
+    so those docs are contaminated by construction; the DuckDB side
+    replays the same lowercase/whitespace 8-gram overlap by CONTENT
+    (the operator joins on xxhash64 of the same grams — equal counts
+    unless a 2^-64 collision)."""
+    from spark_df_profiling_spark.operators.dedup import decontaminate
     from spark_df_profiling_spark.operators.text import pii_scan
-    d = _t(spark, sf_dir, "documents").select("text")
+    full = _t(spark, sf_dir, "documents")
+    d = full.select("text")
     fix = spark.createDataFrame([(t,) for t in _PII_FIXTURES], ["text"])
     s = pii_scan(d.unionByName(fix), "text")
-    return s.agg(
+    pii = s.agg(
         F.sum("pii_email").cast("long").alias("n_email"),
         F.sum("pii_url").cast("long").alias("n_url"),
         F.sum("pii_ipv4").cast("long").alias("n_ipv4"),
         F.sum("pii_phone").cast("long").alias("n_phone"),
         F.sum(F.when(F.col("pii_any"), 1).otherwise(0)).cast("long")
         .alias("n_docs_flagged"))
+    bench = (full.where((F.col("doc_id") >= 300) & (F.col("doc_id") < 320))
+             .select(F.concat_ws(" ", F.slice(F.split("text", " "), 6, 20))
+                     .alias("text")))
+    decon = (decontaminate(full, bench, n=8)
+             .agg(F.sum(F.when(F.col("contaminated"), 1).otherwise(0))
+                  .cast("long").alias("n_docs_contaminated"),
+                  F.sum("n_hits").cast("long").alias("decon_total_hits")))
+    return pii.crossJoin(decon)
 
 
 # ---------------------------------------------------------------------------

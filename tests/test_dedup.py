@@ -268,3 +268,36 @@ def test_line_dedup_min_count_boundary(spark):
     assert out3[1] == "x\na" and out3[3] == "y\nc"
     with _pt.raises(ValueError, match="min_count"):
         line_dedup(docs, min_count=1)
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    from spark_df_profiling_spark.operators.dedup import decontaminate
+    corpus = spark.createDataFrame([
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "completely unrelated words about cooking pasta al dente"),
+        (3, "the QUICK brown FOX jumps over the lazy dog again"),
+    ], "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [("quick brown fox jumps over the lazy dog",)], "text string")
+    out = {r["doc_id"]: r
+           for r in decontaminate(corpus, bench, n=8).collect()}
+    assert out[1]["contaminated"] and out[1]["n_hits"] >= 1
+    assert not out[2]["contaminated"] and out[2]["n_hits"] == 0
+    # normalization is case-insensitive on both sides
+    assert out[3]["contaminated"]
+    # min_hits threshold: requiring 5 distinct shared 8-grams clears all
+    strict = {r["doc_id"]: r["contaminated"]
+              for r in decontaminate(corpus, bench, n=8,
+                                     min_hits=5).collect()}
+    assert strict == {1: False, 2: False, 3: False}
+
+
+def test_decontaminate_bench_side_broadcasts(spark):
+    from spark_df_profiling_spark.operators.dedup import decontaminate
+    corpus = spark.createDataFrame(
+        [(i, f"doc number {i} words a b c d e f g h") for i in range(20)],
+        "doc_id long, text string")
+    bench = corpus.where(F.col("doc_id") < 2).select("text")
+    out = decontaminate(corpus, bench, n=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
