@@ -73,6 +73,31 @@ def main() -> None:
         .select("column", "n", "mean", "std", "distinct_estimate") \
         .show(5, truncate=False)
 
+    # 7. Round-6 pipeline ops: line dedup, decontamination, quality
+    #    funnel, sequence packing
+    from spark_df_profiling_spark.operators.dedup import (
+        decontaminate, line_dedup)
+    from spark_df_profiling_spark.operators.packing import shard_summary
+    from spark_df_profiling_spark.operators.text import quality_funnel
+
+    wrapped = docs.limit(500).select(
+        "doc_id", F.concat(F.lit("SITE NAV\n"), F.col("text"),
+                           F.lit("\n(c) footer")).alias("text"))
+    line_dedup(wrapped, min_count=50) \
+        .select("doc_id", "n_lines", "n_lines_removed").show(3)
+
+    bench = docs.where(F.col("doc_id") < 5).select("text")
+    decontaminate(docs.limit(500), bench, n=8) \
+        .groupBy("contaminated").count().show()
+
+    toks = F.split(F.col("text"), " ")
+    quality_funnel(docs, [
+        ("len_ge_250", F.length("text") >= 250),
+        ("tokens_ge_50", F.size(toks) >= 50)]).show()
+
+    shard_summary(docs.withColumn("__nt", F.size(toks)),
+                  "__nt", "doc_id", context_len=4096).show(4)
+
     spark.stop()
 
 

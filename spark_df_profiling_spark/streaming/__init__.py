@@ -191,3 +191,27 @@ def streaming_dedup(stream_df: DataFrame, cols: list[str],
         return stream_df.dropDuplicates(cols)
     return (stream_df.withWatermark(ts_col, watermark)
             .dropDuplicatesWithinWatermark(cols))
+
+
+def streaming_dedup(df: DataFrame, keys: "list[str]",
+                    ts_col: str = "ts_ts",
+                    watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup by key within the watermark horizon.
+
+    The at-least-once-ingest guard: upstream retries (Kafka replays,
+    file re-deliveries) produce duplicate events; this keeps the FIRST
+    arrival per key and drops re-deliveries that arrive within
+    ``watermark`` of it.  Uses ``dropDuplicatesWithinWatermark`` so the
+    per-key state is EVICTED once the watermark passes — bounded state,
+    unlike plain ``dropDuplicates`` on a stream, which retains every key
+    forever and OOMs a 100 TB/day pipeline.
+
+    Batch frames run plain ``dropDuplicates(keys)`` (same contract, no
+    watermark needed), so one call site serves both the backfill and
+    the live path — the same batch/streaming duality as
+    :func:`windowed_profile`.
+    """
+    if df.isStreaming:
+        return (df.withWatermark(ts_col, watermark)
+                .dropDuplicatesWithinWatermark(keys))
+    return df.dropDuplicates(keys)

@@ -171,3 +171,29 @@ def test_sniff_meta_truncated_headers_do_not_crash(spark):
     # JPEG with SOF length lying beyond the buffer
     bad = b"\xff\xd8\xff\xc0" + (9999).to_bytes(2, "big") + bytes(4)
     assert sniff_image_meta(bad) == ("image/jpeg", None, None)
+
+
+def test_streaming_dedup_drops_redeliveries(spark, sf_dir, tmp_path):
+    import os
+    from spark_df_profiling_spark.sources import with_event_time
+    from spark_df_profiling_spark.streaming import (
+        run_stream_to_memory, streaming_dedup)
+    # build an at-least-once ingest: the events file delivered TWICE
+    src = spark.read.parquet(f"{sf_dir}/events.parquet").limit(200)
+    dup_dir = str(tmp_path / "dup_events")
+    src.write.mode("overwrite").parquet(os.path.join(dup_dir, "a.parquet"))
+    src.write.mode("append").parquet(os.path.join(dup_dir, "a.parquet"))
+    static = spark.read.parquet(os.path.join(dup_dir, "a.parquet"))
+    assert static.count() == 400  # duplicates really present
+    stream = (spark.readStream.schema(static.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(os.path.join(dup_dir, "a.parquet")))
+    deduped = streaming_dedup(with_event_time(stream), ["event_id"])
+    run_stream_to_memory(deduped, "t_dedup_out", output_mode="append")
+    got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d "
+                    "FROM t_dedup_out").collect()[0]
+    want = static.select("event_id").distinct().count()
+    assert got["n"] == got["d"] == want
+    # batch path: same call site, plain dropDuplicates
+    batch = streaming_dedup(with_event_time(static), ["event_id"])
+    assert batch.count() == want

@@ -227,6 +227,56 @@ def main() -> None:
           f"nd_est={by_col['l_orderkey']['distinct_estimate']}",
           flush=True)
 
+    # round-6: line dedup, decontamination, packing, quality funnel on
+    # the 10x documents corpus (50k docs)
+    from spark_df_profiling_spark.operators.dedup import (
+        decontaminate, line_dedup)
+    from spark_df_profiling_spark.operators.packing import shard_summary
+    from spark_df_profiling_spark.operators.text import quality_funnel
+
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(F.lit("NAV HEADER\n"), F.col("text"),
+                 F.lit("\nFOOTER")).alias("text"))
+    t0 = time.time()
+    ld = line_dedup(wrapped, "text", "doc_id", min_count=100)
+    n_cleaned = ld.where(F.col("n_lines_removed") > 0).count()
+    t_ld = time.time() - t0
+    print(f"line_dedup docs x{REPLICAS}: {t_ld:.1f}s  "
+          f"docs_cleaned={n_cleaned}", flush=True)
+
+    bench = (docs.where(F.col("doc_id") < 200)
+             .select(F.concat_ws(
+                 " ", F.slice(F.split("text", " "), 6, 20))
+                 .alias("text")))
+    t0 = time.time()
+    n_cont = (decontaminate(docs, bench, n=8)
+              .where(F.col("contaminated")).count())
+    t_dc = time.time() - t0
+    print(f"decontaminate docs x{REPLICAS} (200-doc bench): "
+          f"{t_dc:.1f}s  contaminated={n_cont}", flush=True)
+
+    t0 = time.time()
+    sh = shard_summary(
+        docs.withColumn("__nt", F.size(F.split("text", " "))),
+        "__nt", "doc_id", context_len=8192).collect()
+    t_pk = time.time() - t0
+    print(f"pack_offsets docs x{REPLICAS}: {t_pk:.1f}s  "
+          f"shards={len(sh)}", flush=True)
+
+    toks = F.split(F.col("text"), " ")
+    t0 = time.time()
+    fun = quality_funnel(docs, [
+        ("len_ge_250", F.length("text") >= 250),
+        ("tokens_ge_50", F.size(toks) >= 50),
+        ("ttr_ge_05",
+         F.size(F.array_distinct(toks)) / F.size(toks).cast("double")
+         >= 0.5)]).collect()
+    t_fn = time.time() - t0
+    final = [r for r in fun if r["rule"] == "ttr_ge_05"][0]
+    print(f"quality_funnel docs x{REPLICAS}: {t_fn:.1f}s  "
+          f"surviving={final['n_surviving']}", flush=True)
+
 
 if __name__ == "__main__":
     main()
