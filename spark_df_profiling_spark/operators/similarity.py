@@ -272,3 +272,81 @@ def ann_ivf(corpus: DataFrame, queries: DataFrame,
     return (joined.select("query_id", "neighbor_id", sim.alias("sim"))
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
+
+
+def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
+                   vec_col: str = "embedding", n_clusters: int = 16,
+                   min_cosine: float = 0.95,
+                   max_fit_rows: int = 100_000,
+                   transitive: bool = True) -> DataFrame:
+    """SemDeDup-style embedding dedup: cluster, then prune WITHIN
+    clusters.
+
+    The published recipe (Abbas et al. 2023, "SemDeDup"): normalize
+    embeddings, K-means them into ``n_clusters`` buckets, and only
+    compare pairs INSIDE a cluster — pairwise cost drops from corpus²
+    to Σ cluster_i², the quadratic-to-near-linear trick that makes
+    semantic dedup feasible on web-scale corpora.  Near-identical
+    groups (cosine >= ``min_cosine``, transitively closed by default)
+    keep their smallest id.
+
+    Returns ``(id_col, cluster, keep)`` for every input row.
+
+    Scale notes: KMeans fits on a ``max_fit_rows`` sample
+    (:func:`ivf_fit_input`) and assigns with one transform;
+    normalization first makes Euclidean K-means act on cosine geometry
+    (so a scaled copy of a vector lands in ITS cluster, not a distant
+    one); the within-cluster pair join is an equi-join on cluster id
+    with per-row hoisted norms — no cross-cluster pairs ever form.
+    Straddling risk (true near-dups split by a cluster boundary) is the
+    documented SemDeDup trade-off; raise ``n_clusters`` resolution or
+    run twice with different seeds if the miss rate matters.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import Normalizer
+    from pyspark.ml.functions import array_to_vector
+
+    from spark_df_profiling_spark.operators.dedup import (
+        connected_components)
+
+    if not -1.0 <= min_cosine <= 1.0:
+        raise ValueError(f"min_cosine must be in [-1, 1]: {min_cosine}")
+    vec = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("__a"),
+        array_to_vector(F.transform(F.col(vec_col),
+                                    lambda x: x.cast("double")))
+        .alias("__v"))
+    norm = Normalizer(inputCol="__v", outputCol="__nv", p=2.0) \
+        .transform(vec).select("id", "__a", "__nv")
+    km = KMeans(k=n_clusters, seed=42, featuresCol="__nv",
+                predictionCol="cluster")
+    model = km.fit(ivf_fit_input(norm, max_fit_rows).select("__nv"))
+    assigned = (model.transform(norm)
+                .select("id", "__a", "cluster",
+                        l2_norm(F.col("__a")).alias("__n")))
+
+    a = assigned.select(F.col("cluster"), F.col("id").alias("id_a"),
+                        F.col("__a").alias("__va"),
+                        F.col("__n").alias("__na"))
+    b = assigned.select(F.col("cluster"), F.col("id").alias("id_b"),
+                        F.col("__a").alias("__vb"),
+                        F.col("__n").alias("__nb"))
+    pairs = (a.join(b, on="cluster")
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b",
+                     (dot(F.col("__va"), F.col("__vb"))
+                      / (F.col("__na") * F.col("__nb"))).alias("cos"))
+             .where(F.col("cos") >= min_cosine)
+             .select("id_a", "id_b"))
+
+    if transitive:
+        comp = connected_components(pairs)  # (id, comp=min reachable id)
+        drops = comp.where(F.col("id") != F.col("comp")).select("id")
+    else:
+        # keep-first without closure: drop ids that pair with a smaller id
+        drops = pairs.select(F.col("id_b").alias("id")).distinct()
+    return (assigned.join(drops.withColumn("__drop", F.lit(True)),
+                          "id", "left")
+            .select(F.col("id").alias(id_col), "cluster",
+                    F.coalesce(~F.col("__drop"), F.lit(True))
+                    .alias("keep")))

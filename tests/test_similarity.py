@@ -144,3 +144,29 @@ def test_knn_norms_hoisted_before_join(emb):
                              k=3)
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "__qn" in plan and "__cn" in plan
+
+
+def test_semantic_dedup_collapses_planted_copies(planted):
+    out = SIM.semantic_dedup(planted, n_clusters=8, min_cosine=0.999)
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert len(rows) == 150  # every input row gets a verdict
+    kept = {i for i, r in rows.items() if r["keep"]}
+    # each base (0..49) + its perturbed (+1000) and scaled (+2000)
+    # copies collapse to ONE survivor — the smallest id, i.e. the base
+    assert all(i in kept for i in range(50))
+    dropped_copies = sum(1 for i in range(50)
+                         if i + 1000 not in kept and i + 2000 not in kept)
+    # normalization puts scaled copies in the base's cluster; allow a
+    # couple of boundary-straddling perturbed copies (documented
+    # SemDeDup trade-off), none expected with these params
+    assert dropped_copies >= 48
+    # survivors within a near-dup group are unique
+    assert len(kept) <= 150 - 2 * dropped_copies + 4
+
+
+def test_semantic_dedup_distinct_corpus_survives(emb):
+    # a corpus with no near-dups at tau=0.999 keeps everything
+    base = emb.where(F.col("vec_id") < 100)
+    out = SIM.semantic_dedup(base, n_clusters=4, min_cosine=0.9999)
+    assert out.where(~F.col("keep")).count() == 0
+    assert out.count() == 100
