@@ -40,12 +40,23 @@ def cosine(a: Column, b: Column) -> Column:
 
 def knn_bruteforce(corpus: DataFrame, queries: DataFrame,
                    id_col: str = "vec_id", vec_col: str = "embedding",
-                   k: int = 10, metric: str = "cosine") -> DataFrame:
+                   k: int = 10, metric: str = "cosine",
+                   sub_partitions: int = 32) -> DataFrame:
     """Exact top-k neighbors of each query row against the corpus.
 
     Returns (query_id, neighbor_id, sim, rank), self-matches excluded,
     ties broken by neighbor_id for determinism.  The query side is
     broadcast — at 100 TB the corpus streams through executors once.
+
+    The top-k itself is TWO-phase (the same skew design as
+    ``frequency.topk_frequencies``): ranking only by ``query_id`` would
+    funnel all n·q scored pairs into q reducer tasks — with a handful
+    of queries that is a handful of tasks no matter how big the
+    cluster.  Phase 1 ranks within (query_id, neighbor-hash salt) —
+    ``sub_partitions``·q parallel groups — and keeps k per group; the
+    final rank then sees only k·sub_partitions rows per query.
+    Results are identical for any ``sub_partitions`` (pure function of
+    the scores); set 1 to disable.
     """
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("__qv"),
@@ -66,10 +77,18 @@ def knn_bruteforce(corpus: DataFrame, queries: DataFrame,
         sim = dot(F.col("__qv"), F.col("__cv"))
     else:
         raise ValueError(f"unknown metric: {metric}")
+    scored = joined.select("query_id", "neighbor_id", sim.alias("sim"))
+    if sub_partitions > 1:
+        salt = F.pmod(F.xxhash64("neighbor_id"), F.lit(sub_partitions))
+        w1 = Window.partitionBy("query_id", "__salt").orderBy(
+            F.desc("sim"), F.asc("neighbor_id"))
+        scored = (scored.withColumn("__salt", salt)
+                  .withColumn("__r1", F.row_number().over(w1))
+                  .where(F.col("__r1") <= k)
+                  .drop("__salt", "__r1"))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("sim"), F.asc("neighbor_id"))
-    return (joined.select("query_id", "neighbor_id", sim.alias("sim"))
-            .withColumn("rank", F.row_number().over(w))
+    return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
 
 

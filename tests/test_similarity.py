@@ -170,3 +170,14 @@ def test_semantic_dedup_distinct_corpus_survives(emb):
     out = SIM.semantic_dedup(base, n_clusters=4, min_cosine=0.9999)
     assert out.where(~F.col("keep")).count() == 0
     assert out.count() == 100
+
+
+def test_knn_two_phase_equals_single_phase(emb):
+    q = emb.where(F.col("vec_id") < 5)
+    two = {(r["query_id"], r["rank"]): r["neighbor_id"]
+           for r in SIM.knn_bruteforce(emb, q, k=7,
+                                       sub_partitions=32).collect()}
+    one = {(r["query_id"], r["rank"]): r["neighbor_id"]
+           for r in SIM.knn_bruteforce(emb, q, k=7,
+                                       sub_partitions=1).collect()}
+    assert two == one and len(two) == 35
