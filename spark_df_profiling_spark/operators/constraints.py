@@ -1,0 +1,113 @@
+"""Data-quality constraint checks (dbt-test / Deequ-style).
+
+The assertions a pipeline runs before publishing a table: null checks,
+key uniqueness, accepted value domains, numeric ranges, and referential
+integrity — each reported as a violation COUNT (0 = pass), so the same
+suite doubles as a monitoring metric feed.
+
+Plan shapes:
+
+* all same-table column checks collapse into ONE aggregate over ONE
+  scan (:func:`column_checks` builds a sum(when) tower per check —
+  adding a check is free);
+* :func:`fk_orphans` is a left_anti join; the parent side reduces to
+  DISTINCT keys first, so a dimension parent broadcasts and the fact
+  child never shuffles (the 100 TB case: orders→customer).  Big-big
+  FK checks (lineitem→orders at full scale) fall back to a shuffled
+  anti join on the key — one shuffle, the minimum possible.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SCHEMA = "check string, table string, n_violations long"
+
+
+def not_null(col: str) -> "tuple[str, Column]":
+    """Violations = rows where ``col`` IS NULL."""
+    return (f"not_null:{col}",
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)))
+
+
+def unique(col: str) -> "tuple[str, Column]":
+    """Violations = surplus duplicate rows among non-null values
+    (``count - count_distinct``; 0 iff every non-null value is unique).
+    """
+    return (f"unique:{col}", F.count(col) - F.count_distinct(F.col(col)))
+
+
+def accepted_values(col: str, values: Sequence) -> "tuple[str, Column]":
+    """Violations = non-null rows outside the accepted domain."""
+    return (f"accepted_values:{col}",
+            F.sum(F.when(F.col(col).isNotNull()
+                         & ~F.col(col).isin(*values), 1).otherwise(0)))
+
+
+def in_range(col: str, lo, hi) -> "tuple[str, Column]":
+    """Violations = non-null rows outside [lo, hi]."""
+    return (f"in_range:{col}",
+            F.sum(F.when(F.col(col).isNotNull()
+                         & ((F.col(col) < lo) | (F.col(col) > hi)), 1)
+                  .otherwise(0)))
+
+
+def column_checks(df: DataFrame, table: str,
+                  checks: "Sequence[tuple[str, Column]]") -> DataFrame:
+    """Run every column check in ONE aggregate pass over ``df``.
+
+    ``checks`` come from :func:`not_null` / :func:`unique` /
+    :func:`accepted_values` / :func:`in_range` (or any (name,
+    aggregate-Column) pair).  Returns ``(check, table, n_violations)``.
+    """
+    if not checks:
+        raise ValueError("checks must be non-empty")
+    names = [n for n, _ in checks]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate check names: {names}")
+    one = df.agg(*[
+        F.coalesce(expr.cast("long"), F.lit(0).cast("long"))
+        .alias(f"__c{i}") for i, (_, expr) in enumerate(checks)])
+    stack_args = ", ".join(
+        f"'{name}', __c{i}" for i, (name, _) in enumerate(checks))
+    return (one.select(F.expr(
+        f"stack({len(checks)}, {stack_args}) as (check, n_violations)"))
+        .select("check", F.lit(table).alias("table"), "n_violations"))
+
+
+def fk_orphans(child: DataFrame, child_key: str,
+               parent: DataFrame, parent_key: str,
+               child_table: str = "child",
+               broadcast_parent: bool = True) -> DataFrame:
+    """Referential integrity: child rows whose non-null key has no
+    parent.  Returns one ``(check, table, n_violations)`` row.
+
+    The parent reduces to DISTINCT keys before the anti join, so a
+    dimension-sized parent broadcasts and the child side never
+    shuffles; ``broadcast_parent=False`` keeps the shuffled anti join
+    for big-big pairs.
+    """
+    keys = parent.select(F.col(parent_key).alias("__pk")).distinct()
+    if broadcast_parent:
+        keys = F.broadcast(keys)
+    orphans = (child.select(F.col(child_key).alias("__ck"))
+               .where(F.col("__ck").isNotNull())
+               .join(keys, F.col("__ck") == F.col("__pk"), "left_anti"))
+    n = orphans.agg(F.count(F.lit(1)).cast("long").alias("n")) \
+        .collect()[0]["n"]
+    spark = child.sparkSession
+    return spark.createDataFrame(
+        [(f"fk:{child_key}->{parent_key}", child_table, n)], _SCHEMA)
+
+
+def check_suite(*parts: DataFrame) -> DataFrame:
+    """Union check results and add a ``passed`` flag — the publishable
+    data-quality report (`where(~passed)` gates the pipeline)."""
+    if not parts:
+        raise ValueError("need at least one check result")
+    from functools import reduce
+    out = reduce(lambda a, b: a.unionByName(b), parts)
+    return out.withColumn("passed", F.col("n_violations") == 0)

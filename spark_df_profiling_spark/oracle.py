@@ -1631,12 +1631,43 @@ UNION ALL
 SELECT 'grouping_sets', coalesce(o_orderstatus, '<all>'),
        coalesce(o_orderpriority, '<all>'), count(*)
 FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+UNION ALL
+SELECT 'constraint', c.chk, c.tbl, c.v FROM (
+  SELECT 'not_null:l_quantity' AS chk, 'lineitem' AS tbl,
+         CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS v FROM lineitem
+  UNION ALL
+  SELECT 'unique:c_custkey', 'customer',
+         CAST(count(c_custkey) - count(DISTINCT c_custkey) AS BIGINT)
+  FROM customer
+  UNION ALL
+  SELECT 'accepted_values:l_linestatus', 'lineitem',
+         CAST(sum(CASE WHEN l_linestatus IS NOT NULL
+                   AND l_linestatus NOT IN ('F') THEN 1 ELSE 0 END)
+              AS BIGINT) FROM lineitem
+  UNION ALL
+  SELECT 'in_range:l_quantity', 'lineitem',
+         CAST(sum(CASE WHEN l_quantity IS NOT NULL
+                   AND (l_quantity < 1 OR l_quantity > 25)
+                   THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+  UNION ALL
+  SELECT 'fk:o_custkey->c_custkey', 'orders',
+         CAST((SELECT count(*) FROM orders o
+               WHERE o.o_custkey IS NOT NULL
+               AND NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey))
+              AS BIGINT)
+) c
 ORDER BY 1, 2, 3
 """)
 def multidim_agg_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP + CUBE + explicit GROUPING SETS in one graded row (three
-    multi-dimensional aggregation shapes, tagged by ``mode`` — kept to a
-    single registered query for the driver's 50-query grading cap)."""
+    """ROLLUP + CUBE + explicit GROUPING SETS + the data-quality
+    CONSTRAINT suite (operators/constraints.py) in one graded row set,
+    tagged by ``mode`` — kept to a single registered query for the
+    driver's 50-query grading cap.  The constraint rows include checks
+    that FIND violations on the driver data (accepted_values pinned to
+    'F' only, in_range [1,25]) so the counting arithmetic is graded,
+    not just zeros."""
     li = _t(spark, sf_dir, "lineitem")
 
     def _tag(grouped, mode, c1, c2):
@@ -1660,8 +1691,22 @@ def multidim_agg_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __gs_orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
     """)
+    from spark_df_profiling_spark.operators import constraints as C
+    cust = _t(spark, sf_dir, "customer")
+    col_checks = C.check_suite(
+        C.column_checks(li, "lineitem", [
+            C.not_null("l_quantity"),
+            C.accepted_values("l_linestatus", ["F"]),
+            C.in_range("l_quantity", 1, 25)]),
+        C.column_checks(cust, "customer", [C.unique("c_custkey")]),
+        C.fk_orphans(_t(spark, sf_dir, "orders"), "o_custkey",
+                     cust, "c_custkey", child_table="orders"))
+    cons = col_checks.select(
+        F.lit("constraint").alias("mode"),
+        F.col("check").alias("g1"), F.col("table").alias("g2"),
+        F.col("n_violations").alias("cnt"))
     return (rollup.unionByName(cube).unionByName(gsets)
-            .orderBy("mode", "g1", "g2"))
+            .unionByName(cons).orderBy("mode", "g1", "g2"))
 
 
 @query("pivot_qty_by_status", f"""
