@@ -121,3 +121,47 @@ def test_date_profile_matches_python(spark, data):
     assert r["max_date"] == max(non_null).isoformat()
     assert r["range_seconds"] == pytest.approx(
         (max(non_null) - min(non_null)).total_seconds())
+
+
+@given(st.lists(st.integers(min_value=0, max_value=500),
+                min_size=1, max_size=60),
+       st.integers(min_value=1, max_value=64))
+@settings(max_examples=8, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pack_offsets_is_exact_prefix_sum(spark, sizes, context_len):
+    from spark_df_profiling_spark.operators.packing import pack_offsets
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(sizes)], "oid long, ntok int")
+    rows = sorted(pack_offsets(df, "ntok", "oid", context_len,
+                               num_buckets=5).collect(),
+                  key=lambda r: r["oid"])
+    acc = 0
+    for r, n in zip(rows, sizes):
+        assert r["start_offset"] == acc
+        assert r["end_offset"] == acc + n
+        assert r["shard_id"] == acc // context_len
+        acc += n
+
+
+@given(st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+                min_size=2, max_size=30),
+       st.integers(min_value=2, max_value=5))
+@settings(max_examples=8, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_line_dedup_matches_python_reference(spark, lines, min_count):
+    from collections import Counter
+    from spark_df_profiling_spark.operators.dedup import line_dedup
+    # two docs carved from the random line pool
+    half = len(lines) // 2
+    docs = [(0, "\n".join(lines[:half]) or "x"),
+            (1, "\n".join(lines[half:]) or "y")]
+    counts = Counter()
+    for _, t in docs:
+        counts.update(t.split("\n"))
+    common = {ln for ln, c in counts.items() if c >= min_count}
+    want = {i: "\n".join(l for l in t.split("\n") if l not in common)
+            for i, t in docs}
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r["clean_text"]
+           for r in line_dedup(df, min_count=min_count).collect()}
+    assert got == want
