@@ -505,8 +505,14 @@ def line_dedup(df: DataFrame, text_col: str = "text",
     """
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2: {min_count}")
+    # F.split treats its pattern as a Java regex while array_join below
+    # reassembles with ``sep`` as a LITERAL — quote the split pattern
+    # (java.util.regex.Pattern.quote: \Q...\E, with embedded \E split
+    # out) so a caller passing sep='.' or '|' splits on the literal
+    # separator, not on a regex metacharacter
+    sep_rx = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     base = df.select(F.col(id_col),
-                     F.split(F.col(text_col), sep).alias("__ls"))
+                     F.split(F.col(text_col), sep_rx).alias("__ls"))
     lines = base.select(
         id_col, F.posexplode("__ls").alias("__pos", "__line"))
     common = (lines

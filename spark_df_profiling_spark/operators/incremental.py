@@ -249,12 +249,16 @@ def merge_partials(*parts: DataFrame) -> DataFrame:
         F.concat(F.lit("type_class drift across partials for column "),
                  F.col("column"), F.lit(" — refusing to merge")))
     tc = F.when(tc_ok.isNull(), F.max("type_class")).alias("type_class")
-    # histogram consistency: identical frozen edges and all-or-none
+    # histogram consistency: identical frozen edges, all-or-none
     # coverage (a partial built without hist_edges cannot silently
-    # vanish into a merged histogram)
+    # vanish into a merged histogram), and one bin COUNT — same edges
+    # with different hist_bins would zip_with NULL-padded arrays into
+    # NULL bins otherwise (count_distinct ignores the NULL sizes of
+    # hist-less partials, so this composes with all-or-none)
     hist_ok = F.assert_true(
         (F.count_distinct("hist_lo") <= 1)
         & (F.count_distinct("hist_hi") <= 1)
+        & (F.count_distinct(F.size("hist")) <= 1)
         & ((F.count("hist") == 0)
            | (F.count("hist") == F.count(F.lit(1)))),
         F.concat(F.lit("histogram edge/config drift across partials "

@@ -65,6 +65,17 @@ def pack_offsets(df: DataFrame, tokens_col: Union[str, Column],
               .withColumn("__tk", toks)
               .repartitionByRange(n, F.col(order_col))
               .withColumn("__pid", F.spark_partition_id()))
+    # ``ranged`` feeds TWO actions (the totals collect below and the
+    # caller's final job).  repartitionByRange picks its boundaries by
+    # SAMPLING, which Spark documents as potentially different across
+    # re-executions — if the second job drew new boundaries, rows would
+    # move between ``__pid``s and the driver-built prefix map would be
+    # silently stale.  localCheckpoint materializes the partitions once
+    # so both actions read the SAME frozen ``__pid`` assignment (and the
+    # second pass skips the re-shuffle); block loss fails loudly instead
+    # of recomputing with fresh boundaries, matching the repo's
+    # loud-failure philosophy.
+    ranged = ranged.localCheckpoint(eager=True)
 
     # per-partition totals -> driver prefix sum (O(#partitions) rows)
     totals = {r["__pid"]: r["__t"] for r in

@@ -34,8 +34,18 @@ def l2_norm(a: Column) -> Column:
         F.lit(0.0), lambda acc, v: acc + v))
 
 
+def safe_cosine(d: Column, na: Column, nb: Column) -> Column:
+    """Cosine from a precomputed dot product and norms, NULL when either
+    norm is 0.  Without the guard an all-zero embedding yields 0/0 = NaN
+    — and in Spark SQL NaN compares GREATER than any number, so NaN rows
+    would pass every ``>= min_cosine`` filter and rank FIRST in top-k.
+    NULL instead fails ``>=`` filters and sorts last under ``desc``.
+    """
+    return F.when(na * nb > 0, d / (na * nb))
+
+
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    return safe_cosine(dot(a, b), l2_norm(a), l2_norm(b))
 
 
 def knn_bruteforce(corpus: DataFrame, queries: DataFrame,
@@ -71,13 +81,17 @@ def knn_bruteforce(corpus: DataFrame, queries: DataFrame,
     # PAIR would re-evaluate each norm q (resp. n) times and triple the
     # dominant O(n·q·d) stage (same reasoning as embedding_near_dup_exact)
     if metric == "cosine":
-        sim = dot(F.col("__qv"), F.col("__cv")) \
-            / (F.col("__qn") * F.col("__cn"))
+        # NULL (not NaN) for zero-norm vectors — see safe_cosine; the
+        # isNotNull filter keeps undefined pairs from consuming rank
+        # slots below
+        sim = safe_cosine(dot(F.col("__qv"), F.col("__cv")),
+                          F.col("__qn"), F.col("__cn"))
     elif metric == "dot":
         sim = dot(F.col("__qv"), F.col("__cv"))
     else:
         raise ValueError(f"unknown metric: {metric}")
-    scored = joined.select("query_id", "neighbor_id", sim.alias("sim"))
+    scored = (joined.select("query_id", "neighbor_id", sim.alias("sim"))
+              .where(F.col("sim").isNotNull()))
     if sub_partitions > 1:
         salt = F.pmod(F.xxhash64("neighbor_id"), F.lit(sub_partitions))
         w1 = Window.partitionBy("query_id", "__salt").orderBy(
@@ -162,8 +176,9 @@ def embedding_near_dup_exact(df: DataFrame, id_col: str = "vec_id",
     # triple the dominant cost of the O(n^2) stage
     return (a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b",
-                    (dot(F.col("__va"), F.col("__vb"))
-                     / (F.col("__na") * F.col("__nb"))).alias("cosine_sim"))
+                    safe_cosine(dot(F.col("__va"), F.col("__vb")),
+                                F.col("__na"), F.col("__nb"))
+                    .alias("cosine_sim"))
             .where(F.col("cosine_sim") >= min_cosine))
 
 
@@ -283,21 +298,26 @@ def ann_ivf(corpus: DataFrame, queries: DataFrame,
     joined = probes.join(cp_assigned, on="__cluster") \
         .where(F.col("query_id") != F.col("neighbor_id"))
     # norms precomputed per ROW (corpus norm in cp_assigned, query norm
-    # in qp) — never per candidate pair; see knn_bruteforce
-    sim = dot(F.col("__qarr"), F.col("__arr_neighbor_id")) \
-        / (F.col("__qn") * F.col("__cn"))
+    # in qp) — never per candidate pair; see knn_bruteforce.  NULL-guarded
+    # against zero norms (safe_cosine) so NaN can't rank first.
+    sim = safe_cosine(dot(F.col("__qarr"), F.col("__arr_neighbor_id")),
+                      F.col("__qn"), F.col("__cn"))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("sim"), F.asc("neighbor_id"))
     return (joined.select("query_id", "neighbor_id", sim.alias("sim"))
+            .where(F.col("sim").isNotNull())
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
 
 
 def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
-                   vec_col: str = "embedding", n_clusters: int = 16,
+                   vec_col: str = "embedding",
+                   n_clusters: int | None = None,
                    min_cosine: float = 0.95,
                    max_fit_rows: int = 100_000,
-                   transitive: bool = True) -> DataFrame:
+                   transitive: bool = True,
+                   rows_per_cluster: int = 4096,
+                   max_cluster_rows: int | None = None) -> DataFrame:
     """SemDeDup-style embedding dedup: cluster, then prune WITHIN
     clusters.
 
@@ -311,6 +331,21 @@ def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
 
     Returns ``(id_col, cluster, keep)`` for every input row.
 
+    Cluster sizing: Σ cluster_i² only stays near-linear if clusters stay
+    SMALL — a fixed ``n_clusters`` on a growing corpus collapses back
+    toward quadratic (n/k rows per cluster squares).  The default
+    ``n_clusters=None`` therefore DERIVES k from the corpus:
+    ``ceil(count / rows_per_cluster)`` (one cheap count), the same
+    target-occupancy rule behind the SemDeDup paper's ~50k clusters on
+    LAION-440M (~9k rows/cluster).  Pass an explicit ``n_clusters``
+    only for small/known corpora.  ``max_cluster_rows`` additionally
+    caps pair volume the way ``minhash_candidates_native`` caps bucket
+    size: K-means can still produce a degenerate giant cluster (mode
+    collapse on near-constant embeddings), and one such cluster owns
+    the whole quadratic blowup — rows in clusters over the cap are
+    KEPT un-deduped and reported with a driver-side warning (loud,
+    bounded, never a stalled job).
+
     Scale notes: KMeans fits on a ``max_fit_rows`` sample
     (:func:`ivf_fit_input`) and assigns with one transform;
     normalization first makes Euclidean K-means act on cosine geometry
@@ -318,8 +353,8 @@ def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
     one); the within-cluster pair join is an equi-join on cluster id
     with per-row hoisted norms — no cross-cluster pairs ever form.
     Straddling risk (true near-dups split by a cluster boundary) is the
-    documented SemDeDup trade-off; raise ``n_clusters`` resolution or
-    run twice with different seeds if the miss rate matters.
+    documented SemDeDup trade-off; raise ``rows_per_cluster`` resolution
+    or run twice with different seeds if the miss rate matters.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.feature import Normalizer
@@ -330,31 +365,72 @@ def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
 
     if not -1.0 <= min_cosine <= 1.0:
         raise ValueError(f"min_cosine must be in [-1, 1]: {min_cosine}")
+    if n_clusters is None:
+        if rows_per_cluster < 1:
+            raise ValueError(
+                f"rows_per_cluster must be >= 1: {rows_per_cluster}")
+        n_rows = df.count()
+        n_clusters = max(2, -(-n_rows // rows_per_cluster))
+    if n_clusters < 1:
+        raise ValueError(f"n_clusters must be >= 1: {n_clusters}")
     vec = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("__a"),
         array_to_vector(F.transform(F.col(vec_col),
                                     lambda x: x.cast("double")))
         .alias("__v"))
-    norm = Normalizer(inputCol="__v", outputCol="__nv", p=2.0) \
-        .transform(vec).select("id", "__a", "__nv")
-    km = KMeans(k=n_clusters, seed=42, featuresCol="__nv",
-                predictionCol="cluster")
-    model = km.fit(ivf_fit_input(norm, max_fit_rows).select("__nv"))
-    assigned = (model.transform(norm)
-                .select("id", "__a", "cluster",
-                        l2_norm(F.col("__a")).alias("__n")))
+    if n_clusters == 1:
+        # exact mode: every pair compared, no quantizer (KMeans itself
+        # requires k >= 2).  The oracle-gradable configuration — no
+        # clustering nondeterminism — and the right call for corpora
+        # small enough that Σ c_i² = n² is affordable.
+        assigned = vec.select("id", "__a", F.lit(0).alias("cluster"),
+                              l2_norm(F.col("__a")).alias("__n"))
+    else:
+        norm = Normalizer(inputCol="__v", outputCol="__nv", p=2.0) \
+            .transform(vec).select("id", "__a", "__nv")
+        km = KMeans(k=n_clusters, seed=42, featuresCol="__nv",
+                    predictionCol="cluster")
+        model = km.fit(ivf_fit_input(norm, max_fit_rows).select("__nv"))
+        assigned = (model.transform(norm)
+                    .select("id", "__a", "cluster",
+                            l2_norm(F.col("__a")).alias("__n")))
 
-    a = assigned.select(F.col("cluster"), F.col("id").alias("id_a"),
+    if max_cluster_rows is not None:
+        if max_cluster_rows < 2:
+            raise ValueError(
+                f"max_cluster_rows must be >= 2: {max_cluster_rows}")
+        # O(n_clusters) driver result — state, not data
+        sizes = (assigned.groupBy("cluster")
+                 .agg(F.count(F.lit(1)).alias("__sz"))
+                 .where(F.col("__sz") > max_cluster_rows).collect())
+        if sizes:
+            import warnings
+            over = {r["cluster"]: r["__sz"] for r in sizes}
+            warnings.warn(
+                f"semantic_dedup: {len(over)} cluster(s) exceed "
+                f"max_cluster_rows={max_cluster_rows} and are EXCLUDED "
+                f"from pairing (rows kept un-deduped): {over} — raise "
+                f"rows_per_cluster resolution or the cap", stacklevel=2)
+            assigned = assigned.withColumn(
+                "__pairable",
+                ~F.col("cluster").isin(*[int(c) for c in over]))
+        else:
+            assigned = assigned.withColumn("__pairable", F.lit(True))
+    else:
+        assigned = assigned.withColumn("__pairable", F.lit(True))
+    pairable = assigned.where("__pairable")
+
+    a = pairable.select(F.col("cluster"), F.col("id").alias("id_a"),
                         F.col("__a").alias("__va"),
                         F.col("__n").alias("__na"))
-    b = assigned.select(F.col("cluster"), F.col("id").alias("id_b"),
+    b = pairable.select(F.col("cluster"), F.col("id").alias("id_b"),
                         F.col("__a").alias("__vb"),
                         F.col("__n").alias("__nb"))
     pairs = (a.join(b, on="cluster")
              .where(F.col("id_a") < F.col("id_b"))
              .select("id_a", "id_b",
-                     (dot(F.col("__va"), F.col("__vb"))
-                      / (F.col("__na") * F.col("__nb"))).alias("cos"))
+                     safe_cosine(dot(F.col("__va"), F.col("__vb")),
+                                 F.col("__na"), F.col("__nb")).alias("cos"))
              .where(F.col("cos") >= min_cosine)
              .select("id_a", "id_b"))
 

@@ -169,30 +169,6 @@ def stateful_user_totals(stream_df: DataFrame, key_col: str = "user_id",
                 GroupStateTimeout.NoTimeout))
 
 
-def streaming_dedup(stream_df: DataFrame, cols: list[str],
-                    ts_col: str = "ts_ts",
-                    watermark: str = "1 hour") -> DataFrame:
-    """Streaming exact dedup with bounded state.
-
-    ``dropDuplicatesWithinWatermark`` keeps one row per distinct
-    ``cols`` tuple among rows whose event times fall within the
-    watermark of each other, and — unlike plain ``dropDuplicates`` on a
-    stream — EVICTS state once the watermark passes, so state is
-    O(distinct keys per watermark window), not O(all keys ever seen).
-    That is the only shape that survives an unbounded 100 TB/day feed;
-    duplicates separated by more than the watermark are admitted again
-    by design (at-least-once dedup, the streaming-correct contract).
-
-    On a BATCH frame this degrades to plain ``dropDuplicates(cols)``
-    (batch has no watermark), which is also its oracle: for test data
-    whose duplicates sit inside one watermark the two agree exactly.
-    """
-    if not stream_df.isStreaming:
-        return stream_df.dropDuplicates(cols)
-    return (stream_df.withWatermark(ts_col, watermark)
-            .dropDuplicatesWithinWatermark(cols))
-
-
 def streaming_dedup(df: DataFrame, keys: "list[str]",
                     ts_col: str = "ts_ts",
                     watermark: str = "1 hour") -> DataFrame:
@@ -202,14 +178,19 @@ def streaming_dedup(df: DataFrame, keys: "list[str]",
     file re-deliveries) produce duplicate events; this keeps the FIRST
     arrival per key and drops re-deliveries that arrive within
     ``watermark`` of it.  Uses ``dropDuplicatesWithinWatermark`` so the
-    per-key state is EVICTED once the watermark passes — bounded state,
+    per-key state is EVICTED once the watermark passes — bounded state
+    (O(distinct keys per watermark window), not O(all keys ever seen)),
     unlike plain ``dropDuplicates`` on a stream, which retains every key
-    forever and OOMs a 100 TB/day pipeline.
+    forever and OOMs a 100 TB/day pipeline.  Duplicates separated by
+    MORE than the watermark are admitted again by design — the
+    streaming-correct at-least-once contract.
 
     Batch frames run plain ``dropDuplicates(keys)`` (same contract, no
     watermark needed), so one call site serves both the backfill and
     the live path — the same batch/streaming duality as
-    :func:`windowed_profile`.
+    :func:`windowed_profile`; for test data whose duplicates sit inside
+    one watermark the two paths agree exactly, which is what makes the
+    batch DuckDB oracle meaningful here.
     """
     if df.isStreaming:
         return (df.withWatermark(ts_col, watermark)

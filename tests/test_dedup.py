@@ -270,6 +270,29 @@ def test_line_dedup_min_count_boundary(spark):
         line_dedup(docs, min_count=1)
 
 
+def test_line_dedup_regex_metachar_separator(spark):
+    # sep reaches F.split as a Java regex but array_join as a literal —
+    # a metacharacter separator like '|' or '.' must behave literally
+    # on BOTH sides (Pattern.quote on the split)
+    from spark_df_profiling_spark.operators.dedup import line_dedup
+    docs = spark.createDataFrame(
+        [(1, "BP|a|b"), (2, "BP|c"), (3, "BP|d")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           line_dedup(docs, min_count=3, sep="|").collect()}
+    assert out[1]["clean_text"] == "a|b"
+    assert out[1]["n_lines"] == 3 and out[1]["n_lines_removed"] == 1
+    assert out[2]["clean_text"] == "c"
+    dot = spark.createDataFrame(
+        [(1, "x.same"), (2, "y.same"), (3, "z.same")],
+        "doc_id long, text string")
+    outd = {r["doc_id"]: r["clean_text"] for r in
+            line_dedup(dot, min_count=3, sep=".").collect()}
+    # 'same' repeats 3x and is removed; x/y/z unique and kept — with an
+    # unquoted '.' every character would be a separator and this breaks
+    assert outd == {1: "x", 2: "y", 3: "z"}
+
+
 def test_decontaminate_flags_planted_overlap(spark):
     from spark_df_profiling_spark.operators.dedup import decontaminate
     corpus = spark.createDataFrame([

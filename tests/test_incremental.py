@@ -182,6 +182,13 @@ def test_merge_hist_config_drift_fails_loudly(spark, lineitem):
         merge_partials(with_hist, without).collect()
     with pytest.raises(Exception, match="histogram edge/config drift"):
         merge_partials(with_hist, other_edges).collect()
+    # same edges, different BIN COUNT: zip_with would NULL-pad the
+    # shorter array into NULL bins without the size guard
+    other_bins = partial_profile(sl, cols=["l_extendedprice"],
+                                 hist_edges={"l_extendedprice": (0., 9e4)},
+                                 hist_bins=20)
+    with pytest.raises(Exception, match="histogram edge/config drift"):
+        merge_partials(with_hist, other_bins).collect()
 
 
 def test_hist_edges_validation(spark, lineitem):

@@ -55,6 +55,27 @@ def test_shard_summary_covers_stream_contiguously(spark, docs):
     assert sum(r["n_docs"] for r in summ) == docs.count()
 
 
+def test_offsets_stable_across_reexecution(spark, docs):
+    # The plan behind pack_offsets is executed once for the per-partition
+    # totals collect and once per caller action.  repartitionByRange
+    # samples its boundaries, so without the localCheckpoint the two
+    # executions could disagree on partition assignment and corrupt the
+    # prefix map.  A nondeterministic upstream (sample without a fixed
+    # per-partition order) plus two separate collects of the SAME result
+    # DataFrame must agree exactly.
+    wobbly = docs.sample(fraction=0.9, seed=7)
+    out = pack_offsets(wobbly, "ntok", "doc_id", 512)
+    first = {r["doc_id"]: (r["start_offset"], r["end_offset"], r["shard_id"])
+             for r in out.collect()}
+    second = {r["doc_id"]: (r["start_offset"], r["end_offset"], r["shard_id"])
+              for r in out.collect()}
+    assert first == second
+    # and a fresh invocation over the same input reproduces it too
+    again = {r["doc_id"]: (r["start_offset"], r["end_offset"], r["shard_id"])
+             for r in pack_offsets(wobbly, "ntok", "doc_id", 512).collect()}
+    assert first == again
+
+
 def test_pack_null_order_raises(spark):
     df = spark.createDataFrame(
         [(1, 10), (None, 5)], "oid int, ntok int")

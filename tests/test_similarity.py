@@ -172,6 +172,69 @@ def test_semantic_dedup_distinct_corpus_survives(emb):
     assert out.count() == 100
 
 
+def test_zero_norm_vectors_never_rank_or_pair(spark, emb):
+    # all-zero embedding => 0/0 cosine; NaN compares GREATER than any
+    # number in Spark SQL, so without the safe_cosine guard zero-norm
+    # rows would top every ranking and pass every >= tau filter
+    dim = len(emb.select("embedding").first()[0])
+    zero = spark.createDataFrame(
+        [(90001, [0.0] * dim, "z"), (90002, [0.0] * dim, "z")],
+        "vec_id long, embedding array<double>, label string")
+    corpus = emb.where(F.col("vec_id") < 30).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"), "label").unionByName(zero)
+
+    knn = SIM.knn_bruteforce(
+        corpus, corpus.where(F.col("vec_id").isin(0, 90001)), k=5)
+    rows = knn.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    # a real query never sees a zero-norm neighbor
+    assert all(r["neighbor_id"] < 90000 for r in by_q.get(0, []))
+    assert all(r["sim"] == r["sim"] for r in rows)  # no NaN anywhere
+    # a zero-norm query has no defined similarity: zero results
+    assert 90001 not in by_q
+
+    pairs = SIM.embedding_near_dup_exact(corpus, min_cosine=0.5)
+    assert pairs.where((F.col("id_a") >= 90000)
+                       | (F.col("id_b") >= 90000)).count() == 0
+
+    sd = SIM.semantic_dedup(corpus, n_clusters=2, min_cosine=0.9)
+    zrows = {r["vec_id"]: r["keep"] for r in
+             sd.where(F.col("vec_id") >= 90000).collect()}
+    # both zero vectors survive: they are not near-dups of anything
+    # (cosine undefined), and they must not be dropped as NaN-dups
+    assert zrows == {90001: True, 90002: True}
+
+
+def test_semantic_dedup_auto_k_and_cluster_cap(spark, emb, planted):
+    # n_clusters=None derives k = ceil(n / rows_per_cluster)
+    base = emb.where(F.col("vec_id") < 200)
+    out = SIM.semantic_dedup(base, rows_per_cluster=50, min_cosine=0.9999)
+    clusters = out.select("cluster").distinct().count()
+    assert clusters >= 3  # 200/50 targets 4; KMeans may merge a bit
+    assert out.count() == 200
+
+    # degenerate giant cluster: cap excludes it from pairing LOUDLY,
+    # its rows stay keep=True instead of stalling in a quadratic join
+    import warnings as _w
+    with _w.catch_warnings(record=True) as got:
+        _w.simplefilter("always")
+        capped = SIM.semantic_dedup(planted, n_clusters=1,
+                                    min_cosine=0.999,
+                                    max_cluster_rows=100)
+        assert capped.where(~F.col("keep")).count() == 0
+        assert capped.count() == 150
+    assert any("EXCLUDED" in str(w.message) for w in got)
+    # same data, cap high enough: pruning happens as usual
+    uncapped = SIM.semantic_dedup(planted, n_clusters=1,
+                                  min_cosine=0.999,
+                                  max_cluster_rows=10_000)
+    assert uncapped.where(~F.col("keep")).count() >= 96
+
+
 def test_knn_two_phase_equals_single_phase(emb):
     q = emb.where(F.col("vec_id") < 5)
     two = {(r["query_id"], r["rank"]): r["neighbor_id"]
