@@ -848,6 +848,10 @@ SELECT 'linededup', doc_id, clean_hash, n_removed FROM (
       - len(list_filter(string_split(text, chr(10)),
             x -> NOT list_contains(cl, x))) AS n_removed
   FROM docs, common)
+UNION ALL
+SELECT 'streamdedup', count(*), CAST(sum(user_id) AS BIGINT),
+       count(DISTINCT event_type)
+FROM (SELECT DISTINCT user_id, event_type FROM events)
 ORDER BY part, v1
 """)
 def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -857,9 +861,18 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries n_rows/n_distinct/n_dups; 'linededup' rows carry, per
     constructed boilerplate-wrapped doc, a portable 60-bit md5 hash of
     the CLEANED text in v2 — pinning exact content equality of the
-    reassembled document — and the removed-line count in v3)."""
+    reassembled document — and the removed-line count in v3).
+
+    The 'streamdedup' row grades :func:`streaming.streaming_dedup` on a
+    REAL Structured Streaming execution (availableNow into a memory
+    sink): events.parquet is a single file, so everything arrives in
+    one micro-batch, no watermark eviction fires, and the streaming
+    output keys are exactly the batch distinct — v1 = rows out,
+    v2 = sum(user_id), v3 = distinct event types among survivors."""
     from spark_df_profiling_spark.operators.dedup import (
         dedup_stats, exact_dedup, line_dedup)
+    from spark_df_profiling_spark.streaming import (
+        events_stream, run_stream_to_memory, streaming_dedup)
     d = _t(spark, sf_dir, "documents")
     kept = (exact_dedup(d, cols=["text"], order_col="doc_id")
             .select(F.lit("kept").alias("part"),
@@ -883,7 +896,16 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.conv(F.substring(F.md5("clean_text"), 1, 15), 16, 10)
                   .cast("bigint").alias("v2"),
                   F.col("n_lines_removed").cast("long").alias("v3")))
-    return kept.unionByName(stats).unionByName(ld) \
+    deduped = streaming_dedup(events_stream(spark, sf_dir),
+                              ["user_id", "event_type"])
+    run_stream_to_memory(deduped, "streamdedup_keys_out",
+                         output_mode="append")
+    sd = (spark.table("streamdedup_keys_out")
+          .agg(F.count(F.lit(1)).cast("long").alias("v1"),
+               F.sum("user_id").cast("long").alias("v2"),
+               F.count_distinct("event_type").cast("long").alias("v3"))
+          .select(F.lit("streamdedup").alias("part"), "v1", "v2", "v3"))
+    return kept.unionByName(stats).unionByName(ld).unionByName(sd) \
         .orderBy("part", "v1")
 
 
@@ -997,30 +1019,59 @@ def embedding_norm_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("embedding_neardup_exact", f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
-           FROM embeddings WHERE vec_id < 300),
+WITH RECURSIVE
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id < 300),
 p AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          list_dot_product(a.v, b.v)
            / (sqrt(list_dot_product(a.v, a.v))
               * sqrt(list_dot_product(b.v, b.v))) AS cos
-  FROM e a, e b WHERE a.vec_id < b.vec_id)
-SELECT id_a, id_b, {_psig('cos')} AS cos_s
-FROM p WHERE cos >= 0.40 ORDER BY id_a, id_b
+  FROM e a, e b WHERE a.vec_id < b.vec_id),
+edges AS (
+  SELECT id_a AS x, id_b AS y FROM p WHERE cos >= 0.40
+  UNION ALL
+  SELECT id_b, id_a FROM p WHERE cos >= 0.40),
+r(a, b) AS (
+  SELECT vec_id, vec_id FROM e
+  UNION
+  SELECT r.a, ed.y FROM r JOIN edges ed ON r.b = ed.x),
+comp AS (SELECT a AS id, min(b) AS comp FROM r GROUP BY a)
+SELECT 'pair' AS part, id_a AS v1, id_b AS v2, {_psig('cos')} AS v3
+FROM p WHERE cos >= 0.40
+UNION ALL
+SELECT 'semdedup', id, CASE WHEN comp = id THEN 1 ELSE 0 END,
+       CAST(NULL AS VARCHAR)
+FROM comp
+ORDER BY part, v1, v2
 """)
 def embedding_neardup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact embedding-cosine near-dup pairs (brute force, hash-checked).
+    """Exact embedding-cosine near-dup pairs + SemDeDup keep verdicts,
+    tagged by ``part`` and hash-checked.
 
-    The LSH variant (`minhash`/`ann_lsh` family) is the scale path; this
-    pins the exact pair semantics against an all-pairs DuckDB oracle.
+    'pair' rows pin the exact all-pairs semantics (v1=id_a, v2=id_b,
+    v3=sig(cos)); 'semdedup' rows grade :func:`semantic_dedup` in its
+    deterministic ``n_clusters=1`` exact mode — every vec_id's keep bit
+    (v2) must equal the DuckDB recursive-CTE transitive closure's
+    min-label verdict, so the pairing threshold, the zero-norm guard,
+    AND the connected-components keep-min logic are all under the hash.
+    The LSH variant (`minhash`/`ann_lsh` family) is the scale path.
     """
     from spark_df_profiling_spark.operators.similarity import (
-        embedding_near_dup_exact)
+        embedding_near_dup_exact, semantic_dedup)
     e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
-    out = embedding_near_dup_exact(e, min_cosine=0.40)
-    return (out.select("id_a", "id_b",
-                       sig(F.col("cosine_sim")).alias("cos_s"))
-            .orderBy("id_a", "id_b"))
+    pairs = (embedding_near_dup_exact(e, min_cosine=0.40)
+             .select(F.lit("pair").alias("part"),
+                     F.col("id_a").alias("v1"),
+                     F.col("id_b").alias("v2"),
+                     sig(F.col("cosine_sim")).alias("v3")))
+    sd = (semantic_dedup(e, n_clusters=1, min_cosine=0.40,
+                         transitive=True)
+          .select(F.lit("semdedup").alias("part"),
+                  F.col("vec_id").alias("v1"),
+                  F.col("keep").cast("long").alias("v2"),
+                  F.lit(None).cast("string").alias("v3")))
+    return pairs.unionByName(sd).orderBy("part", "v1", "v2")
 
 
 # (quality_score_by_lang folded into text_quality_by_lang above — the
@@ -1080,19 +1131,88 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # vs pure-SQL oracle on the same bytes
 # ---------------------------------------------------------------------------
 @query("multimodal_meta", """
-SELECT doc_id AS media_id,
-       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
-       sha256(text) AS sha256_hex,
-       ascii(substr(text, 1, 1)) AS first_byte
-FROM documents WHERE doc_id < 20 ORDER BY media_id
+SELECT 'feat' AS part, doc_id AS media_id, sha256(text) AS s1,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS v1,
+       CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS v2,
+       CAST(NULL AS BIGINT) AS v3
+FROM documents WHERE doc_id < 20
+UNION ALL
+SELECT 'sniff', doc_id,
+       CASE doc_id % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+                       WHEN 2 THEN 'image/gif' ELSE NULL END,
+       CASE WHEN doc_id % 4 = 3 THEN NULL
+            ELSE (doc_id * 7) % 512 + 1 END,
+       CASE WHEN doc_id % 4 = 3 THEN NULL
+            ELSE (doc_id * 13) % 300 + 7 END,
+       CASE doc_id % 4 WHEN 0 THEN 24 WHEN 1 THEN 12 WHEN 2 THEN 14
+            ELSE CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) END
+FROM documents WHERE doc_id < 20
+ORDER BY part, media_id
 """)
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batch multimodal plumbing + REAL header sniffing, tagged by
+    ``part``.
+
+    'feat' rows run UTF-8 payloads through ``extract_features`` (byte
+    length / sha256 / first byte via mapInPandas).  'sniff' rows build
+    REAL image headers in pure Spark SQL — PNG IHDR (4-byte big-endian
+    dims), JPEG SOF0 (big-endian dims inside the segment walk), GIF
+    logical screen descriptor (little-endian dims) — with width/height
+    derived arithmetically from doc_id, then parse them back with
+    :func:`multimodal.sniff_meta` (the stdlib magic-byte parser inside
+    mapInPandas).  The DuckDB oracle recomputes the dimension formulas
+    directly, so any endianness/offset bug in the byte parser
+    hash-mismatches.  doc_id % 4 == 3 rows carry raw text bytes and
+    must sniff to (NULL, NULL, NULL) with byte-length passthrough.
+    """
     from spark_df_profiling_spark.operators.multimodal import (
-        attach_binary_payload, extract_features,
+        attach_binary_payload, extract_features, sniff_meta,
     )
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
     media = attach_binary_payload(d, "text", "doc_id")
-    return extract_features(media).orderBy("media_id")
+    feat = (extract_features(media)
+            .select(F.lit("feat").alias("part"), "media_id",
+                    F.col("sha256_hex").alias("s1"),
+                    F.col("n_bytes").alias("v1"),
+                    F.col("first_byte").cast("long").alias("v2"),
+                    F.lit(None).cast("long").alias("v3")))
+
+    w = (F.col("doc_id") * 7 % 512 + 1).cast("long")
+    h = (F.col("doc_id") * 13 % 300 + 7).cast("long")
+
+    def be4(c):
+        return F.unhex(F.lpad(F.hex(c), 8, "0"))
+
+    def be2(c):
+        return F.unhex(F.lpad(F.hex(c), 4, "0"))
+
+    def le2(c):
+        return F.unhex(F.concat(F.lpad(F.hex(c % 256), 2, "0"),
+                                F.lpad(F.hex(F.floor(c / 256)
+                                             .cast("long")), 2, "0")))
+
+    # PNG: magic + IHDR length/tag + 4-byte BE width, height  (24 bytes)
+    png = F.concat(F.unhex(F.lit("89504E470D0A1A0A0000000D49484452")),
+                   be4(w), be4(h))
+    # JPEG: SOI + SOF0 marker/len/precision + BE height, width + pad
+    jpg = F.concat(F.unhex(F.lit("FFD8FFC0001108")), be2(h), be2(w),
+                   F.unhex(F.lit("00")))                     # 12 bytes
+    # GIF89a: signature + LE width, height + screen-descriptor tail
+    gif = F.concat(F.unhex(F.lit("474946383961")), le2(w), le2(h),
+                   F.unhex(F.lit("F7000000")))               # 14 bytes
+    kind = F.col("doc_id") % 4
+    payload = (F.when(kind == 0, png).when(kind == 1, jpg)
+               .when(kind == 2, gif)
+               .otherwise(F.encode(F.col("text"), "UTF-8")))
+    constructed = d.select(F.col("doc_id").cast("long").alias("media_id"),
+                           payload.alias("payload"))
+    sniff = (sniff_meta(constructed)
+             .select(F.lit("sniff").alias("part"), "media_id",
+                     F.col("mime").alias("s1"),
+                     F.col("width").cast("long").alias("v1"),
+                     F.col("height").cast("long").alias("v2"),
+                     F.col("n_bytes").alias("v3")))
+    return feat.unionByName(sniff).orderBy("part", "media_id")
 
 
 # ---------------------------------------------------------------------------
