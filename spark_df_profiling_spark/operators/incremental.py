@@ -25,11 +25,12 @@ Mergeability per statistic:
   per-bin count arrays sum element-wise in :func:`merge_partials`;
   out-of-range values land in ``hist_below``/``hist_above`` so a later
   partial exceeding the frozen edges is visible, never silently clamped;
-* quantiles are NOT mergeable from these states (KLL state is not
-  exposed by Spark SQL) — ``finalize`` returns the mergeable surface
-  and callers needing exact quantiles run
-  :func:`operators.profile.profile` over the window they care about
-  (the merged histogram above covers distribution *shape*).
+* quantiles — EXACT quantiles are not mergeable from these states
+  (KLL state is not exposed by Spark SQL), but
+  :func:`quantiles_from_state` derives ESTIMATES from the merged
+  fixed-bin histogram (linear interpolation within the crossing bin,
+  error bounded by one bin width); callers needing exact quantiles run
+  :func:`operators.profile.profile` over the window they care about.
 
 Plan shape: ``partial_profile`` is ONE job over the partition (the same
 shuffle-free partial-agg shape as the main profile pass 1);
@@ -317,6 +318,82 @@ def finalize(partials: DataFrame) -> DataFrame:
         F.hll_sketch_estimate("hll").cast("long")
         .alias("distinct_estimate"),
         "hist_lo", "hist_hi", "hist", "hist_below", "hist_above")
+
+
+def quantiles_from_state(state: DataFrame,
+                         probs: Sequence[float] = (0.05, 0.25, 0.5,
+                                                   0.75, 0.95)
+                         ) -> DataFrame:
+    """Quantile ESTIMATES from merged fixed-bin histogram state.
+
+    The missing piece of the incremental workflow: exact quantiles are
+    not mergeable (no KLL state in Spark SQL), but the fixed-bin count
+    arrays merge EXACTLY, so a histogram-derived estimate is fully
+    deterministic w.r.t. how the corpus was partitioned into partials —
+    merge order, partial count, and daily-append history cannot change
+    it.  Estimation is the classic grouped-data interpolation: walk the
+    cumulative counts to the bin where mass-rank ``p * n_in`` crosses,
+    then interpolate linearly inside it.  Error is bounded by ONE BIN
+    WIDTH (choose ``hist_bins`` accordingly: 100 bins = 1% of range).
+
+    Returns one row per (column, prob): ``(column, prob,
+    quantile_est)``; columns without a configured histogram are
+    omitted.  Mass outside the frozen edges (``hist_below`` /
+    ``hist_above``) is treated as sitting AT the edge — with drifted
+    edges the estimate degrades toward a clamp, loudly visible via the
+    below/above counters the merge already carries.
+
+    O(#columns × #probs) work on state rows — never touches data.
+    """
+    probs = [float(p) for p in probs]
+    for p in probs:
+        if not 0.0 <= p <= 1.0:
+            raise ValueError(f"probs must be in [0, 1]: {p}")
+    if not probs:
+        raise ValueError("need at least one prob")
+    h = state.where(F.col("hist").isNotNull())
+    # running cumulative of in-range bin counts (B <= ~1000 so the
+    # O(B^2) array_append fold is trivia on state rows)
+    cum = F.expr(
+        "aggregate(hist, cast(array() as array<bigint>), (acc, x) -> "
+        "array_append(acc, coalesce(try_element_at(acc, -1), 0L) + x))")
+    base = h.select(
+        "column", "hist_lo", "hist_hi", "hist", cum.alias("__cum"),
+        F.aggregate("hist", F.lit(0).cast("long"),
+                    lambda a, x: a + x).alias("__nin"),
+        F.coalesce(F.col("hist_below"), F.lit(0).cast("long"))
+        .alias("__nb"),
+        F.coalesce(F.col("hist_above"), F.lit(0).cast("long"))
+        .alias("__na"),
+        F.explode(F.array(*[F.lit(p) for p in probs])).alias("prob"))
+    binw = (F.col("hist_hi") - F.col("hist_lo")) \
+        / F.size("hist").cast("double")
+    total = (F.col("__nb") + F.col("__nin") + F.col("__na")) \
+        .cast("double")
+    # mass rank in [1, total]; below-range mass sits AT lo, above AT hi
+    target = F.greatest(F.col("prob") * total, F.lit(1.0)) \
+        - F.col("__nb").cast("double")
+    idx = F.array_position(
+        F.transform("__cum",
+                    lambda c: c.cast("double") >= target), F.lit(True))
+    # element_at index 0 is structurally invalid (even for try_): guard
+    cum_before = F.coalesce(
+        F.when(idx > 1, F.try_element_at("__cum", (idx - 1).cast("int"))),
+        F.lit(0).cast("long"))
+    in_bin = F.when(
+        idx > 0, F.try_element_at("hist", idx.cast("int"))).cast("double")
+    frac = F.when(in_bin > 0, (target - cum_before.cast("double"))
+                  / in_bin).otherwise(F.lit(0.0))
+    # idx = 0 (no crossing): the rank lives in the above-range mass
+    est = F.when(idx == 0, F.col("hist_hi")).otherwise(
+        F.col("hist_lo") + binw * ((idx - 1).cast("double") + frac))
+    clamped = F.least(F.greatest(est, F.col("hist_lo")),
+                      F.col("hist_hi"))
+    return (base.select(
+        "column", "prob",
+        F.when(total > 0, clamped)
+        .otherwise(F.lit(None).cast("double")).alias("quantile_est"))
+        .orderBy("column", "prob"))
 
 
 def hist_edges_from_state(state: DataFrame) -> dict:

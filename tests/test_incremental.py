@@ -191,6 +191,57 @@ def test_merge_hist_config_drift_fails_loudly(spark, lineitem):
         merge_partials(with_hist, other_bins).collect()
 
 
+def test_quantiles_from_state_within_bin_width(spark, lineitem):
+    from spark_df_profiling_spark.operators.incremental import (
+        quantiles_from_state)
+    lo, hi = lineitem.agg(F.min("l_extendedprice"),
+                          F.max("l_extendedprice")).collect()[0]
+    bins = 64
+    parts = [partial_profile(
+        lineitem.where(F.col("l_orderkey") % 4 == i),
+        cols=["l_extendedprice"],
+        hist_edges={"l_extendedprice": (lo, hi)}, hist_bins=bins)
+        for i in range(4)]
+    merged = merge_partials(*parts)
+    probs = [0.05, 0.25, 0.5, 0.75, 0.95]
+    est = {r["prob"]: r["quantile_est"]
+           for r in quantiles_from_state(merged, probs).collect()}
+    exact = lineitem.select(
+        F.percentile("l_extendedprice", F.array(
+            *[F.lit(p) for p in probs]))).collect()[0][0]
+    binw = (hi - lo) / bins
+    for p, ex in zip(probs, exact):
+        assert abs(est[p] - ex) <= binw + 1e-9, (p, est[p], ex, binw)
+    # merge-invariance: a single partial over the full data gives the
+    # IDENTICAL estimate (histogram counts merge exactly)
+    single = partial_profile(
+        lineitem, cols=["l_extendedprice"],
+        hist_edges={"l_extendedprice": (lo, hi)}, hist_bins=bins)
+    est_single = {r["prob"]: r["quantile_est"]
+                  for r in quantiles_from_state(single, probs).collect()}
+    assert est == est_single
+
+
+def test_quantiles_from_state_edge_cases(spark, lineitem):
+    from spark_df_profiling_spark.operators.incremental import (
+        quantiles_from_state)
+    # frozen edges NARROWER than the data: below/above mass clamps the
+    # tail quantiles to the edges instead of erroring
+    part = partial_profile(lineitem, cols=["l_extendedprice"],
+                           hist_edges={"l_extendedprice": (30_000.0,
+                                                           40_000.0)})
+    est = {r["prob"]: r["quantile_est"] for r in
+           quantiles_from_state(part, [0.001, 0.5, 0.999]).collect()}
+    assert est[0.001] == pytest.approx(30_000.0)
+    assert est[0.999] == pytest.approx(40_000.0)
+    assert 30_000.0 <= est[0.5] <= 40_000.0
+    # no histogram configured -> column omitted entirely
+    bare = partial_profile(lineitem, cols=["l_extendedprice"])
+    assert quantiles_from_state(bare, [0.5]).count() == 0
+    with pytest.raises(ValueError, match="probs"):
+        quantiles_from_state(part, [1.5])
+
+
 def test_hist_edges_validation(spark, lineitem):
     with pytest.raises(ValueError, match="hi > lo"):
         partial_profile(lineitem, cols=["l_extendedprice"],

@@ -278,5 +278,129 @@ def main() -> None:
           f"surviving={final['n_surviving']}", flush=True)
 
 
+def skew_main() -> None:
+    """Round-7 adversarial skew fixtures (VERDICT r6 item 6): prove the
+    caps/guards on the round-6 operators under planted pathological
+    skew, not just uniform 10x replication.
+
+    * line_dedup — one line repeated ~1M times across the corpus plus
+      ONE giant 200k-line document (stresses the heavy-hitter count,
+      the anti-join, and the single-doc collect_list reassembly);
+    * pack_offsets — one 10M-token document among 50k normal docs (a
+      single range-partition carries ~99% of the token mass; the
+      prefix-sum must stay exact and the job parallel);
+    * decontaminate — a benchmark 8-gram planted into 50% of the corpus
+      (the broadcast-hash match explodes from "rare" to half the
+      corpus; the per-doc count shuffle must absorb it);
+    * semantic_dedup — 30k IDENTICAL embeddings forming one degenerate
+      cluster (mode collapse): max_cluster_rows must exclude it loudly
+      and keep wall-clock bounded, with deterministic survivors.
+    """
+    spark = (SparkSession.builder.master("local[32]")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory", "32g")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    t = lambda name: spark.read.parquet(f"{SF_DIR}/{name}.parquet")
+
+    docs = replicate(t("documents"), ["doc_id"], REPLICAS,
+                     materialize_as="documents_x10s", spark=spark)
+    n_docs = docs.count()
+
+    from spark_df_profiling_spark.operators.dedup import (
+        decontaminate, line_dedup)
+
+    # ~20 copies of the skew line per doc -> ~1M occurrences of ONE line
+    skewed = docs.select(
+        "doc_id",
+        F.concat(F.expr("repeat('SKEWLINE\\n', 20)"), F.col("text"))
+        .alias("text"))
+    giant = spark.range(1).select(
+        F.lit(999_999_999).alias("doc_id"),
+        F.array_join(
+            F.transform(F.sequence(F.lit(1), F.lit(200_000)),
+                        lambda i: F.concat(F.lit("gl_"), (i % 1000)
+                                           .cast("string"))),
+            "\n").alias("text"))
+    corpus = skewed.unionByName(giant)
+    t0 = time.time()
+    ld = line_dedup(corpus, "text", "doc_id", min_count=100)
+    agg = ld.agg(
+        F.sum("n_lines_removed").alias("rm"),
+        F.max(F.when(F.col("doc_id") == 999_999_999,
+                     F.col("n_lines_removed"))).alias("giant_rm")).collect()[0]
+    t_ld = time.time() - t0
+    print(f"SKEW line_dedup ({n_docs} docs + 1M-repeat line + 200k-line "
+          f"giant): {t_ld:.1f}s  removed={agg['rm']} "
+          f"giant_removed={agg['giant_rm']}", flush=True)
+
+    # pack_offsets: one 10M-token doc
+    from spark_df_profiling_spark.operators.packing import pack_offsets
+    sized = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") == 0, F.lit(10_000_000))
+        .otherwise(F.size(F.split("text", " "))).alias("__nt"))
+    t0 = time.time()
+    packed = pack_offsets(sized, "__nt", "doc_id", context_len=8192)
+    chk = packed.agg(
+        F.max("end_offset").alias("total"),
+        F.count_distinct("shard_id").alias("shards")).collect()[0]
+    t_pk = time.time() - t0
+    print(f"SKEW pack_offsets (one 10M-token doc): {t_pk:.1f}s  "
+          f"total_tokens={chk['total']} shards={chk['shards']}",
+          flush=True)
+
+    # decontaminate: benchmark gram matching 50% of the corpus
+    sentinel = "s1 s2 s3 s4 s5 s6 s7 s8"
+    half_poisoned = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.col("text"), F.lit(" " + sentinel)))
+        .otherwise(F.col("text")).alias("text"))
+    bench = spark.createDataFrame([(sentinel,)], "text string")
+    t0 = time.time()
+    n_cont = (decontaminate(half_poisoned, bench, n=8)
+              .where(F.col("contaminated")).count())
+    t_dc = time.time() - t0
+    print(f"SKEW decontaminate (gram hits 50% of corpus): {t_dc:.1f}s  "
+          f"contaminated={n_cont} (expect ~{n_docs // 2})", flush=True)
+
+    # semantic_dedup: degenerate 30k-identical-vector cluster
+    from spark_df_profiling_spark.operators.similarity import (
+        semantic_dedup)
+    emb = replicate(t("embeddings"), ["vec_id"], REPLICAS,
+                    materialize_as="embeddings_x10s", spark=spark)
+    n_emb = emb.count()
+    one = emb.where(F.col("vec_id") == 1).select("embedding")
+    clones = (spark.range(30_000)
+              .select((F.col("id") + 500_000_000).alias("vec_id"))
+              .crossJoin(F.broadcast(one)))
+    skew_emb = emb.select("vec_id", "embedding").unionByName(clones)
+    import warnings as W
+    t0 = time.time()
+    with W.catch_warnings(record=True) as got:
+        W.simplefilter("always")
+        sd = semantic_dedup(skew_emb, rows_per_cluster=4096,
+                            min_cosine=0.99, max_cluster_rows=10_000)
+        res = sd.agg(F.sum(F.col("keep").cast("long")).alias("kept"),
+                     F.count(F.lit(1)).alias("n")).collect()[0]
+    t_sd = time.time() - t0
+    warned = any("EXCLUDED" in str(w.message) for w in got)
+    # determinism: second run reproduces the survivor count exactly
+    with W.catch_warnings():
+        W.simplefilter("ignore")
+        res2 = (semantic_dedup(skew_emb, rows_per_cluster=4096,
+                               min_cosine=0.99, max_cluster_rows=10_000)
+                .agg(F.sum(F.col("keep").cast("long"))).collect()[0][0])
+    print(f"SKEW semantic_dedup ({n_emb}+30k identical): {t_sd:.1f}s  "
+          f"kept={res['kept']}/{res['n']} cap_warned={warned} "
+          f"run2_kept_identical={res2 == res['kept']}", flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if "skew" in sys.argv:
+        skew_main()
+    else:
+        main()
