@@ -69,6 +69,56 @@ def exact_dedup(df: DataFrame, cols: str | list[str] | None = None,
             .drop("__h", "__rn"))
 
 
+def history_hashes(df: DataFrame,
+                   cols: str | list[str] | None = None) -> DataFrame:
+    """Distinct content hashes of a corpus — the persistable dedup state.
+
+    The cross-run companion of :func:`operators.incremental`: a daily
+    pipeline stores ONE 32-byte hash per distinct document (a ~0.03%
+    footprint of a text corpus), so deduping tomorrow's batch against
+    100 TB of history costs a join against the hash store, never a
+    rescan of history.  Persist with a BUCKETED write on
+    ``content_hash`` (``sources.write_bucketed``) and the daily
+    anti-join becomes shuffle-free on the history side.
+    """
+    cols = _collist(cols) if cols else df.columns
+    return (df.select(content_hash(cols).alias("content_hash"))
+            .distinct())
+
+
+def dedup_against_history(df: DataFrame, history: DataFrame,
+                          cols: str | list[str] | None = None,
+                          order_col: str | None = None) -> DataFrame:
+    """New-batch rows whose content never appeared in ``history``.
+
+    ``history`` is a state frame from :func:`history_hashes` (schema:
+    one ``content_hash`` string column).  Rows colliding with history
+    are dropped; duplicates WITHIN the new batch collapse keep-first by
+    ``order_col`` (pass None to keep within-batch duplicates — e.g.
+    when the batch was already deduped upstream).
+
+    Plan: one hash projection on the batch + a left_anti join on the
+    256-bit hash.  The anti join shuffles on the hash key — uniform by
+    construction, skew-free; with a bucketed history store only the NEW
+    batch (the small side) shuffles.  sha256 collisions
+    (~2^-128-scale) are the same risk the exact_dedup family already
+    accepts.  After ingest, append the surviving batch's hashes to the
+    store: ``history.unionByName(history_hashes(survivors, cols))
+    .distinct()`` — or just append and rely on distinct-at-read.
+    """
+    cols = _collist(cols) if cols else df.columns
+    hashed = df.withColumn("__ch", content_hash(cols))
+    survivors = hashed.join(
+        history.select(F.col("content_hash").alias("__ch")),
+        "__ch", "left_anti")
+    if order_col is not None:
+        w = Window.partitionBy("__ch").orderBy(F.asc(order_col))
+        survivors = (survivors
+                     .withColumn("__rn", F.row_number().over(w))
+                     .where(F.col("__rn") == 1).drop("__rn"))
+    return survivors.drop("__ch")
+
+
 def dedup_stats(df: DataFrame,
                 cols: str | list[str] | None = None) -> DataFrame:
     """(n_rows, n_distinct, n_duplicates) — one wide-agg job."""

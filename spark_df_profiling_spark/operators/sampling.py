@@ -282,3 +282,88 @@ def duckdb_bucket_sql(key_sql: str, seed: int = 0,
     """The DuckDB expression computing the identical bucket (oracle use)."""
     return (f"(('0x' || substr(md5(({key_sql})::VARCHAR || ':{seed}'), "
             f"1, 15))::BIGINT % {buckets})")
+
+
+def temperature_weights(df: DataFrame, source_col: str,
+                        tau: float = 0.7,
+                        target_rows: Optional[int] = None) -> DataFrame:
+    """Temperature-scaled source mixing weights (the multilingual /
+    multi-source rebalancing rule: sample source s with probability
+    ∝ p_s^tau).
+
+    ``tau=1`` keeps the natural distribution, ``tau=0`` forces uniform,
+    and the 0.2-0.7 range is the published recipe for boosting
+    low-resource sources (multilingual BERT / XLM-R / mT5 all sample
+    languages this way).  Returns one row per source:
+    ``(source, n_rows, share, weight, target_n, epochs)`` where
+    ``weight = p_s^tau / Σ p^tau``, ``target_n = weight ·
+    (target_rows or N)`` and ``epochs = target_n / n_rows`` — epochs
+    > 1 means the source must be UPSAMPLED (repeated) to hit the mix,
+    the quantity a training-data pipeline actually schedules by.
+
+    One aggregation (O(#sources) rows) + window-free arithmetic on the
+    tiny result; never touches row-level data again.
+    """
+    if tau < 0:
+        raise ValueError(f"tau must be >= 0: {tau}")
+    counts = (df.groupBy(F.col(source_col).alias("source"))
+              .agg(F.count(F.lit(1)).alias("n_rows")))
+    tot = counts.agg(F.sum("n_rows").alias("__N"))
+    # corpus-level sums ride O(#sources) frames; broadcast cross joins
+    # of those are free
+    shared = counts.crossJoin(F.broadcast(tot)).select(
+        "source", "n_rows", "__N",
+        (F.col("n_rows") / F.col("__N")).alias("share"))
+    wsum = shared.agg(
+        F.sum(F.pow(F.col("share"), F.lit(float(tau)))).alias("__wsum"))
+    out_n = (F.lit(float(target_rows)) if target_rows is not None
+             else F.col("__N").cast("double"))
+    weight = F.pow(F.col("share"), F.lit(float(tau))) / F.col("__wsum")
+    return (shared.crossJoin(F.broadcast(wsum))
+            .select("source", "n_rows", "share",
+                    weight.alias("weight"),
+                    (weight * out_n).alias("target_n"))
+            .withColumn("epochs", F.col("target_n") / F.col("n_rows"))
+            .orderBy("source"))
+
+
+def temperature_resample(df: DataFrame, source_col: str,
+                         key_col: Union[str, Column],
+                         tau: float = 0.7,
+                         target_rows: Optional[int] = None,
+                         seed: int = 0) -> DataFrame:
+    """Materialize the tau-mix: each source appears ``epochs_s`` times.
+
+    The deterministic up/down-sampler behind
+    :func:`temperature_weights`: a row from source s is emitted
+    ``floor(epochs_s)`` times unconditionally plus once more iff its
+    md5 bucket (salted with the copy index, so the fractional pass is
+    independent of the full copies) falls under the fractional part —
+    so each source's output count is ``floor(e)·n_s + Binomial-free
+    deterministic ≈ frac(e)·n_s``, and two runs (or two engines)
+    produce IDENTICAL row multisets.  ``epochs < 1`` degrades to a
+    plain hash filter (downsampling), the same contract as
+    :func:`mixture_sample`.
+
+    Output adds ``epoch_copy`` (0-based copy index) so downstream
+    dedup/packing can distinguish intentional repetitions from
+    accidental duplicates.
+
+    Scale shape: one tiny aggregate → broadcast join → ``explode`` of a
+    per-row ``sequence`` (vectorized, JVM-side) → codegen'd filter.  No
+    shuffle of the corpus, no driver collect beyond O(#sources).
+    """
+    w = temperature_weights(df, source_col, tau, target_rows)
+    plan = w.select(F.col("source").alias(source_col),
+                    F.floor("epochs").cast("long").alias("__reps"),
+                    (F.col("epochs")
+                     - F.floor("epochs")).alias("__frac"))
+    keyed = df.join(F.broadcast(plan), source_col)
+    copies = keyed.withColumn(
+        "epoch_copy",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("__reps"))))
+    frac_key = F.concat(_c(key_col).cast("string"), F.lit("#"),
+                        F.col("epoch_copy").cast("string"))
+    keep = (F.col("epoch_copy") < F.col("__reps")) | \
+        (hash_bucket(frac_key, seed) < F.col("__frac") * F.lit(BUCKETS))
+    return copies.where(keep).drop("__reps", "__frac")

@@ -31,6 +31,7 @@ from typing import Optional
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spark_df_profiling_spark.operators.sampling import duckdb_bucket_sql
 from spark_df_profiling_spark.sources import (
     event_time_micros, with_event_time,
 )
@@ -852,6 +853,24 @@ UNION ALL
 SELECT 'streamdedup', count(*), CAST(sum(user_id) AS BIGINT),
        count(DISTINCT event_type)
 FROM (SELECT DISTINCT user_id, event_type FROM events)
+UNION ALL
+SELECT 'hist', doc_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+FROM (
+  WITH hist AS (SELECT DISTINCT text FROM documents WHERE doc_id < 300),
+  batch AS (
+    SELECT doc_id, text FROM documents
+    WHERE doc_id >= 300 AND doc_id < 400
+    UNION ALL
+    SELECT doc_id + 900000, text FROM documents WHERE doc_id < 20
+  ),
+  surv AS (
+    SELECT b.doc_id, b.text FROM batch b
+    WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.text = b.text)
+  )
+  SELECT doc_id FROM (
+    SELECT doc_id, row_number() OVER (PARTITION BY text
+                                      ORDER BY doc_id) AS rk
+    FROM surv) WHERE rk = 1)
 ORDER BY part, v1
 """)
 def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -905,8 +924,26 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                F.sum("user_id").cast("long").alias("v2"),
                F.count_distinct("event_type").cast("long").alias("v3"))
           .select(F.lit("streamdedup").alias("part"), "v1", "v2", "v3"))
-    return kept.unionByName(stats).unionByName(ld).unionByName(sd) \
-        .orderBy("part", "v1")
+    # 'hist': cross-run dedup against a persisted hash state — history
+    # is docs < 300; the new batch re-ingests 20 of them under fresh
+    # ids (all must drop) plus docs 300-399 (keep-first within batch)
+    from spark_df_profiling_spark.operators.dedup import (
+        dedup_against_history, history_hashes)
+    history = history_hashes(d.where(F.col("doc_id") < 300), ["text"])
+    batch = (d.where((F.col("doc_id") >= 300) & (F.col("doc_id") < 400))
+             .select("doc_id", "text")
+             .unionByName(
+                 d.where(F.col("doc_id") < 20)
+                 .select((F.col("doc_id") + 900_000).alias("doc_id"),
+                         "text")))
+    hist_rows = (dedup_against_history(batch, history, cols=["text"],
+                                       order_col="doc_id")
+                 .select(F.lit("hist").alias("part"),
+                         F.col("doc_id").alias("v1"),
+                         F.lit(None).cast("long").alias("v2"),
+                         F.lit(None).cast("long").alias("v3")))
+    return (kept.unionByName(stats).unionByName(ld).unionByName(sd)
+            .unionByName(hist_rows).orderBy("part", "v1"))
 
 
 # ---------------------------------------------------------------------------
@@ -2404,7 +2441,7 @@ def drift_psi_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("column"))
 
 
-@query("mixture_sample_counts", """
+@query("mixture_sample_counts", f"""
 WITH c AS (
   SELECT source, count(*) AS n,
          CASE source WHEN 'src0' THEN CAST(0.5 AS DOUBLE)
@@ -2414,28 +2451,92 @@ WITH c AS (
   GROUP BY source
 ), t AS (SELECT min(n / w) AS total FROM c),
 cuts AS (SELECT source, floor(w * t.total / n * 1000000) AS cut
-         FROM c, t)
-SELECT d.source, count(*) AS n_rows
+         FROM c, t),
+skew AS (
+  SELECT doc_id, source FROM documents
+  WHERE source = 'src0'
+     OR (source = 'src1' AND doc_id < 120)
+     OR (source = 'src2' AND doc_id < 60)
+), sc AS (
+  SELECT source, CAST(count(*) AS DOUBLE) AS n FROM skew GROUP BY source
+), stot AS (SELECT sum(n) AS ntot FROM sc),
+sw AS (SELECT source, n, ntot, pow(n / ntot, 0.5) AS pw
+       FROM sc, stot),
+swsum AS (SELECT sum(pw) AS wsum FROM sw),
+plan AS (SELECT source, n, pw / wsum * ntot / n AS epochs
+         FROM sw, swsum),
+reps AS (
+  SELECT source, CAST(floor(epochs) AS BIGINT) AS r,
+         epochs - floor(epochs) AS fr, CAST(n AS BIGINT) AS nn, epochs
+  FROM plan
+)
+SELECT 'mix' AS part, d.source AS k, count(*) AS n_out,
+       CAST(NULL AS VARCHAR) AS s
 FROM documents d JOIN cuts ON d.source = cuts.source
 WHERE (('0x' || substr(md5(d.doc_id::VARCHAR || ':11'), 1, 15))::BIGINT
        % 1000000) < cut
-GROUP BY d.source ORDER BY d.source
+GROUP BY d.source
+UNION ALL
+SELECT 'tauw', source, nn, {_psig('epochs')} FROM reps
+UNION ALL
+SELECT 'tau', s.source,
+       max(r.r) * max(r.nn)
+       + count(*) FILTER (WHERE
+           {duckdb_bucket_sql(
+               "s.doc_id::VARCHAR || '#' || r.r::VARCHAR", seed=0)}
+           < r.fr * 1000000),
+       CAST(NULL AS VARCHAR)
+FROM skew s JOIN reps r ON s.source = r.source
+GROUP BY s.source
+ORDER BY part, k
 """)
 def mixture_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-mix construction: rebalance sources to 0.5/0.3/0.2.
+    """Training-mix construction, tagged by ``part``.
 
-    The DuckDB side replays the ENTIRE mixture pipeline — per-source
-    counts, the min(count/weight) feasible total, floor-cut fractions,
-    md5-bucket membership — proving the mixture rule is engine-portable
-    end to end.
+    'mix' rows: rebalance sources to 0.5/0.3/0.2 via
+    :func:`mixture_sample` — the DuckDB side replays the ENTIRE
+    pipeline (per-source counts, min(count/weight) feasible total,
+    floor-cut fractions, md5-bucket membership).
+
+    'tauw'/'tau' rows: temperature mixing (tau=0.5) on a deterministic
+    SKEWED sub-corpus (src0 all / src1 every 5th / src2 every 25th —
+    so the rare source genuinely upsamples, epochs > 1).  'tauw' pins
+    :func:`temperature_weights`'s epochs arithmetic; 'tau' pins
+    :func:`temperature_resample`'s exact output counts — full copies
+    plus the fractional md5-salted pass — replayed end to end in
+    DuckDB.
     """
-    from spark_df_profiling_spark.operators.sampling import mixture_sample
+    from spark_df_profiling_spark.operators.sampling import (
+        mixture_sample, temperature_resample, temperature_weights)
     d = _t(spark, sf_dir, "documents")
     out = mixture_sample(d, "source",
                          {"src0": 0.5, "src1": 0.3, "src2": 0.2},
                          "doc_id", seed=11)
-    return (out.groupBy("source")
-            .agg(F.count(F.lit(1)).alias("n_rows")).orderBy("source"))
+    mix = (out.groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n_out"))
+           .select(F.lit("mix").alias("part"),
+                   F.col("source").alias("k"), "n_out",
+                   F.lit(None).cast("string").alias("s")))
+    # source = doc_id % 20 in the driver data, so range filters give a
+    # REAL skew (25 / 6 / 3 rows): tau=0.5 then upsamples src1 (~1.5
+    # epochs) and src2 (~2.1 epochs) while downsampling src0 (~0.7)
+    skew = d.where(
+        (F.col("source") == "src0")
+        | ((F.col("source") == "src1") & (F.col("doc_id") < 120))
+        | ((F.col("source") == "src2") & (F.col("doc_id") < 60))) \
+        .select("doc_id", "source")
+    tauw = (temperature_weights(skew, "source", tau=0.5)
+            .select(F.lit("tauw").alias("part"),
+                    F.col("source").alias("k"),
+                    F.col("n_rows").alias("n_out"),
+                    sig(F.col("epochs")).alias("s")))
+    tau = (temperature_resample(skew, "source", "doc_id", tau=0.5)
+           .groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n_out"))
+           .select(F.lit("tau").alias("part"),
+                   F.col("source").alias("k"), "n_out",
+                   F.lit(None).cast("string").alias("s")))
+    return mix.unionByName(tauw).unionByName(tau).orderBy("part", "k")
 
 
 @query("vocab_top_tokens", """

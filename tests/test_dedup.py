@@ -270,6 +270,46 @@ def test_line_dedup_min_count_boundary(spark):
         line_dedup(docs, min_count=1)
 
 
+def test_dedup_against_history(spark, sf_dir):
+    from spark_df_profiling_spark.operators.dedup import (
+        dedup_against_history, history_hashes)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hist_src = docs.where(F.col("doc_id") < 300)
+    history = history_hashes(hist_src, ["text"])
+    # new batch: genuinely-new docs + planted collisions with history
+    # (re-ingested under fresh ids) + one within-batch duplicate pair
+    fresh = docs.where((F.col("doc_id") >= 300) & (F.col("doc_id") < 350))
+    replayed = (hist_src.where(F.col("doc_id") < 20)
+                .withColumn("doc_id", F.col("doc_id") + 900_000))
+    batch_dup = (fresh.where(F.col("doc_id") == 300)
+                 .withColumn("doc_id", F.lit(950_000)))
+    new_batch = fresh.unionByName(replayed).unionByName(batch_dup)
+
+    out = dedup_against_history(new_batch, history, cols=["text"],
+                                order_col="doc_id")
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    # every replayed doc is dropped (content seen in history)
+    assert not any(i >= 900_000 and i < 950_000 for i in ids)
+    # within-batch duplicate collapses keep-first (300 survives, not
+    # the 950_000 copy)
+    assert 300 in ids and 950_000 not in ids
+    # distinct fresh content all survives
+    n_fresh_distinct = (fresh.join(
+        history.withColumnRenamed("content_hash", "ch"),
+        F.sha2(F.concat_ws("\x01", F.coalesce(
+            F.col("text").cast("string"), F.lit("\x00NULL"))), 256)
+        == F.col("ch"), "left_anti").count())
+    assert len(ids) == n_fresh_distinct
+    # without order_col, within-batch dups are both kept
+    both = dedup_against_history(new_batch, history, cols=["text"])
+    assert both.count() == out.count() + 1
+    # the day-2 update contract: appending survivors' hashes makes a
+    # second ingest of the same batch drop EVERYTHING
+    day2 = history.unionByName(
+        history_hashes(out, ["text"])).distinct()
+    assert dedup_against_history(new_batch, day2, cols=["text"]).count() == 0
+
+
 def test_line_dedup_regex_metachar_separator(spark):
     # sep reaches F.split as a Java regex but array_join as a literal —
     # a metacharacter separator like '|' or '.' must behave literally

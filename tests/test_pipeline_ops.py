@@ -345,6 +345,56 @@ def test_mixture_sample_absent_source_graceful(spark):
     assert mixture_sample(df, "src", {"ghost": 1.0}, "key").count() == 0
 
 
+def test_temperature_weights_and_resample(spark):
+    from spark_df_profiling_spark.operators.sampling import (
+        temperature_resample, temperature_weights)
+    import pytest as _pt
+    rows = [(f"k{s}_{i}", f"s{s}") for s, n in enumerate([600, 300, 100])
+            for i in range(n)]
+    df = spark.createDataFrame(rows, "key string, src string")
+
+    # tau=1 keeps the natural distribution: epochs == 1 everywhere and
+    # the resample is the identity (every row once, copy index 0)
+    w1 = {r["source"]: r for r in
+          temperature_weights(df, "src", tau=1.0).collect()}
+    for s, n in [("s0", 600), ("s1", 300), ("s2", 100)]:
+        assert w1[s]["n_rows"] == n
+        assert w1[s]["epochs"] == pytest.approx(1.0)
+        assert w1[s]["weight"] == pytest.approx(n / 1000)
+    out1 = temperature_resample(df, "src", "key", tau=1.0)
+    assert out1.count() == 1000
+    assert out1.agg(F.max("epoch_copy")).collect()[0][0] == 0
+
+    # tau=0 forces uniform: the rare source is UPSAMPLED (epochs > 1)
+    w0 = {r["source"]: r for r in
+          temperature_weights(df, "src", tau=0.0).collect()}
+    assert w0["s2"]["epochs"] == pytest.approx(1000 / 3 / 100)
+    assert sum(r["weight"] for r in w0.values()) == pytest.approx(1.0)
+    out0 = temperature_resample(df, "src", "key", tau=0.0)
+    per_src = {r["src"]: r["n"] for r in
+               out0.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    # each source lands within hash-sampling noise of N/3
+    for s in ("s0", "s1", "s2"):
+        assert abs(per_src[s] - 1000 / 3) < 40
+    # upsampled source really repeats rows, tagged by epoch_copy
+    assert (out0.where((F.col("src") == "s2")
+                       & (F.col("epoch_copy") >= 1)).count() > 0)
+
+    # determinism: identical multiset across runs
+    a = sorted((r["key"], r["epoch_copy"]) for r in out0.collect())
+    b = sorted((r["key"], r["epoch_copy"])
+               for r in temperature_resample(df, "src", "key",
+                                             tau=0.0).collect())
+    assert a == b
+
+    # target_rows scales the whole mix
+    wt = temperature_weights(df, "src", tau=0.5, target_rows=500)
+    assert wt.agg(F.sum("target_n")).collect()[0][0] == \
+        pytest.approx(500.0)
+    with _pt.raises(ValueError, match="tau"):
+        temperature_weights(df, "src", tau=-0.1)
+
+
 def test_nullable_key_warnings(spark):
     import warnings as W
     from spark_df_profiling_spark.operators.sampling import (
