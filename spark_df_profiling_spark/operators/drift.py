@@ -131,6 +131,88 @@ def psi_categorical(ref: DataFrame, new: DataFrame,
                             _bucket_counts(new, exprs))
 
 
+def reference_histogram(ref: DataFrame, col: str,
+                        bins: int = 10) -> tuple:
+    """``(lo, hi, probs)`` of a reference corpus — the frozen reference
+    state :func:`windowed_psi` compares live windows against.
+
+    Two tiny jobs (edges, then per-bin proportions with the same
+    clamp-into-edge-bins rule as :func:`psi_numeric`); the result is
+    O(bins) driver state that rides into the monitoring query as
+    literals — persist it next to the model/corpus version it
+    describes, exactly like frozen ``hist_edges`` in
+    :func:`operators.incremental.partial_profile`.
+    """
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2: {bins}")
+    lo, hi = ref.agg(F.min(col), F.max(col)).collect()[0]
+    if lo is None or hi <= lo:
+        raise ValueError(
+            f"reference for {col!r} needs a non-constant, non-null "
+            f"range: ({lo}, {hi})")
+    lo, hi = float(lo), float(hi)
+    width = (hi - lo) / bins
+    bucket = F.least(F.greatest(
+        F.floor((F.col(col) - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(bins - 1))
+    counts = {int(r["b"]): r["n"] for r in
+              ref.where(F.col(col).isNotNull())
+              .groupBy(bucket.alias("b"))
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(counts.values())
+    probs = [counts.get(b, 0) / total for b in range(bins)]
+    return (lo, hi, probs)
+
+
+def windowed_psi(df: DataFrame, ts_col: str, value_col: str,
+                 ref: tuple, window: str = "1 day",
+                 watermark: str | None = "1 hour") -> DataFrame:
+    """PSI of ``value_col`` per event-time window vs a frozen reference
+    — the STREAMING drift monitor (works identically on batch frames,
+    same duality as :func:`streaming.windowed_profile`).
+
+    ``ref`` is :func:`reference_histogram` output.  The whole
+    computation is ONE stateful aggregation (streaming-legal in append
+    mode): per-bin counts accumulate as ``bins`` conditional sums
+    inside a single ``groupBy(window)``, and the PSI fold over the
+    fixed-length count vector happens in the stateless projection
+    AFTER the aggregation.  State is O(windows × bins); the watermark
+    bounds retention.  Deterministic term order (explicit b=0..B-1
+    sum), so batch output is engine-replayable.
+    """
+    lo, hi, probs = ref
+    bins = len(probs)
+    if bins < 2:
+        raise ValueError(f"reference needs >= 2 bins: {bins}")
+    if df.isStreaming and watermark is not None:
+        df = df.withWatermark(ts_col, watermark)
+    width = (float(hi) - float(lo)) / bins
+    v = F.col(value_col)
+    bucket = F.least(F.greatest(
+        F.floor((v - F.lit(float(lo))) / F.lit(width)), F.lit(0)),
+        F.lit(bins - 1))
+    agg = (df.where(v.isNotNull())
+           .groupBy(F.window(F.col(ts_col), window).alias("w"))
+           .agg(F.count(F.lit(1)).alias("n"),
+                *[F.sum(F.when(bucket == b, 1).otherwise(0))
+                  .alias(f"__c{b}") for b in range(bins)]))
+    p_n = [F.greatest(F.col(f"__c{b}") / F.col("n"), F.lit(EPS))
+           for b in range(bins)]
+    p_r = [max(p, EPS) for p in probs]
+    terms = [(F.lit(p_r[b]) - p_n[b]) * F.log(F.lit(p_r[b]) / p_n[b])
+             for b in range(bins)]
+    psi = terms[0]
+    for t in terms[1:]:
+        psi = psi + t
+    return agg.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "n", psi.alias("psi"),
+        F.when(psi < 0.1, F.lit("stable"))
+        .when(psi < 0.25, F.lit("moderate"))
+        .otherwise(F.lit("shifted")).alias("band"))
+
+
 def psi_report(ref: DataFrame, new: DataFrame,
                numeric_cols: Sequence[str] = (),
                categorical_cols: Sequence[str] = (),

@@ -2417,19 +2417,57 @@ WITH ref AS (SELECT * FROM lineitem
                   greatest(j.n_r / CAST(tr.t AS DOUBLE), 1e-6) AS pr,
                   greatest(j.n_n / CAST(tn.t AS DOUBLE), 1e-6) AS pn
            FROM j JOIN tr ON j.col = tr.col JOIN tn ON j.col = tn.col)
-SELECT col AS "column",
+SELECT 'col' AS part, col AS k,
        {_psig('sum((pr - pn) * ln(pr / pn))')} AS psi_s,
        CASE WHEN sum((pr - pn) * ln(pr / pn)) < 0.1 THEN 'stable'
             WHEN sum((pr - pn) * ln(pr / pn)) < 0.25 THEN 'moderate'
             ELSE 'shifted' END AS band
-FROM p GROUP BY col ORDER BY "column"
+FROM p GROUP BY col
+UNION ALL
+SELECT 'win', CAST(we AS VARCHAR),
+       {_psig('sum((wpr - wpn) * ln(wpr / wpn))')},
+       CASE WHEN sum((wpr - wpn) * ln(wpr / wpn)) < 0.1 THEN 'stable'
+            WHEN sum((wpr - wpn) * ln(wpr / wpn)) < 0.25 THEN 'moderate'
+            ELSE 'shifted' END
+FROM (
+  WITH ev AS (SELECT epoch(ts) AS es, value FROM events
+              WHERE value IS NOT NULL),
+  edges AS (SELECT min(value) AS lo, max(value) AS hi,
+                   (max(value) - min(value)) / 8 AS wd FROM ev),
+  allb AS (SELECT unnest(generate_series(0, 7)) AS b),
+  refb AS (SELECT CAST(least(greatest(
+               floor((value - lo) / wd), 0), 7) AS BIGINT) AS b,
+           count(*) AS n FROM ev, edges GROUP BY b),
+  reft AS (SELECT sum(n) AS t FROM refb),
+  refp AS (SELECT allb.b,
+                  greatest(coalesce(refb.n, 0) / CAST(reft.t AS DOUBLE),
+                           1e-6) AS wpr
+           FROM allb LEFT JOIN refb ON allb.b = refb.b, reft),
+  winb AS (SELECT (CAST(floor(es) AS BIGINT) // 86400) * 86400 AS we,
+                  CAST(least(greatest(
+                      floor((value - lo) / wd), 0), 7) AS BIGINT) AS b,
+                  count(*) AS n
+           FROM ev, edges GROUP BY we, b),
+  wint AS (SELECT we, sum(n) AS t FROM winb GROUP BY we)
+  SELECT w.we, r.b, r.wpr,
+         greatest(coalesce(wb.n, 0) / CAST(w.t AS DOUBLE), 1e-6) AS wpn
+  FROM wint w CROSS JOIN refp r
+  LEFT JOIN winb wb ON wb.we = w.we AND wb.b = r.b
+) GROUP BY we
+ORDER BY part, k
 """
 
 
 @query("drift_psi_lineitem", _DRIFT_SQL)
 def drift_psi_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PSI drift report between the two date halves of lineitem."""
-    from spark_df_profiling_spark.operators.drift import psi_report
+    """PSI drift, tagged by ``part``: 'col' rows are the batch
+    snapshot-vs-snapshot report on lineitem's date halves; 'win' rows
+    grade :func:`drift.windowed_psi` — the streaming-shaped per-window
+    monitor (one stateful aggregation, batch/streaming-identical plan)
+    of events.value against a frozen reference histogram, with the
+    full bucket/eps/term arithmetic replayed per window in DuckDB."""
+    from spark_df_profiling_spark.operators.drift import (
+        psi_report, reference_histogram, windowed_psi)
     li = _t(spark, sf_dir, "lineitem")
     ep = epoch_seconds(li, "l_shipdate")
     ref = li.where(ep < _DRIFT_EPOCH)
@@ -2437,8 +2475,17 @@ def drift_psi_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep = psi_report(ref, new,
                      numeric_cols=[c for c, _ in _DRIFT_NUM],
                      categorical_cols=_DRIFT_CAT, bins=10)
-    return (rep.select("column", sig(F.col("psi")).alias("psi_s"), "band")
-            .orderBy("column"))
+    cols = rep.select(F.lit("col").alias("part"),
+                      F.col("column").alias("k"),
+                      sig(F.col("psi")).alias("psi_s"), "band")
+    ev = with_event_time(_t(spark, sf_dir, "events"))
+    wref = reference_histogram(ev, "value", bins=8)
+    wp = windowed_psi(ev, "ts_ts", "value", wref, "1 day")
+    wins = wp.select(
+        F.lit("win").alias("part"),
+        epoch_seconds(wp, "window_start").cast("string").alias("k"),
+        sig(F.col("psi")).alias("psi_s"), "band")
+    return cols.unionByName(wins).orderBy("part", "k")
 
 
 @query("mixture_sample_counts", f"""

@@ -315,6 +315,56 @@ def test_hash_bucket_matches_python_hashlib(spark):
         assert got == {k: py_bucket(k, seed) for k in keys}, seed
 
 
+def test_windowed_psi_flags_drifted_window(spark):
+    from spark_df_profiling_spark.operators.drift import (
+        reference_histogram, windowed_psi)
+    base = 1_700_000_000  # aligned-ish epoch; exact alignment irrelevant
+    rows = []
+    for day in range(3):
+        for i in range(1000):
+            # days 0-1: uniform 0..99; day 2: concentrated 90..99
+            v = (90 + i % 10) if day == 2 else i % 100
+            rows.append((base + day * 86_400 + (i % 86_000), float(v)))
+    df = spark.createDataFrame(rows, "sec long, value double") \
+        .select(F.timestamp_seconds("sec").alias("ts_ts"), "value")
+    ref = reference_histogram(df.where(
+        F.col("ts_ts") < F.timestamp_seconds(F.lit(base + 2 * 86_400))),
+        "value", bins=10)
+    out = {r["window_start"]: r for r in
+           windowed_psi(df, "ts_ts", "value", ref, "1 day").collect()}
+    assert len(out) == 3 or len(out) == 4  # day windows (UTC alignment)
+    bands = sorted((ws, r["band"]) for ws, r in out.items())
+    # the two clean days are stable, the concentrated day is shifted
+    assert [b for _, b in bands[:-1]] == ["stable"] * (len(bands) - 1)
+    assert bands[-1][1] == "shifted"
+    assert out[bands[-1][0]]["psi"] > 0.25
+    with pytest.raises(ValueError, match="non-constant"):
+        reference_histogram(df.select(F.lit(1.0).alias("c")), "c")
+
+
+def test_windowed_psi_streaming_equals_batch(spark, sf_dir):
+    from spark_df_profiling_spark.operators.drift import (
+        reference_histogram, windowed_psi)
+    from spark_df_profiling_spark.sources import with_event_time
+    from spark_df_profiling_spark.streaming import (
+        events_stream, run_stream_to_memory)
+    ev = with_event_time(
+        spark.read.parquet(f"{sf_dir}/events.parquet"))
+    ref = reference_histogram(ev, "value", bins=8)
+    batch = {(r["window_start"], round(r["psi"], 9))
+             for r in windowed_psi(ev, "ts_ts", "value", ref,
+                                   "1 day").collect()}
+    stream = events_stream(spark, sf_dir)
+    # complete mode: append would withhold the final window (the
+    # watermark never passes the max event time on a bounded stream)
+    run_stream_to_memory(
+        windowed_psi(stream, "ts_ts", "value", ref, "1 day"),
+        "winpsi_out", output_mode="complete")
+    got = {(r["window_start"], round(r["psi"], 9))
+           for r in spark.table("winpsi_out").collect()}
+    assert got == batch and len(batch) > 0
+
+
 def test_psi_null_rate_drift_scored(spark):
     # same non-null distribution, but nulls appear in `new`: invisible
     # by default, scored with include_nulls=True
