@@ -98,6 +98,40 @@ def main() -> None:
     shard_summary(docs.withColumn("__nt", F.size(toks)),
                   "__nt", "doc_id", context_len=4096).show(4)
 
+    # 8. Round-7 pipeline ops: cross-run history dedup, temperature
+    #    mixing, histogram-derived quantiles, windowed drift monitor
+    from spark_df_profiling_spark.operators.dedup import (
+        dedup_against_history, history_hashes)
+    history = history_hashes(docs.where(F.col("doc_id") < 300), ["text"])
+    batch = docs.where((F.col("doc_id") >= 300) & (F.col("doc_id") < 400))
+    survivors = dedup_against_history(batch, history, cols=["text"],
+                                      order_col="doc_id")
+    print("history dedup: batch", batch.count(),
+          "-> new-content survivors", survivors.count())
+
+    from spark_df_profiling_spark.operators.sampling import (
+        temperature_resample, temperature_weights)
+    temperature_weights(docs, "source", tau=0.5) \
+        .select("source", "n_rows", "weight", "epochs").show(4)
+    temperature_resample(docs, "source", "doc_id", tau=0.5) \
+        .groupBy("source").count().orderBy("source").show(4)
+
+    from spark_df_profiling_spark.operators.incremental import (
+        quantiles_from_state)
+    lo, hi = li.agg(F.min("l_extendedprice"),
+                    F.max("l_extendedprice")).collect()[0]
+    qparts = [partial_profile(li.where(F.col("l_orderkey") % 2 == i),
+                              cols=["l_extendedprice"],
+                              hist_edges={"l_extendedprice": (lo, hi)},
+                              hist_bins=64) for i in (0, 1)]
+    quantiles_from_state(merge_partials(*qparts)).show()
+
+    from spark_df_profiling_spark.operators.drift import (
+        reference_histogram, windowed_psi)
+    ref = reference_histogram(ev, "value", bins=8)
+    windowed_psi(ev, "ts_ts", "value", ref, "1 day") \
+        .orderBy("window_start").show(4)
+
     spark.stop()
 
 
