@@ -638,3 +638,92 @@ def decontaminate(df: DataFrame, benchmark: DataFrame,
             .withColumn("n_hits",
                         F.coalesce("n_hits", F.lit(0).cast("long")))
             .withColumn("contaminated", F.col("n_hits") >= min_hits))
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter dedup state (compact cross-run membership)
+# ---------------------------------------------------------------------------
+def bloom_positions(hash_col: Column, m_bits: int, k: int) -> Column:
+    """Array of ``k`` bit positions in ``[0, m_bits)`` derived from a
+    content-hash string — engine-portable md5 arithmetic (same 60-bit
+    hex-prefix trick as :func:`operators.sampling.hash_bucket`)."""
+    return F.array(*[
+        (F.conv(F.substring(F.md5(F.concat(hash_col, F.lit(f":{i}"))),
+                            1, 15), 16, 10)
+         .cast("bigint") % m_bits)
+        for i in range(k)])
+
+
+def bloom_state(df: DataFrame, cols: str | list[str] | None = None,
+                m_bits: int = 1 << 20, k: int = 5) -> DataFrame:
+    """Sparse Bloom filter over document content — the COMPACT
+    cross-run dedup state.
+
+    :func:`history_hashes` stores 32 bytes per distinct doc (exact,
+    zero false positives).  At 100 TB-corpus scale even that state is
+    tens of GB; a Bloom filter at ~1% fpp costs ~1.2 BYTES per doc
+    (``m/n ≈ 9.6 bits``), at the price of dropping ~1% of genuinely
+    novel documents as false positives — the standard trade, and the
+    right one when the history is only an advisory "probably seen"
+    filter in front of an exact join.
+
+    Representation is SPARSE and mergeable: one row per occupied
+    64-bit word, ``(word_idx BIGINT, bits BIGINT)`` with ``bits`` the
+    OR of set bit masks.  Built with one explode + ``bit_or`` group
+    (map-side partial); at most ``m_bits/64`` rows regardless of
+    corpus size (default 1 Mi bits -> <=16384 rows, a few hundred KB —
+    always broadcastable).  Merge two days' states with
+    ``union -> groupBy(word_idx) -> bit_or(bits)``.  No false
+    negatives ever: every inserted doc sets all its k bits.
+
+    Size ``m_bits ≈ 9.6 × expected_distinct_docs`` for 1% fpp
+    (``m/n = -ln(p)/ln(2)²``); k=5 is near-optimal there.
+    """
+    cols = _collist(cols) if cols else df.columns
+    pos = bloom_positions(content_hash(cols), m_bits, k)
+    return (df.select(F.explode(pos).alias("__p"))
+            .select((F.col("__p") / 64).cast("bigint").alias("word_idx"),
+                    F.expr("shiftleft(cast(1 as bigint), "
+                           "cast(__p % 64 as int))").alias("__m"))
+            .groupBy("word_idx")
+            .agg(F.expr("bit_or(__m)").alias("bits")))
+
+
+def bloom_might_contain(df: DataFrame, state: DataFrame,
+                        cols: str | list[str] | None = None,
+                        m_bits: int = 1 << 20, k: int = 5,
+                        out_col: str = "might_contain") -> DataFrame:
+    """Tag each row with whether the Bloom ``state`` may contain it.
+
+    ``True`` = probably seen (false-positive rate set by m/n and k);
+    ``False`` = DEFINITELY novel.  The day-2 ingest pattern:
+    ``bloom_might_contain(batch, yesterday_state).where(~might_contain)``
+    keeps all definitely-novel docs with zero risk of losing a real
+    duplicate-check, then the small "maybe" remainder (~fpp of the
+    batch + the true dups) goes through the exact
+    :func:`dedup_against_history` join.
+
+    Plan: k-position explode on the batch, join on ``word_idx``
+    (state side is <= m_bits/64 rows — broadcast it), then a per-doc
+    ``bool_and`` over "bit present".  m_bits and k MUST match the
+    state's construction (mismatch = garbage answers; keep them with
+    the stored state).
+    """
+    cols = _collist(cols) if cols else df.columns
+    marked = df.withColumn("__ch", content_hash(cols))
+    pos = (marked.select("__ch")
+           .distinct()
+           .select("__ch", F.posexplode(
+               bloom_positions(F.col("__ch"), m_bits, k))
+               .alias("__i", "__p"))
+           .select("__ch",
+                   (F.col("__p") / 64).cast("bigint").alias("word_idx"),
+                   F.expr("shiftleft(cast(1 as bigint), "
+                          "cast(__p % 64 as int))").alias("__m")))
+    hits = (pos.join(F.broadcast(state), "word_idx", "left")
+            .withColumn("__present",
+                        F.coalesce(F.col("bits"), F.lit(0).cast("bigint"))
+                        .bitwiseAND(F.col("__m")) != 0)
+            .groupBy("__ch")
+            .agg(F.bool_and("__present").alias(out_col)))
+    return marked.join(hits, "__ch", "left").drop("__ch")

@@ -500,3 +500,107 @@ def quality_funnel(df: DataFrame,
                 (F.col("n_evaluated") - F.col("n_surviving"))
                 .alias("n_dropped"),
                 "n_surviving"))
+
+
+# --- document chunking (RAG / pretraining context windows) -----------------
+def chunk_documents(df: DataFrame, text_col: str, id_col: str,
+                    chunk_tokens: int = 64, overlap: int = 16,
+                    out_prefix: str = "chunk") -> DataFrame:
+    """Split documents into overlapping token-window chunks.
+
+    The standard context-window chunker every RAG / pretraining
+    pipeline needs: chunk ``i`` covers whitespace tokens
+    ``[i*stride, i*stride + chunk_tokens)`` with
+    ``stride = chunk_tokens - overlap``; the final chunk is the
+    (possibly short) tail.  A document with ``n <= chunk_tokens``
+    tokens yields exactly one chunk (itself).
+
+    Returns one row per chunk: ``(id_col, {out_prefix}_id,
+    {out_prefix}_text, {out_prefix}_n_tokens)``.
+
+    Scale: pure per-row JVM work — split once, build the chunk array
+    with one ``transform`` over ``sequence(0, n_chunks-1)`` (the token
+    array is bound as a real column first, the HOF "let" idiom used
+    throughout this module, so slicing never re-splits the document),
+    then ``posexplode``.  Zero shuffles, zero UDFs; output size is
+    input size x (1 + overlap/stride) and each chunk row is
+    independent, so the op streams through 100 TB embarrassingly
+    parallel.  Reference scope: the profiler has no chunker; this is a
+    north-star training-data extension (SURVEY §2.9).
+    """
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be positive")
+    if not (0 <= overlap < chunk_tokens):
+        raise ValueError("overlap must be in [0, chunk_tokens)")
+    stride = chunk_tokens - overlap
+    toks = F.split(_c(text_col), " ")
+    n = F.size(F.col("__toks"))
+    n_chunks = (F.when(n <= chunk_tokens, F.lit(1).cast("long"))
+                .otherwise(F.floor((n - F.lit(chunk_tokens)
+                                    + F.lit(stride - 1))
+                                   / F.lit(float(stride))) + 1))
+    chunks = F.transform(
+        F.sequence(F.lit(0).cast("long"), F.col("__nc") - 1),
+        lambda i: F.array_join(
+            F.slice(F.col("__toks"),
+                    (i * stride + 1).cast("int"), chunk_tokens),
+            " "))
+    return (df
+            .withColumn("__toks", toks)
+            .withColumn("__nc", n_chunks)
+            .select(id_col, F.posexplode(chunks)
+                    .alias(f"{out_prefix}_id", f"{out_prefix}_text"))
+            .withColumn(f"{out_prefix}_n_tokens",
+                        F.size(F.split(F.col(f"{out_prefix}_text"), " "))))
+
+
+# --- TF-IDF (corpus-level term weighting) ----------------------------------
+def doc_frequency(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(token, df) — number of documents containing each whitespace
+    token.  One explode + distinct-by-(doc,token) + count: two
+    shuffles on uniform keys, partial aggregation map-side."""
+    return (df.select(F.col(id_col).alias("__id"),
+                      F.explode(F.array_distinct(
+                          F.split(_c(text_col), " "))).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("df")))
+
+
+def tfidf_topk(df: DataFrame, text_col: str, id_col: str,
+               k: int = 3) -> DataFrame:
+    """Top-k TF-IDF terms per document (smoothed sklearn-style idf).
+
+    ``tf`` = in-document count of the whitespace token; ``idf`` =
+    ``ln((N+1)/(df+1)) + 1`` (the sklearn ``smooth_idf`` form — never
+    zero, never divides by zero); ``score = tf * idf``.  Ties break
+    deterministically by token string ascending.
+
+    Returns ``(id_col, token, tf, df, score_s, rank)`` with ``score_s``
+    the 5-significant-digit portable form of the score (ln differs in
+    the last ulp across libm implementations; the profile oracle uses
+    the same normalization).
+
+    Scale: tf is one shuffle on (doc, token); df is a map-side-partial
+    count on token; N rides a 1-row broadcast cross join; the tf<->df
+    join shuffles on the token key (vocabulary-sized, uniform); the
+    final per-doc top-k is a window over the doc key.  No UDFs, no
+    driver collects.
+    """
+    tf = (df.select(F.col(id_col).alias("__id"),
+                    F.explode(F.split(_c(text_col), " ")).alias("token"))
+          .groupBy("__id", "token")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count_distinct(_c(id_col)).alias("__n"))
+    from pyspark.sql import Window
+    scored = (tf.join(dfreq, "token")
+              .join(F.broadcast(n_docs))
+              .withColumn("score",
+                          F.col("tf") * (F.log((F.col("__n") + 1)
+                                               / (F.col("df") + 1)) + 1)))
+    w = Window.partitionBy("__id").orderBy(
+        F.desc("score"), F.asc("token"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(F.col("__id").alias(id_col), "token", "tf", "df",
+                    "score", "rank"))

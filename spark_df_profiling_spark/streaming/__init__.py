@@ -196,3 +196,46 @@ def streaming_dedup(df: DataFrame, keys: "list[str]",
         return (df.withWatermark(ts_col, watermark)
                 .dropDuplicatesWithinWatermark(keys))
     return df.dropDuplicates(keys)
+
+
+def stream_stream_interval_join(left: DataFrame, right: DataFrame,
+                                key_col: str,
+                                left_ts: str = "ts_ts",
+                                right_ts: str = "ts_ts",
+                                max_delay: str = "1 hour",
+                                watermark: str = "1 hour",
+                                suffix: str = "_r") -> DataFrame:
+    """Watermarked stream-stream inner join with a time-interval bound.
+
+    The canonical Structured Streaming join pattern (impressions x
+    clicks, views x purchases): match rows sharing ``key_col`` where
+    the right event lands within ``[left_ts, left_ts + max_delay]``.
+    BOTH sides carry a watermark and the join condition bounds event
+    time in BOTH directions — that is what lets Spark evict buffered
+    state (an unbounded stream-stream join would otherwise keep every
+    row forever; Spark refuses to plan it in append mode without the
+    time bound).
+
+    Works identically on batch frames (the same join condition, no
+    watermark needed) — tests pin streaming output against the batch
+    join.
+
+    Scale: state per side is bounded by (watermark + max_delay) x
+    ingest rate; the join shuffles both streams on ``key_col`` once.
+    Right-side columns are renamed with ``suffix`` to avoid collisions.
+    """
+    if left.isStreaming:
+        left = left.withWatermark(left_ts, watermark)
+    if right.isStreaming:
+        right = right.withWatermark(right_ts, watermark)
+    lcols = set(left.columns)
+    renames = {c: (c + suffix if c in lcols else c) for c in right.columns}
+    right = right.select(*[F.col(c).alias(renames[c])
+                           for c in right.columns])
+    rkey = renames[key_col]
+    rts = renames[right_ts]
+    cond = ((F.col(key_col) == F.col(rkey))
+            & (F.col(rts) >= F.col(left_ts))
+            & (F.col(rts) <= F.col(left_ts)
+               + F.expr(f"INTERVAL {max_delay}")))
+    return left.join(right, cond, "inner").drop(rkey)
