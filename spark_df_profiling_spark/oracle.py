@@ -732,14 +732,34 @@ SELECT 'pack', CAST(doc_id AS VARCHAR), start_offset,
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
             AS BIGINT) AS start_offset
   FROM documents WHERE doc_id < 50)
+UNION ALL
+SELECT 'chunk',
+       CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR),
+       CAST(len(toks[i*48+1 : i*48+64]) AS BIGINT),
+       ('0x' || substr(md5(array_to_string(toks[i*48+1 : i*48+64], ' ')),
+                       1, 15))::BIGINT
+FROM (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, nc - 1)) AS i
+  FROM (
+    SELECT doc_id, toks,
+           CASE WHEN len(toks) <= 64 THEN 1
+                ELSE CAST(floor((len(toks) - 64 + 47) / 48.0) AS BIGINT)
+                     + 1 END AS nc
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents WHERE doc_id < 40)))
 ORDER BY part, k
 """)
 def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting (BPE-ish regex) by language + sequence packing in
-    one graded row set: the 'pack' rows pin the distributed prefix-sum
-    shard assignment (operators/packing.py — range-repartition + driver
-    prefix of per-partition totals, never a single-partition window)
-    against DuckDB's global window cumsum over the same token counts."""
+    """Token counting (BPE-ish regex) by language + sequence packing +
+    context-window chunking in one graded row set: the 'pack' rows pin
+    the distributed prefix-sum shard assignment (operators/packing.py —
+    range-repartition + driver prefix of per-partition totals, never a
+    single-partition window) against DuckDB's global window cumsum over
+    the same token counts; the 'chunk' rows pin text.chunk_documents
+    (64-token windows, 16-token overlap) content-exactly — v1 is the
+    chunk's token count and v2 a portable 60-bit md5 of the chunk
+    text, recomputed in DuckDB from the identical slice arithmetic."""
     from spark_df_profiling_spark.operators import text as TX
     from spark_df_profiling_spark.operators.packing import pack_offsets
     d = _t(spark, sf_dir, "documents")
@@ -758,7 +778,17 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string").alias("k"),
         F.col("start_offset").alias("v1"),
         F.col("shard_id").alias("v2"))
-    return by_lang.unionByName(pack).orderBy("part", "k")
+    chunk = (TX.chunk_documents(
+        d.where(F.col("doc_id") < 40).select("doc_id", "text"),
+        "text", "doc_id", chunk_tokens=64, overlap=16)
+        .select(F.lit("chunk").alias("part"),
+                F.concat(F.col("doc_id").cast("string"), F.lit(":"),
+                         F.col("chunk_id").cast("string")).alias("k"),
+                F.col("chunk_n_tokens").cast("long").alias("v1"),
+                F.conv(F.substring(F.md5("chunk_text"), 1, 15), 16, 10)
+                .cast("bigint").alias("v2")))
+    return (by_lang.unionByName(pack).unionByName(chunk)
+            .orderBy("part", "k"))
 
 
 # ---------------------------------------------------------------------------
@@ -871,6 +901,25 @@ FROM (
     SELECT doc_id, row_number() OVER (PARTITION BY text
                                       ORDER BY doc_id) AS rk
     FROM surv) WHERE rk = 1)
+UNION ALL
+SELECT 'bloom', doc_id, CAST(mc AS BIGINT), CAST(NULL AS BIGINT) FROM (
+  WITH hp AS (
+    SELECT DISTINCT
+        ('0x' || substr(md5(sha256(text) || ':' || i), 1, 15))::BIGINT
+            % 16384 AS p
+    FROM (SELECT DISTINCT text FROM documents WHERE doc_id < 300),
+         (SELECT unnest(generate_series(0, 4)) AS i)
+  ),
+  bp AS (
+    SELECT doc_id,
+        ('0x' || substr(md5(sha256(text) || ':' || i), 1, 15))::BIGINT
+            % 16384 AS p
+    FROM (SELECT doc_id, text FROM documents WHERE doc_id >= 200),
+         (SELECT unnest(generate_series(0, 4)) AS i)
+  )
+  SELECT doc_id,
+         min(CASE WHEN p IN (SELECT p FROM hp) THEN 1 ELSE 0 END) AS mc
+  FROM bp GROUP BY doc_id)
 ORDER BY part, v1
 """)
 def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -942,8 +991,24 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.col("doc_id").alias("v1"),
                          F.lit(None).cast("long").alias("v2"),
                          F.lit(None).cast("long").alias("v3")))
+    # 'bloom': the compact membership state — history = docs < 300,
+    # probe batch = docs >= 200 (the 200-299 overlap MUST all flag
+    # might_contain; false positives among the novel docs, if any, are
+    # deterministic md5 arithmetic both engines replay identically —
+    # DuckDB expresses the bitmap as the equivalent position SET).
+    from spark_df_profiling_spark.operators.dedup import (
+        bloom_might_contain, bloom_state)
+    bstate = bloom_state(d.where(F.col("doc_id") < 300), ["text"],
+                         m_bits=1 << 14, k=5)
+    bloom = (bloom_might_contain(d.where(F.col("doc_id") >= 200),
+                                 bstate, ["text"], m_bits=1 << 14, k=5)
+             .select(F.lit("bloom").alias("part"),
+                     F.col("doc_id").alias("v1"),
+                     F.col("might_contain").cast("long").alias("v2"),
+                     F.lit(None).cast("long").alias("v3")))
     return (kept.unionByName(stats).unionByName(ld).unionByName(sd)
-            .unionByName(hist_rows).orderBy("part", "v1"))
+            .unionByName(hist_rows).unionByName(bloom)
+            .orderBy("part", "v1"))
 
 
 # ---------------------------------------------------------------------------
@@ -1895,16 +1960,30 @@ WITH c AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS tus
            FROM events WHERE event_type = 'click'),
 v AS (SELECT event_id AS view_id, user_id, epoch_ns(ts) // 1000 AS tus
       FROM events WHERE event_type = 'view')
-SELECT c.event_id, v.view_id,
-       {_psig('(c.tus - v.tus) / 1000000.0')} AS lag_s
+SELECT 'asof' AS part, c.event_id AS k, v.view_id AS v1,
+       {_psig('(c.tus - v.tus) / 1000000.0')} AS s
 FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.tus >= v.tus
-ORDER BY c.event_id
+UNION ALL
+SELECT 'ssj', v.event_id, p.event_id,
+       {_psig('(epoch_ns(p.ts) - epoch_ns(v.ts)) / 1000000000.0')}
+FROM events v JOIN events p ON v.user_id = p.user_id
+  AND v.event_type = 'view' AND p.event_type = 'purchase'
+  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+ORDER BY part, k, v1
 """)
 def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (click → latest prior view per user) vs DuckDB's native
     ASOF LEFT JOIN — pins inclusive-tie, left-outer, latest-prior
-    semantics of `operators/joins.py::asof_join`."""
+    semantics of `operators/joins.py::asof_join` — plus the
+    stream-stream interval join (streaming.stream_stream_interval_join)
+    graded from a REAL Structured Streaming execution: both event
+    streams are watermarked, joined on user within
+    [view_ts, view_ts + 1h], run availableNow into a memory sink, and
+    every matched (view, purchase) pair plus its lag must equal
+    DuckDB's batch inequality join."""
     from spark_df_profiling_spark.operators.joins import asof_join
+    from spark_df_profiling_spark.streaming import (
+        events_stream, run_stream_to_memory, stream_stream_interval_join)
     ev = _t(spark, sf_dir, "events")
     # event_time_micros adapts to the stored ts dtype; integer micros as
     # the join key means both engines compare exactly (no double
@@ -1916,11 +1995,29 @@ def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("view_id"), "user_id",
         tus.alias("tus"))
     out = asof_join(c, v, on="user_id", left_ts="tus")
-    return (out.select(
-        "event_id", F.col("r_view_id").alias("view_id"),
+    asof = (out.select(
+        F.lit("asof").alias("part"),
+        F.col("event_id").alias("k"),
+        F.col("r_view_id").alias("v1"),
         sig((F.col("tus") - F.col("r_tus")) / F.lit(1000000.0))
-        .alias("lag_s"))
-        .orderBy("event_id"))
+        .alias("s")))
+    sl = (events_stream(spark, sf_dir)
+          .where(F.col("event_type") == "view")
+          .select("event_id", "user_id", "ts_ts"))
+    sr = (events_stream(spark, sf_dir)
+          .where(F.col("event_type") == "purchase")
+          .select("event_id", "user_id", "ts_ts"))
+    sj = stream_stream_interval_join(sl, sr, "user_id",
+                                     max_delay="1 hour")
+    run_stream_to_memory(sj, "oracle_ssj_out", output_mode="append")
+    ssj = (spark.table("oracle_ssj_out")
+           .select(F.lit("ssj").alias("part"),
+                   F.col("event_id").alias("k"),
+                   F.col("event_id_r").alias("v1"),
+                   sig((F.unix_micros("ts_ts_r")
+                        - F.unix_micros("ts_ts")) / F.lit(1e6))
+                   .alias("s")))
+    return asof.unionByName(ssj).orderBy("part", "k", "v1")
 
 
 _EV_EPOCH_US = 1_704_067_200_000_000  # 2024-01-01 00:00:00 naive, micros
@@ -2187,6 +2284,27 @@ FROM (SELECT doc_id,
                  ORDER BY {_BK.format(seed=5)} ASC, doc_id ASC) AS rk
       FROM documents)
 WHERE rk <= 5
+UNION ALL
+SELECT 'dsir', CAST(doc_id AS VARCHAR) || ':' || lw_s, n_tokens
+FROM (
+  WITH b AS (
+    SELECT doc_id, lang,
+           (('0x' || substr(md5(tok || ':0'), 1, 15))::BIGINT % 1000)
+               AS bucket
+    FROM (SELECT doc_id, lang,
+                 unnest(string_split(text, ' ')) AS tok
+          FROM documents)
+  ),
+  raw AS (SELECT bucket, count(*) AS rc FROM b GROUP BY bucket),
+  tgt AS (SELECT bucket, count(*) AS tc FROM b WHERE lang = 'en'
+          GROUP BY bucket),
+  tot AS (SELECT (SELECT count(*) FROM b) AS rt,
+                 (SELECT count(*) FROM b WHERE lang = 'en') AS tt)
+  SELECT b.doc_id, count(*) AS n_tokens,
+         {_psig('''sum(ln((coalesce(tc, 0) + 1.0) / (rc + 1.0))
+                 + ln((rt + 1000.0) / (tt + 1000.0)))''')} AS lw_s
+  FROM b JOIN raw USING(bucket) LEFT JOIN tgt USING(bucket), tot
+  GROUP BY b.doc_id, rt, tt)
 ORDER BY part, k
 """)
 def hash_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2222,8 +2340,20 @@ def hash_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select(F.lit("exactk").alias("part"),
                       F.col("doc_id").cast("string").alias("k"),
                       F.lit(1).cast("long").alias("n")))
+    # 'dsir': per-doc DSIR importance log-weight (target = lang='en')
+    # pinned to 5 significant digits inside k — the whole hashed-ngram
+    # + smoothed-log-ratio pipeline is replayed end to end in DuckDB
+    # from the identical md5 bucket arithmetic.
+    from spark_df_profiling_spark.operators.sampling import dsir_logweights
+    dsir = (dsir_logweights(d, d.where(F.col("lang") == "en"),
+                            "text", "doc_id", n_buckets=1000)
+            .select(F.lit("dsir").alias("part"),
+                    F.concat(F.col("doc_id").cast("string"), F.lit(":"),
+                             sig(F.col("log_w"))).alias("k"),
+                    F.col("n_tokens").cast("long").alias("n")))
     return (split.unionByName(samp).unionByName(strat)
-            .unionByName(exactk).orderBy("part", "k"))
+            .unionByName(exactk).unionByName(dsir)
+            .orderBy("part", "k"))
 
 
 # ---------------------------------------------------------------------------
@@ -2586,18 +2716,60 @@ def mixture_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mix.unionByName(tauw).unionByName(tau).orderBy("part", "k")
 
 
-@query("vocab_top_tokens", """
-SELECT token, count(*) AS cnt
-FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
-WHERE token <> ''
-GROUP BY token
-ORDER BY cnt DESC, token
-LIMIT 20
+@query("vocab_top_tokens", f"""
+SELECT 'top' AS part, token AS k, cnt AS v1,
+       CAST(NULL AS VARCHAR) AS v2s
+FROM (
+  SELECT token, count(*) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  WHERE token <> ''
+  GROUP BY token
+  ORDER BY cnt DESC, token
+  LIMIT 20)
+UNION ALL
+SELECT 'tfidf', CAST(doc_id AS VARCHAR) || ':' || CAST(rank AS VARCHAR)
+        || ':' || token,
+       tf, {_psig('score')}
+FROM (
+  WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 30),
+  tf AS (SELECT doc_id, token, count(*) AS tf
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+               FROM d)
+         GROUP BY doc_id, token),
+  dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+  n AS (SELECT count(DISTINCT doc_id) AS nd FROM d)
+  SELECT tf.doc_id, tf.token, tf.tf,
+         tf.tf * (ln((nd + 1.0) / (dfreq.df + 1.0)) + 1) AS score,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf * (ln((nd + 1.0)
+                                    / (dfreq.df + 1.0)) + 1) DESC,
+                            tf.token ASC) AS rank
+  FROM tf JOIN dfreq USING(token), n)
+WHERE rank <= 3
+ORDER BY part, k
 """)
 def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-global top-20 vocabulary (skew-safe two-phase top-k over
     the exploded token stream — the stop-word head is the classic skew
-    case; map-side partial agg + bucketed local rank keep it parallel)."""
-    from spark_df_profiling_spark.operators.text import vocab_topk
+    case; map-side partial agg + bucketed local rank keep it parallel)
+    + per-document top-3 TF-IDF terms (text.tfidf_topk — smoothed
+    sklearn idf, deterministic token-asc tie-break) in one graded row
+    set tagged by ``part``; 'tfidf' rows carry the term identity and
+    rank in k, tf in v1, and the 5-significant-digit score in v2s."""
+    from spark_df_profiling_spark.operators.text import (
+        tfidf_topk, vocab_topk)
     d = _t(spark, sf_dir, "documents")
-    return vocab_topk(d, "text", k=20)
+    top = (vocab_topk(d, "text", k=20)
+           .select(F.lit("top").alias("part"),
+                   F.col("token").alias("k"),
+                   F.col("cnt").cast("long").alias("v1"),
+                   F.lit(None).cast("string").alias("v2s")))
+    tfidf = (tfidf_topk(d.where(F.col("doc_id") < 30), "text",
+                        "doc_id", k=3)
+             .select(F.lit("tfidf").alias("part"),
+                     F.concat(F.col("doc_id").cast("string"),
+                              F.lit(":"), F.col("rank").cast("string"),
+                              F.lit(":"), F.col("token")).alias("k"),
+                     F.col("tf").cast("long").alias("v1"),
+                     sig(F.col("score")).alias("v2s")))
+    return top.unionByName(tfidf).orderBy("part", "k")
