@@ -132,6 +132,40 @@ def main() -> None:
     windowed_psi(ev, "ts_ts", "value", ref, "1 day") \
         .orderBy("window_start").show(4)
 
+    # 9. Round-7 session-2 ops: chunking, TF-IDF, DSIR weights, Bloom
+    #    dedup state, stream-stream interval join
+    from spark_df_profiling_spark.operators.text import (
+        chunk_documents, tfidf_topk)
+    chunks = chunk_documents(docs, "text", "doc_id",
+                             chunk_tokens=64, overlap=16)
+    print("chunker:", docs.count(), "docs ->", chunks.count(), "chunks")
+    tfidf_topk(docs, "text", "doc_id", k=2) \
+        .orderBy("doc_id", "rank").show(4)
+
+    from spark_df_profiling_spark.operators.sampling import (
+        dsir_logweights)
+    dsir_logweights(docs, docs.where(F.col("lang") == "en"),
+                    "text", "doc_id", n_buckets=1000) \
+        .orderBy(F.desc("log_w")).show(3)
+
+    from spark_df_profiling_spark.operators.dedup import (
+        bloom_might_contain, bloom_state)
+    state = bloom_state(docs.where(F.col("doc_id") < 300), ["text"],
+                        m_bits=1 << 16, k=5)
+    bloom_might_contain(docs.where(F.col("doc_id") >= 200), state,
+                        ["text"], m_bits=1 << 16, k=5) \
+        .groupBy("might_contain").count().show()
+
+    from spark_df_profiling_spark.streaming import (
+        stream_stream_interval_join)
+    views = ev.where(F.col("event_type") == "view") \
+        .select("event_id", "user_id", "ts_ts")
+    buys = ev.where(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "ts_ts", "value")
+    pairs = stream_stream_interval_join(views, buys, "user_id",
+                                        max_delay="1 day")
+    print("view->purchase pairs within 1 day:", pairs.count())
+
     spark.stop()
 
 

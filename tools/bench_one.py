@@ -17,6 +17,22 @@ import sys
 import time
 
 
+def _asof_operator(spark, t):
+    """The as-of join itself (bench.py shape) — NOT the oracle slot,
+    which since r7 also executes the stream-stream grading harness."""
+    from pyspark.sql import functions as F
+
+    from spark_df_profiling_spark.operators.joins import asof_join
+    from spark_df_profiling_spark.sources import event_time_micros
+    ev = t("events")
+    tus = event_time_micros(ev)
+    c = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", tus.alias("tus"))
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", tus.alias("tus"))
+    asof_join(c, v, on="user_id", left_ts="tus").collect()
+
+
 def main() -> None:
     name = sys.argv[1]
     n_runs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
@@ -54,7 +70,8 @@ def main() -> None:
             spark, sf_dir).collect(),
         "session_profile": lambda: SPARK_QUERIES["session_profile_events"](
             spark, sf_dir).collect(),
-        "asof_join": lambda: SPARK_QUERIES["asof_click_attribution"](
+        "asof_join": lambda: _asof_operator(spark, t),
+        "corr_matrix": lambda: SPARK_QUERIES["corr_matrix"](
             spark, sf_dir).collect(),
         "range_join": lambda: SPARK_QUERIES["range_join_event_windows"](
             spark, sf_dir).collect(),

@@ -399,8 +399,119 @@ def skew_main() -> None:
           f"run2_kept_identical={res2 == res['kept']}", flush=True)
 
 
+def r7b_main() -> None:
+    """Round-7 session-2 operators at 10x (50k docs / 100k events) with
+    planted skew:
+
+    * chunk_documents — the 10x corpus PLUS one 10M-token document
+      (one input row fans out to ~208k chunk rows through a single
+      transform+posexplode; per-row work, no shuffle to skew);
+    * tfidf_topk — full corpus (vocabulary-key join + per-doc window);
+    * dsir_logweights — full corpus vs lang='en' target (two bucket
+      scans + broadcast ratio + one doc-id shuffle);
+    * bloom_state / bloom_might_contain — state over 50k docs, probe
+      with a half-overlapping batch; false-negative count MUST be 0;
+    * stream_stream_interval_join — batch semantics at events x10
+      (10x users at same per-user density: join state per key constant,
+      output scales linearly).
+    """
+    spark = (SparkSession.builder.master("local[32]")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory", "32g")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    t = lambda name: spark.read.parquet(f"{SF_DIR}/{name}.parquet")
+
+    docs = replicate(t("documents"), ["doc_id"], REPLICAS,
+                     materialize_as="documents_x10b", spark=spark)
+    n_docs = docs.count()
+
+    from spark_df_profiling_spark.operators.text import (
+        chunk_documents, tfidf_topk)
+    giant = spark.range(1).select(
+        F.lit(999_999_999).alias("doc_id"),
+        F.array_join(
+            F.transform(F.sequence(F.lit(1), F.lit(10_000_000)),
+                        lambda i: F.concat(F.lit("t"), (i % 997)
+                                           .cast("string"))),
+            " ").alias("text"))
+    corpus = docs.select("doc_id", "text").unionByName(giant)
+    t0 = time.time()
+    ch = chunk_documents(corpus, "text", "doc_id",
+                         chunk_tokens=2048, overlap=128)
+    agg = ch.agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("chunk_n_tokens").alias("tok"),
+                 F.max(F.when(F.col("doc_id") == 999_999_999, 1)
+                       .otherwise(0)).alias("giant_seen")).collect()[0]
+    t_ch = time.time() - t0
+    print(f"SKEW chunk_documents ({n_docs} docs + one 10M-token doc): "
+          f"{t_ch:.1f}s  chunks={agg['n']} giant_ok={agg['giant_seen']}",
+          flush=True)
+
+    t0 = time.time()
+    tk = tfidf_topk(docs, "text", "doc_id", k=3)
+    n_tk = tk.count()
+    t_tk = time.time() - t0
+    print(f"tfidf_topk docs x{REPLICAS}: {t_tk:.1f}s  rows={n_tk}",
+          flush=True)
+
+    from spark_df_profiling_spark.operators.sampling import (
+        dsir_logweights)
+    t0 = time.time()
+    w = dsir_logweights(docs, docs.where(F.col("lang") == "en"),
+                        "text", "doc_id", n_buckets=10_000)
+    stats = w.agg(F.count(F.lit(1)).alias("n"),
+                  F.avg("log_w").alias("m")).collect()[0]
+    t_w = time.time() - t0
+    print(f"dsir_logweights docs x{REPLICAS}: {t_w:.1f}s  "
+          f"scored={stats['n']}", flush=True)
+
+    from spark_df_profiling_spark.operators.dedup import (
+        bloom_might_contain, bloom_state)
+    m_bits, k = 1 << 20, 5  # ~21 bits/doc at 50k docs -> fpp ~ 1e-5
+    day1 = docs.where(F.col("doc_id") % 2 == 0)
+    probe = docs  # half seen, half novel
+    t0 = time.time()
+    st = bloom_state(day1, ["text"], m_bits=m_bits, k=k)
+    st = st.persist()
+    n_words = st.count()
+    res = (bloom_might_contain(probe, st, ["text"],
+                               m_bits=m_bits, k=k)
+           .groupBy((F.col("doc_id") % 2 == 0).alias("seen"))
+           .agg(F.sum(F.col("might_contain").cast("long")).alias("mc"),
+                F.count(F.lit(1)).alias("n")).collect())
+    t_bl = time.time() - t0
+    by = {r["seen"]: r for r in res}
+    fn = by[True]["n"] - by[True]["mc"]  # seen but not flagged
+    print(f"bloom state+probe docs x{REPLICAS}: {t_bl:.1f}s  "
+          f"state_words={n_words} false_neg={fn} (MUST be 0) "
+          f"fp={by[False]['mc']}/{by[False]['n']}", flush=True)
+    st.unpersist()
+
+    from spark_df_profiling_spark.sources import with_event_time
+    from spark_df_profiling_spark.streaming import (
+        stream_stream_interval_join)
+    ev = with_event_time(replicate(
+        t("events"), ["event_id", "user_id"], REPLICAS,
+        materialize_as="events_x10b", spark=spark))
+    vl = (ev.where(F.col("event_type") == "view")
+          .select("event_id", "user_id", "ts_ts"))
+    pr = (ev.where(F.col("event_type") == "purchase")
+          .select("event_id", "user_id", "ts_ts"))
+    t0 = time.time()
+    n_pairs = stream_stream_interval_join(
+        vl, pr, "user_id", max_delay="1 hour").count()
+    t_ssj = time.time() - t0
+    print(f"interval join (batch semantics) events x{REPLICAS}: "
+          f"{t_ssj:.1f}s  pairs={n_pairs}", flush=True)
+
+
 if __name__ == "__main__":
     if "skew" in sys.argv:
         skew_main()
+    elif "r7b" in sys.argv:
+        r7b_main()
     else:
         main()
