@@ -75,3 +75,52 @@ def stack_columns(df: DataFrame, cols: list[str]) -> DataFrame:
         for i, c in enumerate(cols))
     return casted.select(
         F.expr(f"stack({len(cols)}, {parts}) as (col_name, value)"))
+
+
+def column_entropy(df: DataFrame, cols: list[str],
+                   base: float = 2.0,
+                   normalized: bool = True) -> DataFrame:
+    """Shannon entropy of each column's value distribution.
+
+    A core profiler statistic the reference family (pandas-profiling
+    v1.x / its Spark port) never computed: ``H = -Σ p·log(p)`` over the
+    non-null value frequencies, in ``base``-ary units (default bits).
+    ``normalized=True`` adds ``H / log(n_distinct)`` — the 0..1
+    "evenness" score (1 = uniform, 0 = constant) that makes columns of
+    different cardinality comparable, NULL for constant columns
+    (log(1) = 0).
+
+    Returns one row per column: ``(col_name, n, n_distinct, entropy,
+    norm_entropy)``.
+
+    Scale: all columns share ONE shuffle — the same ``stack`` unpivot
+    as :func:`topk_frequencies` feeds ``groupBy(col_name, value)``
+    (map-side partial agg), then the per-value terms collapse in a
+    second tiny aggregation keyed by col_name alone (input is one row
+    per DISTINCT value, not per row, so the narrow key is safe).  No
+    UDFs, no driver loops; entropy folds are exact, not sketched.
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    stacked = stack_columns(df, cols)
+    counts = (stacked
+              .where(F.col("value").isNotNull())
+              .groupBy("col_name", "value")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    import math
+    log_base = math.log(base)
+    per_col = (counts.groupBy("col_name")
+               .agg(F.sum("cnt").alias("n"),
+                    F.count(F.lit(1)).alias("n_distinct"),
+                    # -sum(p ln p) = ln(n) - sum(cnt ln cnt)/n
+                    ((F.log(F.sum("cnt"))
+                      - F.sum(F.col("cnt") * F.log("cnt"))
+                      / F.sum("cnt")) / F.lit(log_base))
+                    .alias("entropy")))
+    if normalized:
+        per_col = per_col.withColumn(
+            "norm_entropy",
+            F.when(F.col("n_distinct") > 1,
+                   F.col("entropy")
+                   / (F.log("n_distinct") / F.lit(log_base))))
+    return per_col

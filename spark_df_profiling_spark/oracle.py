@@ -359,20 +359,65 @@ def freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # C3/C4: "Other values" buckets, derived without extra scans
 # ---------------------------------------------------------------------------
-@query("freq_other_bucket", """
+_ENTROPY_SQL = """
+SELECT 'entropy' AS part, src || '.' || col AS k,
+       n AS v1, n_distinct AS v2,
+       {h} || '/' ||
+       CASE WHEN n_distinct > 1 THEN {hn} ELSE 'NULL' END AS s
+FROM (
+  SELECT src, col, CAST(sum(cnt) AS BIGINT) AS n,
+         count(*) AS n_distinct,
+         (ln(sum(cnt)) - sum(cnt * ln(cnt)) / sum(cnt)) / ln(2)
+             AS entropy,
+         count(*) AS nd
+  FROM (
+    SELECT 'documents' AS src, 'lang' AS col, lang AS value,
+           count(*) AS cnt FROM documents GROUP BY lang
+    UNION ALL
+    SELECT 'documents', 'source', source, count(*)
+    FROM documents GROUP BY source
+    UNION ALL
+    SELECT 'events', 'event_type', event_type, count(*)
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'lineitem', 'l_returnflag', l_returnflag, count(*)
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT 'lineitem', 'l_linestatus', l_linestatus, count(*)
+    FROM lineitem GROUP BY l_linestatus)
+  GROUP BY src, col)
+"""
+
+
+@query("freq_other_bucket", f"""
 WITH counts AS (
     SELECT props AS value, count(*) AS cnt FROM events GROUP BY props
 ), top AS (
     SELECT * FROM counts ORDER BY cnt DESC, value LIMIT 10
 )
-SELECT (SELECT count(*) FROM top) AS n_top,
-       (SELECT CAST(sum(cnt) AS BIGINT) FROM top) AS top_rows,
+SELECT 'other' AS part, 'props' AS k,
+       (SELECT CAST(sum(cnt) AS BIGINT) FROM top) AS v1,
        (SELECT count(*) FROM events)
-         - (SELECT CAST(sum(cnt) AS BIGINT) FROM top) AS other_rows,
-       (SELECT count(*) FROM counts)
-         - (SELECT count(*) FROM top) AS other_distinct
+         - (SELECT CAST(sum(cnt) AS BIGINT) FROM top) AS v2,
+       CAST((SELECT count(*) FROM top) AS VARCHAR) || '/' ||
+       CAST((SELECT count(*) FROM counts)
+            - (SELECT count(*) FROM top) AS VARCHAR) AS s
+UNION ALL
+{_ENTROPY_SQL.format(h=_psig('entropy'),
+                     hn=_psig('entropy / (ln(nd) / ln(2))'))}
+ORDER BY part, k
 """)
 def freq_other_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3/C4 "Other values/distinct" buckets + per-column Shannon
+    entropy (operators/frequency.py::column_entropy — a profiler-core
+    statistic the reference family never computed) in one graded row
+    set tagged by ``part``: the 'other' row carries top-10 coverage of
+    events.props (v1=top_rows, v2=other_rows, s=n_top/other_distinct);
+    'entropy' rows carry per-column (n, n_distinct) and
+    '<H_bits>/<H_normalized>' at 5 significant digits, DuckDB replaying
+    the identical ln-arithmetic from the same value counts."""
+    from spark_df_profiling_spark.operators.frequency import (
+        column_entropy)
     ev = _t(spark, sf_dir, "events")
     counts = (ev.groupBy(ev["props"].alias("value"))
               .agg(F.count(F.lit(1)).alias("cnt")))
@@ -383,12 +428,33 @@ def freq_other_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_agg = counts.agg(
         F.count(F.lit(1)).alias("n_values"),
         F.sum("cnt").alias("n_rows"))
-    return (top_agg.crossJoin(all_agg)
-            .select(
-                F.col("n_top"),
-                F.col("top_rows"),
-                (F.col("n_rows") - F.col("top_rows")).alias("other_rows"),
-                (F.col("n_values") - F.col("n_top")).alias("other_distinct")))
+    other = (top_agg.crossJoin(all_agg)
+             .select(
+                 F.lit("other").alias("part"),
+                 F.lit("props").alias("k"),
+                 F.col("top_rows").cast("long").alias("v1"),
+                 (F.col("n_rows") - F.col("top_rows")).cast("long")
+                 .alias("v2"),
+                 F.concat(F.col("n_top").cast("string"), F.lit("/"),
+                          (F.col("n_values") - F.col("n_top"))
+                          .cast("string")).alias("s")))
+
+    def ent(src: str, cols: list[str]) -> DataFrame:
+        e = column_entropy(_t(spark, sf_dir, src), cols)
+        return e.select(
+            F.lit("entropy").alias("part"),
+            F.concat(F.lit(f"{src}."), F.col("col_name")).alias("k"),
+            F.col("n").cast("long").alias("v1"),
+            F.col("n_distinct").cast("long").alias("v2"),
+            F.concat(sig(F.col("entropy")), F.lit("/"),
+                     F.coalesce(sig(F.col("norm_entropy")),
+                                F.lit("NULL"))).alias("s"))
+
+    entropy = (ent("documents", ["lang", "source"])
+               .unionByName(ent("events", ["event_type"]))
+               .unionByName(ent("lineitem",
+                                ["l_returnflag", "l_linestatus"])))
+    return other.unionByName(entropy).orderBy("part", "k")
 
 
 # ---------------------------------------------------------------------------

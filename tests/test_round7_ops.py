@@ -247,3 +247,77 @@ def test_stream_stream_join_respects_interval_bound(spark, sf_dir):
     for r in rows:
         delta = (r.ts_ts_r - r.ts_ts).total_seconds()
         assert 0 <= delta <= 3600
+
+
+# --- column entropy --------------------------------------------------------
+def test_column_entropy_matches_python(spark, docs):
+    import math
+    from spark_df_profiling_spark.operators.frequency import column_entropy
+    got = {r.col_name: r for r in
+           column_entropy(docs, ["lang", "source"]).collect()}
+    for col in ("lang", "source"):
+        vals = [r[col] for r in docs.select(col).collect()
+                if r[col] is not None]
+        counts = {}
+        for v in vals:
+            counts[v] = counts.get(v, 0) + 1
+        n = len(vals)
+        h = -sum((c / n) * math.log2(c / n) for c in counts.values())
+        r = got[col]
+        assert r.n == n and r.n_distinct == len(counts)
+        assert r.entropy == pytest.approx(h, rel=1e-12)
+        assert r.norm_entropy == pytest.approx(
+            h / math.log2(len(counts)), rel=1e-12)
+
+
+def test_column_entropy_constant_and_uniform(spark):
+    from spark_df_profiling_spark.operators.frequency import column_entropy
+    d = spark.createDataFrame(
+        [("x", "a"), ("x", "b"), ("x", "c"), ("x", "d")],
+        "const string, uni string")
+    got = {r.col_name: r for r in
+           column_entropy(d, ["const", "uni"]).collect()}
+    assert got["const"].entropy == pytest.approx(0.0)
+    assert got["const"].norm_entropy is None  # log(1)=0 guard
+    assert got["uni"].entropy == pytest.approx(2.0)   # 4 even values
+    assert got["uni"].norm_entropy == pytest.approx(1.0)
+
+
+def test_column_entropy_single_shuffle_plan(spark, docs):
+    """All columns ride ONE stack+groupBy — the plan contains exactly
+    one wide-table Exchange below the per-column fold (plus the tiny
+    col_name-keyed final agg)."""
+    from spark_df_profiling_spark.operators.frequency import column_entropy
+    e = column_entropy(docs, ["lang", "source"])
+    plan = e._jdf.queryExecution().executedPlan().toString()
+    # no per-column scan fan-out: one FileScan of documents
+    assert plan.count("FileScan") <= 1 or \
+        plan.count("Scan parquet") <= 1
+
+
+# --- plan shape: new operators stay shuffle-lean --------------------------
+def test_chunk_documents_plan_has_no_exchange(spark, docs):
+    from spark_df_profiling_spark.operators.text import chunk_documents
+    ch = chunk_documents(docs, "text", "doc_id")
+    plan = ch._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure per-row: generate + project
+
+
+def test_dsir_ratio_join_is_broadcast(spark, docs):
+    from spark_df_profiling_spark.operators.sampling import dsir_logweights
+    w = dsir_logweights(docs, docs.where(F.col("lang") == "en"),
+                        "text", "doc_id", n_buckets=100)
+    plan = w._jdf.queryExecution().executedPlan().toString()
+    # the token->log-ratio lookup (the row-scale join) must broadcast;
+    # the raw<->target bucket-table full-outer may SMJ — both sides are
+    # bounded by n_buckets rows, so that join never sees corpus scale
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bloom_probe_broadcasts_state(spark, docs):
+    from spark_df_profiling_spark.operators.dedup import (
+        bloom_might_contain, bloom_state)
+    st = bloom_state(docs.limit(100), ["text"], m_bits=1 << 12, k=3)
+    res = bloom_might_contain(docs, st, ["text"], m_bits=1 << 12, k=3)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

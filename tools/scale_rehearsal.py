@@ -470,24 +470,32 @@ def r7b_main() -> None:
 
     from spark_df_profiling_spark.operators.dedup import (
         bloom_might_contain, bloom_state)
-    m_bits, k = 1 << 20, 5  # ~21 bits/doc at 50k docs -> fpp ~ 1e-5
+    m_bits, k = 1 << 20, 5
     day1 = docs.where(F.col("doc_id") % 2 == 0)
-    probe = docs  # half seen, half novel
+    probe = docs  # half by id; the corpus has planted cross-half dups
     t0 = time.time()
     st = bloom_state(day1, ["text"], m_bits=m_bits, k=k)
     st = st.persist()
     n_words = st.count()
-    res = (bloom_might_contain(probe, st, ["text"],
-                               m_bits=m_bits, k=k)
-           .groupBy((F.col("doc_id") % 2 == 0).alias("seen"))
+    flagged = bloom_might_contain(probe, st, ["text"],
+                                  m_bits=m_bits, k=k).persist()
+    # ground truth by CONTENT, not id parity — the corpus carries
+    # planted exact duplicates across the halves, which are TRUE
+    # positives for a content-membership filter
+    seen_texts = day1.select("text").distinct()
+    truth = flagged.join(seen_texts.withColumn("__seen", F.lit(True)),
+                         "text", "left")
+    res = (truth.groupBy(F.coalesce("__seen", F.lit(False))
+                         .alias("seen"))
            .agg(F.sum(F.col("might_contain").cast("long")).alias("mc"),
                 F.count(F.lit(1)).alias("n")).collect())
     t_bl = time.time() - t0
     by = {r["seen"]: r for r in res}
-    fn = by[True]["n"] - by[True]["mc"]  # seen but not flagged
+    fn = by[True]["n"] - by[True]["mc"]  # truly seen but not flagged
     print(f"bloom state+probe docs x{REPLICAS}: {t_bl:.1f}s  "
           f"state_words={n_words} false_neg={fn} (MUST be 0) "
-          f"fp={by[False]['mc']}/{by[False]['n']}", flush=True)
+          f"true_fp={by[False]['mc']}/{by[False]['n']}", flush=True)
+    flagged.unpersist()
     st.unpersist()
 
     from spark_df_profiling_spark.sources import with_event_time
