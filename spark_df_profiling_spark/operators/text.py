@@ -14,7 +14,7 @@ inside whole-stage codegen over arbitrarily large corpora:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # BPE-ish tokenizer: letter runs, digit runs, single non-space symbols.
@@ -604,3 +604,176 @@ def tfidf_topk(df: DataFrame, text_col: str, id_col: str,
             .where(F.col("rank") <= k)
             .select(F.col("__id").alias(id_col), "token", "tf", "df",
                     "score", "rank"))
+
+
+def bm25_topk(df: DataFrame, text_col: str, id_col: str,
+              query_terms: list[str], k: int = 10,
+              k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Okapi BM25 retrieval: top-k documents for a bag of query terms.
+
+    The standard sparse-retrieval scorer (the baseline every RAG /
+    data-selection pipeline starts from)::
+
+        idf(t)   = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))   # Lucene form,
+                                                             # never negative
+        score(d) = Σ_t idf(t) · tf_td·(k1+1)
+                         / (tf_td + k1·(1 - b + b·dl_d/avgdl))
+
+    with whitespace tokenization (the library-wide convention).
+    Returns ``(id_col, score, n_terms_matched, rank)`` for the top-k
+    docs; ties break by id ascending (deterministic).
+
+    Scale design: the query-term set rides into the explode FILTER as a
+    literal ``isin`` (corpus tokens that aren't query terms never leave
+    the map side), so ``tf`` is one shuffle on (doc, term) over MATCHED
+    tokens only; ``df_t`` and ``avgdl``/``N`` are O(|terms|) and O(1)
+    aggregates that join back by BROADCAST; the final top-k is a global
+    ``TakeOrdered`` (no single-partition window).  No UDFs, no driver
+    collects of row-scale data.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    terms = sorted(set(query_terms))
+    toks = df.select(F.col(id_col).alias("__id"),
+                     F.explode(F.split(_c(text_col), " ")).alias("token"))
+    # per-doc length in tokens + corpus stats (N, avgdl) — one 1-row agg
+    dl = (df.select(F.col(id_col).alias("__id"),
+                    F.size(F.split(_c(text_col), " "))
+                    .cast("double").alias("dl")))
+    stats = dl.agg(F.count(F.lit(1)).cast("double").alias("n_docs"),
+                   F.avg("dl").alias("avgdl"))
+    tf = (toks.where(F.col("token").isin(terms))
+          .groupBy("__id", "token")
+          .agg(F.count(F.lit(1)).cast("double").alias("tf")))
+    dfreq = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("double").alias("df"))
+    scored = (tf.join(F.broadcast(dfreq), "token")
+              .join(F.broadcast(stats))
+              .join(dl, "__id")
+              .withColumn(
+                  "idf",
+                  F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df")
+                                      + 0.5) / (F.col("df") + 0.5)))
+              .withColumn(
+                  "contrib",
+                  F.col("idf") * F.col("tf") * (k1 + 1.0)
+                  / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl")
+                                         / F.col("avgdl"))))
+              .groupBy("__id")
+              .agg(F.sum("contrib").alias("score"),
+                   F.count(F.lit(1)).cast("long")
+                   .alias("n_terms_matched")))
+    top = (scored.orderBy(F.desc("score"), F.asc("__id")).limit(k))
+    w = Window.partitionBy().orderBy(F.desc("score"), F.asc("__id"))
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select(F.col("__id").alias(id_col), "score",
+                    "n_terms_matched", "rank"))
+
+
+def zipf_fit(df: DataFrame, text_col: str,
+             max_vocab: int = 10_000) -> DataFrame:
+    """Zipf power-law fit over the corpus vocabulary: OLS slope of
+    ``ln(freq)`` on ``ln(rank)`` (natural-language corpora sit near
+    slope ≈ -1; a corpus of boilerplate/spam/machine text drifts away,
+    making this a cheap corpus-health diagnostic).
+
+    Returns ONE row ``(zipf_slope, zipf_intercept, n_vocab,
+    top_freq)``; ``exp(zipf_intercept)`` estimates the top token's
+    frequency under the fitted law.
+
+    Scale design: the fit is restricted to the top ``max_vocab`` tokens
+    (the standard practice — the low-frequency tail is both noisy and
+    unbounded), harvested by :func:`vocab_topk`'s skew-safe two-phase
+    rank, so the global ordering only ever touches a BOUNDED set
+    (``max_vocab`` rows); the regression itself is
+    ``regr_slope``/``regr_intercept`` — codegen'd JVM aggregates.
+    The unbounded full-vocabulary count stays a map-side-combined hash
+    aggregate; nothing vocabulary-sized is collected or single-tasked.
+    """
+    if max_vocab < 2:
+        raise ValueError(f"max_vocab must be >= 2: {max_vocab}")
+    top = vocab_topk(df, text_col, k=max_vocab)
+    w = Window.partitionBy().orderBy(F.desc("cnt"), F.asc("token"))
+    ranked = top.withColumn("rank", F.row_number().over(w))
+    return ranked.agg(
+        F.regr_slope(F.log("cnt"), F.log("rank")).alias("zipf_slope"),
+        F.regr_intercept(F.log("cnt"), F.log("rank"))
+        .alias("zipf_intercept"),
+        F.count(F.lit(1)).cast("long").alias("n_vocab"),
+        F.max("cnt").cast("long").alias("top_freq"))
+
+
+# ---------------------------------------------------------------------------
+# Encoding / mojibake quality signals
+# ---------------------------------------------------------------------------
+def _char_count(col, char_class: str) -> Column:
+    """Number of chars in the class (complement-strip trick — stays a
+    single codegen'd regexp_replace, no explode)."""
+    return _kept_len(col, char_class)
+
+
+def _safe_len(col) -> Column:
+    """Text length with 0 mapped to NULL — ANSI mode raises on x/0, and
+    a ratio over an empty string is undefined anyway (NULL, not 0)."""
+    return F.nullif(F.length(_c(col)), F.lit(0))
+
+
+def replacement_char_ratio(col) -> Column:
+    """Fraction of U+FFFD replacement characters — the tell-tale of a
+    lossy decode upstream (bytes that didn't survive UTF-8)."""
+    return _char_count(col, "�") / _safe_len(col)
+
+
+def control_char_ratio(col) -> Column:
+    """Fraction of C0/C1 control characters excluding \\t \\n \\r —
+    binary junk masquerading as text scores high here."""
+    return (_char_count(col, "\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f")
+            / _safe_len(col))
+
+
+def non_ascii_ratio(col) -> Column:
+    """Fraction of non-ASCII characters (not a defect by itself —
+    interpret jointly with lang_id; a doc tagged 'en' that is 40%
+    non-ASCII is suspicious, a Chinese doc is not)."""
+    return (F.length(_c(col)) - _char_count(col, "\x00-\x7f")) \
+        / _safe_len(col)
+
+
+def mojibake_hits(col) -> Column:
+    """Count of classic UTF-8-read-as-Latin-1 bigrams: ``Ã``/``Â``
+    followed by a char from the Latin-1 supplement continuation range
+    (U+0080–U+00BF) — the signature of double-encoded text ("Ã©" for
+    "é").  Non-overlapping match count via split (portable: DuckDB
+    counts the same with regexp_split_to_array)."""
+    pat = "[\u00c3\u00c2][\u0080-\u00bf]"
+    return (F.size(F.split(_c(col), pat)) - 1).cast("long")
+
+
+def encoding_stats(df: DataFrame, text_col: str, id_col: str,
+                   max_repl_ratio: float = 0.0,
+                   max_ctrl_ratio: float = 0.0,
+                   max_mojibake: int = 0) -> DataFrame:
+    """Per-document encoding-quality report:
+    ``(id_col, repl_ratio, ctrl_ratio, non_ascii_ratio, mojibake,
+    enc_clean)`` — ``enc_clean`` is the pass/fail under the given
+    thresholds (defaults: any replacement char, control char, or
+    mojibake bigram fails the doc, the right strictness for
+    pretraining text).
+
+    Scale: every signal is a codegen'd regexp over the row — ZERO
+    shuffles, cost linear in corpus bytes, trivially partitionable.
+    """
+    rr = replacement_char_ratio(text_col)
+    cr = control_char_ratio(text_col)
+    mh = mojibake_hits(text_col)
+    return df.select(
+        F.col(id_col),
+        rr.alias("repl_ratio"),
+        cr.alias("ctrl_ratio"),
+        non_ascii_ratio(text_col).alias("non_ascii_ratio"),
+        mh.alias("mojibake"),
+        ((F.coalesce(rr, F.lit(0.0)) <= max_repl_ratio)
+         & (F.coalesce(cr, F.lit(0.0)) <= max_ctrl_ratio)
+         & (mh <= max_mojibake)).alias("enc_clean"))
