@@ -986,6 +986,18 @@ SELECT 'bloom', doc_id, CAST(mc AS BIGINT), CAST(NULL AS BIGINT) FROM (
   SELECT doc_id,
          min(CASE WHEN p IN (SELECT p FROM hp) THEN 1 ELSE 0 END) AS mc
   FROM bp GROUP BY doc_id)
+UNION ALL
+SELECT 'soft', doc_id, CAST(c AS BIGINT),
+       CAST(floor(1e6 * power(c, -1.0)) AS BIGINT)
+FROM (
+  WITH corp AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50
+    UNION ALL
+    SELECT doc_id + 2000000, text FROM documents WHERE doc_id < 20
+  )
+  SELECT doc_id, count(*) OVER (PARTITION BY text) AS c FROM corp)
 ORDER BY part, v1
 """)
 def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1072,8 +1084,26 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("doc_id").alias("v1"),
                      F.col("might_contain").cast("long").alias("v2"),
                      F.lit(None).cast("long").alias("v3")))
+    # 'soft': duplicate-aware weights on a planted-dup corpus (docs<20
+    # appear 3x, 20-49 2x) — v2 = dup_count, v3 = floor(1e6 * weight)
+    # (floor-scaled so pow() ulp differences can't flip a digit)
+    from spark_df_profiling_spark.operators.dedup import soft_dedup_weights
+    corp = (d.select("doc_id", "text")
+            .unionByName(d.where(F.col("doc_id") < 50)
+                         .select((F.col("doc_id") + 1_000_000)
+                                 .alias("doc_id"), "text"))
+            .unionByName(d.where(F.col("doc_id") < 20)
+                         .select((F.col("doc_id") + 2_000_000)
+                                 .alias("doc_id"), "text")))
+    soft = (soft_dedup_weights(corp, ["text"], alpha=1.0)
+            .select(F.lit("soft").alias("part"),
+                    F.col("doc_id").alias("v1"),
+                    F.col("dup_count").cast("long").alias("v2"),
+                    F.floor(F.lit(1e6) * F.col("weight"))
+                    .cast("long").alias("v3")))
     return (kept.unionByName(stats).unionByName(ld).unionByName(sd)
             .unionByName(hist_rows).unionByName(bloom)
+            .unionByName(soft)
             .orderBy("part", "v1"))
 
 
@@ -1454,20 +1484,85 @@ def minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("id_a", "id_b", sig(jd).alias("jaccard_distance")))
 
 
-@query("minhash_native_pairs", _MINHASH_PAIRS_SQL)
+_MINHASH_NATIVE_SQL = f"""
+SELECT 'self' AS part, id_a, id_b, jaccard_distance
+FROM ({_MINHASH_PAIRS_SQL})
+UNION ALL
+SELECT 'cross', corpus_id, bench_id, jd FROM (
+  WITH corp AS (
+    SELECT doc_id, text FROM documents WHERE doc_id < 100
+  ), bench AS (
+    SELECT doc_id + 100000 AS doc_id,
+           array_to_string(
+               string_split(text,' ')[1:len(string_split(text,' '))-1],
+               ' ') || ' xyzzy' AS text
+    FROM documents WHERE doc_id < 20
+  ), shc AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(toks[i:i+2], ' ')
+                          for i in range(1, len(toks) - 1)]) AS sh
+    FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+          FROM corp)
+    WHERE len(toks) >= 3
+  ), shb AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(toks[i:i+2], ' ')
+                          for i in range(1, len(toks) - 1)]) AS sh
+    FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+          FROM bench)
+    WHERE len(toks) >= 3
+  )
+  SELECT a.doc_id AS corpus_id, b.doc_id AS bench_id,
+         {_psig('''1.0 - len(list_filter(a.sh, s -> list_contains(b.sh, s)))
+                / (len(a.sh) + len(b.sh)
+                   - len(list_filter(a.sh, s -> list_contains(b.sh, s))))''')}
+             AS jd,
+         1.0 - len(list_filter(a.sh, s -> list_contains(b.sh, s)))
+             / (len(a.sh) + len(b.sh)
+                - len(list_filter(a.sh, s -> list_contains(b.sh, s))))
+             AS jd_raw
+  FROM shc a, shb b)
+WHERE jd_raw <= 0.5
+ORDER BY part, id_a, id_b
+"""
+
+
+@query("minhash_native_pairs", _MINHASH_NATIVE_SQL)
 def minhash_native_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure-SQL MinHash+LSH (no ml pipeline) vs the all-pairs exact
     Jaccard oracle (16 tables -> miss prob (1-s)^16, and the
-    verification stage computes the identical exact Jaccard)."""
+    verification stage computes the identical exact Jaccard).
+
+    The 'cross' rows grade dedup.cross_contamination_minhash — the
+    corpus (docs < 100) against a planted benchmark (mutated copies of
+    docs < 20): banded corpus⋈bench LSH with exact-Jaccard
+    verification must equal the DuckDB all-pairs A x B computation."""
     from spark_df_profiling_spark.operators.dedup import (
-        minhash_candidates_native)
+        cross_contamination_minhash, minhash_candidates_native)
     out = minhash_candidates_native(_mutated_docs(spark, sf_dir),
                                     "text", "doc_id",
                                     num_hashes=16,
                                     jaccard_max_distance=0.5)
-    return out.select("id_a", "id_b",
-                      sig(F.col("jaccard_distance"))
-                      .alias("jaccard_distance"))
+    self_rows = out.select(F.lit("self").alias("part"), "id_a", "id_b",
+                           sig(F.col("jaccard_distance"))
+                           .alias("jaccard_distance"))
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") < 100).select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    bench = (d.where(F.col("doc_id") < 20)
+             .select((F.col("doc_id") + 100_000).alias("doc_id"),
+                     F.concat(F.concat_ws(" ", F.slice(toks, 1,
+                                                       F.size(toks) - 1)),
+                              F.lit(" xyzzy")).alias("text")))
+    cross = (cross_contamination_minhash(corpus, bench, num_hashes=16,
+                                         jaccard_max_distance=0.5)
+             .select(F.lit("cross").alias("part"),
+                     F.col("corpus_id").alias("id_a"),
+                     F.col("bench_id").alias("id_b"),
+                     sig(F.col("jaccard_distance"))
+                     .alias("jaccard_distance")))
+    return (self_rows.unionByName(cross)
+            .orderBy("part", "id_a", "id_b"))
 
 
 def _simhash_md5_pairs_sql(max_hamming: int) -> str:
@@ -2221,6 +2316,79 @@ def stateful_user_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Universal stats over the text and vector tables (documents/embeddings
 # profiling under the oracle, including the ARRAY column)
 # ---------------------------------------------------------------------------
+# Encoding-quality fixtures: driver documents are clean synthetic text,
+# so these crafted payloads are what exercises the mojibake / control /
+# replacement-char branches (same pattern as the PII fixture corpus).
+_ENC_FIXTURES = [
+    (900001, "clean ascii fixture text"),
+    (900002, "lossy � decode � here"),
+    (900003, "binary \x01\x02 junk \x1f tail"),
+    (900004, "double encoded: Ã© Ã¨ Â»"),
+    (900005, "honest unicode: héllo wörld 中文"),
+    (900006, ""),
+]
+
+
+def _enc_fixture_values() -> str:
+    """DuckDB VALUES list for _ENC_FIXTURES — control characters go
+    through chr() so no raw control bytes land in the SQL text."""
+    rows = []
+    for i, t in _ENC_FIXTURES:
+        parts, lit = [], ""
+        for ch in t:
+            o = ord(ch)
+            if o < 32 or 127 <= o <= 159:
+                if lit:
+                    parts.append("'" + lit.replace("'", "''") + "'")
+                    lit = ""
+                parts.append(f"chr({o})")
+            else:
+                lit += ch
+        if lit or not parts:
+            parts.append("'" + lit.replace("'", "''") + "'")
+        rows.append(f"({i}, " + " || ".join(parts) + ")")
+    return ",\n        ".join(rows)
+
+
+# the same char classes encoding_stats uses, in RE2 \x{..} spelling
+_ENC_CTRL = r"\x{00}-\x{08}\x{0b}\x{0c}\x{0e}-\x{1f}\x{7f}-\x{9f}"
+_ENC_MOJI = r"[\x{c3}\x{c2}][\x{80}-\x{bf}]"
+
+def _enc_sql() -> str:
+    values = _enc_fixture_values()
+    return f"""
+SELECT column_name, cnt, n_distinct FROM (
+  WITH ecorp AS (
+    SELECT text FROM documents
+    UNION ALL
+    SELECT text FROM (VALUES
+        {values}) fixture(doc_id, text)
+  ), sig AS (
+    SELECT length(text) AS n,
+           length(regexp_replace(text, '[^\\x{{fffd}}]', '', 'g')) AS repl,
+           length(regexp_replace(text, '[^{_ENC_CTRL}]', '', 'g')) AS ctrl,
+           len(regexp_split_to_array(text, '{_ENC_MOJI}')) - 1 AS moji
+    FROM ecorp
+  )
+  SELECT 'enc:clean' AS column_name, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(CASE WHEN n = 0 OR (repl = 0 AND ctrl = 0
+                                      AND moji = 0)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_distinct
+  FROM sig
+  UNION ALL
+  SELECT 'enc:mojibake', CAST(sum(moji) AS BIGINT),
+         CAST(sum(CASE WHEN moji > 0 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM sig
+  UNION ALL
+  SELECT 'enc:ratio6',
+         CAST(sum(coalesce(floor(1e6 * repl / nullif(n, 0)), 0))
+              AS BIGINT),
+         CAST(sum(coalesce(floor(1e6 * ctrl / nullif(n, 0)), 0))
+              AS BIGINT)
+  FROM sig)
+"""
+
+
 @query("universal_documents", """
 SELECT 'doc_id' AS column_name, count(doc_id) AS cnt,
        count(DISTINCT doc_id) AS n_distinct FROM documents
@@ -2256,14 +2424,22 @@ SELECT 'funnel:ttr_ge_05',
                      / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.5
                  THEN 1 ELSE 0 END) AS BIGINT)
 FROM documents
-""")
+UNION ALL
+""" + _enc_sql())
 def universal_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U-family counts per documents column + the quality-filter FUNNEL
-    (text.py::quality_funnel) in one graded row set: 'funnel:<rule>'
-    rows carry (docs entering the rule, docs surviving it) in
-    (cnt, n_distinct) — the DuckDB side replays the same cumulative
-    CASE chain, pinning the sequential semantics."""
-    from spark_df_profiling_spark.operators.text import quality_funnel
+    (text.py::quality_funnel) + ENCODING-quality rollups
+    (text.py::encoding_stats over documents + crafted mojibake/control
+    fixtures — driver text is clean, the fixtures exercise the dirty
+    branches) in one graded row set: 'funnel:<rule>' rows carry (docs
+    entering the rule, docs surviving it); 'enc:clean' carries
+    (corpus size, docs passing the strict encoding gate);
+    'enc:mojibake' (total mojibake bigrams, docs with any);
+    'enc:ratio6' (floor-scaled 1e6 sums of the replacement-char and
+    control-char ratios — floor, not round, so engine half-tie rules
+    can't diverge)."""
+    from spark_df_profiling_spark.operators.text import (
+        encoding_stats, quality_funnel)
     d = _t(spark, sf_dir, "documents")
     aggs = []
     for c in ["doc_id", "text", "lang", "source", "n_chars"]:
@@ -2286,7 +2462,25 @@ def universal_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
               .alias("column_name"),
               F.col("n_evaluated").alias("cnt"),
               F.col("n_surviving").alias("n_distinct"))
-    return cols.unionByName(funnel)
+    fix = spark.createDataFrame(_ENC_FIXTURES, "doc_id long, text string")
+    enc = encoding_stats(
+        d.select("doc_id", "text").unionByName(fix), "text", "doc_id")
+    enc_agg = enc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        F.sum(F.when(F.col("enc_clean"), 1).otherwise(0)).cast("long")
+        .alias("n_clean"),
+        F.sum("mojibake").cast("long").alias("moji_total"),
+        F.sum(F.when(F.col("mojibake") > 0, 1).otherwise(0)).cast("long")
+        .alias("moji_docs"),
+        F.sum(F.coalesce(F.floor(F.lit(1e6) * F.col("repl_ratio")),
+                         F.lit(0))).cast("long").alias("repl6"),
+        F.sum(F.coalesce(F.floor(F.lit(1e6) * F.col("ctrl_ratio")),
+                         F.lit(0))).cast("long").alias("ctrl6"))
+    enc_rows = enc_agg.select(F.expr(
+        "stack(3, 'enc:clean', n_all, n_clean, "
+        "'enc:mojibake', moji_total, moji_docs, "
+        "'enc:ratio6', repl6, ctrl6) as (column_name, cnt, n_distinct)"))
+    return cols.unionByName(funnel).unionByName(enc_rows)
 
 
 @query("embedding_array_stats", f"""
@@ -2782,6 +2976,12 @@ def mixture_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mix.unionByName(tauw).unionByName(tau).orderBy("part", "k")
 
 
+# BM25 query-term bag for the graded retrieval row set (terms present
+# in the synthetic vocabulary plus one guaranteed-absent term)
+_BM25_TERMS = ["the", "data", "model", "learning", "zz_absent_term"]
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
 @query("vocab_top_tokens", f"""
 SELECT 'top' AS part, token AS k, cnt AS v1,
        CAST(NULL AS VARCHAR) AS v2s
@@ -2812,6 +3012,50 @@ FROM (
                             tf.token ASC) AS rank
   FROM tf JOIN dfreq USING(token), n)
 WHERE rank <= 3
+UNION ALL
+SELECT 'zipf', 'fit', n_vocab,
+       {_psig('slope')} || '/' || {_psig('icept')}
+FROM (
+  WITH cnt AS (
+    SELECT token, count(*) AS c
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    WHERE token <> ''
+    GROUP BY token
+  ), top AS (
+    SELECT c, row_number() OVER (ORDER BY c DESC, token ASC) AS r
+    FROM cnt ORDER BY c DESC, token ASC LIMIT 500
+  )
+  SELECT CAST(count(*) AS BIGINT) AS n_vocab,
+         regr_slope(ln(c), ln(r)) AS slope,
+         regr_intercept(ln(c), ln(r)) AS icept
+  FROM top)
+UNION ALL
+SELECT 'bm25',
+       CAST(rank AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR),
+       m, {_psig('score')}
+FROM (
+  WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+             FROM documents),
+  st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM d),
+  tf AS (SELECT doc_id, t AS token, CAST(count(*) AS DOUBLE) AS tf
+         FROM (SELECT doc_id, unnest(toks) AS t FROM d)
+         WHERE t IN ({_BM25_TERMS_SQL})
+         GROUP BY doc_id, t),
+  dfq AS (SELECT token, CAST(count(*) AS DOUBLE) AS df
+          FROM tf GROUP BY token),
+  dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM d),
+  sc AS (
+    SELECT tf.doc_id,
+           sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2
+               / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) AS score,
+           CAST(count(*) AS BIGINT) AS m
+    FROM tf JOIN dfq USING (token) JOIN dl USING (doc_id), st
+    GROUP BY tf.doc_id)
+  SELECT doc_id, score, m,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM sc)
+WHERE rank <= 10
 ORDER BY part, k
 """)
 def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2821,9 +3065,15 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     + per-document top-3 TF-IDF terms (text.tfidf_topk — smoothed
     sklearn idf, deterministic token-asc tie-break) in one graded row
     set tagged by ``part``; 'tfidf' rows carry the term identity and
-    rank in k, tf in v1, and the 5-significant-digit score in v2s."""
+    rank in k, tf in v1, and the 5-significant-digit score in v2s.
+
+    The 'zipf' row grades text.zipf_fit (OLS slope/intercept of ln freq
+    on ln rank over the top-500 vocab, sig-normalized); 'bm25' rows
+    grade text.bm25_topk (Okapi BM25, Lucene idf, k1=1.2 b=0.75) — k
+    carries rank:doc_id, v1 the matched-term count, v2s the sig score,
+    replayed in DuckDB from the same tokenization."""
     from spark_df_profiling_spark.operators.text import (
-        tfidf_topk, vocab_topk)
+        bm25_topk, tfidf_topk, vocab_topk, zipf_fit)
     d = _t(spark, sf_dir, "documents")
     top = (vocab_topk(d, "text", k=20)
            .select(F.lit("top").alias("part"),
@@ -2838,4 +3088,17 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                               F.lit(":"), F.col("token")).alias("k"),
                      F.col("tf").cast("long").alias("v1"),
                      sig(F.col("score")).alias("v2s")))
-    return top.unionByName(tfidf).orderBy("part", "k")
+    zipf = (zipf_fit(d, "text", max_vocab=500)
+            .select(F.lit("zipf").alias("part"),
+                    F.lit("fit").alias("k"),
+                    F.col("n_vocab").alias("v1"),
+                    F.concat(sig(F.col("zipf_slope")), F.lit("/"),
+                             sig(F.col("zipf_intercept"))).alias("v2s")))
+    bm25 = (bm25_topk(d, "text", "doc_id", _BM25_TERMS, k=10)
+            .select(F.lit("bm25").alias("part"),
+                    F.concat(F.col("rank").cast("string"), F.lit(":"),
+                             F.col("doc_id").cast("string")).alias("k"),
+                    F.col("n_terms_matched").alias("v1"),
+                    sig(F.col("score")).alias("v2s")))
+    return (top.unionByName(tfidf).unionByName(zipf).unionByName(bm25)
+            .orderBy("part", "k"))
