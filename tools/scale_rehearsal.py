@@ -516,10 +516,112 @@ def r7b_main() -> None:
           f"{t_ssj:.1f}s  pairs={n_pairs}", flush=True)
 
 
+def r7c_main() -> None:
+    """Round-7 session-3 operators at 10x (50k docs) with planted skew:
+
+    * bm25_topk — 10x corpus PLUS one 1M-token document (degenerate
+      dl) and a query containing the corpus's hottest token (the tf
+      explode's worst case — the filter still prunes map-side and the
+      (doc, term) key spreads the hot term over all docs);
+    * zipf_fit — full 10x corpus (unbounded vocab count stays a hash
+      agg; only the top-500 ever reach the global rank);
+    * encoding_stats — full 10x corpus + dirty fixtures (narrow scan,
+      zero shuffle: should run at pipeline speed);
+    * soft_dedup_weights — 10x corpus (every text has dup_count >= 10
+      by construction) PLUS one text repeated 5000x — a pathological
+      hot content-hash group; the groupBy count handles it map-side,
+      and no window ever sorts within the group;
+    * cross_contamination_minhash — 50k-doc corpus vs a 100-doc
+      mutated benchmark (broadcast bench bands; corpus never moves).
+    """
+    spark = (SparkSession.builder.master("local[32]")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory", "32g")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    t = lambda name: spark.read.parquet(f"{SF_DIR}/{name}.parquet")
+
+    docs = replicate(t("documents"), ["doc_id"], REPLICAS,
+                     materialize_as="documents_x10c", spark=spark)
+    n_docs = docs.count()
+
+    from spark_df_profiling_spark.operators.text import (
+        bm25_topk, encoding_stats, vocab_topk, zipf_fit)
+
+    hot = vocab_topk(docs, "text", k=1).collect()[0]["token"]
+    giant = spark.range(1).select(
+        F.lit(999_999_999).alias("doc_id"),
+        F.array_join(
+            F.transform(F.sequence(F.lit(1), F.lit(1_000_000)),
+                        lambda i: F.concat(F.lit("t"), (i % 997)
+                                           .cast("string"))),
+            " ").alias("text"))
+    corpus = docs.select("doc_id", "text").unionByName(giant)
+    t0 = time.time()
+    top = bm25_topk(corpus, "text", "doc_id",
+                    [hot, "data", "model", "t42"], k=10).collect()
+    t_bm = time.time() - t0
+    print(f"SKEW bm25_topk ({n_docs} docs + 1M-token doc, hot term "
+          f"'{hot}'): {t_bm:.1f}s  top1={top[0]['doc_id']}", flush=True)
+
+    t0 = time.time()
+    z = zipf_fit(docs, "text", max_vocab=10_000).collect()[0]
+    t_z = time.time() - t0
+    print(f"zipf_fit docs x{REPLICAS}: {t_z:.1f}s  "
+          f"slope={z['zipf_slope']:.3f} n_vocab={z['n_vocab']}",
+          flush=True)
+
+    dirty = spark.createDataFrame(
+        [(888_000_001, "lossy � decode"), (888_000_002, "moji Ã© Â»")],
+        "doc_id long, text string")
+    t0 = time.time()
+    enc = (encoding_stats(corpus.unionByName(dirty), "text", "doc_id")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.col("enc_clean"), 0).otherwise(1))
+                .alias("n_dirty")).collect()[0])
+    t_e = time.time() - t0
+    print(f"encoding_stats docs x{REPLICAS}: {t_e:.1f}s  "
+          f"rows={enc['n']} dirty={enc['n_dirty']}", flush=True)
+
+    from spark_df_profiling_spark.operators.dedup import (
+        cross_contamination_minhash, soft_dedup_weights)
+    hot_block = spark.range(5000).select(
+        (F.col("id") + 900_000_000).alias("doc_id"),
+        F.lit("the same boilerplate text repeated verbatim").alias("text"))
+    t0 = time.time()
+    sw = (soft_dedup_weights(corpus.unionByName(hot_block), ["text"])
+          .agg(F.count(F.lit(1)).alias("n"),
+               F.max("dup_count").alias("max_dup"),
+               F.sum("weight").alias("mass")).collect()[0])
+    t_s = time.time() - t0
+    print(f"SKEW soft_dedup_weights (+5000x one text): {t_s:.1f}s  "
+          f"rows={sw['n']} max_dup={sw['max_dup']} "
+          f"mass={sw['mass']:.1f} (= n_distinct)", flush=True)
+
+    toks = F.split(F.col("text"), " ")
+    bench = (t("documents").where(F.col("doc_id") < 100)
+             .select((F.col("doc_id") + 500_000_000).alias("doc_id"),
+                     F.concat(F.concat_ws(" ", F.slice(toks, 1,
+                                                       F.size(toks) - 1)),
+                              F.lit(" xyzzy")).alias("text")))
+    t0 = time.time()
+    n_pairs = cross_contamination_minhash(
+        docs.select("doc_id", "text"), bench,
+        jaccard_max_distance=0.5, max_bucket_size=2000).count()
+    t_x = time.time() - t0
+    print(f"cross_contamination 50k corpus vs 100 bench: {t_x:.1f}s  "
+          f"pairs={n_pairs} (expect ~{100 * REPLICAS}: each bench doc "
+          f"matches its {REPLICAS} replicated sources)", flush=True)
+
+
 if __name__ == "__main__":
     if "skew" in sys.argv:
         skew_main()
     elif "r7b" in sys.argv:
         r7b_main()
+    elif "r7c" in sys.argv:
+        r7c_main()
     else:
         main()
