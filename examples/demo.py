@@ -166,6 +166,30 @@ def main() -> None:
                                         max_delay="1 day")
     print("view->purchase pairs within 1 day:", pairs.count())
 
+    # 10. Round-7 session-3 ops: BM25 retrieval, Zipf fit, encoding
+    #     quality, soft dedup weights, cross-corpus contamination
+    from spark_df_profiling_spark.operators.text import (
+        bm25_topk, encoding_stats, zipf_fit)
+    bm25_topk(docs, "text", "doc_id", ["the", "data", "model"],
+              k=3).show()
+    zipf_fit(docs, "text", max_vocab=1000).show()
+    encoding_stats(docs, "text", "doc_id") \
+        .groupBy("enc_clean").count().show()
+
+    from spark_df_profiling_spark.operators.dedup import (
+        cross_contamination_minhash, soft_dedup_weights)
+    dup_corpus = docs.select("doc_id", "text").unionByName(
+        docs.where(F.col("doc_id") < 10)
+        .select((F.col("doc_id") + 9000).alias("doc_id"), "text"))
+    soft_dedup_weights(dup_corpus, ["text"]) \
+        .groupBy("dup_count", "weight").count().show()
+    bench = docs.where(F.col("doc_id") < 5) \
+        .select((F.col("doc_id") + 8000).alias("doc_id"), "text")
+    print("contaminated pairs:",
+          cross_contamination_minhash(
+              docs.select("doc_id", "text"), bench,
+              jaccard_max_distance=0.2).count())
+
     spark.stop()
 
 
