@@ -74,6 +74,14 @@ def knn_bruteforce(corpus: DataFrame, queries: DataFrame,
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("__cv"),
                       l2_norm(F.col(vec_col)).alias("__cn"))
+    if metric == "cosine":
+        # zero-norm rows are excluded ONCE PER ROW, not per pair: their
+        # cosine is undefined (safe_cosine would NULL every pair they
+        # touch), so dropping them up front gives identical output while
+        # keeping the per-pair expression a bare multiply-divide — a
+        # per-pair when() branch measurably slows the O(n·q·d) stage
+        q = q.where(F.col("__qn") > 0)
+        c = c.where(F.col("__cn") > 0)
     joined = c.crossJoin(F.broadcast(q)).where(
         F.col("neighbor_id") != F.col("query_id"))
     # norms are hoisted to one-per-ROW projections before the join —
@@ -81,17 +89,13 @@ def knn_bruteforce(corpus: DataFrame, queries: DataFrame,
     # PAIR would re-evaluate each norm q (resp. n) times and triple the
     # dominant O(n·q·d) stage (same reasoning as embedding_near_dup_exact)
     if metric == "cosine":
-        # NULL (not NaN) for zero-norm vectors — see safe_cosine; the
-        # isNotNull filter keeps undefined pairs from consuming rank
-        # slots below
-        sim = safe_cosine(dot(F.col("__qv"), F.col("__cv")),
-                          F.col("__qn"), F.col("__cn"))
+        sim = dot(F.col("__qv"), F.col("__cv")) \
+            / (F.col("__qn") * F.col("__cn"))
     elif metric == "dot":
         sim = dot(F.col("__qv"), F.col("__cv"))
     else:
         raise ValueError(f"unknown metric: {metric}")
-    scored = (joined.select("query_id", "neighbor_id", sim.alias("sim"))
-              .where(F.col("sim").isNotNull()))
+    scored = joined.select("query_id", "neighbor_id", sim.alias("sim"))
     if sub_partitions > 1:
         salt = F.pmod(F.xxhash64("neighbor_id"), F.lit(sub_partitions))
         w1 = Window.partitionBy("query_id", "__salt").orderBy(
