@@ -228,3 +228,78 @@ def range_join_buckets(points: DataFrame, intervals: DataFrame,
             .where((F.col(point_col) >= F.col(start_col))
                    & (F.col(point_col) < F.col(end_col)))
             .drop("__bkt"))
+
+
+def join_key_stats(left: DataFrame, right: DataFrame,
+                   left_key: str, right_key: str | None = None
+                   ) -> DataFrame:
+    """Join-key health report — run this BEFORE a big join to predict
+    whether it will explode, skew, or silently drop rows.
+
+    Returns ONE row: ``(left_rows, right_rows, left_distinct,
+    right_distinct, left_null_keys, right_null_keys, left_matched_rows,
+    right_matched_rows, left_orphan_rows, right_orphan_rows,
+    est_join_rows, max_left_fanout, max_right_fanout)``.
+
+    * ``est_join_rows = Σ_k cnt_l(k)·cnt_r(k)`` is the EXACT inner-join
+      output size — if it's 100× the inputs, the join is a disguised
+      cross product and needs rethinking before it runs;
+    * ``max_*_fanout`` is the hottest key's multiplicity on each side —
+      the skew number AQE's skew-join splitting will have to absorb;
+    * orphan counts quantify referential leakage in both directions
+      (rows an inner join silently drops).
+
+    Plan: one groupBy per side on the key (the same shuffle the real
+    join would do, but reduced to count rows immediately — map-side
+    partial agg collapses each key to one row per task), then a
+    full-outer join of the two DISTINCT-KEY-sized count tables and one
+    global aggregate.  NULL keys never join; they are counted
+    separately and excluded from the key tables.
+    """
+    rk = right_key or left_key
+    lc = (left.groupBy(F.col(left_key).alias("__k"))
+          .agg(F.count(F.lit(1)).alias("__cl")))
+    rc = (right.groupBy(F.col(rk).alias("__k"))
+          .agg(F.count(F.lit(1)).alias("__cr")))
+    lnull = lc.where(F.col("__k").isNull())
+    rnull = rc.where(F.col("__k").isNull())
+    merged = (lc.where(F.col("__k").isNotNull())
+              .join(rc.where(F.col("__k").isNotNull()), "__k", "full"))
+    core = merged.agg(
+        F.sum("__cl").cast("long").alias("left_rows_nn"),
+        F.sum("__cr").cast("long").alias("right_rows_nn"),
+        F.count("__cl").cast("long").alias("left_distinct"),
+        F.count("__cr").cast("long").alias("right_distinct"),
+        F.sum(F.when(F.col("__cr").isNotNull(), F.col("__cl")))
+        .cast("long").alias("left_matched_rows"),
+        F.sum(F.when(F.col("__cl").isNotNull(), F.col("__cr")))
+        .cast("long").alias("right_matched_rows"),
+        F.sum(F.col("__cl") * F.col("__cr")).cast("long")
+        .alias("est_join_rows"),
+        F.max("__cl").cast("long").alias("max_left_fanout"),
+        F.max("__cr").cast("long").alias("max_right_fanout"))
+    ln = lnull.agg(F.coalesce(F.sum("__cl"), F.lit(0)).cast("long")
+                   .alias("left_null_keys"))
+    rn = rnull.agg(F.coalesce(F.sum("__cr"), F.lit(0)).cast("long")
+                   .alias("right_null_keys"))
+    out = core.crossJoin(F.broadcast(ln)).crossJoin(F.broadcast(rn))
+    z = F.lit(0).cast("long")
+    return out.select(
+        (F.coalesce("left_rows_nn", z)
+         + F.col("left_null_keys")).alias("left_rows"),
+        (F.coalesce("right_rows_nn", z)
+         + F.col("right_null_keys")).alias("right_rows"),
+        F.coalesce("left_distinct", z).alias("left_distinct"),
+        F.coalesce("right_distinct", z).alias("right_distinct"),
+        "left_null_keys", "right_null_keys",
+        F.coalesce("left_matched_rows", z).alias("left_matched_rows"),
+        F.coalesce("right_matched_rows", z).alias("right_matched_rows"),
+        (F.coalesce("left_rows_nn", z)
+         - F.coalesce("left_matched_rows", z)
+         + F.col("left_null_keys")).alias("left_orphan_rows"),
+        (F.coalesce("right_rows_nn", z)
+         - F.coalesce("right_matched_rows", z)
+         + F.col("right_null_keys")).alias("right_orphan_rows"),
+        F.coalesce("est_join_rows", z).alias("est_join_rows"),
+        F.coalesce("max_left_fanout", z).alias("max_left_fanout"),
+        F.coalesce("max_right_fanout", z).alias("max_right_fanout"))

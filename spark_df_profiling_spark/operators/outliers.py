@@ -1,0 +1,169 @@
+"""Numeric-distribution diagnostics: IQR outlier fences and Benford's
+first-digit law.
+
+Profiler-grade extensions (the reference's SURVEY §2.3 stack stops at
+moments/quantiles/histograms; real data audits also want "how many
+points sit outside the whiskers" and "do these amounts look organic"):
+
+* :func:`outlier_stats` — Tukey fences (Q1 - k·IQR, Q3 + k·IQR) and the
+  row counts outside them, the numbers behind every box plot;
+* :func:`benford_stats` — observed first-significant-digit distribution
+  vs Benford's law P(d) = log10(1 + 1/d), with chi-square and
+  mean-absolute-deviation distances.  Naturally-occurring multi-scale
+  quantities (prices, populations, file sizes) follow it; fabricated or
+  truncated data usually doesn't — a classic forensic screen.
+
+Both are two-pass / one-pass aggregate plans with NO row-scale
+shuffles; every expression is a built-in JVM function, so the identical
+arithmetic replays in DuckDB for the oracle.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def outlier_stats(df: DataFrame, cols: Sequence[str],
+                  k: float = 1.5) -> DataFrame:
+    """Tukey-fence outlier counts per numeric column.
+
+    Returns one row per column: ``(column, q1, q3, iqr, lo_fence,
+    hi_fence, n_below, n_above, n_outliers, p_outliers)`` with the
+    standard fences ``q1 - k*iqr`` / ``q3 + k*iqr`` (k=1.5 — box-plot
+    whiskers; k=3 for "far out").
+
+    Plan: pass 1 is ONE shuffle-free aggregate computing exact
+    interpolated Q1/Q3 for every column (``percentile`` — sketchable
+    via percentile_approx at 100 TB, exact here for oracle parity);
+    the 1-row fence frame then rides into pass 2 as a broadcast cross
+    join, and pass 2 is again one aggregate over the table.  Two scans,
+    zero row shuffles, any number of columns.
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    if k < 0:
+        raise ValueError(f"k must be >= 0: {k}")
+    aggs = []
+    for c in cols:
+        cc = F.col(c).cast("double")
+        aggs.append(F.expr(
+            f"percentile(CAST(`{c}` AS DOUBLE), 0.25)").alias(f"__q1_{c}"))
+        aggs.append(F.expr(
+            f"percentile(CAST(`{c}` AS DOUBLE), 0.75)").alias(f"__q3_{c}"))
+        del cc
+    fences = df.agg(*aggs)
+    joined = df.crossJoin(F.broadcast(fences))
+    aggs2 = []
+    for c in cols:
+        cc = F.col(c).cast("double")
+        iqr = F.col(f"__q3_{c}") - F.col(f"__q1_{c}")
+        lo = F.col(f"__q1_{c}") - F.lit(float(k)) * iqr
+        hi = F.col(f"__q3_{c}") + F.lit(float(k)) * iqr
+        aggs2.append(F.sum(F.when(cc < lo, 1).otherwise(0))
+                     .cast("long").alias(f"__nb_{c}"))
+        aggs2.append(F.sum(F.when(cc > hi, 1).otherwise(0))
+                     .cast("long").alias(f"__na_{c}"))
+        aggs2.append(F.count(cc).alias(f"__n_{c}"))
+        aggs2.append(F.first(F.col(f"__q1_{c}")).alias(f"__fq1_{c}"))
+        aggs2.append(F.first(F.col(f"__q3_{c}")).alias(f"__fq3_{c}"))
+    counts = joined.agg(*aggs2)
+    stack_args = ", ".join(
+        f"'{c}', __fq1_{c}, __fq3_{c}, __nb_{c}, __na_{c}, __n_{c}"
+        for c in cols)
+    out = counts.select(F.expr(
+        f"stack({len(cols)}, {stack_args}) "
+        "as (column, q1, q3, n_below, n_above, n_rows)"))
+    iqr = F.col("q3") - F.col("q1")
+    return out.select(
+        "column", "q1", "q3", iqr.alias("iqr"),
+        (F.col("q1") - F.lit(float(k)) * iqr).alias("lo_fence"),
+        (F.col("q3") + F.lit(float(k)) * iqr).alias("hi_fence"),
+        "n_below", "n_above",
+        (F.col("n_below") + F.col("n_above")).alias("n_outliers"),
+        ((F.col("n_below") + F.col("n_above")).cast("double")
+         / F.nullif(F.col("n_rows"), F.lit(0))).alias("p_outliers"))
+
+
+#: Benford's law: P(first significant digit = d) = log10(1 + 1/d)
+BENFORD_P = {d: math.log10(1 + 1 / d) for d in range(1, 10)}
+
+
+def first_digit(col) -> F.Column:
+    """First significant digit of a nonzero numeric (NULL for 0/NULL):
+    ``floor(|x| / 10^floor(log10 |x|))`` — pure arithmetic, no string
+    formatting.
+
+    libm's log10 may land an ulp either side of an exact integer at
+    power-of-ten boundaries (log10(100) = 1.9999... or 2.0 depending on
+    the implementation), which would shift the magnitude by one and
+    yield 10 or 0 instead of the true digit — so the quotient is
+    RE-NORMALIZED into [1, 10) before flooring.  After that correction
+    every IEEE engine produces the identical digit regardless of which
+    side its log10 landed on (the oracle replays the same guard)."""
+    c = (F.col(col) if isinstance(col, str) else col).cast("double")
+    a = F.abs(c)
+    mag = F.floor(F.log10(a))
+    d0 = a / F.pow(F.lit(10.0), mag.cast("double"))
+    return (F.when(a > 0,
+                   F.when(d0 >= 10, F.floor(d0 / 10))
+                   .when(d0 < 1, F.floor(d0 * 10))
+                   .otherwise(F.floor(d0)))
+            .cast("int"))
+
+
+def benford_stats(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law.
+
+    Returns one row per (column, digit 1-9): ``(column, digit, cnt,
+    p_obs, p_benford)`` plus per-column distances repeated on each row:
+    ``chi2`` (Pearson statistic over the 9 cells) and ``mad`` (mean
+    absolute deviation of proportions — the Nigrini screen; < 0.006 is
+    "close conformity", > 0.015 "nonconformity").  Digits with zero
+    occurrences still get a row (cnt=0), so the shape is fixed at
+    ``9 * len(cols)`` rows.
+
+    Plan: one stack-explode scan → groupBy (column, digit) with
+    map-side partial aggregation (at most ``9 * len(cols)`` groups
+    reach the shuffle) → a broadcast join against the 9-row Benford
+    literal table → a window over the tiny group set for the
+    distances.  Nothing row-scale moves.
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    stack_args = ", ".join(f"'{c}', CAST(`{c}` AS DOUBLE)" for c in cols)
+    stacked = df.select(F.expr(
+        f"stack({len(cols)}, {stack_args}) as (column, v)"))
+    digits = (stacked.select("column", first_digit(F.col("v"))
+                             .alias("digit"))
+              .where(F.col("digit").isNotNull())
+              .groupBy("column", "digit")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    spark = df.sparkSession
+    bench = spark.createDataFrame(
+        [(d, BENFORD_P[d]) for d in range(1, 10)],
+        "digit int, p_benford double")
+    cols_df = stacked.select("column").distinct()
+    full = cols_df.crossJoin(F.broadcast(bench))
+    from pyspark.sql import Window
+    w = Window.partitionBy("column")
+    out = (full.join(digits, ["column", "digit"], "left")
+           .withColumn("cnt", F.coalesce("cnt", F.lit(0)).cast("long"))
+           .withColumn("n", F.sum("cnt").over(w))
+           .withColumn("p_obs", F.col("cnt").cast("double")
+                       / F.nullif(F.col("n"), F.lit(0)))
+           .withColumn(
+               "chi2",
+               F.sum((F.col("cnt").cast("double")
+                      - F.col("n") * F.col("p_benford"))
+                     * (F.col("cnt").cast("double")
+                        - F.col("n") * F.col("p_benford"))
+                     / (F.col("n") * F.col("p_benford"))).over(w))
+           .withColumn(
+               "mad",
+               F.avg(F.abs(F.col("p_obs") - F.col("p_benford"))).over(w)))
+    return out.select("column", "digit", "cnt", "p_obs", "p_benford",
+                      "chi2", "mad")

@@ -425,6 +425,33 @@ def pii_scan(df: DataFrame, text_col: str) -> DataFrame:
     return out.withColumn("pii_any", any_expr)
 
 
+PII_REDACT_ORDER = ["url", "email", "ipv4", "phone"]
+
+
+def pii_redact(col, kinds: list[str] | None = None) -> Column:
+    """Text with PII spans replaced by ``[KIND]`` placeholders — the
+    release-side counterpart of :func:`pii_scan` (count first, redact
+    what ships).
+
+    Patterns apply in a FIXED order (url before email before ipv4
+    before phone) so nested matches resolve deterministically: a URL
+    containing digits is consumed whole before the ipv4 pattern can
+    bite a fragment of it.
+
+    Scale: a chain of codegen'd ``regexp_replace`` calls — zero
+    shuffles, linear in corpus bytes, same engine-portable pattern
+    subset as the scanner (replayable with DuckDB's 'g' flag).
+    """
+    kinds = PII_REDACT_ORDER if kinds is None else list(kinds)
+    out = _c(col)
+    for k in kinds:
+        if k not in PII_PATTERNS:
+            raise ValueError(
+                f"kind must be one of {sorted(PII_PATTERNS)}: {k}")
+        out = F.regexp_replace(out, PII_PATTERNS[k], f"[{k.upper()}]")
+    return out
+
+
 def text_features(df: DataFrame, text_col: str) -> DataFrame:
     """All per-document text features as additional columns.
 

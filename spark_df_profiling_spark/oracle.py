@@ -253,22 +253,52 @@ def _num_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("count").alias("cnt_inc")))
 
 
+_NUM_OUTLIER_SQL = f"""
+WITH oq AS (SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+                   quantile_cont(l_extendedprice, 0.75) AS q3
+            FROM lineitem)
+SELECT {_psig('oq.q1 - 1.5 * (oq.q3 - oq.q1)')} AS out_lo_s,
+       {_psig('oq.q3 + 1.5 * (oq.q3 - oq.q1)')} AS out_hi_s,
+       CAST(sum(CASE WHEN l_extendedprice
+                     < oq.q1 - 1.5 * (oq.q3 - oq.q1)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_out_below,
+       CAST(sum(CASE WHEN l_extendedprice
+                     > oq.q3 + 1.5 * (oq.q3 - oq.q1)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_out_above
+FROM lineitem, oq GROUP BY oq.q1, oq.q3
+"""
+
+
+def _num_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier row (operators/outliers.py::outlier_stats)
+    for l_extendedprice, k=1.5 — fences sig-normalized, counts exact."""
+    from spark_df_profiling_spark.operators.outliers import outlier_stats
+    li = _t(spark, sf_dir, "lineitem")
+    o = outlier_stats(li, ["l_extendedprice"], k=1.5)
+    return o.select(sig(F.col("lo_fence")).alias("out_lo_s"),
+                    sig(F.col("hi_fence")).alias("out_hi_s"),
+                    F.col("n_below").alias("n_out_below"),
+                    F.col("n_above").alias("n_out_above"))
+
+
 @query("num_stats", f"""
 SELECT * FROM ({_NUM_MOMENTS_SQL}) "mo",
               ({_NUM_QUANTILES_SQL}) "qu",
               ({_NUM_MAD_SQL}) "ma",
-              ({_NUM_INC_SQL}) "inc"
+              ({_NUM_INC_SQL}) "inc",
+              ({_NUM_OUTLIER_SQL}) "ou"
 """)
 def num_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N1-N11 in one graded row: moments+zeros × exact quantiles × MAD ×
-    incremental-merge replica (cross join of four 1-row aggregates —
-    kernels stay independently implemented, the merge only shares a
-    registry slot so the driver's 50-query grading cap fits the full
-    operator inventory)."""
+    incremental-merge replica × Tukey outlier fences (cross join of
+    five 1-row aggregates — kernels stay independently implemented, the
+    merge only shares a registry slot so the driver's 50-query grading
+    cap fits the full operator inventory)."""
     return (_num_moments(spark, sf_dir)
             .crossJoin(_num_quantiles(spark, sf_dir))
             .crossJoin(_num_mad(spark, sf_dir))
-            .crossJoin(_num_incremental(spark, sf_dir)))
+            .crossJoin(_num_incremental(spark, sf_dir))
+            .crossJoin(_num_outliers(spark, sf_dir)))
 
 
 # ---------------------------------------------------------------------------
@@ -303,12 +333,39 @@ def _hist_inc_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _hist_both(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_df_profiling_spark.operators.histogram import histogram
+    from spark_df_profiling_spark.operators.outliers import benford_stats
     h1 = (histogram(_t(spark, sf_dir, "lineitem"), "l_extendedprice", 10)
           .select(F.lit("l_extendedprice").alias("src_col"), "bin", "cnt"))
     h2 = (histogram(_t(spark, sf_dir, "part"), "p_retailprice", 10)
           .select(F.lit("p_retailprice").alias("src_col"), "bin", "cnt"))
-    return h1.unionByName(h2).unionByName(_hist_inc_merged(spark, sf_dir))
+    # 'benford' rows grade outliers.py::benford_stats — the
+    # first-significant-digit counts (the re-normalized floor/log10
+    # arithmetic is the portable kernel; chi2/mad derive from these 9
+    # counts trivially and are pinned by pytest)
+    bf = (benford_stats(_t(spark, sf_dir, "lineitem"),
+                        ["l_extendedprice"])
+          .select(F.lit("benford").alias("src_col"),
+                  F.col("digit").cast("long").alias("bin"),
+                  F.col("cnt")))
+    return (h1.unionByName(h2).unionByName(_hist_inc_merged(spark, sf_dir))
+            .unionByName(bf))
 
+
+_BENFORD_HIST_SQL = """
+SELECT 'benford' AS src_col, CAST(d.d AS BIGINT) AS bin,
+       CAST(coalesce(g.cnt, 0) AS BIGINT) AS cnt
+FROM (SELECT unnest(generate_series(1, 9)) AS d) d
+LEFT JOIN (
+  SELECT CASE WHEN d0 >= 10 THEN floor(d0 / 10)
+              WHEN d0 < 1 THEN floor(d0 * 10)
+              ELSE floor(d0) END AS dg, count(*) AS cnt
+  FROM (SELECT abs(CAST(l_extendedprice AS DOUBLE))
+               / pow(10, floor(log10(abs(CAST(l_extendedprice
+                                              AS DOUBLE))))) AS d0
+        FROM lineitem
+        WHERE abs(l_extendedprice) > 0)
+  GROUP BY 1) g ON d.d = g.dg
+"""
 
 _register(
     "histogram_bins", _hist_both,
@@ -319,7 +376,8 @@ _register(
     f"({histogram_sql('part', 'p_retailprice', 10)})\n"
     f"UNION ALL\n"
     f"SELECT 'inc_merged' AS src_col, * FROM "
-    f"({histogram_sql('lineitem', 'l_extendedprice', 10)})")
+    f"({histogram_sql('lineitem', 'l_extendedprice', 10)})\n"
+    f"UNION ALL\n{_BENFORD_HIST_SQL}")
 
 
 # ---------------------------------------------------------------------------
@@ -2041,6 +2099,44 @@ SELECT 'constraint', c.chk, c.tbl, c.v FROM (
                                WHERE c.c_custkey = o.o_custkey))
               AS BIGINT)
 ) c
+UNION ALL
+SELECT 'jks', j.k, 'lineitem~orders', j.v FROM (
+  WITH lc AS (SELECT l_orderkey AS kk, count(*) AS c FROM lineitem
+              WHERE l_orderkey IS NOT NULL GROUP BY 1),
+  rc AS (SELECT o_orderkey AS kk, count(*) AS c FROM orders
+         WHERE o_orderkey IS NOT NULL GROUP BY 1),
+  m AS (SELECT lc.c AS cl, rc.c AS cr
+        FROM lc FULL OUTER JOIN rc USING (kk)),
+  ln AS (SELECT CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n FROM lineitem),
+  rn AS (SELECT CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n FROM orders),
+  a AS (SELECT CAST(coalesce(sum(cl), 0) AS BIGINT) AS l_nn,
+               CAST(coalesce(sum(cr), 0) AS BIGINT) AS r_nn,
+               CAST(count(cl) AS BIGINT) AS l_d,
+               CAST(count(cr) AS BIGINT) AS r_d,
+               CAST(coalesce(sum(CASE WHEN cr IS NOT NULL THEN cl END),
+                             0) AS BIGINT) AS l_m,
+               CAST(coalesce(sum(CASE WHEN cl IS NOT NULL THEN cr END),
+                             0) AS BIGINT) AS r_m,
+               CAST(coalesce(sum(cl * cr), 0) AS BIGINT) AS est,
+               CAST(coalesce(max(cl), 0) AS BIGINT) AS mlf,
+               CAST(coalesce(max(cr), 0) AS BIGINT) AS mrf
+        FROM m)
+  SELECT 'left_rows' AS k, l_nn + ln.n AS v FROM a, ln
+  UNION ALL SELECT 'right_rows', r_nn + rn.n FROM a, rn
+  UNION ALL SELECT 'left_distinct', l_d FROM a
+  UNION ALL SELECT 'right_distinct', r_d FROM a
+  UNION ALL SELECT 'left_null_keys', n FROM ln
+  UNION ALL SELECT 'right_null_keys', n FROM rn
+  UNION ALL SELECT 'left_matched_rows', l_m FROM a
+  UNION ALL SELECT 'right_matched_rows', r_m FROM a
+  UNION ALL SELECT 'left_orphan_rows', l_nn - l_m + ln.n FROM a, ln
+  UNION ALL SELECT 'right_orphan_rows', r_nn - r_m + rn.n FROM a, rn
+  UNION ALL SELECT 'est_join_rows', est FROM a
+  UNION ALL SELECT 'max_left_fanout', mlf FROM a
+  UNION ALL SELECT 'max_right_fanout', mrf FROM a
+) j
 ORDER BY 1, 2, 3
 """)
 def multidim_agg_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2088,8 +2184,20 @@ def multidim_agg_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("constraint").alias("mode"),
         F.col("check").alias("g1"), F.col("table").alias("g2"),
         F.col("n_violations").alias("cnt"))
+    # 'jks' rows grade joins.py::join_key_stats — the pre-join health
+    # report (exact inner-join output size, fan-out maxima, orphan and
+    # null-key accounting) on lineitem ⋈ orders
+    from spark_df_profiling_spark.operators.joins import join_key_stats
+    jks_row = join_key_stats(li, o, "l_orderkey", "o_orderkey")
+    stats_cols = jks_row.columns
+    stack_args = ", ".join(f"'{c}', `{c}`" for c in stats_cols)
+    jks = jks_row.select(F.expr(
+        f"stack({len(stats_cols)}, {stack_args}) as (g1, cnt)")) \
+        .select(F.lit("jks").alias("mode"), "g1",
+                F.lit("lineitem~orders").alias("g2"), "cnt")
     return (rollup.unionByName(cube).unionByName(gsets)
-            .unionByName(cons).orderBy("mode", "g1", "g2"))
+            .unionByName(cons).unionByName(jks)
+            .orderBy("mode", "g1", "g2"))
 
 
 @query("pivot_qty_by_status", f"""
@@ -2714,6 +2822,17 @@ decon AS (
   SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_contaminated,
          CAST(count(*) AS BIGINT) AS decon_total_hits
   FROM corp_g JOIN bench_g USING (g)
+),
+red AS (
+  SELECT ('0x' || substr(md5(string_agg(r, '|' ORDER BY r)), 1, 15))
+             ::BIGINT AS redact_hash
+  FROM (SELECT regexp_replace(regexp_replace(regexp_replace(
+            regexp_replace(text,
+                '{PII_PATTERNS['url']}', '[URL]', 'g'),
+                '{PII_PATTERNS['email']}', '[EMAIL]', 'g'),
+                '{PII_PATTERNS['ipv4']}', '[IPV4]', 'g'),
+                '{PII_PATTERNS['phone']}', '[PHONE]', 'g') AS r
+        FROM (SELECT * FROM (VALUES {values}) fixture(text)))
 )
 SELECT CAST(sum({cnt['email']}) AS BIGINT) AS n_email,
        CAST(sum({cnt['url']}) AS BIGINT) AS n_url,
@@ -2722,8 +2841,9 @@ SELECT CAST(sum({cnt['email']}) AS BIGINT) AS n_email,
        CAST(sum(CASE WHEN {flag} THEN 1 ELSE 0 END) AS BIGINT)
            AS n_docs_flagged,
        any_value(n_docs_contaminated) AS n_docs_contaminated,
-       any_value(decon_total_hits) AS decon_total_hits
-FROM corpus, decon
+       any_value(decon_total_hits) AS decon_total_hits,
+       any_value(redact_hash) AS redact_hash
+FROM corpus, decon, red
 """
 
 
@@ -2756,7 +2876,15 @@ def pii_scan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.sum(F.when(F.col("contaminated"), 1).otherwise(0))
                   .cast("long").alias("n_docs_contaminated"),
                   F.sum("n_hits").cast("long").alias("decon_total_hits")))
-    return pii.crossJoin(decon)
+    # redact_hash grades text.pii_redact: the PII fixtures redacted in
+    # the canonical url→email→ipv4→phone order, sorted, joined, and
+    # md5-prefixed — any placement or ordering difference flips the hash
+    from spark_df_profiling_spark.operators.text import pii_redact
+    red = (fix.select(pii_redact("text").alias("r"))
+           .agg(F.conv(F.substring(
+               F.md5(F.concat_ws("|", F.sort_array(F.collect_list("r")))),
+               1, 15), 16, 10).cast("bigint").alias("redact_hash")))
+    return pii.crossJoin(decon).crossJoin(F.broadcast(red))
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,213 @@
+"""Round-7 session-3 batch 2: outlier fences, Benford first-digit law,
+join-key health stats, PII redaction."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def li(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+# ---------------------------------------------------------------------------
+# outlier_stats
+# ---------------------------------------------------------------------------
+def _py_quantile(xs, p):
+    """NumPy 'linear' interpolation — Spark percentile / DuckDB
+    quantile_cont semantics."""
+    xs = sorted(xs)
+    h = (len(xs) - 1) * p
+    lo = int(math.floor(h))
+    hi = min(lo + 1, len(xs) - 1)
+    return xs[lo] + (h - lo) * (xs[hi] - xs[lo])
+
+
+def test_outlier_stats_matches_python(spark, li):
+    from spark_df_profiling_spark.operators.outliers import outlier_stats
+    got = {r["column"]: r for r in
+           outlier_stats(li, ["l_extendedprice", "l_quantity"],
+                         k=1.5).collect()}
+    for c in ["l_extendedprice", "l_quantity"]:
+        xs = [r[0] for r in li.select(c).collect() if r[0] is not None]
+        q1, q3 = _py_quantile(xs, 0.25), _py_quantile(xs, 0.75)
+        iqr = q3 - q1
+        lo, hi = q1 - 1.5 * iqr, q3 + 1.5 * iqr
+        g = got[c]
+        assert g["q1"] == pytest.approx(q1, rel=1e-12)
+        assert g["q3"] == pytest.approx(q3, rel=1e-12)
+        assert g["lo_fence"] == pytest.approx(lo, rel=1e-12)
+        assert g["n_below"] == sum(1 for x in xs if x < lo)
+        assert g["n_above"] == sum(1 for x in xs if x > hi)
+        assert g["n_outliers"] == g["n_below"] + g["n_above"]
+
+
+def test_outlier_stats_planted_outliers(spark):
+    from spark_df_profiling_spark.operators.outliers import outlier_stats
+    rows = [(float(i),) for i in range(1, 101)] + [(1e6,), (-1e6,), (None,)]
+    df = spark.createDataFrame(rows, "x double")
+    g = outlier_stats(df, ["x"]).collect()[0]
+    assert g["n_above"] == 1 and g["n_below"] == 1
+    assert g["p_outliers"] == pytest.approx(2 / 102)
+
+
+def test_outlier_stats_rejects_bad_args(spark, li):
+    from spark_df_profiling_spark.operators.outliers import outlier_stats
+    with pytest.raises(ValueError):
+        outlier_stats(li, [])
+    with pytest.raises(ValueError):
+        outlier_stats(li, ["l_quantity"], k=-1)
+
+
+def test_outlier_pass2_broadcasts_fences(spark, li):
+    from spark_df_profiling_spark.operators.outliers import outlier_stats
+    plan = outlier_stats(li, ["l_quantity"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# benford_stats
+# ---------------------------------------------------------------------------
+def test_benford_matches_python(spark, li):
+    from spark_df_profiling_spark.operators.outliers import (
+        BENFORD_P, benford_stats)
+    got = {r["digit"]: r for r in
+           benford_stats(li, ["l_extendedprice"]).collect()}
+    xs = [r[0] for r in li.select("l_extendedprice").collect()
+          if r[0] is not None and r[0] != 0]
+    from collections import Counter
+    ref = Counter(int(str(abs(x)).lstrip("0.").replace(".", "")[0])
+                  for x in xs)
+    n = sum(ref.values())
+    chi2 = sum((ref.get(d, 0) - n * BENFORD_P[d]) ** 2
+               / (n * BENFORD_P[d]) for d in range(1, 10))
+    mad = sum(abs(ref.get(d, 0) / n - BENFORD_P[d])
+              for d in range(1, 10)) / 9
+    assert set(got) == set(range(1, 10)), "all 9 digits get a row"
+    for d in range(1, 10):
+        assert got[d]["cnt"] == ref.get(d, 0), f"digit {d}"
+        assert got[d]["p_benford"] == pytest.approx(BENFORD_P[d])
+        assert got[d]["chi2"] == pytest.approx(chi2, rel=1e-9)
+        assert got[d]["mad"] == pytest.approx(mad, rel=1e-9)
+
+
+def test_benford_power_of_ten_boundaries(spark):
+    """Exact powers of ten and near-boundary values get the true first
+    digit even if log10 lands an ulp off an integer."""
+    from spark_df_profiling_spark.operators.outliers import first_digit
+    rows = [(0.001,), (0.1,), (1.0,), (10.0,), (100.0,), (1000.0,),
+            (99.9999999,), (100.0000001,), (-100.0,), (9.999999,),
+            (0.0,), (None,)]
+    df = spark.createDataFrame(rows, "x double")
+    got = [r[0] for r in df.select(first_digit("x")).collect()]
+    assert got == [1, 1, 1, 1, 1, 1, 9, 1, 1, 9, None, None]
+
+
+def test_benford_conformant_sample(spark):
+    """A log-uniform sample conforms; its mad lands under the Nigrini
+    close-conformity line while a uniform sample does not."""
+    from spark_df_profiling_spark.operators.outliers import benford_stats
+    logu = [(10 ** (0.0003 * i),) for i in range(10000)]  # 1 .. 10^3
+    mad_log = benford_stats(
+        spark.createDataFrame(logu, "x double"), ["x"]) \
+        .agg(F.first("mad")).collect()[0][0]
+    uni = [(1.0 + 0.01 * i,) for i in range(10000)]       # 1 .. 101
+    mad_uni = benford_stats(
+        spark.createDataFrame(uni, "x double"), ["x"]) \
+        .agg(F.first("mad")).collect()[0][0]
+    assert mad_log < 0.006 < mad_uni
+
+
+# ---------------------------------------------------------------------------
+# join_key_stats
+# ---------------------------------------------------------------------------
+def test_join_key_stats_crafted(spark):
+    from spark_df_profiling_spark.operators.joins import join_key_stats
+    left = spark.createDataFrame(
+        [(1,), (1,), (1,), (2,), (3,), (None,)], "k long")
+    right = spark.createDataFrame(
+        [(1,), (2,), (2,), (4,), (None,), (None,)], "k long")
+    g = join_key_stats(left, right, "k").collect()[0]
+    assert g["left_rows"] == 6 and g["right_rows"] == 6
+    assert g["left_distinct"] == 3 and g["right_distinct"] == 3
+    assert g["left_null_keys"] == 1 and g["right_null_keys"] == 2
+    assert g["left_matched_rows"] == 4    # 3x k=1 + 1x k=2
+    assert g["right_matched_rows"] == 3   # 1x k=1 + 2x k=2
+    assert g["left_orphan_rows"] == 2     # k=3 + null
+    assert g["right_orphan_rows"] == 3    # k=4 + 2 nulls
+    assert g["est_join_rows"] == 3 * 1 + 1 * 2   # = inner join size
+    assert g["max_left_fanout"] == 3 and g["max_right_fanout"] == 2
+    # est_join_rows is EXACT: verify against the real join
+    assert left.join(right, "k").count() == g["est_join_rows"]
+
+
+def test_join_key_stats_matches_lineitem_orders(spark, li, sf_dir):
+    from spark_df_profiling_spark.operators.joins import join_key_stats
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    g = join_key_stats(li, orders, "l_orderkey", "o_orderkey").collect()[0]
+    assert g["left_rows"] == li.count()
+    assert g["right_rows"] == orders.count()
+    assert g["est_join_rows"] == \
+        li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+    assert g["left_orphan_rows"] == \
+        li.join(orders, li.l_orderkey == orders.o_orderkey,
+                "left_anti").count()
+
+
+def test_join_key_stats_disjoint_sides(spark):
+    from spark_df_profiling_spark.operators.joins import join_key_stats
+    left = spark.createDataFrame([(1,), (2,)], "k long")
+    right = spark.createDataFrame([(3,), (4,)], "k long")
+    g = join_key_stats(left, right, "k").collect()[0]
+    assert g["est_join_rows"] == 0
+    assert g["left_matched_rows"] == 0 and g["right_matched_rows"] == 0
+    assert g["left_orphan_rows"] == 2 and g["right_orphan_rows"] == 2
+
+
+# ---------------------------------------------------------------------------
+# pii_redact
+# ---------------------------------------------------------------------------
+def test_pii_redact_all_kinds(spark):
+    from spark_df_profiling_spark.operators.text import pii_redact
+    df = spark.createDataFrame([
+        ("mail a.b@x.org see https://ex.com/p?q=1 ip 10.0.0.1 "
+         "tel +1 (555) 123-4567",),
+        ("no pii here",),
+        (None,),
+    ], "text string")
+    got = [r[0] for r in df.select(pii_redact("text")).collect()]
+    assert got[0] == "mail [EMAIL] see [URL] ip [IPV4] tel [PHONE]"
+    assert got[1] == "no pii here"
+    assert got[2] is None
+
+
+def test_pii_redact_url_wins_over_ipv4(spark):
+    """A URL containing a dotted quad is consumed whole by the url
+    pattern before ipv4 can bite a fragment."""
+    from spark_df_profiling_spark.operators.text import pii_redact
+    df = spark.createDataFrame([("see http://10.1.2.3/path ok",)],
+                               "text string")
+    got = df.select(pii_redact("text")).collect()[0][0]
+    assert got == "see [URL] ok"
+    assert "[IPV4]" not in got
+
+
+def test_pii_redact_kind_subset_and_validation(spark):
+    from spark_df_profiling_spark.operators.text import pii_redact
+    df = spark.createDataFrame([("a.b@x.org at 10.0.0.1",)], "text string")
+    got = df.select(pii_redact("text", ["email"])).collect()[0][0]
+    assert got == "[EMAIL] at 10.0.0.1"
+    with pytest.raises(ValueError):
+        df.select(pii_redact("text", ["ssn"]))
+
+
+def test_pii_redact_plan_is_narrow(spark, sf_dir):
+    from spark_df_profiling_spark.operators.text import pii_redact
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = docs.select(pii_redact("text").alias("r")) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
