@@ -190,6 +190,24 @@ def main() -> None:
               docs.select("doc_id", "text"), bench,
               jaccard_max_distance=0.2).count())
 
+    # 11. Distribution diagnostics + join planning + redaction
+    from spark_df_profiling_spark.operators.outliers import (
+        benford_stats, outlier_stats)
+    outlier_stats(li, ["l_extendedprice", "l_quantity"]).show()
+    benford_stats(li, ["l_extendedprice"]) \
+        .select("digit", "cnt", "mad").orderBy("digit").show(3)
+
+    from spark_df_profiling_spark.operators.joins import join_key_stats
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    join_key_stats(li, orders, "l_orderkey", "o_orderkey") \
+        .select("est_join_rows", "max_left_fanout",
+                "right_orphan_rows").show()
+
+    from spark_df_profiling_spark.operators.text import pii_redact
+    spark.createDataFrame(
+        [("reach me: a.b@x.org / +1 (555) 123-4567",)], "text string") \
+        .select(pii_redact("text").alias("redacted")).show(truncate=False)
+
     spark.stop()
 
 
