@@ -616,6 +616,73 @@ def r7c_main() -> None:
           f"matches its {REPLICAS} replicated sources)", flush=True)
 
 
+def r7d_main() -> None:
+    """Diagnostics batch at 10x (6M lineitem / 50k docs) + planted skew:
+
+    * outlier_stats / benford_stats on the 6M-row lineitem (two scans /
+      one scan, nothing row-scale shuffles);
+    * join_key_stats on 6M lineitem x 1.5M orders PLUS one orderkey
+      replicated 100k times on the left — the hot key the report is
+      meant to EXPOSE (max_left_fanout) without itself skewing: the
+      count collapses map-side before the shuffle;
+    * pii_redact over the 50k-doc corpus (scan-speed claim).
+    """
+    spark = (SparkSession.builder.master("local[32]")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory", "32g")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    t = lambda name: spark.read.parquet(f"{SF_DIR}/{name}.parquet")
+
+    li = replicate(t("lineitem"), ["l_orderkey"], REPLICAS,
+                   materialize_as="lineitem_x10d", spark=spark)
+    n_li = li.count()
+
+    from spark_df_profiling_spark.operators.outliers import (
+        benford_stats, outlier_stats)
+    t0 = time.time()
+    o = outlier_stats(li, ["l_extendedprice", "l_quantity", "l_tax"],
+                      k=1.5).collect()
+    t_o = time.time() - t0
+    print(f"outlier_stats lineitem x{REPLICAS} ({n_li} rows, 3 cols): "
+          f"{t_o:.1f}s  outliers="
+          f"{ {r['column']: r['n_outliers'] for r in o} }", flush=True)
+
+    t0 = time.time()
+    b = benford_stats(li, ["l_extendedprice", "l_quantity"]).collect()
+    t_b = time.time() - t0
+    mads = {r["column"]: round(r["mad"], 4) for r in b}
+    print(f"benford_stats lineitem x{REPLICAS} (2 cols): {t_b:.1f}s  "
+          f"mad={mads}", flush=True)
+
+    from spark_df_profiling_spark.operators.joins import join_key_stats
+    hot = spark.range(100_000).select(
+        F.lit(1).cast("long").alias("l_orderkey"))
+    left = li.select("l_orderkey").unionByName(hot)
+    orders = replicate(t("orders"), ["o_orderkey"], REPLICAS,
+                       materialize_as="orders_x10d", spark=spark)
+    t0 = time.time()
+    g = join_key_stats(left, orders, "l_orderkey",
+                       "o_orderkey").collect()[0]
+    t_j = time.time() - t0
+    print(f"SKEW join_key_stats ({left.count()} x {orders.count()}, "
+          f"one 100k-hot key): {t_j:.1f}s  "
+          f"est_join_rows={g['est_join_rows']} "
+          f"max_left_fanout={g['max_left_fanout']}", flush=True)
+
+    from spark_df_profiling_spark.operators.text import pii_redact
+    docs = replicate(t("documents"), ["doc_id"], REPLICAS,
+                     materialize_as="documents_x10d", spark=spark)
+    t0 = time.time()
+    n_red = (docs.select(pii_redact("text").alias("r"))
+             .agg(F.sum(F.length("r"))).collect()[0][0])
+    t_r = time.time() - t0
+    print(f"pii_redact docs x{REPLICAS}: {t_r:.1f}s  "
+          f"total_redacted_chars={n_red}", flush=True)
+
+
 if __name__ == "__main__":
     if "skew" in sys.argv:
         skew_main()
@@ -623,5 +690,7 @@ if __name__ == "__main__":
         r7b_main()
     elif "r7c" in sys.argv:
         r7c_main()
+    elif "r7d" in sys.argv:
+        r7d_main()
     else:
         main()
