@@ -191,6 +191,103 @@ def sniff_meta(df: DataFrame, batch_size: int = 1024) -> DataFrame:
         compute, schema=SNIFF_SCHEMA)
 
 
+def sniff_av_meta(payload: "bytes | None"
+                  ) -> "tuple[str | None, int | None, int | None, int | None]":
+    """(mime, rate, channels, duration_ms) from audio/video container
+    headers — pure stdlib byte walks, no codec.
+
+    * WAV (RIFF/WAVE): chunk walk to ``fmt `` (channels, sample rate,
+      byte rate) and ``data`` (payload size); ``duration_ms = data_size
+      * 1000 // byte_rate`` (integer floor — engine-portable);
+    * MP4 (ftyp box): top-level box walk to ``moov`` → ``mvhd`` v0
+      (timescale, duration); ``rate`` carries the timescale, channels
+      is NULL, ``duration_ms = duration * 1000 // timescale``.
+
+    Anything else → all-NULL.  Truncated/garbled headers degrade to
+    NULL fields, never raise — a corrupt payload must not kill the
+    Arrow batch.
+    """
+    if payload is None:
+        return (None, None, None, None)
+    b = bytes(payload)
+    if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        ch = sr = byte_rate = dsize = None
+        i = 12
+        while i + 8 <= len(b):
+            cid = b[i:i + 4]
+            csize = int.from_bytes(b[i + 4:i + 8], "little")
+            if cid == b"fmt " and i + 24 <= len(b):
+                ch = int.from_bytes(b[i + 10:i + 12], "little")
+                sr = int.from_bytes(b[i + 12:i + 16], "little")
+                byte_rate = int.from_bytes(b[i + 16:i + 20], "little")
+            elif cid == b"data":
+                dsize = csize
+            i += 8 + csize + (csize & 1)  # chunks are word-aligned
+        dur = (dsize * 1000 // byte_rate
+               if dsize is not None and byte_rate else None)
+        return ("audio/wav", sr, ch, dur)
+    if len(b) >= 12 and b[4:8] == b"ftyp":
+        i = 0
+        while i + 8 <= len(b):
+            size = int.from_bytes(b[i:i + 4], "big")
+            if size < 8:
+                break
+            if b[i + 4:i + 8] == b"moov":
+                j, end = i + 8, min(i + size, len(b))
+                while j + 8 <= end:
+                    isize = int.from_bytes(b[j:j + 4], "big")
+                    if isize < 8:
+                        break
+                    if b[j + 4:j + 8] == b"mvhd" and j + 28 <= end \
+                            and b[j + 8] == 0:  # version 0 layout
+                        ts = int.from_bytes(b[j + 20:j + 24], "big")
+                        dur = int.from_bytes(b[j + 24:j + 28], "big")
+                        return ("video/mp4", ts, None,
+                                dur * 1000 // ts if ts else None)
+                    j += isize
+                break
+            i += size
+        return ("video/mp4", None, None, None)
+    return (None, None, None, None)
+
+
+AV_SNIFF_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("mime", T.StringType(), True),
+    T.StructField("rate", T.LongType(), True),
+    T.StructField("channels", T.IntegerType(), True),
+    T.StructField("duration_ms", T.LongType(), True),
+    T.StructField("n_bytes", T.LongType(), True),
+])
+
+
+def sniff_av(df: DataFrame, batch_size: int = 1024) -> DataFrame:
+    """Audio/video header metadata per payload via ``mapInPandas`` —
+    the WAV/MP4 counterpart of :func:`sniff_meta` (same Arrow batch
+    shape; ``rate`` = sample rate for WAV, mvhd timescale for MP4)."""
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                   str(batch_size))
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [sniff_av_meta(b) for b in pdf["payload"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "mime": [m[0] for m in metas],
+                "rate": pd.array([m[1] for m in metas], dtype="Int64"),
+                "channels": pd.array([m[2] for m in metas],
+                                     dtype="Int32"),
+                "duration_ms": pd.array([m[3] for m in metas],
+                                        dtype="Int64"),
+                "n_bytes": [len(b) if b is not None else None
+                            for b in pdf["payload"]],
+            })
+
+    return df.select("media_id", "payload").mapInPandas(
+        compute, schema=AV_SNIFF_SCHEMA)
+
+
 def decode_image(payload: bytes) -> Any:
     """Real decoder — STUB: image libraries are not in this container.
 

@@ -1403,6 +1403,18 @@ SELECT 'sniff', doc_id,
        CASE doc_id % 4 WHEN 0 THEN 24 WHEN 1 THEN 12 WHEN 2 THEN 14
             ELSE CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) END
 FROM documents WHERE doc_id < 20
+UNION ALL
+SELECT 'sniffav', doc_id,
+       CASE doc_id % 2 WHEN 0 THEN 'audio/wav' ELSE 'video/mp4' END,
+       CASE doc_id % 2 WHEN 0 THEN 8000 + doc_id * 500
+            ELSE 600 + doc_id * 10 END,
+       CASE doc_id % 2 WHEN 0 THEN (doc_id // 2) % 2 + 1
+            ELSE NULL END,
+       CASE doc_id % 2
+            WHEN 0 THEN ((doc_id + 1) * 4000 * 1000)
+                 // ((8000 + doc_id * 500) * ((doc_id // 2) % 2 + 1) * 2)
+            ELSE ((doc_id + 1) * 1234 * 1000) // (600 + doc_id * 10) END
+FROM documents WHERE doc_id < 12
 ORDER BY part, media_id
 """)
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1468,7 +1480,57 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("width").cast("long").alias("v1"),
                      F.col("height").cast("long").alias("v2"),
                      F.col("n_bytes").alias("v3")))
-    return feat.unionByName(sniff).orderBy("part", "media_id")
+
+    # 'sniffav' rows grade multimodal.sniff_av — REAL WAV (RIFF chunk
+    # walk) and MP4 (ftyp/moov/mvhd box walk) headers constructed in
+    # pure Spark SQL with doc_id-derived parameters; DuckDB recomputes
+    # the same parameters arithmetically (integer floor division), so
+    # any endianness/offset bug in the byte parser hash-mismatches.
+    from spark_df_profiling_spark.operators.multimodal import sniff_av
+
+    def le4(c):
+        return F.unhex(F.concat(
+            F.lpad(F.hex(c % 256), 2, "0"),
+            F.lpad(F.hex(F.floor(c / 256).cast("long") % 256), 2, "0"),
+            F.lpad(F.hex(F.floor(c / 65536).cast("long") % 256), 2, "0"),
+            F.lpad(F.hex(F.floor(c / 16777216).cast("long") % 256),
+                   2, "0")))
+
+    dav = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 12)
+    ch = ((F.floor(F.col("doc_id") / 2) % 2) + 1).cast("long")
+    sr = (F.lit(8000) + F.col("doc_id") * 500).cast("long")
+    byte_rate = (sr * ch * 2).cast("long")
+    dsize = ((F.col("doc_id") + 1) * 4000).cast("long")
+    # RIFF <size> WAVE | fmt_ len=16 pcm ch sr byte_rate align bits |
+    # data <dsize>  (declared size only — the walk skips past EOF)
+    wav = F.concat(
+        F.unhex(F.lit("52494646")), le4(F.lit(36).cast("long")),
+        F.unhex(F.lit("57415645")),
+        F.unhex(F.lit("666D7420")), le4(F.lit(16).cast("long")),
+        F.unhex(F.lit("0100")), le2(ch), le4(sr), le4(byte_rate),
+        le2(ch * 2), F.unhex(F.lit("1000")),
+        F.unhex(F.lit("64617461")), le4(dsize))
+    ts = (F.lit(600) + F.col("doc_id") * 10).cast("long")
+    dur = ((F.col("doc_id") + 1) * 1234).cast("long")
+    # ftyp(16) | moov(36) > mvhd(28): v0 flags creation mod ts dur
+    mp4 = F.concat(
+        be4(F.lit(16).cast("long")), F.unhex(F.lit("66747970")),
+        F.unhex(F.lit("69736F6D")), be4(F.lit(0).cast("long")),
+        be4(F.lit(36).cast("long")), F.unhex(F.lit("6D6F6F76")),
+        be4(F.lit(28).cast("long")), F.unhex(F.lit("6D766864")),
+        F.unhex(F.lit("00000000")), be4(F.lit(0).cast("long")),
+        be4(F.lit(0).cast("long")), be4(ts), be4(dur))
+    av_payload = F.when(F.col("doc_id") % 2 == 0, wav).otherwise(mp4)
+    av_media = dav.select(F.col("doc_id").cast("long").alias("media_id"),
+                          av_payload.alias("payload"))
+    sniffav = (sniff_av(av_media)
+               .select(F.lit("sniffav").alias("part"), "media_id",
+                       F.col("mime").alias("s1"),
+                       F.col("rate").cast("long").alias("v1"),
+                       F.col("channels").cast("long").alias("v2"),
+                       F.col("duration_ms").cast("long").alias("v3")))
+    return (feat.unionByName(sniff).unionByName(sniffav)
+            .orderBy("part", "media_id"))
 
 
 # ---------------------------------------------------------------------------

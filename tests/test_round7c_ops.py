@@ -211,3 +211,66 @@ def test_pii_redact_plan_is_narrow(spark, sf_dir):
     plan = docs.select(pii_redact("text").alias("r")) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# sniff_av_meta (WAV / MP4 headers)
+# ---------------------------------------------------------------------------
+def _wav(ch=2, sr=44100, bits=16, dsize=88200):
+    br = sr * ch * bits // 8
+    fmt = (b"fmt " + (16).to_bytes(4, "little")
+           + (1).to_bytes(2, "little") + ch.to_bytes(2, "little")
+           + sr.to_bytes(4, "little") + br.to_bytes(4, "little")
+           + (ch * bits // 8).to_bytes(2, "little")
+           + bits.to_bytes(2, "little"))
+    data = b"data" + dsize.to_bytes(4, "little") + b"\x00" * min(dsize, 8)
+    body = b"WAVE" + fmt + data
+    return b"RIFF" + (len(body)).to_bytes(4, "little") + body
+
+
+def _mp4(timescale=600, duration=1500):
+    ftyp = (20).to_bytes(4, "big") + b"ftypisom" + (0).to_bytes(4, "big") \
+        + b"isom"
+    mvhd = (b"\x00\x00\x00\x00" + (0).to_bytes(4, "big")
+            + (0).to_bytes(4, "big") + timescale.to_bytes(4, "big")
+            + duration.to_bytes(4, "big") + b"\x00" * 80)
+    mvhd_box = (8 + len(mvhd)).to_bytes(4, "big") + b"mvhd" + mvhd
+    moov = (8 + len(mvhd_box)).to_bytes(4, "big") + b"moov" + mvhd_box
+    return ftyp + moov
+
+
+def test_sniff_av_meta_wav_and_mp4():
+    from spark_df_profiling_spark.operators.multimodal import sniff_av_meta
+    mime, sr, ch, dur = sniff_av_meta(_wav(ch=1, sr=8000, bits=16,
+                                           dsize=16000))
+    assert (mime, sr, ch) == ("audio/wav", 8000, 1)
+    assert dur == 16000 * 1000 // (8000 * 2)  # exactly 1000 ms
+    mime, ts, ch, dur = sniff_av_meta(_mp4(timescale=600, duration=1500))
+    assert (mime, ts, ch) == ("video/mp4", 600, None)
+    assert dur == 1500 * 1000 // 600  # 2500 ms
+    assert sniff_av_meta(b"not media at all") == (None, None, None, None)
+    assert sniff_av_meta(None) == (None, None, None, None)
+
+
+def test_sniff_av_meta_truncated_does_not_crash():
+    from spark_df_profiling_spark.operators.multimodal import sniff_av_meta
+    for payload in (_wav()[:13], _wav()[:25], _mp4()[:9], _mp4()[:30],
+                    b"RIFF\x00\x00\x00\x00WAVE", b""):
+        mime, a, b_, c = sniff_av_meta(payload)  # must not raise
+        assert mime in (None, "audio/wav", "video/mp4")
+
+
+def test_sniff_av_mapinpandas_roundtrip(spark):
+    from spark_df_profiling_spark.operators.multimodal import sniff_av
+    rows = [(1, _wav(ch=2, sr=44100, dsize=88200)),
+            (2, _mp4(timescale=90000, duration=450000)),
+            (3, b"plain text"), (4, None)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in sniff_av(df).collect()}
+    assert got[1]["mime"] == "audio/wav" and got[1]["rate"] == 44100
+    assert got[1]["channels"] == 2
+    assert got[1]["duration_ms"] == 88200 * 1000 // (44100 * 4)
+    assert got[2]["mime"] == "video/mp4" and got[2]["rate"] == 90000
+    assert got[2]["duration_ms"] == 5000
+    assert got[3]["mime"] is None
+    assert got[4]["n_bytes"] is None
