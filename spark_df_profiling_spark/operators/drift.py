@@ -233,3 +233,82 @@ def psi_report(ref: DataFrame, new: DataFrame,
         F.when(F.col("psi") < 0.1, F.lit("stable"))
         .when(F.col("psi") < 0.25, F.lit("moderate"))
         .otherwise(F.lit("shifted")))
+
+
+def ks_2samp(ref: DataFrame, new: DataFrame, col: str,
+             num_buckets: int | None = None) -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov statistic, distributed.
+
+    ``D = sup_x |F_ref(x) - F_new(x)|`` — the strongest classical
+    two-sample distribution test, complementing :func:`psi_numeric`
+    (PSI needs binning and saturates; KS is binning-free and exact).
+    Returns ONE row ``(d_stat, at_value, n_ref, n_new)`` where
+    ``at_value`` is the smallest value attaining the supremum.
+
+    Scale design: the empirical CDFs step only at DISTINCT values, so
+    the sup is a max over the distinct-value set.  Per-side counts per
+    value (one shuffle each, map-side combined) full-outer-join into
+    ``(v, c_ref, c_new)``; the cumulative sums over value order then
+    use the SAME distributed-scan recipe as ``packing.pack_offsets``
+    — range-repartition by value + localCheckpoint (freezes sampled
+    boundaries), per-partition totals prefix-summed on the DRIVER
+    (O(#partitions) state, not data), in-partition window for the
+    running sums.  NEVER a single-partition global window.  The final
+    max is an ordinary aggregate.
+
+    NULLs are excluded on both sides (a CDF over NULL is undefined).
+    """
+    spark = ref.sparkSession
+    n = int(num_buckets
+            or spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    a = (ref.select(F.col(col).cast("double").alias("__v"))
+         .where(F.col("__v").isNotNull())
+         .groupBy("__v").agg(F.count(F.lit(1)).alias("__ca")))
+    b = (new.select(F.col(col).cast("double").alias("__v"))
+         .where(F.col("__v").isNotNull())
+         .groupBy("__v").agg(F.count(F.lit(1)).alias("__cb")))
+    merged = (a.join(b, "__v", "full")
+              .select("__v",
+                      F.coalesce("__ca", F.lit(0)).alias("__ca"),
+                      F.coalesce("__cb", F.lit(0)).alias("__cb")))
+    ranged = (merged.repartitionByRange(n, F.col("__v"))
+              .withColumn("__pid", F.spark_partition_id()))
+    # same re-execution hazard (and fix) as pack_offsets: both the
+    # totals collect and the final max read the SAME frozen partitions
+    ranged = ranged.localCheckpoint(eager=True)
+    totals = {r["__pid"]: (r["__ta"], r["__tb"]) for r in
+              ranged.groupBy("__pid")
+              .agg(F.sum("__ca").alias("__ta"),
+                   F.sum("__cb").alias("__tb")).collect()}
+    prefix, acc_a, acc_b = [], 0, 0
+    for pid in sorted(totals):
+        prefix.append((pid, acc_a, acc_b))
+        ta, tb = totals[pid]
+        acc_a += ta or 0
+        acc_b += tb or 0
+    n_ref, n_new = acc_a, acc_b
+    if n_ref == 0 or n_new == 0:
+        raise ValueError(
+            f"ks_2samp: empty sample for {col!r} "
+            f"(n_ref={n_ref}, n_new={n_new})")
+    pref_df = spark.createDataFrame(
+        prefix, "__pid int, __pa long, __pb long")
+    from pyspark.sql import Window
+    w = Window.partitionBy("__pid").orderBy("__v")
+    cdf = (ranged.join(F.broadcast(pref_df), "__pid")
+           .withColumn("__cum_a", F.sum("__ca").over(w) + F.col("__pa"))
+           .withColumn("__cum_b", F.sum("__cb").over(w) + F.col("__pb"))
+           .withColumn(
+               "__d",
+               F.abs(F.col("__cum_a").cast("double") / F.lit(float(n_ref))
+                     - F.col("__cum_b").cast("double")
+                     / F.lit(float(n_new)))))
+    return (cdf.agg(F.max_by(F.struct(F.col("__d"),
+                                      (-F.col("__v")).alias("__nv")),
+                             F.struct(F.col("__d"),
+                                      (-F.col("__v")).alias("__nv")))
+                    .alias("__m"))
+            .select(F.col("__m.__d").alias("d_stat"),
+                    (-F.col("__m.__nv")).alias("at_value"),
+                    F.lit(n_ref).cast("long").alias("n_ref"),
+                    F.lit(n_new).cast("long").alias("n_new")))

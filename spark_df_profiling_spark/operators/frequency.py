@@ -124,3 +124,53 @@ def column_entropy(df: DataFrame, cols: list[str],
                    F.col("entropy")
                    / (F.log("n_distinct") / F.lit(log_base))))
     return per_col
+
+
+def skew_report(df: DataFrame, key_cols: str | list[str],
+                k: int = 10) -> DataFrame:
+    """Key-distribution skew report — run before any groupBy/join on
+    the key to see what the shuffle will face.
+
+    Returns ``(part, key, cnt)`` rows: 'top' rows are the k heaviest
+    keys; the 'stats' row packs ``n_rows`` in cnt and carries
+    ``n_keys:max_cnt:p99_cnt:max_share_ppm`` in key — ``max_share_ppm``
+    is the hottest key's share of all rows in parts-per-million (the
+    single number that predicts whether one reducer drowns: 1,000,000
+    ppm = everything lands on one key).
+
+    Plan: ONE shuffle on the key with map-side partial aggregation
+    (the hot key arrives as one row per upstream task, not row-scale);
+    the count-of-counts stats aggregate over the distinct-key-sized
+    frame; top-k is a bounded TakeOrdered.  NULL keys count as a key
+    (they would all land in one task too — that is exactly what this
+    report must expose).
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    counts = (df.groupBy(*keys)
+              .agg(F.count(F.lit(1)).alias("cnt"))
+              .select(F.concat_ws("\x01", *[
+                  F.coalesce(F.col(c).cast("string"), F.lit("<null>"))
+                  for c in keys]).alias("key"), "cnt"))
+    top = (counts.orderBy(F.desc("cnt"), F.asc("key")).limit(k)
+           .select(F.lit("top").alias("part"), "key", "cnt"))
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+        F.floor(F.expr("percentile(cnt, 0.99)")).cast("long")
+        .alias("p99_cnt"))
+    # exact percentile here runs over the DISTINCT-KEY-sized count
+    # frame, not the data — affordable far beyond where the data itself
+    # stopped fitting; floor() keeps the packed stats string
+    # engine-portable (no double-formatting divergence)
+    stats_row = stats.select(
+        F.lit("stats").alias("part"),
+        F.concat_ws(":", F.col("n_keys").cast("string"),
+                    F.col("max_cnt").cast("string"),
+                    F.col("p99_cnt").cast("string"),
+                    F.floor(F.col("max_cnt") * 1_000_000
+                            / F.col("n_rows")).cast("string")).alias("key"),
+        F.col("n_rows").cast("long").alias("cnt"))
+    return top.unionByName(stats_row)

@@ -393,6 +393,25 @@ SELECT 'mode', * FROM (
   SELECT l_returnflag AS value, count(*) AS cnt
   FROM lineitem GROUP BY l_returnflag
   ORDER BY cnt DESC, value LIMIT 1)
+UNION ALL
+SELECT 'skew', * FROM (
+  SELECT CAST(o_custkey AS VARCHAR) AS value, count(*) AS cnt
+  FROM orders GROUP BY o_custkey
+  ORDER BY cnt DESC, value LIMIT 5)
+UNION ALL
+SELECT 'skewstats',
+       CAST(n_keys AS VARCHAR) || ':' || CAST(max_cnt AS VARCHAR)
+       || ':' || CAST(p99 AS VARCHAR) || ':' || CAST(ppm AS VARCHAR),
+       n_rows
+FROM (
+  WITH kc AS (SELECT o_custkey AS kk, count(*) AS c
+              FROM orders GROUP BY 1)
+  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(c) AS BIGINT) AS n_rows,
+         CAST(max(c) AS BIGINT) AS max_cnt,
+         CAST(floor(quantile_cont(c, 0.99)) AS BIGINT) AS p99,
+         CAST(max(c) * 1000000 // sum(c) AS BIGINT) AS ppm
+  FROM kc)
 ORDER BY part, value
 """)
 def freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -411,7 +430,16 @@ def freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("cnt"), F.asc("value"))
             .limit(1)
             .select(F.lit("mode").alias("part"), "value", "cnt"))
-    return topk.unionByName(mode).orderBy("part", "value")
+    # 'skew'/'skewstats' rows grade frequency.skew_report — the
+    # pre-shuffle key-distribution report on orders.o_custkey (top-5
+    # hot keys + the packed n_keys:max:p99:ppm stats string)
+    from spark_df_profiling_spark.operators.frequency import skew_report
+    sk = (skew_report(o, "o_custkey", k=5)
+          .select(F.when(F.col("part") == "top", F.lit("skew"))
+                  .otherwise(F.lit("skewstats")).alias("part"),
+                  F.col("key").alias("value"), "cnt"))
+    return (topk.unionByName(mode).unionByName(sk)
+            .orderBy("part", "value"))
 
 
 # ---------------------------------------------------------------------------
@@ -3004,6 +3032,27 @@ SELECT 'col' AS part, col AS k,
             ELSE 'shifted' END AS band
 FROM p GROUP BY col
 UNION ALL
+SELECT 'ks', {_psig('at_v')} , {_psig('d')},
+       CASE WHEN d > 1.628 * sqrt((CAST(na AS DOUBLE) + nb)
+                                  / (CAST(na AS DOUBLE) * nb))
+            THEN 'drift' ELSE 'ok' END
+FROM (
+  WITH ra AS (SELECT l_extendedprice AS v, count(*) AS c FROM ref
+              WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+  rb2 AS (SELECT l_extendedprice AS v, count(*) AS c FROM nw
+          WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+  m AS (SELECT coalesce(ra.v, rb2.v) AS v, coalesce(ra.c, 0) AS ca,
+               coalesce(rb2.c, 0) AS cb
+        FROM ra FULL OUTER JOIN rb2 ON ra.v = rb2.v),
+  tt AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM m),
+  cdf AS (SELECT v,
+                 abs(sum(ca) OVER (ORDER BY v) / CAST(tt.na AS DOUBLE)
+                     - sum(cb) OVER (ORDER BY v) / CAST(tt.nb AS DOUBLE))
+                     AS dd, tt.na AS na, tt.nb AS nb
+          FROM m, tt)
+  SELECT v AS at_v, dd AS d, na, nb FROM cdf
+  ORDER BY dd DESC, v ASC LIMIT 1)
+UNION ALL
 SELECT 'win', CAST(we AS VARCHAR),
        {_psig('sum((wpr - wpn) * ln(wpr / wpn))')},
        CASE WHEN sum((wpr - wpn) * ln(wpr / wpn)) < 0.1 THEN 'stable'
@@ -3065,7 +3114,22 @@ def drift_psi_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("win").alias("part"),
         epoch_seconds(wp, "window_start").cast("string").alias("k"),
         sig(F.col("psi")).alias("psi_s"), "band")
-    return cols.unionByName(wins).orderBy("part", "k")
+    # 'ks' row grades drift.ks_2samp — the exact distributed KS
+    # statistic on the same date halves (distributed prefix-sum CDFs
+    # vs DuckDB's global window cumsum), with the alpha=0.01 decision
+    from spark_df_profiling_spark.operators.drift import ks_2samp
+    ksr = ks_2samp(ref, new, "l_extendedprice")
+    crit = F.lit(1.628) * F.sqrt(
+        (F.col("n_ref").cast("double") + F.col("n_new"))
+        / (F.col("n_ref").cast("double") * F.col("n_new")))
+    ks_row = ksr.select(
+        F.lit("ks").alias("part"),
+        sig(F.col("at_value")).alias("k"),
+        sig(F.col("d_stat")).alias("psi_s"),
+        F.when(F.col("d_stat") > crit, F.lit("drift"))
+        .otherwise(F.lit("ok")).alias("band"))
+    return (cols.unionByName(wins).unionByName(ks_row)
+            .orderBy("part", "k"))
 
 
 @query("mixture_sample_counts", f"""

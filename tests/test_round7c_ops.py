@@ -274,3 +274,115 @@ def test_sniff_av_mapinpandas_roundtrip(spark):
     assert got[2]["duration_ms"] == 5000
     assert got[3]["mime"] is None
     assert got[4]["n_bytes"] is None
+
+
+# ---------------------------------------------------------------------------
+# ks_2samp
+# ---------------------------------------------------------------------------
+def _py_ks(xs, ys):
+    """Exact two-sample KS on small lists (scipy-free reference)."""
+    xs, ys = sorted(xs), sorted(ys)
+    vals = sorted(set(xs) | set(ys))
+    import bisect
+    best, at = -1.0, None
+    for v in vals:
+        fa = bisect.bisect_right(xs, v) / len(xs)
+        fb = bisect.bisect_right(ys, v) / len(ys)
+        d = abs(fa - fb)
+        if d > best:
+            best, at = d, v
+    return best, at
+
+
+def test_ks_2samp_matches_python(spark, li):
+    from spark_df_profiling_spark.operators.drift import ks_2samp
+    ref = li.where(F.col("l_orderkey") % 2 == 0)
+    new = li.where(F.col("l_orderkey") % 2 == 1) \
+        .withColumn("l_extendedprice", F.col("l_extendedprice") * 1.1)
+    got = ks_2samp(ref, new, "l_extendedprice").collect()[0]
+    xs = [r[0] for r in ref.select("l_extendedprice").collect()]
+    ys = [r[0] for r in new.select("l_extendedprice").collect()]
+    d, at = _py_ks(xs, ys)
+    assert got["n_ref"] == len(xs) and got["n_new"] == len(ys)
+    assert got["d_stat"] == pytest.approx(d, abs=1e-12)
+    assert got["at_value"] == pytest.approx(at)
+
+
+def test_ks_2samp_identical_and_disjoint(spark):
+    from spark_df_profiling_spark.operators.drift import ks_2samp
+    a = spark.createDataFrame([(float(i),) for i in range(100)], "x double")
+    same = ks_2samp(a, a, "x").collect()[0]
+    assert same["d_stat"] == 0.0
+    b = spark.createDataFrame([(float(i + 1000),) for i in range(50)],
+                              "x double")
+    dis = ks_2samp(a, b, "x").collect()[0]
+    assert dis["d_stat"] == 1.0
+
+
+def test_ks_2samp_ties_and_nulls(spark):
+    from spark_df_profiling_spark.operators.drift import ks_2samp
+    a = spark.createDataFrame(
+        [(1.0,), (1.0,), (2.0,), (None,)], "x double")
+    b = spark.createDataFrame(
+        [(1.0,), (2.0,), (2.0,), (None,), (None,)], "x double")
+    got = ks_2samp(a, b, "x").collect()[0]
+    d, at = _py_ks([1.0, 1.0, 2.0], [1.0, 2.0, 2.0])
+    assert got["n_ref"] == 3 and got["n_new"] == 3
+    assert got["d_stat"] == pytest.approx(d)
+    assert got["at_value"] == at
+
+
+def test_ks_2samp_empty_side_raises(spark):
+    from spark_df_profiling_spark.operators.drift import ks_2samp
+    a = spark.createDataFrame([(1.0,)], "x double")
+    e = spark.createDataFrame([(None,)], "x double")
+    with pytest.raises(ValueError):
+        ks_2samp(a, e, "x")
+
+
+def test_ks_2samp_no_single_partition_window(spark, li):
+    """The cumulative sums must be windowed WITHIN range partitions —
+    never a global single-partition window."""
+    from spark_df_profiling_spark.operators.drift import ks_2samp
+    ref = li.where(F.col("l_orderkey") % 2 == 0)
+    new = li.where(F.col("l_orderkey") % 2 == 1)
+    plan = ks_2samp(ref, new, "l_extendedprice") \
+        ._jdf.queryExecution().executedPlan().toString()
+    import re
+    for m in re.finditer(r"Window \[", plan):
+        seg = plan[m.start():m.start() + 400]
+        assert "__pid" in seg, f"unpartitioned window: {seg[:120]}"
+
+
+# ---------------------------------------------------------------------------
+# skew_report
+# ---------------------------------------------------------------------------
+def test_skew_report_exposes_hot_key(spark):
+    from spark_df_profiling_spark.operators.frequency import skew_report
+    rows = [(1,)] * 900 + [(i,) for i in range(2, 102)]
+    df = spark.createDataFrame(rows, "k long")
+    out = skew_report(df, "k", k=3).collect()
+    top = [r for r in out if r["part"] == "top"]
+    stats = [r for r in out if r["part"] == "stats"][0]
+    assert top[0]["key"] == "1" and top[0]["cnt"] == 900
+    n_keys, max_cnt, p99, ppm = stats["key"].split(":")
+    assert int(n_keys) == 101 and int(max_cnt) == 900
+    assert int(ppm) == 900 * 1_000_000 // 1000
+    assert stats["cnt"] == 1000
+
+
+def test_skew_report_null_keys_counted(spark):
+    from spark_df_profiling_spark.operators.frequency import skew_report
+    df = spark.createDataFrame([(None,), (None,), (1,)], "k long")
+    out = {r["key"]: r["cnt"] for r in
+           skew_report(df, "k", k=5).collect() if r["part"] == "top"}
+    assert out["<null>"] == 2
+
+
+def test_skew_report_composite_key(spark, li):
+    from spark_df_profiling_spark.operators.frequency import skew_report
+    out = skew_report(li, ["l_returnflag", "l_linestatus"], k=2).collect()
+    ref = (li.groupBy("l_returnflag", "l_linestatus").count()
+           .orderBy(F.desc("count")).collect())
+    top = [r for r in out if r["part"] == "top"]
+    assert top[0]["cnt"] == ref[0]["count"]
