@@ -454,3 +454,87 @@ def dsir_logweights(df: DataFrame, target: DataFrame,
                                / (F.col("__tt") + F.lit(ab))))
                  .alias("log_w"))
             .select(F.col("__id").alias(id_col), "n_tokens", "log_w"))
+
+
+def weighted_sample_k(df: DataFrame, key_col: Union[str, Column],
+                      weight_col: Union[str, Column], k: int,
+                      seed: int = 0,
+                      sub_partitions: int = 64) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: ``k`` rows
+    where each row's inclusion probability is proportional to its
+    weight (Efraimidis-Spirakis exponential-key scheme).
+
+    Each row draws a deterministic uniform ``u`` from the md5 of its
+    key (+seed) and gets sort key ``-ln(u) / w`` — the classic result:
+    taking the k SMALLEST such keys is exactly weighted sampling
+    without replacement.  Same inputs → same sample, on every run and
+    every engine (DuckDB replays the identical md5/ln arithmetic),
+    which makes the draw retry-safe where ``rand()`` is not.
+
+    Zero/negative/NULL weights are excluded (their inclusion
+    probability is 0).  Returns the input columns plus ``es_key``.
+
+    Scale: the uniform and the key are pure row expressions; top-k is
+    the same two-phase bounded rank as ``knn_bruteforce`` (local top-k
+    within hash salts, then a final rank over k·sub_partitions rows) —
+    no global single-task sort of the corpus.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    w = _c(weight_col).cast("double")
+    # u in (0, 1]: (h + 1) / 2^60 over the 60-bit md5 prefix
+    h = (F.conv(F.substring(
+        F.md5(F.concat(_c(key_col).cast("string"), F.lit(f":{seed}"))),
+        1, 15), 16, 10).cast("bigint"))
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    es = (-F.log(u) / w).alias("es_key")
+    scored = df.withColumn("es_key", es).where(
+        w.isNotNull() & (w > 0) & _c(key_col).isNotNull())
+    from pyspark.sql import Window
+    salt = F.pmod(F.xxhash64(_c(key_col).cast("string")),
+                  F.lit(sub_partitions))
+    w1 = Window.partitionBy(salt).orderBy(
+        F.asc("es_key"), F.asc(_c(key_col).cast("string")))
+    local = (scored.withColumn("__r1", F.row_number().over(w1))
+             .where(F.col("__r1") <= k).drop("__r1"))
+    w2 = Window.partitionBy().orderBy(
+        F.asc("es_key"), F.asc(_c(key_col).cast("string")))
+    return (local.withColumn("__r2", F.row_number().over(w2))
+            .where(F.col("__r2") <= k).drop("__r2"))
+
+
+def score_buckets(df: DataFrame, score_col: Union[str, Column],
+                  n_buckets: int = 10, exact: bool = True,
+                  accuracy: int = 10_000) -> DataFrame:
+    """Equal-frequency score bucketing — the curriculum-ordering /
+    quality-tier primitive (e.g. "train on the top decile first").
+
+    Returns the input plus ``bucket`` in ``[0, n_buckets)`` assigned by
+    the score's own quantile cuts: bucket b covers scores in
+    (cut_b, cut_{b+1}] with cut_0 = -inf, so roughly n/n_buckets rows
+    land in each (ties collapse into one bucket — equal scores must
+    not split across tiers).  NULL scores get NULL bucket.
+
+    Scale: cuts are ONE aggregate job collecting ``n_buckets - 1``
+    scalars to the driver (state, not data — the histogram-edge
+    pattern), then ride as literals into a codegen'd filter.  This is
+    the distributed answer to ``ntile()``, whose global window would
+    single-task the corpus.  ``exact=False`` switches the cut
+    computation to percentile_approx (bounded sketch state) for
+    100 TB inputs.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2: {n_buckets}")
+    s = _c(score_col).cast("double")
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    fn = "percentile" if exact else "percentile_approx"
+    extra = "" if exact else f", {int(accuracy)}"
+    sc = (df.select(s.alias("__s"))
+          .agg(F.expr(f"{fn}(__s, array({', '.join(map(repr, probs))})"
+                      f"{extra})").alias("__cuts")).collect()[0])
+    cuts = sc["__cuts"] or []
+    bucket = F.lit(0)
+    for c in cuts:
+        bucket = bucket + F.when(s > F.lit(float(c)), 1).otherwise(0)
+    return df.withColumn(
+        "bucket", F.when(s.isNotNull(), bucket.cast("int")))

@@ -449,3 +449,98 @@ def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
             .select(F.col("id").alias(id_col), "cluster",
                     F.coalesce(~F.col("__drop"), F.lit(True))
                     .alias("keep")))
+
+
+MMR_SCHEMA = "query_id long, neighbor_id long, mmr_score double, rank int"
+
+
+def mmr_rerank(corpus: DataFrame, queries: DataFrame,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               k: int = 10, pool: int = 50,
+               lam: float = 0.7) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-k: rerank each
+    query's candidate pool so results are relevant AND mutually
+    dissimilar (the standard fix for near-duplicate-cluttered retrieval
+    — a RAG context window of 10 copies of the same paragraph is worth
+    one).
+
+    Greedy MMR: repeatedly pick
+    ``argmax lam*rel(c) - (1-lam)*max_{s in selected} cos(c, s)``
+    (ties by neighbor_id ascending; the first pick is pure relevance).
+
+    Two stages: (1) :func:`knn_bruteforce` harvests the top-``pool``
+    candidates per query (all the distributed heavy lifting — corpus
+    streams once, queries broadcast); (2) the greedy selection runs per
+    query group via ``applyInPandas`` — an Arrow-batched BOUNDED
+    computation (``pool`` candidates × vector dim per group), the same
+    legitimacy class as the stateful streaming ops.  Inner products in
+    stage 2 accumulate LEFT-TO-RIGHT in plain Python floats so the
+    arithmetic is bit-identical to a sequential SQL fold (how the
+    oracle replays it) — numpy's pairwise/BLAS summation would drift in
+    the last ulp.
+
+    Returns ``(query_id, neighbor_id, mmr_score, rank)``; rank 1 is the
+    most relevant, ``mmr_score`` is the value that won that round
+    (rank 1's score = its raw relevance).
+    """
+    if not (0.0 <= lam <= 1.0):
+        raise ValueError(f"lam must be in [0, 1]: {lam}")
+    if k < 1 or pool < k:
+        raise ValueError(f"need pool >= k >= 1: k={k}, pool={pool}")
+    cand = knn_bruteforce(corpus, queries, id_col=id_col,
+                          vec_col=vec_col, k=pool)
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).alias("__cv"),
+                       l2_norm(F.col(vec_col)).alias("__cn"))
+    pool_df = (cand.join(cv, "neighbor_id")
+               .select("query_id", "neighbor_id", "sim", "__cv", "__cn"))
+
+    def _dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += float(x) * float(y)
+        return s
+
+    def greedy(pdf):
+        import pandas as pd
+        recs = sorted(
+            zip(pdf["query_id"], pdf["neighbor_id"], pdf["sim"],
+                pdf["__cv"], pdf["__cn"]),
+            key=lambda r: (-r[2], r[1]))
+        vecs = {nid: ([float(x) for x in cv], float(cn))
+                for _, nid, _, cv, cn in recs}
+        rel = {nid: float(s) for _, nid, s, _, _ in recs}
+        qid = recs[0][0] if recs else None
+        rows = recs
+        selected, out = [], []
+        remaining = [nid for _, nid, _, _, _ in rows]
+        while remaining and len(out) < k:
+            best, best_score = None, None
+            for nid in remaining:
+                if not selected:
+                    score = rel[nid]
+                else:
+                    va, na = vecs[nid]
+                    mx = None
+                    for sid in selected:
+                        vb, nb = vecs[sid]
+                        c = (_dot(va, vb) / (na * nb)
+                             if na * nb > 0 else None)
+                        if c is not None and (mx is None or c > mx):
+                            mx = c
+                    score = lam * rel[nid] - (1 - lam) * (mx or 0.0)
+                if best_score is None or score > best_score \
+                        or (score == best_score and nid < best):
+                    best, best_score = nid, score
+            selected.append(best)
+            remaining.remove(best)
+            out.append((qid, best, best_score, len(out)))
+        return pd.DataFrame(out, columns=["query_id", "neighbor_id",
+                                          "mmr_score", "rank"]) \
+            .astype({"rank": "int32"}) if out else \
+            pd.DataFrame(columns=["query_id", "neighbor_id",
+                                  "mmr_score", "rank"])
+
+    return (pool_df.groupBy("query_id")
+            .applyInPandas(greedy, schema=MMR_SCHEMA)
+            .withColumn("rank", F.col("rank") + 1))

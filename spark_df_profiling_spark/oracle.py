@@ -1273,17 +1273,78 @@ p AS (
          row_number() OVER (PARTITION BY query_id
                             ORDER BY cos DESC, neighbor_id) AS rank
   FROM p
-)
-SELECT query_id, neighbor_id, {_psig('cos')} AS sim_s, rank
-FROM r WHERE rank <= 3 ORDER BY query_id, rank
+),
+-- MMR (lam=0.7, k=3) over the top-10 candidate pool, greedy steps
+-- unrolled into chained CTEs (step 1 = pure relevance; steps 2-3
+-- subtract (1-lam)*max cosine to the already-selected set).  The
+-- (1 - 0.7) spelling matters: it reproduces the same IEEE constant
+-- the operator's Python computes, not a hand-rounded 0.3.
+cand AS (SELECT query_id, neighbor_id, cos AS rel FROM r WHERE rank <= 10),
+cn AS (SELECT neighbor_id AS nid, cv,
+              sqrt(list_dot_product(cv, cv)) AS nrm FROM c),
+s1 AS (
+  SELECT query_id, neighbor_id, rel AS score FROM cand
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY rel DESC, neighbor_id) = 1),
+p2 AS (
+  SELECT cd.query_id, cd.neighbor_id, cd.rel,
+         list_dot_product(a.cv, b.cv) / (a.nrm * b.nrm) AS sim1
+  FROM cand cd
+  JOIN s1 ON cd.query_id = s1.query_id
+  JOIN cn a ON a.nid = cd.neighbor_id
+  JOIN cn b ON b.nid = s1.neighbor_id
+  WHERE cd.neighbor_id != s1.neighbor_id),
+s2 AS (
+  SELECT query_id, neighbor_id,
+         0.7 * rel - (1 - 0.7) * sim1 AS score FROM p2
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY 0.7 * rel - (1 - 0.7) * sim1 DESC,
+                                      neighbor_id) = 1),
+p3 AS (
+  SELECT p2.query_id, p2.neighbor_id, p2.rel,
+         greatest(p2.sim1,
+                  list_dot_product(a.cv, b.cv) / (a.nrm * b.nrm)) AS mx
+  FROM p2
+  JOIN s2 ON p2.query_id = s2.query_id
+  JOIN cn a ON a.nid = p2.neighbor_id
+  JOIN cn b ON b.nid = s2.neighbor_id
+  WHERE p2.neighbor_id != s2.neighbor_id),
+s3 AS (
+  SELECT query_id, neighbor_id,
+         0.7 * rel - (1 - 0.7) * mx AS score FROM p3
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY 0.7 * rel - (1 - 0.7) * mx DESC,
+                                      neighbor_id) = 1),
+mmr AS (
+  SELECT query_id, neighbor_id, score, 1 AS rank FROM s1
+  UNION ALL SELECT query_id, neighbor_id, score, 2 FROM s2
+  UNION ALL SELECT query_id, neighbor_id, score, 3 FROM s3)
+SELECT 'knn' AS part, query_id, neighbor_id,
+       {_psig('cos')} AS sim_s, rank
+FROM r WHERE rank <= 3
+UNION ALL
+SELECT 'mmr', query_id, neighbor_id, {_psig('score')}, rank FROM mmr
+ORDER BY part, query_id, rank
 """)
 def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from spark_df_profiling_spark.operators.similarity import knn_bruteforce
+    """Exact kNN + MMR-diversified rerank (similarity.mmr_rerank) in
+    one graded row set tagged by ``part`` — the DuckDB side unrolls the
+    greedy MMR selection into closed-form chained CTEs, so the
+    operator's Arrow-side Python greedy (sequential left-to-right inner
+    products) is pinned bit-for-bit at 5 significant digits."""
+    from spark_df_profiling_spark.operators.similarity import (
+        knn_bruteforce, mmr_rerank)
     e = _t(spark, sf_dir, "embeddings")
-    out = knn_bruteforce(e, e.where(F.col("vec_id") < 5), k=3)
-    return (out.select("query_id", "neighbor_id",
-                       sig(F.col("sim")).alias("sim_s"), "rank")
-            .orderBy("query_id", "rank"))
+    qs = e.where(F.col("vec_id") < 5)
+    out = knn_bruteforce(e, qs, k=3)
+    knn = (out.select(F.lit("knn").alias("part"), "query_id",
+                      "neighbor_id",
+                      sig(F.col("sim")).alias("sim_s"), "rank"))
+    mmr = (mmr_rerank(e, qs, k=3, pool=10, lam=0.7)
+           .select(F.lit("mmr").alias("part"), "query_id", "neighbor_id",
+                   sig(F.col("mmr_score")).alias("sim_s"), "rank"))
+    return (knn.unionByName(mmr)
+            .orderBy("part", "query_id", "rank"))
 
 
 @query("embedding_norm_by_label", f"""
@@ -2763,6 +2824,32 @@ FROM (
                  + ln((rt + 1000.0) / (tt + 1000.0)))''')} AS lw_s
   FROM b JOIN raw USING(bucket) LEFT JOIN tgt USING(bucket), tot
   GROUP BY b.doc_id, rt, tt)
+UNION ALL
+SELECT 'wsample', CAST(doc_id AS VARCHAR) || ':' || {_psig('es_key')}, 1
+FROM (
+  SELECT doc_id,
+         -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':11'),
+                              1, 15))::BIGINT + 1)
+             / CAST(1152921504606846976 AS DOUBLE))
+             / CAST(n_chars AS DOUBLE) AS es_key
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0 AND doc_id IS NOT NULL
+  ORDER BY es_key ASC, CAST(doc_id AS VARCHAR) ASC LIMIT 10)
+UNION ALL
+SELECT 'qbucket', CAST(b AS VARCHAR), count(*)
+FROM (
+  WITH qcuts AS (
+    SELECT quantile_cont(CAST(n_chars AS DOUBLE), 0.25) AS c1,
+           quantile_cont(CAST(n_chars AS DOUBLE), 0.50) AS c2,
+           quantile_cont(CAST(n_chars AS DOUBLE), 0.75) AS c3
+    FROM documents)
+  SELECT CASE WHEN n_chars IS NULL THEN NULL
+         ELSE (CASE WHEN CAST(n_chars AS DOUBLE) > c1 THEN 1 ELSE 0 END
+             + CASE WHEN CAST(n_chars AS DOUBLE) > c2 THEN 1 ELSE 0 END
+             + CASE WHEN CAST(n_chars AS DOUBLE) > c3 THEN 1 ELSE 0 END)
+         END AS b
+  FROM documents, qcuts)
+GROUP BY b
 ORDER BY part, k
 """)
 def hash_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2809,8 +2896,27 @@ def hash_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.concat(F.col("doc_id").cast("string"), F.lit(":"),
                              sig(F.col("log_w"))).alias("k"),
                     F.col("n_tokens").cast("long").alias("n")))
+    # 'wsample': Efraimidis-Spirakis weighted sample (weight = n_chars)
+    # — sample identity, key value (5 sig digits), and rank all graded
+    # against the identical md5/ln arithmetic in DuckDB
+    from spark_df_profiling_spark.operators.sampling import (
+        score_buckets, weighted_sample_k)
+    ws = (weighted_sample_k(d, "doc_id", "n_chars", k=10, seed=11)
+          .select(F.lit("wsample").alias("part"),
+                  F.concat(F.col("doc_id").cast("string"), F.lit(":"),
+                           sig(F.col("es_key"))).alias("k"),
+                  F.lit(1).cast("long").alias("n")))
+    # 'qbucket': equal-frequency quartile buckets of n_chars (the
+    # ntile-without-a-global-window primitive) — per-bucket counts
+    qb = (score_buckets(d, "n_chars", n_buckets=4)
+          .groupBy("bucket")
+          .agg(F.count(F.lit(1)).alias("n"))
+          .select(F.lit("qbucket").alias("part"),
+                  F.col("bucket").cast("string").alias("k"),
+                  F.col("n").cast("long")))
     return (split.unionByName(samp).unionByName(strat)
             .unionByName(exactk).unionByName(dsir)
+            .unionByName(ws).unionByName(qb)
             .orderBy("part", "k"))
 
 

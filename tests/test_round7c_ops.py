@@ -386,3 +386,152 @@ def test_skew_report_composite_key(spark, li):
            .orderBy(F.desc("count")).collect())
     top = [r for r in out if r["part"] == "top"]
     assert top[0]["cnt"] == ref[0]["count"]
+
+
+# ---------------------------------------------------------------------------
+# mmr_rerank
+# ---------------------------------------------------------------------------
+def _py_mmr(rel, sims, k, lam):
+    """Greedy MMR reference: rel = {id: rel}, sims = {(a,b): cos}."""
+    remaining = sorted(rel, key=lambda i: (-rel[i], i))
+    selected, out = [], []
+    while remaining and len(out) < k:
+        best, best_s = None, None
+        for nid in remaining:
+            if not selected:
+                s = rel[nid]
+            else:
+                mx = max(sims[tuple(sorted((nid, sid)))]
+                         for sid in selected)
+                s = lam * rel[nid] - (1 - lam) * mx
+            if best_s is None or s > best_s or (s == best_s and nid < best):
+                best, best_s = nid, s
+        selected.append(best)
+        remaining.remove(best)
+        out.append((best, best_s))
+    return out
+
+
+def test_mmr_matches_python_reference(spark, sf_dir):
+    from spark_df_profiling_spark.operators.similarity import mmr_rerank
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = e.where(F.col("vec_id") < 3)
+    got = mmr_rerank(e, qs, k=4, pool=8, lam=0.7).collect()
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in e.collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(vecs[a], vecs[b]))
+        na = sum(x * x for x in vecs[a]) ** 0.5
+        nb = sum(x * x for x in vecs[b]) ** 0.5
+        return d / (na * nb)
+
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(
+            (r["neighbor_id"], r["mmr_score"]))
+    for q in [0, 1, 2]:
+        pool = sorted(((cos(q, c), c) for c in vecs if c != q),
+                      key=lambda t: (-t[0], t[1]))[:8]
+        rel = {c: s for s, c in pool}
+        sims = {tuple(sorted((a, b))): cos(a, b)
+                for _, a in pool for _, b in pool if a < b}
+        ref = _py_mmr(rel, sims, 4, 0.7)
+        assert [n for n, _ in by_q[q]] == [n for n, _ in ref], f"q={q}"
+        for (gn, gs), (rn, rs) in zip(by_q[q], ref):
+            assert gs == pytest.approx(rs, rel=1e-9)
+
+
+def test_mmr_diversifies_planted_clones(spark):
+    """Three near-identical top hits: plain kNN returns all three;
+    MMR's rank-2 pick skips the clones for something different."""
+    from spark_df_profiling_spark.operators.similarity import (
+        knn_bruteforce, mmr_rerank)
+    rows = [(0, [1.0, 0.0, 0.0]),          # query
+            (1, [0.99, 0.14, 0.0]),        # clone A
+            (2, [0.99, 0.141, 0.0]),       # clone B
+            (3, [0.99, 0.139, 0.0]),       # clone C
+            (4, [0.7, -0.7, 0.1])]         # different direction
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = df.where(F.col("vec_id") == 0)
+    knn = [r["neighbor_id"] for r in
+           knn_bruteforce(df, qs, k=2).orderBy("rank").collect()]
+    assert set(knn) <= {1, 2, 3}, "plain kNN picks only clones"
+    mmr = [r["neighbor_id"] for r in
+           mmr_rerank(df, qs, k=2, pool=4, lam=0.5)
+           .orderBy("rank").collect()]
+    assert mmr[1] == 4, "MMR's second pick escapes the clone cluster"
+
+
+def test_mmr_rejects_bad_params(spark, sf_dir):
+    from spark_df_profiling_spark.operators.similarity import mmr_rerank
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with pytest.raises(ValueError):
+        mmr_rerank(e, e, lam=1.5)
+    with pytest.raises(ValueError):
+        mmr_rerank(e, e, k=10, pool=5)
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample_k / score_buckets
+# ---------------------------------------------------------------------------
+def test_weighted_sample_matches_python(spark, sf_dir):
+    import hashlib
+    import math
+    from spark_df_profiling_spark.operators.sampling import (
+        weighted_sample_k)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = [(r["doc_id"], r["es_key"]) for r in
+           weighted_sample_k(d, "doc_id", "n_chars", k=8, seed=11)
+           .orderBy("es_key").collect()]
+    ref = []
+    for r in d.select("doc_id", "n_chars").collect():
+        h = int(hashlib.md5(f"{r['doc_id']}:11".encode())
+                .hexdigest()[:15], 16)
+        u = (h + 1) / float(1 << 60)
+        ref.append((-math.log(u) / float(r["n_chars"]), r["doc_id"]))
+    ref.sort()
+    assert [i for i, _ in got] == [i for _, i in ref[:8]]
+    for (gi, gk), (rk, ri) in zip(got, ref[:8]):
+        assert gk == pytest.approx(rk, rel=1e-12)
+
+
+def test_weighted_sample_respects_weights(spark):
+    """A 1000x-weight row is essentially always sampled."""
+    from spark_df_profiling_spark.operators.sampling import (
+        weighted_sample_k)
+    rows = [(i, 1.0 if i else 100000.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    ids = {r["id"] for r in weighted_sample_k(df, "id", "w", k=5).collect()}
+    assert 0 in ids
+    # zero/negative weights never selected
+    df2 = spark.createDataFrame(
+        [(1, 0.0), (2, -3.0), (3, 1.0)], "id long, w double")
+    only = [r["id"] for r in
+            weighted_sample_k(df2, "id", "w", k=3).collect()]
+    assert only == [3]
+
+
+def test_score_buckets_equal_frequency(spark, sf_dir):
+    from spark_df_profiling_spark.operators.sampling import score_buckets
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = (score_buckets(li, "l_extendedprice", n_buckets=10)
+           .groupBy("bucket").count().collect())
+    n = li.count()
+    counts = {r["bucket"]: r["count"] for r in out}
+    assert set(counts) == set(range(10))
+    for b, c in counts.items():
+        assert abs(c - n / 10) < n * 0.02, f"bucket {b} unbalanced: {c}"
+
+
+def test_score_buckets_ties_and_nulls(spark):
+    from spark_df_profiling_spark.operators.sampling import score_buckets
+    rows = [(1.0,)] * 90 + [(2.0,)] * 10 + [(None,)]
+    df = spark.createDataFrame(rows, "x double")
+    out = score_buckets(df, "x", n_buckets=4).collect()
+    by_val = {}
+    for r in out:
+        by_val.setdefault(r["x"], set()).add(r["bucket"])
+    assert len(by_val[1.0]) == 1, "equal scores never split tiers"
+    assert len(by_val[2.0]) == 1
+    assert by_val[None] == {None}

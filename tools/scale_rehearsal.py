@@ -683,6 +683,61 @@ def r7d_main() -> None:
           f"total_redacted_chars={n_red}", flush=True)
 
 
+def r7e_main() -> None:
+    """KS test + skew report at 10x with planted pathologies:
+
+    * ks_2samp on the 6M-row lineitem date halves — the distinct-value
+      set is ~1M rows; the prefix-sum machinery must hold;
+    * ks_2samp with ONE value carrying 50% of one side (a massive tie
+      block — one range partition gets a heavy row; the cumsum stays
+      per-partition-parallel);
+    * skew_report on a 6.1M-row key column with a 100k-hot key.
+    """
+    spark = (SparkSession.builder.master("local[32]")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory", "32g")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    t = lambda name: spark.read.parquet(f"{SF_DIR}/{name}.parquet")
+
+    li = replicate(t("lineitem"), ["l_orderkey"], REPLICAS,
+                   materialize_as="lineitem_x10e", spark=spark)
+    n_li = li.count()
+
+    from spark_df_profiling_spark.operators.drift import ks_2samp
+    ref = li.where(F.col("l_orderkey") % 2 == 0)
+    new = li.where(F.col("l_orderkey") % 2 == 1)
+    t0 = time.time()
+    r = ks_2samp(ref, new, "l_extendedprice").collect()[0]
+    t_ks = time.time() - t0
+    print(f"ks_2samp lineitem x{REPLICAS} halves ({n_li} rows): "
+          f"{t_ks:.1f}s  d={r['d_stat']:.4f} n={r['n_ref']}+{r['n_new']}",
+          flush=True)
+
+    heavy = new.withColumn(
+        "l_extendedprice",
+        F.when(F.col("l_orderkey") % 2 == 1, F.lit(12345.0))
+        .otherwise(F.col("l_extendedprice")))
+    t0 = time.time()
+    r2 = ks_2samp(ref, heavy, "l_extendedprice").collect()[0]
+    t_h = time.time() - t0
+    print(f"SKEW ks_2samp (50% of one side = ONE value): {t_h:.1f}s  "
+          f"d={r2['d_stat']:.4f} at={r2['at_value']}", flush=True)
+
+    from spark_df_profiling_spark.operators.frequency import skew_report
+    hot = spark.range(100_000).select(
+        F.lit(42).cast("long").alias("l_suppkey"))
+    keys = li.select("l_suppkey").unionByName(hot)
+    t0 = time.time()
+    out = skew_report(keys, "l_suppkey", k=3).collect()
+    t_s = time.time() - t0
+    stats = [x for x in out if x["part"] == "stats"][0]
+    print(f"SKEW skew_report ({keys.count()} rows, 100k-hot key): "
+          f"{t_s:.1f}s  stats={stats['key']}", flush=True)
+
+
 if __name__ == "__main__":
     if "skew" in sys.argv:
         skew_main()
@@ -692,5 +747,7 @@ if __name__ == "__main__":
         r7c_main()
     elif "r7d" in sys.argv:
         r7d_main()
+    elif "r7e" in sys.argv:
+        r7e_main()
     else:
         main()
