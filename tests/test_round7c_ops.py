@@ -535,3 +535,53 @@ def test_score_buckets_ties_and_nulls(spark):
     assert len(by_val[1.0]) == 1, "equal scores never split tiers"
     assert len(by_val[2.0]) == 1
     assert by_val[None] == {None}
+
+
+# ---------------------------------------------------------------------------
+# profile_diff
+# ---------------------------------------------------------------------------
+def test_profile_diff_flags_planted_changes(spark):
+    from spark_df_profiling_spark.operators.diff import profile_diff
+    cols = ["column", "dtype", "type_class", "n", "p_missing",
+            "distinct_count", "mean", "std"]
+    a = spark.createDataFrame([
+        ("x", "double", "NUM", 100, 0.0, 90, 10.0, 2.0),
+        ("y", "double", "NUM", 100, 0.0, 50, 5.0, 1.0),
+        ("gone", "string", "CAT", 100, 0.0, 3, None, None),
+        ("t", "string", "CAT", 100, 0.0, 4, None, None),
+    ], cols)
+    b = spark.createDataFrame([
+        ("x", "double", "NUM", 120, 0.5, 95, 10.1, 2.1),   # null_rate
+        ("y", "double", "NUM", 120, 0.0, 50, 25.0, 1.1),   # mean_shift
+        ("new", "bigint", "NUM", 120, 0.0, 9, 1.0, 0.5),   # added
+        ("t", "bigint", "NUM", 120, 0.0, 4, 2.0, 1.0),     # type change
+    ], cols)
+    got = {r["column"]: r for r in profile_diff(a, b).collect()}
+    assert got["gone"]["status"] == "removed"
+    assert got["new"]["status"] == "added"
+    assert got["t"]["status"] == "changed" \
+        and "type_changed" in got["t"]["flags"]
+    assert "null_rate" in got["x"]["flags"]
+    assert "mean_shift" in got["y"]["flags"]
+    assert got["y"]["mean_z"] == pytest.approx((25.0 - 5.0) / 1.0)
+
+
+def test_profile_diff_identical_profiles_all_ok(spark, li):
+    from spark_df_profiling_spark.operators.diff import profile_diff
+    from spark_df_profiling_spark import profile
+    p = profile(li)
+    out = profile_diff(p, p).collect()
+    assert all(r["status"] == "ok" and r["flags"] == "" for r in out)
+    assert len(out) == p.count()
+
+
+def test_profile_diff_real_halves_mostly_ok(spark, li):
+    from spark_df_profiling_spark.operators.diff import profile_diff
+    from spark_df_profiling_spark import profile
+    pa = profile(li.where(F.col("l_orderkey") % 2 == 0))
+    pb = profile(li.where(F.col("l_orderkey") % 2 == 1))
+    out = profile_diff(pa, pb).collect()
+    # random halves of the same table: no schema drift, no mean shifts
+    assert all(r["status"] in ("ok", "changed") for r in out)
+    assert not any("type_changed" in (r["flags"] or "") for r in out)
+    assert not any("mean_shift" in (r["flags"] or "") for r in out)
