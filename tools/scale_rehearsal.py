@@ -738,6 +738,70 @@ def r7e_main() -> None:
           f"{t_s:.1f}s  stats={stats['key']}", flush=True)
 
 
+def r7f_main() -> None:
+    """MMR rerank + weighted sampling + score buckets at 10x:
+
+    * mmr_rerank: 20k-vector corpus (embeddings x10), 10 queries,
+      pool=50 — stage 1 is the exact kNN (corpus streams once); stage
+      2's Arrow groups are pool x dim regardless of corpus size;
+    * weighted_sample_k: 50k docs weighted by n_chars PLUS one row
+      with weight 1e9 (must always be drawn; the hot weight is one
+      row, not a hot KEY — nothing skews);
+    * score_buckets: deciles over 6M lineitem prices (exact and
+      approx cut paths).
+    """
+    spark = (SparkSession.builder.master("local[32]")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory", "32g")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    t = lambda name: spark.read.parquet(f"{SF_DIR}/{name}.parquet")
+
+    emb = replicate(t("embeddings"), ["vec_id"], REPLICAS,
+                    materialize_as="embeddings_x10f", spark=spark)
+    n_emb = emb.count()
+    from spark_df_profiling_spark.operators.similarity import mmr_rerank
+    t0 = time.time()
+    out = mmr_rerank(emb, emb.where(F.col("vec_id") < 10),
+                     k=10, pool=50).count()
+    t_m = time.time() - t0
+    print(f"mmr_rerank {n_emb}-vector corpus, 10 queries, pool=50: "
+          f"{t_m:.1f}s  rows={out}", flush=True)
+
+    docs = replicate(t("documents"), ["doc_id"], REPLICAS,
+                     materialize_as="documents_x10f", spark=spark)
+    from spark_df_profiling_spark.operators.sampling import (
+        score_buckets, weighted_sample_k)
+    hot = spark.range(1).select(F.lit(777_777_777).alias("doc_id"),
+                                F.lit("hot").alias("text"),
+                                F.lit("en").alias("lang"),
+                                F.lit("src0").alias("source"),
+                                F.lit(1_000_000_000).alias("n_chars"))
+    corpus = docs.select("doc_id", "text", "lang", "source",
+                         "n_chars").unionByName(hot)
+    t0 = time.time()
+    got = weighted_sample_k(corpus, "doc_id", "n_chars", k=20).collect()
+    t_w = time.time() - t0
+    hot_in = any(r["doc_id"] == 777_777_777 for r in got)
+    print(f"SKEW weighted_sample_k {corpus.count()} docs + one 1e9 "
+          f"weight: {t_w:.1f}s  hot_drawn={hot_in} (MUST be True)",
+          flush=True)
+
+    li = replicate(t("lineitem"), ["l_orderkey"], REPLICAS,
+                   materialize_as="lineitem_x10f", spark=spark)
+    n_li = li.count()
+    for exact in (True, False):
+        t0 = time.time()
+        n_b = (score_buckets(li, "l_extendedprice", n_buckets=10,
+                             exact=exact)
+               .groupBy("bucket").count().count())
+        dt = time.time() - t0
+        print(f"score_buckets lineitem x{REPLICAS} ({n_li} rows, "
+              f"exact={exact}): {dt:.1f}s  buckets={n_b}", flush=True)
+
+
 if __name__ == "__main__":
     if "skew" in sys.argv:
         skew_main()
@@ -749,5 +813,7 @@ if __name__ == "__main__":
         r7d_main()
     elif "r7e" in sys.argv:
         r7e_main()
+    elif "r7f" in sys.argv:
+        r7f_main()
     else:
         main()
