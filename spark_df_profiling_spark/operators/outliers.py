@@ -179,3 +179,73 @@ def benford_stats(df: DataFrame, cols: Sequence[str]) -> DataFrame:
                F.avg(F.abs(F.col("p_obs") - F.col("p_benford"))).over(w)))
     return out.select("column", "digit", "cnt", "p_obs", "p_benford",
                       "chi2", "mad")
+
+
+def robust_outlier_stats(df: DataFrame, cols: Sequence[str],
+                         z: float = 3.5, exact: bool = True,
+                         accuracy: int = 10_000) -> DataFrame:
+    """Median/MAD robust outliers — the heavy-tail-safe complement to
+    :func:`outlier_stats` (IQR fences assume the bulk is well-behaved;
+    the modified z-score ``0.6745·|x−median|/MAD_median`` stays honest
+    when up to half the data is junk; |z| > 3.5 is the classic
+    Iglewicz-Hoaglin cut).
+
+    Returns one row per column: ``(column, median, madm, lo_cut,
+    hi_cut, n_below, n_above, n_outliers, n_rows)`` where
+    ``madm`` = median absolute deviation from the median and the cuts
+    are ``median ± z·MAD/0.6745``.  Columns whose MAD is 0 (>=50%
+    constant) report NULL cuts and 0 outliers — every non-median value
+    would otherwise be "infinitely" outlying, which is a constancy
+    fact, not an outlier fact.
+
+    Plan: THREE aggregate passes (median → MAD of deviations → count),
+    each shuffle-free with O(#cols) driver state between them (the
+    median must be known before deviations can be computed — inherent
+    to the statistic).  ``exact=False`` switches both quantile passes
+    to percentile_approx for 100 TB inputs.
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    if z <= 0:
+        raise ValueError(f"z must be > 0: {z}")
+    fn = "percentile" if exact else "percentile_approx"
+    extra = "" if exact else f", {int(accuracy)}"
+    med = df.agg(*[
+        F.expr(f"{fn}(CAST(`{c}` AS DOUBLE), 0.5{extra})")
+        .alias(f"__m_{c}") for c in cols])
+    j1 = df.crossJoin(F.broadcast(med))
+    madm = j1.agg(*[
+        F.expr(f"{fn}(abs(CAST(`{c}` AS DOUBLE) - `__m_{c}`), "
+               f"0.5{extra})").alias(f"__d_{c}") for c in cols]
+        + [F.first(f"__m_{c}").alias(f"__fm_{c}") for c in cols])
+    j2 = df.crossJoin(F.broadcast(madm))
+    aggs = []
+    for c in cols:
+        cc = F.col(c).cast("double")
+        half_width = F.lit(float(z)) * F.col(f"__d_{c}") / F.lit(0.6745)
+        lo = F.col(f"__fm_{c}") - half_width
+        hi = F.col(f"__fm_{c}") + half_width
+        ok = F.col(f"__d_{c}") > 0
+        aggs += [
+            F.sum(F.when(ok & (cc < lo), 1).otherwise(0)).cast("long")
+            .alias(f"__nb_{c}"),
+            F.sum(F.when(ok & (cc > hi), 1).otherwise(0)).cast("long")
+            .alias(f"__na_{c}"),
+            F.count(cc).alias(f"__n_{c}"),
+            F.first(F.col(f"__fm_{c}")).alias(f"__rm_{c}"),
+            F.first(F.col(f"__d_{c}")).alias(f"__rd_{c}"),
+            F.first(F.when(ok, lo)).alias(f"__lo_{c}"),
+            F.first(F.when(ok, hi)).alias(f"__hi_{c}"),
+        ]
+    counts = j2.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __rm_{c}, __rd_{c}, __lo_{c}, __hi_{c}, "
+        f"__nb_{c}, __na_{c}, __n_{c}" for c in cols)
+    out = counts.select(F.expr(
+        f"stack({len(cols)}, {stack_args}) as (column, median, madm, "
+        "lo_cut, hi_cut, n_below, n_above, n_rows)"))
+    return out.select(
+        "column", "median", "madm", "lo_cut", "hi_cut",
+        "n_below", "n_above",
+        (F.col("n_below") + F.col("n_above")).alias("n_outliers"),
+        "n_rows")

@@ -269,16 +269,43 @@ FROM lineitem, oq GROUP BY oq.q1, oq.q3
 """
 
 
+_NUM_ROBUST_SQL = f"""
+WITH rm AS (SELECT quantile_cont(l_extendedprice, 0.5) AS med
+            FROM lineitem),
+rd AS (SELECT quantile_cont(abs(l_extendedprice - rm.med), 0.5) AS madm,
+              rm.med AS med
+       FROM lineitem, rm GROUP BY rm.med)
+SELECT {_psig('rd.med')} AS rz_med_s,
+       {_psig('rd.madm')} AS rz_madm_s,
+       CAST(sum(CASE WHEN l_extendedprice
+                     < rd.med - 3.5 * rd.madm / 0.6745
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_rz_below,
+       CAST(sum(CASE WHEN l_extendedprice
+                     > rd.med + 3.5 * rd.madm / 0.6745
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_rz_above
+FROM lineitem, rd GROUP BY rd.med, rd.madm
+"""
+
+
 def _num_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tukey-fence outlier row (operators/outliers.py::outlier_stats)
-    for l_extendedprice, k=1.5 — fences sig-normalized, counts exact."""
-    from spark_df_profiling_spark.operators.outliers import outlier_stats
+    for l_extendedprice, k=1.5 — fences sig-normalized, counts exact —
+    crossed with the robust median/MAD row (robust_outlier_stats,
+    Iglewicz-Hoaglin z=3.5)."""
+    from spark_df_profiling_spark.operators.outliers import (
+        outlier_stats, robust_outlier_stats)
     li = _t(spark, sf_dir, "lineitem")
     o = outlier_stats(li, ["l_extendedprice"], k=1.5)
-    return o.select(sig(F.col("lo_fence")).alias("out_lo_s"),
-                    sig(F.col("hi_fence")).alias("out_hi_s"),
-                    F.col("n_below").alias("n_out_below"),
-                    F.col("n_above").alias("n_out_above"))
+    tukey = o.select(sig(F.col("lo_fence")).alias("out_lo_s"),
+                     sig(F.col("hi_fence")).alias("out_hi_s"),
+                     F.col("n_below").alias("n_out_below"),
+                     F.col("n_above").alias("n_out_above"))
+    r = robust_outlier_stats(li, ["l_extendedprice"], z=3.5)
+    robust = r.select(sig(F.col("median")).alias("rz_med_s"),
+                      sig(F.col("madm")).alias("rz_madm_s"),
+                      F.col("n_below").alias("n_rz_below"),
+                      F.col("n_above").alias("n_rz_above"))
+    return tukey.crossJoin(robust)
 
 
 @query("num_stats", f"""
@@ -286,7 +313,8 @@ SELECT * FROM ({_NUM_MOMENTS_SQL}) "mo",
               ({_NUM_QUANTILES_SQL}) "qu",
               ({_NUM_MAD_SQL}) "ma",
               ({_NUM_INC_SQL}) "inc",
-              ({_NUM_OUTLIER_SQL}) "ou"
+              ({_NUM_OUTLIER_SQL}) "ou",
+              ({_NUM_ROBUST_SQL}) "rz"
 """)
 def num_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N1-N11 in one graded row: moments+zeros × exact quantiles × MAD ×

@@ -165,3 +165,91 @@ def test_line_dedup_matches_python_reference(spark, lines, min_count):
     got = {r["doc_id"]: r["clean_text"]
            for r in line_dedup(df, min_count=min_count).collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round-7 session-3 kernels: KS statistic, weighted sampling, outlier
+# fences — each vs a plain-python reference on arbitrary inputs
+# ---------------------------------------------------------------------------
+ks_vals = st.lists(st.floats(allow_nan=False, allow_infinity=False,
+                             min_value=-100, max_value=100),
+                   min_size=1, max_size=25)
+
+
+@given(ks_vals, ks_vals)
+@settings(max_examples=8, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_ks_2samp_property(spark, xs, ys):
+    import bisect
+    from spark_df_profiling_spark.operators.drift import ks_2samp
+    a = spark.createDataFrame([(float(x),) for x in xs], "v double")
+    b = spark.createDataFrame([(float(y),) for y in ys], "v double")
+    got = ks_2samp(a, b, "v", num_buckets=4).collect()[0]
+    sx, sy = sorted(xs), sorted(ys)
+    best, at = -1.0, None
+    for v in sorted(set(xs) | set(ys)):
+        d = abs(bisect.bisect_right(sx, v) / len(sx)
+                - bisect.bisect_right(sy, v) / len(sy))
+        if d > best:
+            best, at = d, v
+    assert got["d_stat"] == pytest.approx(best, abs=1e-12)
+    assert got["at_value"] == pytest.approx(at)
+
+
+w_rows = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=10_000),
+              st.floats(min_value=0.0, max_value=1e4,
+                        allow_nan=False, allow_infinity=False)),
+    min_size=1, max_size=30, unique_by=lambda t: t[0])
+
+
+@given(w_rows, st.integers(min_value=1, max_value=8))
+@settings(max_examples=8, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_weighted_sample_property(spark, rows, k):
+    """The engine draw equals the python Efraimidis-Spirakis draw from
+    the same md5 uniforms, for any weights (zeros excluded)."""
+    import hashlib
+    import math as m
+    from spark_df_profiling_spark.operators.sampling import (
+        weighted_sample_k)
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = [r["id"] for r in
+           weighted_sample_k(df, "id", "w", k=k, seed=3)
+           .orderBy("es_key", "id").collect()]
+    ref = []
+    for i, w in rows:
+        if w and w > 0:
+            h = int(hashlib.md5(f"{i}:3".encode()).hexdigest()[:15], 16)
+            u = (h + 1) / float(1 << 60)
+            ref.append((-m.log(u) / w, str(i), i))
+    ref.sort()
+    assert got == [i for _, _, i in ref[:k]]
+
+
+o_vals = st.lists(st.floats(allow_nan=False, allow_infinity=False,
+                            min_value=-1e5, max_value=1e5),
+                  min_size=4, max_size=40)
+
+
+@given(o_vals, st.floats(min_value=0.0, max_value=3.0))
+@settings(max_examples=8, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_outlier_fences_property(spark, xs, k):
+    import math as m
+    from spark_df_profiling_spark.operators.outliers import outlier_stats
+    df = spark.createDataFrame([(float(x),) for x in xs], "x double")
+    g = outlier_stats(df, ["x"], k=k).collect()[0]
+
+    def q(p):
+        s = sorted(xs)
+        h = (len(s) - 1) * p
+        lo = int(m.floor(h))
+        hi = min(lo + 1, len(s) - 1)
+        return s[lo] + (h - lo) * (s[hi] - s[lo])
+
+    q1, q3 = q(0.25), q(0.75)
+    lo_f, hi_f = q1 - k * (q3 - q1), q3 + k * (q3 - q1)
+    assert g["q1"] == pytest.approx(q1, rel=1e-9, abs=1e-9)
+    assert g["n_below"] == sum(1 for x in xs if x < lo_f)
+    assert g["n_above"] == sum(1 for x in xs if x > hi_f)

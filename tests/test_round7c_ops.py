@@ -585,3 +585,52 @@ def test_profile_diff_real_halves_mostly_ok(spark, li):
     assert all(r["status"] in ("ok", "changed") for r in out)
     assert not any("type_changed" in (r["flags"] or "") for r in out)
     assert not any("mean_shift" in (r["flags"] or "") for r in out)
+
+
+# ---------------------------------------------------------------------------
+# robust_outlier_stats (median / MAD modified z-score)
+# ---------------------------------------------------------------------------
+def test_robust_outliers_matches_python(spark, li):
+    from spark_df_profiling_spark.operators.outliers import (
+        robust_outlier_stats)
+    got = {r["column"]: r for r in robust_outlier_stats(
+        li, ["l_extendedprice", "l_quantity"], z=3.5).collect()}
+    for c in ["l_extendedprice", "l_quantity"]:
+        xs = [r[0] for r in li.select(c).collect() if r[0] is not None]
+        med = _py_quantile(xs, 0.5)
+        madm = _py_quantile([abs(x - med) for x in xs], 0.5)
+        lo = med - 3.5 * madm / 0.6745
+        hi = med + 3.5 * madm / 0.6745
+        g = got[c]
+        assert g["median"] == pytest.approx(med, rel=1e-12)
+        assert g["madm"] == pytest.approx(madm, rel=1e-12)
+        assert g["n_below"] == sum(1 for x in xs if x < lo)
+        assert g["n_above"] == sum(1 for x in xs if x > hi)
+
+
+def test_robust_outliers_catch_what_iqr_sees_and_more(spark):
+    """A massive planted spike is flagged; a >=50%-constant column
+    degrades to NULL cuts instead of flagging everything."""
+    from spark_df_profiling_spark.operators.outliers import (
+        robust_outlier_stats)
+    rows = [(float(i),) for i in range(100)] + [(1e7,), (None,)]
+    g = robust_outlier_stats(
+        spark.createDataFrame(rows, "x double"), ["x"]).collect()[0]
+    assert g["n_above"] == 1 and g["n_below"] == 0
+    const = spark.createDataFrame([(5.0,)] * 10 + [(9.0,)], "x double")
+    g2 = robust_outlier_stats(const, ["x"]).collect()[0]
+    assert g2["madm"] == 0.0 and g2["n_outliers"] == 0
+    assert g2["lo_cut"] is None and g2["hi_cut"] is None
+
+
+def test_robust_outliers_resist_contamination(spark):
+    """30% junk rows barely move the MAD cuts (the property IQR fences
+    lose at high contamination)."""
+    from spark_df_profiling_spark.operators.outliers import (
+        robust_outlier_stats)
+    clean = [(float(i % 100),) for i in range(700)]
+    junk = [(1e6 + i,) for i in range(300)]
+    df = spark.createDataFrame(clean + [(float(x),) for x, in junk],
+                               "x double")
+    g = robust_outlier_stats(df, ["x"]).collect()[0]
+    assert g["n_above"] == 300, "all junk flagged despite 30% share"
