@@ -1,0 +1,121 @@
+"""Data-layout operators: Z-order clustering for multi-column skipping.
+
+Parquet scans prune row groups by min/max statistics.  Sorting by ONE
+column makes that column's ranges tight and every other column's ranges
+useless; interleaving the bits of several columns' ranks (a Z-order /
+Morton curve) makes EVERY participating column's ranges moderately
+tight — the standard lakehouse `OPTIMIZE ZORDER BY` trade, built here
+from plain expressions:
+
+1. each column is rank-bucketed into ``2^bits`` equal-frequency tiers
+   (quantile cuts as literals — the same distributed-ntile pattern as
+   :func:`operators.sampling.score_buckets`, so no global sort of the
+   raw values);
+2. the tier ids' bits are interleaved into one integer key with
+   ``shiftleft``/``&``/``|`` (codegen'd, engine-portable);
+3. ``zorder_write`` range-repartitions + sorts by that key and writes —
+   a total shuffle, but the one-off cost of laying data out is the
+   point of the operation.
+
+``skipping_stats`` audits the result: per output partition, each
+column's (min, max) span as a fraction of the global span — the number
+that predicts how much a ``col BETWEEN`` predicate can skip.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def interleave_bits(tiers: Sequence[Column], bits: int) -> Column:
+    """Morton-interleave the low ``bits`` of each tier id: output bit
+    ``k * n_cols + i`` = bit ``k`` of ``tiers[i]``.  Pure integer
+    shifts/masks — identical in every engine."""
+    n = len(tiers)
+    out = F.lit(0).cast("long")
+    for k in range(bits):
+        for i, t in enumerate(tiers):
+            bit = F.shiftright(t.cast("long"), k).bitwiseAND(F.lit(1))
+            out = out.bitwiseOR(F.shiftleft(bit, k * n + i))
+    return out
+
+
+def zorder_key(df: DataFrame, cols: Sequence[str], bits: int = 8,
+               exact: bool = True, accuracy: int = 10_000) -> DataFrame:
+    """Input plus ``zkey`` — the Z-order clustering key over ``cols``.
+
+    Each column is bucketed into ``2^bits`` equal-frequency tiers by
+    its own quantile cuts (computed in ONE aggregate job, riding as
+    literals — rank-based, so skewed/heavy-tailed columns still spread
+    across tiers), then the tier bits interleave.  NULLs tier as 0
+    (they cluster together at the curve's origin — min/max stats
+    ignore nulls anyway).
+
+    ``exact=False`` switches the cut computation to percentile_approx
+    for 100 TB inputs (same switch, same reasoning as
+    ``score_buckets``).
+    """
+    if not cols or len(cols) < 2:
+        raise ValueError("zorder needs >= 2 columns (one column: "
+                         "just sort by it)")
+    if not 1 <= bits <= 16:
+        raise ValueError(f"bits must be in [1, 16]: {bits}")
+    n_tiers = 1 << bits
+    fn = "percentile" if exact else "percentile_approx"
+    extra = "" if exact else f", {int(accuracy)}"
+    probs = [i / n_tiers for i in range(1, n_tiers)]
+    plist = ", ".join(repr(p) for p in probs)
+    cut_row = df.agg(*[
+        F.expr(f"{fn}(CAST(`{c}` AS DOUBLE), array({plist}){extra})")
+        .alias(f"__cuts_{c}") for c in cols]).collect()[0]
+    tiers = []
+    for c in cols:
+        cuts = cut_row[f"__cuts_{c}"] or []
+        s = F.col(c).cast("double")
+        t = F.lit(0)
+        for cut in cuts:
+            t = t + F.when(s > F.lit(float(cut)), 1).otherwise(0)
+        tiers.append(F.when(s.isNotNull(), t).otherwise(F.lit(0)))
+    return df.withColumn("zkey", interleave_bits(tiers, bits))
+
+
+def zorder_write(df: DataFrame, path: str, cols: Sequence[str],
+                 num_files: int = 32, bits: int = 8,
+                 exact: bool = True) -> None:
+    """Write ``df`` Z-ordered by ``cols``: range-partition on ``zkey``
+    into ``num_files`` output partitions, sort within each, drop the
+    key, write parquet.  One total shuffle — the layout investment that
+    every subsequent selective scan amortizes."""
+    keyed = zorder_key(df, cols, bits=bits, exact=exact)
+    (keyed.repartitionByRange(num_files, F.col("zkey"))
+     .sortWithinPartitions("zkey")
+     .drop("zkey")
+     .write.mode("overwrite").parquet(path))
+
+
+def skipping_stats(spark, path: str, cols: Sequence[str]) -> DataFrame:
+    """Audit a written layout: per parquet file, each column's
+    (max-min) span as a fraction of the global span — mean over files
+    is the expected fraction of files a uniformly-placed point
+    predicate must READ (lower = better skipping).  One metadata-light
+    scan using ``input_file_name`` grouping."""
+    df = spark.read.parquet(path)
+    per_file = (df.withColumn("__f", F.input_file_name())
+                .groupBy("__f")
+                .agg(*[x for c in cols for x in
+                       (F.min(F.col(c).cast("double")).alias(f"mn_{c}"),
+                        F.max(F.col(c).cast("double")).alias(f"mx_{c}"))]))
+    glob = df.agg(*[x for c in cols for x in
+                    (F.min(F.col(c).cast("double")).alias(f"gmn_{c}"),
+                     F.max(F.col(c).cast("double")).alias(f"gmx_{c}"))])
+    j = per_file.crossJoin(F.broadcast(glob))
+    spans = []
+    for c in cols:
+        width = F.col(f"gmx_{c}") - F.col(f"gmn_{c}")
+        spans.append(F.avg(
+            (F.col(f"mx_{c}") - F.col(f"mn_{c}"))
+            / F.nullif(width, F.lit(0.0))).alias(f"avg_span_{c}"))
+    return j.agg(F.count(F.lit(1)).alias("n_files"), *spans)

@@ -2237,6 +2237,32 @@ def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.intersect(c).orderBy("n_nationkey")
 
 
+# Z-order fold: bits=4 over (l_partkey, l_suppkey) — the same i/16
+# quantile probs and bit-interleave arithmetic on both engines
+_Z_PROBS = ", ".join(repr(i / 16) for i in range(1, 16))
+_Z_INTERLEAVE = " + ".join(
+    f"((t{i + 1} >> {k}) & 1) * {1 << (k * 2 + i)}"
+    for k in range(4) for i in range(2))
+_ZORDER_SQL = f"""
+SELECT 'zorder' AS mode,
+       CAST(l_orderkey AS VARCHAR) || ':'
+           || CAST(l_linenumber AS VARCHAR) AS g1,
+       'lineitem' AS g2,
+       CAST({_Z_INTERLEAVE} AS BIGINT) AS cnt
+FROM (
+  WITH zc AS (
+    SELECT quantile_cont(CAST(l_partkey AS DOUBLE), [{_Z_PROBS}]) AS c1,
+           quantile_cont(CAST(l_suppkey AS DOUBLE), [{_Z_PROBS}]) AS c2
+    FROM lineitem)
+  SELECT l_orderkey, l_linenumber,
+         len(list_filter(zc.c1,
+                         c -> CAST(l_partkey AS DOUBLE) > c)) AS t1,
+         len(list_filter(zc.c2,
+                         c -> CAST(l_suppkey AS DOUBLE) > c)) AS t2
+  FROM lineitem, zc WHERE l_orderkey < 100)
+"""
+
+
 @query("multidim_agg_counts", """
 SELECT 'rollup' AS mode,
        coalesce(l_returnflag, '<all>') AS g1,
@@ -2316,6 +2342,8 @@ SELECT 'jks', j.k, 'lineitem~orders', j.v FROM (
   UNION ALL SELECT 'max_left_fanout', mlf FROM a
   UNION ALL SELECT 'max_right_fanout', mrf FROM a
 ) j
+UNION ALL
+""" + _ZORDER_SQL + """
 ORDER BY 1, 2, 3
 """)
 def multidim_agg_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2374,8 +2402,23 @@ def multidim_agg_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(stats_cols)}, {stack_args}) as (g1, cnt)")) \
         .select(F.lit("jks").alias("mode"), "g1",
                 F.lit("lineitem~orders").alias("g2"), "cnt")
+    # 'zorder' rows grade layout.zorder_key — per-row Morton keys over
+    # (l_partkey, l_suppkey) at bits=4; DuckDB replays the identical
+    # quantile-tier + bit-interleave arithmetic
+    from spark_df_profiling_spark.operators.layout import zorder_key
+    zrows = (zorder_key(li.select("l_orderkey", "l_linenumber",
+                                  "l_partkey", "l_suppkey"),
+                        ["l_partkey", "l_suppkey"], bits=4)
+             .where(F.col("l_orderkey") < 100)
+             .select(F.lit("zorder").alias("mode"),
+                     F.concat(F.col("l_orderkey").cast("string"),
+                              F.lit(":"),
+                              F.col("l_linenumber").cast("string"))
+                     .alias("g1"),
+                     F.lit("lineitem").alias("g2"),
+                     F.col("zkey").alias("cnt")))
     return (rollup.unionByName(cube).unionByName(gsets)
-            .unionByName(cons).unionByName(jks)
+            .unionByName(cons).unionByName(jks).unionByName(zrows)
             .orderBy("mode", "g1", "g2"))
 
 

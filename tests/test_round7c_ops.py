@@ -634,3 +634,69 @@ def test_robust_outliers_resist_contamination(spark):
                                "x double")
     g = robust_outlier_stats(df, ["x"]).collect()[0]
     assert g["n_above"] == 300, "all junk flagged despite 30% share"
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout
+# ---------------------------------------------------------------------------
+def test_interleave_bits_known_values(spark):
+    from spark_df_profiling_spark.operators.layout import interleave_bits
+    df = spark.createDataFrame([(0b1010, 0b0110)], "a long, b long")
+    got = df.select(interleave_bits(
+        [F.col("a"), F.col("b")], bits=4).alias("z")).collect()[0][0]
+    # bit k of a -> position 2k; bit k of b -> position 2k+1
+    expect = 0
+    for k in range(4):
+        expect |= ((0b1010 >> k) & 1) << (2 * k)
+        expect |= ((0b0110 >> k) & 1) << (2 * k + 1)
+    assert got == expect
+
+
+def test_zorder_key_matches_python(spark, li):
+    from spark_df_profiling_spark.operators.layout import zorder_key
+    cols = ["l_partkey", "l_suppkey"]
+    bits = 4
+    sub = li.select("l_orderkey", "l_linenumber", *cols)
+    got = zorder_key(sub, cols, bits=bits).collect()
+    xs = {c: sorted(r[c] for r in sub.select(c).collect())
+          for c in cols}
+
+    def q(vals, p):
+        h = (len(vals) - 1) * p
+        lo = int(h)
+        hi = min(lo + 1, len(vals) - 1)
+        return vals[lo] + (h - lo) * (vals[hi] - vals[lo])
+
+    cuts = {c: [q(xs[c], i / 16) for i in range(1, 16)] for c in cols}
+    for r in got[:200]:
+        tiers = [sum(1 for cut in cuts[c] if float(r[c]) > cut)
+                 for c in cols]
+        z = 0
+        for k in range(bits):
+            for i, t in enumerate(tiers):
+                z |= ((t >> k) & 1) << (k * 2 + i)
+        assert r["zkey"] == z
+
+
+def test_zorder_write_improves_skipping_on_both_cols(spark, li, tmp_path):
+    from spark_df_profiling_spark.operators.layout import (
+        skipping_stats, zorder_write)
+    cols = ["l_partkey", "l_suppkey"]
+    nat = str(tmp_path / "nat")
+    zed = str(tmp_path / "z")
+    li.repartition(8).write.mode("overwrite").parquet(nat)
+    zorder_write(li, zed, cols, num_files=8)
+    s_nat = skipping_stats(spark, nat, cols).collect()[0]
+    s_z = skipping_stats(spark, zed, cols).collect()[0]
+    for c in cols:
+        assert s_z[f"avg_span_{c}"] < s_nat[f"avg_span_{c}"] * 0.8, c
+    # layout is a permutation: nothing lost
+    assert spark.read.parquet(zed).count() == li.count()
+
+
+def test_zorder_rejects_bad_args(spark, li):
+    from spark_df_profiling_spark.operators.layout import zorder_key
+    with pytest.raises(ValueError):
+        zorder_key(li, ["l_partkey"])
+    with pytest.raises(ValueError):
+        zorder_key(li, ["l_partkey", "l_suppkey"], bits=0)
