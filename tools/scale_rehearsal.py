@@ -802,6 +802,41 @@ def r7f_main() -> None:
               f"exact={exact}): {dt:.1f}s  buckets={n_b}", flush=True)
 
 
+def r7g_main() -> None:
+    """Z-order layout at 10x: write cost (the one total shuffle) and
+    the per-file span audit on 6M rows, vs the natural layout."""
+    import tempfile
+    spark = (SparkSession.builder.master("local[32]")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory", "32g")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    t = lambda name: spark.read.parquet(f"{SF_DIR}/{name}.parquet")
+    li = replicate(t("lineitem"), ["l_orderkey"], REPLICAS,
+                   materialize_as="lineitem_x10g", spark=spark)
+    n = li.count()
+    from spark_df_profiling_spark.operators.layout import (
+        skipping_stats, zorder_write)
+    base = tempfile.mkdtemp()
+    cols = ["l_partkey", "l_suppkey"]
+    t0 = time.time()
+    li.repartition(32).write.mode("overwrite").parquet(base + "/nat")
+    t_nat = time.time() - t0
+    t0 = time.time()
+    zorder_write(li, base + "/z", cols, num_files=32, exact=False)
+    t_z = time.time() - t0
+    s_nat = skipping_stats(spark, base + "/nat", cols).collect()[0]
+    s_z = skipping_stats(spark, base + "/z", cols).collect()[0]
+    print(f"zorder_write {n} rows: {t_z:.1f}s (natural write "
+          f"{t_nat:.1f}s) — spans "
+          f"partkey {s_nat['avg_span_l_partkey']:.2f}->"
+          f"{s_z['avg_span_l_partkey']:.2f}, "
+          f"suppkey {s_nat['avg_span_l_suppkey']:.2f}->"
+          f"{s_z['avg_span_l_suppkey']:.2f}", flush=True)
+
+
 if __name__ == "__main__":
     if "skew" in sys.argv:
         skew_main()
@@ -815,5 +850,7 @@ if __name__ == "__main__":
         r7e_main()
     elif "r7f" in sys.argv:
         r7f_main()
+    elif "r7g" in sys.argv:
+        r7g_main()
     else:
         main()
