@@ -30,6 +30,28 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def tier_tree(s: Column, cuts: Sequence[float],
+              lo: int = 0, hi: int | None = None) -> Column:
+    """``#{cuts strictly below s}`` as a binary-search ``when()`` tree
+    — log2(len(cuts)) comparisons per row with the cut VALUES baked at
+    the nodes.  A linear filter/sum over the cut array costs
+    len(cuts) evaluations per row (44s per 6M-row pass at 255 cuts),
+    and an ``element_at`` binary search over a literal array is slower
+    still (codegen re-materializes the array per probe).  The
+    predicate ``s > cuts[i]`` is monotone in i even with duplicate
+    cuts, so the search lands on the exact linear count.  NULL input
+    propagates NULL (every comparison is NULL → the otherwise branch
+    bottoms out at ``lo``; callers that need NULL-out must guard, as
+    :func:`zorder_key` and ``sampling.score_buckets`` do)."""
+    if hi is None:
+        hi = len(cuts)
+    if lo == hi:
+        return F.lit(lo)
+    k = (lo + hi) // 2
+    return (F.when(s > F.lit(float(cuts[k])), tier_tree(s, cuts, k + 1, hi))
+            .otherwise(tier_tree(s, cuts, lo, k)))
+
+
 def interleave_bits(tiers: Sequence[Column], bits: int) -> Column:
     """Morton-interleave the low ``bits`` of each tier id: output bit
     ``k * n_cols + i`` = bit ``k`` of ``tiers[i]``.  Pure integer
@@ -71,28 +93,11 @@ def zorder_key(df: DataFrame, cols: Sequence[str], bits: int = 8,
     cut_row = df.agg(*[
         F.expr(f"{fn}(CAST(`{c}` AS DOUBLE), array({plist}){extra})")
         .alias(f"__cuts_{c}") for c in cols]).collect()[0]
-    def _tier_tree(s, cuts, lo, hi):
-        """Binary-search when() tree: tier = #cuts strictly below the
-        value, evaluated in ``bits`` comparisons per row.  A linear
-        filter/sum over the cut array costs 2^bits evaluations per row
-        (measured 44s per 6M-row pass at bits=8); an element_at binary
-        search re-materializes the literal array per probe and is
-        slower still.  The nested tree bakes each cut VALUE at its
-        node, so a row only ever touches log2 of them.  The predicate
-        ``v > cuts[i]`` is monotone in i even with duplicate cuts, so
-        the search lands on the exact count the oracle's linear
-        list_filter computes."""
-        if lo == hi:
-            return F.lit(lo)
-        k = (lo + hi) // 2
-        return (F.when(s > F.lit(cuts[k]), _tier_tree(s, cuts, k + 1, hi))
-                .otherwise(_tier_tree(s, cuts, lo, k)))
-
     tiers = []
     for c in cols:
         cuts = [float(x) for x in (cut_row[f"__cuts_{c}"] or [])]
         s = F.col(c).cast("double")
-        t = _tier_tree(s, cuts, 0, len(cuts))
+        t = tier_tree(s, cuts)
         tiers.append(F.when(s.isNotNull(), t).otherwise(F.lit(0)))
     return df.withColumn("zkey", interleave_bits(tiers, bits))
 

@@ -532,9 +532,11 @@ def score_buckets(df: DataFrame, score_col: Union[str, Column],
     sc = (df.select(s.alias("__s"))
           .agg(F.expr(f"{fn}(__s, array({', '.join(map(repr, probs))})"
                       f"{extra})").alias("__cuts")).collect()[0])
-    cuts = sc["__cuts"] or []
-    bucket = F.lit(0)
-    for c in cuts:
-        bucket = bucket + F.when(s > F.lit(float(c)), 1).otherwise(0)
+    cuts = [float(x) for x in (sc["__cuts"] or [])]
+    # binary-search when() tree (layout.tier_tree): log2(n_buckets)
+    # comparisons per row — a linear when-chain degrades hard past a
+    # few hundred buckets (see the zorder_write triage in BASELINE.md)
+    from spark_df_profiling_spark.operators.layout import tier_tree
+    bucket = tier_tree(s, cuts)
     return df.withColumn(
         "bucket", F.when(s.isNotNull(), bucket.cast("int")))
