@@ -208,6 +208,30 @@ def main() -> None:
         [("reach me: a.b@x.org / +1 (555) 123-4567",)], "text string") \
         .select(pii_redact("text").alias("redacted")).show(truncate=False)
 
+    # 12. KS drift, skew report, MMR rerank, robust outliers, Z-order
+    from spark_df_profiling_spark.operators.drift import ks_2samp
+    ks_2samp(li.where(F.col("l_orderkey") % 2 == 0),
+             li.where(F.col("l_orderkey") % 2 == 1),
+             "l_extendedprice").show()
+
+    from spark_df_profiling_spark.operators.frequency import skew_report
+    skew_report(li, "l_suppkey", k=3).show(truncate=False)
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    from spark_df_profiling_spark.operators.similarity import mmr_rerank
+    mmr_rerank(emb, emb.where(F.col("vec_id") < 2), k=3, pool=10).show()
+
+    from spark_df_profiling_spark.operators.outliers import (
+        robust_outlier_stats)
+    robust_outlier_stats(li, ["l_extendedprice"]).show()
+
+    import tempfile as _tf
+    from spark_df_profiling_spark.operators.layout import (
+        skipping_stats, zorder_write)
+    zdir = _tf.mkdtemp() + "/z"
+    zorder_write(li, zdir, ["l_partkey", "l_suppkey"], num_files=8)
+    skipping_stats(spark, zdir, ["l_partkey", "l_suppkey"]).show()
+
     spark.stop()
 
 
