@@ -57,6 +57,12 @@ def interleave_bits(tiers: Sequence[Column], bits: int) -> Column:
     ``k * n_cols + i`` = bit ``k`` of ``tiers[i]``.  Pure integer
     shifts/masks — identical in every engine."""
     n = len(tiers)
+    if n * bits > 63:
+        # bit 63 is the sign — interleaving into it would make high
+        # keys sort NEGATIVE and scramble the curve order
+        raise ValueError(
+            f"interleave_bits: {n} columns x {bits} bits = {n * bits} "
+            f"key bits > 63 (long sign bit); lower bits or drop columns")
     out = F.lit(0).cast("long")
     for k in range(bits):
         for i, t in enumerate(tiers):

@@ -169,11 +169,18 @@ def benford_stats(df: DataFrame, cols: Sequence[str]) -> DataFrame:
                        / F.nullif(F.col("n"), F.lit(0)))
            .withColumn(
                "chi2",
+               # n = 0 (all-null / all-zero column) would divide by
+               # zero in every cell — and ANSI raises on that even
+               # inside an un-taken when() branch, because the window
+               # sum evaluates eagerly.  nullif makes the cells NULL,
+               # so the column reports chi2 = NULL: "no digits" is
+               # absence of evidence, not infinite nonconformity.
                F.sum((F.col("cnt").cast("double")
                       - F.col("n") * F.col("p_benford"))
                      * (F.col("cnt").cast("double")
                         - F.col("n") * F.col("p_benford"))
-                     / (F.col("n") * F.col("p_benford"))).over(w))
+                     / F.nullif(F.col("n") * F.col("p_benford"),
+                                F.lit(0.0))).over(w))
            .withColumn(
                "mad",
                F.avg(F.abs(F.col("p_obs") - F.col("p_benford"))).over(w)))

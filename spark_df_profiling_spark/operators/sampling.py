@@ -487,7 +487,11 @@ def weighted_sample_k(df: DataFrame, key_col: Union[str, Column],
         F.md5(F.concat(_c(key_col).cast("string"), F.lit(f":{seed}"))),
         1, 15), 16, 10).cast("bigint"))
     u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
-    es = (-F.log(u) / w).alias("es_key")
+    # the w > 0 guard lives INSIDE the expression, not only in the
+    # filter below: ANSI raises on division by zero and relying on
+    # Catalyst to push the filter under the projection is plan-shape
+    # luck, not a contract
+    es = F.when(w > 0, -F.log(u) / w).alias("es_key")
     scored = df.withColumn("es_key", es).where(
         w.isNotNull() & (w > 0) & _c(key_col).isNotNull())
     from pyspark.sql import Window

@@ -700,3 +700,21 @@ def test_zorder_rejects_bad_args(spark, li):
         zorder_key(li, ["l_partkey"])
     with pytest.raises(ValueError):
         zorder_key(li, ["l_partkey", "l_suppkey"], bits=0)
+
+
+def test_benford_all_null_column_reports_null_not_nan(spark):
+    from spark_df_profiling_spark.operators.outliers import benford_stats
+    df = spark.createDataFrame([(None,), (0.0,)], "x double")
+    out = benford_stats(df, ["x"]).collect()
+    assert len(out) == 9
+    for r in out:
+        assert r["cnt"] == 0
+        assert r["chi2"] is None
+        assert r["p_obs"] is None
+
+
+def test_interleave_rejects_sign_bit_overflow(spark, li):
+    from spark_df_profiling_spark.operators.layout import zorder_key
+    with pytest.raises(ValueError):
+        zorder_key(li, ["l_partkey", "l_suppkey", "l_orderkey",
+                        "l_quantity"], bits=16)
