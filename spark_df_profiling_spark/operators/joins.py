@@ -255,6 +255,11 @@ def join_key_stats(left: DataFrame, right: DataFrame,
     full-outer join of the two DISTINCT-KEY-sized count tables and one
     global aggregate.  NULL keys never join; they are counted
     separately and excluded from the key tables.
+
+    ``est_join_rows`` is an exact BIGINT; under ANSI mode a join whose
+    true output exceeds 2^63 rows raises on overflow instead of
+    wrapping — which is itself the answer the report exists to give
+    (that join must not run).
     """
     rk = right_key or left_key
     lc = (left.groupBy(F.col(left_key).alias("__k"))

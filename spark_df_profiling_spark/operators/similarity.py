@@ -535,11 +535,12 @@ def mmr_rerank(corpus: DataFrame, queries: DataFrame,
             selected.append(best)
             remaining.remove(best)
             out.append((qid, best, best_score, len(out)))
-        return pd.DataFrame(out, columns=["query_id", "neighbor_id",
-                                          "mmr_score", "rank"]) \
-            .astype({"rank": "int32"}) if out else \
-            pd.DataFrame(columns=["query_id", "neighbor_id",
-                                  "mmr_score", "rank"])
+        frame = pd.DataFrame(out, columns=["query_id", "neighbor_id",
+                                           "mmr_score", "rank"])
+        # explicit dtypes either way — an empty object-dtype frame
+        # would fail Arrow conversion for the declared schema
+        return frame.astype({"query_id": "int64", "neighbor_id": "int64",
+                             "mmr_score": "float64", "rank": "int32"})
 
     return (pool_df.groupBy("query_id")
             .applyInPandas(greedy, schema=MMR_SCHEMA)
