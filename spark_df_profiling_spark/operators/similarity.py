@@ -545,3 +545,32 @@ def mmr_rerank(corpus: DataFrame, queries: DataFrame,
     return (pool_df.groupBy("query_id")
             .applyInPandas(greedy, schema=MMR_SCHEMA)
             .withColumn("rank", F.col("rank") + 1))
+
+
+def embedding_dim_stats(df: DataFrame,
+                        vec_col: str = "embedding") -> DataFrame:
+    """Per-DIMENSION statistics across the whole embedding corpus:
+    ``(dim, n, mean, std, min_v, max_v, frac_zero)`` — the diagnostic
+    that catches dead dimensions (std ≈ 0: the encoder collapsed, or a
+    projection bug zeroed a coordinate) and scale-skewed dimensions
+    (one feature dominating every distance metric) before they silently
+    poison similarity search.
+
+    Plan: one ``posexplode`` scan → groupBy on the dimension index with
+    MAP-SIDE partial aggregation, so only ``#dims × #stats`` rows reach
+    the shuffle no matter how many vectors the corpus holds.  NULL
+    vectors contribute nothing; ragged corpora surface as differing
+    ``n`` per dim (itself a defect worth seeing).
+    """
+    exploded = df.select(F.posexplode(F.col(vec_col))
+                         .alias("dim", "__v"))
+    v = F.col("__v").cast("double")
+    return (exploded.groupBy("dim")
+            .agg(F.count(v).alias("n"),
+                 F.avg(v).alias("mean"),
+                 F.stddev_samp(v).alias("std"),
+                 F.min(v).alias("min_v"),
+                 F.max(v).alias("max_v"),
+                 F.avg(F.when(v == 0, 1.0).otherwise(0.0))
+                 .alias("frac_zero"))
+            .orderBy("dim"))

@@ -2814,25 +2814,55 @@ def universal_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("embedding_array_stats", f"""
-SELECT count(embedding) AS cnt,
-       count(DISTINCT embedding) AS n_distinct,
-       CAST(min(len(embedding)) AS BIGINT) AS min_len,
-       CAST(max(len(embedding)) AS BIGINT) AS max_len,
-       {_psig('avg(len(embedding))')} AS mean_len_s,
-       {_psig('''avg(list_sum(list_transform(embedding,
-              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))''')}
-           AS mean_sq_norm_s
-FROM embeddings
+SELECT 'array' AS part, k, v1, v2s FROM (
+  SELECT * FROM (
+    SELECT 'cnt' AS k, CAST(count(embedding) AS BIGINT) AS v1,
+           CAST(NULL AS VARCHAR) AS v2s FROM embeddings
+    UNION ALL
+    SELECT 'n_distinct', count(DISTINCT embedding), NULL FROM embeddings
+    UNION ALL
+    SELECT 'min_len', CAST(min(len(embedding)) AS BIGINT), NULL
+    FROM embeddings
+    UNION ALL
+    SELECT 'max_len', CAST(max(len(embedding)) AS BIGINT), NULL
+    FROM embeddings
+    UNION ALL
+    SELECT 'mean_len', NULL, {_psig('avg(len(embedding))')}
+    FROM embeddings
+    UNION ALL
+    SELECT 'mean_sq_norm', NULL,
+           {_psig('''avg(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))''')}
+    FROM embeddings))
+UNION ALL
+SELECT 'dim', CAST(dim AS VARCHAR), CAST(n AS BIGINT),
+       {_psig('m')} || '/' || {_psig('sd')} || '/' || {_psig('mn')}
+       || '/' || {_psig('mx')} || '/' || {_psig('fz')}
+FROM (
+  SELECT dim, count(v) AS n, avg(v) AS m, stddev_samp(v) AS sd,
+         min(v) AS mn, max(v) AS mx,
+         avg(CASE WHEN v = 0 THEN 1.0 ELSE 0.0 END) AS fz
+  FROM (SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings)
+  GROUP BY dim)
+ORDER BY part, k
 """)
 def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ARRAY-column profiling kernels (the reference raises
-    NotImplementedError for any complex type — SURVEY §1.2)."""
+    NotImplementedError for any complex type — SURVEY §1.2), plus the
+    per-DIMENSION corpus statistics (similarity.embedding_dim_stats —
+    the dead-dimension / scale-skew diagnostic), tagged by ``part``;
+    'dim' rows carry count in v1 and the sig-normalized
+    mean/std/min/max/frac_zero chain in v2s."""
+    from spark_df_profiling_spark.operators.similarity import (
+        embedding_dim_stats)
     e = _t(spark, sf_dir, "embeddings")
     c = e["embedding"]
     sq = F.aggregate(
         F.transform(c, lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0), lambda a, v: a + v)
-    return e.agg(
+    one = e.agg(
         F.count(c).alias("cnt"),
         F.count_distinct(c).alias("n_distinct"),
         F.min(F.size(c)).cast("long").alias("min_len"),
@@ -2840,6 +2870,24 @@ def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig(F.avg(F.size(c))).alias("mean_len_s"),
         sig(F.avg(sq)).alias("mean_sq_norm_s"),
     )
+    arr = one.select(F.expr(
+        "stack(6, 'cnt', cnt, CAST(NULL AS STRING), "
+        "'n_distinct', n_distinct, CAST(NULL AS STRING), "
+        "'min_len', min_len, CAST(NULL AS STRING), "
+        "'max_len', max_len, CAST(NULL AS STRING), "
+        "'mean_len', CAST(NULL AS BIGINT), mean_len_s, "
+        "'mean_sq_norm', CAST(NULL AS BIGINT), mean_sq_norm_s) "
+        "as (k, v1, v2s)")) \
+        .select(F.lit("array").alias("part"), "k", "v1", "v2s")
+    dims = (embedding_dim_stats(e)
+            .select(F.lit("dim").alias("part"),
+                    F.col("dim").cast("string").alias("k"),
+                    F.col("n").cast("long").alias("v1"),
+                    F.concat_ws("/", sig(F.col("mean")),
+                                sig(F.col("std")), sig(F.col("min_v")),
+                                sig(F.col("max_v")),
+                                sig(F.col("frac_zero"))).alias("v2s")))
+    return arr.unionByName(dims).orderBy("part", "k")
 
 
 # ---------------------------------------------------------------------------

@@ -718,3 +718,38 @@ def test_interleave_rejects_sign_bit_overflow(spark, li):
     with pytest.raises(ValueError):
         zorder_key(li, ["l_partkey", "l_suppkey", "l_orderkey",
                         "l_quantity"], bits=16)
+
+
+# ---------------------------------------------------------------------------
+# embedding_dim_stats
+# ---------------------------------------------------------------------------
+def test_embedding_dim_stats_detects_dead_dimension(spark):
+    from spark_df_profiling_spark.operators.similarity import (
+        embedding_dim_stats)
+    import random
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1), 0.0, rng.uniform(5, 6)])
+            for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["dim"]: r for r in embedding_dim_stats(df).collect()}
+    assert got[1]["std"] == 0.0 and got[1]["frac_zero"] == 1.0
+    assert got[0]["frac_zero"] == 0.0
+    assert got[2]["mean"] == pytest.approx(5.5, abs=0.2)
+    assert all(got[d]["n"] == 50 for d in range(3))
+
+
+def test_embedding_dim_stats_matches_python(spark, sf_dir):
+    from spark_df_profiling_spark.operators.similarity import (
+        embedding_dim_stats)
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = {r["dim"]: r for r in embedding_dim_stats(e).collect()}
+    vecs = [[float(x) for x in r["embedding"]] for r in e.collect()]
+    d0 = [v[0] for v in vecs]
+    n = len(d0)
+    mean = sum(d0) / n
+    var = sum((x - mean) ** 2 for x in d0) / (n - 1)
+    assert got[0]["n"] == n
+    assert got[0]["mean"] == pytest.approx(mean, rel=1e-9)
+    assert got[0]["std"] == pytest.approx(var ** 0.5, rel=1e-9)
+    assert got[0]["min_v"] == min(d0) and got[0]["max_v"] == max(d0)
+    assert len(got) == len(vecs[0])
