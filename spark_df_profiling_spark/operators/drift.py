@@ -131,6 +131,80 @@ def psi_categorical(ref: DataFrame, new: DataFrame,
                             _bucket_counts(new, exprs))
 
 
+def psi_by_group(ref: DataFrame, new: DataFrame, group_col: str,
+                 cols: Sequence[str], bins: int = 10) -> DataFrame:
+    """PSI per (group, column): does the new snapshot drift WITHIN each
+    segment (language, source, tenant)?  A corpus can look stable in
+    aggregate while one source quietly degrades — mixture proportions
+    shift in exactly the way that cancels in the global histogram.
+
+    Returns ``(group, column, psi, band)``.  Bin edges fit on the
+    GLOBAL reference (shared binning, so PSI values are comparable
+    across groups); rows outside the reference range clamp into the
+    edge bins; NULL groups become the literal '<null>' segment (their
+    drift counts too).  Groups present on only ONE side are dropped —
+    PSI needs both distributions; appeared/vanished segments are a
+    set-difference check, not a drift score.
+
+    Scale: one scan per dataset; the stack-explode emits
+    ``#groups x #cols x #bins`` count rows after map-side partial
+    aggregation — segment cardinality, not data volume, sizes the
+    shuffle.
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2: {bins}")
+    edges_row = ref.agg(*[F.min(c).alias(f"mn_{c}") for c in cols],
+                        *[F.max(c).alias(f"mx_{c}") for c in cols]) \
+        .collect()[0]
+
+    def bucket_expr(c: str) -> F.Column:
+        mn = float(edges_row[f"mn_{c}"])
+        mx = float(edges_row[f"mx_{c}"])
+        if mx <= mn:
+            return F.when(F.col(c).isNotNull(), F.lit("0"))
+        width = (mx - mn) / bins
+        raw = F.floor((F.col(c) - F.lit(mn)) / F.lit(width))
+        clamped = F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1))
+        return F.when(F.col(c).isNotNull(), clamped.cast("string"))
+
+    g = F.coalesce(F.col(group_col).cast("string"), F.lit("<null>"))
+
+    def counts(df: DataFrame) -> DataFrame:
+        pairs = ", ".join(f"'{c}', `__bkt_{c}`" for c in cols)
+        staged = df.select(g.alias("__grp"),
+                           *[bucket_expr(c).alias(f"__bkt_{c}")
+                             for c in cols])
+        stacked = staged.select("__grp", F.expr(
+            f"stack({len(cols)}, {pairs}) as (column, bucket)"))
+        return (stacked.where(F.col("bucket").isNotNull())
+                .groupBy("__grp", "column", "bucket")
+                .agg(F.count(F.lit(1)).alias("n")))
+
+    rc, nc = counts(ref), counts(new)
+    tot_r = rc.groupBy("__grp", "column").agg(F.sum("n").alias("tot_r"))
+    tot_n = nc.groupBy("__grp", "column").agg(F.sum("n").alias("tot_n"))
+    joined = (rc.withColumnRenamed("n", "n_r")
+              .join(nc.withColumnRenamed("n", "n_n"),
+                    ["__grp", "column", "bucket"], "full_outer")
+              .join(tot_r, ["__grp", "column"])
+              .join(tot_n, ["__grp", "column"]))
+    p_r = F.greatest(F.coalesce(F.col("n_r"), F.lit(0)) / F.col("tot_r"),
+                     F.lit(EPS))
+    p_n = F.greatest(F.coalesce(F.col("n_n"), F.lit(0)) / F.col("tot_n"),
+                     F.lit(EPS))
+    term = (p_r - p_n) * F.log(p_r / p_n)
+    out = (joined.groupBy("__grp", "column")
+           .agg(F.sum(term).alias("psi"))
+           .select(F.col("__grp").alias("group"), "column", "psi"))
+    return out.withColumn(
+        "band",
+        F.when(F.col("psi") < 0.1, F.lit("stable"))
+        .when(F.col("psi") < 0.25, F.lit("moderate"))
+        .otherwise(F.lit("shifted")))
+
+
 def reference_histogram(ref: DataFrame, col: str,
                         bins: int = 10) -> tuple:
     """``(lo, hi, probs)`` of a reference corpus — the frozen reference

@@ -3257,6 +3257,42 @@ SELECT 'col' AS part, col AS k,
             ELSE 'shifted' END AS band
 FROM p GROUP BY col
 UNION ALL
+SELECT 'grp', g || ':l_quantity',
+       {_psig('sum((gpr - gpn) * ln(gpr / gpn))')},
+       CASE WHEN sum((gpr - gpn) * ln(gpr / gpn)) < 0.1 THEN 'stable'
+            WHEN sum((gpr - gpn) * ln(gpr / gpn)) < 0.25 THEN 'moderate'
+            ELSE 'shifted' END
+FROM (
+  WITH ge AS (SELECT min(l_quantity) AS mn, max(l_quantity) AS mx,
+                     (max(l_quantity) - min(l_quantity)) / 10.0 AS wd
+              FROM ref),
+  gb AS (
+    SELECT l_returnflag AS g,
+           CAST(least(greatest(floor((l_quantity - mn) / wd), 0), 9)
+                AS BIGINT) AS b,
+           'ref' AS side
+    FROM ref, ge WHERE l_quantity IS NOT NULL
+    UNION ALL
+    SELECT l_returnflag,
+           CAST(least(greatest(floor((l_quantity - mn) / wd), 0), 9)
+                AS BIGINT), 'new'
+    FROM nw, ge WHERE l_quantity IS NOT NULL),
+  gc AS (SELECT g, b, side, count(*) AS n FROM gb GROUP BY g, b, side),
+  gt AS (SELECT g, side, sum(n) AS t FROM gc GROUP BY g, side),
+  gj AS (
+    SELECT coalesce(r.g, n2.g) AS g, coalesce(r.b, n2.b) AS b,
+           coalesce(r.n, 0) AS n_r, coalesce(n2.n, 0) AS n_n
+    FROM (SELECT * FROM gc WHERE side = 'ref') r
+    FULL OUTER JOIN (SELECT * FROM gc WHERE side = 'new') n2
+      ON r.g = n2.g AND r.b = n2.b)
+  SELECT gj.g,
+         greatest(gj.n_r / CAST(tr.t AS DOUBLE), 1e-6) AS gpr,
+         greatest(gj.n_n / CAST(tn.t AS DOUBLE), 1e-6) AS gpn
+  FROM gj
+  JOIN (SELECT g, t FROM gt WHERE side = 'ref') tr ON gj.g = tr.g
+  JOIN (SELECT g, t FROM gt WHERE side = 'new') tn ON gj.g = tn.g)
+GROUP BY g
+UNION ALL
 SELECT 'ks', {_psig('at_v')} , {_psig('d')},
        CASE WHEN d > 1.628 * sqrt((CAST(na AS DOUBLE) + nb)
                                   / (CAST(na AS DOUBLE) * nb))
@@ -3339,6 +3375,16 @@ def drift_psi_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("win").alias("part"),
         epoch_seconds(wp, "window_start").cast("string").alias("k"),
         sig(F.col("psi")).alias("psi_s"), "band")
+    # 'grp' rows grade drift.psi_by_group — per-returnflag PSI of
+    # l_quantity between the same date halves (global-reference
+    # binning, full bucket/eps/term arithmetic replayed per group)
+    from spark_df_profiling_spark.operators.drift import psi_by_group
+    grp = (psi_by_group(ref, new, "l_returnflag", ["l_quantity"],
+                        bins=10)
+           .select(F.lit("grp").alias("part"),
+                   F.concat(F.col("group"), F.lit(":"),
+                            F.col("column")).alias("k"),
+                   sig(F.col("psi")).alias("psi_s"), "band"))
     # 'ks' row grades drift.ks_2samp — the exact distributed KS
     # statistic on the same date halves (distributed prefix-sum CDFs
     # vs DuckDB's global window cumsum), with the alpha=0.01 decision
@@ -3353,8 +3399,8 @@ def drift_psi_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig(F.col("d_stat")).alias("psi_s"),
         F.when(F.col("d_stat") > crit, F.lit("drift"))
         .otherwise(F.lit("ok")).alias("band"))
-    return (cols.unionByName(wins).unionByName(ks_row)
-            .orderBy("part", "k"))
+    return (cols.unionByName(wins).unionByName(grp)
+            .unionByName(ks_row).orderBy("part", "k"))
 
 
 @query("mixture_sample_counts", f"""

@@ -753,3 +753,46 @@ def test_embedding_dim_stats_matches_python(spark, sf_dir):
     assert got[0]["std"] == pytest.approx(var ** 0.5, rel=1e-9)
     assert got[0]["min_v"] == min(d0) and got[0]["max_v"] == max(d0)
     assert len(got) == len(vecs[0])
+
+
+# ---------------------------------------------------------------------------
+# psi_by_group
+# ---------------------------------------------------------------------------
+def test_psi_by_group_isolates_drifting_segment(spark, li):
+    from spark_df_profiling_spark.operators.drift import psi_by_group
+    ref = li.where(F.col("l_orderkey") % 2 == 0)
+    new = li.where(F.col("l_orderkey") % 2 == 1)
+    # shift prices ONLY inside returnflag 'R'
+    drifted = new.withColumn(
+        "l_extendedprice",
+        F.when(F.col("l_returnflag") == "R",
+               F.col("l_extendedprice") * 3)
+        .otherwise(F.col("l_extendedprice")))
+    out = {(r["group"], r["column"]): r for r in psi_by_group(
+        ref, drifted, "l_returnflag", ["l_extendedprice"]).collect()}
+    assert out[("R", "l_extendedprice")]["band"] == "shifted"
+    for g in ("A", "N"):
+        assert out[(g, "l_extendedprice")]["psi"] < 0.1, g
+
+
+def test_psi_by_group_matches_global_when_one_group(spark, li):
+    from spark_df_profiling_spark.operators.drift import (
+        psi_by_group, psi_numeric)
+    ref = li.where(F.col("l_orderkey") % 2 == 0)
+    new = li.where(F.col("l_orderkey") % 2 == 1)
+    one = psi_by_group(ref.withColumn("g", F.lit("all")),
+                       new.withColumn("g", F.lit("all")),
+                       "g", ["l_quantity"]).collect()[0]
+    glob = psi_numeric(ref, new, ["l_quantity"]).collect()[0]
+    assert one["psi"] == pytest.approx(glob["psi"], rel=1e-9)
+
+
+def test_psi_by_group_null_group_segment(spark):
+    from spark_df_profiling_spark.operators.drift import psi_by_group
+    ref = spark.createDataFrame(
+        [(None, float(i % 10)) for i in range(100)], "g string, x double")
+    new = spark.createDataFrame(
+        [(None, float(9)) for i in range(100)], "g string, x double")
+    out = psi_by_group(ref, new, "g", ["x"]).collect()
+    assert len(out) == 1 and out[0]["group"] == "<null>"
+    assert out[0]["band"] == "shifted"
