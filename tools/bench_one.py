@@ -88,6 +88,14 @@ def main() -> None:
             fromlist=["knn_bruteforce"]).knn_bruteforce(
             t("embeddings"), t("embeddings").where(F.col("vec_id") < 20),
             k=10).collect(),
+        "freq_topk": lambda: __import__(
+            "spark_df_profiling_spark.operators.frequency",
+            fromlist=["topk_frequencies"]).topk_frequencies(
+            t("lineitem"), ["l_returnflag", "l_linestatus"], 50),
+        "dedup_exact": lambda: __import__(
+            "spark_df_profiling_spark.operators.dedup",
+            fromlist=["exact_dedup"]).exact_dedup(
+            t("documents"), cols=["text"], order_col="doc_id").count(),
     }
     fn = fns[name]
 
