@@ -2612,9 +2612,34 @@ def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("stateful_user_totals", """
-SELECT user_id AS key, count(*) AS total_events,
+SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS total_events,
        CAST(round(sum("value") * 100) AS BIGINT) AS total_value_cents
-FROM events GROUP BY user_id ORDER BY key
+FROM events GROUP BY user_id
+UNION ALL
+SELECT 'funnel:' || CAST(step_idx AS VARCHAR) || ':' || step,
+       n_keys,
+       CAST(coalesce(floor(1e6 * n_keys
+                / nullif(first(n_keys) OVER (ORDER BY step_idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND UNBOUNDED FOLLOWING), 0)), 0) AS BIGINT)
+FROM (
+  WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY user_id),
+  s2 AS (SELECT e.user_id, min(e.ts) AS t2, any_value(s1.t1) AS t1
+         FROM events e JOIN s1 USING (user_id)
+         WHERE e.event_type = 'click' AND e.ts > s1.t1
+           AND e.ts <= s1.t1 + INTERVAL 2 DAY
+         GROUP BY e.user_id),
+  s3 AS (SELECT e.user_id, min(e.ts) AS t3
+         FROM events e JOIN s2 USING (user_id)
+         WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+           AND e.ts <= s2.t1 + INTERVAL 2 DAY
+         GROUP BY e.user_id)
+  SELECT 1 AS step_idx, 'view' AS step,
+         CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_keys
+  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+ORDER BY key
 """)
 def stateful_user_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState):
@@ -2634,12 +2659,28 @@ def stateful_user_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_stream_to_memory(totals, "stateful_totals_out",
                          output_mode="update")
     final = F.max(F.struct("total_events", "total_value")).alias("s")
-    return (spark.table("stateful_totals_out")
-            .groupBy("key").agg(final)
-            .select("key", F.col("s.total_events").alias("total_events"),
-                    F.round(F.col("s.total_value") * 100).cast("long")
-                    .alias("total_value_cents"))
-            .orderBy("key"))
+    totals_rows = (spark.table("stateful_totals_out")
+                   .groupBy("key").agg(final)
+                   .select(F.col("key").cast("string").alias("key"),
+                           F.col("s.total_events").alias("total_events"),
+                           F.round(F.col("s.total_value") * 100)
+                           .cast("long").alias("total_value_cents")))
+    # 'funnel:' rows grade streaming.event_funnel — the earliest-entry
+    # view→click→purchase funnel within 2 days, conversion fraction
+    # floor-scaled to 1e6 (DuckDB replays the chained min-ts CTEs)
+    from spark_df_profiling_spark.sources import with_event_time
+    from spark_df_profiling_spark.streaming import event_funnel
+    ev = with_event_time(_t(spark, sf_dir, "events"))
+    fun = (event_funnel(ev, ["view", "click", "purchase"],
+                        within="2 days")
+           .select(F.concat(F.lit("funnel:"),
+                            F.col("step_idx").cast("string"),
+                            F.lit(":"), F.col("step")).alias("key"),
+                   F.col("n_keys").alias("total_events"),
+                   F.coalesce(F.floor(F.lit(1e6) * F.col("p_of_first")),
+                              F.lit(0)).cast("long")
+                   .alias("total_value_cents")))
+    return totals_rows.unionByName(fun).orderBy("key")
 
 
 # ---------------------------------------------------------------------------

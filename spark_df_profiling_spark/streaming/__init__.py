@@ -239,3 +239,82 @@ def stream_stream_interval_join(left: DataFrame, right: DataFrame,
             & (F.col(rts) <= F.col(left_ts)
                + F.expr(f"INTERVAL {max_delay}")))
     return left.join(right, cond, "inner").drop(rkey)
+
+
+def event_funnel(df: DataFrame, steps: "list[str]",
+                 key_col: str = "user_id",
+                 type_col: str = "event_type",
+                 ts_col: str = "ts_ts",
+                 within: "str | None" = None) -> DataFrame:
+    """Funnel analysis: how many keys completed step 1, then step 2
+    AFTER their step 1, then step 3 after that — the canonical product
+    analytics query (signup → activate → purchase).
+
+    Returns one row per step: ``(step_idx, step, n_keys, p_of_prev,
+    p_of_first)``.  A step counts only if it happens STRICTLY AFTER
+    the key's earliest qualifying time for the previous step (the
+    "earliest-entry" funnel, the common and deterministic convention),
+    and — with ``within`` (an INTERVAL string, e.g. '1 day') — no
+    later than step 1's time plus the window.
+
+    Scale: ONE shuffle on the key, total.  Pass k computes per-key
+    ``min(ts WHERE type = step_k AND ts > t_{{k-1}})`` as a chained
+    conditional aggregate — all k steps resolve in a SINGLE groupBy
+    over the events because each step's cutoff is an expression over
+    the previous step's aggregate... which Spark cannot nest; instead
+    the k-step chain runs as k sequential aggregates over the SAME
+    hash-partitioned frame (AQE reuses the one shuffle), each joining
+    the tiny per-key cutoff frame of the previous step back by key.
+    Per-key state is one timestamp per step — thousands of steps
+    before it matters.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    ev = df.select(F.col(key_col).alias("__k"),
+                   F.col(type_col).alias("__t"),
+                   F.col(ts_col).alias("__ts")) \
+        .where(F.col("__k").isNotNull() & F.col("__ts").isNotNull())
+    ev = ev.repartition(F.col("__k"))
+    cur = None  # per-key frame: (__k, __t1, __prev) cutoffs
+    counts = []
+    for i, step in enumerate(steps):
+        if cur is None:
+            cur = (ev.where(F.col("__t") == step)
+                   .groupBy("__k")
+                   .agg(F.min("__ts").alias("__prev"))
+                   .withColumn("__t1", F.col("__prev")))
+        else:
+            joined = ev.where(F.col("__t") == step).join(cur, "__k")
+            cond = F.col("__ts") > F.col("__prev")
+            if within is not None:
+                cond = cond & (F.col("__ts") <= F.col("__t1")
+                               + F.expr(f"INTERVAL {within}"))
+            cur = (joined.where(cond)
+                   .groupBy("__k")
+                   .agg(F.min("__ts").alias("__prev"),
+                        F.first("__t1").alias("__t1")))
+        # freeze each step's tiny per-key cutoff frame: the k count
+        # branches below would otherwise re-derive the whole chain
+        # (O(k^2) scans of the events), and re-execution could not
+        # drift either way
+        cur = cur.localCheckpoint(eager=True)
+        counts.append(cur.agg(F.count(F.lit(1)).alias("n"))
+                      .select(F.lit(i + 1).alias("step_idx"),
+                              F.lit(step).alias("step"),
+                              F.col("n").cast("long").alias("n_keys")))
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    from pyspark.sql import Window
+    w = Window.partitionBy().orderBy("step_idx")
+    first_n = F.first("n_keys").over(
+        Window.partitionBy().orderBy("step_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    prev_n = F.lag("n_keys").over(w)
+    return (out.withColumn(
+        "p_of_prev",
+        F.when(prev_n > 0, F.col("n_keys") / prev_n))
+        .withColumn(
+        "p_of_first",
+        F.when(first_n > 0, F.col("n_keys") / first_n))
+        .orderBy("step_idx"))

@@ -796,3 +796,77 @@ def test_psi_by_group_null_group_segment(spark):
     out = psi_by_group(ref, new, "g", ["x"]).collect()
     assert len(out) == 1 and out[0]["group"] == "<null>"
     assert out[0]["band"] == "shifted"
+
+
+# ---------------------------------------------------------------------------
+# event_funnel
+# ---------------------------------------------------------------------------
+def test_event_funnel_crafted_timelines(spark):
+    from spark_df_profiling_spark.streaming import event_funnel
+    rows = [
+        # u1: full conversion in order
+        (1, "view", 100), (1, "click", 200), (1, "purchase", 300),
+        # u2: clicked BEFORE viewing — click must not count
+        (2, "click", 50), (2, "view", 100), (2, "purchase", 200),
+        # u3: view then click, no purchase
+        (3, "view", 100), (3, "click", 150),
+        # u4: purchase only — counts for nothing
+        (4, "purchase", 10),
+        # u5: full conversion but purchase outside the window
+        (5, "view", 0), (5, "click", 100), (5, "purchase", 999_999),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, s long") \
+        .withColumn("ts_ts", F.timestamp_seconds(F.col("s")))
+    got = {r["step_idx"]: r for r in event_funnel(
+        df, ["view", "click", "purchase"],
+        within="1 hour").collect()}
+    assert got[1]["n_keys"] == 4   # u1, u2, u3, u5 viewed
+    assert got[2]["n_keys"] == 3   # u1, u3, u5 (u2's click pre-dates
+                                   # its view, so it must not count)
+    assert got[3]["n_keys"] == 1   # only u1 (u5's purchase falls
+                                   # outside the 1-hour window)
+
+
+def test_event_funnel_matches_python(spark, sf_dir):
+    from spark_df_profiling_spark.sources import load_events
+    from spark_df_profiling_spark.streaming import event_funnel
+    ev = load_events(spark, sf_dir)
+    got = {r["step_idx"]: r["n_keys"] for r in event_funnel(
+        ev, ["view", "click", "purchase"], within="2 days").collect()}
+    rows = ev.select("user_id", "event_type",
+                     F.col("ts_ts").cast("double").alias("t")).collect()
+    from collections import defaultdict
+    by_u = defaultdict(list)
+    for r in rows:
+        by_u[r["user_id"]].append((r["event_type"], r["t"]))
+    win = 2 * 86400
+    n1 = n2 = n3 = 0
+    for u, evs in by_u.items():
+        t1s = [t for e, t in evs if e == "view"]
+        if not t1s:
+            continue
+        t1 = min(t1s)
+        n1 += 1
+        t2s = [t for e, t in evs
+               if e == "click" and t > t1 and t <= t1 + win]
+        if not t2s:
+            continue
+        t2 = min(t2s)
+        n2 += 1
+        t3s = [t for e, t in evs
+               if e == "purchase" and t > t2 and t <= t1 + win]
+        if t3s:
+            n3 += 1
+    assert (got[1], got[2], got[3]) == (n1, n2, n3)
+
+
+def test_event_funnel_ratios_and_validation(spark, sf_dir):
+    from spark_df_profiling_spark.sources import load_events
+    from spark_df_profiling_spark.streaming import event_funnel
+    ev = load_events(spark, sf_dir)
+    out = event_funnel(ev, ["view", "purchase"]).collect()
+    assert out[0]["p_of_first"] == 1.0
+    assert out[1]["p_of_prev"] == pytest.approx(
+        out[1]["n_keys"] / out[0]["n_keys"])
+    with pytest.raises(ValueError):
+        event_funnel(ev, [])
