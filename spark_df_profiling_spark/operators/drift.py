@@ -90,6 +90,10 @@ def psi_numeric(ref: DataFrame, new: DataFrame, cols: Sequence[str],
         .collect()[0]
 
     def bucket_expr(c: str) -> F.Column:
+        if edges_row[f"mn_{c}"] is None or edges_row[f"mx_{c}"] is None:
+            # all-NULL (or empty) reference column: no edges — NULL
+            # bucket drops the column instead of crashing the report
+            return F.lit(None).cast("string")
         mn = float(edges_row[f"mn_{c}"])
         mx = float(edges_row[f"mx_{c}"])
         if mx <= mn:  # constant column: everything in bucket 0
@@ -160,6 +164,10 @@ def psi_by_group(ref: DataFrame, new: DataFrame, group_col: str,
         .collect()[0]
 
     def bucket_expr(c: str) -> F.Column:
+        if edges_row[f"mn_{c}"] is None or edges_row[f"mx_{c}"] is None:
+            # all-NULL (or empty) reference column: no edges — NULL
+            # bucket drops the column instead of crashing the report
+            return F.lit(None).cast("string")
         mn = float(edges_row[f"mn_{c}"])
         mx = float(edges_row[f"mx_{c}"])
         if mx <= mn:

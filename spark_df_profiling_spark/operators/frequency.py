@@ -127,7 +127,7 @@ def column_entropy(df: DataFrame, cols: list[str],
 
 
 def skew_report(df: DataFrame, key_cols: str | list[str],
-                k: int = 10) -> DataFrame:
+                k: int = 10, exact: bool = True) -> DataFrame:
     """Key-distribution skew report — run before any groupBy/join on
     the key to see what the shuffle will face.
 
@@ -144,6 +144,14 @@ def skew_report(df: DataFrame, key_cols: str | list[str],
     frame; top-k is a bounded TakeOrdered.  NULL keys count as a key
     (they would all land in one task too — that is exactly what this
     report must expose).
+
+    ``exact=True`` (default, oracle-parity) computes the p99 with exact
+    ``percentile`` — fine up to millions of distinct keys, but the
+    exact aggregate buffers EVERY distinct key's count in one task, so
+    at billions of distinct keys (exactly the high-cardinality regime
+    this report exists to diagnose) pass ``exact=False`` to switch to
+    ``percentile_approx`` — bounded GK-sketch memory, same switch as
+    ``outlier_stats``/``quantile_buckets``/``zorder_key``.
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     if k < 1:
@@ -155,16 +163,16 @@ def skew_report(df: DataFrame, key_cols: str | list[str],
                   for c in keys]).alias("key"), "cnt"))
     top = (counts.orderBy(F.desc("cnt"), F.asc("key")).limit(k)
            .select(F.lit("top").alias("part"), "key", "cnt"))
+    p99 = (F.expr("percentile(cnt, 0.99)") if exact
+           else F.expr("percentile_approx(cnt, 0.99, 10000)"))
     stats = counts.agg(
         F.count(F.lit(1)).alias("n_keys"),
         F.sum("cnt").alias("n_rows"),
         F.max("cnt").alias("max_cnt"),
-        F.floor(F.expr("percentile(cnt, 0.99)")).cast("long")
-        .alias("p99_cnt"))
-    # exact percentile here runs over the DISTINCT-KEY-sized count
-    # frame, not the data — affordable far beyond where the data itself
-    # stopped fitting; floor() keeps the packed stats string
-    # engine-portable (no double-formatting divergence)
+        F.floor(p99).cast("long").alias("p99_cnt"))
+    # the percentile runs over the DISTINCT-KEY-sized count frame, not
+    # the data; floor() keeps the packed stats string engine-portable
+    # (no double-formatting divergence)
     stats_row = stats.select(
         F.lit("stats").alias("part"),
         F.concat_ws(":", F.col("n_keys").cast("string"),
@@ -174,3 +182,94 @@ def skew_report(df: DataFrame, key_cols: str | list[str],
                             / F.col("n_rows")).cast("string")).alias("key"),
         F.col("n_rows").cast("long").alias("cnt"))
     return top.unionByName(stats_row)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: mergeable heavy-hitter state (the frequency-side
+# counterpart of dedup.bloom_state's membership state)
+# ---------------------------------------------------------------------------
+def cms_positions(hash_col, width: int, depth: int):
+    """``depth`` struct(d, w) sketch coordinates for a content-hash
+    string — the same engine-portable md5 60-bit hex-prefix arithmetic
+    as ``dedup.bloom_positions`` (DuckDB replays it bit-for-bit), with
+    a ``#cms`` salt so CMS and Bloom positions of the same content stay
+    independent."""
+    return F.array(*[
+        F.struct(F.lit(d).cast("int").alias("d"),
+                 (F.conv(F.substring(
+                     F.md5(F.concat(hash_col, F.lit(f"#cms{d}"))),
+                     1, 15), 16, 10).cast("bigint") % width).alias("w"))
+        for d in range(depth)])
+
+
+def cms_state(df: DataFrame, cols: str | list[str] | None = None,
+              width: int = 8192, depth: int = 4) -> DataFrame:
+    """Count-min sketch over row content — BOUNDED, MERGEABLE frequency
+    state: one row per occupied (d, w) cell, at most ``depth x width``
+    rows no matter how many rows (or distinct keys) the corpus holds.
+
+    The missing piece between ``topk_frequencies`` (exact, but its
+    state is one row per DISTINCT key — unbounded) and
+    ``bloom_state`` (bounded, but membership-only): a training-data
+    pipeline tracking value frequencies ACROSS daily runs needs state
+    it can persist, ship, and merge without ever re-scanning history —
+    CMS cells add, so ``cms_merge`` is a groupBy-sum, exactly like the
+    Bloom word OR and the incremental profile counters.
+
+    Estimates (``cms_estimate``) are classic CMS: never UNDER-count,
+    over-count bounded by ~2N/width with probability 1-2^-depth.
+    Width 8192 x depth 4 is ~256 KB of state — always broadcastable.
+
+    Plan: one explode (depth rows per input row, narrow) feeding a
+    (d, w)-keyed hash aggregate with map-side partial combine — the
+    shuffle carries at most depth x width rows per upstream task.
+    """
+    from spark_df_profiling_spark.operators.dedup import content_hash
+    if width < 1 or depth < 1:
+        raise ValueError(f"need width, depth >= 1: {width}, {depth}")
+    cols = [cols] if isinstance(cols, str) else list(cols or df.columns)
+    pos = cms_positions(content_hash(cols), width, depth)
+    return (df.select(F.explode(pos).alias("p"))
+            .groupBy(F.col("p.d").alias("d"), F.col("p.w").alias("w"))
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def cms_merge(*states: DataFrame) -> DataFrame:
+    """Merge CMS states built with the SAME (width, depth, cols):
+    cell-wise sum.  Mismatched configs produce garbage, same contract
+    as ``bloom_might_contain`` — keep (width, depth) with the stored
+    state."""
+    if not states:
+        raise ValueError("need at least one state")
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("d", "w").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(df: DataFrame, state: DataFrame,
+                 cols: str | list[str] | None = None,
+                 width: int = 8192, depth: int = 4,
+                 out_col: str = "est_count") -> DataFrame:
+    """Estimated frequency of each row's content under ``state``:
+    ``min`` over the depth cells the content hashes to (0 when any
+    cell is unoccupied).  Never under-counts an inserted key.
+
+    Plan: distinct on the content hash (the only shuffle, same class
+    as exact_dedup), explode to depth coordinate rows, LEFT join the
+    <= depth x width-row state — broadcast — then a min per hash and a
+    hash-join back onto the input rows.
+    """
+    from spark_df_profiling_spark.operators.dedup import content_hash
+    cols = [cols] if isinstance(cols, str) else list(cols or df.columns)
+    marked = df.withColumn("__ch", content_hash(cols))
+    pos = (marked.select("__ch").distinct()
+           .select("__ch", F.explode(
+               cms_positions(F.col("__ch"), width, depth)).alias("p"))
+           .select("__ch", F.col("p.d").alias("d"),
+                   F.col("p.w").alias("w")))
+    est = (pos.join(F.broadcast(state), ["d", "w"], "left")
+           .groupBy("__ch")
+           .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long")))
+                .alias(out_col)))
+    return marked.join(est, "__ch").drop("__ch")

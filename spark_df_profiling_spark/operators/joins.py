@@ -308,3 +308,46 @@ def join_key_stats(left: DataFrame, right: DataFrame,
         F.coalesce("est_join_rows", z).alias("est_join_rows"),
         F.coalesce("max_left_fanout", z).alias("max_left_fanout"),
         F.coalesce("max_right_fanout", z).alias("max_right_fanout"))
+
+
+def salted_join(big: DataFrame, small: DataFrame,
+                on: Union[str, Sequence[str]],
+                n_salts: int = 16, how: str = "inner",
+                salt_on: Optional[Sequence[str]] = None) -> DataFrame:
+    """Skew-defeating shuffle join: spread each hot key of ``big``
+    across ``n_salts`` reducer tasks by joining on ``(key, salt)``,
+    with the ``small`` side replicated once per salt value.
+
+    The standard cure when ONE key holds a reducer-drowning share of
+    the big side (``frequency.skew_report`` tells you exactly when:
+    max_share_ppm x n_salts tasks' worth of one key) and the small
+    side is too big — or the optimizer too constrained — to broadcast.
+    AQE's skew-join split handles sort-merge cases adaptively; this
+    operator is the DETERMINISTIC version for when the split must be
+    guaranteed (AQE disabled, bucketed tables, or a streaming-batch
+    plan where AQE cannot re-plan).  Results are bit-identical to the
+    plain join for ``inner`` and ``left`` — every salt copy of a small
+    row meets exactly the big rows assigned that salt.
+
+    ``salt_on`` — columns of ``big`` whose hash assigns the salt
+    (default: ALL columns).  Rows identical across ``salt_on`` land on
+    the same salt, so pass columns that vary within the hot key (an
+    id, a timestamp) for a real spread.
+
+    Cost: ``small`` is shuffled x n_salts (its shuffle volume, not the
+    big side's, scales with n_salts) — size n_salts to the fan-out the
+    skew report demands, not higher.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    if n_salts < 1:
+        raise ValueError(f"n_salts must be >= 1: {n_salts}")
+    keys = [on] if isinstance(on, str) else list(on)
+    salt_src = list(salt_on) if salt_on else list(big.columns)
+    b = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in salt_src]),
+                         F.lit(n_salts)).cast("int"))
+    s = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i).cast("int")
+                                      for i in range(n_salts)])))
+    return b.join(s, keys + ["__salt"], how).drop("__salt")

@@ -95,7 +95,12 @@ def knn_bruteforce(corpus: DataFrame, queries: DataFrame,
         sim = dot(F.col("__qv"), F.col("__cv"))
     else:
         raise ValueError(f"unknown metric: {metric}")
-    scored = joined.select("query_id", "neighbor_id", sim.alias("sim"))
+    # NULL sims (dot metric with NULL vectors, or vectors containing
+    # NULL elements) are EXCLUDED, not ranked: they would sort last
+    # under desc but still surface whenever a query has fewer than k
+    # valid neighbors.  Cheap — runs after the per-row norm pre-filter.
+    scored = (joined.select("query_id", "neighbor_id", sim.alias("sim"))
+              .where(F.col("sim").isNotNull()))
     if sub_partitions > 1:
         salt = F.pmod(F.xxhash64("neighbor_id"), F.lit(sub_partitions))
         w1 = Window.partitionBy("query_id", "__salt").orderBy(
@@ -453,6 +458,13 @@ def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
 
 MMR_SCHEMA = "query_id long, neighbor_id long, mmr_score double, rank int"
 
+# Spark SQL id dtype → pandas dtype, for the Arrow handoff in mmr_rerank.
+# (The output schema is derived from the INPUT id column's dtype, so
+# string / int ids work — not just the long ids MMR_SCHEMA hardcodes.)
+_MMR_ID_PD_DTYPES = {"tinyint": "int8", "smallint": "int16",
+                     "int": "int32", "bigint": "int64",
+                     "string": "object"}
+
 
 def mmr_rerank(corpus: DataFrame, queries: DataFrame,
                id_col: str = "vec_id", vec_col: str = "embedding",
@@ -487,6 +499,14 @@ def mmr_rerank(corpus: DataFrame, queries: DataFrame,
         raise ValueError(f"lam must be in [0, 1]: {lam}")
     if k < 1 or pool < k:
         raise ValueError(f"need pool >= k >= 1: k={k}, pool={pool}")
+    id_dt = dict(corpus.dtypes)[id_col]
+    if id_dt not in _MMR_ID_PD_DTYPES:
+        raise ValueError(
+            f"mmr_rerank supports integer/string {id_col!r} ids, "
+            f"got {id_dt}")
+    out_schema = (f"query_id {id_dt}, neighbor_id {id_dt}, "
+                  f"mmr_score double, rank int")
+    id_pd = _MMR_ID_PD_DTYPES[id_dt]
     cand = knn_bruteforce(corpus, queries, id_col=id_col,
                           vec_col=vec_col, k=pool)
     cv = corpus.select(F.col(id_col).alias("neighbor_id"),
@@ -539,11 +559,11 @@ def mmr_rerank(corpus: DataFrame, queries: DataFrame,
                                            "mmr_score", "rank"])
         # explicit dtypes either way — an empty object-dtype frame
         # would fail Arrow conversion for the declared schema
-        return frame.astype({"query_id": "int64", "neighbor_id": "int64",
+        return frame.astype({"query_id": id_pd, "neighbor_id": id_pd,
                              "mmr_score": "float64", "rank": "int32"})
 
     return (pool_df.groupBy("query_id")
-            .applyInPandas(greedy, schema=MMR_SCHEMA)
+            .applyInPandas(greedy, schema=out_schema)
             .withColumn("rank", F.col("rank") + 1))
 
 

@@ -308,25 +308,192 @@ def _num_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tukey.crossJoin(robust)
 
 
+# Histogram-derived mergeable quantile estimates
+# (operators/incremental.py::quantiles_from_state): 64 frozen bins over
+# l_extendedprice, 4 hash-slice partials merged, grouped-data
+# interpolation.  DuckDB replays the IDENTICAL arithmetic from the same
+# bin layout — bin assignment, cumulative walk, in-bin interpolation,
+# clamp — so the estimate itself (not just its tolerance vs the exact
+# percentile, which tests/test_round7c_ops.py pins) is under the hash
+# gate.
+_NUM_QEST_SQL = f"""
+WITH e  AS (SELECT CAST(min(l_extendedprice) AS DOUBLE) AS lo,
+                   CAST(max(l_extendedprice) AS DOUBLE) AS hi
+            FROM lineitem),
+bc AS (SELECT CAST(least(floor((l_extendedprice - e.lo) * 64.0
+                               / (e.hi - e.lo)), 63) AS BIGINT) AS bin,
+              count(*) AS n
+       FROM lineitem, e GROUP BY 1),
+cm AS (SELECT bin, n,
+              sum(n) OVER (ORDER BY bin) AS cum,
+              CAST(sum(n) OVER () AS DOUBLE) AS total
+       FROM bc),
+pr AS (SELECT unnest([0.25, 0.50, 0.75]) AS prob),
+hit AS (SELECT pr.prob, min(cm.bin) AS bin
+        FROM pr JOIN cm
+          ON CAST(cm.cum AS DOUBLE) >= greatest(pr.prob * cm.total, 1.0)
+        GROUP BY pr.prob),
+est AS (SELECT h.prob,
+               least(greatest(
+                 e.lo + (e.hi - e.lo) / 64.0 *
+                 (CAST(h.bin AS DOUBLE) +
+                  (greatest(h.prob * cm.total, 1.0)
+                   - CAST(cm.cum - cm.n AS DOUBLE)) / CAST(cm.n AS DOUBLE)),
+                 e.lo), e.hi) AS q
+        FROM hit h JOIN cm ON cm.bin = h.bin, e)
+SELECT {_psig('max(CASE WHEN prob = 0.25 THEN q END)')} AS qest25_s,
+       {_psig('max(CASE WHEN prob = 0.50 THEN q END)')} AS qest50_s,
+       {_psig('max(CASE WHEN prob = 0.75 THEN q END)')} AS qest75_s
+FROM est
+"""
+
+
+def _num_quantile_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quantiles_from_state through the REAL incremental path: freeze
+    64 bin edges at the global min/max, build 4 hash-slice partials,
+    merge, interpolate."""
+    from spark_df_profiling_spark.operators.incremental import (
+        merge_partials, partial_profile, quantiles_from_state)
+    li = _t(spark, sf_dir, "lineitem")
+    lo, hi = li.agg(F.min("l_extendedprice"),
+                    F.max("l_extendedprice")).collect()[0]
+    edges = {"l_extendedprice": (float(lo), float(hi))}
+    parts = [partial_profile(li.where(F.col("l_orderkey") % 4 == i),
+                             cols=["l_extendedprice"],
+                             hist_edges=edges, hist_bins=64)
+             for i in range(4)]
+    q = quantiles_from_state(merge_partials(*parts),
+                             probs=(0.25, 0.5, 0.75))
+
+    def at(p):
+        return F.max(F.when(F.col("prob") == p, F.col("quantile_est")))
+
+    return q.agg(sig(at(0.25)).alias("qest25_s"),
+                 sig(at(0.50)).alias("qest50_s"),
+                 sig(at(0.75)).alias("qest75_s"))
+
+
+# profile_diff (operators/diff.py): diff the EXACT_CONFIG profiles of
+# the even/odd l_orderkey halves of lineitem, with the odd half's
+# l_extendedprice scaled x100, l_discount swapped in for l_tax — so one
+# graded row exercises all four statuses (ok / changed / added /
+# removed) plus the mean_shift and std_ratio rules.  DuckDB replays the
+# rule arithmetic (mean_z, std ratio, distinct ratio vs thresholds)
+# from the raw halves.
+_NUM_DIFF_SQL = f"""
+WITH a AS (SELECT avg(CAST(l_quantity AS DOUBLE)) AS qm,
+                  stddev_samp(CAST(l_quantity AS DOUBLE)) AS qs,
+                  count(DISTINCT CAST(l_quantity AS DOUBLE)) AS qd,
+                  avg(CAST(l_extendedprice AS DOUBLE)) AS pm,
+                  stddev_samp(CAST(l_extendedprice AS DOUBLE)) AS ps,
+                  count(DISTINCT CAST(l_extendedprice AS DOUBLE)) AS pd_,
+                  count(*) AS n
+           FROM lineitem WHERE l_orderkey % 2 = 0),
+b AS (SELECT avg(CAST(l_quantity AS DOUBLE)) AS qm,
+             stddev_samp(CAST(l_quantity AS DOUBLE)) AS qs,
+             count(DISTINCT CAST(l_quantity AS DOUBLE)) AS qd,
+             avg(CAST(l_extendedprice AS DOUBLE) * 100) AS pm,
+             stddev_samp(CAST(l_extendedprice AS DOUBLE) * 100) AS ps,
+             count(DISTINCT CAST(l_extendedprice AS DOUBLE) * 100) AS pd_,
+             count(*) AS n
+      FROM lineitem WHERE l_orderkey % 2 = 1),
+fl AS (SELECT
+         concat_ws(',',
+           CASE WHEN abs((b.qm - a.qm) / a.qs) > 3.0
+                THEN 'mean_shift' END,
+           CASE WHEN b.qs / a.qs > 2.0 OR b.qs / a.qs < 0.5
+                THEN 'std_ratio' END,
+           CASE WHEN CAST(b.qd AS DOUBLE) / a.qd > 2.0
+                  OR CAST(b.qd AS DOUBLE) / a.qd < 0.5
+                THEN 'distinct_ratio' END) AS qty_flags,
+         concat_ws(',',
+           CASE WHEN abs((b.pm - a.pm) / a.ps) > 3.0
+                THEN 'mean_shift' END,
+           CASE WHEN b.ps / a.ps > 2.0 OR b.ps / a.ps < 0.5
+                THEN 'std_ratio' END,
+           CASE WHEN CAST(b.pd_ AS DOUBLE) / a.pd_ > 2.0
+                  OR CAST(b.pd_ AS DOUBLE) / a.pd_ < 0.5
+                THEN 'distinct_ratio' END) AS price_flags,
+         (b.pm - a.pm) / a.ps AS price_z,
+         b.ps / a.ps AS price_sr,
+         CAST(b.pd_ AS DOUBLE) / a.pd_ AS price_dr,
+         a.n AS n_a, b.n AS n_b
+       FROM a, b)
+SELECT 'l_discount=added:'
+       || '|l_extendedprice='
+       || (CASE WHEN price_flags <> '' THEN 'changed' ELSE 'ok' END)
+       || ':' || price_flags
+       || '|l_quantity='
+       || (CASE WHEN qty_flags <> '' THEN 'changed' ELSE 'ok' END)
+       || ':' || qty_flags
+       || '|l_tax=removed:' AS diff_s,
+       {_psig('price_z')} AS dz_s,
+       {_psig('price_sr')} AS dsr_s,
+       {_psig('price_dr')} AS ddr_s,
+       n_a AS diff_n_a, n_b AS diff_n_b
+FROM fl
+"""
+
+
+def _num_profile_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """profile_diff over two REAL EXACT_CONFIG profiles (operators/
+    diff.py:30): the packed diff_s string covers status+flags of every
+    column; the sig columns pin the rule arithmetic itself."""
+    from spark_df_profiling_spark import profile
+    from spark_df_profiling_spark.config import EXACT_CONFIG
+    from spark_df_profiling_spark.operators.diff import profile_diff
+    li = _t(spark, sf_dir, "lineitem")
+    dbl = lambda c: F.col(c).cast("double").alias(c)  # noqa: E731
+    a = profile(li.where(F.col("l_orderkey") % 2 == 0)
+                .select(dbl("l_quantity"), dbl("l_extendedprice"),
+                        dbl("l_tax")), EXACT_CONFIG)
+    b = profile(li.where(F.col("l_orderkey") % 2 == 1)
+                .select(dbl("l_quantity"),
+                        (F.col("l_extendedprice").cast("double") * 100)
+                        .alias("l_extendedprice"),
+                        dbl("l_discount")), EXACT_CONFIG)
+    d = profile_diff(a, b)
+    item = F.concat_ws("=", F.col("column"),
+                       F.concat_ws(":", F.col("status"), F.col("flags")))
+
+    def price(c):
+        return F.max(F.when(F.col("column") == "l_extendedprice",
+                            F.col(c)))
+
+    return d.agg(
+        F.concat_ws("|", F.sort_array(F.collect_list(item)))
+        .alias("diff_s"),
+        sig(price("mean_z")).alias("dz_s"),
+        sig(price("std_ratio")).alias("dsr_s"),
+        sig(price("distinct_ratio")).alias("ddr_s"),
+        price("n_a").cast("long").alias("diff_n_a"),
+        price("n_b").cast("long").alias("diff_n_b"))
+
+
 @query("num_stats", f"""
 SELECT * FROM ({_NUM_MOMENTS_SQL}) "mo",
               ({_NUM_QUANTILES_SQL}) "qu",
               ({_NUM_MAD_SQL}) "ma",
               ({_NUM_INC_SQL}) "inc",
               ({_NUM_OUTLIER_SQL}) "ou",
-              ({_NUM_ROBUST_SQL}) "rz"
+              ({_NUM_ROBUST_SQL}) "rz",
+              ({_NUM_QEST_SQL}) "qe",
+              ({_NUM_DIFF_SQL}) "di"
 """)
 def num_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N1-N11 in one graded row: moments+zeros × exact quantiles × MAD ×
-    incremental-merge replica × Tukey outlier fences (cross join of
-    five 1-row aggregates — kernels stay independently implemented, the
-    merge only shares a registry slot so the driver's 50-query grading
-    cap fits the full operator inventory)."""
+    incremental-merge replica × Tukey outlier fences × mergeable
+    quantile estimates × profile_diff (cross join of 1-row aggregates —
+    kernels stay independently implemented, the merge only shares a
+    registry slot so the driver's 50-query grading cap fits the full
+    operator inventory)."""
     return (_num_moments(spark, sf_dir)
             .crossJoin(_num_quantiles(spark, sf_dir))
             .crossJoin(_num_mad(spark, sf_dir))
             .crossJoin(_num_incremental(spark, sf_dir))
-            .crossJoin(_num_outliers(spark, sf_dir)))
+            .crossJoin(_num_outliers(spark, sf_dir))
+            .crossJoin(_num_quantile_est(spark, sf_dir))
+            .crossJoin(_num_profile_diff(spark, sf_dir)))
 
 
 # ---------------------------------------------------------------------------
@@ -440,6 +607,26 @@ FROM (
          CAST(floor(quantile_cont(c, 0.99)) AS BIGINT) AS p99,
          CAST(max(c) * 1000000 // sum(c) AS BIGINT) AS ppm
   FROM kc)
+UNION ALL
+SELECT 'cms', lang, est FROM (
+  WITH st AS (
+    SELECT i AS d,
+           ('0x' || substr(md5(sha256(lang) || '#cms' || i), 1, 15))
+               ::BIGINT % 1024 AS w,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM documents, (SELECT unnest(generate_series(0, 3)) AS i)
+    GROUP BY 1, 2
+  ),
+  q AS (
+    SELECT lang, i AS d,
+           ('0x' || substr(md5(sha256(lang) || '#cms' || i), 1, 15))
+               ::BIGINT % 1024 AS w
+    FROM (SELECT DISTINCT lang FROM documents),
+         (SELECT unnest(generate_series(0, 3)) AS i)
+  )
+  SELECT q.lang AS lang, min(coalesce(st.cnt, 0)) AS est
+  FROM q LEFT JOIN st USING (d, w)
+  GROUP BY q.lang)
 ORDER BY part, value
 """)
 def freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -466,7 +653,20 @@ def freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select(F.when(F.col("part") == "top", F.lit("skew"))
                   .otherwise(F.lit("skewstats")).alias("part"),
                   F.col("key").alias("value"), "cnt"))
-    return (topk.unionByName(mode).unionByName(sk)
+    # 'cms' rows grade the count-min sketch (frequency.cms_state +
+    # cms_estimate): per-lang estimated counts under a 1024x4 sketch of
+    # documents — DuckDB replays the identical md5 cell arithmetic, so
+    # even hash-collision overestimates must match bit-for-bit
+    from spark_df_profiling_spark.operators.frequency import (
+        cms_estimate, cms_state)
+    d = _t(spark, sf_dir, "documents")
+    st = cms_state(d, "lang", width=1024, depth=4)
+    cms = (cms_estimate(d.select("lang").distinct(), st, "lang",
+                        width=1024, depth=4)
+           .select(F.lit("cms").alias("part"),
+                   F.col("lang").alias("value"),
+                   F.col("est_count").cast("long").alias("cnt")))
+    return (topk.unionByName(mode).unionByName(sk).unionByName(cms)
             .orderBy("part", "value"))
 
 

@@ -257,16 +257,19 @@ def event_funnel(df: DataFrame, steps: "list[str]",
     and — with ``within`` (an INTERVAL string, e.g. '1 day') — no
     later than step 1's time plus the window.
 
-    Scale: ONE shuffle on the key, total.  Pass k computes per-key
-    ``min(ts WHERE type = step_k AND ts > t_{{k-1}})`` as a chained
-    conditional aggregate — all k steps resolve in a SINGLE groupBy
-    over the events because each step's cutoff is an expression over
-    the previous step's aggregate... which Spark cannot nest; instead
-    the k-step chain runs as k sequential aggregates over the SAME
-    hash-partitioned frame (AQE reuses the one shuffle), each joining
+    Scale: ONE scan of the events and ONE shuffle on the key, total.
+    Pass k computes per-key ``min(ts WHERE type = step_k AND
+    ts > t_{{k-1}})`` as a chained conditional aggregate — all k steps
+    resolve over the SAME hash-partitioned events frame, each joining
     the tiny per-key cutoff frame of the previous step back by key.
-    Per-key state is one timestamp per step — thousands of steps
-    before it matters.
+    Because each step's eager localCheckpoint is a SEPARATE action
+    (exchange reuse never applies across actions), the repartitioned
+    events are ``persist()``-ed before the loop and unpersisted after:
+    step 1 populates the cache while it runs, steps 2..k read it — the
+    source is scanned once and shuffled once (cache eviction under
+    memory pressure falls back to recompute, trading the guarantee for
+    correctness, never wrong answers).  Per-key state is one timestamp
+    per step — thousands of steps before it matters.
     """
     if not steps:
         raise ValueError("steps must be non-empty")
@@ -274,34 +277,39 @@ def event_funnel(df: DataFrame, steps: "list[str]",
                    F.col(type_col).alias("__t"),
                    F.col(ts_col).alias("__ts")) \
         .where(F.col("__k").isNotNull() & F.col("__ts").isNotNull())
-    ev = ev.repartition(F.col("__k"))
+    ev = ev.repartition(F.col("__k")).persist()
     cur = None  # per-key frame: (__k, __t1, __prev) cutoffs
     counts = []
-    for i, step in enumerate(steps):
-        if cur is None:
-            cur = (ev.where(F.col("__t") == step)
-                   .groupBy("__k")
-                   .agg(F.min("__ts").alias("__prev"))
-                   .withColumn("__t1", F.col("__prev")))
-        else:
-            joined = ev.where(F.col("__t") == step).join(cur, "__k")
-            cond = F.col("__ts") > F.col("__prev")
-            if within is not None:
-                cond = cond & (F.col("__ts") <= F.col("__t1")
-                               + F.expr(f"INTERVAL {within}"))
-            cur = (joined.where(cond)
-                   .groupBy("__k")
-                   .agg(F.min("__ts").alias("__prev"),
-                        F.first("__t1").alias("__t1")))
-        # freeze each step's tiny per-key cutoff frame: the k count
-        # branches below would otherwise re-derive the whole chain
-        # (O(k^2) scans of the events), and re-execution could not
-        # drift either way
-        cur = cur.localCheckpoint(eager=True)
-        counts.append(cur.agg(F.count(F.lit(1)).alias("n"))
-                      .select(F.lit(i + 1).alias("step_idx"),
-                              F.lit(step).alias("step"),
-                              F.col("n").cast("long").alias("n_keys")))
+    try:
+        for i, step in enumerate(steps):
+            if cur is None:
+                cur = (ev.where(F.col("__t") == step)
+                       .groupBy("__k")
+                       .agg(F.min("__ts").alias("__prev"))
+                       .withColumn("__t1", F.col("__prev")))
+            else:
+                joined = ev.where(F.col("__t") == step).join(cur, "__k")
+                cond = F.col("__ts") > F.col("__prev")
+                if within is not None:
+                    cond = cond & (F.col("__ts") <= F.col("__t1")
+                                   + F.expr(f"INTERVAL {within}"))
+                cur = (joined.where(cond)
+                       .groupBy("__k")
+                       .agg(F.min("__ts").alias("__prev"),
+                            F.first("__t1").alias("__t1")))
+            # freeze each step's tiny per-key cutoff frame: the k count
+            # branches below would otherwise re-derive the whole chain
+            # (O(k^2) scans of the events), and re-execution could not
+            # drift either way
+            cur = cur.localCheckpoint(eager=True)
+            counts.append(cur.agg(F.count(F.lit(1)).alias("n"))
+                          .select(F.lit(i + 1).alias("step_idx"),
+                                  F.lit(step).alias("step"),
+                                  F.col("n").cast("long").alias("n_keys")))
+    finally:
+        # every per-step frame is checkpointed by now — nothing the
+        # returned (lazy) DataFrame needs can re-derive from ev
+        ev.unpersist()
     out = counts[0]
     for c in counts[1:]:
         out = out.unionByName(c)

@@ -837,6 +837,102 @@ def r7g_main() -> None:
           f"{s_z['avg_span_l_suppkey']:.2f}", flush=True)
 
 
+def r8_main() -> None:
+    """Round-8 tail-operator rehearsals (VERDICT r7 #6):
+
+    * event_funnel at 10x events with ONE user holding 50% of all rows
+      (post-persist-fix: k steps must still cost one scan+shuffle; the
+      hot key lands in one task of the key repartition — per-step state
+      is one timestamp, so the task is count-bound, not memory-bound);
+    * temperature_resample with a source requiring epochs=20 (explode
+      amplification: 150k rare rows -> ~3M copies);
+    * weighted_sample_k with sub_partitions=4 against 6M rows (phase-2
+      rank sees only 4*k rows; 4 validates the bound, not the default);
+    * bloom_state/bloom_might_contain at m_bits=2^26 over 6M keys
+      (state <= 2^20 word rows — the broadcast-ability edge).
+    """
+    spark = (SparkSession.builder.master("local[32]")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory", "32g")
+             .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    t = lambda name: spark.read.parquet(f"{SF_DIR}/{name}.parquet")
+
+    # -- event_funnel, 1M events, one user = 50% of rows ------------
+    from spark_df_profiling_spark.sources import with_event_time
+    from spark_df_profiling_spark.streaming import event_funnel
+    ev = replicate(t("events"), ["event_id"], REPLICAS,
+                   materialize_as="events_x10_r8", spark=spark)
+    ev = with_event_time(ev)
+    hot = ev.withColumn(
+        "user_id",
+        F.when(F.pmod(F.xxhash64("event_id"), F.lit(2)) == 0,
+               F.lit(424242)).otherwise(F.col("user_id")))
+    n_ev = hot.count()
+    t0 = time.time()
+    rows = event_funnel(hot, ["signup", "view", "purchase"]).collect()
+    t_fun = time.time() - t0
+    print(f"event_funnel {n_ev} events, 1 user=50%: {t_fun:.1f}s — "
+          + ", ".join(f"{r['step']}={r['n_keys']}" for r in rows),
+          flush=True)
+
+    # -- temperature_resample, epochs ~= 20 --------------------------
+    from spark_df_profiling_spark.operators.sampling import (
+        temperature_resample, weighted_sample_k)
+    li = replicate(t("lineitem"), ["l_orderkey"], REPLICAS,
+                   materialize_as="lineitem_x10_r8", spark=spark)
+    n_li = li.count()
+    src = li.withColumn(
+        "src", F.when(F.pmod(F.xxhash64("l_orderkey", "l_linenumber"),
+                             F.lit(40)) == 0, "rare").otherwise("common"))
+    t0 = time.time()
+    out = (temperature_resample(src, "src",
+                                F.concat_ws(":", "l_orderkey",
+                                            "l_linenumber"),
+                                tau=0.0, target_rows=n_li)
+           .groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect())
+    t_mix = time.time() - t0
+    print(f"temperature_resample tau=0 {n_li} rows: {t_mix:.1f}s — "
+          + ", ".join(f"{r['src']}={r['n']}" for r in sorted(
+              out, key=lambda r: r['src'])), flush=True)
+
+    # -- weighted_sample_k, sub_partitions=4, k=1000 ------------------
+    t0 = time.time()
+    n_samp = weighted_sample_k(
+        li, F.concat_ws(":", "l_orderkey", "l_linenumber"),
+        "l_extendedprice", k=1000, sub_partitions=4).count()
+    t_ws = time.time() - t0
+    print(f"weighted_sample_k k=1000 sub_partitions=4 on {n_li} rows: "
+          f"{t_ws:.1f}s ({n_samp} rows)", flush=True)
+
+    # -- Bloom at m_bits=2^26 over 6M keys ----------------------------
+    from spark_df_profiling_spark.operators.dedup import (
+        bloom_might_contain, bloom_state)
+    m = 1 << 26
+    keys = li.select(F.concat_ws(":", "l_orderkey", "l_linenumber",
+                                 "l_partkey").alias("doc"))
+    half = keys.where(F.pmod(F.xxhash64("doc"), F.lit(2)) == 0)
+    t0 = time.time()
+    state = bloom_state(half, "doc", m_bits=m).persist()
+    n_words = state.count()
+    t_bs = time.time() - t0
+    t0 = time.time()
+    maybe = (bloom_might_contain(keys, state, "doc", m_bits=m)
+             .groupBy("might_contain")
+             .agg(F.count(F.lit(1)).alias("n")).collect())
+    t_bq = time.time() - t0
+    state.unpersist()
+    stats = {bool(r["might_contain"]): r["n"] for r in maybe}
+    n_half = half.count()
+    fpp = (stats.get(True, 0) - n_half) / max(n_li - n_half, 1)
+    print(f"bloom m=2^26 k=5 on {n_li} keys: state {n_words} words "
+          f"{t_bs:.1f}s, query {t_bq:.1f}s, maybe={stats.get(True, 0)} "
+          f"(observed fpp {fpp:.4f})", flush=True)
+
+
 if __name__ == "__main__":
     if "skew" in sys.argv:
         skew_main()
@@ -852,5 +948,7 @@ if __name__ == "__main__":
         r7f_main()
     elif "r7g" in sys.argv:
         r7g_main()
+    elif "r8" in sys.argv:
+        r8_main()
     else:
         main()
