@@ -65,3 +65,57 @@ def salted_agg(df: DataFrame, key: str, agg_col: str,
     return (partial.groupBy(key)
             .agg(F.sum("__c").alias("cnt"),
                  F.sum("__s").alias("sum_value")))
+
+
+def decayed_stats(df: DataFrame, time_col, half_life: float,
+                  group_cols: "list[str] | None" = None,
+                  value_cols: "list[str] | None" = None,
+                  ref_time: "float | None" = None) -> DataFrame:
+    """Exponentially time-decayed aggregates: each row weighs
+    ``0.5 ** ((ref_time - t) / half_life)`` — the recency weighting
+    every freshness-sensitive corpus stat needs (recency-weighted
+    source volume, engagement, revenue) without windowing or state.
+
+    ``time_col`` is a NUMERIC time expression (e.g. epoch seconds —
+    convert timestamps explicitly; NTZ/LTZ conversion is the caller's
+    timezone decision, not this operator's).  ``half_life`` is in the
+    same unit.  ``ref_time`` anchors "now"; None derives max(t) in a
+    tiny pre-aggregate (a second scan — pass the corpus watermark
+    yourself in incremental pipelines to keep it one pass).
+
+    Returns per group: ``n`` (rows with non-NULL time), ``w_sum``
+    (decayed row count — the "effective recent rows"), and per value
+    column ``<c>__dsum`` / ``<c>__dmean`` (decayed sum / weighted
+    mean).  NULL times are excluded; NULL values drop out of that
+    column's sums only (their weight still counts in ``w_sum``).
+
+    Plan: weight is a pure row expression; ONE groupBy with map-side
+    partial aggregation — the shuffle carries #groups rows.  With
+    ``ref_time`` given the whole thing is a single scan.
+    """
+    if half_life <= 0:
+        raise ValueError(f"half_life must be > 0: {half_life}")
+    t = F.col(time_col) if isinstance(time_col, str) else time_col
+    t = t.cast("double")
+    group_cols = list(group_cols or [])
+    value_cols = list(value_cols or [])
+    if ref_time is None:
+        ref = df.agg(F.max(t).alias("__ref"))
+        staged = df.crossJoin(F.broadcast(ref))
+        ref_expr = F.col("__ref")
+    else:
+        staged = df
+        ref_expr = F.lit(float(ref_time))
+    w = F.pow(F.lit(0.5), (ref_expr - t) / F.lit(float(half_life)))
+    staged = staged.where(t.isNotNull()).withColumn("__w", w)
+    aggs = [F.count(F.lit(1)).alias("n"),
+            F.sum("__w").alias("w_sum")]
+    for c in value_cols:
+        v = F.col(c).cast("double")
+        aggs.append(F.sum(F.col("__w") * v).alias(f"{c}__dsum"))
+        aggs.append((F.sum(F.col("__w") * v)
+                     / F.sum(F.when(v.isNotNull(), F.col("__w"))))
+                    .alias(f"{c}__dmean"))
+    if group_cols:
+        return staged.groupBy(*group_cols).agg(*aggs)
+    return staged.agg(*aggs)

@@ -804,3 +804,56 @@ def encoding_stats(df: DataFrame, text_col: str, id_col: str,
         ((F.coalesce(rr, F.lit(0.0)) <= max_repl_ratio)
          & (F.coalesce(cr, F.lit(0.0)) <= max_ctrl_ratio)
          & (mh <= max_mojibake)).alias("enc_clean"))
+
+
+# ---------------------------------------------------------------------------
+# Canonical text normalization + canonical dedup (case/whitespace-
+# insensitive exact dedup — the standard pre-hash canonicalization every
+# production dedup pipeline applies before the content hash)
+# ---------------------------------------------------------------------------
+def normalize_text(col: "str | Column", lower: bool = True,
+                   collapse_ws: bool = True,
+                   strip_punct: bool = False) -> Column:
+    """Canonical form of a text column for dedup/fingerprinting:
+    optional lowercase, whitespace-run collapse (leading/trailing
+    stripped, internal runs -> one space), optional punctuation strip.
+
+    Whitespace is the EXPLICIT class ``[ \\t\\r\\n\\f]`` rather than
+    ``\\s`` — Java and RE2 disagree about ``\\s``'s exact membership
+    (``\\x0B``), and this expression must replay bit-for-bit in DuckDB
+    for the oracle.  Pure codegen'd ``lower``/``regexp_replace`` chain:
+    zero shuffles, zero UDFs, embarrassingly parallel.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if lower:
+        c = F.lower(c)
+    if strip_punct:
+        # keep letters, digits and whitespace only
+        c = F.regexp_replace(c, r"[^a-z0-9A-Z \t\r\n\f]", "")
+    if collapse_ws:
+        c = F.trim(F.regexp_replace(c, "[ \t\r\n\f]+", " "))
+    return c
+
+
+def canonical_dedup(df: DataFrame, text_col: str = "text",
+                    order_col: str = "doc_id", lower: bool = True,
+                    collapse_ws: bool = True,
+                    strip_punct: bool = False) -> DataFrame:
+    """Exact dedup on the CANONICAL text: two docs differing only in
+    case / whitespace runs (/ punctuation with ``strip_punct``) are
+    duplicates; the survivor is the smallest ``order_col`` — the same
+    deterministic keep-first contract as ``dedup.exact_dedup``, which
+    does the actual work on the normalized column.
+
+    Same plan shape as exact_dedup: the normalization is a map-side
+    projection, then one shuffle on the (uniform) content hash of the
+    canonical text.  Output keeps the ORIGINAL columns (the canonical
+    form is internal).
+    """
+    from spark_df_profiling_spark.operators.dedup import exact_dedup
+    marked = df.withColumn(
+        "__canon", normalize_text(text_col, lower=lower,
+                                  collapse_ws=collapse_ws,
+                                  strip_punct=strip_punct))
+    return exact_dedup(marked, cols=["__canon"],
+                       order_col=order_col).drop("__canon")

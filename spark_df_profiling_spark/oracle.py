@@ -2543,6 +2543,27 @@ SELECT 'jks', j.k, 'lineitem~orders', j.v FROM (
   UNION ALL SELECT 'max_right_fanout', mrf FROM a
 ) j
 UNION ALL
+SELECT 'salt', c.c_mktsegment, 'orders~customer', count(*)
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+UNION ALL
+SELECT 'decay', g1, ws_s || '/' || ds_s || '/' || dm_s, n FROM (
+  WITH rf AS (SELECT max(epoch(l_shipdate)) AS ref FROM lineitem)
+  SELECT l_returnflag AS g1,
+         CAST(count(*) AS BIGINT) AS n,
+         """ + _psig("sum(pow(0.5, (rf.ref - epoch(l_shipdate))"
+                     " / 31536000.0))") + """ AS ws_s,
+         """ + _psig("sum(pow(0.5, (rf.ref - epoch(l_shipdate))"
+                     " / 31536000.0) * l_extendedprice)") + """ AS ds_s,
+         """ + _psig("sum(pow(0.5, (rf.ref - epoch(l_shipdate))"
+                     " / 31536000.0) * l_extendedprice)"
+                     " / sum(CASE WHEN l_extendedprice IS NOT NULL THEN"
+                     " pow(0.5, (rf.ref - epoch(l_shipdate))"
+                     " / 31536000.0) END)") + """ AS dm_s
+  FROM lineitem, rf
+  WHERE l_shipdate IS NOT NULL
+  GROUP BY l_returnflag, rf.ref)
+UNION ALL
 """ + _ZORDER_SQL + """
 ORDER BY 1, 2, 3
 """)
@@ -2617,8 +2638,35 @@ def multidim_agg_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("g1"),
                      F.lit("lineitem").alias("g2"),
                      F.col("zkey").alias("cnt")))
+    # 'salt' rows grade joins.salted_join: the skew-spread (key, salt)
+    # join must be bit-identical to the plain join — DuckDB computes
+    # the plain join, Spark runs the salted one
+    from spark_df_profiling_spark.operators.joins import salted_join
+    cust_k = cust.select(F.col("c_custkey").alias("o_custkey"),
+                         "c_mktsegment")
+    salt = (salted_join(o, cust_k, "o_custkey", n_salts=8)
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.lit("salt").alias("mode"),
+                    F.col("c_mktsegment").alias("g1"),
+                    F.lit("orders~customer").alias("g2"), "cnt"))
+    # 'decay' rows grade groupby.decayed_stats: recency-weighted
+    # (half-life 365 d) revenue by return flag — DuckDB replays the
+    # identical pow(0.5, dt/hl) weighting from the same epoch anchor
+    from spark_df_profiling_spark.operators.groupby import decayed_stats
+    dec = decayed_stats(li, epoch_seconds(li, "l_shipdate"),
+                        365.0 * 86400.0, ["l_returnflag"],
+                        ["l_extendedprice"])
+    decay = dec.select(
+        F.lit("decay").alias("mode"),
+        F.col("l_returnflag").alias("g1"),
+        F.concat_ws("/", sig(F.col("w_sum")),
+                    sig(F.col("l_extendedprice__dsum")),
+                    sig(F.col("l_extendedprice__dmean"))).alias("g2"),
+        F.col("n").cast("long").alias("cnt"))
     return (rollup.unionByName(cube).unionByName(gsets)
             .unionByName(cons).unionByName(jks).unionByName(zrows)
+            .unionByName(salt).unionByName(decay)
             .orderBy("mode", "g1", "g2"))
 
 
@@ -2996,6 +3044,16 @@ SELECT 'funnel:ttr_ge_05',
                  THEN 1 ELSE 0 END) AS BIGINT)
 FROM documents
 UNION ALL
+SELECT 'canon:kept', CAST(count(*) AS BIGINT),
+       CAST(count(DISTINCT trim(regexp_replace(lower(text),
+                                '[ \t\r\n\f]+', ' ', 'g'))) AS BIGINT)
+FROM (SELECT text FROM documents
+      UNION ALL
+      SELECT upper(text) FROM documents WHERE doc_id < 30
+      UNION ALL
+      SELECT '  ' || text || chr(9) || chr(9)
+      FROM documents WHERE doc_id < 30)
+UNION ALL
 """ + _enc_sql())
 def universal_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U-family counts per documents column + the quality-filter FUNNEL
@@ -3033,6 +3091,28 @@ def universal_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
               .alias("column_name"),
               F.col("n_evaluated").alias("cnt"),
               F.col("n_surviving").alias("n_distinct"))
+    # 'canon:kept' grades text.canonical_dedup: plant case-variant and
+    # whitespace-variant copies of the first 30 docs — the canonical
+    # dedup must collapse every variant back onto its original (the
+    # DuckDB side counts distinct NORMALIZED texts)
+    from spark_df_profiling_spark.operators.text import canonical_dedup
+    lo30 = d.where(F.col("doc_id") < 30)
+    corpus = (d.select("doc_id", "text")
+              .unionByName(lo30.select(
+                  (F.col("doc_id") + 1000000).alias("doc_id"),
+                  F.upper("text").alias("text")))
+              .unionByName(lo30.select(
+                  (F.col("doc_id") + 2000000).alias("doc_id"),
+                  F.concat(F.lit("  "), F.col("text"), F.lit("\t\t"))
+                  .alias("text"))))
+    canon = (corpus.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_in"))
+        .crossJoin(F.broadcast(
+            canonical_dedup(corpus).groupBy().agg(
+                F.count(F.lit(1)).cast("long").alias("n_kept"))))
+        .select(F.lit("canon:kept").alias("column_name"),
+                F.col("n_in").alias("cnt"),
+                F.col("n_kept").alias("n_distinct")))
     fix = spark.createDataFrame(_ENC_FIXTURES, "doc_id long, text string")
     enc = encoding_stats(
         d.select("doc_id", "text").unionByName(fix), "text", "doc_id")
@@ -3051,7 +3131,8 @@ def universal_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(3, 'enc:clean', n_all, n_clean, "
         "'enc:mojibake', moji_total, moji_docs, "
         "'enc:ratio6', repl6, ctrl6) as (column_name, cnt, n_distinct)"))
-    return cols.unionByName(funnel).unionByName(enc_rows)
+    return (cols.unionByName(funnel).unionByName(canon)
+            .unionByName(enc_rows))
 
 
 @query("embedding_array_stats", f"""

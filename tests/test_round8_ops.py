@@ -1,0 +1,202 @@
+"""Round-8 operators: count-min sketch, salted join, canonical dedup."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def zipfy(spark):
+    # 1000 rows over ~60 keys with a heavy head: key = id % (1 + id % 60)
+    return spark.range(1000).select(
+        (F.col("id") % (1 + F.col("id") % 60)).cast("string").alias("k"))
+
+
+def test_cms_never_undercounts(spark, zipfy):
+    from spark_df_profiling_spark.operators.frequency import (cms_estimate,
+                                                              cms_state)
+    true = {r["k"]: r["n"] for r in
+            zipfy.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    st = cms_state(zipfy, "k", width=128, depth=4)
+    est = {r["k"]: r["est_count"] for r in
+           cms_estimate(zipfy.distinct(), st, "k",
+                        width=128, depth=4).collect()}
+    assert set(est) == set(true)
+    assert all(est[k] >= true[k] for k in true), "CMS undercounted"
+
+
+def test_cms_wide_sketch_is_exact(spark, zipfy):
+    from spark_df_profiling_spark.operators.frequency import (cms_estimate,
+                                                              cms_state)
+    true = {r["k"]: r["n"] for r in
+            zipfy.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    st = cms_state(zipfy, "k", width=8192, depth=4)
+    est = {r["k"]: r["est_count"] for r in
+           cms_estimate(zipfy.distinct(), st, "k").collect()}
+    assert est == true
+
+
+def test_cms_merge_equals_union_state(spark):
+    from spark_df_profiling_spark.operators.frequency import (cms_merge,
+                                                              cms_state)
+    base = spark.range(1000).select(
+        "id", (F.col("id") % (1 + F.col("id") % 60)).cast("string")
+        .alias("k"))
+    a = base.where(F.col("id") % 2 == 0).select("k")
+    b = base.where(F.col("id") % 2 == 1).select("k")
+    merged = cms_merge(cms_state(a, "k", width=256, depth=3),
+                       cms_state(b, "k", width=256, depth=3))
+    direct = cms_state(base.select("k"), "k", width=256, depth=3)
+    got = {(r["d"], r["w"]): r["cnt"] for r in merged.collect()}
+    want = {(r["d"], r["w"]): r["cnt"] for r in direct.collect()}
+    assert got == want
+
+
+def test_cms_unseen_key_estimates_zero(spark, zipfy):
+    from spark_df_profiling_spark.operators.frequency import (cms_estimate,
+                                                              cms_state)
+    st = cms_state(zipfy, "k", width=8192, depth=4)
+    probe = spark.createDataFrame([("never-seen-key-xyz",)], "k string")
+    est = cms_estimate(probe, st, "k").collect()[0]["est_count"]
+    assert est == 0
+
+
+def test_cms_validates_params(spark, zipfy):
+    from spark_df_profiling_spark.operators.frequency import cms_state
+    with pytest.raises(ValueError, match="width"):
+        cms_state(zipfy, "k", width=0, depth=4)
+
+
+# ---------------------------------------------------------------------------
+# salted join
+# ---------------------------------------------------------------------------
+def _hotkey_frames(spark):
+    # big side: one key holds 70% of rows; small side: 30 dim rows
+    big = spark.range(1000).select(
+        F.when(F.col("id") < 700, 7).otherwise(F.col("id") % 30)
+        .alias("k"), F.col("id").alias("rid"))
+    small = spark.range(25).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("dim-"), F.col("id")).alias("name"))
+    return big, small
+
+
+def test_salted_join_inner_matches_plain(spark):
+    from spark_df_profiling_spark.operators.joins import salted_join
+    big, small = _hotkey_frames(spark)
+    got = sorted(tuple(r) for r in
+                 salted_join(big, small, "k", n_salts=8).collect())
+    want = sorted(tuple(r) for r in big.join(small, "k").collect())
+    assert got == want
+
+
+def test_salted_join_left_matches_plain(spark):
+    from spark_df_profiling_spark.operators.joins import salted_join
+    big, small = _hotkey_frames(spark)
+    got = sorted((r["k"], r["rid"], r["name"]) for r in
+                 salted_join(big, small, "k", n_salts=4,
+                             how="left").collect())
+    want = sorted((r["k"], r["rid"], r["name"]) for r in
+                  big.join(small, "k", "left").collect())
+    assert got == want
+    # keys 25..29 have no dim row -> survive with NULL name
+    assert any(name is None for _, _, name in got)
+
+
+def test_salted_join_actually_spreads_the_hot_key(spark):
+    from spark_df_profiling_spark.operators.joins import salted_join
+    big, small = _hotkey_frames(spark)
+    n = 8
+    b = big.withColumn(
+        "__salt", F.pmod(F.xxhash64("k", "rid"), F.lit(n)).cast("int"))
+    n_salts_used = (b.where(F.col("k") == 7)
+                    .select("__salt").distinct().count())
+    assert n_salts_used == n, "hot key not spread across all salts"
+    # and the op with the same salt_on gives identical results
+    got = salted_join(big, small, "k", n_salts=n,
+                      salt_on=["k", "rid"]).count()
+    assert got == big.join(small, "k").count()
+
+
+def test_salted_join_validates(spark):
+    from spark_df_profiling_spark.operators.joins import salted_join
+    big, small = _hotkey_frames(spark)
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(big, small, "k", how="full")
+    with pytest.raises(ValueError, match="n_salts"):
+        salted_join(big, small, "k", n_salts=0)
+
+
+# ---------------------------------------------------------------------------
+# canonical dedup
+# ---------------------------------------------------------------------------
+def test_canonical_dedup_collapses_variants(spark):
+    from spark_df_profiling_spark.operators.text import canonical_dedup
+    rows = [(1, "Hello  World"), (2, "hello world"), (3, "HELLO\tWORLD\n"),
+            (4, "goodbye"), (5, "Good bye")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(r["doc_id"] for r in canonical_dedup(df).collect())
+    assert kept == [1, 4, 5]  # min doc_id survives each canonical group
+
+
+def test_canonical_dedup_strip_punct(spark):
+    from spark_df_profiling_spark.operators.text import canonical_dedup
+    rows = [(1, "It's a test."), (2, "its a test"), (3, "other")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(r["doc_id"] for r in
+                  canonical_dedup(df, strip_punct=True).collect())
+    assert kept == [1, 3]
+    # without punct stripping they differ
+    kept2 = sorted(r["doc_id"] for r in canonical_dedup(df).collect())
+    assert kept2 == [1, 2, 3]
+
+
+def test_normalize_text_explicit_whitespace_class(spark):
+    from spark_df_profiling_spark.operators.text import normalize_text
+    df = spark.createDataFrame([(" A \t B\r\nC\fD ",)], "t string")
+    got = df.select(normalize_text("t").alias("n")).collect()[0]["n"]
+    assert got == "a b c d"
+
+
+# ---------------------------------------------------------------------------
+# time-decayed aggregates
+# ---------------------------------------------------------------------------
+def test_decayed_stats_known_weights(spark):
+    from spark_df_profiling_spark.operators.groupby import decayed_stats
+    rows = [("a", 0.0, 10.0), ("a", 100.0, 20.0), ("a", 200.0, 30.0),
+            ("b", 200.0, 5.0)]
+    df = spark.createDataFrame(rows, "g string, t double, v double")
+    out = {r["g"]: r for r in
+           decayed_stats(df, "t", 100.0, ["g"], ["v"]).collect()}
+    # ref = 200; weights for a: 0.25, 0.5, 1.0
+    assert out["a"]["n"] == 3
+    assert abs(out["a"]["w_sum"] - 1.75) < 1e-12
+    assert abs(out["a"]["v__dsum"] - (0.25 * 10 + 0.5 * 20 + 30)) < 1e-9
+    assert abs(out["a"]["v__dmean"] - (42.5 / 1.75)) < 1e-9
+    assert out["b"]["w_sum"] == 1.0
+
+
+def test_decayed_stats_explicit_ref_and_nulls(spark):
+    from spark_df_profiling_spark.operators.groupby import decayed_stats
+    rows = [("a", 0.0, 10.0), ("a", None, 99.0), ("a", 100.0, None)]
+    df = spark.createDataFrame(rows, "g string, t double, v double")
+    out = decayed_stats(df, "t", 100.0, ["g"], ["v"],
+                        ref_time=100.0).collect()[0]
+    # NULL time row excluded entirely; NULL value keeps its weight in
+    # w_sum but not in the value sums
+    assert out["n"] == 2
+    assert abs(out["w_sum"] - 1.5) < 1e-12
+    assert abs(out["v__dsum"] - 5.0) < 1e-12
+    assert abs(out["v__dmean"] - 10.0) < 1e-12
+
+
+def test_decayed_stats_ungrouped_and_validation(spark):
+    import pytest as _pt
+    from spark_df_profiling_spark.operators.groupby import decayed_stats
+    df = spark.createDataFrame([(0.0,), (100.0,)], "t double")
+    out = decayed_stats(df, "t", 100.0).collect()[0]
+    assert out["n"] == 2 and abs(out["w_sum"] - 1.5) < 1e-12
+    with _pt.raises(ValueError, match="half_life"):
+        decayed_stats(df, "t", 0.0)
