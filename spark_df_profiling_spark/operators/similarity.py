@@ -594,3 +594,153 @@ def embedding_dim_stats(df: DataFrame,
                  F.avg(F.when(v == 0, 1.0).otherwise(0.0))
                  .alias("frac_zero"))
             .orderBy("dim"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding quantization (int8) — 4x memory/IO cut for similarity search
+# ---------------------------------------------------------------------------
+def quantization_ranges(df: DataFrame,
+                        vec_col: str = "embedding") -> "list[tuple]":
+    """Per-dimension (min, max) of the corpus — the O(#dims) driver
+    state that parameterizes :func:`quantize_embeddings`.  Persist it
+    next to the quantized corpus: dequantization NEEDS the exact same
+    ranges (same contract as frozen ``hist_edges`` / Bloom ``m_bits``).
+
+    One posexplode scan with map-side partial aggregation; #dims rows.
+    """
+    rows = (df.select(F.posexplode(F.col(vec_col)).alias("dim", "__v"))
+            .groupBy("dim")
+            .agg(F.min(F.col("__v").cast("double")).alias("mn"),
+                 F.max(F.col("__v").cast("double")).alias("mx"))
+            .orderBy("dim").collect())
+    return [(float(r["mn"]), float(r["mx"])) for r in rows]
+
+
+def quantize_embeddings(df: DataFrame, ranges: "list[tuple]",
+                        vec_col: str = "embedding",
+                        out_col: str = "embedding_q8",
+                        bits: int = 8) -> DataFrame:
+    """Per-dimension linear quantization to ``bits``-bit signed ints:
+    ``q = floor((v - mn_d) / (mx_d - mn_d) * (2^bits - 1) + 0.5)
+    - 2^(bits-1)`` — at 8 bits an ``array<tinyint>``, 4x smaller than
+    float32 on the wire and in memory, which is the difference between
+    an embedding corpus that fits executor memory for brute-force
+    scoring and one that doesn't.  Constant dimensions quantize to the
+    minimum code (their value is fully carried by the range state).
+
+    Rounding is EXPLICIT ``floor(x + 0.5)`` — Spark's round() and
+    DuckDB's round() disagree on tie-breaking, and this expression is
+    oracle-replayed; floor(+0.5) is the same IEEE arithmetic in both.
+
+    Pure row expression (zip_with against literal range arrays — the
+    ranges ride the plan as O(#dims) literals, no join, no shuffle,
+    no UDF).  NULL vectors stay NULL; ragged vectors quantize the
+    dims they have.
+    """
+    if bits < 2 or bits > 16:
+        raise ValueError(f"bits must be in [2, 16]: {bits}")
+    if not ranges:
+        raise ValueError("ranges must be non-empty")
+    levels = float((1 << bits) - 1)
+    offset = 1 << (bits - 1)
+    out_t = "tinyint" if bits <= 8 else "smallint"
+    mn_arr = F.array(*[F.lit(mn) for mn, _ in ranges])
+    sc_arr = F.array(*[
+        F.lit(((mx - mn) / levels) if mx > mn else 0.0)
+        for mn, mx in ranges])
+    v = F.col(vec_col)
+    q = F.zip_with(
+        F.zip_with(v, mn_arr, lambda x, mn: x.cast("double") - mn),
+        sc_arr,
+        lambda d, s: F.when(
+            s > 0,
+            F.least(F.greatest(F.floor(d / s + F.lit(0.5)), F.lit(0)),
+                    F.lit(int(levels))))
+        .otherwise(F.lit(0)) - F.lit(offset))
+    # slice to the range-state length: zip_with NULL-pads the shorter
+    # side, so extra dims of a ragged vector would become NULL codes
+    return df.withColumn(
+        out_col, F.slice(F.transform(q, lambda x: x.cast(out_t)),
+                         1, len(ranges)))
+
+
+def dequantize_embeddings(df: DataFrame, ranges: "list[tuple]",
+                          q_col: str = "embedding_q8",
+                          out_col: str = "embedding_deq",
+                          bits: int = 8) -> DataFrame:
+    """Inverse of :func:`quantize_embeddings` (up to the quantization
+    step): ``v' = mn_d + (q + 2^(bits-1)) * (mx_d - mn_d) / (2^bits -
+    1)``.  Reconstruction error is bounded by HALF the per-dim step —
+    ``(mx_d - mn_d) / (2 * (2^bits - 1))`` — by construction."""
+    if not ranges:
+        raise ValueError("ranges must be non-empty")
+    levels = float((1 << bits) - 1)
+    offset = 1 << (bits - 1)
+    mn_arr = F.array(*[F.lit(mn) for mn, _ in ranges])
+    sc_arr = F.array(*[
+        F.lit(((mx - mn) / levels) if mx > mn else 0.0)
+        for mn, mx in ranges])
+    deq = F.zip_with(
+        F.zip_with(F.col(q_col), sc_arr,
+                   lambda q, s: (q.cast("double") + F.lit(offset)) * s),
+        mn_arr, lambda x, mn: x + mn)
+    return df.withColumn(out_col, deq)
+
+
+def quantization_error_stats(df: DataFrame, ranges: "list[tuple]",
+                             vec_col: str = "embedding",
+                             bits: int = 8) -> DataFrame:
+    """Per-dimension reconstruction audit of the quantize→dequantize
+    roundtrip: ``(dim, n, mn, mx, max_abs_err, mean_abs_err)`` — run
+    it once before committing a corpus to int8 to see which dims (if
+    any) carry outlier ranges that eat the precision budget.
+
+    Same plan as ``embedding_dim_stats``: quantize/dequantize are row
+    expressions, one posexplode, map-side-combined groupBy(dim).
+    """
+    q = quantize_embeddings(df, ranges, vec_col=vec_col,
+                            out_col="__q", bits=bits)
+    deq = dequantize_embeddings(q, ranges, q_col="__q",
+                                out_col="__deq", bits=bits)
+    err = deq.select(F.posexplode(
+        F.zip_with(F.col(vec_col), F.col("__deq"),
+                   lambda a, b: F.abs(a.cast("double") - b)))
+        .alias("dim", "__e"))
+    stats = (err.groupBy("dim")
+             .agg(F.count("__e").alias("n"),
+                  F.max("__e").alias("max_abs_err"),
+                  F.avg("__e").alias("mean_abs_err")))
+    rng = [(d, float(mn), float(mx)) for d, (mn, mx) in enumerate(ranges)]
+    rdf = df.sparkSession.createDataFrame(
+        rng, "dim int, mn double, mx double")
+    return (stats.join(F.broadcast(rdf), "dim")
+            .select("dim", "n", "mn", "mx", "max_abs_err",
+                    "mean_abs_err").orderBy("dim"))
+
+
+def knn_bruteforce_quantized(corpus_q8: DataFrame, queries: DataFrame,
+                             ranges: "list[tuple]",
+                             id_col: str = "vec_id",
+                             q_col: str = "embedding_q8",
+                             vec_col: str = "embedding",
+                             k: int = 10, metric: str = "cosine",
+                             sub_partitions: int = 32) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over an int8-quantized corpus:
+    FLOAT queries scored against the dequantized-inline corpus codes —
+    the standard PQ-style search shape.  The corpus on disk / in cache
+    is the 4x-smaller ``array<tinyint>``; dequantization is a pure row
+    expression fused into the scoring scan, so the IO and memory
+    savings survive end to end (nothing rematerializes float vectors).
+
+    Same contract and two-phase top-k as :func:`knn_bruteforce`; ranks
+    can differ from exact float search only where the margin between
+    neighbors is below the quantization step — gate with a recall
+    check (oracle: ``ann_recall_gates`` method=q8) like any other
+    approximate index.
+    """
+    deq = dequantize_embeddings(corpus_q8, ranges, q_col=q_col,
+                                out_col="__deqv")
+    c = deq.select(F.col(id_col), F.col("__deqv").alias(vec_col))
+    return knn_bruteforce(c, queries, id_col=id_col, vec_col=vec_col,
+                          k=k, metric=metric,
+                          sub_partitions=sub_partitions)

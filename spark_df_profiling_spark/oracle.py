@@ -2157,6 +2157,16 @@ def _ann_recall(spark: SparkSession, sf_dir: str, method: str,
     q = e.where(F.col("vec_id") < 5)
     if method == "lsh":
         approx = ann_lsh(e, q, k=k, min_cosine=0.0)
+    elif method == "q8":
+        # int8 ADC search: quantize the corpus with its own per-dim
+        # ranges, keep the queries float (asymmetric distance) — recall
+        # vs exact float search is the quantizer's whole contract
+        from spark_df_profiling_spark.operators.similarity import (
+            knn_bruteforce_quantized, quantization_ranges,
+            quantize_embeddings)
+        ranges = quantization_ranges(e)
+        cq = quantize_embeddings(e, ranges).drop("embedding")
+        approx = knn_bruteforce_quantized(cq, q, ranges, k=k)
     else:
         # Probe ALL clusters in the graded adapter: recall == exact by
         # construction, so the gate is a deterministic invariant — a
@@ -2183,20 +2193,27 @@ def _ann_recall(spark: SparkSession, sf_dir: str, method: str,
 
 @query("ann_recall_gates", """
 SELECT method, CAST(vec_id AS BIGINT) AS query_id, true AS recall_ok
-FROM (SELECT 'ivf' AS method UNION ALL SELECT 'lsh'), embeddings
+FROM (SELECT 'ivf' AS method UNION ALL SELECT 'lsh'
+      UNION ALL SELECT 'q8'), embeddings
 WHERE vec_id < 5 ORDER BY method, query_id
 """)
 def ann_recall_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both ANN indexes' top-k recall gates vs exact brute force in one
-    graded row set (>= 2 of the true top-3 per query, tagged by
-    ``method``).  LSH: BucketedRandomProjectionLSH with min_cosine=0.0
-    bounding the similarity-join volume by distance — the 100 TB guard.
-    IVF: seeded KMeans + n_probe=8/16 (the scanned-fraction knob)."""
+    """All approximate search paths' top-k recall gates vs exact brute
+    force in one graded row set (>= 2 of the true top-3 per query,
+    tagged by ``method``).  LSH: BucketedRandomProjectionLSH with
+    min_cosine=0.0 bounding the similarity-join volume by distance —
+    the 100 TB guard.  IVF: seeded KMeans + n_probe=8/16 (the
+    scanned-fraction knob).  q8: int8 ADC search over the quantized
+    corpus (4x memory/IO; ranks flip only inside a quantization
+    step)."""
     lsh = _ann_recall(spark, sf_dir, "lsh", min_hits=2) \
         .select(F.lit("lsh").alias("method"), "query_id", "recall_ok")
     ivf = _ann_recall(spark, sf_dir, "ivf", min_hits=2) \
         .select(F.lit("ivf").alias("method"), "query_id", "recall_ok")
-    return ivf.unionByName(lsh).orderBy("method", "query_id")
+    q8 = _ann_recall(spark, sf_dir, "q8", min_hits=2) \
+        .select(F.lit("q8").alias("method"), "query_id", "recall_ok")
+    return ivf.unionByName(lsh).unionByName(q8) \
+        .orderBy("method", "query_id")
 
 
 def _lang_id_sql() -> str:
@@ -3168,6 +3185,29 @@ FROM (
                CAST(unnest(embedding) AS DOUBLE) AS v
         FROM embeddings)
   GROUP BY dim)
+UNION ALL
+SELECT 'quant', CAST(dim AS VARCHAR), CAST(n AS BIGINT),
+       {_psig('mn')} || '/' || {_psig('mx')} || '/' ||
+       {_psig('mxe')} || '/' || {_psig('mne')}
+FROM (
+  WITH ex AS (SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+                     CAST(unnest(embedding) AS DOUBLE) AS v
+              FROM embeddings),
+  rg AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM ex GROUP BY dim),
+  e2 AS (SELECT ex.dim,
+                abs(ex.v - (rg.mn +
+                  (CASE WHEN rg.mx > rg.mn THEN
+                     least(greatest(floor((ex.v - rg.mn)
+                         / ((rg.mx - rg.mn) / 255.0) + 0.5), 0), 255)
+                   ELSE 0 END)
+                  * (CASE WHEN rg.mx > rg.mn
+                     THEN (rg.mx - rg.mn) / 255.0 ELSE 0.0 END)))
+                AS err
+         FROM ex JOIN rg USING (dim))
+  SELECT e2.dim AS dim, count(*) AS n, max(err) AS mxe,
+         avg(err) AS mne, rg.mn AS mn, rg.mx AS mx
+  FROM e2 JOIN rg ON rg.dim = e2.dim
+  GROUP BY e2.dim, rg.mn, rg.mx)
 ORDER BY part, k
 """)
 def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3209,7 +3249,23 @@ def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 sig(F.col("std")), sig(F.col("min_v")),
                                 sig(F.col("max_v")),
                                 sig(F.col("frac_zero"))).alias("v2s")))
-    return arr.unionByName(dims).orderBy("part", "k")
+    # 'quant' rows grade the int8 quantization roundtrip
+    # (similarity.quantize/dequantize/quantization_error_stats):
+    # per-dim range + reconstruction error, DuckDB replaying the
+    # identical floor(x+0.5) code arithmetic
+    from spark_df_profiling_spark.operators.similarity import (
+        quantization_error_stats, quantization_ranges)
+    ranges = quantization_ranges(e)
+    quant = (quantization_error_stats(e, ranges)
+             .select(F.lit("quant").alias("part"),
+                     F.col("dim").cast("string").alias("k"),
+                     F.col("n").cast("long").alias("v1"),
+                     F.concat_ws("/", sig(F.col("mn")), sig(F.col("mx")),
+                                 sig(F.col("max_abs_err")),
+                                 sig(F.col("mean_abs_err")))
+                     .alias("v2s")))
+    return (arr.unionByName(dims).unionByName(quant)
+            .orderBy("part", "k"))
 
 
 # ---------------------------------------------------------------------------

@@ -200,3 +200,78 @@ def test_decayed_stats_ungrouped_and_validation(spark):
     assert out["n"] == 2 and abs(out["w_sum"] - 1.5) < 1e-12
     with _pt.raises(ValueError, match="half_life"):
         decayed_stats(df, "t", 0.0)
+
+
+# ---------------------------------------------------------------------------
+# embedding quantization
+# ---------------------------------------------------------------------------
+def test_quantize_roundtrip_error_bounded(spark):
+    from spark_df_profiling_spark.operators.similarity import (
+        quantization_error_stats, quantization_ranges)
+    df = spark.range(200).select(F.array(
+        (F.col("id") * 0.37).cast("float"),
+        (F.sin(F.col("id").cast("double"))).cast("float"),
+        F.lit(2.5).cast("float")).alias("embedding"))
+    ranges = quantization_ranges(df)
+    assert len(ranges) == 3
+    stats = quantization_error_stats(df, ranges).collect()
+    for r in stats:
+        mn, mx = ranges[r["dim"]]
+        half_step = (mx - mn) / (2 * 255) if mx > mn else 0.0
+        assert r["max_abs_err"] <= half_step + 1e-12, (
+            f"dim {r['dim']}: {r['max_abs_err']} > {half_step}")
+    # constant dim reconstructs exactly
+    assert stats[2]["max_abs_err"] == 0.0
+
+
+def test_quantize_codes_are_int8(spark):
+    from spark_df_profiling_spark.operators.similarity import (
+        quantization_ranges, quantize_embeddings)
+    df = spark.range(50).select(F.array(
+        (F.col("id") - 25).cast("float"),
+        F.lit(1.0).cast("float")).alias("embedding"))
+    ranges = quantization_ranges(df)
+    q = quantize_embeddings(df, ranges)
+    assert dict(q.dtypes)["embedding_q8"] == "array<tinyint>"
+    lohi = q.select(
+        F.min(F.array_min("embedding_q8")).alias("lo"),
+        F.max(F.array_max("embedding_q8")).alias("hi")).collect()[0]
+    assert lohi["lo"] == -128 and lohi["hi"] == 127
+
+
+def test_quantize_null_vector_and_validation(spark):
+    import pytest as _pt
+    from spark_df_profiling_spark.operators.similarity import (
+        quantize_embeddings)
+    df = spark.createDataFrame([([1.0, 2.0],), (None,)],
+                               "embedding array<float>")
+    q = quantize_embeddings(df, [(0.0, 4.0), (0.0, 4.0)])
+    rows = q.collect()
+    assert sum(1 for r in rows if r["embedding_q8"] is None) == 1
+    with _pt.raises(ValueError, match="bits"):
+        quantize_embeddings(df, [(0.0, 1.0)], bits=1)
+    with _pt.raises(ValueError, match="ranges"):
+        quantize_embeddings(df, [])
+
+
+def test_knn_quantized_matches_exact_on_separated_corpus(spark):
+    """With neighbor margins far above the quantization step, int8 ADC
+    search must return exactly the float search's top-k."""
+    from spark_df_profiling_spark.operators.similarity import (
+        knn_bruteforce, knn_bruteforce_quantized, quantization_ranges,
+        quantize_embeddings)
+    corpus = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.array((F.cos(F.col("id") * 0.37)).cast("float"),
+                (F.sin(F.col("id") * 0.37)).cast("float"),
+                (F.col("id") * 0.05).cast("float")).alias("embedding"))
+    queries = corpus.where(F.col("vec_id") < 3)
+    ranges = quantization_ranges(corpus)
+    cq = quantize_embeddings(corpus, ranges).drop("embedding")
+    exact = {(r["query_id"], r["rank"]): r["neighbor_id"]
+             for r in knn_bruteforce(corpus, queries, k=3).collect()}
+    q8 = {(r["query_id"], r["rank"]): r["neighbor_id"]
+          for r in knn_bruteforce_quantized(
+              cq, queries, ranges, k=3).collect()}
+    hits = sum(1 for key in exact if q8.get(key) == exact[key])
+    assert hits >= len(exact) - 1, f"q8 recall too low: {hits}/{len(exact)}"
