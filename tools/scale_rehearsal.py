@@ -933,6 +933,109 @@ def r8_main() -> None:
           f"(observed fpp {fpp:.4f})", flush=True)
 
 
+def r8b_main() -> None:
+    """Round-8 session-2 rehearsals: the NEW operators at 10x.
+
+    * salted_join vs plain shuffle join under a planted hot key with
+      AQE (and broadcast) disabled — the exact regime the operator
+      exists for; wall-clock should favor the salted plan;
+    * cms_state over 6M distinct keys (state must stay <= depth x
+      width rows) + estimate of a 600k batch;
+    * int8 quantization + ADC kNN on the 10x embeddings corpus vs the
+      float path (same answers gate rides the oracle; here: time).
+    """
+    spark = (SparkSession.builder.master("local[32]")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory", "32g")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    t = lambda name: spark.read.parquet(f"{SF_DIR}/{name}.parquet")
+
+    # -- salted vs plain join under one hot key, AQE off --------------
+    from spark_df_profiling_spark.operators.joins import salted_join
+    li = replicate(t("lineitem"), ["l_orderkey"], REPLICAS,
+                   materialize_as="lineitem_x10_r8b", spark=spark)
+    hot = li.withColumn(
+        "jk", F.when(F.pmod(F.xxhash64("l_orderkey", "l_linenumber"),
+                            F.lit(2)) == 0, F.lit(1))
+        .otherwise(F.pmod(F.xxhash64("l_orderkey"), F.lit(200000))))
+    dim = spark.range(200000).select(
+        F.col("id").alias("jk"),
+        F.md5(F.col("id").cast("string")).alias("attr"))
+    n = hot.count()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t0 = time.time()
+        plain = (hot.join(dim, "jk")
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      F.max("attr")).collect()[0]["n"])
+        t_plain = time.time() - t0
+        t0 = time.time()
+        salted = (salted_join(hot, dim, "jk", n_salts=16,
+                              salt_on=["l_orderkey", "l_linenumber"])
+                  .agg(F.count(F.lit(1)).alias("n"),
+                       F.max("attr")).collect()[0]["n"])
+        t_salt = time.time() - t0
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert plain == salted, (plain, salted)
+    print(f"salted_join {n} rows, 1 key=50%, AQE+broadcast OFF: "
+          f"plain {t_plain:.1f}s -> salted(16) {t_salt:.1f}s "
+          f"(rows match: {plain})", flush=True)
+
+    # -- CMS over 6M distinct keys ------------------------------------
+    from spark_df_profiling_spark.operators.frequency import (
+        cms_estimate, cms_state)
+    keys = li.select(F.concat_ws(":", "l_orderkey", "l_linenumber",
+                                 "l_partkey").alias("doc"))
+    t0 = time.time()
+    st = cms_state(keys, "doc", width=1 << 16, depth=4).persist()
+    n_cells = st.count()
+    t_st = time.time() - t0
+    batch = keys.where(F.pmod(F.xxhash64("doc"), F.lit(10)) == 0)
+    t0 = time.time()
+    over = (cms_estimate(batch, st, "doc", width=1 << 16, depth=4)
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.avg("est_count").alias("avg_est")).collect()[0])
+    t_q = time.time() - t0
+    st.unpersist()
+    print(f"cms 2^16x4 over {n} keys: state {n_cells} cells {t_st:.1f}s; "
+          f"estimate of {over['n']} rows {t_q:.1f}s "
+          f"(avg est {over['avg_est']:.1f} vs true 1 — collision "
+          f"overcount visible and bounded)", flush=True)
+
+    # -- int8 ADC search at 10x ---------------------------------------
+    from spark_df_profiling_spark.operators.similarity import (
+        knn_bruteforce, knn_bruteforce_quantized, quantization_ranges,
+        quantize_embeddings)
+    emb = replicate(t("embeddings"), ["vec_id"], REPLICAS,
+                    materialize_as="embeddings_x10_r8b", spark=spark)
+    n_e = emb.count()
+    q = emb.where(F.col("vec_id") < 20)
+    t0 = time.time()
+    n_f = knn_bruteforce(emb, q, k=10).count()
+    t_f = time.time() - t0
+    ranges = quantization_ranges(emb)
+    import tempfile
+    qpath = tempfile.mkdtemp() + "/emb_q8.parquet"
+    quantize_embeddings(emb, ranges).select(
+        "vec_id", "embedding_q8").write.mode("overwrite").parquet(qpath)
+    cq = spark.read.parquet(qpath)
+    t0 = time.time()
+    n_q = knn_bruteforce_quantized(cq, q, ranges, k=10).count()
+    t_q8 = time.time() - t0
+    import os
+    fbytes = sum(os.path.getsize(os.path.join(d, f))
+                 for d, _, fs in os.walk(qpath) for f in fs)
+    print(f"knn {n_e} vectors: float {t_f:.1f}s ({n_f} rows) -> int8 "
+          f"ADC {t_q8:.1f}s ({n_q} rows); q8 corpus on disk "
+          f"{fbytes / 1e6:.1f} MB", flush=True)
+
+
 if __name__ == "__main__":
     if "skew" in sys.argv:
         skew_main()
@@ -948,6 +1051,8 @@ if __name__ == "__main__":
         r7f_main()
     elif "r7g" in sys.argv:
         r7g_main()
+    elif "r8b" in sys.argv:
+        r8b_main()
     elif "r8" in sys.argv:
         r8_main()
     else:
