@@ -67,10 +67,11 @@ def main() -> None:
     kept = kept.withColumn("lang_pred", lang_id("text"))
     kept.groupBy("lang_pred").count().orderBy("lang_pred").show()
 
-    # 4. exact dedup (keep-first by doc_id)
-    from spark_df_profiling_spark.operators.dedup import exact_dedup
-    kept = exact_dedup(kept, cols=["text"], order_col="doc_id")
-    print(f"[4] exact dedup: {kept.count()} kept")
+    # 4. canonical dedup (case/whitespace-insensitive exact dedup —
+    #    subsumes plain exact dedup on the raw text)
+    from spark_df_profiling_spark.operators.text import canonical_dedup
+    kept = canonical_dedup(kept, "text", order_col="doc_id")
+    print(f"[4] canonical dedup: {kept.count()} kept")
 
     # 5. cross-document line dedup (CCNet boilerplate removal)
     from spark_df_profiling_spark.operators.dedup import line_dedup
@@ -137,6 +138,28 @@ def main() -> None:
         .select("column", "type_class", "n", "n_missing").show()
     from spark_df_profiling_spark.operators.drift import psi_categorical
     psi_categorical(raw, spark.read.parquet(out_dir), ["lang"]).show()
+
+    # 13. persistable run state for the NEXT ingest: exact hash state,
+    #     Bloom front-filter, and a count-min frequency sketch — the
+    #     three mergeable artifacts a day-2 batch dedups/weighs against
+    from spark_df_profiling_spark.operators.dedup import (bloom_state,
+                                                          history_hashes)
+    from spark_df_profiling_spark.operators.frequency import cms_state
+    hist_n = history_hashes(kept, ["text"]).count()
+    bloom_n = bloom_state(kept, ["text"]).count()
+    cms_n = cms_state(kept.select("lang"), "lang", width=1024).count()
+    print(f"[13] run state persisted: {hist_n} exact hashes, "
+          f"{bloom_n} bloom words, {cms_n} cms cells")
+
+    # 14. quantize the shipped docs' embedding companion (if present):
+    #     int8 corpus for the retrieval index
+    from spark_df_profiling_spark.operators.similarity import (
+        quantization_ranges, quantize_embeddings)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    ranges = quantization_ranges(emb)
+    q8 = quantize_embeddings(emb, ranges)
+    print(f"[14] int8 retrieval corpus: {q8.count()} vectors, "
+          f"{len(ranges)} dims of range state")
 
     print("PIPELINE COMPLETE")
     spark.stop()

@@ -857,3 +857,88 @@ def canonical_dedup(df: DataFrame, text_col: str = "text",
                                   strip_punct=strip_punct))
     return exact_dedup(marked, cols=["__canon"],
                        order_col=order_col).drop("__canon")
+
+
+# ---------------------------------------------------------------------------
+# URL / domain analytics — the domain-mix report every web-scale corpus
+# pipeline tracks (which sites dominate the training data?)
+# ---------------------------------------------------------------------------
+# host part of a URL: after scheme://, optional userinfo@, up to the
+# first /, :, ?, # or whitespace
+URL_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@\s]*@)?([^/:?#\s]+)"
+
+# Minimal TWO-LEVEL public-suffix set (documented approximation: the
+# full PSL is a data file, not an algorithm; these cover the common
+# ccTLD second-level registries so 'bbc.co.uk' -> 'bbc.co.uk', not
+# 'co.uk').  Extend per deployment; the parameter keeps the expression
+# pure codegen (a literal isin), no lookup join.
+TWO_LEVEL_SUFFIXES = (
+    "co.uk", "ac.uk", "gov.uk", "org.uk", "me.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp",
+    "com.au", "net.au", "org.au", "edu.au",
+    "co.nz", "com.br", "com.cn", "com.mx", "co.in", "co.za",
+    "com.sg", "com.tr", "com.ar", "co.kr",
+)
+
+
+def extract_urls(col: "str | Column") -> Column:
+    """All URLs in a text column (array<string>), same regex as the
+    PII scanner so exposure counts and domain stats agree."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(PII_PATTERNS["url"]), 0)
+
+
+def url_host(col: "str | Column") -> Column:
+    """Lowercased host of a URL string; NULL for non-URLs."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.lower(F.regexp_extract(c, URL_HOST_RE, 1))
+    return F.when(h != "", h)
+
+
+def registered_domain(host_col: "str | Column",
+                      two_level: "tuple[str, ...]" = TWO_LEVEL_SUFFIXES
+                      ) -> Column:
+    """Registrable domain of a host: last two labels, or last THREE
+    when the last two are a known second-level public suffix
+    ('news.bbc.co.uk' -> 'bbc.co.uk', 'a.b.example.com' ->
+    'example.com').  Single-label hosts pass through unchanged."""
+    h = F.col(host_col) if isinstance(host_col, str) else host_col
+    toks = F.split(h, r"\.")
+    n = F.size(toks)
+    last2 = F.concat_ws(".", F.element_at(toks, -2),
+                        F.element_at(toks, -1))
+    last3 = F.concat_ws(".", F.element_at(toks, -3), last2)
+    # outer isNotNull guard: concat_ws silently drops NULLs, so a NULL
+    # host would otherwise come back as '' instead of NULL
+    return F.when(h.isNotNull(),
+                  F.when(n <= 1, h)
+                  .when((n >= 3) & last2.isin(*two_level), last3)
+                  .otherwise(last2))
+
+
+def domain_stats(df: DataFrame, text_col: str = "text",
+                 doc_col: str = "doc_id") -> DataFrame:
+    """Per-registered-domain corpus report: ``(domain, n_urls,
+    n_docs, url_share)`` over every URL found in ``text_col`` — the
+    first question a web-corpus audit asks (is one site 40% of the
+    data?), and the input to per-domain caps/sampling.
+
+    Plan: regexp extract (codegen) → explode (narrow) → ONE groupBy on
+    the domain with map-side partial aggregation; a mega-domain
+    arrives at its reducer as one partial row per upstream task, not
+    row-scale — the same skew posture as ``skew_report``.  The share
+    denominator is a 1-row broadcast.
+    """
+    urls = (df.select(F.col(doc_col).alias("__doc"),
+                      F.explode(extract_urls(text_col)).alias("__u"))
+            .select("__doc", registered_domain(url_host(F.col("__u")))
+                    .alias("domain"))
+            .where(F.col("domain").isNotNull()))
+    counts = (urls.groupBy("domain")
+              .agg(F.count(F.lit(1)).alias("n_urls"),
+                   F.count_distinct("__doc").alias("n_docs")))
+    total = counts.agg(F.sum("n_urls").alias("__tot"))
+    return (counts.crossJoin(F.broadcast(total))
+            .select("domain", "n_urls", "n_docs",
+                    (F.col("n_urls") / F.col("__tot")).alias("url_share"))
+            .orderBy(F.desc("n_urls"), F.asc("domain")))

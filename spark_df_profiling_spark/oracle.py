@@ -3483,16 +3483,53 @@ _PII_FIXTURES = [
 
 
 def _pii_sql() -> str:
-    from spark_df_profiling_spark.operators.text import PII_PATTERNS
+    from spark_df_profiling_spark.operators.text import (PII_PATTERNS,
+                                                         TWO_LEVEL_SUFFIXES,
+                                                         URL_HOST_RE)
     cnt = {k: f"len(regexp_extract_all(text, '{p}'))"
            for k, p in PII_PATTERNS.items()}
     flag = " OR ".join(f"{c} > 0" for c in cnt.values())
     values = ",\n        ".join(f"('{t}')" for t in _PII_FIXTURES)
+    idvalues = ",\n        ".join(f"({-(i + 1)}, '{t}')"
+                                  for i, t in enumerate(_PII_FIXTURES))
+    suf = ", ".join(f"'{s}'" for s in TWO_LEVEL_SUFFIXES)
     return f"""
 WITH corpus AS (
     SELECT text FROM documents
     UNION ALL
     SELECT * FROM (VALUES {values}) fixture(text)
+),
+dom AS (
+  SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
+         CAST(count(DISTINCT id) AS BIGINT) AS n_docs
+  FROM (
+    SELECT id,
+      CASE WHEN len(tk) <= 1 THEN host
+           WHEN len(tk) >= 3
+                AND (tk[-2] || '.' || tk[-1]) IN ({suf})
+             THEN tk[-3] || '.' || tk[-2] || '.' || tk[-1]
+           ELSE tk[-2] || '.' || tk[-1] END AS domain
+    FROM (
+      SELECT id, host, string_split(host, '.') AS tk
+      FROM (SELECT id,
+                   lower(regexp_extract(u, '{URL_HOST_RE}', 1)) AS host
+            FROM (SELECT id,
+                         unnest(regexp_extract_all(
+                             text, '{PII_PATTERNS['url']}')) AS u
+                  FROM (SELECT doc_id AS id, text FROM documents
+                        UNION ALL
+                        SELECT * FROM (VALUES {idvalues})
+                            fixids(id, text))))
+      WHERE host <> '')
+  ) GROUP BY domain
+),
+domh AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_domains,
+         coalesce(('0x' || substr(md5(string_agg(
+             domain || ':' || n_urls || ':' || n_docs, '|'
+             ORDER BY domain || ':' || n_urls || ':' || n_docs)),
+             1, 15))::BIGINT, 0) AS dom_hash
+  FROM dom
 ),
 bench_g AS (
   SELECT DISTINCT unnest(list_distinct(
@@ -3535,8 +3572,10 @@ SELECT CAST(sum({cnt['email']}) AS BIGINT) AS n_email,
            AS n_docs_flagged,
        any_value(n_docs_contaminated) AS n_docs_contaminated,
        any_value(decon_total_hits) AS decon_total_hits,
-       any_value(redact_hash) AS redact_hash
-FROM corpus, decon, red
+       any_value(redact_hash) AS redact_hash,
+       any_value(n_domains) AS n_domains,
+       any_value(dom_hash) AS dom_hash
+FROM corpus, decon, red, domh
 """
 
 
@@ -3577,7 +3616,25 @@ def pii_scan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.conv(F.substring(
                F.md5(F.concat_ws("|", F.sort_array(F.collect_list("r")))),
                1, 15), 16, 10).cast("bigint").alias("redact_hash")))
-    return pii.crossJoin(decon).crossJoin(F.broadcast(red))
+    # n_domains/dom_hash grade text.domain_stats (URL extraction →
+    # host → registered domain → per-domain url/doc counts) over the
+    # same corpus+fixtures; DuckDB replays the identical regex + label
+    # arithmetic
+    from spark_df_profiling_spark.operators.text import domain_stats
+    corpus_ids = (full.select(F.col("doc_id").alias("id"), "text")
+                  .unionByName(spark.createDataFrame(
+                      [(-(i + 1), t) for i, t in enumerate(_PII_FIXTURES)],
+                      "id long, text string")))
+    ds = domain_stats(corpus_ids, "text", "id")
+    dom = ds.agg(
+        F.count(F.lit(1)).cast("long").alias("n_domains"),
+        F.coalesce(F.conv(F.substring(F.md5(F.concat_ws("|", F.sort_array(
+            F.collect_list(F.concat_ws(":", "domain",
+                                       F.col("n_urls").cast("string"),
+                                       F.col("n_docs").cast("string")))))),
+            1, 15), 16, 10).cast("bigint"), F.lit(0)).alias("dom_hash"))
+    return (pii.crossJoin(decon).crossJoin(F.broadcast(red))
+            .crossJoin(F.broadcast(dom)))
 
 
 # ---------------------------------------------------------------------------

@@ -275,3 +275,38 @@ def test_knn_quantized_matches_exact_on_separated_corpus(spark):
               cq, queries, ranges, k=3).collect()}
     hits = sum(1 for key in exact if q8.get(key) == exact[key])
     assert hits >= len(exact) - 1, f"q8 recall too low: {hits}/{len(exact)}"
+
+
+# ---------------------------------------------------------------------------
+# URL / domain analytics
+# ---------------------------------------------------------------------------
+def test_url_host_and_registered_domain(spark):
+    from spark_df_profiling_spark.operators.text import (registered_domain,
+                                                         url_host)
+    rows = [("https://news.bbc.co.uk/story?id=1",),
+            ("http://user:pw@a.b.example.com:8080/x",),
+            ("https://localhost/x",),
+            ("not a url",)]
+    df = spark.createDataFrame(rows, "u string")
+    got = [tuple(r) for r in df.select(
+        url_host("u").alias("h"),
+        registered_domain(url_host("u")).alias("d")).collect()]
+    assert got[0] == ("news.bbc.co.uk", "bbc.co.uk")
+    assert got[1] == ("a.b.example.com", "example.com")
+    assert got[2] == ("localhost", "localhost")
+    assert got[3] == (None, None)
+
+
+def test_domain_stats_counts_and_share(spark):
+    from spark_df_profiling_spark.operators.text import domain_stats
+    rows = [
+        (1, "see https://a.wiki.org/x and https://b.wiki.org/y today"),
+        (2, "also https://wiki.org/z plus http://other.net/1"),
+        (3, "nothing here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["domain"]: (r["n_urls"], r["n_docs"], r["url_share"])
+           for r in domain_stats(df).collect()}
+    assert got["wiki.org"][:2] == (3, 2)
+    assert got["other.net"][:2] == (1, 1)
+    assert abs(got["wiki.org"][2] - 0.75) < 1e-12
