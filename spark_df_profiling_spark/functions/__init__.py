@@ -27,8 +27,15 @@ from spark_df_profiling_spark.operators.similarity import (
     dot,
     l2_norm,
 )
+from spark_df_profiling_spark.operators.frequency import (
+    cms_positions,
+)
 from spark_df_profiling_spark.operators.text import (
     alpha_ratio,
+    extract_urls,
+    normalize_text,
+    registered_domain,
+    url_host,
     avg_token_len,
     digit_ratio,
     dup_ngram_ratio,
@@ -50,11 +57,12 @@ from spark_df_profiling_spark.operators.text import (
 )
 
 __all__ = [
-    "alpha_ratio", "avg_token_len", "content_hash", "cosine",
-    "digit_ratio", "dot", "dup_ngram_ratio", "fingerprint_min_shingle",
-    "hash_bucket", "l2_norm", "lang_id", "lang_scores", "n_chars",
-    "n_tokens_bpe", "n_tokens_ws", "pii_count", "punct_ratio",
-    "quality_score", "rolling_hash", "simhash64", "space_ratio",
-    "top_token_ratio", "type_token_ratio", "upper_ratio",
+    "alpha_ratio", "avg_token_len", "cms_positions", "content_hash",
+    "cosine", "digit_ratio", "dot", "dup_ngram_ratio", "extract_urls",
+    "fingerprint_min_shingle", "hash_bucket", "l2_norm", "lang_id",
+    "lang_scores", "n_chars", "n_tokens_bpe", "n_tokens_ws",
+    "normalize_text", "pii_count", "punct_ratio", "quality_score",
+    "registered_domain", "rolling_hash", "simhash64", "space_ratio",
+    "top_token_ratio", "type_token_ratio", "upper_ratio", "url_host",
     "winnow_fingerprints",
 ]

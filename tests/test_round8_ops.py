@@ -310,3 +310,88 @@ def test_domain_stats_counts_and_share(spark):
     assert got["wiki.org"][:2] == (3, 2)
     assert got["other.net"][:2] == (1, 1)
     assert abs(got["wiki.org"][2] - 0.75) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# plan-shape pins for the round-8 kernels
+# ---------------------------------------------------------------------------
+def test_quantize_plan_has_no_exchange(spark):
+    """quantize/dequantize are pure projections — the range state rides
+    as literals, so the plan must contain NO shuffle and NO join."""
+    from spark_df_profiling_spark.operators.similarity import (
+        dequantize_embeddings, quantize_embeddings)
+    df = spark.range(100).select(
+        F.array(F.col("id").cast("float"),
+                (F.col("id") * 2).cast("float")).alias("embedding"))
+    ranges = [(0.0, 99.0), (0.0, 198.0)]
+    q = dequantize_embeddings(quantize_embeddings(df, ranges), ranges)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_cms_estimate_broadcasts_state(spark):
+    from spark_df_profiling_spark.operators.frequency import (cms_estimate,
+                                                              cms_state)
+    df = spark.range(500).select((F.col("id") % 37).cast("string")
+                                 .alias("k"))
+    st = cms_state(df, "k", width=512, depth=3)
+    est = cms_estimate(df.distinct(), st, "k", width=512, depth=3)
+    plan = est._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan, "CMS state not broadcast"
+
+
+def test_normalize_text_plan_is_narrow(spark):
+    from spark_df_profiling_spark.operators.text import normalize_text
+    df = spark.range(100).select(F.col("id").cast("string").alias("t"))
+    out = df.select(normalize_text("t", strip_punct=True).alias("n"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# property checks (hypothesis)
+# ---------------------------------------------------------------------------
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_texts = st.lists(
+    st.text(alphabet=" \t\r\n\fabcDEF.'!", min_size=0, max_size=30),
+    min_size=1, max_size=12)
+
+
+@given(_texts)
+@settings(max_examples=6, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_normalize_text_idempotent_property(spark, texts):
+    """normalize(normalize(x)) == normalize(x) for arbitrary
+    case/whitespace/punct soup — canonicalization must be a projection
+    onto its own image or dedup keys drift across passes."""
+    from spark_df_profiling_spark.operators.text import normalize_text
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    once = df.select(normalize_text("t", strip_punct=True).alias("n1"))
+    twice = once.select(F.col("n1"),
+                        normalize_text(F.col("n1"), strip_punct=True)
+                        .alias("n2"))
+    for r in twice.collect():
+        assert r["n1"] == r["n2"]
+
+
+_keys = st.lists(st.text(alphabet="abcde", min_size=1, max_size=4),
+                 min_size=1, max_size=60)
+
+
+@given(_keys)
+@settings(max_examples=6, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_cms_never_undercounts_property(spark, keys):
+    from spark_df_profiling_spark.operators.frequency import (cms_estimate,
+                                                              cms_state)
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    st_df = cms_state(df, "k", width=32, depth=3)
+    est = {r["k"]: r["est_count"]
+           for r in cms_estimate(df.distinct(), st_df, "k",
+                                 width=32, depth=3).collect()}
+    from collections import Counter
+    true = Counter(keys)
+    assert all(est[k] >= true[k] for k in true)
