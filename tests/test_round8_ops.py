@@ -395,3 +395,47 @@ def test_cms_never_undercounts_property(spark, keys):
     from collections import Counter
     true = Counter(keys)
     assert all(est[k] >= true[k] for k in true)
+
+
+# ---------------------------------------------------------------------------
+# edge cases: empty inputs, URL-free corpora, empty join sides
+# ---------------------------------------------------------------------------
+def test_round8_ops_on_empty_inputs(spark):
+    from spark_df_profiling_spark.operators.frequency import (cms_estimate,
+                                                              cms_state)
+    from spark_df_profiling_spark.operators.groupby import decayed_stats
+    from spark_df_profiling_spark.operators.text import (canonical_dedup,
+                                                         domain_stats)
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert canonical_dedup(empty_docs).count() == 0
+    assert domain_stats(empty_docs).count() == 0
+    empty_k = spark.createDataFrame([], "k string")
+    st = cms_state(empty_k, "k", width=64, depth=2)
+    assert st.count() == 0
+    # estimating against an EMPTY state: every key is definitely unseen
+    probe = spark.createDataFrame([("x",)], "k string")
+    est = cms_estimate(probe, st, "k", width=64, depth=2).collect()
+    assert est[0]["est_count"] == 0
+    # decayed stats over an all-NULL time column: zero usable rows
+    df = spark.createDataFrame([(None, 1.0)], "t double, v double")
+    out = decayed_stats(df, "t", 10.0, value_cols=["v"],
+                        ref_time=0.0).collect()[0]
+    assert out["n"] == 0
+
+
+def test_domain_stats_ignores_url_free_corpus(spark, sf_dir):
+    from spark_df_profiling_spark.operators.text import domain_stats
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # driver corpus is synthetic word salad: no URLs -> empty report,
+    # not a crash (and the regex scan stays a narrow projection)
+    assert domain_stats(d).count() == 0
+
+
+def test_salted_join_empty_small_side(spark):
+    from spark_df_profiling_spark.operators.joins import salted_join
+    big = spark.range(100).select(F.col("id").alias("k"))
+    small = spark.createDataFrame([], "k long, name string")
+    assert salted_join(big, small, "k", n_salts=4).count() == 0
+    left = salted_join(big, small, "k", n_salts=4, how="left")
+    assert left.count() == 100
+    assert left.where(F.col("name").isNotNull()).count() == 0

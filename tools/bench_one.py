@@ -96,6 +96,31 @@ def main() -> None:
             "spark_df_profiling_spark.operators.dedup",
             fromlist=["exact_dedup"]).exact_dedup(
             t("documents"), cols=["text"], order_col="doc_id").count(),
+        "canonical_dedup": lambda: __import__(
+            "spark_df_profiling_spark.operators.text",
+            fromlist=["canonical_dedup"]).canonical_dedup(
+            t("documents"), "text", order_col="doc_id").count(),
+        "cms_state": lambda: __import__(
+            "spark_df_profiling_spark.operators.frequency",
+            fromlist=["cms_state"]).cms_state(
+            t("lineitem"), ["l_orderkey", "l_linenumber"],
+            width=1 << 16, depth=4).count(),
+        "knn_quantized": lambda: (lambda S: (lambda r: (
+            S.knn_bruteforce_quantized(
+                S.quantize_embeddings(t("embeddings"), r)
+                .select("vec_id", "embedding_q8"),
+                t("embeddings").where(F.col("vec_id") < 20), r,
+                k=10).collect()))(S.quantization_ranges(t("embeddings"))))(
+            __import__("spark_df_profiling_spark.operators.similarity",
+                       fromlist=["knn_bruteforce_quantized"])),
+        "decayed_stats": lambda: (lambda G, O: G.decayed_stats(
+            t("lineitem"), O.epoch_seconds(t("lineitem"), "l_shipdate"),
+            365.0 * 86400.0, ["l_returnflag"],
+            ["l_extendedprice"]).collect())(
+            __import__("spark_df_profiling_spark.operators.groupby",
+                       fromlist=["decayed_stats"]),
+            __import__("spark_df_profiling_spark.oracle",
+                       fromlist=["epoch_seconds"])),
     }
     fn = fns[name]
 
