@@ -845,3 +845,98 @@ def bloom_might_contain(df: DataFrame, state: DataFrame,
             .groupBy("__ch")
             .agg(F.bool_and("__present").alias(out_col)))
     return marked.join(hits, "__ch", "left").drop("__ch")
+
+
+def char_qgram_expr(text_col: str, q: int = 3) -> Column:
+    """Distinct character q-grams as a pure-SQL expression (the
+    character-level sibling of :func:`shingle_expr`'s word shingles).
+    No normalization — fuzzy matching is case- and whitespace-exact by
+    default; wrap the column in :func:`~spark_df_profiling_spark.
+    operators.text.normalize_text` upstream to change that.  Strings
+    shorter than ``q`` yield an empty array."""
+    return F.expr(f"""
+        CASE WHEN length(`{text_col}`) >= {q} THEN
+            array_distinct(transform(
+                sequence(1, length(`{text_col}`) - {q} + 1),
+                i -> substring(`{text_col}`, i, {q})))
+        ELSE array() END""")
+
+
+def fuzzy_pairs_levenshtein(df: DataFrame, text_col: str, id_col: str,
+                            max_dist: int = 2, q: int = 3,
+                            max_gram_bucket: int | None = None
+                            ) -> DataFrame:
+    """ALL pairs within Levenshtein edit distance ``max_dist`` —
+    ``(id_a, id_b, dist)`` with ``id_a < id_b`` — without the n²
+    cross join: q-gram blocking + exact verification.  The fuzzy-key
+    workhorse (product titles, author names, URLs with typos) that
+    exact/MinHash dedup both miss: MinHash needs token-level overlap,
+    Levenshtein catches single-character edits inside a token.
+
+    Candidate generation is COMPLETE (a superset of every true pair),
+    by the q-gram count filter: strings within edit distance d share at
+    least ``max(len)+1-q-d·q`` q-grams, which is ≥ 1 whenever
+    ``max(len) ≥ q·(d+1)``.  Two branches cover the split:
+
+    * **long branch** — every string of length ≥ ``q`` explodes its
+      DISTINCT q-grams; a self-equi-join on the gram (an ordinary hash
+      join, never a nested loop) plus the ``|Δlen| ≤ d`` filter yields
+      candidates.  Any true pair whose longer side is ≥ ``q·(d+1)``
+      shares a gram (the shorter side is ≥ ``q·(d+1)−d ≥ q``, so its
+      grams exist).
+    * **short branch** — pairs where BOTH sides are shorter than
+      ``q·(d+1)`` can share zero q-grams; those strings (a bounded
+      slice of the data) join on exploded candidate lengths
+      ``len..len+d`` instead — each unordered pair is generated exactly
+      once from its shorter side.
+
+    Verification runs ``levenshtein() ≤ d`` on candidates only — Spark
+    and DuckDB implement the identical unit-cost metric, so the oracle
+    replays the whole pipeline.
+
+    Scale: the gram join shuffles (gram, id, len) rows — ~len distinct
+    grams per doc; boilerplate grams shared by millions of rows square
+    inside their bucket, so at scale set ``max_gram_bucket`` to drop
+    grams hotter than the cap (same trade as LSH
+    ``max_bucket_size``: documented recall loss on pairs whose ONLY
+    shared grams are boilerplate — such pairs are overwhelmingly long
+    strings with many other grams).  The short branch is capped by
+    construction: strings shorter than ``q·(d+1)`` chars.
+    """
+    if max_dist < 0 or q < 2:
+        raise ValueError(f"need max_dist >= 0, q >= 2: {max_dist}, {q}")
+    l0 = q * (max_dist + 1)
+    base = (df.where(F.col(text_col).isNotNull())
+            .select(F.col(id_col).alias("id"),
+                    F.col(text_col).alias("txt"),
+                    F.length(text_col).alias("len")))
+    grams = (base.select("id", "len",
+                         F.explode(char_qgram_expr("txt", q)).alias("g")))
+    if max_gram_bucket is not None:
+        w = Window.partitionBy("g")
+        grams = (grams.withColumn("__gsz", F.count(F.lit(1)).over(w))
+                 .where(F.col("__gsz") <= max_gram_bucket)
+                 .drop("__gsz"))
+    ga, gb = grams.alias("a"), grams.alias("b")
+    cand_long = (ga.join(gb, "g")
+                 .where((F.col("a.id") < F.col("b.id"))
+                        & (F.abs(F.col("a.len") - F.col("b.len"))
+                           <= max_dist))
+                 .select(F.col("a.id").alias("id_a"),
+                         F.col("b.id").alias("id_b")))
+    short = base.where(F.col("len") < l0)
+    sa = short.select("id", "len", F.explode(F.sequence(
+        F.col("len"), F.col("len") + max_dist)).alias("lk"))
+    sb = short.select(F.col("id").alias("id_r"),
+                      F.col("len").alias("lk"))
+    cand_short = (sa.join(sb, "lk")
+                  .where(F.col("id") != F.col("id_r"))
+                  .select(F.least("id", "id_r").alias("id_a"),
+                          F.greatest("id", "id_r").alias("id_b")))
+    cand = cand_long.unionByName(cand_short).distinct()
+    ta = base.select(F.col("id").alias("id_a"), F.col("txt").alias("ta"))
+    tb = base.select(F.col("id").alias("id_b"), F.col("txt").alias("tb"))
+    return (cand.join(ta, "id_a").join(tb, "id_b")
+            .select("id_a", "id_b",
+                    F.levenshtein("ta", "tb").alias("dist"))
+            .where(F.col("dist") <= max_dist))

@@ -273,3 +273,106 @@ def cms_estimate(df: DataFrame, state: DataFrame,
            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long")))
                 .alias(out_col)))
     return marked.join(est, "__ch").drop("__ch")
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog: mergeable cardinality state — completes the sketch trio
+# (Bloom = membership, CMS = frequency, HLL = distinct count)
+# ---------------------------------------------------------------------------
+def hll_position(hash_col, p: int):
+    """struct(reg, rho) HLL coordinates for a content-hash string.
+
+    Engine-portable arithmetic (DuckDB replays it bit-for-bit): a 60-bit
+    md5 hex-prefix hash (the ``bloom_positions``/``cms_positions``
+    idiom, salted ``#hll`` so the three sketches stay independent); the
+    TOP ``p`` bits pick the register (floor-division, not modulo, so
+    register and remainder bits never overlap), the remaining
+    ``W = 60 - p`` bits yield ``rho`` = 1 + number of leading zeros,
+    computed EXACTLY as ``W - length(bin(rem)) + 1`` — ``bin()`` prints
+    a bigint without leading zeros in both Spark and DuckDB, so the
+    highest-set-bit position is integer string arithmetic, never a
+    float ``log2`` that misrounds at exact powers of two.
+    """
+    w = 60 - p
+    h = F.conv(F.substring(
+        F.md5(F.concat(hash_col, F.lit("#hll"))), 1, 15), 16, 10
+    ).cast("bigint")
+    reg = (h / F.lit(2 ** w)).cast("bigint")
+    rem = h % F.lit(2 ** w)
+    rho = (F.when(rem == 0, F.lit(w + 1))
+           .otherwise(F.lit(w) - F.length(F.bin(rem)) + 1)).cast("int")
+    return F.struct(reg.alias("reg"), rho.alias("rho"))
+
+
+def hll_state(df: DataFrame, cols: str | list[str] | None = None,
+              p: int = 12) -> DataFrame:
+    """HyperLogLog state over row content — BOUNDED, MERGEABLE distinct-
+    count state: one row per OCCUPIED register, at most ``m = 2**p``
+    rows (p=12 → ≤4096 rows, ~1.6% standard error) no matter how many
+    rows or distinct keys the corpus holds.
+
+    Why it exists next to ``approx_count_distinct``: Spark's built-in
+    HLL++ lives inside one aggregation — its state cannot be persisted
+    to a table, shipped between runs, or merged with last month's
+    without re-scanning history.  This state CAN (same contract as
+    ``bloom_state``/``cms_state``/``incremental.partial_profile``):
+    day-2 ingest builds a state over the new batch only and
+    ``hll_merge`` folds it into the stored one — register-wise max is
+    exactly the union semantics.
+
+    Plan: one narrow projection to (reg, rho) feeding a reg-keyed hash
+    aggregate with map-side partial max — the shuffle carries at most
+    ``m`` rows per upstream task.  No explode (unlike CMS/Bloom: HLL
+    needs one coordinate per row, not k).
+    """
+    from spark_df_profiling_spark.operators.dedup import content_hash
+    if not (4 <= p <= 18):
+        raise ValueError(f"need 4 <= p <= 18: {p}")
+    cols = [cols] if isinstance(cols, str) else list(cols or df.columns)
+    pos = hll_position(content_hash(cols), p)
+    return (df.select(pos.alias("p"))
+            .groupBy(F.col("p.reg").alias("reg"))
+            .agg(F.max(F.col("p.rho")).alias("rho")))
+
+
+def hll_merge(*states: DataFrame) -> DataFrame:
+    """Merge HLL states built with the SAME (p, cols): register-wise
+    max — the union of the underlying sets, exactly.  Mismatched
+    configs produce garbage (same contract as ``cms_merge``): keep
+    ``p`` with the stored state."""
+    if not states:
+        raise ValueError("need at least one state")
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("reg").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(state: DataFrame, p: int = 12,
+                 out_col: str = "est_distinct") -> DataFrame:
+    """One-row DataFrame with the Flajolet HLL cardinality estimate.
+
+    Standard estimator, all plain SQL arithmetic (the DuckDB oracle
+    replays it to the last ulp): ``E = alpha_m * m^2 / Z`` where
+    ``Z = sum(2^-rho) + V`` (each of the ``V`` EMPTY registers
+    contributes ``2^0 = 1``), ``alpha_m = 0.7213 / (1 + 1.079/m)``;
+    small-range correction switches to linear counting
+    ``m * ln(m/V)`` when ``E <= 2.5m`` and ``V > 0``.  The 60-bit hash
+    makes the large-range collision correction irrelevant below ~2^30
+    distinct keys; beyond that raise ``p`` instead.
+
+    Plan: ONE aggregation over the ≤ m-row state — driver never sees
+    row-scale data.
+    """
+    m = 2 ** p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    agg = state.agg(
+        F.count(F.lit(1)).alias("occ"),
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("z_occ"))
+    v = F.lit(m) - F.col("occ")
+    z = F.coalesce(F.col("z_occ"), F.lit(0.0)) + v.cast("double")
+    raw = F.lit(alpha * m * m) / z
+    est = F.when((raw <= F.lit(2.5 * m)) & (v > 0),
+                 F.lit(float(m)) * F.log(F.lit(m).cast("double") / v)
+                 ).otherwise(raw)
+    return agg.select(F.round(est).cast("long").alias(out_col))

@@ -119,3 +119,105 @@ def decayed_stats(df: DataFrame, time_col, half_life: float,
     if group_cols:
         return staged.groupBy(*group_cols).agg(*aggs)
     return staged.agg(*aggs)
+
+
+def sessionize(df: DataFrame, ts_col: str, key_col: str,
+               gap: float = 1800.0,
+               agg_cols: "list[str] | None" = None) -> DataFrame:
+    """Batch gap-based sessionization: assign every event a session id
+    (a new session opens when the key's inter-event gap exceeds
+    ``gap``) and return per-session stats — the BATCH twin of
+    ``streaming.session_profile`` (which computes windowed stats but
+    never exposes the session assignment itself; replays, backfills,
+    and session-level features need the assignment).
+
+    ``ts_col`` must be numeric (epoch seconds — cast timestamps
+    explicitly, same contract as ``decayed_stats``).  NULL keys or
+    timestamps are dropped.  Output: one row per session — ``key_col``,
+    ``session_id`` (1-based per key, in time order), ``session_start``,
+    ``session_end``, ``duration``, ``n_events``, plus
+    ``<c>__sum``/``<c>__mean`` per requested aggregate column.
+
+    Plan — the 100 TB shape (same recipe as ``joins.merge_intervals``):
+    ONE shuffle on the key; ``lag`` + running-sum windows inside each
+    key partition mark session boundaries; the closing groupBy on
+    (key, session_id) extends the window partitioning so AQE plans no
+    second exchange.  A key with millions of events serializes within
+    one task — the inherent bound of ordered per-key logic; shard such
+    keys upstream by coarse time range if they exist (see
+    ``frequency.skew_report`` to find them).
+    """
+    from pyspark.sql import Window
+    if gap <= 0:
+        raise ValueError(f"gap must be > 0: {gap}")
+    agg_cols = list(agg_cols or [])
+    t = F.col(ts_col).cast("double")
+    base = df.where(t.isNotNull() & F.col(key_col).isNotNull())
+    w_ord = Window.partitionBy(key_col).orderBy(ts_col)
+    prev = F.lag(t).over(w_ord)
+    opens = F.when(prev.isNull() | (t - prev > F.lit(float(gap))), 1) \
+             .otherwise(0)
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    sess = (base.withColumn("__new", opens)
+            .withColumn("session_id", F.sum("__new").over(w_run)))
+    aggs = [F.min(t).alias("session_start"),
+            F.max(t).alias("session_end"),
+            (F.max(t) - F.min(t)).alias("duration"),
+            F.count(F.lit(1)).alias("n_events")]
+    for c in agg_cols:
+        v = F.col(c).cast("double")
+        aggs.append(F.sum(v).alias(f"{c}__sum"))
+        aggs.append(F.avg(v).alias(f"{c}__mean"))
+    return sess.groupBy(key_col, "session_id").agg(*aggs)
+
+
+def rolling_stats(df: DataFrame, ts_col: str, key_col: str,
+                  value_col: str, window: float,
+                  stats: "list[str] | None" = None) -> DataFrame:
+    """Trailing time-range rolling aggregates per key: for every event,
+    stats over that key's events in ``[t - window, t]`` — the feature
+    every behavioral / rate-limit / anomaly pipeline derives ("bytes in
+    the last hour", "orders in the trailing 7 days").  Event-time
+    RANGE frames, not row counts: gaps and bursts are handled by
+    construction.
+
+    ``ts_col`` numeric (epoch seconds), ``window`` in the same unit.
+    ``stats`` defaults to ``["count", "sum", "mean"]`` (also allowed:
+    ``min``, ``max``).  Ties in ``ts`` all see the full tied set
+    (standard RANGE-frame semantics — deterministic, engine-portable).
+    NULL keys/timestamps are dropped; ``count`` counts non-NULL
+    VALUES (SQL semantics, identical in the DuckDB replay), so a row
+    with a NULL value still anchors its own output row but contributes
+    nothing to any stat.
+
+    Plan: ONE shuffle on the key, one in-partition RANGE window pass —
+    Spark evaluates trailing range frames with a sliding pointer, not
+    re-scans per row.  Same per-key serialization bound as every
+    ordered-window operator.
+    """
+    if window <= 0:
+        raise ValueError(f"window must be > 0: {window}")
+    stats = list(stats or ["count", "sum", "mean"])
+    allowed = {"count": "count", "sum": "sum", "mean": "avg",
+               "min": "min", "max": "max"}
+    bad = [s for s in stats if s not in allowed]
+    if bad:
+        raise ValueError(f"unsupported stats {bad}; pick from "
+                         f"{sorted(allowed)}")
+    t = F.col(ts_col).cast("double")
+    base = (df.where(t.isNotNull() & F.col(key_col).isNotNull())
+            .withColumn("__t", t))
+    # SQL RANGE frames are CLOSED on both ends: the frame is
+    # [t - window, t], which DuckDB's RANGE BETWEEN ... PRECEDING
+    # replays verbatim.  Built as SQL expressions because the
+    # DataFrame Window.rangeBetween API only takes integer offsets —
+    # fractional windows (sub-second epochs) would silently truncate.
+    frame = (f"OVER (PARTITION BY `{key_col}` ORDER BY __t "
+             f"RANGE BETWEEN {float(window)!r} PRECEDING "
+             f"AND CURRENT ROW)")
+    v = f"CAST(`{value_col}` AS DOUBLE)"
+    out = base
+    for s in stats:
+        out = out.withColumn(
+            f"roll_{s}", F.expr(f"{allowed[s]}({v}) {frame}"))
+    return out.drop("__t")

@@ -351,3 +351,61 @@ def salted_join(big: DataFrame, small: DataFrame,
         "__salt", F.explode(F.array(*[F.lit(i).cast("int")
                                       for i in range(n_salts)])))
     return b.join(s, keys + ["__salt"], how).drop("__salt")
+
+
+def merge_intervals(df: DataFrame, key_cols: "str | Sequence[str]",
+                    start_col: str, end_col: str,
+                    min_gap: float = 0) -> DataFrame:
+    """Flatten overlapping (or near-adjacent) intervals per key into
+    maximal disjoint spans — the classic interval-union: ad-spend
+    windows, outage/on-call coverage, genome ranges, session stitches.
+
+    Two intervals in the same key group merge when the later one starts
+    at or before ``previous span end + min_gap`` (``min_gap=0`` merges
+    touching intervals; with timestamp columns keep ``min_gap=0`` or
+    cast to epoch first — the gap arithmetic needs a numeric type).
+
+    Output: one row per merged span — key columns, ``span_start``,
+    ``span_end``, ``n_merged`` (input intervals absorbed).  Rows with a
+    NULL key, start, or end are dropped (an unbounded interval has no
+    well-defined union; filter/impute upstream if they matter).
+    Degenerate inputs (``end < start``) are clamped to points at
+    ``start`` (``end = greatest(start, end)``) rather than raising —
+    real event feeds contain clock skew, and a point still counts
+    toward the span that covers it.
+
+    Plan — the 100 TB shape: ONE shuffle on the key (window
+    partitioning), two in-partition window passes (running max of
+    ``end`` over preceding rows → new-span flag → running sum = span
+    id), then a groupBy on (key, span id) that AQE satisfies without a
+    second exchange since the grouping keys extend the window
+    partitioning.  Never a global sort; never a driver collect.  Skewed
+    keys (one key holding millions of intervals) serialize within one
+    task — the same bound as any per-key ordered computation; split
+    such keys upstream by coarse time range if needed.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    s, e = F.col(start_col), F.col(end_col)
+    base = (df
+            .where(s.isNotNull() & e.isNotNull()
+                   & F.struct(*[F.col(k) for k in keys]).isNotNull())
+            .dropna(subset=keys)
+            .select(*keys, s.alias("__s"),
+                    F.greatest(s, e).alias("__e")))
+    w_prev = (Window.partitionBy(*keys).orderBy("__s", "__e")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    w_run = (Window.partitionBy(*keys).orderBy("__s", "__e")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    prev_end = F.max("__e").over(w_prev)
+    if min_gap:
+        opens = F.col("__s") > prev_end + F.lit(min_gap)
+    else:
+        opens = F.col("__s") > prev_end
+    flagged = base.withColumn(
+        "__new", F.when(prev_end.isNull() | opens, 1).otherwise(0))
+    spans = flagged.withColumn("__span", F.sum("__new").over(w_run))
+    return (spans.groupBy(*keys, "__span")
+            .agg(F.min("__s").alias("span_start"),
+                 F.max("__e").alias("span_end"),
+                 F.count(F.lit(1)).alias("n_merged"))
+            .drop("__span"))

@@ -256,3 +256,69 @@ def robust_outlier_stats(df: DataFrame, cols: Sequence[str],
         "n_below", "n_above",
         (F.col("n_below") + F.col("n_above")).alias("n_outliers"),
         "n_rows")
+
+
+def winsorize(df: DataFrame, cols: Sequence[str],
+              lower: float = 0.01, upper: float = 0.99,
+              exact: bool = True, accuracy: int = 10_000,
+              suffix: str = "_w") -> DataFrame:
+    """Winsorize (quantile-clip) numeric columns: values below the
+    ``lower`` quantile are raised to it, values above the ``upper``
+    quantile lowered to it — the standard tail-taming transform before
+    training on heavy-tailed features (price, latency, token counts),
+    where ``outlier_stats`` DIAGNOSES the tails and this FIXES them.
+
+    Appends ``<col><suffix>`` (double) next to each input column.
+    NULLs stay NULL and NaN stays NaN (both explicitly guarded — Spark
+    ``greatest``/``least`` IGNORE null operands and sort NaN above
+    every double, so either would otherwise silently land on a cut);
+    NaN is also excluded from the cut computation so one NaN can't
+    drag the upper cut to NaN.  ±Inf clips onto the cuts like any
+    finite value, but ±Inf values still PARTICIPATE in cut
+    interpolation (so an upper cut can itself be +Inf — filter
+    non-finite values upstream if that matters).  An all-NULL column
+    has NULL cuts and passes through unchanged.
+
+    Plan: ONE aggregate computes both cuts for every column
+    (shuffle-free, map-side partial), the 1-row cut frame broadcasts
+    back over the table (the ``outlier_stats`` fence idiom), and the
+    clip itself is ``least``/``greatest`` inside whole-stage codegen —
+    no second shuffle, no window, no UDF.  ``exact=True`` is
+    oracle-parity interpolated ``percentile`` (unbounded buffer: fine
+    to millions of rows per executor); ``exact=False`` is the 100 TB
+    path via ``percentile_approx`` (bounded sketch, rank error ≤
+    1/accuracy).
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    if not (0.0 <= lower < upper <= 1.0):
+        raise ValueError(f"need 0 <= lower < upper <= 1: {lower}, {upper}")
+    fn = "percentile" if exact else "percentile_approx"
+    extra = "" if exact else f", {int(accuracy)}"
+    aggs = []
+    for c in cols:
+        # NaN sorts above +Inf in Spark's ordering, so a single NaN in
+        # the column would drag the upper cut to NaN and disable
+        # clipping entirely — exclude NaN from the CUT computation
+        # (percentile ignores NULL); NaN rows themselves pass through
+        clean = (f"CASE WHEN isnan(CAST(`{c}` AS DOUBLE)) THEN NULL "
+                 f"ELSE CAST(`{c}` AS DOUBLE) END")
+        aggs.append(F.expr(f"{fn}({clean}, {lower!r}{extra})")
+                    .alias(f"__lo_{c}"))
+        aggs.append(F.expr(f"{fn}({clean}, {upper!r}{extra})")
+                    .alias(f"__hi_{c}"))
+    cuts = df.agg(*aggs)
+    out = df.crossJoin(F.broadcast(cuts))
+    for c in cols:
+        cc = F.col(c).cast("double")
+        clipped = F.least(F.greatest(cc, F.col(f"__lo_{c}")),
+                          F.col(f"__hi_{c}"))
+        # two explicit guards: greatest/least IGNORE null operands, so
+        # an unguarded NULL value would silently become the lower cut;
+        # NaN sorts greater than any double, so least(NaN, hi) would
+        # clip NaN to the upper cut — both stay as they came in
+        out = out.withColumn(
+            c + suffix,
+            F.when(cc.isNull() | F.isnan(cc), cc).otherwise(clipped))
+    return out.drop(*[f"__lo_{c}" for c in cols],
+                    *[f"__hi_{c}" for c in cols])
