@@ -297,7 +297,12 @@ def hll_position(hash_col, p: int):
     h = F.conv(F.substring(
         F.md5(F.concat(hash_col, F.lit("#hll"))), 1, 15), 16, 10
     ).cast("bigint")
-    reg = (h / F.lit(2 ** w)).cast("bigint")
+    # shiftright, NOT double division: h is up to 2^60 and a double
+    # only carries 53 mantissa bits, so h / 2^w could misround the
+    # register for hashes within ~2^7 of a register boundary —
+    # DuckDB's integer `//` replay would then disagree on ~2^-41 of
+    # rows (invisible at test scale, real at 10^12 rows)
+    reg = F.shiftright(h, w)
     rem = h % F.lit(2 ** w)
     rho = (F.when(rem == 0, F.lit(w + 1))
            .otherwise(F.lit(w) - F.length(F.bin(rem)) + 1)).cast("int")

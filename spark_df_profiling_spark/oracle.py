@@ -470,6 +470,54 @@ def _num_profile_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         price("n_b").cast("long").alias("diff_n_b"))
 
 
+# winsorize fold: the quantile-clip transform on l_extendedprice at
+# (0.05, 0.95) — min/max/sum of the clipped column plus the raised /
+# lowered row counts, replayed from DuckDB's quantile_cont cuts.  The
+# counts are ulp-safe: the interpolated cut lies strictly between two
+# adjacent order statistics (or exactly on one), so no data value can
+# sit between the two engines' cut representations.
+_NUM_WINS_SQL = f"""
+WITH wcuts AS (
+  SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.05) AS lo,
+         quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95) AS hi
+  FROM lineitem),
+wz AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS x,
+         CASE WHEN l_extendedprice IS NULL THEN NULL
+              ELSE least(greatest(CAST(l_extendedprice AS DOUBLE),
+                                  wcuts.lo), wcuts.hi) END AS xw
+  FROM lineitem, wcuts)
+SELECT {_psig('min(xw)')} AS wz_min_s,
+       {_psig('max(xw)')} AS wz_max_s,
+       {_psig('sum(xw)')} AS wz_sum_s,
+       CAST(sum(CASE WHEN xw > x THEN 1 ELSE 0 END) AS BIGINT)
+           AS wz_n_lo,
+       CAST(sum(CASE WHEN xw < x THEN 1 ELSE 0 END) AS BIGINT)
+           AS wz_n_hi
+FROM wz
+"""
+
+
+def _num_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """winsorize (operators/outliers.py) through the REAL operator:
+    clip l_extendedprice at the exact (0.05, 0.95) quantiles, then pin
+    the clipped column's min/max/sum and the clipped-row counts."""
+    from spark_df_profiling_spark.operators.outliers import winsorize
+    li = _t(spark, sf_dir, "lineitem")
+    w = winsorize(li.select("l_extendedprice"), ["l_extendedprice"],
+                  lower=0.05, upper=0.95)
+    x = F.col("l_extendedprice").cast("double")
+    xw = F.col("l_extendedprice_w")
+    return w.agg(
+        sig(F.min(xw)).alias("wz_min_s"),
+        sig(F.max(xw)).alias("wz_max_s"),
+        sig(F.sum(xw)).alias("wz_sum_s"),
+        F.sum(F.when(xw > x, 1).otherwise(0)).cast("long")
+        .alias("wz_n_lo"),
+        F.sum(F.when(xw < x, 1).otherwise(0)).cast("long")
+        .alias("wz_n_hi"))
+
+
 @query("num_stats", f"""
 SELECT * FROM ({_NUM_MOMENTS_SQL}) "mo",
               ({_NUM_QUANTILES_SQL}) "qu",
@@ -478,7 +526,8 @@ SELECT * FROM ({_NUM_MOMENTS_SQL}) "mo",
               ({_NUM_OUTLIER_SQL}) "ou",
               ({_NUM_ROBUST_SQL}) "rz",
               ({_NUM_QEST_SQL}) "qe",
-              ({_NUM_DIFF_SQL}) "di"
+              ({_NUM_DIFF_SQL}) "di",
+              ({_NUM_WINS_SQL}) "wz"
 """)
 def num_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N1-N11 in one graded row: moments+zeros × exact quantiles × MAD ×
@@ -493,7 +542,8 @@ def num_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .crossJoin(_num_incremental(spark, sf_dir))
             .crossJoin(_num_outliers(spark, sf_dir))
             .crossJoin(_num_quantile_est(spark, sf_dir))
-            .crossJoin(_num_profile_diff(spark, sf_dir)))
+            .crossJoin(_num_profile_diff(spark, sf_dir))
+            .crossJoin(_num_winsorize(spark, sf_dir)))
 
 
 # ---------------------------------------------------------------------------
@@ -1312,6 +1362,48 @@ FROM (
     SELECT doc_id + 2000000, text FROM documents WHERE doc_id < 20
   )
   SELECT doc_id, count(*) OVER (PARTITION BY text) AS c FROM corp)
+UNION ALL
+SELECT 'hll', est, occ, shash FROM (
+  WITH h AS (
+    SELECT ('0x' || substr(md5(sha256(coalesce(text, chr(0) || 'NULL'))
+                               || '#hll'), 1, 15))::BIGINT AS hv
+    FROM documents),
+  pos AS (SELECT hv // 281474976710656 AS reg,
+                 hv % 281474976710656 AS rem FROM h),
+  st AS (SELECT reg, MAX(CASE WHEN rem = 0 THEN 49
+                              ELSE 49 - length(bin(rem)) END) AS rho
+         FROM pos GROUP BY reg),
+  agg AS (SELECT CAST(count(*) AS BIGINT) AS occ,
+                 SUM(power(2.0, -rho)) AS z_occ,
+                 ('0x' || substr(md5(string_agg(
+                     CAST(reg AS VARCHAR) || ':' || CAST(rho AS VARCHAR),
+                     '|' ORDER BY CAST(reg AS VARCHAR) || ':'
+                         || CAST(rho AS VARCHAR))), 1, 15))::BIGINT
+                     AS shash
+          FROM st),
+  calc AS (SELECT occ, shash, 4096 - occ AS v,
+                  coalesce(z_occ, 0.0) + (4096 - occ) AS z FROM agg)
+  SELECT CAST(round(CASE WHEN (""" + repr(
+    0.7213 / (1 + 1.079 / 4096) * 4096 * 4096) + """ / z) <= 10240.0
+                         AND v > 0
+              THEN 4096.0 * ln(4096.0 / v)
+              ELSE """ + repr(
+    0.7213 / (1 + 1.079 / 4096) * 4096 * 4096) + """ / z END)
+         AS BIGINT) AS est, occ, shash FROM calc)
+UNION ALL
+SELECT 'fuzzy', ia, ib, d FROM (
+  WITH fc AS (
+    SELECT doc_id AS id, substr(text, 1, 24) AS t
+    FROM documents WHERE doc_id < 300
+    UNION ALL
+    SELECT doc_id + 500000, substr(text, 1, 2) || substr(text, 4, 22)
+    FROM documents WHERE doc_id < 40
+  )
+  SELECT a.id AS ia, b.id AS ib,
+         CAST(levenshtein(a.t, b.t) AS BIGINT) AS d
+  FROM fc a JOIN fc b ON a.id < b.id
+  WHERE abs(length(a.t) - length(b.t)) <= 2
+    AND levenshtein(a.t, b.t) <= 2)
 ORDER BY part, v1
 """)
 def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1415,9 +1507,48 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("dup_count").cast("long").alias("v2"),
                     F.floor(F.lit(1e6) * F.col("weight"))
                     .cast("long").alias("v3")))
+    # 'hll': the mergeable cardinality sketch over doc texts — v1 the
+    # HLL estimate, v2 occupied registers, v3 a portable 60-bit md5 of
+    # the sorted reg:rho state (pins EVERY register bit-for-bit, not
+    # just the rolled-up estimate)
+    from spark_df_profiling_spark.operators.frequency import (
+        hll_estimate, hll_state)
+    hst = hll_state(d.select("text"), ["text"], p=12)
+    hsig = hst.agg(
+        F.count(F.lit(1)).cast("long").alias("occ"),
+        F.conv(F.substring(F.md5(F.array_join(F.sort_array(
+            F.collect_list(F.concat(F.col("reg").cast("string"),
+                                    F.lit(":"),
+                                    F.col("rho").cast("string")))), "|")),
+            1, 15), 16, 10).cast("bigint").alias("shash"))
+    hll = (hll_estimate(hst, p=12).crossJoin(hsig)
+           .select(F.lit("hll").alias("part"),
+                   F.col("est_distinct").alias("v1"),
+                   F.col("occ").alias("v2"),
+                   F.col("shash").alias("v3")))
+    # 'fuzzy': Levenshtein pairs over 24-char prefixes + planted
+    # distance-2 variants (delete char 3, the tail shifts one char in)
+    # — v1/v2 the pair ids, v3 the exact distance.  DuckDB computes the ALL-PAIRS ground truth with its
+    # built-in levenshtein, so a match proves the q-gram blocking is
+    # COMPLETE on driver data, not just that verification agrees.
+    from spark_df_profiling_spark.operators.dedup import (
+        fuzzy_pairs_levenshtein)
+    fcorp = (d.where(F.col("doc_id") < 300)
+             .select("doc_id", F.substring("text", 1, 24).alias("t"))
+             .unionByName(
+                 d.where(F.col("doc_id") < 40)
+                 .select((F.col("doc_id") + 500_000).alias("doc_id"),
+                         F.concat(F.substring("text", 1, 2),
+                                  F.substring("text", 4, 22))
+                         .alias("t"))))
+    fz = (fuzzy_pairs_levenshtein(fcorp, "t", "doc_id", max_dist=2)
+          .select(F.lit("fuzzy").alias("part"),
+                  F.col("id_a").alias("v1"),
+                  F.col("id_b").alias("v2"),
+                  F.col("dist").cast("long").alias("v3")))
     return (kept.unionByName(stats).unionByName(ld).unionByName(sd)
             .unionByName(hist_rows).unionByName(bloom)
-            .unionByName(soft)
+            .unionByName(soft).unionByName(hll).unionByName(fz)
             .orderBy("part", "v1"))
 
 
@@ -2581,6 +2712,28 @@ SELECT 'decay', g1, ws_s || '/' || ds_s || '/' || dm_s, n FROM (
   WHERE l_shipdate IS NOT NULL
   GROUP BY l_returnflag, rf.ref)
 UNION ALL
+SELECT 'ivmerge', CAST(k AS VARCHAR),
+       CAST(CAST(ss AS BIGINT) AS VARCHAR) || ':'
+           || CAST(CAST(se AS BIGINT) AS VARCHAR),
+       CAST(nm AS BIGINT)
+FROM (
+  WITH base AS (
+    SELECT l_suppkey AS k, CAST(epoch(l_shipdate) AS DOUBLE) AS s,
+           CAST(epoch(l_shipdate) AS DOUBLE)
+               + CAST(l_quantity AS DOUBLE) * 86400.0 AS e
+    FROM lineitem
+    WHERE l_suppkey <= 20 AND l_suppkey IS NOT NULL
+      AND l_shipdate IS NOT NULL AND l_quantity IS NOT NULL),
+  f AS (SELECT *, CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w
+                  THEN 1 ELSE 0 END AS nw
+        FROM base
+        WINDOW w AS (PARTITION BY k ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+  sp AS (SELECT *, SUM(nw) OVER (PARTITION BY k ORDER BY s, e
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f)
+  SELECT k, MIN(s) AS ss, MAX(e) AS se, COUNT(*) AS nm
+  FROM sp GROUP BY k, sid)
+UNION ALL
 """ + _ZORDER_SQL + """
 ORDER BY 1, 2, 3
 """)
@@ -2681,9 +2834,28 @@ def multidim_agg_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                     sig(F.col("l_extendedprice__dsum")),
                     sig(F.col("l_extendedprice__dmean"))).alias("g2"),
         F.col("n").cast("long").alias("cnt"))
+    # 'ivmerge' rows grade joins.merge_intervals: per-supplier union of
+    # [shipdate, shipdate + quantity days] intervals of its lineitems
+    # (receiptdate is absent from the driver data) — g1 the
+    # suppkey, g2 "span_start:span_end" epoch seconds, cnt the input
+    # intervals absorbed; DuckDB replays the identical running-max
+    # window recipe
+    from spark_df_profiling_spark.operators.joins import merge_intervals
+    iv_s = epoch_seconds(li, "l_shipdate").cast("double")
+    ivsrc = li.where(F.col("l_suppkey") <= 20).select(
+        "l_suppkey", iv_s.alias("s"),
+        (iv_s + F.col("l_quantity").cast("double") * 86400.0).alias("e"))
+    ivm = (merge_intervals(ivsrc, "l_suppkey", "s", "e")
+           .select(F.lit("ivmerge").alias("mode"),
+                   F.col("l_suppkey").cast("string").alias("g1"),
+                   F.concat(F.col("span_start").cast("long")
+                            .cast("string"), F.lit(":"),
+                            F.col("span_end").cast("long").cast("string"))
+                   .alias("g2"),
+                   F.col("n_merged").alias("cnt")))
     return (rollup.unionByName(cube).unionByName(gsets)
             .unionByName(cons).unionByName(jks).unionByName(zrows)
-            .unionByName(salt).unionByName(decay)
+            .unionByName(salt).unionByName(decay).unionByName(ivm)
             .orderBy("mode", "g1", "g2"))
 
 
@@ -2836,17 +3008,36 @@ WITH e AS (
 SELECT user_id,
        count(*) AS n_sessions,
        CAST(sum(n_events) AS BIGINT) AS n_events_total,
-       CAST(max(n_events) AS BIGINT) AS max_session_events
+       CAST(max(n_events) AS BIGINT) AS max_session_events,
+       count(*) AS b_sessions,
+       CAST(sum(n_events) AS BIGINT) AS b_events_total,
+       CAST(max(n_events) AS BIGINT) AS b_max_session_events
 FROM g GROUP BY user_id ORDER BY user_id
 """)
 def session_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session_window profile AND the batch
+    groupby.sessionize twin in one graded row set: the b_* columns
+    recompute the same per-user session stats through the batch
+    gaps-and-islands operator, so BOTH code paths are pinned to the
+    single DuckDB ground truth.  The streaming window closes at
+    gap >= 1h while sessionize opens a session at gap > threshold, so
+    the batch call passes gap-1 micro (timestamps are integer micros,
+    making the two predicates identical)."""
+    from spark_df_profiling_spark.operators.groupby import sessionize
     from spark_df_profiling_spark.streaming import session_profile
     ev = with_event_time(_t(spark, sf_dir, "events"))
     sess = session_profile(ev, "ts_ts", "user_id", gap="1 hour")
-    return (sess.groupBy("user_id")
-            .agg(F.count(F.lit(1)).alias("n_sessions"),
-                 F.sum("n_events").alias("n_events_total"),
-                 F.max("n_events").alias("max_session_events"))
+    stream_side = (sess.groupBy("user_id")
+                   .agg(F.count(F.lit(1)).alias("n_sessions"),
+                        F.sum("n_events").alias("n_events_total"),
+                        F.max("n_events").alias("max_session_events")))
+    evm = ev.select("user_id", event_time_micros(ev).alias("tus"))
+    bs = sessionize(evm, "tus", "user_id", gap=3_600_000_000 - 1)
+    batch_side = (bs.groupBy("user_id")
+                  .agg(F.count(F.lit(1)).alias("b_sessions"),
+                       F.sum("n_events").alias("b_events_total"),
+                       F.max("n_events").alias("b_max_session_events")))
+    return (stream_side.join(batch_side, "user_id")
             .orderBy("user_id"))
 
 
@@ -2904,6 +3095,18 @@ FROM (
          CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_keys
   UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
   UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+UNION ALL
+SELECT 'roll:' || CAST(user_id AS VARCHAR),
+       CAST(max(rc) AS BIGINT), CAST(max(round(rs * 100)) AS BIGINT)
+FROM (
+  SELECT user_id,
+         count("value") OVER w AS rc,
+         sum("value") OVER w AS rs
+  FROM (SELECT user_id, epoch_ns(ts) // 1000 AS tus, "value"
+        FROM events)
+  WINDOW w AS (PARTITION BY user_id ORDER BY tus
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))
+GROUP BY user_id
 ORDER BY key
 """)
 def stateful_user_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2945,7 +3148,24 @@ def stateful_user_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.coalesce(F.floor(F.lit(1e6) * F.col("p_of_first")),
                               F.lit(0)).cast("long")
                    .alias("total_value_cents")))
-    return totals_rows.unionByName(fun).orderBy("key")
+    # 'roll:' rows grade groupby.rolling_stats: trailing-1h per-user
+    # count/sum over event time, reduced per user to the max frame
+    # count and max frame cents-sum — cents because frame sums are fp
+    # and the two engines may accumulate in different orders; values
+    # carry 2 decimals so round(sum*100) is exact in both
+    from spark_df_profiling_spark.operators.groupby import rolling_stats
+    evm = ev.select("user_id", event_time_micros(ev).alias("tus"),
+                    "value")
+    rl = rolling_stats(evm, "tus", "user_id", "value",
+                       window=3_600_000_000.0, stats=["count", "sum"])
+    roll = (rl.groupBy("user_id")
+            .agg(F.max("roll_count").cast("long").alias("total_events"),
+                 F.max(F.round(F.col("roll_sum") * 100)).cast("long")
+                 .alias("total_value_cents"))
+            .select(F.concat(F.lit("roll:"),
+                             F.col("user_id").cast("string")).alias("key"),
+                    "total_events", "total_value_cents"))
+    return totals_rows.unionByName(fun).unionByName(roll).orderBy("key")
 
 
 # ---------------------------------------------------------------------------
