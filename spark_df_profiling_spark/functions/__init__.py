@@ -16,6 +16,7 @@ expressions without importing operator modules individually.
 from __future__ import annotations
 
 from spark_df_profiling_spark.operators.dedup import (
+    char_qgram_expr,
     content_hash,
     simhash64,
 )
@@ -29,6 +30,7 @@ from spark_df_profiling_spark.operators.similarity import (
 )
 from spark_df_profiling_spark.operators.frequency import (
     cms_positions,
+    hll_position,
 )
 from spark_df_profiling_spark.operators.text import (
     alpha_ratio,
@@ -57,7 +59,8 @@ from spark_df_profiling_spark.operators.text import (
 )
 
 __all__ = [
-    "alpha_ratio", "avg_token_len", "cms_positions", "content_hash",
+    "alpha_ratio", "avg_token_len", "char_qgram_expr",
+    "cms_positions", "content_hash", "hll_position",
     "cosine", "digit_ratio", "dot", "dup_ngram_ratio", "extract_urls",
     "fingerprint_min_shingle", "hash_bucket", "l2_norm", "lang_id",
     "lang_scores", "n_chars", "n_tokens_bpe", "n_tokens_ws",

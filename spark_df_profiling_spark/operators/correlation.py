@@ -152,3 +152,112 @@ def greedy_rejection(num_cols: list[str],
         else:
             rejected[x] = hit
     return rejected
+
+
+def categorical_association(df: DataFrame, col_a: str, col_b: str
+                            ) -> DataFrame:
+    """Association between two categorical columns — ONE row:
+    ``(n, r_levels, c_levels, dof, chi2, cramers_v, mutual_info)``.
+    The categorical counterpart of the Pearson matrix: chi-squared
+    independence, Cramér's V (chi2 normalized to [0,1]) and mutual
+    information in nats — the feature-redundancy / target-leakage
+    screen run before training on categorical features.
+
+    Rows where either column is NULL are dropped (association with
+    missingness is a different question — profile ``n_missing`` for
+    that).
+
+    Scale design: ONE groupBy on the (a, b) pair (map-side combined —
+    the only row-scale shuffle); margins derive from re-aggregating the
+    #cells-sized joint frame and join back as broadcasts.  Zero-count
+    cells never materialize: their chi2 mass is added in closed form
+    (``Σ_all e = n`` so ``Σ_{o=0} e = n − Σ_obs e``), and they
+    contribute exactly 0 to MI.
+    """
+    a, b = F.col(col_a), F.col(col_b)
+    joint = (df.where(a.isNotNull() & b.isNotNull())
+             .groupBy(a.alias("__a"), b.alias("__b"))
+             .agg(F.count(F.lit(1)).alias("__o")))
+    ra = joint.groupBy("__a").agg(F.sum("__o").alias("__ra"))
+    cb = joint.groupBy("__b").agg(F.sum("__o").alias("__cb"))
+    tot = joint.agg(F.sum("__o").alias("__n"),
+                    F.count_distinct("__a").alias("__r"),
+                    F.count_distinct("__b").alias("__c"))
+    cells = (joint.join(F.broadcast(ra), "__a")
+             .join(F.broadcast(cb), "__b")
+             .crossJoin(F.broadcast(tot)))
+    o = F.col("__o").cast("double")
+    e = (F.col("__ra").cast("double") * F.col("__cb")
+         / F.col("__n"))
+    n = F.col("__n").cast("double")
+    agg = cells.agg(
+        F.first("__n").alias("n"),
+        F.first("__r").alias("r_levels"),
+        F.first("__c").alias("c_levels"),
+        F.sum((o - e) * (o - e) / e).alias("__chi_obs"),
+        F.sum(e).alias("__e_obs"),
+        # margins cast to double BEFORE multiplying: long*long margin
+        # products overflow (and ANSI-raise) at ~3e9 rows per side
+        F.sum((o / n) * F.log(o * n / (F.col("__ra").cast("double")
+                                       * F.col("__cb").cast("double"))))
+        .alias("mutual_info"),
+        F.first(n).alias("__nd"))
+    chi2 = F.col("__chi_obs") + (F.col("__nd") - F.col("__e_obs"))
+    min_rc = F.least(F.col("r_levels"), F.col("c_levels"))
+    return agg.select(
+        "n", "r_levels", "c_levels",
+        ((F.col("r_levels") - 1) * (F.col("c_levels") - 1)).alias("dof"),
+        chi2.alias("chi2"),
+        # 1x1 tables have zero dof: V is undefined, emit NULL not a
+        # division error (ANSI mode)
+        F.when(min_rc > 1,
+               F.sqrt(chi2 / (F.col("__nd") * (min_rc - 1).cast("double"))))
+        .alias("cramers_v"),
+        "mutual_info")
+
+
+def autocorr(df: DataFrame, ts_col: str, value_col: str,
+             key_col: str, lag: int = 1) -> DataFrame:
+    """Lag-k autocorrelation per key: Pearson correlation of
+    ``(x_t, x_{t−lag})`` pairs in event-time order — the seasonality /
+    momentum diagnostic for per-entity time series (is this metric
+    sticky? does yesterday predict today?).
+
+    Returns one row per key: ``(key, n_pairs, acf)``.  ``acf`` is NULL
+    when a key has < 2 usable pairs or zero variance on either side
+    (corr is undefined — never NaN).  Rows with NULL key/ts are
+    dropped; a pair is usable only when BOTH endpoints are non-NULL.
+
+    Scale: ONE shuffle on the key; ``lag`` + ``corr`` both evaluate
+    inside the key partition (corr is an ordinary declarative
+    aggregate with map-side partials over the already-shuffled rows).
+    Per-key ordering serializes within one task — the standard bound;
+    there is deliberately NO global (keyless) mode, because it would
+    need a single-partition window at exactly the scale this engine
+    targets.  For a global series, pass a constant key and accept the
+    single task, or pre-bucket time ranges.
+    """
+    from pyspark.sql import Window
+    if lag < 1:
+        raise ValueError(f"lag must be >= 1: {lag}")
+    t = F.col(ts_col)
+    base = df.where(t.isNotNull() & F.col(key_col).isNotNull())
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    v = F.col(value_col).cast("double")
+    paired = base.withColumn("__prev", F.lag(v, lag).over(w))
+    both = v.isNotNull() & F.col("__prev").isNotNull()
+    # corr() under ANSI mode RAISES on a zero-variance side (division
+    # by zero) — a constant series must report NULL acf, not crash the
+    # whole report, so assemble it from guarded covar/stddev parts
+    agg = (paired.groupBy(key_col)
+           .agg(F.sum(F.when(both, 1).otherwise(0)).cast("long")
+                .alias("n_pairs"),
+                F.covar_samp(v, F.col("__prev")).alias("__cov"),
+                F.stddev_samp(F.when(both, v)).alias("__sx"),
+                F.stddev_samp(F.when(both, F.col("__prev")))
+                .alias("__sy")))
+    return agg.select(
+        key_col, "n_pairs",
+        F.when((F.col("__sx") > 0) & (F.col("__sy") > 0),
+               F.col("__cov") / (F.col("__sx") * F.col("__sy")))
+        .alias("acf"))

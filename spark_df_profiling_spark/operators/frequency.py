@@ -381,3 +381,122 @@ def hll_estimate(state: DataFrame, p: int = 12,
                  F.lit(float(m)) * F.log(F.lit(m).cast("double") / v)
                  ).otherwise(raw)
     return agg.select(F.round(est).cast("long").alias(out_col))
+
+
+def format_pattern_expr(col, collapse_runs: bool = True):
+    """Character-class format pattern of a string column: uppercase →
+    ``A``, lowercase → ``a``, digits → ``9``, whitespace → ``_``; other
+    characters (punctuation, unicode) pass through literally.  With
+    ``collapse_runs`` each class run collapses to one symbol
+    (``"Nov 2024" → "Aa_9"``), the form that groups dates / codes /
+    ids regardless of length.
+
+    Pure codegen ``regexp_replace`` chain using only character classes
+    and fixed-repetition patterns — NO backreferences, so RE2-based
+    engines (DuckDB) replay it verbatim.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.regexp_replace(c, "[A-Z]", "A")
+    out = F.regexp_replace(out, "[a-z]", "a")
+    out = F.regexp_replace(out, "[0-9]", "9")
+    out = F.regexp_replace(out, "[ \\t\\r\\n\\f]", "_")
+    if collapse_runs:
+        for sym in ("A", "a", "9", "_"):
+            out = F.regexp_replace(out, sym + "+", sym)
+    return out
+
+
+def format_patterns(df: DataFrame, cols: list[str], k: int = 10,
+                    collapse_runs: bool = True) -> DataFrame:
+    """Top-k format patterns per string column — the classic profiler
+    view that exposes mixed date formats, stray whitespace, inconsistent
+    id schemes ("why are 3% of the SKUs ``a9-9`` when the rest are
+    ``A9-9``?").  Returns ``(column, pattern, cnt, rank)``; NULL values
+    profile as the pattern ``'<null>'``.
+
+    Plan: pattern extraction is a zero-shuffle codegen projection; all
+    columns stack into ONE (column, pattern) hash aggregate (map-side
+    combined — the frequency.topk_frequencies posture), and the top-k
+    window runs over the already-aggregated #patterns-sized frame.
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    stacked = None
+    for c in cols:
+        part = df.select(
+            F.lit(c).alias("column"),
+            F.coalesce(format_pattern_expr(c, collapse_runs),
+                       F.lit("<null>")).alias("pattern"))
+        stacked = part if stacked is None else stacked.unionByName(part)
+    counts = (stacked.groupBy("column", "pattern")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    w = (Window.partitionBy("column")
+         .orderBy(F.desc("cnt"), F.asc("pattern")))
+    return (counts.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
+def gini_coefficient(df: DataFrame, col: str,
+                     num_buckets: int | None = None) -> DataFrame:
+    """EXACT Gini coefficient of a non-negative numeric column — the
+    inequality / concentration measure ("do 1% of the documents carry
+    40% of the tokens?") that column_entropy answers for categories
+    and this answers for mass.  Returns ONE row ``(gini, n, total)``.
+
+    ``G = 2·Σᵢ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n`` over the ascending sort —
+    but the rank sum collapses onto DISTINCT values: a tie block of
+    value v and count c starting after N rows contributes
+    ``v·(c·N + c(c+1)/2)``.  So the plan is the ks_2samp recipe: ONE
+    groupBy to (value, count) rows, range-repartition by value +
+    localCheckpoint (freezes sampled boundaries), per-partition totals
+    prefix-summed on the DRIVER (O(#partitions) state), in-partition
+    window for the running count — NEVER a single-partition global
+    sort or window.
+
+    NULLs are excluded; negative values raise (Gini over signed mass
+    is not the same statistic — winsorize or shift first, explicitly).
+    An empty/all-NULL column raises (no distribution to summarize).
+    """
+    spark = df.sparkSession
+    n_bk = int(num_buckets
+               or spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    counts = (df.select(F.col(col).cast("double").alias("__v"))
+              .where(F.col("__v").isNotNull())
+              .groupBy("__v").agg(F.count(F.lit(1)).alias("__c")))
+    ranged = (counts.repartitionByRange(n_bk, F.col("__v"))
+              .withColumn("__pid", F.spark_partition_id())
+              .localCheckpoint(eager=True))
+    rows = (ranged.groupBy("__pid")
+            .agg(F.sum("__c").alias("__t"),
+                 F.min("__v").alias("__mn")).collect())
+    if not rows:
+        raise ValueError(f"gini_coefficient: no non-NULL values in "
+                         f"{col!r}")
+    if min(r["__mn"] for r in rows) < 0:
+        raise ValueError(
+            f"gini_coefficient: {col!r} has negative values — Gini is "
+            f"defined over non-negative mass; shift or clip first")
+    totals = {r["__pid"]: r["__t"] for r in rows}
+    prefix, acc = [], 0
+    for pid in sorted(totals):
+        prefix.append((pid, acc))
+        acc += totals[pid]
+    n = acc
+    pref_df = spark.createDataFrame(prefix, "__pid int, __p long")
+    w = (Window.partitionBy("__pid").orderBy("__v")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    c = F.col("__c").cast("double")
+    before = (F.coalesce(F.sum("__c").over(w), F.lit(0))
+              + F.col("__p")).cast("double")
+    contrib = F.col("__v") * (c * before + c * (c + 1) / 2.0)
+    agg = (ranged.join(F.broadcast(pref_df), "__pid")
+           .agg(F.sum(contrib).alias("__rs"),
+                F.sum(F.col("__v") * c).alias("__tot")))
+    nn = float(n)
+    return agg.select(
+        (F.lit(2.0) * F.col("__rs") / (F.lit(nn) * F.col("__tot"))
+         - F.lit((nn + 1.0) / nn)).alias("gini"),
+        F.lit(n).cast("long").alias("n"),
+        F.col("__tot").alias("total"))

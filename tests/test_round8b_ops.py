@@ -349,3 +349,67 @@ def test_rolling_stats_validation(spark):
         rolling_stats(df, "ts", "k", "v", 0)
     with pytest.raises(ValueError):
         rolling_stats(df, "ts", "k", "v", 10.0, stats=["median"])
+
+
+# ------------------------------------------------------------ plan pins
+def test_merge_intervals_single_shuffle(spark):
+    """One Exchange on the key: the windows and the closing groupBy
+    (whose keys EXTEND the window partitioning) must reuse it."""
+    df = spark.range(1000).select(
+        (F.col("id") % 10).alias("k"),
+        F.col("id").cast("double").alias("s"),
+        (F.col("id") + 5).cast("double").alias("e"))
+    plan = (merge_intervals(df, "k", "s", "e")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_sessionize_single_shuffle(spark):
+    df = spark.range(1000).select(
+        (F.col("id") % 10).alias("k"),
+        F.col("id").cast("double").alias("ts"))
+    plan = (sessionize(df, "ts", "k", gap=5.0)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_rolling_stats_single_shuffle(spark):
+    df = spark.range(1000).select(
+        (F.col("id") % 10).alias("k"),
+        F.col("id").cast("double").alias("ts"),
+        F.col("id").cast("double").alias("v"))
+    plan = (rolling_stats(df, "ts", "k", "v", 10.0)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_winsorize_no_row_shuffle(spark):
+    """Cuts ride a broadcast back over the table: the clip stage must
+    contain no hashpartitioning Exchange of the data rows."""
+    df = spark.range(1000).select(F.col("id").cast("double").alias("x"))
+    plan = (winsorize(df, ["x"])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastExchange" in plan
+    assert "hashpartitioning" not in plan, plan
+
+
+def test_fuzzy_pairs_never_nested_loop(spark):
+    """Candidate generation must stay equi-joins (gram / length keys) —
+    a bare inequality join would plan a BroadcastNestedLoopJoin and
+    square at scale."""
+    df = spark.createDataFrame([(1, "abcdef"), (2, "abcdeg"), (3, "xy")],
+                               "doc_id long, text string")
+    plan = (fuzzy_pairs_levenshtein(df, "text", "doc_id", max_dist=1)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_hll_state_single_shuffle_no_explode(spark):
+    """HLL needs one coordinate per row (unlike CMS/Bloom's k): no
+    Generate node, one register-keyed Exchange above a partial agg."""
+    df = spark.range(1000).select(F.col("id").cast("string").alias("k"))
+    plan = (hll_state(df, "k")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Generate" not in plan, plan
+    assert plan.count("Exchange") == 1, plan

@@ -121,6 +121,39 @@ def main() -> None:
                        fromlist=["decayed_stats"]),
             __import__("spark_df_profiling_spark.oracle",
                        fromlist=["epoch_seconds"])),
+        "hll_state": lambda: (lambda FR: FR.hll_estimate(
+            FR.hll_state(t("lineitem"),
+                         ["l_orderkey", "l_linenumber"]), p=12)
+            .collect())(
+            __import__("spark_df_profiling_spark.operators.frequency",
+                       fromlist=["hll_state"])),
+        "merge_intervals": lambda: (lambda J, O: J.merge_intervals(
+            t("lineitem").select(
+                "l_suppkey",
+                O.epoch_seconds(t("lineitem"), "l_shipdate")
+                .cast("double").alias("s"),
+                (O.epoch_seconds(t("lineitem"), "l_shipdate")
+                 .cast("double")
+                 + F.col("l_quantity").cast("double") * 86400.0)
+                .alias("e")),
+            "l_suppkey", "s", "e").count())(
+            __import__("spark_df_profiling_spark.operators.joins",
+                       fromlist=["merge_intervals"]),
+            __import__("spark_df_profiling_spark.oracle",
+                       fromlist=["epoch_seconds"])),
+        "winsorize": lambda: __import__(
+            "spark_df_profiling_spark.operators.outliers",
+            fromlist=["winsorize"]).winsorize(
+            t("lineitem"), ["l_extendedprice", "l_quantity"],
+            0.01, 0.99, exact=False)
+            .agg(F.sum("l_extendedprice_w"),
+                 F.sum("l_quantity_w")).collect(),
+        "fuzzy_pairs": lambda: __import__(
+            "spark_df_profiling_spark.operators.dedup",
+            fromlist=["fuzzy_pairs_levenshtein"]).fuzzy_pairs_levenshtein(
+            t("documents").select(
+                "doc_id", F.substring("text", 1, 24).alias("txt")),
+            "txt", "doc_id", max_dist=1).count(),
     }
     fn = fns[name]
 

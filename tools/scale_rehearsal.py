@@ -1036,6 +1036,119 @@ def r8b_main() -> None:
           f"{fbytes / 1e6:.1f} MB", flush=True)
 
 
+
+def r8c_main() -> None:
+    """Round-8 session-3 operators at 10x with planted skew:
+
+    * hll_state over ~6M distinct keys (estimate error + state bound);
+    * merge_intervals on lineitem x10 with ONE supplier holding 50% of
+      all intervals (the per-key serialization bound, measured);
+    * fuzzy_pairs_levenshtein over 50k strings where every distinct
+      prefix has 10 exact copies (dense gram buckets by construction);
+    * winsorize exact vs approx on 6M rows;
+    * sessionize + rolling_stats over 2M synthetic events with one
+      user holding 50% of them.
+    """
+    spark = (SparkSession.builder.master("local[32]")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory", "32g")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    t = lambda name: spark.read.parquet(f"{SF_DIR}/{name}.parquet")
+    li = replicate(t("lineitem"), ["l_orderkey"], REPLICAS,
+                   materialize_as="lineitem_x10_r8c", spark=spark)
+    n_li = li.count()
+
+    # -- HLL over ~6M distinct keys ------------------------------------
+    from spark_df_profiling_spark.operators.frequency import (
+        hll_estimate, hll_state)
+    keys = li.select(F.concat_ws(":", "l_orderkey", "l_linenumber",
+                                 "l_partkey").alias("doc"))
+    true_n = keys.distinct().count()
+    t0 = time.time()
+    st = hll_state(keys, "doc", p=12).persist()
+    occ = st.count()
+    est = hll_estimate(st, p=12).collect()[0][0]
+    t_h = time.time() - t0
+    st.unpersist()
+    print(f"hll p=12 over {n_li} rows / {true_n} distinct: "
+          f"est {est} (err {abs(est-true_n)/true_n:.3%}), "
+          f"{occ} registers, {t_h:.1f}s", flush=True)
+
+    # -- interval merge with a 50% hot supplier ------------------------
+    from spark_df_profiling_spark.operators.joins import merge_intervals
+    from spark_df_profiling_spark.oracle import epoch_seconds
+    s = epoch_seconds(li, "l_shipdate").cast("double")
+    iv = li.select(
+        F.when(F.pmod(F.xxhash64("l_orderkey", "l_linenumber"),
+                      F.lit(2)) == 0, F.lit(1))
+        .otherwise(F.pmod(F.xxhash64("l_orderkey"), F.lit(50000)))
+        .alias("k"),
+        s.alias("s"),
+        (s + F.col("l_quantity").cast("double") * 86400.0).alias("e"))
+    t0 = time.time()
+    spans = merge_intervals(iv, "k", "s", "e").count()
+    t_iv = time.time() - t0
+    print(f"merge_intervals {n_li} intervals, 1 key=50%: "
+          f"{spans} spans, {t_iv:.1f}s", flush=True)
+
+    # -- fuzzy join: 10 exact copies of every prefix -------------------
+    from spark_df_profiling_spark.operators.dedup import (
+        fuzzy_pairs_levenshtein)
+    d = replicate(t("documents").select("doc_id", "text"), ["doc_id"],
+                  REPLICAS, materialize_as="docs_x10_r8c", spark=spark)
+    fc = d.select("doc_id", F.substring("text", 1, 24).alias("txt"))
+    n_f = fc.count()
+    t0 = time.time()
+    pairs = (fuzzy_pairs_levenshtein(fc, "txt", "doc_id", max_dist=1,
+                                     max_gram_bucket=2000)
+             .count())
+    t_fz = time.time() - t0
+    print(f"fuzzy_pairs d<=1 over {n_f} strings "
+          f"(every prefix x10, gram cap 2000): {pairs} pairs, "
+          f"{t_fz:.1f}s", flush=True)
+
+    # -- winsorize exact vs approx at 6M -------------------------------
+    from spark_df_profiling_spark.operators.outliers import winsorize
+    t0 = time.time()
+    ex = (winsorize(li, ["l_extendedprice", "l_quantity", "l_discount"],
+                    0.01, 0.99, exact=True)
+          .agg(F.sum("l_extendedprice_w"), F.sum("l_quantity_w"),
+               F.sum("l_discount_w")).collect())
+    t_ex = time.time() - t0
+    t0 = time.time()
+    ap = (winsorize(li, ["l_extendedprice", "l_quantity", "l_discount"],
+                    0.01, 0.99, exact=False)
+          .agg(F.sum("l_extendedprice_w"), F.sum("l_quantity_w"),
+               F.sum("l_discount_w")).collect())
+    t_ap = time.time() - t0
+    print(f"winsorize 3 cols x {n_li} rows: exact {t_ex:.1f}s, "
+          f"approx {t_ap:.1f}s", flush=True)
+
+    # -- sessionize + rolling over 2M events, 1 user = 50% -------------
+    from spark_df_profiling_spark.operators.groupby import (
+        rolling_stats, sessionize)
+    ev = spark.range(2_000_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit(1))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(20000))).alias("u"),
+        (F.pmod(F.xxhash64("id", F.lit(7)), F.lit(86400 * 30))
+         .cast("double")).alias("ts"),
+        (F.pmod(F.xxhash64("id", F.lit(9)), F.lit(10000)) / 100.0)
+        .alias("v"))
+    t0 = time.time()
+    n_sess = sessionize(ev, "ts", "u", gap=120.0, agg_cols=["v"]).count()
+    t_se = time.time() - t0
+    t0 = time.time()
+    n_roll = (rolling_stats(ev, "ts", "u", "v", window=3600.0)
+              .agg(F.max("roll_count"), F.sum("roll_sum")).collect())
+    t_ro = time.time() - t0
+    print(f"sessionize 2M events, 1 user=50%: {n_sess} sessions "
+          f"{t_se:.1f}s; rolling_stats 1h frame {t_ro:.1f}s "
+          f"(hot-user frames max {n_roll[0][0]})", flush=True)
+
+
 if __name__ == "__main__":
     if "skew" in sys.argv:
         skew_main()
@@ -1051,6 +1164,8 @@ if __name__ == "__main__":
         r7f_main()
     elif "r7g" in sys.argv:
         r7g_main()
+    elif "r8c" in sys.argv:
+        r8c_main()
     elif "r8b" in sys.argv:
         r8b_main()
     elif "r8" in sys.argv:
