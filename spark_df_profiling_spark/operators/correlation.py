@@ -202,7 +202,13 @@ def categorical_association(df: DataFrame, col_a: str, col_b: str
                                        * F.col("__cb").cast("double"))))
         .alias("mutual_info"),
         F.first(n).alias("__nd"))
-    chi2 = F.col("__chi_obs") + (F.col("__nd") - F.col("__e_obs"))
+    # fp clamp: on a table where every cell is observed, Σe_obs can
+    # exceed n by a few ulps, driving chi2 a hair negative and the
+    # cramers_v sqrt to NaN — this function's contract is NULL (not
+    # NaN, not an error) for degenerate tables, so pin chi2 at 0
+    chi2 = F.greatest(
+        F.col("__chi_obs") + (F.col("__nd") - F.col("__e_obs")),
+        F.lit(0.0))
     min_rc = F.least(F.col("r_levels"), F.col("c_levels"))
     return agg.select(
         "n", "r_levels", "c_levels",

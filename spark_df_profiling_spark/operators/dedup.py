@@ -913,10 +913,16 @@ def fuzzy_pairs_levenshtein(df: DataFrame, text_col: str, id_col: str,
     grams = (base.select("id", "len",
                          F.explode(char_qgram_expr("txt", q)).alias("g")))
     if max_gram_bucket is not None:
-        w = Window.partitionBy("g")
-        grams = (grams.withColumn("__gsz", F.count(F.lit(1)).over(w))
-                 .where(F.col("__gsz") <= max_gram_bucket)
-                 .drop("__gsz"))
+        # gram frequencies via a map-side-combined groupBy, NOT a
+        # per-gram window: the hottest gram — exactly what the cap
+        # exists to drop — must never be materialized row-scale in one
+        # window task.  Over-cap grams are a tiny frame (bounded by
+        # #grams > cap), so they broadcast into a left_anti join.
+        hot = (grams.groupBy("g")
+               .agg(F.count(F.lit(1)).alias("__gsz"))
+               .where(F.col("__gsz") > max_gram_bucket)
+               .select("g"))
+        grams = grams.join(F.broadcast(hot), "g", "left_anti")
     ga, gb = grams.alias("a"), grams.alias("b")
     cand_long = (ga.join(gb, "g")
                  .where((F.col("a.id") < F.col("b.id"))

@@ -470,7 +470,9 @@ def gini_coefficient(df: DataFrame, col: str,
               .localCheckpoint(eager=True))
     rows = (ranged.groupBy("__pid")
             .agg(F.sum("__c").alias("__t"),
-                 F.min("__v").alias("__mn")).collect())
+                 F.min("__v").alias("__mn"),
+                 F.sum(F.col("__v") * F.col("__c")).alias("__m"))
+            .collect())
     if not rows:
         raise ValueError(f"gini_coefficient: no non-NULL values in "
                          f"{col!r}")
@@ -478,6 +480,11 @@ def gini_coefficient(df: DataFrame, col: str,
         raise ValueError(
             f"gini_coefficient: {col!r} has negative values — Gini is "
             f"defined over non-negative mass; shift or clip first")
+    if sum(r["__m"] for r in rows) == 0:
+        raise ValueError(
+            f"gini_coefficient: {col!r} has zero total mass (all "
+            f"values 0) — Gini is undefined; filter or reconsider the "
+            f"column")
     totals = {r["__pid"]: r["__t"] for r in rows}
     prefix, acc = [], 0
     for pid in sorted(totals):
@@ -491,9 +498,13 @@ def gini_coefficient(df: DataFrame, col: str,
     before = (F.coalesce(F.sum("__c").over(w), F.lit(0))
               + F.col("__p")).cast("double")
     contrib = F.col("__v") * (c * before + c * (c + 1) / 2.0)
+    # the window must be projected before the aggregate — Spark forbids
+    # a window function nested inside an aggregate function
     agg = (ranged.join(F.broadcast(pref_df), "__pid")
-           .agg(F.sum(contrib).alias("__rs"),
-                F.sum(F.col("__v") * c).alias("__tot")))
+           .select(contrib.alias("__ct"),
+                   (F.col("__v") * c).alias("__vc"))
+           .agg(F.sum("__ct").alias("__rs"),
+                F.sum("__vc").alias("__tot")))
     nn = float(n)
     return agg.select(
         (F.lit(2.0) * F.col("__rs") / (F.lit(nn) * F.col("__tot"))

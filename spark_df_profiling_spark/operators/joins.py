@@ -385,10 +385,14 @@ def merge_intervals(df: DataFrame, key_cols: "str | Sequence[str]",
     such keys upstream by coarse time range if needed.
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if min_gap < 0:
+        raise ValueError(
+            f"min_gap must be >= 0: {min_gap} (a negative gap would "
+            f"silently require overlap-by-at-least, a different "
+            f"operator)")
     s, e = F.col(start_col), F.col(end_col)
     base = (df
-            .where(s.isNotNull() & e.isNotNull()
-                   & F.struct(*[F.col(k) for k in keys]).isNotNull())
+            .where(s.isNotNull() & e.isNotNull())
             .dropna(subset=keys)
             .select(*keys, s.alias("__s"),
                     F.greatest(s, e).alias("__e")))

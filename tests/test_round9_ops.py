@@ -1,0 +1,274 @@
+"""Round-9: grade the four r8-buzzer operators (format_patterns,
+gini_coefficient, categorical_association, autocorr) + pin the ADVICE
+fixes (fuzzy gram-cap groupBy counting, chi2 clamp, gini zero-mass
+guard, merge_intervals min_gap validation)."""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_df_profiling_spark.operators.correlation import (
+    autocorr, categorical_association)
+from spark_df_profiling_spark.operators.frequency import (
+    format_pattern_expr, format_patterns, gini_coefficient)
+from spark_df_profiling_spark.operators.dedup import (
+    fuzzy_pairs_levenshtein)
+from spark_df_profiling_spark.operators.joins import merge_intervals
+
+
+# ------------------------------------------- categorical_association
+def _assoc_python(cells):
+    """(a, b) -> count dict  ->  (n, r, c, dof, chi2, V, MI)."""
+    n = sum(cells.values())
+    ra = {}
+    cb = {}
+    for (a, b), o in cells.items():
+        ra[a] = ra.get(a, 0) + o
+        cb[b] = cb.get(b, 0) + o
+    r, c = len(ra), len(cb)
+    chi2 = 0.0
+    mi = 0.0
+    for a in ra:
+        for b in cb:
+            e = ra[a] * cb[b] / n
+            o = cells.get((a, b), 0)
+            chi2 += (o - e) ** 2 / e
+            if o > 0:
+                mi += (o / n) * math.log(o * n / (ra[a] * cb[b]))
+    dof = (r - 1) * (c - 1)
+    v = (math.sqrt(chi2 / (n * (min(r, c) - 1)))
+         if min(r, c) > 1 else None)
+    return n, r, c, dof, chi2, v, mi
+
+
+def test_categorical_association_matches_python(spark):
+    cells = {("x", "p"): 30, ("x", "q"): 10, ("y", "p"): 5,
+             ("y", "q"): 25, ("z", "p"): 12}  # (z,q) is a ZERO cell
+    rows = [(a, b) for (a, b), o in cells.items() for _ in range(o)]
+    random.seed(9)
+    random.shuffle(rows)
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = categorical_association(df, "a", "b").collect()[0]
+    n, r, c, dof, chi2, v, mi = _assoc_python(cells)
+    assert got["n"] == n and got["r_levels"] == r
+    assert got["c_levels"] == c and got["dof"] == dof
+    assert got["chi2"] == pytest.approx(chi2, rel=1e-9)
+    assert got["cramers_v"] == pytest.approx(v, rel=1e-9)
+    assert got["mutual_info"] == pytest.approx(mi, rel=1e-9)
+
+
+def test_categorical_association_nulls_dropped(spark):
+    rows = [("x", "p"), ("x", None), (None, "p"), ("y", "q"),
+            (None, None)] * 4
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = categorical_association(df, "a", "b").collect()[0]
+    # only (x,p) and (y,q) rows survive: perfect association, 2x2
+    assert got["n"] == 8 and got["r_levels"] == 2
+    assert got["cramers_v"] == pytest.approx(1.0, rel=1e-9)
+
+
+def test_categorical_association_1x1_no_crash(spark):
+    """1x1 table: dof=0, V undefined -> NULL (not an ANSI error), chi2
+    clamped at 0 (the fp Σe_obs > n hazard lands exactly here)."""
+    df = spark.createDataFrame([("x", "p")] * 7, "a string, b string")
+    got = categorical_association(df, "a", "b").collect()[0]
+    assert got["dof"] == 0 and got["cramers_v"] is None
+    assert got["chi2"] == 0.0  # clamp: never a few-ulps negative
+    assert not math.isnan(got["chi2"])
+
+
+def test_categorical_association_independent_is_near_zero(spark):
+    # exactly independent margins: chi2 analytic 0, fp may wobble
+    rows = ([("x", "p")] * 6 + [("x", "q")] * 2
+            + [("y", "p")] * 3 + [("y", "q")] * 1)
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = categorical_association(df, "a", "b").collect()[0]
+    assert got["chi2"] >= 0.0  # the greatest() clamp guarantees it
+    assert got["chi2"] == pytest.approx(0.0, abs=1e-9)
+    assert got["cramers_v"] == pytest.approx(0.0, abs=1e-6)
+    assert got["mutual_info"] == pytest.approx(0.0, abs=1e-9)
+
+
+# ----------------------------------------------------------- autocorr
+def test_autocorr_matches_python(spark):
+    random.seed(17)
+    rows = []
+    series = {}
+    for k in ["u1", "u2"]:
+        xs, x = [], 0.0
+        for t in range(40):
+            x = 0.8 * x + random.gauss(0, 1)  # AR(1), acf ~ 0.8
+            xs.append(x)
+            rows.append((k, float(t), x))
+        series[k] = xs
+    df = spark.createDataFrame(rows, "k string, ts double, v double")
+    got = {r["k"]: r for r in autocorr(df, "ts", "v", "k").collect()}
+
+    def pearson(xs, ys):
+        n = len(xs)
+        mx, my = sum(xs) / n, sum(ys) / n
+        cov = sum((a - mx) * (b - my) for a, b in zip(xs, ys)) / (n - 1)
+        sx = math.sqrt(sum((a - mx) ** 2 for a in xs) / (n - 1))
+        sy = math.sqrt(sum((b - my) ** 2 for b in ys) / (n - 1))
+        return cov / (sx * sy)
+
+    for k, xs in series.items():
+        exp = pearson(xs[1:], xs[:-1])
+        assert got[k]["n_pairs"] == len(xs) - 1
+        assert got[k]["acf"] == pytest.approx(exp, rel=1e-9)
+
+
+def test_autocorr_constant_series_null_not_crash(spark):
+    """Zero variance side -> NULL acf (corr() itself would ANSI-raise)."""
+    rows = [("c", float(t), 5.0) for t in range(10)]
+    rows += [("s", float(t), float(t % 3)) for t in range(10)]
+    df = spark.createDataFrame(rows, "k string, ts double, v double")
+    got = {r["k"]: r for r in autocorr(df, "ts", "v", "k").collect()}
+    assert got["c"]["acf"] is None
+    assert got["s"]["acf"] is not None
+
+
+def test_autocorr_short_and_null_handling(spark):
+    rows = [("one", 0.0, 1.0),                  # 1 row -> 0 pairs
+            ("gap", 0.0, 1.0), ("gap", 1.0, None),
+            ("gap", 2.0, 3.0)]                  # NULL breaks the pair
+    df = spark.createDataFrame(rows, "k string, ts double, v double")
+    got = {r["k"]: r for r in autocorr(df, "ts", "v", "k").collect()}
+    assert got["one"]["n_pairs"] == 0 and got["one"]["acf"] is None
+    assert got["gap"]["n_pairs"] == 0  # both endpoints must be non-NULL
+    with pytest.raises(ValueError):
+        autocorr(df, "ts", "v", "k", lag=0)
+
+
+def test_autocorr_lag2(spark):
+    rows = [("k", float(t), float(v))
+            for t, v in enumerate([1, 9, 2, 8, 3, 7, 4, 6])]
+    df = spark.createDataFrame(rows, "k string, ts double, v double")
+    got = autocorr(df, "ts", "v", "k", lag=2).collect()[0]
+    xs = [1, 9, 2, 8, 3, 7, 4, 6]
+    cur, prev = xs[2:], xs[:-2]
+    n = len(cur)
+    mx, my = sum(cur) / n, sum(prev) / n
+    cov = sum((a - mx) * (b - my) for a, b in zip(cur, prev)) / (n - 1)
+    sx = math.sqrt(sum((a - mx) ** 2 for a in cur) / (n - 1))
+    sy = math.sqrt(sum((b - my) ** 2 for b in prev) / (n - 1))
+    assert got["n_pairs"] == n
+    assert got["acf"] == pytest.approx(cov / (sx * sy), rel=1e-9)
+
+
+# ---------------------------------------------------- format_patterns
+def test_format_pattern_expr_classes(spark):
+    df = spark.createDataFrame(
+        [("Nov 2024",), ("ABC-123",), ("  x ",), ("écrit",), (None,)],
+        "t string")
+    got = [r[0] for r in df.select(
+        format_pattern_expr("t")).collect()]
+    assert got == ["Aa_9", "A-9", "_a_", "éa", None]
+    raw = [r[0] for r in df.select(
+        format_pattern_expr("t", collapse_runs=False)).collect()]
+    assert raw == ["Aaa_9999", "AAA-999", "__a_", "éaaaa", None]
+
+
+def test_format_patterns_topk_and_null(spark):
+    rows = ([("2024-01-02", "A1")] * 5 + [("Jan 2, 2024", "B2")] * 3
+            + [(None, "C3")] * 2)
+    df = spark.createDataFrame(rows, "d string, code string")
+    out = format_patterns(df, ["d", "code"], k=2).collect()
+    by = {(r["column"], r["pattern"]): (r["cnt"], r["rank"])
+          for r in out}
+    assert by[("d", "9-9-9")] == (5, 1)
+    assert by[("d", "Aa_9,_9")] == (3, 2)
+    assert ("d", "<null>") not in by          # k=2 cuts the null row
+    assert by[("code", "A9")] == (10, 1)
+    with pytest.raises(ValueError):
+        format_patterns(df, [], k=2)
+    with pytest.raises(ValueError):
+        format_patterns(df, ["d"], k=0)
+
+
+def test_format_patterns_no_shuffle_before_agg(spark):
+    """Pattern extraction is a projection; the only row-scale exchange
+    is the (column, pattern) hash aggregate with a map-side partial."""
+    df = spark.range(1000).select(F.col("id").cast("string").alias("s"))
+    plan = (format_patterns(df, ["s"], k=3)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "partial_count" in plan, plan
+
+
+# --------------------------------------------------- gini_coefficient
+def _gini_python(vals):
+    sv = sorted(vals)
+    n = len(sv)
+    tot = sum(sv)
+    rank_sum = sum((i + 1) * v for i, v in enumerate(sv))
+    return 2.0 * rank_sum / (n * tot) - (n + 1.0) / n
+
+
+def test_gini_known_shapes(spark):
+    # all-equal -> 0; one holder of everything -> 1 - 1/n
+    eq = spark.createDataFrame([(5.0,)] * 40, "x double")
+    assert (gini_coefficient(eq, "x").collect()[0]["gini"]
+            == pytest.approx(0.0, abs=1e-12))
+    conc = spark.createDataFrame([(0.0,)] * 99 + [(100.0,)], "x double")
+    got = gini_coefficient(conc, "x").collect()[0]
+    assert got["gini"] == pytest.approx(1 - 1 / 100, rel=1e-12)
+    assert got["n"] == 100 and got["total"] == 100.0
+
+
+def test_gini_random_matches_python_with_ties(spark):
+    random.seed(31)
+    vals = [float(random.randrange(0, 50)) for _ in range(3_000)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = gini_coefficient(df, "x", num_buckets=7).collect()[0]
+    assert got["gini"] == pytest.approx(_gini_python(vals), rel=1e-9)
+    assert got["n"] == len(vals)
+    assert got["total"] == pytest.approx(sum(vals), rel=1e-9)
+
+
+def test_gini_guards(spark):
+    with pytest.raises(ValueError, match="negative"):
+        gini_coefficient(spark.createDataFrame(
+            [(1.0,), (-2.0,)], "x double"), "x").collect()
+    with pytest.raises(ValueError, match="zero total mass"):
+        gini_coefficient(spark.createDataFrame(
+            [(0.0,), (0.0,)], "x double"), "x").collect()
+    with pytest.raises(ValueError, match="no non-NULL"):
+        gini_coefficient(spark.createDataFrame(
+            [(None,)], "x double"), "x").collect()
+
+
+# ------------------------------------------------- ADVICE-fix pinning
+def test_fuzzy_gram_cap_is_partial_agg_not_window(spark):
+    """r8 ADVICE: the gram cap must count with a map-side-combined
+    groupBy (partial aggregate), never a per-gram window that
+    materializes the hottest gram in one task."""
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("prefix_"), F.col("id").cast("string"))
+        .alias("text"))
+    plan = (fuzzy_pairs_levenshtein(df, "text", "doc_id", max_dist=1,
+                                    max_gram_bucket=50)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "partial_count" in plan, plan
+    assert "RunningWindowFunction" not in plan
+    assert "Window" not in plan, plan
+
+
+def test_merge_intervals_rejects_negative_gap(spark):
+    df = spark.createDataFrame([("k", 0.0, 1.0)],
+                               "k string, s double, e double")
+    with pytest.raises(ValueError, match="min_gap"):
+        merge_intervals(df, "k", "s", "e", min_gap=-1)
+
+
+def test_merge_intervals_null_keys_still_dropped(spark):
+    """The dead struct predicate is gone; dropna(subset=keys) is the
+    (only, sufficient) NULL-key filter."""
+    rows = [("k", 0.0, 2.0), ("k", 1.0, 3.0), (None, 0.0, 9.0)]
+    df = spark.createDataFrame(rows, "k string, s double, e double")
+    got = merge_intervals(df, "k", "s", "e").collect()
+    assert len(got) == 1
+    assert (got[0]["span_start"], got[0]["span_end"],
+            got[0]["n_merged"]) == (0.0, 3.0, 2)
