@@ -30,6 +30,7 @@ from spark_df_profiling_spark.operators.similarity import (
 )
 from spark_df_profiling_spark.operators.frequency import (
     cms_positions,
+    format_pattern_expr,
     hll_position,
 )
 from spark_df_profiling_spark.operators.text import (
@@ -62,7 +63,8 @@ __all__ = [
     "alpha_ratio", "avg_token_len", "char_qgram_expr",
     "cms_positions", "content_hash", "hll_position",
     "cosine", "digit_ratio", "dot", "dup_ngram_ratio", "extract_urls",
-    "fingerprint_min_shingle", "hash_bucket", "l2_norm", "lang_id",
+    "fingerprint_min_shingle", "format_pattern_expr", "hash_bucket",
+    "l2_norm", "lang_id",
     "lang_scores", "n_chars", "n_tokens_bpe", "n_tokens_ws",
     "normalize_text", "pii_count", "punct_ratio", "quality_score",
     "registered_domain", "rolling_hash", "simhash64", "space_ratio",

@@ -518,6 +518,48 @@ def _num_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("wz_n_hi"))
 
 
+# gini fold: frequency.gini_coefficient over l_quantity (heavy ties —
+# the tie-block rank-sum collapse is the kernel under test) and
+# l_extendedprice (near-distinct values).  DuckDB replays the identical
+# grouped rank-sum: a tie block of value v / count c starting after bf
+# rows contributes v*(c*bf + c*(c+1)/2).
+def _gini_sql(col: str, alias: str) -> str:
+    return f"""
+(WITH gg AS (
+   SELECT CAST({col} AS DOUBLE) AS v, CAST(count(*) AS DOUBLE) AS c
+   FROM lineitem WHERE {col} IS NOT NULL GROUP BY 1),
+ gw AS (
+   SELECT v, c,
+          coalesce(sum(c) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS bf
+   FROM gg),
+ gs AS (SELECT sum(v * (c * bf + c * (c + 1) / 2.0)) AS rs,
+               sum(v * c) AS tot, sum(c) AS n FROM gw)
+ SELECT {_psig('2.0 * rs / (n * tot) - (n + 1.0) / n')} AS {alias}
+ FROM gs)
+"""
+
+
+_NUM_GINI_SQL = (f"SELECT * FROM {_gini_sql('l_quantity', 'gini_qty_s')} "
+                 f"\"gq\", {_gini_sql('l_extendedprice', 'gini_price_s')}"
+                 f" \"gp\"")
+
+
+def _num_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gini_coefficient (operators/frequency.py) through the REAL
+    operator — exact concentration of l_quantity (ties) and
+    l_extendedprice (near-distinct)."""
+    from spark_df_profiling_spark.operators.frequency import (
+        gini_coefficient)
+    li = _t(spark, sf_dir, "lineitem")
+    gq = (gini_coefficient(li, "l_quantity")
+          .select(sig(F.col("gini")).alias("gini_qty_s")))
+    gp = (gini_coefficient(li, "l_extendedprice")
+          .select(sig(F.col("gini")).alias("gini_price_s")))
+    return gq.crossJoin(gp)
+
+
 @query("num_stats", f"""
 SELECT * FROM ({_NUM_MOMENTS_SQL}) "mo",
               ({_NUM_QUANTILES_SQL}) "qu",
@@ -527,7 +569,8 @@ SELECT * FROM ({_NUM_MOMENTS_SQL}) "mo",
               ({_NUM_ROBUST_SQL}) "rz",
               ({_NUM_QEST_SQL}) "qe",
               ({_NUM_DIFF_SQL}) "di",
-              ({_NUM_WINS_SQL}) "wz"
+              ({_NUM_WINS_SQL}) "wz",
+              ({_NUM_GINI_SQL}) "gi"
 """)
 def num_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N1-N11 in one graded row: moments+zeros × exact quantiles × MAD ×
@@ -543,7 +586,8 @@ def num_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .crossJoin(_num_outliers(spark, sf_dir))
             .crossJoin(_num_quantile_est(spark, sf_dir))
             .crossJoin(_num_profile_diff(spark, sf_dir))
-            .crossJoin(_num_winsorize(spark, sf_dir)))
+            .crossJoin(_num_winsorize(spark, sf_dir))
+            .crossJoin(_num_gini(spark, sf_dir)))
 
 
 # ---------------------------------------------------------------------------
@@ -628,7 +672,39 @@ _register(
 # ---------------------------------------------------------------------------
 # C1: top-k frequency table (deterministic tie-break by value)
 # ---------------------------------------------------------------------------
-@query("freq_topk", """
+def _fmt_replay_sql(col: str) -> str:
+    """DuckDB replay of frequency.format_pattern_expr — the identical
+    class-substitution + run-collapse regexp chain (RE2-safe: character
+    classes and '+' only, no backreferences)."""
+    out = col
+    for pat, rep in (("[A-Z]", "A"), ("[a-z]", "a"), ("[0-9]", "9"),
+                     ("[ \\t\\r\\n\\f]", "_"),
+                     ("A+", "A"), ("a+", "a"), ("9+", "9"), ("_+", "_")):
+        out = f"regexp_replace({out}, '{pat}', '{rep}', 'g')"
+    return out
+
+
+_FMT_SQL = f"""
+SELECT 'fmt', col || ':' || CAST(rnk AS VARCHAR) || ':' || pattern, cnt
+FROM (
+  SELECT col, pattern, cnt,
+         row_number() OVER (PARTITION BY col
+                            ORDER BY cnt DESC, pattern) AS rnk
+  FROM (
+    SELECT col, pattern, count(*) AS cnt FROM (
+      SELECT 'o_orderpriority' AS col,
+             coalesce({_fmt_replay_sql('o_orderpriority')}, '<null>')
+                 AS pattern
+      FROM orders
+      UNION ALL
+      SELECT 'p_brand', coalesce({_fmt_replay_sql('p_brand')}, '<null>')
+      FROM part)
+    GROUP BY 1, 2))
+WHERE rnk <= 3
+"""
+
+
+@query("freq_topk", f"""
 SELECT 'topk' AS part, * FROM (
   SELECT o_orderpriority AS value, count(*) AS cnt
   FROM orders GROUP BY o_orderpriority
@@ -677,6 +753,8 @@ SELECT 'cms', lang, est FROM (
   SELECT q.lang AS lang, min(coalesce(st.cnt, 0)) AS est
   FROM q LEFT JOIN st USING (d, w)
   GROUP BY q.lang)
+UNION ALL
+{_FMT_SQL}
 ORDER BY part, value
 """)
 def freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -716,7 +794,25 @@ def freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select(F.lit("cms").alias("part"),
                    F.col("lang").alias("value"),
                    F.col("est_count").cast("long").alias("cnt")))
+    # 'fmt' rows grade frequency.format_patterns — top-3 character-class
+    # format patterns of orders.o_orderpriority ('5-LOW' -> '9-A',
+    # '4-NOT SPECIFIED' -> '9-A_A') and part.p_brand ('Brand#17' ->
+    # 'Aa#9'); DuckDB replays the identical RE2-safe regexp chain +
+    # (cnt, pattern) tie-broken rank.  The two single-column calls
+    # union into one frame — format_patterns itself stacks columns, but
+    # the graded inputs live in different tables.
+    from spark_df_profiling_spark.operators.frequency import (
+        format_patterns)
+    pt = _t(spark, sf_dir, "part")
+    fp = (format_patterns(o, ["o_orderpriority"], k=3)
+          .unionByName(format_patterns(pt, ["p_brand"], k=3)))
+    fmt = fp.select(F.lit("fmt").alias("part"),
+                    F.concat_ws(":", F.col("column"),
+                                F.col("rank").cast("string"),
+                                F.col("pattern")).alias("value"),
+                    "cnt")
     return (topk.unionByName(mode).unionByName(sk).unionByName(cms)
+            .unionByName(fmt)
             .orderBy("part", "value"))
 
 
@@ -924,10 +1020,54 @@ _corr_sql = "\nUNION ALL\n".join(
     f"{_psig(f'corr({x}, {y})')} AS rho FROM lineitem"
     for i, x in enumerate(_NUM_COLS) for y in _NUM_COLS[i + 1:])
 
+# 'catassoc' rows grade correlation.categorical_association — the
+# categorical counterpart of the Pearson matrix, over the TPC-H
+# (l_returnflag, l_linestatus) contingency table.  l_linestatus='O'
+# implies l_returnflag='N', so zero cells EXIST and the closed-form
+# zero-cell chi2 mass (n − Σe_obs, clamped at 0) is under the hash
+# gate; DuckDB replays margins, expected counts, MI, and the clamp.
+_CATASSOC_SQL = f"""
+WITH cj AS (SELECT l_returnflag AS a, l_linestatus AS b,
+                   count(*) AS o FROM lineitem
+            WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+            GROUP BY 1, 2),
+cra AS (SELECT a, sum(o) AS ra FROM cj GROUP BY 1),
+ccb AS (SELECT b, sum(o) AS cb FROM cj GROUP BY 1),
+ct AS (SELECT sum(o) AS n, count(DISTINCT a) AS r,
+              count(DISTINCT b) AS c FROM cj),
+ccells AS (
+  SELECT CAST(o AS DOUBLE) AS o,
+         CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / ct.n AS e,
+         CAST(ct.n AS DOUBLE) AS n, CAST(ra AS DOUBLE) AS ra,
+         CAST(cb AS DOUBLE) AS cb, ct.r AS r, ct.c AS c
+  FROM cj JOIN cra USING (a) JOIN ccb USING (b) CROSS JOIN ct),
+cagg AS (
+  SELECT first(n) AS n, first(r) AS r, first(c) AS c,
+         greatest(sum((o - e) * (o - e) / e) + (first(n) - sum(e)),
+                  0) AS chi2,
+         sum((o / n) * ln(o * n / (ra * cb))) AS mi
+  FROM ccells)
+SELECT 'catassoc' AS col_x, 'chi2' AS col_y, {_psig('chi2')} AS rho
+FROM cagg
+UNION ALL
+SELECT 'catassoc', 'cramers_v',
+       {_psig('sqrt(chi2 / (n * (least(r, c) - 1)))')} FROM cagg
+UNION ALL
+SELECT 'catassoc', 'mutual_info', {_psig('mi')} FROM cagg
+UNION ALL
+SELECT 'catassoc', 'shape',
+       CAST(CAST(n AS BIGINT) AS VARCHAR) || ':' ||
+       CAST(r AS VARCHAR) || ':' || CAST(c AS VARCHAR) || ':' ||
+       CAST((r - 1) * (c - 1) AS VARCHAR)
+FROM cagg
+"""
 
-@query("corr_matrix", _corr_sql)
+
+@query("corr_matrix",
+       f"{_corr_sql}\nUNION ALL\nSELECT * FROM (\n{_CATASSOC_SQL}\n)")
 def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_df_profiling_spark.operators.correlation import (
+        categorical_association,
         correlation_matrix,
     )
     li = _t(spark, sf_dir, "lineitem")
@@ -936,7 +1076,26 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, x in enumerate(_NUM_COLS) for y in _NUM_COLS[i + 1:]]
     out = spark.createDataFrame(rows, "col_x string, col_y string, "
                                       "rho_raw double")
-    return out.select("col_x", "col_y", sig(F.col("rho_raw")).alias("rho"))
+    pearson = out.select("col_x", "col_y",
+                         sig(F.col("rho_raw")).alias("rho"))
+    ca = categorical_association(li, "l_returnflag", "l_linestatus")
+    tag = lambda t: F.lit(t).alias("col_y")  # noqa: E731
+    cat = ca.select(
+        F.lit("catassoc").alias("col_x"),
+        F.explode(F.array(
+            F.struct(tag("chi2"), sig(F.col("chi2")).alias("rho")),
+            F.struct(tag("cramers_v"),
+                     sig(F.col("cramers_v")).alias("rho")),
+            F.struct(tag("mutual_info"),
+                     sig(F.col("mutual_info")).alias("rho")),
+            F.struct(tag("shape"),
+                     F.concat_ws(
+                         ":", F.col("n"), F.col("r_levels"),
+                         F.col("c_levels"), F.col("dof")).alias("rho")),
+        )).alias("kv")
+    ).select("col_x", F.col("kv.col_y").alias("col_y"),
+             F.col("kv.rho").alias("rho"))
+    return pearson.unionByName(cat)
 
 
 # ---------------------------------------------------------------------------
@@ -3107,6 +3266,26 @@ FROM (
   WINDOW w AS (PARTITION BY user_id ORDER BY tus
                RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))
 GROUP BY user_id
+UNION ALL
+SELECT 'acf:' || CAST(user_id AS VARCHAR), n_pairs,
+       CASE WHEN sx > 0 AND sy > 0
+            THEN CAST(floor(cov / (sx * sy) * 100000 + 0.5) AS BIGINT)
+            END
+FROM (
+  SELECT user_id,
+         CAST(sum(CASE WHEN v IS NOT NULL AND pv IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+         covar_samp(v, pv) AS cov,
+         stddev_samp(CASE WHEN v IS NOT NULL AND pv IS NOT NULL
+                          THEN v END) AS sx,
+         stddev_samp(CASE WHEN v IS NOT NULL AND pv IS NOT NULL
+                          THEN pv END) AS sy
+  FROM (
+    SELECT user_id, "value" AS v,
+           lag("value", 1) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_ns(ts) // 1000) AS pv
+    FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL)
+  GROUP BY user_id)
 ORDER BY key
 """)
 def stateful_user_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3165,7 +3344,23 @@ def stateful_user_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.concat(F.lit("roll:"),
                              F.col("user_id").cast("string")).alias("key"),
                     "total_events", "total_value_cents"))
-    return totals_rows.unionByName(fun).unionByName(roll).orderBy("key")
+    # 'acf:' rows grade correlation.autocorr — per-user lag-1
+    # autocorrelation of event values in event-time order ((user_id,
+    # ts) is unique in the driver data, so the ordering is total and
+    # cross-engine deterministic; pinned by the testdata canary).  The
+    # acf lands as round-half-up 1e-5 units — the same granularity as
+    # sig() on the Pearson matrix; DuckDB replays the guarded
+    # covar/stddev assembly including the NULL-on-zero-variance rule.
+    from spark_df_profiling_spark.operators.correlation import autocorr
+    ac = autocorr(evm, "tus", "value", "user_id", lag=1)
+    acf = ac.select(
+        F.concat(F.lit("acf:"),
+                 F.col("user_id").cast("string")).alias("key"),
+        F.col("n_pairs").alias("total_events"),
+        F.floor(F.col("acf") * 100000 + F.lit(0.5)).cast("long")
+        .alias("total_value_cents"))
+    return (totals_rows.unionByName(fun).unionByName(roll)
+            .unionByName(acf).orderBy("key"))
 
 
 # ---------------------------------------------------------------------------

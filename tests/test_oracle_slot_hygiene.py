@@ -1,0 +1,90 @@
+"""Oracle-slot hygiene (VERDICT r8 item 5): the driver's 50-slot cap is
+full, so related kernels share slots via tag columns (part / mode /
+src_col / method, or key prefixes).  A future edit that adds or renames
+a tag on the Spark side but not in the DuckDB SQL would silently grade
+the new rows against nothing (row-count mismatch at best, a hash pass
+on stale semantics at worst).  This test runs every tagged slot at
+sf0.001 and asserts each tag value present in the Spark frame appears
+as a quoted literal in the registered oracle SQL."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_df_profiling_spark import oracle
+
+# slot -> tag column whose distinct values must all appear as '<tag>'
+# literals in the oracle SQL
+TAGGED = {
+    "histogram_bins": "src_col",
+    "freq_topk": "part",
+    "freq_other_bucket": "part",
+    "date_minmax": "part",
+    "token_count_bpe": "part",
+    "dedup_exact_docs": "part",
+    "knn_bruteforce": "part",
+    "embedding_neardup_exact": "part",
+    "multimodal_meta": "part",
+    "minhash_native_pairs": "part",
+    "ann_recall_gates": "method",
+    "multidim_agg_counts": "mode",
+    "asof_click_attribution": "part",
+    "embedding_array_stats": "part",
+    "hash_sampling_suite": "part",
+    "drift_psi_lineitem": "part",
+    "mixture_sample_counts": "part",
+    "vocab_top_tokens": "part",
+}
+
+# slot -> column whose 'prefix:' headers (text before the first colon,
+# when followed by more text) must appear in the oracle SQL
+PREFIXED = {
+    "stateful_user_totals": "key",
+    "universal_documents": "column_name",
+}
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.parametrize("slot", sorted(TAGGED))
+def test_every_spark_tag_is_in_oracle_sql(spark, slot):
+    sql = oracle.ORACLE_SQL[slot]
+    df = oracle.SPARK_QUERIES[slot](spark, SF)
+    tags = [r[0] for r in
+            df.select(TAGGED[slot]).distinct().collect()]
+    assert tags, f"{slot}: no tag values at sf0.001?"
+    def graded(t):
+        if f"'{t}'" in sql:
+            return True
+        # composite tags ('split:train') may be built in SQL as
+        # 'split:' || <expr> — the prefix literal is the graded anchor
+        return ":" in t and f"'{t.split(':', 1)[0]}:" in sql
+
+    missing = [t for t in tags if not graded(t)]
+    assert not missing, (
+        f"{slot}: Spark emits tag(s) {missing} with no quoted literal "
+        f"in the oracle SQL — the DuckDB side no longer grades them")
+
+
+@pytest.mark.parametrize("slot", sorted(PREFIXED))
+def test_every_spark_key_prefix_is_in_oracle_sql(spark, slot):
+    sql = oracle.ORACLE_SQL[slot]
+    df = oracle.SPARK_QUERIES[slot](spark, SF)
+    col = PREFIXED[slot]
+    keys = [r[0] for r in df.select(col).distinct().collect()]
+    prefixes = sorted({m.group(1) for k in keys
+                       for m in [re.match(r"^([A-Za-z_][A-Za-z0-9_]*):.", k)]
+                       if m})
+    assert prefixes, f"{slot}: no prefixed keys at sf0.001?"
+    missing = [p for p in prefixes if f"'{p}:" not in sql]
+    assert not missing, (
+        f"{slot}: Spark emits key prefix(es) {missing} with no "
+        f"'{missing[0]}:' literal in the oracle SQL")
+
+
+def test_registry_sides_agree():
+    """Every queries() entry either has oracle SQL or is a documented
+    rows-only slot; no SQL is registered for a nonexistent query."""
+    orphans = set(oracle.ORACLE_SQL) - set(oracle.SPARK_QUERIES)
+    assert not orphans, f"oracle SQL without a Spark query: {orphans}"

@@ -67,3 +67,16 @@ def test_driver_table_schema_matches_oracle_assumptions(spark, sf_dir,
     assert not problems, (
         f"DRIVER DATA DRIFT in {table}.parquet — update the oracle "
         f"adapters (and this canary):\n  " + "\n  ".join(problems))
+
+
+def test_events_user_ts_unique_for_acf_ordering(spark, sf_dir):
+    """The stateful_user_totals 'acf:' fold orders each user's events by
+    ts alone; a (user_id, ts) collision would make the lag-1 pairing
+    engine-dependent.  Unique today at every SF — fail loudly on drift
+    (remedy: extend the autocorr oracle ordering with a tiebreaker)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from pyspark.sql import functions as F
+    n, nd = ev.agg(
+        F.count(F.lit(1)),
+        F.count_distinct("user_id", "ts")).collect()[0]
+    assert n == nd, "events (user_id, ts) no longer unique"
