@@ -867,17 +867,144 @@ def canonical_dedup(df: DataFrame, text_col: str = "text",
 # first /, :, ?, # or whitespace
 URL_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@\s]*@)?([^/:?#\s]+)"
 
-# Minimal TWO-LEVEL public-suffix set (documented approximation: the
-# full PSL is a data file, not an algorithm; these cover the common
-# ccTLD second-level registries so 'bbc.co.uk' -> 'bbc.co.uk', not
-# 'co.uk').  Extend per deployment; the parameter keeps the expression
-# pure codegen (a literal isin), no lookup join.
+# TWO-LEVEL public-suffix set — a static snapshot-style approximation
+# of the Mozilla Public Suffix List (the full PSL is a ~9k-rule data
+# file that cannot be fetched in this environment; this table carries
+# the ~250 second-level registries + hosting-platform entries that
+# dominate web-corpus traffic, reconstructed from PSL knowledge as of
+# 2026).  Covers both ICANN ccTLD registries ('bbc.co.uk' ->
+# 'bbc.co.uk', 'onet.com.pl' -> 'onet.com.pl') and the PSL "private"
+# section platforms ('user.github.io' -> 'user.github.io').  Extend per
+# deployment; the parameter keeps the expression pure codegen (a
+# literal isin — codegen compiles it to a hash-set probe), no lookup
+# join.  Known limit: three-level rules (e.g. Japanese city domains)
+# are not modeled.
 TWO_LEVEL_SUFFIXES = (
-    "co.uk", "ac.uk", "gov.uk", "org.uk", "me.uk",
-    "co.jp", "ne.jp", "or.jp", "ac.jp",
-    "com.au", "net.au", "org.au", "edu.au",
-    "co.nz", "com.br", "com.cn", "com.mx", "co.in", "co.za",
-    "com.sg", "com.tr", "com.ar", "co.kr",
+    # United Kingdom
+    "co.uk", "ac.uk", "gov.uk", "org.uk", "me.uk", "net.uk",
+    "ltd.uk", "plc.uk", "sch.uk", "nhs.uk",
+    # Japan
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "ad.jp", "ed.jp", "go.jp",
+    "gr.jp", "lg.jp",
+    # Australia / New Zealand
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au",
+    "id.au",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz",
+    "geek.nz", "gen.nz", "maori.nz", "iwi.nz",
+    # Brazil
+    "com.br", "net.br", "org.br", "gov.br", "edu.br", "mil.br",
+    "art.br", "adv.br", "ind.br", "inf.br", "med.br", "nom.br",
+    "rec.br", "srv.br", "tur.br", "tv.br", "blog.br", "wiki.br",
+    # China / Hong Kong / Taiwan
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "mil.cn", "ah.cn", "bj.cn", "sh.cn", "gd.cn", "zj.cn", "js.cn",
+    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk", "idv.hk",
+    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw", "idv.tw",
+    "game.tw", "club.tw",
+    # India / Indonesia / Pakistan / Bangladesh / Sri Lanka / Nepal
+    "co.in", "net.in", "org.in", "gen.in", "firm.in", "ind.in",
+    "nic.in", "ac.in", "edu.in", "res.in", "gov.in", "mil.in",
+    "co.id", "or.id", "ac.id", "go.id", "web.id", "sch.id",
+    "net.id", "my.id", "biz.id",
+    "com.pk", "net.pk", "org.pk", "edu.pk", "gov.pk", "biz.pk",
+    "web.pk",
+    "com.bd", "net.bd", "org.bd", "edu.bd", "gov.bd", "ac.bd",
+    "com.lk", "net.lk", "org.lk", "edu.lk", "gov.lk", "ac.lk",
+    "sch.lk",
+    "com.np", "net.np", "org.np", "edu.np", "gov.np",
+    # Koreas / SE Asia
+    "co.kr", "ne.kr", "or.kr", "re.kr", "pe.kr", "go.kr", "ac.kr",
+    "hs.kr", "ms.kr", "es.kr", "sc.kr", "mil.kr",
+    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg", "per.sg",
+    "co.th", "net.th", "or.th", "ac.th", "go.th", "in.th", "mi.th",
+    "com.my", "net.my", "org.my", "edu.my", "gov.my", "mil.my",
+    "name.my",
+    "com.ph", "net.ph", "org.ph", "edu.ph", "gov.ph", "ngo.ph",
+    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn", "ac.vn",
+    "biz.vn", "info.vn", "name.vn", "pro.vn", "int.vn",
+    # Middle East / Africa
+    "co.il", "net.il", "org.il", "ac.il", "gov.il", "muni.il",
+    "k12.il",
+    "com.tr", "net.tr", "org.tr", "edu.tr", "gov.tr", "mil.tr",
+    "k12.tr", "av.tr", "dr.tr", "bel.tr", "pol.tr",
+    "com.sa", "net.sa", "org.sa", "edu.sa", "gov.sa", "med.sa",
+    "pub.sa", "sch.sa",
+    "co.ae", "net.ae", "org.ae", "ac.ae", "gov.ae", "sch.ae",
+    "mil.ae",
+    "com.eg", "net.eg", "org.eg", "edu.eg", "gov.eg", "sci.eg",
+    "eun.eg", "name.eg",
+    "com.jo", "net.jo", "org.jo", "edu.jo", "gov.jo", "mil.jo",
+    "sch.jo",
+    "com.lb", "net.lb", "org.lb", "edu.lb", "gov.lb",
+    "com.kw", "net.kw", "org.kw", "edu.kw", "gov.kw", "ind.kw",
+    "com.qa", "net.qa", "org.qa", "edu.qa", "gov.qa", "sch.qa",
+    "com.om", "net.om", "org.om", "edu.om", "gov.om", "co.om",
+    "med.om", "pro.om",
+    "co.za", "net.za", "org.za", "gov.za", "edu.za", "ac.za",
+    "web.za",
+    "com.ng", "net.ng", "org.ng", "edu.ng", "gov.ng", "sch.ng",
+    "name.ng", "mobi.ng", "i.ng",
+    "co.ke", "ne.ke", "or.ke", "ac.ke", "go.ke", "info.ke",
+    "me.ke", "mobi.ke", "sc.ke",
+    # Latin America
+    "com.mx", "net.mx", "org.mx", "edu.mx", "gob.mx",
+    "com.ar", "net.ar", "org.ar", "edu.ar", "gob.ar", "gov.ar",
+    "int.ar", "mil.ar",
+    "com.co", "net.co", "org.co", "edu.co", "gov.co", "nom.co",
+    "mil.co",
+    "com.pe", "net.pe", "org.pe", "edu.pe", "gob.pe", "mil.pe",
+    "nom.pe",
+    "com.ve", "net.ve", "org.ve", "edu.ve", "gob.ve", "co.ve",
+    "info.ve", "mil.ve", "web.ve",
+    "com.ec", "net.ec", "org.ec", "edu.ec", "gob.ec", "gov.ec",
+    "fin.ec", "info.ec", "med.ec", "pro.ec",
+    "com.uy", "net.uy", "org.uy", "edu.uy", "gub.uy", "mil.uy",
+    "com.py", "net.py", "org.py", "edu.py", "gov.py", "coop.py",
+    "mil.py",
+    "com.bo", "net.bo", "org.bo", "edu.bo", "gob.bo", "gov.bo",
+    "int.bo", "mil.bo", "tv.bo", "web.bo",
+    "com.gt", "net.gt", "org.gt", "edu.gt", "gob.gt", "ind.gt",
+    "mil.gt",
+    "co.cr", "ac.cr", "ed.cr", "fi.cr", "go.cr", "or.cr", "sa.cr",
+    "com.do", "net.do", "org.do", "edu.do", "gob.do", "gov.do",
+    "mil.do", "sld.do", "web.do", "art.do",
+    # Europe misc
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "info.pl",
+    "waw.pl", "wroc.pl", "krakow.pl", "lodz.pl", "poznan.pl",
+    "com.ru", "net.ru", "org.ru", "ac.ru", "gov.ru", "edu.ru",
+    "int.ru", "mil.ru", "msk.ru", "spb.ru",
+    "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "in.ua",
+    "kiev.ua",
+    "co.at", "or.at", "ac.at", "gv.at", "priv.at",
+    "com.gr", "net.gr", "org.gr", "edu.gr", "gov.gr",
+    "com.cy", "net.cy", "org.cy", "ac.cy", "gov.cy", "ltd.cy",
+    "biz.cy", "press.cy", "pro.cy", "tm.cy",
+    "com.es", "nom.es", "org.es", "gob.es", "edu.es",
+    "gov.it", "edu.it",
+    "com.pt", "net.pt", "org.pt", "edu.pt", "gov.pt", "int.pt",
+    "publ.pt", "nome.pt",
+    "asso.fr", "com.fr", "gouv.fr", "nom.fr", "tm.fr", "prd.fr",
+    "com.se", "org.se", "pp.se", "tm.se", "ac.se",
+    "co.hu", "org.hu", "info.hu", "priv.hu", "sport.hu", "tm.hu",
+    "com.mt", "net.mt", "org.mt", "edu.mt",
+    "com.ro", "org.ro", "tm.ro", "nt.ro", "nom.ro", "info.ro",
+    "rec.ro", "arts.ro", "firm.ro", "store.ro", "www.ro",
+    # PSL private section — hosting / publishing platforms (each
+    # subdomain is an independent registrant: the dedup / domain-mix
+    # semantics that matter for web corpora)
+    "github.io", "gitlab.io", "blogspot.com", "wordpress.com",
+    "tumblr.com", "netlify.app", "vercel.app", "herokuapp.com",
+    "web.app", "firebaseapp.com", "pages.dev", "workers.dev",
+    "azurewebsites.net", "cloudfront.net", "amazonaws.com",
+    "appspot.com", "readthedocs.io", "neocities.org", "weebly.com",
+    "wixsite.com", "repl.co", "glitch.me", "surge.sh", "onrender.com",
+    "fly.dev", "deno.dev", "cloudflaressl.com", "fastly.net",
+    "windows.net", "oraclecloud.com", "linodeusercontent.com",
+    "digitaloceanspaces.com", "b-cdn.net", "hubspotpagebuilder.com",
+    "myshopify.com", "squarespace.com", "cargo.site", "webflow.io",
+    "bubbleapps.io", "notion.site", "substack.com", "ghost.io",
+    "hashnode.dev", "bearblog.dev", "micro.blog", "dreamhosters.com",
+    "000webhostapp.com", "altervista.org", "base.shop", "carrd.co",
 )
 
 

@@ -3894,6 +3894,12 @@ _PII_FIXTURES = [
     "host 192.168.0.1 fallback 10.0.0.254",
     "call +1 (415) 555-0100 today",
     "clean row with no sensitive content",
+    # multi-level public-suffix hosts: PSL-private platform
+    # (user1.github.io must stay user1.github.io, NOT github.io),
+    # ccTLD second-level registry (onet.com.pl NOT com.pl), and a
+    # deep subdomain under a plain TLD (a.b.example.com -> example.com)
+    "pages https://www.user1.github.io/repo and "
+    "https://shop.onet.com.pl/x plus http://deep.a.b.example.com/y?z=1",
 ]
 
 

@@ -272,3 +272,22 @@ def test_merge_intervals_null_keys_still_dropped(spark):
     assert len(got) == 1
     assert (got[0]["span_start"], got[0]["span_end"],
             got[0]["n_merged"]) == (0.0, 3.0, 2)
+
+
+# -------------------------------------- expanded public-suffix table
+def test_registered_domain_multilevel_suffixes(spark):
+    from spark_df_profiling_spark.operators.text import (
+        registered_domain, url_host)
+    rows = [("https://www.user1.github.io/repo",),   # PSL private
+            ("https://shop.onet.com.pl/x",),         # ccTLD 2nd-level
+            ("http://blog.x.blogspot.com/p",),
+            ("https://api.foo.herokuapp.com/v1",),
+            ("https://news.bbc.co.uk/story",),
+            ("http://a.b.example.com/",),            # plain TLD
+            ("https://localhost/x",)]                # single label
+    df = spark.createDataFrame(rows, "u string")
+    got = [r[0] for r in df.select(
+        registered_domain(url_host("u")).alias("d")).collect()]
+    assert got == ["user1.github.io", "onet.com.pl", "x.blogspot.com",
+                   "foo.herokuapp.com", "bbc.co.uk", "example.com",
+                   "localhost"]

@@ -1149,6 +1149,85 @@ def r8c_main() -> None:
           f"(hot-user frames max {n_roll[0][0]})", flush=True)
 
 
+def r9_main() -> None:
+    """Round-9 (newly graded r8-buzzer) operators at 10x with planted
+    skew:
+
+    * gini_coefficient over 6M rows where ONE value holds 50% of all
+      rows (the tie-block rank-sum collapse under maximal tie skew —
+      the same value-keyed layout ks_2samp rehearsed);
+    * categorical_association over a 10k x 10k-level pair (stresses
+      the #cells margin frames: ~6M observed cells, 10k-row margins);
+    * autocorr over 2M events with ONE key holding 50% (per-key
+      ordering serialization bound, same planting as sessionize);
+    * format_patterns over 6M strings with per-row pattern variety.
+    """
+    spark = (SparkSession.builder.master("local[32]")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory", "32g")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    t = lambda name: spark.read.parquet(f"{SF_DIR}/{name}.parquet")
+    li = replicate(t("lineitem"), ["l_orderkey"], REPLICAS,
+                   materialize_as="lineitem_x10_r9", spark=spark)
+    n_li = li.count()
+
+    # -- gini with a 50% tie block -------------------------------------
+    from spark_df_profiling_spark.operators.frequency import (
+        format_patterns, gini_coefficient)
+    g_in = li.select(
+        F.when(F.pmod(F.xxhash64("l_orderkey", "l_linenumber"),
+                      F.lit(2)) == 0, F.lit(100.0))
+        .otherwise(F.col("l_extendedprice")).alias("x"))
+    t0 = time.time()
+    g = gini_coefficient(g_in, "x").collect()[0]
+    t_g = time.time() - t0
+    print(f"gini over {n_li} rows, 1 value=50% ties: gini={g['gini']:.4f} "
+          f"n={g['n']} {t_g:.1f}s", flush=True)
+
+    # -- categorical association at 10k x 10k levels -------------------
+    from spark_df_profiling_spark.operators.correlation import (
+        autocorr, categorical_association)
+    wide = li.select(
+        F.pmod(F.xxhash64("l_orderkey"), F.lit(10000)).cast("string")
+        .alias("a"),
+        F.pmod(F.xxhash64("l_partkey", F.lit(3)), F.lit(10000))
+        .cast("string").alias("b"))
+    t0 = time.time()
+    ca = categorical_association(wide, "a", "b").collect()[0]
+    t_ca = time.time() - t0
+    print(f"catassoc {n_li} rows, {ca['r_levels']}x{ca['c_levels']} "
+          f"levels: chi2={ca['chi2']:.0f} V={ca['cramers_v']:.4f} "
+          f"MI={ca['mutual_info']:.4f} {t_ca:.1f}s", flush=True)
+
+    # -- autocorr with a 50% hot key -----------------------------------
+    ev = spark.range(2_000_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit(1))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(20000))).alias("u"),
+        F.col("id").cast("double").alias("ts"),
+        (F.pmod(F.xxhash64("id", F.lit(9)), F.lit(10000)) / 100.0)
+        .alias("v"))
+    t0 = time.time()
+    n_ac = autocorr(ev, "ts", "v", "u").count()
+    t_ac = time.time() - t0
+    print(f"autocorr 2M events, 1 key=50%: {n_ac} keys {t_ac:.1f}s",
+          flush=True)
+
+    # -- format patterns over 6M strings -------------------------------
+    fin = li.select(
+        F.concat(F.col("l_returnflag"), F.lit("#"),
+                 F.col("l_orderkey").cast("string"), F.lit("-"),
+                 F.col("l_shipdate").cast("string")).alias("s1"),
+        F.col("l_extendedprice").cast("string").alias("s2"))
+    t0 = time.time()
+    n_fp = format_patterns(fin, ["s1", "s2"], k=10).count()
+    t_fp = time.time() - t0
+    print(f"format_patterns 2 cols x {n_li} rows: {n_fp} rows "
+          f"{t_fp:.1f}s", flush=True)
+
+
 if __name__ == "__main__":
     if "skew" in sys.argv:
         skew_main()
@@ -1164,6 +1243,8 @@ if __name__ == "__main__":
         r7f_main()
     elif "r7g" in sys.argv:
         r7g_main()
+    elif "r9" in sys.argv:
+        r9_main()
     elif "r8c" in sys.argv:
         r8c_main()
     elif "r8b" in sys.argv:
