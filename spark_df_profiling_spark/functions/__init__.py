@@ -35,6 +35,7 @@ from spark_df_profiling_spark.operators.frequency import (
 )
 from spark_df_profiling_spark.operators.text import (
     alpha_ratio,
+    canonical_url,
     extract_urls,
     normalize_text,
     registered_domain,
@@ -60,7 +61,7 @@ from spark_df_profiling_spark.operators.text import (
 )
 
 __all__ = [
-    "alpha_ratio", "avg_token_len", "char_qgram_expr",
+    "alpha_ratio", "avg_token_len", "canonical_url", "char_qgram_expr",
     "cms_positions", "content_hash", "hll_position",
     "cosine", "digit_ratio", "dot", "dup_ngram_ratio", "extract_urls",
     "fingerprint_min_shingle", "format_pattern_expr", "hash_bucket",

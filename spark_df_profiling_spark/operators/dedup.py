@@ -270,10 +270,16 @@ def _minhash_shingles_bands(df: DataFrame, text_col: str, id_col: str,
                                        {rows_per_band})) AS key))
             """)).alias("bk")).select("id", "bk.band", "bk.key")
     if max_bucket_size is not None:
-        w = Window.partitionBy("band", "key")
-        bands = (bands.withColumn("__bsz", F.count(F.lit(1)).over(w))
-                 .where(F.col("__bsz") <= max_bucket_size)
-                 .drop("__bsz"))
+        # count buckets with a map-side-combined groupBy, NOT a
+        # per-bucket window: the degenerate bucket the cap exists to
+        # drop must never be materialized row-scale in one window task
+        # (the same fix as fuzzy_pairs_levenshtein's gram cap)
+        hot = (bands.groupBy("band", "key")
+               .agg(F.count(F.lit(1)).alias("__bsz"))
+               .where(F.col("__bsz") > max_bucket_size)
+               .select("band", "key"))
+        bands = bands.join(F.broadcast(hot), ["band", "key"],
+                           "left_anti")
     return sh, bands
 
 
@@ -328,6 +334,145 @@ def minhash_candidates_native(df: DataFrame, text_col: str, id_col: str,
                         .alias("jaccard_distance"))
                 .where(F.col("jaccard_distance") <= jaccard_max_distance))
     return verified
+
+
+def _sig_expr(num_hashes: int, hash_fn: str) -> Column:
+    """MinHash signature array over the shingle array column ``sh``:
+    ``sig[s] = min over shingles of hash_s(shingle)``.  ``xxhash64`` is
+    the fast JVM default (seeded per hash index); ``md5`` uses the
+    60-bit hex-prefix idiom (``md5(shingle || '#mh' || s)``) shared with
+    bloom/cms/hll — slower, but replayable bit-for-bit in any engine
+    with md5(), which is what lets the DuckDB oracle replay the WHOLE
+    signature pipeline (not just verify candidates)."""
+    if hash_fn == "xxhash64":
+        return F.expr(f"""transform(sequence(0, {num_hashes - 1}),
+            s -> array_min(transform(sh, x -> xxhash64(s, x))))""")
+    if hash_fn == "md5":
+        return F.expr(f"""transform(sequence(0, {num_hashes - 1}),
+            s -> array_min(transform(sh,
+                x -> cast(conv(substring(md5(concat(
+                         x, '#mh', cast(s AS string))), 1, 15), 16, 10)
+                     AS bigint))))""")
+    raise ValueError(f"hash_fn must be xxhash64|md5: {hash_fn}")
+
+
+def minhash_signature_state(df: DataFrame, text_col: str, id_col: str,
+                            shingle_n: int = 3, num_hashes: int = 16,
+                            hash_fn: str = "xxhash64") -> DataFrame:
+    """Persistable MinHash signature state — ``(id, sig)`` with ``sig``
+    an ``array<bigint>`` of ``num_hashes`` components (8·num_hashes
+    bytes per doc): the NEAR-dup counterpart of
+    :func:`history_hashes`'s exact-dup state.  Store it (parquet,
+    bucketed by id) and each day-2 batch runs
+    :func:`neardup_against_history` against it without ever rescanning
+    or re-storing history texts; appending the batch's own signatures
+    keeps the state current (state growth is O(docs), not O(bytes)).
+
+    ``E[fraction of agreeing components] = Jaccard(a, b)`` — the
+    signature IS a Jaccard estimator, so verification needs no texts.
+    With ``num_hashes=16`` the estimate is coarse (1/16 steps);
+    production thresholds around 0.8 want 64–128 hashes (still ≤ 1 KB
+    per doc).  Docs shorter than ``shingle_n`` tokens have no shingles
+    and are excluded (no signature to store) — handle short docs with
+    exact dedup.
+
+    Plan: one narrow projection (shingles → signature fold) — no
+    shuffle at all; the output is written/bucketed by the caller.
+    """
+    sh = (df.select(F.col(id_col).alias("id"),
+                    shingle_expr(text_col, shingle_n).alias("sh"))
+          .where(F.size("sh") > 0))
+    return sh.select("id", _sig_expr(num_hashes, hash_fn).alias("sig"))
+
+
+def _band_key_expr(num_hashes: int, rows_per_band: int,
+                   hash_fn: str) -> Column:
+    """Exploded LSH band keys from a stored ``sig`` array column:
+    ``(band, key)`` structs.  xxhash64 of the slice for the JVM path;
+    the md5 path hashes the comma-joined slice through the same 60-bit
+    hex-prefix idiom so DuckDB replays the bucket assignment."""
+    b = num_hashes // rows_per_band
+    if hash_fn == "xxhash64":
+        return F.expr(f"""transform(sequence(0, {b - 1}),
+            i -> struct(i AS band,
+                        xxhash64(slice(sig, i * {rows_per_band} + 1,
+                                       {rows_per_band})) AS key))""")
+    return F.expr(f"""transform(sequence(0, {b - 1}),
+        i -> struct(i AS band,
+                    cast(conv(substring(md5(concat(
+                        array_join(slice(sig, i * {rows_per_band} + 1,
+                                         {rows_per_band}), ','),
+                        '#mb')), 1, 15), 16, 10) AS bigint) AS key))""")
+
+
+def neardup_against_history(batch: DataFrame, history: DataFrame,
+                            text_col: str, id_col: str,
+                            shingle_n: int = 3, num_hashes: int = 16,
+                            rows_per_band: int = 1,
+                            min_agreement: float = 0.5,
+                            max_bucket_size: int | None = None,
+                            hash_fn: str = "xxhash64") -> DataFrame:
+    """Near-duplicate matches of a new batch AGAINST STORED SIGNATURES —
+    cross-run incremental near-dedup: ``(id, hist_id, sig_agreement)``
+    for every batch doc whose signature agrees with a history signature
+    on ≥ ``min_agreement`` of components.  ``history`` is a
+    :func:`minhash_signature_state` output built with the SAME
+    (shingle_n, num_hashes, hash_fn) — mismatched configs silently
+    produce garbage, same contract as ``hll_merge``.
+
+    This is what :func:`dedup_against_history` (exact 256-bit hashes)
+    cannot do: yesterday's article re-published with a new byline still
+    matches.  Verification is pure signature agreement — history TEXTS
+    are never read, so the daily join touches only
+    8·num_hashes bytes/doc of state.
+
+    Plan: batch signatures are a narrow projection; both sides explode
+    ≤ ``num_hashes/rows_per_band`` band keys per doc; candidates come
+    from an ordinary (band, key) hash join (never a cross join);
+    agreement evaluates per candidate pair via one zip_with fold.
+    ``max_bucket_size`` drops degenerate buckets counted across BOTH
+    sides with a map-side-combined groupBy + broadcast anti-join (the
+    skew-immune cap shape; documented recall trade).  Dedup the batch
+    against itself separately (``near_dedup_minhash``) — this operator
+    only looks backwards.
+    """
+    if not (1 <= rows_per_band <= num_hashes) \
+            or num_hashes % rows_per_band != 0:
+        raise ValueError(
+            f"rows_per_band must divide num_hashes and lie in "
+            f"[1, {num_hashes}]: got {rows_per_band}")
+    if not (0.0 <= min_agreement <= 1.0):
+        raise ValueError(f"min_agreement must be in [0, 1]: "
+                         f"{min_agreement}")
+    bsig = minhash_signature_state(batch, text_col, id_col,
+                                   shingle_n, num_hashes, hash_fn)
+    bk = _band_key_expr(num_hashes, rows_per_band, hash_fn)
+    bb = (bsig.select("id", F.explode(bk).alias("b"))
+          .select("id", "b.band", "b.key"))
+    hb = (history.select(F.col("id").alias("hist_id"), "sig")
+          .select("hist_id", F.explode(bk).alias("b"))
+          .select("hist_id", "b.band", "b.key"))
+    if max_bucket_size is not None:
+        both = (bb.select("band", "key")
+                .unionByName(hb.select("band", "key")))
+        hot = (both.groupBy("band", "key")
+               .agg(F.count(F.lit(1)).alias("__bsz"))
+               .where(F.col("__bsz") > max_bucket_size)
+               .select("band", "key"))
+        bb = bb.join(F.broadcast(hot), ["band", "key"], "left_anti")
+        hb = hb.join(F.broadcast(hot), ["band", "key"], "left_anti")
+    cand = (bb.join(hb, ["band", "key"])
+            .select("id", "hist_id").distinct())
+    hs = history.select(F.col("id").alias("hist_id"),
+                        F.col("sig").alias("sig_h"))
+    agree = F.expr("""aggregate(zip_with(sig, sig_h,
+                        (x, y) -> IF(x = y, 1, 0)),
+                      0, (acc, v) -> acc + v)""")
+    return (cand.join(bsig, "id").join(hs, "hist_id")
+            .select("id", "hist_id",
+                    (agree.cast("double") / num_hashes)
+                    .alias("sig_agreement"))
+            .where(F.col("sig_agreement") >= min_agreement))
 
 
 def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:

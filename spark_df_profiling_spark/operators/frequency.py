@@ -383,6 +383,80 @@ def hll_estimate(state: DataFrame, p: int = 12,
     return agg.select(F.round(est).cast("long").alias(out_col))
 
 
+def hll_state_by(df: DataFrame, group_cols: str | list[str],
+                 cols: str | list[str], p: int = 12) -> DataFrame:
+    """Per-group HyperLogLog state — the grouped sibling of
+    :func:`hll_state`: one ``(group..., reg, rho)`` row per occupied
+    register per group, at most ``2**p`` rows per group.  THE
+    cardinality primitive of a corpus dashboard ("distinct users per
+    domain per day", "distinct documents per source") when the groups
+    must be re-aggregatable across runs: states for daily batches merge
+    with :func:`hll_merge_by` (register-wise max per group IS per-group
+    set union) without ever rescanning history — ``approx_count_
+    distinct`` answers today's number but its state cannot be stored.
+
+    NULL group keys form their own group (they do in ``groupBy`` too);
+    filter upstream if unwanted.
+
+    Plan: one narrow projection to (group, reg, rho) feeding a
+    (group, reg)-keyed hash aggregate with map-side partial max — a
+    hot group arrives at its reducers as ≤ m rows per upstream task,
+    never row-scale.  State size is ``Σ_g min(distinct_g, m)`` rows;
+    with p=12 and 16-byte groups, ~64 KB per saturated group.
+    """
+    from spark_df_profiling_spark.operators.dedup import content_hash
+    if not (4 <= p <= 18):
+        raise ValueError(f"need 4 <= p <= 18: {p}")
+    gcols = [group_cols] if isinstance(group_cols, str) \
+        else list(group_cols)
+    vcols = [cols] if isinstance(cols, str) else list(cols)
+    pos = hll_position(content_hash(vcols), p)
+    return (df.select(*gcols, pos.alias("p"))
+            .groupBy(*gcols, F.col("p.reg").alias("reg"))
+            .agg(F.max(F.col("p.rho")).alias("rho")))
+
+
+def hll_merge_by(group_cols: str | list[str],
+                 *states: DataFrame) -> DataFrame:
+    """Merge per-group HLL states built with the SAME (p, cols):
+    register-wise max within each group — per-group set union, exactly.
+    Groups absent from one state pass through (union with ∅)."""
+    if not states:
+        raise ValueError("need at least one state")
+    gcols = [group_cols] if isinstance(group_cols, str) \
+        else list(group_cols)
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*gcols, "reg").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate_by(state: DataFrame, group_cols: str | list[str],
+                    p: int = 12,
+                    out_col: str = "est_distinct") -> DataFrame:
+    """Per-group HLL cardinality estimates: one row per group,
+    ``(group..., est_distinct)``.  Identical estimator arithmetic to
+    :func:`hll_estimate` (alpha_m bias, empty-register Z mass, linear-
+    counting switch) applied per group over the ≤ m-rows-per-group
+    state — ONE group-keyed aggregation, driver never sees row-scale
+    data."""
+    m = 2 ** p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    gcols = [group_cols] if isinstance(group_cols, str) \
+        else list(group_cols)
+    agg = state.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("occ"),
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("z_occ"))
+    v = F.lit(m) - F.col("occ")
+    z = F.coalesce(F.col("z_occ"), F.lit(0.0)) + v.cast("double")
+    raw = F.lit(alpha * m * m) / z
+    est = F.when((raw <= F.lit(2.5 * m)) & (v > 0),
+                 F.lit(float(m)) * F.log(F.lit(m).cast("double") / v)
+                 ).otherwise(raw)
+    return agg.select(*gcols,
+                      F.round(est).cast("long").alias(out_col))
+
+
 def format_pattern_expr(col, collapse_runs: bool = True):
     """Character-class format pattern of a string column: uppercase →
     ``A``, lowercase → ``a``, digits → ``9``, whitespace → ``_``; other

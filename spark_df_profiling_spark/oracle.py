@@ -672,6 +672,11 @@ _register(
 # ---------------------------------------------------------------------------
 # C1: top-k frequency table (deterministic tie-break by value)
 # ---------------------------------------------------------------------------
+# p=12 HLL estimator constant (alpha_m * m^2), shared by the global
+# ('hll' in dedup_exact_docs) and grouped ('hllgrp' below) replays
+_HLL_ALPHA_M2 = repr(0.7213 / (1 + 1.079 / 4096) * 4096 * 4096)
+
+
 def _fmt_replay_sql(col: str) -> str:
     """DuckDB replay of frequency.format_pattern_expr — the identical
     class-substitution + run-collapse regexp chain (RE2-safe: character
@@ -755,6 +760,29 @@ SELECT 'cms', lang, est FROM (
   GROUP BY q.lang)
 UNION ALL
 {_FMT_SQL}
+UNION ALL
+SELECT 'hllgrp', lang, est FROM (
+  WITH gh AS (
+    SELECT lang,
+           ('0x' || substr(md5(sha256(coalesce(text, chr(0) || 'NULL'))
+                               || '#hll'), 1, 15))::BIGINT AS hv
+    FROM documents),
+  gpos AS (SELECT lang, hv // 281474976710656 AS reg,
+                  hv % 281474976710656 AS rem FROM gh),
+  gst AS (SELECT lang, reg,
+                 MAX(CASE WHEN rem = 0 THEN 49
+                          ELSE 49 - length(bin(rem)) END) AS rho
+          FROM gpos GROUP BY lang, reg),
+  gagg AS (SELECT lang, CAST(count(*) AS BIGINT) AS occ,
+                  SUM(power(2.0, -rho)) AS z_occ
+           FROM gst GROUP BY lang),
+  gcalc AS (SELECT lang, occ, 4096 - occ AS v,
+                   coalesce(z_occ, 0.0) + (4096 - occ) AS z FROM gagg)
+  SELECT lang,
+         CAST(round(CASE WHEN ({_HLL_ALPHA_M2} / z) <= 10240.0 AND v > 0
+                    THEN 4096.0 * ln(4096.0 / v)
+                    ELSE {_HLL_ALPHA_M2} / z END) AS BIGINT) AS est
+  FROM gcalc)
 ORDER BY part, value
 """)
 def freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -811,8 +839,19 @@ def freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 F.col("rank").cast("string"),
                                 F.col("pattern")).alias("value"),
                     "cnt")
+    # 'hllgrp' rows grade the grouped HLL trio (frequency.hll_state_by
+    # + hll_estimate_by): per-lang distinct-text estimates under p=12 —
+    # DuckDB replays every register (same md5/sha256 arithmetic as the
+    # global 'hll' fold) and the per-group estimator
+    from spark_df_profiling_spark.operators.frequency import (
+        hll_estimate_by, hll_state_by)
+    stg = hll_state_by(d, "lang", ["text"], p=12)
+    hg = (hll_estimate_by(stg, "lang", p=12)
+          .select(F.lit("hllgrp").alias("part"),
+                  F.col("lang").alias("value"),
+                  F.col("est_distinct").alias("cnt")))
     return (topk.unionByName(mode).unionByName(sk).unionByName(cms)
-            .unionByName(fmt)
+            .unionByName(fmt).unionByName(hg)
             .orderBy("part", "value"))
 
 
@@ -2250,6 +2289,59 @@ SELECT 'cross', corpus_id, bench_id, jd FROM (
              AS jd_raw
   FROM shc a, shb b)
 WHERE jd_raw <= 0.5
+UNION ALL
+SELECT 'hist', hist_id, batch_id, CAST(m AS VARCHAR) FROM (
+  WITH hd AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+  bd AS (
+    SELECT doc_id + 100000 AS doc_id,
+           array_to_string(
+               string_split(text,' ')[1:len(string_split(text,' '))-1],
+               ' ') || ' xyzzy' AS text
+    FROM documents WHERE doc_id < 20),
+  hsh AS (
+    SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+                                  for i in range(1, len(toks) - 1)]) AS sh
+    FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+          FROM hd)
+    WHERE len(toks) >= 3),
+  bsh AS (
+    SELECT doc_id, list_distinct([array_to_string(toks[i:i+2], ' ')
+                                  for i in range(1, len(toks) - 1)]) AS sh
+    FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+          FROM bd)
+    WHERE len(toks) >= 3),
+  hsig AS (
+    SELECT doc_id, list_transform(generate_series(0, 15),
+        i -> list_min(list_transform(sh,
+             s -> ('0x' || substr(md5(s || '#mh' || i), 1, 15))::BIGINT)))
+        AS sig
+    FROM hsh),
+  bsig AS (
+    SELECT doc_id, list_transform(generate_series(0, 15),
+        i -> list_min(list_transform(sh,
+             s -> ('0x' || substr(md5(s || '#mh' || i), 1, 15))::BIGINT)))
+        AS sig
+    FROM bsh),
+  hbd AS (
+    SELECT doc_id, i AS band,
+           ('0x' || substr(md5(array_to_string(
+               sig[i*4+1:i*4+4], ',') || '#mb'), 1, 15))::BIGINT AS key
+    FROM hsig, (SELECT unnest(generate_series(0, 3)) AS i)),
+  bbd AS (
+    SELECT doc_id, i AS band,
+           ('0x' || substr(md5(array_to_string(
+               sig[i*4+1:i*4+4], ',') || '#mb'), 1, 15))::BIGINT AS key
+    FROM bsig, (SELECT unnest(generate_series(0, 3)) AS i)),
+  hcand AS (
+    SELECT DISTINCT h.doc_id AS hist_id, b.doc_id AS batch_id
+    FROM hbd h JOIN bbd b ON h.band = b.band AND h.key = b.key)
+  SELECT c.hist_id, c.batch_id,
+         len(list_filter(generate_series(1, 16),
+                         i -> hs.sig[i] = bs.sig[i])) AS m
+  FROM hcand c
+  JOIN hsig hs ON hs.doc_id = c.hist_id
+  JOIN bsig bs ON bs.doc_id = c.batch_id)
+WHERE m >= 8
 ORDER BY part, id_a, id_b
 """
 
@@ -2288,7 +2380,27 @@ def minhash_native_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("bench_id").alias("id_b"),
                      sig(F.col("jaccard_distance"))
                      .alias("jaccard_distance")))
-    return (self_rows.unionByName(cross)
+    # 'hist' rows grade the minhash SIGNATURE history pair
+    # (dedup.minhash_signature_state + neardup_against_history) in
+    # md5 mode: history = docs < 100, batch = the mutated copies;
+    # DuckDB replays the ENTIRE pipeline — per-shingle 60-bit md5
+    # hashes, 16-component min signatures, 4-row band keys, the
+    # (band, key) join, and the component-agreement count — so both
+    # candidate generation AND the text-free verification arithmetic
+    # are under the hash gate (value = agreeing components of 16)
+    from spark_df_profiling_spark.operators.dedup import (
+        minhash_signature_state, neardup_against_history)
+    hstate = minhash_signature_state(corpus, "text", "doc_id",
+                                     num_hashes=16, hash_fn="md5")
+    hist = (neardup_against_history(bench, hstate, "text", "doc_id",
+                                    num_hashes=16, rows_per_band=4,
+                                    min_agreement=0.5, hash_fn="md5")
+            .select(F.lit("hist").alias("part"),
+                    F.col("hist_id").alias("id_a"),
+                    F.col("id").alias("id_b"),
+                    F.round(F.col("sig_agreement") * 16).cast("long")
+                    .cast("string").alias("jaccard_distance")))
+    return (self_rows.unionByName(cross).unionByName(hist)
             .orderBy("part", "id_a", "id_b"))
 
 
@@ -3900,13 +4012,18 @@ _PII_FIXTURES = [
     # deep subdomain under a plain TLD (a.b.example.com -> example.com)
     "pages https://www.user1.github.io/repo and "
     "https://shop.onet.com.pl/x plus http://deep.a.b.example.com/y?z=1",
+    # canonical_url variants: tracking params + fragment + trailing
+    # slash + param order — all three collapse to the same canonical
+    # https://example.com/a?b=2 (within the PII url charset: no ports)
+    "share https://example.com/a/?utm_source=x&b=2#frag then "
+    "https://example.com/a?b=2&utm_campaign=z and "
+    "https://example.com/a?b=2 done",
 ]
 
 
 def _pii_sql() -> str:
-    from spark_df_profiling_spark.operators.text import (PII_PATTERNS,
-                                                         TWO_LEVEL_SUFFIXES,
-                                                         URL_HOST_RE)
+    from spark_df_profiling_spark.operators.text import (
+        PII_PATTERNS, TRACKING_PARAM_RE, TWO_LEVEL_SUFFIXES, URL_HOST_RE)
     cnt = {k: f"len(regexp_extract_all(text, '{p}'))"
            for k, p in PII_PATTERNS.items()}
     flag = " OR ".join(f"{c} > 0" for c in cnt.values())
@@ -3914,6 +4031,9 @@ def _pii_sql() -> str:
     idvalues = ",\n        ".join(f"({-(i + 1)}, '{t}')"
                                   for i, t in enumerate(_PII_FIXTURES))
     suf = ", ".join(f"'{s}'" for s in TWO_LEVEL_SUFFIXES)
+    host_re = URL_HOST_RE
+    track_re = TRACKING_PARAM_RE
+    url_re = PII_PATTERNS["url"]
     return f"""
 WITH corpus AS (
     SELECT text FROM documents
@@ -3951,6 +4071,46 @@ domh AS (
              ORDER BY domain || ':' || n_urls || ':' || n_docs)),
              1, 15))::BIGINT, 0) AS dom_hash
   FROM dom
+),
+ucanon AS (
+  SELECT cu, count(*) AS cnt FROM (
+    SELECT CASE WHEN sch <> '' AND hst <> '' THEN
+             sch || '://' || hst ||
+             CASE WHEN prt <> ''
+                       AND NOT (sch = 'http' AND prt = '80')
+                       AND NOT (sch = 'https' AND prt = '443')
+                  THEN ':' || prt ELSE '' END ||
+             regexp_replace(pth, '/+$', '') ||
+             CASE WHEN cq <> '' THEN '?' || cq ELSE '' END
+           END AS cu
+    FROM (
+      SELECT lower(regexp_extract(u,
+                 '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+             lower(regexp_extract(u, '{host_re}', 1)) AS hst,
+             regexp_extract(u,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@\\s]*@)?' ||
+                 '[^/:?#\\s]+:([0-9]+)', 1) AS prt,
+             regexp_extract(u,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#\\s]*([^?#\\s]*)',
+                 1) AS pth,
+             array_to_string(list_sort(list_filter(
+                 string_split(regexp_extract(u, '\\?([^#\\s]*)', 1),
+                              '&'),
+                 x -> x <> '' AND NOT regexp_matches(x, '{track_re}'))),
+                 '&') AS cq
+      FROM (SELECT unnest(regexp_extract_all(
+                text, '{url_re}')) AS u
+            FROM (SELECT text FROM documents
+                  UNION ALL
+                  SELECT * FROM (VALUES {values}) cfx(text)))))
+  WHERE cu IS NOT NULL GROUP BY cu
+),
+ucanonh AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_canon_urls,
+         coalesce(('0x' || substr(md5(string_agg(
+             cu || ':' || cnt, '|' ORDER BY cu || ':' || cnt)),
+             1, 15))::BIGINT, 0) AS canon_hash
+  FROM ucanon
 ),
 bench_g AS (
   SELECT DISTINCT unnest(list_distinct(
@@ -3995,8 +4155,10 @@ SELECT CAST(sum({cnt['email']}) AS BIGINT) AS n_email,
        any_value(decon_total_hits) AS decon_total_hits,
        any_value(redact_hash) AS redact_hash,
        any_value(n_domains) AS n_domains,
-       any_value(dom_hash) AS dom_hash
-FROM corpus, decon, red, domh
+       any_value(dom_hash) AS dom_hash,
+       any_value(n_canon_urls) AS n_canon_urls,
+       any_value(canon_hash) AS canon_hash
+FROM corpus, decon, red, domh, ucanonh
 """
 
 
@@ -4054,8 +4216,26 @@ def pii_scan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        F.col("n_urls").cast("string"),
                                        F.col("n_docs").cast("string")))))),
             1, 15), 16, 10).cast("bigint"), F.lit(0)).alias("dom_hash"))
+    # n_canon_urls/canon_hash grade text.canonical_url over every URL
+    # in the same corpus+fixtures: DuckDB replays the full chain
+    # (scheme/host lowering, default-port drop, fragment strip,
+    # tracking-param filter + param sort, trailing-slash strip) — the
+    # planted fixture's three /a variants must collapse to ONE
+    from spark_df_profiling_spark.operators.text import (canonical_url,
+                                                         extract_urls)
+    ucanon = (corpus_ids
+              .select(F.explode(extract_urls("text")).alias("u"))
+              .select(canonical_url(F.col("u")).alias("cu"))
+              .where(F.col("cu").isNotNull())
+              .groupBy("cu").agg(F.count(F.lit(1)).alias("cnt")))
+    canon = ucanon.agg(
+        F.count(F.lit(1)).cast("long").alias("n_canon_urls"),
+        F.coalesce(F.conv(F.substring(F.md5(F.concat_ws("|", F.sort_array(
+            F.collect_list(F.concat_ws(":", "cu",
+                                       F.col("cnt").cast("string")))))),
+            1, 15), 16, 10).cast("bigint"), F.lit(0)).alias("canon_hash"))
     return (pii.crossJoin(decon).crossJoin(F.broadcast(red))
-            .crossJoin(F.broadcast(dom)))
+            .crossJoin(F.broadcast(dom)).crossJoin(F.broadcast(canon)))
 
 
 # ---------------------------------------------------------------------------

@@ -291,3 +291,135 @@ def test_registered_domain_multilevel_suffixes(spark):
     assert got == ["user1.github.io", "onet.com.pl", "x.blogspot.com",
                    "foo.herokuapp.com", "bbc.co.uk", "example.com",
                    "localhost"]
+
+
+# -------------------------------------------------- grouped HLL state
+def test_hll_state_by_matches_exact_and_merges(spark):
+    from spark_df_profiling_spark.operators.frequency import (
+        hll_estimate_by, hll_merge_by, hll_state_by)
+    rows = [(f"g{i % 3}", f"k{i % (200 * (i % 3 + 1))}")
+            for i in range(5000)]
+    df = spark.createDataFrame(rows, "g string, k string")
+    exact = {r["g"]: r["n"] for r in
+             df.groupBy("g").agg(
+                 F.count_distinct("k").alias("n")).collect()}
+    st = hll_state_by(df, "g", ["k"], p=12)
+    est = {r["g"]: r["est_distinct"] for r in
+           hll_estimate_by(st, "g", p=12).collect()}
+    assert set(est) == set(exact)
+    for g, n in exact.items():
+        assert abs(est[g] - n) / n < 0.05  # ~3sigma at p=12
+    # state bound: <= 2^12 rows per group
+    per_g = {r["g"]: r["c"] for r in
+             st.groupBy("g").agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert all(c <= 4096 for c in per_g.values())
+    # merge of halves == full state, exactly (register-wise max)
+    h1 = hll_state_by(df.where(F.xxhash64("k") % 2 == 0), "g", ["k"])
+    h2 = hll_state_by(df.where(F.xxhash64("k") % 2 != 0), "g", ["k"])
+    merged = hll_merge_by("g", h1, h2)
+    assert (sorted(map(tuple, merged.collect()))
+            == sorted(map(tuple, st.collect())))
+
+
+# ------------------------------------------------------ canonical_url
+def test_canonical_url_rules(spark):
+    from spark_df_profiling_spark.operators.text import canonical_url
+    cases = [
+        ("HTTPS://Example.COM:443/a/?utm_source=x&b=2&utm_medium=y#f",
+         "https://example.com/a?b=2"),
+        ("http://example.com:80/", "http://example.com"),
+        ("http://example.com:8080/x", "http://example.com:8080/x"),
+        ("https://example.com/a/?z=1&a=2", "https://example.com/a?a=2&z=1"),
+        ("https://example.com/Path/Sub/", "https://example.com/Path/Sub"),
+        ("https://example.com/?fbclid=abc", "https://example.com"),
+        ("https://user@example.com/x", "https://example.com/x"),
+        ("not a url", None),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
+    got = [r[0] for r in df.select(canonical_url("u")).collect()]
+    assert got == [e for _, e in cases]
+
+
+def test_canonical_url_is_dedup_key(spark):
+    from spark_df_profiling_spark.operators.text import canonical_url
+    urls = ["https://a.com/x?utm_source=tw", "https://A.COM/x",
+            "https://a.com/x/", "https://a.com/y"]
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    n = (df.select(canonical_url("u").alias("c"))
+         .distinct().count())
+    assert n == 2  # three variants of /x collapse; /y stays
+
+
+# ------------------------------------- minhash signature history dedup
+def _hist_corpus(spark):
+    base = [(i, " ".join(f"w{i}t{j}" for j in range(30)))
+            for i in range(40)]
+    hist = spark.createDataFrame(base, "doc_id long, text string")
+    # batch: 10 exact copies, 10 near-dups (last token changed),
+    # 10 fresh docs
+    batch_rows = (
+        [(1000 + i, t) for i, t in base[:10]]
+        + [(2000 + i, t.rsplit(" ", 1)[0] + " xyzzy")
+           for i, t in base[10:20]]
+        + [(3000 + i, " ".join(f"f{i}q{j}" for j in range(30)))
+           for i in range(10)])
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    return hist, batch
+
+
+@pytest.mark.parametrize("hash_fn", ["xxhash64", "md5"])
+def test_neardup_against_history_finds_planted(spark, hash_fn):
+    from spark_df_profiling_spark.operators.dedup import (
+        minhash_signature_state, neardup_against_history)
+    hist, batch = _hist_corpus(spark)
+    state = minhash_signature_state(hist, "text", "doc_id",
+                                    num_hashes=16, hash_fn=hash_fn)
+    got = neardup_against_history(batch, state, "text", "doc_id",
+                                  num_hashes=16, min_agreement=0.5,
+                                  hash_fn=hash_fn).collect()
+    by_batch = {}
+    for r in got:
+        by_batch.setdefault(r["id"], []).append(r)
+    # every exact copy matches its original at agreement 1.0
+    for i in range(10):
+        ms = by_batch[1000 + i]
+        assert any(m["hist_id"] == i and m["sig_agreement"] == 1.0
+                   for m in ms)
+    # every near-dup matches its original above threshold
+    for i in range(10, 20):
+        ms = by_batch.get(2000 + i, [])
+        assert any(m["hist_id"] == i for m in ms), f"missed near-dup {i}"
+    # fresh docs match nothing
+    assert not any(3000 <= k < 3010 for k in by_batch)
+
+
+def test_minhash_signature_state_is_compact_and_deterministic(spark):
+    from spark_df_profiling_spark.operators.dedup import (
+        minhash_signature_state)
+    hist, _ = _hist_corpus(spark)
+    s1 = minhash_signature_state(hist, "text", "doc_id", num_hashes=8)
+    s2 = minhash_signature_state(hist, "text", "doc_id", num_hashes=8)
+    r1 = sorted((r["id"], tuple(r["sig"])) for r in s1.collect())
+    r2 = sorted((r["id"], tuple(r["sig"])) for r in s2.collect())
+    assert r1 == r2
+    assert all(len(sig) == 8 for _, sig in r1)
+    # short docs excluded (no shingles)
+    short = spark.createDataFrame([(1, "one two")],
+                                  "doc_id long, text string")
+    assert minhash_signature_state(short, "text", "doc_id").count() == 0
+
+
+def test_neardup_history_validates_config(spark):
+    from spark_df_profiling_spark.operators.dedup import (
+        neardup_against_history)
+    hist, batch = _hist_corpus(spark)
+    from spark_df_profiling_spark.operators.dedup import (
+        minhash_signature_state)
+    st = minhash_signature_state(hist, "text", "doc_id")
+    with pytest.raises(ValueError):
+        neardup_against_history(batch, st, "text", "doc_id",
+                                num_hashes=16, rows_per_band=3)
+    with pytest.raises(ValueError):
+        neardup_against_history(batch, st, "text", "doc_id",
+                                min_agreement=1.5)

@@ -1228,6 +1228,94 @@ def r9_main() -> None:
           f"{t_fp:.1f}s", flush=True)
 
 
+def r9b_main() -> None:
+    """Round-9 session-2 operators at 10x:
+
+    * hll_state_by: per-group distinct states over 6M rows with ONE
+      group holding 50% (hot-group register bound: <= 4096 rows arrive
+      at its reducers per upstream task, never row-scale);
+    * minhash signature state build over 50k docs + a 5k batch joined
+      against it (the day-2 incremental near-dedup path, xxhash64);
+    * canonical_url over 6M synthetic URLs (pure projection).
+    """
+    spark = (SparkSession.builder.master("local[32]")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory", "32g")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    t = lambda name: spark.read.parquet(f"{SF_DIR}/{name}.parquet")
+    li = replicate(t("lineitem"), ["l_orderkey"], REPLICAS,
+                   materialize_as="lineitem_x10_r9b", spark=spark)
+    n_li = li.count()
+
+    # -- grouped HLL with a 50% hot group ------------------------------
+    from spark_df_profiling_spark.operators.frequency import (
+        hll_estimate_by, hll_state_by)
+    g_in = li.select(
+        F.when(F.pmod(F.xxhash64("l_orderkey", "l_linenumber"),
+                      F.lit(2)) == 0, F.lit("hot"))
+        .otherwise(F.pmod(F.xxhash64("l_partkey"), F.lit(500))
+                   .cast("string")).alias("g"),
+        F.concat_ws(":", "l_orderkey", "l_linenumber").alias("k"))
+    t0 = time.time()
+    st = hll_state_by(g_in, "g", ["k"], p=12).persist()
+    n_state = st.count()
+    ests = hll_estimate_by(st, "g", p=12)
+    hot_est = ests.where(F.col("g") == "hot").collect()[0][1]
+    n_groups = ests.count()
+    t_h = time.time() - t0
+    st.unpersist()
+    hot_true = g_in.where(F.col("g") == "hot").select("k") \
+        .distinct().count()
+    print(f"hll_state_by {n_li} rows, 1 group=50%: {n_groups} groups, "
+          f"{n_state} state rows, hot est {hot_est} vs true {hot_true} "
+          f"(err {abs(hot_est-hot_true)/hot_true:.3%}), {t_h:.1f}s",
+          flush=True)
+
+    # -- signature history at 50k docs ---------------------------------
+    from spark_df_profiling_spark.operators.dedup import (
+        minhash_signature_state, neardup_against_history)
+    d = replicate(t("documents").select("doc_id", "text"), ["doc_id"],
+                  REPLICAS, materialize_as="docs_x10_r9b", spark=spark)
+    n_d = d.count()
+    t0 = time.time()
+    state = minhash_signature_state(d, "text", "doc_id",
+                                    num_hashes=64).persist()
+    n_sigs = state.count()
+    t_s = time.time() - t0
+    batch = (t("documents").select(
+        (F.col("doc_id") + 90_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail-token")).alias("text")))
+    t0 = time.time()
+    matches = neardup_against_history(
+        batch, state, "text", "doc_id", num_hashes=64,
+        rows_per_band=4, min_agreement=0.5,
+        max_bucket_size=2000).count()
+    t_m = time.time() - t0
+    state.unpersist()
+    print(f"minhash history: state {n_sigs}/{n_d} sigs {t_s:.1f}s; "
+          f"5k-batch join -> {matches} matches {t_m:.1f}s", flush=True)
+
+    # -- canonical_url over 6M URLs ------------------------------------
+    from spark_df_profiling_spark.operators.text import canonical_url
+    urls = li.select(F.concat(
+        F.lit("https://Site"),
+        F.pmod(F.xxhash64("l_partkey"), F.lit(1000)).cast("string"),
+        F.lit(".example.com/p/"),
+        F.col("l_orderkey").cast("string"),
+        F.lit("/?utm_source=x&q="),
+        F.col("l_linenumber").cast("string"),
+        F.lit("&utm_medium=y#frag")).alias("u"))
+    t0 = time.time()
+    n_cu = (urls.select(canonical_url("u").alias("c"))
+            .where(F.col("c").isNotNull()).count())
+    t_c = time.time() - t0
+    print(f"canonical_url {n_li} urls: {n_cu} canonicalized "
+          f"{t_c:.1f}s", flush=True)
+
+
 if __name__ == "__main__":
     if "skew" in sys.argv:
         skew_main()
@@ -1243,6 +1331,8 @@ if __name__ == "__main__":
         r7f_main()
     elif "r7g" in sys.argv:
         r7g_main()
+    elif "r9b" in sys.argv:
+        r9b_main()
     elif "r9" in sys.argv:
         r9_main()
     elif "r8c" in sys.argv:
