@@ -1043,6 +1043,62 @@ def registered_domain(host_col: "str | Column",
                   .otherwise(last2))
 
 
+def pmi_collocations(df: DataFrame, text_col: str = "text",
+                     k: int = 50, min_count: int = 5) -> DataFrame:
+    """Top-k collocations by pointwise mutual information — the corpus
+    phrase-discovery diagnostic ("new york", "machine learning"):
+    ``(w1, w2, c12, c1, c2, pmi)`` for the k consecutive-token bigrams
+    with the highest ``ln(P(w1,w2) / (P(w1)·P(w2)))``, ties broken by
+    (w1, w2) ascending.  ``min_count`` floors the bigram count —
+    without it, hapax bigrams of rare words dominate PMI (the classic
+    artifact).
+
+    Tokenization matches :func:`vocab_topk`: lowercase, split on
+    single spaces, empty tokens dropped (bigrams pair the FILTERED
+    token sequence).  P(w) uses the unigram total, P(w1,w2) the bigram
+    total (Σ max(tokens−1, 0)).
+
+    Plan — three map-side-combined aggregates and two hash joins, no
+    windows over row-scale data: one O(#cols)-free scan computes the
+    two totals (no explode), the bigram and unigram streams each
+    explode into ONE partial+final hash agg, the ≥min_count bigram
+    frame joins the unigram counts on each side's token (ordinary
+    shuffle joins — the vocabulary is not assumed broadcastable), and
+    top-k is a TakeOrdered over the surviving frame.  Stop-word-head
+    skew lands in the partial aggs, never in one task.
+    """
+    if k < 1 or min_count < 1:
+        raise ValueError(f"need k >= 1, min_count >= 1: {k}, "
+                         f"{min_count}")
+    toks = F.filter(F.split(F.lower(_c(text_col)), " "),
+                    lambda t: t != "")
+    totals = df.agg(
+        F.sum(F.size(toks)).cast("double").alias("__nt"),
+        F.sum(F.greatest(F.size(toks) - 1, F.lit(0))).cast("double")
+        .alias("__nb"))
+    uni = (df.select(F.explode(toks).alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    bigrams = F.expr(f"""
+        element_at(transform(array(filter(split(lower(`{text_col}`),
+                                               ' '), t -> t != '')),
+            tk -> CASE WHEN size(tk) >= 2 THEN
+                transform(sequence(0, size(tk) - 2),
+                    i -> struct(tk[i] AS w1, tk[i + 1] AS w2))
+            ELSE array() END), 1)""")
+    bg = (df.select(F.explode(bigrams).alias("b"))
+          .select("b.w1", "b.w2")
+          .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+          .where(F.col("c12") >= min_count))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.log((F.col("c12") * F.col("__nt") * F.col("__nt"))
+                / (F.col("__nb") * F.col("c1") * F.col("c2")))
+    return (bg.join(u1, "w1").join(u2, "w2")
+            .crossJoin(F.broadcast(totals))
+            .select("w1", "w2", "c12", "c1", "c2", pmi.alias("pmi"))
+            .orderBy(F.desc("pmi"), "w1", "w2").limit(k))
+
+
 # query parameters that vary per click, not per resource — the standard
 # tracking families (UTM campaign tags, platform click ids).  Dropping
 # them is what makes URL-keyed dedup actually collapse re-shares.

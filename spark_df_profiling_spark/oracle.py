@@ -4617,6 +4617,32 @@ FROM (
          row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
   FROM sc)
 WHERE rank <= 10
+UNION ALL
+SELECT 'pmi', w1 || ' ' || w2, c12, {_psig('pmi')} FROM (
+  WITH ptk AS (
+    SELECT list_filter(string_split(lower(text), ' '),
+                       t -> t <> '') AS toks
+    FROM documents),
+  ptot AS (SELECT CAST(sum(len(toks)) AS DOUBLE) AS nt,
+                  CAST(sum(greatest(len(toks) - 1, 0)) AS DOUBLE) AS nb
+           FROM ptk),
+  puni AS (SELECT w, count(*) AS c
+           FROM (SELECT unnest(toks) AS w FROM ptk) GROUP BY w),
+  pbg AS (
+    SELECT bw[1] AS w1, bw[2] AS w2, count(*) AS c12
+    FROM (SELECT unnest([[toks[i], toks[i + 1]]
+                         for i in range(1, len(toks))]) AS bw
+          FROM ptk)
+    GROUP BY 1, 2 HAVING count(*) >= 5),
+  pall AS (
+    SELECT w1, w2, c12, u1.c AS c1, u2.c AS c2,
+           ln(c12 * nt * nt / (nb * u1.c * u2.c)) AS pmi
+    FROM pbg JOIN puni u1 ON pbg.w1 = u1.w
+             JOIN puni u2 ON pbg.w2 = u2.w, ptot)
+  SELECT w1, w2, c12, pmi,
+         row_number() OVER (ORDER BY pmi DESC, w1, w2) AS prk
+  FROM pall)
+WHERE prk <= 15
 ORDER BY part, k
 """)
 def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4634,8 +4660,17 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries rank:doc_id, v1 the matched-term count, v2s the sig score,
     replayed in DuckDB from the same tokenization."""
     from spark_df_profiling_spark.operators.text import (
-        bm25_topk, tfidf_topk, vocab_topk, zipf_fit)
+        bm25_topk, pmi_collocations, tfidf_topk, vocab_topk, zipf_fit)
     d = _t(spark, sf_dir, "documents")
+    # 'pmi' rows grade text.pmi_collocations — top-15 consecutive-token
+    # collocations at min_count=5; DuckDB replays tokenization, both
+    # totals, the min_count floor, the PMI formula, and the
+    # (pmi, w1, w2) rank
+    pmi = (pmi_collocations(d, "text", k=15, min_count=5)
+           .select(F.lit("pmi").alias("part"),
+                   F.concat_ws(" ", "w1", "w2").alias("k"),
+                   F.col("c12").alias("v1"),
+                   sig(F.col("pmi")).alias("v2s")))
     top = (vocab_topk(d, "text", k=20)
            .select(F.lit("top").alias("part"),
                    F.col("token").alias("k"),
@@ -4662,4 +4697,5 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n_terms_matched").alias("v1"),
                     sig(F.col("score")).alias("v2s")))
     return (top.unionByName(tfidf).unionByName(zipf).unionByName(bm25)
+            .unionByName(pmi)
             .orderBy("part", "k"))

@@ -423,3 +423,47 @@ def test_neardup_history_validates_config(spark):
     with pytest.raises(ValueError):
         neardup_against_history(batch, st, "text", "doc_id",
                                 min_agreement=1.5)
+
+
+# ------------------------------------------------- pmi_collocations
+def test_pmi_collocations_matches_python(spark):
+    from spark_df_profiling_spark.operators.text import pmi_collocations
+    docs = ["new york is big", "new york has parks",
+            "big parks in new york", "york new"] * 3
+    df = spark.createDataFrame([(t,) for t in docs], "text string")
+    got = pmi_collocations(df, "text", k=100, min_count=2).collect()
+
+    import math as m
+    uni, bg = {}, {}
+    nt = nb = 0
+    for t in docs:
+        toks = [x for x in t.lower().split(" ") if x]
+        nt += len(toks)
+        nb += max(len(toks) - 1, 0)
+        for w in toks:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(toks, toks[1:]):
+            bg[(a, b)] = bg.get((a, b), 0) + 1
+    exp = {}
+    for (a, b), c12 in bg.items():
+        if c12 >= 2:
+            exp[(a, b)] = m.log(c12 * nt * nt / (nb * uni[a] * uni[b]))
+    assert {(r["w1"], r["w2"]) for r in got} == set(exp)
+    for r in got:
+        assert r["pmi"] == pytest.approx(exp[(r["w1"], r["w2"])],
+                                         rel=1e-12)
+        assert r["c12"] == bg[(r["w1"], r["w2"])]
+    # ("new","york") is the planted collocation: top-pmi among 2+ pairs
+    ranked = sorted(got, key=lambda r: (-r["pmi"], r["w1"], r["w2"]))
+    assert (ranked[0]["w1"], ranked[0]["w2"]) in exp
+    with pytest.raises(ValueError):
+        pmi_collocations(df, "text", k=0)
+
+
+def test_pmi_min_count_floors_hapax(spark):
+    from spark_df_profiling_spark.operators.text import pmi_collocations
+    docs = ["rare pair here"] + ["common words appear often"] * 10
+    df = spark.createDataFrame([(t,) for t in docs], "text string")
+    got = pmi_collocations(df, "text", k=10, min_count=2).collect()
+    assert all(r["c12"] >= 2 for r in got)
+    assert not any(r["w1"] == "rare" for r in got)
