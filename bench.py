@@ -73,7 +73,14 @@ def main() -> None:
         SPARK_QUERIES["group_profile"](spark, sf_dir).collect()
 
     def bench_corr_matrix():
-        SPARK_QUERIES["corr_matrix"](spark, sf_dir).collect()
+        # The Pearson matrix operator itself (the oracle slot of the
+        # same name ALSO grades categorical_association since r9 —
+        # same split as bench_asof_join vs its slot).
+        from spark_df_profiling_spark.operators.correlation import (
+            correlation_matrix)
+        correlation_matrix(t("lineitem"), [
+            "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax"])
 
     def bench_freq_topk():
         from spark_df_profiling_spark.operators.frequency import (

@@ -222,6 +222,101 @@ def categorical_association(df: DataFrame, col_a: str, col_b: str
         "mutual_info")
 
 
+def fd_strength(df: DataFrame, det_cols: "str | list[str]",
+                dep_col: str) -> DataFrame:
+    """Functional-dependency strength ``det_cols → dep_col`` — ONE row
+    ``(n, n_groups, n_violating, strength, is_exact)``.  ``strength``
+    is the fraction of rows consistent with the dependency
+    (``Σ_g max_v count(g, v) / n`` — the complement of the g3 error
+    measure): 1.0 means every determinant value maps to one dependent
+    value (a real FD — a denormalization, a derivable column, a
+    candidate for dropping before training); 0.9 means 10% of rows
+    violate it (usually dirty data worth profiling).
+
+    Rows with NULL in any determinant or the dependent are excluded
+    (SQL grouping would treat NULL as a value; FD semantics over
+    missing data are a different question).
+
+    Plan: ONE map-side-combined groupBy on (det..., dep) — the only
+    row-scale shuffle — then a second tiny aggregate over the distinct
+    (det, dep) frame.  A hot determinant value combines map-side; no
+    windows, no driver collect.
+    """
+    dets = [det_cols] if isinstance(det_cols, str) else list(det_cols)
+    base = df.dropna(subset=dets + [dep_col])
+    pairs = (base.groupBy(*dets, dep_col)
+             .agg(F.count(F.lit(1)).alias("__c")))
+    per_det = (pairs.groupBy(*dets)
+               .agg(F.max("__c").alias("__mx"),
+                    F.sum("__c").alias("__tot"),
+                    F.count(F.lit(1)).alias("__nd")))
+    return per_det.agg(
+        F.sum("__tot").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.when(F.col("__nd") > 1, 1).otherwise(0)).cast("long")
+        .alias("n_violating"),
+        (F.sum("__mx").cast("double")
+         / F.sum("__tot").cast("double")).alias("strength"),
+        (F.sum(F.when(F.col("__nd") > 1, 1).otherwise(0)) == 0)
+        .alias("is_exact"))
+
+
+def key_candidates(df: DataFrame, cols: "list[str] | None" = None,
+                   max_combo: int = 2,
+                   exact: bool = False) -> DataFrame:
+    """Candidate-key screen: for every single column and every pair
+    (up to ``max_combo``) of ``cols``, one row ``(combo, n,
+    n_distinct, uniqueness, is_unique)`` — which column set identifies
+    rows.  The profiler counterpart of a primary-key check, run before
+    choosing dedup keys, join keys, or bucketing columns.
+
+    Distinctness is counted over a null-safe content hash of the combo
+    (NULL participates as a marked value — two all-NULL rows count as
+    duplicates, matching dedup semantics, not SQL DISTINCT-tuple
+    drops).
+
+    ``exact=False`` (default): ALL combos screen in ONE aggregate via
+    ``approx_count_distinct`` (HLL++, independent sketch buffers — no
+    multi-distinct expand), rsd ~1.5%; ``is_unique`` is NULL in approx
+    mode (a sketch cannot certify exact uniqueness — re-run the
+    finalists with ``exact=True``).  ``exact=True``: exact
+    ``count_distinct`` per combo — Catalyst expands the input
+    #combos×, so keep the combo list short (the two-phase
+    screen-then-verify is the 100 TB path).
+
+    Plan: one wide aggregate either way; output is #combos rows.
+    """
+    import itertools
+
+    from spark_df_profiling_spark.operators.dedup import content_hash
+    if max_combo < 1 or max_combo > 2:
+        raise ValueError(f"max_combo must be 1 or 2: {max_combo}")
+    cols = list(cols or df.columns)
+    combos = [(c,) for c in cols]
+    if max_combo == 2:
+        combos += list(itertools.combinations(cols, 2))
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, combo in enumerate(combos):
+        h = content_hash(list(combo))
+        aggs.append((F.count_distinct(h) if exact
+                     else F.approx_count_distinct(h))
+                    .alias(f"__d{i}"))
+    one = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{'+'.join(c)}', __d{i}" for i, c in enumerate(combos))
+    out = one.select(
+        F.col("__n"),
+        F.expr(f"stack({len(combos)}, {stack}) "
+               f"as (combo, n_distinct)"))
+    uniq = F.col("n_distinct").cast("double") / F.col("__n")
+    return out.select(
+        "combo", F.col("__n").cast("long").alias("n"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        uniq.alias("uniqueness"),
+        (F.col("n_distinct") == F.col("__n")).alias("is_unique")
+        if exact else F.lit(None).cast("boolean").alias("is_unique"))
+
+
 def autocorr(df: DataFrame, ts_col: str, value_col: str,
              key_col: str, lag: int = 1) -> DataFrame:
     """Lag-k autocorrelation per key: Pearson correlation of

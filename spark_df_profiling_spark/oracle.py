@@ -1101,9 +1101,54 @@ SELECT 'catassoc', 'shape',
 FROM cagg
 """
 
+# 'fd' rows grade correlation.fd_strength (g3-complement dependency
+# strength); 'key' rows grade correlation.key_candidates exact mode
+# (null-safe tuple distinctness).  (l_orderkey, l_linenumber) is the
+# true lineitem key, so one combo certifies unique and the rest don't.
+_KEY_COMBOS = [("l_orderkey",), ("l_linenumber",), ("l_suppkey",),
+               ("l_orderkey", "l_linenumber"),
+               ("l_orderkey", "l_suppkey"),
+               ("l_linenumber", "l_suppkey")]
+
+
+def _fd_sql(dets: str, dep: str, label: str) -> str:
+    return f"""
+SELECT 'fd' AS col_x, '{label}' AS col_y,
+       CAST(CAST(sum(tot) AS BIGINT) AS VARCHAR) || ':' ||
+       CAST(count(*) AS VARCHAR) || ':' ||
+       CAST(CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS VARCHAR) || ':' ||
+       {_psig('CAST(sum(mx) AS DOUBLE) / sum(tot)')} AS rho
+FROM (
+  SELECT {dets}, max(c) AS mx, sum(c) AS tot, count(*) AS nd
+  FROM (SELECT {dets}, {dep}, count(*) AS c FROM lineitem
+        WHERE {dep} IS NOT NULL AND {dets} IS NOT NULL
+        GROUP BY {dets}, {dep})
+  GROUP BY {dets})
+"""
+
+
+def _key_sql() -> str:
+    parts = []
+    for combo in _KEY_COMBOS:
+        tup = ", ".join(
+            f"coalesce(CAST({c} AS VARCHAR), chr(0) || 'NULL')"
+            for c in combo)
+        parts.append(
+            f"SELECT 'key' AS col_x, '{'+'.join(combo)}' AS col_y, "
+            f"CAST(count(DISTINCT concat_ws(chr(1), {tup})) AS VARCHAR)"
+            f" || ':' || CAST(count(DISTINCT concat_ws(chr(1), {tup}))"
+            f" = count(*) AS VARCHAR) AS rho FROM lineitem")
+    return "\nUNION ALL\n".join(parts)
+
 
 @query("corr_matrix",
-       f"{_corr_sql}\nUNION ALL\nSELECT * FROM (\n{_CATASSOC_SQL}\n)")
+       f"{_corr_sql}\nUNION ALL\nSELECT * FROM (\n{_CATASSOC_SQL}\n)"
+       f"\nUNION ALL\n"
+       f"{_fd_sql('l_returnflag', 'l_linestatus', 'rf->ls')}"
+       f"\nUNION ALL\n"
+       f"{_fd_sql('l_orderkey', 'l_returnflag', 'ok->rf')}"
+       f"\nUNION ALL\n{_key_sql()}")
 def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_df_profiling_spark.operators.correlation import (
         categorical_association,
@@ -1134,7 +1179,33 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )).alias("kv")
     ).select("col_x", F.col("kv.col_y").alias("col_y"),
              F.col("kv.rho").alias("rho"))
-    return pearson.unionByName(cat)
+    # 'fd'/'key' rows grade fd_strength and key_candidates (exact
+    # mode): DuckDB replays the grouped max/sum dependency arithmetic
+    # and the null-safe tuple distinct counts
+    from spark_df_profiling_spark.operators.correlation import (
+        fd_strength, key_candidates)
+
+    def fd_row(dets, dep, label):
+        return fd_strength(li, dets, dep).select(
+            F.lit("fd").alias("col_x"), F.lit(label).alias("col_y"),
+            F.concat_ws(
+                ":", F.col("n"), F.col("n_groups"),
+                F.col("n_violating"), sig(F.col("strength")))
+            .alias("rho"))
+
+    fd = (fd_row(["l_returnflag"], "l_linestatus", "rf->ls")
+          .unionByName(fd_row(["l_orderkey"], "l_returnflag",
+                              "ok->rf")))
+    keys = (key_candidates(
+        li, ["l_orderkey", "l_linenumber", "l_suppkey"],
+        max_combo=2, exact=True)
+        .select(F.lit("key").alias("col_x"),
+                F.col("combo").alias("col_y"),
+                F.concat_ws(":", F.col("n_distinct"),
+                            F.col("is_unique").cast("string"))
+                .alias("rho")))
+    return (pearson.unionByName(cat).unionByName(fd)
+            .unionByName(keys))
 
 
 # ---------------------------------------------------------------------------

@@ -17,6 +17,7 @@ from spark_df_profiling_spark import oracle
 # slot -> tag column whose distinct values must all appear as '<tag>'
 # literals in the oracle SQL
 TAGGED = {
+    "corr_matrix": "col_x",   # column names + catassoc/fd/key tags
     "histogram_bins": "src_col",
     "freq_topk": "part",
     "freq_other_bucket": "part",

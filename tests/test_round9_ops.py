@@ -467,3 +467,59 @@ def test_pmi_min_count_floors_hapax(spark):
     got = pmi_collocations(df, "text", k=10, min_count=2).collect()
     assert all(r["c12"] >= 2 for r in got)
     assert not any(r["w1"] == "rare" for r in got)
+
+
+# ------------------------------------------------ FD strength / keys
+def test_fd_strength_exact_and_violations(spark):
+    from spark_df_profiling_spark.operators.correlation import fd_strength
+    rows = ([("a", "x")] * 5 + [("b", "y")] * 3
+            + [("c", "x")] * 3 + [("c", "z")] * 1   # c violates
+            + [(None, "q"), ("d", None)])           # nulls dropped
+    df = spark.createDataFrame(rows, "det string, dep string")
+    got = fd_strength(df, "det", "dep").collect()[0]
+    assert got["n"] == 12 and got["n_groups"] == 3
+    assert got["n_violating"] == 1
+    assert got["strength"] == pytest.approx(11 / 12)
+    assert got["is_exact"] is False
+    exact = fd_strength(df.where(F.col("dep") != "z"), "det", "dep") \
+        .collect()[0]
+    assert exact["is_exact"] is True
+    assert exact["strength"] == 1.0
+
+
+def test_fd_strength_composite_determinant(spark):
+    from spark_df_profiling_spark.operators.correlation import fd_strength
+    rows = [("a", 1, "x"), ("a", 2, "y"), ("a", 1, "x"), ("b", 1, "y")]
+    df = spark.createDataFrame(rows, "d1 string, d2 int, dep string")
+    got = fd_strength(df, ["d1", "d2"], "dep").collect()[0]
+    assert got["is_exact"] is True and got["n_groups"] == 3
+
+
+def test_key_candidates_exact_and_approx(spark):
+    from spark_df_profiling_spark.operators.correlation import (
+        key_candidates)
+    rows = [(i, i % 10, f"s{i % 3}") for i in range(100)]
+    df = spark.createDataFrame(rows, "a long, b long, c string")
+    ex = {r["combo"]: r for r in
+          key_candidates(df, ["a", "b", "c"], exact=True).collect()}
+    assert ex["a"]["is_unique"] is True
+    assert ex["b"]["is_unique"] is False and ex["b"]["n_distinct"] == 10
+    assert ex["b+c"]["n_distinct"] == 30
+    assert ex["a+b"]["is_unique"] is True
+    assert all(r["n"] == 100 for r in ex.values())
+    ap = {r["combo"]: r for r in
+          key_candidates(df, ["a", "b", "c"]).collect()}
+    assert set(ap) == set(ex)
+    assert all(r["is_unique"] is None for r in ap.values())
+    for k in ex:
+        assert abs(ap[k]["n_distinct"] - ex[k]["n_distinct"]) \
+            <= max(3, 0.1 * ex[k]["n_distinct"])
+
+
+def test_key_candidates_null_rows_count_as_dups(spark):
+    from spark_df_profiling_spark.operators.correlation import (
+        key_candidates)
+    df = spark.createDataFrame([(None,), (None,), (1,)], "a int")
+    got = key_candidates(df, ["a"], max_combo=1, exact=True).collect()[0]
+    assert got["n_distinct"] == 2  # NULL is a marked value, not dropped
+    assert got["is_unique"] is False
