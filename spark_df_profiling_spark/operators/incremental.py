@@ -410,3 +410,98 @@ def hist_edges_from_state(state: DataFrame) -> dict:
                         & (F.col("max_num") > F.col("min_num")))
             .select("column", "min_num", "max_num").collect())
     return {r["column"]: (r["min_num"], r["max_num"]) for r in rows}
+
+
+def corr_state(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Mergeable CORRELATION state over numeric columns — ONE row:
+    ``n``, per-column means ``m__<col>``, per-pair centered co-moments
+    ``c__<a>__<b>`` (i ≤ j, including the variances on the diagonal).
+    Extends the incremental-profile system to the one multi-column
+    statistic it lacked: a daily batch computes its own state (one
+    scan), :func:`corr_merge` folds it into the stored one with Chan's
+    parallel update, and :func:`corr_from_state` yields the full
+    Pearson matrix — history is never rescanned.
+
+    Listwise deletion (rows with ANY null among ``cols`` dropped)
+    matches :func:`~spark_df_profiling_spark.operators.correlation.
+    correlation_matrix` / the reference's ``df.na.drop(how='any')``
+    semantics, so a single-batch state finalizes to the same matrix.
+
+    Centered co-moments (``covar_pop·n``), NOT raw Σxy: raw-moment
+    subtraction catastrophically cancels at 100 TB row counts; the
+    centered merge is the numerically stable parallel-variance recipe.
+
+    Plan: one wide map-side-combined aggregate — k means + k(k+1)/2
+    covariances in a single scan.  State is one row regardless of data
+    size.
+    """
+    cols = list(cols)
+    if len(cols) < 2:
+        raise ValueError(f"need >= 2 columns: {cols}")
+    base = df.na.drop(how="any", subset=cols)
+    n = F.count(F.lit(1))
+    aggs = [n.alias("n")]
+    for c in cols:
+        aggs.append(F.avg(F.col(c)).alias(f"m__{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            aggs.append((F.covar_pop(F.col(a), F.col(b))
+                         * n.cast("double")).alias(f"c__{a}__{b}"))
+    return base.agg(*aggs)
+
+
+def corr_merge(sa: DataFrame, sb: DataFrame,
+               cols: Sequence[str]) -> DataFrame:
+    """Merge two :func:`corr_state` rows built over the SAME columns —
+    Chan's parallel co-moment update, exact in infinite precision:
+    ``C = C_a + C_b + δ_i·δ_j·n_a·n_b/n``.  Either side may be an
+    empty-batch state (n=0) — it merges as the identity.  One-row ×
+    one-row cross join: no data movement at all."""
+    cols = list(cols)
+    a = sa.select([F.col("n").alias("an")]
+                  + [F.col(c).alias(f"a{c}") for c in sa.columns
+                     if c != "n"])
+    b = sb.select([F.col("n").alias("bn")]
+                  + [F.col(c).alias(f"b{c}") for c in sb.columns
+                     if c != "n"])
+    j = a.crossJoin(F.broadcast(b))
+    an, bn = F.col("an").cast("double"), F.col("bn").cast("double")
+    nn = an + bn
+    out = [(F.col("an") + F.col("bn")).alias("n")]
+    for c in cols:
+        am, bm = F.col(f"am__{c}"), F.col(f"bm__{c}")
+        out.append(F.when(F.col("an") == 0, bm)
+                   .when(F.col("bn") == 0, am)
+                   .otherwise(am + (bm - am) * bn / nn)
+                   .alias(f"m__{c}"))
+    for i, x in enumerate(cols):
+        for y in cols[i:]:
+            ac, bc = F.col(f"ac__{x}__{y}"), F.col(f"bc__{x}__{y}")
+            dx = F.col(f"bm__{x}") - F.col(f"am__{x}")
+            dy = F.col(f"bm__{y}") - F.col(f"am__{y}")
+            out.append(F.when(F.col("an") == 0, bc)
+                       .when(F.col("bn") == 0, ac)
+                       .otherwise(ac + bc + dx * dy * an * bn / nn)
+                       .alias(f"c__{x}__{y}"))
+    return j.select(*out)
+
+
+def corr_from_state(state: DataFrame,
+                    cols: Sequence[str]) -> DataFrame:
+    """Pearson matrix rows ``(col_x, col_y, rho)`` (i < j) from a
+    :func:`corr_state` / :func:`corr_merge` row; NULL rho when either
+    side has zero variance (constant column — corr undefined, never an
+    ANSI divide error).  One stack over the one-row state."""
+    cols = list(cols)
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    exprs = []
+    for a, b in pairs:
+        cab = F.col(f"c__{a}__{b}")
+        caa, cbb = F.col(f"c__{a}__{a}"), F.col(f"c__{b}__{b}")
+        rho = F.when((caa > 0) & (cbb > 0),
+                     cab / F.sqrt(caa * cbb))
+        exprs.append(F.struct(F.lit(a).alias("col_x"),
+                              F.lit(b).alias("col_y"),
+                              rho.alias("rho")))
+    return (state.select(F.explode(F.array(*exprs)).alias("r"))
+            .select("r.col_x", "r.col_y", "r.rho"))

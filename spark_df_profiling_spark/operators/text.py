@@ -1043,6 +1043,39 @@ def registered_domain(host_col: "str | Column",
                   .otherwise(last2))
 
 
+# document structure markers — RE2-safe (no backreferences/lookaround),
+# so DuckDB replays each count with regexp_extract_all
+STRUCTURE_PATTERNS: dict[str, str] = {
+    "headers": r"(?m)^#{1,6} ",              # markdown ATX headers
+    "fences": r"```",                         # code fence delimiters
+    "bullets": r"(?m)^[-*+] ",               # bullet-list items
+    "links": r"\[[^\]\n]*\]\([^)\n]*\)",     # [text](url)
+    "tables": r"(?m)^\|[^\n]*\|",            # | cell | cell |
+    "html": r"</?[A-Za-z][A-Za-z0-9]*[^>\n]*>",  # html-ish tags
+}
+
+
+def structure_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document structure-marker counts — ``st_headers``,
+    ``st_fences``, ``st_bullets``, ``st_links``, ``st_tables``,
+    ``st_html`` (+ ``st_any`` flag): the corpus-composition signal that
+    separates markdown/docs/code-adjacent text from plain prose before
+    choosing cleaning rules (strip html? keep fences?) or mixture
+    weights.  Zero-shuffle codegen projection (one ``regexp_count``
+    per marker); roll up with an ordinary groupBy.
+    """
+    out = df
+    flags = []
+    for name, pat in STRUCTURE_PATTERNS.items():
+        out = out.withColumn(f"st_{name}",
+                             F.regexp_count(_c(text_col), F.lit(pat)))
+        flags.append(F.col(f"st_{name}") > 0)
+    any_flag = flags[0]
+    for fl in flags[1:]:
+        any_flag = any_flag | fl
+    return out.withColumn("st_any", any_flag)
+
+
 def pmi_collocations(df: DataFrame, text_col: str = "text",
                      k: int = 50, min_count: int = 5) -> DataFrame:
     """Top-k collocations by pointwise mutual information — the corpus

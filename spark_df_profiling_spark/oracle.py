@@ -1128,6 +1128,49 @@ FROM (
 """
 
 
+# 'inc' rows grade the mergeable correlation state (incremental.py::
+# corr_state/corr_merge/corr_from_state): even/odd lineitem halves,
+# Chan-merged; DuckDB replays the per-half aggregates, the parallel
+# co-moment update, and the final rho ratio.
+_INC_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+def _inc_corr_sql(cols: list[str]) -> str:
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i:]]
+
+    def half(name: str, pred: str) -> str:
+        sel = ["CAST(count(*) AS DOUBLE) AS n"]
+        sel += [f"avg({c}) AS m_{i}" for i, c in enumerate(cols)]
+        sel += [f"covar_pop({a}, {b}) * count(*) AS c_{cols.index(a)}_"
+                f"{cols.index(b)}" for a, b in pairs]
+        return f"{name} AS (SELECT {', '.join(sel)} FROM lineitem " \
+               f"WHERE {pred})"
+    merged = [f"SELECT ha.n + hb.n AS n"]
+    for i in range(len(cols)):
+        merged.append(f"ha.m_{i} + (hb.m_{i} - ha.m_{i}) * hb.n "
+                      f"/ (ha.n + hb.n) AS m_{i}")
+    for a, b in pairs:
+        i, j = cols.index(a), cols.index(b)
+        merged.append(
+            f"ha.c_{i}_{j} + hb.c_{i}_{j} + (hb.m_{i} - ha.m_{i}) * "
+            f"(hb.m_{j} - ha.m_{j}) * ha.n * hb.n / (ha.n + hb.n) "
+            f"AS c_{i}_{j}")
+    rows = []
+    for i, a in enumerate(cols):
+        for j_, b in enumerate(cols):
+            if j_ <= i:
+                continue
+            rows.append(
+                f"SELECT '{a}|{b}' AS col_y, "
+                f"{_psig(f'c_{i}_{j_} / sqrt(c_{i}_{i} * c_{j_}_{j_})')}"
+                f" AS rho FROM mg")
+    return (f"SELECT 'inc' AS col_x, col_y, rho FROM (\n"
+            f"WITH {half('ha', 'l_orderkey % 2 = 0')},\n"
+            f"{half('hb', 'l_orderkey % 2 = 1')},\n"
+            f"mg AS ({', '.join(merged)} FROM ha, hb)\n"
+            + "\nUNION ALL\n".join(rows) + ")")
+
+
 def _key_sql() -> str:
     parts = []
     for combo in _KEY_COMBOS:
@@ -1148,7 +1191,8 @@ def _key_sql() -> str:
        f"{_fd_sql('l_returnflag', 'l_linestatus', 'rf->ls')}"
        f"\nUNION ALL\n"
        f"{_fd_sql('l_orderkey', 'l_returnflag', 'ok->rf')}"
-       f"\nUNION ALL\n{_key_sql()}")
+       f"\nUNION ALL\n{_key_sql()}"
+       f"\nUNION ALL\n{_inc_corr_sql(_INC_CORR_COLS)}")
 def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_df_profiling_spark.operators.correlation import (
         categorical_association,
@@ -1204,8 +1248,21 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat_ws(":", F.col("n_distinct"),
                             F.col("is_unique").cast("string"))
                 .alias("rho")))
+    # 'inc' rows grade the mergeable correlation state: the Chan-merged
+    # even/odd halves' matrix vs the DuckDB merge-formula replay
+    from spark_df_profiling_spark.operators.incremental import (
+        corr_from_state, corr_merge, corr_state)
+    ha = corr_state(li.where(F.col("l_orderkey") % 2 == 0),
+                    _INC_CORR_COLS)
+    hb = corr_state(li.where(F.col("l_orderkey") % 2 == 1),
+                    _INC_CORR_COLS)
+    inc = (corr_from_state(corr_merge(ha, hb, _INC_CORR_COLS),
+                           _INC_CORR_COLS)
+           .select(F.lit("inc").alias("col_x"),
+                   F.concat_ws("|", "col_x", "col_y").alias("col_y"),
+                   sig(F.col("rho")).alias("rho")))
     return (pearson.unionByName(cat).unionByName(fd)
-            .unionByName(keys))
+            .unionByName(keys).unionByName(inc))
 
 
 # ---------------------------------------------------------------------------
@@ -3563,11 +3620,12 @@ _ENC_FIXTURES = [
 ]
 
 
-def _enc_fixture_values() -> str:
-    """DuckDB VALUES list for _ENC_FIXTURES — control characters go
-    through chr() so no raw control bytes land in the SQL text."""
+def _chr_values(pairs) -> str:
+    """DuckDB VALUES list for (id, text) fixtures — control characters
+    (incl. newlines) go through chr() so no raw control bytes land in
+    the SQL text."""
     rows = []
-    for i, t in _ENC_FIXTURES:
+    for i, t in pairs:
         parts, lit = [], ""
         for ch in t:
             o = ord(ch)
@@ -3582,6 +3640,42 @@ def _enc_fixture_values() -> str:
             parts.append("'" + lit.replace("'", "''") + "'")
         rows.append(f"({i}, " + " || ".join(parts) + ")")
     return ",\n        ".join(rows)
+
+
+def _enc_fixture_values() -> str:
+    return _chr_values(_ENC_FIXTURES)
+
+
+# Markdown/structure fixtures: driver documents are flat word salad, so
+# these exercise every STRUCTURE_PATTERNS branch (graded as 'md:' rows)
+_MD_FIXTURES = [
+    (910001, "# Title\n\nprose\n\n## Section\n- a\n* b\n+ c\n"),
+    (910002, "```python\ncode\n```\nsee [docs](http://d.io/x)\n"),
+    (910003, "| h1 | h2 |\n| 1 | 2 |\n<table><tr/></table>\n"),
+    (910004, "plain text, no structure # not-a-header mid-line"),
+    (910005, "<div class=x>html</div> and <br/> twice [x](y)\n## H\n"),
+]
+
+
+def _md_sql() -> str:
+    """'md:' rows — text.structure_stats marker totals over documents +
+    the markdown fixtures: (total matches, docs with >= 1 match) per
+    marker, replayed with regexp_extract_all on the identical RE2
+    patterns."""
+    from spark_df_profiling_spark.operators.text import (
+        STRUCTURE_PATTERNS)
+    corpus = (f"(SELECT text FROM documents UNION ALL "
+              f"SELECT text FROM (VALUES {_chr_values(_MD_FIXTURES)}) "
+              f"mdf(id, text))")
+    parts = []
+    for name, pat in STRUCTURE_PATTERNS.items():
+        p = pat.replace("'", "''")
+        parts.append(
+            f"SELECT 'md:{name}', "
+            f"CAST(sum(len(regexp_extract_all(text, '{p}'))) AS BIGINT),"
+            f" CAST(sum(CASE WHEN len(regexp_extract_all(text, '{p}'))"
+            f" > 0 THEN 1 ELSE 0 END) AS BIGINT) FROM {corpus}")
+    return "\nUNION ALL\n".join(parts)
 
 
 # the same char classes encoding_stats uses, in RE2 \x{..} spelling
@@ -3669,7 +3763,7 @@ FROM (SELECT text FROM documents
       SELECT '  ' || text || chr(9) || chr(9)
       FROM documents WHERE doc_id < 30)
 UNION ALL
-""" + _enc_sql())
+""" + _md_sql() + "\nUNION ALL\n" + _enc_sql())
 def universal_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U-family counts per documents column + the quality-filter FUNNEL
     (text.py::quality_funnel) + ENCODING-quality rollups
@@ -3746,8 +3840,30 @@ def universal_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(3, 'enc:clean', n_all, n_clean, "
         "'enc:mojibake', moji_total, moji_docs, "
         "'enc:ratio6', repl6, ctrl6) as (column_name, cnt, n_distinct)"))
+    # 'md:' rows grade text.structure_stats — marker totals over the
+    # corpus + markdown fixtures (driver text is flat word salad; the
+    # fixtures exercise every pattern branch)
+    from spark_df_profiling_spark.operators.text import (
+        STRUCTURE_PATTERNS, structure_stats)
+    mdfix = spark.createDataFrame(_MD_FIXTURES,
+                                  "doc_id long, text string")
+    st = structure_stats(
+        d.select("doc_id", "text").unionByName(mdfix), "text")
+    md_aggs = []
+    for name in STRUCTURE_PATTERNS:
+        md_aggs.append(F.sum(f"st_{name}").cast("long")
+                       .alias(f"t_{name}"))
+        md_aggs.append(F.sum(F.when(F.col(f"st_{name}") > 0, 1)
+                             .otherwise(0)).cast("long")
+                       .alias(f"d_{name}"))
+    md_one = st.agg(*md_aggs)
+    md_stack = ", ".join(f"'md:{n}', t_{n}, d_{n}"
+                         for n in STRUCTURE_PATTERNS)
+    md_rows = md_one.select(F.expr(
+        f"stack({len(STRUCTURE_PATTERNS)}, {md_stack}) "
+        f"as (column_name, cnt, n_distinct)"))
     return (cols.unionByName(funnel).unionByName(canon)
-            .unionByName(enc_rows))
+            .unionByName(md_rows).unionByName(enc_rows))
 
 
 @query("embedding_array_stats", f"""

@@ -523,3 +523,76 @@ def test_key_candidates_null_rows_count_as_dups(spark):
     got = key_candidates(df, ["a"], max_combo=1, exact=True).collect()[0]
     assert got["n_distinct"] == 2  # NULL is a marked value, not dropped
     assert got["is_unique"] is False
+
+
+# -------------------------------------------- mergeable corr state
+def test_corr_state_merge_equals_full(spark):
+    from spark_df_profiling_spark.operators.incremental import (
+        corr_from_state, corr_merge, corr_state)
+    random.seed(23)
+    rows = [(float(i % 97), random.gauss(0, 1) + 0.3 * (i % 97),
+             random.gauss(5, 2)) for i in range(4000)]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    cols = ["x", "y", "z"]
+    full = {(r["col_x"], r["col_y"]): r["rho"]
+            for r in corr_from_state(corr_state(df, cols),
+                                     cols).collect()}
+    # reference: Spark's own corr
+    for (a, b), rho in full.items():
+        exp = df.stat.corr(a, b)
+        assert rho == pytest.approx(exp, rel=1e-9), (a, b)
+    # merged halves must equal the full-state matrix (Chan update)
+    h1 = corr_state(df.where(F.xxhash64("x", "y", "z") % 2 == 0), cols)
+    h2 = corr_state(df.where(F.xxhash64("x", "y", "z") % 2 != 0), cols)
+    merged = {(r["col_x"], r["col_y"]): r["rho"]
+              for r in corr_from_state(corr_merge(h1, h2, cols),
+                                       cols).collect()}
+    for k in full:
+        assert merged[k] == pytest.approx(full[k], rel=1e-9)
+
+
+def test_corr_state_empty_side_and_nulls(spark):
+    from spark_df_profiling_spark.operators.incremental import (
+        corr_from_state, corr_merge, corr_state)
+    rows = [(1.0, 2.0), (2.0, 4.0), (3.0, 7.0), (None, 9.0),
+            (4.0, None)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    cols = ["x", "y"]
+    st = corr_state(df, cols)
+    assert st.collect()[0]["n"] == 3  # listwise deletion
+    empty = corr_state(df.where(F.lit(False)), cols)
+    merged = corr_merge(st, empty, cols)
+    assert (merged.collect() == st.collect())
+    merged2 = corr_merge(empty, st, cols)
+    assert (merged2.collect() == st.collect())
+    # constant column -> NULL rho, no ANSI error
+    const = spark.createDataFrame([(1.0, 2.0)] * 5, "x double, y double")
+    r = corr_from_state(corr_state(const, cols), cols).collect()[0]
+    assert r["rho"] is None
+    with pytest.raises(ValueError):
+        corr_state(df, ["x"])
+
+
+# ------------------------------------------------- structure_stats
+def test_structure_stats_counts(spark):
+    from spark_df_profiling_spark.operators.text import structure_stats
+    doc = ("# Title\n\nSome prose here.\n\n## Section\n"
+           "- item one\n* item two\n\n```\ncode here\n```\n"
+           "A [link](http://x.y) and <b>bold</b> <br/>\n"
+           "| a | b |\n| 1 | 2 |\n")
+    plain = "just plain prose with no structure at all"
+    df = spark.createDataFrame([(1, doc), (2, plain)],
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           structure_stats(df, "text").collect()}
+    assert got[1]["st_headers"] == 2
+    assert got[1]["st_fences"] == 2
+    assert got[1]["st_bullets"] == 2
+    assert got[1]["st_links"] == 1
+    assert got[1]["st_tables"] == 2
+    assert got[1]["st_html"] == 3
+    assert got[1]["st_any"] is True
+    assert got[2]["st_any"] is False
+    assert all(got[2][f"st_{k}"] == 0 for k in
+               ["headers", "fences", "bullets", "links", "tables",
+                "html"])

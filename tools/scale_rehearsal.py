@@ -1316,6 +1316,83 @@ def r9b_main() -> None:
           f"{t_c:.1f}s", flush=True)
 
 
+def r9c_main() -> None:
+    """Round-9 session-3 operators at 10x:
+
+    * pmi_collocations over 50k docs (token-stream shuffles + vocab
+      joins at 10x corpus);
+    * fd_strength over 6M rows with a hot determinant (50% one value);
+    * key_candidates approx screen (6 combos, ONE aggregate) on 6M;
+    * corr_state + merge over 6M split into 4 batch states;
+    * structure_stats projection over 50k docs.
+    """
+    spark = (SparkSession.builder.master("local[32]")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory", "32g")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    t = lambda name: spark.read.parquet(f"{SF_DIR}/{name}.parquet")
+    li = replicate(t("lineitem"), ["l_orderkey"], REPLICAS,
+                   materialize_as="lineitem_x10_r9c", spark=spark)
+    n_li = li.count()
+    d = replicate(t("documents").select("doc_id", "text"), ["doc_id"],
+                  REPLICAS, materialize_as="docs_x10_r9c", spark=spark)
+    n_d = d.count()
+
+    from spark_df_profiling_spark.operators.text import (
+        pmi_collocations, structure_stats)
+    t0 = time.time()
+    n_pmi = pmi_collocations(d, "text", k=50, min_count=20).count()
+    t_p = time.time() - t0
+    print(f"pmi_collocations {n_d} docs: top-{n_pmi} {t_p:.1f}s",
+          flush=True)
+
+    from spark_df_profiling_spark.operators.correlation import (
+        fd_strength, key_candidates)
+    hot = li.select(
+        F.when(F.pmod(F.xxhash64("l_orderkey", "l_linenumber"),
+                      F.lit(2)) == 0, F.lit("HOT"))
+        .otherwise(F.col("l_orderkey").cast("string")).alias("det"),
+        F.col("l_returnflag").alias("dep"))
+    t0 = time.time()
+    fd = fd_strength(hot, "det", "dep").collect()[0]
+    t_f = time.time() - t0
+    print(f"fd_strength {n_li} rows, det 50% hot: strength="
+          f"{fd['strength']:.4f} groups={fd['n_groups']} {t_f:.1f}s",
+          flush=True)
+
+    t0 = time.time()
+    kc = key_candidates(li, ["l_orderkey", "l_partkey", "l_suppkey"],
+                        max_combo=2).collect()
+    t_k = time.time() - t0
+    print(f"key_candidates approx 6 combos x {n_li} rows (ONE agg): "
+          f"{t_k:.1f}s", flush=True)
+
+    from spark_df_profiling_spark.operators.incremental import (
+        corr_from_state, corr_merge, corr_state)
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    t0 = time.time()
+    states = [corr_state(li.where(F.col("l_orderkey") % 4 == i), cols)
+              for i in range(4)]
+    merged = states[0]
+    for s in states[1:]:
+        merged = corr_merge(merged, s, cols)
+    rows = corr_from_state(merged, cols).collect()
+    t_c = time.time() - t0
+    print(f"corr_state x4 batches + merge over {n_li} rows: "
+          f"{len(rows)} pairs {t_c:.1f}s", flush=True)
+
+    t0 = time.time()
+    n_st = (structure_stats(d, "text")
+            .agg(F.sum(F.when(F.col("st_any"), 1).otherwise(0)))
+            .collect()[0][0])
+    t_s = time.time() - t0
+    print(f"structure_stats {n_d} docs: {n_st} with structure "
+          f"{t_s:.1f}s", flush=True)
+
+
 if __name__ == "__main__":
     if "skew" in sys.argv:
         skew_main()
@@ -1331,6 +1408,8 @@ if __name__ == "__main__":
         r7f_main()
     elif "r7g" in sys.argv:
         r7g_main()
+    elif "r9c" in sys.argv:
+        r9c_main()
     elif "r9b" in sys.argv:
         r9b_main()
     elif "r9" in sys.argv:
