@@ -386,6 +386,66 @@ def unigram_logprob(df: DataFrame, text_col: str, id_col: str,
     return scored.groupBy(id_col).agg(F.avg("lp").alias("lp_mean"))
 
 
+def _doc_bigram_expr(text_col: str) -> Column:
+    """Consecutive token-pair structs per document — tokens split on
+    single spaces with empties dropped (the :func:`unigram_logprob`
+    tokenization; case preserved)."""
+    return F.expr(f"""
+        element_at(transform(array(filter(split(`{text_col}`, ' '),
+                                          t -> t != '')),
+            tk -> CASE WHEN size(tk) >= 2 THEN
+                transform(sequence(0, size(tk) - 2),
+                    i -> struct(tk[i] AS w1, tk[i + 1] AS w2))
+            ELSE array() END), 1)""")
+
+
+def bigram_logprob(df: DataFrame, text_col: str, id_col: str,
+                   k_smooth: float = 0.5) -> DataFrame:
+    """Mean add-k-smoothed bigram conditional log-probability per
+    document — the next step up from :func:`unigram_logprob` on the
+    CCNet ladder (a KenLM-style perplexity filter without external
+    models): word-salad that passes unigram typicality still scores
+    low here because its CONSECUTIVE pairs are improbable.
+
+    ``P(w|v) = (c(v,w) + k) / (c(v) + k·V)`` with corpus-trained
+    counts, ``V`` = unigram vocabulary size; per doc, the mean ``ln P``
+    over its bigrams.  Output: ``(id, n_bigrams, blp_mean)`` — one row
+    per document WITH ≥ 1 bigram (single-token docs have no conditional
+    to score; treat separately).  Higher = more corpus-typical.
+
+    Self-scored by default (train = score corpus).  To score a NEW
+    batch against a reference corpus, aggregate the reference's bigram
+    and unigram counts once, store them, and join those instead — the
+    count frames here are plain additive aggregates, so reference
+    counts are mergeable state like everything else in
+    ``incremental.py``.
+
+    Plan: bigram/unigram count aggregates (map-side combined —
+    stop-pair mass collapses before the shuffle), then the bigram
+    stream joins its counts (ordinary hash joins on the pair / the
+    context token — NOT broadcast: web-scale vocabularies don't fit),
+    and one final groupBy on the doc id reassembles per-doc means.
+    """
+    if k_smooth <= 0:
+        raise ValueError(f"k_smooth must be > 0: {k_smooth}")
+    bp = (df.select(F.col(id_col).alias("__id"),
+                    F.explode(_doc_bigram_expr(text_col)).alias("b"))
+          .select("__id", "b.w1", "b.w2"))
+    bc = bp.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c12"))
+    uni = (df.select(F.explode(
+        F.filter(F.split(_c(text_col), " "), lambda t: t != ""))
+        .alias("w1"))
+        .groupBy("w1").agg(F.count(F.lit(1)).alias("__c1")))
+    v = float(uni.count())
+    lp = F.log((F.col("__c12") + F.lit(k_smooth))
+               / (F.col("__c1") + F.lit(k_smooth * v)))
+    return (bp.join(bc, ["w1", "w2"]).join(uni, "w1")
+            .groupBy("__id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+                 F.avg(lp).alias("blp_mean"))
+            .withColumnRenamed("__id", id_col))
+
+
 # --- PII / URL scan --------------------------------------------------------
 # Patterns restricted to syntax RE2/PCRE/DuckDB all parse identically
 # (char classes, +, bounded repeats — no lookaround, no backrefs).

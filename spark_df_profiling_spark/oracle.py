@@ -1453,11 +1453,56 @@ def _unigram_lp_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("lang").agg(sig(F.avg("lp_mean")).alias("avg_lp")))
 
 
+def _bigram_lp_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-k bigram LM score (text.py::bigram_logprob), reduced per
+    language — DuckDB replays corpus bigram/unigram counts, V, the
+    smoothing formula, and the per-doc/per-lang means end-to-end."""
+    from spark_df_profiling_spark.operators.text import bigram_logprob
+    d = _t(spark, sf_dir, "documents")
+    blp = bigram_logprob(d, "text", "doc_id")
+    return (d.select("doc_id", "lang").join(blp, "doc_id")
+            .groupBy("lang")
+            .agg(sig(F.avg("blp_mean")).alias("avg_blp"),
+                 F.count(F.lit(1)).cast("long").alias("blp_docs")))
+
+
+_BIGRAM_LP_SQL = f"""
+WITH btk AS (
+  SELECT doc_id, list_filter(string_split(text, ' '),
+                             t -> t <> '') AS toks
+  FROM documents
+), bpr AS (
+  SELECT doc_id, bw[1] AS w1, bw[2] AS w2
+  FROM (SELECT doc_id, unnest([[toks[i], toks[i + 1]]
+                               for i in range(1, len(toks))]) AS bw
+        FROM btk WHERE len(toks) >= 2)
+), bcnt AS (
+  SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c12 FROM bpr GROUP BY 1, 2
+), ucnt AS (
+  SELECT w, CAST(count(*) AS DOUBLE) AS c1
+  FROM (SELECT unnest(toks) AS w FROM btk) GROUP BY w
+), vv AS (
+  SELECT CAST(count(*) AS DOUBLE) AS v FROM ucnt
+), bdoc AS (
+  SELECT doc_id, avg(ln((c12 + 0.5) / (c1 + 0.5 * v))) AS blp,
+         count(*) AS nb
+  FROM bpr JOIN bcnt USING (w1, w2)
+           JOIN ucnt ON bpr.w1 = ucnt.w, vv
+  GROUP BY doc_id
+)
+SELECT d.lang, {_psig('avg(b.blp)')} AS avg_blp,
+       CAST(count(*) AS BIGINT) AS blp_docs
+FROM bdoc b JOIN documents d USING (doc_id) GROUP BY d.lang
+"""
+
+
 @query("text_stats_by_lang", f"""
 SELECT s.*, q.avg_alpha_ratio, q.avg_digit_ratio, q.avg_space_ratio,
-       q.avg_punct_ratio, q.avg_quality, u.avg_lp
+       q.avg_punct_ratio, q.avg_quality, u.avg_lp, b.avg_blp,
+       b.blp_docs
 FROM ({_TEXT_STATS_SQL}) s JOIN ({_TEXT_QUALITY_SQL}) q USING (lang)
      JOIN ({_UNIGRAM_LP_SQL}) u USING (lang)
+     JOIN ({_BIGRAM_LP_SQL}) b USING (lang)
 ORDER BY lang
 """)
 def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1468,6 +1513,7 @@ def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (_text_stats_by_lang(spark, sf_dir)
             .join(_text_quality_by_lang(spark, sf_dir), "lang")
             .join(_unigram_lp_by_lang(spark, sf_dir), "lang")
+            .join(_bigram_lp_by_lang(spark, sf_dir), "lang")
             .orderBy("lang"))
 
 

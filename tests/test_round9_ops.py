@@ -596,3 +596,37 @@ def test_structure_stats_counts(spark):
     assert all(got[2][f"st_{k}"] == 0 for k in
                ["headers", "fences", "bullets", "links", "tables",
                 "html"])
+
+
+# -------------------------------------------------- bigram_logprob
+def test_bigram_logprob_matches_python(spark):
+    from spark_df_profiling_spark.operators.text import bigram_logprob
+    import math as m
+    docs = [(1, "a b a b a"), (2, "a b c"), (3, "c c c c"),
+            (4, "solo")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           bigram_logprob(df, "text", "doc_id", k_smooth=0.5).collect()}
+    uni, bg = {}, {}
+    for _, t in docs:
+        toks = [x for x in t.split(" ") if x]
+        for w in toks:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(toks, toks[1:]):
+            bg[(a, b)] = bg.get((a, b), 0) + 1
+    V = len(uni)
+    for i, t in docs:
+        toks = [x for x in t.split(" ") if x]
+        prs = list(zip(toks, toks[1:]))
+        if not prs:
+            assert i not in got  # single-token doc has no row
+            continue
+        exp = sum(m.log((bg[p] + 0.5) / (uni[p[0]] + 0.5 * V))
+                  for p in prs) / len(prs)
+        assert got[i]["n_bigrams"] == len(prs)
+        assert got[i]["blp_mean"] == pytest.approx(exp, rel=1e-12)
+    # the repetitive doc ("c c c c") is MORE typical of its own pairs
+    # than the rare transition doc
+    assert got[3]["blp_mean"] > got[2]["blp_mean"]
+    with pytest.raises(ValueError):
+        bigram_logprob(df, "text", "doc_id", k_smooth=0)
