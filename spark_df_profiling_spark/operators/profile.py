@@ -69,6 +69,11 @@ PROFILE_SCHEMA = T.StructType([
     T.StructField("iqr", T.DoubleType(), True),
     T.StructField("cv", T.DoubleType(), True),
     T.StructField("mad", T.DoubleType(), True),
+    # Jarque-Bera normality statistic n/6·(S² + K²/4) from the same
+    # pass-1 moments (K = excess kurtosis); NULL when skew/kurt are
+    # undefined.  JB > 5.991 rejects normality at 5% (chi2, dof=2) —
+    # the report layer's alert threshold.
+    T.StructField("jarque_bera", T.DoubleType(), True),
     T.StructField("min_date", T.StringType(), True),
     T.StructField("max_date", T.StringType(), True),
     T.StructField("range_seconds", T.DoubleType(), True),
@@ -327,6 +332,11 @@ def _assemble_row(i: int, f_: T.StructField, base_cls: str, cls: str,
             "n_nan": int(nan) if nan is not None else 0,
             "mad": fnum("mad", p2),
         })
+        sk, ku = row["skewness"], row["kurtosis"]
+        nn = row.get("count")
+        if sk is not None and ku is not None and nn \
+                and math.isfinite(sk) and math.isfinite(ku):
+            row["jarque_bera"] = nn / 6.0 * (sk * sk + ku * ku / 4.0)
         qs = p2.get(k(i, "quantiles"))
         if qs is not None:
             labels = ["q05", "q25", "q50", "q75", "q95"]

@@ -2879,10 +2879,18 @@ def _profile_full_sql() -> str:
                   f"count({c}) AS cnt, count(*) - count({c}) AS n_missing, "
                   f"count(DISTINCT {c}) AS n_distinct")
         if cls == "NUM":
+            mu = f"(SELECT avg({c}) FROM lineitem)"
+            m2 = f"avg(pow({c} - {mu}, 2))"
+            m3 = f"avg(pow({c} - {mu}, 3))"
+            m4 = f"avg(pow({c} - {mu}, 4))"
+            jb = (f"(count({c}) / 6.0) * "
+                  f"(pow({m3} / pow({m2}, 1.5), 2) "
+                  f"+ pow({m4} / pow({m2}, 2) - 3, 2) / 4.0)")
             parts.append(f"""{common},
   {_psig(f'avg({c})')} AS mean_s,
   {_psig(f'stddev_samp({c})')} AS std_s,
   {_psig(f'quantile_cont({c}, 0.5)')} AS q50_s,
+  {_psig(jb)} AS jb_s,
   CAST(min({c}) AS DOUBLE) AS min_num,
   CAST(max({c}) AS DOUBLE) AS max_num,
   CAST(sum(CASE WHEN {c} = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zeros,
@@ -2892,7 +2900,7 @@ FROM lineitem""")
         elif cls == "CAT":
             parts.append(f"""{common},
   CAST(NULL AS VARCHAR) AS mean_s, CAST(NULL AS VARCHAR) AS std_s,
-  CAST(NULL AS VARCHAR) AS q50_s,
+  CAST(NULL AS VARCHAR) AS q50_s, CAST(NULL AS VARCHAR) AS jb_s,
   CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
   CAST(NULL AS BIGINT) AS n_zeros,
   CAST(NULL AS BIGINT) AS min_epoch, CAST(NULL AS BIGINT) AS max_epoch,
@@ -2904,7 +2912,7 @@ FROM lineitem""")
         else:  # DATE
             parts.append(f"""{common},
   CAST(NULL AS VARCHAR) AS mean_s, CAST(NULL AS VARCHAR) AS std_s,
-  CAST(NULL AS VARCHAR) AS q50_s,
+  CAST(NULL AS VARCHAR) AS q50_s, CAST(NULL AS VARCHAR) AS jb_s,
   CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
   CAST(NULL AS BIGINT) AS n_zeros,
   CAST(floor(epoch(min({c}))) AS BIGINT) AS min_epoch,
@@ -2934,6 +2942,7 @@ def profile_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig(F.col("mean")).alias("mean_s"),
         sig(F.col("std")).alias("std_s"),
         sig(F.col("q50")).alias("q50_s"),
+        sig(F.col("jarque_bera")).alias("jb_s"),
         "min_num", "max_num", "n_zeros",
         ep.alias("min_epoch"), ep_max.alias("max_epoch"),
         "top_value", "top_freq",

@@ -630,3 +630,22 @@ def test_bigram_logprob_matches_python(spark):
     assert got[3]["blp_mean"] > got[2]["blp_mean"]
     with pytest.raises(ValueError):
         bigram_logprob(df, "text", "doc_id", k_smooth=0)
+
+
+# ---------------------------------------------------- jarque_bera
+def test_profile_jarque_bera_from_moments(spark):
+    from spark_df_profiling_spark import profile
+    from spark_df_profiling_spark.config import EXACT_CONFIG
+    random.seed(41)
+    rows = [(random.gauss(0, 1), float(i % 7)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "g double, u double")
+    prof = {r["column"]: r for r in
+            profile(df, EXACT_CONFIG).collect()}
+    for c in ("g", "u"):
+        r = prof[c]
+        exp = r["count"] / 6.0 * (r["skewness"] ** 2
+                                  + r["kurtosis"] ** 2 / 4.0)
+        assert r["jarque_bera"] == pytest.approx(exp, rel=1e-12)
+    # a 7-level uniform staircase is decidedly non-normal: its excess
+    # kurtosis is strongly negative, JB far above the 5% cutoff 5.991
+    assert prof["u"]["jarque_bera"] > 5.991
