@@ -649,3 +649,68 @@ def test_profile_jarque_bera_from_moments(spark):
     # a 7-level uniform staircase is decidedly non-normal: its excess
     # kurtosis is strongly negative, JB far above the 5% cutoff 5.991
     assert prof["u"]["jarque_bera"] > 5.991
+
+
+# ------------------------------------------------ invariant properties
+def test_canonical_url_idempotent(spark):
+    """canon(canon(u)) == canon(u) — the output must be a fixed point,
+    otherwise repeated pipeline passes would keep rewriting keys."""
+    from spark_df_profiling_spark.operators.text import canonical_url
+    urls = ["HTTPS://Example.COM:443/a/?utm_source=x&b=2&z=1#f",
+            "http://a.b.c.com:8080/Deep/Path/?q=1&a=2",
+            "https://example.com", "http://x.io/p?utm_campaign=c",
+            "https://example.com/a%20b?x=%C3%A9"]
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    once = df.select(canonical_url("u").alias("c1"))
+    twice = once.select(F.col("c1"),
+                        canonical_url(F.col("c1")).alias("c2"))
+    for r in twice.collect():
+        assert r["c2"] == r["c1"], r
+
+
+def test_corr_merge_is_associative_and_commutative(spark):
+    from spark_df_profiling_spark.operators.incremental import (
+        corr_from_state, corr_merge, corr_state)
+    random.seed(47)
+    rows = [(random.gauss(0, 1), random.gauss(0, 2)) for _ in range(900)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    cols = ["x", "y"]
+    s = [corr_state(df.where(F.pmod(F.xxhash64("x", "y"),
+                                    F.lit(3)) == i), cols)
+         for i in range(3)]
+
+    def rho(state):
+        return corr_from_state(state, cols).collect()[0]["rho"]
+
+    left = corr_merge(corr_merge(s[0], s[1], cols), s[2], cols)
+    right = corr_merge(s[0], corr_merge(s[1], s[2], cols), cols)
+    swapped = corr_merge(s[2], corr_merge(s[1], s[0], cols), cols)
+    r0 = rho(left)
+    assert rho(right) == pytest.approx(r0, rel=1e-12)
+    assert rho(swapped) == pytest.approx(r0, rel=1e-12)
+    assert r0 == pytest.approx(rho(corr_state(df, cols)), rel=1e-9)
+
+
+def test_hll_merge_by_idempotent_and_commutative(spark):
+    from spark_df_profiling_spark.operators.frequency import (
+        hll_merge_by, hll_state_by)
+    rows = [(f"g{i % 2}", f"k{i}") for i in range(500)]
+    df = spark.createDataFrame(rows, "g string, k string")
+    st = hll_state_by(df, "g", ["k"])
+    # merging a state with itself is a no-op (max is idempotent)
+    self_merged = hll_merge_by("g", st, st)
+    assert (sorted(map(tuple, self_merged.collect()))
+            == sorted(map(tuple, st.collect())))
+
+
+def test_gini_scale_invariant(spark):
+    """Gini is invariant under positive scaling of the values."""
+    from spark_df_profiling_spark.operators.frequency import (
+        gini_coefficient)
+    random.seed(53)
+    vals = [float(random.randrange(1, 100)) for _ in range(800)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    g1 = gini_coefficient(df, "x").collect()[0]["gini"]
+    df7 = spark.createDataFrame([(v * 7.0,) for v in vals], "x double")
+    g7 = gini_coefficient(df7, "x").collect()[0]["gini"]
+    assert g7 == pytest.approx(g1, rel=1e-12)
