@@ -744,3 +744,71 @@ def knn_bruteforce_quantized(corpus_q8: DataFrame, queries: DataFrame,
     return knn_bruteforce(c, queries, id_col=id_col, vec_col=vec_col,
                           k=k, metric=metric,
                           sub_partitions=sub_partitions)
+
+
+def label_centroids(df: DataFrame, emb_col: str = "embedding",
+                    label_col: str = "label") -> DataFrame:
+    """Per-label mean vector — ``(label, n, centroid array<double>)``.
+    The class-prototype state for embedding-quality diagnostics and
+    nearest-centroid assignment.
+
+    Plan: posexplode → (label, dim) map-side-combined avg (#labels ×
+    #dims rows — state, not data) → arrays reassembled with a sorted
+    collect_list.  Rows with NULL label or NULL embedding are excluded.
+    """
+    d = (df.where(F.col(label_col).isNotNull()
+                  & F.col(emb_col).isNotNull())
+         .select(F.col(label_col).alias("label"),
+                 F.posexplode(F.col(emb_col)).alias("dim", "v")))
+    per_dim = (d.groupBy("label", "dim")
+               .agg(F.avg(F.col("v").cast("double")).alias("cv"),
+                    F.count(F.lit(1)).alias("__n")))
+    return (per_dim.groupBy("label")
+            .agg((F.max("__n")).cast("long").alias("n"),
+                 F.transform(
+                     F.sort_array(F.collect_list(
+                         F.struct("dim", "cv"))),
+                     lambda s: s["cv"]).alias("centroid")))
+
+
+def centroid_margin_stats(df: DataFrame, emb_col: str = "embedding",
+                          label_col: str = "label",
+                          id_col: str = "vec_id") -> DataFrame:
+    """Label-coherence report from nearest-centroid margins: one row
+    per label — ``(label, n, avg_own_cos, avg_margin, n_neg_margin)``
+    where ``margin`` = cosine to the OWN label centroid minus the best
+    cosine to any OTHER centroid.  Negative margins mark points that
+    sit closer to another class — mislabeled data, collapsed classes,
+    or an embedding model that cannot separate them; ``avg_margin``
+    per label ranks which classes are clean.
+
+    Scale contract: #labels is assumed SMALL (the centroid frame
+    broadcasts); the per-point work is #labels cosines via one
+    zip_with fold each.  The corpus streams once — no self-join.
+    """
+    cents = label_centroids(df, emb_col, label_col)
+    base = (df.where(F.col(label_col).isNotNull()
+                     & F.col(emb_col).isNotNull())
+            .select(F.col(id_col).alias("__id"),
+                    F.col(label_col).alias("__lbl"),
+                    F.col(emb_col).alias("__e")))
+    c = (cents.select(F.col("label").alias("__clbl"),
+                      F.col("centroid").alias("__c")))
+    scored = (base.crossJoin(F.broadcast(c))
+              .select("__id", "__lbl", "__clbl",
+                      safe_cosine(
+                          dot(F.col("__e"), F.col("__c")),
+                          l2_norm(F.col("__e")),
+                          l2_norm(F.col("__c"))).alias("__cos")))
+    per_pt = (scored.groupBy("__id", "__lbl")
+              .agg(F.max(F.when(F.col("__clbl") == F.col("__lbl"),
+                                F.col("__cos"))).alias("__own"),
+                   F.max(F.when(F.col("__clbl") != F.col("__lbl"),
+                                F.col("__cos"))).alias("__other")))
+    margin = F.col("__own") - F.col("__other")
+    return (per_pt.groupBy(F.col("__lbl").alias("label"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.avg("__own").alias("avg_own_cos"),
+                 F.avg(margin).alias("avg_margin"),
+                 F.sum(F.when(margin < 0, 1).otherwise(0)).cast("long")
+                 .alias("n_neg_margin")))

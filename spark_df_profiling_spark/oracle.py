@@ -2079,19 +2079,64 @@ def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("embedding_norm_by_label", f"""
-SELECT label, count(*) AS cnt,
+WITH clab AS (
+  SELECT vec_id, label, CAST(embedding[i] AS DOUBLE) AS val, i AS ord
+  FROM embeddings,
+       unnest(generate_series(1, len(embedding))) AS t(i)
+), cent AS (
+  SELECT label, ord, avg(val) AS cv FROM clab GROUP BY 1, 2
+), pnrm AS (
+  SELECT vec_id, sqrt(sum(val * val)) AS vn FROM clab GROUP BY 1
+), cnrm AS (
+  SELECT label, sqrt(sum(cv * cv)) AS cn FROM cent GROUP BY 1
+), cdots AS (
+  SELECT d.vec_id, any_value(d.label) AS vlabel, c.label AS clabel,
+         sum(d.val * c.cv) AS dt
+  FROM clab d JOIN cent c USING (ord) GROUP BY d.vec_id, c.label
+), ccos AS (
+  SELECT vec_id, vlabel, clabel,
+         dt / (pn.vn * cn.cn) AS cosv
+  FROM cdots JOIN pnrm pn USING (vec_id)
+             JOIN cnrm cn ON cn.label = cdots.clabel
+), cper AS (
+  SELECT vec_id, vlabel,
+         max(CASE WHEN clabel = vlabel THEN cosv END) AS own,
+         max(CASE WHEN clabel <> vlabel THEN cosv END) AS oth
+  FROM ccos GROUP BY 1, 2
+), cmarg AS (
+  SELECT vlabel AS label,
+         {_psig('avg(own)')} AS own_s,
+         {_psig('avg(own - oth)')} AS margin_s,
+         CAST(sum(CASE WHEN own - oth < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_neg_margin
+  FROM cper GROUP BY 1
+)
+SELECT e.label, count(*) AS cnt,
        {_psig('''avg(sqrt(list_sum(list_transform(embedding,
               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))''')}
-           AS avg_norm
-FROM embeddings GROUP BY label ORDER BY label
+           AS avg_norm,
+       any_value(m.own_s) AS own_s, any_value(m.margin_s) AS margin_s,
+       any_value(m.n_neg_margin) AS n_neg_margin
+FROM embeddings e JOIN cmarg m USING (label)
+GROUP BY e.label ORDER BY e.label
 """)
 def embedding_norm_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from spark_df_profiling_spark.operators.similarity import l2_norm
+    """Per-label norm stats + the centroid-margin coherence report
+    (similarity.label_centroids / centroid_margin_stats) — DuckDB
+    replays per-dim centroids, every point↔centroid cosine, and the
+    own-vs-best-other margin aggregation."""
+    from spark_df_profiling_spark.operators.similarity import (
+        centroid_margin_stats, l2_norm)
     e = _t(spark, sf_dir, "embeddings")
-    return (e.groupBy("label")
+    base = (e.groupBy("label")
             .agg(F.count(F.lit(1)).alias("cnt"),
-                 sig(F.avg(l2_norm(F.col("embedding")))).alias("avg_norm"))
-            .orderBy("label"))
+                 sig(F.avg(l2_norm(F.col("embedding"))))
+                 .alias("avg_norm")))
+    marg = (centroid_margin_stats(e)
+            .select("label", sig(F.col("avg_own_cos")).alias("own_s"),
+                    sig(F.col("avg_margin")).alias("margin_s"),
+                    "n_neg_margin"))
+    return base.join(marg, "label").orderBy("label")
 
 
 @query("embedding_neardup_exact", f"""

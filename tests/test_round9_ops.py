@@ -714,3 +714,43 @@ def test_gini_scale_invariant(spark):
     df7 = spark.createDataFrame([(v * 7.0,) for v in vals], "x double")
     g7 = gini_coefficient(df7, "x").collect()[0]["gini"]
     assert g7 == pytest.approx(g1, rel=1e-12)
+
+
+# ------------------------------------- label centroids / margins
+def test_label_centroids_and_margins(spark):
+    from spark_df_profiling_spark.operators.similarity import (
+        centroid_margin_stats, label_centroids)
+    random.seed(61)
+    rows = []
+    protos = {0: [10.0, 0.0, 0.0], 1: [0.0, 10.0, 0.0]}
+    vid = 0
+    for lbl, p in protos.items():
+        for _ in range(20):
+            rows.append((vid, lbl,
+                         [x + random.gauss(0, 0.1) for x in p]))
+            vid += 1
+    # one planted mislabel: a label-0 point sitting on prototype 1
+    rows.append((vid, 0, [0.0, 10.0, 0.05]))
+    df = spark.createDataFrame(rows,
+                               "vec_id long, label long, "
+                               "embedding array<double>")
+    cents = {r["label"]: r for r in label_centroids(df).collect()}
+    assert cents[1]["n"] == 20 and len(cents[1]["centroid"]) == 3
+    assert cents[1]["centroid"][1] == pytest.approx(10.0, abs=0.1)
+    got = {r["label"]: r for r in centroid_margin_stats(df).collect()}
+    assert got[1]["n_neg_margin"] == 0
+    assert got[1]["avg_margin"] > 0.5
+    assert got[0]["n_neg_margin"] == 1  # exactly the planted point
+    assert got[0]["n"] == 21
+
+
+def test_label_centroids_null_rows_dropped(spark):
+    from spark_df_profiling_spark.operators.similarity import (
+        label_centroids)
+    rows = [(1, 0, [1.0, 2.0]), (2, None, [9.0, 9.0]),
+            (3, 0, None)]
+    df = spark.createDataFrame(rows, "vec_id long, label int, "
+                                     "embedding array<double>")
+    got = label_centroids(df).collect()
+    assert len(got) == 1 and got[0]["n"] == 1
+    assert got[0]["centroid"] == [1.0, 2.0]
