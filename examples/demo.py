@@ -232,6 +232,48 @@ def main() -> None:
     zorder_write(li, zdir, ["l_partkey", "l_suppkey"], num_files=8)
     skipping_stats(spark, zdir, ["l_partkey", "l_suppkey"]).show()
 
+    # 13. round-9: day-2 NEAR-dup against stored signatures, canonical
+    # URLs, grouped HLL, collocations, FD/key screens, corr-state merge
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    from spark_df_profiling_spark.operators.dedup import (
+        minhash_signature_state, neardup_against_history)
+    hist = minhash_signature_state(docs.where(F.col("doc_id") < 200),
+                                   "text", "doc_id")
+    batch = docs.where(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.concat("text", F.lit(" republished")).alias("text"))
+    neardup_against_history(batch, hist, "text", "doc_id",
+                            min_agreement=0.5).show(5)
+
+    from spark_df_profiling_spark import functions as PF
+    spark.createDataFrame(
+        [("HTTPS://Example.COM/a/?utm_source=tw&b=2#frag",)],
+        "u string").select(PF.canonical_url("u")).show(truncate=False)
+
+    from spark_df_profiling_spark.operators.frequency import (
+        hll_estimate_by, hll_state_by)
+    hll_estimate_by(hll_state_by(docs, "lang", ["text"]), "lang").show()
+
+    from spark_df_profiling_spark.operators.text import (
+        bigram_logprob, pmi_collocations, structure_stats)
+    pmi_collocations(docs, "text", k=5, min_count=5).show()
+    bigram_logprob(docs.where(F.col("doc_id") < 100),
+                   "text", "doc_id").orderBy("blp_mean").show(3)
+    structure_stats(spark.createDataFrame(
+        [("# h\n- item\n```c```",)], "text string"), "text").show()
+
+    from spark_df_profiling_spark.operators.correlation import (
+        fd_strength, key_candidates)
+    fd_strength(li, ["l_returnflag"], "l_linestatus").show()
+    key_candidates(li, ["l_orderkey", "l_linenumber"]).show()
+
+    from spark_df_profiling_spark.operators.incremental import (
+        corr_from_state, corr_merge, corr_state)
+    c3 = ["l_quantity", "l_extendedprice", "l_discount"]
+    s1 = corr_state(li.where(F.col("l_orderkey") % 2 == 0), c3)
+    s2 = corr_state(li.where(F.col("l_orderkey") % 2 == 1), c3)
+    corr_from_state(corr_merge(s1, s2, c3), c3).show()
+
     spark.stop()
 
 
