@@ -722,6 +722,52 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
         (inter.cast("double") / union).alias("jaccard"))
 
 
+def containment_pairs(df: DataFrame, text_col: str, id_col: str,
+                      min_containment: float = 0.8,
+                      shingle_n: int = 3, num_hashes: int = 16,
+                      max_bucket_size: int | None = None) -> DataFrame:
+    """Near-CONTAINMENT pairs — ``(id_a, id_b, containment, jaccard)``
+    where ``containment = |A∩B| / min(|A|, |B|)`` ≥ the threshold:
+    catches a short document quoted/embedded inside a long one, which
+    symmetric Jaccard structurally misses (a 100-word quote in a
+    5000-word article has J ≈ 0.02 but containment 1.0).  The standard
+    complement to near-dedup when hunting boilerplate inclusion and
+    benchmark text quoted inside training documents.
+
+    Candidate generation reuses the MinHash band join
+    (:func:`_minhash_shingles_bands`) — note the recall caveat: MinHash
+    collision probability tracks JACCARD, so a tiny-doc⊂huge-doc pair
+    with J ≈ 0.02 is unlikely to band-collide at practical settings;
+    banding finds containment among comparably-sized docs.  For the
+    asymmetric small⊂large case, run with the suspect SHORT set as a
+    benchmark via :func:`decontaminate` (gram-level membership, no
+    banding).  Verification computes BOTH exact overlap ratios on the
+    distinct-shingle sets of candidates only — never all pairs.
+    """
+    if not (0.0 <= min_containment <= 1.0):
+        raise ValueError(f"min_containment must be in [0, 1]: "
+                         f"{min_containment}")
+    sh, bands = _minhash_shingles_bands(
+        df, text_col, id_col, shingle_n, num_hashes, 1,
+        max_bucket_size)
+    a, bb = bands.alias("a"), bands.alias("b")
+    cand = (a.join(bb, on=["band", "key"])
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"))
+            .distinct())
+    sh_a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    mn = F.least(F.size("sh_a"), F.size("sh_b"))
+    return (cand.join(sh_a, "id_a").join(sh_b, "id_b")
+            .select("id_a", "id_b",
+                    (inter / mn).alias("containment"),
+                    (inter / union).alias("jaccard"))
+            .where(F.col("containment") >= min_containment))
+
+
 # ---------------------------------------------------------------------------
 # CCNet-style cross-document repeated-line removal
 # ---------------------------------------------------------------------------

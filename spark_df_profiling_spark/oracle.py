@@ -2561,6 +2561,33 @@ SELECT 'hist', hist_id, batch_id, CAST(m AS VARCHAR) FROM (
   JOIN hsig hs ON hs.doc_id = c.hist_id
   JOIN bsig bs ON bs.doc_id = c.batch_id)
 WHERE m >= 8
+UNION ALL
+SELECT 'contain', id_a, id_b, cont FROM (
+  WITH cd AS (
+    SELECT doc_id, text FROM documents WHERE doc_id < 100
+  ), cm AS (
+    SELECT doc_id + 100000 AS doc_id,
+           array_to_string(
+               string_split(text,' ')[1:len(string_split(text,' '))-1],
+               ' ') || ' xyzzy' AS text
+    FROM cd
+  ), callx AS (
+    SELECT * FROM cd UNION ALL SELECT * FROM cm
+  ), csh AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(toks[i:i+2], ' ')
+                          for i in range(1, len(toks) - 1)]) AS sh
+    FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+          FROM callx)
+    WHERE len(toks) >= 3
+  )
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         {_psig('''len(list_filter(a.sh, s -> list_contains(b.sh, s)))
+                / least(len(a.sh), len(b.sh))''')} AS cont,
+         len(list_filter(a.sh, s -> list_contains(b.sh, s)))
+           / CAST(least(len(a.sh), len(b.sh)) AS DOUBLE) AS cont_raw
+  FROM csh a JOIN csh b ON a.doc_id < b.doc_id)
+WHERE cont_raw >= 0.75
 ORDER BY part, id_a, id_b
 """
 
@@ -2619,7 +2646,21 @@ def minhash_native_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("id").alias("id_b"),
                     F.round(F.col("sig_agreement") * 16).cast("long")
                     .cast("string").alias("jaccard_distance")))
+    # 'contain' rows grade dedup.containment_pairs over the same
+    # planted corpus at min_containment=0.75 (comparable doc sizes →
+    # qualifying pairs have J ≳ 0.6, so the 16-band miss probability
+    # is ≤ 0.4^16; the asymmetric small⊂large recall caveat is pytest-
+    # pinned instead) — DuckDB computes ALL-PAIRS exact containment
+    from spark_df_profiling_spark.operators.dedup import (
+        containment_pairs)
+    cont = (containment_pairs(_mutated_docs(spark, sf_dir),
+                              "text", "doc_id", min_containment=0.75,
+                              num_hashes=16)
+            .select(F.lit("contain").alias("part"), "id_a", "id_b",
+                    sig(F.col("containment"))
+                    .alias("jaccard_distance")))
     return (self_rows.unionByName(cross).unionByName(hist)
+            .unionByName(cont)
             .orderBy("part", "id_a", "id_b"))
 
 

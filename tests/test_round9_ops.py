@@ -754,3 +754,23 @@ def test_label_centroids_null_rows_dropped(spark):
     got = label_centroids(df).collect()
     assert len(got) == 1 and got[0]["n"] == 1
     assert got[0]["centroid"] == [1.0, 2.0]
+
+
+# ---------------------------------------------- containment_pairs
+def test_containment_pairs_finds_embedded_quote(spark):
+    from spark_df_profiling_spark.operators.dedup import containment_pairs
+    base = " ".join(f"w{j}" for j in range(40))
+    quote = " ".join(f"w{j}" for j in range(10, 28))  # strict subset
+    other = " ".join(f"z{j}" for j in range(40))
+    rows = [(1, base), (2, quote), (3, other)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r for r in
+           containment_pairs(df, "text", "doc_id",
+                             min_containment=0.9).collect()}
+    assert (1, 2) in got
+    r = got[(1, 2)]
+    assert r["containment"] == pytest.approx(1.0)
+    assert r["jaccard"] < 0.5  # jaccard alone would have missed it
+    assert not any(3 in k for k in got)
+    with pytest.raises(ValueError):
+        containment_pairs(df, "text", "doc_id", min_containment=2.0)
