@@ -81,6 +81,15 @@ def psi_numeric(ref: DataFrame, new: DataFrame, cols: Sequence[str],
     NULLs are excluded on both sides (missingness drift is
     ``psi_categorical`` on an is-null indicator if needed).
     """
+    exprs = _numeric_bucket_exprs(ref, cols, bins)
+    return _psi_from_counts(_bucket_counts(ref, exprs),
+                            _bucket_counts(new, exprs))
+
+
+def _numeric_bucket_exprs(ref: DataFrame, cols: Sequence[str],
+                          bins: int) -> dict:
+    """Reference-fitted clamped equal-width bucket expressions — shared
+    by the PSI and JSD numeric paths (one ref scan for all edges)."""
     if not cols:
         raise ValueError("cols must be non-empty")
     if bins < 2:
@@ -104,8 +113,64 @@ def psi_numeric(ref: DataFrame, new: DataFrame, cols: Sequence[str],
                           F.lit(bins - 1))
         return F.when(F.col(c).isNotNull(), clamped.cast("string"))
 
-    exprs = {c: bucket_expr(c) for c in cols}
-    return _psi_from_counts(_bucket_counts(ref, exprs),
+    return {c: bucket_expr(c) for c in cols}
+
+
+def _jsd_from_counts(ref_counts: DataFrame,
+                     new_counts: DataFrame) -> DataFrame:
+    """Jensen–Shannon divergence per column from the shared bucket
+    frames: 0.5·KL(P‖M) + 0.5·KL(Q‖M) with M = (P+Q)/2, natural log.
+    Exact — no eps floors: a zero-mass bucket contributes 0 to its own
+    KL term, and M > 0 wherever either side has mass.  Bounded
+    [0, ln 2], so scores are comparable across columns and snapshots
+    (PSI's eps-floored unbounded scale is not)."""
+    tot_r = (ref_counts.groupBy("column")
+             .agg(F.sum("n").alias("tot_r")))
+    tot_n = (new_counts.groupBy("column")
+             .agg(F.sum("n").alias("tot_n")))
+    joined = (ref_counts.withColumnRenamed("n", "n_r")
+              .join(new_counts.withColumnRenamed("n", "n_n"),
+                    ["column", "bucket"], "full_outer")
+              .join(F.broadcast(tot_r), "column")
+              .join(F.broadcast(tot_n), "column"))
+    p = F.coalesce(F.col("n_r"), F.lit(0)) / F.col("tot_r")
+    q = F.coalesce(F.col("n_n"), F.lit(0)) / F.col("tot_n")
+    m = (p + q) / 2
+    term = (F.when(p > 0, 0.5 * p * F.log(p / m)).otherwise(F.lit(0.0))
+            + F.when(q > 0, 0.5 * q * F.log(q / m))
+            .otherwise(F.lit(0.0)))
+    return joined.groupBy("column").agg(F.sum(term).alias("jsd"))
+
+
+def jsd_numeric(ref: DataFrame, new: DataFrame, cols: Sequence[str],
+                bins: int = 10) -> DataFrame:
+    """Jensen–Shannon drift per numeric column → ``(column, jsd)`` —
+    the bounded, symmetric companion to :func:`psi_numeric` (identical
+    reference-fitted clamped binning, one scan per dataset via the
+    stack-explode): 0 = identical histograms, ln 2 ≈ 0.693 = disjoint
+    support.  Use when scores must be comparable across columns /
+    thresholded uniformly; PSI's unbounded eps-floored scale is better
+    for "how big", JSD for "how far on [0, 1]·ln 2"."""
+    exprs = _numeric_bucket_exprs(ref, cols, bins)
+    return _jsd_from_counts(_bucket_counts(ref, exprs),
+                            _bucket_counts(new, exprs))
+
+
+def jsd_categorical(ref: DataFrame, new: DataFrame,
+                    cols: Sequence[str],
+                    include_nulls: bool = False) -> DataFrame:
+    """JSD per categorical column (each value a bucket) — exact, no
+    eps floors: a one-side-only value contributes its mass toward the
+    ln 2 bound instead of an arbitrary eps-determined spike.  Same
+    NULL contract as :func:`psi_categorical`."""
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    if include_nulls:
+        exprs = {c: F.coalesce(F.col(c).cast("string"),
+                               F.lit("__null__")) for c in cols}
+    else:
+        exprs = {c: F.col(c).cast("string") for c in cols}
+    return _jsd_from_counts(_bucket_counts(ref, exprs),
                             _bucket_counts(new, exprs))
 
 

@@ -4621,6 +4621,22 @@ SELECT 'col' AS part, col AS k,
             ELSE 'shifted' END AS band
 FROM p GROUP BY col
 UNION ALL
+SELECT 'jsd', col, {_psig('jsd')},
+       CASE WHEN jsd < 0.02 THEN 'stable'
+            WHEN jsd < 0.1 THEN 'moderate' ELSE 'shifted' END
+FROM (
+  SELECT j2.col,
+         sum(CASE WHEN pr0 > 0
+                  THEN 0.5 * pr0 * ln(pr0 / ((pr0 + pn0) / 2))
+                  ELSE 0 END
+             + CASE WHEN pn0 > 0
+                    THEN 0.5 * pn0 * ln(pn0 / ((pr0 + pn0) / 2))
+                    ELSE 0 END) AS jsd
+  FROM (SELECT j.col, j.n_r / CAST(tr.t AS DOUBLE) AS pr0,
+               j.n_n / CAST(tn.t AS DOUBLE) AS pn0
+        FROM j JOIN tr ON j.col = tr.col JOIN tn ON j.col = tn.col) j2
+  GROUP BY j2.col)
+UNION ALL
 SELECT 'grp', g || ':l_quantity',
        {_psig('sum((gpr - gpn) * ln(gpr / gpn))')},
        CASE WHEN sum((gpr - gpn) * ln(gpr / gpn)) < 0.1 THEN 'stable'
@@ -4763,8 +4779,25 @@ def drift_psi_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig(F.col("d_stat")).alias("psi_s"),
         F.when(F.col("d_stat") > crit, F.lit("drift"))
         .otherwise(F.lit("ok")).alias("band"))
+    # 'jsd' rows grade drift.jsd_numeric/jsd_categorical — the bounded
+    # symmetric companion to PSI over the SAME halves and binning;
+    # DuckDB replays the exact (eps-free) JSD fold from the shared
+    # bucket counts
+    from spark_df_profiling_spark.operators.drift import (
+        jsd_categorical, jsd_numeric)
+    jn = jsd_numeric(ref, new, [c for c, _ in _DRIFT_NUM], bins=10)
+    jc = jsd_categorical(ref, new, _DRIFT_CAT)
+    jv = F.col("jsd")
+    jsd_rows = (jn.unionByName(jc)
+                .select(F.lit("jsd").alias("part"),
+                        F.col("column").alias("k"),
+                        sig(jv).alias("psi_s"),
+                        F.when(jv < 0.02, F.lit("stable"))
+                        .when(jv < 0.1, F.lit("moderate"))
+                        .otherwise(F.lit("shifted")).alias("band")))
     return (cols.unionByName(wins).unionByName(grp)
-            .unionByName(ks_row).orderBy("part", "k"))
+            .unionByName(ks_row).unionByName(jsd_rows)
+            .orderBy("part", "k"))
 
 
 @query("mixture_sample_counts", f"""

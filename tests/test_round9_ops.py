@@ -774,3 +774,41 @@ def test_containment_pairs_finds_embedded_quote(spark):
     assert not any(3 in k for k in got)
     with pytest.raises(ValueError):
         containment_pairs(df, "text", "doc_id", min_containment=2.0)
+
+
+# --------------------------------------------------- JSD drift
+def test_jsd_matches_python_and_bounds(spark):
+    from spark_df_profiling_spark.operators.drift import (
+        jsd_categorical, jsd_numeric)
+    import math as m
+    ref = spark.createDataFrame(
+        [("a",)] * 60 + [("b",)] * 30 + [("c",)] * 10, "v string")
+    new = spark.createDataFrame(
+        [("a",)] * 30 + [("b",)] * 30 + [("d",)] * 40, "v string")
+    got = jsd_categorical(ref, new, ["v"]).collect()[0]
+
+    p = {"a": 0.6, "b": 0.3, "c": 0.1, "d": 0.0}
+    q = {"a": 0.3, "b": 0.3, "c": 0.0, "d": 0.4}
+    exp = 0.0
+    for k in p:
+        mm = (p[k] + q[k]) / 2
+        if p[k] > 0:
+            exp += 0.5 * p[k] * m.log(p[k] / mm)
+        if q[k] > 0:
+            exp += 0.5 * q[k] * m.log(q[k] / mm)
+    assert got["jsd"] == pytest.approx(exp, rel=1e-12)
+    # identical distributions -> 0; disjoint -> ln 2
+    same = jsd_categorical(ref, ref, ["v"]).collect()[0]
+    assert same["jsd"] == pytest.approx(0.0, abs=1e-12)
+    disj = jsd_categorical(
+        spark.createDataFrame([("x",)] * 5, "v string"),
+        spark.createDataFrame([("y",)] * 5, "v string"),
+        ["v"]).collect()[0]
+    assert disj["jsd"] == pytest.approx(m.log(2), rel=1e-12)
+    # numeric path shares the PSI binning and stays in bounds
+    r2 = spark.range(1000).select((F.col("id") % 100).cast("double")
+                                  .alias("x"))
+    n2 = spark.range(1000).select(((F.col("id") % 100) + 50)
+                                  .cast("double").alias("x"))
+    j = jsd_numeric(r2, n2, ["x"], bins=10).collect()[0]["jsd"]
+    assert 0.0 < j < m.log(2) + 1e-12
