@@ -383,6 +383,40 @@ def hll_estimate(state: DataFrame, p: int = 12,
     return agg.select(F.round(est).cast("long").alias(out_col))
 
 
+def topk_by_group(df: DataFrame, group_cols: str | list[str],
+                  value_col: str, k: int = 10,
+                  sub_partitions: int = 64) -> DataFrame:
+    """Top-k values of ``value_col`` WITHIN each group — ``(group...,
+    value, cnt, rank)``: the per-segment frequency table ("top domains
+    per language", "top event types per user cohort") that the global
+    :func:`topk_frequencies` cannot answer.
+
+    Same two-phase skew-safe ranking: phase 1 ranks inside ``(group,
+    hash(value) % sub_partitions)`` so a hot group's vocabulary never
+    funnels through one task; phase 2 ranks the surviving
+    ``sub_partitions × k`` rows per group.  A value's full count lives
+    in exactly one bucket (bucket key is a function of the value), so
+    the local top-k provably contains the global one.  NULL values are
+    excluded; NULL group keys form their own group.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    gcols = [group_cols] if isinstance(group_cols, str) \
+        else list(group_cols)
+    counts = (df.where(F.col(value_col).isNotNull())
+              .groupBy(*gcols, F.col(value_col).alias("value"))
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    bucket = F.pmod(F.xxhash64(F.col("value")), F.lit(sub_partitions))
+    w_local = (Window.partitionBy(*gcols, bucket)
+               .orderBy(F.desc("cnt"), F.asc("value")))
+    local_top = (counts.withColumn("rk", F.row_number().over(w_local))
+                 .where(F.col("rk") <= k).drop("rk"))
+    w_global = (Window.partitionBy(*gcols)
+                .orderBy(F.desc("cnt"), F.asc("value")))
+    return (local_top.withColumn("rank", F.row_number().over(w_global))
+            .where(F.col("rank") <= k))
+
+
 def hll_state_by(df: DataFrame, group_cols: str | list[str],
                  cols: str | list[str], p: int = 12) -> DataFrame:
     """Per-group HyperLogLog state — the grouped sibling of

@@ -761,6 +761,16 @@ SELECT 'cms', lang, est FROM (
 UNION ALL
 {_FMT_SQL}
 UNION ALL
+SELECT 'grptop', lang || ':' || CAST(grk AS VARCHAR) || ':' || source,
+       gcnt
+FROM (
+  SELECT lang, source, gcnt,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY gcnt DESC, source) AS grk
+  FROM (SELECT lang, source, count(*) AS gcnt
+        FROM documents GROUP BY 1, 2))
+WHERE grk <= 2
+UNION ALL
 SELECT 'hllgrp', lang, est FROM (
   WITH gh AS (
     SELECT lang,
@@ -850,8 +860,18 @@ def freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select(F.lit("hllgrp").alias("part"),
                   F.col("lang").alias("value"),
                   F.col("est_distinct").alias("cnt")))
+    # 'grptop' rows grade frequency.topk_by_group — top-2 sources per
+    # lang (two-phase skew-safe per-group ranking); DuckDB replays the
+    # (cnt desc, value asc) rank per group
+    from spark_df_profiling_spark.operators.frequency import (
+        topk_by_group)
+    gt = (topk_by_group(d, "lang", "source", k=2)
+          .select(F.lit("grptop").alias("part"),
+                  F.concat_ws(":", "lang", F.col("rank").cast("string"),
+                              "value").alias("value"),
+                  "cnt"))
     return (topk.unionByName(mode).unionByName(sk).unionByName(cms)
-            .unionByName(fmt).unionByName(hg)
+            .unionByName(fmt).unionByName(hg).unionByName(gt)
             .orderBy("part", "value"))
 
 

@@ -812,3 +812,33 @@ def test_jsd_matches_python_and_bounds(spark):
                                   .cast("double").alias("x"))
     j = jsd_numeric(r2, n2, ["x"], bins=10).collect()[0]["jsd"]
     assert 0.0 < j < m.log(2) + 1e-12
+
+
+# ---------------------------------------------------- topk_by_group
+def test_topk_by_group_matches_python(spark):
+    from spark_df_profiling_spark.operators.frequency import (
+        topk_by_group)
+    random.seed(71)
+    rows = [(f"g{i % 3}", f"v{random.randrange(0, 8)}")
+            for i in range(600)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    got = [(r["g"], r["value"], r["cnt"], r["rank"]) for r in
+           topk_by_group(df, "g", "v", k=3,
+                         sub_partitions=4).collect()]
+    cnt = {}
+    for g, v in rows:
+        cnt[(g, v)] = cnt.get((g, v), 0) + 1
+    exp = []
+    for g in {"g0", "g1", "g2"}:
+        vals = sorted(((c, v) for (gg, v), c in cnt.items() if gg == g),
+                      key=lambda t: (-t[0], t[1]))[:3]
+        exp += [(g, v, c, i + 1) for i, (c, v) in enumerate(vals)]
+    assert sorted(got) == sorted(exp)
+    # NULL values excluded; NULL group forms its own group
+    rows2 = [("a", None), (None, "x"), (None, "x"), ("a", "y")]
+    df2 = spark.createDataFrame(rows2, "g string, v string")
+    got2 = topk_by_group(df2, "g", "v", k=1).collect()
+    by_g = {r["g"]: (r["value"], r["cnt"]) for r in got2}
+    assert by_g["a"] == ("y", 1) and by_g[None] == ("x", 2)
+    with pytest.raises(ValueError):
+        topk_by_group(df, "g", "v", k=0)
