@@ -199,7 +199,7 @@ def rolling_stats(df: DataFrame, ts_col: str, key_col: str,
         raise ValueError(f"window must be > 0: {window}")
     stats = list(stats or ["count", "sum", "mean"])
     allowed = {"count": "count", "sum": "sum", "mean": "avg",
-               "min": "min", "max": "max"}
+               "min": "min", "max": "max", "std": "stddev_samp"}
     bad = [s for s in stats if s not in allowed]
     if bad:
         raise ValueError(f"unsupported stats {bad}; pick from "
@@ -221,3 +221,38 @@ def rolling_stats(df: DataFrame, ts_col: str, key_col: str,
         out = out.withColumn(
             f"roll_{s}", F.expr(f"{allowed[s]}({v}) {frame}"))
     return out.drop("__t")
+
+
+def rolling_anomaly(df: DataFrame, ts_col: str, key_col: str,
+                    value_col: str, window: float,
+                    z_threshold: float = 3.0,
+                    min_points: int = 5) -> DataFrame:
+    """Per-event anomaly score against the key's OWN trailing window:
+    adds ``roll_count`` / ``roll_mean`` / ``roll_std`` (from
+    :func:`rolling_stats`, frame ``[t − window, t]`` INCLUSIVE of the
+    current event — documented bias: a large spike inflates its own
+    baseline std, so z is conservative, never inflated), a ``z``
+    column, and ``is_anomaly`` (``|z| > z_threshold``).  ``z`` is NULL
+    until the frame holds ≥ ``min_points`` values or when the trailing
+    std is 0 (constant baseline — a first deviation is flagged by the
+    NEXT event's frame, not a division error).
+
+    The streaming-shaped metric monitor ("this user's request rate is
+    6σ above their trailing hour") expressed as one batch window pass
+    — same plan bound as :func:`rolling_stats` (ONE key shuffle, one
+    RANGE-frame pass).
+    """
+    if z_threshold <= 0 or min_points < 2:
+        raise ValueError(
+            f"need z_threshold > 0, min_points >= 2: "
+            f"{z_threshold}, {min_points}")
+    out = rolling_stats(df, ts_col, key_col, value_col, window,
+                        stats=["count", "mean", "std"])
+    v = F.col(value_col).cast("double")
+    z = F.when((F.col("roll_count") >= min_points)
+               & (F.col("roll_std") > 0),
+               (v - F.col("roll_mean")) / F.col("roll_std"))
+    return (out.withColumn("z", z)
+            .withColumn("is_anomaly",
+                        F.when(z.isNotNull(),
+                               F.abs(F.col("z")) > z_threshold)))

@@ -3668,6 +3668,25 @@ FROM (
                RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))
 GROUP BY user_id
 UNION ALL
+SELECT 'anom:' || CAST(user_id AS VARCHAR),
+       CAST(sum(CASE WHEN az IS NOT NULL AND abs(az) > 3.0
+                THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(coalesce(max(floor(abs(az) * 100000 + 0.5)), 0) AS BIGINT)
+FROM (
+  SELECT user_id,
+         CASE WHEN rc >= 5 AND rs > 0
+              THEN ("value" - rm) / rs END AS az
+  FROM (
+    SELECT user_id, "value",
+           count("value") OVER w AS rc,
+           avg("value") OVER w AS rm,
+           stddev_samp("value") OVER w AS rs
+    FROM (SELECT user_id, epoch_ns(ts) // 1000 AS tus, "value"
+          FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY tus
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)))
+GROUP BY user_id
+UNION ALL
 SELECT 'acf:' || CAST(user_id AS VARCHAR), n_pairs,
        CASE WHEN sx > 0 AND sy > 0
             THEN CAST(floor(cov / (sx * sy) * 100000 + 0.5) AS BIGINT)
@@ -3760,8 +3779,26 @@ def stateful_user_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_pairs").alias("total_events"),
         F.floor(F.col("acf") * 100000 + F.lit(0.5)).cast("long")
         .alias("total_value_cents"))
+    # 'anom:' rows grade groupby.rolling_anomaly — per-user trailing-1h
+    # z-scores (count/mean/stddev RANGE frames), reduced to (n anomalies
+    # at |z| > 3, max |z| in 1e-5 units); DuckDB replays the identical
+    # frames, the min_points/zero-std guards, and the threshold
+    from spark_df_profiling_spark.operators.groupby import (
+        rolling_anomaly)
+    an = rolling_anomaly(evm, "tus", "user_id", "value",
+                         window=3_600_000_000.0, z_threshold=3.0)
+    anom = (an.groupBy("user_id")
+            .agg(F.sum(F.when(F.col("is_anomaly"), 1).otherwise(0))
+                 .cast("long").alias("total_events"),
+                 F.coalesce(F.max(F.floor(F.abs(F.col("z")) * 100000
+                                          + F.lit(0.5))), F.lit(0))
+                 .cast("long").alias("total_value_cents"))
+            .select(F.concat(F.lit("anom:"),
+                             F.col("user_id").cast("string"))
+                    .alias("key"),
+                    "total_events", "total_value_cents"))
     return (totals_rows.unionByName(fun).unionByName(roll)
-            .unionByName(acf).orderBy("key"))
+            .unionByName(acf).unionByName(anom).orderBy("key"))
 
 
 # ---------------------------------------------------------------------------

@@ -842,3 +842,50 @@ def test_topk_by_group_matches_python(spark):
     assert by_g["a"] == ("y", 1) and by_g[None] == ("x", 2)
     with pytest.raises(ValueError):
         topk_by_group(df, "g", "v", k=0)
+
+
+# -------------------------------------------------- rolling_anomaly
+def test_rolling_anomaly_flags_spike(spark):
+    from spark_df_profiling_spark.operators.groupby import (
+        rolling_anomaly)
+    rows = [("u", float(t), 10.0 + 0.1 * (t % 3)) for t in range(20)]
+    rows.append(("u", 20.0, 500.0))            # the spike
+    rows.append(("u", 21.0, 10.1))
+    df = spark.createDataFrame(rows, "k string, ts double, v double")
+    got = {r["ts"]: r for r in
+           rolling_anomaly(df, "ts", "k", "v", window=10.0,
+                           z_threshold=2.0).collect()}
+    assert got[20.0]["is_anomaly"] is True
+    assert got[20.0]["z"] > 2.0
+    assert got[5.0]["is_anomaly"] is False
+    # warm-up rows (frame < min_points) carry NULL z
+    assert got[0.0]["z"] is None and got[0.0]["is_anomaly"] is None
+
+
+def test_rolling_anomaly_constant_baseline_no_crash(spark):
+    from spark_df_profiling_spark.operators.groupby import (
+        rolling_anomaly)
+    rows = [("u", float(t), 5.0) for t in range(10)]
+    df = spark.createDataFrame(rows, "k string, ts double, v double")
+    got = rolling_anomaly(df, "ts", "k", "v", window=100.0).collect()
+    assert all(r["z"] is None for r in got)  # std 0 -> NULL, no error
+    with pytest.raises(ValueError):
+        rolling_anomaly(df, "ts", "k", "v", 10.0, z_threshold=0)
+
+
+def test_rolling_stats_std_matches_python(spark):
+    from spark_df_profiling_spark.operators.groupby import rolling_stats
+    import statistics
+    vals = [3.0, 7.0, 1.0, 9.0, 4.0]
+    rows = [("u", float(t), v) for t, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, ts double, v double")
+    got = {r["ts"]: r["roll_std"] for r in
+           rolling_stats(df, "ts", "k", "v", window=2.0,
+                         stats=["std"]).collect()}
+    for t in range(len(vals)):
+        frame = vals[max(0, t - 2):t + 1]
+        exp = statistics.stdev(frame) if len(frame) > 1 else None
+        if exp is None:
+            assert got[float(t)] is None
+        else:
+            assert got[float(t)] == pytest.approx(exp, rel=1e-12)
