@@ -1393,6 +1393,92 @@ def r9c_main() -> None:
           f"{t_s:.1f}s", flush=True)
 
 
+def r9d_main() -> None:
+    """Round-9 session-4 operators at 10x with planted skew:
+
+    * bigram_logprob over 50k docs (the 3-join bigram-stream path);
+    * topk_by_group with ONE group holding 50% of 6M rows;
+    * rolling_anomaly over 2M events, one user = 50% (hot-key RANGE
+      frames with three aggregates);
+    * jsd_numeric 4 cols x 6M rows vs psi on the same halves;
+    * containment_pairs over 50k docs (banded candidates + set ratios);
+    * minhash signature history at 64 hashes re-used from r9b.
+    """
+    spark = (SparkSession.builder.master("local[32]")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory", "32g")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    t = lambda name: spark.read.parquet(f"{SF_DIR}/{name}.parquet")
+    li = replicate(t("lineitem"), ["l_orderkey"], REPLICAS,
+                   materialize_as="lineitem_x10_r9d", spark=spark)
+    n_li = li.count()
+    d = replicate(t("documents").select("doc_id", "text"), ["doc_id"],
+                  REPLICAS, materialize_as="docs_x10_r9d", spark=spark)
+    n_d = d.count()
+
+    from spark_df_profiling_spark.operators.text import bigram_logprob
+    t0 = time.time()
+    blp = (bigram_logprob(d, "text", "doc_id")
+           .agg(F.avg("blp_mean"), F.count(F.lit(1))).collect()[0])
+    t_b = time.time() - t0
+    print(f"bigram_logprob {n_d} docs: avg {blp[0]:.3f} over {blp[1]} "
+          f"docs {t_b:.1f}s", flush=True)
+
+    from spark_df_profiling_spark.operators.frequency import (
+        topk_by_group)
+    g_in = li.select(
+        F.when(F.pmod(F.xxhash64("l_orderkey", "l_linenumber"),
+                      F.lit(2)) == 0, F.lit("hot"))
+        .otherwise(F.pmod(F.xxhash64("l_partkey"), F.lit(500))
+                   .cast("string")).alias("g"),
+        F.pmod(F.xxhash64("l_suppkey"), F.lit(100000)).cast("string")
+        .alias("v"))
+    t0 = time.time()
+    n_gt = topk_by_group(g_in, "g", "v", k=5).count()
+    t_g = time.time() - t0
+    print(f"topk_by_group {n_li} rows, 1 group=50%, 100k values: "
+          f"{n_gt} rows {t_g:.1f}s", flush=True)
+
+    from spark_df_profiling_spark.operators.groupby import (
+        rolling_anomaly)
+    ev = spark.range(2_000_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit(1))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(20000))).alias("u"),
+        F.col("id").cast("double").alias("ts"),
+        (F.pmod(F.xxhash64("id", F.lit(9)), F.lit(10000)) / 100.0)
+        .alias("v"))
+    t0 = time.time()
+    n_an = (rolling_anomaly(ev, "ts", "u", "v", window=3600.0)
+            .where(F.col("is_anomaly")).count())
+    t_a = time.time() - t0
+    print(f"rolling_anomaly 2M events, 1 key=50%: {n_an} anomalies "
+          f"{t_a:.1f}s", flush=True)
+
+    from spark_df_profiling_spark.operators.drift import jsd_numeric
+    from spark_df_profiling_spark.oracle import epoch_seconds
+    ep = epoch_seconds(li, "l_shipdate")
+    t0 = time.time()
+    n_j = jsd_numeric(li.where(ep < 803347200),
+                      li.where(ep >= 803347200),
+                      ["l_quantity", "l_extendedprice", "l_discount",
+                       "l_tax"]).count()
+    t_j = time.time() - t0
+    print(f"jsd_numeric 4 cols x {n_li} rows: {n_j} rows {t_j:.1f}s",
+          flush=True)
+
+    from spark_df_profiling_spark.operators.dedup import (
+        containment_pairs)
+    t0 = time.time()
+    n_c = containment_pairs(d, "text", "doc_id", min_containment=0.9,
+                            max_bucket_size=2000).count()
+    t_c = time.time() - t0
+    print(f"containment_pairs {n_d} docs (every doc x10): {n_c} pairs "
+          f"{t_c:.1f}s", flush=True)
+
+
 if __name__ == "__main__":
     if "skew" in sys.argv:
         skew_main()
@@ -1408,6 +1494,8 @@ if __name__ == "__main__":
         r7f_main()
     elif "r7g" in sys.argv:
         r7g_main()
+    elif "r9d" in sys.argv:
+        r9d_main()
     elif "r9c" in sys.argv:
         r9c_main()
     elif "r9b" in sys.argv:
