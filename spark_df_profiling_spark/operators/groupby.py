@@ -228,6 +228,74 @@ def rolling_stats(df: DataFrame, ts_col: str, key_col: str,
     return out.drop("__t")
 
 
+def rolling_stats_bucketed(df: DataFrame, ts_col: str, key_col: str,
+                           value_col: str, window: float,
+                           buckets_per_window: int = 16) -> DataFrame:
+    """Bucket-aligned trailing rolling stats — the 100 TB answer to
+    :func:`rolling_stats`'s measured hot-key bound (Spark rebuilds
+    sliding-frame buffers per row → O(events × frame_rows) per key):
+    pre-aggregate events into fixed time buckets of ``window /
+    buckets_per_window`` seconds (ONE map-side-combined groupBy), then
+    roll over BUCKET PARTIALS with an integer RANGE frame — per key the
+    cost drops to O(buckets × buckets_per_window), and a 50%-hot key
+    costs seconds where the exact per-event frames cost minutes
+    (r9d: 177s → see BASELINE.md r9e).
+
+    Output: one row per (key, bucket) — ``bucket_start``,
+    ``window_start`` (= bucket-aligned trailing span
+    ``[bucket_end − window, bucket_end)``), ``roll_count``,
+    ``roll_sum``, ``roll_mean``, ``roll_min``, ``roll_max``,
+    ``roll_std``.  Semantics trade (documented): windows are
+    bucket-ALIGNED — stats answer "the trailing ``window`` as of the
+    end of each bucket", not per-event frames; boundary resolution is
+    one bucket.  ``roll_std`` derives from raw frame moments
+    (Σx, Σx², n) — mergeable across buckets by construction; fine for
+    z-scores/monitoring, not for 15-digit reporting (catastrophic
+    cancellation bounds it to ~half the double mantissa when
+    std ≪ |mean|).  The integer RANGE frame handles EMPTY buckets
+    correctly (a ROWS frame would silently reach back past the
+    window).
+    """
+    if window <= 0 or buckets_per_window < 1:
+        raise ValueError(f"need window > 0, buckets_per_window >= 1: "
+                         f"{window}, {buckets_per_window}")
+    gran = float(window) / buckets_per_window
+    t = F.col(ts_col).cast("double")
+    v = F.col(value_col).cast("double")
+    base = (df.where(t.isNotNull() & F.col(key_col).isNotNull())
+            .select(F.col(key_col).alias("__k"),
+                    F.floor(t / F.lit(gran)).cast("long").alias("__b"),
+                    v.alias("__v")))
+    part = (base.groupBy("__k", "__b")
+            .agg(F.count("__v").alias("__n"),
+                 F.sum("__v").alias("__s"),
+                 F.sum(F.col("__v") * F.col("__v")).alias("__s2"),
+                 F.min("__v").alias("__mn"),
+                 F.max("__v").alias("__mx")))
+    k = buckets_per_window - 1
+    frame = (f"OVER (PARTITION BY __k ORDER BY __b "
+             f"RANGE BETWEEN {k} PRECEDING AND CURRENT ROW)")
+    rolled = part.select(
+        "__k", "__b",
+        F.expr(f"sum(__n) {frame}").alias("roll_count"),
+        F.expr(f"sum(__s) {frame}").alias("roll_sum"),
+        F.expr(f"sum(__s2) {frame}").alias("__rs2"),
+        F.expr(f"min(__mn) {frame}").alias("roll_min"),
+        F.expr(f"max(__mx) {frame}").alias("roll_max"))
+    n = F.col("roll_count").cast("double")
+    s = F.col("roll_sum")
+    var = (F.col("__rs2") - s * s / n) / (n - 1)
+    return rolled.select(
+        F.col("__k").alias(key_col),
+        (F.col("__b") * gran).alias("bucket_start"),
+        ((F.col("__b") + 1) * gran - float(window)).alias("window_start"),
+        "roll_count", "roll_sum",
+        F.when(n > 0, s / n).alias("roll_mean"),
+        "roll_min", "roll_max",
+        F.when(n > 1, F.sqrt(F.greatest(var, F.lit(0.0))))
+        .alias("roll_std"))
+
+
 def rolling_anomaly(df: DataFrame, ts_col: str, key_col: str,
                     value_col: str, window: float,
                     z_threshold: float = 3.0,

@@ -3668,6 +3668,20 @@ FROM (
                RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))
 GROUP BY user_id
 UNION ALL
+SELECT 'broll:' || CAST(__k AS VARCHAR),
+       CAST(max(rc) AS BIGINT), CAST(max(round(rs * 100)) AS BIGINT)
+FROM (
+  SELECT __k, sum(n) OVER w AS rc, sum(s) OVER w AS rs
+  FROM (
+    SELECT user_id AS __k,
+           CAST(floor((epoch_ns(ts) // 1000)
+                      / 225000000.0) AS BIGINT) AS b,
+           count("value") AS n, sum("value") AS s
+    FROM events GROUP BY 1, 2)
+  WINDOW w AS (PARTITION BY __k ORDER BY b
+               RANGE BETWEEN 15 PRECEDING AND CURRENT ROW))
+GROUP BY __k
+UNION ALL
 SELECT 'anom:' || CAST(user_id AS VARCHAR),
        CAST(sum(CASE WHEN az IS NOT NULL AND abs(az) > 3.0
                 THEN 1 ELSE 0 END) AS BIGINT),
@@ -3797,8 +3811,27 @@ def stateful_user_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                              F.col("user_id").cast("string"))
                     .alias("key"),
                     "total_events", "total_value_cents"))
+    # 'broll:' rows grade groupby.rolling_stats_bucketed — the
+    # bucket-aligned trailing-1h (16 × 225s buckets) per-user rolling
+    # counts/sums, reduced per user to the max bucket frame; DuckDB
+    # replays the identical bucket partials + integer RANGE frame
+    from spark_df_profiling_spark.operators.groupby import (
+        rolling_stats_bucketed)
+    br = rolling_stats_bucketed(evm, "tus", "user_id", "value",
+                                window=3_600_000_000.0,
+                                buckets_per_window=16)
+    broll = (br.groupBy("user_id")
+             .agg(F.max("roll_count").cast("long")
+                  .alias("total_events"),
+                  F.max(F.round(F.col("roll_sum") * 100)).cast("long")
+                  .alias("total_value_cents"))
+             .select(F.concat(F.lit("broll:"),
+                              F.col("user_id").cast("string"))
+                     .alias("key"),
+                     "total_events", "total_value_cents"))
     return (totals_rows.unionByName(fun).unionByName(roll)
-            .unionByName(acf).unionByName(anom).orderBy("key"))
+            .unionByName(acf).unionByName(anom).unionByName(broll)
+            .orderBy("key"))
 
 
 # ---------------------------------------------------------------------------

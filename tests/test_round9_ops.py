@@ -889,3 +889,39 @@ def test_rolling_stats_std_matches_python(spark):
             assert got[float(t)] is None
         else:
             assert got[float(t)] == pytest.approx(exp, rel=1e-12)
+
+
+# -------------------------------------------- rolling_stats_bucketed
+def test_rolling_stats_bucketed_matches_python(spark):
+    from spark_df_profiling_spark.operators.groupby import (
+        rolling_stats_bucketed)
+    import statistics
+    random.seed(83)
+    # sparse timeline with gaps — the empty-bucket hazard
+    events = sorted(random.sample(range(0, 400), 60))
+    vals = {t: random.uniform(0, 100) for t in events}
+    rows = [("u", float(t), vals[t]) for t in events]
+    df = spark.createDataFrame(rows, "k string, ts double, v double")
+    window, bpw = 40.0, 8          # gran = 5s
+    got = {r["bucket_start"]: r for r in
+           rolling_stats_bucketed(df, "ts", "k", "v", window,
+                                  bpw).collect()}
+    gran = window / bpw
+    buckets = sorted({int(t // gran) for t in events})
+    for b in buckets:
+        span = [vals[t] for t in events
+                if (b - bpw + 1) * gran <= t < (b + 1) * gran]
+        r = got[b * gran]
+        assert r["roll_count"] == len(span)
+        assert r["roll_sum"] == pytest.approx(sum(span), rel=1e-12)
+        assert r["roll_min"] == pytest.approx(min(span))
+        assert r["roll_max"] == pytest.approx(max(span))
+        assert r["roll_mean"] == pytest.approx(
+            sum(span) / len(span), rel=1e-12)
+        if len(span) > 1:
+            assert r["roll_std"] == pytest.approx(
+                statistics.stdev(span), rel=1e-6)
+        assert r["window_start"] == pytest.approx(
+            (b + 1) * gran - window)
+    with pytest.raises(ValueError):
+        rolling_stats_bucketed(df, "ts", "k", "v", -1.0)
