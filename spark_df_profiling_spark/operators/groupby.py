@@ -296,6 +296,60 @@ def rolling_stats_bucketed(df: DataFrame, ts_col: str, key_col: str,
         .alias("roll_std"))
 
 
+def rolling_anomaly_bucketed(df: DataFrame, ts_col: str, key_col: str,
+                             value_col: str, window: float,
+                             buckets_per_window: int = 16,
+                             z_threshold: float = 3.0,
+                             min_points: int = 5) -> DataFrame:
+    """Hot-key-safe anomaly detection: each event's z-score against
+    its key's trailing window AS OF THE PREVIOUS BUCKET (the
+    :func:`rolling_stats_bucketed` baseline — O(events + buckets·k)
+    instead of :func:`rolling_anomaly`'s measured O(events × frame)).
+
+    Baseline exclusivity comes free from the bucket lag: an event in
+    bucket ``b`` scores against the frame ending at bucket ``b−1``, so
+    a spike can NEVER inflate its own baseline (stronger than the
+    exact path, which documents include-current bias).  Events whose
+    key has no occupied previous bucket get NULL z — same contract as
+    the warm-up/zero-std guards (a key that went quiet for a full
+    bucket restarts its warm-up; at one-bucket resolution that's the
+    honest answer, not a gap to paper over).
+
+    Plan: the bucket-partial window pass + ONE equi-join of events on
+    (key, previous bucket) — both ordinary hash-partitioned stages; a
+    50%-hot key is spread by the bucket dimension in every stage.
+    """
+    if z_threshold <= 0 or min_points < 2:
+        raise ValueError(
+            f"need z_threshold > 0, min_points >= 2: "
+            f"{z_threshold}, {min_points}")
+    gran = float(window) / buckets_per_window
+    base = rolling_stats_bucketed(df, ts_col, key_col, value_col,
+                                  window, buckets_per_window)
+    bl = base.select(
+        F.col(key_col).alias("__bk"),
+        (F.floor(F.col("bucket_start") / F.lit(gran)) + 1).cast("long")
+        .alias("__next_b"),
+        F.col("roll_count").alias("base_count"),
+        F.col("roll_mean").alias("base_mean"),
+        F.col("roll_std").alias("base_std"))
+    t = F.col(ts_col).cast("double")
+    ev = (df.where(t.isNotNull() & F.col(key_col).isNotNull())
+          .withColumn("__b", F.floor(t / F.lit(gran)).cast("long")))
+    joined = ev.join(
+        bl, (ev[key_col] == bl["__bk"]) & (ev["__b"] == bl["__next_b"]),
+        "left")
+    v = F.col(value_col).cast("double")
+    z = F.when((F.col("base_count") >= min_points)
+               & (F.col("base_std") > 0),
+               (v - F.col("base_mean")) / F.col("base_std"))
+    return (joined.drop("__bk", "__next_b", "__b")
+            .withColumn("z", z)
+            .withColumn("is_anomaly",
+                        F.when(z.isNotNull(),
+                               F.abs(F.col("z")) > z_threshold)))
+
+
 def rolling_anomaly(df: DataFrame, ts_col: str, key_col: str,
                     value_col: str, window: float,
                     z_threshold: float = 3.0,

@@ -3682,6 +3682,37 @@ FROM (
                RANGE BETWEEN 15 PRECEDING AND CURRENT ROW))
 GROUP BY __k
 UNION ALL
+SELECT 'banom:' || CAST(u AS VARCHAR),
+       CAST(sum(CASE WHEN bz IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(coalesce(max(floor(abs(bz) * 100000 + 0.5)), 0) AS BIGINT)
+FROM (
+  SELECT e.user_id AS u,
+         CASE WHEN f.bc >= 5 AND f.bstd > 0
+              THEN (e."value" - f.bm) / f.bstd END AS bz
+  FROM (SELECT user_id, "value",
+               CAST(floor((epoch_ns(ts) // 1000) / 225000000.0)
+                    AS BIGINT) AS b
+        FROM events) e
+  LEFT JOIN (
+    SELECT __k, b + 1 AS nb,
+           sum(n) OVER w AS bc,
+           sum(s) OVER w / sum(n) OVER w AS bm,
+           CASE WHEN sum(n) OVER w > 1 THEN
+             sqrt(greatest((sum(s2) OVER w
+                            - (sum(s) OVER w) * (sum(s) OVER w)
+                              / sum(n) OVER w)
+                           / (sum(n) OVER w - 1), 0)) END AS bstd
+    FROM (SELECT user_id AS __k,
+                 CAST(floor((epoch_ns(ts) // 1000) / 225000000.0)
+                      AS BIGINT) AS b,
+                 count("value") AS n, sum("value") AS s,
+                 sum("value" * "value") AS s2
+          FROM events GROUP BY 1, 2)
+    WINDOW w AS (PARTITION BY __k ORDER BY b
+                 RANGE BETWEEN 15 PRECEDING AND CURRENT ROW)
+  ) f ON e.user_id = f.__k AND e.b = f.nb)
+GROUP BY u
+UNION ALL
 SELECT 'anom:' || CAST(user_id AS VARCHAR),
        CAST(sum(CASE WHEN az IS NOT NULL AND abs(az) > 3.0
                 THEN 1 ELSE 0 END) AS BIGINT),
@@ -3829,9 +3860,29 @@ def stateful_user_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                               F.col("user_id").cast("string"))
                      .alias("key"),
                      "total_events", "total_value_cents"))
+    # 'banom:' rows grade groupby.rolling_anomaly_bucketed — per-user
+    # (n scored events, max |z| in 1e-5 units) against the previous-
+    # bucket baseline; DuckDB replays the bucket partials, the lagged
+    # equi-join, the raw-moment std, and both guards
+    from spark_df_profiling_spark.operators.groupby import (
+        rolling_anomaly_bucketed)
+    ba = rolling_anomaly_bucketed(evm, "tus", "user_id", "value",
+                                  window=3_600_000_000.0,
+                                  buckets_per_window=16,
+                                  z_threshold=3.0)
+    banom = (ba.groupBy("user_id")
+             .agg(F.sum(F.when(F.col("z").isNotNull(), 1).otherwise(0))
+                  .cast("long").alias("total_events"),
+                  F.coalesce(F.max(F.floor(F.abs(F.col("z")) * 100000
+                                           + F.lit(0.5))), F.lit(0))
+                  .cast("long").alias("total_value_cents"))
+             .select(F.concat(F.lit("banom:"),
+                              F.col("user_id").cast("string"))
+                     .alias("key"),
+                     "total_events", "total_value_cents"))
     return (totals_rows.unionByName(fun).unionByName(roll)
             .unionByName(acf).unionByName(anom).unionByName(broll)
-            .orderBy("key"))
+            .unionByName(banom).orderBy("key"))
 
 
 # ---------------------------------------------------------------------------

@@ -925,3 +925,38 @@ def test_rolling_stats_bucketed_matches_python(spark):
             (b + 1) * gran - window)
     with pytest.raises(ValueError):
         rolling_stats_bucketed(df, "ts", "k", "v", -1.0)
+
+
+# ------------------------------------- rolling_anomaly_bucketed
+def test_rolling_anomaly_bucketed_flags_spike_excl_self(spark):
+    from spark_df_profiling_spark.operators.groupby import (
+        rolling_anomaly_bucketed)
+    # steady stream then a spike: baseline comes from the PREVIOUS
+    # bucket, so the spike cannot dilute it
+    rows = [("u", float(t), 10.0 + 0.1 * (t % 5)) for t in range(64)]
+    rows.append(("u", 64.0, 900.0))
+    df = spark.createDataFrame(rows, "k string, ts double, v double")
+    got = {r["ts"]: r for r in
+           rolling_anomaly_bucketed(df, "ts", "k", "v", window=32.0,
+                                    buckets_per_window=8,
+                                    z_threshold=3.0).collect()}
+    assert got[64.0]["is_anomaly"] is True
+    assert got[64.0]["z"] > 100  # undiluted baseline -> huge z
+    assert got[30.0]["is_anomaly"] is False
+    # events in the FIRST occupied bucket have no previous bucket
+    assert got[0.0]["z"] is None
+    with pytest.raises(ValueError):
+        rolling_anomaly_bucketed(df, "ts", "k", "v", 32.0,
+                                 min_points=1)
+
+
+def test_rolling_anomaly_bucketed_gap_restarts_warmup(spark):
+    from spark_df_profiling_spark.operators.groupby import (
+        rolling_anomaly_bucketed)
+    rows = ([("u", float(t), 5.0 + (t % 3)) for t in range(16)]
+            + [("u", 200.0, 6.0)])   # long gap -> empty prev bucket
+    df = spark.createDataFrame(rows, "k string, ts double, v double")
+    got = {r["ts"]: r for r in
+           rolling_anomaly_bucketed(df, "ts", "k", "v", window=16.0,
+                                    buckets_per_window=4).collect()}
+    assert got[200.0]["z"] is None  # no occupied previous bucket
