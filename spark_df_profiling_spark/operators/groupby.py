@@ -256,6 +256,21 @@ def rolling_stats_bucketed(df: DataFrame, ts_col: str, key_col: str,
     correctly (a ROWS frame would silently reach back past the
     window).
     """
+    return _rolling_stats_bucketed(df, ts_col, key_col, value_col,
+                                   window, buckets_per_window).drop("__b")
+
+
+def _rolling_stats_bucketed(df: DataFrame, ts_col: str, key_col: str,
+                            value_col: str, window: float,
+                            buckets_per_window: int = 16) -> DataFrame:
+    """:func:`rolling_stats_bucketed` plus the INTEGER bucket id
+    ``__b`` the frame is keyed by.  Internal: consumers that address
+    buckets (e.g. :func:`rolling_anomaly_bucketed` joining events to
+    their key's previous bucket) must use ``__b`` directly —
+    re-deriving it as ``floor(bucket_start / gran)`` round-trips
+    through a double and lands one bucket off whenever ``gran`` is not
+    exactly representable (gran 0.1 fails at bucket 43).
+    """
     if window <= 0 or buckets_per_window < 1:
         raise ValueError(f"need window > 0, buckets_per_window >= 1: "
                          f"{window}, {buckets_per_window}")
@@ -287,6 +302,7 @@ def rolling_stats_bucketed(df: DataFrame, ts_col: str, key_col: str,
     var = (F.col("__rs2") - s * s / n) / (n - 1)
     return rolled.select(
         F.col("__k").alias(key_col),
+        "__b",
         (F.col("__b") * gran).alias("bucket_start"),
         ((F.col("__b") + 1) * gran - float(window)).alias("window_start"),
         "roll_count", "roll_sum",
@@ -324,12 +340,15 @@ def rolling_anomaly_bucketed(df: DataFrame, ts_col: str, key_col: str,
             f"need z_threshold > 0, min_points >= 2: "
             f"{z_threshold}, {min_points}")
     gran = float(window) / buckets_per_window
-    base = rolling_stats_bucketed(df, ts_col, key_col, value_col,
-                                  window, buckets_per_window)
+    # _rolling_stats_bucketed keeps the INTEGER bucket id __b; the
+    # previous-bucket address is __b + 1 in integer space.  Deriving it
+    # from bucket_start (= __b * gran, a double) mis-addresses buckets
+    # whenever gran is not exactly representable (gran 0.1: bucket 43).
+    base = _rolling_stats_bucketed(df, ts_col, key_col, value_col,
+                                   window, buckets_per_window)
     bl = base.select(
         F.col(key_col).alias("__bk"),
-        (F.floor(F.col("bucket_start") / F.lit(gran)) + 1).cast("long")
-        .alias("__next_b"),
+        (F.col("__b") + 1).alias("__next_b"),
         F.col("roll_count").alias("base_count"),
         F.col("roll_mean").alias("base_mean"),
         F.col("roll_std").alias("base_std"))

@@ -755,20 +755,43 @@ def label_centroids(df: DataFrame, emb_col: str = "embedding",
     Plan: posexplode → (label, dim) map-side-combined avg (#labels ×
     #dims rows — state, not data) → arrays reassembled with a sorted
     collect_list.  Rows with NULL label or NULL embedding are excluded.
+
+    ``n`` is the PRE-explode labeled-row count, and ragged array
+    lengths or NULL elements inside arrays raise at execution time
+    (uniform non-NULL lengths required): averaging each dim over its
+    own per-dim denominator would silently skew centroids and every
+    consumer (:func:`centroid_margin_stats`) downstream.
     """
-    d = (df.where(F.col(label_col).isNotNull()
-                  & F.col(emb_col).isNotNull())
-         .select(F.col(label_col).alias("label"),
-                 F.posexplode(F.col(emb_col)).alias("dim", "v")))
+    base = (df.where(F.col(label_col).isNotNull()
+                     & F.col(emb_col).isNotNull())
+            .select(F.col(label_col).alias("label"),
+                    F.col(emb_col).alias("__e")))
+    nrows = base.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    d = base.select("label", F.posexplode(F.col("__e"))
+                    .alias("dim", "v"))
     per_dim = (d.groupBy("label", "dim")
                .agg(F.avg(F.col("v").cast("double")).alias("cv"),
-                    F.count(F.lit(1)).alias("__n")))
-    return (per_dim.groupBy("label")
-            .agg((F.max("__n")).cast("long").alias("n"),
+                    F.count(F.lit(1)).alias("__n"),
+                    F.count("v").alias("__nv")))
+    cent = (per_dim.groupBy("label")
+            .agg(F.min("__n").alias("__lo"),
+                 F.max("__n").alias("__hi"),
+                 F.min("__nv").alias("__lov"),
                  F.transform(
                      F.sort_array(F.collect_list(
                          F.struct("dim", "cv"))),
-                     lambda s: s["cv"]).alias("centroid")))
+                     lambda s: s["cv"]).alias("__cent")))
+    ok = ((F.col("__lo") == F.col("n")) & (F.col("__hi") == F.col("n"))
+          & (F.col("__lov") == F.col("n")))
+    return (cent.join(F.broadcast(nrows), "label")
+            .select("label", "n",
+                    F.when(ok, F.col("__cent"))
+                    .otherwise(F.raise_error(F.lit(
+                        "label_centroids: ragged array lengths or "
+                        "NULL elements in the embedding column "
+                        "(uniform non-NULL lengths required)")))
+                    .alias("centroid")))
 
 
 def centroid_margin_stats(df: DataFrame, emb_col: str = "embedding",

@@ -425,6 +425,11 @@ def bigram_logprob(df: DataFrame, text_col: str, id_col: str,
     stream joins its counts (ordinary hash joins on the pair / the
     context token — NOT broadcast: web-scale vocabularies don't fit),
     and one final groupBy on the doc id reassembles per-doc means.
+    The vocabulary size ``V`` is folded into the plan LAZILY — a
+    one-row count over the unigram frame crossJoined back broadcast
+    (the :func:`pmi_collocations` totals shape); an eager
+    ``uni.count()`` here would fire a full corpus scan at BUILD time
+    and then rescan the unigrams in the join.
     """
     if k_smooth <= 0:
         raise ValueError(f"k_smooth must be > 0: {k_smooth}")
@@ -436,10 +441,11 @@ def bigram_logprob(df: DataFrame, text_col: str, id_col: str,
         F.filter(F.split(_c(text_col), " "), lambda t: t != ""))
         .alias("w1"))
         .groupBy("w1").agg(F.count(F.lit(1)).alias("__c1")))
-    v = float(uni.count())
+    vtot = uni.agg(F.count(F.lit(1)).cast("double").alias("__V"))
     lp = F.log((F.col("__c12") + F.lit(k_smooth))
-               / (F.col("__c1") + F.lit(k_smooth * v)))
+               / (F.col("__c1") + F.lit(k_smooth) * F.col("__V")))
     return (bp.join(bc, ["w1", "w2"]).join(uni, "w1")
+            .crossJoin(F.broadcast(vtot))
             .groupBy("__id")
             .agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"),
                  F.avg(lp).alias("blp_mean"))
@@ -930,16 +936,15 @@ URL_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@\s]*@)?([^/:?#\s]+)"
 # TWO-LEVEL public-suffix set — a static snapshot-style approximation
 # of the Mozilla Public Suffix List (the full PSL is a ~9k-rule data
 # file that cannot be fetched in this environment; this table carries
-# the ~250 second-level registries + hosting-platform entries that
-# dominate web-corpus traffic, reconstructed from PSL knowledge as of
-# 2026).  Covers both ICANN ccTLD registries ('bbc.co.uk' ->
-# 'bbc.co.uk', 'onet.com.pl' -> 'onet.com.pl') and the PSL "private"
-# section platforms ('user.github.io' -> 'user.github.io').  Extend per
-# deployment; the parameter keeps the expression pure codegen (a
-# literal isin — codegen compiles it to a hash-set probe), no lookup
-# join.  Known limit: three-level rules (e.g. Japanese city domains)
-# are not modeled.
-TWO_LEVEL_SUFFIXES = (
+# the ~250 second-level registries that dominate web-corpus traffic,
+# reconstructed from PSL knowledge as of 2026).  ICANN ccTLD
+# registries ('bbc.co.uk' -> 'bbc.co.uk', 'onet.com.pl' ->
+# 'onet.com.pl'); PSL-private platforms and beyond-PSL heuristics are
+# the separate tuples below.  Extend per deployment; the parameter
+# keeps the expression pure codegen (a literal isin — codegen compiles
+# it to a hash-set probe), no lookup join.  Known limit: three-level
+# rules (e.g. Japanese city domains) are not modeled.
+ICANN_TWO_LEVEL_SUFFIXES = (
     # United Kingdom
     "co.uk", "ac.uk", "gov.uk", "org.uk", "me.uk", "net.uk",
     "ltd.uk", "plc.uk", "sch.uk", "nhs.uk",
@@ -1049,23 +1054,43 @@ TWO_LEVEL_SUFFIXES = (
     "com.mt", "net.mt", "org.mt", "edu.mt",
     "com.ro", "org.ro", "tm.ro", "nt.ro", "nom.ro", "info.ro",
     "rec.ro", "arts.ro", "firm.ro", "store.ro", "www.ro",
-    # PSL private section — hosting / publishing platforms (each
-    # subdomain is an independent registrant: the dedup / domain-mix
-    # semantics that matter for web corpora)
-    "github.io", "gitlab.io", "blogspot.com", "wordpress.com",
-    "tumblr.com", "netlify.app", "vercel.app", "herokuapp.com",
-    "web.app", "firebaseapp.com", "pages.dev", "workers.dev",
-    "azurewebsites.net", "cloudfront.net", "amazonaws.com",
-    "appspot.com", "readthedocs.io", "neocities.org", "weebly.com",
-    "wixsite.com", "repl.co", "glitch.me", "surge.sh", "onrender.com",
-    "fly.dev", "deno.dev", "cloudflaressl.com", "fastly.net",
-    "windows.net", "oraclecloud.com", "linodeusercontent.com",
-    "digitaloceanspaces.com", "b-cdn.net", "hubspotpagebuilder.com",
-    "myshopify.com", "squarespace.com", "cargo.site", "webflow.io",
-    "bubbleapps.io", "notion.site", "substack.com", "ghost.io",
-    "hashnode.dev", "bearblog.dev", "micro.blog", "dreamhosters.com",
-    "000webhostapp.com", "altervista.org", "base.shop", "carrd.co",
 )
+
+# PSL private section — hosting / publishing platforms listed as
+# actual PSL rules (each subdomain is an independent registrant).
+PSL_PRIVATE_SUFFIXES = (
+    "github.io", "gitlab.io", "blogspot.com", "netlify.app",
+    "vercel.app", "herokuapp.com", "web.app", "firebaseapp.com",
+    "pages.dev", "workers.dev", "azurewebsites.net", "cloudfront.net",
+    "appspot.com", "readthedocs.io", "neocities.org", "wixsite.com",
+    "repl.co", "glitch.me", "surge.sh", "onrender.com", "fly.dev",
+    "deno.dev", "linodeusercontent.com", "digitaloceanspaces.com",
+    "myshopify.com", "webflow.io", "notion.site", "ghost.io",
+    "hashnode.dev", "dreamhosters.com", "000webhostapp.com",
+    "altervista.org",
+)
+
+# Corpus-dedup heuristics BEYOND the PSL — deliberately not PSL rules:
+# either the PSL only lists SUBTREES of these (s3.amazonaws.com,
+# a.ssl.fastly.net, *.windows.net service zones) or the domain is not
+# PSL-listed at all (wordpress.com, tumblr.com, substack.com, ...),
+# yet in web corpora each subdomain is an independent content
+# publisher, which is the split domain-mix / dedup statistics need.
+# Cost (documented trade): the platform's own corporate pages
+# (wordpress.com/about) no longer roll up with the bare domain.
+PLATFORM_DEDUP_SUFFIXES = (
+    "wordpress.com", "tumblr.com", "weebly.com", "amazonaws.com",
+    "fastly.net", "windows.net", "cloudflaressl.com",
+    "oraclecloud.com", "b-cdn.net", "hubspotpagebuilder.com",
+    "squarespace.com", "cargo.site", "bubbleapps.io", "substack.com",
+    "bearblog.dev", "micro.blog", "base.shop", "carrd.co",
+)
+
+# Default table = ICANN approximation + PSL private rules + the
+# beyond-PSL platform heuristics.  Pass ``ICANN_TWO_LEVEL_SUFFIXES +
+# PSL_PRIVATE_SUFFIXES`` to registered_domain for strict-PSL rollups.
+TWO_LEVEL_SUFFIXES = (ICANN_TWO_LEVEL_SUFFIXES + PSL_PRIVATE_SUFFIXES
+                      + PLATFORM_DEDUP_SUFFIXES)
 
 
 def extract_urls(col: "str | Column") -> Column:

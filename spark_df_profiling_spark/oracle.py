@@ -768,7 +768,10 @@ FROM (
          row_number() OVER (PARTITION BY lang
                             ORDER BY gcnt DESC, source) AS grk
   FROM (SELECT lang, source, count(*) AS gcnt
-        FROM documents GROUP BY 1, 2))
+        FROM documents
+        -- topk_by_group excludes NULL values by contract; keep the
+        -- replay aligned even if regenerated testdata adds NULL source
+        WHERE source IS NOT NULL GROUP BY 1, 2))
 WHERE grk <= 2
 UNION ALL
 SELECT 'hllgrp', lang, est FROM (

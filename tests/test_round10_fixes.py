@@ -1,0 +1,180 @@
+"""Pinning tests for the round-9 ADVICE items fixed in round 10.
+
+Each test reproduces the reported failure mode and pins the fixed
+behavior, so a regression reintroducing the defect fails loudly.
+"""
+import pytest
+
+import pyspark.sql.functions as F
+
+
+# ---- ADVICE medium: rolling_anomaly_bucketed bucket-id round-trip --
+# The baseline bucket used to be re-derived as
+# floor(bucket_start / gran) + 1 where bucket_start = __b * gran is a
+# DOUBLE; for non-exactly-representable gran (0.1, 0.2, 0.3, 0.7, 1/3)
+# the round trip yields __b - 1 for many buckets (gran=0.1 fails at
+# __b=43), so events saw NULL z (false warm-up restart) or a baseline
+# frame that included their own bucket.  The fix carries the integer
+# bucket id through _rolling_stats_bucketed.
+def test_rolling_anomaly_bucketed_fractional_gran(spark):
+    from spark_df_profiling_spark.operators.groupby import (
+        rolling_anomaly_bucketed)
+    window, bpw = 1.6, 16            # gran = 0.1 — not representable
+    gran = window / bpw
+    rows = []
+    for b in range(60):              # every bucket 0..59 occupied
+        for j in range(5):           # 5 varied values -> std > 0
+            rows.append(("u", b * gran + j * 0.02 + 0.001,
+                         10.0 + j * 0.1))
+    rows.append(("u", 50 * gran + 0.05, 999.0))   # spike in bucket 50
+    df = spark.createDataFrame(rows, "k string, ts double, v double")
+    got = rolling_anomaly_bucketed(df, "ts", "k", "v", window=window,
+                                   buckets_per_window=bpw,
+                                   min_points=5).collect()
+    # Every event outside the first occupied bucket has an occupied
+    # previous bucket with >= 5 varied points: z must NEVER be NULL.
+    # The pre-fix code NULLed whole buckets (e.g. 44) where the
+    # double round-trip mis-addressed the baseline row.
+    for r in got:
+        b = int(r["ts"] / gran)
+        if b >= 1 and r["v"] != 999.0:
+            assert r["z"] is not None, f"NULL z at bucket {b}"
+            # steady stream: nothing but the spike may be anomalous
+            assert r["is_anomaly"] is False, f"false flag at bucket {b}"
+    spike = [r for r in got if r["v"] == 999.0]
+    assert len(spike) == 1
+    # baseline excludes the spike's own bucket -> huge undiluted z
+    assert spike[0]["is_anomaly"] is True
+    assert spike[0]["z"] > 100
+
+
+def test_rolling_stats_bucketed_drops_internal_bucket_col(spark):
+    from spark_df_profiling_spark.operators.groupby import (
+        rolling_stats_bucketed, _rolling_stats_bucketed)
+    df = spark.createDataFrame([("u", 1.0, 2.0)],
+                               "k string, ts double, v double")
+    pub = rolling_stats_bucketed(df, "ts", "k", "v", 1.6, 16)
+    assert "__b" not in pub.columns            # public schema unchanged
+    internal = _rolling_stats_bucketed(df, "ts", "k", "v", 1.6, 16)
+    assert "__b" in internal.columns
+    r = internal.collect()[0]
+    # the integer id and the double bucket_start agree at the source
+    assert r["__b"] == 10 and r["bucket_start"] == pytest.approx(1.0)
+
+
+# ---- ADVICE low: label_centroids denominator on ragged embeddings --
+def test_label_centroids_ragged_embeddings_rejected(spark):
+    from spark_df_profiling_spark.operators.similarity import (
+        label_centroids)
+    df = spark.createDataFrame(
+        [("a", [1.0, 2.0]), ("a", [3.0]), ("b", [5.0, 6.0])],
+        "label string, emb array<double>")
+    with pytest.raises(Exception, match="(?i)ragged|uniform|length"):
+        label_centroids(df, "emb", "label").collect()
+
+
+def test_label_centroids_null_element_rejected(spark):
+    from spark_df_profiling_spark.operators.similarity import (
+        label_centroids)
+    df = spark.createDataFrame(
+        [("a", [1.0, 2.0]), ("a", [3.0, None]), ("b", [5.0, 6.0])],
+        "label string, emb array<double>")
+    with pytest.raises(Exception, match="(?i)null|ragged|uniform"):
+        label_centroids(df, "emb", "label").collect()
+
+
+def test_label_centroids_n_is_row_count(spark):
+    from spark_df_profiling_spark.operators.similarity import (
+        label_centroids)
+    df = spark.createDataFrame(
+        [("a", [1.0, 3.0]), ("a", [3.0, 5.0]), ("b", [2.0, 2.0])],
+        "label string, emb array<double>")
+    got = {r["label"]: r for r in
+           label_centroids(df, "emb", "label").collect()}
+    assert got["a"]["n"] == 2 and got["b"]["n"] == 1
+    assert got["a"]["centroid"] == pytest.approx([2.0, 4.0])
+
+
+# ---- ADVICE low: bigram_logprob eager count() at build time --------
+def test_bigram_logprob_is_lazy(spark):
+    from spark_df_profiling_spark.operators.text import bigram_logprob
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat ran")], "id long, text string")
+    # building the plan must not fire a job
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    before = set(tracker.getJobIdsForGroup() or [])
+    out = bigram_logprob(docs, "text", "id")
+    after = set(tracker.getJobIdsForGroup() or [])
+    assert after == before, "bigram_logprob ran a Spark job at build"
+    # and the result still computes correctly when asked: V = 4
+    # (the, cat, sat, ran), 2 bigrams per doc, add-0.5 smoothing
+    import math
+    k, V = 0.5, 4.0
+    c12 = {("the", "cat"): 2, ("cat", "sat"): 1, ("cat", "ran"): 1}
+    c1 = {"the": 2, "cat": 2, "sat": 1, "ran": 1}
+
+    def p(v, w):
+        return (c12[(v, w)] + k) / (c1[v] + k * V)
+
+    exp1 = (math.log(p("the", "cat")) + math.log(p("cat", "sat"))) / 2
+    exp2 = (math.log(p("the", "cat")) + math.log(p("cat", "ran"))) / 2
+    got = {r["id"]: r for r in out.collect()}
+    assert got[1]["n_bigrams"] == 2
+    assert got[1]["blp_mean"] == pytest.approx(exp1, rel=1e-12)
+    assert got[2]["blp_mean"] == pytest.approx(exp2, rel=1e-12)
+
+
+# ---- ADVICE low: suffix table PSL-fidelity split -------------------
+def test_suffix_table_split_is_documented_and_union_unchanged():
+    from spark_df_profiling_spark.operators.text import (
+        TWO_LEVEL_SUFFIXES, ICANN_TWO_LEVEL_SUFFIXES,
+        PSL_PRIVATE_SUFFIXES, PLATFORM_DEDUP_SUFFIXES)
+    # default = ICANN + PSL-private + beyond-PSL heuristics, disjoint
+    assert TWO_LEVEL_SUFFIXES == (ICANN_TWO_LEVEL_SUFFIXES
+                                  + PSL_PRIVATE_SUFFIXES
+                                  + PLATFORM_DEDUP_SUFFIXES)
+    parts = [set(ICANN_TWO_LEVEL_SUFFIXES), set(PSL_PRIVATE_SUFFIXES),
+             set(PLATFORM_DEDUP_SUFFIXES)]
+    assert len(set().union(*parts)) == sum(len(p) for p in parts)
+    # the entries ADVICE called out as NOT PSL rules live in the
+    # heuristics tuple, not in the PSL one
+    for s in ("amazonaws.com", "windows.net", "fastly.net",
+              "wordpress.com", "substack.com", "squarespace.com"):
+        assert s in PLATFORM_DEDUP_SUFFIXES
+        assert s not in PSL_PRIVATE_SUFFIXES
+    for s in ("github.io", "blogspot.com", "netlify.app"):
+        assert s in PSL_PRIVATE_SUFFIXES
+
+
+def test_registered_domain_strict_psl_vs_default(spark):
+    from spark_df_profiling_spark.operators.text import (
+        registered_domain, ICANN_TWO_LEVEL_SUFFIXES,
+        PSL_PRIVATE_SUFFIXES)
+    strict = ICANN_TWO_LEVEL_SUFFIXES + PSL_PRIVATE_SUFFIXES
+    df = spark.createDataFrame(
+        [("myblog.wordpress.com",), ("user.github.io",),
+         ("news.bbc.co.uk",)], "host string")
+    dflt = {r["host"]: r["d"] for r in df.select(
+        "host", registered_domain("host").alias("d")).collect()}
+    spsl = {r["host"]: r["d"] for r in df.select(
+        "host",
+        registered_domain("host", two_level=strict).alias("d"))
+        .collect()}
+    # heuristic entry: default keeps per-blog granularity, strict-PSL
+    # rolls up to the corporate domain
+    assert dflt["myblog.wordpress.com"] == "myblog.wordpress.com"
+    assert spsl["myblog.wordpress.com"] == "wordpress.com"
+    # real PSL rules behave identically in both tables
+    for h, want in (("user.github.io", "user.github.io"),
+                    ("news.bbc.co.uk", "bbc.co.uk")):
+        assert dflt[h] == want and spsl[h] == want
+
+
+# ---- ADVICE low: grptop oracle NULL-source alignment ---------------
+def test_grptop_oracle_sql_filters_null_source():
+    import __spark_entry__ as entry
+    sql = entry.oracle_sql()["freq_topk"]
+    seg = sql[sql.index("'grptop'"):]
+    seg = seg[:seg.index("UNION ALL")]
+    assert "source IS NOT NULL" in seg
