@@ -15,6 +15,9 @@ expressions without importing operator modules individually.
 
 from __future__ import annotations
 
+from spark_df_profiling_spark.operators.clustering import (
+    kmeans_assign_expr,
+)
 from spark_df_profiling_spark.operators.dedup import (
     char_qgram_expr,
     content_hash,
@@ -65,7 +68,7 @@ __all__ = [
     "cms_positions", "content_hash", "hll_position",
     "cosine", "digit_ratio", "dot", "dup_ngram_ratio", "extract_urls",
     "fingerprint_min_shingle", "format_pattern_expr", "hash_bucket",
-    "l2_norm", "lang_id",
+    "kmeans_assign_expr", "l2_norm", "lang_id",
     "lang_scores", "n_chars", "n_tokens_bpe", "n_tokens_ws",
     "normalize_text", "pii_count", "punct_ratio", "quality_score",
     "registered_domain", "rolling_hash", "simhash64", "space_ratio",

@@ -4207,6 +4207,60 @@ FROM (
          avg(err) AS mne, rg.mn AS mn, rg.mx AS mx
   FROM e2 JOIN rg ON rg.dim = e2.dim
   GROUP BY e2.dim, rg.mn, rg.mx)
+UNION ALL
+SELECT 'kmeans', CAST(c AS VARCHAR), CAST(n AS BIGINT),
+       {_psig('si')} || '/' || {_psig('sm')} || '/' || {_psig('sx')}
+FROM (
+  -- full replay of clustering.kmeans_fit(k=4, n_iter=2, seed=0,
+  -- hash_mode='md5') + kmeans_profile: deterministic md5-ranked
+  -- seeds, two Lloyd rounds (argmin ties -> lowest cluster, empty
+  -- clusters keep the previous centroid), then the final assignment's
+  -- per-cluster size / inertia / mean / max squared-L2
+  WITH pts AS (
+    SELECT vec_id AS id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+    WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+  px AS (SELECT id, generate_subscripts(v, 1) AS dim, unnest(v) AS x
+         FROM pts),
+  sd AS (SELECT v, row_number() OVER (ORDER BY
+             ('0x' || substr(md5(id::VARCHAR || ':0'), 1, 15))::BIGINT,
+             id) - 1 AS c
+         FROM pts),
+  c0 AS (SELECT c, generate_subscripts(v, 1) AS dim, unnest(v) AS val
+         FROM sd WHERE c < 4),
+  d1 AS (SELECT px.id, c0.c,
+                sum((px.x - c0.val) * (px.x - c0.val)) AS dist
+         FROM px JOIN c0 USING (dim) GROUP BY px.id, c0.c),
+  a1 AS (SELECT id, c FROM (
+           SELECT id, c, row_number() OVER (PARTITION BY id
+                           ORDER BY dist, c) AS rk FROM d1)
+         WHERE rk = 1),
+  u1 AS (SELECT a1.c AS c, px.dim AS dim, avg(px.x) AS val
+         FROM px JOIN a1 USING (id) GROUP BY 1, 2),
+  c1 AS (SELECT c0.c, c0.dim, coalesce(u1.val, c0.val) AS val
+         FROM c0 LEFT JOIN u1 ON u1.c = c0.c AND u1.dim = c0.dim),
+  d2 AS (SELECT px.id, c1.c,
+                sum((px.x - c1.val) * (px.x - c1.val)) AS dist
+         FROM px JOIN c1 USING (dim) GROUP BY px.id, c1.c),
+  a2 AS (SELECT id, c FROM (
+           SELECT id, c, row_number() OVER (PARTITION BY id
+                           ORDER BY dist, c) AS rk FROM d2)
+         WHERE rk = 1),
+  u2 AS (SELECT a2.c AS c, px.dim AS dim, avg(px.x) AS val
+         FROM px JOIN a2 USING (id) GROUP BY 1, 2),
+  c2 AS (SELECT c1.c, c1.dim, coalesce(u2.val, c1.val) AS val
+         FROM c1 LEFT JOIN u2 ON u2.c = c1.c AND u2.dim = c1.dim),
+  d3 AS (SELECT px.id, c2.c,
+                sum((px.x - c2.val) * (px.x - c2.val)) AS dist
+         FROM px JOIN c2 USING (dim) GROUP BY px.id, c2.c),
+  a3 AS (SELECT id, c, dist FROM (
+           SELECT id, c, dist, row_number() OVER (PARTITION BY id
+                           ORDER BY dist, c) AS rk FROM d3)
+         WHERE rk = 1)
+  SELECT c, count(*) AS n, sum(dist) AS si, avg(dist) AS sm,
+         max(dist) AS sx
+  FROM a3 GROUP BY c)
 ORDER BY part, k
 """)
 def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4263,7 +4317,22 @@ def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  sig(F.col("max_abs_err")),
                                  sig(F.col("mean_abs_err")))
                      .alias("v2s")))
-    return (arr.unionByName(dims).unionByName(quant)
+    # 'kmeans' rows grade the deterministic Lloyd trio
+    # (clustering.kmeans_fit/assign/profile) at k=4, n_iter=2 in md5
+    # hash mode — DuckDB independently replays seed ranking, both
+    # Lloyd rounds, and the final cluster profile
+    from spark_df_profiling_spark.operators.clustering import (
+        kmeans_fit, kmeans_profile)
+    cents = kmeans_fit(e, "embedding", "vec_id", k=4, n_iter=2,
+                       seed=0, hash_mode="md5")
+    km = (kmeans_profile(e, cents)
+          .select(F.lit("kmeans").alias("part"),
+                  F.col("cluster").cast("string").alias("k"),
+                  F.col("n").alias("v1"),
+                  F.concat_ws("/", sig(F.col("inertia")),
+                              sig(F.col("mean_dist")),
+                              sig(F.col("max_dist"))).alias("v2s")))
+    return (arr.unionByName(dims).unionByName(quant).unionByName(km)
             .orderBy("part", "k"))
 
 
