@@ -406,3 +406,53 @@ def rolling_anomaly(df: DataFrame, ts_col: str, key_col: str,
             .withColumn("is_anomaly",
                         F.when(z.isNotNull(),
                                F.abs(F.col("z")) > z_threshold)))
+
+
+def event_gaps(df: DataFrame, ts_col: str, key_col: str) -> DataFrame:
+    """Per-key inter-arrival and staleness profile — one row per key:
+    ``n_events``, ``n_gaps`` (= n_events − 1), ``min_gap`` /
+    ``max_gap`` / ``mean_gap`` (consecutive-event deltas in ``ts``
+    units), ``first_ts`` / ``last_ts``, and ``staleness`` (corpus max
+    ts − the key's last ts).  The feed-health report every event
+    pipeline needs before trusting windows: silent sources
+    (``staleness`` large), burst/drought shape (``max_gap`` vs
+    ``mean_gap``), and dead keys (``n_events`` = 1, no gaps).
+
+    ``ts_col`` numeric (epoch seconds/micros — same contract as
+    :func:`rolling_stats`).  Rows with NULL key or NULL ts are
+    excluded.  Gap ordering is the sorted-multiset consecutive
+    difference — ties contribute 0-gaps and the multiset of gaps is
+    independent of tie order, so results are deterministic and
+    engine-replayable.  ``mean_gap`` = (last − first)/(n − 1)
+    (telescoping identity — no extra pass).
+
+    Plan: ONE shuffle on the key (lag window), and the closing groupBy
+    extends the window's partitioning so no second exchange forms;
+    the corpus watermark is a one-row aggregate crossJoined broadcast.
+    Hot keys serialize within one task (inherent to ordered-per-key
+    semantics — same documented bound and skew_report remedy as
+    :func:`rolling_stats`).
+    """
+    from pyspark.sql import Window
+    t = F.col(ts_col).cast("double")
+    base = (df.where(t.isNotNull() & F.col(key_col).isNotNull())
+            .select(F.col(key_col).alias("__k"), t.alias("__t")))
+    w = Window.partitionBy("__k").orderBy("__t")
+    gaps = base.withColumn("__gap", F.col("__t") - F.lag("__t").over(w))
+    g = (gaps.groupBy("__k")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+              F.count("__gap").cast("long").alias("n_gaps"),
+              F.min("__gap").alias("min_gap"),
+              F.max("__gap").alias("max_gap"),
+              F.min("__t").alias("first_ts"),
+              F.max("__t").alias("last_ts")))
+    wm = base.agg(F.max("__t").alias("__wm"))
+    n = F.col("n_events")
+    return (g.crossJoin(F.broadcast(wm))
+            .select(F.col("__k").alias(key_col),
+                    "n_events", "n_gaps", "min_gap", "max_gap",
+                    F.when(n > 1, (F.col("last_ts") - F.col("first_ts"))
+                           / (n - 1).cast("double")).alias("mean_gap"),
+                    "first_ts", "last_ts",
+                    (F.col("__wm") - F.col("last_ts"))
+                    .alias("staleness")))

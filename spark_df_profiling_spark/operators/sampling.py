@@ -544,3 +544,55 @@ def score_buckets(df: DataFrame, score_col: Union[str, Column],
     bucket = tier_tree(s, cuts)
     return df.withColumn(
         "bucket", F.when(s.isNotNull(), bucket.cast("int")))
+
+
+def leakage_safe_split(df: DataFrame, pairs: DataFrame, id_col: str,
+                       weights: Mapping[str, float], seed: int = 0,
+                       split_col: str = "split",
+                       group_col: Optional[str] = "split_group",
+                       null_split: Optional[str] = None) -> DataFrame:
+    """:func:`hash_split`, but with near-duplicate CLUSTERS as the
+    split unit: every row whose id appears in the ``pairs`` graph
+    (``id_a``/``id_b`` — the output shape of ``minhash_candidates``,
+    ``simhash_near_pairs``, ``embedding_near_dup``, ...) is split by
+    its connected component's representative (smallest id), so two
+    near-duplicate documents can NEVER straddle train/test.  Plain
+    ``hash_split`` on the row id is leakage-UNSAFE under near-dups:
+    a mutated copy of a train document lands in the holdout with
+    probability = the holdout share, and eval silently measures
+    memorization.  Rows absent from ``pairs`` split by their own id
+    (singleton groups) — identical to ``hash_split`` for them.
+
+    ``group_col`` (default ``split_group``; pass None to drop) exposes
+    the representative the row was split by — the audit column for
+    "which cluster pulled this doc into test".
+
+    NULL ids: NULL group key → same contract as :func:`hash_split`
+    (last split, or ``null_split``).
+
+    Scale: one :func:`~spark_df_profiling_spark.operators.dedup.
+    connected_components` run over the PAIR graph (joins/groupBys on
+    pair volume — near-dup pairs are a small fraction of corpus rows
+    when the candidate generator is banded/capped, which every
+    generator in this package is), then ONE left equi-join of the
+    corpus against the component labels (broadcastable whenever the
+    pair graph is; ordinary hash join otherwise) and the zero-shuffle
+    hash_split projection.  Deterministic end-to-end: components are
+    order-free min-labels, the split is md5 arithmetic — rerunning on
+    a grown corpus moves no existing singleton row between splits.
+    """
+    from spark_df_profiling_spark.operators.dedup import (
+        connected_components)
+    comps = connected_components(pairs).select(
+        F.col("id").alias("__ls_id"), F.col("comp").alias("__ls_comp"))
+    joined = df.join(comps, _c(id_col) == F.col("__ls_id"), "left")
+    rep = F.coalesce(F.col("__ls_comp"), _c(id_col))
+    keyed = joined.withColumn("__ls_rep", rep).drop("__ls_id",
+                                                    "__ls_comp")
+    out = hash_split(keyed, "__ls_rep", weights, seed=seed,
+                     split_col=split_col, null_split=null_split)
+    if group_col is not None:
+        out = out.withColumnRenamed("__ls_rep", group_col)
+    else:
+        out = out.drop("__ls_rep")
+    return out

@@ -3754,6 +3754,34 @@ FROM (
                                  ORDER BY epoch_ns(ts) // 1000) AS pv
     FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL)
   GROUP BY user_id)
+UNION ALL
+-- event_gaps replay: sorted-multiset consecutive deltas per user in
+-- integer micros (exact in both engines), plus corpus staleness
+SELECT 'gap:' || CAST(user_id AS VARCHAR),
+       CAST(count(g) AS BIGINT), CAST(coalesce(max(g), 0) AS BIGINT)
+FROM (
+  SELECT user_id,
+         tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus) AS g
+  FROM (SELECT user_id, epoch_ns(ts) // 1000 AS tus FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL))
+GROUP BY user_id
+UNION ALL
+SELECT 'gapmin:' || CAST(user_id AS VARCHAR),
+       CAST(count(*) AS BIGINT), CAST(coalesce(min(g), 0) AS BIGINT)
+FROM (
+  SELECT user_id,
+         tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus) AS g
+  FROM (SELECT user_id, epoch_ns(ts) // 1000 AS tus FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL))
+GROUP BY user_id
+UNION ALL
+SELECT 'gapstale:' || CAST(user_id AS VARCHAR),
+       CAST(count(*) AS BIGINT),
+       CAST((SELECT max(epoch_ns(ts) // 1000) FROM events) - max(tus)
+            AS BIGINT)
+FROM (SELECT user_id, epoch_ns(ts) // 1000 AS tus FROM events
+      WHERE ts IS NOT NULL AND user_id IS NOT NULL)
+GROUP BY user_id
 ORDER BY key
 """)
 def stateful_user_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3883,9 +3911,35 @@ def stateful_user_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                               F.col("user_id").cast("string"))
                      .alias("key"),
                      "total_events", "total_value_cents"))
+    # 'gap:'/'gapmin:'/'gapstale:' rows grade groupby.event_gaps — the
+    # per-user inter-arrival/staleness profile over event-time micros.
+    # Gaps of integer micros are EXACT in both engines (no fp hazard):
+    # gap: (n_gaps, max_gap_us), gapmin: (n_events, min_gap_us),
+    # gapstale: (n_events, staleness_us vs the corpus watermark)
+    from spark_df_profiling_spark.operators.groupby import event_gaps
+    eg = event_gaps(evm, "tus", "user_id")
+    gp = (eg.select(F.concat(F.lit("gap:"),
+                             F.col("user_id").cast("string"))
+                    .alias("key"),
+                    F.col("n_gaps").alias("total_events"),
+                    F.coalesce(F.col("max_gap"), F.lit(0.0))
+                    .cast("long").alias("total_value_cents")))
+    gpm = (eg.select(F.concat(F.lit("gapmin:"),
+                              F.col("user_id").cast("string"))
+                     .alias("key"),
+                     F.col("n_events").alias("total_events"),
+                     F.coalesce(F.col("min_gap"), F.lit(0.0))
+                     .cast("long").alias("total_value_cents")))
+    gps = (eg.select(F.concat(F.lit("gapstale:"),
+                              F.col("user_id").cast("string"))
+                     .alias("key"),
+                     F.col("n_events").alias("total_events"),
+                     F.col("staleness").cast("long")
+                     .alias("total_value_cents")))
     return (totals_rows.unionByName(fun).unionByName(roll)
             .unionByName(acf).unionByName(anom).unionByName(broll)
-            .unionByName(banom).orderBy("key"))
+            .unionByName(banom).unionByName(gp).unionByName(gpm)
+            .unionByName(gps).orderBy("key"))
 
 
 # ---------------------------------------------------------------------------
@@ -4343,6 +4397,8 @@ def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _BK = ("(('0x' || substr(md5(doc_id::VARCHAR || ':{seed}'), 1, 15))::BIGINT"
        " % 1000000)")
+_LSB = ("(('0x' || substr(md5(rep::VARCHAR || ':13'), 1, 15))::BIGINT"
+        " % 1000000)")
 
 
 @query("hash_sampling_suite", f"""
@@ -4415,6 +4471,31 @@ FROM (
          END AS b
   FROM documents, qcuts)
 GROUP BY b
+UNION ALL
+-- leakage_safe_split replay: the planted pair graph chains
+-- doc_id -> doc_id+1 inside each id decade, so the component
+-- representative (smallest reachable id) has the CLOSED FORM
+-- (doc_id // 10) * 10 over the contiguous id space — no label
+-- propagation needed; split = md5 bucket of the representative
+SELECT 'lsplit:' || s, lang, count(*)
+FROM (
+  SELECT lang,
+         CASE WHEN {_LSB} < 800000 THEN 'train'
+              WHEN {_LSB} < 900000 THEN 'val'
+              ELSE 'test' END AS s
+  FROM (SELECT lang, (doc_id // 10) * 10 AS rep FROM documents))
+GROUP BY s, lang
+UNION ALL
+SELECT 'lsplit:viol', 'components_spanning_splits',
+       coalesce(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END), 0)
+FROM (
+  SELECT rep, count(DISTINCT s) AS ns
+  FROM (
+    SELECT rep, CASE WHEN {_LSB} < 800000 THEN 'train'
+                     WHEN {_LSB} < 900000 THEN 'val'
+                     ELSE 'test' END AS s
+    FROM (SELECT (doc_id // 10) * 10 AS rep FROM documents))
+  GROUP BY rep)
 ORDER BY part, k
 """)
 def hash_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4479,9 +4560,41 @@ def hash_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select(F.lit("qbucket").alias("part"),
                   F.col("bucket").cast("string").alias("k"),
                   F.col("n").cast("long")))
+    # 'lsplit': leakage_safe_split over a planted near-dup pair graph
+    # (chains linking doc_id -> doc_id+1 inside each id decade, so the
+    # true component representative has the closed form
+    # (doc_id // 10) * 10, which DuckDB replays WITHOUT label
+    # propagation — Spark's iterative connected_components must land
+    # on exactly that).  Per-(split, lang) counts grade component +
+    # md5 assignment end to end; the ':viol' row pins the
+    # leakage-safety contract itself (0 components straddle splits).
+    from spark_df_profiling_spark.operators.sampling import (
+        leakage_safe_split)
+    ids = d.select("doc_id")
+    pairs = (ids.where(F.col("doc_id") % 10 != 9).alias("pa")
+             .join(ids.alias("pb"),
+                   F.col("pb.doc_id") == F.col("pa.doc_id") + 1)
+             .select(F.col("pa.doc_id").alias("id_a"),
+                     F.col("pb.doc_id").alias("id_b")))
+    ls = leakage_safe_split(
+        d, pairs, "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1}, seed=13)
+    lsp = (ls.groupBy("split", "lang")
+           .agg(F.count(F.lit(1)).alias("n"))
+           .select(F.concat(F.lit("lsplit:"), F.col("split"))
+                   .alias("part"),
+                   F.col("lang").alias("k"), F.col("n").cast("long")))
+    viol = (ls.groupBy("split_group")
+            .agg(F.count_distinct("split").alias("__ns"))
+            .agg(F.sum(F.when(F.col("__ns") > 1, 1).otherwise(0))
+                 .cast("long").alias("n"))
+            .select(F.lit("lsplit:viol").alias("part"),
+                    F.lit("components_spanning_splits").alias("k"),
+                    "n"))
     return (split.unionByName(samp).unionByName(strat)
             .unionByName(exactk).unionByName(dsir)
             .unionByName(ws).unionByName(qb)
+            .unionByName(lsp).unionByName(viol)
             .orderBy("part", "k"))
 
 

@@ -178,3 +178,84 @@ def test_grptop_oracle_sql_filters_null_source():
     seg = sql[sql.index("'grptop'"):]
     seg = seg[:seg.index("UNION ALL")]
     assert "source IS NOT NULL" in seg
+
+
+# ---- round-10 new op: leakage_safe_split ----------------------------
+def test_leakage_safe_split_groups_never_straddle(spark):
+    from spark_df_profiling_spark.operators.sampling import (
+        hash_split, leakage_safe_split)
+    # 60 docs; chain pairs 0-1-2, 10-11, and a transitive bridge
+    # 20-21, 21-22 (so 20..22 is one component via propagation)
+    rows = [(i, f"doc {i}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11), (20, 21), (21, 22)],
+        "id_a long, id_b long")
+    w = {"train": 0.5, "val": 0.25, "test": 0.25}
+    got = leakage_safe_split(df, pairs, "doc_id", w, seed=3).collect()
+    by_id = {r["doc_id"]: r for r in got}
+    # components share a split and carry the min-id representative
+    for comp in ([0, 1, 2], [10, 11], [20, 21, 22]):
+        splits = {by_id[i]["split"] for i in comp}
+        assert len(splits) == 1, f"component {comp} straddles {splits}"
+        assert {by_id[i]["split_group"] for i in comp} == {comp[0]}
+    # singletons: same assignment as plain hash_split on the id
+    plain = {r["doc_id"]: r["split"] for r in
+             hash_split(df, "doc_id", w, seed=3).collect()}
+    linked = {0, 1, 2, 10, 11, 20, 21, 22}
+    for i in range(60):
+        if i not in linked:
+            assert by_id[i]["split"] == plain[i]
+            assert by_id[i]["split_group"] == i
+
+
+def test_leakage_safe_split_null_id_and_group_col(spark):
+    from spark_df_profiling_spark.operators.sampling import (
+        leakage_safe_split)
+    df = spark.createDataFrame([(1, "a"), (None, "b")],
+                               "doc_id long, text string")
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    got = {r["text"]: r for r in leakage_safe_split(
+        df, pairs, "doc_id", {"train": 0.9, "test": 0.1}, seed=1,
+        null_split="quarantine").collect()}
+    assert got["b"]["split"] == "quarantine"
+    out = leakage_safe_split(df, pairs, "doc_id",
+                             {"train": 1.0}, group_col=None)
+    assert "split_group" not in out.columns
+
+
+# ---- round-10 new op: event_gaps -------------------------------------
+def test_event_gaps_matches_python(spark):
+    from spark_df_profiling_spark.operators.groupby import event_gaps
+    rows = [("a", 0.0), ("a", 5.0), ("a", 5.0), ("a", 12.0),
+            ("b", 100.0),                       # single event: no gaps
+            ("c", 7.0), ("c", 3.0),             # out of order input
+            (None, 1.0), ("d", None)]           # dropped rows
+    df = spark.createDataFrame(rows, "k string, ts double")
+    got = {r["k"]: r for r in event_gaps(df, "ts", "k").collect()}
+    assert set(got) == {"a", "b", "c"}
+    a = got["a"]
+    assert a["n_events"] == 4 and a["n_gaps"] == 3
+    assert a["min_gap"] == 0.0 and a["max_gap"] == 7.0
+    assert a["mean_gap"] == pytest.approx(4.0)   # (12-0)/3
+    assert a["first_ts"] == 0.0 and a["last_ts"] == 12.0
+    assert a["staleness"] == pytest.approx(88.0)  # vs corpus max 100
+    b = got["b"]
+    assert b["n_events"] == 1 and b["n_gaps"] == 0
+    assert b["min_gap"] is None and b["mean_gap"] is None
+    assert b["staleness"] == pytest.approx(0.0)
+    c = got["c"]
+    assert c["min_gap"] == 4.0 and c["max_gap"] == 4.0
+
+
+def test_event_gaps_single_key_shuffle(spark):
+    from spark_df_profiling_spark.operators.groupby import event_gaps
+    df = spark.createDataFrame([("a", 1.0)], "k string, ts double")
+    plan = event_gaps(df, "ts", "k")._jdf.queryExecution() \
+        .executedPlan().toString()
+    # one exchange for the key (window + groupBy share it) + the
+    # single-row broadcast for the corpus watermark — never a second
+    # hash exchange on the key
+    import re
+    n_hash_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_hash_ex <= 1, plan
