@@ -34,6 +34,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "cluster_balanced_sample",
     "kmeans_assign_expr",
     "kmeans_assign",
     "kmeans_fit",
@@ -235,3 +236,34 @@ def kmeans_profile(df: DataFrame,
                  F.sum("__dist").alias("inertia"),
                  F.avg("__dist").alias("mean_dist"),
                  F.max("__dist").alias("max_dist")))
+
+
+def cluster_balanced_sample(df: DataFrame,
+                            centroids: Sequence[Sequence[float]],
+                            per_cluster: int,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            seed: int = 0) -> DataFrame:
+    """Exactly ``per_cluster`` rows from every k-means cluster,
+    deterministically — the cluster-balanced draw behind diverse
+    eval-set carving and coverage-preserving corpus downsampling
+    (natural sampling follows the data's mode; balancing by cluster
+    keeps rare regions represented).
+
+    Composition: :func:`kmeans_assign` (zero shuffle, broadcast
+    centroid state) + ``sampling.sample_exact_k`` on the cluster id
+    (md5-rank top-``per_cluster`` per cluster — reproducible across
+    runs/engines; clusters smaller than ``per_cluster`` return all
+    their rows).  Output: the sampled rows with their ``cluster``
+    column.  Same id contract as ``sample_exact_k``: unique non-NULL
+    ``id_col``; NULL-vector rows (NULL cluster) are excluded.
+    """
+    from spark_df_profiling_spark.operators.sampling import (
+        sample_exact_k)
+    if per_cluster < 1:
+        raise ValueError(f"per_cluster must be >= 1: {per_cluster}")
+    assigned = kmeans_assign(df, centroids, vec_col=vec_col,
+                             cluster_col="cluster")
+    assigned = assigned.where(F.col("cluster").isNotNull())
+    return sample_exact_k(assigned, "cluster", per_cluster, id_col,
+                          seed=seed)

@@ -835,3 +835,69 @@ def centroid_margin_stats(df: DataFrame, emb_col: str = "embedding",
                  F.avg(margin).alias("avg_margin"),
                  F.sum(F.when(margin < 0, 1).otherwise(0)).cast("long")
                  .alias("n_neg_margin")))
+
+
+def rrf_fuse(rankings: "Sequence[DataFrame]", id_col: str = "doc_id",
+             rank_col: str = "rank", k: float = 60.0,
+             weights: "Sequence[float] | None" = None,
+             query_col: "str | None" = None,
+             top_k: "int | None" = None) -> DataFrame:
+    """Reciprocal-rank fusion of N rankings — the standard hybrid-
+    retrieval combiner (Cormack/Clarke/Buettcher 2009: score(d) =
+    Σ_i w_i / (k + rank_i(d))), used to merge sparse (``bm25_topk``)
+    and dense (``knn_bruteforce`` / ``ann_*``) candidate lists without
+    score calibration: only RANKS enter, so BM25's unbounded scores
+    and cosine's [-1,1] never need to be commensurated.
+
+    Each input frame carries ``(id_col, rank_col)`` (1-based ranks;
+    plus ``query_col`` for per-query fusion).  Documents absent from a
+    list contribute nothing for it (the standard convention).  Output:
+    one row per (query,) document — ``rrf_score``, ``n_lists`` (how
+    many lists proposed it), ``best_rank``, and ``fused_rank``
+    (dense 1-based, ties broken by id).  ``top_k`` keeps the head.
+
+    Scale: inputs are TOP-K LISTS by construction (bm25_topk / knn
+    already bound them), so the union is Σ|lists| rows — bounded
+    state, not corpus data.  ONE groupBy on (query, id) fuses; the
+    final rank is a window over that bounded frame (per query when
+    ``query_col`` is given; a single-partition window otherwise —
+    acceptable ONLY because the frame is ≤ Σ k_i rows, which is the
+    documented contract; never feed full corpora here).
+    """
+    from pyspark.sql import Window
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    if k <= 0:
+        raise ValueError(f"k must be > 0: {k}")
+    ws = [1.0] * len(rankings) if weights is None else \
+        [float(w) for w in weights]
+    if len(ws) != len(rankings):
+        raise ValueError(f"weights length {len(ws)} != rankings "
+                         f"length {len(rankings)}")
+    keys = [query_col] if query_col else []
+    parts = []
+    for rdf, w in zip(rankings, ws):
+        r = F.col(rank_col).cast("double")
+        parts.append(
+            rdf.where(F.col(id_col).isNotNull())
+            .select(*keys, F.col(id_col),
+                    (F.lit(w) / (F.lit(float(k)) + r))
+                    .alias("__contrib"),
+                    F.col(rank_col).cast("long").alias("__r")))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    g = (u.groupBy(*keys, id_col)
+         .agg(F.sum("__contrib").alias("rrf_score"),
+              F.count(F.lit(1)).cast("long").alias("n_lists"),
+              F.min("__r").alias("best_rank")))
+    wspec = (Window.partitionBy(*keys) if keys
+             else Window.partitionBy(F.lit(0)))
+    wspec = wspec.orderBy(F.desc("rrf_score"), F.asc(id_col))
+    out = g.withColumn("fused_rank",
+                       F.row_number().over(wspec).cast("long"))
+    if top_k is not None:
+        if top_k < 1:
+            raise ValueError(f"top_k must be >= 1: {top_k}")
+        out = out.where(F.col("fused_rank") <= top_k)
+    return out

@@ -3297,7 +3297,44 @@ FROM (
   SELECT k, MIN(s) AS ss, MAX(e) AS se, COUNT(*) AS nm
   FROM sp GROUP BY k, sid)
 UNION ALL
-""" + _ZORDER_SQL + """
+""" + _ZORDER_SQL + f"""
+UNION ALL
+-- rrf_fuse replay: two integer-keyed customer rankings (cents spend /
+-- order count, ties by custkey), RRF at k=60, top 10 by fused score
+SELECT 'rrf', CAST(o_custkey AS VARCHAR),
+       {_psig('rrf_score')} || '/' || CAST(n_lists AS VARCHAR)
+         || '/' || CAST(best_rank AS VARCHAR),
+       fused_rank
+FROM (
+  WITH spend AS (
+    SELECT o_custkey, rnk FROM (
+      SELECT o_custkey,
+             row_number() OVER (ORDER BY cents DESC, o_custkey) AS rnk
+      FROM (SELECT o_custkey,
+                   CAST(round(sum(o_totalprice) * 100) AS BIGINT)
+                     AS cents
+            FROM orders GROUP BY o_custkey))
+    WHERE rnk <= 20),
+  ocnt AS (
+    SELECT o_custkey, rnk FROM (
+      SELECT o_custkey,
+             row_number() OVER (ORDER BY n DESC, o_custkey) AS rnk
+      FROM (SELECT o_custkey, count(*) AS n
+            FROM orders GROUP BY o_custkey))
+    WHERE rnk <= 20),
+  u AS (SELECT o_custkey, 1.0 / (60.0 + rnk) AS contrib, rnk
+        FROM spend
+        UNION ALL
+        SELECT o_custkey, 1.0 / (60.0 + rnk), rnk FROM ocnt),
+  g AS (SELECT o_custkey, sum(contrib) AS rrf_score,
+               CAST(count(*) AS BIGINT) AS n_lists,
+               CAST(min(rnk) AS BIGINT) AS best_rank
+        FROM u GROUP BY o_custkey)
+  SELECT o_custkey, rrf_score, n_lists, best_rank,
+         CAST(row_number() OVER (ORDER BY rrf_score DESC, o_custkey)
+              AS BIGINT) AS fused_rank
+  FROM g)
+WHERE fused_rank <= 10
 ORDER BY 1, 2, 3
 """)
 def multidim_agg_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3416,9 +3453,40 @@ def multidim_agg_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.col("span_end").cast("long").cast("string"))
                    .alias("g2"),
                    F.col("n_merged").alias("cnt")))
+    # 'rrf' rows grade similarity.rrf_fuse — reciprocal-rank fusion of
+    # two customer rankings (top-20 by exact cents spend; top-20 by
+    # order count), fused at k=60, top 10 kept.  Integer-cents ranking
+    # keys make both input rankings bit-identical across engines; the
+    # fused score is a sum of TWO doubles (commutative-exact) and
+    # lands in g2 sig-normalized.
+    from pyspark.sql import Window as _W
+    from spark_df_profiling_spark.operators.similarity import rrf_fuse
+    spend = (o.groupBy("o_custkey")
+             .agg(F.round(F.sum("o_totalprice") * 100).cast("long")
+                  .alias("__cents")))
+    wsp = _W.partitionBy(F.lit(0)).orderBy(F.desc("__cents"),
+                                           F.asc("o_custkey"))
+    ra = (spend.withColumn("rank", F.row_number().over(wsp))
+          .where(F.col("rank") <= 20).select("o_custkey", "rank"))
+    ocnt = (o.groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).alias("__n")))
+    wcn = _W.partitionBy(F.lit(0)).orderBy(F.desc("__n"),
+                                           F.asc("o_custkey"))
+    rb = (ocnt.withColumn("rank", F.row_number().over(wcn))
+          .where(F.col("rank") <= 20).select("o_custkey", "rank"))
+    fused = rrf_fuse([ra, rb], id_col="o_custkey", rank_col="rank",
+                     k=60.0, top_k=10)
+    rrf = (fused.select(
+        F.lit("rrf").alias("mode"),
+        F.col("o_custkey").cast("string").alias("g1"),
+        F.concat_ws("/", sig(F.col("rrf_score")),
+                    F.col("n_lists").cast("string"),
+                    F.col("best_rank").cast("string")).alias("g2"),
+        F.col("fused_rank").alias("cnt")))
     return (rollup.unionByName(cube).unionByName(gsets)
             .unionByName(cons).unionByName(jks).unionByName(zrows)
             .unionByName(salt).unionByName(decay).unionByName(ivm)
+            .unionByName(rrf)
             .orderBy("mode", "g1", "g2"))
 
 
@@ -4205,6 +4273,14 @@ def universal_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(md_rows).unionByName(enc_rows))
 
 
+# Fixed literal centroids for the cluster_balanced_sample grading
+# config: four vectors differing only in dim 0 (-0.24/-0.08/0.08/0.24
+# — assignment boundaries at -0.16/0/0.16 split the unit-normalized
+# embeddings ~10/40/40/10 so every cluster is occupied); a pure fold
+# DuckDB replays verbatim
+_KBAL_CENTS = [[v] + [0.0] * 63 for v in (-0.24, -0.08, 0.08, 0.24)]
+
+
 @query("embedding_array_stats", f"""
 SELECT 'array' AS part, k, v1, v2s FROM (
   SELECT * FROM (
@@ -4315,6 +4391,44 @@ FROM (
   SELECT c, count(*) AS n, sum(dist) AS si, avg(dist) AS sm,
          max(dist) AS sx
   FROM a3 GROUP BY c)
+UNION ALL
+SELECT 'kbal', CAST(id AS VARCHAR), CAST(c AS BIGINT),
+       CAST(NULL AS VARCHAR)
+FROM (
+  -- cluster_balanced_sample replay: argmin over four constant-vector
+  -- centroids (ties -> lowest index), then sample_exact_k's md5 rank
+  -- inside each cluster, keep 3
+  WITH pts AS (
+    SELECT vec_id AS id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings WHERE embedding IS NOT NULL),
+  dd AS (
+    -- centroids differ only in dim 0: dist_j = (v[1] - c0_j)^2
+    -- + Σ_{{i>=2}} v[i]^2, replayed as the same per-element fold the
+    -- Spark side runs (zip_with against [c0_j, 0, 0, ...])
+    SELECT id,
+      [list_sum(list_transform(range(1, 1 + len(v)),
+         i -> (v[i] - (CASE WHEN i = 1 THEN -0.24 ELSE 0.0 END))
+            * (v[i] - (CASE WHEN i = 1 THEN -0.24 ELSE 0.0 END)))),
+       list_sum(list_transform(range(1, 1 + len(v)),
+         i -> (v[i] - (CASE WHEN i = 1 THEN -0.08 ELSE 0.0 END))
+            * (v[i] - (CASE WHEN i = 1 THEN -0.08 ELSE 0.0 END)))),
+       list_sum(list_transform(range(1, 1 + len(v)),
+         i -> (v[i] - (CASE WHEN i = 1 THEN 0.08 ELSE 0.0 END))
+            * (v[i] - (CASE WHEN i = 1 THEN 0.08 ELSE 0.0 END)))),
+       list_sum(list_transform(range(1, 1 + len(v)),
+         i -> (v[i] - (CASE WHEN i = 1 THEN 0.24 ELSE 0.0 END))
+            * (v[i] - (CASE WHEN i = 1 THEN 0.24 ELSE 0.0 END))))]
+      AS ds
+    FROM pts),
+  asn AS (SELECT id, list_indexof(ds, list_min(ds)) - 1 AS c FROM dd),
+  rk AS (SELECT id, c,
+                row_number() OVER (PARTITION BY c ORDER BY
+                  ('0x' || substr(md5(id::VARCHAR || ':9'), 1, 15))
+                    ::BIGINT % 1000000,
+                  id) AS r
+         FROM asn)
+  SELECT id, c FROM rk WHERE r <= 3)
 ORDER BY part, k
 """)
 def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4386,7 +4500,21 @@ def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.concat_ws("/", sig(F.col("inertia")),
                               sig(F.col("mean_dist")),
                               sig(F.col("max_dist"))).alias("v2s")))
+    # 'kbal' rows grade clustering.cluster_balanced_sample — exactly 3
+    # deterministically-chosen rows per cluster under FIXED literal
+    # centroids (constant vectors at -0.5/0/0.5/1: the assignment is a
+    # pure expression DuckDB replays, the md5 per-cluster rank is the
+    # sample_exact_k arithmetic)
+    from spark_df_profiling_spark.operators.clustering import (
+        cluster_balanced_sample)
+    kb = (cluster_balanced_sample(e, _KBAL_CENTS, per_cluster=3,
+                                  id_col="vec_id", seed=9)
+          .select(F.lit("kbal").alias("part"),
+                  F.col("vec_id").cast("string").alias("k"),
+                  F.col("cluster").cast("long").alias("v1"),
+                  F.lit(None).cast("string").alias("v2s")))
     return (arr.unionByName(dims).unionByName(quant).unionByName(km)
+            .unionByName(kb)
             .orderBy("part", "k"))
 
 

@@ -135,3 +135,73 @@ def test_kmeans_profile_totals(spark):
     assert got[0]["mean_dist"] == pytest.approx(1.0)
     assert got[0]["max_dist"] == pytest.approx(1.0)
     assert got[1]["inertia"] == pytest.approx(0.0)
+
+
+def test_cluster_balanced_sample_exact_counts(spark):
+    import hashlib
+    rows = ([(i, [0.0 + i * 0.001]) for i in range(20)]        # cluster 0
+            + [(100 + i, [10.0 + i * 0.001]) for i in range(3)])  # cluster 1
+    df = spark.createDataFrame(rows,
+                               "vec_id long, embedding array<double>")
+    from spark_df_profiling_spark.operators.clustering import (
+        cluster_balanced_sample)
+    got = cluster_balanced_sample(df, [[0.0], [10.0]], per_cluster=5,
+                                  seed=2).collect()
+    by_c = {}
+    for r in got:
+        by_c.setdefault(r["cluster"], set()).add(r["vec_id"])
+    assert len(by_c[0]) == 5              # exactly k
+    assert by_c[1] == {100, 101, 102}     # short cluster: all rows
+    # replicate the md5 rank choice for cluster 0
+    def rank(i):
+        b = int(hashlib.md5(f"{i}:2".encode()).hexdigest()[:15], 16) \
+            % 1_000_000
+        return (b, i)
+    exp = set(sorted(range(20), key=rank)[:5])
+    assert by_c[0] == exp
+    with pytest.raises(ValueError):
+        cluster_balanced_sample(df, [[0.0]], per_cluster=0)
+
+
+def test_rrf_fuse_matches_hand_computation(spark):
+    from spark_df_profiling_spark.operators.similarity import rrf_fuse
+    a = spark.createDataFrame([(10, 1), (11, 2), (12, 3)],
+                              "doc_id long, rank long")
+    b = spark.createDataFrame([(12, 1), (10, 2), (13, 3)],
+                              "doc_id long, rank long")
+    got = {r["doc_id"]: r for r in rrf_fuse([a, b], k=60).collect()}
+    def s(*ranks):
+        return sum(1.0 / (60 + r) for r in ranks)
+    assert got[10]["rrf_score"] == pytest.approx(s(1, 2), rel=1e-12)
+    assert got[12]["rrf_score"] == pytest.approx(s(3, 1), rel=1e-12)
+    assert got[11]["rrf_score"] == pytest.approx(s(2), rel=1e-12)
+    assert got[10]["n_lists"] == 2 and got[11]["n_lists"] == 1
+    assert got[10]["best_rank"] == 1 and got[13]["best_rank"] == 3
+    # fused order: 10 (1/61+1/62) > 12 (1/61+1/63) > 11 > 13
+    ranks = {r["doc_id"]: r["fused_rank"] for r in got.values()}
+    assert ranks == {10: 1, 12: 2, 11: 3, 13: 4}
+    top2 = rrf_fuse([a, b], k=60, top_k=2).collect()
+    assert {r["doc_id"] for r in top2} == {10, 12}
+
+
+def test_rrf_fuse_weights_and_query_partition(spark):
+    from spark_df_profiling_spark.operators.similarity import rrf_fuse
+    a = spark.createDataFrame([("q1", 1, 1), ("q2", 2, 1)],
+                              "qid string, doc_id long, rank long")
+    b = spark.createDataFrame([("q1", 2, 1), ("q2", 2, 2)],
+                              "qid string, doc_id long, rank long")
+    got = rrf_fuse([a, b], query_col="qid", weights=[2.0, 1.0],
+                   k=10).collect()
+    by = {(r["qid"], r["doc_id"]): r for r in got}
+    assert by[("q1", 1)]["rrf_score"] == pytest.approx(2.0 / 11)
+    assert by[("q1", 2)]["rrf_score"] == pytest.approx(1.0 / 11)
+    assert by[("q1", 1)]["fused_rank"] == 1      # per-query ranks
+    assert by[("q2", 2)]["fused_rank"] == 1
+    assert by[("q2", 2)]["rrf_score"] == pytest.approx(
+        2.0 / 11 + 1.0 / 12)
+    with pytest.raises(ValueError):
+        rrf_fuse([], k=60)
+    with pytest.raises(ValueError):
+        rrf_fuse([a], weights=[1.0, 2.0])
+    with pytest.raises(ValueError):
+        rrf_fuse([a], k=0)
