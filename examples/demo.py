@@ -274,6 +274,40 @@ def main() -> None:
     s2 = corr_state(li.where(F.col("l_orderkey") % 2 == 1), c3)
     corr_from_state(corr_merge(s1, s2, c3), c3).show()
 
+    # round 10: deterministic k-means + cluster-balanced carving,
+    # leakage-safe splits, feed-health gaps, hybrid-retrieval fusion
+    from spark_df_profiling_spark.operators.clustering import (
+        cluster_balanced_sample, kmeans_fit, kmeans_profile)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = kmeans_fit(emb, "embedding", "vec_id", k=4, n_iter=2)
+    kmeans_profile(emb, cents).orderBy("cluster").show()
+    cluster_balanced_sample(emb, cents, per_cluster=2).groupBy(
+        "cluster").count().show()
+
+    from spark_df_profiling_spark.operators.sampling import (
+        leakage_safe_split)
+    pairs = spark.createDataFrame([(0, 1), (1, 2)],
+                                  "id_a long, id_b long")
+    (leakage_safe_split(docs, pairs, "doc_id",
+                        {"train": 0.8, "val": 0.1, "test": 0.1})
+     .groupBy("split").count().show())
+
+    from spark_df_profiling_spark.operators.groupby import event_gaps
+    from spark_df_profiling_spark.sources import (
+        event_time_micros, with_event_time)
+    ev = with_event_time(spark.read.parquet(f"{SF_DIR}/events.parquet"))
+    event_gaps(ev.select("user_id",
+                         event_time_micros(ev).alias("tus")),
+               "tus", "user_id").orderBy(F.desc("staleness")).show(3)
+
+    from spark_df_profiling_spark.operators.similarity import rrf_fuse
+    from spark_df_profiling_spark.operators.text import bm25_topk
+    sparse = bm25_topk(docs, "text", "doc_id",
+                       ["data", "model"], k=10).select("doc_id", "rank")
+    dense = sparse.select("doc_id",
+                          (11 - F.col("rank")).alias("rank"))  # toy 2nd list
+    rrf_fuse([sparse, dense], k=60, top_k=5).orderBy("fused_rank").show()
+
     spark.stop()
 
 
