@@ -34,11 +34,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "centroids_from_state",
     "cluster_balanced_sample",
     "kmeans_assign_expr",
     "kmeans_assign",
     "kmeans_fit",
     "kmeans_profile",
+    "kmeans_state",
+    "kmeans_state_merge",
 ]
 
 
@@ -267,3 +270,81 @@ def cluster_balanced_sample(df: DataFrame,
     assigned = assigned.where(F.col("cluster").isNotNull())
     return sample_exact_k(assigned, "cluster", per_cluster, id_col,
                           seed=seed)
+
+
+def kmeans_state(df: DataFrame, centroids: Sequence[Sequence[float]],
+                 vec_col: str = "embedding") -> DataFrame:
+    """Mergeable per-cluster sufficient statistics under a FROZEN
+    centroid geometry — ``(cluster, dim, s, n)`` rows where ``s`` is
+    the per-dim value sum and ``n`` the member count of the cluster
+    (repeated per dim).  This is the day-2 half-step of Lloyd: batches
+    fold into stored state by ADDITION (:func:`kmeans_state_merge`),
+    and :func:`centroids_from_state` re-derives refreshed centroids
+    from all history without rescanning it — the same
+    state/merge/finalize contract as the Bloom/CMS/HLL/MinHash and
+    ``incremental.corr_state`` families (README day-2 table).
+
+    Plan: one broadcast-literal assignment + ONE map-side-combined
+    groupBy carrying k×(d+1) cells, then a k-row stack to the k·d-row
+    state layout — state, not data.  NULL-vector rows are excluded.
+    The centroid config is FROZEN with the state (states built under
+    different centroids merge into garbage — same documented contract
+    as Bloom/CMS configs).
+    """
+    if not centroids:
+        raise ValueError("centroids must be non-empty")
+    d = len(centroids[0])
+    cl = kmeans_assign_expr(vec_col, centroids)
+    v = F.transform(_c(vec_col), lambda x: x.cast("double"))
+    wide = (df.where(_c(vec_col).isNotNull())
+            .select(cl.alias("cluster"), v.alias("__v"))
+            .select("cluster",
+                    *[F.element_at("__v", i + 1).alias(f"__x{i}")
+                      for i in range(d)])
+            .groupBy("cluster")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 *[F.sum(f"__x{i}").alias(f"__s{i}")
+                   for i in range(d)]))
+    pairs = ", ".join(f"{i}, __s{i}" for i in range(d))
+    return wide.select(
+        "cluster", "n",
+        F.expr(f"stack({d}, {pairs}) as (dim, s)")).select(
+        "cluster", "dim", "s", "n")
+
+
+def kmeans_state_merge(*states: DataFrame) -> DataFrame:
+    """Fold any number of :func:`kmeans_state` frames (built under the
+    SAME frozen centroids) into one — pure addition per (cluster,
+    dim): one map-side-combined groupBy over k·d-row inputs."""
+    if not states:
+        raise ValueError("need at least one state")
+    u = states[0]
+    for s in states[1:]:
+        u = u.unionByName(s)
+    return (u.groupBy("cluster", "dim")
+            .agg(F.sum("s").alias("s"),
+                 # n repeats per dim within one state: summing per
+                 # (cluster, dim) across states keeps the invariant
+                 F.sum("n").cast("long").alias("n")))
+
+
+def centroids_from_state(state: DataFrame,
+                         centroids: Sequence[Sequence[float]]
+                         ) -> "list[list[float]]":
+    """Refreshed centroids from (merged) state: per-cluster per-dim
+    ``s / n``; clusters absent from the state keep their previous
+    centroid (the :func:`kmeans_fit` empty-cluster rule).  Collects
+    O(k·d) rows — state, not data."""
+    rows = state.collect()
+    by: dict = {}
+    for r in rows:
+        by.setdefault(r["cluster"], {})[r["dim"]] = (r["s"], r["n"])
+    out = []
+    for j, prev in enumerate(centroids):
+        dims = by.get(j)
+        if not dims:
+            out.append(list(prev))
+        else:
+            out.append([dims[i][0] / dims[i][1]
+                        for i in range(len(prev))])
+    return out

@@ -901,3 +901,86 @@ def rrf_fuse(rankings: "Sequence[DataFrame]", id_col: str = "doc_id",
             raise ValueError(f"top_k must be >= 1: {top_k}")
         out = out.where(F.col("fused_rank") <= top_k)
     return out
+
+
+def top_component(df: DataFrame, vec_col: str = "embedding",
+                  n_iter: int = 3) -> dict:
+    """Dominant principal component of an embedding corpus by POWER
+    ITERATION — the anisotropy diagnostic (Ethayarajh 2019: contextual
+    embeddings often collapse toward one direction; a high
+    ``anisotropy`` ratio means cosine similarities are dominated by
+    the common direction, hurting retrieval/dedup discrimination).
+
+    Returns ``{"n", "dim", "component" (unit list), "lambda1",
+    "trace", "anisotropy"}`` where ``lambda1`` is the Rayleigh
+    estimate vᵀCv of the top covariance eigenvalue, ``trace`` the
+    total variance, and ``anisotropy = lambda1 / trace`` ∈ (0, 1]
+    (1/dim ≈ isotropic, → 1 = collapsed).
+
+    Plan — the covariance matrix is NEVER materialized (d² sums for
+    d=1024 would be a million aggregate expressions): each power step
+    computes ``w = Σ_rows (x−μ)·((x−μ)ᵀv)`` as ONE map-side-combined
+    aggregate — the per-row projection ``s`` is a single d-fold
+    materialized in its own column (referenced d+1 times, so Catalyst
+    does not re-inline it — the kmeans_assign lesson), followed by d
+    sums of ``s·(x_i−μ_i)``.  Normalization happens driver-side on the
+    O(d) state.  Deterministic start ``v0 = 1/√d`` and a FIXED
+    ``n_iter`` keep the run replayable (convergence is geometric in
+    λ1/λ2 — 3 steps separate a dominant direction; raise for
+    near-degenerate spectra).  NULL vectors are excluded; uniform
+    dims assumed (embeddings contract).
+    """
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1: {n_iter}")
+    base = (df.where(F.col(vec_col).isNotNull())
+            .select(F.transform(F.col(vec_col),
+                                lambda x: x.cast("double")).alias("__v"))
+            .persist())
+    try:
+        # pass 1: n, per-dim mean and raw second moment (trace)
+        first = base.select("__v").first()
+        if first is None:
+            raise ValueError("top_component: no non-NULL vectors")
+        d = len(first["__v"])
+        stats = base.agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(F.element_at("__v", i + 1)).alias(f"s{i}")
+              for i in range(d)],
+            *[F.sum(F.element_at("__v", i + 1)
+                    * F.element_at("__v", i + 1)).alias(f"q{i}")
+              for i in range(d)]).collect()[0]
+        n = stats["n"]
+        if n < 2:
+            raise ValueError(f"top_component: need >= 2 rows, got {n}")
+        mu = [stats[f"s{i}"] / n for i in range(d)]
+        # sample covariance trace: Σ (q_i − n·μ_i²) / (n−1)
+        trace = sum((stats[f"q{i}"] - n * mu[i] * mu[i])
+                    for i in range(d)) / (n - 1)
+        v = [1.0 / (d ** 0.5)] * d
+        lam = None
+        for _ in range(n_iter):
+            mu_lit = F.array(*[F.lit(m) for m in mu])
+            v_lit = F.array(*[F.lit(x) for x in v])
+            centered = F.zip_with(F.col("__v"), mu_lit,
+                                  lambda a, b: a - b)
+            s = F.aggregate(F.zip_with(centered, v_lit,
+                                       lambda a, b: a * b),
+                            F.lit(0.0), lambda acc, x: acc + x)
+            staged = base.select(F.col("__v"), s.alias("__s"))
+            w_row = staged.agg(
+                F.sum(F.col("__s") * F.col("__s")).alias("ss"),
+                *[F.sum(F.col("__s")
+                        * (F.element_at("__v", i + 1) - F.lit(mu[i])))
+                  .alias(f"w{i}") for i in range(d)]).collect()[0]
+            lam = w_row["ss"] / (n - 1)          # Rayleigh vᵀCv
+            w = [w_row[f"w{i}"] for i in range(d)]
+            norm = sum(x * x for x in w) ** 0.5
+            if norm == 0:                        # exactly degenerate
+                break
+            v = [x / norm for x in w]
+        return {"n": int(n), "dim": d, "component": v,
+                "lambda1": float(lam), "trace": float(trace),
+                "anisotropy": float(lam / trace) if trace > 0
+                else None}
+    finally:
+        base.unpersist()

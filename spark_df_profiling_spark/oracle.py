@@ -4429,6 +4429,87 @@ FROM (
                   id) AS r
          FROM asn)
   SELECT id, c FROM rk WHERE r <= 3)
+UNION ALL
+SELECT 'kstate', CAST(c AS VARCHAR) || ':' || CAST(dim - 1 AS VARCHAR),
+       CAST(n AS BIGINT), s_s
+FROM (
+  -- kmeans_state merge replay: same literal-centroid assignment,
+  -- per-(cluster, dim) value sums and member counts over the whole
+  -- table (merge of the even/odd halves IS the full additive state)
+  WITH pts AS (
+    SELECT vec_id AS id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings WHERE embedding IS NOT NULL),
+  dd AS (
+    SELECT id, v,
+      [list_sum(list_transform(range(1, 1 + len(v)),
+         i -> (v[i] - (CASE WHEN i = 1 THEN -0.24 ELSE 0.0 END))
+            * (v[i] - (CASE WHEN i = 1 THEN -0.24 ELSE 0.0 END)))),
+       list_sum(list_transform(range(1, 1 + len(v)),
+         i -> (v[i] - (CASE WHEN i = 1 THEN -0.08 ELSE 0.0 END))
+            * (v[i] - (CASE WHEN i = 1 THEN -0.08 ELSE 0.0 END)))),
+       list_sum(list_transform(range(1, 1 + len(v)),
+         i -> (v[i] - (CASE WHEN i = 1 THEN 0.08 ELSE 0.0 END))
+            * (v[i] - (CASE WHEN i = 1 THEN 0.08 ELSE 0.0 END)))),
+       list_sum(list_transform(range(1, 1 + len(v)),
+         i -> (v[i] - (CASE WHEN i = 1 THEN 0.24 ELSE 0.0 END))
+            * (v[i] - (CASE WHEN i = 1 THEN 0.24 ELSE 0.0 END))))]
+      AS ds
+    FROM pts),
+  asn AS (SELECT id, v, list_indexof(ds, list_min(ds)) - 1 AS c
+          FROM dd),
+  ex AS (SELECT c, generate_subscripts(v, 1) AS dim, unnest(v) AS x
+         FROM asn)
+  SELECT c, dim, CAST(count(*) AS BIGINT) AS n,
+         {_psig('sum(x)')} AS s_s
+  FROM ex WHERE dim <= 3 GROUP BY c, dim)
+UNION ALL
+SELECT 'pca', 'rayleigh', CAST(n AS BIGINT),
+       {_psig('lam')} || '/' || {_psig('tr')} || '/' || {_psig('lam / tr')}
+FROM (
+  -- top_component replay: centered power iteration, v0 = 1/sqrt(d),
+  -- three unrolled steps; lambda1 = Rayleigh sum(s3^2)/(n-1) where s3
+  -- projects on v after TWO normalized updates (the operator's
+  -- definition: lambda measured at the final step's input vector)
+  WITH pts AS (
+    SELECT vec_id AS id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings WHERE embedding IS NOT NULL),
+  px AS (SELECT id, generate_subscripts(v, 1) AS dim, unnest(v) AS x
+         FROM pts),
+  nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pts),
+  mu AS (SELECT dim, sum(x) / (SELECT n FROM nn) AS m
+         FROM px GROUP BY dim),
+  trv AS (SELECT sum(q - (SELECT n FROM nn) * m * m)
+                 / ((SELECT n FROM nn) - 1) AS tr
+          FROM (SELECT px.dim, sum(px.x * px.x) AS q,
+                       any_value(mu.m) AS m
+                FROM px JOIN mu USING (dim) GROUP BY px.dim)),
+  v0 AS (SELECT dim, 1.0 / sqrt((SELECT count(*) FROM mu)) AS val
+         FROM mu),
+  s1 AS (SELECT px.id, sum((px.x - mu.m) * v0.val) AS s
+         FROM px JOIN mu USING (dim) JOIN v0 USING (dim)
+         GROUP BY px.id),
+  w1 AS (SELECT px.dim, sum(s1.s * (px.x - mu.m)) AS w
+         FROM px JOIN mu USING (dim) JOIN s1 USING (id)
+         GROUP BY px.dim),
+  v1 AS (SELECT dim, w / (SELECT sqrt(sum(w * w)) FROM w1) AS val
+         FROM w1),
+  s2 AS (SELECT px.id, sum((px.x - mu.m) * v1.val) AS s
+         FROM px JOIN mu USING (dim) JOIN v1 USING (dim)
+         GROUP BY px.id),
+  w2 AS (SELECT px.dim, sum(s2.s * (px.x - mu.m)) AS w
+         FROM px JOIN mu USING (dim) JOIN s2 USING (id)
+         GROUP BY px.dim),
+  v2 AS (SELECT dim, w / (SELECT sqrt(sum(w * w)) FROM w2) AS val
+         FROM w2),
+  s3 AS (SELECT px.id, sum((px.x - mu.m) * v2.val) AS s
+         FROM px JOIN mu USING (dim) JOIN v2 USING (dim)
+         GROUP BY px.id),
+  lamv AS (SELECT sum(s * s) / ((SELECT n FROM nn) - 1) AS lam
+           FROM s3)
+  SELECT (SELECT n FROM nn) AS n, (SELECT lam FROM lamv) AS lam,
+         (SELECT tr FROM trv) AS tr)
 ORDER BY part, k
 """)
 def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4513,8 +4594,37 @@ def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.col("vec_id").cast("string").alias("k"),
                   F.col("cluster").cast("long").alias("v1"),
                   F.lit(None).cast("string").alias("v2s")))
+    # 'kstate' rows grade the mergeable k-means state trio
+    # (clustering.kmeans_state/kmeans_state_merge): even/odd vec_id
+    # halves under the same frozen literal centroids, MERGED, reduced
+    # to dims 0-2 — DuckDB replays the assignment and the per-(cluster,
+    # dim) sums; n and sig(s) must match the merged Spark state
+    from spark_df_profiling_spark.operators.clustering import (
+        kmeans_state, kmeans_state_merge)
+    halves = [kmeans_state(e.where(F.col("vec_id") % 2 == i),
+                           _KBAL_CENTS) for i in (0, 1)]
+    ks = (kmeans_state_merge(*halves)
+          .where(F.col("dim") <= 2)
+          .select(F.lit("kstate").alias("part"),
+                  F.concat(F.col("cluster").cast("string"), F.lit(":"),
+                           F.col("dim").cast("string")).alias("k"),
+                  F.col("n").alias("v1"),
+                  sig(F.col("s")).alias("v2s")))
+    # 'pca' row grades similarity.top_component — the power-iteration
+    # anisotropy diagnostic at n_iter=3; DuckDB unrolls all three
+    # power steps (deterministic 1/√d start, Rayleigh λ at the final
+    # step) and the trace, sig-normalized
+    from spark_df_profiling_spark.operators.similarity import (
+        top_component)
+    tc = top_component(e, "embedding", n_iter=3)
+    pca = (spark.range(1).select(
+        F.lit("pca").alias("part"), F.lit("rayleigh").alias("k"),
+        F.lit(tc["n"]).cast("long").alias("v1"),
+        F.concat_ws("/", sig(F.lit(tc["lambda1"])),
+                    sig(F.lit(tc["trace"])),
+                    sig(F.lit(tc["anisotropy"]))).alias("v2s")))
     return (arr.unionByName(dims).unionByName(quant).unionByName(km)
-            .unionByName(kb)
+            .unionByName(kb).unionByName(ks).unionByName(pca)
             .orderBy("part", "k"))
 
 

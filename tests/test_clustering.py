@@ -205,3 +205,105 @@ def test_rrf_fuse_weights_and_query_partition(spark):
         rrf_fuse([a], weights=[1.0, 2.0])
     with pytest.raises(ValueError):
         rrf_fuse([a], k=0)
+
+
+def test_kmeans_state_merge_equals_full(spark):
+    from spark_df_profiling_spark.operators.clustering import (
+        centroids_from_state, kmeans_state, kmeans_state_merge)
+    import random
+    random.seed(5)
+    pts = [(i, [random.gauss(0, 3), random.gauss(0, 3)])
+           for i in range(60)]
+    df = spark.createDataFrame(pts,
+                               "vec_id long, embedding array<double>")
+    cents = [[-3.0, 0.0], [3.0, 0.0]]
+    full = kmeans_state(df, cents)
+    import pyspark.sql.functions as F
+    halves = [kmeans_state(df.where(F.col("vec_id") % 2 == i), cents)
+              for i in (0, 1)]
+    merged = kmeans_state_merge(*halves)
+    f = {(r["cluster"], r["dim"]): r for r in full.collect()}
+    m = {(r["cluster"], r["dim"]): r for r in merged.collect()}
+    assert set(f) == set(m)
+    for key in f:
+        assert f[key]["n"] == m[key]["n"]
+        assert f[key]["s"] == pytest.approx(m[key]["s"], rel=1e-12)
+    got = centroids_from_state(merged, cents)
+    exp = centroids_from_state(full, cents)
+    for a, b in zip(got, exp):
+        assert a == pytest.approx(b, rel=1e-12)
+
+
+def test_centroids_from_state_keep_previous_for_absent(spark):
+    from spark_df_profiling_spark.operators.clustering import (
+        centroids_from_state, kmeans_state)
+    df = spark.createDataFrame([(1, [0.0, 0.0]), (2, [0.4, 0.0])],
+                               "vec_id long, embedding array<double>")
+    cents = [[0.0, 0.0], [50.0, 50.0]]
+    st = kmeans_state(df, cents)        # cluster 1 never assigned
+    got = centroids_from_state(st, cents)
+    assert got[0] == pytest.approx([0.2, 0.0])
+    assert got[1] == [50.0, 50.0]       # kept, not NaN
+    with pytest.raises(ValueError):
+        kmeans_state(df, [])
+    from spark_df_profiling_spark.operators.clustering import (
+        kmeans_state_merge)
+    with pytest.raises(ValueError):
+        kmeans_state_merge()
+
+
+def test_top_component_matches_numpy(spark):
+    from spark_df_profiling_spark.operators.similarity import (
+        top_component)
+    import numpy as np
+    rng = np.random.default_rng(7)
+    # anisotropic cloud: dominant direction (3, 1)/sqrt(10)
+    base = rng.normal(size=(400, 2)) * [5.0, 0.5]
+    rot = np.array([[3, -1], [1, 3]]) / np.sqrt(10)
+    pts = base @ rot.T + [2.0, -1.0]
+    df = spark.createDataFrame(
+        [(i, [float(a), float(b)]) for i, (a, b) in enumerate(pts)],
+        "vec_id long, embedding array<double>")
+    got = top_component(df, "embedding", n_iter=20)
+    cov = np.cov(pts.T, ddof=1)
+    evals, evecs = np.linalg.eigh(cov)
+    assert got["lambda1"] == pytest.approx(evals[-1], rel=1e-6)
+    assert got["trace"] == pytest.approx(np.trace(cov), rel=1e-9)
+    assert got["anisotropy"] == pytest.approx(
+        evals[-1] / np.trace(cov), rel=1e-6)
+    # unit component aligned (up to sign) with numpy's top eigenvector
+    v = np.array(got["component"])
+    assert abs(abs(v @ evecs[:, -1]) - 1.0) < 1e-6
+    assert np.linalg.norm(v) == pytest.approx(1.0, rel=1e-12)
+
+
+def test_top_component_exact_python_parity_and_validation(spark):
+    from spark_df_profiling_spark.operators.similarity import (
+        top_component)
+    pts = [[1.0, 2.0], [3.0, -1.0], [0.0, 0.5], [-2.0, 4.0]]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(pts)],
+        "vec_id long, embedding array<double>")
+    got = top_component(df, "embedding", n_iter=2)
+    n, d = len(pts), 2
+    mu = [sum(p[i] for p in pts) / n for i in range(d)]
+    v = [1.0 / d ** 0.5] * d
+    lam = None
+    for _ in range(2):
+        ss, w = 0.0, [0.0] * d
+        for p in pts:
+            s = sum((p[i] - mu[i]) * v[i] for i in range(d))
+            ss += s * s
+            for i in range(d):
+                w[i] += s * (p[i] - mu[i])
+        lam = ss / (n - 1)
+        nm = sum(x * x for x in w) ** 0.5
+        v = [x / nm for x in w]
+    assert got["lambda1"] == pytest.approx(lam, rel=1e-12)
+    assert got["component"] == pytest.approx(v, rel=1e-12)
+    with pytest.raises(ValueError):
+        top_component(df, "embedding", n_iter=0)
+    one = spark.createDataFrame([(1, [1.0])],
+                                "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError):
+        top_component(one)
