@@ -253,3 +253,93 @@ def test_outlier_fences_property(spark, xs, k):
     assert g["q1"] == pytest.approx(q1, rel=1e-9, abs=1e-9)
     assert g["n_below"] == sum(1 for x in xs if x < lo_f)
     assert g["n_above"] == sum(1 for x in xs if x > hi_f)
+
+
+# ---- round-10 invariants --------------------------------------------
+vec_lists = st.lists(
+    st.lists(finite, min_size=2, max_size=2),
+    min_size=2, max_size=15, unique_by=lambda v: tuple(v))
+
+
+@given(vec_lists)
+@settings(max_examples=6, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_kmeans_invariants(spark, pts):
+    from spark_df_profiling_spark.operators.clustering import (
+        kmeans_assign, kmeans_fit, kmeans_profile)
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(pts)],
+        "vec_id long, embedding array<double>")
+    k = min(2, len(pts))
+    cents = kmeans_fit(df, "embedding", "vec_id", k=k, n_iter=2,
+                       hash_mode="md5")
+    assert len(cents) == k and all(len(c) == 2 for c in cents)
+    rows = kmeans_assign(df, cents, dist_col="d2").collect()
+    # every point lands in [0, k) with min distance; profile totals
+    # add up to the corpus
+    for r in rows:
+        p = pts[r["vec_id"]]
+        dists = [sum((a - b) ** 2 for a, b in zip(p, c))
+                 for c in cents]
+        assert r["cluster"] == dists.index(min(dists))
+        assert r["d2"] == pytest.approx(min(dists), rel=1e-9,
+                                        abs=1e-9)
+    prof = kmeans_profile(df, cents).collect()
+    assert sum(r["n"] for r in prof) == len(pts)
+    assert all(r["max_dist"] >= 0 for r in prof)
+
+
+rank_lists = st.lists(
+    st.integers(min_value=0, max_value=30),
+    min_size=1, max_size=12, unique=True)
+
+
+@given(rank_lists, rank_lists)
+@settings(max_examples=6, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_rrf_fuse_invariants(spark, ids_a, ids_b):
+    from spark_df_profiling_spark.operators.similarity import rrf_fuse
+    a = spark.createDataFrame(
+        [(i, r + 1) for r, i in enumerate(ids_a)],
+        "doc_id long, rank long")
+    b = spark.createDataFrame(
+        [(i, r + 1) for r, i in enumerate(ids_b)],
+        "doc_id long, rank long")
+    rows = rrf_fuse([a, b], k=60).collect()
+    # one row per distinct id; dense ranks 1..n; score decreases with
+    # fused_rank (ties impossible to violate: ordered by score desc)
+    assert {r["doc_id"] for r in rows} == set(ids_a) | set(ids_b)
+    ranks = sorted(r["fused_rank"] for r in rows)
+    assert ranks == list(range(1, len(rows) + 1))
+    by_rank = sorted(rows, key=lambda r: r["fused_rank"])
+    for x, y in zip(by_rank, by_rank[1:]):
+        assert x["rrf_score"] >= y["rrf_score"]
+    for r in rows:
+        assert r["n_lists"] == (r["doc_id"] in ids_a) + \
+            (r["doc_id"] in ids_b)
+
+
+ts_lists = st.lists(finite, min_size=1, max_size=25)
+
+
+@given(ts_lists)
+@settings(max_examples=6, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_event_gaps_invariants(spark, ts):
+    from spark_df_profiling_spark.operators.groupby import event_gaps
+    df = spark.createDataFrame([("u", t) for t in ts],
+                               "k string, ts double")
+    r = event_gaps(df, "ts", "k").collect()[0]
+    srt = sorted(ts)
+    gaps = [b - a for a, b in zip(srt, srt[1:])]
+    assert r["n_events"] == len(ts) and r["n_gaps"] == len(gaps)
+    assert r["staleness"] == pytest.approx(0.0, abs=1e-9)
+    if gaps:
+        assert r["min_gap"] == pytest.approx(min(gaps), rel=1e-9,
+                                             abs=1e-9)
+        assert r["max_gap"] == pytest.approx(max(gaps), rel=1e-9,
+                                             abs=1e-9)
+        assert r["mean_gap"] == pytest.approx(
+            (srt[-1] - srt[0]) / len(gaps), rel=1e-9, abs=1e-9)
+    else:
+        assert r["min_gap"] is None and r["mean_gap"] is None
