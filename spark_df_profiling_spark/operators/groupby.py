@@ -456,3 +456,46 @@ def event_gaps(df: DataFrame, ts_col: str, key_col: str) -> DataFrame:
                     "first_ts", "last_ts",
                     (F.col("__wm") - F.col("last_ts"))
                     .alias("staleness")))
+
+
+def grouped_quantiles(df: DataFrame, group_cols: "list[str] | str",
+                      value_col: str,
+                      probs: "tuple[float, ...]" = (0.25, 0.5, 0.75),
+                      exact: bool = True,
+                      accuracy: int = 10000) -> DataFrame:
+    """Per-group quantiles — the "p95 per tenant / per day / per
+    source" report the whole-table profile cannot answer.  One row per
+    group with a ``q<pct>`` column per requested probability
+    (``q25``/``q50``/``q95``; fractional percents map dots to
+    underscores: 0.999 → ``q99_9``).
+
+    ``exact=True`` uses SQL ``percentile`` (linear interpolation —
+    DuckDB's ``quantile_cont`` replays it bit-for-bit, the oracle
+    contract shared with ``outliers.winsorize``): the aggregate
+    buffers each GROUP's values, so per-group cardinality bounds
+    executor memory — the oracle-parity mode.  ``exact=False``
+    switches to ``percentile_approx`` (bounded sketch state per
+    group, mergeable map-side) — the 100 TB mode; same switch
+    protocol as winsorize/score_buckets (r8: 26.3s→3.5s at 6M).
+
+    NULL values are skipped per SQL semantics; groups whose values
+    are all NULL yield NULL quantiles.  NULL group keys form their
+    own group (standard GROUP BY).
+    """
+    gcols = [group_cols] if isinstance(group_cols, str) \
+        else list(group_cols)
+    if not gcols:
+        raise ValueError("group_cols must be non-empty")
+    ps = [float(p) for p in probs]
+    if not ps or any(not 0.0 <= p <= 1.0 for p in ps):
+        raise ValueError(f"probs must be within [0, 1] and non-empty: "
+                         f"{probs}")
+    labels = [("%g" % (p * 100)).replace(".", "_") for p in ps]
+    if len(set(labels)) != len(labels):
+        raise ValueError(f"probs produce duplicate labels: {probs}")
+    fn = "percentile" if exact else "percentile_approx"
+    extra = "" if exact else f", {int(accuracy)}"
+    v = f"CAST(`{value_col}` AS DOUBLE)"
+    aggs = [F.expr(f"{fn}({v}, {p!r}{extra})").alias(f"q{lab}")
+            for p, lab in zip(ps, labels)]
+    return df.groupBy(*gcols).agg(*aggs)

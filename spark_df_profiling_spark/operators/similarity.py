@@ -984,3 +984,48 @@ def top_component(df: DataFrame, vec_col: str = "embedding",
                 else None}
     finally:
         base.unpersist()
+
+
+def standardize_stats(df: DataFrame,
+                      vec_col: str = "embedding") -> "list[tuple]":
+    """Per-dimension (mean, stddev_samp) of an embedding corpus —
+    the FROZEN state :func:`standardize_embeddings` applies (same
+    freeze-the-config contract as ``quantization_ranges``: compute
+    once on a reference corpus, store, apply to every later batch so
+    day-2 data is standardized in the SAME coordinate system).
+    O(#dims) driver rows via ``embedding_dim_stats``."""
+    rows = embedding_dim_stats(df, vec_col).orderBy("dim").collect()
+    return [(float(r["mean"]), float(r["std"]) if r["std"] is not None
+             else 0.0) for r in rows]
+
+
+def standardize_embeddings(df: DataFrame, stats: "list[tuple]",
+                           vec_col: str = "embedding",
+                           out_col: str = "embedding_std") -> DataFrame:
+    """Per-dimension standardization ``(x − μ_i) / σ_i`` under frozen
+    ``stats`` — the whitening-lite preprocessing that removes per-dim
+    scale skew before L2/cosine search or k-means (a dimension with
+    10× the variance otherwise dominates every distance).  Dimensions
+    with σ = 0 (constant in the reference corpus) map to 0.0 — they
+    carry no signal, and emitting ±inf would poison every downstream
+    fold.
+
+    Pure row expression (two zip_with passes fused by codegen-free
+    HOF evaluation) — zero shuffles, zero Python; NULL vectors pass
+    through as NULL.
+    """
+    if not stats:
+        raise ValueError("stats must be non-empty")
+    mu = F.array(*[F.lit(float(m)) for m, _ in stats])
+    sd = F.array(*[F.lit(float(s)) for _, s in stats])
+    v = F.transform(_cc(vec_col), lambda x: x.cast("double"))
+    centered = F.zip_with(v, mu, lambda a, b: a - b)
+    scaled = F.zip_with(centered, sd,
+                        lambda a, s: F.when(s != 0, a / s)
+                        .otherwise(F.lit(0.0)))
+    return df.withColumn(out_col,
+                         F.when(_cc(vec_col).isNotNull(), scaled))
+
+
+def _cc(col):
+    return F.col(col) if isinstance(col, str) else col

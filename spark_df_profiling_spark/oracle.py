@@ -1292,26 +1292,54 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Grouped profiling (groupBy multi-agg — TPC-H Q1 shape)
 # ---------------------------------------------------------------------------
 @query("group_profile", f"""
-SELECT l_returnflag, l_linestatus,
-       count(*) AS cnt,
-       {_psig('sum(l_quantity)')} AS sum_qty,
-       {_psig('avg(l_extendedprice)')} AS avg_price,
-       {_psig('avg(l_discount)')} AS avg_disc,
-       {_psig('sum(l_extendedprice * (1 - l_discount))')} AS sum_disc_price
-FROM lineitem
-GROUP BY l_returnflag, l_linestatus
+SELECT g.l_returnflag, g.l_linestatus, g.cnt, g.sum_qty, g.avg_price,
+       g.avg_disc, g.sum_disc_price, q.q25_s, q.q50_s, q.q95_s
+FROM (
+  SELECT l_returnflag, l_linestatus,
+         count(*) AS cnt,
+         {_psig('sum(l_quantity)')} AS sum_qty,
+         {_psig('avg(l_extendedprice)')} AS avg_price,
+         {_psig('avg(l_discount)')} AS avg_disc,
+         {_psig('sum(l_extendedprice * (1 - l_discount))')}
+           AS sum_disc_price
+  FROM lineitem
+  GROUP BY l_returnflag, l_linestatus) g
+JOIN (
+  -- grouped_quantiles replay (exact mode): Spark SQL `percentile`
+  -- linear interpolation == DuckDB quantile_cont (the winsorize
+  -- oracle contract)
+  SELECT l_returnflag, l_linestatus,
+         {_psig('''quantile_cont(CAST(l_extendedprice AS DOUBLE),
+                                 0.25)''')} AS q25_s,
+         {_psig('''quantile_cont(CAST(l_extendedprice AS DOUBLE),
+                                 0.5)''')} AS q50_s,
+         {_psig('''quantile_cont(CAST(l_extendedprice AS DOUBLE),
+                                 0.95)''')} AS q95_s
+  FROM lineitem
+  GROUP BY l_returnflag, l_linestatus) q
+USING (l_returnflag, l_linestatus)
 ORDER BY l_returnflag, l_linestatus
 """)
 def group_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    return (li.groupBy("l_returnflag", "l_linestatus")
+    base = (li.groupBy("l_returnflag", "l_linestatus")
             .agg(F.count(F.lit(1)).alias("cnt"),
                  sig(F.sum("l_quantity")).alias("sum_qty"),
                  sig(F.avg("l_extendedprice")).alias("avg_price"),
                  sig(F.avg("l_discount")).alias("avg_disc"),
                  sig(F.sum(F.col("l_extendedprice")
                            * (1 - F.col("l_discount"))))
-                 .alias("sum_disc_price"))
+                 .alias("sum_disc_price")))
+    # q25/q50/q95 columns grade groupby.grouped_quantiles (exact mode)
+    from spark_df_profiling_spark.operators.groupby import (
+        grouped_quantiles)
+    gq = (grouped_quantiles(li, ["l_returnflag", "l_linestatus"],
+                            "l_extendedprice", probs=(0.25, 0.5, 0.95))
+          .select("l_returnflag", "l_linestatus",
+                  sig(F.col("q25")).alias("q25_s"),
+                  sig(F.col("q50")).alias("q50_s"),
+                  sig(F.col("q95")).alias("q95_s")))
+    return (base.join(gq, ["l_returnflag", "l_linestatus"])
             .orderBy("l_returnflag", "l_linestatus"))
 
 
@@ -4510,6 +4538,27 @@ FROM (
            FROM s3)
   SELECT (SELECT n FROM nn) AS n, (SELECT lam FROM lamv) AS lam,
          (SELECT tr FROM trv) AS tr)
+UNION ALL
+SELECT 'std', CAST(dim - 1 AS VARCHAR),
+       CAST(floor(1e6 * m + 0.5) AS BIGINT),
+       CAST(CAST(floor(1e6 * (sd - 1.0) + 0.5) AS BIGINT) AS VARCHAR)
+FROM (
+  -- standardize_embeddings replay: per-dim (x - mu)/sigma under
+  -- independently re-derived stats; standardized mean reads 0 at the
+  -- 1e-6 grain and sample std reads 1 at sig-5 in BOTH engines
+  WITH pts AS (
+    SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings WHERE embedding IS NOT NULL),
+  px AS (SELECT generate_subscripts(v, 1) AS dim, unnest(v) AS x
+         FROM pts),
+  ms AS (SELECT dim, avg(x) AS mu, stddev_samp(x) AS sdd
+         FROM px GROUP BY dim),
+  sx AS (SELECT px.dim,
+                CASE WHEN ms.sdd IS NOT NULL AND ms.sdd <> 0
+                     THEN (px.x - ms.mu) / ms.sdd ELSE 0.0 END AS z
+         FROM px JOIN ms USING (dim))
+  SELECT dim, avg(z) AS m, stddev_samp(z) AS sd
+  FROM sx WHERE dim <= 3 GROUP BY dim)
 ORDER BY part, k
 """)
 def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4623,8 +4672,36 @@ def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("/", sig(F.lit(tc["lambda1"])),
                     sig(F.lit(tc["trace"])),
                     sig(F.lit(tc["anisotropy"]))).alias("v2s")))
+    # 'std' rows grade similarity.standardize_stats/
+    # standardize_embeddings end to end: the standardized corpus must
+    # read per-dim mean 0 (exact at 1e-6 grain) and sample std 1
+    # (sig-5) for dims 0-2 — DuckDB re-derives its own stats and
+    # standardizes independently
+    from spark_df_profiling_spark.operators.similarity import (
+        standardize_embeddings, standardize_stats)
+    sstats = standardize_stats(e)
+    std = (standardize_embeddings(e, sstats)
+           .where(F.col("embedding_std").isNotNull())
+           .withColumn("__z", F.col("embedding_std"))
+           .select(*[F.element_at("__z", i + 1).alias(f"z{i}")
+                     for i in range(3)]))
+    # std is ~1.0 exactly — a sig() exponent boundary (1±1e-15 flips
+    # between 10000e0 and 100000e-1), so compare (std − 1) at the
+    # 1e-6 grain instead, same as the mean
+    srow = std.agg(*(
+        [F.floor(F.lit(1e6) * F.avg(f"z{i}") + F.lit(0.5)).cast("long")
+         .alias(f"m{i}") for i in range(3)]
+        + [F.floor(F.lit(1e6) * (F.stddev_samp(F.col(f"z{i}"))
+                                 - F.lit(1.0)) + F.lit(0.5))
+           .cast("long").cast("string").alias(f"s{i}")
+           for i in range(3)]))
+    stdr = srow.select(F.expr(
+        "stack(3, '0', m0, s0, '1', m1, s1, '2', m2, s2) "
+        "as (k, v1, v2s)")) \
+        .select(F.lit("std").alias("part"), "k", "v1", "v2s")
     return (arr.unionByName(dims).unionByName(quant).unionByName(km)
             .unionByName(kb).unionByName(ks).unionByName(pca)
+            .unionByName(stdr)
             .orderBy("part", "k"))
 
 

@@ -259,3 +259,64 @@ def test_event_gaps_single_key_shuffle(spark):
     import re
     n_hash_ex = len(re.findall(r"Exchange hashpartitioning", plan))
     assert n_hash_ex <= 1, plan
+
+
+# ---- round-10 new op: grouped_quantiles ------------------------------
+def test_grouped_quantiles_matches_python(spark):
+    from spark_df_profiling_spark.operators.groupby import (
+        grouped_quantiles)
+    import statistics
+    rows = ([("a", float(v)) for v in range(1, 11)]
+            + [("b", float(v * v)) for v in range(1, 6)]
+            + [("b", None), ("c", None)])
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r["g"]: r for r in grouped_quantiles(
+        df, "g", "v", probs=(0.25, 0.5, 0.999)).collect()}
+    for g, vals in (("a", [float(v) for v in range(1, 11)]),
+                    ("b", [1.0, 4.0, 9.0, 16.0, 25.0])):
+        qs = statistics.quantiles(vals, n=1000, method="inclusive")
+        assert got[g]["q25"] == pytest.approx(qs[249], rel=1e-12)
+        assert got[g]["q50"] == pytest.approx(qs[499], rel=1e-12)
+        assert got[g]["q99_9"] == pytest.approx(qs[998], rel=1e-12)
+    assert got["c"]["q50"] is None          # all-NULL group
+    # approx mode runs and is close on these tiny groups
+    ap = {r["g"]: r for r in grouped_quantiles(
+        df, "g", "v", probs=(0.5,), exact=False).collect()}
+    assert ap["a"]["q50"] == pytest.approx(got["a"]["q50"], abs=1.0)
+    with pytest.raises(ValueError):
+        grouped_quantiles(df, [], "v")
+    with pytest.raises(ValueError):
+        grouped_quantiles(df, "g", "v", probs=(1.5,))
+    with pytest.raises(ValueError):
+        grouped_quantiles(df, "g", "v", probs=(0.5, 0.5))
+
+
+# ---- round-10 new op: standardize_embeddings -------------------------
+def test_standardize_embeddings_zero_mean_unit_std(spark):
+    from spark_df_profiling_spark.operators.similarity import (
+        standardize_embeddings, standardize_stats)
+    import statistics
+    import random
+    random.seed(3)
+    pts = [[random.gauss(5, 2), random.gauss(-1, 0.1), 7.0]
+           for _ in range(50)]                    # dim 2 constant
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(pts)],
+        "vec_id long, embedding array<double>")
+    stats = standardize_stats(df)
+    assert stats[2][1] == 0.0                     # constant dim
+    out = standardize_embeddings(df, stats).collect()
+    cols = list(zip(*[r["embedding_std"] for r in out]))
+    for i in (0, 1):
+        assert statistics.fmean(cols[i]) == pytest.approx(0.0,
+                                                          abs=1e-9)
+        assert statistics.stdev(cols[i]) == pytest.approx(1.0,
+                                                          rel=1e-9)
+    assert set(cols[2]) == {0.0}                  # σ=0 -> zeros
+    # NULL vector passthrough
+    df2 = spark.createDataFrame([(1, None)],
+                                "vec_id long, embedding array<double>")
+    assert standardize_embeddings(df2, stats).collect()[0][
+        "embedding_std"] is None
+    with pytest.raises(ValueError):
+        standardize_embeddings(df, [])
