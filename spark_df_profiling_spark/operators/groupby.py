@@ -471,12 +471,16 @@ def grouped_quantiles(df: DataFrame, group_cols: "list[str] | str",
 
     ``exact=True`` uses SQL ``percentile`` (linear interpolation —
     DuckDB's ``quantile_cont`` replays it bit-for-bit, the oracle
-    contract shared with ``outliers.winsorize``): the aggregate
-    buffers each GROUP's values, so per-group cardinality bounds
-    executor memory — the oracle-parity mode.  ``exact=False``
-    switches to ``percentile_approx`` (bounded sketch state per
-    group, mergeable map-side) — the 100 TB mode; same switch
-    protocol as winsorize/score_buckets (r8: 26.3s→3.5s at 6M).
+    contract shared with ``outliers.winsorize``).  Memory caution
+    (measured, r10 rehearsal): the PARTIAL phase buffers every task's
+    values per group with no spill below the 128-group object-agg
+    fallback threshold — exact mode at 6M rows OOMs a default-heap
+    local JVM and needs O(rows-per-task) headroom even when groups
+    are few; with heap it reads 11.3s (21.6s with a 50%-hot group
+    buffering 3M values in one task).  ``exact=False`` switches to
+    ``percentile_approx`` (bounded mergeable sketch per group,
+    map-side combined — 5.1s / 7.3s hot on the same plantings): the
+    100 TB mode, same switch protocol as winsorize/score_buckets.
 
     NULL values are skipped per SQL semantics; groups whose values
     are all NULL yield NULL quantiles.  NULL group keys form their
