@@ -145,3 +145,55 @@ def skipping_stats(spark, path: str, cols: Sequence[str]) -> DataFrame:
             (F.col(f"mx_{c}") - F.col(f"mn_{c}"))
             / F.nullif(width, F.lit(0.0))).alias(f"avg_span_{c}"))
     return j.agg(F.count(F.lit(1)).alias("n_files"), *spans)
+
+
+def partition_advisor(df: DataFrame, candidate_cols: Sequence[str],
+                      row_bytes: float = 100.0,
+                      target_file_mb: float = 512.0) -> DataFrame:
+    """Evaluate candidate partition columns BEFORE a 100 TB write —
+    one row per candidate: ``n_partitions``, ``min_rows``/``p50_rows``
+    /``max_rows`` per partition, ``skew`` (max/mean), ``est_mb_max``
+    (largest partition at ``row_bytes``/row), and the two failure
+    flags every layout review asks about: ``smallfile_risk``
+    (median partition under 1/8 of ``target_file_mb`` — the
+    many-tiny-files regime that drowns the driver in metadata) and
+    ``skew_risk`` (max over 8× mean — one reducer/file doing the
+    table's work).  NULL partition values form their own partition
+    (Hive ``__HIVE_DEFAULT_PARTITION__`` semantics).
+
+    Plan: one map-side-combined groupBy per candidate (counts only),
+    each reduced to O(1) stats — the shuffles carry #groups rows; no
+    data is written to find out the layout would have been wrong.
+    """
+    if not candidate_cols:
+        raise ValueError("candidate_cols must be non-empty")
+    if row_bytes <= 0 or target_file_mb <= 0:
+        raise ValueError(
+            f"row_bytes and target_file_mb must be > 0: "
+            f"{row_bytes}, {target_file_mb}")
+    outs = []
+    for c in candidate_cols:
+        sizes = (df.groupBy(F.col(c).alias("__p"))
+                 .agg(F.count(F.lit(1)).alias("__n")))
+        stats = sizes.agg(
+            F.count(F.lit(1)).cast("long").alias("n_partitions"),
+            F.min("__n").cast("long").alias("min_rows"),
+            F.expr("CAST(percentile(__n, 0.5) AS DOUBLE)")
+            .alias("p50_rows"),
+            F.max("__n").cast("long").alias("max_rows"),
+            F.avg("__n").alias("__mean"))
+        outs.append(stats.select(
+            F.lit(c).alias("candidate"),
+            "n_partitions", "min_rows", "p50_rows", "max_rows",
+            (F.col("max_rows") / F.col("__mean")).alias("skew"),
+            (F.col("max_rows") * F.lit(float(row_bytes))
+             / F.lit(1024.0 * 1024.0)).alias("est_mb_max"),
+            (F.col("p50_rows") * F.lit(float(row_bytes))
+             < F.lit(target_file_mb * 1024 * 1024 / 8.0))
+            .alias("smallfile_risk"),
+            (F.col("max_rows") > F.lit(8.0) * F.col("__mean"))
+            .alias("skew_risk")))
+    u = outs[0]
+    for o in outs[1:]:
+        u = u.unionByName(o)
+    return u

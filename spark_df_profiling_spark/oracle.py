@@ -3363,6 +3363,29 @@ FROM (
               AS BIGINT) AS fused_rank
   FROM g)
 WHERE fused_rank <= 10
+UNION ALL
+-- partition_advisor replay: per-candidate partition-size stats and
+-- risk flags (defaults: 100 B/row, 512 MB target -> smallfile
+-- threshold 512/8 MB = 67108864 B; skew flag at 8x mean)
+SELECT 'padvise', cand,
+       CAST(np AS VARCHAR) || ':' || CAST(mn AS VARCHAR) || ':'
+         || CAST(CAST(floor(100 * p50 + 0.5) AS BIGINT) AS VARCHAR)
+         || ':'
+         || CAST(CAST(floor(1e6 * (mx / mean_r) + 0.5) AS BIGINT)
+                 AS VARCHAR)
+         || ':' || CAST(p50 * 100.0 < 67108864.0 AS VARCHAR)
+         || ':' || CAST(mx > 8.0 * mean_r AS VARCHAR),
+       CAST(mx AS BIGINT)
+FROM (
+  SELECT 'l_returnflag' AS cand, count(*) AS np,
+         min(n) AS mn, max(n) AS mx,
+         quantile_cont(CAST(n AS DOUBLE), 0.5) AS p50,
+         avg(n) AS mean_r
+  FROM (SELECT count(*) AS n FROM lineitem GROUP BY l_returnflag)
+  UNION ALL
+  SELECT 'l_suppkey', count(*), min(n), max(n),
+         quantile_cont(CAST(n AS DOUBLE), 0.5), avg(n)
+  FROM (SELECT count(*) AS n FROM lineitem GROUP BY l_suppkey))
 ORDER BY 1, 2, 3
 """)
 def multidim_agg_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3511,10 +3534,30 @@ def multidim_agg_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n_lists").cast("string"),
                     F.col("best_rank").cast("string")).alias("g2"),
         F.col("fused_rank").alias("cnt")))
+    # 'padvise' rows grade layout.partition_advisor — the pre-write
+    # layout review (counts-only groupBys, O(1) stats per candidate);
+    # DuckDB replays sizes, the quantile_cont p50, the skew ratio and
+    # both risk flags under the default 100 B/row, 512 MB targets
+    from spark_df_profiling_spark.operators.layout import (
+        partition_advisor)
+    pa = (partition_advisor(li, ["l_returnflag", "l_suppkey"])
+          .select(F.lit("padvise").alias("mode"),
+                  F.col("candidate").alias("g1"),
+                  F.concat_ws(
+                      ":",
+                      F.col("n_partitions").cast("string"),
+                      F.col("min_rows").cast("string"),
+                      F.floor(F.lit(100) * F.col("p50_rows")
+                              + F.lit(0.5)).cast("long").cast("string"),
+                      F.floor(F.lit(1e6) * F.col("skew") + F.lit(0.5))
+                      .cast("long").cast("string"),
+                      F.col("smallfile_risk").cast("string"),
+                      F.col("skew_risk").cast("string")).alias("g2"),
+                  F.col("max_rows").alias("cnt")))
     return (rollup.unionByName(cube).unionByName(gsets)
             .unionByName(cons).unionByName(jks).unionByName(zrows)
             .unionByName(salt).unionByName(decay).unionByName(ivm)
-            .unionByName(rrf)
+            .unionByName(rrf).unionByName(pa)
             .orderBy("mode", "g1", "g2"))
 
 

@@ -320,3 +320,43 @@ def test_standardize_embeddings_zero_mean_unit_std(spark):
         "embedding_std"] is None
     with pytest.raises(ValueError):
         standardize_embeddings(df, [])
+
+
+# ---- round-10 new op: partition_advisor ------------------------------
+def test_partition_advisor_stats_and_flags(spark):
+    from spark_df_profiling_spark.operators.layout import (
+        partition_advisor)
+    # col g: sizes 8, 2, 2 (skew 2.0); col h: 6 x size 2 (uniform)
+    rows = ([("a", i % 2, 0) for i in range(8)]
+            + [("b", 2, 1), ("b", 3, 1), ("c", 4, 2), ("c", 5, 2)])
+    df = spark.createDataFrame(
+        [(g, h, x) for (g, h, x) in
+         [(r[0], r[1], r[2]) for r in rows]],
+        "g string, h long, x long")
+    got = {r["candidate"]: r for r in partition_advisor(
+        df, ["g", "h"], row_bytes=1024 * 1024,
+        target_file_mb=4.0).collect()}
+    gr = got["g"]
+    assert gr["n_partitions"] == 3
+    assert gr["min_rows"] == 2 and gr["max_rows"] == 8
+    assert gr["p50_rows"] == 2.0
+    assert gr["skew"] == pytest.approx(2.0)
+    assert gr["est_mb_max"] == pytest.approx(8.0)
+    assert gr["smallfile_risk"] is False     # p50 2MB >= 4/8 MB
+    assert gr["skew_risk"] is False
+    hr = got["h"]
+    # h sizes: {0:4, 1:4, 2:1, 3:1, 4:1, 5:1}
+    assert hr["n_partitions"] == 6 and hr["max_rows"] == 4
+    assert hr["skew"] == pytest.approx(4 / 2)
+    with pytest.raises(ValueError):
+        partition_advisor(df, [])
+    with pytest.raises(ValueError):
+        partition_advisor(df, ["g"], row_bytes=0)
+
+
+def test_partition_advisor_null_partition_counts(spark):
+    from spark_df_profiling_spark.operators.layout import (
+        partition_advisor)
+    df = spark.createDataFrame([("a",), (None,), (None,)], "g string")
+    r = partition_advisor(df, ["g"]).collect()[0]
+    assert r["n_partitions"] == 2 and r["max_rows"] == 2
