@@ -307,3 +307,28 @@ def test_top_component_exact_python_parity_and_validation(spark):
                                 "vec_id long, embedding array<double>")
     with pytest.raises(ValueError):
         top_component(one)
+
+
+def test_kmeans_assign_works_on_streams(spark):
+    # the docstring's streaming-safe claim: assignment is a pure row
+    # expression, so it runs inside a structured-streaming query
+    from spark_df_profiling_spark.operators.clustering import (
+        kmeans_assign)
+    import pyspark.sql.functions as F
+    src = (spark.readStream.format("rate")
+           .option("rowsPerSecond", "100").load()
+           .withColumn("embedding",
+                       F.array((F.col("value") % 10).cast("double"),
+                               F.lit(0.0))))
+    out = kmeans_assign(src, [[0.0, 0.0], [9.0, 0.0]], dist_col="d2")
+    q = (out.writeStream.format("memory")
+         .queryName("km_stream_out").outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    rows = spark.table("km_stream_out").collect()
+    # rate + availableNow may deliver 0 rows on a fast stop; the
+    # contract under test is that the query RUNS (no analysis error
+    # for a windowed/aggregated plan) and any rows are well-assigned
+    for r in rows:
+        exp = 0 if (r["value"] % 10) < 5 else 1
+        assert r["cluster"] == exp
