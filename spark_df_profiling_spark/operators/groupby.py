@@ -503,3 +503,51 @@ def grouped_quantiles(df: DataFrame, group_cols: "list[str] | str",
     aggs = [F.expr(f"{fn}({v}, {p!r}{extra})").alias(f"q{lab}")
             for p, lab in zip(ps, labels)]
     return df.groupBy(*gcols).agg(*aggs)
+
+
+def grouped_outlier_stats(df: DataFrame,
+                          group_cols: "list[str] | str",
+                          value_col: str, k: float = 1.5,
+                          exact: bool = True,
+                          accuracy: int = 10000) -> DataFrame:
+    """Per-group Tukey-fence outlier screen — one row per group:
+    ``n``, ``q1``, ``q3``, ``iqr``, ``lo_fence``/``hi_fence``
+    (q1 − k·IQR / q3 + k·IQR), ``n_out_lo``/``n_out_hi`` and
+    ``p_out``: the grouped twin of ``outliers.outlier_stats`` ("which
+    tenants/sources have heavy tails", not just "does the table").
+
+    Two passes: :func:`grouped_quantiles` for the per-group fences
+    (exact/approx switch and its documented memory contract), then
+    one counting aggregate with the fences joined back — broadcast
+    when #groups is small, ordinary hash join otherwise.  NULL values
+    count in ``n`` but never as outliers (SQL comparison semantics).
+    A zero-IQR group (constant bulk) flags only values strictly
+    outside the collapsed fences — never a division error.
+    """
+    gcols = [group_cols] if isinstance(group_cols, str) \
+        else list(group_cols)
+    if k < 0:
+        raise ValueError(f"k must be >= 0: {k}")
+    fences = (grouped_quantiles(df, gcols, value_col,
+                                probs=(0.25, 0.75), exact=exact,
+                                accuracy=accuracy)
+              .select(*gcols, F.col("q25").alias("q1"),
+                      F.col("q75").alias("q3")))
+    v = F.col(value_col).cast("double")
+    lo = F.col("q1") - F.lit(float(k)) * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + F.lit(float(k)) * (F.col("q3") - F.col("q1"))
+    joined = (df.join(F.broadcast(fences), gcols)
+              .withColumn("__lo", lo).withColumn("__hi", hi))
+    n = F.count(F.lit(1))
+    out_lo = F.sum(F.when(v < F.col("__lo"), 1).otherwise(0))
+    out_hi = F.sum(F.when(v > F.col("__hi"), 1).otherwise(0))
+    return (joined.groupBy(*gcols)
+            .agg(n.cast("long").alias("n"),
+                 F.first("q1").alias("q1"),
+                 F.first("q3").alias("q3"),
+                 (F.first("q3") - F.first("q1")).alias("iqr"),
+                 F.first("__lo").alias("lo_fence"),
+                 F.first("__hi").alias("hi_fence"),
+                 out_lo.cast("long").alias("n_out_lo"),
+                 out_hi.cast("long").alias("n_out_hi"),
+                 ((out_lo + out_hi) / n).alias("p_out")))

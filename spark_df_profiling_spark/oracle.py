@@ -1293,7 +1293,8 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query("group_profile", f"""
 SELECT g.l_returnflag, g.l_linestatus, g.cnt, g.sum_qty, g.avg_price,
-       g.avg_disc, g.sum_disc_price, q.q25_s, q.q50_s, q.q95_s
+       g.avg_disc, g.sum_disc_price, q.q25_s, q.q50_s, q.q95_s,
+       o.n_out_lo, o.n_out_hi
 FROM (
   SELECT l_returnflag, l_linestatus,
          count(*) AS cnt,
@@ -1318,6 +1319,26 @@ JOIN (
   FROM lineitem
   GROUP BY l_returnflag, l_linestatus) q
 USING (l_returnflag, l_linestatus)
+JOIN (
+  -- grouped_outlier_stats replay: Tukey fences from the same exact
+  -- quantile interpolation, strict-inequality counts
+  SELECT li.l_returnflag, li.l_linestatus,
+         CAST(sum(CASE WHEN CAST(li.l_extendedprice AS DOUBLE)
+                            < f.q1 - 1.5 * (f.q3 - f.q1)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_out_lo,
+         CAST(sum(CASE WHEN CAST(li.l_extendedprice AS DOUBLE)
+                            > f.q3 + 1.5 * (f.q3 - f.q1)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_out_hi
+  FROM lineitem li
+  JOIN (SELECT l_returnflag, l_linestatus,
+               quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25)
+                 AS q1,
+               quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75)
+                 AS q3
+        FROM lineitem GROUP BY l_returnflag, l_linestatus) f
+  USING (l_returnflag, l_linestatus)
+  GROUP BY li.l_returnflag, li.l_linestatus) o
+USING (l_returnflag, l_linestatus)
 ORDER BY l_returnflag, l_linestatus
 """)
 def group_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1339,7 +1360,17 @@ def group_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                   sig(F.col("q25")).alias("q25_s"),
                   sig(F.col("q50")).alias("q50_s"),
                   sig(F.col("q95")).alias("q95_s")))
+    # n_out_lo/n_out_hi columns grade groupby.grouped_outlier_stats —
+    # per-group Tukey fences (exact quantiles, identical interpolation
+    # both engines) and strict-inequality outlier counts
+    from spark_df_profiling_spark.operators.groupby import (
+        grouped_outlier_stats)
+    go = (grouped_outlier_stats(li, ["l_returnflag", "l_linestatus"],
+                                "l_extendedprice")
+          .select("l_returnflag", "l_linestatus",
+                  "n_out_lo", "n_out_hi"))
     return (base.join(gq, ["l_returnflag", "l_linestatus"])
+            .join(go, ["l_returnflag", "l_linestatus"])
             .orderBy("l_returnflag", "l_linestatus"))
 
 

@@ -360,3 +360,31 @@ def test_partition_advisor_null_partition_counts(spark):
     df = spark.createDataFrame([("a",), (None,), (None,)], "g string")
     r = partition_advisor(df, ["g"]).collect()[0]
     assert r["n_partitions"] == 2 and r["max_rows"] == 2
+
+
+# ---- round-10 new op: grouped_outlier_stats --------------------------
+def test_grouped_outlier_stats_matches_python(spark):
+    from spark_df_profiling_spark.operators.groupby import (
+        grouped_outlier_stats)
+    import statistics
+    vals_a = [float(v) for v in range(1, 12)] + [100.0, -50.0]
+    vals_b = [5.0] * 6 + [9.0]          # zero-IQR bulk + one outlier
+    rows = ([("a", v) for v in vals_a] + [("b", v) for v in vals_b]
+            + [("a", None)])
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r["g"]: r for r in
+           grouped_outlier_stats(df, "g", "v").collect()}
+    qa = statistics.quantiles(vals_a, n=4, method="inclusive")
+    iqr = qa[2] - qa[0]
+    a = got["a"]
+    assert a["n"] == len(vals_a) + 1          # NULL row counted in n
+    assert a["q1"] == pytest.approx(qa[0], rel=1e-12)
+    assert a["q3"] == pytest.approx(qa[2], rel=1e-12)
+    assert a["lo_fence"] == pytest.approx(qa[0] - 1.5 * iqr)
+    assert a["n_out_lo"] == 1 and a["n_out_hi"] == 1
+    assert a["p_out"] == pytest.approx(2 / 14)
+    b = got["b"]
+    assert b["iqr"] == pytest.approx(0.0)
+    assert b["n_out_hi"] == 1 and b["n_out_lo"] == 0   # no div error
+    with pytest.raises(ValueError):
+        grouped_outlier_stats(df, "g", "v", k=-1)
