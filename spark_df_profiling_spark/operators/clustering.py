@@ -128,8 +128,9 @@ def _seed_rank(id_col: Union[str, Column], seed: int,
 
 def kmeans_fit(df: DataFrame, vec_col: str = "embedding",
                id_col: str = "vec_id", k: int = 8, n_iter: int = 5,
-               seed: int = 0,
-               hash_mode: str = "xxhash64") -> "list[list[float]]":
+               seed: int = 0, hash_mode: str = "xxhash64",
+               max_fit_rows: "int | None" = None
+               ) -> "list[list[float]]":
     """Fit k centroids with ``n_iter`` Lloyd iterations; returns the
     centroid list (O(k·d) state — persist it, broadcast it, feed it to
     :func:`kmeans_assign` for any later batch).
@@ -173,14 +174,35 @@ def kmeans_fit(df: DataFrame, vec_col: str = "embedding",
     per-dim sums and NULL-poison their own assignment — enforce
     upstream with the ``similarity.label_centroids`` strict-guard
     pattern if needed.
+
+    ``max_fit_rows`` is the 100 TB lever: fit on a DETERMINISTIC
+    hash-chosen subset of ~that many rows (md5-bucket filter of the
+    id — same rule as ``sampling.sample_hash``, so the subset is
+    stable across runs/engines/retries) and assign the full corpus
+    once afterwards.  Costs one extra count() to derive the keep
+    fraction; n_iter then scans the CACHED sample instead of the
+    corpus.  Centroid quality on a uniform sample matches the
+    SemDeDup/IVF practice (``similarity.ivf_fit_input``); None fits
+    on everything.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1: {k}")
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1: {n_iter}")
+    if max_fit_rows is not None and max_fit_rows < k:
+        raise ValueError(
+            f"max_fit_rows must be >= k: {max_fit_rows} < {k}")
     vec = F.transform(_c(vec_col), lambda x: x.cast("double"))
     base = (df.where(_c(id_col).isNotNull() & _c(vec_col).isNotNull())
             .select(_c(id_col).alias("__id"), vec.alias("__v")))
+    if max_fit_rows is not None:
+        n_all = base.count()
+        if n_all > max_fit_rows:
+            from spark_df_profiling_spark.operators.sampling import (
+                BUCKETS, hash_bucket)
+            cut = max(1, int(round(BUCKETS * max_fit_rows / n_all)))
+            base = base.where(
+                hash_bucket("__id", seed=seed) < F.lit(cut))
     base = base.persist()
     try:
         seeds = (base

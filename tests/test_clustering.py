@@ -332,3 +332,26 @@ def test_kmeans_assign_works_on_streams(spark):
     for r in rows:
         exp = 0 if (r["value"] % 10) < 5 else 1
         assert r["cluster"] == exp
+
+
+def test_kmeans_fit_max_fit_rows_deterministic_sample(spark):
+    import random
+    random.seed(19)
+    pts = [(i, [random.gauss(0, 1), random.gauss(0, 1)])
+           for i in range(300)]
+    df = spark.createDataFrame(pts,
+                               "vec_id long, embedding array<double>")
+    a = kmeans_fit(df, "embedding", "vec_id", k=3, n_iter=2,
+                   hash_mode="md5", max_fit_rows=100)
+    b = kmeans_fit(df, "embedding", "vec_id", k=3, n_iter=2,
+                   hash_mode="md5", max_fit_rows=100)
+    assert a == b                        # deterministic subset
+    full = kmeans_fit(df, "embedding", "vec_id", k=3, n_iter=2,
+                      hash_mode="md5")
+    assert a != full                     # genuinely sampled
+    # sample not smaller than the corpus: identical to full fit
+    c = kmeans_fit(df, "embedding", "vec_id", k=3, n_iter=2,
+                   hash_mode="md5", max_fit_rows=10_000)
+    assert c == full
+    with pytest.raises(ValueError):
+        kmeans_fit(df, k=5, max_fit_rows=3)
