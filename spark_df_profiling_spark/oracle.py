@@ -3952,6 +3952,28 @@ SELECT 'gapstale:' || CAST(user_id AS VARCHAR),
 FROM (SELECT user_id, epoch_ns(ts) // 1000 AS tus FROM events
       WHERE ts IS NOT NULL AND user_id IS NOT NULL)
 GROUP BY user_id
+UNION ALL
+-- stateful_anomaly replay: per-event prefix z against the cumulative
+-- history BEFORE the event (ROWS UNBOUNDED PRECEDING .. 1 PRECEDING),
+-- min_points=5 and positive-std guards, |z| floored to 1e-5 units
+SELECT 'sanom:' || CAST(user_id AS VARCHAR),
+       CAST(sum(CASE WHEN z IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(coalesce(max(floor(abs(z) * 100000 + 0.5)), 0) AS BIGINT)
+FROM (
+  SELECT user_id,
+         CASE WHEN pn >= 5 AND psd > 0
+              THEN ("value" - pm) / psd END AS z
+  FROM (
+    SELECT user_id, "value",
+           count("value") OVER w AS pn,
+           avg("value") OVER w AS pm,
+           stddev_samp("value") OVER w AS psd
+    FROM (SELECT user_id, epoch_ns(ts) // 1000 AS tus, "value"
+          FROM events
+          WHERE ts IS NOT NULL AND user_id IS NOT NULL)
+    WINDOW w AS (PARTITION BY user_id ORDER BY tus
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)))
+GROUP BY user_id
 ORDER BY key
 """)
 def stateful_user_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4106,10 +4128,34 @@ def stateful_user_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("n_events").alias("total_events"),
                      F.col("staleness").cast("long")
                      .alias("total_value_cents")))
+    # 'sanom:' rows grade streaming.stateful_anomaly — the Welford
+    # GroupState per-event prefix z-scores; the single-batch
+    # availableNow run is exactly the batch expanding-window prefix,
+    # which DuckDB replays with cumulative ROWS frames.  Reduced per
+    # user to (n scored, max |z| in 1e-5 floor units — Welford vs
+    # two-pass stddev differ only in final bits)
+    from spark_df_profiling_spark.streaming import stateful_anomaly
+    sstream = events_stream(spark, sf_dir)
+    sa = stateful_anomaly(
+        sstream.select("user_id",
+                       event_time_micros(sstream).alias("tus"),
+                       "value"),
+        "user_id", "tus", "value", z_threshold=3.0, min_points=5)
+    run_stream_to_memory(sa, "sanom_oracle_out", output_mode="update")
+    sanom = (spark.table("sanom_oracle_out")
+             .groupBy("key")
+             .agg(F.sum(F.when(F.col("z").isNotNull(), 1).otherwise(0))
+                  .cast("long").alias("total_events"),
+                  F.coalesce(F.max(F.floor(F.abs(F.col("z")) * 100000
+                                           + F.lit(0.5))), F.lit(0))
+                  .cast("long").alias("total_value_cents"))
+             .select(F.concat(F.lit("sanom:"),
+                              F.col("key").cast("string")).alias("key"),
+                     "total_events", "total_value_cents"))
     return (totals_rows.unionByName(fun).unionByName(roll)
             .unionByName(acf).unionByName(anom).unionByName(broll)
             .unionByName(banom).unionByName(gp).unionByName(gpm)
-            .unionByName(gps).orderBy("key"))
+            .unionByName(gps).unionByName(sanom).orderBy("key"))
 
 
 # ---------------------------------------------------------------------------

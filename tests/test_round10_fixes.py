@@ -388,3 +388,40 @@ def test_grouped_outlier_stats_matches_python(spark):
     assert b["n_out_hi"] == 1 and b["n_out_lo"] == 0   # no div error
     with pytest.raises(ValueError):
         grouped_outlier_stats(df, "g", "v", k=-1)
+
+
+# ---- round-10 new op: stateful_anomaly (streaming) -------------------
+def test_stateful_anomaly_matches_prefix_python(spark, tmp_path):
+    from spark_df_profiling_spark.streaming import (
+        run_stream_to_memory, stateful_anomaly)
+    import statistics
+    rows = ([(1, i * 10, 5.0 + (i % 4)) for i in range(12)]
+            + [(1, 200, 500.0)]              # spike for key 1
+            + [(2, i * 7, 2.0) for i in range(8)])  # constant key
+    df = spark.createDataFrame(rows, "user_id long, tus long, value double")
+    path = str(tmp_path / "ev")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    stream = (spark.readStream.schema(df.schema).parquet(path))
+    out = stateful_anomaly(stream, "user_id", "tus", "value",
+                           z_threshold=3.0, min_points=5)
+    run_stream_to_memory(out, "sanom_test_out", output_mode="update")
+    got = {(r["key"], r["tus"]): r
+           for r in spark.table("sanom_test_out").collect()}
+    # python prefix replay
+    by_key = {}
+    for k, t, v in sorted(rows, key=lambda r: (r[0], r[1])):
+        hist = by_key.setdefault(k, [])
+        r = got[(k, t)]
+        assert r["n_before"] == len(hist)
+        if len(hist) >= 5 and len(set(hist)) > 1:
+            exp = (v - statistics.fmean(hist)) / statistics.stdev(hist)
+            assert r["z"] == pytest.approx(exp, rel=1e-9)
+            assert r["is_anomaly"] == (abs(exp) > 3.0)
+        else:
+            assert r["z"] is None and r["is_anomaly"] is None
+        hist.append(v)
+    # the spike is flagged; constant-baseline key never errors
+    assert got[(1, 200)]["is_anomaly"] is True
+    assert all(got[(2, i * 7)]["z"] is None for i in range(8))
+    with pytest.raises(ValueError):
+        stateful_anomaly(stream, min_points=1)
