@@ -308,6 +308,36 @@ def main() -> None:
                           (11 - F.col("rank")).alias("rank"))  # toy 2nd list
     rrf_fuse([sparse, dense], k=60, top_k=5).orderBy("fused_rank").show()
 
+    # round 10, session 2: mergeable k-means state, anisotropy,
+    # standardization, per-group quantiles/outliers, layout advisor
+    from spark_df_profiling_spark.operators.clustering import (
+        centroids_from_state, kmeans_state, kmeans_state_merge)
+    st = [kmeans_state(emb.where(F.col("vec_id") % 2 == i), cents)
+          for i in (0, 1)]
+    merged = kmeans_state_merge(*st)
+    print("day-2 centroids from merged state:",
+          len(centroids_from_state(merged, cents)), "clusters")
+
+    from spark_df_profiling_spark.operators.similarity import (
+        standardize_embeddings, standardize_stats, top_component)
+    tc = top_component(emb, n_iter=3)
+    print(f"embedding anisotropy: {tc['anisotropy']:.4f} "
+          f"(lambda1={tc['lambda1']:.4f}, trace={tc['trace']:.4f})")
+    standardize_embeddings(emb, standardize_stats(emb)) \
+        .select("vec_id", "embedding_std").show(2)
+
+    from spark_df_profiling_spark.operators.groupby import (
+        grouped_outlier_stats, grouped_quantiles)
+    grouped_quantiles(li, ["l_returnflag"], "l_extendedprice",
+                      probs=(0.5, 0.95)).show()
+    grouped_outlier_stats(li, ["l_returnflag"], "l_extendedprice") \
+        .select("l_returnflag", "n", "n_out_lo", "n_out_hi",
+                "p_out").show()
+
+    from spark_df_profiling_spark.operators.layout import (
+        partition_advisor)
+    partition_advisor(li, ["l_returnflag", "l_suppkey"]).show()
+
     spark.stop()
 
 
