@@ -3953,6 +3953,37 @@ FROM (SELECT user_id, epoch_ns(ts) // 1000 AS tus FROM events
       WHERE ts IS NOT NULL AND user_id IS NOT NULL)
 GROUP BY user_id
 UNION ALL
+-- resample_fill replay: per-user dense 225s-bucket grid (that user's
+-- min..max bucket via generate_series), per-bucket sums, forward fill
+-- with IGNORE NULLS last_value; graded as (grid rows, sum of
+-- per-bucket cents) — cents are rounded PER BUCKET before the sum so
+-- the reduce is integer-exact in both engines
+SELECT 'rfill:' || CAST(k AS VARCHAR),
+       CAST(count(*) AS BIGINT),
+       CAST(sum(coalesce(round(fv * 100), 0)) AS BIGINT)
+FROM (
+  SELECT g.k AS k,
+         last_value(o.v IGNORE NULLS) OVER (
+             PARTITION BY g.k ORDER BY g.b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
+  FROM (
+    SELECT k, unnest(generate_series(b0, b1)) AS b
+    FROM (SELECT user_id AS k, min(b) AS b0, max(b) AS b1
+          FROM (SELECT user_id,
+                       CAST(floor((epoch_ns(ts) // 1000)
+                                  / 225000000.0) AS BIGINT) AS b
+                FROM events
+                WHERE ts IS NOT NULL AND user_id IS NOT NULL)
+          GROUP BY user_id)) g
+  LEFT JOIN (
+    SELECT user_id AS k,
+           CAST(floor((epoch_ns(ts) // 1000) / 225000000.0)
+                AS BIGINT) AS b,
+           sum("value") AS v
+    FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    GROUP BY 1, 2) o ON g.k = o.k AND g.b = o.b)
+GROUP BY k
+UNION ALL
 -- stateful_anomaly replay: per-event prefix z against the cumulative
 -- history BEFORE the event (ROWS UNBOUNDED PRECEDING .. 1 PRECEDING),
 -- min_points=5 and positive-std guards, |z| floored to 1e-5 units
@@ -4128,6 +4159,22 @@ def stateful_user_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("n_events").alias("total_events"),
                      F.col("staleness").cast("long")
                      .alias("total_value_cents")))
+    # 'rfill:' rows grade groupby.resample_fill — the per-user dense
+    # 225s grid (sum agg, forward fill), reduced to (grid rows, sum of
+    # per-bucket cents); per-bucket round before the sum keeps the
+    # reduce integer-exact in both engines
+    from spark_df_profiling_spark.operators.groupby import resample_fill
+    rf = resample_fill(evm, "tus", "user_id", "value",
+                       gran=225000000.0, agg="sum", fill="ffill")
+    rfill = (rf.groupBy("user_id")
+             .agg(F.count(F.lit(1)).cast("long").alias("total_events"),
+                  F.sum(F.coalesce(F.round(F.col("v") * 100),
+                                   F.lit(0.0))).cast("long")
+                  .alias("total_value_cents"))
+             .select(F.concat(F.lit("rfill:"),
+                              F.col("user_id").cast("string"))
+                     .alias("key"),
+                     "total_events", "total_value_cents"))
     # 'sanom:' rows grade streaming.stateful_anomaly — the Welford
     # GroupState per-event prefix z-scores; the single-batch
     # availableNow run is exactly the batch expanding-window prefix,
@@ -4155,7 +4202,8 @@ def stateful_user_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (totals_rows.unionByName(fun).unionByName(roll)
             .unionByName(acf).unionByName(anom).unionByName(broll)
             .unionByName(banom).unionByName(gp).unionByName(gpm)
-            .unionByName(gps).unionByName(sanom).orderBy("key"))
+            .unionByName(gps).unionByName(rfill).unionByName(sanom)
+            .orderBy("key"))
 
 
 # ---------------------------------------------------------------------------
