@@ -1137,3 +1137,86 @@ def fuzzy_pairs_levenshtein(df: DataFrame, text_col: str, id_col: str,
             .select("id_a", "id_b",
                     F.levenshtein("ta", "tb").alias("dist"))
             .where(F.col("dist") <= max_dist))
+
+
+def sorted_neighborhood_pairs(df: DataFrame, id_col: str,
+                              sort_cols: "str | list[str]",
+                              window: int = 2,
+                              n_partitions: int | None = None) -> DataFrame:
+    """Sorted-neighborhood (SNM) candidate pairs — the third blocking
+    family next to banded MinHash and q-gram blocking: sort the corpus
+    by a blocking key and compare each row only to its ``window``
+    nearest neighbors in sort order (Hernández & Stolfo 1995).  Wins
+    where token-set methods lose: near-dups whose edits concentrate in
+    a few characters (typos, serials, normalized names) sort adjacent
+    even when their shingle sets diverge.  Output: one row per ordered
+    candidate pair — ``id_a``/``id_b`` (``id_a`` earlier in sort
+    order) and ``dist`` (positions apart, 1..window).
+
+    The neighborhood is over the TOTAL order (sort_cols, then id as
+    tiebreak — ties are deterministic, never partition-dependent);
+    NULL sort values order LAST (both Spark here and the DuckDB
+    default, so replays agree); NULL ids are dropped.
+
+    Scale design — the global rank WITHOUT a global window: a naive
+    ``row_number() OVER (ORDER BY key)`` single-tasks the corpus.
+    Instead (1) ``repartitionByRange`` gives order-aligned partitions
+    (Spark's sampled range bounds handle any orderable type — the
+    built-in answer to order-preserving bucketing), (2) ranks are
+    LOCAL row_numbers within each range partition (JVM window keyed
+    by partition id), (3) per-partition counts — O(#partitions)
+    DRIVER STATE, not data — turn local ranks global via a literal
+    offset map.  Pairing is then an EQUI-join: each row explodes its
+    ``window`` successor ranks (``sequence(rank+1, rank+window)``)
+    and joins rank-to-rank — never a non-equi range join (Spark would
+    nested-loop it).  Partition-boundary pairs come out of the same
+    equi-join for free: no edge-row duplication pass, because ranks
+    are global before pairing.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1: {window}")
+    scols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+    if not scols:
+        raise ValueError("sort_cols must be non-empty")
+    proj = (df.where(F.col(id_col).isNotNull())
+            .select(F.col(id_col).alias("__id"),
+                    *[F.col(c).alias(f"__s{i}")
+                      for i, c in enumerate(scols)]))
+    order = [F.col(f"__s{i}").asc_nulls_last()
+             for i in range(len(scols))] + [F.col("__id").asc()]
+    spark = df.sparkSession
+    np = int(n_partitions
+             or spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    ranged = (proj.repartitionByRange(np, *order)
+              .withColumn("__pid", F.spark_partition_id()))
+    w = Window.partitionBy("__pid").orderBy(*order)
+    local = ranged.withColumn("__lr", F.row_number().over(w))
+    # partition row counts: O(#partitions) scalars — pid order IS
+    # range order (repartitionByRange contract)
+    counts = {r["__pid"]: r["n"] for r in
+              local.groupBy("__pid").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    if not offsets:
+        # empty input: build an empty frame with the output schema
+        empty = local.select(F.col("__id").alias("id_a"),
+                             F.col("__id").alias("id_b"),
+                             F.lit(1).cast("long").alias("dist"))
+        return empty.where(F.lit(False))
+    omap = F.create_map(*[x for pid, off in offsets.items()
+                          for x in (F.lit(pid), F.lit(off))])
+    ranks = local.select(
+        "__id", (omap[F.col("__pid")] + F.col("__lr")).alias("__r"))
+    left = ranks.select(
+        F.col("__id").alias("id_a"), F.col("__r").alias("__ra"),
+        F.explode(F.sequence(F.col("__r") + 1,
+                             F.col("__r") + window)).alias("__rb"))
+    right = ranks.select(F.col("__id").alias("id_b"),
+                         F.col("__r").alias("__rb"))
+    return (left.join(right, "__rb")
+            .select("id_a", "id_b",
+                    (F.col("__rb") - F.col("__ra")).cast("long")
+                    .alias("dist")))

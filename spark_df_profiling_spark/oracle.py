@@ -1858,6 +1858,25 @@ SELECT 'fuzzy', ia, ib, d FROM (
   FROM fc a JOIN fc b ON a.id < b.id
   WHERE abs(length(a.t) - length(b.t)) <= 2
     AND levenshtein(a.t, b.t) <= 2)
+UNION ALL
+-- sorted_neighborhood_pairs replay: row_number over the TOTAL order
+-- (substr(text,1,30) NULLS LAST, doc_id), pairs within 3 positions;
+-- one row per neighbor distance with order-free pair checksums —
+-- Spark's range-partitioned two-phase rank must land on the exact
+-- same global order
+SELECT 'snm:' || CAST(dist AS VARCHAR), count(*),
+       CAST(sum(id_a * 100003 + id_b) AS BIGINT),
+       CAST(sum(id_b * 100003 + id_a) AS BIGINT)
+FROM (
+  WITH rnk AS (
+    SELECT doc_id AS id,
+           row_number() OVER (ORDER BY substr(text, 1, 30) NULLS LAST,
+                              doc_id) AS rn
+    FROM documents WHERE doc_id IS NOT NULL)
+  SELECT a.id AS id_a, b.id AS id_b, b.rn - a.rn AS dist
+  FROM rnk a JOIN rnk b
+    ON b.rn > a.rn AND b.rn <= a.rn + 3)
+GROUP BY dist
 ORDER BY part, v1
 """)
 def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2000,10 +2019,27 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.col("id_a").alias("v1"),
                   F.col("id_b").alias("v2"),
                   F.col("dist").cast("long").alias("v3")))
+    # 'snm:<dist>' rows grade sorted_neighborhood_pairs — the full
+    # corpus ordered by (substr(text,1,30) NULLS LAST, doc_id); the
+    # two-phase range-partitioned global rank must reproduce DuckDB's
+    # row_number order EXACTLY (order-free pair checksums per distance)
+    from spark_df_profiling_spark.operators.dedup import (
+        sorted_neighborhood_pairs)
+    snm_pairs = sorted_neighborhood_pairs(
+        d.select("doc_id", F.substring("text", 1, 30).alias("sk")),
+        "doc_id", "sk", window=3)
+    snm = (snm_pairs.groupBy("dist")
+           .agg(F.count(F.lit(1)).cast("long").alias("v1"),
+                F.sum(F.col("id_a") * 100003 + F.col("id_b"))
+                .cast("long").alias("v2"),
+                F.sum(F.col("id_b") * 100003 + F.col("id_a"))
+                .cast("long").alias("v3"))
+           .select(F.concat(F.lit("snm:"), F.col("dist").cast("string"))
+                   .alias("part"), "v1", "v2", "v3"))
     return (kept.unionByName(stats).unionByName(ld).unionByName(sd)
             .unionByName(hist_rows).unionByName(bloom)
             .unionByName(soft).unionByName(hll).unionByName(fz)
-            .orderBy("part", "v1"))
+            .unionByName(snm).orderBy("part", "v1"))
 
 
 # ---------------------------------------------------------------------------

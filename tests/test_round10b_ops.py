@@ -92,3 +92,90 @@ def test_resample_fill_validation(rf_df):
         resample_fill(rf_df, "ts", "k", "v", 1.0, fill="bfill")
     with pytest.raises(ValueError):
         resample_fill(rf_df, "ts", "k", "v", 1.0, max_grid_buckets=0)
+
+
+# ------------------------------------------- sorted_neighborhood_pairs
+from spark_df_profiling_spark.operators.dedup import (
+    sorted_neighborhood_pairs)
+
+
+@pytest.fixture(scope="module")
+def snm_df(spark):
+    rows = [(1, "apple"), (2, "appel"), (3, "banana"), (4, "bananna"),
+            (5, "cherry"), (6, None), (None, "zz"), (7, "applf")]
+    return spark.createDataFrame(rows, "id long, txt string")
+
+
+def _snm_python(rows, window):
+    """Replay: total order (txt ASC NULLS LAST, id ASC), pairs within
+    `window` positions."""
+    lst = sorted([(t is None, t if t is not None else "", i)
+                  for i, t in rows if i is not None])
+    seq = [i for _, _, i in lst]
+    out = set()
+    for a in range(len(seq)):
+        for b in range(a + 1, min(a + window + 1, len(seq))):
+            out.add((seq[a], seq[b], b - a))
+    return out
+
+
+def test_snm_matches_python_replay(snm_df):
+    rows = [(r.id, r.txt) for r in snm_df.collect()]
+    for w in (1, 2, 3):
+        got = {(r.id_a, r.id_b, r.dist)
+               for r in sorted_neighborhood_pairs(
+                   snm_df, "id", "txt", window=w,
+                   n_partitions=3).collect()}
+        assert got == _snm_python(rows, w), f"window={w}"
+
+
+def test_snm_partition_invariance(snm_df):
+    # the global order (and therefore the pair set) must not depend on
+    # how many range partitions the corpus was cut into
+    base = {(r.id_a, r.id_b, r.dist)
+            for r in sorted_neighborhood_pairs(
+                snm_df, "id", "txt", window=2,
+                n_partitions=1).collect()}
+    for np_ in (2, 5, 11):
+        got = {(r.id_a, r.id_b, r.dist)
+               for r in sorted_neighborhood_pairs(
+                   snm_df, "id", "txt", window=2,
+                   n_partitions=np_).collect()}
+        assert got == base, f"n_partitions={np_}"
+
+
+def test_snm_null_handling(snm_df):
+    out = sorted_neighborhood_pairs(snm_df, "id", "txt", window=1,
+                                    n_partitions=2).collect()
+    ids = {r.id_a for r in out} | {r.id_b for r in out}
+    assert None not in ids          # NULL id rows dropped
+    # NULL sort key sorts LAST: id=6 (txt NULL) pairs only with the
+    # order-maximal non-null row (cherry, id=5)
+    touching6 = [(r.id_a, r.id_b) for r in out if 6 in (r.id_a, r.id_b)]
+    assert touching6 == [(5, 6)]
+
+
+def test_snm_no_global_single_partition_window(snm_df):
+    out = sorted_neighborhood_pairs(snm_df, "id", "txt", window=2,
+                                    n_partitions=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
+def test_snm_multi_sort_cols_and_validation(spark, snm_df):
+    rows = [(1, "a", 2.0), (2, "a", 1.0), (3, "b", 9.0)]
+    df = spark.createDataFrame(rows, "id long, g string, s double")
+    out = sorted_neighborhood_pairs(df, "id", ["g", "s"], window=1,
+                                    n_partitions=2)
+    # order: (a,1.0,2) < (a,2.0,1) < (b,9.0,3)
+    assert {(r.id_a, r.id_b) for r in out.collect()} == {(2, 1), (1, 3)}
+    with pytest.raises(ValueError):
+        sorted_neighborhood_pairs(snm_df, "id", "txt", window=0)
+    with pytest.raises(ValueError):
+        sorted_neighborhood_pairs(snm_df, "id", [], window=1)
+
+
+def test_snm_empty_input(spark):
+    df = spark.createDataFrame([], "id long, txt string")
+    assert sorted_neighborhood_pairs(df, "id", "txt",
+                                     window=2).count() == 0
