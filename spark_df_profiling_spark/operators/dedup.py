@@ -21,6 +21,8 @@ shuffles, broadcast where one side is small).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1220,3 +1222,101 @@ def sorted_neighborhood_pairs(df: DataFrame, id_col: str,
             .select("id_a", "id_b",
                     (F.col("__rb") - F.col("__ra")).cast("long")
                     .alias("dist")))
+# --------------------------------------------------------------------------
+# Record-linkage scoring (Fellegi-Sunter)
+# --------------------------------------------------------------------------
+def field_u_probs(df: DataFrame, fields: "str | list[str]") -> dict:
+    """u-probabilities for Fellegi-Sunter scoring: per field, the chance
+    two RANDOM records agree — ``sum_v (c_v/n)^2`` over the field's
+    non-null value distribution (n = non-null count).  Complements the
+    caller-supplied m (chance true matches agree).
+
+    Plan: ONE scan — every row explodes to (field, value) pairs, one
+    map-side-combined groupBy(field, value) -> count, then sum(c^2)/n^2
+    per field.  Driver state is O(#fields) scalars, never value lists.
+    Values compare after cast to string (matching the scorer's equality
+    on the raw columns only when the cast is injective — true for the
+    string/numeric/date fields linkage keys are made of).
+    """
+    flds = _collist(fields)
+    if not flds:
+        raise ValueError("fields must be non-empty")
+    missing = [f for f in flds if f not in df.columns]
+    if missing:
+        raise ValueError(f"fields not in DataFrame: {missing}")
+    stacked = df.select(F.posexplode(F.array(*[
+        F.col(f).cast("string") for f in flds])).alias("__i", "__v"))
+    per_val = (stacked.where(F.col("__v").isNotNull())
+               .groupBy("__i", "__v")
+               .agg(F.count(F.lit(1)).cast("double").alias("__c")))
+    rows = (per_val.groupBy("__i")
+            .agg((F.sum(F.col("__c") * F.col("__c"))
+                  / (F.sum("__c") * F.sum("__c"))).alias("__u"))
+            .collect())
+    u = {flds[r["__i"]]: r["__u"] for r in rows}
+    absent = [f for f in flds if f not in u]
+    if absent:
+        raise ValueError(
+            f"fields with zero non-null values (u undefined): {absent}")
+    return u
+
+
+def linkage_score_pairs(records: DataFrame, pairs: DataFrame,
+                        id_col: str, fields: "str | list[str]",
+                        m: float = 0.95,
+                        u: "dict | None" = None) -> DataFrame:
+    """Fellegi-Sunter log-odds score for candidate record pairs — the
+    scoring half of a record-linkage pipeline whose candidate half is
+    ``sorted_neighborhood_pairs`` / ``fuzzy_pairs_levenshtein`` /
+    ``minhash_candidates``: field-wise agreement evidence summed as
+    ``log2(m/u)`` per agreeing field and ``log2((1-m)/(1-u))`` per
+    disagreeing field; a field NULL on either side is neutral (0).
+
+    ``pairs`` needs ``id_a``/``id_b``; ``m`` is the caller's
+    true-match agreement probability (shared across fields); ``u``
+    per-field random-agreement probabilities — estimated from
+    ``records`` via :func:`field_u_probs` when omitted.
+
+    Output: ``id_a``, ``id_b``, one ``agree_<field>`` int per field
+    (1 agree / 0 disagree / NULL not comparable), ``fs_score`` double.
+
+    Scale: u-estimation is one scan collapsing to O(#fields) driver
+    scalars; the weights then embed as LITERALS, so scoring is two
+    hash joins (pairs -> records on id, both sides shuffle-partitioned
+    by id) plus pure codegen comparisons — no window, no UDF, and the
+    records side is touched exactly twice regardless of #fields.
+    """
+    flds = _collist(fields)
+    if not flds:
+        raise ValueError("fields must be non-empty")
+    if not 0.0 < m < 1.0:
+        raise ValueError(f"m must be in (0, 1): {m}")
+    missing = [f for f in flds if f not in records.columns]
+    if missing:
+        raise ValueError(f"fields not in records: {missing}")
+    if u is None:
+        u = field_u_probs(records, flds)
+    for f in flds:
+        uf = u.get(f)
+        if uf is None or not 0.0 < uf < 1.0:
+            raise ValueError(f"u[{f!r}] must be in (0, 1): {uf}")
+    a = records.select(F.col(id_col).alias("__ida"),
+                       *[F.col(f).alias(f"__a_{f}") for f in flds])
+    b = records.select(F.col(id_col).alias("__idb"),
+                       *[F.col(f).alias(f"__b_{f}") for f in flds])
+    joined = (pairs.select("id_a", "id_b")
+              .join(a, F.col("id_a") == F.col("__ida"))
+              .join(b, F.col("id_b") == F.col("__idb")))
+    agree_cols, score = [], F.lit(0.0)
+    for f in flds:
+        fa, fb = F.col(f"__a_{f}"), F.col(f"__b_{f}")
+        both = fa.isNotNull() & fb.isNotNull()
+        agree = both & (fa == fb)
+        w_agree = float(math.log2(m / u[f]))
+        w_dis = float(math.log2((1.0 - m) / (1.0 - u[f])))
+        agree_cols.append(F.when(agree, 1).when(both, 0)
+                          .cast("int").alias(f"agree_{f}"))
+        score = score + F.when(agree, F.lit(w_agree)) \
+                         .when(both, F.lit(w_dis)).otherwise(F.lit(0.0))
+    return joined.select("id_a", "id_b", *agree_cols,
+                         score.alias("fs_score"))

@@ -1877,6 +1877,44 @@ FROM (
   FROM rnk a JOIN rnk b
     ON b.rn > a.rn AND b.rn <= a.rn + 3)
 GROUP BY dist
+UNION ALL
+-- linkage_score_pairs replay: Fellegi-Sunter log2 evidence over
+-- (lang, source) on the same SNM candidate pairs, u estimated from
+-- the corpus value distributions (sum(c^2)/n^2), m = 0.95; the score
+-- is graded per pair rounded at 1e-4 (floor(x*1e4 + .5) is the
+-- identical IEEE arithmetic in both engines; (1 - 0.95) spelled as a
+-- subtraction so both sides use the same double)
+SELECT 'fs', id_a, id_b, CAST(floor(score * 10000 + 0.5) AS BIGINT)
+FROM (
+  WITH rnk2 AS (
+    SELECT doc_id AS id,
+           row_number() OVER (ORDER BY substr(text, 1, 30) NULLS LAST,
+                              doc_id) AS rn
+    FROM documents WHERE doc_id IS NOT NULL),
+  prs AS (
+    SELECT a.id AS id_a, b.id AS id_b
+    FROM rnk2 a JOIN rnk2 b ON b.rn > a.rn AND b.rn <= a.rn + 3),
+  uv AS (
+    SELECT
+      (SELECT sum(c * c) / (sum(c) * sum(c)) FROM
+        (SELECT CAST(count(*) AS DOUBLE) AS c FROM documents
+         WHERE lang IS NOT NULL GROUP BY lang)) AS u_lang,
+      (SELECT sum(c * c) / (sum(c) * sum(c)) FROM
+        (SELECT CAST(count(*) AS DOUBLE) AS c FROM documents
+         WHERE source IS NOT NULL GROUP BY source)) AS u_source)
+  SELECT id_a, id_b,
+    (CASE WHEN ra.lang IS NOT NULL AND rb.lang IS NOT NULL
+               AND ra.lang = rb.lang THEN log2(0.95 / u_lang)
+          WHEN ra.lang IS NOT NULL AND rb.lang IS NOT NULL
+               THEN log2((1 - 0.95) / (1 - u_lang)) ELSE 0 END
+   + CASE WHEN ra.source IS NOT NULL AND rb.source IS NOT NULL
+               AND ra.source = rb.source THEN log2(0.95 / u_source)
+          WHEN ra.source IS NOT NULL AND rb.source IS NOT NULL
+               THEN log2((1 - 0.95) / (1 - u_source)) ELSE 0 END)
+      AS score
+  FROM prs
+  JOIN documents ra ON ra.doc_id = prs.id_a
+  JOIN documents rb ON rb.doc_id = prs.id_b, uv)
 ORDER BY part, v1
 """)
 def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2036,10 +2074,25 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("long").alias("v3"))
            .select(F.concat(F.lit("snm:"), F.col("dist").cast("string"))
                    .alias("part"), "v1", "v2", "v3"))
+    # 'fs' rows grade linkage_score_pairs: Fellegi-Sunter scoring of
+    # the SAME SNM candidates on (lang, source), u estimated from the
+    # corpus — per-pair score at 1e-4 resolution, so both the u
+    # aggregation and the literal-weight scoring join must replay
+    from spark_df_profiling_spark.operators.dedup import (
+        linkage_score_pairs)
+    fsp = linkage_score_pairs(
+        d.select("doc_id", "lang", "source"),
+        snm_pairs.select("id_a", "id_b"),
+        "doc_id", ["lang", "source"], m=0.95)
+    fsr = fsp.select(
+        F.lit("fs").alias("part"),
+        F.col("id_a").alias("v1"), F.col("id_b").alias("v2"),
+        F.floor(F.col("fs_score") * 10000 + F.lit(0.5))
+        .cast("long").alias("v3"))
     return (kept.unionByName(stats).unionByName(ld).unionByName(sd)
             .unionByName(hist_rows).unionByName(bloom)
             .unionByName(soft).unionByName(hll).unionByName(fz)
-            .unionByName(snm).orderBy("part", "v1"))
+            .unionByName(snm).unionByName(fsr).orderBy("part", "v1"))
 
 
 # ---------------------------------------------------------------------------
