@@ -1191,6 +1191,16 @@ def sorted_neighborhood_pairs(df: DataFrame, id_col: str,
              or spark.conf.get("spark.sql.shuffle.partitions", "200"))
     ranged = (proj.repartitionByRange(np, *order)
               .withColumn("__pid", F.spark_partition_id()))
+    # ``ranged`` feeds TWO actions (the counts collect below and the
+    # caller's final job) and repartitionByRange SAMPLES its boundaries
+    # — boundaries differ across re-executions, so without freezing
+    # them the driver-built offset map goes silently stale and global
+    # ranks collide (measured: 500k rows -> 486k distinct ranks and
+    # ~5% phantom/missing pairs).  localCheckpoint materializes the
+    # partitioning once so every consumer reads the SAME __pid
+    # assignment — the pack_offsets / ks_2samp / gini_coefficient
+    # protocol.
+    ranged = ranged.localCheckpoint(eager=True)
     w = Window.partitionBy("__pid").orderBy(*order)
     local = ranged.withColumn("__lr", F.row_number().over(w))
     # partition row counts: O(#partitions) scalars — pid order IS

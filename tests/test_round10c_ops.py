@@ -82,3 +82,42 @@ def test_linkage_all_null_field_rejected(spark, fs_pairs):
         "id long, lang string")
     with pytest.raises(ValueError):
         linkage_score_pairs(rec, fs_pairs, "id", ["lang"])
+
+
+# ---------------------------------------- SNM frozen-boundary regression
+from spark_df_profiling_spark.operators.dedup import (
+    sorted_neighborhood_pairs)
+
+
+def test_snm_exact_pair_count_at_scale(spark):
+    # r10 rehearsal regression: repartitionByRange re-samples its
+    # boundaries per execution, so the driver offset map built from the
+    # counts job went stale for the pairing job — global ranks collided
+    # and the pair count drifted ~5% off (and differed run to run).
+    # With the localCheckpoint freeze the count is EXACTLY 3n-6 for
+    # window=3 (rank r pairs with r+1..r+3, truncated at the end), even
+    # with a 50%-tie sort key spread over many range partitions.
+    n = 50_000
+    df = (spark.range(n)
+          .select(F.col("id").alias("doc_id"),
+                  F.when(F.col("id") % 2 == 0, F.lit("hot"))
+                  .otherwise((F.col("id") % 997).cast("string"))
+                  .alias("k")))
+    out = sorted_neighborhood_pairs(df, "doc_id", "k", window=3,
+                                    n_partitions=32)
+    assert out.count() == 3 * n - 6
+    # and the output is identical across two separate actions
+    assert out.count() == 3 * n - 6
+
+
+def test_snm_global_ranks_unique_at_scale(spark):
+    # distinct (id_a, dist=1) successors == n-1 rows exactly iff the
+    # global rank is a permutation (duplicated ranks create fan-out)
+    n = 20_000
+    df = (spark.range(n)
+          .select(F.col("id").alias("doc_id"),
+                  (F.col("id") % 13).cast("string").alias("k")))
+    d1 = (sorted_neighborhood_pairs(df, "doc_id", "k", window=1,
+                                    n_partitions=16))
+    assert d1.count() == n - 1
+    assert d1.select("id_a").distinct().count() == n - 1
