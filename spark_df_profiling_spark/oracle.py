@@ -3506,6 +3506,42 @@ FROM (
   SELECT 'l_suppkey', count(*), min(n), max(n),
          quantile_cont(CAST(n AS DOUBLE), 0.5), avg(n)
   FROM (SELECT count(*) AS n FROM lineitem GROUP BY l_suppkey))
+UNION ALL
+-- latest_snapshot replay: changelog compaction of pre-cutoff orders
+-- (key = o_custkey, version = o_orderkey) — arg_max must agree with
+-- Spark's max_by row for row
+SELECT 'snap', CAST(o_custkey AS VARCHAR), st, ok FROM (
+  SELECT o_custkey, arg_max(o_orderstatus, o_orderkey) AS st,
+         max(o_orderkey) AS ok
+  FROM orders WHERE o_custkey % 7 = 0 AND o_orderkey < 30000
+  GROUP BY o_custkey)
+UNION ALL
+-- scd2_merge replay: the snapshot rows open a type-2 history and the
+-- post-cutoff orders apply as a multi-version batch — consecutive
+-- same-status collapse (lag, null-safe) then the interval chain
+-- (lead); g2 = status:valid_to|'open':is_current, cnt = valid_from
+SELECT 'scd2', CAST(o_custkey AS VARCHAR),
+       st || ':' || coalesce(CAST(vt AS VARCHAR), 'open') || ':'
+          || CAST(vt IS NULL AS VARCHAR),
+       vf
+FROM (
+  WITH src AS (
+    SELECT o_custkey, arg_max(o_orderstatus, o_orderkey) AS st,
+           max(o_orderkey) AS ts
+    FROM orders WHERE o_custkey % 7 = 0 AND o_orderkey < 30000
+    GROUP BY o_custkey
+    UNION ALL
+    SELECT o_custkey, o_orderstatus, o_orderkey
+    FROM orders WHERE o_custkey % 7 = 0 AND o_orderkey >= 30000),
+  ch AS (
+    SELECT * FROM (
+      SELECT o_custkey, st, ts,
+             lag(st) OVER (PARTITION BY o_custkey ORDER BY ts) AS pst
+      FROM src)
+    WHERE pst IS NULL OR pst IS DISTINCT FROM st)
+  SELECT o_custkey, st, ts AS vf,
+         lead(ts) OVER (PARTITION BY o_custkey ORDER BY ts) AS vt
+  FROM ch)
 ORDER BY 1, 2, 3
 """)
 def multidim_agg_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3674,10 +3710,44 @@ def multidim_agg_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("smallfile_risk").cast("string"),
                       F.col("skew_risk").cast("string")).alias("g2"),
                   F.col("max_rows").alias("cnt")))
+    # 'snap' + 'scd2' rows grade cdc.latest_snapshot and
+    # cdc.scd2_merge: pre-cutoff orders compact to one open row per
+    # customer (strict version check exercised — o_orderkey unique),
+    # then the post-cutoff orders apply as a multi-version SCD2 batch
+    # (same-status runs must collapse, intervals must chain)
+    from spark_df_profiling_spark.operators.cdc import (
+        latest_snapshot, scd2_merge)
+    och = (o.where(F.col("o_custkey") % 7 == 0)
+           .select("o_custkey", "o_orderkey", "o_orderstatus"))
+    snap = latest_snapshot(och.where(F.col("o_orderkey") < 30000),
+                           "o_custkey", "o_orderkey",
+                           ["o_orderstatus"])
+    snap_rows = snap.select(
+        F.lit("snap").alias("mode"),
+        F.col("o_custkey").cast("string").alias("g1"),
+        F.col("o_orderstatus").alias("g2"),
+        F.col("o_orderkey").alias("cnt"))
+    hist0 = snap.select(
+        "o_custkey", "o_orderstatus",
+        F.col("o_orderkey").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"))
+    upd = (och.where(F.col("o_orderkey") >= 30000)
+           .select("o_custkey", "o_orderstatus",
+                   F.col("o_orderkey").alias("ts")))
+    merged = scd2_merge(hist0, upd, "o_custkey", "o_orderstatus", "ts")
+    scd2_rows = merged.select(
+        F.lit("scd2").alias("mode"),
+        F.col("o_custkey").cast("string").alias("g1"),
+        F.concat_ws(":", F.col("o_orderstatus"),
+                    F.coalesce(F.col("valid_to").cast("string"),
+                               F.lit("open")),
+                    F.col("is_current").cast("string")).alias("g2"),
+        F.col("valid_from").alias("cnt"))
     return (rollup.unionByName(cube).unionByName(gsets)
             .unionByName(cons).unionByName(jks).unionByName(zrows)
             .unionByName(salt).unionByName(decay).unionByName(ivm)
-            .unionByName(rrf).unionByName(pa)
+            .unionByName(rrf).unionByName(pa).unionByName(snap_rows)
+            .unionByName(scd2_rows)
             .orderBy("mode", "g1", "g2"))
 
 

@@ -121,3 +121,124 @@ def test_snm_global_ranks_unique_at_scale(spark):
                                     n_partitions=16))
     assert d1.count() == n - 1
     assert d1.select("id_a").distinct().count() == n - 1
+
+
+# ------------------------------------------------ CDC: latest_snapshot
+from spark_df_profiling_spark.operators.cdc import (
+    latest_snapshot, scd2_merge)
+
+
+@pytest.fixture(scope="module")
+def changelog(spark):
+    rows = [(1, 10, "a", 5.0), (1, 20, "b", 6.0), (2, 5, "x", 1.0),
+            (2, 7, "x", 2.0), (3, 1, "z", None)]
+    return spark.createDataFrame(
+        rows, "k long, v long, s string, p double")
+
+
+def test_latest_snapshot_picks_max_version(changelog):
+    got = sorted((r.k, r.v, r.s, r.p) for r in
+                 latest_snapshot(changelog, "k", "v").collect())
+    assert got == [(1, 20, "b", 6.0), (2, 7, "x", 2.0),
+                   (3, 1, "z", None)]
+
+
+def test_latest_snapshot_payload_subset_and_validation(changelog):
+    got = sorted((r.k, r.v, r.s) for r in latest_snapshot(
+        changelog, "k", "v", payload_cols=["s"]).collect())
+    assert got == [(1, 20, "b"), (2, 7, "x"), (3, 1, "z")]
+    with pytest.raises(ValueError):
+        latest_snapshot(changelog, "k", "nope")
+    with pytest.raises(ValueError):
+        latest_snapshot(changelog, "k", "k")
+    with pytest.raises(ValueError):
+        latest_snapshot(changelog, [], "v")
+
+
+def test_latest_snapshot_strict_duplicate_version_raises(spark):
+    df = spark.createDataFrame([(1, 10, "a"), (1, 10, "b")],
+                               "k long, v long, s string")
+    with pytest.raises(Exception, match="duplicate version"):
+        latest_snapshot(df, "k", "v").collect()
+    # non-strict: deterministic tie-break by payload struct ordering
+    assert latest_snapshot(df, "k", "v",
+                           strict=False).collect()[0].s == "b"
+
+
+# --------------------------------------------------- CDC: scd2_merge
+@pytest.fixture(scope="module")
+def scd_hist(spark):
+    # key 1: one closed + one open row; key 2: open; key 9: closed only
+    rows = [(1, "a", 0, 10), (1, "b", 10, None),
+            (2, "x", 3, None), (9, "q", 0, 5)]
+    return spark.createDataFrame(
+        rows, "k long, s string, valid_from long, valid_to long")
+
+
+def test_scd2_merge_full_scenario(spark, scd_hist):
+    ups = spark.createDataFrame(
+        [(1, "b", 15),   # no-change vs open row -> collapses
+         (1, "c", 20), (1, "c", 25),   # change + no-change run
+         (2, "y", 30),                 # change
+         (5, "n", 2)],                 # brand-new key
+        "k long, s string, ts long")
+    out = sorted((tuple(r) for r in
+                  scd2_merge(scd_hist, ups, "k", "s", "ts").collect()),
+                 key=lambda t: (t[0], t[2]))
+    assert out == [
+        (1, "a", 0, 10, False), (1, "b", 10, 20, False),
+        (1, "c", 20, None, True),
+        (2, "x", 3, 30, False), (2, "y", 30, None, True),
+        (5, "n", 2, None, True),
+        (9, "q", 0, 5, False)]
+
+
+def test_scd2_merge_no_updates_passthrough(spark, scd_hist):
+    empty = spark.createDataFrame([], "k long, s string, ts long")
+    out = {(r.k, r.valid_from): (r.valid_to, r.is_current)
+           for r in scd2_merge(scd_hist, empty, "k", "s", "ts")
+           .collect()}
+    assert out[(1, 10)] == (None, True)
+    assert out[(1, 0)] == (10, False)
+    assert out[(9, 0)] == (5, False)
+
+
+def test_scd2_merge_null_safe_attr_compare(spark):
+    hist = spark.createDataFrame([(1, None, 0, None)],
+                                 "k long, s string, valid_from long, "
+                                 "valid_to long")
+    ups = spark.createDataFrame(
+        [(1, None, 5), (1, "a", 9)], "k long, s string, ts long")
+    out = sorted(((r.s, r.valid_from, r.valid_to) for r in
+                  scd2_merge(hist, ups, "k", "s", "ts").collect()),
+                 key=lambda t: t[1])
+    # NULL->NULL collapses (no spurious version); NULL->'a' is a change
+    assert out == [(None, 0, 9), ("a", 9, None)]
+
+
+def test_scd2_merge_contract_violations(spark, scd_hist):
+    dup = spark.createDataFrame([(2, "y", 30), (2, "z", 30)],
+                                "k long, s string, ts long")
+    with pytest.raises(Exception, match="duplicate version"):
+        scd2_merge(scd_hist, dup, "k", "s", "ts").collect()
+    ooo = spark.createDataFrame([(2, "y", 1)],
+                                "k long, s string, ts long")
+    with pytest.raises(Exception, match="out-of-order"):
+        scd2_merge(scd_hist, ooo, "k", "s", "ts").collect()
+    nul = spark.createDataFrame([(2, "y", None)],
+                                "k long, s string, ts long")
+    with pytest.raises(Exception, match="NULL version"):
+        scd2_merge(scd_hist, nul, "k", "s", "ts").collect()
+    with pytest.raises(ValueError):
+        scd2_merge(scd_hist, nul, "k", "s", "missing")
+
+
+def test_scd2_merge_single_key_shuffle(spark, scd_hist):
+    ups = spark.createDataFrame([(2, "y", 30)],
+                                "k long, s string, ts long")
+    out = scd2_merge(scd_hist, ups, "k", "s", "ts")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+    # the apply branch shuffles ONCE on the key; the closed branch has
+    # no exchange at all
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
