@@ -1330,3 +1330,78 @@ def linkage_score_pairs(records: DataFrame, pairs: DataFrame,
                          .when(both, F.lit(w_dis)).otherwise(F.lit(0.0))
     return joined.select("id_a", "id_b", *agree_cols,
                          score.alias("fs_score"))
+
+
+# --------------------------------------------------------------------------
+# Score-based cluster representatives (keep-best dedup)
+# --------------------------------------------------------------------------
+def component_representatives(members: DataFrame, id_col: str,
+                              component_col: str,
+                              score_col: str) -> DataFrame:
+    """Per near-dup component: the member with the HIGHEST score —
+    ties broken by the LOWEST id (the repo-wide keep-first
+    convention).  The quality-aware alternative to min-id survivors:
+    when a boilerplate cluster holds one clean page and nine mirrors,
+    dedup should keep the clean one, not the numerically smallest.
+
+    ``members``: (id, component, score) rows — typically
+    :func:`connected_components` output joined to a quality score
+    (``quality_score``, ``n_chars``, an LM score...).  ``score_col``
+    must be numeric; NULL scores rank below every non-NULL score (a
+    component whose members are ALL unscored still elects its min-id
+    member).  Output: ``component``, ``rep_id``, ``rep_score``,
+    ``n_members``.
+
+    Scale: ONE map-side-combined groupBy on the component —
+    ``min_by`` over the (negated-score, id) ordering struct keeps a
+    single candidate per component per upstream task; a hot component
+    arrives as #tasks partials, not #members.  No window, no join.
+    """
+    for c in (id_col, component_col, score_col):
+        if c not in members.columns:
+            raise ValueError(f"members missing column: {c!r}")
+    neg = F.coalesce(-F.col(score_col).cast("double"),
+                     F.lit(float("inf")))
+    carried = F.struct(F.col(id_col).alias("i"),
+                       F.col(score_col).cast("double").alias("s"))
+    order = F.struct(neg.alias("n"), F.col(id_col).alias("i"))
+    return (members.groupBy(F.col(component_col).alias("component"))
+            .agg(F.min_by(carried, order).alias("__top"),
+                 F.count(F.lit(1)).alias("n_members"))
+            .select("component",
+                    F.col("__top.i").alias("rep_id"),
+                    F.col("__top.s").alias("rep_score"),
+                    "n_members"))
+
+
+def keep_best(df: DataFrame, pairs: DataFrame, id_col: str,
+              score_col: str, max_iter: int = 25) -> DataFrame:
+    """Transitive near-dup removal keeping the BEST-scoring member of
+    every duplicate cluster: components from the pair graph
+    (:func:`connected_components`), one survivor per component via
+    :func:`component_representatives`, everything else dropped.  Rows
+    never mentioned in ``pairs`` are singletons and always survive.
+    Output: the surviving subset of ``df`` (all columns) plus a
+    ``dup_component`` audit column (NULL for singletons).
+
+    Scale: pair-graph components are bounded by the candidate
+    generator's caps (banded/blocked, never all-pairs); the corpus is
+    touched by ONE id-keyed join against the component labels and one
+    semi-join against the (small, one-row-per-component) winners.
+    """
+    for c in (id_col, score_col):
+        if c not in df.columns:
+            raise ValueError(f"df missing column: {c!r}")
+    comps = connected_components(pairs, max_iter=max_iter)
+    labeled = df.join(comps.select(F.col("id").alias(id_col),
+                                   F.col("comp").alias("dup_component")),
+                      on=id_col, how="left")
+    members = (labeled.where(F.col("dup_component").isNotNull())
+               .select(id_col, "dup_component", score_col))
+    reps = component_representatives(members, id_col,
+                                     "dup_component", score_col)
+    keep_ids = reps.select(F.col("rep_id").alias(id_col))
+    return (labeled.where(F.col("dup_component").isNull())
+            .unionByName(
+                labeled.join(keep_ids, on=id_col, how="leftsemi")
+                .where(F.col("dup_component").isNotNull())))

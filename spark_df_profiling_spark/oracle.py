@@ -5138,6 +5138,23 @@ FROM (
                      ELSE 'test' END AS s
     FROM (SELECT (doc_id // 10) * 10 AS rep FROM documents))
   GROUP BY rep)
+UNION ALL
+-- keep_best replay on the same decade-chain components: the
+-- representative is the member with MAX n_chars, ties -> MIN doc_id
+-- (Spark's min_by over the (neg-score, id) ordering must elect
+-- exactly this row); k = component, n = elected doc_id
+SELECT 'rep', CAST(comp AS VARCHAR), min(doc_id)
+FROM (
+  SELECT (doc_id // 10) * 10 AS comp, doc_id, n_chars,
+         max(n_chars) OVER (PARTITION BY (doc_id // 10) * 10) AS mx
+  FROM documents)
+WHERE n_chars = mx
+GROUP BY comp
+UNION ALL
+-- keep_best survivor count: every doc is a chain member, so the
+-- kept corpus is exactly one row per component
+SELECT 'rep:kept', 'n_kept',
+       (SELECT count(DISTINCT (doc_id // 10) * 10) FROM documents)
 ORDER BY part, k
 """)
 def hash_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5233,10 +5250,25 @@ def hash_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit("lsplit:viol").alias("part"),
                     F.lit("components_spanning_splits").alias("k"),
                     "n"))
+    # 'rep' rows grade dedup.keep_best / component_representatives on
+    # the SAME decade-chain pair graph: representative = max n_chars,
+    # ties -> min doc_id; the ':kept' row pins the survivor count
+    # (every doc chains, so kept == #components)
+    from spark_df_profiling_spark.operators.dedup import keep_best
+    kb = keep_best(d.select("doc_id", "n_chars"), pairs, "doc_id",
+                   "n_chars")
+    rep = (kb.where(F.col("dup_component").isNotNull())
+           .select(F.lit("rep").alias("part"),
+                   F.col("dup_component").cast("string").alias("k"),
+                   F.col("doc_id").cast("long").alias("n")))
+    repk = (kb.agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .select(F.lit("rep:kept").alias("part"),
+                    F.lit("n_kept").alias("k"), "n"))
     return (split.unionByName(samp).unionByName(strat)
             .unionByName(exactk).unionByName(dsir)
             .unionByName(ws).unionByName(qb)
             .unionByName(lsp).unionByName(viol)
+            .unionByName(rep).unionByName(repk)
             .orderBy("part", "k"))
 
 

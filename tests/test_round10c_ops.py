@@ -242,3 +242,39 @@ def test_scd2_merge_single_key_shuffle(spark, scd_hist):
     # the apply branch shuffles ONCE on the key; the closed branch has
     # no exchange at all
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+# ---------------------------------- keep-best cluster representatives
+from spark_df_profiling_spark.operators.dedup import (
+    component_representatives, keep_best)
+
+
+def test_component_representatives_max_score_min_id_ties(spark):
+    m = spark.createDataFrame(
+        [(1, 0, 5.0), (2, 0, 9.0), (3, 0, 9.0),
+         (7, 7, None), (8, 7, None),       # all-NULL scores
+         (4, 4, None), (5, 4, 2.0)],       # NULL loses to any score
+        "id long, comp long, sc double")
+    got = {r.component: (r.rep_id, r.rep_score, r.n_members)
+           for r in component_representatives(
+               m, "id", "comp", "sc").collect()}
+    assert got[0] == (2, 9.0, 3)      # max score 9, tie -> min id
+    assert got[7] == (7, None, 2)     # all NULL -> min id survives
+    assert got[4] == (5, 2.0, 2)      # scored member beats NULL
+    with pytest.raises(ValueError):
+        component_representatives(m, "id", "comp", "nope")
+
+
+def test_keep_best_transitive_and_singletons(spark):
+    df = spark.createDataFrame(
+        [(i, float(i % 4)) for i in range(10)], "id long, q double")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "id_a long, id_b long")
+    out = sorted((r.id, r.dup_component)
+                 for r in keep_best(df, pairs, "id", "q").collect())
+    # {0,1,2}: q = 0/1/2 -> keep 2; {5,6}: q = 1/2 -> keep 6;
+    # 3,4,7,8,9 are singletons (NULL component)
+    assert out == [(2, 0), (3, None), (4, None), (6, 5),
+                   (7, None), (8, None), (9, None)]
+    assert set(keep_best(df, pairs, "id", "q").columns) == {
+        "id", "q", "dup_component"}
