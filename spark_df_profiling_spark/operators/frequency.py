@@ -619,3 +619,50 @@ def gini_coefficient(df: DataFrame, col: str,
          - F.lit((nn + 1.0) / nn)).alias("gini"),
         F.lit(n).cast("long").alias("n"),
         F.col("__tot").alias("total"))
+
+
+def missingness_patterns(df: DataFrame,
+                         cols: "list[str] | None" = None,
+                         top_k: int = 20) -> DataFrame:
+    """Which columns go missing TOGETHER: one row per distinct
+    null-mask combination across ``cols`` (default: every column),
+    most frequent first — the upset-plot / co-missingness view that
+    per-column ``n_missing`` can't give (a feed that drops
+    (lang, source) as a unit looks identical to two independent 1%
+    gaps in per-column stats, and needs a very different fix).
+
+    Output: ``pattern`` ('0'/'1' per column, '1' = missing, column
+    order = ``cols``), ``missing_cols`` (comma-joined names, '' for
+    the all-present row), ``n_missing_cols``, ``n_rows``, ``p_rows``.
+
+    Scale: the mask is a pure row expression, so this is ONE
+    map-side-combined groupBy whose output is at most
+    min(2^#cols, #distinct patterns) rows — real feeds produce a
+    handful; the total for ``p_rows`` re-aggregates that tiny frame
+    (broadcast one-row cross join, no second source scan) and top-k
+    orders the aggregated frame, never the corpus.
+    """
+    use = list(cols) if cols is not None else list(df.columns)
+    if not use:
+        raise ValueError("cols must be non-empty")
+    missing = [c for c in use if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns not in DataFrame: {missing}")
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1: {top_k}")
+    mask = F.concat(*[F.when(F.col(c).isNull(), F.lit("1"))
+                      .otherwise(F.lit("0")) for c in use])
+    names = F.concat_ws(
+        ",", *[F.when(F.col(c).isNull(), F.lit(c)) for c in use])
+    g = (df.groupBy(mask.alias("pattern"), names.alias("missing_cols"))
+         .agg(F.count(F.lit(1)).alias("n_rows")))
+    tot = g.agg(F.sum("n_rows").alias("__t"))
+    n_miss = F.length(F.regexp_replace(F.col("pattern"), "0", ""))
+    return (g.crossJoin(F.broadcast(tot))
+            .select("pattern", "missing_cols",
+                    n_miss.cast("int").alias("n_missing_cols"),
+                    "n_rows",
+                    (F.col("n_rows").cast("double") / F.col("__t"))
+                    .alias("p_rows"))
+            .orderBy(F.desc("n_rows"), "pattern")
+            .limit(top_k))

@@ -796,6 +796,20 @@ SELECT 'hllgrp', lang, est FROM (
                     THEN 4096.0 * ln(4096.0 / v)
                     ELSE {_HLL_ALPHA_M2} / z END) AS BIGINT) AS est
   FROM gcalc)
+UNION ALL
+-- percentile_rank (exact ECDF) replay: cume_dist of l_quantity over
+-- the whole table, summed per returnflag at 1e-6 grain — the
+-- distinct-value cum frame and the value join-back must both replay
+SELECT 'prank', l_returnflag,
+       sum(CAST(floor((cm / n) * 1e6 + 0.5) AS BIGINT))
+FROM lineitem
+JOIN (
+  SELECT q, CAST(sum(c) OVER (ORDER BY q) AS DOUBLE) AS cm,
+         CAST((SELECT count(*) FROM lineitem) AS DOUBLE) AS n
+  FROM (SELECT CAST(l_quantity AS DOUBLE) AS q, count(*) AS c
+        FROM lineitem GROUP BY 1))
+  ON CAST(l_quantity AS DOUBLE) = q
+GROUP BY l_returnflag
 ORDER BY part, value
 """)
 def freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -873,8 +887,22 @@ def freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.concat_ws(":", "lang", F.col("rank").cast("string"),
                               "value").alias("value"),
                   "cnt"))
+    # 'prank' rows grade outliers.percentile_rank (exact mode): every
+    # lineitem row gets its ECDF rank over l_quantity (two-phase
+    # frozen-boundary prefix machinery), summed per returnflag at
+    # 1e-6 grain so all ~60k per-row ranks must be right
+    from spark_df_profiling_spark.operators.outliers import (
+        percentile_rank)
+    pr = (percentile_rank(li.select("l_returnflag", "l_quantity"),
+                          "l_quantity")
+          .groupBy("l_returnflag")
+          .agg(F.sum(F.floor(F.col("pct_rank") * 1e6 + F.lit(0.5))
+                     .cast("long")).alias("cnt"))
+          .select(F.lit("prank").alias("part"),
+                  F.col("l_returnflag").alias("value"), "cnt"))
     return (topk.unionByName(mode).unionByName(sk).unionByName(cms)
             .unionByName(fmt).unionByName(hg).unionByName(gt)
+            .unionByName(pr)
             .orderBy("part", "value"))
 
 
@@ -4525,7 +4553,27 @@ FROM (SELECT text FROM documents
       SELECT '  ' || text || chr(9) || chr(9)
       FROM documents WHERE doc_id < 30)
 UNION ALL
-""" + _md_sql() + "\nUNION ALL\n" + _enc_sql())
+""" + _md_sql() + "\nUNION ALL\n" + _enc_sql() + """
+UNION ALL
+-- missingness_patterns replay: the per-row null mask over all five
+-- documents columns, counted per pattern (driver data is NULL-free,
+-- so this pins the all-present '00000' row and that NO other pattern
+-- leaks in; the combinatorics are pytest-pinned on crafted nulls)
+SELECT 'miss:'
+       || (CASE WHEN doc_id IS NULL THEN '1' ELSE '0' END)
+       || (CASE WHEN text IS NULL THEN '1' ELSE '0' END)
+       || (CASE WHEN lang IS NULL THEN '1' ELSE '0' END)
+       || (CASE WHEN source IS NULL THEN '1' ELSE '0' END)
+       || (CASE WHEN n_chars IS NULL THEN '1' ELSE '0' END),
+       count(*),
+       CAST((CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+          + (CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+          + (CASE WHEN lang IS NULL THEN 1 ELSE 0 END)
+          + (CASE WHEN source IS NULL THEN 1 ELSE 0 END)
+          + (CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM documents
+GROUP BY 1, 3
+""")
 def universal_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U-family counts per documents column + the quality-filter FUNNEL
     (text.py::quality_funnel) + ENCODING-quality rollups
@@ -4624,8 +4672,23 @@ def universal_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     md_rows = md_one.select(F.expr(
         f"stack({len(STRUCTURE_PATTERNS)}, {md_stack}) "
         f"as (column_name, cnt, n_distinct)"))
+    # 'miss:' rows grade frequency.missingness_patterns — the co-
+    # missingness mask counts over every documents column (driver data
+    # is NULL-free: the all-present pattern and the absence of any
+    # other pattern are both graded; crafted-null combinatorics are
+    # pytest-pinned)
+    from spark_df_profiling_spark.operators.frequency import (
+        missingness_patterns)
+    mp = (missingness_patterns(
+        d.select("doc_id", "text", "lang", "source", "n_chars"))
+        .select(F.concat(F.lit("miss:"), F.col("pattern"))
+                .alias("column_name"),
+                F.col("n_rows").cast("long").alias("cnt"),
+                F.col("n_missing_cols").cast("long")
+                .alias("n_distinct")))
     return (cols.unionByName(funnel).unionByName(canon)
-            .unionByName(md_rows).unionByName(enc_rows))
+            .unionByName(md_rows).unionByName(enc_rows)
+            .unionByName(mp))
 
 
 # Fixed literal centroids for the cluster_balanced_sample grading

@@ -278,3 +278,93 @@ def test_keep_best_transitive_and_singletons(spark):
                    (7, None), (8, None), (9, None)]
     assert set(keep_best(df, pairs, "id", "q").columns) == {
         "id", "q", "dup_component"}
+
+
+# ----------------------------------------------------- percentile_rank
+from spark_df_profiling_spark.operators.outliers import percentile_rank
+
+
+@pytest.fixture(scope="module")
+def prank_df(spark):
+    rows = [(1, 10.0), (2, 10.0), (3, 20.0), (4, 30.0), (5, None)]
+    return spark.createDataFrame(rows, "id long, x double")
+
+
+def test_percentile_rank_exact_cume_dist(prank_df):
+    got = {r.id: r.pct_rank
+           for r in percentile_rank(prank_df, "x").collect()}
+    # cume_dist: ties share the block's TOP rank; NULL ranks NULL
+    assert got[1] == got[2] == pytest.approx(0.5)
+    assert got[3] == pytest.approx(0.75)
+    assert got[4] == pytest.approx(1.0)
+    assert got[5] is None
+
+
+def test_percentile_rank_matches_python_at_scale(spark):
+    # 5k rows, heavy ties (97 distinct values over many partitions)
+    n = 5000
+    df = spark.range(n).select(
+        F.col("id"), (F.col("id") % 97).cast("double").alias("x"))
+    got = {r.id: r.pct_rank
+           for r in percentile_rank(df, "x",
+                                    num_buckets=16).collect()}
+    import collections
+    cnt = collections.Counter(i % 97 for i in range(n))
+    cum, expect = 0, {}
+    for v in sorted(cnt):
+        cum += cnt[v]
+        expect[v] = cum / n
+    assert all(got[i] == pytest.approx(expect[i % 97])
+               for i in range(n))
+
+
+def test_percentile_rank_approx_mode(prank_df):
+    got = {r.id: r.pct_rank
+           for r in percentile_rank(prank_df, "x", exact=False,
+                                    num_buckets=4).collect()}
+    assert got[5] is None
+    # resolution-1/4 step function, monotone in value
+    assert got[1] <= got[3] <= got[4]
+    for v in (got[1], got[3], got[4]):
+        assert v in (0.25, 0.5, 0.75, 1.0)
+
+
+def test_percentile_rank_validation(spark, prank_df):
+    with pytest.raises(ValueError):
+        percentile_rank(prank_df, "nope")
+    allnull = spark.createDataFrame([(1, None)], "id long, x double")
+    with pytest.raises(ValueError):
+        percentile_rank(allnull, "x")
+    with pytest.raises(ValueError):
+        percentile_rank(allnull, "x", exact=False)
+
+
+# ------------------------------------------------ missingness_patterns
+from spark_df_profiling_spark.operators.frequency import (
+    missingness_patterns)
+
+
+def test_missingness_patterns_combinatorics(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, None, None), (3, None, None), (4, "b", None)],
+        "id long, s string, x double")
+    got = {r.pattern: (r.missing_cols, r.n_missing_cols, r.n_rows,
+                       r.p_rows)
+           for r in missingness_patterns(df, ["id", "s", "x"])
+           .collect()}
+    assert got["011"] == ("s,x", 2, 2, 0.5)
+    assert got["000"] == ("", 0, 1, 0.25)
+    assert got["001"] == ("x", 1, 1, 0.25)
+    # ordered most-frequent-first, top_k honored
+    top = missingness_patterns(df, ["id", "s", "x"], top_k=1).collect()
+    assert len(top) == 1 and top[0].pattern == "011"
+
+
+def test_missingness_patterns_validation(spark):
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError):
+        missingness_patterns(df, [])
+    with pytest.raises(ValueError):
+        missingness_patterns(df, ["nope"])
+    with pytest.raises(ValueError):
+        missingness_patterns(df, ["id"], top_k=0)
