@@ -1405,3 +1405,125 @@ def keep_best(df: DataFrame, pairs: DataFrame, id_col: str,
             .unionByName(
                 labeled.join(keep_ids, on=id_col, how="leftsemi")
                 .where(F.col("dup_component").isNotNull())))
+
+
+def agreement_pattern_counts(records: DataFrame, pairs: DataFrame,
+                             id_col: str,
+                             fields: "str | list[str]") -> DataFrame:
+    """Per agreement-pattern pair counts — the sufficient statistics
+    for unsupervised Fellegi-Sunter parameter estimation: each
+    candidate pair collapses to a pattern string over ``fields``
+    ('1' agree / '0' disagree / '?' not comparable, i.e. NULL on
+    either side), and EM only ever needs the O(3^#fields) pattern
+    histogram, never the pairs again.
+
+    Output: ``pattern``, ``n_pairs``.
+
+    Scale: the same two id-keyed hash joins as
+    :func:`linkage_score_pairs` followed by ONE map-side-combined
+    groupBy on the pattern expression — pair volume never reaches the
+    driver; the histogram does.
+    """
+    flds = _collist(fields)
+    if not flds:
+        raise ValueError("fields must be non-empty")
+    missing = [f for f in flds if f not in records.columns]
+    if missing:
+        raise ValueError(f"fields not in records: {missing}")
+    a = records.select(F.col(id_col).alias("__ida"),
+                       *[F.col(f).alias(f"__a_{f}") for f in flds])
+    b = records.select(F.col(id_col).alias("__idb"),
+                       *[F.col(f).alias(f"__b_{f}") for f in flds])
+    joined = (pairs.select("id_a", "id_b")
+              .join(a, F.col("id_a") == F.col("__ida"))
+              .join(b, F.col("id_b") == F.col("__idb")))
+    parts = []
+    for f in flds:
+        fa, fb = F.col(f"__a_{f}"), F.col(f"__b_{f}")
+        both = fa.isNotNull() & fb.isNotNull()
+        parts.append(F.when(both & (fa == fb), F.lit("1"))
+                     .when(both, F.lit("0")).otherwise(F.lit("?")))
+    return (joined.groupBy(F.concat(*parts).alias("pattern"))
+            .agg(F.count(F.lit(1)).alias("n_pairs")))
+
+
+def linkage_em(records: DataFrame, pairs: DataFrame, id_col: str,
+               fields: "str | list[str]", n_iter: int = 20,
+               init_lambda: float = 0.1, init_m: float = 0.9,
+               init_u: "dict | None" = None) -> dict:
+    """Unsupervised Fellegi-Sunter parameter estimation (Winkler's
+    EM under conditional independence): learns the match prevalence
+    ``lambda``, per-field ``m`` (P(agree | true match)) and ``u``
+    (P(agree | non-match)) from the candidate pairs themselves — no
+    labels.  Feed the learned ``m``/``u`` into
+    :func:`linkage_score_pairs` (which accepts explicit ``u`` and a
+    per-call ``m``) for calibrated log-odds instead of guessed
+    weights.
+
+    Returns ``{"lambda": float, "m": {field: float},
+    "u": {field: float}, "n_pairs": int, "n_iter": int}``.
+
+    Fixed ``n_iter`` (the kmeans_fit protocol: deterministic,
+    replayable pass budget); ``init_u`` defaults to
+    :func:`field_u_probs` on the corpus — the standard EM warm start.
+    Fields with '?' (NULL on either side) are excluded from that
+    pair's likelihood, the textbook missing-at-random treatment.
+
+    Scale: ONE Spark job builds the O(3^#fields) agreement-pattern
+    histogram (:func:`agreement_pattern_counts`); every EM iteration
+    is driver arithmetic over that histogram — pair volume is touched
+    exactly once no matter how many iterations run.
+    """
+    flds = _collist(fields)
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1: {n_iter}")
+    if not 0.0 < init_lambda < 1.0:
+        raise ValueError(f"init_lambda must be in (0, 1): {init_lambda}")
+    pats = {r["pattern"]: r["n_pairs"] for r in
+            agreement_pattern_counts(records, pairs, id_col,
+                                     flds).collect()}
+    n = sum(pats.values())
+    if n == 0:
+        raise ValueError("linkage_em: no candidate pairs")
+    u0 = init_u if init_u is not None else field_u_probs(records, flds)
+    lam = float(init_lambda)
+    m = {f: float(init_m) for f in flds}
+    u = {f: float(u0[f]) for f in flds}
+    eps = 1e-9
+
+    def _clamp(x):
+        return min(1.0 - eps, max(eps, x))
+
+    for _ in range(n_iter):
+        # E-step: posterior match weight per pattern
+        w = {}
+        for pat, c in pats.items():
+            pm, pu = lam, 1.0 - lam
+            for f, g in zip(flds, pat):
+                if g == "1":
+                    pm *= m[f]
+                    pu *= u[f]
+                elif g == "0":
+                    pm *= 1.0 - m[f]
+                    pu *= 1.0 - u[f]
+            w[pat] = pm / (pm + pu) if (pm + pu) > 0 else 0.0
+        # M-step
+        tot_w = sum(pats[p] * w[p] for p in pats)
+        lam = _clamp(tot_w / n)
+        for i, f in enumerate(flds):
+            num_m = den_m = num_u = den_u = 0.0
+            for pat, c in pats.items():
+                if pat[i] == "?":
+                    continue
+                cw = c * w[pat]
+                den_m += cw
+                den_u += c - cw
+                if pat[i] == "1":
+                    num_m += cw
+                    num_u += c - cw
+            if den_m > 0:
+                m[f] = _clamp(num_m / den_m)
+            if den_u > 0:
+                u[f] = _clamp(num_u / den_u)
+    return {"lambda": lam, "m": m, "u": u, "n_pairs": int(n),
+            "n_iter": int(n_iter)}

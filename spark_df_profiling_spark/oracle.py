@@ -1943,6 +1943,29 @@ FROM (
   FROM prs
   JOIN documents ra ON ra.doc_id = prs.id_a
   JOIN documents rb ON rb.doc_id = prs.id_b, uv)
+UNION ALL
+-- agreement_pattern_counts replay (the EM sufficient statistics):
+-- every SNM pair collapses to its (lang, source) agreement pattern;
+-- v1 = pattern with '1'/'0'/'?' mapped to 2/1/0 digits (the slot's
+-- v1 column is numeric), v2 = n_pairs
+SELECT 'apat',
+       CAST((CASE WHEN ra.lang IS NULL OR rb.lang IS NULL THEN 0
+                  WHEN ra.lang = rb.lang THEN 2 ELSE 1 END) * 10
+          + (CASE WHEN ra.source IS NULL OR rb.source IS NULL THEN 0
+                  WHEN ra.source = rb.source THEN 2 ELSE 1 END)
+            AS BIGINT),
+       count(*), NULL
+FROM (
+  WITH rnk3 AS (
+    SELECT doc_id AS id,
+           row_number() OVER (ORDER BY substr(text, 1, 30) NULLS LAST,
+                              doc_id) AS rn
+    FROM documents WHERE doc_id IS NOT NULL)
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM rnk3 a JOIN rnk3 b ON b.rn > a.rn AND b.rn <= a.rn + 3) prs
+JOIN documents ra ON ra.doc_id = prs.id_a
+JOIN documents rb ON rb.doc_id = prs.id_b
+GROUP BY 2
 ORDER BY part, v1
 """)
 def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2117,10 +2140,26 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_a").alias("v1"), F.col("id_b").alias("v2"),
         F.floor(F.col("fs_score") * 10000 + F.lit(0.5))
         .cast("long").alias("v3"))
+    # 'apat' rows grade agreement_pattern_counts (the linkage_em
+    # sufficient statistics) on the same SNM pairs: pattern chars
+    # '1'/'0'/'?' map to digits 2/1/0 for the numeric v1 column
+    from spark_df_profiling_spark.operators.dedup import (
+        agreement_pattern_counts)
+    apc = agreement_pattern_counts(
+        d.select("doc_id", "lang", "source"),
+        snm_pairs.select("id_a", "id_b"),
+        "doc_id", ["lang", "source"])
+    apr = apc.select(
+        F.lit("apat").alias("part"),
+        F.translate(F.col("pattern"), "10?", "210")
+        .cast("long").alias("v1"),
+        F.col("n_pairs").cast("long").alias("v2"),
+        F.lit(None).cast("long").alias("v3"))
     return (kept.unionByName(stats).unionByName(ld).unionByName(sd)
             .unionByName(hist_rows).unionByName(bloom)
             .unionByName(soft).unionByName(hll).unionByName(fz)
-            .unionByName(snm).unionByName(fsr).orderBy("part", "v1"))
+            .unionByName(snm).unionByName(fsr).unionByName(apr)
+            .orderBy("part", "v1"))
 
 
 # ---------------------------------------------------------------------------

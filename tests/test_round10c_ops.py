@@ -368,3 +368,102 @@ def test_missingness_patterns_validation(spark):
         missingness_patterns(df, ["nope"])
     with pytest.raises(ValueError):
         missingness_patterns(df, ["id"], top_k=0)
+
+
+# --------------------------------------- linkage EM (Fellegi-Sunter)
+from spark_df_profiling_spark.operators.dedup import (
+    agreement_pattern_counts, linkage_em)
+
+
+def test_agreement_pattern_counts(fs_records, fs_pairs):
+    got = {r.pattern: r.n_pairs
+           for r in agreement_pattern_counts(
+               fs_records, fs_pairs, "id", ["lang", "city"]).collect()}
+    # (1,2): lang=a=a, city=x=x -> '11'; (1,4): a/b, x/y -> '00'
+    # (2,6): lang NULL side -> '?', city x/z -> '?0'
+    # (3,4): a/b, y=y -> '01'
+    assert got == {"11": 1, "00": 1, "?0": 1, "01": 1}
+    with pytest.raises(ValueError):
+        agreement_pattern_counts(fs_records, fs_pairs, "id", [])
+
+
+def _em_python(pats, flds, lam, m, u, n_iter):
+    """Reference EM replay (same clamps as the operator)."""
+    eps = 1e-9
+    cl = lambda x: min(1.0 - eps, max(eps, x))
+    n = sum(pats.values())
+    for _ in range(n_iter):
+        w = {}
+        for pat in pats:
+            pm, pu = lam, 1.0 - lam
+            for f, g in zip(flds, pat):
+                if g == "1":
+                    pm *= m[f]; pu *= u[f]
+                elif g == "0":
+                    pm *= 1.0 - m[f]; pu *= 1.0 - u[f]
+            w[pat] = pm / (pm + pu) if (pm + pu) > 0 else 0.0
+        lam = cl(sum(pats[p] * w[p] for p in pats) / n)
+        for i, f in enumerate(flds):
+            nm = dm = nu = du = 0.0
+            for pat, c in pats.items():
+                if pat[i] == "?":
+                    continue
+                cw = c * w[pat]
+                dm += cw; du += c - cw
+                if pat[i] == "1":
+                    nm += cw; nu += c - cw
+            if dm > 0: m[f] = cl(nm / dm)
+            if du > 0: u[f] = cl(nu / du)
+    return lam, m, u
+
+
+def test_linkage_em_matches_python_replay(fs_records, fs_pairs):
+    est = linkage_em(fs_records, fs_pairs, "id", ["lang", "city"],
+                     n_iter=7, init_u={"lang": 0.3, "city": 0.2})
+    pats = {"11": 1, "00": 1, "?0": 1, "01": 1}
+    lam, m, u = _em_python(pats, ["lang", "city"], 0.1,
+                           {"lang": 0.9, "city": 0.9},
+                           {"lang": 0.3, "city": 0.2}, 7)
+    assert est["lambda"] == pytest.approx(lam)
+    assert est["m"]["lang"] == pytest.approx(m["lang"])
+    assert est["u"]["city"] == pytest.approx(u["city"])
+    assert est["n_pairs"] == 4
+
+
+def test_linkage_em_recovers_planted_mixture(spark):
+    # 200 true-dup pairs (95% field agreement) + 800 random pairs over
+    # 5/40-value fields: EM must land near lambda=0.2, m~0.95,
+    # u_lang~1/5, u_src~1/40
+    import random
+    rng = random.Random(3)
+    recs, prs, rid = [], [], 0
+    for i in range(200):
+        a, b = rid, rid + 1; rid += 2
+        la, sa = f"L{i % 5}", f"S{i % 40}"
+        recs += [(a, la, sa),
+                 (b, la if rng.random() < .95 else "LX",
+                  sa if rng.random() < .95 else "SX")]
+        prs.append((a, b))
+    for _ in range(800):
+        a, b = rid, rid + 1; rid += 2
+        recs += [(a, f"L{rng.randrange(5)}", f"S{rng.randrange(40)}"),
+                 (b, f"L{rng.randrange(5)}", f"S{rng.randrange(40)}")]
+        prs.append((a, b))
+    r = spark.createDataFrame(recs, "id long, lang string, src string")
+    p = spark.createDataFrame(prs, "id_a long, id_b long")
+    est = linkage_em(r, p, "id", ["lang", "src"], n_iter=30)
+    assert 0.15 < est["lambda"] < 0.25
+    assert est["m"]["lang"] > 0.9 and est["m"]["src"] > 0.9
+    assert 0.1 < est["u"]["lang"] < 0.3
+    assert est["u"]["src"] < 0.05
+
+
+def test_linkage_em_validation(fs_records, fs_pairs, spark):
+    with pytest.raises(ValueError):
+        linkage_em(fs_records, fs_pairs, "id", ["lang"], n_iter=0)
+    with pytest.raises(ValueError):
+        linkage_em(fs_records, fs_pairs, "id", ["lang"],
+                   init_lambda=1.0)
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="no candidate pairs"):
+        linkage_em(fs_records, empty, "id", ["lang"])
