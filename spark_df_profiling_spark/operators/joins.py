@@ -413,3 +413,66 @@ def merge_intervals(df: DataFrame, key_cols: "str | Sequence[str]",
                  F.max("__e").alias("span_end"),
                  F.count(F.lit(1)).alias("n_merged"))
             .drop("__span"))
+
+
+def bloom_filtered_join(fact: DataFrame, dim: DataFrame,
+                        fact_key: str, dim_key: "str | None" = None,
+                        how: str = "inner",
+                        m_bits: int = 1 << 20, k: int = 5,
+                        state: "DataFrame | None" = None) -> DataFrame:
+    """Shuffle-reduction join: drop fact rows whose key DEFINITELY
+    has no dim partner (Bloom filter over the dim keys) BEFORE the
+    join shuffle, then run the ordinary equi-join on the survivors.
+    Bloom filters have no false negatives, so the result is
+    bit-identical to the plain join — false positives only cost
+    their own (wasted) shuffle, bounded by the fpp.
+
+    The explicit, cross-run variant of Spark's runtime bloom-filter
+    pushdown (``spark.sql.optimizer.runtime.bloomFilter.enabled``,
+    which only fires under AQE with selective build sides it can
+    prove): pass ``state`` — a persisted
+    :func:`operators.dedup.bloom_state` over the dim keys, built once
+    and merged day-2 like every sketch state in this repo — and the
+    dim side isn't even scanned for filter construction.  When the
+    dim fits the broadcast threshold a broadcast join already avoids
+    the fact shuffle; this operator is for the regime where the dim
+    is too big to broadcast but its KEY SET still prunes most of the
+    fact (the ~KB Bloom state broadcasts where the dim cannot).
+
+    ``how`` must be ``inner`` or ``left_semi`` — outer joins must
+    keep non-matching fact rows, so pre-filtering would corrupt them
+    (raises).  ``m_bits``/``k`` must match ``state`` when given.
+
+    Scale: state build = one dim-key scan collapsing to <= m_bits/64
+    rows (always broadcastable); the fact side pays one k-position
+    md5 probe per DISTINCT key plus the (now smaller) join shuffle.
+    """
+    from spark_df_profiling_spark.operators.dedup import (
+        bloom_might_contain, bloom_state)
+    if how not in ("inner", "left_semi", "leftsemi", "semi"):
+        raise ValueError(
+            f"bloom_filtered_join: how must be inner/left_semi "
+            f"(outer joins need the unmatched fact rows the filter "
+            f"drops): {how!r}")
+    dk = dim_key or fact_key
+    if fact_key not in fact.columns:
+        raise ValueError(f"fact missing column: {fact_key!r}")
+    if dk not in dim.columns:
+        raise ValueError(f"dim missing column: {dk!r}")
+    if state is None:
+        state = bloom_state(dim.select(dk), cols=[dk],
+                            m_bits=m_bits, k=k)
+    filtered = (bloom_might_contain(fact, state, cols=[fact_key],
+                                    m_bits=m_bits, k=k,
+                                    out_col="__bf_mc")
+                .where(F.col("__bf_mc")).drop("__bf_mc"))
+    if how == "inner":
+        if dk == fact_key:
+            return filtered.join(dim, on=fact_key, how="inner")
+        # Frame-qualified refs: dim may also carry a column named
+        # fact_key, which would make a bare F.col(fact_key) ambiguous.
+        return filtered.join(dim, filtered[fact_key] == dim[dk],
+                             "inner")
+    return (filtered.join(dim.select(F.col(dk).alias(fact_key)),
+                          on=fact_key, how="left_semi")
+            .select(*fact.columns))  # on= reorders; restore fact order

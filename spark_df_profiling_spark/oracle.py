@@ -3311,23 +3311,65 @@ def grouped_profile_op(spark: SparkSession, sf_dir: str) -> DataFrame:
 # set ops, rollup) — present in the engine's toolbox, oracle-checked.
 # ---------------------------------------------------------------------------
 @query("join_broadcast_dim", f"""
-SELECT c.c_mktsegment,
+SELECT 'bcast' AS mode, c.c_mktsegment AS g,
        count(*) AS cnt,
        {_psig('sum(o.o_totalprice)')} AS sum_price_s
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment
-ORDER BY c.c_mktsegment
+UNION ALL
+-- 'bloomf': bloom_filtered_join is bit-identical to the plain join
+-- (no false negatives; inner join kills false positives), so the
+-- replay IS the plain join on the same sparse dim — grading the
+-- identity end to end
+SELECT 'bloomf', c.c_mktsegment, count(*),
+       {_psig('sum(o.o_totalprice)')}
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_custkey % 7 = 0
+GROUP BY c.c_mktsegment
+UNION ALL
+SELECT 'bsemi', o.o_orderstatus, count(*),
+       {_psig('sum(o.o_totalprice)')}
+FROM orders o
+WHERE o.o_custkey IN (SELECT c_custkey FROM customer
+                      WHERE c_custkey % 7 = 0)
+GROUP BY o.o_orderstatus
+ORDER BY mode, g
 """)
 def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact-to-dim join: the dim side is explicitly broadcast (at 100 TB
-    the orders fact never shuffles for this join)."""
+    the orders fact never shuffles for this join).  bloomf/bsemi parts
+    run :func:`operators.joins.bloom_filtered_join` against a sparse
+    dim (every 7th custkey) — inner and left_semi — and must reproduce
+    the plain join exactly (Bloom pre-filters never drop a match)."""
+    from spark_df_profiling_spark.operators.joins import (
+        bloom_filtered_join)
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
-    return (o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-            .groupBy("c_mktsegment")
-            .agg(F.count(F.lit(1)).alias("cnt"),
-                 sig(F.sum("o_totalprice")).alias("sum_price_s"))
-            .orderBy("c_mktsegment"))
+    bcast = (o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+             .groupBy(F.col("c_mktsegment").alias("g"))
+             .agg(F.count(F.lit(1)).alias("cnt"),
+                  sig(F.sum("o_totalprice")).alias("sum_price_s"))
+             .select(F.lit("bcast").alias("mode"), "g", "cnt",
+                     "sum_price_s"))
+    sparse = c.where(F.col("c_custkey") % 7 == 0)
+    bloomf = (bloom_filtered_join(o, sparse, "o_custkey", "c_custkey",
+                                  m_bits=1 << 18, k=5)
+              .groupBy(F.col("c_mktsegment").alias("g"))
+              .agg(F.count(F.lit(1)).alias("cnt"),
+                   sig(F.sum("o_totalprice")).alias("sum_price_s"))
+              .select(F.lit("bloomf").alias("mode"), "g", "cnt",
+                      "sum_price_s"))
+    bsemi = (bloom_filtered_join(o, sparse.select("c_custkey"),
+                                 "o_custkey", "c_custkey",
+                                 how="left_semi",
+                                 m_bits=1 << 18, k=5)
+             .groupBy(F.col("o_orderstatus").alias("g"))
+             .agg(F.count(F.lit(1)).alias("cnt"),
+                  sig(F.sum("o_totalprice")).alias("sum_price_s"))
+             .select(F.lit("bsemi").alias("mode"), "g", "cnt",
+                     "sum_price_s"))
+    return (bcast.unionByName(bloomf).unionByName(bsemi)
+            .orderBy("mode", "g"))
 
 
 @query("window_topn_per_group", """
