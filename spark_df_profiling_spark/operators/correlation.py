@@ -362,3 +362,90 @@ def autocorr(df: DataFrame, ts_col: str, value_col: str,
         F.when((F.col("__sx") > 0) & (F.col("__sy") > 0),
                F.col("__cov") / (F.col("__sx") * F.col("__sy")))
         .alias("acf"))
+
+
+def correlation_ratio(df: DataFrame, cat_col: str, num_col: str
+                      ) -> DataFrame:
+    """Correlation ratio η² (eta-squared) — the numeric~categorical
+    association the Pearson matrix and :func:`categorical_association`
+    both miss: how much of a numeric column's variance is explained by
+    a categorical grouping (one-way-ANOVA SS_between / SS_total).
+    ONE row: ``(n, n_groups, eta2, eta)``; ``eta2`` is NULL when the
+    numeric column is constant (SS_total = 0) — same degenerate-table
+    contract as ``cramers_v``.
+
+    Rows with a NULL in either column are dropped (the
+    :func:`categorical_association` convention).
+
+    Scale: ONE map-side-combined groupBy on the category (per-group
+    count/sum/sum-of-squares — the shuffle carries #groups rows), then
+    a single aggregate over that state frame.  One scan, no window,
+    no join; hot categories combine map-side.
+    """
+    c, v = F.col(cat_col), F.col(num_col).cast("double")
+    g = (df.where(c.isNotNull() & v.isNotNull() & ~F.isnan(v))
+         .groupBy(c.alias("__g"))
+         .agg(F.count(F.lit(1)).alias("__n"),
+              F.sum(v).alias("__s"),
+              F.sum(v * v).alias("__s2")))
+    nn = F.sum("__n").cast("double")
+    s = F.sum("__s")
+    ssb = F.sum(F.col("__s") * F.col("__s") / F.col("__n")) - s * s / nn
+    sst = F.sum("__s2") - s * s / nn
+    eta2 = F.when(sst > 0,
+                  F.least(F.greatest(ssb / sst, F.lit(0.0)),
+                          F.lit(1.0)))
+    return g.agg(F.sum("__n").alias("n"),
+                 F.count(F.lit(1)).alias("n_groups"),
+                 eta2.alias("eta2"),
+                 F.sqrt(eta2).alias("eta"))
+
+
+def theil_u(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
+    """Theil's uncertainty coefficient U(y|x) — the ASYMMETRIC
+    categorical association: the fraction of y's entropy explained by
+    knowing x, ``(H(y) − H(y|x)) / H(y)`` in [0, 1].  Unlike
+    Cramér's V it answers "does x predict y" and "does y predict x"
+    separately — the direction matters for leakage screens (a feature
+    that determines the label scores U(label|feature)=1 even when the
+    label doesn't determine the feature).  ONE row:
+    ``(n, x_levels, y_levels, h_y, h_y_given_x, u)``; ``u`` is NULL
+    when y is constant (H(y) = 0).  NULL rows dropped (the
+    :func:`categorical_association` convention); entropies in nats.
+
+    Scale: the :func:`categorical_association` recipe — ONE map-side-
+    combined groupBy on the (x, y) pair is the only row-scale shuffle;
+    margins re-aggregate the #cells frame and join back broadcast.
+    """
+    x, y = F.col(col_x), F.col(col_y)
+    joint = (df.where(x.isNotNull() & y.isNotNull())
+             .groupBy(x.alias("__x"), y.alias("__y"))
+             .agg(F.count(F.lit(1)).alias("__o")))
+    mx = joint.groupBy("__x").agg(F.sum("__o").alias("__nx"))
+    my = joint.groupBy("__y").agg(F.sum("__o").alias("__ny"))
+    tot = joint.agg(F.sum("__o").alias("__n"),
+                    F.count_distinct("__x").alias("__xl"),
+                    F.count_distinct("__y").alias("__yl"))
+    cells = (joint.join(F.broadcast(mx), "__x")
+             .crossJoin(F.broadcast(tot)))
+    o = F.col("__o").cast("double")
+    n = F.col("__n").cast("double")
+    nx = F.col("__nx").cast("double")
+    agg = cells.agg(
+        F.first("__n").alias("n"),
+        F.first("__xl").alias("x_levels"),
+        F.first("__yl").alias("y_levels"),
+        # H(y|x) = -Σ_cells p(x,y) ln p(y|x); zero cells contribute 0
+        F.sum(-(o / n) * F.log(o / nx)).alias("h_y_given_x"))
+    # H(y) over the y-margin frame (each distinct y exactly once)
+    hy = my.crossJoin(F.broadcast(tot)).agg(
+        F.sum(-(F.col("__ny").cast("double") / F.col("__n"))
+              * F.log(F.col("__ny").cast("double") / F.col("__n")))
+        .alias("h_y"))
+    out = agg.crossJoin(F.broadcast(hy))
+    u = F.when(F.col("h_y") > 0,
+               F.least(F.greatest(
+                   (F.col("h_y") - F.col("h_y_given_x"))
+                   / F.col("h_y"), F.lit(0.0)), F.lit(1.0)))
+    return out.select("n", "x_levels", "y_levels", "h_y",
+                      "h_y_given_x", u.alias("u"))

@@ -654,3 +654,171 @@ def resample_fill(df: DataFrame, ts_col: str, key_col: str,
         n.alias("n_obs"),
         filled.alias("v"),
         (n == 0).alias("filled"))
+
+
+def seasonal_stats(df: DataFrame, ts_col: str, key_col: str,
+                   value_col: str, period: float,
+                   slots_per_period: int = 24,
+                   n_cycles: int = 4,
+                   stat: str = "sum") -> DataFrame:
+    """Per-(key, bucket) statistic vs its SEASONAL baseline — the same
+    slot-of-period in the previous ``n_cycles`` cycles.
+
+    :func:`rolling_stats_bucketed` answers "is this bucket unusual vs
+    the last hour"; this answers "is this bucket unusual vs the same
+    hour on previous days" — the baseline that doesn't false-alarm on
+    ordinary daily/weekly shape.  ``period`` is the cycle length in
+    ``ts_col`` units (86400 for daily seasonality over epoch-seconds),
+    split into ``slots_per_period`` slots; ``stat`` picks the bucket
+    statistic to track: ``sum`` (volume), ``mean`` (level), ``count``
+    (arrival rate).
+
+    Output per occupied (key, bucket): ``slot``, ``cycle``,
+    ``bucket_start``, ``value``, and the baseline over the same slot
+    in cycles ``[cycle - n_cycles, cycle - 1]`` — ``base_n`` (cycles
+    observed), ``base_mean``, ``base_std`` (sample).  Missing cycles
+    simply don't contribute (RANGE frame on the integer cycle index,
+    so a gap never lets the frame reach further back in time).
+
+    Scale: ONE map-side-combined (key, bucket) aggregate over the
+    events, then ONE window pass partitioned by (key, slot) — both
+    keyed on uniform composite keys; a 50%-hot key is spread by the
+    bucket/slot dimension in both stages (the
+    :func:`rolling_stats_bucketed` design).  Bucket ids, slots and
+    cycles are INTEGER arithmetic end to end — no double round-trips
+    (the r9 ADVICE lesson).
+    """
+    if period <= 0 or slots_per_period < 1:
+        raise ValueError(f"need period > 0, slots_per_period >= 1: "
+                         f"{period}, {slots_per_period}")
+    if n_cycles < 1:
+        raise ValueError(f"n_cycles must be >= 1: {n_cycles}")
+    if stat not in ("sum", "mean", "count"):
+        raise ValueError(f"stat must be sum/mean/count: {stat!r}")
+    gran = float(period) / slots_per_period
+    t = F.col(ts_col).cast("double")
+    v = F.col(value_col).cast("double")
+    base = (df.where(t.isNotNull() & F.col(key_col).isNotNull())
+            .select(F.col(key_col).alias("__k"),
+                    F.floor(t / F.lit(gran)).cast("long").alias("__b"),
+                    v.alias("__v")))
+    agg = {"sum": F.sum("__v"), "mean": F.avg("__v"),
+           "count": F.count("__v").cast("double")}[stat]
+    part = (base.groupBy("__k", "__b")
+            .agg(agg.alias("value"))
+            # integer floor-div/mod: pmod keeps slots in [0, spp) for
+            # negative buckets (pre-epoch timestamps)
+            .withColumn("slot", F.pmod(F.col("__b"),
+                                       F.lit(slots_per_period))
+                        .cast("long"))
+            # (__b - slot) is an exact multiple of spp, so integer
+            # `div` is exact for any sign — never a double round-trip
+            .withColumn("cycle",
+                        F.expr(f"(__b - slot) div "
+                               f"{int(slots_per_period)}")))
+    frame = (f"OVER (PARTITION BY __k, slot ORDER BY cycle "
+             f"RANGE BETWEEN {n_cycles} PRECEDING AND 1 PRECEDING)")
+    n = F.col("__bn").cast("double")
+    var = (F.col("__bs2") - F.col("__bs") * F.col("__bs") / n) / (n - 1)
+    return (part.select(
+        "__k", "__b", "slot", "cycle", "value",
+        F.expr(f"count(value) {frame}").alias("__bn"),
+        F.expr(f"sum(value) {frame}").alias("__bs"),
+        F.expr(f"sum(value * value) {frame}").alias("__bs2"))
+        .select(F.col("__k").alias(key_col),
+                (F.col("__b") * gran).alias("bucket_start"),
+                "slot", "cycle", "value",
+                F.col("__bn").alias("base_n"),
+                F.when(n > 0, F.col("__bs") / n).alias("base_mean"),
+                F.when(n > 1,
+                       F.sqrt(F.greatest(var, F.lit(0.0))))
+                .alias("base_std")))
+
+
+def seasonal_anomaly(df: DataFrame, ts_col: str, key_col: str,
+                     value_col: str, period: float,
+                     slots_per_period: int = 24,
+                     n_cycles: int = 4, stat: str = "sum",
+                     z_threshold: float = 3.0,
+                     min_cycles: int = 2,
+                     std_floor: float = 1e-5) -> DataFrame:
+    """Seasonal-naive anomaly flags per (key, bucket): z-score of the
+    bucket statistic against the same-slot-previous-cycles baseline
+    from :func:`seasonal_stats`.
+
+    ``z`` is NULL during warm-up (fewer than ``min_cycles`` baseline
+    cycles) and for flat baselines (std <= ``std_floor`` — the
+    :func:`streaming.stateful_anomaly` guard, so a constant history
+    never divides by ~0).  ``is_anomaly`` = |z| > ``z_threshold``.
+    Bucket-level by design: seasonal deviations are statements about
+    the bucket aggregate, not single events — join back to events on
+    (key, floor(ts/gran)) when event rows must be flagged.
+    """
+    if z_threshold <= 0 or min_cycles < 1:
+        raise ValueError(f"need z_threshold > 0, min_cycles >= 1: "
+                         f"{z_threshold}, {min_cycles}")
+    s = seasonal_stats(df, ts_col, key_col, value_col, period,
+                       slots_per_period, n_cycles, stat)
+    z = F.when((F.col("base_n") >= min_cycles)
+               & (F.col("base_std") > std_floor),
+               (F.col("value") - F.col("base_mean"))
+               / F.col("base_std"))
+    return (s.withColumn("z", z)
+            .withColumn("is_anomaly",
+                        F.when(z.isNotNull(),
+                               F.abs(F.col("z")) > z_threshold)))
+
+
+def grouped_linregress(df: DataFrame, key_cols: "str | list[str]",
+                       x_col: str, y_col: str) -> DataFrame:
+    """Per-group simple linear regression y ~ a + b·x — slope,
+    intercept, and r² for every group in ONE map-side-combined
+    groupBy.  The per-key TREND detector: per-source volume drift
+    over time, per-user value trajectory, per-tenant growth — the
+    question :func:`seasonal_anomaly`/:func:`rolling_stats` (level
+    anomalies) don't answer.
+
+    ``x_col`` is numeric (epoch seconds for time trends — cast
+    timestamps explicitly, the :func:`decayed_stats` contract).  Rows
+    with NULL/NaN in either column are dropped per group.  Output per
+    group: ``n``, ``x_mean``, ``y_mean``, ``slope``, ``intercept``,
+    ``r2``.  Guards: slope/intercept NULL when n < 2 or x is constant
+    within the group; r² additionally NULL when y is constant
+    (0/0 — conventionally undefined, NOT 1.0).
+
+    Scale: built on ``covar_samp``/``var_samp`` — Spark's one-pass
+    numerically-stable co-moment updates (NOT raw Σxy/Σx² moments,
+    which cancel catastrophically when x is epoch-scale and the group
+    is long) — in ONE aggregate with map-side partials; the shuffle
+    carries #groups rows.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if not keys:
+        raise ValueError("grouped_linregress requires >= 1 key column")
+    for c in (x_col, y_col, *keys):
+        if c not in df.columns:
+            raise ValueError(f"missing column: {c!r}")
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = (df.where(x.isNotNull() & y.isNotNull()
+                     & ~F.isnan(x) & ~F.isnan(y))
+            .select(*keys, x.alias("__x"), y.alias("__y")))
+    g = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("__x").alias("x_mean"),
+        F.avg("__y").alias("y_mean"),
+        F.covar_samp("__x", "__y").alias("__cov"),
+        F.var_samp("__x").alias("__vx"),
+        F.var_samp("__y").alias("__vy"))
+    slope = F.when((F.col("n") >= 2) & (F.col("__vx") > 0),
+                   F.col("__cov") / F.col("__vx"))
+    r2 = F.when((F.col("n") >= 2) & (F.col("__vx") > 0)
+                & (F.col("__vy") > 0),
+                F.least(F.col("__cov") * F.col("__cov")
+                        / (F.col("__vx") * F.col("__vy")),
+                        F.lit(1.0)))
+    return g.select(
+        *keys, "n", "x_mean", "y_mean",
+        slope.alias("slope"),
+        (F.col("y_mean") - slope * F.col("x_mean")).alias("intercept"),
+        r2.alias("r2"))

@@ -1236,6 +1236,95 @@ def _key_sql() -> str:
     return "\nUNION ALL\n".join(parts)
 
 
+def _pgrank_sql(n_iter: int = 3, d: float = 0.85) -> str:
+    """Unrolled PageRank replay: the supplier→part graph (reverse
+    edges for even suppkeys → a mix of dangling and linked nodes),
+    every iteration's join + dangling redistribution as its own CTE —
+    the graph.pagerank math replayed end to end."""
+    iters = []
+    for i in range(1, n_iter + 1):
+        p = f"r{i - 1}"
+        iters.append(f"""
+r{i} AS (
+  SELECT nodes.node,
+         (1 - {d}) / nn.n
+         + {d} * (COALESCE(c.s, 0)
+                  + (SELECT COALESCE(sum(p.r), 0) FROM {p} p
+                     LEFT JOIN deg ON p.node = deg.src
+                     WHERE deg.src IS NULL) / nn.n) AS r
+  FROM nodes CROSS JOIN nn
+  LEFT JOIN (SELECT e.dst AS node, sum(p.r / deg.d) AS s
+             FROM e JOIN {p} p ON e.src = p.node
+             JOIN deg ON e.src = deg.src
+             GROUP BY e.dst) c ON nodes.node = c.node)""")
+    return f"""
+SELECT col_x, col_y, rho FROM (
+WITH e AS (
+  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                  'p' || CAST(l_partkey AS VARCHAR) AS dst
+  FROM lineitem WHERE l_orderkey < 2000
+  UNION
+  SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR),
+                  's' || CAST(l_suppkey AS VARCHAR)
+  FROM lineitem WHERE l_orderkey < 2000 AND l_suppkey % 2 = 0),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS (SELECT count(*) AS n FROM nodes),
+deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d
+        FROM e GROUP BY src),
+r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
+{",".join(iters)}
+SELECT 'pgrank' AS col_x, node AS col_y, {_psig('r')} AS rho
+FROM r{n_iter})
+"""
+
+
+_ETA_SQL = f"""
+SELECT 'eta' AS col_x, 'rf~qty' AS col_y,
+       CAST(n AS VARCHAR) || ':' || CAST(gg AS VARCHAR) || ':'
+           || coalesce({_psig('eta2')}, 'null') AS rho
+FROM (
+  SELECT CAST(sum(cn) AS BIGINT) AS n, count(*) AS gg,
+         CASE WHEN sum(s2) - sum(s) * sum(s) / sum(cn) > 0 THEN
+           least(greatest(
+             (sum(s * s / cn) - sum(s) * sum(s) / sum(cn))
+             / (sum(s2) - sum(s) * sum(s) / sum(cn)), 0), 1) END
+           AS eta2
+  FROM (
+    SELECT CAST(count(*) AS DOUBLE) AS cn,
+           sum(qty) AS s, sum(qty * qty) AS s2
+    FROM (SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS qty
+          FROM lineitem
+          WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+            AND NOT isnan(CAST(l_quantity AS DOUBLE)))
+    GROUP BY l_returnflag))
+"""
+
+
+def _theil_sql(xc: str, yc: str, label: str) -> str:
+    return f"""
+SELECT 'theil' AS col_x, '{label}' AS col_y,
+       CAST(n AS VARCHAR) || ':' || coalesce({_psig('h_y')}, 'null')
+           || ':' || coalesce({_psig('u')}, 'null') AS rho
+FROM (
+  WITH j AS (SELECT {xc} AS x, {yc} AS y, count(*) AS o
+             FROM lineitem
+             WHERE {xc} IS NOT NULL AND {yc} IS NOT NULL
+             GROUP BY 1, 2),
+  t AS (SELECT CAST(sum(o) AS DOUBLE) AS n FROM j),
+  mx AS (SELECT x, CAST(sum(o) AS DOUBLE) AS nx FROM j GROUP BY x),
+  my AS (SELECT y, CAST(sum(o) AS DOUBLE) AS ny FROM j GROUP BY y),
+  hyx AS (SELECT sum(-(CAST(j.o AS DOUBLE) / t.n)
+                     * ln(CAST(j.o AS DOUBLE) / mx.nx)) AS v
+          FROM j JOIN mx USING (x) CROSS JOIN t),
+  hy AS (SELECT sum(-(my.ny / t.n) * ln(my.ny / t.n)) AS v
+         FROM my CROSS JOIN t)
+  SELECT CAST(t.n AS BIGINT) AS n, hy.v AS h_y,
+         CASE WHEN hy.v > 0 THEN
+           least(greatest((hy.v - hyx.v) / hy.v, 0), 1) END AS u
+  FROM t CROSS JOIN hy CROSS JOIN hyx)
+"""
+
+
 @query("corr_matrix",
        f"{_corr_sql}\nUNION ALL\nSELECT * FROM (\n{_CATASSOC_SQL}\n)"
        f"\nUNION ALL\n"
@@ -1243,7 +1332,13 @@ def _key_sql() -> str:
        f"\nUNION ALL\n"
        f"{_fd_sql('l_orderkey', 'l_returnflag', 'ok->rf')}"
        f"\nUNION ALL\n{_key_sql()}"
-       f"\nUNION ALL\n{_inc_corr_sql(_INC_CORR_COLS)}")
+       f"\nUNION ALL\n{_inc_corr_sql(_INC_CORR_COLS)}"
+       f"\nUNION ALL\n{_pgrank_sql()}"
+       f"\nUNION ALL\n{_ETA_SQL}"
+       f"\nUNION ALL\n"
+       f"{_theil_sql('l_returnflag', 'l_linestatus', 'rf->ls')}"
+       f"\nUNION ALL\n"
+       f"{_theil_sql('l_linestatus', 'l_returnflag', 'ls->rf')}")
 def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_df_profiling_spark.operators.correlation import (
         categorical_association,
@@ -1312,8 +1407,56 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select(F.lit("inc").alias("col_x"),
                    F.concat_ws("|", "col_x", "col_y").alias("col_y"),
                    sig(F.col("rho")).alias("rho")))
+    # 'pgrank' rows grade graph.pagerank: 3 iterations over the
+    # supplier→part link graph (reverse edges for even suppkeys so
+    # both the dangling-mass and the linked paths are live); DuckDB
+    # unrolls every iteration as a CTE
+    from spark_df_profiling_spark.operators.graph import pagerank
+    base = li.where(F.col("l_orderkey") < 2000)
+    fwd = base.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+        .alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+        .alias("dst"))
+    rev = (base.where(F.col("l_suppkey") % 2 == 0)
+           .select(F.concat(F.lit("p"),
+                            F.col("l_partkey").cast("string"))
+                   .alias("src"),
+                   F.concat(F.lit("s"),
+                            F.col("l_suppkey").cast("string"))
+                   .alias("dst")))
+    pg = (pagerank(fwd.unionByName(rev), n_iter=3)
+          .select(F.lit("pgrank").alias("col_x"),
+                  F.col("node").alias("col_y"),
+                  sig(F.col("rank")).alias("rho")))
+    # 'eta'/'theil' rows grade correlation_ratio and theil_u — the
+    # numeric~categorical and asymmetric cat→cat associations; DuckDB
+    # replays the ANOVA sum-of-squares and the entropy assembly
+    # (both directions, pinning the asymmetry) including the clamps
+    from spark_df_profiling_spark.operators.correlation import (
+        correlation_ratio, theil_u)
+    er = correlation_ratio(li, "l_returnflag", "l_quantity").select(
+        F.lit("eta").alias("col_x"), F.lit("rf~qty").alias("col_y"),
+        F.concat_ws(":", F.col("n"), F.col("n_groups"),
+                    F.coalesce(sig(F.col("eta2")), F.lit("null")))
+        .alias("rho"))
+
+    def th_row(xc, yc, label):
+        return theil_u(li, xc, yc).select(
+            F.lit("theil").alias("col_x"),
+            F.lit(label).alias("col_y"),
+            F.concat_ws(
+                ":", F.col("n"),
+                F.coalesce(sig(F.col("h_y")), F.lit("null")),
+                F.coalesce(sig(F.col("u")), F.lit("null")))
+            .alias("rho"))
+
+    th = (th_row("l_returnflag", "l_linestatus", "rf->ls")
+          .unionByName(th_row("l_linestatus", "l_returnflag",
+                              "ls->rf")))
     return (pearson.unionByName(cat).unionByName(fd)
-            .unionByName(keys).unionByName(inc))
+            .unionByName(keys).unionByName(inc).unionByName(pg)
+            .unionByName(er).unionByName(th))
 
 
 # ---------------------------------------------------------------------------
@@ -1322,7 +1465,7 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("group_profile", f"""
 SELECT g.l_returnflag, g.l_linestatus, g.cnt, g.sum_qty, g.avg_price,
        g.avg_disc, g.sum_disc_price, q.q25_s, q.q50_s, q.q95_s,
-       o.n_out_lo, o.n_out_hi
+       o.n_out_lo, o.n_out_hi, tr.trend_slope_s, tr.trend_r2_s
 FROM (
   SELECT l_returnflag, l_linestatus,
          count(*) AS cnt,
@@ -1367,6 +1510,28 @@ JOIN (
   USING (l_returnflag, l_linestatus)
   GROUP BY li.l_returnflag, li.l_linestatus) o
 USING (l_returnflag, l_linestatus)
+JOIN (
+  -- grouped_linregress replay: per-group quantity trend over ship
+  -- days (integer datediff from an anchor — engine-portable, no tz),
+  -- the same covar_samp/var_samp co-moment assembly and guards
+  SELECT l_returnflag, l_linestatus,
+         coalesce({_psig('''CASE WHEN count(*) >= 2
+                        AND var_samp(xd) > 0
+                   THEN covar_samp(xd, yq) / var_samp(xd) END''')},
+                  'null') AS trend_slope_s,
+         coalesce({_psig('''CASE WHEN count(*) >= 2
+                        AND var_samp(xd) > 0 AND var_samp(yq) > 0
+                   THEN least(covar_samp(xd, yq) * covar_samp(xd, yq)
+                              / (var_samp(xd) * var_samp(yq)), 1.0)
+                   END''')}, 'null') AS trend_r2_s
+  FROM (SELECT l_returnflag, l_linestatus,
+               CAST(CAST(l_shipdate AS DATE) - DATE '1992-01-01'
+                    AS DOUBLE) AS xd,
+               CAST(l_quantity AS DOUBLE) AS yq
+        FROM lineitem
+        WHERE l_shipdate IS NOT NULL AND l_quantity IS NOT NULL)
+  GROUP BY l_returnflag, l_linestatus) tr
+USING (l_returnflag, l_linestatus)
 ORDER BY l_returnflag, l_linestatus
 """)
 def group_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1397,8 +1562,26 @@ def group_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 "l_extendedprice")
           .select("l_returnflag", "l_linestatus",
                   "n_out_lo", "n_out_hi"))
+    # trend_slope_s/trend_r2_s columns grade groupby.grouped_linregress
+    # — per-group quantity trend over integer ship-days (datediff from
+    # a fixed anchor keeps x engine-portable; covar/var co-moments
+    # replayed in DuckDB with the identical guards)
+    from spark_df_profiling_spark.operators.groupby import (
+        grouped_linregress)
+    tx = li.withColumn(
+        "__xd", F.datediff(F.col("l_shipdate").cast("date"),
+                           F.lit("1992-01-01").cast("date"))
+        .cast("double"))
+    tr = (grouped_linregress(tx, ["l_returnflag", "l_linestatus"],
+                             "__xd", "l_quantity")
+          .select("l_returnflag", "l_linestatus",
+                  F.coalesce(sig(F.col("slope")), F.lit("null"))
+                  .alias("trend_slope_s"),
+                  F.coalesce(sig(F.col("r2")), F.lit("null"))
+                  .alias("trend_r2_s")))
     return (base.join(gq, ["l_returnflag", "l_linestatus"])
             .join(go, ["l_returnflag", "l_linestatus"])
+            .join(tr, ["l_returnflag", "l_linestatus"])
             .orderBy("l_returnflag", "l_linestatus"))
 
 
@@ -4273,6 +4456,40 @@ FROM (
     WINDOW w AS (PARTITION BY user_id ORDER BY tus
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)))
 GROUP BY user_id
+UNION ALL
+-- seasonal_anomaly replay: per-(user, 900s bucket) value sums scored
+-- against the SAME slot-of-hour in the previous 3 hourly cycles
+-- (integer slot/cycle arithmetic, RANGE frame on cycle), with the
+-- min_cycles=2 and std-floor guards; reduced per user to (n scored
+-- buckets, max |z| in 1e-5 floor units)
+SELECT 'seas:' || CAST(__k AS VARCHAR),
+       CAST(sum(CASE WHEN sz IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(coalesce(max(floor(abs(sz) * 100000 + 0.5)), 0) AS BIGINT)
+FROM (
+  SELECT __k,
+         CASE WHEN bn >= 2 AND bstd > 0.00001
+              THEN (v - bm) / bstd END AS sz
+  FROM (
+    SELECT __k, v,
+           count(v) OVER w AS bn,
+           sum(v) OVER w / count(v) OVER w AS bm,
+           CASE WHEN count(v) OVER w > 1 THEN
+             sqrt(greatest((sum(v * v) OVER w
+                            - (sum(v) OVER w) * (sum(v) OVER w)
+                              / count(v) OVER w)
+                           / (count(v) OVER w - 1), 0)) END AS bstd
+    FROM (
+      SELECT __k, b, b % 4 AS slot, (b - (b % 4)) // 4 AS cycle,
+             sum("value") AS v
+      FROM (SELECT user_id AS __k,
+                   CAST(floor((epoch_ns(ts) // 1000) / 900000000.0)
+                        AS BIGINT) AS b,
+                   "value"
+            FROM events)
+      GROUP BY __k, b)
+    WINDOW w AS (PARTITION BY __k, slot ORDER BY cycle
+                 RANGE BETWEEN 3 PRECEDING AND 1 PRECEDING)))
+GROUP BY __k
 ORDER BY key
 """)
 def stateful_user_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4467,10 +4684,32 @@ def stateful_user_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.concat(F.lit("sanom:"),
                               F.col("key").cast("string")).alias("key"),
                      "total_events", "total_value_cents"))
+    # 'seas:' rows grade groupby.seasonal_anomaly — per-(user, 900s
+    # bucket) value sums z-scored against the same slot-of-hour in the
+    # previous 3 hourly cycles; DuckDB replays the integer slot/cycle
+    # arithmetic, the RANGE-on-cycle baseline frame, and both guards.
+    # Reduced per user to (n scored buckets, max |z| in 1e-5 units)
+    from spark_df_profiling_spark.operators.groupby import (
+        seasonal_anomaly)
+    se = seasonal_anomaly(evm, "tus", "user_id", "value",
+                          period=3_600_000_000.0, slots_per_period=4,
+                          n_cycles=3, stat="sum", z_threshold=3.0,
+                          min_cycles=2)
+    seas = (se.groupBy("user_id")
+            .agg(F.sum(F.when(F.col("z").isNotNull(), 1).otherwise(0))
+                 .cast("long").alias("total_events"),
+                 F.coalesce(F.max(F.floor(F.abs(F.col("z")) * 100000
+                                          + F.lit(0.5))), F.lit(0))
+                 .cast("long").alias("total_value_cents"))
+            .select(F.concat(F.lit("seas:"),
+                             F.col("user_id").cast("string"))
+                    .alias("key"),
+                    "total_events", "total_value_cents"))
     return (totals_rows.unionByName(fun).unionByName(roll)
             .unionByName(acf).unionByName(anom).unionByName(broll)
             .unionByName(banom).unionByName(gp).unionByName(gpm)
             .unionByName(gps).unionByName(rfill).unionByName(sanom)
+            .unionByName(seas)
             .orderBy("key"))
 
 

@@ -99,3 +99,380 @@ def test_bloom_validation(fact, dim):
         bloom_filtered_join(fact, dim, "nope", "dk")
     with pytest.raises(ValueError, match="dim missing"):
         bloom_filtered_join(fact, dim, "fk", "nope")
+
+
+# ---------------------------------------------------------------------------
+# pagerank
+# ---------------------------------------------------------------------------
+def _pagerank_py(edges, d=0.85, n_iter=10):
+    """Reference PageRank: dict-based, dangling mass redistributed."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(nodes)
+    out = {}
+    for u, v in set(edges):
+        out.setdefault(u, set()).add(v)
+    r = {x: 1.0 / n for x in nodes}
+    for _ in range(n_iter):
+        dm = sum(r[x] for x in nodes if x not in out)
+        nxt = {}
+        for x in nodes:
+            nxt[x] = (1 - d) / n + d * dm / n
+        for u, vs in out.items():
+            w = r[u] / len(vs)
+            for v in vs:
+                nxt[v] += d * w
+        r = nxt
+    return r
+
+
+def test_pagerank_matches_python_reference(spark):
+    from spark_df_profiling_spark.operators.graph import pagerank
+    # mixed graph: a hub, a chain, a dangling sink, a 2-cycle
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+             ("c", "d"), ("d", "e"),  # e dangling
+             ("f", "g"), ("g", "f")]
+    want = _pagerank_py(edges, n_iter=7)
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["rank"]
+           for r in pagerank(e, n_iter=7).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_cycle_is_uniform(spark):
+    from spark_df_profiling_spark.operators.graph import pagerank
+    e = spark.createDataFrame(
+        [(i, (i + 1) % 5) for i in range(5)], "src int, dst int")
+    got = [r["rank"] for r in pagerank(e, n_iter=12).collect()]
+    assert len(got) == 5
+    for v in got:
+        assert abs(v - 0.2) < 1e-12
+
+
+def test_pagerank_multi_edges_and_nulls(spark):
+    from spark_df_profiling_spark.operators.graph import pagerank
+    # duplicate a->b edges collapse under dedup_edges; NULLs dropped
+    rows = [("a", "b"), ("a", "b"), ("a", "c"),
+            (None, "b"), ("c", None)]
+    e = spark.createDataFrame(rows, "src string, dst string")
+    want = _pagerank_py([("a", "b"), ("a", "c")], n_iter=5)
+    got = {r["node"]: r["rank"]
+           for r in pagerank(e, n_iter=5).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9
+    # multiplicity mode: a->b twice means b gets 2/3 of a's mass
+    got2 = {r["node"]: r["rank"]
+            for r in pagerank(e, n_iter=1,
+                              dedup_edges=False).collect()}
+    n = 3
+    dm = 2.0 / n  # b and c have no out-edges
+    assert abs(got2["b"] - ((1 - .85) / n + .85 * (dm / n
+               + (1 / n) * (2 / 3)))) < 1e-12
+
+
+def test_pagerank_validation(spark):
+    from spark_df_profiling_spark.operators.graph import pagerank
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(e, damping=1.0)
+    with pytest.raises(ValueError, match="n_iter"):
+        pagerank(e, n_iter=0)
+    with pytest.raises(ValueError, match="missing column"):
+        pagerank(e, src_col="nope")
+    empty = spark.createDataFrame([(None, "b")],
+                                  "src string, dst string")
+    with pytest.raises(ValueError, match="empty"):
+        pagerank(empty.where(F.col("src").isNotNull()))
+
+
+# ---------------------------------------------------------------------------
+# seasonal_stats / seasonal_anomaly
+# ---------------------------------------------------------------------------
+def _seasonal_py(rows, period, spp, n_cycles, stat="sum"):
+    """Reference: rows = (key, ts, value) -> {(k, b): (slot, cycle,
+    value, base_n, base_mean, base_std)}."""
+    import math as _m
+    gran = period / spp
+    buckets = {}
+    for k, ts, v in rows:
+        if k is None or ts is None:
+            continue
+        b = _m.floor(ts / gran)
+        buckets.setdefault((k, b), []).append(float(v))
+    vals = {}
+    for (k, b), vs in buckets.items():
+        vals[(k, b)] = {"sum": sum(vs),
+                        "mean": sum(vs) / len(vs),
+                        "count": float(len(vs))}[stat]
+    out = {}
+    for (k, b), x in vals.items():
+        slot, cycle = b % spp, (b - b % spp) // spp
+        hist = [vals[(k, (c * spp) + slot)]
+                for c in range(cycle - n_cycles, cycle)
+                if (k, (c * spp) + slot) in vals]
+        n = len(hist)
+        mean = sum(hist) / n if n else None
+        std = None
+        if n > 1:
+            var = sum((h - mean) ** 2 for h in hist) / (n - 1)
+            std = _m.sqrt(max(var, 0.0))
+        out[(k, b)] = (slot, cycle, x, n, mean, std)
+    return out
+
+
+def test_seasonal_stats_matches_python(spark):
+    from spark_df_profiling_spark.operators.groupby import (
+        seasonal_stats)
+    import random
+    rng = random.Random(7)
+    rows = []
+    # 6 daily cycles of 4 slots, 2 keys, some buckets empty, plus a
+    # pre-epoch (negative ts) bucket to pin pmod/div sign handling
+    for day in range(6):
+        for slot in range(4):
+            for k in ("a", "b"):
+                if rng.random() < 0.15:
+                    continue  # gap cycle for this slot
+                for _ in range(rng.randrange(1, 4)):
+                    rows.append((k, day * 100.0 + slot * 25.0
+                                 + rng.random() * 20.0,
+                                 rng.uniform(1, 9)))
+    rows.append(("a", -30.0, 5.0))
+    rows.append(("a", None, 1.0))
+    rows.append((None, 10.0, 1.0))
+    want = _seasonal_py(rows, period=100.0, spp=4, n_cycles=3)
+    df = spark.createDataFrame(rows, "k string, ts double, v double")
+    got = seasonal_stats(df, "ts", "k", "v", period=100.0,
+                         slots_per_period=4, n_cycles=3)
+    gm = {(r["k"], round(r["bucket_start"] / 25.0)):
+          (r["slot"], r["cycle"], r["value"], r["base_n"],
+           r["base_mean"], r["base_std"])
+          for r in got.collect()}
+    assert set(gm) == set(want)
+    for key in want:
+        ws, wc, wv, wn, wm, wsd = want[key]
+        gs, gc, gv, gn, gmn, gsd = gm[key]
+        assert (gs, gc, gn) == (ws, wc, wn), key
+        assert abs(gv - wv) < 1e-9
+        assert (gmn is None) == (wm is None)
+        if wm is not None:
+            assert abs(gmn - wm) < 1e-9
+        assert (gsd is None) == (wsd is None)
+        if wsd is not None:
+            assert abs(gsd - wsd) < 1e-9
+
+
+def test_seasonal_anomaly_flags_planted_spike(spark):
+    from spark_df_profiling_spark.operators.groupby import (
+        seasonal_anomaly)
+    rows = []
+    # slot 1 of each 10-unit day carries ~10 every day... except day 5
+    for day in range(6):
+        v = 200.0 if day == 5 else 10.0 + day * 0.1
+        rows.append(("u", day * 10.0 + 1.5, v))
+        rows.append(("u", day * 10.0 + 7.5, 3.0))  # slot 3: flat-ish
+    df = spark.createDataFrame(rows, "k string, ts double, v double")
+    out = seasonal_anomaly(df, "ts", "k", "v", period=10.0,
+                           slots_per_period=5, n_cycles=4,
+                           min_cycles=2).collect()
+    spike = [r for r in out if r["cycle"] == 5 and r["slot"] == 0]
+    # ts = day*10 + 1.5 -> slot floor(1.5/2)=0
+    assert len(spike) == 1 and spike[0]["is_anomaly"] is True
+    # warm-up rows (cycle 0 everywhere, cycle 1 w/ min_cycles=2): NULL z
+    warm = [r for r in out if r["cycle"] == 0]
+    assert warm and all(r["z"] is None for r in warm)
+    # ordinary days are not flagged
+    normal = [r for r in out if r["slot"] == 0 and 2 <= r["cycle"] <= 4]
+    assert normal and all(r["is_anomaly"] is False for r in normal)
+
+
+def test_seasonal_anomaly_flat_baseline_guard(spark):
+    from spark_df_profiling_spark.operators.groupby import (
+        seasonal_anomaly)
+    rows = [("u", day * 10.0 + 1.0, 5.0) for day in range(5)]
+    df = spark.createDataFrame(rows, "k string, ts double, v double")
+    out = seasonal_anomaly(df, "ts", "k", "v", period=10.0,
+                           slots_per_period=2, n_cycles=3)
+    # constant history -> std 0 <= floor -> z NULL, never a div-by-~0
+    assert all(r["z"] is None for r in out.collect())
+
+
+def test_seasonal_validation(spark):
+    from spark_df_profiling_spark.operators.groupby import (
+        seasonal_anomaly, seasonal_stats)
+    df = spark.createDataFrame([("u", 1.0, 1.0)],
+                               "k string, ts double, v double")
+    with pytest.raises(ValueError, match="period"):
+        seasonal_stats(df, "ts", "k", "v", period=0.0)
+    with pytest.raises(ValueError, match="n_cycles"):
+        seasonal_stats(df, "ts", "k", "v", period=1.0, n_cycles=0)
+    with pytest.raises(ValueError, match="sum/mean/count"):
+        seasonal_stats(df, "ts", "k", "v", period=1.0, stat="p99")
+    with pytest.raises(ValueError, match="z_threshold"):
+        seasonal_anomaly(df, "ts", "k", "v", period=1.0,
+                         z_threshold=0.0)
+
+
+# ---------------------------------------------------------------------------
+# correlation_ratio / theil_u
+# ---------------------------------------------------------------------------
+def test_correlation_ratio_matches_python(spark):
+    from spark_df_profiling_spark.operators.correlation import (
+        correlation_ratio)
+    import math, random
+    rng = random.Random(11)
+    rows = [(g, rng.gauss({"a": 0.0, "b": 5.0, "c": -2.0}[g], 1.5))
+            for g in ("a", "b", "c") for _ in range(60)]
+    rows += [("a", None), (None, 3.0), ("b", float("nan"))]
+    data = [(g, v) for g, v in rows
+            if g is not None and v is not None
+            and not (isinstance(v, float) and math.isnan(v))]
+    grand = sum(v for _, v in data) / len(data)
+    groups = {}
+    for g, v in data:
+        groups.setdefault(g, []).append(v)
+    ssb = sum(len(vs) * (sum(vs) / len(vs) - grand) ** 2
+              for vs in groups.values())
+    sst = sum((v - grand) ** 2 for _, v in data)
+    want = ssb / sst
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = correlation_ratio(df, "g", "v").first()
+    assert r["n"] == len(data) and r["n_groups"] == 3
+    assert abs(r["eta2"] - want) < 1e-9
+    assert abs(r["eta"] - math.sqrt(want)) < 1e-9
+
+
+def test_correlation_ratio_degenerate(spark):
+    from spark_df_profiling_spark.operators.correlation import (
+        correlation_ratio)
+    const = spark.createDataFrame([("a", 2.0), ("b", 2.0), ("a", 2.0)],
+                                  "g string, v double")
+    r = correlation_ratio(const, "g", "v").first()
+    assert r["eta2"] is None and r["eta"] is None
+    # perfectly separated groups -> eta2 == 1
+    sep = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("b", 9.0), ("b", 9.0)],
+        "g string, v double")
+    assert abs(correlation_ratio(sep, "g", "v").first()["eta2"]
+               - 1.0) < 1e-12
+
+
+def _theil_py(pairs):
+    import math
+    from collections import Counter
+    n = len(pairs)
+    cy = Counter(y for _, y in pairs)
+    cx = Counter(x for x, _ in pairs)
+    cxy = Counter(pairs)
+    hy = -sum(c / n * math.log(c / n) for c in cy.values())
+    hyx = -sum(c / n * math.log(c / cx[x])
+               for (x, _), c in cxy.items())
+    return hy, hyx, (hy - hyx) / hy if hy > 0 else None
+
+
+def test_theil_u_matches_python_and_is_asymmetric(spark):
+    from spark_df_profiling_spark.operators.correlation import theil_u
+    # x determines y (two x per y) but y does NOT determine x
+    pairs = [(f"x{i}", f"y{i // 2}", ) for i in range(8)
+             for _ in range(i + 1)]
+    df = spark.createDataFrame(pairs, "x string, y string")
+    hy, hyx, want = _theil_py(pairs)
+    r = theil_u(df, "x", "y").first()
+    assert r["n"] == len(pairs)
+    assert (r["x_levels"], r["y_levels"]) == (8, 4)
+    assert abs(r["h_y"] - hy) < 1e-9
+    assert abs(r["h_y_given_x"] - hyx) < 1e-9
+    assert abs(r["u"] - 1.0) < 1e-12  # x determines y exactly
+    # reverse direction is strictly weaker
+    hy2, hyx2, want2 = _theil_py([(y, x) for x, y in pairs])
+    r2 = theil_u(df, "y", "x").first()
+    assert abs(r2["u"] - want2) < 1e-9
+    assert r2["u"] < 0.999
+
+
+def test_theil_u_constant_y_is_null(spark):
+    from spark_df_profiling_spark.operators.correlation import theil_u
+    df = spark.createDataFrame([("a", "k"), ("b", "k"), (None, "k")],
+                               "x string, y string")
+    r = theil_u(df, "x", "y").first()
+    assert r["u"] is None and r["n"] == 2
+
+
+# ---------------------------------------------------------------------------
+# grouped_linregress
+# ---------------------------------------------------------------------------
+def test_grouped_linregress_matches_python(spark):
+    from spark_df_profiling_spark.operators.groupby import (
+        grouped_linregress)
+    import random
+    rng = random.Random(5)
+    rows = []
+    for g, (a, b) in {"g1": (2.0, 0.5), "g2": (-1.0, -3.0)}.items():
+        for _ in range(50):
+            x = rng.uniform(0, 100)
+            rows.append((g, x, a + b * x + rng.gauss(0, 2.0)))
+    rows += [("g1", None, 1.0), ("g2", 5.0, None), (None, 1.0, 1.0)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r["g"]: r for r in
+           grouped_linregress(df, "g", "x", "y").collect()
+           if r["g"] is not None}
+
+    def ref(pts):
+        n = len(pts)
+        mx = sum(p[0] for p in pts) / n
+        my = sum(p[1] for p in pts) / n
+        cov = sum((p[0] - mx) * (p[1] - my) for p in pts) / (n - 1)
+        vx = sum((p[0] - mx) ** 2 for p in pts) / (n - 1)
+        vy = sum((p[1] - my) ** 2 for p in pts) / (n - 1)
+        sl = cov / vx
+        return n, sl, my - sl * mx, cov * cov / (vx * vy)
+
+    for g in ("g1", "g2"):
+        pts = [(x, y) for gg, x, y in rows
+               if gg == g and x is not None and y is not None]
+        n, sl, ic, r2 = ref(pts)
+        r = got[g]
+        assert r["n"] == n
+        assert abs(r["slope"] - sl) < 1e-9
+        assert abs(r["intercept"] - ic) < 1e-9
+        assert abs(r["r2"] - r2) < 1e-9
+    # recovered coefficients near the planted ones
+    assert abs(got["g1"]["slope"] - 0.5) < 0.15
+    assert abs(got["g2"]["slope"] + 3.0) < 0.15
+
+
+def test_grouped_linregress_epoch_scale_stability(spark):
+    from spark_df_profiling_spark.operators.groupby import (
+        grouped_linregress)
+    # x at epoch-micros magnitude (1.7e15): raw-moment formulas lose
+    # all significance here; the co-moment path must stay exact
+    base = 1_700_000_000_000_000
+    rows = [("k", float(base + i * 1_000_000), 10.0 + 0.25 * i)
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    r = grouped_linregress(df, "g", "x", "y").first()
+    assert abs(r["slope"] - 0.25e-6) < 1e-15
+    assert abs(r["r2"] - 1.0) < 1e-9
+
+
+def test_grouped_linregress_guards(spark):
+    from spark_df_profiling_spark.operators.groupby import (
+        grouped_linregress)
+    rows = [("one", 1.0, 5.0),              # n=1
+            ("cx", 2.0, 1.0), ("cx", 2.0, 9.0),   # constant x
+            ("cy", 1.0, 4.0), ("cy", 3.0, 4.0)]   # constant y
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r["g"]: r for r in
+           grouped_linregress(df, "g", "x", "y").collect()}
+    assert got["one"]["slope"] is None
+    assert got["cx"]["slope"] is None and got["cx"]["r2"] is None
+    # constant y: slope is a perfectly fine 0, but r2 is 0/0 -> NULL
+    assert abs(got["cy"]["slope"]) < 1e-12
+    assert got["cy"]["r2"] is None
+    with pytest.raises(ValueError, match="missing column"):
+        grouped_linregress(df, "g", "nope", "y")
+    with pytest.raises(ValueError, match=">= 1 key"):
+        grouped_linregress(df, [], "x", "y")
