@@ -596,3 +596,94 @@ def leakage_safe_split(df: DataFrame, pairs: DataFrame, id_col: str,
     else:
         out = out.drop("__ls_rep")
     return out
+
+
+def deterministic_shuffle(df: DataFrame, key_col: Union[str, Column],
+                          n_shards: int, seed: int = 0) -> DataFrame:
+    """Reproducible global shuffle for training-order assignment:
+    every row gets a ``shard`` in ``[0, n_shards)`` and a ``pos``
+    (0-based) within its shard — the SAME permutation on every run,
+    engine, and partitioning, so a training job restarted (or
+    re-sharded downstream) reads documents in the identical order.
+    ``rand()``-based shuffles can't give that: their order changes
+    with partition layout and retries.
+
+    Order is ``(md5-bucket(key, seed), key)``; shards are contiguous
+    bucket ranges (``bucket * n_shards / BUCKETS`` in integer space),
+    so shard membership is a pure row expression and shard sizes
+    concentrate at n/n_shards by md5 uniformity.  New seed = a fresh
+    independent permutation (per-epoch reshuffles).  NULL keys are
+    dropped (the :func:`sample_exact_k` determinism contract — ties
+    under a NULL sort key would be engine-dependent); ``key_col``
+    must be unique for the order to be total.
+
+    Scale: no global sort and no single-task window — ONE shuffle on
+    ``shard`` (each task sorts ~n/n_shards rows for its shard's
+    row_number).  Size ``n_shards`` so a shard's rows fit a task
+    (e.g. 100 TB / 2048 shards ≈ 50 GB of docs → row count per task,
+    not byte count, is what the sort pays for).
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1: {n_shards}")
+    _warn_if_nullable_key(
+        df, key_col,
+        f"deterministic_shuffle: key column {key_col!r} is nullable — "
+        f"NULL-key rows are dropped (a total deterministic order "
+        f"needs a non-null unique key); coalesce a surrogate key to "
+        f"keep them")
+    from pyspark.sql import Window
+    b = hash_bucket(key_col, seed)
+    w = (Window.partitionBy("shard")
+         .orderBy(F.col("__bkt").asc(), _c(key_col).asc()))
+    return (df.where(_c(key_col).isNotNull())
+            .withColumn("__bkt", b)
+            .withColumn("shard",
+                        F.expr(f"(__bkt * {int(n_shards)}) div "
+                               f"{BUCKETS}"))
+            .withColumn("pos", F.row_number().over(w) - 1)
+            .drop("__bkt"))
+
+
+def split_leakage_audit(assigned: DataFrame, pairs: DataFrame,
+                        id_col: str, split_col: str = "split",
+                        id_a: str = "id_a", id_b: str = "id_b"
+                        ) -> DataFrame:
+    """Audit an ARBITRARY split against a near-dup pair graph: for
+    every unordered split combination, how many pairs land there —
+    off-diagonal rows (split_a != split_b) are LEAKED pairs (one side
+    in train, its near-duplicate in eval).  The measurement
+    counterpart of :func:`leakage_safe_split` (which prevents leakage
+    by construction): run it on splits made by :func:`hash_split`, an
+    inherited upstream split, or any column you didn't control, and
+    get the damage report before training.
+
+    ``assigned`` must carry ``id_col`` and ``split_col``.  Pairs with
+    either endpoint missing from ``assigned`` are counted separately
+    as ``(<split or '<unassigned>'>, '<unassigned>')`` rows rather
+    than silently dropped — an un-assigned endpoint is itself a
+    finding.  Output: ``(split_a, split_b, n_pairs)`` with
+    ``split_a <= split_b`` lexicographically.
+
+    Scale: two id-keyed hash joins (broadcast the assignment when it
+    is a dim-sized id->split map) + ONE map-side-combined groupBy on
+    the O(#splits²) combination key.
+    """
+    for c in (id_a, id_b):
+        if c not in pairs.columns:
+            raise ValueError(f"pairs missing column: {c!r}")
+    for c in (id_col, split_col):
+        if c not in assigned.columns:
+            raise ValueError(f"assigned missing column: {c!r}")
+    amap = assigned.select(F.col(id_col).alias("__id"),
+                           F.col(split_col).alias("__s"))
+    j = (pairs
+         .join(amap.withColumnRenamed("__s", "__sa"),
+               pairs[id_a] == F.col("__id"), "left").drop("__id")
+         .join(amap.withColumnRenamed("__s", "__sb"),
+               pairs[id_b] == F.col("__id"), "left").drop("__id"))
+    sa = F.coalesce(F.col("__sa"), F.lit("<unassigned>"))
+    sb = F.coalesce(F.col("__sb"), F.lit("<unassigned>"))
+    return (j.select(F.least(sa, sb).alias("split_a"),
+                     F.greatest(sa, sb).alias("split_b"))
+            .groupBy("split_a", "split_b")
+            .agg(F.count(F.lit(1)).alias("n_pairs")))

@@ -5538,6 +5538,39 @@ UNION ALL
 -- kept corpus is exactly one row per component
 SELECT 'rep:kept', 'n_kept',
        (SELECT count(DISTINCT (doc_id // 10) * 10) FROM documents)
+UNION ALL
+-- deterministic_shuffle replay: global order = (md5 bucket seed 21,
+-- doc_id), shard = integer bucket range, pos = 0-based rank within
+-- shard; the checksum sum((pos+1)*doc_id) is ORDER-sensitive, so any
+-- permutation drift (not just membership drift) fails the hash
+SELECT 'shuf', CAST(shard AS VARCHAR) || ':'
+           || CAST(sum((pos + 1) * doc_id) AS VARCHAR), count(*)
+FROM (
+  SELECT doc_id, shard,
+         row_number() OVER (PARTITION BY shard
+                            ORDER BY bkt, doc_id) - 1 AS pos
+  FROM (SELECT doc_id, {_BK.format(seed=21)} AS bkt,
+               ({_BK.format(seed=21)} * 8) // 1000000 AS shard
+        FROM documents WHERE doc_id IS NOT NULL))
+GROUP BY shard
+UNION ALL
+-- split_leakage_audit replay: the SAME decade-chain pairs against a
+-- PLAIN md5 hash split (NOT the leakage-safe one) — the off-diagonal
+-- rows measure the cross-split leaks plain splitting produces
+SELECT 'laudit', sa || '->' || sb, count(*)
+FROM (
+  WITH sp AS (
+    SELECT doc_id,
+           CASE WHEN {_BK.format(seed=42)} < 800000 THEN 'train'
+                WHEN {_BK.format(seed=42)} < 900000 THEN 'val'
+                ELSE 'test' END AS s
+    FROM documents)
+  SELECT least(x.s, y.s) AS sa, greatest(x.s, y.s) AS sb
+  FROM (SELECT doc_id AS ia, doc_id + 1 AS ib FROM documents
+        WHERE doc_id % 10 != 9) p
+  JOIN sp x ON p.ia = x.doc_id
+  JOIN sp y ON p.ib = y.doc_id)
+GROUP BY sa, sb
 ORDER BY part, k
 """)
 def hash_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5647,11 +5680,40 @@ def hash_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     repk = (kb.agg(F.count(F.lit(1)).cast("long").alias("n"))
             .select(F.lit("rep:kept").alias("part"),
                     F.lit("n_kept").alias("k"), "n"))
+    # 'shuf' rows grade deterministic_shuffle: 8 shards at seed 21;
+    # k carries an ORDER-sensitive checksum (sum over (pos+1)*doc_id)
+    # so the graded quantity is the permutation itself, not just
+    # membership.  DuckDB replays the md5 order and the row_number.
+    from spark_df_profiling_spark.operators.sampling import (
+        deterministic_shuffle)
+    shuf = (deterministic_shuffle(d, "doc_id", n_shards=8, seed=21)
+            .groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum((F.col("pos") + 1) * F.col("doc_id"))
+                 .alias("__cs"))
+            .select(F.lit("shuf").alias("part"),
+                    F.concat(F.col("shard").cast("string"), F.lit(":"),
+                             F.col("__cs").cast("string")).alias("k"),
+                    F.col("n")))
+    # 'laudit' rows grade split_leakage_audit: the same decade-chain
+    # pairs audited against a PLAIN hash_split — the off-diagonal
+    # (leaked) counts are the graded signal
+    from spark_df_profiling_spark.operators.sampling import (
+        hash_split, split_leakage_audit)
+    plain = hash_split(d, "doc_id",
+                       {"train": 0.8, "val": 0.1, "test": 0.1},
+                       seed=42)
+    laudit = (split_leakage_audit(plain, pairs, "doc_id")
+              .select(F.lit("laudit").alias("part"),
+                      F.concat(F.col("split_a"), F.lit("->"),
+                               F.col("split_b")).alias("k"),
+                      F.col("n_pairs").alias("n")))
     return (split.unionByName(samp).unionByName(strat)
             .unionByName(exactk).unionByName(dsir)
             .unionByName(ws).unionByName(qb)
             .unionByName(lsp).unionByName(viol)
             .unionByName(rep).unionByName(repk)
+            .unionByName(shuf).unionByName(laudit)
             .orderBy("part", "k"))
 
 

@@ -476,3 +476,88 @@ def test_grouped_linregress_guards(spark):
         grouped_linregress(df, "g", "nope", "y")
     with pytest.raises(ValueError, match=">= 1 key"):
         grouped_linregress(df, [], "x", "y")
+
+
+# ---------------------------------------------------------------------------
+# deterministic_shuffle / split_leakage_audit
+# ---------------------------------------------------------------------------
+def test_deterministic_shuffle_matches_python(spark):
+    from spark_df_profiling_spark.operators.sampling import (
+        BUCKETS, deterministic_shuffle)
+    import hashlib
+    ids = list(range(200))
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r["doc_id"]: (r["shard"], r["pos"]) for r in
+           deterministic_shuffle(df, "doc_id", n_shards=4,
+                                 seed=9).collect()}
+
+    def bkt(i):
+        h = hashlib.md5(f"{i}:9".encode()).hexdigest()[:15]
+        return int(h, 16) % BUCKETS
+
+    order = sorted(ids, key=lambda i: (bkt(i), i))
+    want = {}
+    per_shard = {}
+    for i in order:
+        s = bkt(i) * 4 // BUCKETS
+        want[i] = (s, per_shard.get(s, 0))
+        per_shard[s] = per_shard.get(s, 0) + 1
+    assert got == want
+    # all 4 shards used, same permutation on a second run
+    assert set(s for s, _ in got.values()) == {0, 1, 2, 3}
+    again = {r["doc_id"]: (r["shard"], r["pos"]) for r in
+             deterministic_shuffle(df, "doc_id", n_shards=4,
+                                   seed=9).collect()}
+    assert again == got
+    # a different seed is a different permutation
+    other = {r["doc_id"]: (r["shard"], r["pos"]) for r in
+             deterministic_shuffle(df, "doc_id", n_shards=4,
+                                   seed=10).collect()}
+    assert other != got
+
+
+def test_deterministic_shuffle_null_keys_and_validation(spark):
+    from spark_df_profiling_spark.operators.sampling import (
+        deterministic_shuffle)
+    df = spark.createDataFrame([(1,), (None,), (2,)], "k long")
+    out = deterministic_shuffle(df, "k", n_shards=2)
+    assert sorted(r["k"] for r in out.collect()) == [1, 2]
+    with pytest.raises(ValueError, match="n_shards"):
+        deterministic_shuffle(df, "k", n_shards=0)
+
+
+def test_split_leakage_audit_counts(spark):
+    from spark_df_profiling_spark.operators.sampling import (
+        split_leakage_audit)
+    assigned = spark.createDataFrame(
+        [(1, "train"), (2, "train"), (3, "val"), (4, "test")],
+        "doc_id long, split string")
+    pairs = spark.createDataFrame(
+        [(1, 2),          # within train
+         (1, 3), (2, 3),  # train<->val leaks
+         (3, 4),          # val<->test leak
+         (1, 99)],        # endpoint missing from the assignment
+        "id_a long, id_b long")
+    got = {(r["split_a"], r["split_b"]): r["n_pairs"]
+           for r in split_leakage_audit(assigned, pairs,
+                                        "doc_id").collect()}
+    assert got == {("train", "train"): 1,
+                   ("train", "val"): 2,
+                   ("test", "val"): 1,
+                   ("<unassigned>", "train"): 1}
+    with pytest.raises(ValueError, match="pairs missing"):
+        split_leakage_audit(assigned, assigned, "doc_id")
+
+
+def test_split_leakage_audit_clean_on_safe_split(spark):
+    from spark_df_profiling_spark.operators.sampling import (
+        leakage_safe_split, split_leakage_audit)
+    ids = spark.range(100).select(F.col("id").alias("doc_id"))
+    pairs = (ids.where(F.col("doc_id") % 10 != 9)
+             .select(F.col("doc_id").alias("id_a"),
+                     (F.col("doc_id") + 1).alias("id_b")))
+    ls = leakage_safe_split(ids, pairs, "doc_id",
+                            {"train": 0.8, "val": 0.2}, seed=3)
+    audit = split_leakage_audit(ls, pairs, "doc_id")
+    off = audit.where(F.col("split_a") != F.col("split_b"))
+    assert off.count() == 0  # the leakage-safe contract, re-measured
