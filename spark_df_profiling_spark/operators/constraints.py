@@ -111,3 +111,61 @@ def check_suite(*parts: DataFrame) -> DataFrame:
     from functools import reduce
     out = reduce(lambda a, b: a.unionByName(b), parts)
     return out.withColumn("passed", F.col("n_violations") == 0)
+
+
+def not_null_rows(col: str) -> "tuple[str, Column]":
+    """Row-level predicate twin of :func:`not_null`."""
+    return f"not_null:{col}", F.col(col).isNull()
+
+
+def accepted_values_rows(col: str, values: Sequence
+                         ) -> "tuple[str, Column]":
+    """Row-level predicate twin of :func:`accepted_values`."""
+    return (f"accepted_values:{col}",
+            F.col(col).isNotNull() & ~F.col(col).isin(list(values)))
+
+
+def in_range_rows(col: str, lo, hi) -> "tuple[str, Column]":
+    """Row-level predicate twin of :func:`in_range`."""
+    c = F.col(col)
+    return (f"in_range:{col}",
+            c.isNotNull() & ((c < F.lit(lo)) | (c > F.lit(hi))))
+
+
+def violation_examples(df: DataFrame,
+                       checks: "Sequence[tuple[str, Column]]",
+                       id_col: str, k: int = 3,
+                       seed: int = 0) -> DataFrame:
+    """Deterministic EXAMPLE rows for failing checks — the half of a
+    data-quality report :func:`column_checks` can't give (it counts;
+    debugging needs to see actual offenders).  ``checks`` are
+    (name, row-predicate) pairs — :func:`not_null_rows` /
+    :func:`accepted_values_rows` / :func:`in_range_rows`, or any
+    boolean Column.  Returns up to ``k`` rows per failing check:
+    ``(check, <id_col>)``, chosen by md5 rank on the id — the SAME
+    examples every run/engine (a flapping exemplar set makes alert
+    diffs useless), and a check with zero violations simply yields no
+    rows.
+
+    Plan: ONE scan builds a compact array of fired check names per
+    row, explodes only the violations (clean rows carry an empty
+    array and vanish pre-shuffle), then
+    :func:`~spark_df_profiling_spark.operators.sampling.sample_exact_k`
+    ranks per check.  A check with millions of violations sorts them
+    in one task (the sample_exact_k bound) — pre-thin with
+    ``sample_hash`` at a few × k/violation-count first when checks
+    are expected to fail at scale; membership stays deterministic.
+    """
+    if not checks:
+        raise ValueError("violation_examples requires >= 1 check")
+    if id_col not in df.columns:
+        raise ValueError(f"missing column: {id_col!r}")
+    from spark_df_profiling_spark.operators.sampling import (
+        sample_exact_k)
+    arr = F.array_compact(F.array(*[
+        F.when(pred, F.lit(name)) for name, pred in checks]))
+    viol = (df.select(F.col(id_col), arr.alias("__cks"))
+            .where(F.size("__cks") > 0)
+            .select(id_col, F.explode("__cks").alias("check")))
+    return (sample_exact_k(viol, "check", k, id_col, seed=seed)
+            .select("check", id_col))

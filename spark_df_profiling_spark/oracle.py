@@ -3656,6 +3656,28 @@ SELECT 'constraint', c.chk, c.tbl, c.v FROM (
               AS BIGINT)
 ) c
 UNION ALL
+-- violation_examples replay: md5-ranked k=3 exemplar ids per failing
+-- check (rid = l_orderkey*10 + l_linenumber is unique; the rank order
+-- is (md5 bucket seed 0, rid), identical in both engines)
+SELECT 'cexam', chk, CAST(rid AS VARCHAR), 1 FROM (
+  SELECT chk, rid,
+         row_number() OVER (PARTITION BY chk ORDER BY
+             ('0x' || substr(md5(CAST(rid AS VARCHAR) || ':0'),
+                             1, 15))::BIGINT % 1000000 ASC,
+             rid ASC) AS rk
+  FROM (
+    SELECT 'in_range:l_quantity' AS chk,
+           l_orderkey * 10 + l_linenumber AS rid
+    FROM lineitem
+    WHERE l_quantity IS NOT NULL
+      AND (l_quantity < 1 OR l_quantity > 25)
+    UNION ALL
+    SELECT 'accepted_values:l_linestatus',
+           l_orderkey * 10 + l_linenumber
+    FROM lineitem
+    WHERE l_linestatus IS NOT NULL AND l_linestatus NOT IN ('F')))
+WHERE rk <= 3
+UNION ALL
 SELECT 'jks', j.k, 'lineitem~orders', j.v FROM (
   WITH lc AS (SELECT l_orderkey AS kk, count(*) AS c FROM lineitem
               WHERE l_orderkey IS NOT NULL GROUP BY 1),
@@ -3881,6 +3903,20 @@ def multidim_agg_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("constraint").alias("mode"),
         F.col("check").alias("g1"), F.col("table").alias("g2"),
         F.col("n_violations").alias("cnt"))
+    # 'cexam' rows grade constraints.violation_examples — the k=3
+    # deterministic md5-ranked exemplar rows per failing check (the
+    # same two checks that fail above); DuckDB replays the md5 rank
+    cex_src = li.withColumn(
+        "__rid", F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+    cexam = (C.violation_examples(
+        cex_src,
+        [C.in_range_rows("l_quantity", 1, 25),
+         C.accepted_values_rows("l_linestatus", ["F"])],
+        "__rid", k=3, seed=0)
+        .select(F.lit("cexam").alias("mode"),
+                F.col("check").alias("g1"),
+                F.col("__rid").cast("string").alias("g2"),
+                F.lit(1).cast("long").alias("cnt")))
     # 'jks' rows grade joins.py::join_key_stats — the pre-join health
     # report (exact inner-join output size, fan-out maxima, orphan and
     # null-key accounting) on lineitem ⋈ orders
@@ -4036,7 +4072,8 @@ def multidim_agg_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("is_current").cast("string")).alias("g2"),
         F.col("valid_from").alias("cnt"))
     return (rollup.unionByName(cube).unionByName(gsets)
-            .unionByName(cons).unionByName(jks).unionByName(zrows)
+            .unionByName(cons).unionByName(cexam)
+            .unionByName(jks).unionByName(zrows)
             .unionByName(salt).unionByName(decay).unionByName(ivm)
             .unionByName(rrf).unionByName(pa).unionByName(snap_rows)
             .unionByName(scd2_rows)

@@ -561,3 +561,59 @@ def test_split_leakage_audit_clean_on_safe_split(spark):
     audit = split_leakage_audit(ls, pairs, "doc_id")
     off = audit.where(F.col("split_a") != F.col("split_b"))
     assert off.count() == 0  # the leakage-safe contract, re-measured
+
+
+# ---------------------------------------------------------------------------
+# violation_examples
+# ---------------------------------------------------------------------------
+def test_violation_examples_deterministic_and_complete(spark):
+    from spark_df_profiling_spark.operators.constraints import (
+        accepted_values_rows, in_range_rows, not_null_rows,
+        violation_examples)
+    from spark_df_profiling_spark.operators.sampling import BUCKETS
+    import hashlib
+    rows = [(i,
+             None if i % 7 == 0 else f"v{i}",
+             100.0 if i % 5 == 0 else 10.0,
+             "X" if i % 11 == 0 else "A")
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, s string, x double, "
+                                     "f string")
+    checks = [not_null_rows("s"),
+              in_range_rows("x", 0.0, 50.0),
+              accepted_values_rows("f", ["A", "B"]),
+              in_range_rows("id", 0, 1000)]  # never fails
+    out = violation_examples(df, checks, "id", k=4, seed=2)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["check"], []).append(r["id"])
+
+    def bkt(i):
+        h = hashlib.md5(f"{i}:2".encode()).hexdigest()[:15]
+        return int(h, 16) % BUCKETS
+
+    def want(ids):
+        return sorted(ids, key=lambda i: (bkt(i), i))[:4]
+
+    assert sorted(got["not_null:s"]) == sorted(
+        want([i for i in range(100) if i % 7 == 0]))
+    assert sorted(got["in_range:x"]) == sorted(
+        want([i for i in range(100) if i % 5 == 0]))
+    assert sorted(got["accepted_values:f"]) == sorted(
+        want([i for i in range(100) if i % 11 == 0]))
+    assert "in_range:id" not in got  # clean check -> zero rows
+    # deterministic on rerun
+    again = sorted(tuple(r) for r in
+                   violation_examples(df, checks, "id", k=4,
+                                      seed=2).collect())
+    assert again == sorted(tuple(r) for r in out.collect())
+
+
+def test_violation_examples_validation(spark):
+    from spark_df_profiling_spark.operators.constraints import (
+        not_null_rows, violation_examples)
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    with pytest.raises(ValueError, match=">= 1 check"):
+        violation_examples(df, [], "id")
+    with pytest.raises(ValueError, match="missing column"):
+        violation_examples(df, [not_null_rows("s")], "nope")
