@@ -822,3 +822,127 @@ def grouped_linregress(df: DataFrame, key_cols: "str | list[str]",
         slope.alias("slope"),
         (F.col("y_mean") - slope * F.col("x_mean")).alias("intercept"),
         r2.alias("r2"))
+
+
+def retention_cohorts(df: DataFrame, ts_col: str, key_col: str,
+                      gran: float,
+                      max_offset: "int | None" = None) -> DataFrame:
+    """Classic retention-cohort analysis: keys are cohorted by their
+    FIRST-activity time bucket, and each later bucket reports how many
+    of that cohort came back — the per-source / per-user-population
+    freshness decay curve ("of the users acquired in week 0, how many
+    were active in week k").
+
+    ``ts_col`` is numeric (epoch seconds/micros — the
+    :func:`decayed_stats` contract); ``gran`` is the cohort/activity
+    bucket width in the same unit.  Output one row per (cohort,
+    offset) with activity: ``cohort`` (integer bucket id),
+    ``cohort_start`` (= cohort·gran), ``offset`` (buckets since the
+    cohort bucket, 0-based), ``n_active`` (distinct keys active),
+    ``n_cohort`` (cohort size = n_active at offset 0), ``retention``
+    (n_active/n_cohort; 1.0 at offset 0 by construction).  Quiet
+    (cohort, offset) combinations yield no row.  ``max_offset`` trims
+    the tail.  NULL keys/timestamps dropped.
+
+    Scale: activity collapses to DISTINCT (key, bucket) first (one
+    shuffle — the row-scale one); cohorts are a same-key groupBy
+    (reuses the partitioning) joined back co-keyed; the final
+    (cohort, offset) count is map-side combined over the already-
+    distinct frame, so a key active 1M times in a bucket costs one
+    row past the first shuffle.  Integer bucket arithmetic throughout.
+    """
+    if gran <= 0:
+        raise ValueError(f"gran must be > 0: {gran}")
+    if max_offset is not None and max_offset < 0:
+        raise ValueError(f"max_offset must be >= 0: {max_offset}")
+    t = F.col(ts_col).cast("double")
+    acts = (df.where(t.isNotNull() & F.col(key_col).isNotNull())
+            .select(F.col(key_col).alias("__k"),
+                    F.floor(t / F.lit(float(gran))).cast("long")
+                    .alias("__b"))
+            .distinct())
+    cohorts = acts.groupBy("__k").agg(F.min("__b").alias("__c"))
+    j = (acts.join(cohorts, "__k")
+         .select("__c", (F.col("__b") - F.col("__c")).alias("offset")))
+    if max_offset is not None:
+        j = j.where(F.col("offset") <= max_offset)
+    counts = (j.groupBy("__c", "offset")
+              .agg(F.count(F.lit(1)).alias("n_active")))
+    sizes = (counts.where(F.col("offset") == 0)
+             .select(F.col("__c"), F.col("n_active").alias("n_cohort")))
+    return (counts.join(F.broadcast(sizes), "__c")
+            .select(F.col("__c").alias("cohort"),
+                    (F.col("__c") * float(gran)).alias("cohort_start"),
+                    "offset", "n_active", "n_cohort",
+                    (F.col("n_active").cast("double")
+                     / F.col("n_cohort")).alias("retention"))
+            .orderBy("cohort", "offset"))
+
+
+def cooccurrence_pairs(df: DataFrame, group_col: str, item_col: str,
+                       min_pair_count: int = 2,
+                       max_items_per_group: "int | None" = None
+                       ) -> DataFrame:
+    """Pairwise item co-occurrence across groups (frequent itemsets at
+    k=2, the market-basket/event-affinity primitive): for every item
+    pair appearing together in >= ``min_pair_count`` groups, the
+    support counts plus ``lift`` (observed co-rate over the
+    independence expectation, >1 = positively associated) and
+    ``jaccard`` (group-set overlap).  ``(item_a < item_b)``
+    lexicographically on the string form.
+
+    Scale: presence collapses to DISTINCT (group, item) first; the
+    pair join is a self-join ON the group key — per-group cost is
+    |items|², so cap pathological groups with
+    ``max_items_per_group`` (deterministic md5-rank cap, the
+    ``minhash`` bucket-cap recipe; capped groups under-count pairs —
+    the cap is a stated approximation, not a silent one).  Pair
+    counts and margins are map-side-combined aggregates; margins
+    join back broadcast (item vocabulary sized).
+    """
+    if min_pair_count < 1:
+        raise ValueError(
+            f"min_pair_count must be >= 1: {min_pair_count}")
+    if max_items_per_group is not None and max_items_per_group < 2:
+        raise ValueError(
+            f"max_items_per_group must be >= 2: {max_items_per_group}")
+    g = F.col(group_col)
+    i = F.col(item_col).cast("string")
+    gi = (df.where(g.isNotNull() & i.isNotNull())
+          .select(g.alias("__g"), i.alias("__i"))
+          .distinct())
+    if max_items_per_group is not None:
+        from pyspark.sql import Window
+        from spark_df_profiling_spark.operators.sampling import (
+            hash_bucket)
+        w = (Window.partitionBy("__g")
+             .orderBy(hash_bucket(F.col("__i")).asc(),
+                      F.col("__i").asc()))
+        gi = (gi.withColumn("__rk", F.row_number().over(w))
+              .where(F.col("__rk") <= max_items_per_group)
+              .drop("__rk"))
+    gi = gi.persist()
+    n_groups = gi.agg(F.count_distinct("__g").alias("__ng"))
+    margins = gi.groupBy("__i").agg(F.count(F.lit(1)).alias("__ni"))
+    pairs = (gi.alias("a")
+             .join(gi.alias("b"),
+                   (F.col("a.__g") == F.col("b.__g"))
+                   & (F.col("a.__i") < F.col("b.__i")))
+             .groupBy(F.col("a.__i").alias("item_a"),
+                      F.col("b.__i").alias("item_b"))
+             .agg(F.count(F.lit(1)).alias("n_ab"))
+             .where(F.col("n_ab") >= min_pair_count))
+    ma = margins.select(F.col("__i").alias("item_a"),
+                        F.col("__ni").alias("n_a"))
+    mb = margins.select(F.col("__i").alias("item_b"),
+                        F.col("__ni").alias("n_b"))
+    return (pairs.join(F.broadcast(ma), "item_a")
+            .join(F.broadcast(mb), "item_b")
+            .crossJoin(F.broadcast(n_groups))
+            .select("item_a", "item_b", "n_ab", "n_a", "n_b",
+                    (F.col("n_ab").cast("double") * F.col("__ng")
+                     / (F.col("n_a").cast("double") * F.col("n_b")))
+                    .alias("lift"),
+                    (F.col("n_ab").cast("double")
+                     / (F.col("n_a") + F.col("n_b") - F.col("n_ab")))
+                    .alias("jaccard")))

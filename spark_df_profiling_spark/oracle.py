@@ -4263,29 +4263,98 @@ def session_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("sliding_window_events", f"""
-WITH e AS (
-  SELECT value, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
-), w AS (
-  SELECT value, ((es // 43200) - k.k) * 43200 AS window_epoch
-  FROM e, (SELECT unnest([0, 1]) AS k) k
-)
-SELECT window_epoch,
-       count(*) AS cnt,
-       {_psig('avg(value)')} AS mean_s,
-       {_psig('sum(value)')} AS sum_s
-FROM w GROUP BY window_epoch ORDER BY window_epoch
+SELECT 'slide:' || CAST(window_epoch AS VARCHAR) AS key,
+       cnt, mean_s, sum_s
+FROM (
+  WITH e AS (
+    SELECT value, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
+  ), w AS (
+    SELECT value, ((es // 43200) - k.k) * 43200 AS window_epoch
+    FROM e, (SELECT unnest([0, 1]) AS k) k
+  )
+  SELECT window_epoch,
+         count(*) AS cnt,
+         {_psig('avg(value)')} AS mean_s,
+         {_psig('sum(value)')} AS sum_s
+  FROM w GROUP BY window_epoch)
+UNION ALL
+-- retention_cohorts replay: 12h buckets over event-time micros,
+-- cohort = each user's first bucket, distinct-activity counts per
+-- (cohort, offset), retention vs the offset-0 cohort size
+SELECT 'ret:' || CAST(c AS VARCHAR) || ':' || CAST(off AS VARCHAR),
+       n, {_psig('CAST(n AS DOUBLE) / n0')}, CAST(n0 AS VARCHAR)
+FROM (
+  WITH act AS (
+    SELECT DISTINCT user_id AS k,
+           CAST(floor((epoch_ns(ts) // 1000) / 43200000000.0)
+                AS BIGINT) AS b
+    FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+  coh AS (SELECT k, min(b) AS c FROM act GROUP BY k),
+  cnts AS (SELECT c, b - c AS off, count(*) AS n
+           FROM act JOIN coh USING (k) GROUP BY c, b - c),
+  sz AS (SELECT c, n AS n0 FROM cnts WHERE off = 0)
+  SELECT c, off, n, n0 FROM cnts JOIN sz USING (c))
+UNION ALL
+-- cooccurrence_pairs replay: per-user distinct event-type baskets,
+-- pair supports + lift + jaccard from the identical margins
+SELECT 'cooc:' || ia || '~' || ib, nab,
+       {_psig('''CAST(nab AS DOUBLE) * n
+              / (CAST(na AS DOUBLE) * nb)''')},
+       {_psig('CAST(nab AS DOUBLE) / (na + nb - nab)')}
+FROM (
+  WITH gi AS (
+    SELECT DISTINCT user_id AS g, CAST(event_type AS VARCHAR) AS i
+    FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+  m AS (SELECT i, count(*) AS ni FROM gi GROUP BY i),
+  ng AS (SELECT count(DISTINCT g) AS n FROM gi),
+  p AS (SELECT a.i AS ia, b.i AS ib, count(*) AS nab
+        FROM gi a JOIN gi b ON a.g = b.g AND a.i < b.i
+        GROUP BY a.i, b.i)
+  SELECT p.ia, p.ib, p.nab, ma.ni AS na, mb.ni AS nb, ng.n
+  FROM p JOIN m ma ON p.ia = ma.i JOIN m mb ON p.ib = mb.i
+  CROSS JOIN ng)
+ORDER BY key
 """)
 def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_df_profiling_spark.streaming import sliding_profile
     ev = with_event_time(_t(spark, sf_dir, "events"))
     out = sliding_profile(ev, "ts_ts", "value",
                           window="1 day", slide="12 hours")
-    return (out.select(
-        epoch_seconds(out, "window_start").alias("window_epoch"),
+    slide = out.select(
+        F.concat(F.lit("slide:"),
+                 epoch_seconds(out, "window_start").cast("string"))
+        .alias("key"),
         "cnt",
         sig(F.col("mean")).alias("mean_s"),
         sig(F.col("sum_v")).alias("sum_s"))
-        .orderBy("window_epoch"))
+    # 'ret:' rows grade groupby.retention_cohorts (12h buckets over
+    # event-time micros); 'cooc:' rows grade
+    # groupby.cooccurrence_pairs (per-user event-type baskets) —
+    # DuckDB replays the distinct-activity cohorting and the pair
+    # margins exactly
+    from spark_df_profiling_spark.operators.groupby import (
+        cooccurrence_pairs, retention_cohorts)
+    evm = ev.select("user_id", event_time_micros(ev).alias("tus"),
+                    "event_type")
+    ret = (retention_cohorts(evm, "tus", "user_id",
+                             gran=43_200_000_000.0)
+           .select(F.concat(F.lit("ret:"),
+                            F.col("cohort").cast("string"),
+                            F.lit(":"),
+                            F.col("offset").cast("string"))
+                   .alias("key"),
+                   F.col("n_active").alias("cnt"),
+                   sig(F.col("retention")).alias("mean_s"),
+                   F.col("n_cohort").cast("string").alias("sum_s")))
+    cooc = (cooccurrence_pairs(evm, "user_id", "event_type",
+                               min_pair_count=1)
+            .select(F.concat(F.lit("cooc:"), F.col("item_a"),
+                             F.lit("~"), F.col("item_b")).alias("key"),
+                    F.col("n_ab").alias("cnt"),
+                    sig(F.col("lift")).alias("mean_s"),
+                    sig(F.col("jaccard")).alias("sum_s")))
+    return (slide.unionByName(ret).unionByName(cooc)
+            .orderBy("key"))
 
 
 @query("stateful_user_totals", """

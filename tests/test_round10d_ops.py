@@ -617,3 +617,90 @@ def test_violation_examples_validation(spark):
         violation_examples(df, [], "id")
     with pytest.raises(ValueError, match="missing column"):
         violation_examples(df, [not_null_rows("s")], "nope")
+
+
+# ---------------------------------------------------------------------------
+# retention_cohorts / cooccurrence_pairs
+# ---------------------------------------------------------------------------
+def test_retention_cohorts_matches_python(spark):
+    from spark_df_profiling_spark.operators.groupby import (
+        retention_cohorts)
+    import math
+    # users: u0-u4 start bucket 0; u5-u7 start bucket 1; churn pattern
+    rows = []
+    for u in range(5):
+        rows.append((f"u{u}", 5.0))               # bucket 0
+        if u < 3:
+            rows.append((f"u{u}", 15.0))          # bucket 1
+        if u < 1:
+            rows.append((f"u{u}", 25.0))          # bucket 2
+            rows.append((f"u{u}", 27.0))          # same bucket, dup
+    for u in range(5, 8):
+        rows.append((f"u{u}", 12.0))
+        if u < 7:
+            rows.append((f"u{u}", 29.0))          # bucket 2 = offset 1
+    rows += [("u0", None), (None, 5.0)]
+    df = spark.createDataFrame(rows, "k string, ts double")
+    got = {(r["cohort"], r["offset"]):
+           (r["n_active"], r["n_cohort"], r["retention"])
+           for r in retention_cohorts(df, "ts", "k",
+                                      gran=10.0).collect()}
+    want = {(0, 0): (5, 5, 1.0), (0, 1): (3, 5, 0.6),
+            (0, 2): (1, 5, 0.2),
+            (1, 0): (3, 3, 1.0), (1, 1): (2, 3, 2 / 3)}
+    assert set(got) == set(want)
+    for key in want:
+        assert got[key][:2] == want[key][:2]
+        assert math.isclose(got[key][2], want[key][2])
+    # max_offset trims
+    trimmed = retention_cohorts(df, "ts", "k", gran=10.0,
+                                max_offset=1)
+    assert {(r["cohort"], r["offset"]) for r in trimmed.collect()} \
+        == {(0, 0), (0, 1), (1, 0), (1, 1)}
+    with pytest.raises(ValueError, match="gran"):
+        retention_cohorts(df, "ts", "k", gran=0.0)
+
+
+def test_cooccurrence_pairs_matches_python(spark):
+    from spark_df_profiling_spark.operators.groupby import (
+        cooccurrence_pairs)
+    import math
+    baskets = {1: ["milk", "bread", "eggs"],
+               2: ["milk", "bread"],
+               3: ["milk", "eggs"],
+               4: ["bread"],
+               5: ["milk", "bread", "beer"],
+               6: ["beer"]}
+    rows = [(g, i) for g, items in baskets.items() for i in items]
+    rows += [(1, "milk"), (None, "milk"), (1, None)]  # dup + NULLs
+    df = spark.createDataFrame(rows, "basket int, item string")
+    out = cooccurrence_pairs(df, "basket", "item", min_pair_count=2)
+    got = {(r["item_a"], r["item_b"]): r for r in out.collect()}
+    # bread+milk in baskets 1,2,5; eggs+milk in 1,3
+    assert set(got) == {("bread", "milk"), ("eggs", "milk")}
+    bm = got[("bread", "milk")]
+    assert (bm["n_ab"], bm["n_a"], bm["n_b"]) == (3, 4, 4)
+    n_groups = 6
+    assert math.isclose(bm["lift"], 3 * n_groups / (4 * 4))
+    assert math.isclose(bm["jaccard"], 3 / (4 + 4 - 3))
+    em = got[("eggs", "milk")]
+    assert (em["n_ab"], em["n_a"], em["n_b"]) == (2, 2, 4)
+    # min_pair_count=1 surfaces the singletons too: bread~eggs
+    # (basket 1) and beer~bread, beer~milk (basket 5)
+    all_pairs = cooccurrence_pairs(df, "basket", "item",
+                                   min_pair_count=1)
+    assert all_pairs.count() == 5
+
+
+def test_cooccurrence_pairs_group_cap(spark):
+    from spark_df_profiling_spark.operators.groupby import (
+        cooccurrence_pairs)
+    # one giant basket: cap keeps |items| at 10 -> C(10,2) pairs
+    rows = [(1, f"i{j:03d}") for j in range(100)]
+    df = spark.createDataFrame(rows, "basket int, item string")
+    out = cooccurrence_pairs(df, "basket", "item", min_pair_count=1,
+                             max_items_per_group=10)
+    assert out.count() == 45
+    with pytest.raises(ValueError, match="max_items_per_group"):
+        cooccurrence_pairs(df, "basket", "item",
+                           max_items_per_group=1)
