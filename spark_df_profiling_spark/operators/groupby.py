@@ -554,7 +554,7 @@ def grouped_outlier_stats(df: DataFrame,
 
 
 _RESAMPLE_AGGS = ("sum", "mean", "min", "max", "count")
-_RESAMPLE_FILLS = ("ffill", "zero", "none")
+_RESAMPLE_FILLS = ("ffill", "zero", "none", "linear")
 
 
 def resample_fill(df: DataFrame, ts_col: str, key_col: str,
@@ -575,7 +575,10 @@ def resample_fill(df: DataFrame, ts_col: str, key_col: str,
     get a year of empty rows).  ``agg`` ∈ sum/mean/min/max/count picks
     the per-bucket reduction; ``fill`` picks what empty buckets carry:
     ``ffill`` (last observed value, the time-series default), ``zero``,
-    or ``none`` (NULL).  Output: one row per (key, bucket) —
+    ``none`` (NULL), or ``linear`` (straight line between the
+    neighbouring OBSERVED buckets on the integer bucket axis; NULL
+    before the first / after the last observation — interpolation,
+    never extrapolation).  Output: one row per (key, bucket) —
     ``bucket`` (integer id), ``bucket_start`` (= bucket · gran),
     ``n_obs`` (non-NULL values observed in the bucket; 0 for generated
     rows), ``v`` (the aggregated-then-filled value), ``filled``
@@ -643,9 +646,38 @@ def resample_fill(df: DataFrame, ts_col: str, key_col: str,
     from pyspark.sql import Window
     w = (Window.partitionBy("__k").orderBy("__b")
          .rowsBetween(Window.unboundedPreceding, 0))
-    filled = {"ffill": F.last("__v", ignorenulls=True).over(w),
-              "zero": F.coalesce(F.col("__v"), F.lit(0.0)),
-              "none": F.col("__v")}[fill]
+    if fill == "linear":
+        # linear interpolation between the neighbouring OBSERVED
+        # buckets: carry (bucket, value) of the last observation
+        # forward and the next observation backward (conditional
+        # structs so ignorenulls skips generated rows), then the
+        # straight line between them on the integer bucket axis.
+        # Before the first / after the last observation one side is
+        # missing → NULL (interpolation, not extrapolation).
+        # The "next observation" frame is EXPANDING over a DESCENDING
+        # sort — NOT first() over (currentRow, unboundedFollowing):
+        # Spark evaluates that shrinking frame by recomputing the
+        # aggregate from the row to the partition end for EVERY row,
+        # O(rows²) per key (measured: hang at ~11k buckets/key where
+        # the expanding form runs in seconds).  One extra sort, same
+        # single exchange.
+        wn = (Window.partitionBy("__k").orderBy(F.col("__b").desc())
+              .rowsBetween(Window.unboundedPreceding, 0))
+        obs = F.when(F.col("__v").isNotNull(),
+                     F.struct(F.col("__b").alias("b"),
+                              F.col("__v").alias("v")))
+        p = F.last(obs, ignorenulls=True).over(w)
+        nx = F.last(obs, ignorenulls=True).over(wn)
+        filled = F.when(F.col("__v").isNotNull(), F.col("__v")) \
+            .otherwise(F.when(
+                p.isNotNull() & nx.isNotNull(),
+                p["v"] + (nx["v"] - p["v"])
+                * (F.col("__b") - p["b"]).cast("double")
+                / (nx["b"] - p["b"]).cast("double")))
+    else:
+        filled = {"ffill": F.last("__v", ignorenulls=True).over(w),
+                  "zero": F.coalesce(F.col("__v"), F.lit(0.0)),
+                  "none": F.col("__v")}[fill]
     n = F.coalesce(F.col("n_obs"), F.lit(0)).cast("long")
     return joined.select(
         F.col("__k").alias(key_col),

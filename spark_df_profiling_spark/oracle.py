@@ -4541,6 +4541,52 @@ FROM (
     GROUP BY 1, 2) o ON g.k = o.k AND g.b = o.b)
 GROUP BY k
 UNION ALL
+-- resample_fill fill=linear replay: interpolate empty 225s buckets
+-- on the integer bucket axis between the neighbouring OBSERVED
+-- bucket sums; edges stay NULL (no extrapolation); per-bucket
+-- floor(v*100 + 0.5) (NOT round — interpolated values are not exact
+-- cent multiples, and the two engines tie-break .5 differently)
+SELECT 'rlin:' || CAST(k AS VARCHAR),
+       CAST(sum(CASE WHEN lv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(coalesce(sum(CASE WHEN lv IS NOT NULL
+                         THEN floor(lv * 100 + 0.5) END), 0) AS BIGINT)
+FROM (
+  SELECT k,
+         CASE WHEN v IS NOT NULL THEN v
+              WHEN pv IS NOT NULL AND nv IS NOT NULL
+              THEN pv + (nv - pv) * CAST(b - pb AS DOUBLE)
+                        / CAST(nb - pb AS DOUBLE) END AS lv
+  FROM (
+    SELECT g.k AS k, g.b AS b, o.v AS v,
+           last_value(o.v IGNORE NULLS) OVER wasc AS pv,
+           last_value(CASE WHEN o.v IS NOT NULL THEN g.b END
+                      IGNORE NULLS) OVER wasc AS pb,
+           first_value(o.v IGNORE NULLS) OVER wdesc AS nv,
+           first_value(CASE WHEN o.v IS NOT NULL THEN g.b END
+                       IGNORE NULLS) OVER wdesc AS nb
+    FROM (
+      SELECT k, unnest(generate_series(b0, b1)) AS b
+      FROM (SELECT user_id AS k, min(b) AS b0, max(b) AS b1
+            FROM (SELECT user_id,
+                         CAST(floor((epoch_ns(ts) // 1000)
+                                    / 225000000.0) AS BIGINT) AS b
+                  FROM events
+                  WHERE ts IS NOT NULL AND user_id IS NOT NULL)
+            GROUP BY user_id)) g
+    LEFT JOIN (
+      SELECT user_id AS k,
+             CAST(floor((epoch_ns(ts) // 1000) / 225000000.0)
+                  AS BIGINT) AS b,
+             sum("value") AS v
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      GROUP BY 1, 2) o ON g.k = o.k AND g.b = o.b
+    WINDOW wasc AS (PARTITION BY g.k ORDER BY g.b
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wdesc AS (PARTITION BY g.k ORDER BY g.b
+                     ROWS BETWEEN CURRENT ROW
+                     AND UNBOUNDED FOLLOWING)))
+GROUP BY k
+UNION ALL
 -- stateful_anomaly replay: per-event prefix z against the cumulative
 -- history BEFORE the event (ROWS UNBOUNDED PRECEDING .. 1 PRECEDING),
 -- min_points=5 and positive-std guards, |z| floored to 1e-5 units
@@ -4766,6 +4812,25 @@ def stateful_user_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                               F.col("user_id").cast("string"))
                      .alias("key"),
                      "total_events", "total_value_cents"))
+    # 'rlin:' rows grade resample_fill fill=linear — the same grid
+    # with straight-line interpolation between observed bucket sums;
+    # reduced to (n non-NULL grid values, per-bucket floor-cents sum:
+    # interpolations aren't cent multiples, so floor(x+0.5) dodges
+    # the engines' differing round-half tie-breaks)
+    rl2 = resample_fill(evm, "tus", "user_id", "value",
+                        gran=225000000.0, agg="sum", fill="linear")
+    rlin = (rl2.groupBy("user_id")
+            .agg(F.sum(F.when(F.col("v").isNotNull(), 1).otherwise(0))
+                 .cast("long").alias("total_events"),
+                 F.coalesce(F.sum(F.when(
+                     F.col("v").isNotNull(),
+                     F.floor(F.col("v") * 100 + F.lit(0.5)))),
+                     F.lit(0)).cast("long")
+                 .alias("total_value_cents"))
+            .select(F.concat(F.lit("rlin:"),
+                             F.col("user_id").cast("string"))
+                    .alias("key"),
+                    "total_events", "total_value_cents"))
     # 'sanom:' rows grade streaming.stateful_anomaly — the Welford
     # GroupState per-event prefix z-scores; the single-batch
     # availableNow run is exactly the batch expanding-window prefix,
@@ -4814,8 +4879,8 @@ def stateful_user_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (totals_rows.unionByName(fun).unionByName(roll)
             .unionByName(acf).unionByName(anom).unionByName(broll)
             .unionByName(banom).unionByName(gp).unionByName(gpm)
-            .unionByName(gps).unionByName(rfill).unionByName(sanom)
-            .unionByName(seas)
+            .unionByName(gps).unionByName(rfill).unionByName(rlin)
+            .unionByName(sanom).unionByName(seas)
             .orderBy("key"))
 
 

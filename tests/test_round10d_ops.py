@@ -704,3 +704,61 @@ def test_cooccurrence_pairs_group_cap(spark):
     with pytest.raises(ValueError, match="max_items_per_group"):
         cooccurrence_pairs(df, "basket", "item",
                            max_items_per_group=1)
+
+
+# ---------------------------------------------------------------------------
+# resample_fill linear interpolation
+# ---------------------------------------------------------------------------
+def test_resample_fill_linear_interpolates(spark):
+    from spark_df_profiling_spark.operators.groupby import (
+        resample_fill)
+    # key 'a': observations at buckets 0 (v=10), 4 (v=2), 5 (v=7);
+    # buckets 1-3 interpolate the 10->2 line; nothing beyond 5
+    rows = [("a", 0.5, 10.0), ("a", 4.2, 2.0), ("a", 5.9, 7.0),
+            ("b", 10.1, 3.0)]
+    df = spark.createDataFrame(rows, "k string, ts double, v double")
+    out = {(r["k"], r["bucket"]): (r["v"], r["filled"], r["n_obs"])
+           for r in resample_fill(df, "ts", "k", "v", gran=1.0,
+                                  agg="sum",
+                                  fill="linear").collect()}
+    assert out[("a", 0)] == (10.0, False, 1)
+    assert out[("a", 1)] == (8.0, True, 0)
+    assert out[("a", 2)] == (6.0, True, 0)
+    assert out[("a", 3)] == (4.0, True, 0)
+    assert out[("a", 4)] == (2.0, False, 1)
+    assert out[("a", 5)] == (7.0, False, 1)
+    assert out[("b", 10)] == (3.0, False, 1)
+    assert len(out) == 7
+
+
+def test_resample_fill_linear_edges_are_null(spark):
+    from spark_df_profiling_spark.operators.groupby import (
+        resample_fill)
+    # an all-NULL-values bucket at the START of the span: no left
+    # neighbour -> NULL (never extrapolated); interior all-NULL
+    # bucket interpolates
+    rows = [("k", 0.5, None), ("k", 2.5, 4.0), ("k", 4.5, None),
+            ("k", 6.5, 10.0)]
+    df = spark.createDataFrame(rows, "k string, ts double, v double")
+    out = {r["bucket"]: (r["v"], r["filled"])
+           for r in resample_fill(df, "ts", "k", "v", gran=2.0,
+                                  fill="linear").collect()}
+    # buckets: 0 (null obs), 1 (4.0), 2 (null obs), 3 (10.0)
+    assert out[0] == (None, True)
+    assert out[1] == (4.0, False)
+    assert out[2] == (7.0, True)
+    assert out[3] == (10.0, False)
+
+
+def test_resample_fill_linear_plan_has_no_shrinking_frame(spark):
+    # first()/last() over (currentRow, unboundedFollowing) makes Spark
+    # recompute the aggregate per row — O(rows^2) per key (measured:
+    # hang at ~11k buckets/key).  The linear fill must express "next
+    # observation" as an EXPANDING frame over a descending sort.
+    from spark_df_profiling_spark.operators.groupby import (
+        resample_fill)
+    df = spark.createDataFrame([("k", 1.0, 1.0), ("k", 9.0, 5.0)],
+                               "k string, ts double, v double")
+    rl = resample_fill(df, "ts", "k", "v", gran=1.0, fill="linear")
+    plan = rl._jdf.queryExecution().optimizedPlan().toString()
+    assert "unboundedfollowing" not in plan.lower().replace(" ", "")
