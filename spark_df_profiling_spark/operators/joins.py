@@ -476,3 +476,60 @@ def bloom_filtered_join(fact: DataFrame, dim: DataFrame,
     return (filtered.join(dim.select(F.col(dk).alias(fact_key)),
                           on=fact_key, how="left_semi")
             .select(*fact.columns))  # on= reorders; restore fact order
+
+
+def temporal_join(fact: DataFrame, dim: DataFrame,
+                  fact_key: str, ts_col: str,
+                  dim_key: "str | None" = None,
+                  valid_from: str = "valid_from",
+                  valid_to: str = "valid_to",
+                  how: str = "left") -> DataFrame:
+    """Point-in-time dimension lookup: join each fact row to the dim
+    VERSION that was valid at the fact's timestamp —
+    ``valid_from <= ts < valid_to`` with NULL ``valid_to`` = the open
+    (current) version.  The query-side complement of
+    :func:`operators.cdc.scd2_merge`: scd2_merge maintains the
+    type-2 history, this consumes it ("which address did the customer
+    have when the order shipped").
+
+    ``ts_col`` and the validity bounds share one numeric timeline
+    (epoch seconds/micros — the ``decayed_stats`` contract).  ``how``
+    ∈ left (facts with no valid version keep NULL dim columns — e.g.
+    a fact before the key's first version) / inner.  Dim columns keep
+    their names; overlapping names (other than the key) raise — alias
+    upstream.
+
+    Scale: executes as an ordinary HASH equi-join on the key with the
+    interval predicate as a residual filter — the fan-out before
+    filtering is the key's version count (SCD2 dims: a handful), so
+    this is strictly cheaper than a general range join; broadcast the
+    dim when it fits.  With a well-formed SCD2 history (disjoint
+    intervals per key — scd2_merge guarantees it) each fact matches
+    at most one version; overlapping hand-built intervals would
+    duplicate facts, which is the join's honest answer, not a bug.
+    """
+    dk = dim_key or fact_key
+    if how not in ("left", "inner"):
+        raise ValueError(f"how must be left/inner: {how!r}")
+    for c, frame, name in ((fact_key, fact, "fact"),
+                           (ts_col, fact, "fact")):
+        if c not in frame.columns:
+            raise ValueError(f"{name} missing column: {c!r}")
+    for c in (dk, valid_from, valid_to):
+        if c not in dim.columns:
+            raise ValueError(f"dim missing column: {c!r}")
+    clash = (set(fact.columns) & set(dim.columns)) - {fact_key}
+    if clash:
+        raise ValueError(
+            f"temporal_join: overlapping non-key columns "
+            f"{sorted(clash)} — alias them upstream")
+    t = fact[ts_col].cast("double")
+    cond = ((fact[fact_key] == dim[dk])
+            & (dim[valid_from].cast("double") <= t)
+            & (dim[valid_to].cast("double").isNull()
+               | (t < dim[valid_to].cast("double"))))
+    out = fact.join(dim, cond, how)
+    if dk == fact_key and dk in dim.columns:
+        # both sides carry the key name; keep the fact's copy only
+        out = out.drop(dim[dk])
+    return out

@@ -3678,6 +3678,27 @@ SELECT 'cexam', chk, CAST(rid AS VARCHAR), 1 FROM (
     WHERE l_linestatus IS NOT NULL AND l_linestatus NOT IN ('F')))
 WHERE rk <= 3
 UNION ALL
+-- temporal_join replay: the synthesized two-version SCD2 customer
+-- dim (boundary = custkey % 1000 order-days), facts = orders at
+-- integer days from the 1992-01-01 anchor; inclusive valid_from,
+-- exclusive valid_to, NULL = open version
+SELECT 'tjoin', d.ver || ':' || d.seg, 'orders~scd2',
+       CAST(count(*) AS BIGINT)
+FROM (SELECT o_custkey AS k,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01'
+                  AS DOUBLE) AS xd
+      FROM orders) f
+JOIN (
+  SELECT c_custkey AS k, 'v1' AS ver, c_mktsegment AS seg,
+         0.0 AS vf, CAST(c_custkey % 1000 AS DOUBLE) AS vt
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, 'v2', c_mktsegment,
+         CAST(c_custkey % 1000 AS DOUBLE), NULL
+  FROM customer) d
+ON f.k = d.k AND d.vf <= f.xd AND (d.vt IS NULL OR f.xd < d.vt)
+GROUP BY 2
+UNION ALL
 SELECT 'jks', j.k, 'lineitem~orders', j.v FROM (
   WITH lc AS (SELECT l_orderkey AS kk, count(*) AS c FROM lineitem
               WHERE l_orderkey IS NOT NULL GROUP BY 1),
@@ -3917,6 +3938,36 @@ def multidim_agg_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("check").alias("g1"),
                 F.col("__rid").cast("string").alias("g2"),
                 F.lit(1).cast("long").alias("cnt")))
+    # 'tjoin' rows grade joins.temporal_join — point-in-time SCD2
+    # lookup against a synthesized two-version customer dim (version
+    # boundary = custkey % 1000 order-days; fact ts = integer order
+    # days from the 1992-01-01 anchor).  DuckDB replays the interval
+    # predicate including the NULL-open bound and the boundary
+    # inclusivity
+    from spark_df_profiling_spark.operators.joins import temporal_join
+    cut = (F.col("c_custkey") % 1000).cast("double")
+    dimv = (cust.select(F.col("c_custkey"), F.lit("v1").alias("ver"),
+                        F.col("c_mktsegment").alias("seg"),
+                        F.lit(0.0).alias("valid_from"),
+                        cut.alias("valid_to"))
+            .unionByName(cust.select(
+                F.col("c_custkey"), F.lit("v2").alias("ver"),
+                F.col("c_mktsegment").alias("seg"),
+                cut.alias("valid_from"),
+                F.lit(None).cast("double").alias("valid_to"))))
+    factv = o.select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate").cast("date"),
+                   F.lit("1992-01-01").cast("date"))
+        .cast("double").alias("__xd"))
+    tjoin = (temporal_join(factv, dimv, "o_custkey", "__xd",
+                           dim_key="c_custkey", how="inner")
+             .groupBy("ver", "seg")
+             .agg(F.count(F.lit(1)).alias("cnt"))
+             .select(F.lit("tjoin").alias("mode"),
+                     F.concat(F.col("ver"), F.lit(":"),
+                              F.col("seg")).alias("g1"),
+                     F.lit("orders~scd2").alias("g2"), "cnt"))
     # 'jks' rows grade joins.py::join_key_stats — the pre-join health
     # report (exact inner-join output size, fan-out maxima, orphan and
     # null-key accounting) on lineitem ⋈ orders
@@ -4073,6 +4124,7 @@ def multidim_agg_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("valid_from").alias("cnt"))
     return (rollup.unionByName(cube).unionByName(gsets)
             .unionByName(cons).unionByName(cexam)
+            .unionByName(tjoin)
             .unionByName(jks).unionByName(zrows)
             .unionByName(salt).unionByName(decay).unionByName(ivm)
             .unionByName(rrf).unionByName(pa).unionByName(snap_rows)

@@ -762,3 +762,81 @@ def test_resample_fill_linear_plan_has_no_shrinking_frame(spark):
     rl = resample_fill(df, "ts", "k", "v", gran=1.0, fill="linear")
     plan = rl._jdf.queryExecution().optimizedPlan().toString()
     assert "unboundedfollowing" not in plan.lower().replace(" ", "")
+
+
+# ---------------------------------------------------------------------------
+# temporal_join
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def scd2_dim(spark):
+    # customer 1: two closed versions + one open; customer 2: one open
+    # opening at t=50 (facts before it match nothing)
+    rows = [(1, "addr_a", 0.0, 10.0),
+            (1, "addr_b", 10.0, 20.0),
+            (1, "addr_c", 20.0, None),
+            (2, "addr_x", 50.0, None)]
+    return spark.createDataFrame(
+        rows, "cust long, addr string, valid_from double, "
+              "valid_to double").persist()
+
+
+def test_temporal_join_picks_the_valid_version(spark, scd2_dim):
+    from spark_df_profiling_spark.operators.joins import temporal_join
+    facts = spark.createDataFrame(
+        [(100, 1, 5.0), (101, 1, 10.0), (102, 1, 19.9),
+         (103, 1, 500.0), (104, 2, 49.9), (105, 2, 50.0),
+         (106, 3, 5.0)],
+        "oid long, cust long, ts double")
+    out = {r["oid"]: r["addr"]
+           for r in temporal_join(facts, scd2_dim, "cust",
+                                  "ts").collect()}
+    assert out == {100: "addr_a",
+                   101: "addr_b",   # valid_from inclusive
+                   102: "addr_b",   # valid_to exclusive
+                   103: "addr_c",   # open version
+                   104: None,       # before the key's first version
+                   105: "addr_x",
+                   106: None}       # unknown key, left join
+    inner = temporal_join(facts, scd2_dim, "cust", "ts", how="inner")
+    assert inner.count() == 5
+    # fact key column survives once, no dup
+    assert temporal_join(facts, scd2_dim, "cust",
+                         "ts").columns.count("cust") == 1
+
+
+def test_temporal_join_validation(spark, scd2_dim):
+    from spark_df_profiling_spark.operators.joins import temporal_join
+    facts = spark.createDataFrame([(1, 1, 1.0)],
+                                  "oid long, cust long, ts double")
+    with pytest.raises(ValueError, match="left/inner"):
+        temporal_join(facts, scd2_dim, "cust", "ts", how="full")
+    with pytest.raises(ValueError, match="fact missing"):
+        temporal_join(facts, scd2_dim, "nope", "ts")
+    with pytest.raises(ValueError, match="dim missing"):
+        temporal_join(facts, scd2_dim, "cust", "ts",
+                      valid_from="nope")
+    clash = facts.withColumn("addr", F.lit("boom"))
+    with pytest.raises(ValueError, match="overlapping"):
+        temporal_join(clash, scd2_dim, "cust", "ts")
+
+
+def test_temporal_join_composes_with_scd2_merge(spark):
+    # end-to-end: build history with cdc.scd2_merge, then look up
+    from spark_df_profiling_spark.operators.cdc import scd2_merge
+    from spark_df_profiling_spark.operators.joins import temporal_join
+    hist = spark.createDataFrame([], "k long, attr string, "
+                                     "valid_from double, "
+                                     "valid_to double")
+    batch = spark.createDataFrame(
+        [(7, "v1", 100.0), (7, "v2", 200.0), (7, "v2", 300.0),
+         (7, "v3", 400.0)],
+        "k long, attr string, ts double")
+    h = scd2_merge(hist, batch, key_cols=["k"], ts_col="ts",
+                   attr_cols=["attr"])
+    facts = spark.createDataFrame(
+        [(1, 7, 150.0), (2, 7, 250.0), (3, 7, 350.0), (4, 7, 450.0),
+         (5, 7, 50.0)],
+        "fid long, k long, ts double")
+    got = {r["fid"]: r["attr"]
+           for r in temporal_join(facts, h, "k", "ts").collect()}
+    assert got == {1: "v1", 2: "v2", 3: "v2", 4: "v3", 5: None}
