@@ -338,6 +338,67 @@ def main() -> None:
         partition_advisor)
     partition_advisor(li, ["l_returnflag", "l_suppkey"]).show()
 
+    # round 10, session 4: graph scoring, seasonal baselines, trends,
+    # associations, reproducible shuffles, SCD2 lookups, exemplars
+    from spark_df_profiling_spark.operators.graph import pagerank
+    edges = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+        .alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+        .alias("dst"))
+    pagerank(edges, n_iter=3).orderBy(F.desc("rank")).show(3)
+
+    from spark_df_profiling_spark.operators.groupby import (
+        cooccurrence_pairs, grouped_linregress, retention_cohorts,
+        seasonal_anomaly)
+    evm = ev.select("user_id", event_time_micros(ev).alias("tus"),
+                    "value", "event_type")
+    seasonal_anomaly(evm, "tus", "user_id", "value",
+                     period=3_600_000_000.0, slots_per_period=4) \
+        .where(F.col("is_anomaly")).show(3)
+    retention_cohorts(evm, "tus", "user_id",
+                      gran=43_200_000_000.0).show(5)
+    cooccurrence_pairs(evm, "user_id", "event_type") \
+        .orderBy(F.desc("lift")).show(3)
+    xd = li.withColumn("__d", F.datediff(
+        F.col("l_shipdate").cast("date"),
+        F.lit("1992-01-01").cast("date")).cast("double"))
+    grouped_linregress(xd, ["l_returnflag"], "__d",
+                       "l_quantity").show()
+
+    from spark_df_profiling_spark.operators.correlation import (
+        correlation_ratio, theil_u)
+    correlation_ratio(li, "l_returnflag", "l_quantity").show()
+    theil_u(li, "l_returnflag", "l_linestatus").show()
+
+    from spark_df_profiling_spark.operators.sampling import (
+        deterministic_shuffle)
+    deterministic_shuffle(docs, "doc_id", n_shards=4) \
+        .groupBy("shard").count().orderBy("shard").show()
+
+    from spark_df_profiling_spark.operators.constraints import (
+        in_range_rows, violation_examples)
+    violation_examples(
+        li.withColumn("__rid", F.col("l_orderkey") * 10
+                      + F.col("l_linenumber")),
+        [in_range_rows("l_quantity", 1, 25)], "__rid", k=3).show()
+
+    from spark_df_profiling_spark.operators.joins import (
+        bloom_filtered_join, temporal_join)
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    sparse_dim = cust.where(F.col("c_custkey") % 7 == 0)
+    print("bloom-filtered join rows:",
+          bloom_filtered_join(orders, sparse_dim, "o_custkey",
+                              "c_custkey").count())
+    dim = cust.select(
+        "c_custkey", F.col("c_mktsegment").alias("seg"),
+        F.lit(0.0).alias("valid_from"),
+        F.lit(None).cast("double").alias("valid_to"))
+    temporal_join(
+        orders.select("o_orderkey", "o_custkey",
+                      F.lit(1.0).alias("ts")),
+        dim, "o_custkey", "ts", dim_key="c_custkey").show(3)
+
     spark.stop()
 
 
