@@ -81,7 +81,22 @@ def pagerank(edges: DataFrame, src_col: str = "src",
     if n == 0:
         raise ValueError("pagerank: edge list is empty after "
                          "dropping NULL endpoints")
+    # uniform teleport: t = 1/N at every node
+    tele = nodes.select("node", F.lit(1.0 / n).alias("__t"))
+    return _personalized_iterations(e, tele, damping, n_iter)
 
+
+def _personalized_iterations(e: DataFrame, tele: DataFrame,
+                             damping: float, n_iter: int) -> DataFrame:
+    """Shared power-iteration core: ``tele`` is the teleport
+    distribution ``(node, __t)`` over ALL nodes (Σ __t = 1 — uniform
+    for :func:`pagerank`, seed-concentrated for :func:`trustrank`).
+    Per-node update:
+    ``rank(v) = (1-d)·t(v) + d·(Σ_{u→v} rank(u)/outdeg(u) + D·t(v))``
+    — dangling mass D re-enters BY the teleport distribution, the
+    standard personalized formulation (uniform t reduces exactly to
+    classic PageRank).  The teleport weight rides the rank frame as a
+    column, so iterations stay one join + one groupBy."""
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
     # (src, dst, inv_deg) — built once, reused every iteration
     contrib_edges = (e.join(deg, "src")
@@ -91,7 +106,8 @@ def pagerank(edges: DataFrame, src_col: str = "src",
                      .localCheckpoint())
     linked_srcs = deg.select(F.col("src").alias("node"))
 
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    ranks = tele.select("node", "__t",
+                        F.col("__t").alias("rank")).localCheckpoint()
     for _ in range(n_iter):
         # total rank on dangling nodes: one-row frame, broadcast —
         # stays inside the plan, no driver round-trip per iteration
@@ -99,21 +115,77 @@ def pagerank(edges: DataFrame, src_col: str = "src",
                     .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
                          .alias("__dm")))
         contribs = (contrib_edges
-                    .join(ranks.withColumnRenamed("node", "src"),
-                          "src")
+                    .join(ranks.select(
+                        F.col("node").alias("src"), "rank"), "src")
                     .select("dst",
                             (F.col("rank") * F.col("__inv"))
                             .alias("__c"))
                     .groupBy("dst").agg(F.sum("__c").alias("__s")))
-        ranks = (nodes
+        ranks = (ranks.select("node", "__t")
                  .join(contribs.withColumnRenamed("dst", "node"),
                        "node", "left")
                  .crossJoin(F.broadcast(dangling))
-                 .select("node",
-                         (F.lit((1.0 - damping) / n)
+                 .select("node", "__t",
+                         (F.lit(1.0 - damping) * F.col("__t")
                           + F.lit(damping)
                           * (F.coalesce(F.col("__s"), F.lit(0.0))
-                             + F.col("__dm") / F.lit(float(n))))
+                             + F.col("__dm") * F.col("__t")))
                          .alias("rank"))
                  .localCheckpoint())
-    return ranks
+    return ranks.select("node", "rank")
+
+
+def trustrank(edges: DataFrame, seeds: DataFrame,
+              src_col: str = "src", dst_col: str = "dst",
+              seed_col: "str | None" = None, damping: float = 0.85,
+              n_iter: int = 10, dedup_edges: bool = True) -> DataFrame:
+    """TrustRank (Gyöngyi et al. 2004): personalized PageRank with
+    teleportation restricted to a trusted SEED set — trust flows out
+    along links, so nodes reachable only from spam-land score ~0
+    while classic PageRank would still pay them the uniform teleport
+    floor.  The web-corpus curation signal for seed-anchored domain
+    quality: seeds = a hand-vetted allowlist, scores = crawl
+    prioritization / quality weighting.
+
+    ``seeds`` is a one-column frame (``seed_col`` or its only
+    column); seeds are matched against the graph's node set by string
+    value — seeds not present in the graph are ignored (raises if
+    NONE survive: an all-miss seed list is a wiring bug, not an
+    empty answer).  Teleport (and dangling re-entry) is uniform over
+    the surviving seeds.  Ranks still sum to 1; a node's score is
+    its stationary share of trust.  Same determinism/scale contract
+    as :func:`pagerank` — the teleport weight travels as a column on
+    the rank frame, so per-iteration cost is identical.
+    """
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1): {damping}")
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1: {n_iter}")
+    for c in (src_col, dst_col):
+        if c not in edges.columns:
+            raise ValueError(f"edges missing column: {c!r}")
+    sc = seed_col or seeds.columns[0]
+    if sc not in seeds.columns:
+        raise ValueError(f"seeds missing column: {sc!r}")
+
+    e = (edges.select(F.col(src_col).cast("string").alias("src"),
+                      F.col(dst_col).cast("string").alias("dst"))
+         .where(F.col("src").isNotNull() & F.col("dst").isNotNull()))
+    if dedup_edges:
+        e = e.distinct()
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node")))
+             .distinct()
+             .localCheckpoint())
+    seed_nodes = (seeds.select(F.col(sc).cast("string").alias("node"))
+                  .where(F.col("node").isNotNull()).distinct()
+                  .join(nodes, "node", "left_semi")
+                  .localCheckpoint())
+    k = seed_nodes.count()
+    if k == 0:
+        raise ValueError("trustrank: no seed matches any graph node")
+    tele = (nodes.join(seed_nodes.withColumn("__t", F.lit(1.0 / k)),
+                       "node", "left")
+            .select("node",
+                    F.coalesce(F.col("__t"), F.lit(0.0)).alias("__t")))
+    return _personalized_iterations(e, tele, damping, n_iter)

@@ -1325,6 +1325,55 @@ FROM (
 """
 
 
+def _trust_sql(n_iter: int = 3, d: float = 0.85) -> str:
+    """Unrolled TrustRank replay on the same supplier→part graph:
+    teleport (and dangling re-entry) restricted to the even-suppkey
+    seed nodes; every iteration a CTE."""
+    iters = []
+    for i in range(1, n_iter + 1):
+        p = f"t{i - 1}"
+        iters.append(f"""
+t{i} AS (
+  SELECT tele.node,
+         (1 - {d}) * tele.t
+         + {d} * (COALESCE(c.s, 0)
+                  + (SELECT COALESCE(sum(p.r), 0) FROM {p} p
+                     LEFT JOIN deg ON p.node = deg.src
+                     WHERE deg.src IS NULL) * tele.t) AS r
+  FROM tele
+  LEFT JOIN (SELECT e.dst AS node, sum(p.r / deg.d) AS s
+             FROM e JOIN {p} p ON e.src = p.node
+             JOIN deg ON e.src = deg.src
+             GROUP BY e.dst) c ON tele.node = c.node)""")
+    return f"""
+SELECT col_x, col_y, rho FROM (
+WITH e AS (
+  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                  'p' || CAST(l_partkey AS VARCHAR) AS dst
+  FROM lineitem WHERE l_orderkey < 2000
+  UNION
+  SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR),
+                  's' || CAST(l_suppkey AS VARCHAR)
+  FROM lineitem WHERE l_orderkey < 2000 AND l_suppkey % 2 = 0),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+sn AS (SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS node
+       FROM lineitem WHERE l_orderkey < 2000 AND l_suppkey % 2 = 0),
+kk AS (SELECT count(*) AS k FROM sn
+       WHERE node IN (SELECT node FROM nodes)),
+tele AS (SELECT nodes.node,
+                CASE WHEN sn.node IS NOT NULL THEN 1.0 / kk.k
+                     ELSE 0.0 END AS t
+         FROM nodes LEFT JOIN sn ON nodes.node = sn.node
+         CROSS JOIN kk),
+deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d
+        FROM e GROUP BY src),
+t0 AS (SELECT node, t AS r FROM tele),
+{",".join(iters)}
+SELECT 'trust' AS col_x, node AS col_y, {_psig('r')} AS rho
+FROM t{n_iter})
+"""
+
+
 @query("corr_matrix",
        f"{_corr_sql}\nUNION ALL\nSELECT * FROM (\n{_CATASSOC_SQL}\n)"
        f"\nUNION ALL\n"
@@ -1334,6 +1383,7 @@ FROM (
        f"\nUNION ALL\n{_key_sql()}"
        f"\nUNION ALL\n{_inc_corr_sql(_INC_CORR_COLS)}"
        f"\nUNION ALL\n{_pgrank_sql()}"
+       f"\nUNION ALL\n{_trust_sql()}"
        f"\nUNION ALL\n{_ETA_SQL}"
        f"\nUNION ALL\n"
        f"{_theil_sql('l_returnflag', 'l_linestatus', 'rf->ls')}"
@@ -1429,6 +1479,19 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select(F.lit("pgrank").alias("col_x"),
                   F.col("node").alias("col_y"),
                   sig(F.col("rank")).alias("rho")))
+    # 'trust' rows grade graph.trustrank — teleport restricted to the
+    # even-suppkey seed set over the same graph; DuckDB unrolls the
+    # personalized iterations including the seed-weighted dangling
+    # re-entry
+    from spark_df_profiling_spark.operators.graph import trustrank
+    seeds = (base.where(F.col("l_suppkey") % 2 == 0)
+             .select(F.concat(F.lit("s"),
+                              F.col("l_suppkey").cast("string"))
+                     .alias("node")).distinct())
+    tr = (trustrank(fwd.unionByName(rev), seeds, n_iter=3)
+          .select(F.lit("trust").alias("col_x"),
+                  F.col("node").alias("col_y"),
+                  sig(F.col("rank")).alias("rho")))
     # 'eta'/'theil' rows grade correlation_ratio and theil_u — the
     # numeric~categorical and asymmetric cat→cat associations; DuckDB
     # replays the ANOVA sum-of-squares and the entropy assembly
@@ -1456,7 +1519,7 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                               "ls->rf")))
     return (pearson.unionByName(cat).unionByName(fd)
             .unionByName(keys).unionByName(inc).unionByName(pg)
-            .unionByName(er).unionByName(th))
+            .unionByName(tr).unionByName(er).unionByName(th))
 
 
 # ---------------------------------------------------------------------------

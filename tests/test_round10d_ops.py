@@ -840,3 +840,72 @@ def test_temporal_join_composes_with_scd2_merge(spark):
     got = {r["fid"]: r["attr"]
            for r in temporal_join(facts, h, "k", "ts").collect()}
     assert got == {1: "v1", 2: "v2", 3: "v2", 4: "v3", 5: None}
+
+
+# ---------------------------------------------------------------------------
+# trustrank
+# ---------------------------------------------------------------------------
+def _trustrank_py(edges, seeds, d=0.85, n_iter=10):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(nodes)
+    ss = [s for s in seeds if s in set(nodes)]
+    t = {x: (1.0 / len(ss) if x in ss else 0.0) for x in nodes}
+    out = {}
+    for u, v in set(edges):
+        out.setdefault(u, set()).add(v)
+    r = dict(t)
+    for _ in range(n_iter):
+        dm = sum(r[x] for x in nodes if x not in out)
+        nxt = {x: (1 - d) * t[x] + d * dm * t[x] for x in nodes}
+        for u, vs in out.items():
+            w = r[u] / len(vs)
+            for v in vs:
+                nxt[v] += d * w
+        r = nxt
+    del n
+    return r
+
+
+def test_trustrank_matches_python_and_starves_spam(spark):
+    from spark_df_profiling_spark.operators.graph import trustrank
+    # trusted island a->b->c->a ; spam island x->y->z->x with no
+    # inbound path from the trusted side; bridge c->d
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"),
+             ("x", "y"), ("y", "z"), ("z", "x")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    seeds = spark.createDataFrame([("a",), ("ghost",)], "node string")
+    got = {r["node"]: r["rank"]
+           for r in trustrank(e, seeds, n_iter=8).collect()}
+    want = _trustrank_py(edges, ["a"], n_iter=8)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, k
+    # spam island never reachable from the seed: exactly zero trust
+    assert got["x"] == got["y"] == got["z"] == 0.0
+    assert got["a"] > 0 and got["d"] > 0
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_trustrank_uniform_seeds_equals_pagerank(spark):
+    from spark_df_profiling_spark.operators.graph import (
+        pagerank, trustrank)
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    all_nodes = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",)], "node string")
+    tr = {r["node"]: r["rank"]
+          for r in trustrank(e, all_nodes, n_iter=6).collect()}
+    pr = {r["node"]: r["rank"]
+          for r in pagerank(e, n_iter=6).collect()}
+    for k in pr:
+        assert abs(tr[k] - pr[k]) < 1e-12
+
+
+def test_trustrank_validation(spark):
+    from spark_df_profiling_spark.operators.graph import trustrank
+    e = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError, match="no seed matches"):
+        trustrank(e, spark.createDataFrame([("zz",)], "node string"))
+    with pytest.raises(ValueError, match="damping"):
+        trustrank(e, spark.createDataFrame([("a",)], "node string"),
+                  damping=0.0)
