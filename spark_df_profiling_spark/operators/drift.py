@@ -459,3 +459,67 @@ def ks_2samp(ref: DataFrame, new: DataFrame, col: str,
                     (-F.col("__m.__nv")).alias("at_value"),
                     F.lit(n_ref).cast("long").alias("n_ref"),
                     F.lit(n_new).cast("long").alias("n_new")))
+
+
+def topk_rank_drift(df_a: DataFrame, df_b: DataFrame, col: str,
+                    k: int = 100) -> DataFrame:
+    """Rank-based categorical drift between two snapshots: compare
+    the top-``k`` most frequent values of ``col`` in A vs B — ONE
+    row: ``n_a``/``n_b`` (top-list sizes, < k when the vocabulary is
+    smaller), ``n_common``, ``churn_a``/``churn_b`` (fraction of each
+    top list absent from the other — new entries / dropouts), and
+    ``spearman`` (rank correlation over the COMMON values; NULL with
+    fewer than 2 common values or zero rank variance).
+
+    The robust companion to PSI/JSD drift: distribution tests fire on
+    any mass shift, this asks the ordinal question — did the HEAD of
+    the distribution reorder or turn over?  (A uniform 2× volume
+    change moves PSI denominators but leaves ranks identical.)
+
+    Ranks are deterministic: (count DESC, value ASC) — the
+    engine-portable tie-break every replay needs.  NULL values are
+    excluded (they're a missingness question, not a vocabulary one).
+
+    Scale: each snapshot collapses to value counts (map-side
+    combined), top-k via one window over the count frame (vocabulary-
+    sized, not row-sized); the compare joins two k-row frames —
+    driver-free, broadcastable.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    for d, name in ((df_a, "df_a"), (df_b, "df_b")):
+        if col not in d.columns:
+            raise ValueError(f"{name} missing column: {col!r}")
+    from pyspark.sql import Window
+
+    def topk(d):
+        cnt = (d.where(F.col(col).isNotNull())
+               .groupBy(F.col(col).cast("string").alias("v"))
+               .agg(F.count(F.lit(1)).alias("c")))
+        # limit() first: TakeOrdered does a distributed partial top-k,
+        # so the ranking window only ever sees k rows — a bare global
+        # row_number over the whole vocabulary would serialize a
+        # billion-value column through one task
+        top = cnt.orderBy(F.desc("c"), F.asc("v")).limit(k)
+        w = Window.orderBy(F.desc("c"), F.asc("v"))
+        return (top.withColumn("r", F.row_number().over(w))
+                .select("v", "r"))
+
+    ta, tb = topk(df_a), topk(df_b)
+    j = (ta.select(F.col("v"), F.col("r").alias("ra"))
+         .join(tb.select(F.col("v"), F.col("r").alias("rb")),
+               "v", "full_outer"))
+    n_common = F.sum(F.when(F.col("ra").isNotNull()
+                            & F.col("rb").isNotNull(), 1).otherwise(0))
+    n_a = F.sum(F.when(F.col("ra").isNotNull(), 1).otherwise(0))
+    n_b = F.sum(F.when(F.col("rb").isNotNull(), 1).otherwise(0))
+    both = F.col("ra").isNotNull() & F.col("rb").isNotNull()
+    rho = F.corr(F.when(both, F.col("ra").cast("double")),
+                 F.when(both, F.col("rb").cast("double")))
+    return j.agg(
+        n_a.cast("long").alias("n_a"),
+        n_b.cast("long").alias("n_b"),
+        n_common.cast("long").alias("n_common"),
+        ((n_a - n_common).cast("double") / n_a).alias("churn_a"),
+        ((n_b - n_common).cast("double") / n_b).alias("churn_b"),
+        rho.alias("spearman"))

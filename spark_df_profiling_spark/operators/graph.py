@@ -189,3 +189,36 @@ def trustrank(edges: DataFrame, seeds: DataFrame,
             .select("node",
                     F.coalesce(F.col("__t"), F.lit(0.0)).alias("__t")))
     return _personalized_iterations(e, tele, damping, n_iter)
+
+
+def degree_stats(edges: DataFrame, src_col: str = "src",
+                 dst_col: str = "dst",
+                 dedup_edges: bool = True) -> DataFrame:
+    """Per-node degree profile — ``(node, out_deg, in_deg)`` with 0
+    (not NULL) for the missing direction — the first look at any link
+    graph before running :func:`pagerank`/:func:`trustrank` on it:
+    dangling share, hub concentration, degree skew (feed the columns
+    to ``frequency.skew_report``/``num_stats`` for the distribution).
+    NULL endpoints dropped; ``dedup_edges`` as in :func:`pagerank`.
+
+    Scale: two map-side-combined groupBys + one full-outer join, all
+    node-keyed; output is O(#nodes).
+    """
+    for c in (src_col, dst_col):
+        if c not in edges.columns:
+            raise ValueError(f"edges missing column: {c!r}")
+    e = (edges.select(F.col(src_col).cast("string").alias("src"),
+                      F.col(dst_col).cast("string").alias("dst"))
+         .where(F.col("src").isNotNull() & F.col("dst").isNotNull()))
+    if dedup_edges:
+        e = e.distinct()
+    outd = (e.groupBy(F.col("src").alias("node"))
+            .agg(F.count(F.lit(1)).alias("out_deg")))
+    ind = (e.groupBy(F.col("dst").alias("node"))
+           .agg(F.count(F.lit(1)).alias("in_deg")))
+    return (outd.join(ind, "node", "full_outer")
+            .select("node",
+                    F.coalesce(F.col("out_deg"), F.lit(0))
+                    .alias("out_deg"),
+                    F.coalesce(F.col("in_deg"), F.lit(0))
+                    .alias("in_deg")))

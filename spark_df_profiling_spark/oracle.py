@@ -1374,6 +1374,27 @@ FROM t{n_iter})
 """
 
 
+_DEG_SQL = """
+SELECT 'deg' AS col_x, node AS col_y,
+       CAST(out_deg AS VARCHAR) || ':' || CAST(in_deg AS VARCHAR)
+         AS rho
+FROM (
+  WITH e AS (
+    SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+                    'p' || CAST(l_partkey AS VARCHAR) AS dst
+    FROM lineitem WHERE l_orderkey < 2000
+    UNION
+    SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR),
+                    's' || CAST(l_suppkey AS VARCHAR)
+    FROM lineitem WHERE l_orderkey < 2000 AND l_suppkey % 2 = 0),
+  od AS (SELECT src AS node, count(*) AS c FROM e GROUP BY src),
+  idg AS (SELECT dst AS node, count(*) AS c FROM e GROUP BY dst)
+  SELECT coalesce(od.node, idg.node) AS node,
+         coalesce(od.c, 0) AS out_deg, coalesce(idg.c, 0) AS in_deg
+  FROM od FULL OUTER JOIN idg ON od.node = idg.node)
+"""
+
+
 @query("corr_matrix",
        f"{_corr_sql}\nUNION ALL\nSELECT * FROM (\n{_CATASSOC_SQL}\n)"
        f"\nUNION ALL\n"
@@ -1384,6 +1405,7 @@ FROM t{n_iter})
        f"\nUNION ALL\n{_inc_corr_sql(_INC_CORR_COLS)}"
        f"\nUNION ALL\n{_pgrank_sql()}"
        f"\nUNION ALL\n{_trust_sql()}"
+       f"\nUNION ALL\n{_DEG_SQL}"
        f"\nUNION ALL\n{_ETA_SQL}"
        f"\nUNION ALL\n"
        f"{_theil_sql('l_returnflag', 'l_linestatus', 'rf->ls')}"
@@ -1492,6 +1514,12 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select(F.lit("trust").alias("col_x"),
                   F.col("node").alias("col_y"),
                   sig(F.col("rank")).alias("rho")))
+    # 'deg' rows grade graph.degree_stats on the same graph
+    from spark_df_profiling_spark.operators.graph import degree_stats
+    dg = (degree_stats(fwd.unionByName(rev))
+          .select(F.lit("deg").alias("col_x"),
+                  F.col("node").alias("col_y"),
+                  F.concat_ws(":", "out_deg", "in_deg").alias("rho")))
     # 'eta'/'theil' rows grade correlation_ratio and theil_u — the
     # numeric~categorical and asymmetric cat→cat associations; DuckDB
     # replays the ANOVA sum-of-squares and the entropy assembly
@@ -1519,7 +1547,8 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                               "ls->rf")))
     return (pearson.unionByName(cat).unionByName(fd)
             .unionByName(keys).unionByName(inc).unionByName(pg)
-            .unionByName(tr).unionByName(er).unionByName(th))
+            .unionByName(tr).unionByName(dg)
+            .unionByName(er).unionByName(th))
 
 
 # ---------------------------------------------------------------------------
@@ -6455,6 +6484,31 @@ FROM (
   FROM wint w CROSS JOIN refp r
   LEFT JOIN winb wb ON wb.we = w.we AND wb.b = r.b
 ) GROUP BY we
+UNION ALL
+-- topk_rank_drift replay: top-50 l_partkey head in each date half,
+-- deterministic (count DESC, value ASC) ranks, Pearson over common
+-- ranks = Spearman; band carries the list/overlap sizes
+SELECT 'rdrift' AS part, 'l_partkey' AS k,
+       {_psig('corr(CAST(ra AS DOUBLE), CAST(rb AS DOUBLE))')}
+         AS psi_s,
+       CAST(sum(CASE WHEN ra IS NOT NULL THEN 1 ELSE 0 END)
+            AS VARCHAR)
+       || ':' || CAST(sum(CASE WHEN rb IS NOT NULL THEN 1 ELSE 0 END)
+                      AS VARCHAR)
+       || ':' || CAST(sum(CASE WHEN ra IS NOT NULL AND rb IS NOT NULL
+                          THEN 1 ELSE 0 END) AS VARCHAR) AS band
+FROM (
+  SELECT coalesce(ta.v, tb.v) AS v, ta.r AS ra, tb.r AS rb
+  FROM (SELECT v, row_number() OVER (ORDER BY c DESC, v ASC) AS r
+        FROM (SELECT CAST(l_partkey AS VARCHAR) AS v, count(*) AS c
+              FROM ref WHERE l_partkey IS NOT NULL GROUP BY 1)
+        QUALIFY r <= 50) ta
+  FULL OUTER JOIN
+       (SELECT v, row_number() OVER (ORDER BY c DESC, v ASC) AS r
+        FROM (SELECT CAST(l_partkey AS VARCHAR) AS v, count(*) AS c
+              FROM nw WHERE l_partkey IS NOT NULL GROUP BY 1)
+        QUALIFY r <= 50) tb
+  ON ta.v = tb.v)
 ORDER BY part, k
 """
 
@@ -6526,8 +6580,21 @@ def drift_psi_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.when(jv < 0.02, F.lit("stable"))
                         .when(jv < 0.1, F.lit("moderate"))
                         .otherwise(F.lit("shifted")).alias("band")))
+    # 'rdrift' rows grade drift.topk_rank_drift — the ordinal head
+    # comparison on l_partkey between the same date halves; DuckDB
+    # replays the deterministic (count DESC, value ASC) ranks and the
+    # rank correlation
+    from spark_df_profiling_spark.operators.drift import (
+        topk_rank_drift)
+    rd = (topk_rank_drift(ref, new, "l_partkey", k=50)
+          .select(F.lit("rdrift").alias("part"),
+                  F.lit("l_partkey").alias("k"),
+                  sig(F.col("spearman")).alias("psi_s"),
+                  F.concat_ws(":", "n_a", "n_b", "n_common")
+                  .alias("band")))
     return (cols.unionByName(wins).unionByName(grp)
             .unionByName(ks_row).unionByName(jsd_rows)
+            .unionByName(rd)
             .orderBy("part", "k"))
 
 

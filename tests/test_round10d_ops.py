@@ -909,3 +909,61 @@ def test_trustrank_validation(spark):
     with pytest.raises(ValueError, match="damping"):
         trustrank(e, spark.createDataFrame([("a",)], "node string"),
                   damping=0.0)
+
+
+# ---------------------------------------------------------------------------
+# degree_stats / topk_rank_drift
+# ---------------------------------------------------------------------------
+def test_degree_stats(spark):
+    from spark_df_profiling_spark.operators.graph import degree_stats
+    edges = [("a", "b"), ("a", "b"), ("a", "c"), ("b", "c"),
+             (None, "x"), ("y", None)]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: (r["out_deg"], r["in_deg"])
+           for r in degree_stats(e).collect()}
+    assert got == {"a": (2, 0), "b": (1, 1), "c": (0, 2)}
+    multi = {r["node"]: (r["out_deg"], r["in_deg"])
+             for r in degree_stats(e, dedup_edges=False).collect()}
+    assert multi["a"] == (3, 0) and multi["b"] == (1, 2)
+    with pytest.raises(ValueError, match="missing column"):
+        degree_stats(e, src_col="nope")
+
+
+def test_topk_rank_drift_matches_python(spark):
+    from spark_df_profiling_spark.operators.drift import (
+        topk_rank_drift)
+    import statistics
+    # A head: v0 > v1 > ... > v9 ; B: swap v1/v2, drop v9, add vNEW
+    a_rows = [(f"v{i}",) for i in range(10) for _ in range(100 - i)]
+    b_counts = {"v0": 100, "v2": 99, "v1": 98, "v3": 97, "v4": 96,
+                "v5": 95, "v6": 94, "v7": 93, "v8": 92, "vNEW": 91}
+    b_rows = [(v,) for v, c in b_counts.items() for _ in range(c)]
+    a = spark.createDataFrame(a_rows + [(None,)], "x string")
+    b = spark.createDataFrame(b_rows, "x string")
+    r = topk_rank_drift(a, b, "x", k=10).first()
+    assert (r["n_a"], r["n_b"], r["n_common"]) == (10, 10, 9)
+    assert abs(r["churn_a"] - 0.1) < 1e-12
+    assert abs(r["churn_b"] - 0.1) < 1e-12
+    # common values v0..v8: ranks A = 1..9; B = 1,3,2,4..9
+    ra = [1, 2, 3, 4, 5, 6, 7, 8, 9]
+    rb = [1, 3, 2, 4, 5, 6, 7, 8, 9]
+    want = statistics.correlation(ra, rb)
+    assert abs(r["spearman"] - want) < 1e-9
+    # identical snapshots: spearman exactly 1, zero churn
+    same = topk_rank_drift(a, a, "x", k=10).first()
+    assert same["spearman"] == 1.0 and same["churn_a"] == 0.0
+
+
+def test_topk_rank_drift_small_vocab_and_validation(spark):
+    from spark_df_profiling_spark.operators.drift import (
+        topk_rank_drift)
+    a = spark.createDataFrame([("x",), ("x",), ("y",)], "c string")
+    b = spark.createDataFrame([("z",)], "c string")
+    r = topk_rank_drift(a, b, "c", k=100).first()
+    assert (r["n_a"], r["n_b"], r["n_common"]) == (2, 1, 0)
+    assert r["spearman"] is None          # no common values
+    assert r["churn_a"] == 1.0 and r["churn_b"] == 1.0
+    with pytest.raises(ValueError, match="k must"):
+        topk_rank_drift(a, b, "c", k=0)
+    with pytest.raises(ValueError, match="df_b missing"):
+        topk_rank_drift(a, a.withColumnRenamed("c", "d"), "c")
