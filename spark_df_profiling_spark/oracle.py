@@ -5584,6 +5584,28 @@ FROM (
          FROM px JOIN ms USING (dim))
   SELECT dim, avg(z) AS m, stddev_samp(z) AS sd
   FROM sx WHERE dim <= 3 GROUP BY dim)
+UNION ALL
+-- random_projection replay: every Rademacher sign re-derived from
+-- the identical md5 parity formula, all 500 vectors projected 64→8,
+-- per-output-dim count + sums at sig grain
+SELECT 'rproj', CAST(j AS VARCHAR), CAST(count(*) AS BIGINT),
+       {_psig('sum(p)')} || '/' || {_psig('sum(p * p)')}
+FROM (
+  SELECT vec_id, j, sum(x * s) / sqrt(8.0) AS p
+  FROM (
+    SELECT e.vec_id, d.j, d.i,
+           CAST(e.embedding[d.i + 1] AS DOUBLE) AS x,
+           CASE WHEN ('0x' || substr(md5('5:' || CAST(d.i AS VARCHAR)
+                       || ':' || CAST(d.j AS VARCHAR)),
+                      1, 15))::BIGINT % 2 = 0
+                THEN 1.0 ELSE -1.0 END AS s
+    FROM embeddings e
+    CROSS JOIN (SELECT i, j
+                FROM unnest(generate_series(0, 63)) t1(i)
+                CROSS JOIN unnest(generate_series(0, 7)) t2(j)) d
+    WHERE e.embedding IS NOT NULL)
+  GROUP BY vec_id, j)
+GROUP BY j
 ORDER BY part, k
 """)
 def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5724,9 +5746,26 @@ def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(3, '0', m0, s0, '1', m1, s1, '2', m2, s2) "
         "as (k, v1, v2s)")) \
         .select(F.lit("std").alias("part"), "k", "v1", "v2s")
+    # 'rproj' rows grade similarity.random_projection — the 64→8 JL
+    # projection with md5-derived Rademacher signs; DuckDB re-derives
+    # every sign from the same md5 formula and replays all 500
+    # projections (per-dim count + Σp + Σp² at sig grain)
+    from spark_df_profiling_spark.operators.similarity import (
+        random_projection)
+    rp = (random_projection(e, 64, 8, seed=5)
+          .select("vec_id",
+                  F.posexplode("embedding_rp").alias("j", "p")))
+    rproj = (rp.groupBy("j")
+             .agg(F.count(F.lit(1)).cast("long").alias("v1"),
+                  F.concat(sig(F.sum("p")), F.lit("/"),
+                           sig(F.sum(F.col("p") * F.col("p"))))
+                  .alias("v2s"))
+             .select(F.lit("rproj").alias("part"),
+                     F.col("j").cast("string").alias("k"),
+                     "v1", "v2s"))
     return (arr.unionByName(dims).unionByName(quant).unionByName(km)
             .unionByName(kb).unionByName(ks).unionByName(pca)
-            .unionByName(stdr)
+            .unionByName(stdr).unionByName(rproj)
             .orderBy("part", "k"))
 
 

@@ -967,3 +967,80 @@ def test_topk_rank_drift_small_vocab_and_validation(spark):
         topk_rank_drift(a, b, "c", k=0)
     with pytest.raises(ValueError, match="df_b missing"):
         topk_rank_drift(a, a.withColumnRenamed("c", "d"), "c")
+
+
+# ---------------------------------------------------------------------------
+# random_projection
+# ---------------------------------------------------------------------------
+def test_random_projection_matches_python_and_preserves_geometry(
+        spark):
+    from spark_df_profiling_spark.operators.similarity import (
+        rademacher_signs, random_projection)
+    import math
+    import random
+    rng = random.Random(17)
+    vecs = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(40)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)] + [(999, None)],
+        "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r["embedding_rp"]
+           for r in random_projection(df, 64, 16, seed=5).collect()}
+    signs = rademacher_signs(64, 16, seed=5)
+    sc = 1 / math.sqrt(16)
+
+    def proj(v):
+        return [sc * sum(x * s for x, s in zip(v, row))
+                for row in signs]
+
+    for i, v in enumerate(vecs):
+        for a, b in zip(out[i], proj(v)):
+            assert abs(a - b) < 1e-9
+    assert out[999] is None
+    # JL property: projected pairwise sq-distances track originals
+    import statistics
+    ratios = []
+    for a in range(0, 10):
+        for b in range(a + 1, 10):
+            d0 = sum((x - y) ** 2 for x, y in zip(vecs[a], vecs[b]))
+            d1 = sum((x - y) ** 2 for x, y in zip(proj(vecs[a]),
+                                                  proj(vecs[b])))
+            ratios.append(d1 / d0)
+    assert 0.7 < statistics.mean(ratios) < 1.3
+
+
+def test_random_projection_validation(spark):
+    from spark_df_profiling_spark.operators.similarity import (
+        random_projection)
+    df = spark.createDataFrame([(1, [1.0, 2.0])],
+                               "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="in_dim/out_dim"):
+        random_projection(df, 0, 4)
+    with pytest.raises(ValueError, match="missing column"):
+        random_projection(df, 2, 1, vec_col="nope")
+    bad = random_projection(df, 3, 2)  # declared 3, actual 2
+    with pytest.raises(Exception, match="vector length"):
+        bad.collect()
+
+
+def test_random_projection_fast_path_matches_validated(spark):
+    from spark_df_profiling_spark.operators.similarity import (
+        random_projection)
+    import random
+    rng = random.Random(3)
+    vecs = [[rng.gauss(0, 1) for _ in range(32)] for _ in range(20)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>")
+    a = {r["vec_id"]: r["embedding_rp"] for r in
+         random_projection(df, 32, 8, seed=2).collect()}
+    b = {r["vec_id"]: r["embedding_rp"] for r in
+         random_projection(df, 32, 8, seed=2,
+                           validate=False).collect()}
+    assert a == b
+    # fast path: NULL vector -> all-NULL components, never an error
+    withnull = df.unionByName(spark.createDataFrame(
+        [(99, None)], "vec_id long, embedding array<double>"))
+    r = {x["vec_id"]: x["embedding_rp"] for x in
+         random_projection(withnull, 32, 8, seed=2,
+                           validate=False).collect()}
+    assert r[99] == [None] * 8
