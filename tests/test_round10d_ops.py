@@ -1044,3 +1044,65 @@ def test_random_projection_fast_path_matches_validated(spark):
          random_projection(withnull, 32, 8, seed=2,
                            validate=False).collect()}
     assert r[99] == [None] * 8
+
+
+# ---------------------------------------------------------------------------
+# knn_projected_rerank
+# ---------------------------------------------------------------------------
+def test_knn_projected_rerank_recall_and_exact_sims(spark):
+    from spark_df_profiling_spark.operators.similarity import (
+        knn_bruteforce, knn_projected_rerank)
+    import random
+    rng = random.Random(23)
+    # 4 query vectors, each with 5 planted near-duplicates (cosine
+    # ~0.99) in a 180-vector random background (cosine ~0) — the
+    # regime two-stage ANN is for: candidates must separate clearly
+    # in the projected space, exact rerank settles the order
+    vecs = []
+    for i in range(4):
+        base = [rng.gauss(0, 1) for _ in range(64)]
+        vecs.append((i, base))
+        for j in range(5):
+            vecs.append((100 + i * 10 + j,
+                         [x + rng.gauss(0, 0.08) for x in base]))
+    for i in range(180):
+        vecs.append((1000 + i, [rng.gauss(0, 1) for _ in range(64)]))
+    e = spark.createDataFrame(vecs,
+                              "vec_id long, embedding array<double>")
+    q = e.where(F.col("vec_id") < 4)
+    exact = knn_bruteforce(e, q, k=5)
+    approx = knn_projected_rerank(e, q, in_dim=64, proj_dim=16,
+                                  k=5, rerank_k=25, seed=7)
+    ex = {}
+    for r in exact.collect():
+        ex.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    ap, sims = {}, {}
+    for r in approx.collect():
+        ap.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        sims[(r["query_id"], r["neighbor_id"])] = r["sim"]
+    # recall >= 4/5 per query on clustered data at proj 16 / rerank 25
+    for qid in ex:
+        assert len(ex[qid] & ap[qid]) >= 4, (qid, ex[qid], ap[qid])
+    # sims are the EXACT full-dim cosines for returned pairs
+    exact_sims = {(r["query_id"], r["neighbor_id"]): r["sim"]
+                  for r in exact.collect()}
+    for key, s in sims.items():
+        if key in exact_sims:
+            assert abs(s - exact_sims[key]) < 1e-12
+    # rank is dense 1..5 per query
+    got_ranks = {}
+    for r in approx.collect():
+        got_ranks.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == [1, 2, 3, 4, 5]
+               for v in got_ranks.values())
+
+
+def test_knn_projected_rerank_validation(spark):
+    from spark_df_profiling_spark.operators.similarity import (
+        knn_projected_rerank)
+    e = spark.createDataFrame([(1, [1.0, 0.0])],
+                              "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="k must"):
+        knn_projected_rerank(e, e, 2, 1, k=0)
+    with pytest.raises(ValueError, match="rerank_k"):
+        knn_projected_rerank(e, e, 2, 1, k=5, rerank_k=3)
