@@ -687,3 +687,74 @@ def split_leakage_audit(assigned: DataFrame, pairs: DataFrame,
                      F.greatest(sa, sb).alias("split_b"))
             .groupBy("split_a", "split_b")
             .agg(F.count(F.lit(1)).alias("n_pairs")))
+
+
+def stratified_exact_split(df: DataFrame, strata_col: str,
+                           weights: "Mapping[str, float]",
+                           key_col: Union[str, Column],
+                           seed: int = 0,
+                           split_col: str = "split") -> DataFrame:
+    """Train/val/test split with EXACT per-stratum proportions:
+    within every stratum the split sizes are
+    ``floor(n_stratum · cum_weight)`` boundaries — each split lands
+    within one row of its target fraction in EVERY stratum
+    (:func:`hash_split` is proportional only in expectation: a
+    100-doc language can easily come out 85/9/6 on an 80/10/10 ask).
+    Assignment is still deterministic — rows are ranked inside each
+    stratum by (md5 bucket, key), so the same rows land in the same
+    split on every run/engine — but NOT stable under corpus growth
+    (ranks shift as rows are added; use :func:`hash_split` when
+    membership stability across snapshots matters more than exact
+    proportions).
+
+    NULL keys are dropped (the :func:`sample_exact_k` determinism
+    contract); NULL strata form their own stratum.  Weights are
+    normalized; the LAST split absorbs each stratum's rounding
+    remainder.
+
+    Scale: one groupBy for stratum sizes (broadcast back — O(#strata)
+    rows) + one in-stratum rank window; a stratum's rows sort within
+    one task (the :func:`sample_exact_k` bound — pre-thin or shard
+    giant strata upstream if a single stratum exceeds task memory).
+    """
+    names = list(weights)
+    if not names:
+        raise ValueError("weights must be non-empty")
+    total = float(sum(weights[n] for n in names))
+    if total <= 0 or any(weights[n] < 0 for n in names):
+        raise ValueError(f"weights must be >= 0 with a positive sum: "
+                         f"{dict(weights)}")
+    if strata_col not in df.columns:
+        raise ValueError(f"missing column: {strata_col!r}")
+    _warn_if_nullable_key(
+        df, key_col,
+        f"stratified_exact_split: key column {key_col!r} is nullable "
+        f"— NULL-key rows are dropped (deterministic in-stratum "
+        f"ranks need a non-null key)")
+    from pyspark.sql import Window
+    # NULL strata form their own stratum: join/partition on a
+    # null-safe surrogate (an equi-join would silently drop them)
+    sk = F.coalesce(F.col(strata_col).cast("string"),
+                    F.lit("\x00NULL"))
+    base = (df.where(_c(key_col).isNotNull())
+            .withColumn("__sk", sk))
+    sizes = (base.groupBy("__sk")
+             .agg(F.count(F.lit(1)).alias("__ns")))
+    w = Window.partitionBy("__sk").orderBy(
+        hash_bucket(key_col, seed).asc(), _c(key_col).asc())
+    ranked = (base.withColumn("__srk", F.row_number().over(w))
+              .join(F.broadcast(sizes), ["__sk"]))
+    # per-stratum thresholds floor(n_s * cum_i); rank <= threshold_i
+    # and > threshold_{i-1} -> split i; the last split takes the tail
+    expr: Column = F.lit(names[-1])
+    acc = 0.0
+    cums = []
+    for n in names[:-1]:
+        acc += weights[n] / total
+        cums.append(acc)
+    for name, cum in zip(reversed(names[:-1]), reversed(cums)):
+        thr = F.floor(F.col("__ns") * F.lit(cum)).cast("long")
+        expr = F.when(F.col("__srk") <= thr, F.lit(name)) \
+                .otherwise(expr)
+    return (ranked.withColumn(split_col, expr)
+            .drop("__srk", "__ns", "__sk"))

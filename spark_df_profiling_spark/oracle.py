@@ -5943,6 +5943,25 @@ FROM (
   JOIN sp x ON p.ia = x.doc_id
   JOIN sp y ON p.ib = y.doc_id)
 GROUP BY sa, sb
+UNION ALL
+-- stratified_exact_split replay: per-lang (md5 bucket seed 6,
+-- doc_id) ranks, thresholds floor(n*0.8)/floor(n*0.9), exact
+-- per-stratum split counts
+SELECT 'xsplit:' || s, lang, count(*)
+FROM (
+  SELECT lang,
+         CASE WHEN rk <= floor(ns * 0.8) THEN 'train'
+              WHEN rk <= floor(ns * 0.9) THEN 'val'
+              ELSE 'test' END AS s
+  FROM (
+    SELECT coalesce(lang, chr(0) || 'NULL') AS sk, lang,
+           row_number() OVER (
+               PARTITION BY coalesce(lang, chr(0) || 'NULL')
+               ORDER BY {_BK.format(seed=6)} ASC, doc_id ASC) AS rk,
+           count(*) OVER (
+               PARTITION BY coalesce(lang, chr(0) || 'NULL')) AS ns
+    FROM documents WHERE doc_id IS NOT NULL))
+GROUP BY s, lang
 ORDER BY part, k
 """)
 def hash_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6080,12 +6099,26 @@ def hash_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.concat(F.col("split_a"), F.lit("->"),
                                F.col("split_b")).alias("k"),
                       F.col("n_pairs").alias("n")))
+    # 'xsplit' rows grade stratified_exact_split — exact per-lang
+    # 80/10/10 proportions; DuckDB replays the in-stratum md5 ranks
+    # and the floor thresholds
+    from spark_df_profiling_spark.operators.sampling import (
+        stratified_exact_split)
+    xs = (stratified_exact_split(
+        d, "lang", {"train": 0.8, "val": 0.1, "test": 0.1},
+        "doc_id", seed=6)
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.concat(F.lit("xsplit:"), F.col("split"))
+                .alias("part"),
+                F.col("lang").alias("k"), "n"))
     return (split.unionByName(samp).unionByName(strat)
             .unionByName(exactk).unionByName(dsir)
             .unionByName(ws).unionByName(qb)
             .unionByName(lsp).unionByName(viol)
             .unionByName(rep).unionByName(repk)
             .unionByName(shuf).unionByName(laudit)
+            .unionByName(xs)
             .orderBy("part", "k"))
 
 

@@ -1106,3 +1106,61 @@ def test_knn_projected_rerank_validation(spark):
         knn_projected_rerank(e, e, 2, 1, k=0)
     with pytest.raises(ValueError, match="rerank_k"):
         knn_projected_rerank(e, e, 2, 1, k=5, rerank_k=3)
+
+
+# ---------------------------------------------------------------------------
+# stratified_exact_split
+# ---------------------------------------------------------------------------
+def test_stratified_exact_split_counts_and_determinism(spark):
+    from spark_df_profiling_spark.operators.sampling import (
+        BUCKETS, stratified_exact_split)
+    import hashlib
+    rows = ([("en", i) for i in range(100)]
+            + [("de", 1000 + i) for i in range(37)]
+            + [("fr", 2000 + i) for i in range(3)]
+            + [(None, 3000), ("en", None)])
+    df = spark.createDataFrame(rows, "lang string, doc_id long")
+    out = stratified_exact_split(
+        df, "lang", {"train": 0.8, "val": 0.1, "test": 0.1},
+        "doc_id", seed=4)
+    got = {}
+    for r in out.collect():
+        got.setdefault((r["lang"], r["split"]), []).append(r["doc_id"])
+    cnt = {k: len(v) for k, v in got.items()}
+    # en 100: exactly 80/10/10 ; de 37: floor(29.6)=29, floor(33.3)-29
+    # = 4, remainder 4 ; fr 3: 2/0/1 ; NULL stratum (1 row) -> test
+    assert cnt[("en", "train")] == 80 and cnt[("en", "val")] == 10
+    assert cnt[("en", "test")] == 10
+    assert cnt[("de", "train")] == 29 and cnt[("de", "val")] == 4
+    assert cnt[("de", "test")] == 4
+    assert cnt[("fr", "train")] == 2 and cnt[("fr", "test")] == 1
+    assert ("fr", "val") not in cnt
+    assert cnt[(None, "test")] == 1  # floor(1*.8)=0, floor(1*.9)=0
+    # NULL key dropped entirely
+    assert sum(cnt.values()) == 141
+    # python replay of the en stratum membership
+    def bkt(i):
+        h = hashlib.md5(f"{i}:4".encode()).hexdigest()[:15]
+        return int(h, 16) % BUCKETS
+    order = sorted(range(100), key=lambda i: (bkt(i), i))
+    assert sorted(got[("en", "train")]) == sorted(order[:80])
+    assert sorted(got[("en", "val")]) == sorted(order[80:90])
+    # rerun identical
+    again = stratified_exact_split(
+        df, "lang", {"train": 0.8, "val": 0.1, "test": 0.1},
+        "doc_id", seed=4)
+    key = lambda t: tuple(repr(x) for x in t)  # noqa: E731
+    assert sorted(map(tuple, again.collect()), key=key) == sorted(
+        map(tuple, out.collect()), key=key)
+
+
+def test_stratified_exact_split_validation(spark):
+    from spark_df_profiling_spark.operators.sampling import (
+        stratified_exact_split)
+    df = spark.createDataFrame([("en", 1)], "lang string, doc_id long")
+    with pytest.raises(ValueError, match="non-empty"):
+        stratified_exact_split(df, "lang", {}, "doc_id")
+    with pytest.raises(ValueError, match="positive sum"):
+        stratified_exact_split(df, "lang", {"a": 0.0}, "doc_id")
+    with pytest.raises(ValueError, match="missing column"):
+        stratified_exact_split(df, "nope", {"a": 1.0}, "doc_id")
