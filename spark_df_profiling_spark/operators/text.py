@@ -1302,3 +1302,57 @@ def domain_stats(df: DataFrame, text_col: str = "text",
             .select("domain", "n_urls", "n_docs",
                     (F.col("n_urls") / F.col("__tot")).alias("url_share"))
             .orderBy(F.desc("n_urls"), F.asc("domain")))
+
+
+def oov_stats(df: DataFrame, text_col: str, vocab: DataFrame,
+              id_col: str, token_col: str = "token",
+              broadcast_vocab: bool = True) -> DataFrame:
+    """Per-document out-of-vocabulary rate against a reference
+    vocabulary — the tokenizer/domain-fit metric: how much of each
+    document a fixed vocabulary (tokenizer vocab, index dictionary,
+    spell lexicon) cannot represent.  High corpus OOV = wrong
+    tokenizer or domain shift; per-doc OOV feeds quality filtering
+    like the other :func:`quality_score` signals.
+
+    ``vocab`` is a one-token-per-row frame (``token_col``); tokens
+    follow the corpus convention (space-split, empty dropped — the
+    :func:`vocab_topk` tokenization).  Matching is exact/case-
+    sensitive; normalize upstream (``normalize_text``) for casefolded
+    vocabularies.  Output: one row per input document —
+    ``(id_col, n_tokens, n_oov, oov_rate)``; documents with zero
+    tokens keep n_tokens = 0 and a NULL rate.
+
+    Scale: one explode → token-keyed LEFT join against the DISTINCT
+    vocabulary (broadcast by default — tokenizer vocabularies are
+    ~100k rows; pass ``broadcast_vocab=False`` for multi-GB lexica)
+    → one map-side-combined per-doc agg; docs join back by id only
+    to restore empty documents.
+    """
+    for c, frame, name in ((text_col, df, "df"), (id_col, df, "df"),
+                           (token_col, vocab, "vocab")):
+        if c not in frame.columns:
+            raise ValueError(f"{name} missing column: {c!r}")
+    toks = (df.select(F.col(id_col),
+                      F.explode(F.split(_c(text_col), " "))
+                      .alias("__tok"))
+            .where(F.col("__tok") != ""))
+    v = (vocab.select(F.col(token_col).alias("__tok"))
+         .where(F.col("__tok").isNotNull()).distinct()
+         .withColumn("__in", F.lit(1)))
+    if broadcast_vocab:
+        v = F.broadcast(v)
+    per_doc = (toks.join(v, "__tok", "left")
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_tokens"),
+                    F.sum(F.when(F.col("__in").isNull(), 1)
+                          .otherwise(0)).alias("n_oov")))
+    return (df.select(id_col).distinct()
+            .join(per_doc, id_col, "left")
+            .select(id_col,
+                    F.coalesce(F.col("n_tokens"), F.lit(0))
+                    .cast("long").alias("n_tokens"),
+                    F.coalesce(F.col("n_oov"), F.lit(0)).cast("long")
+                    .alias("n_oov"),
+                    F.when(F.col("n_tokens") > 0,
+                           F.col("n_oov").cast("double")
+                           / F.col("n_tokens")).alias("oov_rate")))

@@ -6892,6 +6892,26 @@ SELECT 'pmi', w1 || ' ' || w2, c12, {_psig('pmi')} FROM (
          row_number() OVER (ORDER BY pmi DESC, w1, w2) AS prk
   FROM pall)
 WHERE prk <= 15
+UNION ALL
+-- oov_stats replay: corpus top-100 vocabulary (cnt DESC, token ASC
+-- ranks), token-level left join, per-lang token/OOV sums + sig rate
+SELECT 'oov', lang, CAST(o AS BIGINT),
+       CAST(t AS VARCHAR) || ':'
+           || {_psig('CAST(o AS DOUBLE) / t')}
+FROM (
+  WITH tk AS (
+    SELECT lang, tok
+    FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+          FROM documents)
+    WHERE tok <> ''),
+  vb AS (
+    SELECT tok
+    FROM (SELECT tok, count(*) AS c FROM tk GROUP BY tok)
+    QUALIFY row_number() OVER (ORDER BY c DESC, tok ASC) <= 100)
+  SELECT tk.lang, count(*) AS t,
+         sum(CASE WHEN vb.tok IS NULL THEN 1 ELSE 0 END) AS o
+  FROM tk LEFT JOIN vb ON tk.tok = vb.tok
+  GROUP BY tk.lang)
 ORDER BY part, k
 """)
 def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6945,6 +6965,22 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                              F.col("doc_id").cast("string")).alias("k"),
                     F.col("n_terms_matched").alias("v1"),
                     sig(F.col("score")).alias("v2s")))
+    # 'oov' rows grade text.oov_stats — per-lang OOV mass against the
+    # corpus top-100 vocabulary (vocab_topk); DuckDB replays the
+    # vocabulary ranks, the left join, and the per-lang sums
+    from spark_df_profiling_spark.operators.text import oov_stats
+    vb = vocab_topk(d, "text", k=100).select("token")
+    ov = (oov_stats(d, "text", vb, "doc_id")
+          .join(d.select("doc_id", "lang"), "doc_id")
+          .groupBy("lang")
+          .agg(F.sum("n_tokens").alias("__nt"),
+               F.sum("n_oov").alias("__no"))
+          .select(F.lit("oov").alias("part"),
+                  F.col("lang").alias("k"),
+                  F.col("__no").cast("long").alias("v1"),
+                  F.concat(F.col("__nt").cast("string"), F.lit(":"),
+                           sig(F.col("__no").cast("double")
+                               / F.col("__nt"))).alias("v2s")))
     return (top.unionByName(tfidf).unionByName(zipf).unionByName(bm25)
-            .unionByName(pmi)
+            .unionByName(pmi).unionByName(ov)
             .orderBy("part", "k"))

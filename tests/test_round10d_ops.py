@@ -1164,3 +1164,35 @@ def test_stratified_exact_split_validation(spark):
         stratified_exact_split(df, "lang", {"a": 0.0}, "doc_id")
     with pytest.raises(ValueError, match="missing column"):
         stratified_exact_split(df, "nope", {"a": 1.0}, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# oov_stats
+# ---------------------------------------------------------------------------
+def test_oov_stats_counts(spark):
+    from spark_df_profiling_spark.operators.text import oov_stats
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"),
+         (2, "zyx qwv"),
+         (3, ""),
+         (4, "the the the")],
+        "doc_id long, text string")
+    vocab = spark.createDataFrame(
+        [("the",), ("cat",), ("on",), ("mat",), (None,), ("the",)],
+        "token string")
+    got = {r["doc_id"]: (r["n_tokens"], r["n_oov"], r["oov_rate"])
+           for r in oov_stats(docs, "text", vocab, "doc_id").collect()}
+    assert got[1] == (6, 1, 1 / 6)  # only "sat" is OOV
+    assert got[2] == (2, 2, 1.0)
+    assert got[3] == (0, 0, None)
+    assert got[4] == (3, 0, 0.0)
+
+
+def test_oov_stats_validation(spark):
+    from spark_df_profiling_spark.operators.text import oov_stats
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    vocab = spark.createDataFrame([("a",)], "token string")
+    with pytest.raises(ValueError, match="df missing"):
+        oov_stats(docs, "nope", vocab, "doc_id")
+    with pytest.raises(ValueError, match="vocab missing"):
+        oov_stats(docs, "text", vocab, "doc_id", token_col="nope")
