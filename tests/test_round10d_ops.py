@@ -1196,3 +1196,37 @@ def test_oov_stats_validation(spark):
         oov_stats(docs, "nope", vocab, "doc_id")
     with pytest.raises(ValueError, match="vocab missing"):
         oov_stats(docs, "text", vocab, "doc_id", token_col="nope")
+
+
+# ---------------------------------------------------------------------------
+# plan-shape pins for the session-4 joins
+# ---------------------------------------------------------------------------
+def test_temporal_join_is_hash_join_not_nested_loop(spark, scd2_dim):
+    from spark_df_profiling_spark.operators.joins import temporal_join
+    facts = spark.createDataFrame(
+        [(1, 1, 5.0)], "oid long, cust long, ts double")
+    plan = (temporal_join(facts, scd2_dim, "cust", "ts")
+            ._jdf.queryExecution().executedPlan().toString())
+    # the interval predicate must ride as a residual on a HASH
+    # equi-join on the key — a BroadcastNestedLoopJoin here would be
+    # O(facts x versions) at scale
+    assert "NestedLoop" not in plan, plan[:600]
+    assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan)
+
+
+def test_cooccurrence_pair_join_is_equi_join(spark):
+    from spark_df_profiling_spark.operators.groupby import (
+        cooccurrence_pairs)
+    df = spark.createDataFrame([(1, "a"), (1, "b")],
+                               "basket int, item string")
+    plan = (cooccurrence_pairs(df, "basket", "item", min_pair_count=1)
+            ._jdf.queryExecution().executedPlan().toString())
+    # the PAIR self-join must be an equi join on the group key with
+    # the item inequality as a residual (the one-row n_groups totals
+    # frame rides a deliberate broadcast cross join — that one is
+    # fine); a CartesianProduct anywhere would be the n² blowup
+    assert "CartesianProduct" not in plan
+    import re
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|"
+                     r"BroadcastHashJoin) \[__g", plan), plan[:600]
