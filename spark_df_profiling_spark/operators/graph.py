@@ -34,7 +34,8 @@ from pyspark.sql import functions as F
 
 def pagerank(edges: DataFrame, src_col: str = "src",
              dst_col: str = "dst", damping: float = 0.85,
-             n_iter: int = 10, dedup_edges: bool = True) -> DataFrame:
+             n_iter: int = 10, dedup_edges: bool = True,
+             weight_col: "str | None" = None) -> DataFrame:
     """PageRank over a directed edge list — returns ``(node, rank)``
     with ranks summing to 1 over the node set.
 
@@ -47,6 +48,15 @@ def pagerank(edges: DataFrame, src_col: str = "src",
     so each distinct link carries ``1/outdeg`` — set it False to let
     edge multiplicity weight the split (outdeg then counts
     multiplicity too).
+
+    ``weight_col`` makes the split weighted: each edge carries
+    ``w / Σw(src)`` of its source's rank instead of ``1/outdeg``
+    (link counts, co-occurrence strengths).  NULL or non-positive
+    weights drop the edge (a zero-weight link IS no link); integer
+    weights are exactly equivalent to duplicating the edge that many
+    times under ``dedup_edges=False`` (pytest-pinned).
+    ``dedup_edges`` is ignored when weights are given — aggregate
+    parallel edges into one weighted edge upstream.
 
     Determinism: fixed ``n_iter`` and pure arithmetic — the only
     cross-run jitter is double-sum reorder (~1 ulp), absorbed by any
@@ -67,11 +77,7 @@ def pagerank(edges: DataFrame, src_col: str = "src",
         if c not in edges.columns:
             raise ValueError(f"edges missing column: {c!r}")
 
-    e = (edges.select(F.col(src_col).cast("string").alias("src"),
-                      F.col(dst_col).cast("string").alias("dst"))
-         .where(F.col("src").isNotNull() & F.col("dst").isNotNull()))
-    if dedup_edges:
-        e = e.distinct()
+    e = _edge_frame(edges, src_col, dst_col, dedup_edges, weight_col)
 
     nodes = (e.select(F.col("src").alias("node"))
              .unionByName(e.select(F.col("dst").alias("node")))
@@ -86,6 +92,29 @@ def pagerank(edges: DataFrame, src_col: str = "src",
     return _personalized_iterations(e, tele, damping, n_iter)
 
 
+def _edge_frame(edges: DataFrame, src_col: str, dst_col: str,
+                dedup_edges: bool,
+                weight_col: "str | None") -> DataFrame:
+    """Normalized (src, dst[, __w]) edge frame: string endpoints,
+    NULL endpoints dropped; with ``weight_col``, NULL/non-positive
+    weights drop the edge and parallel-edge handling is the
+    caller's business (dedup_edges is ignored)."""
+    if weight_col is not None:
+        if weight_col not in edges.columns:
+            raise ValueError(f"edges missing column: {weight_col!r}")
+        return (edges.select(
+            F.col(src_col).cast("string").alias("src"),
+            F.col(dst_col).cast("string").alias("dst"),
+            F.col(weight_col).cast("double").alias("__w"))
+            .where(F.col("src").isNotNull()
+                   & F.col("dst").isNotNull()
+                   & (F.col("__w") > 0)))
+    e = (edges.select(F.col(src_col).cast("string").alias("src"),
+                      F.col(dst_col).cast("string").alias("dst"))
+         .where(F.col("src").isNotNull() & F.col("dst").isNotNull()))
+    return e.distinct() if dedup_edges else e
+
+
 def _personalized_iterations(e: DataFrame, tele: DataFrame,
                              damping: float, n_iter: int) -> DataFrame:
     """Shared power-iteration core: ``tele`` is the teleport
@@ -97,11 +126,13 @@ def _personalized_iterations(e: DataFrame, tele: DataFrame,
     standard personalized formulation (uniform t reduces exactly to
     classic PageRank).  The teleport weight rides the rank frame as a
     column, so iterations stay one join + one groupBy."""
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
-    # (src, dst, inv_deg) — built once, reused every iteration
+    wexpr = F.col("__w") if "__w" in e.columns else F.lit(1.0)
+    deg = e.groupBy("src").agg(F.sum(wexpr).alias("__deg"))
+    # (src, dst, inv_deg) — built once, reused every iteration;
+    # weighted edges carry w/Σw(src) instead of 1/outdeg
     contrib_edges = (e.join(deg, "src")
                      .select("src", "dst",
-                             (F.lit(1.0) / F.col("__deg"))
+                             (wexpr / F.col("__deg"))
                              .alias("__inv"))
                      .localCheckpoint())
     linked_srcs = deg.select(F.col("src").alias("node"))
@@ -138,7 +169,8 @@ def _personalized_iterations(e: DataFrame, tele: DataFrame,
 def trustrank(edges: DataFrame, seeds: DataFrame,
               src_col: str = "src", dst_col: str = "dst",
               seed_col: "str | None" = None, damping: float = 0.85,
-              n_iter: int = 10, dedup_edges: bool = True) -> DataFrame:
+              n_iter: int = 10, dedup_edges: bool = True,
+              weight_col: "str | None" = None) -> DataFrame:
     """TrustRank (Gyöngyi et al. 2004): personalized PageRank with
     teleportation restricted to a trusted SEED set — trust flows out
     along links, so nodes reachable only from spam-land score ~0
@@ -168,11 +200,7 @@ def trustrank(edges: DataFrame, seeds: DataFrame,
     if sc not in seeds.columns:
         raise ValueError(f"seeds missing column: {sc!r}")
 
-    e = (edges.select(F.col(src_col).cast("string").alias("src"),
-                      F.col(dst_col).cast("string").alias("dst"))
-         .where(F.col("src").isNotNull() & F.col("dst").isNotNull()))
-    if dedup_edges:
-        e = e.distinct()
+    e = _edge_frame(edges, src_col, dst_col, dedup_edges, weight_col)
     nodes = (e.select(F.col("src").alias("node"))
              .unionByName(e.select(F.col("dst").alias("node")))
              .distinct()

@@ -1230,3 +1230,37 @@ def test_cooccurrence_pair_join_is_equi_join(spark):
     import re
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|"
                      r"BroadcastHashJoin) \[__g", plan), plan[:600]
+
+
+def test_pagerank_weighted_equals_edge_multiplicity(spark):
+    from spark_df_profiling_spark.operators.graph import pagerank
+    # integer weights == duplicated edges under dedup_edges=False
+    wrows = [("a", "b", 3.0), ("a", "c", 1.0), ("c", "a", 2.0),
+             ("a", "x", None), ("a", "y", 0.0)]  # dropped edges
+    we = spark.createDataFrame(wrows, "src string, dst string, w double")
+    dup = [("a", "b")] * 3 + [("a", "c")] + [("c", "a")] * 2
+    de = spark.createDataFrame(dup, "src string, dst string")
+    got = {r["node"]: r["rank"]
+           for r in pagerank(we, weight_col="w", n_iter=6).collect()}
+    want = {r["node"]: r["rank"]
+            for r in pagerank(de, dedup_edges=False,
+                              n_iter=6).collect()}
+    assert set(got) == set(want) == {"a", "b", "c"}
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12
+    with pytest.raises(ValueError, match="missing column"):
+        pagerank(we, weight_col="nope")
+
+
+def test_trustrank_weighted(spark):
+    from spark_df_profiling_spark.operators.graph import trustrank
+    # a splits trust 9:1 between b and spam-adjacent c
+    we = spark.createDataFrame(
+        [("a", "b", 9.0), ("a", "c", 1.0), ("b", "a", 1.0)],
+        "src string, dst string, w double")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"]: r["rank"]
+           for r in trustrank(we, seeds, weight_col="w",
+                              n_iter=8).collect()}
+    assert got["b"] > 5 * got["c"]
+    assert abs(sum(got.values()) - 1.0) < 1e-9
