@@ -978,3 +978,88 @@ def cooccurrence_pairs(df: DataFrame, group_col: str, item_col: str,
                     (F.col("n_ab").cast("double")
                      / (F.col("n_a") + F.col("n_b") - F.col("n_ab")))
                     .alias("jaccard")))
+
+
+def cusum_anomaly(df: DataFrame, ts_col: str, key_col: str,
+                  value_col: str, k: float = 0.5, h: float = 5.0,
+                  target: "float | None" = None,
+                  sd: "float | None" = None,
+                  min_points: int = 5) -> DataFrame:
+    """Per-key CUSUM changepoint detection (Page 1954): detect
+    SUSTAINED level shifts that per-point z-scores miss — ten
+    consecutive 1.5σ readings never trip a 3σ rule but a real process
+    shift accumulates linearly in the CUSUM statistic.
+
+    Per event (in ``ts_col`` order within each key):
+    ``cusum_up_t = max(0, cusum_up_{t-1} + z_t - k)`` and the mirrored
+    ``cusum_dn`` for downward shifts; ``is_change`` = either side
+    exceeds ``h``.  ``k`` is the slack (in σ units — half the shift
+    size you want to detect), ``h`` the decision threshold.
+    ``target``/``sd`` fix the in-control mean/σ (the classic usage —
+    pass them in monitoring pipelines); left None they derive from
+    each key's own FULL series (retrospective analysis — note the
+    hindsight: a large shift inflates its own baseline σ).  Keys with
+    fewer than ``min_points`` events or σ = 0 yield NULL statistics.
+
+    Scale — the recursion is NOT computed sequentially: with
+    ``y_t = z_t - k`` and prefix sums ``P_t = Σ_{i<=t} y_i``, the
+    clamped recursion has the closed form
+    ``cusum_up_t = P_t - min(0, P_1, …, P_t)`` — a running sum plus a
+    running min, TWO ordinary expanding window passes over the same
+    (key, ts) sort, one shuffle total, engine-portable (the identity
+    is exact, not an approximation).  A key's events order within one
+    task — the documented ordered-per-key bound shared with
+    ``rolling_anomaly``/``sessionize``.
+    """
+    from pyspark.sql import Window
+    if h <= 0 or k < 0:
+        raise ValueError(f"need h > 0, k >= 0: {h}, {k}")
+    if min_points < 2:
+        raise ValueError(f"min_points must be >= 2: {min_points}")
+    if (target is None) != (sd is None):
+        raise ValueError("pass target and sd together (or neither)")
+    t = F.col(ts_col).cast("double")
+    v = F.col(value_col).cast("double")
+    base = (df.where(t.isNotNull() & F.col(key_col).isNotNull()
+                     & v.isNotNull())
+            .select(F.col(key_col).alias("__k"), t.alias("__t"),
+                    v.alias("__v")))
+    if target is None:
+        stats = (base.groupBy("__k")
+                 .agg(F.count(F.lit(1)).alias("__n"),
+                      F.avg("__v").alias("__mu"),
+                      F.stddev_samp("__v").alias("__sd")))
+        base = base.join(stats, "__k")
+        mu, sdev, n_ok = (F.col("__mu"), F.col("__sd"),
+                          F.col("__n") >= min_points)
+    else:
+        if sd <= 0:
+            raise ValueError(f"sd must be > 0: {sd}")
+        mu, sdev = F.lit(float(target)), F.lit(float(sd))
+        n_ok = F.lit(True)
+    ok = n_ok & sdev.isNotNull() & (sdev > 0)
+    # the guard lives INSIDE z: ANSI mode raises on /0, and the window
+    # sums evaluate their input on EVERY row of a partition — ``ok``
+    # is per-key constant, so a σ=0 key yields all-NULL sums (NULL
+    # statistics) rather than a divide-by-zero
+    z = F.when(ok, (F.col("__v") - mu) / sdev)
+    w = (Window.partitionBy("__k").orderBy("__t")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    pu = F.sum(z - F.lit(float(k))).over(w)
+    pd_ = F.sum(-z - F.lit(float(k))).over(w)
+    staged = (base.withColumn("__z", z)
+              .withColumn("__pu", pu)
+              .withColumn("__pd", pd_))
+    up = (F.col("__pu")
+          - F.least(F.min("__pu").over(w), F.lit(0.0)))
+    dn = (F.col("__pd")
+          - F.least(F.min("__pd").over(w), F.lit(0.0)))
+    out = (staged.withColumn("cusum_up", up)
+           .withColumn("cusum_dn", dn))
+    flag = F.when(F.col("__z").isNotNull(),
+                  (F.col("cusum_up") > h) | (F.col("cusum_dn") > h))
+    return out.select(
+        F.col("__k").alias(key_col), F.col("__t").alias(ts_col),
+        F.col("__v").alias(value_col),
+        F.col("__z").alias("z"), "cusum_up", "cusum_dn",
+        flag.alias("is_change"))

@@ -4749,6 +4749,42 @@ FROM (
                      AND UNBOUNDED FOLLOWING)))
 GROUP BY k
 UNION ALL
+-- cusum_anomaly replay: per-key full-series baseline z, prefix sums
+-- of (±z - k), and the closed form cusum = P - least(min(P), 0) —
+-- the clamped recursion's exact window identity; reduced per user to
+-- (n flagged at h=5, max cusum_up in 1e-5 floor units)
+SELECT 'cusum:' || CAST(u AS VARCHAR),
+       CAST(sum(CASE WHEN ch THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(coalesce(max(floor(cu * 100000 + 0.5)), 0) AS BIGINT)
+FROM (
+  SELECT u,
+         pu - least(min(pu) OVER wz, 0) AS cu,
+         CASE WHEN z IS NOT NULL THEN
+           (pu - least(min(pu) OVER wz, 0)) > 5.0
+           OR (pd - least(min(pd) OVER wz, 0)) > 5.0 END AS ch
+  FROM (
+    SELECT u, tus, z,
+           sum(z - 0.5) OVER wz AS pu,
+           sum(-z - 0.5) OVER wz AS pd
+    FROM (
+      SELECT u, tus,
+             CASE WHEN n >= 5 AND sd > 0 THEN (v - m) / sd END AS z
+      FROM (
+        SELECT user_id AS u, epoch_ns(ts) // 1000 AS tus,
+               "value" AS v,
+               count("value") OVER pw AS n,
+               avg("value") OVER pw AS m,
+               stddev_samp("value") OVER pw AS sd
+        FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL
+          AND "value" IS NOT NULL
+        WINDOW pw AS (PARTITION BY user_id)))
+    WINDOW wz AS (PARTITION BY u ORDER BY tus
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+  WINDOW wz AS (PARTITION BY u ORDER BY tus
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+GROUP BY u
+UNION ALL
 -- stateful_anomaly replay: per-event prefix z against the cumulative
 -- history BEFORE the event (ROWS UNBOUNDED PRECEDING .. 1 PRECEDING),
 -- min_points=5 and positive-std guards, |z| floored to 1e-5 units
@@ -5017,6 +5053,23 @@ def stateful_user_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.concat(F.lit("sanom:"),
                               F.col("key").cast("string")).alias("key"),
                      "total_events", "total_value_cents"))
+    # 'cusum:' rows grade groupby.cusum_anomaly — per-user CUSUM over
+    # event values in time order (derived full-series baseline,
+    # k=0.5, h=5); DuckDB replays the prefix sums and the closed-form
+    # clamp identity exactly
+    from spark_df_profiling_spark.operators.groupby import (
+        cusum_anomaly)
+    cs = cusum_anomaly(evm, "tus", "user_id", "value", k=0.5, h=5.0)
+    cusum = (cs.groupBy("user_id")
+             .agg(F.sum(F.when(F.col("is_change"), 1).otherwise(0))
+                  .cast("long").alias("total_events"),
+                  F.coalesce(F.max(F.floor(F.col("cusum_up") * 100000
+                                           + F.lit(0.5))), F.lit(0))
+                  .cast("long").alias("total_value_cents"))
+             .select(F.concat(F.lit("cusum:"),
+                              F.col("user_id").cast("string"))
+                     .alias("key"),
+                     "total_events", "total_value_cents"))
     # 'seas:' rows grade groupby.seasonal_anomaly — per-(user, 900s
     # bucket) value sums z-scored against the same slot-of-hour in the
     # previous 3 hourly cycles; DuckDB replays the integer slot/cycle
@@ -5043,6 +5096,7 @@ def stateful_user_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(banom).unionByName(gp).unionByName(gpm)
             .unionByName(gps).unionByName(rfill).unionByName(rlin)
             .unionByName(sanom).unionByName(seas)
+            .unionByName(cusum)
             .orderBy("key"))
 
 

@@ -1264,3 +1264,73 @@ def test_trustrank_weighted(spark):
                               n_iter=8).collect()}
     assert got["b"] > 5 * got["c"]
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# cusum_anomaly
+# ---------------------------------------------------------------------------
+def _cusum_py(vals, mu, sd, k):
+    up = dn = 0.0
+    out = []
+    for v in vals:
+        z = (v - mu) / sd
+        up = max(0.0, up + z - k)
+        dn = max(0.0, dn - z - k)
+        out.append((z, up, dn))
+    return out
+
+
+def test_cusum_matches_sequential_recursion(spark):
+    from spark_df_profiling_spark.operators.groupby import (
+        cusum_anomaly)
+    import random, statistics
+    rng = random.Random(31)
+    vals = [rng.gauss(10, 2) for _ in range(60)]
+    vals += [rng.gauss(14, 2) for _ in range(40)]  # upward shift
+    rows = [("k", float(i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "u string, ts double, v double")
+    out = {r["ts"]: (r["z"], r["cusum_up"], r["cusum_dn"],
+                     r["is_change"])
+           for r in cusum_anomaly(df, "ts", "u", "v", k=0.5,
+                                  h=5.0).collect()}
+    mu = statistics.fmean(vals)
+    sd = statistics.stdev(vals)
+    want = _cusum_py(vals, mu, sd, 0.5)
+    for i, (z, up, dn) in enumerate(want):
+        gz, gup, gdn, fl = out[float(i)]
+        assert abs(gz - z) < 1e-9
+        assert abs(gup - up) < 1e-9, (i, gup, up)
+        assert abs(gdn - dn) < 1e-9
+        assert fl == (up > 5.0 or dn > 5.0)
+    # the planted shift IS detected
+    assert any(f for _, _, _, f in out.values())
+
+
+def test_cusum_fixed_target_and_guards(spark):
+    from spark_df_profiling_spark.operators.groupby import (
+        cusum_anomaly)
+    rows = ([("a", float(i), 10.0 + (0.2 if i % 2 else -0.2))
+             for i in range(20)]
+            + [("short", 1.0, 5.0), ("short", 2.0, 6.0),
+               ("const", 1.0, 3.0), ("const", 2.0, 3.0),
+               ("const", 3.0, 3.0), ("const", 4.0, 3.0),
+               ("const", 5.0, 3.0)])
+    df = spark.createDataFrame(rows, "u string, ts double, v double")
+    # fixed in-control target: deterministic z, no hindsight baseline
+    fixed = cusum_anomaly(df.where(F.col("u") == "a"), "ts", "u", "v",
+                          k=0.5, h=4.0, target=10.0, sd=0.2)
+    rs = fixed.orderBy("ts").collect()
+    assert abs(rs[0]["z"] + 1.0) < 1e-12  # (9.8-10)/0.2
+    assert all(r["cusum_up"] <= 0.5 + 1e-9 for r in rs)  # no shift
+    # derived-baseline guards: short series and zero-sigma -> NULL
+    auto = {(r["u"], r["ts"]): r for r in
+            cusum_anomaly(df, "ts", "u", "v").collect()}
+    assert auto[("short", 1.0)]["z"] is None
+    assert auto[("const", 3.0)]["cusum_up"] is None
+    assert auto[("const", 3.0)]["is_change"] is None
+    with pytest.raises(ValueError, match="together"):
+        cusum_anomaly(df, "ts", "u", "v", target=1.0)
+    with pytest.raises(ValueError, match="h > 0"):
+        cusum_anomaly(df, "ts", "u", "v", h=0.0)
+    with pytest.raises(ValueError, match="sd must"):
+        cusum_anomaly(df, "ts", "u", "v", target=1.0, sd=0.0)
