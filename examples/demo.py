@@ -399,6 +399,31 @@ def main() -> None:
                       F.lit(1.0).alias("ts")),
         dim, "o_custkey", "ts", dim_key="c_custkey").show(3)
 
+    from spark_df_profiling_spark.operators.graph import (
+        degree_stats, trustrank)
+    seeds = edges.select(F.col("src").alias("node")).limit(20)
+    trustrank(edges, seeds, n_iter=3).orderBy(F.desc("rank")).show(3)
+    degree_stats(edges).orderBy(F.desc("out_deg")).show(3)
+
+    from spark_df_profiling_spark.operators.groupby import cusum_anomaly
+    cusum_anomaly(evm, "tus", "user_id", "value") \
+        .where(F.col("is_change")).show(3)
+
+    from spark_df_profiling_spark.operators.drift import topk_rank_drift
+    topk_rank_drift(li.where(F.col("l_orderkey") % 2 == 0),
+                    li.where(F.col("l_orderkey") % 2 == 1),
+                    "l_partkey", k=20).show()
+
+    from spark_df_profiling_spark.operators.similarity import (
+        knn_projected_rerank, random_projection)
+    random_projection(emb, 64, 8).select("vec_id", "embedding_rp") \
+        .show(2, truncate=60)
+    knn_projected_rerank(emb, emb.where(F.col("vec_id") < 2),
+                         in_dim=64, proj_dim=16, k=3).show()
+
+    from spark_df_profiling_spark.sources import file_row_stats
+    file_row_stats(li).show(truncate=60)
+
     spark.stop()
 
 

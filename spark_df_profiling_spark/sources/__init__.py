@@ -169,3 +169,42 @@ def write_bucketed(df: DataFrame, table_name: str, bucket_cols: list[str],
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.format("parquet").saveAsTable(table_name)
+
+
+def file_row_stats(df: DataFrame, top_k: int = 20) -> DataFrame:
+    """Small-file / skewed-file audit for an EXISTING file-backed
+    dataset (the post-write twin of ``layout.partition_advisor``):
+    rows per input file via ``input_file_name()``, plus the summary
+    every compaction decision needs — one row per file, smallest
+    first: ``(file, n_rows, p_rows, rank_asc)``, capped at ``top_k``
+    smallest + ``top_k`` largest files (a 100 TB dataset has millions
+    of files; the extremes are the decision input, the middle is
+    noise).
+
+    Only meaningful on a frame read directly from files —
+    ``input_file_name()`` returns '' after joins/shuffles; rows with
+    an empty file name group under ``<no-file>``.
+
+    Plan: ONE map-side-combined groupBy on the file name (#files
+    rows), a broadcast one-row total, and two TakeOrdered top-k's —
+    never a global sort of the file list.
+    """
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1: {top_k}")
+    per_file = (df.select(F.coalesce(
+        F.nullif(F.input_file_name(), F.lit("")),
+        F.lit("<no-file>")).alias("file"))
+        .groupBy("file").agg(F.count(F.lit(1)).alias("n_rows")))
+    total = per_file.agg(F.sum("n_rows").alias("__t"))
+    smallest = per_file.orderBy(F.asc("n_rows"), F.asc("file")) \
+        .limit(top_k)
+    largest = per_file.orderBy(F.desc("n_rows"), F.asc("file")) \
+        .limit(top_k)
+    from pyspark.sql import Window
+    w = Window.orderBy(F.asc("n_rows"), F.asc("file"))
+    return (smallest.unionByName(largest).distinct()
+            .crossJoin(F.broadcast(total))
+            .withColumn("p_rows",
+                        F.col("n_rows").cast("double") / F.col("__t"))
+            .withColumn("rank_asc", F.row_number().over(w))
+            .drop("__t"))

@@ -1334,3 +1334,36 @@ def test_cusum_fixed_target_and_guards(spark):
         cusum_anomaly(df, "ts", "u", "v", h=0.0)
     with pytest.raises(ValueError, match="sd must"):
         cusum_anomaly(df, "ts", "u", "v", target=1.0, sd=0.0)
+
+
+# ---------------------------------------------------------------------------
+# sources.file_row_stats
+# ---------------------------------------------------------------------------
+def test_file_row_stats_counts_real_files(spark, tmp_path):
+    from spark_df_profiling_spark.operators.sampling import hash_split
+    from spark_df_profiling_spark.sources import file_row_stats
+    p = str(tmp_path / "skewed")
+    # 3 deliberately skewed files via partitioned write
+    df = spark.createDataFrame(
+        [(i, "big" if i < 900 else ("mid" if i < 990 else "tiny"))
+         for i in range(1000)], "id long, part string")
+    df.repartition("part").write.partitionBy("part") \
+        .mode("overwrite").parquet(p)
+    back = spark.read.parquet(p)
+    got = file_row_stats(back, top_k=5).collect()
+    by_rows = sorted((r["n_rows"] for r in got))
+    assert by_rows == [10, 90, 900]
+    ranks = {r["n_rows"]: r["rank_asc"] for r in got}
+    assert ranks[10] == 1 and ranks[900] == 3
+    assert abs(sum(r["p_rows"] for r in got) - 1.0) < 1e-12
+    del hash_split
+    with pytest.raises(ValueError, match="top_k"):
+        file_row_stats(back, top_k=0)
+
+
+def test_file_row_stats_no_file_bucket(spark):
+    from spark_df_profiling_spark.sources import file_row_stats
+    df = spark.createDataFrame([(1,), (2,)], "x long")  # no files
+    rows = file_row_stats(df).collect()
+    assert len(rows) == 1 and rows[0]["file"] == "<no-file>"
+    assert rows[0]["n_rows"] == 2
