@@ -1356,3 +1356,38 @@ def oov_stats(df: DataFrame, text_col: str, vocab: DataFrame,
                     F.when(F.col("n_tokens") > 0,
                            F.col("n_oov").cast("double")
                            / F.col("n_tokens")).alias("oov_rate")))
+
+
+def readability_exprs(col: "str | Column") -> "dict[str, Column]":
+    """Flesch reading-ease ingredients as pure codegen expressions:
+    ``n_words`` (space-split, the corpus tokenization), ``n_sentences``
+    (runs of ``.!?``, floored at 1 so fragments don't divide by zero),
+    ``n_syllables`` (vowel-GROUP count — the standard cheap syllable
+    heuristic; 'strength' counts 1, 'aeiou' counts 1).  Engine-portable:
+    DuckDB replays with ``len(regexp_extract_all(...))``."""
+    c = _c(col)
+    return {
+        "n_words": F.size(F.split(c, " ")),
+        "n_sentences": F.greatest(F.regexp_count(c, F.lit(r"[.!?]+")),
+                                  F.lit(1)),
+        "n_syllables": F.regexp_count(F.lower(c),
+                                      F.lit(r"[aeiouy]+")),
+    }
+
+
+def readability_score(col: "str | Column") -> Column:
+    """Flesch reading ease (Flesch 1948):
+    ``206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)`` —
+    higher = simpler prose (90+ ≈ grade school, <30 ≈ academic).
+    A quality-filter signal alongside :func:`quality_score`:
+    machine-generated keyword stuffing and OCR soup land far outside
+    the human band on BOTH tails.  English-calibrated — treat scores
+    for other languages as relative, not absolute.  NULL for empty
+    text (0 words).  Pure row expression, zero shuffle.
+    """
+    e = readability_exprs(col)
+    w = e["n_words"].cast("double")
+    return F.when(w > 0,
+                  F.lit(206.835)
+                  - F.lit(1.015) * (w / e["n_sentences"].cast("double"))
+                  - F.lit(84.6) * (e["n_syllables"].cast("double") / w))

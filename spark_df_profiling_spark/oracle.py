@@ -1881,13 +1881,31 @@ FROM bdoc b JOIN documents d USING (doc_id) GROUP BY d.lang
 """
 
 
+_FRE_SQL = f"""
+SELECT lang, {_psig('avg(fre)')} AS avg_fre
+FROM (
+  SELECT lang,
+         206.835
+         - 1.015 * (w / greatest(CAST(len(regexp_extract_all(
+               text, '[.!?]+')) AS DOUBLE), 1.0))
+         - 84.6 * (CAST(len(regexp_extract_all(
+               lower(text), '[aeiouy]+')) AS DOUBLE) / w) AS fre
+  FROM (SELECT lang, text,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS w
+        FROM documents)
+  WHERE w > 0)
+GROUP BY lang
+"""
+
+
 @query("text_stats_by_lang", f"""
 SELECT s.*, q.avg_alpha_ratio, q.avg_digit_ratio, q.avg_space_ratio,
        q.avg_punct_ratio, q.avg_quality, u.avg_lp, b.avg_blp,
-       b.blp_docs
+       b.blp_docs, r.avg_fre
 FROM ({_TEXT_STATS_SQL}) s JOIN ({_TEXT_QUALITY_SQL}) q USING (lang)
      JOIN ({_UNIGRAM_LP_SQL}) u USING (lang)
      JOIN ({_BIGRAM_LP_SQL}) b USING (lang)
+     JOIN ({_FRE_SQL}) r USING (lang)
 ORDER BY lang
 """)
 def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1895,10 +1913,19 @@ def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     LM score per language in one graded row set (three independent aggs
     joined on lang — shares a registry slot under the driver's 50-query
     cap)."""
+    # avg_fre grades text.readability_score — the Flesch reading-ease
+    # expression replayed token-for-token in DuckDB
+    from spark_df_profiling_spark.operators.text import (
+        readability_score)
+    d = _t(spark, sf_dir, "documents")
+    fre = (d.select("lang", readability_score("text").alias("__f"))
+           .where(F.col("__f").isNotNull())
+           .groupBy("lang").agg(sig(F.avg("__f")).alias("avg_fre")))
     return (_text_stats_by_lang(spark, sf_dir)
             .join(_text_quality_by_lang(spark, sf_dir), "lang")
             .join(_unigram_lp_by_lang(spark, sf_dir), "lang")
             .join(_bigram_lp_by_lang(spark, sf_dir), "lang")
+            .join(fre, "lang")
             .orderBy("lang"))
 
 

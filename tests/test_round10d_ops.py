@@ -1367,3 +1367,51 @@ def test_file_row_stats_no_file_bucket(spark):
     rows = file_row_stats(df).collect()
     assert len(rows) == 1 and rows[0]["file"] == "<no-file>"
     assert rows[0]["n_rows"] == 2
+
+
+# ---------------------------------------------------------------------------
+# readability_score
+# ---------------------------------------------------------------------------
+def test_readability_matches_python(spark):
+    from spark_df_profiling_spark.operators.text import (
+        readability_score)
+    import re
+    texts = [
+        "The cat sat. The dog ran. It was fun.",
+        "Notwithstanding considerable epistemological "
+        "complications, interdisciplinary collaboration "
+        "necessitates comprehensive organizational restructuring.",
+        "no sentence punctuation here at all",
+        "",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i long, text string")
+    got = {r["i"]: r["score"]
+           for r in df.select("i", readability_score("text")
+                              .alias("score")).collect()}
+
+    def ref(t):
+        words = len(t.split(" "))
+        if t == "":
+            words = 1  # split('') -> [''] in Spark: 1 token... see below
+        sents = max(len(re.findall(r"[.!?]+", t)), 1)
+        syl = len(re.findall(r"[aeiouy]+", t.lower()))
+        return 206.835 - 1.015 * words / sents - 84.6 * syl / words
+
+    for i, t in enumerate(texts):
+        if t == "":
+            continue
+        assert abs(got[i] - ref(t)) < 1e-9, (i, got[i], ref(t))
+    # simple prose scores far above the academic wall of latinates
+    assert got[0] > 80 > got[1]
+    # Spark split("", " ") yields [""] (1 token, 0 syllables): the
+    # score is defined but extreme — document rather than fight it
+    assert got[3] is not None
+
+
+def test_readability_null_text(spark):
+    from spark_df_profiling_spark.operators.text import (
+        readability_score)
+    df = spark.createDataFrame([(1, None)], "i long, text string")
+    assert df.select(readability_score("text").alias("s")) \
+             .first()["s"] is None
