@@ -1187,3 +1187,55 @@ def knn_projected_rerank(corpus: DataFrame, queries: DataFrame,
         F.desc("sim"), F.asc("neighbor_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
+
+
+def diversity_stats(df: DataFrame, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    sample_k: int = 200, seed: int = 0,
+                    hi_threshold: float = 0.9) -> DataFrame:
+    """Corpus embedding DIVERSITY in one row: mean/std pairwise cosine
+    and the high-similarity share over a deterministic ``sample_k``
+    sample — the "is my corpus collapsing toward boilerplate" dial
+    (mean cosine drifting up across snapshots = homogenization;
+    :func:`top_component`'s anisotropy is the spectral cousin, this
+    is the direct pairwise read).  Sampling is md5-rank deterministic
+    (:mod:`operators.sampling` contract) so the metric is comparable
+    across runs and engines; NULL vectors and zero-norm vectors are
+    excluded before ranking.
+
+    Output: ``(n_sampled, n_pairs, mean_cos, std_cos, p_hi)`` — p_hi
+    = fraction of pairs with cosine > ``hi_threshold``.  NULL stats
+    when fewer than 2 sampleable vectors.
+
+    Scale: the corpus pays ONE scan (norm filter + md5 rank via a
+    distributed TakeOrdered limit — no global window); the pair join
+    is sample_k² / 2 rows regardless of corpus size.
+    """
+    if sample_k < 2:
+        raise ValueError(f"sample_k must be >= 2: {sample_k}")
+    from spark_df_profiling_spark.operators.sampling import hash_bucket
+    base = (df.select(F.col(id_col).alias("__id"),
+                      F.col(vec_col).alias("__v"))
+            .where(F.col("__id").isNotNull() & F.col("__v").isNotNull())
+            .withColumn("__n", l2_norm(F.col("__v")))
+            .where(F.col("__n") > 0))
+    samp = (base.orderBy(hash_bucket(F.col("__id"), seed).asc(),
+                         F.col("__id").asc())
+            .limit(sample_k)
+            .localCheckpoint())  # freeze: both join sides reuse it
+    pairs = (samp.alias("a")
+             .join(samp.alias("b"),
+                   F.col("a.__id") < F.col("b.__id"))
+             .select(safe_cosine(
+                 dot(F.col("a.__v"), F.col("b.__v")),
+                 F.col("a.__n"), F.col("b.__n")).alias("__c")))
+    n = samp.count()
+    return (pairs.agg(
+        F.lit(n).alias("n_sampled"),
+        F.count("__c").alias("n_pairs"),
+        F.avg("__c").alias("mean_cos"),
+        F.stddev_samp("__c").alias("std_cos"),
+        F.when(F.count("__c") > 0,
+               F.sum(F.when(F.col("__c") > hi_threshold, 1)
+                     .otherwise(0)).cast("double") / F.count("__c"))
+        .alias("p_hi")))

@@ -5705,6 +5705,45 @@ FROM (
     WHERE e.embedding IS NOT NULL)
   GROUP BY vec_id, j)
 GROUP BY j
+UNION ALL
+-- diversity_stats replay: md5-rank 30-vector sample, all 435 pairwise
+-- cosines (per-dim product sums over the same element casts), and the
+-- mean/std/p_hi reductions at sig grain
+SELECT 'div', k, v1, v2s FROM (
+  WITH base AS (
+    SELECT vec_id, embedding,
+           sqrt(list_sum(list_transform(
+               embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             AS nn
+    FROM embeddings WHERE embedding IS NOT NULL AND vec_id IS NOT NULL),
+  ok AS (SELECT vec_id, embedding, nn FROM base WHERE nn > 0),
+  samp AS (
+    SELECT vec_id, embedding, nn FROM (
+      SELECT *, row_number() OVER (ORDER BY
+          ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':3'),
+                          1, 15))::BIGINT % 1000000 ASC,
+          vec_id ASC) AS rk
+      FROM ok) WHERE rk <= 30),
+  prs AS (
+    SELECT a.vec_id AS ia, b.vec_id AS ib,
+           sum(CAST(a.embedding[d.i + 1] AS DOUBLE)
+               * CAST(b.embedding[d.i + 1] AS DOUBLE)) AS dp,
+           any_value(a.nn) AS na, any_value(b.nn) AS nb
+    FROM samp a JOIN samp b ON a.vec_id < b.vec_id
+    CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) d
+    GROUP BY a.vec_id, b.vec_id),
+  cs AS (SELECT dp / (na * nb) AS c FROM prs),
+  agg AS (SELECT count(*) AS np, avg(c) AS m, stddev_samp(c) AS sd,
+                 sum(CASE WHEN c > 0.9 THEN 1 ELSE 0 END)
+                   / CAST(count(*) AS DOUBLE) AS ph
+          FROM cs)
+  SELECT 'n_sampled' AS k,
+         CAST((SELECT count(*) FROM samp) AS BIGINT) AS v1,
+         CAST(NULL AS VARCHAR) AS v2s FROM agg
+  UNION ALL SELECT 'n_pairs', np, NULL FROM agg
+  UNION ALL SELECT 'mean_cos', NULL, {_psig('m')} FROM agg
+  UNION ALL SELECT 'std_cos', NULL, {_psig('sd')} FROM agg
+  UNION ALL SELECT 'p_hi', NULL, {_psig('ph')} FROM agg)
 ORDER BY part, k
 """)
 def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5862,9 +5901,27 @@ def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.lit("rproj").alias("part"),
                      F.col("j").cast("string").alias("k"),
                      "v1", "v2s"))
+    # 'div' rows grade similarity.diversity_stats — the deterministic
+    # 30-sample pairwise-cosine diversity dial; DuckDB replays the md5
+    # sample, every pair's cosine, and the reductions
+    from spark_df_profiling_spark.operators.similarity import (
+        diversity_stats)
+    dv = (diversity_stats(e, sample_k=30, seed=3)
+          .select(F.col("n_sampled").cast("long").alias("ns"),
+                  F.col("n_pairs").cast("long").alias("np"),
+                  sig(F.col("mean_cos")).alias("ms"),
+                  sig(F.col("std_cos")).alias("ss"),
+                  sig(F.col("p_hi")).alias("ps"))
+          .select(F.expr(
+              "stack(5, 'n_sampled', ns, CAST(NULL AS STRING), "
+              "'n_pairs', np, CAST(NULL AS STRING), "
+              "'mean_cos', CAST(NULL AS BIGINT), ms, "
+              "'std_cos', CAST(NULL AS BIGINT), ss, "
+              "'p_hi', CAST(NULL AS BIGINT), ps) as (k, v1, v2s)"))
+          .select(F.lit("div").alias("part"), "k", "v1", "v2s"))
     return (arr.unionByName(dims).unionByName(quant).unionByName(km)
             .unionByName(kb).unionByName(ks).unionByName(pca)
-            .unionByName(stdr).unionByName(rproj)
+            .unionByName(stdr).unionByName(rproj).unionByName(dv)
             .orderBy("part", "k"))
 
 

@@ -1415,3 +1415,56 @@ def test_readability_null_text(spark):
     df = spark.createDataFrame([(1, None)], "i long, text string")
     assert df.select(readability_score("text").alias("s")) \
              .first()["s"] is None
+
+
+# ---------------------------------------------------------------------------
+# diversity_stats
+# ---------------------------------------------------------------------------
+def test_diversity_stats_matches_python(spark):
+    from spark_df_profiling_spark.operators.sampling import BUCKETS
+    from spark_df_profiling_spark.operators.similarity import (
+        diversity_stats)
+    import hashlib, math, random, statistics
+    rng = random.Random(41)
+    vecs = {i: [rng.gauss(0, 1) for _ in range(16)] for i in range(30)}
+    rows = [(i, v) for i, v in vecs.items()]
+    rows += [(100, None), (101, [0.0] * 16)]  # excluded rows
+    df = spark.createDataFrame(rows,
+                               "vec_id long, embedding array<double>")
+    r = diversity_stats(df, sample_k=10, seed=3).first()
+
+    def bkt(i):
+        h = hashlib.md5(f"{i}:3".encode()).hexdigest()[:15]
+        return int(h, 16) % BUCKETS
+
+    chosen = sorted(vecs, key=lambda i: (bkt(i), i))[:10]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    sims = [cos(vecs[a], vecs[b])
+            for ai, a in enumerate(chosen)
+            for b in chosen[ai + 1:]]
+    assert r["n_sampled"] == 10 and r["n_pairs"] == 45
+    assert abs(r["mean_cos"] - statistics.fmean(sims)) < 1e-9
+    assert abs(r["std_cos"] - statistics.stdev(sims)) < 1e-9
+    assert r["p_hi"] == sum(s > 0.9 for s in sims) / 45
+
+
+def test_diversity_stats_detects_collapse(spark):
+    from spark_df_profiling_spark.operators.similarity import (
+        diversity_stats)
+    import random
+    rng = random.Random(5)
+    base = [rng.gauss(0, 1) for _ in range(16)]
+    clones = [(i, [x + rng.gauss(0, 0.01) for x in base])
+              for i in range(40)]
+    df = spark.createDataFrame(
+        clones, "vec_id long, embedding array<double>")
+    r = diversity_stats(df, sample_k=20).first()
+    assert r["mean_cos"] > 0.99 and r["p_hi"] == 1.0
+    with pytest.raises(ValueError, match="sample_k"):
+        diversity_stats(df, sample_k=1)
