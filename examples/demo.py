@@ -424,6 +424,20 @@ def main() -> None:
     from spark_df_profiling_spark.sources import file_row_stats
     file_row_stats(li).show(truncate=60)
 
+    from spark_df_profiling_spark import functions as PF
+    docs.select("doc_id", PF.readability_score("text")
+                .alias("flesch")).orderBy("flesch").show(3)
+
+    from spark_df_profiling_spark.operators.similarity import (
+        diversity_stats)
+    diversity_stats(emb, sample_k=30).show()
+
+    from spark_df_profiling_spark.operators.text import oov_stats
+    from spark_df_profiling_spark.operators.text import vocab_topk
+    vb = vocab_topk(docs, "text", k=100).select("token")
+    oov_stats(docs, "text", vb, "doc_id") \
+        .orderBy(F.desc("oov_rate")).show(3)
+
     spark.stop()
 
 

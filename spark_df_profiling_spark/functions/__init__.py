@@ -55,6 +55,7 @@ from spark_df_profiling_spark.operators.text import (
     pii_count,
     punct_ratio,
     quality_score,
+    readability_score,
     rolling_hash,
     space_ratio,
     top_token_ratio,
@@ -71,6 +72,7 @@ __all__ = [
     "kmeans_assign_expr", "l2_norm", "lang_id",
     "lang_scores", "n_chars", "n_tokens_bpe", "n_tokens_ws",
     "normalize_text", "pii_count", "punct_ratio", "quality_score",
+    "readability_score",
     "registered_domain", "rolling_hash", "simhash64", "space_ratio",
     "top_token_ratio", "type_token_ratio", "upper_ratio", "url_host",
     "winnow_fingerprints",
