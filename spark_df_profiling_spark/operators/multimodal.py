@@ -329,3 +329,92 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
 
     return df.select("media_id", "payload").mapInPandas(
         compute, schema=out_schema)
+
+
+def plan_frame_samples(df: DataFrame, fps: float = 30.0,
+                       every_s: float = 1.0,
+                       max_frames: int = 1000) -> DataFrame:
+    """Video frame-sampling PLAN — the Spark-side half of frame
+    extraction that needs no decoder: from each payload's
+    header-sniffed duration (:func:`sniff_av`), the frame indices and
+    timestamps to sample at one frame per ``every_s`` seconds,
+    assuming ``fps`` (containers don't carry exact fps in the mvhd
+    box; pass the pipeline's known encode rate).  One row per
+    (media_id, sample): ``(media_id, sample_idx, t_seconds,
+    frame_idx)``.  Payloads with no sniffable duration yield no rows
+    (they surface in :func:`sniff_av` as NULL-duration for triage).
+    ``max_frames`` caps a corrupt multi-hour duration from exploding
+    the plan (plan-side raise, the ``resample_fill`` guard pattern).
+
+    Scale: sniff is one ``mapInPandas`` pass; the plan is a
+    ``sequence``/``explode`` row expression — frames per payload
+    rows, no decode, no shuffle.  Feed the plan to
+    :func:`sample_frames` (decode stub) or an external extraction
+    service keyed on (media_id, frame_idx).
+    """
+    if fps <= 0 or every_s <= 0:
+        raise ValueError(f"need fps > 0, every_s > 0: {fps}, {every_s}")
+    if max_frames < 1:
+        raise ValueError(f"max_frames must be >= 1: {max_frames}")
+    meta = sniff_av(df).where(F.col("duration_ms").isNotNull()
+                              & (F.col("duration_ms") > 0))
+    n = (F.col("duration_ms") / F.lit(1000.0 * every_s)) \
+        .cast("long") + 1
+    n_guarded = (F.when(n <= max_frames, n)
+                 .otherwise(F.raise_error(F.concat(
+                     F.lit("plan_frame_samples: media "),
+                     F.col("media_id").cast("string"),
+                     F.lit(f" wants more than {int(max_frames)} "
+                           f"frames — raise max_frames or check "
+                           f"the sniffed duration"))).cast("long")))
+    return (meta.select(
+        "media_id",
+        F.explode(F.sequence(F.lit(0), n_guarded - 1))
+        .alias("sample_idx"))
+        .select("media_id", "sample_idx",
+                (F.col("sample_idx") * every_s).alias("t_seconds"),
+                (F.col("sample_idx") * every_s * fps).cast("long")
+                .alias("frame_idx")))
+
+
+def decode_video_frame(payload: bytes, frame_idx: int) -> Any:
+    """Decode one frame — STUB: real decoding needs av/opencv, which
+    this container doesn't ship.  The Spark-side plumbing
+    (:func:`plan_frame_samples` schema/partitioning and
+    :func:`sample_frames`' mapInPandas batch shape) is real and
+    tested; swap this function for the av-backed decoder in an
+    environment that has it."""
+    try:
+        import av  # noqa: F401
+    except ImportError:
+        raise NotImplementedError(
+            "decode_video_frame requires PyAV (not shipped in this "
+            "container); plan_frame_samples carries the real "
+            "Spark-side plumbing") from None
+
+
+def sample_frames(df: DataFrame, fps: float = 30.0,
+                  every_s: float = 1.0) -> DataFrame:
+    """Frame extraction pipeline: :func:`plan_frame_samples` joined
+    back to payloads, frames decoded per (media_id, frame_idx) via
+    ``mapInPandas`` — decode stubbed (:func:`decode_video_frame`
+    raises without PyAV), plumbing real."""
+    import pyspark.sql.types as T
+    plan = plan_frame_samples(df, fps=fps, every_s=every_s)
+    joined = plan.join(df.select("media_id", "payload"), "media_id")
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), True),
+        T.StructField("frame", T.BinaryType(), True),
+    ])
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = [decode_video_frame(b, i)
+                      for b, i in zip(pdf["payload"], pdf["frame_idx"])]
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "frame_idx": pdf["frame_idx"],
+                                "frame": frames})
+
+    return joined.select("media_id", "frame_idx", "payload") \
+        .mapInPandas(compute, schema=out_schema)

@@ -2820,6 +2820,25 @@ SELECT 'sniffav', doc_id,
                  // ((8000 + doc_id * 500) * ((doc_id // 2) % 2 + 1) * 2)
             ELSE ((doc_id + 1) * 1234 * 1000) // (600 + doc_id * 10) END
 FROM documents WHERE doc_id < 12
+UNION ALL
+-- plan_frame_samples replay: duration_ms in closed form from the
+-- payload construction parameters, n = duration_ms // 1000 + 1
+-- samples at 1/s, frame_idx = t * 30
+SELECT 'fplan', doc_id, CAST(i AS VARCHAR), i, i * 30, NULL
+FROM (
+  SELECT doc_id,
+         unnest(generate_series(0, CAST(dur_ms // 1000 AS BIGINT)))
+           AS i
+  FROM (
+    SELECT doc_id,
+           CASE doc_id % 2
+                WHEN 0 THEN ((doc_id + 1) * 4000 * 1000)
+                     // ((8000 + doc_id * 500)
+                         * ((doc_id // 2) % 2 + 1) * 2)
+                ELSE ((doc_id + 1) * 1234 * 1000)
+                     // (600 + doc_id * 10) END AS dur_ms
+    FROM documents WHERE doc_id < 12)
+  WHERE dur_ms > 0)
 ORDER BY part, media_id
 """)
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2934,7 +2953,21 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("rate").cast("long").alias("v1"),
                        F.col("channels").cast("long").alias("v2"),
                        F.col("duration_ms").cast("long").alias("v3")))
+    # 'fplan' rows grade multimodal.plan_frame_samples — the
+    # frame-sampling plan from the SAME constructed payloads (mp4s
+    # get mvhd durations; wavs get data-size durations): DuckDB
+    # computes the expected grid in closed form from the construction
+    # parameters, so sniff → duration → sequence must all replay
+    from spark_df_profiling_spark.operators.multimodal import (
+        plan_frame_samples)
+    fplan = (plan_frame_samples(av_media, fps=30.0, every_s=1.0)
+             .select(F.lit("fplan").alias("part"), "media_id",
+                     F.col("sample_idx").cast("string").alias("s1"),
+                     F.col("t_seconds").cast("long").alias("v1"),
+                     F.col("frame_idx").cast("long").alias("v2"),
+                     F.lit(None).cast("long").alias("v3")))
     return (feat.unionByName(sniff).unionByName(sniffav)
+            .unionByName(fplan)
             .orderBy("part", "media_id"))
 
 

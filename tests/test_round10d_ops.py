@@ -1468,3 +1468,55 @@ def test_diversity_stats_detects_collapse(spark):
     assert r["mean_cos"] > 0.99 and r["p_hi"] == 1.0
     with pytest.raises(ValueError, match="sample_k"):
         diversity_stats(df, sample_k=1)
+
+
+# ---------------------------------------------------------------------------
+# plan_frame_samples / sample_frames
+# ---------------------------------------------------------------------------
+def _mp4_payload(timescale=600, duration=1500):
+    ftyp = ((20).to_bytes(4, "big") + b"ftypisom"
+            + (0).to_bytes(4, "big") + b"isom")
+    mvhd = (b"\x00\x00\x00\x00" + (0).to_bytes(4, "big")
+            + (0).to_bytes(4, "big") + timescale.to_bytes(4, "big")
+            + duration.to_bytes(4, "big") + b"\x00" * 80)
+    mvhd_box = (8 + len(mvhd)).to_bytes(4, "big") + b"mvhd" + mvhd
+    moov = (8 + len(mvhd_box)).to_bytes(4, "big") + b"moov" + mvhd_box
+    return ftyp + moov
+
+
+def test_plan_frame_samples(spark):
+    from spark_df_profiling_spark.operators.multimodal import (
+        plan_frame_samples)
+    rows = [(1, _mp4_payload(timescale=600, duration=1500)),  # 2.5 s
+            (2, _mp4_payload(timescale=1000, duration=500)),  # 0.5 s
+            (3, b"\x00garbage")]                              # unsniffable
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {}
+    for r in plan_frame_samples(df, fps=30.0, every_s=1.0).collect():
+        got.setdefault(r["media_id"], []).append(
+            (r["sample_idx"], r["t_seconds"], r["frame_idx"]))
+    # 2.5 s at 1/s -> samples at t=0,1,2 (frames 0,30,60)
+    assert sorted(got[1]) == [(0, 0.0, 0), (1, 1.0, 30), (2, 2.0, 60)]
+    assert sorted(got[2]) == [(0, 0.0, 0)]
+    assert 3 not in got  # no sniffable duration -> no plan rows
+    # runaway-duration guard
+    import pytest as _pt
+    long = spark.createDataFrame(
+        [(9, _mp4_payload(timescale=1, duration=10_000))],
+        "media_id long, payload binary")
+    with _pt.raises(Exception, match="more than 5 frames"):
+        plan_frame_samples(long, every_s=1.0, max_frames=5).collect()
+    with _pt.raises(ValueError, match="fps"):
+        plan_frame_samples(df, fps=0.0)
+
+
+def test_sample_frames_stub_plumbing(spark):
+    from spark_df_profiling_spark.operators.multimodal import (
+        sample_frames)
+    df = spark.createDataFrame(
+        [(1, _mp4_payload())], "media_id long, payload binary")
+    out = sample_frames(df)
+    # schema/plan are real; execution hits the documented decode stub
+    assert out.columns == ["media_id", "frame_idx", "frame"]
+    with pytest.raises(Exception, match="PyAV|NotImplemented"):
+        out.collect()
