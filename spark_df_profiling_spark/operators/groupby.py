@@ -509,7 +509,8 @@ def grouped_outlier_stats(df: DataFrame,
                           group_cols: "list[str] | str",
                           value_col: str, k: float = 1.5,
                           exact: bool = True,
-                          accuracy: int = 10000) -> DataFrame:
+                          accuracy: int = 10000,
+                          broadcast_fences: bool = True) -> DataFrame:
     """Per-group Tukey-fence outlier screen — one row per group:
     ``n``, ``q1``, ``q3``, ``iqr``, ``lo_fence``/``hi_fence``
     (q1 − k·IQR / q3 + k·IQR), ``n_out_lo``/``n_out_hi`` and
@@ -518,11 +519,17 @@ def grouped_outlier_stats(df: DataFrame,
 
     Two passes: :func:`grouped_quantiles` for the per-group fences
     (exact/approx switch and its documented memory contract), then
-    one counting aggregate with the fences joined back — broadcast
-    when #groups is small, ordinary hash join otherwise.  NULL values
-    count in ``n`` but never as outliers (SQL comparison semantics).
-    A zero-IQR group (constant bulk) flags only values strictly
-    outside the collapsed fences — never a division error.
+    one counting aggregate with the fences joined back.  The join-back
+    is **null-safe** on the group keys (``<=>``), so a NULL group —
+    which :func:`grouped_quantiles` reports — keeps its fence row
+    instead of silently vanishing.  ``broadcast_fences`` (default True:
+    one fence row per group is tiny for typical cardinalities) lets
+    callers with very-high-cardinality groups fall back to an ordinary
+    shuffled hash join instead of risking a driver/executor OOM on the
+    broadcast build side.  NULL values count in ``n`` but never as
+    outliers (SQL comparison semantics).  A zero-IQR group (constant
+    bulk) flags only values strictly outside the collapsed fences —
+    never a division error.
     """
     gcols = [group_cols] if isinstance(group_cols, str) \
         else list(group_cols)
@@ -531,12 +538,20 @@ def grouped_outlier_stats(df: DataFrame,
     fences = (grouped_quantiles(df, gcols, value_col,
                                 probs=(0.25, 0.75), exact=exact,
                                 accuracy=accuracy)
-              .select(*gcols, F.col("q25").alias("q1"),
+              .select(*[F.col(c).alias(f"__g_{c}") for c in gcols],
+                      F.col("q25").alias("q1"),
                       F.col("q75").alias("q3")))
+    if broadcast_fences:
+        fences = F.broadcast(fences)
     v = F.col(value_col).cast("double")
     lo = F.col("q1") - F.lit(float(k)) * (F.col("q3") - F.col("q1"))
     hi = F.col("q3") + F.lit(float(k)) * (F.col("q3") - F.col("q1"))
-    joined = (df.join(F.broadcast(fences), gcols)
+    cond = None
+    for c in gcols:
+        eq = F.col(c).eqNullSafe(F.col(f"__g_{c}"))
+        cond = eq if cond is None else cond & eq
+    joined = (df.join(fences, cond)
+              .drop(*[f"__g_{c}" for c in gcols])
               .withColumn("__lo", lo).withColumn("__hi", hi))
     n = F.count(F.lit(1))
     out_lo = F.sum(F.when(v < F.col("__lo"), 1).otherwise(0))

@@ -346,6 +346,14 @@ def plan_frame_samples(df: DataFrame, fps: float = 30.0,
     ``max_frames`` caps a corrupt multi-hour duration from exploding
     the plan (plan-side raise, the ``resample_fill`` guard pattern).
 
+    ``frame_idx`` is clamped to the last decodable frame
+    (``ceil(duration_s·fps) − 1``): when the duration is an exact
+    multiple of ``every_s`` the naive ``t·fps`` index for the final
+    sample is one PAST the final frame (10.0 s @ 30 fps would plan
+    frame 300 of 0..299) and a real decoder would reject it
+    (ADVICE r10).  The clamped final sample grabs the last frame
+    instead — same sample count, decodable plan.
+
     Scale: sniff is one ``mapInPandas`` pass; the plan is a
     ``sequence``/``explode`` row expression — frames per payload
     rows, no decode, no shuffle.  Feed the plan to
@@ -367,13 +375,18 @@ def plan_frame_samples(df: DataFrame, fps: float = 30.0,
                      F.lit(f" wants more than {int(max_frames)} "
                            f"frames — raise max_frames or check "
                            f"the sniffed duration"))).cast("long")))
+    last_frame = F.greatest(
+        F.ceil(F.col("duration_ms") / F.lit(1000.0) * F.lit(float(fps)))
+        .cast("long") - 1,
+        F.lit(0).cast("long"))
     return (meta.select(
-        "media_id",
+        "media_id", "duration_ms",
         F.explode(F.sequence(F.lit(0), n_guarded - 1))
         .alias("sample_idx"))
         .select("media_id", "sample_idx",
                 (F.col("sample_idx") * every_s).alias("t_seconds"),
-                (F.col("sample_idx") * every_s * fps).cast("long")
+                F.least((F.col("sample_idx") * every_s * fps)
+                        .cast("long"), last_frame)
                 .alias("frame_idx")))
 
 

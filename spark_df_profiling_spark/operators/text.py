@@ -1364,10 +1364,17 @@ def readability_exprs(col: "str | Column") -> "dict[str, Column]":
     (runs of ``.!?``, floored at 1 so fragments don't divide by zero),
     ``n_syllables`` (vowel-GROUP count — the standard cheap syllable
     heuristic; 'strength' counts 1, 'aeiou' counts 1).  Engine-portable:
-    DuckDB replays with ``len(regexp_extract_all(...))``."""
+    DuckDB replays with ``len(regexp_extract_all(...))``.
+
+    ``n_words`` counts NON-EMPTY space-separated runs (``[^ ]+``), not
+    ``size(split(...))`` — the latter returns 1 for empty text
+    (contradicting readability_score's "NULL for empty text" contract)
+    and inflates on consecutive spaces (ADVICE r10).  regexp_count stays
+    inside codegen, unlike a filter() HOF (interpreted, measured 6×
+    slower — COVERAGE playbook)."""
     c = _c(col)
     return {
-        "n_words": F.size(F.split(c, " ")),
+        "n_words": F.regexp_count(c, F.lit(r"[^ ]+")),
         "n_sentences": F.greatest(F.regexp_count(c, F.lit(r"[.!?]+")),
                                   F.lit(1)),
         "n_syllables": F.regexp_count(F.lower(c),

@@ -801,7 +801,7 @@ UNION ALL
 -- the whole table, summed per returnflag at 1e-6 grain — the
 -- distinct-value cum frame and the value join-back must both replay
 SELECT 'prank', l_returnflag,
-       sum(CAST(floor((cm / n) * 1e6 + 0.5) AS BIGINT))
+       CAST(sum(CAST(floor((cm / n) * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
 FROM lineitem
 JOIN (
   SELECT q, CAST(sum(c) OVER (ORDER BY q) AS DOUBLE) AS cm,
@@ -1891,7 +1891,9 @@ FROM (
          - 84.6 * (CAST(len(regexp_extract_all(
                lower(text), '[aeiouy]+')) AS DOUBLE) / w) AS fre
   FROM (SELECT lang, text,
-               CAST(len(string_split(text, ' ')) AS DOUBLE) AS w
+               -- non-empty runs only (lockstep with readability_exprs:
+               -- empty text -> 0 words -> excluded; multi-space safe)
+               CAST(len(regexp_extract_all(text, '[^ ]+')) AS DOUBLE) AS w
         FROM documents)
   WHERE w > 0)
 GROUP BY lang
@@ -2823,10 +2825,16 @@ FROM documents WHERE doc_id < 12
 UNION ALL
 -- plan_frame_samples replay: duration_ms in closed form from the
 -- payload construction parameters, n = duration_ms // 1000 + 1
--- samples at 1/s, frame_idx = t * 30
-SELECT 'fplan', doc_id, CAST(i AS VARCHAR), i, i * 30, NULL
+-- samples at 1/s, frame_idx = least(t * 30, last decodable frame
+-- ceil(dur_s*30)-1) — the ADVICE-r10 clamp for exact-multiple
+-- durations, replayed in lockstep
+SELECT 'fplan', doc_id, CAST(i AS VARCHAR), i,
+       least(i * 30,
+             greatest(CAST(ceil(dur_ms / 1000.0 * 30) AS BIGINT) - 1,
+                      0)),
+       NULL
 FROM (
-  SELECT doc_id,
+  SELECT doc_id, dur_ms,
          unnest(generate_series(0, CAST(dur_ms // 1000 AS BIGINT)))
            AS i
   FROM (
@@ -6055,7 +6063,7 @@ FROM (
 GROUP BY s, lang
 UNION ALL
 SELECT 'lsplit:viol', 'components_spanning_splits',
-       coalesce(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END), 0)
+       coalesce(CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT), 0)
 FROM (
   SELECT rep, count(DISTINCT s) AS ns
   FROM (
@@ -6087,7 +6095,7 @@ UNION ALL
 -- shard; the checksum sum((pos+1)*doc_id) is ORDER-sensitive, so any
 -- permutation drift (not just membership drift) fails the hash
 SELECT 'shuf', CAST(shard AS VARCHAR) || ':'
-           || CAST(sum((pos + 1) * doc_id) AS VARCHAR), count(*)
+           || CAST(CAST(sum((pos + 1) * doc_id) AS BIGINT) AS VARCHAR), count(*)
 FROM (
   SELECT doc_id, shard,
          row_number() OVER (PARTITION BY shard

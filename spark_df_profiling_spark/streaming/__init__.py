@@ -368,8 +368,34 @@ def stateful_anomaly(stream_df: DataFrame, key_col: str = "user_id",
             f"need z_threshold > 0, min_points >= 2: "
             f"{z_threshold}, {min_points}")
 
+    # Key typing (ADVICE r10): derive from the input schema instead of
+    # hard-casting to long — a string user_id cast to long is NULL for
+    # every row, silently collapsing ALL keys into one shared Welford
+    # state.  Integral keys normalize to long; strings stay strings;
+    # anything else fails loudly.
+    key_dt = stream_df.schema[key_col].dataType
+    if isinstance(key_dt, (T.ByteType, T.ShortType, T.IntegerType,
+                           T.LongType)):
+        key_expr = F.col(key_col).cast("long").alias(key_col)
+        key_out_type = T.LongType()
+
+        def key_out(k):
+            return int(k)
+    elif isinstance(key_dt, T.StringType):
+        key_expr = F.col(key_col).alias(key_col)
+        key_out_type = T.StringType()
+
+        def key_out(k):
+            return k
+    else:
+        raise TypeError(
+            f"stateful_anomaly key column {key_col!r} has unsupported "
+            f"type {key_dt.simpleString()!r}; integral or string keys "
+            f"only (a lossy cast here would NULL keys and merge their "
+            f"anomaly states)")
+
     out_schema = T.StructType([
-        T.StructField("key", T.LongType()),
+        T.StructField("key", key_out_type),
         T.StructField("tus", T.LongType()),
         T.StructField("value", T.DoubleType()),
         T.StructField("n_before", T.LongType()),
@@ -406,12 +432,12 @@ def stateful_anomaly(stream_df: DataFrame, key_col: str = "user_id",
                 m2 += delta * (v - mean)
         state.update((n, mean, m2))
         yield pd.DataFrame({
-            "key": [key[0]] * len(vals), "tus": ts_out,
+            "key": [key_out(key[0])] * len(vals), "tus": ts_out,
             "value": vals, "n_before": nb, "z": zs,
             "is_anomaly": flags})
 
     return (stream_df
-            .select(F.col(key_col).cast("long").alias(key_col),
+            .select(key_expr,
                     F.col(ts_col).cast("long").alias(ts_col),
                     F.col(value_col).cast("double").alias(value_col))
             .groupBy(key_col)

@@ -84,6 +84,33 @@ def test_every_spark_key_prefix_is_in_oracle_sql(spark, slot):
         f"'{missing[0]}:' literal in the oracle SQL")
 
 
+def test_no_oracle_query_emits_hugeint_or_decimal():
+    """VERDICT r10 item 1/2: DuckDB ``sum(BIGINT)`` returns HUGEINT and
+    UNION ALL promotes the whole column; the driver's hasher reads DuckDB
+    results through pandas, where HUGEINT (and DECIMAL) degrade to
+    float64 and render ``N.0`` against Spark's ``N`` — rows/schema pass,
+    hash fails (the exact r10 freq_topk / hash_sampling_suite regression).
+    Guard: type-check every registered oracle query (``.types`` plans
+    without executing, so this is seconds over all 50)."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    bad = {}
+    for name, sql in oracle.ORACLE_SQL.items():
+        rel = con.sql(sql)
+        offenders = [f"{c}:{t}" for c, t in zip(rel.columns, rel.types)
+                     if "HUGEINT" in str(t) or "DECIMAL" in str(t)]
+        if offenders:
+            bad[name] = offenders
+    assert not bad, (
+        f"oracle queries emit pandas-unsafe column types (wrap the "
+        f"aggregate in CAST(... AS BIGINT)): {bad}")
+
+
 def test_registry_sides_agree():
     """Every queries() entry either has oracle SQL or is a documented
     rows-only slot; no SQL is registered for a nonexistent query."""

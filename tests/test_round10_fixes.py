@@ -425,3 +425,41 @@ def test_stateful_anomaly_matches_prefix_python(spark, tmp_path):
     assert all(got[(2, i * 7)]["z"] is None for i in range(8))
     with pytest.raises(ValueError):
         stateful_anomaly(stream, min_points=1)
+
+
+def test_stateful_anomaly_string_keys_stay_separate(spark, tmp_path):
+    """ADVICE r11: the r10 version cast key_col to long, so string user
+    ids all cast to NULL and shared ONE Welford state.  String keys must
+    keep their identity (separate states) and unsupported key types must
+    raise instead of silently merging."""
+    from spark_df_profiling_spark.streaming import (
+        run_stream_to_memory, stateful_anomaly)
+    rows = ([("alice", i * 10, 1.0 + (i % 3)) for i in range(8)]
+            + [("alice", 100, 900.0)]           # spike only for alice
+            + [("bob", i * 10, 50.0 + (i % 3)) for i in range(8)]
+            + [("bob", 100, 51.0)])             # in-range for bob
+    df = spark.createDataFrame(rows, "user_id string, tus long, value double")
+    path = str(tmp_path / "ev_str")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(df.schema).parquet(path)
+    out = stateful_anomaly(stream, "user_id", "tus", "value",
+                           z_threshold=3.0, min_points=5)
+    assert dict(out.dtypes)["key"] == "string"
+    run_stream_to_memory(out, "sanom_str_out", output_mode="update")
+    got = {(r["key"], r["tus"]): r
+           for r in spark.table("sanom_str_out").collect()}
+    # keys kept their identity (no NULL-merged state)
+    assert {k for k, _ in got} == {"alice", "bob"}
+    # alice's spike scored against ALICE's baseline only
+    assert got[("alice", 100)]["is_anomaly"] is True
+    assert got[("alice", 100)]["n_before"] == 8
+    # bob's last point is in-range FOR BOB (would be a huge z if the
+    # states had merged with alice's 1..3 baseline)
+    assert got[("bob", 100)]["is_anomaly"] is False
+    # unsupported key types raise loudly
+    import pytest as _pt
+    arr_stream = (spark.readStream.schema(df.schema).parquet(path)
+                  .withColumn("user_id",
+                              F.array(F.col("user_id"))))
+    with _pt.raises(TypeError, match="unsupported"):
+        stateful_anomaly(arr_stream, "user_id", "tus", "value")

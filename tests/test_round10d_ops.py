@@ -1391,9 +1391,7 @@ def test_readability_matches_python(spark):
                               .alias("score")).collect()}
 
     def ref(t):
-        words = len(t.split(" "))
-        if t == "":
-            words = 1  # split('') -> [''] in Spark: 1 token... see below
+        words = len(re.findall(r"[^ ]+", t))
         sents = max(len(re.findall(r"[.!?]+", t)), 1)
         syl = len(re.findall(r"[aeiouy]+", t.lower()))
         return 206.835 - 1.015 * words / sents - 84.6 * syl / words
@@ -1404,9 +1402,27 @@ def test_readability_matches_python(spark):
         assert abs(got[i] - ref(t)) < 1e-9, (i, got[i], ref(t))
     # simple prose scores far above the academic wall of latinates
     assert got[0] > 80 > got[1]
-    # Spark split("", " ") yields [""] (1 token, 0 syllables): the
-    # score is defined but extreme — document rather than fight it
-    assert got[3] is not None
+    # ADVICE r10 fix: empty text has 0 words -> NULL score (the
+    # docstring's contract), no longer the split('')->[''] artifact
+    assert got[3] is None
+
+
+def test_readability_word_count_multispace(spark):
+    """ADVICE r10: consecutive spaces must not inflate n_words, and the
+    two spellings must score identically."""
+    from spark_df_profiling_spark.operators.text import (
+        readability_exprs, readability_score)
+    df = spark.createDataFrame(
+        [(1, "the cat sat."), (2, "the   cat    sat."), (3, "   "),
+         (4, "one")],
+        "i long, text string")
+    rows = {r["i"]: r for r in df.select(
+        "i", readability_exprs("text")["n_words"].alias("w"),
+        readability_score("text").alias("s")).collect()}
+    assert rows[1]["w"] == rows[2]["w"] == 3
+    assert rows[1]["s"] == rows[2]["s"]
+    assert rows[3]["w"] == 0 and rows[3]["s"] is None   # spaces only
+    assert rows[4]["w"] == 1
 
 
 def test_readability_null_text(spark):
@@ -1499,6 +1515,15 @@ def test_plan_frame_samples(spark):
     assert sorted(got[1]) == [(0, 0.0, 0), (1, 1.0, 30), (2, 2.0, 60)]
     assert sorted(got[2]) == [(0, 0.0, 0)]
     assert 3 not in got  # no sniffable duration -> no plan rows
+    # ADVICE r10 clamp: exact-multiple duration (2.0 s @ 30 fps has
+    # frames 0..59) — the t=2.0 sample must plan frame 59, not 60
+    exact = spark.createDataFrame(
+        [(4, _mp4_payload(timescale=600, duration=1200))],
+        "media_id long, payload binary")
+    got4 = sorted((r["sample_idx"], r["t_seconds"], r["frame_idx"])
+                  for r in plan_frame_samples(
+                      exact, fps=30.0, every_s=1.0).collect())
+    assert got4 == [(0, 0.0, 0), (1, 1.0, 30), (2, 2.0, 59)]
     # runaway-duration guard
     import pytest as _pt
     long = spark.createDataFrame(

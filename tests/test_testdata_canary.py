@@ -80,3 +80,25 @@ def test_events_user_ts_unique_for_acf_ordering(spark, sf_dir):
         F.count(F.lit(1)),
         F.count_distinct("user_id", "ts")).collect()[0]
     assert n == nd, "events (user_id, ts) no longer unique"
+
+
+def test_documents_doc_id_space_is_contiguous(spark, sf_dir):
+    """VERDICT r10 item 3: the lsplit/rep oracle replay
+    (oracle.py hash_sampling_suite / dedup slots) collapses the planted
+    doc_id -> doc_id+1 decade chains to the CLOSED FORM
+    ``(doc_id // 10) * 10`` — valid only while the doc_id space is
+    gap-free from its minimum.  A driver testdata regeneration with id
+    gaps would split decades into several true components and fail the
+    slot mysteriously while the operator stays correct.  Make that
+    failure loud and attributed here instead."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from pyspark.sql import functions as F
+    n, lo, hi, nd = docs.agg(
+        F.count(F.lit(1)), F.min("doc_id"), F.max("doc_id"),
+        F.count_distinct("doc_id")).collect()[0]
+    assert n == nd, "documents doc_id no longer unique"
+    assert n == hi - lo + 1, (
+        f"documents doc_id space has GAPS (count={n}, min={lo}, max={hi})"
+        " — the lsplit/rep closed-form oracle replay is now wrong; "
+        "switch it to a recursive-CTE component replay (semdedup "
+        "precedent) before trusting hash_sampling_suite")
