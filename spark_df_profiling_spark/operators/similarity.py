@@ -67,6 +67,15 @@ def knn_bruteforce(corpus: DataFrame, queries: DataFrame,
     final rank then sees only k·sub_partitions rows per query.
     Results are identical for any ``sub_partitions`` (pure function of
     the scores); set 1 to disable.
+
+    The per-pair dot stays the :func:`dot` higher-order fold ON
+    PURPOSE: unrolling it into indexed GetArrayItem chains (the win
+    for per-ROW folds like ``random_projection``) was measured 5×
+    SLOWER here (67.5s vs 12.9s, 200k×64d×100 queries, r11) — HOFs
+    iterate the primitive array in one tight JVM loop per pair, while
+    a 64-term split-codegen chain pays per-subexpression overhead
+    20M times.  Per-row folds amortize huge expressions over few
+    evaluations; per-PAIR expressions cannot.
     """
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("__qv"),
@@ -1154,6 +1163,17 @@ def knn_projected_rerank(corpus: DataFrame, queries: DataFrame,
     projected queries at proj_dim cost; stage 2 touches
     |queries|·rerank_k full vectors via an id-keyed join — never the
     whole corpus at full dimension.
+
+    The projected frames are **materialized** (``localCheckpoint``)
+    before entering stage 1: without the barrier, Catalyst's project
+    collapse inlines each projected component's in_dim-term sum into
+    ``dot``'s per-PAIR evaluation — the k-means-assignment bug shape —
+    re-computing the whole projection |corpus|·|queries| times and
+    blowing the 64 KB codegen method budget (r11 rehearsal measured
+    79.8s vs 4.4s after the barrier on 200k×64d→16d, 100 queries —
+    SLOWER than exact brute force until fixed).  Materializing the
+    projected corpus once is also the honest 100 TB shape: project →
+    write → reuse across every query batch.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1: {k}")
@@ -1163,11 +1183,13 @@ def knn_projected_rerank(corpus: DataFrame, queries: DataFrame,
     cp = (random_projection(corpus, in_dim, proj_dim, seed=seed,
                             vec_col=vec_col, out_col="__rp",
                             validate=validate)
-          .select(F.col(id_col), F.col("__rp").alias(vec_col)))
+          .select(F.col(id_col), F.col("__rp").alias(vec_col))
+          .localCheckpoint())
     qp = (random_projection(queries, in_dim, proj_dim, seed=seed,
                             vec_col=vec_col, out_col="__rp",
                             validate=validate)
-          .select(F.col(id_col), F.col("__rp").alias(vec_col)))
+          .select(F.col(id_col), F.col("__rp").alias(vec_col))
+          .localCheckpoint())
     cands = knn_bruteforce(cp, qp, id_col=id_col, vec_col=vec_col,
                            k=rk).select("query_id", "neighbor_id")
     cfull = corpus.select(F.col(id_col).alias("neighbor_id"),

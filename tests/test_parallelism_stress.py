@@ -1,0 +1,84 @@
+"""Varied-parallelism oracle stress (VERDICT r10 item 4).
+
+A handful of oracle slots grade FLOAT accumulations pinned to 5
+significant digits (``hash_sampling_suite``'s dsir log-weight sums and
+wsample Efraimidis–Spirakis keys; the _psig moment columns of the
+profile slots).  Float addition is not associative, so a value whose
+true sum lands exactly on a 5-sig-digit rounding boundary could render
+differently under a different partitioning — green locally, red in the
+driver (or vice versa), with nothing to attribute it to.
+
+This stress runs the float-graded slots in TWO fresh subprocesses —
+local[2] / 2 shuffle partitions and local[32] / 200 shuffle partitions,
+the widest spread the box supports — and asserts the canonical
+(order-insensitive, type-sensitive stringified) outputs are identical.
+A boundary flip becomes a loud local failure naming the slot, instead
+of a driver mystery.
+
+Subprocesses because one JVM allows one SparkContext: the session-scoped
+``spark`` fixture cannot re-master mid-run.
+"""
+
+import json
+import subprocess
+import sys
+
+import pytest
+
+# Slots whose grading includes rounded float accumulations.  Keep the
+# list tight — each slot runs twice in fresh JVMs.
+FLOAT_GRADED = [
+    "hash_sampling_suite",   # dsir lw_s log-weight sum, wsample es_key
+    "num_stats",             # skew/kurtosis/var moment sums at _psig
+    "text_stats_by_lang",    # avg_* quality/readability means
+]
+
+RUNNER = r"""
+import json, sys
+sys.path.insert(0, "/root/repo")
+master, shuffle, out_path = sys.argv[1], sys.argv[2], sys.argv[3]
+slots = sys.argv[4].split(",")
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master(master)
+         .config("spark.sql.shuffle.partitions", shuffle)
+         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.ui.enabled", "false")
+         .config("spark.driver.memory", "6g")
+         .appName(f"par-stress-{master}").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+sys.path.insert(0, "/root/repo/tools")
+from check_oracle import pandas_rows, norm_cell
+import __spark_entry__ as E
+qs = E.queries()
+out = {}
+for slot in slots:
+    cols, rows = pandas_rows(qs[slot](spark, "/root/testdata/sf0.001")
+                             .toPandas())
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out[slot] = sorted(
+        [norm_cell(r[i]) for i in order] for r in rows)
+with open(out_path, "w") as f:
+    json.dump(out, f)
+spark.stop()
+"""
+
+
+def test_float_graded_slots_stable_across_parallelism(tmp_path):
+    results = {}
+    for master, shuffle in (("local[2]", "2"), ("local[32]", "200")):
+        out = tmp_path / f"par_{shuffle}.json"
+        proc = subprocess.run(
+            [sys.executable, "-c", RUNNER, master, shuffle, str(out),
+             ",".join(FLOAT_GRADED)],
+            capture_output=True, text=True, timeout=900)
+        assert proc.returncode == 0, (
+            f"{master} runner failed:\n{proc.stderr[-3000:]}")
+        results[master] = json.loads(out.read_text())
+    a, b = results["local[2]"], results["local[32]"]
+    for slot in FLOAT_GRADED:
+        assert a[slot] == b[slot], (
+            f"{slot}: output differs between local[2] and local[32] — "
+            f"a float-graded value sits on a rounding boundary; widen "
+            f"that value's grading grain (first diff: "
+            f"{next((x, y) for x, y in zip(a[slot], b[slot]) if x != y)})")

@@ -1509,6 +1509,123 @@ def r9e_main() -> None:
           flush=True)
 
 
+def r11_main() -> None:
+    """VERDICT r10 item 6: 10x-plus rehearsals for the session-4/5 tail
+    that lacked BASELINE.md rows — oov_stats, diversity_stats, rrf_fuse,
+    and the two-stage knn_projected_rerank composition (random_projection
+    alone was rehearsed in r10; the composition was not).  Planted skew
+    in every shape: a 200x-long document for the token explode, a
+    50%-hot query for the fusion groupBy."""
+    spark = (SparkSession.builder.master("local[32]")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory", "32g")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    from spark_df_profiling_spark.operators.text import oov_stats
+    from spark_df_profiling_spark.operators.similarity import (
+        diversity_stats, knn_bruteforce, knn_projected_rerank, rrf_fuse)
+
+    # ---- oov_stats: 50k docs (10x sf0.1) + ONE 200x-long document ----
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    big = replicate(docs.select("doc_id", "text"), ["doc_id"], REPLICAS)
+    hot = docs.where(F.col("doc_id") == 0).select(
+        F.lit(99_999_999).alias("doc_id"),
+        F.concat_ws(" ", F.array_repeat(F.col("text"), 200))
+        .alias("text"))
+    big = big.unionByName(hot)
+    vocab = (docs.select(F.explode(F.split("text", " ")).alias("token"))
+             .where(F.col("token") != "")
+             .groupBy("token").count()
+             .orderBy(F.desc("count"), "token").limit(1000)
+             .select("token"))
+    t0 = time.time()
+    row = (oov_stats(big, "text", vocab, "doc_id")
+           .agg(F.count(F.lit(1)), F.sum("n_tokens"), F.sum("n_oov"),
+                F.max("n_tokens")).collect()[0])
+    print(f"oov_stats 50k docs + 200x-long hot doc: {row[0]} docs, "
+          f"{row[1]} tokens ({row[2]} OOV, max doc {row[3]} tokens), "
+          f"{time.time() - t0:.1f}s", flush=True)
+
+    # ---- synthetic 200k x 64d corpus (deterministic, expression-only)
+    # with PLANTED cluster structure (2000 clusters x 100 members,
+    # center + 10% noise): uniform random vectors have no neighbor
+    # structure at all (every cosine ~0), which makes ANN recall noise
+    # by construction — clusters make recall@10 a real measurement.
+    def synth(n, id_name, noise_seed):
+        cl = F.col("id") % 2000
+        vec = F.array(*[
+            (((F.pmod(F.xxhash64(cl, F.lit(d)), F.lit(2001))
+               - 1000) / 1000.0)
+             + ((F.pmod(F.xxhash64(F.col("id"), F.lit(d),
+                                   F.lit(noise_seed)), F.lit(2001))
+                 - 1000) / 10000.0)).cast("float") for d in range(64)])
+        return spark.range(n).select(
+            F.col("id").alias(id_name), vec.alias("embedding"))
+    corpus = synth(200_000, "vec_id", 7).persist()
+    corpus.count()
+
+    # ---- diversity_stats on the 200k corpus --------------------------
+    t0 = time.time()
+    d = diversity_stats(corpus, sample_k=200).collect()[0]
+    print(f"diversity_stats 200k x 64d (sample_k=200): mean_cos "
+          f"{d['mean_cos']:.4f}, p_hi {d['p_hi']:.4f}, "
+          f"{time.time() - t0:.1f}s", flush=True)
+
+    # ---- knn_projected_rerank: 200k corpus, 100 queries --------------
+    # queries share the cluster centers (id%2000 -> first 100 clusters)
+    # but carry different noise, so each query's true neighbors are its
+    # ~100 cluster-mates — recallable structure
+    queries = synth(100, "vec_id", 13).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding")
+    t0 = time.time()
+    exact = (knn_bruteforce(corpus, queries, k=10)
+             .select("query_id", "neighbor_id").collect())
+    t_exact = time.time() - t0
+    # (an unrolled indexed-dot variant was tried here and measured 5x
+    # SLOWER than the HOF — 67.5s vs 12.9s; see knn_bruteforce's
+    # docstring and the COVERAGE playbook entry.  Not kept.)
+    truth = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    for validate in (True, False):
+        t0 = time.time()
+        rer = (knn_projected_rerank(corpus, queries, in_dim=64,
+                                    proj_dim=16, k=10, rerank_k=40,
+                                    validate=validate)
+               .select("query_id", "neighbor_id").collect())
+        t_rer = time.time() - t0
+        got = {(r["query_id"], r["neighbor_id"]) for r in rer}
+        recall = len(truth & got) / len(truth)
+        print(f"knn 200k x 64d, 100 queries, k=10: exact {t_exact:.1f}s;"
+              f" projected(16d)+rerank(40, validate={validate}) "
+              f"{t_rer:.1f}s, recall@10 {recall:.3f}", flush=True)
+    corpus.unpersist()
+
+    # ---- rrf_fuse: two 1M-row rankings, one query = 50% of rows ------
+    from pyspark.sql.window import Window
+
+    def ranking(seed):
+        base = spark.range(1_000_000).select(
+            F.when(F.col("id") % 2 == 0, F.lit(1))
+            .otherwise(F.pmod(F.xxhash64("id", F.lit(seed)),
+                              F.lit(10_000))).alias("query_id"),
+            F.pmod(F.xxhash64("id", F.lit(seed + 100)),
+                   F.lit(5_000_000)).alias("doc_id"),
+            F.col("id"))
+        return base.select(
+            "query_id", "doc_id",
+            F.row_number().over(Window.partitionBy("query_id")
+                                .orderBy("id")).alias("rank"))
+    t0 = time.time()
+    fused = (rrf_fuse([ranking(1), ranking(2)], id_col="doc_id",
+                      query_col="query_id", top_k=20)
+             .agg(F.count(F.lit(1)), F.count_distinct("query_id"))
+             .collect()[0])
+    print(f"rrf_fuse 2 x 1M rows, 10k queries, one query=50%: "
+          f"{fused[0]} fused rows over {fused[1]} queries, "
+          f"{time.time() - t0:.1f}s", flush=True)
+
+
 if __name__ == "__main__":
     if "skew" in sys.argv:
         skew_main()
@@ -1524,6 +1641,8 @@ if __name__ == "__main__":
         r7f_main()
     elif "r7g" in sys.argv:
         r7g_main()
+    elif "r11" in sys.argv:
+        r11_main()
     elif "r9e" in sys.argv:
         r9e_main()
     elif "r9d" in sys.argv:
