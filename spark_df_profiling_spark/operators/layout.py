@@ -197,3 +197,57 @@ def partition_advisor(df: DataFrame, candidate_cols: Sequence[str],
     for o in outs[1:]:
         u = u.unionByName(o)
     return u
+
+
+def compaction_plan(files: DataFrame, id_col: str, bytes_col: str,
+                    target_bytes: int,
+                    partition_cols: "Sequence[str] | None" = None
+                    ) -> DataFrame:
+    """Small-file compaction plan: assign each input file to a rewrite
+    bin of ~``target_bytes`` — the operational answer to the small-file
+    problem a 100 TB table accretes from streaming/incremental writes
+    (every file < a few hundred MB costs a task + open/footer overhead
+    per scan; :func:`partition_advisor` predicts the problem, this
+    plans the fix).  Input is any ``(id, bytes)`` frame — e.g.
+    :func:`~spark_df_profiling_spark.sources.file_row_stats` output.
+
+    Assignment is GREEDY-SEQUENTIAL over the deterministic order
+    (bytes DESC, id ASC) within each partition group: running total of
+    preceding bytes, ``bin = floor(prefix / target_bytes)`` — every
+    bin's payload lands in ``(target − max_member, target + member)``,
+    the classical next-fit bound, and the whole plan is ONE window
+    prefix sum per partition group (no driver loop over the file list,
+    no UDF — a 10M-file manifest plans in one shuffle).  Files already
+    ≥ ``target_bytes`` are passed through with ``bin`` NULL and
+    ``oversize`` true: rewriting them buys nothing.  Output one row
+    per file: partition cols + ``(id, bytes, bin, oversize)``; derive
+    bin manifests with a plain groupBy on (partition, bin).
+
+    Deterministic and engine-portable (ties broken by id), so DuckDB
+    replays the identical assignment.
+    """
+    from pyspark.sql import Window
+
+    if target_bytes < 1:
+        raise ValueError(f"target_bytes must be >= 1: {target_bytes}")
+    pcols = list(partition_cols or [])
+    for c in [id_col, bytes_col, *pcols]:
+        if c not in files.columns:
+            raise ValueError(f"missing column: {c!r}")
+    b = F.col(bytes_col).cast("long")
+    base = (files.where(F.col(id_col).isNotNull() & b.isNotNull())
+            .select(*pcols, F.col(id_col), b.alias(bytes_col)))
+    small = base.where(b < target_bytes)
+    w = (Window.partitionBy(*pcols)
+         .orderBy(F.desc(bytes_col), F.asc(id_col))
+         .rowsBetween(Window.unboundedPreceding, -1))
+    planned = small.select(
+        *pcols, id_col, bytes_col,
+        F.floor(F.coalesce(F.sum(bytes_col).over(w), F.lit(0))
+                / F.lit(int(target_bytes))).cast("long").alias("bin"),
+        F.lit(False).alias("oversize"))
+    passthrough = base.where(b >= target_bytes).select(
+        *pcols, id_col, bytes_col,
+        F.lit(None).cast("long").alias("bin"),
+        F.lit(True).alias("oversize"))
+    return planned.unionByName(passthrough)

@@ -1261,3 +1261,56 @@ def diversity_stats(df: DataFrame, id_col: str = "vec_id",
                F.sum(F.when(F.col("__c") > hi_threshold, 1)
                      .otherwise(0)).cast("double") / F.count("__c"))
         .alias("p_hi")))
+
+
+def knn_classify(corpus: DataFrame, queries: DataFrame,
+                 label_col: str = "label", id_col: str = "vec_id",
+                 vec_col: str = "embedding", k: int = 10,
+                 metric: str = "cosine",
+                 sub_partitions: int = 32) -> DataFrame:
+    """Weak labeling by k-nearest-neighbor majority vote: classify each
+    query embedding from the labels of its ``k`` nearest corpus rows —
+    the standard bootstrap for label-scarce training-data pipelines
+    (label 1% by hand / by a judge model, kNN-propagate to the rest,
+    then threshold on ``confidence``).  One row per query:
+    ``(query_id, label, votes, n_neighbors, confidence, total_sim)``
+    with ``confidence = votes / n_neighbors``.  The winner is the
+    label with the most votes; ties break to the larger summed
+    similarity, then the smaller label (fully deterministic, so DuckDB
+    replays the exact election).  Corpus rows with NULL labels are
+    excluded BEFORE the search — they can neither vote nor crowd out
+    labeled neighbors.  Queries with no valid neighbors (zero-norm /
+    NULL vectors) emit no row, same as :func:`knn_bruteforce`.
+
+    Scale: the search IS :func:`knn_bruteforce` (broadcast queries,
+    two-phase salted top-k — its cost model and caps apply verbatim);
+    the election adds one groupBy over |queries|·k rows.  For corpora
+    past brute-force reach, generate candidates with :func:`ann_ivf` /
+    :func:`knn_projected_rerank` and vote with a plain groupBy on its
+    output joined to labels — this wrapper is the exact-oracle shape.
+    """
+    if label_col not in corpus.columns:
+        raise ValueError(f"corpus missing column: {label_col!r}")
+    labeled = corpus.where(F.col(label_col).isNotNull())
+    nn = knn_bruteforce(labeled, queries, id_col=id_col,
+                        vec_col=vec_col, k=k, metric=metric,
+                        sub_partitions=sub_partitions)
+    lab = labeled.select(F.col(id_col).alias("neighbor_id"),
+                         F.col(label_col).alias("__lab"))
+    votes = (nn.join(lab, "neighbor_id")
+             .groupBy("query_id", "__lab")
+             .agg(F.count(F.lit(1)).alias("votes"),
+                  F.sum("sim").alias("total_sim")))
+    wq = Window.partitionBy("query_id")
+    elected = (votes
+               .withColumn("n_neighbors",
+                           F.sum("votes").over(wq).cast("long"))
+               .withColumn("__r", F.row_number().over(
+                   wq.orderBy(F.desc("votes"), F.desc("total_sim"),
+                              F.asc("__lab"))))
+               .where(F.col("__r") == 1))
+    return elected.select(
+        "query_id", F.col("__lab").alias(label_col),
+        F.col("votes").cast("long").alias("votes"), "n_neighbors",
+        (F.col("votes") / F.col("n_neighbors")).alias("confidence"),
+        "total_sim")

@@ -2597,6 +2597,20 @@ SELECT 'knn' AS part, query_id, neighbor_id,
 FROM r WHERE rank <= 3
 UNION ALL
 SELECT 'mmr', query_id, neighbor_id, {_psig('score')}, rank FROM mmr
+UNION ALL
+-- knn_classify replay: majority label of the exact top-10 neighbors,
+-- ties -> larger summed similarity, then smaller label; elected label
+-- rides neighbor_id, votes ride rank, summed sim at 5 sig digits
+SELECT 'kclass', query_id, CAST(label AS BIGINT),
+       {_psig('tsim')}, CAST(votes AS INT)
+FROM (
+  SELECT r.query_id, e.label, count(*) AS votes, sum(r.cos) AS tsim
+  FROM r JOIN embeddings e ON e.vec_id = r.neighbor_id
+  WHERE r.rank <= 10
+  GROUP BY 1, 2
+  QUALIFY row_number() OVER (PARTITION BY r.query_id
+                             ORDER BY count(*) DESC, sum(r.cos) DESC,
+                                      e.label) = 1)
 ORDER BY part, query_id, rank
 """)
 def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2606,7 +2620,7 @@ def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator's Arrow-side Python greedy (sequential left-to-right inner
     products) is pinned bit-for-bit at 5 significant digits."""
     from spark_df_profiling_spark.operators.similarity import (
-        knn_bruteforce, mmr_rerank)
+        knn_bruteforce, knn_classify, mmr_rerank)
     e = _t(spark, sf_dir, "embeddings")
     qs = e.where(F.col("vec_id") < 5)
     out = knn_bruteforce(e, qs, k=3)
@@ -2616,7 +2630,14 @@ def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     mmr = (mmr_rerank(e, qs, k=3, pool=10, lam=0.7)
            .select(F.lit("mmr").alias("part"), "query_id", "neighbor_id",
                    sig(F.col("mmr_score")).alias("sim_s"), "rank"))
-    return (knn.unionByName(mmr)
+    # 'kclass' rows grade similarity.knn_classify — the exact top-10
+    # vote with the deterministic (votes, total_sim, label) election
+    kcl = (knn_classify(e, qs, label_col="label", k=10)
+           .select(F.lit("kclass").alias("part"), "query_id",
+                   F.col("label").cast("long").alias("neighbor_id"),
+                   sig(F.col("total_sim")).alias("sim_s"),
+                   F.col("votes").cast("int").alias("rank")))
+    return (knn.unionByName(mmr).unionByName(kcl)
             .orderBy("part", "query_id", "rank"))
 
 
@@ -4055,6 +4076,29 @@ FROM (
   SELECT o_custkey, st, ts AS vf,
          lead(ts) OVER (PARTITION BY o_custkey ORDER BY ts) AS vt
   FROM ch)
+UNION ALL
+-- compaction_plan replay: greedy-sequential bin packing over the
+-- deterministic (bytes DESC, id ASC) order within each lang group,
+-- bin = floor(preceding-bytes-prefix / 500); per-bin payload bytes
+-- ride g2 so the full assignment is pinned, not just the counts
+SELECT 'cpack', lang,
+       CAST(bin AS VARCHAR) || ':' || CAST(bb AS VARCHAR),
+       count(*)
+FROM (
+  SELECT lang, bin, sum(n_chars) OVER (PARTITION BY lang, bin) AS bb,
+         doc_id
+  FROM (
+    SELECT lang, doc_id, n_chars,
+           CAST(coalesce(sum(n_chars) OVER (
+                  PARTITION BY lang ORDER BY n_chars DESC, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND 1 PRECEDING), 0) // 500 AS BIGINT) AS bin
+    FROM documents WHERE n_chars < 500))
+GROUP BY 1, 2, 3
+UNION ALL
+SELECT 'cpack', lang, 'oversize', count(*)
+FROM documents WHERE n_chars >= 500
+GROUP BY 1, 2
 ORDER BY 1, 2, 3
 """)
 def multidim_agg_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4300,13 +4344,38 @@ def multidim_agg_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                                F.lit("open")),
                     F.col("is_current").cast("string")).alias("g2"),
         F.col("valid_from").alias("cnt"))
+    # 'cpack' rows grade layout.compaction_plan — greedy-sequential
+    # bin packing of documents by n_chars within lang (target 500);
+    # per-bin payload bytes ride g2 so the exact assignment is pinned
+    from spark_df_profiling_spark.operators.layout import (
+        compaction_plan)
+    d = _t(spark, sf_dir, "documents")
+    plan = compaction_plan(d.select("lang", "doc_id", "n_chars"),
+                           "doc_id", "n_chars", 500,
+                           partition_cols=["lang"])
+    cpk = (plan.where(~F.col("oversize"))
+           .groupBy("lang", "bin")
+           .agg(F.count(F.lit(1)).alias("cnt"),
+                F.sum("n_chars").alias("__bb"))
+           .select(F.lit("cpack").alias("mode"),
+                   F.col("lang").alias("g1"),
+                   F.concat(F.col("bin").cast("string"), F.lit(":"),
+                            F.col("__bb").cast("string")).alias("g2"),
+                   "cnt"))
+    cpko = (plan.where(F.col("oversize"))
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.lit("cpack").alias("mode"),
+                    F.col("lang").alias("g1"),
+                    F.lit("oversize").alias("g2"), "cnt"))
     return (rollup.unionByName(cube).unionByName(gsets)
             .unionByName(cons).unionByName(cexam)
             .unionByName(tjoin)
             .unionByName(jks).unionByName(zrows)
             .unionByName(salt).unionByName(decay).unionByName(ivm)
             .unionByName(rrf).unionByName(pa).unionByName(snap_rows)
-            .unionByName(scd2_rows)
+            .unionByName(scd2_rows).unionByName(cpk)
+            .unionByName(cpko)
             .orderBy("mode", "g1", "g2"))
 
 
@@ -4587,7 +4656,7 @@ def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("key"))
 
 
-@query("stateful_user_totals", """
+@query("stateful_user_totals", f"""
 SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS total_events,
        CAST(round(sum("value") * 100) AS BIGINT) AS total_value_cents
 FROM events GROUP BY user_id
@@ -4908,6 +4977,86 @@ FROM (
     WINDOW w AS (PARTITION BY __k, slot ORDER BY cycle
                  RANGE BETWEEN 3 PRECEDING AND 1 PRECEDING)))
 GROUP BY __k
+UNION ALL
+-- ewma replay (alpha = 0.5 ON PURPOSE: every power of beta = 0.5 is
+-- an exact power of two, so the scaled-prefix closed form
+-- e_t = beta^t * sum(u_i) is BIT-identical across engines — no
+-- rounding-boundary hazard).  Final EWMA at 5 sig digits in the key,
+-- row count + last raw value (exact cents) in the numeric columns
+SELECT 'ewma:' || CAST(user_id AS VARCHAR) || ':' || {_psig('ew')},
+       CAST(n AS BIGINT), CAST(round(lastv * 100) AS BIGINT)
+FROM (
+  SELECT user_id, n, pow(0.5, rn) * s AS ew, v AS lastv, rn
+  FROM (
+    SELECT user_id, rn, n, v,
+           sum(u) OVER (PARTITION BY user_id ORDER BY rn
+                        ROWS UNBOUNDED PRECEDING) AS s
+    FROM (
+      SELECT user_id, v,
+             row_number() OVER wk AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n,
+             CASE WHEN row_number() OVER wk = 1 THEN v / 0.5
+                  ELSE (v * 0.5) / pow(0.5, row_number() OVER wk)
+             END AS u
+      FROM (SELECT user_id, epoch_ns(ts) // 1000 AS tus,
+                   CAST("value" AS DOUBLE) AS v FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+              AND "value" IS NOT NULL)
+      WINDOW wk AS (PARTITION BY user_id ORDER BY tus)))
+  WHERE rn = n)
+UNION ALL
+-- changepoint_stats replay: the BSS(t) prefix-sum arithmetic in the
+-- operator's exact spelling (x*x, not pow), argmax with ties to the
+-- smallest split.  The segment means are graded as EXACT integer
+-- cents sums (left/right segment), NOT 5-sig-digit floats: DuckDB's
+-- windowed sums aggregate via segment trees (pairwise association),
+-- so prefix sums differ from Spark's in the last bits, and
+-- 2-decimal data puts means exactly on rounding edges (measured:
+-- user 149's mean_after = 24.3425, denominator 8 — flipped 24342 vs
+-- 24343 at 5 sig digits).  score/means are pure functions of
+-- (cpi, C_left, C_right, n), so the integers pin them exactly.
+SELECT 'cp:' || CAST(u AS VARCHAR) || ':'
+            || coalesce(CAST(CAST(round(lc * 100) AS BIGINT)
+                             AS VARCHAR), 'NA') || '/'
+            || coalesce(CAST(CAST(round(rc * 100) AS BIGINT)
+                             AS VARCHAR), 'NA'),
+       CAST(n AS BIGINT), CAST(cpi AS BIGINT)
+FROM (
+  SELECT u, any_value(n) AS n,
+         max(CASE WHEN rr = 1 THEN p END) AS lc,
+         max(CASE WHEN rr = 1 THEN s - p END) AS rc,
+         max(CASE WHEN rr = 1 THEN rn END) AS cpi
+  FROM (
+    SELECT u, n, rn, bss, p, s,
+           CASE WHEN bss IS NOT NULL THEN
+             row_number() OVER (PARTITION BY u, (bss IS NULL)
+                                ORDER BY bss DESC, rn) END AS rr
+    FROM (
+      SELECT u, n, rn, p, s,
+             CASE WHEN rn >= 2 AND rn <= n - 2 AND n >= 5 THEN
+               rn * (p / rn - s / n) * (p / rn - s / n)
+               + (n - rn) * ((s - p) / (n - rn) - s / n)
+                          * ((s - p) / (n - rn) - s / n) END AS bss
+      FROM (
+        -- s = LAST prefix value (not a separate full-partition sum):
+        -- whole-frame aggregates may accumulate in an engine-specific
+        -- order; last(prefix) pins the identical sequential order on
+        -- both sides (a last-bit μ difference was measured landing
+        -- mean_after exactly on a 5-sig-digit boundary)
+        SELECT u, rn, n, p,
+               last_value(p) OVER (PARTITION BY u ORDER BY tus
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND UNBOUNDED FOLLOWING) AS s
+        FROM (
+          SELECT u, tus, CAST(row_number() OVER wk AS DOUBLE) AS rn,
+                 CAST(count(*) OVER (PARTITION BY u) AS DOUBLE) AS n,
+                 sum(v) OVER (wk ROWS UNBOUNDED PRECEDING) AS p
+          FROM (SELECT user_id AS u, epoch_ns(ts) // 1000 AS tus,
+                       CAST("value" AS DOUBLE) AS v FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                  AND "value" IS NOT NULL)
+          WINDOW wk AS (PARTITION BY u ORDER BY tus)))))
+  GROUP BY u)
 ORDER BY key
 """)
 def stateful_user_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5159,12 +5308,52 @@ def stateful_user_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                              F.col("user_id").cast("string"))
                     .alias("key"),
                     "total_events", "total_value_cents"))
+    # 'ewma:' rows grade groupby.ewma — alpha=0.5 so every beta power
+    # is an exact power of two and the scaled-prefix closed form is
+    # BIT-identical across engines; final EWMA at 5 sig digits rides
+    # the key, (row count, last raw value in cents) the numeric columns
+    from spark_df_profiling_spark.operators.groupby import ewma
+    ew = ewma(evm, "tus", "user_id", "value", alpha=0.5)
+    ewr = (ew.groupBy("user_id")
+           .agg(F.count(F.lit(1)).cast("long").alias("total_events"),
+                F.max_by(F.col("ewma"), F.col("tus")).alias("__e"),
+                F.max_by(F.col("value"), F.col("tus")).alias("__lv"))
+           .select(F.concat(F.lit("ewma:"),
+                            F.col("user_id").cast("string"),
+                            F.lit(":"), sig(F.col("__e"))).alias("key"),
+                   "total_events",
+                   F.round(F.col("__lv") * 100).cast("long")
+                   .alias("total_value_cents")))
+    # 'cp:' rows grade groupby.changepoint_stats — DuckDB replays the
+    # BSS prefix-sum arithmetic in the operator's exact spelling and
+    # the smallest-t tie break.  Segment means graded as EXACT integer
+    # cents (left/right segment sums reconstructed as mean x count):
+    # windowed float sums associate differently across engines
+    # (DuckDB segment trees) and 2-decimal data lands means exactly on
+    # 5-sig-digit edges — measured on user 149 before this encoding.
+    from spark_df_profiling_spark.operators.groupby import (
+        changepoint_stats)
+    cp = changepoint_stats(evm, "tus", "user_id", "value")
+    lc = F.round(F.col("mean_before") * F.col("cp_index") * 100)
+    rc = F.round(F.col("mean_after")
+                 * (F.col("n") - F.col("cp_index")) * 100)
+    cpr = cp.select(
+        F.concat(F.lit("cp:"), F.col("user_id").cast("string"),
+                 F.lit(":"),
+                 F.coalesce(lc.cast("long").cast("string"),
+                            F.lit("NA")),
+                 F.lit("/"),
+                 F.coalesce(rc.cast("long").cast("string"),
+                            F.lit("NA")))
+        .alias("key"),
+        F.col("n").alias("total_events"),
+        F.col("cp_index").alias("total_value_cents"))
     return (totals_rows.unionByName(fun).unionByName(roll)
             .unionByName(acf).unionByName(anom).unionByName(broll)
             .unionByName(banom).unionByName(gp).unionByName(gpm)
             .unionByName(gps).unionByName(rfill).unionByName(rlin)
             .unionByName(sanom).unionByName(seas)
-            .unionByName(cusum)
+            .unionByName(cusum).unionByName(ewr).unionByName(cpr)
             .orderBy("key"))
 
 

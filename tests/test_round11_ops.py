@@ -1,0 +1,182 @@
+"""Round-11 operators: ewma, changepoint_stats, knn_classify,
+compaction_plan."""
+
+import math
+
+import pytest
+import pyspark.sql.functions as F
+
+
+# ---------------------------------------------------------------------------
+# ewma
+# ---------------------------------------------------------------------------
+def _py_ewma(xs, alpha, adjust):
+    out = []
+    if adjust:
+        num = den = 0.0
+        b = 1.0 - alpha
+        for x in xs:
+            num = num * b + x
+            den = den * b + 1.0
+            out.append(num / den)
+    else:
+        e = None
+        for x in xs:
+            e = x if e is None else alpha * x + (1 - alpha) * e
+            out.append(e)
+    return out
+
+
+@pytest.mark.parametrize("adjust", [False, True])
+def test_ewma_matches_python(spark, adjust):
+    from spark_df_profiling_spark.operators.groupby import ewma
+    rows = ([("a", float(i), float(v)) for i, v in
+             enumerate([3, 1, 4, 1, 5, 9, 2, 6, 5, 3])]
+            + [("b", 0.0, 10.0)]                 # single row
+            + [("b", 1.0, None)]                 # NULL value: excluded
+            + [(None, 2.0, 1.0)])                # NULL key: excluded
+    df = spark.createDataFrame(rows, "k string, ts double, v double")
+    got = {(r["k"], r["ts"]): r["ewma"]
+           for r in ewma(df, "ts", "k", "v", alpha=0.3,
+                         adjust=adjust).collect()}
+    exp = _py_ewma([3, 1, 4, 1, 5, 9, 2, 6, 5, 3], 0.3, adjust)
+    for i, e in enumerate(exp):
+        assert got[("a", float(i))] == pytest.approx(e, rel=1e-9)
+    assert got[("b", 0.0)] == pytest.approx(10.0)
+    assert len(got) == 11
+    with pytest.raises(ValueError):
+        ewma(df, "ts", "k", "v", alpha=0.0)
+    # alpha=1 degenerates to the value itself
+    got1 = {(r["k"], r["ts"]): r["ewma"]
+            for r in ewma(df, "ts", "k", "v", alpha=1.0).collect()}
+    assert got1[("a", 5.0)] == 9.0
+
+
+def test_ewma_long_key_guard(spark):
+    """Keys past the double-range bound raise with the remedy, instead
+    of silently overflowing the scaled prefix."""
+    from spark_df_profiling_spark.operators.groupby import ewma
+    n_max = int(600.0 / -math.log(0.5))          # 865 at alpha=0.5
+    df = spark.range(n_max + 10).select(
+        F.lit("k").alias("k"), F.col("id").cast("double").alias("ts"),
+        F.lit(1.0).alias("v"))
+    with pytest.raises(Exception, match="more than"):
+        ewma(df, "ts", "k", "v", alpha=0.5).collect()
+    # exactly at the bound: fine, and converged to 1.0
+    ok = ewma(df.limit(n_max), "ts", "k", "v", alpha=0.5)
+    last = ok.orderBy(F.desc("ts")).first()
+    assert last["ewma"] == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# changepoint_stats
+# ---------------------------------------------------------------------------
+def _py_changepoint(xs, min_seg=2):
+    n = len(xs)
+    mu = sum(xs) / n
+    best = None
+    for t in range(min_seg, n - min_seg + 1):
+        ml = sum(xs[:t]) / t
+        mr = sum(xs[t:]) / (n - t)
+        bss = t * (ml - mu) ** 2 + (n - t) * (mr - mu) ** 2
+        if best is None or bss > best[0] + 1e-12:
+            best = (bss, t, ml, mr)
+    return best
+
+
+def test_changepoint_matches_python(spark):
+    from spark_df_profiling_spark.operators.groupby import (
+        changepoint_stats)
+    series = {
+        "shift": [1.0, 1.1, 0.9, 1.0, 5.0, 5.2, 4.8, 5.1],
+        "flat": [2.0] * 8,
+        "short": [1.0, 2.0, 3.0],   # n < min_points -> NULL cp
+    }
+    rows = [(k, float(i), v) for k, xs in series.items()
+            for i, v in enumerate(xs)]
+    df = spark.createDataFrame(rows, "k string, ts double, v double")
+    got = {r["k"]: r for r in
+           changepoint_stats(df, "ts", "k", "v").collect()}
+    bss, t, ml, mr = _py_changepoint(series["shift"])
+    r = got["shift"]
+    assert r["cp_index"] == t == 4
+    assert r["cp_ts"] == 3.0                      # ts of 4th row
+    assert r["score"] == pytest.approx(bss, rel=1e-9)
+    assert r["mean_before"] == pytest.approx(ml)
+    assert r["mean_after"] == pytest.approx(mr)
+    assert 0.9 < r["gain"] <= 1.0
+    # constant series: a best split exists but explains nothing
+    r = got["flat"]
+    assert r["score"] == pytest.approx(0.0) and r["gain"] is None
+    assert r["cp_index"] == 2                     # tie -> smallest t
+    # too short: NULL cp fields, n still reported
+    r = got["short"]
+    assert r["n"] == 3 and r["cp_index"] is None and r["score"] is None
+    with pytest.raises(ValueError):
+        changepoint_stats(df, "ts", "k", "v", min_seg=0)
+
+
+# ---------------------------------------------------------------------------
+# knn_classify
+# ---------------------------------------------------------------------------
+def test_knn_classify_majority_and_ties(spark):
+    from spark_df_profiling_spark.operators.similarity import (
+        knn_classify)
+    # corpus in 2d: cluster A near (1,0) labeled 0, cluster B near
+    # (0,1) labeled 1, plus an unlabeled row adjacent to the query
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.9, 0.1], 0), (3, [1.0, 0.1], 0),
+         (4, [0.0, 1.0], 1), (5, [0.1, 0.9], 1),
+         (6, [0.99, 0.01], None)],          # NULL label: excluded
+        "vec_id long, embedding array<double>, label int")
+    queries = spark.createDataFrame(
+        [(100, [0.95, 0.05]), (200, [0.05, 0.95])],
+        "vec_id long, embedding array<double>")
+    got = {r["query_id"]: r
+           for r in knn_classify(corpus, queries, k=3).collect()}
+    assert got[100]["label"] == 0 and got[100]["votes"] == 3
+    assert got[100]["confidence"] == pytest.approx(1.0)
+    r = got[200]
+    assert r["label"] == 1 and r["votes"] == 2 and r["n_neighbors"] == 3
+    assert r["confidence"] == pytest.approx(2 / 3)
+    # vote tie at k=2 for query 200 (one label each): higher summed
+    # sim wins -> label 1 (its neighbor is closer)
+    got2 = {r["query_id"]: r
+            for r in knn_classify(corpus, queries, k=2).collect()}
+    assert got2[200]["label"] == 1
+    with pytest.raises(ValueError, match="missing column"):
+        knn_classify(corpus.drop("label"), queries)
+
+
+# ---------------------------------------------------------------------------
+# compaction_plan
+# ---------------------------------------------------------------------------
+def test_compaction_plan_bins_and_oversize(spark):
+    from spark_df_profiling_spark.operators.layout import (
+        compaction_plan)
+    files = spark.createDataFrame(
+        [("a", "f1", 700), ("a", "f2", 300), ("a", "f3", 300),
+         ("a", "f4", 200), ("a", "f5", 1500),   # oversize
+         ("b", "g1", 100), ("b", "g2", 100),
+         ("b", "g3", None)],                    # NULL bytes: dropped
+        "part string, fid string, bytes long")
+    got = {(r["part"], r["fid"]): r
+           for r in compaction_plan(files, "fid", "bytes", 1000,
+                                    partition_cols=["part"]).collect()}
+    assert len(got) == 7
+    # order within 'a': f1(700) f2(300) f3(300) f4(200); prefixes
+    # 0/700/1000/1300 -> bins 0/0/1/1
+    assert [got[("a", f)]["bin"] for f in ("f1", "f2", "f3", "f4")] \
+        == [0, 0, 1, 1]
+    assert got[("a", "f5")]["oversize"] and got[("a", "f5")]["bin"] is None
+    # partition groups bin independently
+    assert got[("b", "g1")]["bin"] == 0 and got[("b", "g2")]["bin"] == 0
+    # every non-oversize bin's payload respects the next-fit bound
+    import collections
+    bins = collections.defaultdict(int)
+    for (p, f), r in got.items():
+        if not r["oversize"]:
+            bins[(p, r["bin"])] += r["bytes"]
+    assert all(v < 1000 + 700 for v in bins.values())
+    with pytest.raises(ValueError):
+        compaction_plan(files, "fid", "bytes", 0)

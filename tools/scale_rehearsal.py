@@ -1626,6 +1626,112 @@ def r11_main() -> None:
           f"{time.time() - t0:.1f}s", flush=True)
 
 
+def r11b_main() -> None:
+    """Skew rehearsals for the four r11 operators: ewma /
+    changepoint_stats on 2M events with one key holding 50% of rows
+    (the ordered-per-key bound), knn_classify at 200k corpus x 100
+    queries, compaction_plan over a 5M-file manifest with one
+    partition holding 50% of files."""
+    spark = (SparkSession.builder.master("local[32]")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory", "32g")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    from spark_df_profiling_spark.operators.groupby import (
+        changepoint_stats, ewma)
+    from spark_df_profiling_spark.operators.layout import (
+        compaction_plan)
+    from spark_df_profiling_spark.operators.similarity import (
+        knn_classify)
+
+    # 2M events, one key = 50% of rows (1M-row ordered hot key).
+    # alpha=0.9 keeps the 1M-row key inside the ewma guard
+    # (n_max = 600/-ln(0.1) ~ 260 ... too small!) -> per the guard
+    # contract a 1M-row key must FAIL ewma loudly; rehearse BOTH the
+    # guard firing and the in-bound path on a 200-row/key layout.
+    ev = spark.range(2_000_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit(1))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(20000))).alias("u"),
+        F.col("id").cast("double").alias("ts"),
+        (F.pmod(F.xxhash64("id", F.lit(9)), F.lit(10000)) / 100.0)
+        .alias("v"))
+    t0 = time.time()
+    try:
+        # aggregate over the ewma column itself: count(1) would let
+        # Catalyst column-prune the whole computation, guard included
+        ewma(ev, "ts", "u", "v", alpha=0.1).agg(
+            F.avg("ewma")).collect()
+        print("ewma hot-key guard DID NOT FIRE (bug)", flush=True)
+    except Exception:
+        print(f"ewma 1M-row hot key: guard fired as documented "
+              f"({time.time() - t0:.1f}s to detect)", flush=True)
+    evb = spark.range(2_000_000).select(
+        F.pmod(F.col("id"), F.lit(10_000)).alias("u"),
+        F.col("id").cast("double").alias("ts"),
+        (F.pmod(F.xxhash64("id", F.lit(9)), F.lit(10000)) / 100.0)
+        .alias("v"))
+    t0 = time.time()
+    row = (ewma(evb, "ts", "u", "v", alpha=0.1)
+           .agg(F.count(F.lit(1)), F.avg("ewma")).collect()[0])
+    print(f"ewma 2M rows / 10k keys x 200: {row[0]} rows, mean ewma "
+          f"{row[1]:.2f}, {time.time() - t0:.1f}s", flush=True)
+    t0 = time.time()
+    row = (changepoint_stats(ev, "ts", "u", "v")
+           .agg(F.count(F.lit(1)), F.max("score"),
+                F.max("gain")).collect()[0])
+    print(f"changepoint 2M events, 1 key=50%: {row[0]} keys, max gain "
+          f"{row[2]:.3f}, {time.time() - t0:.1f}s", flush=True)
+
+    # knn_classify: 200k labeled corpus (2000 clusters -> label =
+    # cluster % 10), 100 structured queries
+    def synth(n, id_name, noise_seed):
+        cl = F.col("id") % 2000
+        vec = F.array(*[
+            (((F.pmod(F.xxhash64(cl, F.lit(d)), F.lit(2001))
+               - 1000) / 1000.0)
+             + ((F.pmod(F.xxhash64(F.col("id"), F.lit(d),
+                                   F.lit(noise_seed)), F.lit(2001))
+                 - 1000) / 10000.0)).cast("float") for d in range(64)])
+        return spark.range(n).select(
+            F.col("id").alias(id_name), vec.alias("embedding"),
+            (cl % 10).cast("int").alias("label"))
+    corpus = synth(200_000, "vec_id", 7).persist()
+    corpus.count()
+    queries = synth(100, "vec_id", 13).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding",
+        "label")
+    t0 = time.time()
+    out = knn_classify(corpus, queries, k=10).collect()
+    t_kc = time.time() - t0
+    truth = {r["vec_id"] % 10: None for r in queries.collect()}
+    acc = (sum(1 for r in out if r["label"] == (r["query_id"]
+               % 10_000_000) % 2000 % 10) / len(out))
+    print(f"knn_classify 200k x 64d corpus, 100 queries, k=10: "
+          f"{len(out)} labeled, accuracy {acc:.3f}, {t_kc:.1f}s",
+          flush=True)
+    corpus.unpersist()
+
+    # compaction_plan: 5M-file manifest, one partition = 50% of files
+    files = spark.range(5_000_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit("hot"))
+        .otherwise((F.pmod(F.xxhash64("id"), F.lit(5000)))
+                   .cast("string")).alias("part"),
+        F.col("id").alias("fid"),
+        (F.pmod(F.xxhash64("id", F.lit(3)), F.lit(256 * 1024 * 1024)))
+        .alias("bytes"))
+    t0 = time.time()
+    row = (compaction_plan(files, "fid", "bytes",
+                           512 * 1024 * 1024, ["part"])
+           .groupBy("part", "bin")
+           .agg(F.sum("bytes").alias("bb"))
+           .agg(F.count(F.lit(1)), F.max("bb")).collect()[0])
+    print(f"compaction_plan 5M files, 1 partition=50%: {row[0]} bins, "
+          f"max bin {row[1] / 2**30:.2f} GiB, {time.time() - t0:.1f}s",
+          flush=True)
+
+
 if __name__ == "__main__":
     if "skew" in sys.argv:
         skew_main()
@@ -1641,6 +1747,8 @@ if __name__ == "__main__":
         r7f_main()
     elif "r7g" in sys.argv:
         r7g_main()
+    elif "r11b" in sys.argv:
+        r11b_main()
     elif "r11" in sys.argv:
         r11_main()
     elif "r9e" in sys.argv:
