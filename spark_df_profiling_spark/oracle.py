@@ -1325,6 +1325,38 @@ FROM (
 """
 
 
+_KAPPA_SQL = f"""
+SELECT 'kappa' AS col_x, 'os~ls' AS col_y,
+       CAST(n AS VARCHAR) || ':' || CAST(na AS VARCHAR) || ':'
+           || CAST(cp AS VARCHAR) || ':'
+           || coalesce({_psig('kappa')}, 'null') AS rho
+FROM (
+  WITH j AS (SELECT o_orderstatus AS a, l_linestatus AS b
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             WHERE o_orderstatus IS NOT NULL
+               AND l_linestatus IS NOT NULL),
+  t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END)
+                    AS BIGINT) AS na FROM j),
+  ma AS (SELECT a AS c, count(*) AS x FROM j GROUP BY 1),
+  mb AS (SELECT b AS c, count(*) AS y FROM j GROUP BY 1),
+  ch AS (SELECT CAST(coalesce(sum(x * y), 0) AS BIGINT) AS cp
+         FROM ma JOIN mb USING (c))
+  -- kappa spelled exactly as the operator: po/pe from the exact
+  -- integers (n, na, cp) via the same division order
+  SELECT n, na, cp,
+         CASE WHEN CAST(cp AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) < 1.0
+              THEN (CAST(na AS DOUBLE) / CAST(n AS DOUBLE)
+                    - CAST(cp AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                   / (1.0 - CAST(cp AS DOUBLE)
+                            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+         END AS kappa
+  FROM t CROSS JOIN ch)
+"""
+
+
 def _trust_sql(n_iter: int = 3, d: float = 0.85) -> str:
     """Unrolled TrustRank replay on the same supplier→part graph:
     teleport (and dangling re-entry) restricted to the even-suppkey
@@ -1410,7 +1442,8 @@ FROM (
        f"\nUNION ALL\n"
        f"{_theil_sql('l_returnflag', 'l_linestatus', 'rf->ls')}"
        f"\nUNION ALL\n"
-       f"{_theil_sql('l_linestatus', 'l_returnflag', 'ls->rf')}")
+       f"{_theil_sql('l_linestatus', 'l_returnflag', 'ls->rf')}"
+       f"\nUNION ALL\n{_KAPPA_SQL}")
 def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_df_profiling_spark.operators.correlation import (
         categorical_association,
@@ -1545,10 +1578,29 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     th = (th_row("l_returnflag", "l_linestatus", "rf->ls")
           .unionByName(th_row("l_linestatus", "l_returnflag",
                               "ls->rf")))
+    # 'kappa' row grades correlation.cohens_kappa — orders status vs
+    # lineitem linestatus as the two "annotators"; the exact integers
+    # (n, n_agree, chance_pairs) pin po/pe, kappa at 5 sig digits is
+    # the same single-division arithmetic on them in both engines
+    from spark_df_profiling_spark.operators.correlation import (
+        cohens_kappa)
+    o = _t(spark, sf_dir, "orders")
+    jk = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    kap = (cohens_kappa(jk, "o_orderstatus", "l_linestatus")
+           .select(F.lit("kappa").alias("col_x"),
+                   F.lit("os~ls").alias("col_y"),
+                   F.concat(F.col("n").cast("string"), F.lit(":"),
+                            F.col("n_agree").cast("string"),
+                            F.lit(":"),
+                            F.col("chance_pairs").cast("string"),
+                            F.lit(":"),
+                            F.coalesce(sig(F.col("kappa")),
+                                       F.lit("null")))
+                   .alias("rho")))
     return (pearson.unionByName(cat).unionByName(fd)
             .unionByName(keys).unionByName(inc).unionByName(pg)
             .unionByName(tr).unionByName(dg)
-            .unionByName(er).unionByName(th))
+            .unionByName(er).unionByName(th).unionByName(kap))
 
 
 # ---------------------------------------------------------------------------
@@ -2611,6 +2663,38 @@ FROM (
   QUALIFY row_number() OVER (PARTITION BY r.query_id
                              ORDER BY count(*) DESC, sum(r.cos) DESC,
                                       e.label) = 1)
+UNION ALL
+-- label_agreement_stats replay: FULL self-kNN (every row a query),
+-- per-row own-label hit count in the exact top-10, reduced per label
+-- to (total hits, n_suspect at agreement < 0.5 i.e. hits <= 4, n) —
+-- all exact integers, so no float accumulation can straddle grading
+SELECT 'lagree', CAST(lab AS BIGINT), CAST(hits AS BIGINT),
+       CAST(nsus AS VARCHAR), CAST(nl AS INT)
+FROM (
+  SELECT lab, sum(h) AS hits,
+         sum(CASE WHEN h <= 4 THEN 1 ELSE 0 END) AS nsus,
+         count(*) AS nl
+  FROM (
+    SELECT own.label AS lab,
+           sum(CASE WHEN nb.label = own.label THEN 1 ELSE 0 END) AS h
+    FROM (
+      SELECT a.vec_id AS qid, b.vec_id AS nid,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY list_dot_product(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                          a.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[])))
+                 DESC, b.vec_id) AS rnk
+      FROM embeddings a JOIN embeddings b
+        ON a.vec_id != b.vec_id)
+    JOIN embeddings own ON own.vec_id = qid
+    JOIN embeddings nb ON nb.vec_id = nid
+    WHERE rnk <= 10
+    GROUP BY qid, own.label)
+  GROUP BY lab)
 ORDER BY part, query_id, rank
 """)
 def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2637,7 +2721,19 @@ def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.col("label").cast("long").alias("neighbor_id"),
                    sig(F.col("total_sim")).alias("sim_s"),
                    F.col("votes").cast("int").alias("rank")))
-    return (knn.unionByName(mmr).unionByName(kcl)
+    # 'lagree' rows grade similarity.label_agreement_stats — full
+    # self-kNN agreement per label, reduced to exact integers
+    # (total hits = avg_agreement * n * k, n_suspect, n)
+    from spark_df_profiling_spark.operators.similarity import (
+        label_agreement_stats)
+    lag = (label_agreement_stats(e, k=10, suspect_below=0.5)
+           .select(F.lit("lagree").alias("part"),
+                   F.col("label").cast("long").alias("query_id"),
+                   F.round(F.col("avg_agreement") * F.col("n") * 10)
+                   .cast("long").alias("neighbor_id"),
+                   F.col("n_suspect").cast("string").alias("sim_s"),
+                   F.col("n").cast("int").alias("rank")))
+    return (knn.unionByName(mmr).unionByName(kcl).unionByName(lag)
             .orderBy("part", "query_id", "rank"))
 
 
@@ -6330,6 +6426,19 @@ FROM (
                PARTITION BY coalesce(lang, chr(0) || 'NULL')) AS ns
     FROM documents WHERE doc_id IS NOT NULL))
 GROUP BY s, lang
+UNION ALL
+-- stratified_kfold replay: per-lang md5-shuffled rank (seed 0),
+-- fold = (rank - 1) mod 5; counts per (fold, lang) pin both the
+-- balance and the exact assignment boundaries
+SELECT 'kfold:' || CAST(fold AS VARCHAR), lang, count(*)
+FROM (
+  SELECT lang,
+         (row_number() OVER (
+              PARTITION BY coalesce(lang, chr(0) || 'NULL')
+              ORDER BY {_BK.format(seed=0)} ASC, doc_id ASC) - 1)
+           % 5 AS fold
+  FROM documents WHERE doc_id IS NOT NULL)
+GROUP BY fold, lang
 ORDER BY part, k
 """)
 def hash_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6480,7 +6589,18 @@ def hash_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.concat(F.lit("xsplit:"), F.col("split"))
                 .alias("part"),
                 F.col("lang").alias("k"), "n"))
+    # 'kfold:' rows grade sampling.stratified_kfold — per-(fold, lang)
+    # counts pin both the exact balance and the md5-rank assignment
+    from spark_df_profiling_spark.operators.sampling import (
+        stratified_kfold)
+    kf = (stratified_kfold(d, "lang", "doc_id", k=5, seed=0)
+          .groupBy("fold", "lang")
+          .agg(F.count(F.lit(1)).alias("n"))
+          .select(F.concat(F.lit("kfold:"),
+                           F.col("fold").cast("string")).alias("part"),
+                  F.col("lang").alias("k"), "n"))
     return (split.unionByName(samp).unionByName(strat)
+            .unionByName(kf)
             .unionByName(exactk).unionByName(dsir)
             .unionByName(ws).unionByName(qb)
             .unionByName(lsp).unionByName(viol)

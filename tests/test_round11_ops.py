@@ -180,3 +180,93 @@ def test_compaction_plan_bins_and_oversize(spark):
     assert all(v < 1000 + 700 for v in bins.values())
     with pytest.raises(ValueError):
         compaction_plan(files, "fid", "bytes", 0)
+
+
+# ---------------------------------------------------------------------------
+# stratified_kfold
+# ---------------------------------------------------------------------------
+def test_stratified_kfold_exact_balance(spark):
+    from spark_df_profiling_spark.operators.sampling import (
+        stratified_kfold)
+    rows = ([("en", i) for i in range(103)]
+            + [("de", i + 1000) for i in range(7)]
+            + [(None, i + 2000) for i in range(5)]     # NULL stratum
+            + [("fr", None)])                          # NULL key: drop
+    df = spark.createDataFrame(rows, "lang string, doc_id long")
+    out = stratified_kfold(df, "lang", "doc_id", k=5).collect()
+    assert len(out) == 115
+    import collections
+    sizes = collections.Counter((r["lang"], r["fold"]) for r in out)
+    for lang, n in (("en", 103), ("de", 7), (None, 5)):
+        per = [sizes.get((lang, f), 0) for f in range(5)]
+        assert sum(per) == n
+        assert max(per) - min(per) <= 1, (lang, per)
+    # deterministic across invocations
+    again = {(r["lang"], r["doc_id"]): r["fold"]
+             for r in stratified_kfold(df, "lang", "doc_id",
+                                       k=5).collect()}
+    assert all(again[(r["lang"], r["doc_id"])] == r["fold"]
+               for r in out)
+    with pytest.raises(ValueError):
+        stratified_kfold(df, "lang", "doc_id", k=1)
+
+
+# ---------------------------------------------------------------------------
+# cohens_kappa
+# ---------------------------------------------------------------------------
+def test_cohens_kappa_matches_python(spark):
+    from spark_df_profiling_spark.operators.correlation import (
+        cohens_kappa)
+    # classic textbook confusion: 20 yes/yes, 5 yes/no, 10 no/yes,
+    # 15 no/no
+    rows = ([("y", "y")] * 20 + [("y", "n")] * 5
+            + [("n", "y")] * 10 + [("n", "n")] * 15
+            + [(None, "y"), ("y", None)])              # excluded
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    n = 50
+    po = 35 / 50
+    pe = (25 * 30 + 25 * 20) / 50**2
+    exp = (po - pe) / (1 - pe)
+    assert r["n"] == n and r["n_agree"] == 35
+    assert r["chance_pairs"] == 25 * 30 + 25 * 20
+    assert r["p_o"] == pytest.approx(po)
+    assert r["p_e"] == pytest.approx(pe)
+    assert r["kappa"] == pytest.approx(exp)
+    assert r["a_levels"] == 2 and r["b_levels"] == 2
+    # constant equal columns: p_e = 1 -> kappa NULL
+    c = spark.createDataFrame([("x", "x")] * 4, "a string, b string")
+    rc = cohens_kappa(c, "a", "b").collect()[0]
+    assert rc["kappa"] is None and rc["p_o"] == 1.0
+    with pytest.raises(ValueError):
+        cohens_kappa(df, "a", "zzz")
+
+
+# ---------------------------------------------------------------------------
+# label_agreement_stats
+# ---------------------------------------------------------------------------
+def test_label_agreement_flags_planted_mislabel(spark):
+    from spark_df_profiling_spark.operators.similarity import (
+        label_agreement_stats)
+    # two tight 2-d clusters of 6, one planted mislabel inside
+    # cluster 0 (labeled 1), plus a NULL-label row
+    rows = ([(i, [1.0 + i * 0.01, 0.0], 0) for i in range(6)]
+            + [(10 + i, [0.0, 1.0 + i * 0.01], 1) for i in range(6)]
+            + [(99, [1.0, 0.03], 1)]                  # mislabeled
+            + [(100, [1.0, 0.0], None)])
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    got = {r["label"]: r
+           for r in label_agreement_stats(df, k=5,
+                                          suspect_below=0.5).collect()}
+    # label 0: all 6 rows agree fully (their 5-NN are cluster mates)
+    assert got[0]["n"] == 6
+    assert got[0]["avg_agreement"] == pytest.approx(1.0)
+    assert got[0]["n_suspect"] == 0
+    # label 1: the planted row's neighbors are all label 0 -> suspect
+    assert got[1]["n"] == 7
+    assert got[1]["n_suspect"] == 1
+    assert got[1]["avg_agreement"] < 1.0
+    assert None not in got
+    with pytest.raises(ValueError):
+        label_agreement_stats(df, suspect_below=1.5)

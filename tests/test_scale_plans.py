@@ -229,3 +229,60 @@ def test_profile_200_column_table(spark):
     assert rows["s000"]["distinct_count"] == 5
     assert rows["d000"]["type_class"] == "DATE"
     assert all(r["n"] == 2000 for r in rows.values())
+
+
+def test_r11_operator_plans_single_sort_shuffle(spark, sf_dir):
+    """The r11 time-series operators promise ONE per-key sort shuffle
+    (ewma: scaled-prefix window; changepoint_stats: prefix-sum BSS +
+    the max_by regroup) and compaction_plan ONE range sort per
+    partition group — pin the exchange counts so a regression to a
+    second shuffle or a re-sort is loud."""
+    import re
+    from spark_df_profiling_spark.operators.groupby import (
+        changepoint_stats, ewma)
+    from spark_df_profiling_spark.operators.layout import (
+        compaction_plan)
+    ev = spark.range(10_000).select(
+        F.pmod(F.col("id"), F.lit(100)).alias("u"),
+        F.col("id").cast("double").alias("ts"),
+        (F.col("id") % 97).cast("double").alias("v"))
+
+    def exchanges(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return len(re.findall(r"Exchange hashpartitioning", plan)), plan
+
+    n, plan = exchanges(ewma(ev, "ts", "u", "v", alpha=0.5))
+    assert n == 1, f"ewma: {n} hash exchanges\n{plan[:2000]}"
+    # changepoint: the max_by winner regroup must RIDE the window's
+    # per-key sort+partitioning — one exchange, one sort, total.  (The
+    # struct-valued max_by plans as SortAggregate, which is exactly
+    # right here: partial aggregation over the already-sorted stream,
+    # no re-sort, no second shuffle.)
+    n, plan = exchanges(changepoint_stats(ev, "ts", "u", "v"))
+    assert n == 1, f"changepoint: {n} hash exchanges\n{plan[:2000]}"
+    import re as _re
+    n_sorts = len(_re.findall(r"\bSort \[", plan))
+    assert n_sorts == 1, f"changepoint re-sorts: {n_sorts}\n{plan[:2000]}"
+    files = spark.range(10_000).select(
+        (F.col("id") % 7).cast("string").alias("part"),
+        F.col("id").alias("fid"),
+        (F.col("id") % 1000 + 1).alias("bytes"))
+    out = compaction_plan(files, "fid", "bytes", 5000, ["part"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    n = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n <= 2, f"compaction_plan: {n} hash exchanges\n{plan[:2000]}"
+
+
+def test_knn_classify_broadcasts_queries(spark, sf_dir):
+    """knn_classify inherits knn_bruteforce's broadcast-queries shape;
+    the label join and vote must not add a corpus-sized shuffle."""
+    from spark_df_profiling_spark.operators.similarity import (
+        knn_classify)
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = e.where(F.col("vec_id") < 3)
+    plan = (knn_classify(e, qs, k=5)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastExchange" in plan
+    # the corpus-side scans stream; no Exchange keyed on the raw
+    # embedding column
+    assert "hashpartitioning(embedding" not in plan

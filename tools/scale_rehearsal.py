@@ -1732,6 +1732,72 @@ def r11b_main() -> None:
           flush=True)
 
 
+def r11c_main() -> None:
+    """Skew rehearsals for the second r11 batch: stratified_kfold over
+    5M rows with one stratum = 50%, cohens_kappa over a 12M-row joined
+    pair, label_agreement_stats at a 20k self-kNN audit corpus."""
+    spark = (SparkSession.builder.master("local[32]")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory", "32g")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    from spark_df_profiling_spark.operators.correlation import (
+        cohens_kappa)
+    from spark_df_profiling_spark.operators.sampling import (
+        stratified_kfold)
+    from spark_df_profiling_spark.operators.similarity import (
+        label_agreement_stats)
+
+    rows = spark.range(5_000_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit("hot"))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(1000))
+                   .cast("string")).alias("lang"),
+        F.col("id").alias("doc_id"))
+    t0 = time.time()
+    out = (stratified_kfold(rows, "lang", "doc_id", k=5)
+           .groupBy("lang", "fold").count()
+           .groupBy("lang")
+           .agg((F.max("count") - F.min("count")).alias("d"))
+           .agg(F.count(F.lit(1)), F.max("d")).collect()[0])
+    print(f"stratified_kfold 5M rows, 1 stratum=50%: {out[0]} strata, "
+          f"max fold imbalance {out[1]}, {time.time() - t0:.1f}s",
+          flush=True)
+
+    pair = spark.range(12_000_000).select(
+        F.pmod(F.xxhash64("id"), F.lit(3)).cast("string").alias("a"),
+        F.pmod(F.xxhash64("id", F.lit(5)), F.lit(3)).cast("string")
+        .alias("b"))
+    t0 = time.time()
+    r = cohens_kappa(pair, "a", "b").collect()[0]
+    print(f"cohens_kappa 12M rows x 3 levels: kappa {r['kappa']:.4f} "
+          f"(independent labels -> ~0), {time.time() - t0:.1f}s",
+          flush=True)
+
+    def synth(n):
+        cl = F.col("id") % 200
+        vec = F.array(*[
+            (((F.pmod(F.xxhash64(cl, F.lit(d)), F.lit(2001))
+               - 1000) / 1000.0)
+             + ((F.pmod(F.xxhash64(F.col("id"), F.lit(d), F.lit(7)),
+                        F.lit(2001)) - 1000) / 10000.0)).cast("float")
+            for d in range(64)])
+        return spark.range(n).select(
+            F.col("id").alias("vec_id"), vec.alias("embedding"),
+            (cl % 10).cast("int").alias("label"))
+    corpus = synth(20_000).persist()
+    corpus.count()
+    t0 = time.time()
+    got = (label_agreement_stats(corpus, k=10)
+           .agg(F.sum("n"), F.avg("avg_agreement"),
+                F.sum("n_suspect")).collect()[0])
+    print(f"label_agreement_stats 20k x 64d self-kNN audit: "
+          f"{got[0]} screened, mean agreement {got[1]:.3f}, "
+          f"{got[2]} suspects, {time.time() - t0:.1f}s", flush=True)
+    corpus.unpersist()
+
+
 if __name__ == "__main__":
     if "skew" in sys.argv:
         skew_main()
@@ -1747,6 +1813,8 @@ if __name__ == "__main__":
         r7f_main()
     elif "r7g" in sys.argv:
         r7g_main()
+    elif "r11c" in sys.argv:
+        r11c_main()
     elif "r11b" in sys.argv:
         r11b_main()
     elif "r11" in sys.argv:
