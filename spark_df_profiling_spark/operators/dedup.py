@@ -1527,3 +1527,53 @@ def linkage_em(records: DataFrame, pairs: DataFrame, id_col: str,
                 u[f] = _clamp(num_u / den_u)
     return {"lambda": lam, "m": m, "u": u, "n_pairs": int(n),
             "n_iter": int(n_iter)}
+
+
+def ngram_novelty(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Cross-document n-gram novelty: for every document, how much of
+    it exists elsewhere in the corpus — ``n_ngrams`` (distinct word
+    n-grams, :func:`shingle_expr` normalization), ``n_shared`` (those
+    appearing in >= 2 documents), ``novelty = 1 − shared/n_ngrams``.
+    The corpus-internal complement of :func:`decontaminate` (which
+    screens against an EXTERNAL benchmark): low-novelty documents are
+    boilerplate, templated spam, or near-copies that inflate
+    memorization — rank by novelty and cap, or feed the scores to the
+    sampling weights.  Documents shorter than ``n`` tokens have no
+    n-grams: ``n_ngrams = 0``, ``novelty`` NULL.
+
+    Scale: grams travel as ``xxhash64`` (8 bytes); the gram
+    document-frequency groupBy pre-combines map-side, and the
+    flag-back join keys on the gram hash where the build side is ONE
+    row per distinct gram.  A stop-phrase gram shared by millions of
+    documents makes that gram's probe rows land in one task — bounded
+    by #docs-per-gram lightweight rows and split by AQE skew-join; the
+    whole operator is two shuffles (gram counts, per-doc re-sum).
+    A hash collision can over-count one gram pair per 2^64.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1: {n}")
+    for c in (text_col, id_col):
+        if c not in df.columns:
+            raise ValueError(f"missing column: {c!r}")
+    grams = (df.select(F.col(id_col),
+                       F.explode(shingle_expr(text_col, n))
+                       .alias("__g"))
+             .select(id_col, F.xxhash64("__g").alias("__h")))
+    gdf = grams.groupBy("__h").agg(
+        (F.count(F.lit(1)) >= 2).alias("__shared"))
+    per_doc = (grams.join(gdf, "__h")
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).cast("long").alias("n_ngrams"),
+                    F.sum(F.when(F.col("__shared"), 1).otherwise(0))
+                    .cast("long").alias("n_shared")))
+    return (df.select(id_col)
+            .join(per_doc, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_ngrams", F.lit(0).cast("long"))
+                    .alias("n_ngrams"),
+                    F.coalesce("n_shared", F.lit(0).cast("long"))
+                    .alias("n_shared"),
+                    F.when(F.col("n_ngrams") > 0,
+                           F.lit(1.0) - F.col("n_shared")
+                           / F.col("n_ngrams")).alias("novelty")))

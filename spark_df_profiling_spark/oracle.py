@@ -2322,6 +2322,28 @@ FROM (
 JOIN documents ra ON ra.doc_id = prs.id_a
 JOIN documents rb ON rb.doc_id = prs.id_b
 GROUP BY 2
+UNION ALL
+-- ngram_novelty replay: distinct word 3-gram shingles per doc
+-- (shingle_expr normalization: lowercase, \s+ split), gram document
+-- frequency across the corpus, per-doc (n_ngrams, n_shared) — exact
+-- integers; novelty = 1 - shared/n is derived
+SELECT 'nov', d.doc_id,
+       CAST(coalesce(per.n_ngrams, 0) AS BIGINT),
+       CAST(coalesce(per.n_shared, 0) AS BIGINT)
+FROM documents d LEFT JOIN (
+  WITH shn AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(toks[i:i+2], ' ')
+                          for i in range(1, len(toks) - 1)]) AS g
+    FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+          FROM documents)
+    WHERE len(toks) >= 3),
+  ex AS (SELECT doc_id, unnest(g) AS gram FROM shn),
+  dfq AS (SELECT gram, count(*) >= 2 AS shared FROM ex GROUP BY gram)
+  SELECT ex.doc_id, count(*) AS n_ngrams,
+         sum(CASE WHEN dfq.shared THEN 1 ELSE 0 END) AS n_shared
+  FROM ex JOIN dfq USING (gram) GROUP BY ex.doc_id) per
+  USING (doc_id)
 ORDER BY part, v1
 """)
 def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2511,10 +2533,19 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("v1"),
         F.col("n_pairs").cast("long").alias("v2"),
         F.lit(None).cast("long").alias("v3"))
+    # 'nov' rows grade dedup.ngram_novelty — per-doc exact integer
+    # (n_ngrams, n_shared); novelty is their pure function
+    from spark_df_profiling_spark.operators.dedup import ngram_novelty
+    nov = (ngram_novelty(d, "text", "doc_id", n=3)
+           .select(F.lit("nov").alias("part"),
+                   F.col("doc_id").alias("v1"),
+                   F.col("n_ngrams").alias("v2"),
+                   F.col("n_shared").alias("v3")))
     return (kept.unionByName(stats).unionByName(ld).unionByName(sd)
             .unionByName(hist_rows).unionByName(bloom)
             .unionByName(soft).unionByName(hll).unionByName(fz)
             .unionByName(snm).unionByName(fsr).unionByName(apr)
+            .unionByName(nov)
             .orderBy("part", "v1"))
 
 

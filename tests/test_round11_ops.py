@@ -270,3 +270,43 @@ def test_label_agreement_flags_planted_mislabel(spark):
     assert None not in got
     with pytest.raises(ValueError):
         label_agreement_stats(df, suspect_below=1.5)
+
+
+# ---------------------------------------------------------------------------
+# ngram_novelty
+# ---------------------------------------------------------------------------
+def test_ngram_novelty_matches_python(spark):
+    from spark_df_profiling_spark.operators.dedup import ngram_novelty
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "the quick brown fox sat very still today",   # shares grams
+        3: "completely different words in this one here",
+        4: "too short",                                   # < 3 tokens
+        5: "the quick brown fox jumps over the lazy dog",  # exact dup
+    }
+    df = spark.createDataFrame(list(texts.items()),
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r for r in ngram_novelty(df, n=3).collect()}
+
+    def sh(t):
+        toks = t.lower().split()
+        return {" ".join(toks[i:i + 3])
+                for i in range(len(toks) - 2)} if len(toks) >= 3 \
+            else set()
+    from collections import Counter
+    dfreq = Counter(g for t in texts.values() for g in sh(t))
+    for i, t in texts.items():
+        grams = sh(t)
+        r = got[i]
+        assert r["n_ngrams"] == len(grams)
+        shared = sum(1 for g in grams if dfreq[g] >= 2)
+        assert r["n_shared"] == shared, (i, r)
+        if grams:
+            assert r["novelty"] == pytest.approx(1 - shared / len(grams))
+        else:
+            assert r["novelty"] is None
+    # the exact duplicate pair has zero novelty
+    assert got[1]["novelty"] == 0.0 and got[5]["novelty"] == 0.0
+    assert got[3]["novelty"] == 1.0
+    with pytest.raises(ValueError):
+        ngram_novelty(df, n=0)

@@ -1798,8 +1798,37 @@ def r11c_main() -> None:
     corpus.unpersist()
 
 
+def r11d_main() -> None:
+    """ngram_novelty at 50k docs (10x sf0.1) with a planted hot gram:
+    one 3-gram injected into EVERY document (worst-case shared-gram
+    skew for the flag-back join)."""
+    spark = (SparkSession.builder.master("local[32]")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory", "32g")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    from spark_df_profiling_spark.operators.dedup import ngram_novelty
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    big = (replicate(docs.select("doc_id", "text"), ["doc_id"],
+                     REPLICAS)
+           .select("doc_id",
+                   F.concat(F.lit("zyx wvu tsr "), F.col("text"))
+                   .alias("text")))
+    t0 = time.time()
+    row = (ngram_novelty(big, "text", "doc_id", n=3)
+           .agg(F.count(F.lit(1)), F.sum("n_ngrams"),
+                F.sum("n_shared"), F.avg("novelty")).collect()[0])
+    print(f"ngram_novelty 50k docs + one gram in EVERY doc: {row[0]} "
+          f"docs, {row[1]} grams ({row[2]} shared, mean novelty "
+          f"{row[3]:.4f}), {time.time() - t0:.1f}s", flush=True)
+
+
 if __name__ == "__main__":
-    if "skew" in sys.argv:
+    if "r11d" in sys.argv:
+        r11d_main()
+    elif "skew" in sys.argv:
         skew_main()
     elif "r7b" in sys.argv:
         r7b_main()
