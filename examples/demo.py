@@ -438,6 +438,41 @@ def main() -> None:
     oov_stats(docs, "text", vb, "doc_id") \
         .orderBy(F.desc("oov_rate")).show(3)
 
+    # --- round 11: time-series, labeling QA, layout planning --------
+    from spark_df_profiling_spark.operators.groupby import (
+        changepoint_stats, ewma)
+    evm2 = ev.select("user_id", event_time_micros(ev).alias("tus"),
+                     "value")
+    ewma(evm2, "tus", "user_id", "value", alpha=0.5) \
+        .orderBy("user_id", "tus").show(3)
+    changepoint_stats(evm2, "tus", "user_id", "value") \
+        .orderBy(F.desc("gain")).show(3)
+
+    from spark_df_profiling_spark.operators.similarity import (
+        knn_classify, label_agreement_stats)
+    knn_classify(emb, emb.where(F.col("vec_id") < 3), k=5).show()
+    label_agreement_stats(emb, k=5).orderBy("label").show(3)
+
+    from spark_df_profiling_spark.operators.sampling import (
+        stratified_kfold)
+    stratified_kfold(docs, "lang", "doc_id", k=5) \
+        .groupBy("lang", "fold").count().orderBy("lang", "fold").show(6)
+
+    from spark_df_profiling_spark.operators.correlation import (
+        cohens_kappa)
+    jk = li.join(spark.read.parquet(f"{SF_DIR}/orders.parquet"),
+                 li["l_orderkey"] == F.col("o_orderkey"))
+    cohens_kappa(jk, "o_orderstatus", "l_linestatus").show()
+
+    from spark_df_profiling_spark.operators.layout import (
+        compaction_plan)
+    compaction_plan(docs.select("lang", "doc_id", "n_chars"),
+                    "doc_id", "n_chars", 500, ["lang"]) \
+        .groupBy("lang", "oversize").count().show()
+
+    from spark_df_profiling_spark.operators.dedup import ngram_novelty
+    ngram_novelty(docs).orderBy("novelty").show(3)
+
     spark.stop()
 
 
