@@ -5132,6 +5132,58 @@ FROM (
       WINDOW wk AS (PARTITION BY user_id ORDER BY tus)))
   WHERE rn = n)
 UNION ALL
+-- stateful_ewma replay: the availableNow single-batch streaming run
+-- processes each key's events in event-time order, so its sequential
+-- recursion equals the SAME closed form the batch ewma replays (the
+-- sequential vs scaled-prefix arithmetic differ only in final bits,
+-- absorbed by the 5-sig-digit grading of a deep-dyadic value)
+SELECT 'sewma:' || CAST(user_id AS VARCHAR) || ':' || {_psig('ew')},
+       CAST(n AS BIGINT), CAST(round(lastv * 100) AS BIGINT)
+FROM (
+  SELECT user_id, n, pow(0.5, rn) * s AS ew, v AS lastv, rn
+  FROM (
+    SELECT user_id, rn, n, v,
+           sum(u) OVER (PARTITION BY user_id ORDER BY rn
+                        ROWS UNBOUNDED PRECEDING) AS s
+    FROM (
+      SELECT user_id, v,
+             row_number() OVER wk AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n,
+             CASE WHEN row_number() OVER wk = 1 THEN v / 0.5
+                  ELSE (v * 0.5) / pow(0.5, row_number() OVER wk)
+             END AS u
+      FROM (SELECT user_id, epoch_ns(ts) // 1000 AS tus,
+                   CAST("value" AS DOUBLE) AS v FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+              AND "value" IS NOT NULL)
+      WINDOW wk AS (PARTITION BY user_id ORDER BY tus)))
+  WHERE rn = n)
+UNION ALL
+-- ewma adjust=True replay: weighted-mean form, same alpha=0.5
+-- power-of-two stability; numerator is the scaled prefix, the
+-- denominator (1 - beta^t)/alpha is closed-form geometric
+SELECT 'ewmadj:' || CAST(user_id AS VARCHAR) || ':' || {_psig('ew')},
+       CAST(n AS BIGINT), CAST(round(lastv * 100) AS BIGINT)
+FROM (
+  SELECT user_id, n,
+         (pow(0.5, rn) * s) / ((1.0 - pow(0.5, rn)) / 0.5) AS ew,
+         v AS lastv, rn
+  FROM (
+    SELECT user_id, rn, n, v,
+           sum(u) OVER (PARTITION BY user_id ORDER BY rn
+                        ROWS UNBOUNDED PRECEDING) AS s
+    FROM (
+      SELECT user_id, v,
+             row_number() OVER wk AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n,
+             v / pow(0.5, row_number() OVER wk) AS u
+      FROM (SELECT user_id, epoch_ns(ts) // 1000 AS tus,
+                   CAST("value" AS DOUBLE) AS v FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+              AND "value" IS NOT NULL)
+      WINDOW wk AS (PARTITION BY user_id ORDER BY tus)))
+  WHERE rn = n)
+UNION ALL
 -- changepoint_stats replay: the BSS(t) prefix-sum arithmetic in the
 -- operator's exact spelling (x*x, not pow), argmax with ties to the
 -- smallest split.  The segment means are graded as EXACT integer
@@ -5146,20 +5198,23 @@ SELECT 'cp:' || CAST(u AS VARCHAR) || ':'
             || coalesce(CAST(CAST(round(lc * 100) AS BIGINT)
                              AS VARCHAR), 'NA') || '/'
             || coalesce(CAST(CAST(round(rc * 100) AS BIGINT)
-                             AS VARCHAR), 'NA'),
+                             AS VARCHAR), 'NA') || '/'
+            -- sum-of-squares x 1e4 is an exact integer for 2-decimal
+            -- values, pinning TSS and therefore gain = score/TSS
+            || CAST(CAST(round(p2 * 10000) AS BIGINT) AS VARCHAR),
        CAST(n AS BIGINT), CAST(cpi AS BIGINT)
 FROM (
-  SELECT u, any_value(n) AS n,
+  SELECT u, any_value(n) AS n, any_value(p2) AS p2,
          max(CASE WHEN rr = 1 THEN p END) AS lc,
          max(CASE WHEN rr = 1 THEN s - p END) AS rc,
          max(CASE WHEN rr = 1 THEN rn END) AS cpi
   FROM (
-    SELECT u, n, rn, bss, p, s,
+    SELECT u, n, rn, bss, p, s, p2,
            CASE WHEN bss IS NOT NULL THEN
              row_number() OVER (PARTITION BY u, (bss IS NULL)
                                 ORDER BY bss DESC, rn) END AS rr
     FROM (
-      SELECT u, n, rn, p, s,
+      SELECT u, n, rn, p, s, p2,
              CASE WHEN rn >= 2 AND rn <= n - 2 AND n >= 5 THEN
                rn * (p / rn - s / n) * (p / rn - s / n)
                + (n - rn) * ((s - p) / (n - rn) - s / n)
@@ -5170,14 +5225,15 @@ FROM (
         -- order; last(prefix) pins the identical sequential order on
         -- both sides (a last-bit μ difference was measured landing
         -- mean_after exactly on a 5-sig-digit boundary)
-        SELECT u, rn, n, p,
+        SELECT u, rn, n, p, p2,
                last_value(p) OVER (PARTITION BY u ORDER BY tus
                                    ROWS BETWEEN UNBOUNDED PRECEDING
                                    AND UNBOUNDED FOLLOWING) AS s
         FROM (
           SELECT u, tus, CAST(row_number() OVER wk AS DOUBLE) AS rn,
                  CAST(count(*) OVER (PARTITION BY u) AS DOUBLE) AS n,
-                 sum(v) OVER (wk ROWS UNBOUNDED PRECEDING) AS p
+                 sum(v) OVER (wk ROWS UNBOUNDED PRECEDING) AS p,
+                 sum(v * v) OVER (PARTITION BY u) AS p2
           FROM (SELECT user_id AS u, epoch_ns(ts) // 1000 AS tus,
                        CAST("value" AS DOUBLE) AS v FROM events
                 WHERE user_id IS NOT NULL AND ts IS NOT NULL
@@ -5441,16 +5497,42 @@ def stateful_user_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the key, (row count, last raw value in cents) the numeric columns
     from spark_df_profiling_spark.operators.groupby import ewma
     ew = ewma(evm, "tus", "user_id", "value", alpha=0.5)
-    ewr = (ew.groupBy("user_id")
-           .agg(F.count(F.lit(1)).cast("long").alias("total_events"),
-                F.max_by(F.col("ewma"), F.col("tus")).alias("__e"),
-                F.max_by(F.col("value"), F.col("tus")).alias("__lv"))
-           .select(F.concat(F.lit("ewma:"),
-                            F.col("user_id").cast("string"),
-                            F.lit(":"), sig(F.col("__e"))).alias("key"),
-                   "total_events",
-                   F.round(F.col("__lv") * 100).cast("long")
-                   .alias("total_value_cents")))
+    def ewma_rows(frame, prefix):
+        return (frame.groupBy("user_id")
+                .agg(F.count(F.lit(1)).cast("long")
+                     .alias("total_events"),
+                     F.max_by(F.col("ewma"), F.col("tus"))
+                     .alias("__e"),
+                     F.max_by(F.col("value"), F.col("tus"))
+                     .alias("__lv"))
+                .select(F.concat(F.lit(prefix),
+                                 F.col("user_id").cast("string"),
+                                 F.lit(":"), sig(F.col("__e")))
+                        .alias("key"),
+                        "total_events",
+                        F.round(F.col("__lv") * 100).cast("long")
+                        .alias("total_value_cents")))
+    ewr = ewma_rows(ew, "ewma:")
+    ewadj = ewma_rows(
+        ewma(evm, "tus", "user_id", "value", alpha=0.5, adjust=True),
+        "ewmadj:")
+    # 'sewma:' rows grade streaming.stateful_ewma — the GroupState
+    # sequential recursion, executed for real (availableNow), reduced
+    # per key to the final EWMA and graded against the SAME closed
+    # form as the batch operator
+    from spark_df_profiling_spark.streaming import stateful_ewma
+    sestream = events_stream(spark, sf_dir)
+    se_out = stateful_ewma(
+        sestream.select("user_id",
+                        event_time_micros(sestream).alias("tus"),
+                        "value"),
+        "user_id", "tus", "value", alpha=0.5)
+    run_stream_to_memory(se_out, "sewma_oracle_out",
+                         output_mode="update")
+    sew = ewma_rows(
+        spark.table("sewma_oracle_out")
+        .select(F.col("key").alias("user_id"), "tus", "value", "ewma"),
+        "sewma:")
     # 'cp:' rows grade groupby.changepoint_stats — DuckDB replays the
     # BSS prefix-sum arithmetic in the operator's exact spelling and
     # the smallest-t tie break.  Segment means graded as EXACT integer
@@ -5461,26 +5543,35 @@ def stateful_user_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_df_profiling_spark.operators.groupby import (
         changepoint_stats)
     cp = changepoint_stats(evm, "tus", "user_id", "value")
+    # sum-of-squares x 1e4 is an exact integer for 2-decimal values:
+    # graded alongside the segment cents sums it pins TSS and gain
+    p2 = (evm.groupBy("user_id")
+          .agg(F.round(F.sum(F.col("value").cast("double")
+                             * F.col("value").cast("double"))
+                       * 10000).cast("long").alias("__p2")))
     lc = F.round(F.col("mean_before") * F.col("cp_index") * 100)
     rc = F.round(F.col("mean_after")
                  * (F.col("n") - F.col("cp_index")) * 100)
-    cpr = cp.select(
-        F.concat(F.lit("cp:"), F.col("user_id").cast("string"),
-                 F.lit(":"),
-                 F.coalesce(lc.cast("long").cast("string"),
-                            F.lit("NA")),
-                 F.lit("/"),
-                 F.coalesce(rc.cast("long").cast("string"),
-                            F.lit("NA")))
-        .alias("key"),
-        F.col("n").alias("total_events"),
-        F.col("cp_index").alias("total_value_cents"))
+    cpr = (cp.join(p2, "user_id")
+           .select(
+               F.concat(F.lit("cp:"), F.col("user_id").cast("string"),
+                        F.lit(":"),
+                        F.coalesce(lc.cast("long").cast("string"),
+                                   F.lit("NA")),
+                        F.lit("/"),
+                        F.coalesce(rc.cast("long").cast("string"),
+                                   F.lit("NA")),
+                        F.lit("/"), F.col("__p2").cast("string"))
+               .alias("key"),
+               F.col("n").alias("total_events"),
+               F.col("cp_index").alias("total_value_cents")))
     return (totals_rows.unionByName(fun).unionByName(roll)
             .unionByName(acf).unionByName(anom).unionByName(broll)
             .unionByName(banom).unionByName(gp).unionByName(gpm)
             .unionByName(gps).unionByName(rfill).unionByName(rlin)
             .unionByName(sanom).unionByName(seas)
-            .unionByName(cusum).unionByName(ewr).unionByName(cpr)
+            .unionByName(cusum).unionByName(ewr)
+            .unionByName(ewadj).unionByName(sew).unionByName(cpr)
             .orderBy("key"))
 
 

@@ -31,6 +31,7 @@ FLOAT_GRADED = [
     "hash_sampling_suite",   # dsir lw_s log-weight sum, wsample es_key
     "num_stats",             # skew/kurtosis/var moment sums at _psig
     "text_stats_by_lang",    # avg_* quality/readability means
+    "stateful_user_totals",  # r11 ewma:/ewmadj: final values at _psig
 ]
 
 RUNNER = r"""

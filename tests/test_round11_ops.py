@@ -310,3 +310,46 @@ def test_ngram_novelty_matches_python(spark):
     assert got[3]["novelty"] == 1.0
     with pytest.raises(ValueError):
         ngram_novelty(df, n=0)
+
+
+# ---------------------------------------------------------------------------
+# stateful_ewma (streaming)
+# ---------------------------------------------------------------------------
+def test_stateful_ewma_matches_batch_closed_form(spark, tmp_path):
+    from spark_df_profiling_spark.streaming import (
+        run_stream_to_memory, stateful_ewma)
+    from spark_df_profiling_spark.operators.groupby import ewma
+    rows = ([(1, i * 10, 5.0 + (i % 4)) for i in range(12)]
+            + [(2, i * 7, float(i)) for i in range(8)])
+    df = spark.createDataFrame(rows, "user_id long, tus long, value double")
+    path = str(tmp_path / "ev_sewma")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(df.schema).parquet(path)
+    out = stateful_ewma(stream, "user_id", "tus", "value", alpha=0.3)
+    run_stream_to_memory(out, "sewma_test_out", output_mode="update")
+    got = {(r["key"], r["tus"]): r
+           for r in spark.table("sewma_test_out").collect()}
+    # per-event prefix EWMAs match the batch closed form
+    batch = {(r["user_id"], int(r["tus"])): r["ewma"]
+             for r in ewma(df.withColumn("tus", F.col("tus")
+                                         .cast("double")),
+                           "tus", "user_id", "value",
+                           alpha=0.3).collect()}
+    assert set(got) == set(batch)
+    for k, r in got.items():
+        assert r["ewma"] == pytest.approx(batch[k], rel=1e-12), k
+    assert got[(1, 110)]["n"] == 12
+    # string keys keep identity; unsupported types raise
+    sdf = spark.createDataFrame([("a", 0, 1.0), ("b", 0, 9.0)],
+                                "user_id string, tus long, value double")
+    p2 = str(tmp_path / "ev_sewma2")
+    sdf.coalesce(1).write.mode("overwrite").parquet(p2)
+    s2 = spark.readStream.schema(sdf.schema).parquet(p2)
+    out2 = stateful_ewma(s2, "user_id", "tus", "value")
+    assert dict(out2.dtypes)["key"] == "string"
+    run_stream_to_memory(out2, "sewma_test_out2", output_mode="update")
+    got2 = {r["key"]: r["ewma"]
+            for r in spark.table("sewma_test_out2").collect()}
+    assert got2 == {"a": 1.0, "b": 9.0}
+    with pytest.raises(ValueError):
+        stateful_ewma(s2, alpha=0.0)
