@@ -1255,3 +1255,78 @@ def changepoint_stats(df: DataFrame, ts_col: str, key_col: str,
         F.when(has, F.col("__w.score")).alias("score"),
         F.when(has & (tss > 0), F.col("__w.score") / tss)
         .alias("gain"))
+
+
+def kaplan_meier(df: DataFrame, duration_col: str, event_col: str,
+                 group_col: "str | None" = None) -> DataFrame:
+    """Kaplan–Meier survival estimate (Kaplan & Meier 1958) — the
+    retention curve with CENSORING done right: each row is a subject
+    with ``duration`` (time observed) and ``event`` (1/true = the
+    event happened at ``duration``; 0/false = censored — still alive/
+    subscribed/retained when observation stopped).  Naive retention
+    ("fraction still here at t") silently treats censored subjects as
+    churned; KM conditions on being at risk:
+    ``S(t) = Π_{t_i ≤ t} (1 − d_i / n_i)`` over distinct event times,
+    with ``d_i`` events at ``t_i`` and ``n_i`` subjects still at risk.
+    One row per (group,) distinct duration: ``n_risk``, ``n_events``,
+    ``n_censored``, ``survival``.  ``group_col`` gives per-cohort
+    curves (the A/B retention readout).
+
+    Scale: ONE groupBy collapses subjects to per-(group, duration)
+    counts — every later step operates on distinct-time rows, not
+    subjects; ``n_risk`` is total minus an exclusive prefix sum and
+    the product telescopes as ``exp(Σ ln(1 − d/n))`` — two expanding
+    window passes over the per-time frame (the cusum closed-form
+    pattern), no sequential scan, no UDF.  Rows with NULL duration or
+    event are excluded; ``survival`` carries forward over censored-
+    only times (those contribute ln(1) = 0 — the standard estimator).
+    """
+    from pyspark.sql import Window
+
+    for c in [duration_col, event_col] + ([group_col] if group_col
+                                          else []):
+        if c not in df.columns:
+            raise ValueError(f"missing column: {c!r}")
+    g = [group_col] if group_col else []
+    dur = F.col(duration_col).cast("double")
+    ev = F.col(event_col).cast("boolean")
+    base = (df.where(dur.isNotNull() & ev.isNotNull()
+                     & (F.lit(True) if not group_col
+                        else F.col(group_col).isNotNull()))
+            .select(*g, dur.alias("__t"), ev.alias("__e")))
+    per_t = (base.groupBy(*g, F.col("__t"))
+             .agg(F.sum(F.when(F.col("__e"), 1).otherwise(0))
+                  .cast("long").alias("n_events"),
+                  F.sum(F.when(F.col("__e"), 0).otherwise(1))
+                  .cast("long").alias("n_censored")))
+    ws = Window.partitionBy(*g).orderBy("__t") if g else \
+        Window.partitionBy(F.lit(1)).orderBy("__t")
+    w_prev = ws.rowsBetween(Window.unboundedPreceding, -1)
+    w_run = ws.rowsBetween(Window.unboundedPreceding, 0)
+    w_all = ws.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing)
+    total = F.sum(F.col("n_events") + F.col("n_censored")).over(w_all)
+    left_before = F.coalesce(
+        F.sum(F.col("n_events") + F.col("n_censored")).over(w_prev),
+        F.lit(0).cast("long"))
+    staged = per_t.withColumn("n_risk",
+                              (total - left_before).cast("long"))
+    # ln(1 - d/n) is 0 at censored-only times.  d == n_risk (everyone
+    # left dies) would be ln(0) — and Spark's log() returns NULL for
+    # non-positive input (NOT -inf), which a window SUM would silently
+    # SKIP, freezing survival at its previous level instead of 0 — so
+    # the extinction is carried as an explicit running flag.
+    extinct = F.col("n_events") == F.col("n_risk")
+    term = F.when((F.col("n_events") > 0) & ~extinct,
+                  F.log(F.lit(1.0) - F.col("n_events")
+                        / F.col("n_risk").cast("double"))) \
+            .otherwise(F.lit(0.0))
+    out = (staged
+           .withColumn("__ext", F.max(extinct).over(w_run))
+           .withColumn("survival",
+                       F.when(F.col("__ext"), F.lit(0.0))
+                       .otherwise(F.exp(F.sum(term).over(w_run)))))
+    cols = ([F.col(group_col)] if group_col else []) + [
+        F.col("__t").alias(duration_col), "n_risk", "n_events",
+        "n_censored", "survival"]
+    return out.select(*cols)

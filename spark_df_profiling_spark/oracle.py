@@ -5132,6 +5132,29 @@ FROM (
       WINDOW wk AS (PARTITION BY user_id ORDER BY tus)))
   WHERE rn = n)
 UNION ALL
+-- kaplan_meier replay: subjects = users (duration = observed span in
+-- whole days, event = reached a purchase); per distinct duration the
+-- (n_risk, n_events, n_censored) integers — which fully determine
+-- the survival curve, so no float product ever reaches the grading
+-- (survival values are rationals over n_risk products and DO land
+-- exactly on 5-sig-digit edges — the cp lesson)
+SELECT 'km:' || CAST(CAST(t AS BIGINT) AS VARCHAR),
+       CAST(sum(cnt) OVER (ORDER BY t DESC
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS n_risk,
+       CAST(ne * 1000000 + (cnt - ne) AS BIGINT)
+FROM (
+  SELECT t, count(*) AS cnt,
+         sum(CASE WHEN ev THEN 1 ELSE 0 END) AS ne
+  FROM (
+    SELECT user_id,
+           floor((max(epoch_ns(ts)) - min(epoch_ns(ts)))
+                 / 86400000000000.0) AS t,
+           bool_or(event_type = 'purchase') AS ev
+    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    GROUP BY user_id)
+  GROUP BY t)
+UNION ALL
 -- stateful_ewma replay: the availableNow single-batch streaming run
 -- processes each key's events in event-time order, so its sequential
 -- recursion equals the SAME closed form the batch ewma replays (the
@@ -5516,6 +5539,27 @@ def stateful_user_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ewadj = ewma_rows(
         ewma(evm, "tus", "user_id", "value", alpha=0.5, adjust=True),
         "ewmadj:")
+    # 'km:' rows grade groupby.kaplan_meier — per-duration-day
+    # (n_risk, n_events, n_censored) exact integers; the survival
+    # curve is their pure function (never grade the float product —
+    # rationals over n_risk products land exactly on 5-digit edges)
+    from spark_df_profiling_spark.operators.groupby import kaplan_meier
+    subjects = (evm.where(F.col("user_id").isNotNull())
+                .groupBy("user_id")
+                .agg(F.floor((F.max("tus") - F.min("tus"))
+                             / F.lit(86400000000.0)).alias("t")))
+    # event = reached a purchase (needs event_type, not in evm)
+    pur = (ev.groupBy("user_id")
+           .agg(F.max(F.col("event_type") == "purchase").alias("ev")))
+    subjects = subjects.join(pur, "user_id").select("user_id", "t",
+                                                    "ev")
+    kmr = (kaplan_meier(subjects, "t", "ev")
+           .select(F.concat(F.lit("km:"),
+                            F.col("t").cast("long").cast("string"))
+                   .alias("key"),
+                   F.col("n_risk").alias("total_events"),
+                   (F.col("n_events") * 1000000 + F.col("n_censored"))
+                   .cast("long").alias("total_value_cents")))
     # 'sewma:' rows grade streaming.stateful_ewma — the GroupState
     # sequential recursion, executed for real (availableNow), reduced
     # per key to the final EWMA and graded against the SAME closed
@@ -5571,7 +5615,8 @@ def stateful_user_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(gps).unionByName(rfill).unionByName(rlin)
             .unionByName(sanom).unionByName(seas)
             .unionByName(cusum).unionByName(ewr)
-            .unionByName(ewadj).unionByName(sew).unionByName(cpr)
+            .unionByName(ewadj).unionByName(sew).unionByName(kmr)
+            .unionByName(cpr)
             .orderBy("key"))
 
 

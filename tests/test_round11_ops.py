@@ -353,3 +353,53 @@ def test_stateful_ewma_matches_batch_closed_form(spark, tmp_path):
     assert got2 == {"a": 1.0, "b": 9.0}
     with pytest.raises(ValueError):
         stateful_ewma(s2, alpha=0.0)
+
+
+# ---------------------------------------------------------------------------
+# kaplan_meier
+# ---------------------------------------------------------------------------
+def test_kaplan_meier_matches_python(spark):
+    from spark_df_profiling_spark.operators.groupby import kaplan_meier
+    # classic small example with censoring
+    subj = [(1.0, True), (2.0, True), (2.0, False), (3.0, True),
+            (4.0, False), (5.0, True), (5.0, True), (6.0, False)]
+    df = spark.createDataFrame(subj, "t double, e boolean")
+    got = {r["t"]: r for r in kaplan_meier(df, "t", "e").collect()}
+
+    def ref(subjects):
+        times = sorted({t for t, _ in subjects})
+        out, s = {}, 1.0
+        for t in times:
+            n = sum(1 for d, _ in subjects if d >= t)
+            d = sum(1 for dd, e in subjects if dd == t and e)
+            c = sum(1 for dd, e in subjects if dd == t and not e)
+            if d:
+                s *= 1 - d / n
+            out[t] = (n, d, c, s)
+        return out
+    exp = ref(subj)
+    assert set(got) == set(exp)
+    for t, (n, d, c, s) in exp.items():
+        r = got[t]
+        assert (r["n_risk"], r["n_events"], r["n_censored"]) == (n, d, c)
+        assert r["survival"] == pytest.approx(s, rel=1e-12), t
+    # survival is flat over the censored-only time t=4
+    assert got[4.0]["survival"] == got[3.0]["survival"]
+    # everyone-dies tail -> S = 0
+    all_die = spark.createDataFrame([(1.0, True), (2.0, True)],
+                                    "t double, e boolean")
+    last = {r["t"]: r["survival"]
+            for r in kaplan_meier(all_die, "t", "e").collect()}
+    assert last[2.0] == 0.0
+    # grouped curves are independent
+    gdf = spark.createDataFrame(
+        [("a", 1.0, True), ("a", 2.0, False),
+         ("b", 1.0, False), ("b", 2.0, True)],
+        "g string, t double, e boolean")
+    gr = {(r["g"], r["t"]): r["survival"]
+          for r in kaplan_meier(gdf, "t", "e", "g").collect()}
+    assert gr[("a", 1.0)] == pytest.approx(0.5)
+    assert gr[("b", 1.0)] == pytest.approx(1.0)
+    assert gr[("b", 2.0)] == pytest.approx(0.0)
+    with pytest.raises(ValueError):
+        kaplan_meier(df, "t", "nope")

@@ -1798,6 +1798,33 @@ def r11c_main() -> None:
     corpus.unpersist()
 
 
+def r11e_main() -> None:
+    """kaplan_meier at 10M subjects / 10k distinct durations / 10
+    cohorts with one cohort holding 50% of subjects."""
+    spark = (SparkSession.builder.master("local[32]")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory", "32g")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    from spark_df_profiling_spark.operators.groupby import kaplan_meier
+    subj = spark.range(10_000_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit("hot"))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(9)).cast("string"))
+        .alias("cohort"),
+        F.pmod(F.xxhash64("id", F.lit(3)), F.lit(10_000))
+        .cast("double").alias("t"),
+        (F.pmod(F.xxhash64("id", F.lit(5)), F.lit(10)) < 7)
+        .alias("ev"))
+    t0 = time.time()
+    row = (kaplan_meier(subj, "t", "ev", "cohort")
+           .agg(F.count(F.lit(1)), F.min("survival")).collect()[0])
+    print(f"kaplan_meier 10M subjects, 10 cohorts (one=50%), 10k "
+          f"durations: {row[0]} curve rows, min S {row[1]:.4f}, "
+          f"{time.time() - t0:.1f}s", flush=True)
+
+
 def r11d_main() -> None:
     """ngram_novelty at 50k docs (10x sf0.1) with a planted hot gram:
     one 3-gram injected into EVERY document (worst-case shared-gram
@@ -1826,7 +1853,9 @@ def r11d_main() -> None:
 
 
 if __name__ == "__main__":
-    if "r11d" in sys.argv:
+    if "r11e" in sys.argv:
+        r11e_main()
+    elif "r11d" in sys.argv:
         r11d_main()
     elif "skew" in sys.argv:
         skew_main()
