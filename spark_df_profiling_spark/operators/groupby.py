@@ -1330,3 +1330,132 @@ def kaplan_meier(df: DataFrame, duration_col: str, event_col: str,
         F.col("__t").alias(duration_col), "n_risk", "n_events",
         "n_censored", "survival"]
     return out.select(*cols)
+
+
+def binary_segmentation(df: DataFrame, ts_col: str, key_col: str,
+                        value_col: str, max_changepoints: int = 3,
+                        min_seg: int = 2, min_gain: float = 0.05,
+                        min_points: int = 5) -> DataFrame:
+    """Multi-changepoint detection by binary segmentation (Scott &
+    Knott 1974): repeatedly apply the :func:`changepoint_stats` single
+    split WITHIN each current segment, accepting a split only while it
+    explains at least ``min_gain`` of the segment's remaining variance
+    — the standard greedy approximation to optimal partitioning, and
+    the retrospective multi-shift answer CUSUM (online) and
+    ``changepoint_stats`` (single shift) don't give.  One row per
+    ACCEPTED split: ``(key, iteration, cp_ts, seg_start_ts,
+    seg_end_ts, seg_n, cp_pos, score, gain)`` — ``cp_ts`` is the last
+    left-segment row's ts; keys with no accepted split emit nothing.
+
+    Scale — the kmeans/PageRank protocol: ``max_changepoints``
+    iterations, each ONE per-(key, segment) window pass (prefix-sum
+    BSS, all candidate splits in closed form) + one ``max_by``
+    groupBy + one (key, segment)-keyed join of the O(#keys · #segments)
+    winner frame back onto the rows (AQE broadcasts it when small —
+    never forced, because a wide key space makes it millions of rows); ``localCheckpoint`` between iterations
+    cuts the lineage (the SNM/kmeans freeze discipline).  Row data
+    never leaves its key's partition across iterations — the segment
+    id just refines.  Hot keys inherit the ordered-per-key bound.
+    """
+    from pyspark.sql import Window
+
+    if max_changepoints < 1:
+        raise ValueError(
+            f"max_changepoints must be >= 1: {max_changepoints}")
+    if min_seg < 1:
+        raise ValueError(f"min_seg must be >= 1: {min_seg}")
+    if not 0.0 <= min_gain <= 1.0:
+        raise ValueError(f"min_gain must be in [0, 1]: {min_gain}")
+    if min_points < 2:
+        raise ValueError(f"min_points must be >= 2: {min_points}")
+    t = F.col(ts_col).cast("double")
+    v = F.col(value_col).cast("double")
+    base = (df.where(t.isNotNull() & F.col(key_col).isNotNull()
+                     & v.isNotNull())
+            .select(F.col(key_col).alias("__k"), t.alias("__t"),
+                    v.alias("__v"))
+            .withColumn("__seg", F.lit(0).cast("long"))
+            .localCheckpoint())
+    accepted = []
+    for it in range(1, max_changepoints + 1):
+        ws = Window.partitionBy("__k", "__seg").orderBy("__t")
+        wrun = ws.rowsBetween(Window.unboundedPreceding, 0)
+        wall = ws.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)
+        staged = (base
+                  .withColumn("__rn", F.row_number().over(ws))
+                  .withColumn("__p", F.sum("__v").over(wrun))
+                  .withColumn("__p2", F.sum(F.col("__v")
+                                            * F.col("__v")).over(wrun))
+                  .withColumn("__n", F.count(F.lit(1)).over(wall))
+                  .withColumn("__s", F.last("__p").over(wall))
+                  .withColumn("__s2", F.last("__p2").over(wall))
+                  .withColumn("__t0", F.first("__t").over(wall))
+                  .withColumn("__t1", F.last("__t").over(wall)))
+        tt = F.col("__rn").cast("double")
+        nn = F.col("__n").cast("double")
+        mu = F.col("__s") / nn
+        mu_l = F.col("__p") / tt
+        mu_r = (F.col("__s") - F.col("__p")) / (nn - tt)
+        eligible = ((F.col("__rn") >= min_seg)
+                    & (F.col("__rn") <= F.col("__n") - min_seg)
+                    & (F.col("__n") >= min_points))
+        bss = F.when(eligible,
+                     tt * (mu_l - mu) * (mu_l - mu)
+                     + (nn - tt) * (mu_r - mu) * (mu_r - mu))
+        tss = F.col("__s2") - F.col("__s") * F.col("__s") / nn
+        cand = staged.withColumn("__bss", bss).withColumn("__tss", tss)
+        best = (cand.groupBy("__k", "__seg")
+                .agg(F.max_by(
+                    F.struct(F.col("__t").alias("cp_ts"),
+                             F.col("__rn").alias("cp_pos"),
+                             F.col("__bss").alias("score"),
+                             F.col("__tss").alias("tss"),
+                             F.col("__n").alias("seg_n"),
+                             F.col("__t0").alias("seg_start_ts"),
+                             F.col("__t1").alias("seg_end_ts")),
+                    F.when(F.col("__bss").isNotNull(),
+                           F.struct(F.col("__bss"), -F.col("__rn"))))
+                    .alias("__w"))
+                .where(F.col("__w").isNotNull()
+                       & (F.col("__w.tss") > 0)
+                       & (F.col("__w.score") / F.col("__w.tss")
+                          >= min_gain))
+                .select("__k", "__seg",
+                        F.col("__w.cp_ts").alias("__cp"),
+                        F.col("__w.cp_pos").alias("__pos"),
+                        F.col("__w.score").alias("__score"),
+                        (F.col("__w.score") / F.col("__w.tss"))
+                        .alias("__gain"),
+                        F.col("__w.seg_n").alias("__segn"),
+                        F.col("__w.seg_start_ts").alias("__ts0"),
+                        F.col("__w.seg_end_ts").alias("__ts1"))
+                .localCheckpoint())
+        accepted.append(best.select(
+            F.col("__k").alias(key_col), F.lit(it).alias("iteration"),
+            F.col("__cp").alias("cp_ts"),
+            F.col("__ts0").alias("seg_start_ts"),
+            F.col("__ts1").alias("seg_end_ts"),
+            F.col("__segn").cast("long").alias("seg_n"),
+            F.col("__pos").cast("long").alias("cp_pos"),
+            F.col("__score").alias("score"),
+            F.col("__gain").alias("gain")))
+        if it < max_changepoints:
+            # NO forced broadcast: the winner frame is O(#keys x
+            # #segments) — tiny for dashboards, but a 100 TB key space
+            # makes it millions of rows; the join is keyed on
+            # (__k, __seg) and AQE picks broadcast when it truly fits
+            splits = best.select("__k", "__seg", "__cp")
+            base = (base.join(splits, ["__k", "__seg"], "left")
+                    .withColumn(
+                        "__seg",
+                        F.when(F.col("__cp").isNull(), F.col("__seg"))
+                        .otherwise(F.col("__seg") * 2
+                                   + F.when(F.col("__t") > F.col("__cp"),
+                                            1).otherwise(0)))
+                    .drop("__cp")
+                    .localCheckpoint())
+    out = accepted[0]
+    for a in accepted[1:]:
+        out = out.unionByName(a)
+    return out

@@ -5132,6 +5132,93 @@ FROM (
       WINDOW wk AS (PARTITION BY user_id ORDER BY tus)))
   WHERE rn = n)
 UNION ALL
+-- binary_segmentation replay: BOTH iterations unrolled (the kmeans
+-- both-Lloyd-rounds precedent).  Iteration 1 = the single-changepoint
+-- argmax + the acceptance rule (tss > 0 AND bss/tss >= 0.2);
+-- iteration 2 reruns it within the two child segments of every
+-- accepted split.  Graded with integers only: cp_ts micros in the
+-- key, segment length + split position numeric.
+SELECT 'bseg:' || CAST(u AS VARCHAR) || ':' || CAST(it AS VARCHAR)
+           || ':' || CAST(CAST(cp AS BIGINT) AS VARCHAR),
+       CAST(segn AS BIGINT), CAST(pos AS BIGINT)
+FROM (
+  WITH bsb AS (
+    SELECT user_id AS u, epoch_ns(ts) // 1000 AS tus,
+           CAST("value" AS DOUBLE) AS v
+    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      AND "value" IS NOT NULL),
+  bs1 AS (
+    SELECT u, tus, rn, n, p, p2,
+           last_value(p) OVER wfull AS s,
+           last_value(p2) OVER wfull AS s2
+    FROM (
+      SELECT u, tus, CAST(row_number() OVER wk AS DOUBLE) AS rn,
+             CAST(count(*) OVER (PARTITION BY u) AS DOUBLE) AS n,
+             sum(v) OVER (wk ROWS UNBOUNDED PRECEDING) AS p,
+             sum(v * v) OVER (wk ROWS UNBOUNDED PRECEDING) AS p2
+      FROM bsb WINDOW wk AS (PARTITION BY u ORDER BY tus))
+    WINDOW wfull AS (PARTITION BY u ORDER BY tus
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND UNBOUNDED FOLLOWING)),
+  bc1 AS (
+    SELECT u, tus, rn, n, p, s, s2,
+           CASE WHEN rn >= 2 AND rn <= n - 2 AND n >= 5 THEN
+             rn * (p / rn - s / n) * (p / rn - s / n)
+             + (n - rn) * ((s - p) / (n - rn) - s / n)
+                        * ((s - p) / (n - rn) - s / n) END AS bss,
+           s2 - s * s / n AS tss
+    FROM bs1),
+  bw1 AS (
+    SELECT u, tus AS cp, rn AS pos, n AS segn
+    FROM (
+      SELECT u, tus, rn, n, bss, tss,
+             row_number() OVER (PARTITION BY u
+                                ORDER BY (bss IS NULL), bss DESC, rn)
+               AS rr
+      FROM bc1)
+    WHERE rr = 1 AND bss IS NOT NULL AND tss > 0
+      AND bss / tss >= 0.2),
+  bsb2 AS (
+    SELECT bsb.u, bsb.tus, bsb.v,
+           CASE WHEN bw1.cp IS NULL THEN 0
+                WHEN bsb.tus > bw1.cp THEN 1 ELSE 0 END AS seg
+    FROM bsb LEFT JOIN bw1 USING (u)),
+  bs2 AS (
+    SELECT u, seg, tus, rn, n, p, p2,
+           last_value(p) OVER wfull2 AS s,
+           last_value(p2) OVER wfull2 AS s2
+    FROM (
+      SELECT u, seg, tus,
+             CAST(row_number() OVER wk2 AS DOUBLE) AS rn,
+             CAST(count(*) OVER (PARTITION BY u, seg) AS DOUBLE) AS n,
+             sum(v) OVER (wk2 ROWS UNBOUNDED PRECEDING) AS p,
+             sum(v * v) OVER (wk2 ROWS UNBOUNDED PRECEDING) AS p2
+      FROM bsb2 WINDOW wk2 AS (PARTITION BY u, seg ORDER BY tus))
+    WINDOW wfull2 AS (PARTITION BY u, seg ORDER BY tus
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND UNBOUNDED FOLLOWING)),
+  bc2 AS (
+    SELECT u, seg, tus, rn, n, p, s, s2,
+           CASE WHEN rn >= 2 AND rn <= n - 2 AND n >= 5 THEN
+             rn * (p / rn - s / n) * (p / rn - s / n)
+             + (n - rn) * ((s - p) / (n - rn) - s / n)
+                        * ((s - p) / (n - rn) - s / n) END AS bss,
+           s2 - s * s / n AS tss
+    FROM bs2),
+  bw2 AS (
+    SELECT u, tus AS cp, rn AS pos, n AS segn
+    FROM (
+      SELECT u, seg, tus, rn, n, bss, tss,
+             row_number() OVER (PARTITION BY u, seg
+                                ORDER BY (bss IS NULL), bss DESC, rn)
+               AS rr
+      FROM bc2)
+    WHERE rr = 1 AND bss IS NOT NULL AND tss > 0
+      AND bss / tss >= 0.2)
+  SELECT u, 1 AS it, cp, pos, segn FROM bw1
+  UNION ALL
+  SELECT u, 2, cp, pos, segn FROM bw2)
+UNION ALL
 -- kaplan_meier replay: subjects = users (duration = observed span in
 -- whole days, event = reached a purchase); per distinct duration the
 -- (n_risk, n_events, n_censored) integers — which fully determine
@@ -5539,6 +5626,20 @@ def stateful_user_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ewadj = ewma_rows(
         ewma(evm, "tus", "user_id", "value", alpha=0.5, adjust=True),
         "ewmadj:")
+    # 'bseg:' rows grade groupby.binary_segmentation — two iterations
+    # unrolled in DuckDB (argmax + the tss>0 / gain>=0.2 acceptance,
+    # then the rerun inside both child segments); integers only
+    from spark_df_profiling_spark.operators.groupby import (
+        binary_segmentation)
+    bs = binary_segmentation(evm, "tus", "user_id", "value",
+                             max_changepoints=2, min_gain=0.2)
+    bsr = bs.select(
+        F.concat(F.lit("bseg:"), F.col("user_id").cast("string"),
+                 F.lit(":"), F.col("iteration").cast("string"),
+                 F.lit(":"), F.col("cp_ts").cast("long")
+                 .cast("string")).alias("key"),
+        F.col("seg_n").alias("total_events"),
+        F.col("cp_pos").alias("total_value_cents"))
     # 'km:' rows grade groupby.kaplan_meier — per-duration-day
     # (n_risk, n_events, n_censored) exact integers; the survival
     # curve is their pure function (never grade the float product —
@@ -5616,7 +5717,7 @@ def stateful_user_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(sanom).unionByName(seas)
             .unionByName(cusum).unionByName(ewr)
             .unionByName(ewadj).unionByName(sew).unionByName(kmr)
-            .unionByName(cpr)
+            .unionByName(bsr).unionByName(cpr)
             .orderBy("key"))
 
 

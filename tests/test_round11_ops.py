@@ -403,3 +403,48 @@ def test_kaplan_meier_matches_python(spark):
     assert gr[("b", 2.0)] == pytest.approx(0.0)
     with pytest.raises(ValueError):
         kaplan_meier(df, "t", "nope")
+
+
+# ---------------------------------------------------------------------------
+# binary_segmentation
+# ---------------------------------------------------------------------------
+def test_binary_segmentation_finds_planted_shifts(spark):
+    from spark_df_profiling_spark.operators.groupby import (
+        binary_segmentation)
+    # key 'a': three levels (1, 5, 9) of 8 points each -> 2 true cps
+    xs = [1.0, 1.1, 0.9, 1.0, 1.05, 0.95, 1.0, 1.0,
+          5.0, 5.1, 4.9, 5.0, 5.05, 4.95, 5.0, 5.0,
+          9.0, 9.1, 8.9, 9.0, 9.05, 8.95, 9.0, 9.0]
+    rows = ([("a", float(i), v) for i, v in enumerate(xs)]
+            + [("b", float(i), 2.0) for i in range(10)])   # flat key
+    df = spark.createDataFrame(rows, "k string, ts double, v double")
+    # min_gain is RELATIVE to the segment's own variance, so a pure-
+    # noise segment can have a best split above a low threshold (the
+    # greedy criterion's documented behavior) — use the realistic 0.5
+    out = binary_segmentation(df, "ts", "k", "v",
+                              max_changepoints=3, min_gain=0.5)
+    rows_out = out.collect()
+    got = sorted((r["iteration"], r["cp_ts"])
+                 for r in rows_out if r["k"] == "a")
+    # both true level boundaries (last row of each level: ts 7, 15)
+    # are among the accepted cps
+    cps = {ts for _, ts in got}
+    assert 7.0 in cps and 15.0 in cps, got
+    # the noise-only sub-segments never clear min_gain=0.5
+    assert len(got) == 2, got
+    # the flat key never accepts a split (TSS = 0)
+    assert not [r for r in rows_out if r["k"] == "b"]
+    for r in rows_out:
+        assert r["gain"] >= 0.5 and r["score"] > 0
+    # single-iteration run equals changepoint_stats' winner
+    from spark_df_profiling_spark.operators.groupby import (
+        changepoint_stats)
+    one = {r["k"]: r["cp_ts"] for r in binary_segmentation(
+        df, "ts", "k", "v", max_changepoints=1,
+        min_gain=0.5).collect()}
+    cs = {r["k"]: r["cp_ts"]
+          for r in changepoint_stats(df, "ts", "k", "v").collect()
+          if r["gain"] is not None and r["gain"] >= 0.5}
+    assert one == cs
+    with pytest.raises(ValueError):
+        binary_segmentation(df, "ts", "k", "v", max_changepoints=0)

@@ -1825,6 +1825,40 @@ def r11e_main() -> None:
           f"{time.time() - t0:.1f}s", flush=True)
 
 
+def r11f_main() -> None:
+    """binary_segmentation at 2M events / one key = 50% of rows /
+    3 iterations — the iterate-with-localCheckpoint protocol under
+    the ordered-per-key bound, with two PLANTED level shifts inside
+    the hot key so acceptance fires."""
+    spark = (SparkSession.builder.master("local[32]")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory", "32g")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    from spark_df_profiling_spark.operators.groupby import (
+        binary_segmentation)
+    ev = spark.range(2_000_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit(1))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(20000))).alias("u"),
+        F.col("id").cast("double").alias("ts"),
+        (F.pmod(F.xxhash64("id", F.lit(9)), F.lit(100)) / 100.0
+         + F.when((F.col("id") % 2 == 0) & (F.col("id") > 700_000),
+                  10.0).otherwise(0.0)
+         + F.when((F.col("id") % 2 == 0) & (F.col("id") > 1_400_000),
+                  10.0).otherwise(0.0)).alias("v"))
+    t0 = time.time()
+    rows = binary_segmentation(ev, "ts", "u", "v",
+                               max_changepoints=3,
+                               min_gain=0.3).collect()
+    hot = sorted((r["iteration"], r["cp_ts"]) for r in rows
+                 if r["u"] == 1)
+    print(f"binary_segmentation 2M events, 1 key=50%, 2 planted "
+          f"shifts, 3 iters: {len(rows)} accepted splits, hot-key "
+          f"cps {hot}, {time.time() - t0:.1f}s", flush=True)
+
+
 def r11d_main() -> None:
     """ngram_novelty at 50k docs (10x sf0.1) with a planted hot gram:
     one 3-gram injected into EVERY document (worst-case shared-gram
@@ -1853,7 +1887,9 @@ def r11d_main() -> None:
 
 
 if __name__ == "__main__":
-    if "r11e" in sys.argv:
+    if "r11f" in sys.argv:
+        r11f_main()
+    elif "r11e" in sys.argv:
         r11e_main()
     elif "r11d" in sys.argv:
         r11d_main()
