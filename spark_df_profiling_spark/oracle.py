@@ -5242,6 +5242,40 @@ FROM (
     GROUP BY user_id)
   GROUP BY t)
 UNION ALL
+-- log_rank_test replay: cohorts = user_id % 2 over the SAME subject
+-- construction as km:; the graded rows are the completed per-
+-- (cohort, event-time) grid integers (n_risk, d) — the chi-square is
+-- their pure function, so no float expectation ever reaches grading
+SELECT 'lrk:' || CAST(g AS VARCHAR) || ':'
+             || CAST(CAST(t AS BIGINT) AS VARCHAR),
+       CAST(nr AS BIGINT), CAST(d AS BIGINT)
+FROM (
+  WITH lrs AS (
+    SELECT user_id % 2 AS g,
+           floor((max(epoch_ns(ts)) - min(epoch_ns(ts)))
+                 / 86400000000000.0) AS t,
+           CASE WHEN bool_or(event_type = 'purchase')
+                THEN 1 ELSE 0 END AS e
+    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    GROUP BY user_id),
+  pg AS (SELECT g, t, sum(e) AS d, count(*) AS c
+         FROM lrs GROUP BY g, t),
+  evt AS (SELECT t FROM pg GROUP BY t HAVING sum(d) > 0),
+  fil AS (SELECT gg.g, evt.t, 0 AS d, 0 AS c
+          FROM (SELECT DISTINCT g FROM pg) gg CROSS JOIN evt
+          WHERE NOT EXISTS (SELECT 1 FROM pg
+                            WHERE pg.g = gg.g AND pg.t = evt.t)),
+  allr AS (SELECT * FROM pg UNION ALL SELECT * FROM fil),
+  rk AS (
+    SELECT g, t, d,
+           sum(c) OVER (PARTITION BY g) -
+             coalesce(sum(c) OVER (PARTITION BY g ORDER BY t
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS nr
+    FROM allr)
+  SELECT rk.g, rk.t, rk.nr, rk.d
+  FROM rk JOIN evt ON rk.t = evt.t)
+UNION ALL
 -- stateful_ewma replay: the availableNow single-batch streaming run
 -- processes each key's events in event-time order, so its sequential
 -- recursion equals the SAME closed form the batch ewma replays (the
@@ -5661,6 +5695,26 @@ def stateful_user_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.col("n_risk").alias("total_events"),
                    (F.col("n_events") * 1000000 + F.col("n_censored"))
                    .cast("long").alias("total_value_cents")))
+    # 'lrk:' rows grade groupby.log_rank_test via its OWN grid helper
+    # (_log_rank_grid): the completed per-(cohort, event-time)
+    # integers (n_risk, d) that the chi-square is a pure function of
+    from spark_df_profiling_spark.operators.groupby import (
+        _log_rank_grid)
+    lr_base = subjects.select(
+        (F.col("user_id") % 2).alias("__g"),
+        F.col("t").cast("double").alias("__t"),
+        F.col("ev").cast("boolean").alias("__e"))
+    lr_grid = _log_rank_grid(lr_base)
+    lr_evt = (lr_grid.groupBy("__t")
+              .agg(F.sum("__d").alias("__sd"))
+              .where(F.col("__sd") > 0).select("__t"))
+    lrk = (lr_grid.join(lr_evt, "__t")
+           .select(F.concat(F.lit("lrk:"), F.col("__g").cast("string"),
+                            F.lit(":"),
+                            F.col("__t").cast("long").cast("string"))
+                   .alias("key"),
+                   F.col("__nr").alias("total_events"),
+                   F.col("__d").alias("total_value_cents")))
     # 'sewma:' rows grade streaming.stateful_ewma — the GroupState
     # sequential recursion, executed for real (availableNow), reduced
     # per key to the final EWMA and graded against the SAME closed
@@ -5717,7 +5771,7 @@ def stateful_user_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(sanom).unionByName(seas)
             .unionByName(cusum).unionByName(ewr)
             .unionByName(ewadj).unionByName(sew).unionByName(kmr)
-            .unionByName(bsr).unionByName(cpr)
+            .unionByName(lrk).unionByName(bsr).unionByName(cpr)
             .orderBy("key"))
 
 

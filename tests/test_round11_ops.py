@@ -448,3 +448,52 @@ def test_binary_segmentation_finds_planted_shifts(spark):
     assert one == cs
     with pytest.raises(ValueError):
         binary_segmentation(df, "ts", "k", "v", max_changepoints=0)
+
+
+# ---------------------------------------------------------------------------
+# log_rank_test
+# ---------------------------------------------------------------------------
+def test_log_rank_matches_python(spark):
+    from spark_df_profiling_spark.operators.groupby import (
+        log_rank_test)
+    subj = ([("a", 1.0, True), ("a", 2.0, True), ("a", 3.0, False),
+             ("a", 4.0, True), ("a", 5.0, False)]
+            + [("b", 2.0, True), ("b", 4.0, True), ("b", 5.0, True),
+               ("b", 6.0, True), ("b", 7.0, False)])
+    df = spark.createDataFrame(subj, "g string, t double, e boolean")
+    got = {r["g"]: r for r in log_rank_test(df, "t", "e",
+                                            "g").collect()}
+
+    def ref(subjects):
+        times = sorted({t for _, t, e in subjects if e})
+        groups = sorted({g for g, _, _ in subjects})
+        O = {g: 0 for g in groups}
+        E = {g: 0.0 for g in groups}
+        for t in times:
+            td = sum(1 for _, tt, e in subjects if tt == t and e)
+            tn = sum(1 for _, tt, _ in subjects if tt >= t)
+            for g in groups:
+                d = sum(1 for gg, tt, e in subjects
+                        if gg == g and tt == t and e)
+                n = sum(1 for gg, tt, _ in subjects
+                        if gg == g and tt >= t)
+                O[g] += d
+                E[g] += n * td / tn
+        chi = sum((O[g] - E[g]) ** 2 / E[g] for g in groups
+                  if E[g] > 0)
+        return O, E, chi
+    O, E, chi = ref(subj)
+    for g in ("a", "b"):
+        assert got[g]["n_subjects"] == 5
+        assert got[g]["observed"] == O[g]
+        assert got[g]["expected"] == pytest.approx(E[g], rel=1e-12)
+        assert got[g]["chi2"] == pytest.approx(chi, rel=1e-12)
+        assert got[g]["df"] == 1
+    # identical curves -> chi2 ~ 0
+    same = spark.createDataFrame(
+        [(g, float(t), True) for g in ("x", "y") for t in range(1, 6)],
+        "g string, t double, e boolean")
+    r0 = log_rank_test(same, "t", "e", "g").collect()[0]
+    assert r0["chi2"] == pytest.approx(0.0, abs=1e-12)
+    with pytest.raises(ValueError):
+        log_rank_test(df, "t", "e", "zzz")
