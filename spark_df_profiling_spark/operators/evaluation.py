@@ -1,0 +1,154 @@
+"""Label/score evaluation operators — the readout side of the weak-
+labeling stack (:func:`~spark_df_profiling_spark.operators.similarity.
+knn_classify` produces predictions, :func:`~...correlation.cohens_kappa`
+checks annotators, these score predictions against gold):
+
+* :func:`classification_report` — per-class precision/recall/F1 +
+  support from exact confusion integers.
+* :func:`roc_auc` — exact ROC AUC via the Mann–Whitney rank identity,
+  tie-corrected, no thresholds materialized.
+
+Both are pure integer/rank aggregations: one groupBy (+ one window for
+AUC), shuffles carry class- or distinct-score-sized frames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def classification_report(df: DataFrame, label_col: str,
+                          pred_col: str) -> DataFrame:
+    """Per-class precision / recall / F1 / support from gold labels vs
+    predictions — the acceptance gate before kNN-propagated or
+    judge-model labels enter a training mix.  One row per class
+    observed on EITHER side: ``(class, support, n_predicted, tp,
+    precision, recall, f1)`` plus the micro-accuracy repeated per row
+    (``accuracy``).  Rows with a NULL on either side are excluded
+    (scoring an abstention is a policy choice — filter upstream).
+    A class never predicted has precision NULL (0/0); a class never
+    observed has recall NULL; F1 is NULL unless both exist and sum > 0.
+
+    Scale: ONE groupBy on the (label, pred) pair (confusion cells —
+    #classes² rows max), then class-level aggregates of that tiny
+    frame.  All graded quantities are exact integers.
+    """
+    for c in (label_col, pred_col):
+        if c not in df.columns:
+            raise ValueError(f"missing column: {c!r}")
+    y = F.col(label_col).cast("string")
+    p = F.col(pred_col).cast("string")
+    base = (df.where(y.isNotNull() & p.isNotNull())
+            .select(y.alias("__y"), p.alias("__p")))
+    cells = base.groupBy("__y", "__p").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"))
+    support = (cells.groupBy(F.col("__y").alias("__c"))
+               .agg(F.sum("__n").cast("long").alias("support")))
+    predicted = (cells.groupBy(F.col("__p").alias("__c"))
+                 .agg(F.sum("__n").cast("long").alias("n_predicted")))
+    tp = (cells.where(F.col("__y") == F.col("__p"))
+          .select(F.col("__y").alias("__c"),
+                  F.col("__n").alias("tp")))
+    totals = cells.agg(
+        F.sum("__n").cast("long").alias("__total"),
+        F.sum(F.when(F.col("__y") == F.col("__p"), F.col("__n"))
+              .otherwise(0)).cast("long").alias("__correct"))
+    per_class = (support.join(predicted, "__c", "full")
+                 .join(tp, "__c", "left")
+                 .select(F.col("__c"),
+                         F.coalesce("support", F.lit(0).cast("long"))
+                         .alias("support"),
+                         F.coalesce("n_predicted",
+                                    F.lit(0).cast("long"))
+                         .alias("n_predicted"),
+                         F.coalesce("tp", F.lit(0).cast("long"))
+                         .alias("tp")))
+    prec = F.when(F.col("n_predicted") > 0,
+                  F.col("tp") / F.col("n_predicted"))
+    rec = F.when(F.col("support") > 0, F.col("tp") / F.col("support"))
+    f1 = F.when(prec.isNotNull() & rec.isNotNull()
+                & (prec + rec > 0),
+                2 * prec * rec / (prec + rec))
+    return (per_class.crossJoin(F.broadcast(totals))
+            .select(F.col("__c").alias("class"), "support",
+                    "n_predicted", "tp", prec.alias("precision"),
+                    rec.alias("recall"), f1.alias("f1"),
+                    (F.col("__correct") / F.col("__total"))
+                    .alias("accuracy")))
+
+
+def roc_auc(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
+    """Exact ROC AUC via the Mann–Whitney U rank identity:
+    ``AUC = (Σ ranks(positives) − n⁺(n⁺+1)/2) / (n⁺·n⁻)`` with
+    AVERAGE ranks over score ties (the standard tie correction —
+    without it, a constant scorer grades above or below the correct
+    0.5 depending on sort order).  One output row:
+    ``(n_pos, n_neg, rank_sum_pos_x2, auc)`` —
+    ``rank_sum_pos_x2`` is 2·Σranks, an EXACT integer (tie-averaged
+    ranks are halves), which pins ``auc`` as its pure function.
+    Labels cast to boolean; NULL label/score rows excluded; NULL
+    ``auc`` when either class is empty (undefined).
+
+    Scale: ranking by a global sort on the score is the textbook
+    recipe and a single-task trap at 100 TB — instead scores collapse
+    to DISTINCT values first (one map-side-combined groupBy) and the
+    rank prefix uses the :func:`~spark_df_profiling_spark.operators.
+    outliers.percentile_rank` frozen-boundary protocol:
+    ``repartitionByRange`` + ``localCheckpoint`` (sampled boundaries
+    drift across re-executions otherwise), per-partition totals
+    prefix-summed on the DRIVER (O(#partitions) scalars), then an
+    in-partition running sum.  A million-row tie is ONE distinct-score
+    row; nothing subject-sized ever sits in one task.
+    """
+    from pyspark.sql import Window
+
+    for c in (label_col, score_col):
+        if c not in df.columns:
+            raise ValueError(f"missing column: {c!r}")
+    y = F.col(label_col).cast("boolean")
+    s = F.col(score_col).cast("double")
+    base = (df.where(y.isNotNull() & s.isNotNull())
+            .select(y.alias("__y"), s.alias("__s")))
+    per_s = (base.groupBy("__s")
+             .agg(F.count(F.lit(1)).cast("long").alias("__c"),
+                  F.sum(F.when(F.col("__y"), 1).otherwise(0))
+                  .cast("long").alias("__pos")))
+    spark = df.sparkSession
+    n_bk = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (per_s.repartitionByRange(n_bk, F.col("__s"))
+              .withColumn("__pid", F.spark_partition_id())
+              .localCheckpoint(eager=True))
+    totals = {r["__pid"]: r["__t"] for r in
+              ranged.groupBy("__pid").agg(F.sum("__c").alias("__t"))
+              .collect()}
+    prefix, acc = [], 0
+    for pid in sorted(totals):
+        prefix.append((pid, acc))
+        acc += totals[pid]
+    if not prefix:
+        prefix = [(0, 0)]
+    pref_df = spark.createDataFrame(prefix, "__pid int, __p long")
+    wp = (Window.partitionBy("__pid").orderBy("__s")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    # average rank of a tie block of size c starting after `before`
+    # rows is before + (c+1)/2; doubled it is 2*before + c + 1 (exact
+    # integers all the way)
+    staged = (ranged.join(F.broadcast(pref_df), "__pid")
+              .withColumn("__before",
+                          F.col("__p")
+                          + F.coalesce(F.sum("__c").over(wp),
+                                       F.lit(0).cast("long"))))
+    rank2 = 2 * F.col("__before") + F.col("__c") + 1
+    agg = staged.agg(
+        F.sum("__pos").cast("long").alias("n_pos"),
+        (F.sum("__c") - F.sum("__pos")).cast("long").alias("n_neg"),
+        F.sum(F.col("__pos") * rank2).cast("long")
+        .alias("rank_sum_pos_x2"))
+    auc = F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+                 (F.col("rank_sum_pos_x2") / 2.0
+                  - F.col("n_pos").cast("double")
+                  * (F.col("n_pos") + 1) / 2.0)
+                 / (F.col("n_pos").cast("double") * F.col("n_neg")))
+    return agg.select("n_pos", "n_neg", "rank_sum_pos_x2",
+                      auc.alias("auc"))

@@ -2726,6 +2726,52 @@ FROM (
     WHERE rnk <= 10
     GROUP BY qid, own.label)
   GROUP BY lab)
+UNION ALL
+-- classification_report replay: gold = label, pred = a deterministic
+-- perturbation (every 7th id shifts one class) — per-class confusion
+-- integers (support, n_predicted, tp); precision/recall/F1/accuracy
+-- are their pure functions
+SELECT 'crep', CAST(c AS BIGINT),
+       CAST(support * 1000000 + n_predicted AS BIGINT),
+       CAST(tp AS VARCHAR), CAST(tp AS INT)
+FROM (
+  WITH cp_pairs AS (
+    SELECT label AS y,
+           CASE WHEN vec_id % 7 = 0 THEN (label + 1) % 10
+                ELSE label END AS p
+    FROM embeddings WHERE label IS NOT NULL),
+  sup AS (SELECT y AS c, count(*) AS support FROM cp_pairs GROUP BY y),
+  prd AS (SELECT p AS c, count(*) AS n_predicted FROM cp_pairs
+          GROUP BY p),
+  tpc AS (SELECT y AS c, count(*) AS tp FROM cp_pairs
+          WHERE y = p GROUP BY y)
+  SELECT coalesce(sup.c, prd.c) AS c,
+         coalesce(support, 0) AS support,
+         coalesce(n_predicted, 0) AS n_predicted,
+         coalesce(tp, 0) AS tp
+  FROM sup FULL JOIN prd ON sup.c = prd.c
+  LEFT JOIN tpc ON coalesce(sup.c, prd.c) = tpc.c)
+UNION ALL
+-- roc_auc replay: label = (class 0), score = first embedding element;
+-- the Mann-Whitney tie-averaged rank sum DOUBLED is an exact integer
+-- (2*before + c + 1 per tie block) and pins the AUC
+SELECT 'rauc', CAST(n_pos AS BIGINT), CAST(n_neg AS BIGINT),
+       CAST(r2 AS VARCHAR), 1
+FROM (
+  SELECT sum(pos) AS n_pos, sum(c) - sum(pos) AS n_neg,
+         sum(pos * (2 * before + c + 1)) AS r2
+  FROM (
+    SELECT c, pos,
+           coalesce(sum(c) OVER (ORDER BY s
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS before
+    FROM (
+      SELECT s, count(*) AS c,
+             sum(CASE WHEN y THEN 1 ELSE 0 END) AS pos
+      FROM (SELECT label = 0 AS y, embedding[1]::DOUBLE AS s
+            FROM embeddings
+            WHERE label IS NOT NULL AND embedding IS NOT NULL)
+      GROUP BY s)))
 ORDER BY part, query_id, rank
 """)
 def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2764,7 +2810,36 @@ def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .cast("long").alias("neighbor_id"),
                    F.col("n_suspect").cast("string").alias("sim_s"),
                    F.col("n").cast("int").alias("rank")))
+    # 'crep' rows grade evaluation.classification_report — gold vs a
+    # deterministic perturbation; per-class confusion integers
+    from spark_df_profiling_spark.operators.evaluation import (
+        classification_report, roc_auc)
+    cp_df = e.where(F.col("label").isNotNull()).select(
+        F.col("label").alias("y"),
+        F.when(F.col("vec_id") % 7 == 0,
+               (F.col("label") + 1) % 10)
+        .otherwise(F.col("label")).alias("p"))
+    crep = (classification_report(cp_df, "y", "p")
+            .select(F.lit("crep").alias("part"),
+                    F.col("class").cast("long").alias("query_id"),
+                    (F.col("support") * 1000000
+                     + F.col("n_predicted")).cast("long")
+                    .alias("neighbor_id"),
+                    F.col("tp").cast("string").alias("sim_s"),
+                    F.col("tp").cast("int").alias("rank")))
+    # 'rauc' row grades evaluation.roc_auc — exact doubled rank sum
+    ra_df = e.select((F.col("label") == 0).alias("y"),
+                     F.get(F.col("embedding"), 0).cast("double")
+                     .alias("s"))
+    rauc = (roc_auc(ra_df, "y", "s")
+            .select(F.lit("rauc").alias("part"),
+                    F.col("n_pos").alias("query_id"),
+                    F.col("n_neg").alias("neighbor_id"),
+                    F.col("rank_sum_pos_x2").cast("string")
+                    .alias("sim_s"),
+                    F.lit(1).alias("rank")))
     return (knn.unionByName(mmr).unionByName(kcl).unionByName(lag)
+            .unionByName(crep).unionByName(rauc)
             .orderBy("part", "query_id", "rank"))
 
 

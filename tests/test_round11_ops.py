@@ -497,3 +497,74 @@ def test_log_rank_matches_python(spark):
     assert r0["chi2"] == pytest.approx(0.0, abs=1e-12)
     with pytest.raises(ValueError):
         log_rank_test(df, "t", "e", "zzz")
+
+
+# ---------------------------------------------------------------------------
+# classification_report / roc_auc
+# ---------------------------------------------------------------------------
+def test_classification_report_matches_python(spark):
+    from spark_df_profiling_spark.operators.evaluation import (
+        classification_report)
+    pairs = ([("cat", "cat")] * 8 + [("cat", "dog")] * 2
+             + [("dog", "dog")] * 5 + [("dog", "bird")] * 3
+             + [("bird", "cat")] * 1
+             + [(None, "cat"), ("cat", None)])       # excluded
+    df = spark.createDataFrame(pairs, "y string, p string")
+    got = {r["class"]: r
+           for r in classification_report(df, "y", "p").collect()}
+    assert set(got) == {"cat", "dog", "bird"}
+    c = got["cat"]
+    assert (c["support"], c["n_predicted"], c["tp"]) == (10, 9, 8)
+    assert c["precision"] == pytest.approx(8 / 9)
+    assert c["recall"] == pytest.approx(8 / 10)
+    assert c["f1"] == pytest.approx(2 * (8/9) * 0.8 / (8/9 + 0.8))
+    assert c["accuracy"] == pytest.approx(13 / 19)
+    b = got["bird"]
+    assert b["support"] == 1 and b["n_predicted"] == 3 and b["tp"] == 0
+    assert b["precision"] == 0.0 and b["recall"] == 0.0
+    assert b["f1"] is None                     # precision+recall == 0
+    # class only ever PREDICTED (never observed): recall NULL
+    df2 = spark.createDataFrame([("a", "a"), ("a", "z")],
+                                "y string, p string")
+    z = {r["class"]: r for r in
+         classification_report(df2, "y", "p").collect()}["z"]
+    assert z["support"] == 0 and z["recall"] is None
+    with pytest.raises(ValueError):
+        classification_report(df, "y", "zzz")
+
+
+def test_roc_auc_matches_python(spark):
+    from spark_df_profiling_spark.operators.evaluation import roc_auc
+    # scores with ties across classes
+    rows = [(True, 0.9), (True, 0.8), (True, 0.8), (False, 0.8),
+            (True, 0.4), (False, 0.35), (False, 0.2), (False, 0.2),
+            (None, 0.5), (True, None)]                # excluded
+    df = spark.createDataFrame(rows, "y boolean, s double")
+    r = roc_auc(df, "y", "s").collect()[0]
+
+    def ref(pairs):
+        pairs = [(y, s) for y, s in pairs
+                 if y is not None and s is not None]
+        pos = [s for y, s in pairs if y]
+        neg = [s for y, s in pairs if not y]
+        wins = sum(1.0 if p > n else 0.5 if p == n else 0.0
+                   for p in pos for n in neg)
+        return len(pos), len(neg), wins / (len(pos) * len(neg))
+    npos, nneg, auc = ref(rows)
+    assert (r["n_pos"], r["n_neg"]) == (npos, nneg)
+    assert r["auc"] == pytest.approx(auc, rel=1e-12)
+    assert r["rank_sum_pos_x2"] % 1 == 0
+    # constant scorer: tie-corrected AUC is exactly 0.5
+    const = spark.createDataFrame([(i % 2 == 0, 1.0)
+                                   for i in range(10)],
+                                  "y boolean, s double")
+    assert roc_auc(const, "y", "s").collect()[0]["auc"] == 0.5
+    # single-class input: NULL auc
+    onec = spark.createDataFrame([(True, 0.1), (True, 0.2)],
+                                 "y boolean, s double")
+    assert roc_auc(onec, "y", "s").collect()[0]["auc"] is None
+    # perfect separation
+    perf = spark.createDataFrame(
+        [(True, 0.9), (True, 0.8), (False, 0.2), (False, 0.1)],
+        "y boolean, s double")
+    assert roc_auc(perf, "y", "s").collect()[0]["auc"] == 1.0

@@ -1859,6 +1859,50 @@ def r11f_main() -> None:
           f"cps {hot}, {time.time() - t0:.1f}s", flush=True)
 
 
+def r11g_main() -> None:
+    """Evaluation operators at scale: roc_auc over 10M rows with ALL-
+    DISTINCT continuous scores (the frozen-boundary prefix path's
+    stress — a global-sort recipe would single-task this) plus a
+    50%-mass tie block; classification_report at 20M pairs."""
+    spark = (SparkSession.builder.master("local[32]")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory", "32g")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    from spark_df_profiling_spark.operators.evaluation import (
+        classification_report, roc_auc)
+    scored = spark.range(10_000_000).select(
+        (F.pmod(F.xxhash64("id"), F.lit(100)) < 30).alias("y"),
+        (F.col("id").cast("double")
+         + F.pmod(F.xxhash64("id", F.lit(2)), F.lit(1000)) / 1000.0)
+        .alias("s"))
+    t0 = time.time()
+    r = roc_auc(scored, "y", "s").collect()[0]
+    print(f"roc_auc 10M rows, ~all-distinct scores: auc {r['auc']:.4f}"
+          f" (independent -> ~0.5), {time.time() - t0:.1f}s",
+          flush=True)
+    tied = spark.range(10_000_000).select(
+        (F.pmod(F.xxhash64("id"), F.lit(100)) < 30).alias("y"),
+        F.when(F.col("id") % 2 == 0, F.lit(0.5))
+        .otherwise(F.col("id").cast("double")).alias("s"))
+    t0 = time.time()
+    r = roc_auc(tied, "y", "s").collect()[0]
+    print(f"roc_auc 10M rows, ONE tie block = 50% of rows: auc "
+          f"{r['auc']:.4f}, {time.time() - t0:.1f}s", flush=True)
+    pairs = spark.range(20_000_000).select(
+        F.pmod(F.xxhash64("id"), F.lit(10)).cast("string").alias("y"),
+        F.pmod(F.xxhash64("id", F.lit(3)), F.lit(10)).cast("string")
+        .alias("p"))
+    t0 = time.time()
+    out = classification_report(pairs, "y", "p").collect()
+    print(f"classification_report 20M pairs x 10 classes: "
+          f"{len(out)} classes, acc "
+          f"{out[0]['accuracy']:.4f} (independent -> ~0.1), "
+          f"{time.time() - t0:.1f}s", flush=True)
+
+
 def r11d_main() -> None:
     """ngram_novelty at 50k docs (10x sf0.1) with a planted hot gram:
     one 3-gram injected into EVERY document (worst-case shared-gram
@@ -1887,7 +1931,9 @@ def r11d_main() -> None:
 
 
 if __name__ == "__main__":
-    if "r11f" in sys.argv:
+    if "r11g" in sys.argv:
+        r11g_main()
+    elif "r11f" in sys.argv:
         r11f_main()
     elif "r11e" in sys.argv:
         r11e_main()
