@@ -473,6 +473,40 @@ def main() -> None:
     from spark_df_profiling_spark.operators.dedup import ngram_novelty
     ngram_novelty(docs).orderBy("novelty").show(3)
 
+    # --- round 11, part 2: survival, multi-changepoint, evaluation --
+    from spark_df_profiling_spark.operators.groupby import (
+        binary_segmentation, kaplan_meier, log_rank_test)
+    subjects = (evm2.groupBy("user_id")
+                .agg(((F.max("tus") - F.min("tus")) / 86400000000.0)
+                     .alias("t"),
+                     (F.count(F.lit(1)) % 2 == 0).alias("churned")))
+    kaplan_meier(subjects, "t", "churned").orderBy("t").show(3)
+    log_rank_test(subjects.withColumn(
+        "cohort", (F.col("user_id") % 2).cast("string")),
+        "t", "churned", "cohort").show()
+    binary_segmentation(evm2, "tus", "user_id", "value",
+                        max_changepoints=2, min_gain=0.3) \
+        .orderBy(F.desc("gain")).show(3)
+
+    from spark_df_profiling_spark.operators.evaluation import (
+        calibration_report, classification_report, roc_auc)
+    preds = emb.select(F.col("label").cast("string").alias("y"),
+                       F.when(F.col("vec_id") % 7 == 0,
+                              ((F.col("label") + 1) % 10))
+                       .otherwise(F.col("label"))
+                       .cast("string").alias("p"))
+    classification_report(preds, "y", "p").orderBy("class").show(4)
+    scored = emb.select((F.col("label") == 0).alias("y"),
+                        F.least(F.greatest(
+                            (F.get("embedding", 0).cast("double")
+                             + 4.0) / 8.0, F.lit(0.0)),
+                            F.lit(1.0)).alias("s"))
+    roc_auc(scored, "y", "s").show()
+    calibration_report(scored, "y", "s").show(4)
+
+    from spark_df_profiling_spark.streaming import stateful_ewma
+    # (streaming twin of ewma — see tests for the availableNow replay)
+
     spark.stop()
 
 

@@ -2752,6 +2752,22 @@ FROM (
   FROM sup FULL JOIN prd ON sup.c = prd.c
   LEFT JOIN tpc ON coalesce(sup.c, prd.c) = tpc.c)
 UNION ALL
+-- calibration_report replay: label = (class 0), score = the first
+-- embedding element affinely squeezed into [0,1] (identical
+-- arithmetic both engines -> identical bins); per-bin (n, sum_label)
+-- integers — avg_score/ece/brier are float sums, pinned by pytest
+SELECT 'calib', CAST(b AS BIGINT), CAST(count(*) AS BIGINT),
+       CAST(CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+            AS VARCHAR),
+       1
+FROM (
+  SELECT label = 0 AS y,
+         least(CAST(floor(least(greatest(
+                 (embedding[1]::DOUBLE + 4.0) / 8.0, 0.0), 1.0)
+               * 10) AS INT), 9) AS b
+  FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL)
+GROUP BY b
+UNION ALL
 -- roc_auc replay: label = (class 0), score = first embedding element;
 -- the Mann-Whitney tie-averaged rank sum DOUBLED is an exact integer
 -- (2*before + c + 1 per tie block) and pins the AUC
@@ -2838,8 +2854,23 @@ def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("rank_sum_pos_x2").cast("string")
                     .alias("sim_s"),
                     F.lit(1).alias("rank")))
+    # 'calib' rows grade evaluation.calibration_report — per-bin
+    # (n, sum_label) integers over an affinely-squeezed score
+    from spark_df_profiling_spark.operators.evaluation import (
+        calibration_report)
+    cal_df = e.select(
+        (F.col("label") == 0).alias("y"),
+        F.least(F.greatest((F.get(F.col("embedding"), 0)
+                            .cast("double") + 4.0) / 8.0,
+                           F.lit(0.0)), F.lit(1.0)).alias("s"))
+    calib = (calibration_report(cal_df, "y", "s", n_bins=10)
+             .select(F.lit("calib").alias("part"),
+                     F.col("bin").alias("query_id"),
+                     F.col("n").alias("neighbor_id"),
+                     F.col("sum_label").cast("string").alias("sim_s"),
+                     F.lit(1).alias("rank")))
     return (knn.unionByName(mmr).unionByName(kcl).unionByName(lag)
-            .unionByName(crep).unionByName(rauc)
+            .unionByName(crep).unionByName(rauc).unionByName(calib)
             .orderBy("part", "query_id", "rank"))
 
 

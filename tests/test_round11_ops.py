@@ -568,3 +568,39 @@ def test_roc_auc_matches_python(spark):
         [(True, 0.9), (True, 0.8), (False, 0.2), (False, 0.1)],
         "y boolean, s double")
     assert roc_auc(perf, "y", "s").collect()[0]["auc"] == 1.0
+
+
+def test_calibration_report_matches_python(spark):
+    from spark_df_profiling_spark.operators.evaluation import (
+        calibration_report)
+    rows = [(True, 0.95), (True, 0.9), (False, 0.9),   # bin 9 / 1.0
+            (True, 0.55), (False, 0.52), (False, 0.58),  # bin 5
+            (False, 0.05), (False, 0.08), (True, 0.02),  # bin 0
+            (True, 1.0),                                 # top closed
+            (None, 0.5), (True, None)]                   # excluded
+    df = spark.createDataFrame(rows, "y boolean, s double")
+    got = {r["bin"]: r
+           for r in calibration_report(df, "y", "s", 10).collect()}
+    assert set(got) == {0, 5, 9}
+    b9 = got[9]
+    assert b9["n"] == 4 and b9["sum_label"] == 3
+    assert b9["avg_score"] == pytest.approx((0.95 + 0.9 + 0.9 + 1.0) / 4)
+    assert b9["accuracy"] == pytest.approx(0.75)
+    # python replay of ece/brier over the kept rows
+    kept = [(y, s) for y, s in rows if y is not None and s is not None]
+    import collections
+    bins = collections.defaultdict(list)
+    for y, s in kept:
+        bins[min(int(s * 10), 9)].append((y, s))
+    n = len(kept)
+    ece = sum(abs(sum(y for y, _ in v) - sum(s for _, s in v)) / n
+              for v in bins.values())
+    brier = sum((s - (1.0 if y else 0.0)) ** 2 for y, s in kept) / n
+    assert b9["ece"] == pytest.approx(ece, rel=1e-12)
+    assert b9["brier"] == pytest.approx(brier, rel=1e-12)
+    # out-of-range score raises, not clamps
+    bad = spark.createDataFrame([(True, 1.5)], "y boolean, s double")
+    with pytest.raises(Exception, match="outside"):
+        calibration_report(bad, "y", "s").collect()
+    with pytest.raises(ValueError):
+        calibration_report(df, "y", "s", n_bins=1)
