@@ -286,3 +286,46 @@ def test_knn_classify_broadcasts_queries(spark, sf_dir):
     # the corpus-side scans stream; no Exchange keyed on the raw
     # embedding column
     assert "hashpartitioning(embedding" not in plan
+
+
+def test_roc_auc_never_globally_sorts(spark, sf_dir):
+    """roc_auc's rank prefix must stay on the frozen-boundary range
+    partitioning — a SinglePartition exchange on the score frame is
+    the 100 TB regression this pins against."""
+    from spark_df_profiling_spark.operators.evaluation import roc_auc
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = e.select((F.col("label") == 0).alias("y"),
+                  F.get("embedding", 0).cast("double").alias("s"))
+    out = roc_auc(df, "y", "s")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the distinct-score frame was checkpointed under range
+    # partitioning before this plan; the remaining plan must not
+    # re-sort the world into one partition for a window
+    assert "Exchange SinglePartition" not in plan or \
+        "Window" not in plan.split("Exchange SinglePartition")[0], plan
+    # and the final aggregate is a partial+final hash/sort agg over
+    # the scan of the checkpointed RDD, not a row-level shuffle
+    assert "Scan ExistingRDD" in plan
+
+
+def test_survival_ops_collapse_subjects_first(spark):
+    """kaplan_meier / log_rank_test: every window/aggregate after the
+    first groupBy runs over per-time frames — assert the plans carry
+    exactly one subject-level hash exchange into that groupBy."""
+    import re
+    from spark_df_profiling_spark.operators.groupby import (
+        kaplan_meier, log_rank_test)
+    subj = spark.range(1000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 37).cast("double").alias("t"),
+        (F.col("id") % 2 == 0).alias("e"))
+    km = kaplan_meier(subj, "t", "e", "g")
+    plan = km._jdf.queryExecution().executedPlan().toString()
+    # subject rows shuffle once (the (g, t) collapse); later exchanges
+    # key on per-time frames — no exchange may partition by a column
+    # that only exists pre-collapse (none here beyond g/t)
+    n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_ex <= 3, f"kaplan_meier: {n_ex} hash exchanges\n{plan[:1500]}"
+    lr = log_rank_test(subj, "t", "e", "g")
+    lplan = lr._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in lplan  # grid crossJoin broadcasts
