@@ -217,3 +217,88 @@ def calibration_report(df: DataFrame, label_col: str, score_col: str,
                     (F.col("__gap") / F.col("__tn")).alias("ece"),
                     (F.col("__tsq") / F.col("__tn")).alias("brier"))
             .orderBy("bin"))
+
+
+def retrieval_metrics(results: DataFrame, gold: DataFrame, k: int = 10,
+                      query_col: str = "query_id",
+                      doc_col: str = "neighbor_id",
+                      rank_col: str = "rank") -> DataFrame:
+    """Per-query retrieval quality against a gold relevance set —
+    the acceptance readout for :func:`~spark_df_profiling_spark.
+    operators.similarity.knn_bruteforce` / ``ann_*`` /
+    ``bm25_topk`` / ``rrf_fuse`` outputs: ``precision_at_k``,
+    ``recall_at_k``, ``first_hit_rank`` / ``reciprocal_rank`` (MRR =
+    its mean), and binary-relevance ``ndcg_at_k``.  ``results`` rows
+    are ``(query, doc, rank)`` (1-based, only ``rank <= k`` is
+    scored); ``gold`` rows are ``(query, doc)`` — duplicates are
+    de-duplicated, queries with NO gold row emit nothing (their
+    metrics are undefined, not zero).  Output one row per gold-backed
+    query: ``(query, n_gold, n_retrieved, hits, precision_at_k,
+    recall_at_k, first_hit_rank, reciprocal_rank, ndcg_at_k)``.
+
+    Scale: gold de-dups in one groupBy; the hit join keys on
+    (query, doc) — both sides top-k/gold-sized, never corpus-sized;
+    ``IDCG`` uses a precomputed k-entry literal prefix table
+    (``1/log2(i+1)`` partial sums) indexed by ``min(n_gold, k)`` — no
+    per-row fold.
+    """
+    import math
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    for c, frame, name in ((query_col, results, "results"),
+                           (doc_col, results, "results"),
+                           (rank_col, results, "results")):
+        if c not in frame.columns:
+            raise ValueError(f"{name} missing column: {c!r}")
+    for c in (query_col, doc_col):
+        if c not in gold.columns:
+            raise ValueError(f"gold missing column: {c!r}")
+    res = (results
+           .where(F.col(rank_col).isNotNull()
+                  & (F.col(rank_col) <= k)
+                  & F.col(query_col).isNotNull()
+                  & F.col(doc_col).isNotNull())
+           .select(F.col(query_col).alias("__q"),
+                   F.col(doc_col).alias("__d"),
+                   F.col(rank_col).cast("long").alias("__r")))
+    g = (gold.where(F.col(query_col).isNotNull()
+                    & F.col(doc_col).isNotNull())
+         .select(F.col(query_col).alias("__q"),
+                 F.col(doc_col).alias("__d"))
+         .distinct())
+    n_gold = g.groupBy("__q").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gold"))
+    n_ret = res.groupBy("__q").agg(
+        F.count(F.lit(1)).cast("long").alias("n_retrieved"))
+    hit = (res.join(g.withColumn("__gold", F.lit(1)), ["__q", "__d"])
+           .groupBy("__q")
+           .agg(F.count(F.lit(1)).cast("long").alias("hits"),
+                F.min("__r").alias("first_hit_rank"),
+                F.sum(1.0 / F.log2(F.col("__r") + 1.0)).alias("__dcg")))
+    # IDCG prefix table: idcg[m] = sum_{i=1..m} 1/log2(i+1), m <= k
+    prefix, acc = [0.0], 0.0
+    for i in range(1, k + 1):
+        acc += 1.0 / math.log2(i + 1)
+        prefix.append(acc)
+    idcg_lit = F.array(*[F.lit(x) for x in prefix])
+    out = (n_gold.join(n_ret, "__q", "left").join(hit, "__q", "left")
+           .select(
+               F.col("__q").alias(query_col),
+               "n_gold",
+               F.coalesce("n_retrieved", F.lit(0).cast("long"))
+               .alias("n_retrieved"),
+               F.coalesce("hits", F.lit(0).cast("long")).alias("hits"),
+               (F.coalesce("hits", F.lit(0)) / float(k))
+               .alias("precision_at_k"),
+               (F.coalesce("hits", F.lit(0)) / F.col("n_gold"))
+               .alias("recall_at_k"),
+               F.col("first_hit_rank"),
+               F.when(F.col("first_hit_rank").isNotNull(),
+                      1.0 / F.col("first_hit_rank"))
+               .alias("reciprocal_rank"),
+               (F.coalesce("__dcg", F.lit(0.0))
+                / F.get(idcg_lit, F.least(F.col("n_gold"),
+                                          F.lit(k)).cast("int")))
+               .alias("ndcg_at_k")))
+    return out

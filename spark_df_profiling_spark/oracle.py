@@ -2752,6 +2752,32 @@ FROM (
   FROM sup FULL JOIN prd ON sup.c = prd.c
   LEFT JOIN tpc ON coalesce(sup.c, prd.c) = tpc.c)
 UNION ALL
+-- retrieval_metrics replay: results = the exact top-10 (r CTE), gold
+-- = same-label vectors (self excluded); per-query exact integers
+-- (hits, n_gold, first_hit_rank, n_retrieved) — P@k/R@k/MRR are
+-- their pure functions, nDCG is pytest-pinned
+SELECT 'rmet', q.query_id,
+       CAST(h.hits * 1000000 + gct.n_gold AS BIGINT),
+       coalesce(CAST(CAST(h.fhr AS BIGINT) AS VARCHAR), 'none'),
+       CAST(h.n_ret AS INT)
+FROM (SELECT DISTINCT query_id FROM r) q
+JOIN (SELECT eq.vec_id AS query_id, count(*) AS n_gold
+      FROM embeddings eq JOIN embeddings eg
+        ON eg.label = eq.label AND eg.vec_id != eq.vec_id
+      WHERE eq.vec_id < 5 GROUP BY eq.vec_id) gct
+  ON gct.query_id = q.query_id
+LEFT JOIN (
+  SELECT r.query_id,
+         count(*) FILTER (WHERE eg.vec_id IS NOT NULL) AS hits,
+         min(r.rank) FILTER (WHERE eg.vec_id IS NOT NULL) AS fhr,
+         count(*) AS n_ret
+  FROM r
+  JOIN embeddings eq ON eq.vec_id = r.query_id
+  LEFT JOIN embeddings eg
+    ON eg.vec_id = r.neighbor_id AND eg.label = eq.label
+  WHERE r.rank <= 10
+  GROUP BY r.query_id) h ON h.query_id = q.query_id
+UNION ALL
 -- calibration_report replay: label = (class 0), score = the first
 -- embedding element affinely squeezed into [0,1] (identical
 -- arithmetic both engines -> identical bins); per-bin (n, sum_label)
@@ -2869,8 +2895,28 @@ def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("n").alias("neighbor_id"),
                      F.col("sum_label").cast("string").alias("sim_s"),
                      F.lit(1).alias("rank")))
+    # 'rmet' rows grade evaluation.retrieval_metrics — the exact
+    # top-10 scored against same-label gold; per-query integers
+    from spark_df_profiling_spark.operators.evaluation import (
+        retrieval_metrics)
+    res10 = knn_bruteforce(e, qs, k=10) \
+        .select("query_id", "neighbor_id", "rank")
+    gold = (qs.select(F.col("vec_id").alias("query_id"),
+                      F.col("label").alias("__l"))
+            .join(e.select(F.col("vec_id").alias("neighbor_id"),
+                           F.col("label").alias("__l")), "__l")
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id"))
+    rmet = (retrieval_metrics(res10, gold, k=10)
+            .select(F.lit("rmet").alias("part"), "query_id",
+                    (F.col("hits") * 1000000 + F.col("n_gold"))
+                    .cast("long").alias("neighbor_id"),
+                    F.coalesce(F.col("first_hit_rank").cast("string"),
+                               F.lit("none")).alias("sim_s"),
+                    F.col("n_retrieved").cast("int").alias("rank")))
     return (knn.unionByName(mmr).unionByName(kcl).unionByName(lag)
             .unionByName(crep).unionByName(rauc).unionByName(calib)
+            .unionByName(rmet)
             .orderBy("part", "query_id", "rank"))
 
 

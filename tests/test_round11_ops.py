@@ -604,3 +604,39 @@ def test_calibration_report_matches_python(spark):
         calibration_report(bad, "y", "s").collect()
     with pytest.raises(ValueError):
         calibration_report(df, "y", "s", n_bins=1)
+
+
+def test_retrieval_metrics_matches_python(spark):
+    from spark_df_profiling_spark.operators.evaluation import (
+        retrieval_metrics)
+    results = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3),
+         (2, 20, 1), (2, 21, 2),
+         (3, 30, 1),                       # query with no gold
+         (1, 13, 99)],                     # beyond k: ignored
+        "query_id long, neighbor_id long, rank long")
+    gold = spark.createDataFrame(
+        [(1, 11), (1, 12), (1, 99), (1, 11),   # dup gold row
+         (2, 77),                              # zero hits
+         (4, 40)],                             # gold-only query
+        "query_id long, neighbor_id long")
+    got = {r["query_id"]: r
+           for r in retrieval_metrics(results, gold, k=3).collect()}
+    assert set(got) == {1, 2, 4}               # q3 has no gold
+    import math
+    r1 = got[1]
+    assert (r1["n_gold"], r1["n_retrieved"], r1["hits"]) == (3, 3, 2)
+    assert r1["precision_at_k"] == pytest.approx(2 / 3)
+    assert r1["recall_at_k"] == pytest.approx(2 / 3)
+    assert r1["first_hit_rank"] == 2
+    assert r1["reciprocal_rank"] == pytest.approx(0.5)
+    dcg = 1 / math.log2(3) + 1 / math.log2(4)
+    idcg = sum(1 / math.log2(i + 1) for i in range(1, 4))
+    assert r1["ndcg_at_k"] == pytest.approx(dcg / idcg, rel=1e-12)
+    r2 = got[2]
+    assert r2["hits"] == 0 and r2["ndcg_at_k"] == 0.0
+    assert r2["first_hit_rank"] is None and r2["reciprocal_rank"] is None
+    r4 = got[4]
+    assert r4["n_retrieved"] == 0 and r4["recall_at_k"] == 0.0
+    with pytest.raises(ValueError):
+        retrieval_metrics(results, gold, k=0)
