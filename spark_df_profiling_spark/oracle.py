@@ -5455,6 +5455,34 @@ FROM (
       WINDOW wk AS (PARTITION BY user_id ORDER BY tus)))
   WHERE rn = n)
 UNION ALL
+-- stateful_cusum replay: fixed in-control parameters (target=50,
+-- sd=25, k=0.5, h=5) — the streaming availableNow run equals the
+-- batch closed form cusum_t = P_t - min(0, P_1..P_t), replayed with
+-- the same prefix-sum/running-min frames as the cusum: rows; reduced
+-- per key to (n alarms, max cusum_up in 1e-5 floor units)
+SELECT 'scusum:' || CAST(__k AS VARCHAR),
+       CAST(sum(CASE WHEN up > 5.0 OR dn > 5.0 THEN 1 ELSE 0 END)
+            AS BIGINT),
+       CAST(coalesce(max(floor(up * 100000 + 0.5)), 0) AS BIGINT)
+FROM (
+  SELECT __k,
+         pu - least(min(pu) OVER w2, 0) AS up,
+         pd - least(min(pd) OVER w2, 0) AS dn
+  FROM (
+    SELECT __k, tus,
+           sum(z - 0.5) OVER w AS pu,
+           sum(-z - 0.5) OVER w AS pd
+    FROM (SELECT user_id AS __k, epoch_ns(ts) // 1000 AS tus,
+                 (CAST("value" AS DOUBLE) - 50.0) / 25.0 AS z
+          FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            AND "value" IS NOT NULL)
+    WINDOW w AS (PARTITION BY __k ORDER BY tus
+                 ROWS UNBOUNDED PRECEDING))
+  WINDOW w2 AS (PARTITION BY __k ORDER BY tus
+                ROWS UNBOUNDED PRECEDING))
+GROUP BY __k
+UNION ALL
 -- ewma adjust=True replay: weighted-mean form, same alpha=0.5
 -- power-of-two stability; numerator is the scaled prefix, the
 -- denominator (1 - beta^t)/alpha is closed-form geometric
@@ -5787,6 +5815,29 @@ def stateful_user_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                              F.col("user_id").cast("string"))
                     .alias("key"),
                     "total_events", "total_value_cents"))
+    # 'scusum:' rows grade streaming.stateful_cusum — the GroupState
+    # clamp recursion executed for real (availableNow), reduced per
+    # key and graded against the DuckDB closed form with the same
+    # fixed in-control parameters
+    from spark_df_profiling_spark.streaming import stateful_cusum
+    scstream = events_stream(spark, sf_dir)
+    sc_out = stateful_cusum(
+        scstream.select("user_id",
+                        event_time_micros(scstream).alias("tus"),
+                        "value"),
+        "user_id", "tus", "value", target=50.0, sd=25.0, k=0.5, h=5.0)
+    run_stream_to_memory(sc_out, "scusum_oracle_out",
+                         output_mode="update")
+    scus = (spark.table("scusum_oracle_out")
+            .groupBy("key")
+            .agg(F.sum(F.when(F.col("is_change"), 1).otherwise(0))
+                 .cast("long").alias("total_events"),
+                 F.coalesce(F.max(F.floor(F.col("cusum_up") * 100000
+                                          + F.lit(0.5))), F.lit(0))
+                 .cast("long").alias("total_value_cents"))
+            .select(F.concat(F.lit("scusum:"),
+                             F.col("key").cast("string")).alias("key"),
+                    "total_events", "total_value_cents"))
     # 'ewma:' rows grade groupby.ewma — alpha=0.5 so every beta power
     # is an exact power of two and the scaled-prefix closed form is
     # BIT-identical across engines; final EWMA at 5 sig digits rides
@@ -5921,7 +5972,7 @@ def stateful_user_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(banom).unionByName(gp).unionByName(gpm)
             .unionByName(gps).unionByName(rfill).unionByName(rlin)
             .unionByName(sanom).unionByName(seas)
-            .unionByName(cusum).unionByName(ewr)
+            .unionByName(cusum).unionByName(scus).unionByName(ewr)
             .unionByName(ewadj).unionByName(sew).unionByName(kmr)
             .unionByName(lrk).unionByName(bsr).unionByName(cpr)
             .orderBy("key"))

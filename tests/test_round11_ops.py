@@ -640,3 +640,40 @@ def test_retrieval_metrics_matches_python(spark):
     assert r4["n_retrieved"] == 0 and r4["recall_at_k"] == 0.0
     with pytest.raises(ValueError):
         retrieval_metrics(results, gold, k=0)
+
+
+# ---------------------------------------------------------------------------
+# stateful_cusum (streaming)
+# ---------------------------------------------------------------------------
+def test_stateful_cusum_matches_batch_closed_form(spark, tmp_path):
+    from spark_df_profiling_spark.streaming import (
+        run_stream_to_memory, stateful_cusum)
+    from spark_df_profiling_spark.operators.groupby import cusum_anomaly
+    rows = ([(1, i * 10, 0.1 * (i % 3)) for i in range(10)]
+            + [(1, 200 + i * 10, 3.0) for i in range(5)]   # level shift
+            + [(2, i * 7, 0.0) for i in range(6)])
+    df = spark.createDataFrame(rows, "user_id long, tus long, value double")
+    path = str(tmp_path / "ev_scusum")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(df.schema).parquet(path)
+    out = stateful_cusum(stream, "user_id", "tus", "value",
+                         target=0.1, sd=1.0, k=0.5, h=5.0)
+    run_stream_to_memory(out, "scusum_test_out", output_mode="update")
+    got = {(r["key"], r["tus"]): r
+           for r in spark.table("scusum_test_out").collect()}
+    batch = {(r["user_id"], int(r["tus"])): r
+             for r in cusum_anomaly(
+                 df.withColumn("tus", F.col("tus").cast("double")),
+                 "tus", "user_id", "value", k=0.5, h=5.0,
+                 target=0.1, sd=1.0).collect()}
+    assert set(got) == set(batch)
+    for kk, r in got.items():
+        b = batch[kk]
+        assert r["cusum_up"] == pytest.approx(b["cusum_up"], abs=1e-9), kk
+        assert r["cusum_dn"] == pytest.approx(b["cusum_dn"], abs=1e-9), kk
+        assert r["is_change"] == bool(b["is_change"]), kk
+    # the sustained shift trips the alarm
+    assert any(r["is_change"] for (u, _), r in got.items() if u == 1)
+    assert not any(r["is_change"] for (u, _), r in got.items() if u == 2)
+    with pytest.raises(ValueError):
+        stateful_cusum(stream, sd=0.0)
