@@ -32,6 +32,7 @@ FLOAT_GRADED = [
     "num_stats",             # skew/kurtosis/var moment sums at _psig
     "text_stats_by_lang",    # avg_* quality/readability means
     "stateful_user_totals",  # r11 ewma:/ewmadj: final values at _psig
+    "knn_bruteforce",        # r11 kclass total_sim at _psig + election
 ]
 
 RUNNER = r"""
