@@ -302,3 +302,77 @@ def retrieval_metrics(results: DataFrame, gold: DataFrame, k: int = 10,
                                           F.lit(k)).cast("int")))
                .alias("ndcg_at_k")))
     return out
+
+
+def precision_recall_curve(df: DataFrame, label_col: str,
+                           score_col: str) -> DataFrame:
+    """The full precision/recall threshold sweep — one row per DISTINCT
+    score, scoring the rule "predict positive when score >= threshold":
+    ``(threshold, tp, fp, fn, precision, recall, f1)`` — how quality-
+    filter and judge-score thresholds actually get picked (ROC AUC
+    ranks models; this picks the operating point).  Thresholds descend
+    semantically (higher threshold ⇒ fewer predicted positives);
+    precision at the strictest threshold, recall at the loosest.
+    NULL label/score rows are excluded; ``f1`` is NULL when
+    ``precision + recall = 0``.
+
+    Scale: the :func:`roc_auc` shape — scores collapse to distinct
+    values (one map-side-combined groupBy), cumulative (tp, fp) come
+    from the frozen-boundary range partitioning + driver prefix
+    (never a global sort), and ``tp(threshold) = n_pos −
+    pos_strictly_below(threshold)`` turns the ASC prefix into the
+    DESC sweep without a second sort.  Output is distinct-score-sized.
+    """
+    from pyspark.sql import Window
+
+    for c in (label_col, score_col):
+        if c not in df.columns:
+            raise ValueError(f"missing column: {c!r}")
+    y = F.col(label_col).cast("boolean")
+    s = F.col(score_col).cast("double")
+    base = (df.where(y.isNotNull() & s.isNotNull())
+            .select(y.alias("__y"), s.alias("__s")))
+    per_s = (base.groupBy("__s")
+             .agg(F.count(F.lit(1)).cast("long").alias("__c"),
+                  F.sum(F.when(F.col("__y"), 1).otherwise(0))
+                  .cast("long").alias("__pos")))
+    spark = df.sparkSession
+    n_bk = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (per_s.repartitionByRange(n_bk, F.col("__s"))
+              .withColumn("__pid", F.spark_partition_id())
+              .localCheckpoint(eager=True))
+    part_tot = (ranged.groupBy("__pid")
+                .agg(F.sum("__c").alias("__tc"),
+                     F.sum("__pos").alias("__tp")).collect())
+    totals = {r["__pid"]: (r["__tc"], r["__tp"]) for r in part_tot}
+    prefix, acc_c, acc_p = [], 0, 0
+    for pid in sorted(totals):
+        prefix.append((pid, acc_c, acc_p))
+        acc_c += totals[pid][0]
+        acc_p += totals[pid][1]
+    n_all, n_pos = acc_c, acc_p
+    if not prefix:
+        prefix = [(0, 0, 0)]
+    pref_df = spark.createDataFrame(prefix,
+                                    "__pid int, __bc long, __bp long")
+    wp = (Window.partitionBy("__pid").orderBy("__s")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    staged = (ranged.join(F.broadcast(pref_df), "__pid")
+              .withColumn("__cb", F.col("__bc")
+                          + F.coalesce(F.sum("__c").over(wp),
+                                       F.lit(0).cast("long")))
+              .withColumn("__pb", F.col("__bp")
+                          + F.coalesce(F.sum("__pos").over(wp),
+                                       F.lit(0).cast("long"))))
+    tp = (F.lit(n_pos) - F.col("__pb")).cast("long")
+    predicted = (F.lit(n_all) - F.col("__cb")).cast("long")
+    fp = (predicted - tp).cast("long")
+    fn = (F.lit(n_pos) - tp).cast("long")
+    prec = F.when(predicted > 0, tp / predicted)
+    rec = F.when(F.lit(n_pos) > 0, tp / F.lit(float(n_pos)))
+    f1 = F.when(prec.isNotNull() & rec.isNotNull() & (prec + rec > 0),
+                2 * prec * rec / (prec + rec))
+    return staged.select(
+        F.col("__s").alias("threshold"), tp.alias("tp"),
+        fp.alias("fp"), fn.alias("fn"), prec.alias("precision"),
+        rec.alias("recall"), f1.alias("f1"))

@@ -2794,6 +2794,46 @@ FROM (
   FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL)
 GROUP BY b
 UNION ALL
+-- precision_recall_curve replay: same (label, score) construction as
+-- rauc; three deterministic reduction points, integers only —
+-- (tp, fp) at the STRICTEST threshold, at the strictest threshold
+-- whose recall >= 1/2 (tp >= fn, an integer comparison), and the
+-- distinct-threshold count
+SELECT 'prc', CAST(tag AS BIGINT),
+       CAST(v1 AS BIGINT), v2, 1
+FROM (
+  WITH prs AS (
+    SELECT s, count(*) AS c,
+           sum(CASE WHEN y THEN 1 ELSE 0 END) AS p
+    FROM (SELECT label = 0 AS y, embedding[1]::DOUBLE AS s
+          FROM embeddings
+          WHERE label IS NOT NULL AND embedding IS NOT NULL)
+    GROUP BY s),
+  ptot AS (SELECT CAST(sum(c) AS BIGINT) AS na,
+                  CAST(sum(p) AS BIGINT) AS np FROM prs),
+  pcum AS (
+    SELECT s,
+           coalesce(sum(c) OVER (ORDER BY s
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS cb,
+           coalesce(sum(p) OVER (ORDER BY s
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS pb
+    FROM prs),
+  pts AS (
+    SELECT s, CAST(np - pb AS BIGINT) AS tp,
+           CAST((na - cb) - (np - pb) AS BIGINT) AS fp,
+           CAST(pb AS BIGINT) AS fn
+    FROM pcum CROSS JOIN ptot)
+  SELECT 0 AS tag, tp * 1000000 + fp AS v1, {_psig('s')} AS v2
+  FROM pts QUALIFY row_number() OVER (ORDER BY s DESC) = 1
+  UNION ALL
+  SELECT 1, tp * 1000000 + fp, {_psig('s')}
+  FROM pts WHERE tp >= fn
+  QUALIFY row_number() OVER (ORDER BY s DESC) = 1
+  UNION ALL
+  SELECT 2, count(*), 'n' FROM pts)
+UNION ALL
 -- roc_auc replay: label = (class 0), score = first embedding element;
 -- the Mann-Whitney tie-averaged rank sum DOUBLED is an exact integer
 -- (2*before + c + 1 per tie block) and pins the AUC
@@ -2914,9 +2954,42 @@ def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce(F.col("first_hit_rank").cast("string"),
                                F.lit("none")).alias("sim_s"),
                     F.col("n_retrieved").cast("int").alias("rank")))
+    # 'prc' rows grade evaluation.precision_recall_curve — the three
+    # deterministic reduction points (strictest threshold, strictest
+    # recall>=1/2 threshold via the integer tp >= fn test, and the
+    # distinct-threshold count), integers + the threshold VALUE at 5
+    # sig digits (a stored datum, no cross-engine arithmetic)
+    from spark_df_profiling_spark.operators.evaluation import (
+        precision_recall_curve)
+    prc = precision_recall_curve(ra_df, "y", "s")
+    prc_red = prc.agg(
+        F.max_by(F.struct("tp", "fp", "threshold"),
+                 "threshold").alias("a"),
+        F.max_by(F.struct("tp", "fp", "threshold"),
+                 F.when(F.col("tp") >= F.col("fn"),
+                        F.col("threshold"))).alias("b"),
+        F.count(F.lit(1)).cast("long").alias("nthr"))
+    prow = prc_red.select(F.explode(F.array(
+        F.struct(F.lit("prc").alias("part"),
+                 F.lit(0).cast("long").alias("query_id"),
+                 (F.col("a.tp") * 1000000 + F.col("a.fp"))
+                 .cast("long").alias("neighbor_id"),
+                 sig(F.col("a.threshold")).alias("sim_s"),
+                 F.lit(1).alias("rank")),
+        F.struct(F.lit("prc").alias("part"),
+                 F.lit(1).cast("long").alias("query_id"),
+                 (F.col("b.tp") * 1000000 + F.col("b.fp"))
+                 .cast("long").alias("neighbor_id"),
+                 sig(F.col("b.threshold")).alias("sim_s"),
+                 F.lit(1).alias("rank")),
+        F.struct(F.lit("prc").alias("part"),
+                 F.lit(2).cast("long").alias("query_id"),
+                 F.col("nthr").alias("neighbor_id"),
+                 F.lit("n").alias("sim_s"),
+                 F.lit(1).alias("rank")))).alias("r")).select("r.*")
     return (knn.unionByName(mmr).unionByName(kcl).unionByName(lag)
             .unionByName(crep).unionByName(rauc).unionByName(calib)
-            .unionByName(rmet)
+            .unionByName(rmet).unionByName(prow)
             .orderBy("part", "query_id", "rank"))
 
 

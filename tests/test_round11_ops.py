@@ -677,3 +677,30 @@ def test_stateful_cusum_matches_batch_closed_form(spark, tmp_path):
     assert not any(r["is_change"] for (u, _), r in got.items() if u == 2)
     with pytest.raises(ValueError):
         stateful_cusum(stream, sd=0.0)
+
+
+def test_precision_recall_curve_matches_python(spark):
+    from spark_df_profiling_spark.operators.evaluation import (
+        precision_recall_curve)
+    rows = [(True, 0.9), (True, 0.8), (False, 0.8), (True, 0.4),
+            (False, 0.35), (False, 0.2), (True, 0.2),
+            (None, 0.5), (True, None)]                # excluded
+    df = spark.createDataFrame(rows, "y boolean, s double")
+    got = {r["threshold"]: r
+           for r in precision_recall_curve(df, "y", "s").collect()}
+    kept = [(y, s) for y, s in rows if y is not None and s is not None]
+    thresholds = sorted({s for _, s in kept})
+    assert set(got) == set(thresholds)
+    n_pos = sum(1 for y, _ in kept if y)
+    for t in thresholds:
+        tp = sum(1 for y, s in kept if y and s >= t)
+        fp = sum(1 for y, s in kept if not y and s >= t)
+        r = got[t]
+        assert (r["tp"], r["fp"], r["fn"]) == (tp, fp, n_pos - tp), t
+        assert r["precision"] == pytest.approx(tp / (tp + fp))
+        assert r["recall"] == pytest.approx(tp / n_pos)
+    # strictest threshold: perfect precision here; loosest: recall 1
+    assert got[0.9]["precision"] == 1.0
+    assert got[min(thresholds)]["recall"] == 1.0
+    with pytest.raises(ValueError):
+        precision_recall_curve(df, "y", "zzz")
