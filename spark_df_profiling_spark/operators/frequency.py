@@ -666,3 +666,54 @@ def missingness_patterns(df: DataFrame,
                     .alias("p_rows"))
             .orderBy(F.desc("n_rows"), "pattern")
             .limit(top_k))
+
+
+def windowed_topk(df: DataFrame, ts_col: str, value_col: str,
+                  window: float, k: int = 10,
+                  sub_partitions: int = 64) -> DataFrame:
+    """Trending values per time bucket — the top-``k`` most frequent
+    ``value_col`` values within every ``window``-sized tumbling bucket
+    of ``ts_col`` (numeric event time, the ``event_time_micros``
+    contract): "what's hot this hour" for feeds, query streams, error
+    codes, ingest sources.  Output one row per (bucket, rank):
+    ``(bucket, bucket_start, value, cnt, rank)`` with the
+    deterministic (count DESC, value ASC) tie order.
+
+    Scale: ONE (bucket, value) map-side-combined count groupBy, then
+    the :func:`topk_frequencies` two-phase rank — phase 1 within
+    ``(bucket, hash(value) % sub_partitions)`` so no task ever sees a
+    bucket's whole distinct-value set, phase 2 over the surviving
+    ``k·sub_partitions`` rows per bucket.  The bucket id stays in
+    INTEGER space (playbook rule 5).  Results are identical for any
+    ``sub_partitions`` (a value's full count lives in exactly one
+    phase-1 bucket); set 1 to disable.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    if window <= 0:
+        raise ValueError(f"window must be > 0: {window}")
+    for c in (ts_col, value_col):
+        if c not in df.columns:
+            raise ValueError(f"missing column: {c!r}")
+    t = F.col(ts_col).cast("double")
+    v = F.col(value_col)
+    bucket = F.floor(t / F.lit(float(window))).cast("long")
+    counts = (df.where(t.isNotNull() & v.isNotNull())
+              .groupBy(bucket.alias("bucket"),
+                       v.cast("string").alias("value"))
+              .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    salt = F.pmod(F.xxhash64(F.col("value")), F.lit(sub_partitions))
+    w_local = (Window.partitionBy("bucket", salt)
+               .orderBy(F.desc("cnt"), F.asc("value")))
+    w_global = (Window.partitionBy("bucket")
+                .orderBy(F.desc("cnt"), F.asc("value")))
+    return (counts
+            .withColumn("__r1", F.row_number().over(w_local))
+            .where(F.col("__r1") <= k)
+            .withColumn("rank", F.row_number().over(w_global))
+            .where(F.col("rank") <= k)
+            .select("bucket",
+                    (F.col("bucket") * F.lit(float(window)))
+                    .alias("bucket_start"),
+                    "value", "cnt", F.col("rank").cast("int")
+                    .alias("rank")))

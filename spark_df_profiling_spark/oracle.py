@@ -4946,6 +4946,27 @@ FROM (
   sz AS (SELECT c, n AS n0 FROM cnts WHERE off = 0)
   SELECT c, off, n, n0 FROM cnts JOIN sz USING (c))
 UNION ALL
+-- windowed_topk replay: top-3 users per 12h event-time bucket with
+-- the deterministic (count DESC, STRING value ASC) tie order — the
+-- operator casts values to string, so '10' < '9' lexicographically
+-- and the replay mirrors that exactly
+SELECT 'wtopk:' || CAST(b AS VARCHAR) || ':' || CAST(rk AS VARCHAR),
+       cnt, val, 'v'
+FROM (
+  SELECT b, val, cnt,
+         row_number() OVER (PARTITION BY b
+                            ORDER BY cnt DESC, val ASC) AS rk
+  FROM (
+    -- ONE division in the operator's exact spelling: a two-step
+    -- (/1e6 then /43200) can floor differently within 1 ulp of a
+    -- bucket boundary
+    SELECT CAST(floor((epoch_ns(ts) // 1000) / 43200000000.0)
+                AS BIGINT) AS b,
+           CAST(user_id AS VARCHAR) AS val, count(*) AS cnt
+    FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    GROUP BY 1, 2))
+WHERE rk <= 3
+UNION ALL
 -- cooccurrence_pairs replay: per-user distinct event-type baskets,
 -- pair supports + lift + jaccard from the identical margins
 SELECT 'cooc:' || ia || '~' || ib, nab,
@@ -5004,7 +5025,20 @@ def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n_ab").alias("cnt"),
                     sig(F.col("lift")).alias("mean_s"),
                     sig(F.col("jaccard")).alias("sum_s")))
-    return (slide.unionByName(ret).unionByName(cooc)
+    # 'wtopk:' rows grade frequency.windowed_topk — top-3 users per
+    # 12h bucket, exact counts, string-ASC tie order replayed
+    from spark_df_profiling_spark.operators.frequency import (
+        windowed_topk)
+    wtk = (windowed_topk(evm, "tus", "user_id",
+                         window=43200000000.0, k=3)
+           .select(F.concat(F.lit("wtopk:"),
+                            F.col("bucket").cast("string"),
+                            F.lit(":"),
+                            F.col("rank").cast("string")).alias("key"),
+                   F.col("cnt"),
+                   F.col("value").alias("mean_s"),
+                   F.lit("v").alias("sum_s")))
+    return (slide.unionByName(wtk).unionByName(ret).unionByName(cooc)
             .orderBy("key"))
 
 

@@ -43,6 +43,7 @@ TAGGED = {
 PREFIXED = {
     "stateful_user_totals": "key",
     "universal_documents": "column_name",
+    "sliding_window_events": "key",
 }
 
 SF = "/root/testdata/sf0.001"

@@ -704,3 +704,34 @@ def test_precision_recall_curve_matches_python(spark):
     assert got[min(thresholds)]["recall"] == 1.0
     with pytest.raises(ValueError):
         precision_recall_curve(df, "y", "zzz")
+
+
+def test_windowed_topk_matches_python(spark):
+    from spark_df_profiling_spark.operators.frequency import (
+        windowed_topk)
+    rows = ([(float(t), "a") for t in range(0, 50, 2)]     # 25 in b0..b4
+            + [(float(t), "b") for t in range(0, 30, 3)]   # 10
+            + [(5.0, "c"), (5.5, "c"), (6.0, "c"), (25.0, "c")]
+            + [(None, "x"), (7.0, None)])                  # excluded
+    df = spark.createDataFrame(rows, "ts double, v string")
+    got = {(r["bucket"], r["rank"]): r
+           for r in windowed_topk(df, "ts", "v", window=10.0,
+                                  k=2).collect()}
+    import collections
+    buckets = collections.defaultdict(collections.Counter)
+    for ts, v in rows:
+        if ts is not None and v is not None:
+            buckets[int(ts // 10)][v] += 1
+    for b, ctr in buckets.items():
+        ordered = sorted(ctr.items(), key=lambda kv: (-kv[1], kv[0]))
+        for i, (val, n) in enumerate(ordered[:2], start=1):
+            r = got[(b, i)]
+            assert (r["value"], r["cnt"]) == (val, n), (b, i)
+            assert r["bucket_start"] == b * 10.0
+    # sub_partitions invariance
+    one = {(r["bucket"], r["rank"]): (r["value"], r["cnt"])
+           for r in windowed_topk(df, "ts", "v", 10.0, k=2,
+                                  sub_partitions=1).collect()}
+    assert one == {kk: (r["value"], r["cnt"]) for kk, r in got.items()}
+    with pytest.raises(ValueError):
+        windowed_topk(df, "ts", "v", window=0.0)
