@@ -1552,3 +1552,84 @@ def log_rank_test(df: DataFrame, duration_col: str, event_col: str,
     return (per_g.crossJoin(F.broadcast(chi))
             .select(F.col("__g").alias(group_col), "n_subjects",
                     "observed", "expected", "chi2", "df"))
+
+
+def event_paths(df: DataFrame, ts_col: str, key_col: str,
+                event_col: str, depth: int = 3,
+                sep: str = ">") -> DataFrame:
+    """User-journey path analysis: each key's FIRST ``depth`` events in
+    ``ts_col`` order joined with ``sep`` (e.g. ``view>click>purchase``),
+    counted across keys — the onboarding/conversion flow readout that
+    funnels (fixed step set) can't give, because the paths themselves
+    are discovered.  One row per observed path: ``(path, n_keys,
+    path_len)`` — keys with fewer than ``depth`` events contribute
+    their shorter full path (``path_len`` disambiguates prefixes).
+    NULL key/ts/event rows are excluded.
+
+    Scale: one per-key window rank (rows beyond ``depth`` are dropped
+    BEFORE the fold), one per-key ``max_by``-ordered array fold, one
+    path groupBy — shuffles carry key- then path-sized frames.  Same
+    ordered-per-key bound as every ranked operator.
+    """
+    from pyspark.sql import Window
+
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1: {depth}")
+    for c in (ts_col, key_col, event_col):
+        if c not in df.columns:
+            raise ValueError(f"missing column: {c!r}")
+    t = F.col(ts_col).cast("double")
+    base = (df.where(t.isNotNull() & F.col(key_col).isNotNull()
+                     & F.col(event_col).isNotNull())
+            .select(F.col(key_col).alias("__k"), t.alias("__t"),
+                    F.col(event_col).cast("string").alias("__e")))
+    w = Window.partitionBy("__k").orderBy("__t")
+    ranked = (base.withColumn("__rn", F.row_number().over(w))
+              .where(F.col("__rn") <= depth))
+    per_key = (ranked.groupBy("__k")
+               .agg(F.concat_ws(sep, F.transform(
+                   F.array_sort(F.collect_list(
+                       F.struct(F.col("__rn"), F.col("__e")))),
+                   lambda s: s["__e"])).alias("path"),
+                   F.count(F.lit(1)).cast("int").alias("path_len")))
+    return (per_key.groupBy("path", "path_len")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_keys")))
+
+
+def transition_counts(df: DataFrame, ts_col: str, key_col: str,
+                      event_col: str) -> DataFrame:
+    """First-order Markov transition table over per-key event
+    sequences: for every consecutive pair (in ``ts_col`` order within
+    a key), ``(src, dst, cnt, src_total, prob)`` with
+    ``prob = cnt / src_total`` — behavioral-model inputs and the
+    synthetic-data QA check ("does generated traffic transition like
+    real traffic"; compare two tables with
+    :func:`~spark_df_profiling_spark.operators.drift.psi_report` on
+    the probs).  NULL key/ts/event rows are excluded; keys with one
+    event contribute nothing.
+
+    Scale: one per-key lag window + ONE (src, dst) map-side-combined
+    groupBy; ``src_total`` re-aggregates the pair frame (event-
+    vocabulary-sized), never the events.
+    """
+    from pyspark.sql import Window
+
+    for c in (ts_col, key_col, event_col):
+        if c not in df.columns:
+            raise ValueError(f"missing column: {c!r}")
+    t = F.col(ts_col).cast("double")
+    base = (df.where(t.isNotNull() & F.col(key_col).isNotNull()
+                     & F.col(event_col).isNotNull())
+            .select(F.col(key_col).alias("__k"), t.alias("__t"),
+                    F.col(event_col).cast("string").alias("__e")))
+    w = Window.partitionBy("__k").orderBy("__t")
+    pairs = (base.withColumn("__prev", F.lag("__e").over(w))
+             .where(F.col("__prev").isNotNull())
+             .groupBy(F.col("__prev").alias("src"),
+                      F.col("__e").alias("dst"))
+             .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    totals = (pairs.groupBy("src")
+              .agg(F.sum("cnt").cast("long").alias("src_total")))
+    return (pairs.join(totals, "src")
+            .select("src", "dst", "cnt", "src_total",
+                    (F.col("cnt") / F.col("src_total")).alias("prob")))

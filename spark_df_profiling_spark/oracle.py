@@ -4967,6 +4967,37 @@ FROM (
     GROUP BY 1, 2))
 WHERE rk <= 3
 UNION ALL
+-- event_paths replay: each user's first-3 event types in time order
+-- joined with '>', counted across users (short paths kept, length
+-- disambiguates prefixes)
+SELECT 'path:' || path || ':' || CAST(plen AS VARCHAR),
+       count(*), 'p', 'p'
+FROM (
+  SELECT string_agg(e, '>' ORDER BY rn) AS path, count(*) AS plen
+  FROM (
+    SELECT user_id AS k, event_type AS e,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY epoch_ns(ts)) AS rn
+    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      AND event_type IS NOT NULL)
+  WHERE rn <= 3 GROUP BY k)
+GROUP BY path, plen
+UNION ALL
+-- transition_counts replay: per-user lag pairs, (src, dst) counts +
+-- src totals — prob = cnt/src_total is their pure function
+SELECT 'trans:' || src || '>' || dst, cnt,
+       CAST(CAST(st AS BIGINT) AS VARCHAR), 't'
+FROM (
+  SELECT src, dst, count(*) AS cnt,
+         sum(count(*)) OVER (PARTITION BY src) AS st
+  FROM (
+    SELECT lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_ns(ts)) AS src,
+           event_type AS dst
+    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      AND event_type IS NOT NULL)
+  WHERE src IS NOT NULL GROUP BY src, dst)
+UNION ALL
 -- cooccurrence_pairs replay: per-user distinct event-type baskets,
 -- pair supports + lift + jaccard from the identical margins
 SELECT 'cooc:' || ia || '~' || ib, nab,
@@ -5038,7 +5069,30 @@ def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.col("cnt"),
                    F.col("value").alias("mean_s"),
                    F.lit("v").alias("sum_s")))
-    return (slide.unionByName(wtk).unionByName(ret).unionByName(cooc)
+    # 'path:'/'trans:' rows grade groupby.event_paths /
+    # groupby.transition_counts — journey paths and the Markov
+    # transition table over per-user event-type sequences, integers
+    from spark_df_profiling_spark.operators.groupby import (
+        event_paths, transition_counts)
+    evp = ev.select("user_id", event_time_micros(ev).alias("tus"),
+                    "event_type")
+    paths = (event_paths(evp, "tus", "user_id", "event_type", depth=3)
+             .select(F.concat(F.lit("path:"), F.col("path"),
+                              F.lit(":"),
+                              F.col("path_len").cast("string"))
+                     .alias("key"),
+                     F.col("n_keys").alias("cnt"),
+                     F.lit("p").alias("mean_s"),
+                     F.lit("p").alias("sum_s")))
+    trans = (transition_counts(evp, "tus", "user_id", "event_type")
+             .select(F.concat(F.lit("trans:"), F.col("src"),
+                              F.lit(">"), F.col("dst")).alias("key"),
+                     F.col("cnt"),
+                     F.col("src_total").cast("string")
+                     .alias("mean_s"),
+                     F.lit("t").alias("sum_s")))
+    return (slide.unionByName(wtk).unionByName(paths)
+            .unionByName(trans).unionByName(ret).unionByName(cooc)
             .orderBy("key"))
 
 

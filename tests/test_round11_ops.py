@@ -735,3 +735,42 @@ def test_windowed_topk_matches_python(spark):
     assert one == {kk: (r["value"], r["cnt"]) for kk, r in got.items()}
     with pytest.raises(ValueError):
         windowed_topk(df, "ts", "v", window=0.0)
+
+
+# ---------------------------------------------------------------------------
+# event_paths / transition_counts
+# ---------------------------------------------------------------------------
+def test_event_paths_matches_python(spark):
+    from spark_df_profiling_spark.operators.groupby import event_paths
+    rows = ([(1, 0.0, "view"), (1, 1.0, "click"), (1, 2.0, "buy"),
+             (1, 3.0, "view"),                 # beyond depth: ignored
+             (2, 0.0, "view"), (2, 1.0, "click"), (2, 2.0, "buy"),
+             (3, 0.0, "view"), (3, 1.0, "bounce"),   # short path
+             (4, 0.0, "view"),
+             (None, 0.0, "x"), (5, None, "x"), (5, 1.0, None)])
+    df = spark.createDataFrame(rows, "k long, ts double, e string")
+    got = {(r["path"], r["path_len"]): r["n_keys"]
+           for r in event_paths(df, "ts", "k", "e", depth=3).collect()}
+    assert got[("view>click>buy", 3)] == 2
+    assert got[("view>bounce", 2)] == 1
+    assert got[("view", 1)] == 1
+    assert len(got) == 3
+    with pytest.raises(ValueError):
+        event_paths(df, "ts", "k", "e", depth=0)
+
+
+def test_transition_counts_matches_python(spark):
+    from spark_df_profiling_spark.operators.groupby import (
+        transition_counts)
+    rows = [(1, 0.0, "a"), (1, 1.0, "b"), (1, 2.0, "a"), (1, 3.0, "b"),
+            (2, 0.0, "a"), (2, 1.0, "a"),
+            (3, 0.0, "c")]                       # single event: none
+    df = spark.createDataFrame(rows, "k long, ts double, e string")
+    got = {(r["src"], r["dst"]): r
+           for r in transition_counts(df, "ts", "k", "e").collect()}
+    assert got[("a", "b")]["cnt"] == 2
+    assert got[("b", "a")]["cnt"] == 1
+    assert got[("a", "a")]["cnt"] == 1
+    assert got[("a", "b")]["src_total"] == 3
+    assert got[("a", "b")]["prob"] == pytest.approx(2 / 3)
+    assert ("c", "c") not in got and len(got) == 3
