@@ -1446,13 +1446,18 @@ def binary_segmentation(df: DataFrame, ts_col: str, key_col: str,
             # makes it millions of rows; the join is keyed on
             # (__k, __seg) and AQE picks broadcast when it truly fits
             splits = best.select("__k", "__seg", "__cp")
+            # Relabel EVERY segment (unsplit -> seg*2, split children ->
+            # seg*2 / seg*2+1) so ids from the same iteration depth can
+            # never collide: keeping an unsplit seg 1 at id 1 while a
+            # split sibling seg 0 emits a right child at 0*2+1 = 1 would
+            # merge two unrelated segments and corrupt later iterations.
             base = (base.join(splits, ["__k", "__seg"], "left")
                     .withColumn(
                         "__seg",
-                        F.when(F.col("__cp").isNull(), F.col("__seg"))
-                        .otherwise(F.col("__seg") * 2
-                                   + F.when(F.col("__t") > F.col("__cp"),
-                                            1).otherwise(0)))
+                        F.col("__seg") * 2
+                        + F.when(F.col("__cp").isNotNull()
+                                 & (F.col("__t") > F.col("__cp")),
+                                 1).otherwise(0))
                     .drop("__cp")
                     .localCheckpoint())
     out = accepted[0]

@@ -450,6 +450,35 @@ def test_binary_segmentation_finds_planted_shifts(spark):
         binary_segmentation(df, "ts", "k", "v", max_changepoints=0)
 
 
+def test_binary_segmentation_no_segment_id_collision(spark):
+    """Regression (r12): when one segment splits in an iteration while a
+    SIBLING segment does not, the unsplit segment must be relabeled too
+    (seg*2) — otherwise unsplit seg 1 collides with split seg 0's right
+    child (0*2+1 = 1), iteration 3 searches a bogus merged segment, and
+    the iteration-1 changepoint is re-emitted as a duplicate accepted
+    split.  Levels 1x8 / 5x8 / 9x16: iteration 1 splits at ts=15 (the
+    long flat 9-block vs the rest), iteration 2 splits the LEFT child at
+    ts=7 while the right (all 9s, TSS=0) does not — the exact colliding
+    shape."""
+    from spark_df_profiling_spark.operators.groupby import (
+        binary_segmentation)
+    xs = ([1.0, 1.1, 0.9, 1.0, 1.05, 0.95, 1.0, 1.0]
+          + [5.0, 5.1, 4.9, 5.0, 5.05, 4.95, 5.0, 5.0]
+          + [9.0, 9.1, 8.9, 9.0, 9.05, 8.95, 9.0, 9.0] * 2)
+    df = spark.createDataFrame(
+        [("a", float(i), v) for i, v in enumerate(xs)],
+        "k string, ts double, v double")
+    out = binary_segmentation(df, "ts", "k", "v",
+                              max_changepoints=3, min_gain=0.5)
+    got = [(r["iteration"], r["cp_ts"]) for r in out.collect()]
+    cps = [ts for _, ts in got]
+    # no changepoint is ever accepted twice (the collision re-emitted
+    # cp_ts=15.0 in iteration 3 before the fix)
+    assert len(cps) == len(set(cps)), got
+    # exactly the two true level boundaries, nothing from iteration 3
+    assert sorted(cps) == [7.0, 15.0], got
+
+
 # ---------------------------------------------------------------------------
 # log_rank_test
 # ---------------------------------------------------------------------------
