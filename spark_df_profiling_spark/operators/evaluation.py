@@ -18,6 +18,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _shuffle_partitions(spark, fallback: int = 32) -> int:
+    """`spark.sql.shuffle.partitions` as an int, tolerating AQE-managed
+    environments where the conf holds a non-integer such as 'auto'
+    (ADVICE r11) — those pick their own shuffle sizing, so any sane
+    bucket count works for the frozen-boundary range partitioning."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions",
+                                  str(fallback)))
+    except (ValueError, TypeError):
+        return fallback
+
+
 def classification_report(df: DataFrame, label_col: str,
                           pred_col: str) -> DataFrame:
     """Per-class precision / recall / F1 / support from gold labels vs
@@ -115,7 +127,7 @@ def roc_auc(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
                   F.sum(F.when(F.col("__y"), 1).otherwise(0))
                   .cast("long").alias("__pos")))
     spark = df.sparkSession
-    n_bk = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_bk = _shuffle_partitions(spark)
     ranged = (per_s.repartitionByRange(n_bk, F.col("__s"))
               .withColumn("__pid", F.spark_partition_id())
               .localCheckpoint(eager=True))
@@ -230,8 +242,10 @@ def retrieval_metrics(results: DataFrame, gold: DataFrame, k: int = 10,
     ``recall_at_k``, ``first_hit_rank`` / ``reciprocal_rank`` (MRR =
     its mean), and binary-relevance ``ndcg_at_k``.  ``results`` rows
     are ``(query, doc, rank)`` (1-based, only ``rank <= k`` is
-    scored); ``gold`` rows are ``(query, doc)`` — duplicates are
-    de-duplicated, queries with NO gold row emit nothing (their
+    scored); ``gold`` rows are ``(query, doc)``.  Duplicates on BOTH
+    sides are de-duplicated (results keep the minimum rank per
+    (query, doc) — a duplicated hit must not double-count toward
+    precision or DCG); queries with NO gold row emit nothing (their
     metrics are undefined, not zero).  Output one row per gold-backed
     query: ``(query, n_gold, n_retrieved, hits, precision_at_k,
     recall_at_k, first_hit_rank, reciprocal_rank, ndcg_at_k)``.
@@ -261,7 +275,14 @@ def retrieval_metrics(results: DataFrame, gold: DataFrame, k: int = 10,
                   & F.col(doc_col).isNotNull())
            .select(F.col(query_col).alias("__q"),
                    F.col(doc_col).alias("__d"),
-                   F.col(rank_col).cast("long").alias("__r")))
+                   F.col(rank_col).cast("long").alias("__r"))
+           # dedupe the RESULTS side too (ADVICE r11): duplicate
+           # (query, doc) rows within rank<=k would double-count hits
+           # and DCG and push precision_at_k past 1 — keep the best
+           # (minimum) rank per pair; one groupBy on a top-k-sized
+           # frame
+           .groupBy("__q", "__d")
+           .agg(F.min("__r").alias("__r")))
     g = (gold.where(F.col(query_col).isNotNull()
                     & F.col(doc_col).isNotNull())
          .select(F.col(query_col).alias("__q"),
@@ -337,7 +358,7 @@ def precision_recall_curve(df: DataFrame, label_col: str,
                   F.sum(F.when(F.col("__y"), 1).otherwise(0))
                   .cast("long").alias("__pos")))
     spark = df.sparkSession
-    n_bk = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_bk = _shuffle_partitions(spark)
     ranged = (per_s.repartitionByRange(n_bk, F.col("__s"))
               .withColumn("__pid", F.spark_partition_id())
               .localCheckpoint(eager=True))

@@ -16,6 +16,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _batch_sorted(pdfs, ts_col: str):
+    """Concatenate a stateful group's Arrow chunks and sort ONCE by
+    event time (ADVICE r11): a key whose micro-batch spans multiple
+    Arrow chunks (> ``spark.sql.execution.arrow.maxRecordsPerBatch``,
+    default 10k rows) must NOT fold chunk-by-chunk — per-chunk sorting
+    interleaves out-of-order events into order-sensitive EWMA/CUSUM/
+    Welford state.  Peak memory is the key's rows for THIS micro-batch
+    (the same data the fold already walks), not lifetime history."""
+    import pandas as pd
+
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if not chunks:
+        return None
+    pdf = (chunks[0] if len(chunks) == 1
+           else pd.concat(chunks, ignore_index=True))
+    return pdf.sort_values(ts_col, kind="stable")
+
+
 def windowed_stats_exprs(value_col: str) -> list:
     """Streaming-safe statistics (no percentile/distinct state blowup:
     approx_count_distinct is sketch-mergeable and streaming-legal)."""
@@ -411,8 +429,8 @@ def stateful_anomaly(stream_df: DataFrame, key_col: str = "user_id",
     def update(key, pdfs, state: GroupState):
         n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
         ts_out, vals, nb, zs, flags = [], [], [], [], []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col)
+        pdf = _batch_sorted(pdfs, ts_col)
+        if pdf is not None:
             for t, v in zip(pdf[ts_col], pdf[value_col]):
                 v = float(v)
                 z = None
@@ -511,8 +529,8 @@ def stateful_ewma(stream_df: DataFrame, key_col: str = "user_id",
     def update(key, pdfs, state: GroupState):
         n, e = state.get if state.exists else (0, 0.0)
         ts_out, vals, ns, es = [], [], [], []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col)
+        pdf = _batch_sorted(pdfs, ts_col)
+        if pdf is not None:
             for t, v in zip(pdf[ts_col], pdf[value_col]):
                 v = float(v)
                 e = v if n == 0 else alpha * v + (1.0 - alpha) * e
@@ -606,8 +624,8 @@ def stateful_cusum(stream_df: DataFrame, key_col: str = "user_id",
     def update(key, pdfs, state: GroupState):
         n, up, dn = state.get if state.exists else (0, 0.0, 0.0)
         ts_out, vals, ns, ups, dns, flags = [], [], [], [], [], []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col)
+        pdf = _batch_sorted(pdfs, ts_col)
+        if pdf is not None:
             for t, v in zip(pdf[ts_col], pdf[value_col]):
                 v = float(v)
                 z = (v - target) / sd

@@ -355,6 +355,39 @@ def test_stateful_ewma_matches_batch_closed_form(spark, tmp_path):
         stateful_ewma(s2, alpha=0.0)
 
 
+def test_stateful_ewma_orders_across_arrow_chunks(spark, tmp_path):
+    """Regression (ADVICE r11): a key whose micro-batch spans multiple
+    Arrow chunks (> arrow.maxRecordsPerBatch) must fold in GLOBAL
+    event-time order, not per-chunk order.  Events are written in
+    REVERSE time order with maxRecordsPerBatch=4, so per-chunk sorting
+    folds [t8..t11], [t4..t7], [t0..t3] — a different EWMA than the
+    batch closed form."""
+    from spark_df_profiling_spark.streaming import (
+        run_stream_to_memory, stateful_ewma)
+    from spark_df_profiling_spark.operators.groupby import ewma
+    rows = [(1, i * 10, float(7 + 13 * i % 9)) for i in range(11, -1, -1)]
+    df = spark.createDataFrame(rows, "user_id long, tus long, value double")
+    path = str(tmp_path / "ev_sewma_chunks")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
+    try:
+        stream = spark.readStream.schema(df.schema).parquet(path)
+        out = stateful_ewma(stream, "user_id", "tus", "value", alpha=0.3)
+        run_stream_to_memory(out, "sewma_chunk_out", output_mode="update")
+        got = {int(r["tus"]): r["ewma"]
+               for r in spark.table("sewma_chunk_out").collect()}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    batch = {int(r["tus"]): r["ewma"]
+             for r in ewma(df.withColumn("tus",
+                                         F.col("tus").cast("double")),
+                           "tus", "user_id", "value", alpha=0.3).collect()}
+    assert set(got) == set(batch)
+    for t in got:
+        assert got[t] == pytest.approx(batch[t], rel=1e-12), t
+
+
 # ---------------------------------------------------------------------------
 # kaplan_meier
 # ---------------------------------------------------------------------------
@@ -669,6 +702,48 @@ def test_retrieval_metrics_matches_python(spark):
     assert r4["n_retrieved"] == 0 and r4["recall_at_k"] == 0.0
     with pytest.raises(ValueError):
         retrieval_metrics(results, gold, k=0)
+
+
+def test_retrieval_metrics_dedupes_results_side(spark):
+    """Regression (ADVICE r11): duplicate (query, doc) result rows
+    within rank<=k must not double-count hits/DCG or push
+    precision_at_k past 1 — dedupe keeping the minimum rank."""
+    import math
+    from spark_df_profiling_spark.operators.evaluation import (
+        retrieval_metrics)
+    results = spark.createDataFrame(
+        [(1, 10, 3), (1, 10, 1), (1, 10, 2),   # same doc 3x
+         (1, 11, 2)],
+        "query_id long, neighbor_id long, rank long")
+    gold = spark.createDataFrame(
+        [(1, 10)], "query_id long, neighbor_id long")
+    r = retrieval_metrics(results, gold, k=3).collect()[0]
+    # one gold doc, retrieved once after dedup: hits can never exceed
+    # n_gold, precision counts the doc once, DCG uses the BEST rank
+    assert (r["n_gold"], r["n_retrieved"], r["hits"]) == (1, 2, 1)
+    assert r["precision_at_k"] == pytest.approx(1 / 3)
+    assert r["recall_at_k"] == pytest.approx(1.0)
+    assert r["first_hit_rank"] == 1
+    assert r["ndcg_at_k"] == pytest.approx(1.0)  # hit at rank 1 = ideal
+
+
+def test_shuffle_partitions_conf_tolerates_auto(spark):
+    """Regression (ADVICE r11): roc_auc/precision_recall_curve read
+    spark.sql.shuffle.partitions as int; AQE-managed environments can
+    hold 'auto' there — fall back instead of raising ValueError."""
+    from spark_df_profiling_spark.operators.evaluation import (
+        _shuffle_partitions)
+
+    class FakeConf:
+        def get(self, k, d=None):
+            return "auto"
+
+    class FakeSpark:
+        conf = FakeConf()
+
+    assert _shuffle_partitions(FakeSpark()) == 32
+    assert _shuffle_partitions(spark) == int(
+        spark.conf.get("spark.sql.shuffle.partitions"))
 
 
 # ---------------------------------------------------------------------------
