@@ -1275,11 +1275,22 @@ def kaplan_meier(df: DataFrame, duration_col: str, event_col: str,
     Scale: ONE groupBy collapses subjects to per-(group, duration)
     counts — every later step operates on distinct-time rows, not
     subjects; ``n_risk`` is total minus an exclusive prefix sum and
-    the product telescopes as ``exp(Σ ln(1 − d/n))`` — two expanding
-    window passes over the per-time frame (the cusum closed-form
-    pattern), no sequential scan, no UDF.  Rows with NULL duration or
-    event are excluded; ``survival`` carries forward over censored-
-    only times (those contribute ln(1) = 0 — the standard estimator).
+    the product telescopes as ``exp(Σ ln(1 − d/n))`` — expanding
+    prefix passes over the per-time frame (the cusum closed-form
+    pattern), no sequential scan, no UDF.  Grouped curves window
+    WITHIN each group's partition; the KEYLESS mode must not window
+    over ``lit(1)`` (with CONTINUOUS durations the distinct-time frame
+    is row-sized and one task would get all of it — VERDICT r11 #1),
+    so it uses the :func:`~spark_df_profiling_spark.operators.
+    evaluation.roc_auc` frozen-boundary protocol instead:
+    ``repartitionByRange`` on duration + ``localCheckpoint`` (freezes
+    sampled boundaries), per-partition totals prefix-combined on the
+    DRIVER (O(#partitions) scalars), in-partition windows for the
+    running sums — two driver passes (risk counts, then log-terms +
+    extinction flags) over the same frozen partitions.  Rows with
+    NULL duration or event are excluded; ``survival`` carries forward
+    over censored-only times (those contribute ln(1) = 0 — the
+    standard estimator).
     """
     from pyspark.sql import Window
 
@@ -1299,18 +1310,6 @@ def kaplan_meier(df: DataFrame, duration_col: str, event_col: str,
                   .cast("long").alias("n_events"),
                   F.sum(F.when(F.col("__e"), 0).otherwise(1))
                   .cast("long").alias("n_censored")))
-    ws = Window.partitionBy(*g).orderBy("__t") if g else \
-        Window.partitionBy(F.lit(1)).orderBy("__t")
-    w_prev = ws.rowsBetween(Window.unboundedPreceding, -1)
-    w_run = ws.rowsBetween(Window.unboundedPreceding, 0)
-    w_all = ws.rowsBetween(Window.unboundedPreceding,
-                           Window.unboundedFollowing)
-    total = F.sum(F.col("n_events") + F.col("n_censored")).over(w_all)
-    left_before = F.coalesce(
-        F.sum(F.col("n_events") + F.col("n_censored")).over(w_prev),
-        F.lit(0).cast("long"))
-    staged = per_t.withColumn("n_risk",
-                              (total - left_before).cast("long"))
     # ln(1 - d/n) is 0 at censored-only times.  d == n_risk (everyone
     # left dies) would be ln(0) — and Spark's log() returns NULL for
     # non-positive input (NOT -inf), which a window SUM would silently
@@ -1321,15 +1320,87 @@ def kaplan_meier(df: DataFrame, duration_col: str, event_col: str,
                   F.log(F.lit(1.0) - F.col("n_events")
                         / F.col("n_risk").cast("double"))) \
             .otherwise(F.lit(0.0))
-    out = (staged
-           .withColumn("__ext", F.max(extinct).over(w_run))
-           .withColumn("survival",
-                       F.when(F.col("__ext"), F.lit(0.0))
-                       .otherwise(F.exp(F.sum(term).over(w_run)))))
-    cols = ([F.col(group_col)] if group_col else []) + [
+    out_cols = ([F.col(group_col)] if group_col else []) + [
         F.col("__t").alias(duration_col), "n_risk", "n_events",
         "n_censored", "survival"]
-    return out.select(*cols)
+
+    if g:
+        ws = Window.partitionBy(*g).orderBy("__t")
+        w_prev = ws.rowsBetween(Window.unboundedPreceding, -1)
+        w_run = ws.rowsBetween(Window.unboundedPreceding, 0)
+        w_all = ws.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)
+        total = F.sum(F.col("n_events")
+                      + F.col("n_censored")).over(w_all)
+        left_before = F.coalesce(
+            F.sum(F.col("n_events") + F.col("n_censored")).over(w_prev),
+            F.lit(0).cast("long"))
+        staged = per_t.withColumn("n_risk",
+                                  (total - left_before).cast("long"))
+        out = (staged
+               .withColumn("__ext", F.max(extinct).over(w_run))
+               .withColumn("survival",
+                           F.when(F.col("__ext"), F.lit(0.0))
+                           .otherwise(F.exp(F.sum(term).over(w_run)))))
+        return out.select(*out_cols)
+
+    # keyless: frozen-boundary distributed prefix, never lit(1)
+    spark = df.sparkSession
+    from spark_df_profiling_spark.operators.evaluation import (
+        _shuffle_partitions)
+    n_bk = _shuffle_partitions(spark)
+    ranged = (per_t.repartitionByRange(n_bk, F.col("__t"))
+              .withColumn("__pid", F.spark_partition_id())
+              .localCheckpoint(eager=True))
+    wp = Window.partitionBy("__pid").orderBy("__t")
+    w_prev = wp.rowsBetween(Window.unboundedPreceding, -1)
+    w_run = wp.rowsBetween(Window.unboundedPreceding, 0)
+    # pass 1: subject-count prefix -> n_risk
+    tot = {r["__pid"]: r["__n"] for r in
+           ranged.groupBy("__pid")
+           .agg(F.sum(F.col("n_events") + F.col("n_censored"))
+                .alias("__n")).collect()}
+    prefix, acc = [], 0
+    for pid in sorted(tot):
+        prefix.append((pid, acc))
+        acc += tot[pid] or 0
+    total_n = acc
+    if not prefix:
+        prefix = [(0, 0)]
+    pref1 = spark.createDataFrame(prefix, "__pid int, __b long")
+    staged = (ranged.join(F.broadcast(pref1), "__pid")
+              .withColumn(
+                  "n_risk",
+                  (F.lit(total_n) - F.col("__b") - F.coalesce(
+                      F.sum(F.col("n_events")
+                            + F.col("n_censored")).over(w_prev),
+                      F.lit(0).cast("long"))).cast("long"))
+              .withColumn("__x", extinct)
+              .withColumn("__tm", term))
+    # pass 2 (same frozen partitions): log-term prefix + extinction OR
+    info = {r["__pid"]: (r["__s"], r["__m"]) for r in
+            staged.groupBy("__pid")
+            .agg(F.sum("__tm").alias("__s"),
+                 F.max(F.when(F.col("__x"), 1).otherwise(0))
+                 .alias("__m")).collect()}
+    pre2, sacc, xacc = [], 0.0, False
+    for pid in sorted(info):
+        pre2.append((pid, sacc, xacc))
+        s, m = info[pid]
+        sacc += s or 0.0
+        xacc = xacc or bool(m)
+    if not pre2:
+        pre2 = [(0, 0.0, False)]
+    pref2 = spark.createDataFrame(pre2,
+                                  "__pid int, __ps double, __px boolean")
+    ext_here = (F.max(F.when(F.col("__x"), 1).otherwise(0))
+                .over(w_run) == 1)
+    out = (staged.join(F.broadcast(pref2), "__pid")
+           .withColumn("survival",
+                       F.when(F.col("__px") | ext_here, F.lit(0.0))
+                       .otherwise(F.exp(F.col("__ps")
+                                        + F.sum("__tm").over(w_run)))))
+    return out.select(*out_cols)
 
 
 def binary_segmentation(df: DataFrame, ts_col: str, key_col: str,

@@ -438,6 +438,36 @@ def test_kaplan_meier_matches_python(spark):
         kaplan_meier(df, "t", "nope")
 
 
+def test_kaplan_meier_keyless_no_single_partition_window(spark):
+    """VERDICT r11 #1: the keyless mode must never window over lit(1) —
+    with continuous durations the distinct-time frame is row-sized and
+    a single task would get all of it.  Every window in the executed
+    plan must be partitioned by __pid (the frozen-boundary protocol)."""
+    import re
+    from spark_df_profiling_spark.operators.groupby import kaplan_meier
+    df = spark.createDataFrame(
+        [(float(i) + 0.5 / (i + 1), i % 3 != 0) for i in range(200)],
+        "t double, e boolean")
+    out = kaplan_meier(df, "t", "e")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for m in re.finditer(r"Window \[", plan):
+        seg = plan[m.start():m.start() + 400]
+        assert "__pid" in seg, f"unpartitioned window: {seg[:120]}"
+    # and the protocol result still equals the estimator: all-distinct
+    # durations, mixed censoring — survival at the last event time
+    rows = sorted(out.collect(), key=lambda r: r["t"])
+    surv = 1.0
+    n = 200
+    for r in rows:
+        assert r["n_risk"] == n, (r, n)
+        if r["n_events"] > 0 and r["n_events"] < r["n_risk"]:
+            surv *= 1.0 - r["n_events"] / r["n_risk"]
+        elif r["n_events"] == r["n_risk"]:
+            surv = 0.0
+        assert r["survival"] == pytest.approx(surv, rel=1e-9), r
+        n -= r["n_events"] + r["n_censored"]
+
+
 # ---------------------------------------------------------------------------
 # binary_segmentation
 # ---------------------------------------------------------------------------

@@ -1930,8 +1930,37 @@ def r11d_main() -> None:
           f"{row[3]:.4f}), {time.time() - t0:.1f}s", flush=True)
 
 
+def r12_main() -> None:
+    """Keyless kaplan_meier at 10M subjects with ALL-DISTINCT
+    continuous durations (VERDICT r11 #1's stress: the distinct-time
+    frame IS the row count, which the old partitionBy(lit(1)) window
+    funneled through one task; the frozen-boundary protocol must not)."""
+    spark = (SparkSession.builder.master("local[32]")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory", "32g")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    from spark_df_profiling_spark.operators.groupby import kaplan_meier
+    subj = spark.range(10_000_000).select(
+        (F.col("id").cast("double")
+         + F.pmod(F.xxhash64("id"), F.lit(1000)) / 1000.0).alias("t"),
+        (F.pmod(F.xxhash64("id", F.lit(5)), F.lit(10)) < 7)
+        .alias("ev"))
+    t0 = time.time()
+    row = (kaplan_meier(subj, "t", "ev")
+           .agg(F.count(F.lit(1)), F.min("survival"),
+                F.max("n_risk")).collect()[0])
+    print(f"kaplan_meier KEYLESS 10M subjects, all-distinct "
+          f"durations: {row[0]} curve rows, min S {row[1]:.2e}, "
+          f"max n_risk {row[2]}, {time.time() - t0:.1f}s", flush=True)
+
+
 if __name__ == "__main__":
-    if "r11g" in sys.argv:
+    if "r12" in sys.argv:
+        r12_main()
+    elif "r11g" in sys.argv:
         r11g_main()
     elif "r11f" in sys.argv:
         r11f_main()
