@@ -2727,6 +2727,42 @@ FROM (
     GROUP BY qid, own.label)
   GROUP BY lab)
 UNION ALL
+-- label_agreement_stats SAMPLED audit replay (audit_sample_k=50):
+-- screened rows = the deterministic md5-rank-first 50 vec_ids (the
+-- hash_bucket recipe), voters = the FULL corpus; same integers
+SELECT 'lagrs', CAST(lab AS BIGINT), CAST(hits AS BIGINT),
+       CAST(nsus AS VARCHAR), CAST(nl AS INT)
+FROM (
+  SELECT lab, sum(h) AS hits,
+         sum(CASE WHEN h <= 4 THEN 1 ELSE 0 END) AS nsus,
+         count(*) AS nl
+  FROM (
+    SELECT own.label AS lab,
+           sum(CASE WHEN nb.label = own.label THEN 1 ELSE 0 END) AS h
+    FROM (
+      SELECT a.vec_id AS qid, b.vec_id AS nid,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY list_dot_product(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                          a.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[])))
+                 DESC, b.vec_id) AS rnk
+      FROM (SELECT vec_id, embedding FROM embeddings
+            WHERE label IS NOT NULL
+            ORDER BY ('0x' || substr(md5(vec_id::VARCHAR || ':0'),
+                                     1, 15))::BIGINT % 1000000,
+                     vec_id
+            LIMIT 50) a
+      JOIN embeddings b ON a.vec_id != b.vec_id)
+    JOIN embeddings own ON own.vec_id = qid
+    JOIN embeddings nb ON nb.vec_id = nid
+    WHERE rnk <= 10
+    GROUP BY qid, own.label)
+  GROUP BY lab)
+UNION ALL
 -- classification_report replay: gold = label, pred = a deterministic
 -- perturbation (every 7th id shifts one class) — per-class confusion
 -- integers (support, n_predicted, tp); precision/recall/F1/accuracy
@@ -2892,6 +2928,17 @@ def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .cast("long").alias("neighbor_id"),
                    F.col("n_suspect").cast("string").alias("sim_s"),
                    F.col("n").cast("int").alias("rank")))
+    # 'lagrs' rows grade the SAMPLED audit mode (audit_sample_k=50):
+    # screened rows = the deterministic md5-rank-first 50 vec_ids,
+    # voters = the full corpus; same exact-integer reduction
+    lagrs = (label_agreement_stats(e, k=10, suspect_below=0.5,
+                                   audit_sample_k=50)
+             .select(F.lit("lagrs").alias("part"),
+                     F.col("label").cast("long").alias("query_id"),
+                     F.round(F.col("avg_agreement") * F.col("n") * 10)
+                     .cast("long").alias("neighbor_id"),
+                     F.col("n_suspect").cast("string").alias("sim_s"),
+                     F.col("n").cast("int").alias("rank")))
     # 'crep' rows grade evaluation.classification_report — gold vs a
     # deterministic perturbation; per-class confusion integers
     from spark_df_profiling_spark.operators.evaluation import (
@@ -2988,6 +3035,7 @@ def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.lit("n").alias("sim_s"),
                  F.lit(1).alias("rank")))).alias("r")).select("r.*")
     return (knn.unionByName(mmr).unionByName(kcl).unionByName(lag)
+            .unionByName(lagrs)
             .unionByName(crep).unionByName(rauc).unionByName(calib)
             .unionByName(rmet).unionByName(prow)
             .orderBy("part", "query_id", "rank"))

@@ -272,6 +272,49 @@ def test_label_agreement_flags_planted_mislabel(spark):
         label_agreement_stats(df, suspect_below=1.5)
 
 
+def test_label_agreement_sampled_audit(spark):
+    """The audit_sample_k scale mode (VERDICT r11 #3): screen a
+    deterministic md5-rank sample against the FULL corpus.  With
+    audit_sample_k >= n it must equal the exact audit; with a smaller
+    sample it must equal the exact per-row agreements restricted to
+    exactly the md5-sampled rows."""
+    from spark_df_profiling_spark.operators.sampling import hash_bucket
+    from spark_df_profiling_spark.operators.similarity import (
+        label_agreement_stats)
+    rows = ([(i, [1.0 + i * 0.01, 0.0], 0) for i in range(8)]
+            + [(10 + i, [0.0, 1.0 + i * 0.01], 1) for i in range(8)]
+            + [(99, [1.0, 0.03], 1)])                 # mislabeled
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+
+    def as_dict(frame):
+        return {r["label"]: (r["n"], round(r["avg_agreement"], 9),
+                             r["n_suspect"])
+                for r in frame.collect()}
+
+    full = as_dict(label_agreement_stats(df, k=5))
+    # sample >= n: identical to the exact audit
+    assert as_dict(label_agreement_stats(
+        df, k=5, audit_sample_k=100)) == full
+    # small sample: rows screened are exactly the md5-rank-first 6;
+    # voters are still ALL rows — check per-class n matches the sample
+    sampled = label_agreement_stats(df, k=5, audit_sample_k=6)
+    want_ids = [r["vec_id"] for r in df
+                .orderBy(hash_bucket(F.col("vec_id"), 0).asc(),
+                         F.col("vec_id").asc())
+                .limit(6).collect()]
+    by_label = {}
+    for r in df.where(F.col("vec_id").isin(want_ids)).collect():
+        by_label[r["label"]] = by_label.get(r["label"], 0) + 1
+    got_n = {r["label"]: r["n"] for r in sampled.collect()}
+    assert got_n == by_label
+    # determinism: same sample both runs
+    assert as_dict(sampled) == as_dict(
+        label_agreement_stats(df, k=5, audit_sample_k=6))
+    with pytest.raises(ValueError):
+        label_agreement_stats(df, audit_sample_k=0)
+
+
 # ---------------------------------------------------------------------------
 # ngram_novelty
 # ---------------------------------------------------------------------------

@@ -1957,8 +1957,59 @@ def r12_main() -> None:
           f"max n_risk {row[2]}, {time.time() - t0:.1f}s", flush=True)
 
 
+def r12b_main() -> None:
+    """Sampled label-agreement audit at 200k x 64d (VERDICT r11 #3):
+    the exact audit is O(n^2 d) — 340s at just 20k; the audit_sample_k
+    mode screens a deterministic md5 sample against the FULL corpus.
+    Planted structure: 2000 tight clusters, label = cluster id % 100,
+    so same-cluster neighbors agree; 1-in-50 rows get a flipped label
+    (planted mislabels the audit should surface as suspects)."""
+    spark = (SparkSession.builder.master("local[32]")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory", "32g")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    from spark_df_profiling_spark.operators.similarity import (
+        label_agreement_stats)
+    d = 64
+    base = spark.range(200_000).select(
+        F.col("id").alias("vec_id"),
+        F.pmod(F.xxhash64("id"), F.lit(2000)).alias("__c"),
+        (F.pmod(F.xxhash64("id", F.lit(7)), F.lit(50)) == 0)
+        .alias("__flip"))
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(d - 1)),
+        lambda i: (F.pmod(F.xxhash64(F.col("__c").cast("string"),
+                                     i.cast("string")), F.lit(1000))
+                   / 1000.0
+                   + F.pmod(F.xxhash64(F.col("vec_id").cast("string"),
+                                       i.cast("string")), F.lit(100))
+                   / 5000.0))
+    corpus = base.select(
+        "vec_id", vec.alias("embedding"),
+        F.when(F.col("__flip"),
+               F.pmod(F.col("__c") + 1, F.lit(100)))
+        .otherwise(F.pmod(F.col("__c"), F.lit(100)))
+        .cast("int").alias("label")).localCheckpoint()
+    t0 = time.time()
+    rows = label_agreement_stats(corpus, k=10,
+                                 audit_sample_k=100).collect()
+    n = sum(r["n"] for r in rows)
+    nsus = sum(r["n_suspect"] for r in rows)
+    agree = sum(r["avg_agreement"] * r["n"] for r in rows) / n
+    print(f"label_agreement SAMPLED audit, 200k x 64d corpus, "
+          f"audit_sample_k=100: {n} screened across {len(rows)} "
+          f"labels, mean agreement {agree:.3f}, {nsus} suspects "
+          f"(~2% planted mislabels), {time.time() - t0:.1f}s",
+          flush=True)
+
+
 if __name__ == "__main__":
-    if "r12" in sys.argv:
+    if "r12b" in sys.argv:
+        r12b_main()
+    elif "r12" in sys.argv:
         r12_main()
     elif "r11g" in sys.argv:
         r11g_main()
