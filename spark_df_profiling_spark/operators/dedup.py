@@ -1577,3 +1577,88 @@ def ngram_novelty(df: DataFrame, text_col: str = "text",
                     F.when(F.col("n_ngrams") > 0,
                            F.lit(1.0) - F.col("n_shared")
                            / F.col("n_ngrams")).alias("novelty")))
+
+
+def exact_substring_spans(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", n: int = 20,
+                          min_count: int = 2,
+                          cross_doc: bool = False) -> DataFrame:
+    """Exact-substring dedup spans (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): find every maximal
+    run of tokens whose length-``n`` token windows ALL repeat elsewhere
+    in the corpus, and emit it as a per-document removable span — the
+    remaining standard LLM-corpus dedup level between doc-level
+    (:func:`exact_dedup` / :func:`minhash_candidates`) and line-level
+    (:func:`line_dedup`): long quotes, licenses, templates, and lifted
+    paragraphs that cross line boundaries and don't dominate the doc.
+
+    Token-quantized equivalent of the paper's suffix-array ExactSubstr:
+    every positional word ``n``-gram is hashed; a gram occurring
+    ``min_count``+ times in the corpus (``cross_doc=True``: in
+    ``min_count``+ DISTINCT documents — within-doc repetition then
+    doesn't qualify) is a repeated anchor, and overlapping/adjacent
+    flagged windows merge into maximal spans (gaps-and-islands).  Any
+    repeated token run of length >= n is found exactly; boundaries are
+    token-resolution, and two distinct repeats that overlap in a doc
+    merge into one span (union semantics — correct for REMOVAL, the
+    operator's purpose).  One row per span: ``(id, span_start,
+    span_end, n_grams)`` — token positions, end EXCLUSIVE, under
+    :func:`shingle_expr`'s normalization (lowercase, ``\\s+`` split).
+    Docs with no repeated span emit nothing.
+
+    Scale: positional grams travel as ``(id, int pos, xxhash64)`` —
+    corpus-token-sized but 20 bytes/row; gram counts pre-combine
+    map-side; the flag-back join's build side is one row per distinct
+    REPEATED gram (a boilerplate gram shared by millions of docs lands
+    its probe rows per-doc — AQE skew-join splits the hot hash, the
+    :func:`ngram_novelty` note).  The island merge windows only over
+    FLAGGED positions per doc (the ordered-per-doc bound).  A hash
+    collision can over-flag one gram pair per 2^64.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1: {n}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2: {min_count}")
+    for c in (text_col, id_col):
+        if c not in df.columns:
+            raise ValueError(f"missing column: {c!r}")
+    from pyspark.sql import Window
+
+    pos_grams = F.expr(f"""
+        element_at(transform(array(split(lower(`{text_col}`),
+                                         '\\\\s+')),
+            toks -> CASE WHEN size(toks) >= {n} THEN
+                transform(sequence(0, size(toks) - {n}),
+                    i -> struct(i AS pos,
+                                xxhash64(concat_ws(' ',
+                                    slice(toks, i + 1, {n}))) AS h))
+            ELSE array() END), 1)""")
+    g = (df.where(F.col(id_col).isNotNull()
+                  & F.col(text_col).isNotNull())
+         .select(F.col(id_col), F.explode(pos_grams).alias("__pg"))
+         .select(id_col, F.col("__pg.pos").alias("__p"),
+                 F.col("__pg.h").alias("__h")))
+    if cross_doc:
+        rep = (g.select(id_col, "__h").distinct()
+               .groupBy("__h")
+               .agg(F.count(F.lit(1)).alias("__c"))
+               .where(F.col("__c") >= min_count).select("__h"))
+    else:
+        rep = (g.groupBy("__h")
+               .agg(F.count(F.lit(1)).alias("__c"))
+               .where(F.col("__c") >= min_count).select("__h"))
+    flagged = g.join(rep, "__h").select(id_col, "__p")
+    w = Window.partitionBy(id_col).orderBy("__p")
+    # new island when the previous flagged window can't touch this one:
+    # [prev, prev+n) and [p, p+n) overlap or abut iff p - prev <= n
+    new_isl = F.when(
+        F.lag("__p").over(w).isNull()
+        | (F.col("__p") - F.lag("__p").over(w) > n), 1).otherwise(0)
+    spans = (flagged
+             .withColumn("__isl", F.sum(new_isl).over(
+                 w.rowsBetween(Window.unboundedPreceding, 0)))
+             .groupBy(id_col, "__isl")
+             .agg(F.min("__p").cast("long").alias("span_start"),
+                  (F.max("__p") + n).cast("long").alias("span_end"),
+                  F.count(F.lit(1)).cast("long").alias("n_grams")))
+    return spans.select(id_col, "span_start", "span_end", "n_grams")

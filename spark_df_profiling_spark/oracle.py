@@ -2113,6 +2113,68 @@ def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Dedup: exact-substring spans (Lee et al. 2022 — cross-line repeats)
+# ---------------------------------------------------------------------------
+_XSPAN_SHARED = ("alpha beta gamma delta epsilon zeta eta theta "
+                 "iota kappa lambda mu")
+
+
+@query("substring_dedup", f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN '{_XSPAN_SHARED} ' || text
+              WHEN doc_id % 7 = 1 THEN text || ' {_XSPAN_SHARED}'
+              ELSE text END AS text
+  FROM documents WHERE doc_id < 200),
+toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+         FROM base),
+pg AS (
+  SELECT doc_id, u['p'] AS p, u['gr'] AS gr
+  FROM (SELECT doc_id,
+               unnest([{{'p': i - 1,
+                        'gr': array_to_string(t[i:i+7], ' ')}}
+                       for i in range(1, len(t) - 6)]) AS u
+        FROM toks WHERE len(t) >= 8)),
+rep AS (SELECT gr FROM (SELECT gr, count(DISTINCT doc_id) AS c
+                        FROM pg GROUP BY gr) WHERE c >= 2),
+fl AS (SELECT doc_id, p FROM pg JOIN rep USING (gr)),
+isl AS (
+  SELECT doc_id, p,
+         sum(CASE WHEN prev IS NULL OR p - prev > 8
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY p) AS grp
+  FROM (SELECT doc_id, p,
+               lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+        FROM fl))
+SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start,
+       CAST(max(p) + 8 AS BIGINT) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_grams
+FROM isl GROUP BY doc_id, grp
+ORDER BY doc_id, span_start
+""")
+def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup spans (dedup.exact_substring_spans,
+    cross_doc mode, n=8): a 12-token paragraph is planted at SHIFTED
+    offsets — as a prefix on doc_id%7==0 and a suffix on doc_id%7==1 —
+    so the graded spans cross both position classes; any natural
+    repeated 8-gram runs in the synthetic corpus are replayed too.
+    All columns exact integers (token positions + window counts)."""
+    from spark_df_profiling_spark.operators.dedup import (
+        exact_substring_spans)
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    planted = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.lit(_XSPAN_SHARED + " "), F.col("text")))
+        .when(F.col("doc_id") % 7 == 1,
+              F.concat(F.col("text"), F.lit(" " + _XSPAN_SHARED)))
+        .otherwise(F.col("text")).alias("text"))
+    return (exact_substring_spans(planted, n=8, min_count=2,
+                                  cross_doc=True)
+            .orderBy("doc_id", "span_start"))
+
+
+# ---------------------------------------------------------------------------
 # Dedup: exact keep-first + stats (SURVEY §2.9 / north star)
 # ---------------------------------------------------------------------------
 @query("dedup_exact_docs", """

@@ -2006,8 +2006,47 @@ def r12b_main() -> None:
           flush=True)
 
 
+def r12c_main() -> None:
+    """exact_substring_spans at 50k docs (10x sf0.1, so EVERY doc has
+    an exact duplicate — worst case: every gram repeats and every doc
+    is one full-length span) plus one planted paragraph in EVERY doc
+    (maximal hot gram for the flag-back join) — the ngram_novelty
+    rehearsal shape."""
+    spark = (SparkSession.builder.master("local[32]")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory", "32g")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    from spark_df_profiling_spark.operators.dedup import (
+        exact_substring_spans)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    para = ("alpha beta gamma delta epsilon zeta eta theta iota "
+            "kappa lambda mu")
+    big = (replicate(docs.select("doc_id", "text"), ["doc_id"],
+                     REPLICAS)
+           .select("doc_id",
+                   F.concat(F.lit(para + " "), F.col("text"))
+                   .alias("text")))
+    t0 = time.time()
+    row = (exact_substring_spans(big, n=8, min_count=2,
+                                 cross_doc=True)
+           .agg(F.count(F.lit(1)).alias("n_spans"),
+                F.sum(F.col("span_end") - F.col("span_start"))
+                .alias("tok"),
+                F.count_distinct("doc_id").alias("docs"))
+           .collect()[0])
+    print(f"exact_substring_spans 50k docs, EVERY doc duplicated + "
+          f"planted paragraph in every doc: {row['n_spans']} spans "
+          f"over {row['docs']} docs, {row['tok']} removable tokens, "
+          f"{time.time() - t0:.1f}s", flush=True)
+
+
 if __name__ == "__main__":
-    if "r12b" in sys.argv:
+    if "r12c" in sys.argv:
+        r12c_main()
+    elif "r12b" in sys.argv:
         r12b_main()
     elif "r12" in sys.argv:
         r12_main()
