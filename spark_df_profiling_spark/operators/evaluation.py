@@ -90,7 +90,86 @@ def classification_report(df: DataFrame, label_col: str,
                     .alias("accuracy")))
 
 
-def roc_auc(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
+def _distinct_score_prefix(df: DataFrame, label_col: str,
+                           score_col: str, group_col):
+    """Shared frozen-boundary machinery for :func:`roc_auc` and
+    :func:`precision_recall_curve` (and their GROUPED modes): collapse
+    rows to the per-(group,) DISTINCT-score frame, then compute
+    exclusive cumulative (count, positives) below each score WITHOUT a
+    global sort — ``repartitionByRange`` on (group, score) +
+    ``localCheckpoint`` (freezes the sampled boundaries), per-(pid,
+    group) totals prefix-summed on the DRIVER, in-partition running
+    sums.  Driver state is O(#partitions × #groups) scalars — grouped
+    evaluation is a per-lang / per-source readout, not a per-user one;
+    a million-group call belongs in a plain windowed variant instead.
+
+    Returns ``(staged, tot_rows)``: staged has ``(__g, __s, __c,
+    __pos, __cb, __pb)`` (cumulative-before count/positives), tot_rows
+    is the driver-side list of ``(group_value, n_all, n_pos)``.
+    """
+    from collections import defaultdict
+
+    from pyspark.sql import Window
+
+    for c in [label_col, score_col] + ([group_col] if group_col
+                                       else []):
+        if c not in df.columns:
+            raise ValueError(f"missing column: {c!r}")
+    y = F.col(label_col).cast("boolean")
+    s = F.col(score_col).cast("double")
+    g = (F.col(group_col) if group_col else F.lit(0)).alias("__g")
+    keep = y.isNotNull() & s.isNotNull()
+    if group_col:
+        keep = keep & F.col(group_col).isNotNull()
+    base = df.where(keep).select(g, y.alias("__y"), s.alias("__s"))
+    per_s = (base.groupBy("__g", "__s")
+             .agg(F.count(F.lit(1)).cast("long").alias("__c"),
+                  F.sum(F.when(F.col("__y"), 1).otherwise(0))
+                  .cast("long").alias("__pos")))
+    spark = df.sparkSession
+    n_bk = _shuffle_partitions(spark)
+    ranged = (per_s.repartitionByRange(n_bk, F.col("__g"),
+                                       F.col("__s"))
+              .withColumn("__pid", F.spark_partition_id())
+              .localCheckpoint(eager=True))
+    per_pg = defaultdict(list)
+    for r in (ranged.groupBy("__pid", "__g")
+              .agg(F.sum("__c").alias("__tc"),
+                   F.sum("__pos").alias("__tp")).collect()):
+        per_pg[r["__g"]].append((r["__pid"], r["__tc"], r["__tp"]))
+    pref_rows, tot_rows = [], []
+    for gval, lst in per_pg.items():
+        lst.sort()
+        acc_c = acc_p = 0
+        for pid, tc, tp in lst:
+            pref_rows.append((pid, gval, acc_c, acc_p))
+            acc_c += tc or 0
+            acc_p += tp or 0
+        tot_rows.append((gval, acc_c, acc_p))
+    from pyspark.sql import types as T
+    g_dt = ranged.schema["__g"].dataType
+    pref_schema = T.StructType([
+        T.StructField("__pid", T.IntegerType()),
+        T.StructField("__g", g_dt),
+        T.StructField("__bc", T.LongType()),
+        T.StructField("__bp", T.LongType())])
+    pref_df = spark.createDataFrame(pref_rows, pref_schema)
+    wp = (Window.partitionBy("__pid", "__g").orderBy("__s")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    staged = (ranged.join(F.broadcast(pref_df), ["__pid", "__g"])
+              .withColumn("__cb",
+                          F.col("__bc")
+                          + F.coalesce(F.sum("__c").over(wp),
+                                       F.lit(0).cast("long")))
+              .withColumn("__pb",
+                          F.col("__bp")
+                          + F.coalesce(F.sum("__pos").over(wp),
+                                       F.lit(0).cast("long"))))
+    return staged, tot_rows
+
+
+def roc_auc(df: DataFrame, label_col: str, score_col: str,
+            group_col: "str | None" = None) -> DataFrame:
     """Exact ROC AUC via the Mann–Whitney U rank identity:
     ``AUC = (Σ ranks(positives) − n⁺(n⁺+1)/2) / (n⁺·n⁻)`` with
     AVERAGE ranks over score ties (the standard tie correction —
@@ -102,68 +181,47 @@ def roc_auc(df: DataFrame, label_col: str, score_col: str) -> DataFrame:
     Labels cast to boolean; NULL label/score rows excluded; NULL
     ``auc`` when either class is empty (undefined).
 
+    ``group_col`` gives per-cohort AUCs (per-lang / per-source model
+    quality — the :func:`~spark_df_profiling_spark.operators.groupby.
+    kaplan_meier` grouping contract): one row per non-NULL group,
+    ranks computed WITHIN each group.
+
     Scale: ranking by a global sort on the score is the textbook
     recipe and a single-task trap at 100 TB — instead scores collapse
     to DISTINCT values first (one map-side-combined groupBy) and the
     rank prefix uses the :func:`~spark_df_profiling_spark.operators.
-    outliers.percentile_rank` frozen-boundary protocol:
-    ``repartitionByRange`` + ``localCheckpoint`` (sampled boundaries
-    drift across re-executions otherwise), per-partition totals
-    prefix-summed on the DRIVER (O(#partitions) scalars), then an
+    outliers.percentile_rank` frozen-boundary protocol via
+    :func:`_distinct_score_prefix`: ``repartitionByRange`` +
+    ``localCheckpoint`` (sampled boundaries drift across
+    re-executions otherwise), per-partition totals prefix-summed on
+    the DRIVER (O(#partitions × #groups) scalars), then an
     in-partition running sum.  A million-row tie is ONE distinct-score
-    row; nothing subject-sized ever sits in one task.
+    row; nothing subject-sized ever sits in one task — in EITHER mode
+    (a grouped window would single-task a group's row-sized
+    distinct-score frame; the range partitioning keeps each group
+    spread over partitions).
     """
-    from pyspark.sql import Window
-
-    for c in (label_col, score_col):
-        if c not in df.columns:
-            raise ValueError(f"missing column: {c!r}")
-    y = F.col(label_col).cast("boolean")
-    s = F.col(score_col).cast("double")
-    base = (df.where(y.isNotNull() & s.isNotNull())
-            .select(y.alias("__y"), s.alias("__s")))
-    per_s = (base.groupBy("__s")
-             .agg(F.count(F.lit(1)).cast("long").alias("__c"),
-                  F.sum(F.when(F.col("__y"), 1).otherwise(0))
-                  .cast("long").alias("__pos")))
-    spark = df.sparkSession
-    n_bk = _shuffle_partitions(spark)
-    ranged = (per_s.repartitionByRange(n_bk, F.col("__s"))
-              .withColumn("__pid", F.spark_partition_id())
-              .localCheckpoint(eager=True))
-    totals = {r["__pid"]: r["__t"] for r in
-              ranged.groupBy("__pid").agg(F.sum("__c").alias("__t"))
-              .collect()}
-    prefix, acc = [], 0
-    for pid in sorted(totals):
-        prefix.append((pid, acc))
-        acc += totals[pid]
-    if not prefix:
-        prefix = [(0, 0)]
-    pref_df = spark.createDataFrame(prefix, "__pid int, __p long")
-    wp = (Window.partitionBy("__pid").orderBy("__s")
-          .rowsBetween(Window.unboundedPreceding, -1))
+    staged, _ = _distinct_score_prefix(df, label_col, score_col,
+                                       group_col)
     # average rank of a tie block of size c starting after `before`
     # rows is before + (c+1)/2; doubled it is 2*before + c + 1 (exact
     # integers all the way)
-    staged = (ranged.join(F.broadcast(pref_df), "__pid")
-              .withColumn("__before",
-                          F.col("__p")
-                          + F.coalesce(F.sum("__c").over(wp),
-                                       F.lit(0).cast("long"))))
-    rank2 = 2 * F.col("__before") + F.col("__c") + 1
-    agg = staged.agg(
-        F.sum("__pos").cast("long").alias("n_pos"),
-        (F.sum("__c") - F.sum("__pos")).cast("long").alias("n_neg"),
-        F.sum(F.col("__pos") * rank2).cast("long")
-        .alias("rank_sum_pos_x2"))
+    rank2 = 2 * F.col("__cb") + F.col("__c") + 1
+    aggs = [F.sum("__pos").cast("long").alias("n_pos"),
+            (F.sum("__c") - F.sum("__pos")).cast("long")
+            .alias("n_neg"),
+            F.sum(F.col("__pos") * rank2).cast("long")
+            .alias("rank_sum_pos_x2")]
+    agg = (staged.groupBy(F.col("__g").alias(group_col)).agg(*aggs)
+           if group_col else staged.agg(*aggs))
     auc = F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0),
                  (F.col("rank_sum_pos_x2") / 2.0
                   - F.col("n_pos").cast("double")
                   * (F.col("n_pos") + 1) / 2.0)
                  / (F.col("n_pos").cast("double") * F.col("n_neg")))
-    return agg.select("n_pos", "n_neg", "rank_sum_pos_x2",
-                      auc.alias("auc"))
+    cols = ([group_col] if group_col else []) + [
+        "n_pos", "n_neg", "rank_sum_pos_x2"]
+    return agg.select(*cols, auc.alias("auc"))
 
 
 def calibration_report(df: DataFrame, label_col: str, score_col: str,
@@ -326,7 +384,8 @@ def retrieval_metrics(results: DataFrame, gold: DataFrame, k: int = 10,
 
 
 def precision_recall_curve(df: DataFrame, label_col: str,
-                           score_col: str) -> DataFrame:
+                           score_col: str,
+                           group_col: "str | None" = None) -> DataFrame:
     """The full precision/recall threshold sweep — one row per DISTINCT
     score, scoring the rule "predict positive when score >= threshold":
     ``(threshold, tp, fp, fn, precision, recall, f1)`` — how quality-
@@ -337,63 +396,47 @@ def precision_recall_curve(df: DataFrame, label_col: str,
     NULL label/score rows are excluded; ``f1`` is NULL when
     ``precision + recall = 0``.
 
-    Scale: the :func:`roc_auc` shape — scores collapse to distinct
+    ``group_col`` gives per-cohort sweeps (one curve per non-NULL
+    group, each over ITS distinct scores with ITS class totals) — the
+    per-lang / per-source operating-point readout, same contract as
+    grouped :func:`roc_auc`.
+
+    Scale: the :func:`roc_auc` shape via the shared
+    :func:`_distinct_score_prefix` — scores collapse to distinct
     values (one map-side-combined groupBy), cumulative (tp, fp) come
     from the frozen-boundary range partitioning + driver prefix
-    (never a global sort), and ``tp(threshold) = n_pos −
-    pos_strictly_below(threshold)`` turns the ASC prefix into the
-    DESC sweep without a second sort.  Output is distinct-score-sized.
+    (never a global sort, in either mode), and ``tp(threshold) =
+    n_pos − pos_strictly_below(threshold)`` turns the ASC prefix into
+    the DESC sweep without a second sort.  Output is
+    distinct-(group,)score-sized.
     """
-    from pyspark.sql import Window
-
-    for c in (label_col, score_col):
-        if c not in df.columns:
-            raise ValueError(f"missing column: {c!r}")
-    y = F.col(label_col).cast("boolean")
-    s = F.col(score_col).cast("double")
-    base = (df.where(y.isNotNull() & s.isNotNull())
-            .select(y.alias("__y"), s.alias("__s")))
-    per_s = (base.groupBy("__s")
-             .agg(F.count(F.lit(1)).cast("long").alias("__c"),
-                  F.sum(F.when(F.col("__y"), 1).otherwise(0))
-                  .cast("long").alias("__pos")))
-    spark = df.sparkSession
-    n_bk = _shuffle_partitions(spark)
-    ranged = (per_s.repartitionByRange(n_bk, F.col("__s"))
-              .withColumn("__pid", F.spark_partition_id())
-              .localCheckpoint(eager=True))
-    part_tot = (ranged.groupBy("__pid")
-                .agg(F.sum("__c").alias("__tc"),
-                     F.sum("__pos").alias("__tp")).collect())
-    totals = {r["__pid"]: (r["__tc"], r["__tp"]) for r in part_tot}
-    prefix, acc_c, acc_p = [], 0, 0
-    for pid in sorted(totals):
-        prefix.append((pid, acc_c, acc_p))
-        acc_c += totals[pid][0]
-        acc_p += totals[pid][1]
-    n_all, n_pos = acc_c, acc_p
-    if not prefix:
-        prefix = [(0, 0, 0)]
-    pref_df = spark.createDataFrame(prefix,
-                                    "__pid int, __bc long, __bp long")
-    wp = (Window.partitionBy("__pid").orderBy("__s")
-          .rowsBetween(Window.unboundedPreceding, -1))
-    staged = (ranged.join(F.broadcast(pref_df), "__pid")
-              .withColumn("__cb", F.col("__bc")
-                          + F.coalesce(F.sum("__c").over(wp),
-                                       F.lit(0).cast("long")))
-              .withColumn("__pb", F.col("__bp")
-                          + F.coalesce(F.sum("__pos").over(wp),
-                                       F.lit(0).cast("long"))))
-    tp = (F.lit(n_pos) - F.col("__pb")).cast("long")
-    predicted = (F.lit(n_all) - F.col("__cb")).cast("long")
+    staged, tot_rows = _distinct_score_prefix(df, label_col, score_col,
+                                              group_col)
+    if group_col:
+        from pyspark.sql import types as T
+        g_dt = staged.schema["__g"].dataType
+        tot_schema = T.StructType([
+            T.StructField("__g", g_dt),
+            T.StructField("__na", T.LongType()),
+            T.StructField("__np", T.LongType())])
+        tot_df = df.sparkSession.createDataFrame(tot_rows, tot_schema)
+        staged = staged.join(F.broadcast(tot_df), "__g")
+        n_all, n_pos = F.col("__na"), F.col("__np")
+    else:
+        na, np_ = (tot_rows[0][1], tot_rows[0][2]) if tot_rows \
+            else (0, 0)
+        n_all, n_pos = F.lit(na), F.lit(np_)
+    tp = (n_pos - F.col("__pb")).cast("long")
+    predicted = (n_all - F.col("__cb")).cast("long")
     fp = (predicted - tp).cast("long")
-    fn = (F.lit(n_pos) - tp).cast("long")
+    fn = (n_pos - tp).cast("long")
     prec = F.when(predicted > 0, tp / predicted)
-    rec = F.when(F.lit(n_pos) > 0, tp / F.lit(float(n_pos)))
+    rec = F.when(n_pos > 0, tp / n_pos.cast("double"))
     f1 = F.when(prec.isNotNull() & rec.isNotNull() & (prec + rec > 0),
                 2 * prec * rec / (prec + rec))
+    cols = ([F.col("__g").alias(group_col)] if group_col else [])
     return staged.select(
+        *cols,
         F.col("__s").alias("threshold"), tp.alias("tp"),
         fp.alias("fp"), fn.alias("fn"), prec.alias("precision"),
         rec.alias("recall"), f1.alias("f1"))

@@ -2952,6 +2952,61 @@ FROM (
             FROM embeddings
             WHERE label IS NOT NULL AND embedding IS NOT NULL)
       GROUP BY s)))
+UNION ALL
+-- GROUPED roc_auc replay (group = label % 3, label = class < 5):
+-- per-group tie-averaged doubled rank sums + class counts — every
+-- sum CAST to BIGINT (the HUGEINT grading lesson)
+SELECT 'grauc', CAST(g AS BIGINT),
+       CAST(n_pos * 1000000 + n_neg AS BIGINT),
+       CAST(r2 AS VARCHAR), 1
+FROM (
+  SELECT g, CAST(sum(pos) AS BIGINT) AS n_pos,
+         CAST(sum(c) - sum(pos) AS BIGINT) AS n_neg,
+         CAST(sum(pos * (2 * before + c + 1)) AS BIGINT) AS r2
+  FROM (
+    SELECT g, c, pos,
+           coalesce(sum(c) OVER (PARTITION BY g ORDER BY s
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS before
+    FROM (
+      SELECT g, s, count(*) AS c,
+             sum(CASE WHEN y THEN 1 ELSE 0 END) AS pos
+      FROM (SELECT label % 3 AS g, label < 5 AS y,
+                   embedding[1]::DOUBLE AS s
+            FROM embeddings
+            WHERE label IS NOT NULL AND embedding IS NOT NULL)
+      GROUP BY g, s))
+  GROUP BY g)
+UNION ALL
+-- GROUPED precision_recall_curve replay: per group the strictest-
+-- threshold (tp, fp) point + the distinct-threshold count
+SELECT 'gprc', CAST(g AS BIGINT),
+       CAST(tp * 1000000 + fp AS BIGINT), {_psig('s')},
+       CAST(nthr AS INT)
+FROM (
+  SELECT g, s,
+         CAST(gp - pb AS BIGINT) AS tp,
+         CAST((ga - cb) - (gp - pb) AS BIGINT) AS fp,
+         CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS nthr
+  FROM (
+    SELECT g, s, c, pos,
+           coalesce(sum(c) OVER (PARTITION BY g ORDER BY s
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS cb,
+           coalesce(sum(pos) OVER (PARTITION BY g ORDER BY s
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS pb,
+           CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS ga,
+           CAST(sum(pos) OVER (PARTITION BY g) AS BIGINT) AS gp
+    FROM (
+      SELECT g, s, count(*) AS c,
+             sum(CASE WHEN y THEN 1 ELSE 0 END) AS pos
+      FROM (SELECT label % 3 AS g, label < 5 AS y,
+                   embedding[1]::DOUBLE AS s
+            FROM embeddings
+            WHERE label IS NOT NULL AND embedding IS NOT NULL)
+      GROUP BY g, s))
+  QUALIFY row_number() OVER (PARTITION BY g ORDER BY s DESC) = 1)
 ORDER BY part, query_id, rank
 """)
 def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3029,6 +3084,36 @@ def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("rank_sum_pos_x2").cast("string")
                     .alias("sim_s"),
                     F.lit(1).alias("rank")))
+    # 'grauc' rows grade GROUPED roc_auc (group = label % 3): per-group
+    # exact doubled rank sums + class counts — the per-cohort AUC
+    gra_df = e.select((F.col("label") % 3).cast("long").alias("g"),
+                      (F.col("label") < 5).alias("y"),
+                      F.get(F.col("embedding"), 0).cast("double")
+                      .alias("s"))
+    grauc = (roc_auc(gra_df, "y", "s", "g")
+             .select(F.lit("grauc").alias("part"),
+                     F.col("g").alias("query_id"),
+                     (F.col("n_pos") * 1000000 + F.col("n_neg"))
+                     .cast("long").alias("neighbor_id"),
+                     F.col("rank_sum_pos_x2").cast("string")
+                     .alias("sim_s"),
+                     F.lit(1).alias("rank")))
+    # 'gprc' rows grade GROUPED precision_recall_curve: per group, the
+    # strictest-threshold point (integer tp/fp) + the distinct-
+    # threshold count; threshold value at 5 sig digits (stored datum)
+    from spark_df_profiling_spark.operators.evaluation import (
+        precision_recall_curve as _prc)
+    gprc_red = (_prc(gra_df, "y", "s", "g")
+                .groupBy("g")
+                .agg(F.max_by(F.struct("tp", "fp", "threshold"),
+                              "threshold").alias("a"),
+                     F.count(F.lit(1)).cast("int").alias("nthr")))
+    gprc = gprc_red.select(
+        F.lit("gprc").alias("part"), F.col("g").alias("query_id"),
+        (F.col("a.tp") * 1000000 + F.col("a.fp")).cast("long")
+        .alias("neighbor_id"),
+        sig(F.col("a.threshold")).alias("sim_s"),
+        F.col("nthr").alias("rank"))
     # 'calib' rows grade evaluation.calibration_report — per-bin
     # (n, sum_label) integers over an affinely-squeezed score
     from spark_df_profiling_spark.operators.evaluation import (
@@ -3100,6 +3185,7 @@ def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(lagrs)
             .unionByName(crep).unionByName(rauc).unionByName(calib)
             .unionByName(rmet).unionByName(prow)
+            .unionByName(grauc).unionByName(gprc)
             .orderBy("part", "query_id", "rank"))
 
 

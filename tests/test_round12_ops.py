@@ -109,3 +109,56 @@ def test_exact_substring_spans_semantics(spark):
     tiny = spark.createDataFrame([(1, "a b"), (2, "a b")],
                                  "doc_id long, text string")
     assert exact_substring_spans(tiny, n=5).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# grouped roc_auc / precision_recall_curve
+# ---------------------------------------------------------------------------
+def _scored_df(spark):
+    rows = []
+    for i in range(120):
+        grp = "en" if i % 3 else "de"
+        y = (i * 7) % 5 < 2
+        s = ((i * 13) % 40) / 40.0 + (0.25 if y else 0.0)
+        rows.append((grp, y, s))
+    rows += [("fr", True, 0.9), ("fr", True, 0.8)]   # single-class grp
+    rows += [(None, True, 0.5), ("en", None, 0.5), ("en", True, None)]
+    return spark.createDataFrame(rows, "g string, y boolean, s double")
+
+
+def test_grouped_roc_auc_matches_per_group(spark):
+    from spark_df_profiling_spark.operators.evaluation import roc_auc
+    df = _scored_df(spark)
+    got = {r["g"]: r for r in roc_auc(df, "y", "s", "g").collect()}
+    assert set(got) == {"en", "de", "fr"}      # NULL group excluded
+    for grp in ("en", "de", "fr"):
+        solo = roc_auc(df.where(F.col("g") == grp), "y", "s") \
+            .collect()[0]
+        r = got[grp]
+        assert (r["n_pos"], r["n_neg"], r["rank_sum_pos_x2"]) == \
+            (solo["n_pos"], solo["n_neg"], solo["rank_sum_pos_x2"]), grp
+        if solo["auc"] is None:
+            assert r["auc"] is None
+        else:
+            assert r["auc"] == pytest.approx(solo["auc"], rel=1e-12)
+    # single-class group: auc NULL, counted correctly
+    assert got["fr"]["n_neg"] == 0 and got["fr"]["auc"] is None
+
+
+def test_grouped_precision_recall_matches_per_group(spark):
+    from spark_df_profiling_spark.operators.evaluation import (
+        precision_recall_curve)
+    df = _scored_df(spark)
+    out = precision_recall_curve(df, "y", "s", "g").collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["g"], []).append(r)
+    assert set(by_g) == {"en", "de", "fr"}
+    for grp, rows in by_g.items():
+        solo = precision_recall_curve(
+            df.where(F.col("g") == grp), "y", "s").collect()
+        want = sorted((r["threshold"], r["tp"], r["fp"], r["fn"])
+                      for r in solo)
+        gotv = sorted((r["threshold"], r["tp"], r["fp"], r["fn"])
+                      for r in rows)
+        assert gotv == want, grp
