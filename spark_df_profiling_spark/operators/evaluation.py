@@ -225,7 +225,8 @@ def roc_auc(df: DataFrame, label_col: str, score_col: str,
 
 
 def calibration_report(df: DataFrame, label_col: str, score_col: str,
-                       n_bins: int = 10) -> DataFrame:
+                       n_bins: int = 10,
+                       group_col: "str | None" = None) -> DataFrame:
     """Probability-calibration readout: equal-WIDTH confidence bins
     over [0, 1] with per-bin ``(n, sum_label, avg_score, accuracy)``,
     plus the expected calibration error
@@ -237,17 +238,24 @@ def calibration_report(df: DataFrame, label_col: str, score_col: str,
     pipeline.  One row per NON-EMPTY bin: ``(bin, lo, hi, n,
     sum_label, avg_score, accuracy, ece, brier)``.
 
+    ``group_col`` gives per-cohort calibration (one bin table + ECE /
+    Brier per non-NULL group — a model calibrated on average is often
+    miscalibrated per language); same grouping contract as
+    :func:`roc_auc`.
+
     Scores must lie in [0, 1]; out-of-range rows RAISE (a silent
     clamp would hide a mis-scaled model), NULLs are excluded.  Scores
     exactly 1.0 fall in the top bin (right edge closed).
 
-    Scale: ONE map-side-combined groupBy on the bin id (≤ n_bins
-    rows); ECE/Brier reduce that frame plus one scalar aggregate —
-    nothing row-sized moves.
+    Scale: ONE map-side-combined groupBy on the (group,) bin id
+    (≤ #groups × n_bins rows); ECE/Brier reduce that frame plus one
+    per-group aggregate joined back (AQE broadcasts it) — nothing
+    row-sized moves in either mode.
     """
     if n_bins < 2:
         raise ValueError(f"n_bins must be >= 2: {n_bins}")
-    for c in (label_col, score_col):
+    for c in [label_col, score_col] + ([group_col] if group_col
+                                       else []):
         if c not in df.columns:
             raise ValueError(f"missing column: {c!r}")
     y = F.col(label_col).cast("boolean")
@@ -256,11 +264,16 @@ def calibration_report(df: DataFrame, label_col: str, score_col: str,
         F.raise_error(F.concat(
             F.lit("calibration_report: score outside [0, 1]: "),
             s.cast("string"))))
-    base = (df.where(y.isNotNull() & s.isNotNull())
-            .select(y.alias("__y"), checked.alias("__s")))
+    keep = y.isNotNull() & s.isNotNull()
+    if group_col:
+        keep = keep & F.col(group_col).isNotNull()
+    gsel = [F.col(group_col).alias("__g")] if group_col else []
+    base = df.where(keep).select(*gsel, y.alias("__y"),
+                                 checked.alias("__s"))
     b = F.least(F.floor(F.col("__s") * n_bins).cast("int"),
                 F.lit(n_bins - 1))
-    per_bin = (base.groupBy(b.alias("bin"))
+    gkeys = ["__g"] if group_col else []
+    per_bin = (base.groupBy(*gkeys, b.alias("bin"))
                .agg(F.count(F.lit(1)).cast("long").alias("n"),
                     F.sum(F.when(F.col("__y"), 1).otherwise(0))
                     .cast("long").alias("sum_label"),
@@ -270,14 +283,21 @@ def calibration_report(df: DataFrame, label_col: str, score_col: str,
                           * (F.col("__s")
                              - F.when(F.col("__y"), 1.0)
                              .otherwise(0.0))).alias("__sq")))
-    tot = per_bin.agg(
-        F.sum("n").cast("long").alias("__tn"),
-        F.sum("__sq").alias("__tsq"),
-        F.sum(F.abs(F.col("sum_label") - F.col("__ss")))
-        .alias("__gap"))
     # ECE = Σ n_b/n · |acc_b − conf_b| = Σ |sum_label_b − Σscore_b| / n
-    return (per_bin.crossJoin(F.broadcast(tot))
-            .select(F.col("bin").cast("long").alias("bin"),
+    tot_aggs = [F.sum("n").cast("long").alias("__tn"),
+                F.sum("__sq").alias("__tsq"),
+                F.sum(F.abs(F.col("sum_label") - F.col("__ss")))
+                .alias("__gap")]
+    if group_col:
+        tot = per_bin.groupBy("__g").agg(*tot_aggs)
+        joined = per_bin.join(F.broadcast(tot), "__g")
+    else:
+        tot = per_bin.agg(*tot_aggs)
+        joined = per_bin.crossJoin(F.broadcast(tot))
+    out_g = [F.col("__g").alias(group_col)] if group_col else []
+    return (joined
+            .select(*out_g,
+                    F.col("bin").cast("long").alias("bin"),
                     (F.col("bin") / float(n_bins)).alias("lo"),
                     ((F.col("bin") + 1) / float(n_bins)).alias("hi"),
                     "n", "sum_label",
@@ -286,7 +306,7 @@ def calibration_report(df: DataFrame, label_col: str, score_col: str,
                     .alias("accuracy"),
                     (F.col("__gap") / F.col("__tn")).alias("ece"),
                     (F.col("__tsq") / F.col("__tn")).alias("brier"))
-            .orderBy("bin"))
+            .orderBy(*([group_col] if group_col else []), "bin"))
 
 
 def retrieval_metrics(results: DataFrame, gold: DataFrame, k: int = 10,

@@ -1354,6 +1354,30 @@ FROM (
                             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
          END AS kappa
   FROM t CROSS JOIN ch)
+UNION ALL
+-- fleiss_kappa replay (items = vec_id % 50, category = label, a
+-- constant 10 raters per item): the EXACT integers that pin the
+-- whole statistic — n_items, n_ratings, sum of n_ij*(n_ij-1), and
+-- sum of squared category totals (p_e's numerator)
+SELECT 'fleiss', 'emb~lbl',
+       CAST(ni AS VARCHAR) || ':' || CAST(nr AS VARCHAR) || ':'
+           || CAST(ag AS VARCHAR) || ':' || CAST(cj2 AS VARCHAR)
+FROM (
+  WITH fcells AS (
+    SELECT vec_id % 50 AS i, label AS c, count(*) AS nij
+    FROM embeddings WHERE label IS NOT NULL AND vec_id IS NOT NULL
+    GROUP BY 1, 2),
+  fitem AS (
+    SELECT i, CAST(sum(nij * (nij - 1)) AS BIGINT) AS agree,
+           CAST(sum(nij) AS BIGINT) AS nitot
+    FROM fcells GROUP BY i HAVING sum(nij) >= 2),
+  fcat AS (
+    SELECT c, CAST(sum(nij) AS BIGINT) AS cj
+    FROM fcells JOIN fitem USING (i) GROUP BY c)
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM fitem) AS ni,
+         (SELECT CAST(sum(nitot) AS BIGINT) FROM fitem) AS nr,
+         (SELECT CAST(sum(agree) AS BIGINT) FROM fitem) AS ag,
+         (SELECT CAST(sum(cj * cj) AS BIGINT) FROM fcat) AS cj2)
 """
 
 
@@ -1597,10 +1621,33 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.coalesce(sig(F.col("kappa")),
                                        F.lit("null")))
                    .alias("rho")))
+    # 'fleiss' row grades correlation.fleiss_kappa — embeddings as 50
+    # items x 10 anonymous raters (vec_id % 50, category = label); the
+    # graded handles are all exact integers: n_items, n_ratings,
+    # sum_agree_pairs, and p_e's numerator recovered as
+    # round(p_e * n_ratings²) — p_bar/kappa are their pure functions
+    from spark_df_profiling_spark.operators.correlation import (
+        fleiss_kappa)
+    emb = _t(spark, sf_dir, "embeddings")
+    fitems = emb.select((F.col("vec_id") % 50).alias("item"),
+                        F.col("label"))
+    fl = (fleiss_kappa(fitems, "item", "label")
+          .select(F.lit("fleiss").alias("col_x"),
+                  F.lit("emb~lbl").alias("col_y"),
+                  F.concat(F.col("n_items").cast("string"), F.lit(":"),
+                           F.col("n_ratings").cast("string"),
+                           F.lit(":"),
+                           F.col("sum_agree_pairs").cast("string"),
+                           F.lit(":"),
+                           F.round(F.col("p_e") * F.col("n_ratings")
+                                   * F.col("n_ratings"))
+                           .cast("long").cast("string"))
+                  .alias("rho")))
     return (pearson.unionByName(cat).unionByName(fd)
             .unionByName(keys).unionByName(inc).unionByName(pg)
             .unionByName(tr).unionByName(dg)
-            .unionByName(er).unionByName(th).unionByName(kap))
+            .unionByName(er).unionByName(th).unionByName(kap)
+            .unionByName(fl))
 
 
 # ---------------------------------------------------------------------------
@@ -2172,6 +2219,134 @@ def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (exact_substring_spans(planted, n=8, min_count=2,
                                   cross_doc=True)
             .orderBy("doc_id", "span_start"))
+
+
+@query("substring_decontam", f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN '{_XSPAN_SHARED} ' || text
+              WHEN doc_id % 7 = 1 THEN text || ' {_XSPAN_SHARED}'
+              ELSE text END AS text
+  FROM documents WHERE doc_id < 200),
+toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t,
+                string_split_regex(text, '\\s+') AS rt
+         FROM base),
+pg AS (
+  SELECT doc_id, u['p'] AS p, u['gr'] AS gr
+  FROM (SELECT doc_id,
+               unnest([{{'p': i - 1,
+                        'gr': array_to_string(t[i:i+7], ' ')}}
+                       for i in range(1, len(t) - 6)]) AS u
+        FROM toks WHERE len(t) >= 8)),
+rep AS (SELECT gr FROM (SELECT gr, count(DISTINCT doc_id) AS c
+                        FROM pg GROUP BY gr) WHERE c >= 2),
+fl AS (SELECT doc_id, p FROM pg JOIN rep USING (gr)),
+isl AS (
+  SELECT doc_id, p,
+         sum(CASE WHEN prev IS NULL OR p - prev > 8
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY p) AS grp
+  FROM (SELECT doc_id, p,
+               lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+        FROM fl)),
+spans AS (SELECT doc_id, min(p) AS s, max(p) + 8 AS e
+          FROM isl GROUP BY doc_id, grp),
+posx AS (SELECT doc_id,
+                unnest([{{'i': i - 1, 'tok': rt[i]}}
+                        for i in range(1, len(rt) + 1)]) AS u
+         FROM toks),
+kept AS (
+  SELECT p.doc_id, p.u['i'] AS i, p.u['tok'] AS tok
+  FROM posx p
+  WHERE NOT EXISTS (SELECT 1 FROM spans s
+                    WHERE s.doc_id = p.doc_id
+                      AND p.u['i'] >= s.s AND p.u['i'] < s.e)),
+cleaned AS (
+  SELECT t.doc_id, coalesce(k.txt, '') AS txt,
+         len(t.rt) - coalesce(k.cnt, 0) AS n_removed
+  FROM toks t LEFT JOIN (
+    SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS txt,
+           count(*) AS cnt
+    FROM kept GROUP BY doc_id) k USING (doc_id)),
+bq AS (SELECT array_to_string(
+                 string_split_regex(text, '\\s+')[3:12], ' ') AS q
+       FROM documents WHERE doc_id IN (3, 10)),
+bg AS (SELECT DISTINCT gram FROM (
+        SELECT unnest(list_distinct(
+                 [array_to_string(bt[i:i+4], ' ')
+                  for i in range(1, len(bt) - 3)])) AS gram
+        FROM (SELECT string_split_regex(lower(q), '\\s+') AS bt
+              FROM bq)
+        WHERE len(bt) >= 5)),
+cg AS (
+  SELECT doc_id, u['p'] AS p, u['gr'] AS gr
+  FROM (SELECT doc_id,
+               unnest([{{'p': i - 1,
+                        'gr': array_to_string(ct[i:i+4], ' ')}}
+                       for i in range(1, len(ct) - 3)]) AS u
+        FROM (SELECT doc_id,
+                     string_split_regex(lower(text), '\\s+') AS ct
+              FROM documents WHERE doc_id < 200)
+        WHERE len(ct) >= 5)),
+cfl AS (SELECT doc_id, p FROM cg JOIN bg ON cg.gr = bg.gram),
+cisl AS (
+  SELECT doc_id, p,
+         sum(CASE WHEN prev IS NULL OR p - prev > 5
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY p) AS grp
+  FROM (SELECT doc_id, p,
+               lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+        FROM cfl)),
+cspans AS (SELECT doc_id, min(p) AS s, max(p) + 5 AS e,
+                  count(*) AS ng
+           FROM cisl GROUP BY doc_id, grp)
+SELECT 'cspan' AS part, doc_id,
+       CAST(s * 100000 + e AS BIGINT) AS v1, CAST(ng AS BIGINT) AS v2
+FROM cspans
+UNION ALL
+SELECT 'clean', doc_id,
+       ('0x' || substr(md5(txt), 1, 15))::BIGINT,
+       CAST(n_removed AS BIGINT)
+FROM cleaned
+ORDER BY part, doc_id, v1
+""")
+def substring_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination + span removal, part-tagged:
+    'cspan' rows grade dedup.contaminated_spans (benchmark = token
+    slices [3..12] of docs 3 and 10, so those docs carry planted
+    leaked passages at a known offset and any doc sharing their
+    5-grams is replayed too); 'clean' rows grade dedup.remove_spans
+    applied to exact_substring_spans output on the SAME planted corpus
+    as the substring_dedup slot — v1 is the portable 60-bit md5 of the
+    reassembled cleaned text (exact content equality), v2 the removed
+    token count."""
+    from spark_df_profiling_spark.operators.dedup import (
+        contaminated_spans, exact_substring_spans, remove_spans)
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    rtoks = F.split(F.col("text"), r"\s+")
+    bench = (d.where(F.col("doc_id").isin(3, 10))
+             .select(F.concat_ws(" ", F.slice(rtoks, 3, 10))
+                     .alias("question")))
+    cs = (contaminated_spans(d, bench, bench_text_col="question", n=5)
+          .select(F.lit("cspan").alias("part"), "doc_id",
+                  (F.col("span_start") * 100000 + F.col("span_end"))
+                  .cast("long").alias("v1"),
+                  F.col("n_grams").alias("v2")))
+    planted = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.lit(_XSPAN_SHARED + " "), F.col("text")))
+        .when(F.col("doc_id") % 7 == 1,
+              F.concat(F.col("text"), F.lit(" " + _XSPAN_SHARED)))
+        .otherwise(F.col("text")).alias("text"))
+    sp = exact_substring_spans(planted, n=8, min_count=2,
+                               cross_doc=True)
+    cl = (remove_spans(planted, sp)
+          .select(F.lit("clean").alias("part"), "doc_id",
+                  F.conv(F.substring(F.md5("text_clean"), 1, 15),
+                         16, 10).cast("long").alias("v1"),
+                  F.col("n_tokens_removed").alias("v2")))
+    return cs.unionByName(cl).orderBy("part", "doc_id", "v1")
 
 
 # ---------------------------------------------------------------------------
@@ -2892,6 +3067,21 @@ FROM (
   FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL)
 GROUP BY b
 UNION ALL
+-- GROUPED calibration_report replay (group = label % 3): per-(group,
+-- bin) exact integers (n, sum_label); keyed g*100 + bin
+SELECT 'gcalib', CAST(g * 100 + b AS BIGINT),
+       CAST(count(*) AS BIGINT),
+       CAST(CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+            AS VARCHAR),
+       1
+FROM (
+  SELECT label % 3 AS g, label = 0 AS y,
+         least(CAST(floor(least(greatest(
+                 (embedding[1]::DOUBLE + 4.0) / 8.0, 0.0), 1.0)
+               * 10) AS INT), 9) AS b
+  FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL)
+GROUP BY g, b
+UNION ALL
 -- precision_recall_curve replay: same (label, score) construction as
 -- rauc; three deterministic reduction points, integers only —
 -- (tp, fp) at the STRICTEST threshold, at the strictest threshold
@@ -3129,6 +3319,22 @@ def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("n").alias("neighbor_id"),
                      F.col("sum_label").cast("string").alias("sim_s"),
                      F.lit(1).alias("rank")))
+    # 'gcalib' rows grade GROUPED calibration_report (group = label%3)
+    gcal_df = e.select(
+        (F.col("label") % 3).cast("long").alias("g"),
+        (F.col("label") == 0).alias("y"),
+        F.least(F.greatest((F.get(F.col("embedding"), 0)
+                            .cast("double") + 4.0) / 8.0,
+                           F.lit(0.0)), F.lit(1.0)).alias("s"))
+    gcalib = (calibration_report(gcal_df, "y", "s", n_bins=10,
+                                 group_col="g")
+              .select(F.lit("gcalib").alias("part"),
+                      (F.col("g") * 100 + F.col("bin"))
+                      .cast("long").alias("query_id"),
+                      F.col("n").alias("neighbor_id"),
+                      F.col("sum_label").cast("string")
+                      .alias("sim_s"),
+                      F.lit(1).alias("rank")))
     # 'rmet' rows grade evaluation.retrieval_metrics — the exact
     # top-10 scored against same-label gold; per-query integers
     from spark_df_profiling_spark.operators.evaluation import (
@@ -3184,6 +3390,7 @@ def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (knn.unionByName(mmr).unionByName(kcl).unionByName(lag)
             .unionByName(lagrs)
             .unionByName(crep).unionByName(rauc).unionByName(calib)
+            .unionByName(gcalib)
             .unionByName(rmet).unionByName(prow)
             .unionByName(grauc).unionByName(gprc)
             .orderBy("part", "query_id", "rank"))

@@ -162,3 +162,151 @@ def test_grouped_precision_recall_matches_per_group(spark):
         gotv = sorted((r["threshold"], r["tp"], r["fp"], r["fn"])
                       for r in rows)
         assert gotv == want, grp
+
+
+# ---------------------------------------------------------------------------
+# contaminated_spans / remove_spans
+# ---------------------------------------------------------------------------
+def test_contaminated_spans_finds_benchmark_passages(spark):
+    from spark_df_profiling_spark.operators.dedup import (
+        contaminated_spans)
+    bench = spark.createDataFrame(
+        [(100, "what is the capital of france paris obviously"),
+         (101, "compute the integral of x squared over zero one")],
+        "qid long, question string")
+    docs = spark.createDataFrame([
+        # quotes benchmark q1 at token offset 4
+        (1, _doc(1, 4) + " what is the capital of france paris obviously "
+         + _doc(2, 6)),
+        # quotes benchmark q2 as a prefix
+        (2, "compute the integral of x squared over zero one "
+         + _doc(3, 10)),
+        (3, _doc(4, 20)),                              # clean
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in contaminated_spans(
+        docs, bench, bench_text_col="question", n=5).collect()}
+    assert set(out) == {1, 2}
+    assert (out[1]["span_start"], out[1]["span_end"]) == (4, 12)
+    assert (out[2]["span_start"], out[2]["span_end"]) == (0, 9)
+    with pytest.raises(ValueError):
+        contaminated_spans(docs, bench, bench_text_col="question", n=0)
+    with pytest.raises(ValueError):
+        contaminated_spans(docs, bench, bench_text_col="nope")
+
+
+def test_remove_spans_cuts_and_preserves(spark):
+    from spark_df_profiling_spark.operators.dedup import (
+        exact_substring_spans, remove_spans)
+    docs = _corpus()
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    spans = exact_substring_spans(df, n=5, min_count=2, cross_doc=True)
+    out = {r["doc_id"]: r for r in remove_spans(df, spans).collect()}
+    # every input doc appears (left join)
+    assert set(out) == {d for d, _ in docs}
+    # the planted paragraph is gone from all three carriers, the
+    # surrounding (case-preserved) tokens survive in order
+    for did, text in docs:
+        toks = text.split(" ")
+        r = out[did]
+        assert r["n_tokens"] == len(toks)
+        if did in (1, 2, 3):
+            assert r["n_tokens_removed"] == 10
+            assert "alpha" not in r["text_clean"]
+            want = " ".join(t for t in toks
+                            if t not in SHARED.split(" "))
+            assert r["text_clean"] == want, did
+        else:
+            assert r["n_tokens_removed"] == 0
+            assert r["text_clean"] == " ".join(toks)
+    with pytest.raises(ValueError):
+        remove_spans(df, spans.drop("span_end"))
+
+
+# ---------------------------------------------------------------------------
+# fleiss_kappa
+# ---------------------------------------------------------------------------
+def test_fleiss_kappa_textbook_example(spark):
+    """Fleiss 1971 worked example (14 raters, 10 subjects, 5
+    categories): P-bar ~ 0.378, P_e ~ 0.213, kappa ~ 0.210."""
+    from spark_df_profiling_spark.operators.correlation import (
+        fleiss_kappa)
+    table = [
+        [0, 0, 0, 0, 14], [0, 2, 6, 4, 2], [0, 0, 3, 5, 6],
+        [0, 3, 9, 2, 0], [2, 2, 8, 1, 1], [7, 7, 0, 0, 0],
+        [3, 2, 6, 3, 0], [2, 5, 3, 2, 2], [6, 5, 2, 1, 0],
+        [0, 2, 2, 3, 7]]
+    rows = [(i, str(j)) for i, cnts in enumerate(table)
+            for j, c in enumerate(cnts) for _ in range(c)]
+    df = spark.createDataFrame(rows, "item long, cat string")
+    r = fleiss_kappa(df, "item", "cat").collect()[0]
+    assert (r["n_items"], r["n_ratings"], r["n_categories"],
+            r["min_raters"], r["max_raters"]) == (10, 140, 5, 14, 14)
+    # exact integer handle: sum over cells of n_ij*(n_ij-1)
+    want_agree = sum(c * (c - 1) for cnts in table for c in cnts)
+    assert r["sum_agree_pairs"] == want_agree
+    assert r["p_bar"] == pytest.approx(want_agree / (10 * 14 * 13),
+                                       rel=1e-12)
+    pj = [sum(t[j] for t in table) / 140.0 for j in range(5)]
+    pe = sum(p * p for p in pj)
+    assert r["p_e"] == pytest.approx(pe, rel=1e-12)
+    assert r["kappa"] == pytest.approx(
+        (r["p_bar"] - pe) / (1 - pe), rel=1e-12)
+    assert round(r["kappa"], 3) == 0.210
+
+
+def test_fleiss_kappa_variable_raters_and_guards(spark):
+    from spark_df_profiling_spark.operators.correlation import (
+        fleiss_kappa)
+    # item 1: 3 ratings (2 agree), item 2: 2 ratings (agree),
+    # item 3: ONE rating -> excluded entirely (also from marginals)
+    rows = [(1, "a"), (1, "a"), (1, "b"),
+            (2, "b"), (2, "b"),
+            (3, "zzz")]
+    df = spark.createDataFrame(rows, "item long, cat string")
+    r = fleiss_kappa(df, "item", "cat").collect()[0]
+    assert (r["n_items"], r["n_ratings"]) == (2, 5)
+    assert (r["min_raters"], r["max_raters"]) == (2, 3)
+    assert r["n_categories"] == 2          # 'zzz' never enters
+    # generalized P-bar: mean of per-item ratios
+    p1 = (2 * 1 + 1 * 0) / (3 * 2)
+    p2 = (2 * 1) / (2 * 1)
+    assert r["p_bar"] == pytest.approx((p1 + p2) / 2, rel=1e-12)
+    pe = (2 / 5) ** 2 + (3 / 5) ** 2
+    assert r["p_e"] == pytest.approx(pe, rel=1e-12)
+    # constant-and-equal ratings: p_e = 1 -> kappa NULL
+    const = spark.createDataFrame([(1, "x"), (1, "x"), (2, "x"),
+                                   (2, "x")], "item long, cat string")
+    assert fleiss_kappa(const, "item", "cat").collect()[0]["kappa"] \
+        is None
+    with pytest.raises(ValueError):
+        fleiss_kappa(df, "item", "nope")
+
+
+# ---------------------------------------------------------------------------
+# grouped calibration_report
+# ---------------------------------------------------------------------------
+def test_grouped_calibration_matches_per_group(spark):
+    from spark_df_profiling_spark.operators.evaluation import (
+        calibration_report)
+    rows = []
+    for i in range(200):
+        g = "en" if i % 3 else "de"
+        s = ((i * 17) % 100) / 100.0
+        y = ((i * 11) % 10) < 10 * s        # roughly calibrated
+        rows.append((g, y, s))
+    rows.append((None, True, 0.5))
+    df = spark.createDataFrame(rows, "g string, y boolean, s double")
+    got = {}
+    for r in calibration_report(df, "y", "s", group_col="g").collect():
+        got.setdefault(r["g"], {})[r["bin"]] = r
+    assert set(got) == {"en", "de"}
+    for grp in ("en", "de"):
+        solo = {r["bin"]: r for r in calibration_report(
+            df.where(F.col("g") == grp), "y", "s").collect()}
+        assert set(got[grp]) == set(solo)
+        for b, r in got[grp].items():
+            sr = solo[b]
+            assert (r["n"], r["sum_label"]) == (sr["n"],
+                                                sr["sum_label"]), (grp, b)
+            assert r["ece"] == pytest.approx(sr["ece"], rel=1e-12)
+            assert r["brier"] == pytest.approx(sr["brier"], rel=1e-12)
