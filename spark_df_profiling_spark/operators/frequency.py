@@ -275,6 +275,45 @@ def cms_estimate(df: DataFrame, state: DataFrame,
     return marked.join(est, "__ch").drop("__ch")
 
 
+def cms_join_size(state_a: DataFrame, state_b: DataFrame) -> DataFrame:
+    """Inner-join SIZE estimate from two CMS states (AGMS/CMS inner
+    product, Alon–Matias–Szegedy / Cormode–Muthukrishnan): the join
+    row count on a key is ``Σ_k f_A(k)·f_B(k)``, and for each sketch
+    depth ``Σ_w a[d,w]·b[d,w]`` over-estimates it by only the hash-
+    collision mass (expected ≤ N_A·N_B / width); the MIN over depths
+    is the estimate and NEVER under-counts.  The pre-join sizing
+    answer when :func:`~spark_df_profiling_spark.operators.joins.
+    join_key_stats` (exact, but key-frame-sized) is too expensive —
+    two persisted ≤ depth×width-cell states from yesterday's runs
+    size today's join without touching either table.
+
+    Both states must come from :func:`cms_state` with the SAME
+    (width, depth) and the same key columns — the standard sketch
+    contract.  One row: ``(est_join_rows, worst_depth_estimate,
+    depth)``.  Products/sums run in double: exact for totals below
+    2^53 (every real grading/sizing regime), and an ESTIMATOR beyond.
+
+    Plan: one (d, w) cell join of two ≤ depth×width-row frames (AQE
+    broadcasts), one depth-level groupBy, one scalar min — no input
+    data is touched at all.
+    """
+    for s, name in ((state_a, "state_a"), (state_b, "state_b")):
+        for c in ("d", "w", "cnt"):
+            if c not in s.columns:
+                raise ValueError(f"{name} missing column: {c!r} — "
+                                 f"not a cms_state frame")
+    a = state_a.select("d", "w", F.col("cnt").alias("__ca"))
+    b = state_b.select("d", "w", F.col("cnt").alias("__cb"))
+    per_d = (a.join(b, ["d", "w"])     # absent cells contribute 0
+             .groupBy("d")
+             .agg(F.sum(F.col("__ca").cast("double") * F.col("__cb"))
+                  .alias("__ip")))
+    return per_d.agg(
+        F.min("__ip").alias("est_join_rows"),
+        F.max("__ip").alias("worst_depth_estimate"),
+        F.count(F.lit(1)).cast("long").alias("depth"))
+
+
 # ---------------------------------------------------------------------------
 # HyperLogLog: mergeable cardinality state — completes the sketch trio
 # (Bloom = membership, CMS = frequency, HLL = distinct count)

@@ -759,6 +759,32 @@ SELECT 'cms', lang, est FROM (
   FROM q LEFT JOIN st USING (d, w)
   GROUP BY q.lang)
 UNION ALL
+-- cms_join_size replay: lineitem x orders orderkey sketches (512x4),
+-- per-depth inner products as exact integers, min + max depths
+SELECT 'cmsjoin', vv, est FROM (
+  WITH ca AS (
+    SELECT i AS d,
+           ('0x' || substr(md5(sha256(CAST(l_orderkey AS VARCHAR))
+                               || '#cms' || i), 1, 15))
+               ::BIGINT % 512 AS w,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM lineitem, (SELECT unnest(generate_series(0, 3)) AS i)
+    GROUP BY 1, 2),
+  cb AS (
+    SELECT i AS d,
+           ('0x' || substr(md5(sha256(CAST(o_orderkey AS VARCHAR))
+                               || '#cms' || i), 1, 15))
+               ::BIGINT % 512 AS w,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM orders, (SELECT unnest(generate_series(0, 3)) AS i)
+    GROUP BY 1, 2),
+  ip AS (
+    SELECT ca.d, CAST(sum(ca.cnt * cb.cnt) AS BIGINT) AS ipd
+    FROM ca JOIN cb USING (d, w) GROUP BY ca.d)
+  SELECT 'min' AS vv, CAST(min(ipd) AS BIGINT) AS est FROM ip
+  UNION ALL
+  SELECT 'max', CAST(max(ipd) AS BIGINT) FROM ip)
+UNION ALL
 {_FMT_SQL}
 UNION ALL
 SELECT 'grptop', lang || ':' || CAST(grk AS VARCHAR) || ':' || source,
@@ -849,6 +875,24 @@ def freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select(F.lit("cms").alias("part"),
                    F.col("lang").alias("value"),
                    F.col("est_count").cast("long").alias("cnt")))
+    # 'cmsjoin' rows grade frequency.cms_join_size — the AGMS/CMS
+    # inner-product join-size estimate of lineitem ⋈ orders on
+    # orderkey from two 512x4 sketches; min and max depth estimates
+    # are exact integers (double sums of integer products < 2^53)
+    from spark_df_profiling_spark.operators.frequency import (
+        cms_join_size)
+    st_li = cms_state(li, "l_orderkey", width=512, depth=4)
+    st_o = cms_state(o, "o_orderkey", width=512, depth=4)
+    cmsj_row = cms_join_size(st_li, st_o)
+    cmsj = cmsj_row.select(F.explode(F.array(
+        F.struct(F.lit("cmsjoin").alias("part"),
+                 F.lit("min").alias("value"),
+                 F.round(F.col("est_join_rows")).cast("long")
+                 .alias("cnt")),
+        F.struct(F.lit("cmsjoin").alias("part"),
+                 F.lit("max").alias("value"),
+                 F.round(F.col("worst_depth_estimate")).cast("long")
+                 .alias("cnt")))).alias("r")).select("r.*")
     # 'fmt' rows grade frequency.format_patterns — top-3 character-class
     # format patterns of orders.o_orderpriority ('5-LOW' -> '9-A',
     # '4-NOT SPECIFIED' -> '9-A_A') and part.p_brand ('Brand#17' ->
@@ -901,6 +945,7 @@ def freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select(F.lit("prank").alias("part"),
                   F.col("l_returnflag").alias("value"), "cnt"))
     return (topk.unionByName(mode).unionByName(sk).unionByName(cms)
+            .unionByName(cmsj)
             .unionByName(fmt).unionByName(hg).unionByName(gt)
             .unionByName(pr)
             .orderBy("part", "value"))

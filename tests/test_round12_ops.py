@@ -310,3 +310,30 @@ def test_grouped_calibration_matches_per_group(spark):
                                                 sr["sum_label"]), (grp, b)
             assert r["ece"] == pytest.approx(sr["ece"], rel=1e-12)
             assert r["brier"] == pytest.approx(sr["brier"], rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# cms_join_size
+# ---------------------------------------------------------------------------
+def test_cms_join_size_estimates_inner_join(spark):
+    from spark_df_profiling_spark.operators.frequency import (
+        cms_join_size, cms_state)
+    a = spark.createDataFrame([(k,) for k in [1] * 5 + [2] * 3 + [3]],
+                              "k long")
+    b = spark.createDataFrame([(k,) for k in [1] * 2 + [3] * 4 + [9]],
+                              "k long")
+    true_size = 5 * 2 + 3 * 0 + 1 * 4            # 14
+    # wide sketch: no collisions -> exact
+    sa = cms_state(a, "k", width=4096, depth=4)
+    sb = cms_state(b, "k", width=4096, depth=4)
+    r = cms_join_size(sa, sb).collect()[0]
+    assert r["est_join_rows"] == true_size
+    assert r["worst_depth_estimate"] >= r["est_join_rows"]
+    assert r["depth"] == 4
+    # tiny sketch: collisions only ever OVER-estimate
+    sa2 = cms_state(a, "k", width=2, depth=3)
+    sb2 = cms_state(b, "k", width=2, depth=3)
+    r2 = cms_join_size(sa2, sb2).collect()[0]
+    assert r2["est_join_rows"] >= true_size
+    with pytest.raises(ValueError):
+        cms_join_size(sa.drop("cnt"), sb)
