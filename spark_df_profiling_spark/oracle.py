@@ -5549,6 +5549,13 @@ SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS total_events,
        CAST(round(sum("value") * 100) AS BIGINT) AS total_value_cents
 FROM events GROUP BY user_id
 UNION ALL
+SELECT 'shh:' || CAST(user_id AS VARCHAR) || ':' || event_type,
+       CAST(count(*) AS BIGINT),
+       CAST(sum(count(*)) OVER (PARTITION BY user_id) AS BIGINT)
+FROM events
+WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+GROUP BY user_id, event_type
+UNION ALL
 SELECT 'funnel:' || CAST(step_idx AS VARCHAR) || ':' || step,
        n_keys,
        CAST(coalesce(floor(1e6 * n_keys
@@ -6544,6 +6551,26 @@ def stateful_user_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table("sewma_oracle_out")
         .select(F.col("key").alias("user_id"), "tus", "value", "ewma"),
         "sewma:")
+    # 'shh:' rows grade streaming.stateful_heavy_hitters — a real
+    # availableNow execution with capacity >= distinct event types,
+    # where Misra-Gries is EXACT and equals the per-(user, value)
+    # groupBy count; n_events doubles as the per-user total
+    from spark_df_profiling_spark.streaming import (
+        stateful_heavy_hitters)
+    shstream = events_stream(spark, sf_dir)
+    sh_out = stateful_heavy_hitters(
+        shstream.select("user_id",
+                        event_time_micros(shstream).alias("tus"),
+                        "event_type"),
+        "user_id", "tus", "event_type", capacity=64)
+    run_stream_to_memory(sh_out, "shh_oracle_out",
+                         output_mode="update")
+    shh = (spark.table("shh_oracle_out")
+           .select(F.concat(F.lit("shh:"),
+                            F.col("key").cast("string"), F.lit(":"),
+                            F.col("value")).alias("key"),
+                   F.col("count_est").alias("total_events"),
+                   F.col("n_events").alias("total_value_cents")))
     # 'cp:' rows grade groupby.changepoint_stats — DuckDB replays the
     # BSS prefix-sum arithmetic in the operator's exact spelling and
     # the smallest-t tie break.  Segment means graded as EXACT integer
@@ -6582,7 +6609,8 @@ def stateful_user_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(gps).unionByName(rfill).unionByName(rlin)
             .unionByName(sanom).unionByName(seas)
             .unionByName(cusum).unionByName(scus).unionByName(ewr)
-            .unionByName(ewadj).unionByName(sew).unionByName(kmr)
+            .unionByName(ewadj).unionByName(sew).unionByName(shh)
+            .unionByName(kmr)
             .unionByName(lrk).unionByName(bsr).unionByName(cpr)
             .orderBy("key"))
 
