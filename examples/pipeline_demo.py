@@ -27,6 +27,7 @@ SF_DIR = "/root/testdata/sf0.001"
 def main() -> None:
     spark = (SparkSession.builder.master("local[4]")
              .config("spark.sql.shuffle.partitions", "8")
+             .config("spark.driver.memory", "6g")
              .config("spark.sql.adaptive.enabled", "true")
              .config("spark.ui.enabled", "false")
              .appName("curation-pipeline")
@@ -89,12 +90,35 @@ def main() -> None:
                               jaccard_max_distance=0.2)
     print(f"[6] near dedup: {kept.count()} kept")
 
-    # 7. benchmark decontamination (eval set = 20-token snippets)
-    from spark_df_profiling_spark.operators.dedup import decontaminate
+    # 6b. exact-substring dedup (Lee et al. 2022): cut repeated
+    #     cross-line spans instead of dropping whole documents
+    from spark_df_profiling_spark.operators.dedup import (
+        exact_substring_spans, remove_spans)
+    spans = exact_substring_spans(kept, "text", "doc_id", n=12,
+                                  min_count=2, cross_doc=True)
+    cleaned = remove_spans(kept, spans, "text", "doc_id")
+    kept = (kept.drop("text")
+            .join(cleaned.select("doc_id",
+                                 F.col("text_clean").alias("text")),
+                  "doc_id")
+            .localCheckpoint())   # pipeline barrier: cut the lineage
+    print(f"[6b] substring dedup: "
+          f"{cleaned.agg(F.sum('n_tokens_removed')).collect()[0][0]} "
+          f"repeated-span tokens cut")
+
+    # 7. benchmark decontamination: doc-level screen, then surgical
+    #    span-level cuts for the docs worth keeping
+    from spark_df_profiling_spark.operators.dedup import (
+        contaminated_spans, decontaminate)
     bench = (raw.where(F.col("doc_id") % 97 == 0)
              .select(F.concat_ws(" ", F.slice(F.split("text", " "), 3, 20))
                      .alias("text")))
     kept = decontaminate(kept, bench, n=8).where(~F.col("contaminated"))
+    leak_spans = contaminated_spans(kept, bench, "text", "doc_id", n=8)
+    kept = (kept.drop("text").join(
+        remove_spans(kept, leak_spans, "text", "doc_id")
+        .select("doc_id", F.col("text_clean").alias("text")), "doc_id")
+        .localCheckpoint())
     print(f"[7] decontaminated: {kept.count()} kept")
 
     # 8. PII redaction on what ships

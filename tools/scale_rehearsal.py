@@ -2043,8 +2043,61 @@ def r12c_main() -> None:
           f"{time.time() - t0:.1f}s", flush=True)
 
 
+def r12d_main() -> None:
+    """contaminated_spans + remove_spans at 50k docs: a 100-question
+    benchmark, with question text planted into every 10th doc (5k
+    contaminated docs — a heavy leak), then the spans surgically cut.
+    The planted question is also REPEATED across those docs (every
+    planted doc carries the same 100-question pool mod its index), so
+    the benchmark-gram probe side has hot hashes."""
+    spark = (SparkSession.builder.master("local[32]")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory", "32g")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    from spark_df_profiling_spark.operators.dedup import (
+        contaminated_spans, remove_spans)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bench = spark.range(100).select(
+        F.col("id").alias("qid"),
+        F.concat_ws(" ", F.array(*[
+            F.concat(F.lit(f"benchq{w} "), F.col("id").cast("string"))
+            for w in range(6)])).alias("question"))
+    big = (replicate(docs.select("doc_id", "text"), ["doc_id"],
+                     REPLICAS)
+           .select("doc_id",
+                   F.when(F.col("doc_id") % 10 == 0,
+                          F.concat(F.col("text"), F.lit(" "),
+                                   F.concat_ws(" ", F.array(*[
+                                       F.concat(F.lit(f"benchq{w} "),
+                                                (F.col("doc_id") % 100)
+                                                .cast("string"))
+                                       for w in range(6)]))))
+                   .otherwise(F.col("text")).alias("text"))
+           .localCheckpoint())
+    t0 = time.time()
+    spans = contaminated_spans(big, bench,
+                               bench_text_col="question",
+                               n=5).localCheckpoint()
+    n_spans = spans.count()
+    t_spans = time.time() - t0
+    t0 = time.time()
+    row = (remove_spans(big, spans)
+           .agg(F.sum("n_tokens_removed").alias("rm"),
+                F.sum(F.when(F.col("n_tokens_removed") > 0, 1)
+                      .otherwise(0)).alias("docs")).collect()[0])
+    print(f"contaminated_spans 50k docs vs 100-question benchmark "
+          f"(5k planted leaks): {n_spans} spans in {t_spans:.1f}s; "
+          f"remove_spans cut {row['rm']} tokens from {row['docs']} "
+          f"docs in {time.time() - t0:.1f}s", flush=True)
+
+
 if __name__ == "__main__":
-    if "r12c" in sys.argv:
+    if "r12d" in sys.argv:
+        r12d_main()
+    elif "r12c" in sys.argv:
         r12c_main()
     elif "r12b" in sys.argv:
         r12b_main()
