@@ -605,6 +605,72 @@ def embedding_dim_stats(df: DataFrame,
             .orderBy("dim"))
 
 
+def embedding_drift(ref: DataFrame, new: DataFrame,
+                    vec_col: str = "embedding") -> DataFrame:
+    """Embedding-space drift between two corpus snapshots — the vector
+    twin of :func:`~spark_df_profiling_spark.operators.drift.
+    psi_numeric`: a re-trained encoder, a silent preprocessing change,
+    or a shifted content mix moves the embedding distribution even
+    when every SCALAR column profiles identically, and similarity
+    search / k-means state fit on the old space quietly degrades.  One
+    row per dimension: ``(dim, n_ref, n_new, mean_ref, mean_new,
+    std_ref, std_new, mean_shift_z, std_ratio)`` —
+    ``mean_shift_z = |Δmean| / pooled_std`` (the per-dim effect size;
+    NULL when both stds are NULL/0), ``std_ratio = std_new/std_ref``
+    (scale drift; NULL at std_ref 0) — plus ``centroid_cosine``
+    (cosine between the two mean vectors, the one-number "did the
+    space rotate/shift" dial) repeated per row, the
+    :func:`~spark_df_profiling_spark.operators.evaluation.
+    calibration_report` ece pattern.
+
+    Scale: each snapshot pays ONE posexplode scan into a map-side-
+    combined per-dim aggregate (#dims rows reach the shuffle); the
+    compare joins two #dims-row frames and the centroid cosine folds
+    them once more — nothing row-sized moves after the scans.
+    """
+    def per_dim(df, suffix):
+        v = F.col("__v").cast("double")
+        return (df.select(F.posexplode(F.col(vec_col))
+                          .alias("dim", "__v"))
+                .groupBy("dim")
+                .agg(F.count(v).cast("long").alias(f"n_{suffix}"),
+                     F.avg(v).alias(f"mean_{suffix}"),
+                     F.stddev_samp(v).alias(f"std_{suffix}")))
+
+    for d, name in ((ref, "ref"), (new, "new")):
+        if vec_col not in d.columns:
+            raise ValueError(f"{name} missing column: {vec_col!r}")
+    a = per_dim(ref, "ref")
+    b = per_dim(new, "new")
+    j = a.join(b, "dim", "full")
+    # centroid cosine from the two #dims-row mean vectors
+    cen = j.agg(
+        F.sum(F.col("mean_ref") * F.col("mean_new")).alias("__dot"),
+        F.sqrt(F.sum(F.col("mean_ref") * F.col("mean_ref")))
+        .alias("__na"),
+        F.sqrt(F.sum(F.col("mean_new") * F.col("mean_new")))
+        .alias("__nb"))
+    cen = cen.select(
+        F.when((F.col("__na") > 0) & (F.col("__nb") > 0),
+               F.col("__dot") / (F.col("__na") * F.col("__nb")))
+        .alias("centroid_cosine"))
+    pooled = F.sqrt((F.coalesce(F.col("std_ref"), F.lit(0.0))
+                     * F.coalesce(F.col("std_ref"), F.lit(0.0))
+                     + F.coalesce(F.col("std_new"), F.lit(0.0))
+                     * F.coalesce(F.col("std_new"), F.lit(0.0)))
+                    / 2.0)
+    shift = F.when(pooled > 0,
+                   F.abs(F.col("mean_new") - F.col("mean_ref"))
+                   / pooled)
+    ratio = F.when(F.col("std_ref") > 0,
+                   F.col("std_new") / F.col("std_ref"))
+    return (j.crossJoin(F.broadcast(cen))
+            .select("dim", "n_ref", "n_new", "mean_ref", "mean_new",
+                    "std_ref", "std_new", shift.alias("mean_shift_z"),
+                    ratio.alias("std_ratio"), "centroid_cosine")
+            .orderBy("dim"))
+
+
 # ---------------------------------------------------------------------------
 # Embedding quantization (int8) — 4x memory/IO cut for similarity search
 # ---------------------------------------------------------------------------

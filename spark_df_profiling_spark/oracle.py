@@ -6955,6 +6955,42 @@ FROM (
         FROM embeddings)
   GROUP BY dim)
 UNION ALL
+-- embedding_drift replay: even vec_ids vs odd vec_ids with +3.0
+-- planted on dim 0; per-dim effect sizes + centroid cosine
+SELECT 'edrift', CAST(dim AS VARCHAR),
+       CAST(nr * 100000 + nn AS BIGINT),
+       {_psig('mr')} || '/' || {_psig('mw')} || '/'
+       || coalesce({_psig('z')}, 'null') || '/'
+       || coalesce({_psig('ratio')}, 'null') || '/' || {_psig('ccv')}
+FROM (
+  WITH pa AS (
+    SELECT dim, count(v) AS nr, avg(v) AS mr, stddev_samp(v) AS sr
+    FROM (SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+                 CAST(unnest(embedding) AS DOUBLE) AS v
+          FROM embeddings WHERE vec_id % 2 = 0)
+    GROUP BY dim),
+  pb AS (
+    SELECT dim, count(v) AS nn, avg(v) AS mw, stddev_samp(v) AS sn
+    FROM (SELECT generate_subscripts(e2, 1) - 1 AS dim,
+                 CAST(unnest(e2) AS DOUBLE) AS v
+          FROM (SELECT [CAST(embedding[i] AS DOUBLE)
+                        + CASE WHEN i = 1 THEN 3.0 ELSE 0.0 END
+                        for i in range(1, len(embedding) + 1)] AS e2
+                FROM embeddings WHERE vec_id % 2 = 1))
+    GROUP BY dim),
+  jj AS (SELECT pa.dim AS dim, nr, mr, sr, nn, mw, sn
+         FROM pa JOIN pb USING (dim)),
+  ccx AS (SELECT sum(mr * mw)
+                   / (sqrt(sum(mr * mr)) * sqrt(sum(mw * mw))) AS ccv
+          FROM jj)
+  SELECT dim, nr, nn, mr, mw,
+         CASE WHEN sqrt((sr * sr + sn * sn) / 2.0) > 0
+              THEN abs(mw - mr) / sqrt((sr * sr + sn * sn) / 2.0)
+         END AS z,
+         CASE WHEN sr > 0 THEN sn / sr END AS ratio,
+         ccx.ccv AS ccv
+  FROM jj CROSS JOIN ccx)
+UNION ALL
 SELECT 'quant', CAST(dim AS VARCHAR), CAST(n AS BIGINT),
        {_psig('mn')} || '/' || {_psig('mx')} || '/' ||
        {_psig('mxe')} || '/' || {_psig('mne')}
@@ -7407,9 +7443,33 @@ def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
               "'std_cos', CAST(NULL AS BIGINT), ss, "
               "'p_hi', CAST(NULL AS BIGINT), ps) as (k, v1, v2s)"))
           .select(F.lit("div").alias("part"), "k", "v1", "v2s"))
+    # 'edrift' rows grade similarity.embedding_drift — even vec_ids
+    # as the reference snapshot, odd vec_ids with a +3.0 shift PLANTED
+    # on dim 0 as the new snapshot; per-dim counts exact, stats/effect
+    # sizes sig-normalized (the 'dim' precedent)
+    from spark_df_profiling_spark.operators.similarity import (
+        embedding_drift)
+    ev_half = e.where(F.col("vec_id") % 2 == 0)
+    od_half = e.where(F.col("vec_id") % 2 == 1).select(F.expr(
+        "transform(embedding, (x, i) -> CAST(x AS DOUBLE) + "
+        "CASE WHEN i = 0 THEN 3.0 ELSE 0.0 END)").alias("embedding"))
+    edr = (embedding_drift(ev_half, od_half)
+           .select(F.lit("edrift").alias("part"),
+                   F.col("dim").cast("string").alias("k"),
+                   (F.col("n_ref") * 100000 + F.col("n_new"))
+                   .cast("long").alias("v1"),
+                   F.concat_ws(
+                       "/", sig(F.col("mean_ref")),
+                       sig(F.col("mean_new")),
+                       F.coalesce(sig(F.col("mean_shift_z")),
+                                  F.lit("null")),
+                       F.coalesce(sig(F.col("std_ratio")),
+                                  F.lit("null")),
+                       sig(F.col("centroid_cosine"))).alias("v2s")))
     return (arr.unionByName(dims).unionByName(quant).unionByName(km)
             .unionByName(kb).unionByName(ks).unionByName(pca)
             .unionByName(stdr).unionByName(rproj).unionByName(dv)
+            .unionByName(edr)
             .orderBy("part", "k"))
 
 

@@ -33,6 +33,7 @@ FLOAT_GRADED = [
     "text_stats_by_lang",    # avg_* quality/readability means
     "stateful_user_totals",  # r11 ewma:/ewmadj: final values at _psig
     "knn_bruteforce",        # r11 kclass total_sim at _psig + election
+    "embedding_array_stats",  # dim/edrift per-dim means/stds at _psig
 ]
 
 RUNNER = r"""

@@ -395,3 +395,39 @@ def test_stateful_heavy_hitters_exact_and_evicting(spark, tmp_path):
         assert got2.get(v, 0) >= true - n / 3
     with pytest.raises(ValueError):
         stateful_heavy_hitters(stream, capacity=0)
+
+
+# ---------------------------------------------------------------------------
+# embedding_drift
+# ---------------------------------------------------------------------------
+def test_embedding_drift_detects_shift_and_scale(spark):
+    import math
+    from spark_df_profiling_spark.operators.similarity import (
+        embedding_drift)
+    ref = spark.createDataFrame(
+        [([1.0 + 0.1 * (i % 5), 2.0, -1.0],) for i in range(50)],
+        "embedding array<double>")
+    # dim 0 shifted by +10, dim 1 doubled scale, dim 2 unchanged
+    new = spark.createDataFrame(
+        [([11.0 + 0.1 * (i % 5), 2.0 + 0.2 * ((i % 5) - 2), -1.0],)
+         for i in range(50)],
+        "embedding array<double>")
+    out = {r["dim"]: r for r in embedding_drift(ref, new).collect()}
+    assert set(out) == {0, 1, 2}
+    assert out[0]["n_ref"] == out[0]["n_new"] == 50
+    # dim 0: huge standardized mean shift
+    assert out[0]["mean_shift_z"] > 50
+    # dim 1: no mean shift, std grows from 0 -> ratio NULL (std_ref 0)
+    assert out[1]["mean_ref"] == pytest.approx(out[1]["mean_new"])
+    assert out[1]["std_ratio"] is None
+    # dim 2: identical -> shift NULL (both stds 0)
+    assert out[2]["mean_shift_z"] is None
+    # centroid cosine matches the hand-computed mean vectors
+    ma = [1.2, 2.0, -1.0]
+    mb = [11.2, 2.0, -1.0]
+    dot = sum(x * y for x, y in zip(ma, mb))
+    cos = dot / (math.sqrt(sum(x * x for x in ma))
+                 * math.sqrt(sum(x * x for x in mb)))
+    assert out[0]["centroid_cosine"] == pytest.approx(cos, rel=1e-9)
+    with pytest.raises(ValueError):
+        embedding_drift(ref, new.select(F.col("embedding").alias("e")))
