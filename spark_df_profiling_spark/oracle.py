@@ -8254,6 +8254,41 @@ FROM (
   SELECT v AS at_v, dd AS d, na, nb FROM cdf
   ORDER BY dd DESC, v ASC LIMIT 1)
 UNION ALL
+SELECT 'gks', g || ':' || CAST(nm AS VARCHAR), {_psig('d')},
+       {_psig('atv')}
+FROM (
+  WITH ga AS (SELECT l_returnflag AS g, l_extendedprice AS v,
+                     count(*) AS c
+              FROM ref
+              WHERE l_extendedprice IS NOT NULL
+                AND l_returnflag IS NOT NULL GROUP BY 1, 2),
+  gb AS (SELECT l_returnflag AS g, l_extendedprice AS v, count(*) AS c
+         FROM nw
+         WHERE l_extendedprice IS NOT NULL
+           AND l_returnflag IS NOT NULL GROUP BY 1, 2),
+  gm AS (SELECT coalesce(ga.g, gb.g) AS g, coalesce(ga.v, gb.v) AS v,
+                coalesce(ga.c, 0) AS ca, coalesce(gb.c, 0) AS cb
+         FROM ga FULL OUTER JOIN gb
+           ON ga.g = gb.g AND ga.v = gb.v),
+  gt2 AS (SELECT g, CAST(sum(ca) AS BIGINT) AS nref,
+                 CAST(sum(cb) AS BIGINT) AS nnew FROM gm GROUP BY g),
+  gc AS (SELECT gm.g AS g, v,
+                CAST(sum(ca) OVER (PARTITION BY gm.g ORDER BY v)
+                     AS DOUBLE) AS cra,
+                CAST(sum(cb) OVER (PARTITION BY gm.g ORDER BY v)
+                     AS DOUBLE) AS crb,
+                nref, nnew
+         FROM gm JOIN gt2 ON gm.g = gt2.g
+         WHERE nref > 0 AND nnew > 0)
+  SELECT g, CAST(round(abs(cra * nnew - crb * nref)) AS BIGINT) AS nm,
+         abs(cra * nnew - crb * nref)
+           / (CAST(nref AS DOUBLE) * nnew) AS d,
+         v AS atv
+  FROM gc
+  QUALIFY row_number() OVER (
+      PARTITION BY g
+      ORDER BY abs(cra * nnew - crb * nref) DESC, v) = 1)
+UNION ALL
 SELECT 'win', CAST(we AS VARCHAR),
        {_psig('sum((wpr - wpn) * ln(wpr / wpn))')},
        CASE WHEN sum((wpr - wpn) * ln(wpr / wpn)) < 0.1 THEN 'stable'
@@ -8364,6 +8399,18 @@ def drift_psi_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig(F.col("d_stat")).alias("psi_s"),
         F.when(F.col("d_stat") > crit, F.lit("drift"))
         .otherwise(F.lit("ok")).alias("band"))
+    # 'gks' rows grade drift.ks_by_group — per-returnflag exact KS on
+    # the same halves; the integer numerator max|cum_ref*n_new -
+    # cum_new*n_ref| pins the statistic and the tie-exact at_value
+    # (float CDF differences split integer ties by ulps)
+    from spark_df_profiling_spark.operators.drift import ks_by_group
+    gks = (ks_by_group(ref, new, "l_extendedprice", "l_returnflag")
+           .select(F.lit("gks").alias("part"),
+                   F.concat(F.col("l_returnflag"), F.lit(":"),
+                            F.col("d_numer").cast("string"))
+                   .alias("k"),
+                   sig(F.col("d_stat")).alias("psi_s"),
+                   sig(F.col("at_value")).alias("band")))
     # 'jsd' rows grade drift.jsd_numeric/jsd_categorical — the bounded
     # symmetric companion to PSI over the SAME halves and binning;
     # DuckDB replays the exact (eps-free) JSD fold from the shared
@@ -8393,7 +8440,7 @@ def drift_psi_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.concat_ws(":", "n_a", "n_b", "n_common")
                   .alias("band")))
     return (cols.unionByName(wins).unionByName(grp)
-            .unionByName(ks_row).unionByName(jsd_rows)
+            .unionByName(ks_row).unionByName(gks).unionByName(jsd_rows)
             .unionByName(rd)
             .orderBy("part", "k"))
 

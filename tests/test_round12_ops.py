@@ -431,3 +431,70 @@ def test_embedding_drift_detects_shift_and_scale(spark):
     assert out[0]["centroid_cosine"] == pytest.approx(cos, rel=1e-9)
     with pytest.raises(ValueError):
         embedding_drift(ref, new.select(F.col("embedding").alias("e")))
+
+
+# ---------------------------------------------------------------------------
+# ks_by_group
+# ---------------------------------------------------------------------------
+def test_ks_by_group_matches_per_group_ks(spark):
+    from spark_df_profiling_spark.operators.drift import (
+        ks_2samp, ks_by_group)
+    rows_a, rows_b = [], []
+    for i in range(300):
+        g = "en" if i % 3 else "de"
+        rows_a.append((g, float((i * 7) % 50)))
+        # 'de' drifts (+10 shift); 'en' stays identical
+        rows_b.append((g, float((i * 7) % 50 + (10 if g == "de" else 0))))
+    rows_a.append(("only_ref", 1.0))       # one-sided -> dropped
+    rows_b.append((None, 1.0))             # NULL group -> excluded
+    ra = spark.createDataFrame(rows_a, "g string, v double")
+    rb = spark.createDataFrame(rows_b, "g string, v double")
+    got = {r["g"]: r for r in ks_by_group(ra, rb, "v", "g").collect()}
+    assert set(got) == {"en", "de"}
+    import bisect
+    for grp in ("en", "de"):
+        solo = ks_2samp(ra.where(F.col("g") == grp),
+                        rb.where(F.col("g") == grp), "v").collect()[0]
+        r = got[grp]
+        assert (r["n_ref"], r["n_new"]) == (solo["n_ref"],
+                                            solo["n_new"]), grp
+        assert r["d_stat"] == pytest.approx(solo["d_stat"],
+                                            rel=1e-12), grp
+        # exact-integer reference: d_numer and the SMALLEST value of
+        # the true plateau.  (ks_2samp's float at_value can land
+        # elsewhere on the plateau — |ca/na - cb/nb| splits integer
+        # ties by ulps; the integer numerator here is tie-exact.)
+        va = sorted(x[1] for x in rows_a if x[0] == grp)
+        vb = sorted(x[1] for x in rows_b if x[0] == grp)
+        na, nb = len(va), len(vb)
+        plate = {}
+        for v in sorted(set(va) | set(vb)):
+            ca = bisect.bisect_right(va, v)
+            cb = bisect.bisect_right(vb, v)
+            plate[v] = abs(ca * nb - cb * na)
+        mx = max(plate.values())
+        assert r["d_numer"] == mx, grp
+        assert r["at_value"] == min(v for v, n in plate.items()
+                                    if n == mx), grp
+    assert got["de"]["d_stat"] > got["en"]["d_stat"]
+    assert got["en"]["d_stat"] == pytest.approx(0.0)
+    with pytest.raises(ValueError):
+        ks_by_group(ra, rb.drop("g"), "v", "g")
+
+
+def test_ks_by_group_no_single_partition_window(spark):
+    """The grouped KS must never window per group (a group's
+    distinct-value frame can be row-sized): every window partitions by
+    __pid."""
+    import re
+    from spark_df_profiling_spark.operators.drift import ks_by_group
+    ra = spark.createDataFrame(
+        [("g", float(i)) for i in range(200)], "g string, v double")
+    rb = spark.createDataFrame(
+        [("g", float(i) + 0.5) for i in range(200)],
+        "g string, v double")
+    plan = ks_by_group(ra, rb, "v", "g") \
+        ._jdf.queryExecution().executedPlan().toString()
+    for m in re.finditer(r"Window \[", plan):
+        seg = plan[m.start():m.start() + 400]
+        assert "__pid" in seg, f"unpartitioned window: {seg[:120]}"

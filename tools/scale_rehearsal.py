@@ -2094,8 +2094,46 @@ def r12d_main() -> None:
           f"docs in {time.time() - t0:.1f}s", flush=True)
 
 
+def r12e_main() -> None:
+    """ks_by_group at 2x6M rows with ALL-DISTINCT continuous values
+    across 6 groups, one group = 50% of rows and the only one with a
+    planted shift — the per-group distinct-value frame is row-sized,
+    which a per-group window would single-task; the frozen-boundary
+    protocol must spread it."""
+    spark = (SparkSession.builder.master("local[32]")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory", "32g")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    from spark_df_profiling_spark.operators.drift import ks_by_group
+
+    def side(seed, shift_hot):
+        return spark.range(6_000_000).select(
+            F.when(F.col("id") % 2 == 0, F.lit("hot"))
+            .otherwise(F.pmod(F.xxhash64("id"), F.lit(5))
+                       .cast("string")).alias("g"),
+            (F.col("id").cast("double")
+             + F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(997))
+             / 997.0
+             + F.when((F.col("id") % 2 == 0) & F.lit(shift_hot),
+                      3_000_000.0).otherwise(0.0)).alias("v"))
+    t0 = time.time()
+    rows = ks_by_group(side(1, False), side(2, True),
+                       "v", "g").collect()
+    hot = [r for r in rows if r["g"] == "hot"][0]
+    rest = max(r["d_stat"] for r in rows if r["g"] != "hot")
+    print(f"ks_by_group 2x6M rows, 6 groups, hot=50% all-distinct "
+          f"values + planted shift: hot D {hot['d_stat']:.3f} "
+          f"(expect ~0.5), max other D {rest:.4f} (expect ~0), "
+          f"{len(rows)} groups, {time.time() - t0:.1f}s", flush=True)
+
+
 if __name__ == "__main__":
-    if "r12d" in sys.argv:
+    if "r12e" in sys.argv:
+        r12e_main()
+    elif "r12d" in sys.argv:
         r12d_main()
     elif "r12c" in sys.argv:
         r12c_main()
