@@ -30,6 +30,61 @@ def _shuffle_partitions(spark, fallback: int = 32) -> int:
         return fallback
 
 
+def regression_report(df: DataFrame, label_col: str, pred_col: str,
+                      group_col: "str | None" = None) -> DataFrame:
+    """Regression / score-prediction quality in one aggregate —
+    completes the evaluation family for reward models and quality-
+    score regressors the way :func:`classification_report` serves
+    classifiers: ``(n, mae, rmse, bias, r2, pearson_r)`` per (group,)
+    — ``bias = mean(pred − label)`` (systematic over/under-scoring,
+    the drift dial MAE hides), ``r2 = 1 − SS_res/SS_tot`` (NULL when
+    the labels are constant), ``pearson_r`` from the same co-moments.
+    NULL label/pred rows excluded; ``group_col`` gives the per-lang /
+    per-source readout (same grouping contract as :func:`roc_auc`).
+
+    Scale: ONE map-side-combined aggregate (count + 7 sums) per
+    group — no window, no join, nothing row-sized after the scan.
+    Co-moments are computed CENTERED via the Σxy − n·x̄·ȳ identity on
+    doubles — adequate at evaluation-set scale; for 100 TB-count
+    streams use :func:`~spark_df_profiling_spark.operators.
+    incremental.corr_state` (Chan merge) instead.
+    """
+    for c in [label_col, pred_col] + ([group_col] if group_col
+                                      else []):
+        if c not in df.columns:
+            raise ValueError(f"missing column: {c!r}")
+    y = F.col(label_col).cast("double")
+    p = F.col(pred_col).cast("double")
+    keep = y.isNotNull() & p.isNotNull()
+    if group_col:
+        keep = keep & F.col(group_col).isNotNull()
+    gsel = [F.col(group_col)] if group_col else []
+    base = df.where(keep).select(*gsel, y.alias("__y"),
+                                 p.alias("__p"))
+    e = F.col("__p") - F.col("__y")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n"),
+            F.avg(F.abs(e)).alias("mae"),
+            F.sqrt(F.avg(e * e)).alias("rmse"),
+            F.avg(e).alias("bias"),
+            F.sum(e * e).alias("__ssr"),
+            F.var_pop("__y").alias("__vy"),
+            F.var_pop("__p").alias("__vp"),
+            # NOT F.corr: under ANSI mode a constant column makes it
+            # raise DIVIDE_BY_ZERO; guard the denominator instead
+            F.covar_pop("__y", "__p").alias("__cov")]
+    agg = (base.groupBy(group_col).agg(*aggs) if group_col
+           else base.agg(*aggs))
+    r2 = F.when(F.col("__vy") > 0,
+                F.lit(1.0) - F.col("__ssr")
+                / (F.col("__vy") * F.col("n")))
+    pr = F.when((F.col("__vy") > 0) & (F.col("__vp") > 0),
+                F.col("__cov")
+                / F.sqrt(F.col("__vy") * F.col("__vp")))
+    cols = ([group_col] if group_col else []) + [
+        "n", "mae", "rmse", "bias"]
+    return agg.select(*cols, r2.alias("r2"), pr.alias("pearson_r"))
+
+
 def classification_report(df: DataFrame, label_col: str,
                           pred_col: str) -> DataFrame:
     """Per-class precision / recall / F1 / support from gold labels vs

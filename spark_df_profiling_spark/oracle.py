@@ -3242,6 +3242,32 @@ FROM (
             WHERE label IS NOT NULL AND embedding IS NOT NULL)
       GROUP BY g, s))
   QUALIFY row_number() OVER (PARTITION BY g ORDER BY s DESC) = 1)
+UNION ALL
+-- GROUPED regression_report replay: label = dim 0, pred = dim 1,
+-- group = label % 3; n exact, float stats sig-normalized with the
+-- same guarded (never-divide-by-zero) pearson formulation
+SELECT 'rreg', CAST(g AS BIGINT), CAST(n AS BIGINT),
+       {_psig('mae')} || '/' || {_psig('rmse')} || '/'
+       || {_psig('bias')} || '/'
+       || coalesce({_psig('r2')}, 'null') || '/'
+       || coalesce({_psig('pr')}, 'null'),
+       1
+FROM (
+  SELECT g, count(*) AS n,
+         avg(abs(p - y)) AS mae,
+         sqrt(avg((p - y) * (p - y))) AS rmse,
+         avg(p - y) AS bias,
+         CASE WHEN var_pop(y) > 0
+              THEN 1.0 - sum((p - y) * (p - y))
+                         / (var_pop(y) * count(*)) END AS r2,
+         CASE WHEN var_pop(y) > 0 AND var_pop(p) > 0
+              THEN covar_pop(y, p)
+                   / sqrt(var_pop(y) * var_pop(p)) END AS pr
+  FROM (SELECT label % 3 AS g, embedding[1]::DOUBLE AS y,
+               embedding[2]::DOUBLE AS p
+        FROM embeddings
+        WHERE label IS NOT NULL AND embedding IS NOT NULL)
+  GROUP BY g)
 ORDER BY part, query_id, rank
 """)
 def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3349,6 +3375,26 @@ def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("neighbor_id"),
         sig(F.col("a.threshold")).alias("sim_s"),
         F.col("nthr").alias("rank"))
+    # 'rreg' rows grade GROUPED evaluation.regression_report — label =
+    # embedding dim 0, "prediction" = dim 1, group = label % 3
+    from spark_df_profiling_spark.operators.evaluation import (
+        regression_report)
+    rr_df = e.select((F.col("label") % 3).cast("long").alias("g"),
+                     F.get(F.col("embedding"), 0).cast("double")
+                     .alias("y"),
+                     F.get(F.col("embedding"), 1).cast("double")
+                     .alias("p"))
+    rreg = (regression_report(rr_df, "y", "p", "g")
+            .select(F.lit("rreg").alias("part"),
+                    F.col("g").alias("query_id"),
+                    F.col("n").alias("neighbor_id"),
+                    F.concat_ws(
+                        "/", sig(F.col("mae")), sig(F.col("rmse")),
+                        sig(F.col("bias")),
+                        F.coalesce(sig(F.col("r2")), F.lit("null")),
+                        F.coalesce(sig(F.col("pearson_r")),
+                                   F.lit("null"))).alias("sim_s"),
+                    F.lit(1).alias("rank")))
     # 'calib' rows grade evaluation.calibration_report — per-bin
     # (n, sum_label) integers over an affinely-squeezed score
     from spark_df_profiling_spark.operators.evaluation import (
@@ -3438,6 +3484,7 @@ def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(gcalib)
             .unionByName(rmet).unionByName(prow)
             .unionByName(grauc).unionByName(gprc)
+            .unionByName(rreg)
             .orderBy("part", "query_id", "rank"))
 
 

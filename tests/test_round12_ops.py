@@ -498,3 +498,57 @@ def test_ks_by_group_no_single_partition_window(spark):
     for m in re.finditer(r"Window \[", plan):
         seg = plan[m.start():m.start() + 400]
         assert "__pid" in seg, f"unpartitioned window: {seg[:120]}"
+
+
+# ---------------------------------------------------------------------------
+# regression_report
+# ---------------------------------------------------------------------------
+def test_regression_report_matches_python(spark):
+    import math
+    from spark_df_profiling_spark.operators.evaluation import (
+        regression_report)
+    ys = [float((i * 7) % 13) for i in range(60)]
+    ps = [y + ((i * 5) % 7 - 3) * 0.5 for i, y in enumerate(ys)]
+    rows = ([("en", y, p) for y, p in zip(ys[:40], ps[:40])]
+            + [("de", y, p) for y, p in zip(ys[40:], ps[40:])]
+            + [("en", None, 1.0), (None, 1.0, 1.0)])
+    df = spark.createDataFrame(rows, "g string, y double, p double")
+
+    def ref(yv, pv):
+        n = len(yv)
+        errs = [b - a for a, b in zip(yv, pv)]
+        mae = sum(abs(e) for e in errs) / n
+        rmse = math.sqrt(sum(e * e for e in errs) / n)
+        bias = sum(errs) / n
+        my = sum(yv) / n
+        sstot = sum((a - my) ** 2 for a in yv)
+        r2 = 1 - sum(e * e for e in errs) / sstot
+        return n, mae, rmse, bias, r2
+
+    # ungrouped over ALL non-null rows (the NULL-group row counts here)
+    yv = ys + [1.0]
+    pv = ps + [1.0]
+    r = regression_report(df, "y", "p").collect()[0]
+    n, mae, rmse, bias, r2 = ref(yv, pv)
+    assert r["n"] == n
+    for k, want in (("mae", mae), ("rmse", rmse), ("bias", bias),
+                    ("r2", r2)):
+        assert r[k] == pytest.approx(want, rel=1e-9), k
+    # grouped == per-group
+    got = {x["g"]: x for x in
+           regression_report(df, "y", "p", "g").collect()}
+    assert set(got) == {"en", "de"}
+    n, mae, rmse, bias, r2 = ref(ys[:40], ps[:40])
+    assert got["en"]["n"] == n
+    assert got["en"]["rmse"] == pytest.approx(rmse, rel=1e-9)
+    assert got["en"]["r2"] == pytest.approx(r2, rel=1e-9)
+    # constant labels: r2 NULL, perfect preds: r2 = 1
+    const = spark.createDataFrame([(2.0, 3.0)] * 5, "y double, p double")
+    assert regression_report(const, "y", "p").collect()[0]["r2"] is None
+    perfect = spark.createDataFrame([(float(i), float(i))
+                                     for i in range(5)],
+                                    "y double, p double")
+    pr = regression_report(perfect, "y", "p").collect()[0]
+    assert pr["r2"] == pytest.approx(1.0) and pr["mae"] == 0.0
+    with pytest.raises(ValueError):
+        regression_report(df, "y", "nope")
