@@ -2130,8 +2130,55 @@ def r12e_main() -> None:
           f"{len(rows)} groups, {time.time() - t0:.1f}s", flush=True)
 
 
+def r12f_main() -> None:
+    """stateful_heavy_hitters on a REAL availableNow stream: 2M events,
+    one key = 50% of rows, 40 distinct values per key (capacity 64 ->
+    exact); verified against the batch groupBy count."""
+    import tempfile
+
+    spark = (SparkSession.builder.master("local[32]")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory", "32g")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    from spark_df_profiling_spark.streaming import (
+        run_stream_to_memory, stateful_heavy_hitters)
+    ev = spark.range(2_000_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit(1))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(10_000)))
+        .alias("user_id"),
+        F.col("id").alias("tus"),
+        F.pmod(F.xxhash64("id", F.lit(3)), F.lit(40)).cast("string")
+        .alias("v"))
+    path = tempfile.mkdtemp() + "/ev_shh"
+    ev.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(ev.schema).parquet(path)
+    t0 = time.time()
+    out = stateful_heavy_hitters(stream, "user_id", "tus", "v",
+                                 capacity=64)
+    run_stream_to_memory(out, "shh_rehearsal_out",
+                         output_mode="update")
+    got = {r["value"]: r["count_est"]
+           for r in spark.table("shh_rehearsal_out").collect()
+           if r["key"] == 1}
+    t = time.time() - t0
+    want = {r["v"]: r["c"] for r in
+            ev.where(F.col("user_id") == 1).groupBy("v")
+            .agg(F.count(F.lit(1)).alias("c")).collect()}
+    ok = got == want
+    print(f"stateful_heavy_hitters 2M events, hot key=50%, 40 values,"
+          f" capacity 64: hot-key counters exact match batch = {ok} "
+          f"({len(got)} values, {sum(got.values())} events), {t:.1f}s",
+          flush=True)
+    assert ok
+
+
 if __name__ == "__main__":
-    if "r12e" in sys.argv:
+    if "r12f" in sys.argv:
+        r12f_main()
+    elif "r12e" in sys.argv:
         r12e_main()
     elif "r12d" in sys.argv:
         r12d_main()
