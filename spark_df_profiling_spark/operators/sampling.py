@@ -327,6 +327,106 @@ def temperature_weights(df: DataFrame, source_col: str,
             .orderBy("source"))
 
 
+def mixture_plan(per_source: DataFrame, budget_tokens: float,
+                 source_col: str = "source",
+                 tokens_col: str = "n_tokens",
+                 weight_col: str = "weight",
+                 max_epochs: float = 4.0) -> DataFrame:
+    """Token-budget allocation across sources under a repetition cap —
+    the mixing board between :func:`temperature_weights` (which says
+    the IDEAL mix) and :func:`temperature_resample` (which draws it):
+    give each source ``λ·w_s`` tokens of the budget, but never more
+    than ``max_epochs × n_tokens_s`` (repeating a small source 40× is
+    how memorization happens — every published recipe caps epochs),
+    and redistribute what saturated sources can't absorb to the rest
+    IN WEIGHT PROPORTION.  That is exactly water-filling, solved in
+    CLOSED FORM: sort sources by ``cap_s/w_s`` ascending, prefix-sum
+    caps and suffix-sum weights, and the water level
+    ``λ_k = (B − Σ_{i≤k} cap_i) / Σ_{i>k} w_i`` is valid at the first
+    ``k`` where the next ratio exceeds it — no iteration.  One row
+    per source: ``(source, weight, n_tokens, cap_tokens,
+    target_tokens, epochs, saturated)`` plus ``budget_unmet`` repeated
+    (> 0 only when EVERY source saturates — the budget is larger than
+    ``max_epochs`` passes over everything).
+
+    The input is the O(#sources) mixture table by contract (mixture
+    components are dashboard-grade — tens, not millions), so the
+    unpartitioned ordering window here is bounded; weights and token
+    counts must be positive, the budget positive.
+    """
+    from pyspark.sql import Window
+
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be > 0: {budget_tokens}")
+    if max_epochs <= 0:
+        raise ValueError(f"max_epochs must be > 0: {max_epochs}")
+    for c in (source_col, tokens_col, weight_col):
+        if c not in per_source.columns:
+            raise ValueError(f"missing column: {c!r}")
+    w = F.col(weight_col).cast("double")
+    tk = F.col(tokens_col).cast("double")
+    guard = F.when((w > 0) & (tk > 0), w).otherwise(F.raise_error(
+        F.concat(F.lit("mixture_plan: non-positive weight or token "
+                       "count for source "),
+                 F.col(source_col).cast("string"))))
+    base = per_source.select(
+        F.col(source_col).alias("source"), guard.alias("__w"),
+        tk.alias("__tk"),
+        (tk * max_epochs).alias("__cap"))
+    # bounded by the #sources contract (lint-whitelisted)
+    ws = Window.orderBy(F.col("__r"), F.col("source"))
+    w_run = ws.rowsBetween(Window.unboundedPreceding, 0)
+    w_all = ws.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing)
+    staged = (base.withColumn("__r", F.col("__cap") / F.col("__w"))
+              .withColumn("__capcum", F.sum("__cap").over(w_run))
+              .withColumn("__wcum", F.sum("__w").over(w_run))
+              .withColumn("__wtot", F.sum("__w").over(w_all))
+              .withColumn("__captot", F.sum("__cap").over(w_all)))
+    # λ if exactly the sources up to AND INCLUDING this row saturate
+    lam_k = F.when(
+        F.col("__wtot") > F.col("__wcum"),
+        (F.lit(float(budget_tokens)) - F.col("__capcum"))
+        / (F.col("__wtot") - F.col("__wcum")))
+    # λ with NO saturated source (k = 0)
+    lam0 = F.lit(float(budget_tokens)) / F.col("__wtot")
+    # row i saturates iff r_i <= λ_i (the water level when i and
+    # everything before it saturate) — provably equivalent to
+    # membership in the optimal saturated prefix, and λ_k is
+    # nondecreasing over that prefix so max picks λ_{k*}.  The LAST
+    # row has no λ (no one left unsaturated): it saturates only when
+    # the budget covers every cap.
+    valid = F.when(lam_k.isNull(),
+                   F.lit(float(budget_tokens)) >= F.col("__captot")) \
+        .otherwise(F.col("__r") <= lam_k)
+    staged = staged.withColumn(
+        "__lam_k", lam_k).withColumn("__sat_here", valid)
+    # the water level is λ_{k*} where k* = number of saturated rows:
+    # the LAST row with __sat_here true carries it; rows never
+    # saturating use λ0 when nothing saturates
+    lam_star = F.max(F.when(F.col("__sat_here"),
+                            F.coalesce(F.col("__lam_k"),
+                                       F.lit(float("-inf"))))
+                     ).over(w_all)
+    any_sat = F.max(F.when(F.col("__sat_here"), 1).otherwise(0)) \
+        .over(w_all)
+    lam_eff = F.when(any_sat == 1, lam_star).otherwise(lam0)
+    out = staged.withColumn("__lam", lam_eff)
+    target = F.least(F.col("__cap"), F.col("__lam") * F.col("__w"))
+    unmet = F.greatest(
+        F.lit(0.0), F.lit(float(budget_tokens)) - F.col("__captot"))
+    return out.select(
+        F.col("source").alias(source_col),
+        F.col("__w").alias(weight_col),
+        F.col("__tk").cast("long").alias(tokens_col),
+        F.col("__cap").alias("cap_tokens"),
+        target.alias("target_tokens"),
+        (target / F.col("__tk")).alias("epochs"),
+        (F.col("__cap") <= F.col("__lam") * F.col("__w"))
+        .alias("saturated"),
+        unmet.alias("budget_unmet"))
+
+
 def temperature_resample(df: DataFrame, source_col: str,
                          key_col: Union[str, Column],
                          tau: float = 0.7,

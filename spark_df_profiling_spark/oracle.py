@@ -8530,6 +8530,41 @@ GROUP BY d.source
 UNION ALL
 SELECT 'tauw', source, nn, {_psig('epochs')} FROM reps
 UNION ALL
+-- mixture_plan replay: closed-form water-filling over per-lang doc
+-- counts, uniform weights, budget 800 tokens, max_epochs 2 (small
+-- langs saturate); target sig-normalized, saturation flag exact
+SELECT 'mplan', source, CAST(n AS BIGINT),
+       {_psig('tgt')} || '/' || CAST(sat AS VARCHAR)
+FROM (
+  WITH mp AS (SELECT lang AS source, CAST(count(*) AS DOUBLE) AS n,
+                     CAST(1.0 AS DOUBLE) AS w,
+                     CAST(count(*) * 2.0 AS DOUBLE) AS cap
+              FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+  st AS (SELECT source, n, w, cap, cap / w AS r,
+                sum(cap) OVER (ORDER BY cap / w, source) AS capcum,
+                sum(w) OVER (ORDER BY cap / w, source) AS wcum,
+                sum(w) OVER () AS wtot,
+                sum(cap) OVER () AS captot
+         FROM mp),
+  fl AS (SELECT *,
+                CASE WHEN wtot > wcum
+                     THEN (800.0 - capcum) / (wtot - wcum) END AS lamk
+         FROM st),
+  fl2 AS (SELECT *,
+                 CASE WHEN lamk IS NULL THEN 800.0 >= captot
+                      ELSE r <= lamk END AS sathere
+          FROM fl),
+  lv AS (SELECT max(CASE WHEN sathere
+                         THEN coalesce(lamk, -1e308) END) AS lamstar,
+                max(CASE WHEN sathere THEN 1 ELSE 0 END) AS anysat
+         FROM fl2)
+  SELECT source, n,
+         least(cap, (CASE WHEN anysat = 1 THEN lamstar
+                          ELSE 800.0 / wtot END) * w) AS tgt,
+         cap <= (CASE WHEN anysat = 1 THEN lamstar
+                      ELSE 800.0 / wtot END) * w AS sat
+  FROM fl2 CROSS JOIN lv)
+UNION ALL
 SELECT 'tau', s.source,
        max(r.r) * max(r.nn)
        + count(*) FILTER (WHERE
@@ -8587,7 +8622,25 @@ def mixture_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select(F.lit("tau").alias("part"),
                    F.col("source").alias("k"), "n_out",
                    F.lit(None).cast("string").alias("s")))
-    return mix.unionByName(tauw).unionByName(tau).orderBy("part", "k")
+    # 'mplan' rows grade sampling.mixture_plan — closed-form water-
+    # filling over per-lang doc counts (uniform weights, budget 800,
+    # max_epochs 2 so the small langs saturate); target at 5 sig
+    # digits, saturation flag exact
+    from spark_df_profiling_spark.operators.sampling import (
+        mixture_plan)
+    per_lang = (d.where(F.col("lang").isNotNull())
+                .groupBy(F.col("lang").alias("source"))
+                .agg(F.count(F.lit(1)).alias("n_tokens"))
+                .withColumn("weight", F.lit(1.0)))
+    mplan = (mixture_plan(per_lang, 800.0, max_epochs=2.0)
+             .select(F.lit("mplan").alias("part"),
+                     F.col("source").alias("k"),
+                     F.col("n_tokens").alias("n_out"),
+                     F.concat(sig(F.col("target_tokens")), F.lit("/"),
+                              F.col("saturated").cast("string"))
+                     .alias("s")))
+    return (mix.unionByName(tauw).unionByName(tau).unionByName(mplan)
+            .orderBy("part", "k"))
 
 
 # BM25 query-term bag for the graded retrieval row set (terms present

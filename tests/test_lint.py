@@ -59,6 +59,8 @@ UNPARTITIONED_WINDOW_WHITELIST = {
     ("operators/drift.py", "topk"),
     # rank over 2*top_k file rows (both sides post-limit)
     ("sources/__init__.py", "file_row_stats"),
+    # the O(#sources) mixture table by contract (dashboard-grade)
+    ("operators/sampling.py", "mixture_plan"),
 }
 
 

@@ -552,3 +552,72 @@ def test_regression_report_matches_python(spark):
     assert pr["r2"] == pytest.approx(1.0) and pr["mae"] == 0.0
     with pytest.raises(ValueError):
         regression_report(df, "y", "nope")
+
+
+# ---------------------------------------------------------------------------
+# mixture_plan
+# ---------------------------------------------------------------------------
+def _py_waterfill(rows, budget, max_epochs):
+    """Brute-force reference: iteratively cap saturated sources and
+    redistribute."""
+    caps = {s: t * max_epochs for s, t, _ in rows}
+    ws = {s: w for s, _, w in rows}
+    alloc, active, rem = {}, set(ws), budget
+    while True:
+        wsum = sum(ws[s] for s in active)
+        if wsum == 0:
+            break
+        lam = rem / wsum
+        sat = [s for s in active if caps[s] < lam * ws[s]]
+        if not sat:
+            for s in active:
+                alloc[s] = lam * ws[s]
+            break
+        for s in sat:
+            alloc[s] = caps[s]
+            rem -= caps[s]
+            active.remove(s)
+        if not active:
+            break
+    for s in ws:
+        alloc.setdefault(s, caps[s])
+    return alloc
+
+
+def test_mixture_plan_matches_waterfilling(spark):
+    from spark_df_profiling_spark.operators.sampling import mixture_plan
+    rows = [("tiny", 100, 0.30), ("small", 1000, 0.30),
+            ("big", 100000, 0.25), ("huge", 10000000, 0.15)]
+    df = spark.createDataFrame(rows, "source string, n_tokens long, "
+                                     "weight double")
+    for budget in (5_000.0, 200_000.0, 5_000_000.0):
+        got = {r["source"]: r for r in
+               mixture_plan(df, budget, max_epochs=4.0).collect()}
+        want = _py_waterfill(rows, budget, 4.0)
+        for s, t, w in rows:
+            assert got[s]["target_tokens"] == pytest.approx(
+                want[s], rel=1e-9), (budget, s)
+            assert got[s]["epochs"] == pytest.approx(
+                want[s] / t, rel=1e-9)
+            assert got[s]["saturated"] == (
+                want[s] == pytest.approx(t * 4.0)), (budget, s)
+        # full budget is allocated (no source over its cap)
+        assert sum(r["target_tokens"] for r in got.values()) == \
+            pytest.approx(min(budget,
+                              sum(t * 4.0 for _, t, _ in rows)))
+        assert all(r["budget_unmet"] == pytest.approx(0.0)
+                   for r in got.values())
+    # budget beyond max_epochs passes over EVERYTHING: unmet > 0
+    over = {r["source"]: r for r in
+            mixture_plan(df, 1e9, max_epochs=4.0).collect()}
+    total_cap = sum(t * 4.0 for _, t, _ in rows)
+    assert all(r["saturated"] for r in over.values())
+    assert over["tiny"]["budget_unmet"] == pytest.approx(1e9 - total_cap)
+    assert over["tiny"]["target_tokens"] == pytest.approx(400.0)
+    with pytest.raises(ValueError):
+        mixture_plan(df, 0.0)
+    with pytest.raises(Exception):
+        bad = spark.createDataFrame([("x", 0, 0.5)],
+                                    "source string, n_tokens long, "
+                                    "weight double")
+        mixture_plan(bad, 100.0).collect()
