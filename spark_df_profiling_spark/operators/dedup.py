@@ -1761,9 +1761,12 @@ def remove_spans(df: DataFrame, spans: DataFrame,
                 __spans, sp -> x.i >= sp.s AND x.i < sp.e)),
         x -> x.t)""")
     n_tok = F.size(F.split(F.col(text_col), r"\s+"))
+    # NULL text passes through as NULL (concat_ws would silently turn
+    # it into '' — a missing doc is not an empty doc)
+    clean = F.when(F.col(text_col).isNotNull(), F.concat_ws(" ", kept))
     return (df.join(per_doc, id_col, "left")
             .select(F.col(id_col),
-                    F.concat_ws(" ", kept).alias("text_clean"),
+                    clean.alias("text_clean"),
                     n_tok.cast("long").alias("n_tokens"),
                     (n_tok - F.size(kept)).cast("long")
                     .alias("n_tokens_removed")))

@@ -220,6 +220,10 @@ def test_remove_spans_cuts_and_preserves(spark):
             assert r["text_clean"] == " ".join(toks)
     with pytest.raises(ValueError):
         remove_spans(df, spans.drop("span_end"))
+    # NULL text passes through as NULL, never ''
+    nl = spark.createDataFrame([(9, None)], "doc_id long, text string")
+    r9 = remove_spans(nl, spans.limit(0)).collect()[0]
+    assert r9["text_clean"] is None
 
 
 # ---------------------------------------------------------------------------
