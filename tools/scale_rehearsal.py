@@ -2175,8 +2175,51 @@ def r12f_main() -> None:
     assert ok
 
 
+def r12g_main() -> None:
+    """Grouped evaluation at scale: grouped roc_auc over 10M rows with
+    ALL-DISTINCT scores across 5 groups (one = 50% of rows — a grouped
+    window would single-task its 5M-row distinct-score frame);
+    fleiss_kappa over 20M ratings (2M items x 10 raters)."""
+    spark = (SparkSession.builder.master("local[32]")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory", "32g")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    from spark_df_profiling_spark.operators.correlation import (
+        fleiss_kappa)
+    from spark_df_profiling_spark.operators.evaluation import roc_auc
+    scored = spark.range(10_000_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit("hot"))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(4)).cast("string"))
+        .alias("g"),
+        (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(100)) < 30)
+        .alias("y"),
+        (F.col("id").cast("double")
+         + F.pmod(F.xxhash64("id", F.lit(2)), F.lit(1000)) / 1000.0)
+        .alias("s"))
+    t0 = time.time()
+    rows = roc_auc(scored, "y", "s", "g").collect()
+    hot = [r for r in rows if r["g"] == "hot"][0]
+    print(f"grouped roc_auc 10M rows, 5 groups, hot=50% all-distinct "
+          f"scores: hot auc {hot['auc']:.4f} (independent -> ~0.5), "
+          f"{len(rows)} groups, {time.time() - t0:.1f}s", flush=True)
+    ratings = spark.range(20_000_000).select(
+        (F.col("id") % 2_000_000).alias("item"),
+        F.pmod(F.xxhash64("id", F.lit(5)), F.lit(6)).cast("string")
+        .alias("cat"))
+    t0 = time.time()
+    r = fleiss_kappa(ratings, "item", "cat").collect()[0]
+    print(f"fleiss_kappa 20M ratings, 2M items x 10 raters, 6 "
+          f"categories: kappa {r['kappa']:.4f} (independent -> ~0), "
+          f"{time.time() - t0:.1f}s", flush=True)
+
+
 if __name__ == "__main__":
-    if "r12f" in sys.argv:
+    if "r12g" in sys.argv:
+        r12g_main()
+    elif "r12f" in sys.argv:
         r12f_main()
     elif "r12e" in sys.argv:
         r12e_main()
