@@ -1582,7 +1582,8 @@ def ngram_novelty(df: DataFrame, text_col: str = "text",
 def exact_substring_spans(df: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id", n: int = 20,
                           min_count: int = 2,
-                          cross_doc: bool = False) -> DataFrame:
+                          cross_doc: bool = False,
+                          keep_first: bool = False) -> DataFrame:
     """Exact-substring dedup spans (Lee et al. 2022, "Deduplicating
     Training Data Makes Language Models Better"): find every maximal
     run of tokens whose length-``n`` token windows ALL repeat elsewhere
@@ -1605,6 +1606,15 @@ def exact_substring_spans(df: DataFrame, text_col: str = "text",
     span_end, n_grams)`` — token positions, end EXCLUSIVE, under
     :func:`shingle_expr`'s normalization (lowercase, ``\\s+`` split).
     Docs with no repeated span emit nothing.
+
+    ``keep_first=True`` is the paper's remove-all-but-one policy: the
+    CANONICAL occurrence of each repeated gram — smallest (id, pos) —
+    stays unflagged, so feeding the spans to :func:`remove_spans`
+    keeps exactly one copy of a shared passage corpus-wide instead of
+    cutting them all.  Caveat: canonicality is per-GRAM, so when two
+    repeats only partially overlap the kept copy is resolved
+    window-by-window (a doc overlapping part of the kept passage
+    still flags its own windows).
 
     Scale: positional grams travel as ``(id, int pos, xxhash64)`` —
     corpus-token-sized but 20 bytes/row; gram counts pre-combine
@@ -1632,7 +1642,18 @@ def exact_substring_spans(df: DataFrame, text_col: str = "text",
         rep = (g.groupBy("__h")
                .agg(F.count(F.lit(1)).alias("__c"))
                .where(F.col("__c") >= min_count).select("__h"))
-    flagged = g.join(rep, "__h").select(id_col, "__p")
+    cand = g.join(rep, "__h")
+    if keep_first:
+        # canonical occurrence per repeated gram = min (id, pos); one
+        # groupBy over the repeated-gram subset only
+        first = (cand.groupBy("__h")
+                 .agg(F.min(F.struct(F.col(id_col).alias("i"),
+                                     F.col("__p").alias("p")))
+                      .alias("__f")))
+        cand = (cand.join(first, "__h")
+                .where(~((F.col(id_col) == F.col("__f.i"))
+                         & (F.col("__p") == F.col("__f.p")))))
+    flagged = cand.select(id_col, "__p")
     return _merge_flagged_spans(flagged, id_col, n)
 
 

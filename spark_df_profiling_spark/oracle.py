@@ -2344,7 +2344,27 @@ cisl AS (
         FROM cfl)),
 cspans AS (SELECT doc_id, min(p) AS s, max(p) + 5 AS e,
                   count(*) AS ng
-           FROM cisl GROUP BY doc_id, grp)
+           FROM cisl GROUP BY doc_id, grp),
+kff AS (SELECT gr, min(doc_id * 100000 + p) AS ck
+        FROM pg JOIN rep USING (gr) GROUP BY gr),
+kfl AS (SELECT pg.doc_id AS doc_id, pg.p AS p
+        FROM pg JOIN rep USING (gr) JOIN kff USING (gr)
+        WHERE pg.doc_id * 100000 + pg.p <> kff.ck),
+kisl AS (
+  SELECT doc_id, p,
+         sum(CASE WHEN prev IS NULL OR p - prev > 8
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY p) AS grp
+  FROM (SELECT doc_id, p,
+               lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+        FROM kfl)),
+kspans AS (SELECT doc_id, min(p) AS s, max(p) + 8 AS e,
+                  count(*) AS ng
+           FROM kisl GROUP BY doc_id, grp)
+SELECT 'kfspan' AS part, doc_id,
+       CAST(s * 100000 + e AS BIGINT) AS v1, CAST(ng AS BIGINT) AS v2
+FROM kspans
+UNION ALL
 SELECT 'cspan' AS part, doc_id,
        CAST(s * 100000 + e AS BIGINT) AS v1, CAST(ng AS BIGINT) AS v2
 FROM cspans
@@ -2386,12 +2406,21 @@ def substring_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text")).alias("text"))
     sp = exact_substring_spans(planted, n=8, min_count=2,
                                cross_doc=True)
+    # 'kfspan' rows grade keep_first=True (the paper's remove-all-but-
+    # one policy): canonical (min (id, pos)) occurrences stay unflagged
+    kf = (exact_substring_spans(planted, n=8, min_count=2,
+                                cross_doc=True, keep_first=True)
+          .select(F.lit("kfspan").alias("part"), "doc_id",
+                  (F.col("span_start") * 100000 + F.col("span_end"))
+                  .cast("long").alias("v1"),
+                  F.col("n_grams").alias("v2")))
     cl = (remove_spans(planted, sp)
           .select(F.lit("clean").alias("part"), "doc_id",
                   F.conv(F.substring(F.md5("text_clean"), 1, 15),
                          16, 10).cast("long").alias("v1"),
                   F.col("n_tokens_removed").alias("v2")))
-    return cs.unionByName(cl).orderBy("part", "doc_id", "v1")
+    return (cs.unionByName(cl).unionByName(kf)
+            .orderBy("part", "doc_id", "v1"))
 
 
 # ---------------------------------------------------------------------------

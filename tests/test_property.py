@@ -343,3 +343,99 @@ def test_event_gaps_invariants(spark, ts):
             (srt[-1] - srt[0]) / len(gaps), rel=1e-9, abs=1e-9)
     else:
         assert r["min_gap"] is None and r["mean_gap"] is None
+
+
+# --- exact_substring_spans vs brute force -----------------------------------
+token = st.integers(min_value=0, max_value=6)
+doc_tokens = st.lists(token, min_size=0, max_size=24)
+corpus_strategy = st.lists(doc_tokens, min_size=1, max_size=6)
+
+
+@given(corpus_strategy, st.integers(min_value=1, max_value=4),
+       st.booleans())
+@settings(max_examples=8, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_exact_substring_spans_property(spark, corpus, n, cross):
+    """Random small-alphabet corpora force heavy gram repetition —
+    every span the operator emits must equal the brute-force
+    positional-gram island merge, in both counting modes."""
+    from spark_df_profiling_spark.operators.dedup import (
+        exact_substring_spans)
+    docs = [(i, " ".join(f"t{t}" for t in toks))
+            for i, toks in enumerate(corpus)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_grams"])
+        for r in exact_substring_spans(
+            df, n=n, min_count=2, cross_doc=cross).collect())
+    # brute force
+    grams = []
+    for did, text in docs:
+        toks = text.split(" ") if text else [""]
+        for i in range(0, max(0, len(toks) - n + 1)):
+            grams.append((did, i, " ".join(toks[i:i + n])))
+    counts = {}
+    for did, _, gr in grams:
+        if cross:
+            counts.setdefault(gr, set()).add(did)
+        else:
+            counts[gr] = counts.get(gr, 0) + 1
+    rep = {k for k, v in counts.items()
+           if (len(v) if cross else v) >= 2}
+    want = []
+    for did, _ in docs:
+        ps = sorted(p for d, p, gr in grams if d == did and gr in rep)
+        if not ps:
+            continue
+        start, prev, cnt = ps[0], ps[0], 1
+        for p in ps[1:]:
+            if p - prev > n:
+                want.append((did, start, prev + n, cnt))
+                start, cnt = p, 0
+            prev = p
+            cnt += 1
+        want.append((did, start, prev + n, cnt))
+    assert got == sorted(want), (n, cross)
+
+
+# --- mixture_plan water-filling invariants -----------------------------------
+source_strategy = st.lists(
+    st.tuples(st.integers(min_value=1, max_value=100000),
+              st.floats(min_value=0.01, max_value=10.0,
+                        allow_nan=False)),
+    min_size=1, max_size=8)
+
+
+@given(source_strategy,
+       st.floats(min_value=1.0, max_value=1e6, allow_nan=False),
+       st.floats(min_value=0.5, max_value=8.0, allow_nan=False))
+@settings(max_examples=8, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_mixture_plan_property(spark, srcs, budget, max_epochs):
+    """Water-filling invariants on arbitrary mixtures: no source over
+    its cap, saturated <=> at cap, unsaturated shares proportional to
+    weight, and the budget fully allocated (up to its feasibility)."""
+    from spark_df_profiling_spark.operators.sampling import mixture_plan
+    rows = [(f"s{i}", t, w) for i, (t, w) in enumerate(srcs)]
+    df = spark.createDataFrame(rows, "source string, n_tokens long, "
+                                     "weight double")
+    out = mixture_plan(df, budget, max_epochs=max_epochs).collect()
+    total_cap = sum(t * max_epochs for _, t, _ in rows)
+    alloc = sum(r["target_tokens"] for r in out)
+    assert alloc == pytest.approx(min(budget, total_cap), rel=1e-9)
+    lam = None
+    for r in out:
+        cap = r["cap_tokens"]
+        assert r["target_tokens"] <= cap * (1 + 1e-12)
+        if r["saturated"]:
+            assert r["target_tokens"] == pytest.approx(cap, rel=1e-9)
+        else:
+            ratio = r["target_tokens"] / r["weight"]
+            if lam is None:
+                lam = ratio
+            else:
+                # all unsaturated sources share one water level
+                assert ratio == pytest.approx(lam, rel=1e-9)
+    unmet = out[0]["budget_unmet"]
+    assert unmet == pytest.approx(max(0.0, budget - total_cap),
+                                  rel=1e-9, abs=1e-6)

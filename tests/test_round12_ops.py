@@ -625,3 +625,36 @@ def test_mixture_plan_matches_waterfilling(spark):
                                     "source string, n_tokens long, "
                                     "weight double")
         mixture_plan(bad, 100.0).collect()
+
+
+def test_exact_substring_spans_keep_first(spark):
+    """keep_first=True: the canonical (smallest (id, pos)) occurrence
+    of each repeated gram stays unflagged, so remove_spans keeps
+    exactly one copy of a shared passage corpus-wide."""
+    from spark_df_profiling_spark.operators.dedup import (
+        exact_substring_spans, remove_spans)
+    docs = _corpus()
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    spans = exact_substring_spans(df, n=5, min_count=2, cross_doc=True,
+                                  keep_first=True)
+    out = {r["doc_id"]: r for r in spans.collect()}
+    # doc 1 holds the canonical copy of the shared paragraph: unflagged
+    assert set(out) == {2, 3}
+    assert (out[2]["span_start"], out[2]["span_end"]) == (12, 22)
+    assert (out[3]["span_start"], out[3]["span_end"]) == (25, 35)
+    cleaned = {r["doc_id"]: r for r in remove_spans(df, spans).collect()}
+    # exactly ONE copy of the paragraph survives (doc 1's)
+    assert "alpha" in cleaned[1]["text_clean"]
+    assert "alpha" not in cleaned[2]["text_clean"]
+    assert "alpha" not in cleaned[3]["text_clean"]
+    # within-doc repeat with keep_first (cross_doc=False): the first
+    # occurrence of doc 6's repeated run survives, the second is cut
+    spans_wd = exact_substring_spans(df, n=5, min_count=2,
+                                     cross_doc=False, keep_first=True)
+    wd = [r for r in spans_wd.collect() if r["doc_id"] == 6]
+    assert len(wd) == 1
+    full = [r for r in exact_substring_spans(
+        df, n=5, min_count=2, cross_doc=False).collect()
+        if r["doc_id"] == 6]
+    assert len(full) == 2
+    assert wd[0]["span_start"] == max(r["span_start"] for r in full)
