@@ -515,3 +515,78 @@ def precision_recall_curve(df: DataFrame, label_col: str,
         F.col("__s").alias("threshold"), tp.alias("tp"),
         fp.alias("fp"), fn.alias("fn"), prec.alias("precision"),
         rec.alias("recall"), f1.alias("f1"))
+
+
+def gains_curve(df: DataFrame, label_col: str, score_col: str,
+                n_buckets: int = 10,
+                group_col: "str | None" = None) -> DataFrame:
+    """Cumulative gains / lift table — the campaign-targeting readout
+    of a scorer (rank everything by score descending; how many of the
+    positives live in the top k/n_buckets of the population?): one row
+    per (group,) bucket ``k = 1..n_buckets``:
+
+    * ``depth`` — rows at or above the bucket boundary,
+      ``ceil(N·k/n_buckets)`` (exact integer; never 0, last = N);
+    * ``cum_pos`` — positives captured in the top ``depth`` rows, with
+      the boundary TIE GROUP split proportionally (the deterministic
+      convention — a physical top-``depth`` cut would depend on sort
+      nondeterminism inside a tie);
+    * ``gain`` — ``cum_pos / n_pos`` (fraction of all positives
+      captured; the y-axis of the gains chart);
+    * ``lift`` — ``(cum_pos/depth) / (n_pos/N)`` (precision at depth
+      over base rate; 1.0 = random targeting).
+
+    ``gain``/``lift`` are NULL when the group has no positives.
+    NULL label/score (and group, in grouped mode) rows are excluded.
+
+    Scale: rides :func:`_distinct_score_prefix` verbatim — scores
+    collapse to the distinct frame, the cumulative prefix never
+    global-sorts, and the bucket boundaries join back as a BROADCAST
+    of n_buckets×#groups driver rows against the tie group straddling
+    each boundary.  Nothing row-sized sits in one task; every graded
+    value is a pure function of exact integer (depth, cumulative
+    count, cumulative positive) triples.
+    """
+    if not 1 <= n_buckets <= 1000:
+        raise ValueError(
+            f"n_buckets must be in [1, 1000]: {n_buckets}")
+    staged, tot_rows = _distinct_score_prefix(df, label_col,
+                                              score_col, group_col)
+    from pyspark.sql import types as T
+    spark = df.sparkSession
+    g_dt = staged.schema["__g"].dataType
+    brows = []
+    for gval, n_all, n_pos in tot_rows:
+        if n_all == 0:
+            continue
+        for k in range(1, n_buckets + 1):
+            depth = -(-n_all * k // n_buckets)  # ceil, exact ints
+            brows.append((gval, k, depth, n_all, n_pos))
+    bschema = T.StructType([
+        T.StructField("__g", g_dt),
+        T.StructField("bucket", T.IntegerType()),
+        T.StructField("depth", T.LongType()),
+        T.StructField("__na", T.LongType()),
+        T.StructField("__np", T.LongType())])
+    buckets = spark.createDataFrame(brows, bschema)
+    # descending-order cumulative-before of the tie group: rows/pos
+    # STRICTLY ABOVE this score
+    above_c = F.col("__na") - F.col("__cb") - F.col("__c")
+    above_p = F.col("__np") - F.col("__pb") - F.col("__pos")
+    hit = (staged.join(
+        F.broadcast(buckets),
+        (staged["__g"].eqNullSafe(buckets["__g"]))
+        & (F.col("depth") > above_c)
+        & (F.col("depth") <= above_c + F.col("__c")))
+        .drop(buckets["__g"]))
+    cum_pos = (above_p
+               + (F.col("depth") - above_c).cast("double")
+               * F.col("__pos") / F.col("__c"))
+    gain = F.when(F.col("__np") > 0, cum_pos / F.col("__np"))
+    lift = F.when(F.col("__np") > 0,
+                  cum_pos * F.col("__na")
+                  / (F.col("depth").cast("double") * F.col("__np")))
+    gsel = ([F.col("__g").alias(group_col)] if group_col else [])
+    return hit.select(*gsel, "bucket", "depth",
+                      cum_pos.alias("cum_pos"), gain.alias("gain"),
+                      lift.alias("lift"))

@@ -3297,6 +3297,41 @@ FROM (
         FROM embeddings
         WHERE label IS NOT NULL AND embedding IS NOT NULL)
   GROUP BY g)
+UNION ALL
+-- GROUPED gains/lift replay (evaluation.gains_curve, 10 buckets):
+-- distinct scores cumulated DESC, bucket depth = ceil(na·k/10),
+-- the boundary tie group split proportionally — cum_pos/gain/lift
+-- are pure functions of exact integer (depth, ac, ap, c, pos)
+SELECT 'gain', CAST(g AS BIGINT), CAST(depth AS BIGINT),
+       {_psig('cum')} || '/' || {_psig('cum / np')} || '/'
+         || {_psig('cum * na / (CAST(depth AS DOUBLE) * np)')},
+       CAST(k AS INT)
+FROM (
+  SELECT c2.g, t.k,
+         CAST(ceil(c2.na * t.k / 10.0) AS BIGINT) AS depth,
+         c2.na, c2.np,
+         c2.ap + (CAST(ceil(c2.na * t.k / 10.0) AS BIGINT) - c2.ac)
+               * c2.pos / CAST(c2.c AS DOUBLE) AS cum
+  FROM (
+    SELECT g, s, c, pos,
+           coalesce(sum(c) OVER (PARTITION BY g ORDER BY s DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS ac,
+           coalesce(sum(pos) OVER (PARTITION BY g ORDER BY s DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS ap,
+           sum(c) OVER (PARTITION BY g) AS na,
+           sum(pos) OVER (PARTITION BY g) AS np
+    FROM (
+      SELECT g, s, count(*) AS c,
+             sum(CASE WHEN y THEN 1 ELSE 0 END) AS pos
+      FROM (SELECT label % 3 AS g, label < 5 AS y,
+                   embedding[1]::DOUBLE AS s
+            FROM embeddings
+            WHERE label IS NOT NULL AND embedding IS NOT NULL)
+      GROUP BY g, s)) c2, range(1, 11) t(k)
+  WHERE CAST(ceil(c2.na * t.k / 10.0) AS BIGINT) > c2.ac
+    AND CAST(ceil(c2.na * t.k / 10.0) AS BIGINT) <= c2.ac + c2.c)
 ORDER BY part, query_id, rank
 """)
 def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3507,13 +3542,27 @@ def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("nthr").alias("neighbor_id"),
                  F.lit("n").alias("sim_s"),
                  F.lit(1).alias("rank")))).alias("r")).select("r.*")
+    # 'gain' rows grade evaluation.gains_curve (grouped, 10 buckets):
+    # per-(group, bucket) exact depth + proportionally-tie-split
+    # cum_pos with its gain/lift pure ratios
+    from spark_df_profiling_spark.operators.evaluation import (
+        gains_curve)
+    gains = (gains_curve(gra_df, "y", "s", n_buckets=10,
+                         group_col="g")
+             .select(F.lit("gain").alias("part"),
+                     F.col("g").alias("query_id"),
+                     F.col("depth").alias("neighbor_id"),
+                     F.concat_ws("/", sig(F.col("cum_pos")),
+                                 sig(F.col("gain")),
+                                 sig(F.col("lift"))).alias("sim_s"),
+                     F.col("bucket").alias("rank")))
     return (knn.unionByName(mmr).unionByName(kcl).unionByName(lag)
             .unionByName(lagrs)
             .unionByName(crep).unionByName(rauc).unionByName(calib)
             .unionByName(gcalib)
             .unionByName(rmet).unionByName(prow)
             .unionByName(grauc).unionByName(gprc)
-            .unionByName(rreg)
+            .unionByName(rreg).unionByName(gains)
             .orderBy("part", "query_id", "rank"))
 
 

@@ -195,3 +195,108 @@ class TestMixturePlanBudgetCoversAll:
         assert out["b"].target_tokens == 100.0
         assert all(r.saturated for r in out.values())
         assert out["a"].budget_unmet == pytest.approx(700.0)
+
+
+class TestGainsCurve:
+    @staticmethod
+    def _py_gains(vals, n_buckets):
+        from collections import defaultdict
+        agg = defaultdict(lambda: [0, 0])
+        for s, y in vals:
+            agg[s][0] += 1
+            agg[s][1] += y
+        n_all = len(vals)
+        n_pos = sum(y for _, y in vals)
+        groups = sorted(agg.items(), key=lambda kv: -kv[0])
+        out = {}
+        for k in range(1, n_buckets + 1):
+            depth = -(-n_all * k // n_buckets)
+            ac = ap = 0
+            for s, (c, p) in groups:
+                if ac < depth <= ac + c:
+                    cum = ap + (depth - ac) * p / c
+                    out[k] = (depth, cum, cum / n_pos,
+                              cum * n_all / (depth * n_pos))
+                    break
+                ac += c
+                ap += p
+        return out
+
+    @pytest.fixture(scope="class")
+    def scored(self, spark):
+        # 13 distinct scores over 1000 rows: every bucket boundary
+        # lands INSIDE a tie group, exercising the proportional split
+        rows = [(i, "g%d" % (i % 2), float((i * 7) % 13),
+                 1 if (i * 11) % 100 < ((i * 7) % 13) * 7 else 0)
+                for i in range(1000)]
+        return spark.createDataFrame(rows,
+                                     "id long, g string, s double, "
+                                     "y int")
+
+    def test_matches_python_reference_grouped(self, spark, scored):
+        from spark_df_profiling_spark.operators.evaluation import (
+            gains_curve)
+        got = gains_curve(scored, "y", "s", n_buckets=10,
+                          group_col="g").collect()
+        assert len(got) == 20
+        for gname in ("g0", "g1"):
+            vals = [(float((i * 7) % 13),
+                     1 if (i * 11) % 100 < ((i * 7) % 13) * 7 else 0)
+                    for i in range(1000) if i % 2 == int(gname[1])]
+            ref = self._py_gains(vals, 10)
+            for r in (x for x in got if x.g == gname):
+                d, cum, gn, lf = ref[r.bucket]
+                assert r.depth == d
+                assert r.cum_pos == pytest.approx(cum, abs=1e-9)
+                assert r.gain == pytest.approx(gn, abs=1e-12)
+                assert r.lift == pytest.approx(lf, abs=1e-12)
+
+    def test_keyless_endpoints(self, spark, scored):
+        from spark_df_profiling_spark.operators.evaluation import (
+            gains_curve)
+        by_k = {r.bucket: r for r in
+                gains_curve(scored, "y", "s", 10).collect()}
+        assert by_k[10].depth == 1000
+        assert by_k[10].gain == 1.0
+        assert by_k[10].lift == pytest.approx(1.0, abs=1e-12)
+        assert by_k[1].lift > 1.5  # the scorer is informative on top
+
+    def test_no_positives_yields_nulls(self, spark, scored):
+        from spark_df_profiling_spark.operators.evaluation import (
+            gains_curve)
+        zero = scored.withColumn("y", F.lit(0))
+        out = gains_curve(zero, "y", "s", 5).collect()
+        assert len(out) == 5
+        assert all(r.gain is None and r.lift is None for r in out)
+
+    def test_small_n_buckets_exceed_rows(self, spark):
+        from spark_df_profiling_spark.operators.evaluation import (
+            gains_curve)
+        df = spark.createDataFrame(
+            [(1, 3.0, 1), (2, 2.0, 0), (3, 1.0, 1)],
+            "id long, s double, y int")
+        out = {r.bucket: r for r in
+               gains_curve(df, "y", "s", 10).collect()}
+        # depth = ceil(3k/10): never 0, last = 3
+        assert out[1].depth == 1 and out[10].depth == 3
+        assert out[1].cum_pos == 1.0       # top score is a positive
+        assert out[10].gain == 1.0
+
+    def test_bounds(self, spark, scored):
+        from spark_df_profiling_spark.operators.evaluation import (
+            gains_curve)
+        with pytest.raises(ValueError):
+            gains_curve(scored, "y", "s", 0)
+        with pytest.raises(ValueError):
+            gains_curve(scored, "y", "s", 1001)
+
+    def test_bucket_join_is_broadcast(self, spark, scored):
+        from spark_df_profiling_spark.operators.evaluation import (
+            gains_curve)
+        plan = (gains_curve(scored, "y", "s", 10, group_col="g")
+                ._jdf.queryExecution().executedPlan().toString())
+        # bucket boundaries join back broadcast (the distinct-score
+        # prefix itself sits behind the localCheckpoint barrier, so
+        # the range partitioning is pinned by the roc_auc plan tests)
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
