@@ -1398,3 +1398,162 @@ def readability_score(col: "str | Column") -> Column:
                   F.lit(206.835)
                   - F.lit(1.015) * (w / e["n_sentences"].cast("double"))
                   - F.lit(84.6) * (e["n_syllables"].cast("double") / w))
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer-training primitives
+# ---------------------------------------------------------------------------
+
+#: symbol delimiter used for PAIR KEYS (ASCII unit separator) — words
+#: containing it are dropped from training with a stated filter, never
+#: silently corrupted.  Sequences themselves travel as symbol ARRAYS
+#: (a delimited-string representation + literal replace() looks
+#: equivalent but is NOT: the pattern can match a symbol SUFFIX
+#: against a symbol PREFIX across a delimiter — measured corrupting
+#: merge 7 of the fixture — and consecutive overlapping pair
+#: occurrences defeat non-overlapping replacement)
+BPE_SEP = "\x1f"
+
+
+def _bpe_word_hist(df: DataFrame, text_col: str,
+                   max_word_types: "int | None") -> DataFrame:
+    """Collapse the corpus to its word-type histogram — THE scale move
+    of BPE training (Sennrich et al. 2016 operate on word counts, not
+    the token stream): everything after this is vocabulary-sized, not
+    corpus-sized.  Optional deterministic top-``max_word_types`` cap
+    (count desc, word asc, two-phase skew-safe rank — the standard
+    trainer pre-filter; a stated approximation, not a silent one)."""
+    hist = (df.select(F.explode(F.split(_c(text_col), " "))
+                      .alias("word"))
+            .where((F.col("word") != "")
+                   & ~F.col("word").contains(BPE_SEP))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+    if max_word_types is not None:
+        sub = 64
+        bucket = F.pmod(F.xxhash64(F.col("word")), F.lit(sub))
+        w_local = Window.partitionBy(bucket).orderBy(
+            F.desc("cnt"), F.asc("word"))
+        hist = (hist.withColumn("__rk", F.row_number().over(w_local))
+                .where(F.col("__rk") <= max_word_types).drop("__rk"))
+        w_glob = Window.partitionBy().orderBy(F.desc("cnt"),
+                                              F.asc("word"))
+        hist = (hist.withColumn("__rk", F.row_number().over(w_glob))
+                .where(F.col("__rk") <= max_word_types).drop("__rk"))
+    return hist
+
+
+def _bpe_pair_counts_from(seqs: DataFrame) -> DataFrame:
+    """(pair, cnt) from a (syms ARRAY, cnt) frame — pair =
+    ``a<SEP>b`` for each adjacent symbol pair, weighted by the
+    word-type count."""
+    syms = F.col("syms")
+    pairs = F.when(
+        F.size(syms) >= 2,
+        F.transform(F.sequence(F.lit(0), F.size(syms) - 2),
+                    lambda j: F.concat(F.element_at(syms, j + 1),
+                                       F.lit(BPE_SEP),
+                                       F.element_at(syms, j + 2))))
+    return (seqs.select(F.explode(pairs).alias("pair"), "cnt")
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("cnt")))
+
+
+def _bpe_merge_expr(a: str, b: str) -> Column:
+    """Rewrite a symbol array under merge ``(a, b)`` — the
+    left-to-right non-overlapping BPE fold ('aaa' under (a,a) →
+    ('aa','a'); 'aaaa' → ('aa','aa')): append each symbol, except
+    when the accumulator ends with ``a`` and the symbol is ``b`` —
+    then the tail becomes the merged symbol.  An in-row HOF, fine
+    off the hot path (playbook rule 1): it runs over the bounded
+    word-TYPE frame, never the corpus."""
+    return F.aggregate(
+        F.col("syms"),
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                     F.array(F.lit(a + b))))
+        .otherwise(F.concat(acc, F.array(x))))
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str, k: int = 20,
+                    sub_partitions: int = 64) -> DataFrame:
+    """Top-k adjacent character pairs across the corpus's words — the
+    pair-selection statistic of one BPE merge step, as a standalone
+    readout: ``(sym_a, sym_b, cnt, rank)``, count descending, ties by
+    pair ascending.
+
+    Scale: the corpus collapses to the word-type histogram first
+    (map-side combined groupBy — 'the' is ONE row with its count, not
+    10¹¹ rows), pairs explode from word TYPES weighted by count, and
+    the top-k uses the two-phase bucketed rank (no single task sees
+    the pair vocabulary).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    hist = _bpe_word_hist(df, text_col, None)
+    seqs = hist.select(F.split(F.col("word"), "").alias("syms"),
+                       "cnt")
+    counts = _bpe_pair_counts_from(seqs)
+    bucket = F.pmod(F.xxhash64(F.col("pair")), F.lit(sub_partitions))
+    w_local = Window.partitionBy(bucket).orderBy(
+        F.desc("cnt"), F.asc("pair"))
+    local_top = (counts.withColumn("rk", F.row_number().over(w_local))
+                 .where(F.col("rk") <= k).drop("rk"))
+    w_glob = Window.partitionBy().orderBy(F.desc("cnt"),
+                                          F.asc("pair"))
+    sp = F.split(F.col("pair"), BPE_SEP)
+    return (local_top.withColumn("rank", F.row_number().over(w_glob))
+            .where(F.col("rank") <= k)
+            .select(F.element_at(sp, 1).alias("sym_a"),
+                    F.element_at(sp, 2).alias("sym_b"),
+                    F.col("cnt").cast("long").alias("cnt"),
+                    F.col("rank").cast("int").alias("rank")))
+
+
+def bpe_train(df: DataFrame, text_col: str, n_merges: int = 10,
+              max_word_types: "int | None" = 50_000,
+              min_pair_count: int = 2) -> "list[tuple]":
+    """Train ``n_merges`` BPE merges over the corpus (Sennrich et al.
+    2016): returns the merge table as a list of
+    ``(rank, sym_a, sym_b, merged, pair_count)`` — the artifact a
+    tokenizer consumes, in merge order.
+
+    Each iteration: count adjacent symbol pairs over the word-TYPE
+    frame (weighted by word count), pick the most frequent (ties by
+    the ``a<SEP>b`` pair string ascending — deterministic), rewrite
+    sequences with the :func:`_bpe_merge_expr` fold, and stop early
+    when the best pair drops below ``min_pair_count``.
+
+    Scale: the corpus is touched ONCE (the histogram collapse of
+    :func:`_bpe_word_hist`, capped at ``max_word_types`` like every
+    published trainer); all ``n_merges`` iterations run over the
+    bounded word-type frame, localCheckpoint'ed each round so lineage
+    never grows (the binary_segmentation recipe).  Driver state per
+    iteration is the single argmax row.
+    """
+    if not 1 <= n_merges <= 10_000:
+        raise ValueError(
+            f"n_merges must be in [1, 10000]: {n_merges}")
+    if min_pair_count < 1:
+        raise ValueError(
+            f"min_pair_count must be >= 1: {min_pair_count}")
+    hist = _bpe_word_hist(df, text_col, max_word_types)
+    seqs = (hist.select(F.split(F.col("word"), "").alias("syms"),
+                        "cnt").localCheckpoint())
+    merges = []
+    for rank in range(1, n_merges + 1):
+        best = (_bpe_pair_counts_from(seqs)
+                .orderBy(F.desc("cnt"), F.asc("pair")).limit(1)
+                .collect())
+        if not best or best[0]["cnt"] < min_pair_count:
+            break
+        pair, cnt = best[0]["pair"], int(best[0]["cnt"])
+        a, b = pair.split(BPE_SEP)
+        merges.append((rank, a, b, a + b, cnt))
+        seqs = (seqs.withColumn("syms", _bpe_merge_expr(a, b))
+                .localCheckpoint())
+    return merges

@@ -8953,6 +8953,84 @@ FROM (
          sum(CASE WHEN vb.tok IS NULL THEN 1 ELSE 0 END) AS o
   FROM tk LEFT JOIN vb ON tk.tok = vb.tok
   GROUP BY tk.lang)
+UNION ALL
+-- bpe_pair_counts replay: word-type histogram -> adjacent char pairs
+-- weighted by word count -> top-10 (cnt DESC, pair ASC)
+SELECT 'bpair', pair, CAST(cnt AS BIGINT), CAST(rk AS VARCHAR)
+FROM (
+  SELECT pair, cnt,
+         row_number() OVER (ORDER BY cnt DESC, pair ASC) AS rk
+  FROM (
+    SELECT pair, CAST(sum(cnt) AS BIGINT) AS cnt
+    FROM (
+      SELECT unnest(list_transform(range(1, len(w)),
+                    i -> w[i] || chr(31) || w[i+1])) AS pair, cnt
+      FROM (SELECT word AS w, count(*) AS cnt
+            FROM (SELECT unnest(string_split(text, ' ')) AS word
+                  FROM documents)
+            WHERE word <> '' AND NOT contains(word, chr(31))
+            GROUP BY word))
+    GROUP BY pair)
+  ORDER BY cnt DESC, pair ASC LIMIT 10)
+UNION ALL
+-- bpe_train replay, merges 1-3 fully unrolled: argmax pair (cnt
+-- DESC, pair ASC) then the left-to-right list_reduce merge fold —
+-- the same non-overlapping semantics as the engine's aggregate()
+-- fold ('aaaa' under (a,a) -> [aa, aa])
+SELECT 'bmerge', CAST(rank AS VARCHAR) || ':'
+           || replace(pair, chr(31), ''),
+       CAST(cnt AS BIGINT),
+       string_split(pair, chr(31))[1] || '/'
+           || string_split(pair, chr(31))[2]
+FROM (
+  WITH bh AS (SELECT word AS w, count(*) AS cnt
+              FROM (SELECT unnest(string_split(text, ' ')) AS word
+                    FROM documents)
+              WHERE word <> '' AND NOT contains(word, chr(31))
+              GROUP BY word),
+  s0 AS (SELECT list_transform(range(1, len(w)+1), i -> w[i])
+             AS syms, cnt FROM bh),
+  b1 AS (
+    SELECT pair, CAST(sum(cnt) AS BIGINT) AS cnt
+    FROM (SELECT unnest(list_transform(range(1, len(syms)),
+                 i -> syms[i] || chr(31) || syms[i+1])) AS pair, cnt
+          FROM s0)
+    GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 1),
+  s1 AS (
+    SELECT list_reduce(list_transform(syms, x -> [x]),
+             (acc, x) -> CASE WHEN len(acc) > 0
+                  AND acc[-1] = string_split(b1.pair, chr(31))[1]
+                  AND x[1] = string_split(b1.pair, chr(31))[2]
+               THEN list_append(list_slice(acc, 1, len(acc)-1),
+                                replace(b1.pair, chr(31), ''))
+               ELSE list_concat(acc, x) END) AS syms,
+           s0.cnt AS cnt
+    FROM s0, b1),
+  b2 AS (
+    SELECT pair, CAST(sum(cnt) AS BIGINT) AS cnt
+    FROM (SELECT unnest(list_transform(range(1, len(syms)),
+                 i -> syms[i] || chr(31) || syms[i+1])) AS pair, cnt
+          FROM s1)
+    GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 1),
+  s2 AS (
+    SELECT list_reduce(list_transform(syms, x -> [x]),
+             (acc, x) -> CASE WHEN len(acc) > 0
+                  AND acc[-1] = string_split(b2.pair, chr(31))[1]
+                  AND x[1] = string_split(b2.pair, chr(31))[2]
+               THEN list_append(list_slice(acc, 1, len(acc)-1),
+                                replace(b2.pair, chr(31), ''))
+               ELSE list_concat(acc, x) END) AS syms,
+           s1.cnt AS cnt
+    FROM s1, b2),
+  b3 AS (
+    SELECT pair, CAST(sum(cnt) AS BIGINT) AS cnt
+    FROM (SELECT unnest(list_transform(range(1, len(syms)),
+                 i -> syms[i] || chr(31) || syms[i+1])) AS pair, cnt
+          FROM s2)
+    GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 1)
+  SELECT 1 AS rank, pair, cnt FROM b1
+  UNION ALL SELECT 2, pair, cnt FROM b2
+  UNION ALL SELECT 3, pair, cnt FROM b3)
 ORDER BY part, k
 """)
 def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9022,6 +9100,36 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.concat(F.col("__nt").cast("string"), F.lit(":"),
                            sig(F.col("__no").cast("double")
                                / F.col("__nt"))).alias("v2s")))
+    # 'bpair'/'bmerge' rows grade text.bpe_pair_counts and the first
+    # three text.bpe_train merges — exact integer pair counts; the
+    # DuckDB side replays the word-type histogram, the weighted pair
+    # explode, the (cnt DESC, pair ASC) argmax, and the left-to-right
+    # list_reduce merge fold
+    from spark_df_profiling_spark.operators.text import (
+        BPE_SEP, bpe_pair_counts, bpe_train)
+    bpair = (bpe_pair_counts(d, "text", k=10)
+             .select(F.lit("bpair").alias("part"),
+                     F.concat(F.col("sym_a"), F.lit(BPE_SEP),
+                              F.col("sym_b")).alias("k"),
+                     F.col("cnt").alias("v1"),
+                     F.col("rank").cast("string").alias("v2s")))
+    from pyspark.sql import types as T
+    bm_schema = T.StructType([
+        T.StructField("rank", T.IntegerType()),
+        T.StructField("sym_a", T.StringType()),
+        T.StructField("sym_b", T.StringType()),
+        T.StructField("merged", T.StringType()),
+        T.StructField("cnt", T.LongType())])
+    bm_rows = [(r, a, b, m, c) for (r, a, b, m, c) in
+               bpe_train(d, "text", n_merges=3, max_word_types=None)]
+    bmerge = (spark.createDataFrame(bm_rows, bm_schema)
+              .select(F.lit("bmerge").alias("part"),
+                      F.concat(F.col("rank").cast("string"),
+                               F.lit(":"), F.col("merged")).alias("k"),
+                      F.col("cnt").alias("v1"),
+                      F.concat(F.col("sym_a"), F.lit("/"),
+                               F.col("sym_b")).alias("v2s")))
     return (top.unionByName(tfidf).unionByName(zipf).unionByName(bm25)
             .unionByName(pmi).unionByName(ov)
+            .unionByName(bpair).unionByName(bmerge)
             .orderBy("part", "k"))

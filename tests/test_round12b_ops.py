@@ -300,3 +300,99 @@ class TestGainsCurve:
         # the range partitioning is pinned by the roc_auc plan tests)
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+
+class TestBPE:
+    TEXTS = ["the cat sat on the mat", "the rat ate the cheese",
+             "that hat is flat", "aaa banana bandana", "aaaa aaaaaa"]
+
+    @staticmethod
+    def _py_train(texts, n, min_count=2):
+        from collections import Counter
+        hist = Counter(w for t in texts for w in t.split(" ") if w)
+        seqs = [([ch for ch in w], c) for w, c in hist.items()]
+        merges = []
+        for r in range(1, n + 1):
+            pc = Counter()
+            for syms, cnt in seqs:
+                for i in range(len(syms) - 1):
+                    pc[(syms[i], syms[i + 1])] += cnt
+            if not pc:
+                break
+            (a, b), cnt = min(
+                pc.items(),
+                key=lambda kv: (-kv[1],
+                                kv[0][0] + "\x1f" + kv[0][1]))
+            if cnt < min_count:
+                break
+            merges.append((r, a, b, a + b, cnt))
+            new = []
+            for syms, c in seqs:
+                out = []
+                for x in syms:
+                    if out and out[-1] == a and x == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(x)
+                new.append((out, c))
+            seqs = new
+        return merges
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        return spark.createDataFrame([(t,) for t in self.TEXTS],
+                                     "text string")
+
+    def test_train_matches_python(self, spark, corpus):
+        from spark_df_profiling_spark.operators.text import bpe_train
+        ref = self._py_train(self.TEXTS, 10)
+        got = bpe_train(corpus, "text", n_merges=10)
+        assert got == ref
+        # the overlap cases are IN the fixture: 'aaaa'/'aaaaaa' force
+        # left-to-right non-overlapping ('aa','aa') merges, and
+        # banana/bandana force whole-symbol (not substring) matching
+        assert ("a", "a") in {(a, b) for _, a, b, _, _ in got}
+
+    def test_pair_counts_match_python(self, spark, corpus):
+        from collections import Counter
+
+        from spark_df_profiling_spark.operators.text import (
+            bpe_pair_counts)
+        hist = Counter(w for t in self.TEXTS for w in t.split(" ")
+                       if w)
+        pc = Counter()
+        for w, c in hist.items():
+            for i in range(len(w) - 1):
+                pc[(w[i], w[i + 1])] += c
+        top = sorted(pc.items(),
+                     key=lambda kv: (-kv[1],
+                                     kv[0][0] + "\x1f" + kv[0][1]))[:8]
+        got = sorted(bpe_pair_counts(corpus, "text", k=8).collect(),
+                     key=lambda r: r.rank)
+        assert [((r.sym_a, r.sym_b), r.cnt) for r in got] == top
+
+    def test_min_pair_count_stops_early(self, spark):
+        from spark_df_profiling_spark.operators.text import bpe_train
+        df = spark.createDataFrame([("ab cd",)], "text string")
+        # every pair appears once: below min_pair_count=2 -> no merges
+        assert bpe_train(df, "text", n_merges=5) == []
+        got = bpe_train(df, "text", n_merges=5, min_pair_count=1)
+        assert len(got) > 0
+
+    def test_max_word_types_cap_is_deterministic(self, spark, corpus):
+        from spark_df_profiling_spark.operators.text import (
+            _bpe_word_hist)
+        capped = _bpe_word_hist(corpus, "text", 3).collect()
+        # top-3 word types by (cnt desc, word asc): 'the' (4) first
+        words = {r.word for r in capped}
+        assert len(words) == 3 and "the" in words
+
+    def test_bounds(self, corpus):
+        from spark_df_profiling_spark.operators.text import (
+            bpe_pair_counts, bpe_train)
+        with pytest.raises(ValueError):
+            bpe_train(corpus, "text", n_merges=0)
+        with pytest.raises(ValueError):
+            bpe_train(corpus, "text", min_pair_count=0)
+        with pytest.raises(ValueError):
+            bpe_pair_counts(corpus, "text", k=0)
