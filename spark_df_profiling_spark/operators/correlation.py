@@ -569,3 +569,100 @@ def fleiss_kappa(df: DataFrame, item_col: str,
         "n_items", "n_ratings", "n_categories", "min_raters",
         "max_raters", "sum_agree_pairs", "p_bar", "p_e",
         kappa.alias("kappa"))
+
+
+def krippendorff_alpha(df: DataFrame, item_col: str, value_col: str,
+                       metric: str = "nominal") -> DataFrame:
+    """Krippendorff's alpha (Krippendorff 2004) — the third leg of the
+    inter-annotator family: :func:`cohens_kappa` is two fixed raters,
+    :func:`fleiss_kappa` is n anonymous raters with a NOMINAL metric;
+    alpha additionally handles missing ratings (items rated by any
+    subset of raters) and ordered/numeric labels via the ``metric``:
+
+    * ``'nominal'`` — disagreement is 0/1 (matches Fleiss' world);
+    * ``'interval'`` — disagreement is ``(v_c − v_k)²`` (Likert
+      scores, reward-model scalar labels), via the closed form
+      ``Σ_{c,k} n_c n_k (v_c−v_k)² = 2(m·Σn v² − (Σn v)²)`` — no
+      category-pair join ever materializes.
+
+    Input is one row per RATING ``(item, value)``.  One output row:
+    ``(n_items, n_ratings, n_categories, min_raters, max_raters,
+    sum_disagree_num, d_o, d_e, alpha)`` — ``sum_disagree_num`` is
+    ``Σ_u (m_u² − Σ_c n_uc²)`` (nominal) or ``Σ_u 2(m_u S2_u −
+    S1_u²)`` (interval): EXACT when ratings are integers, the grading
+    handle behind ``d_o``; ``α = 1 − d_o/d_e``, NULL when ``d_e = 0``
+    (every rating identical — agreement is vacuous).  Items with
+    fewer than 2 ratings are excluded (not pairable — exactly
+    Krippendorff's missing-data rule); NULL item/value rows excluded.
+
+    Scale: one (item, value) groupBy (cells), one item-level reduce,
+    one value-marginal groupBy — the :func:`fleiss_kappa` shape; every
+    shuffle carries cell- or category-sized rows.
+    """
+    if metric not in ("nominal", "interval"):
+        raise ValueError(
+            f"metric must be 'nominal' or 'interval': {metric!r}")
+    for c in (item_col, value_col):
+        if c not in df.columns:
+            raise ValueError(f"missing column: {c!r}")
+    it = F.col(item_col)
+    if metric == "interval":
+        val = F.col(value_col).cast("double")
+    else:
+        val = F.col(value_col).cast("string")
+    base = (df.where(it.isNotNull() & val.isNotNull())
+            .select(it.alias("__i"), val.alias("__v")))
+    cells = base.groupBy("__i", "__v").agg(
+        F.count(F.lit(1)).cast("long").alias("__nij"))
+    item_aggs = [
+        F.sum("__nij").cast("long").alias("__mu"),
+        F.sum(F.col("__nij") * F.col("__nij")).cast("long")
+        .alias("__sn2")]
+    if metric == "interval":
+        v = F.col("__v").cast("double")
+        item_aggs += [F.sum(F.col("__nij") * v).alias("__s1"),
+                      F.sum(F.col("__nij") * v * v).alias("__s2")]
+    per_item = (cells.groupBy("__i").agg(*item_aggs)
+                .where(F.col("__mu") >= 2))
+    mu = F.col("__mu")
+    if metric == "nominal":
+        num_u = (mu * mu - F.col("__sn2")).cast("double")
+    else:
+        num_u = 2.0 * (mu * F.col("__s2")
+                       - F.col("__s1") * F.col("__s1"))
+    stat_aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("__mu").cast("long").alias("n_ratings"),
+        F.min("__mu").cast("long").alias("min_raters"),
+        F.max("__mu").cast("long").alias("max_raters"),
+        F.sum(num_u).alias("sum_disagree_num"),
+        F.sum(num_u / (mu - 1.0).cast("double")).alias("__do_sum")]
+    if metric == "interval":
+        stat_aggs += [F.sum("__s1").alias("__ts1"),
+                      F.sum("__s2").alias("__ts2")]
+    istats = per_item.agg(*stat_aggs)
+    # marginals over the SAME kept items (the fleiss_kappa rule: an
+    # excluded 1-rating item must not shift the expected term either)
+    kept_cells = cells.join(per_item.select("__i"), "__i")
+    cat = (kept_cells.groupBy("__v")
+           .agg(F.sum("__nij").cast("long").alias("__cj")))
+    cat_tot = cat.agg(
+        F.count(F.lit(1)).cast("long").alias("n_categories"),
+        F.sum(F.col("__cj") * F.col("__cj")).cast("long")
+        .alias("__cj2"))
+    out = istats.crossJoin(F.broadcast(cat_tot))
+    n = F.col("n_ratings").cast("double")
+    d_o = F.when(F.col("n_ratings") > 0, F.col("__do_sum") / n)
+    if metric == "nominal":
+        d_e = F.when(F.col("n_ratings") > 1,
+                     (n * n - F.col("__cj2")) / (n * (n - 1.0)))
+    else:
+        d_e = F.when(F.col("n_ratings") > 1,
+                     2.0 * (n * F.col("__ts2")
+                            - F.col("__ts1") * F.col("__ts1"))
+                     / (n * (n - 1.0)))
+    alpha = F.when(d_e > 0.0, F.lit(1.0) - d_o / d_e)
+    return out.select(
+        "n_items", "n_ratings", "n_categories", "min_raters",
+        "max_raters", "sum_disagree_num", d_o.alias("d_o"),
+        d_e.alias("d_e"), alpha.alias("alpha"))

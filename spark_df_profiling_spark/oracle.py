@@ -1423,6 +1423,55 @@ FROM (
          (SELECT CAST(sum(nitot) AS BIGINT) FROM fitem) AS nr,
          (SELECT CAST(sum(agree) AS BIGINT) FROM fitem) AS ag,
          (SELECT CAST(sum(cj * cj) AS BIGINT) FROM fcat) AS cj2)
+UNION ALL
+-- krippendorff_alpha replay (items = vec_id % 50, value = label),
+-- BOTH metrics: graded handles are exact integers — n_items,
+-- n_ratings, the per-item disagreement numerator sum, and the
+-- expected-term numerator — plus sig(alpha) via the operator's
+-- division order
+SELECT 'kripp', metric,
+       CAST(ni AS VARCHAR) || ':' || CAST(nr AS VARCHAR) || ':'
+           || CAST(dnum AS VARCHAR) || ':' || CAST(den AS VARCHAR)
+           || ':' || {_psig('alpha')} AS rho
+FROM (
+  WITH kcells AS (
+    SELECT vec_id % 50 AS i, label AS c, count(*) AS nij
+    FROM embeddings WHERE label IS NOT NULL AND vec_id IS NOT NULL
+    GROUP BY 1, 2),
+  kitem AS (
+    SELECT i, CAST(sum(nij) AS BIGINT) AS mu,
+           CAST(sum(nij * nij) AS BIGINT) AS sn2,
+           CAST(sum(nij * c) AS BIGINT) AS s1,
+           CAST(sum(nij * c * c) AS BIGINT) AS s2
+    FROM kcells GROUP BY i HAVING sum(nij) >= 2),
+  kcat AS (SELECT c, CAST(sum(nij) AS BIGINT) AS cj
+           FROM kcells JOIN kitem USING (i) GROUP BY c),
+  ktot AS (SELECT CAST(count(*) AS BIGINT) AS ni,
+                  CAST(sum(mu) AS BIGINT) AS nr,
+                  CAST(sum(mu * mu - sn2) AS BIGINT) AS dn_nom,
+                  sum((mu * mu - sn2) / CAST(mu - 1 AS DOUBLE))
+                      AS dos_nom,
+                  CAST(sum(2 * (mu * s2 - s1 * s1)) AS BIGINT)
+                      AS dn_int,
+                  sum(2 * (mu * s2 - s1 * s1)
+                      / CAST(mu - 1 AS DOUBLE)) AS dos_int,
+                  CAST(sum(s1) AS BIGINT) AS ts1,
+                  CAST(sum(s2) AS BIGINT) AS ts2
+           FROM kitem),
+  kc2 AS (SELECT CAST(sum(cj * cj) AS BIGINT) AS cj2 FROM kcat)
+  SELECT 'nominal' AS metric, ni, nr, dn_nom AS dnum,
+         nr * nr - cj2 AS den,
+         1.0 - (dos_nom / nr)
+             / ((nr * nr - cj2)
+                / (CAST(nr AS DOUBLE) * (nr - 1.0))) AS alpha
+  FROM ktot, kc2
+  UNION ALL
+  SELECT 'interval', ni, nr, dn_int,
+         2 * (nr * ts2 - ts1 * ts1),
+         1.0 - (dos_int / nr)
+             / (2.0 * (nr * ts2 - ts1 * ts1)
+                / (CAST(nr AS DOUBLE) * (nr - 1.0)))
+  FROM ktot)
 """
 
 
@@ -1688,11 +1737,34 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    * F.col("n_ratings"))
                            .cast("long").cast("string"))
                   .alias("rho")))
+    # 'kripp' rows grade correlation.krippendorff_alpha on the same
+    # fixture as fleiss (vec_id % 50 items, label values), BOTH
+    # metrics — the integer handles pin d_o/d_e exactly; alpha rides
+    # them at 5 sig digits
+    from spark_df_profiling_spark.operators.correlation import (
+        krippendorff_alpha)
+
+    def _krow(metric: str):
+        r = krippendorff_alpha(fitems, "item", "label", metric)
+        nrd = F.col("n_ratings").cast("double")
+        return r.select(
+            F.lit("kripp").alias("col_x"),
+            F.lit(metric).alias("col_y"),
+            F.concat(
+                F.col("n_items").cast("string"), F.lit(":"),
+                F.col("n_ratings").cast("string"), F.lit(":"),
+                F.round(F.col("sum_disagree_num")).cast("long")
+                .cast("string"), F.lit(":"),
+                F.round(F.col("d_e") * nrd * (nrd - 1.0))
+                .cast("long").cast("string"), F.lit(":"),
+                sig(F.col("alpha"))).alias("rho"))
+
+    kr = _krow("nominal").unionByName(_krow("interval"))
     return (pearson.unionByName(cat).unionByName(fd)
             .unionByName(keys).unionByName(inc).unionByName(pg)
             .unionByName(tr).unionByName(dg)
             .unionByName(er).unionByName(th).unionByName(kap)
-            .unionByName(fl))
+            .unionByName(fl).unionByName(kr))
 
 
 # ---------------------------------------------------------------------------

@@ -396,3 +396,91 @@ class TestBPE:
             bpe_train(corpus, "text", min_pair_count=0)
         with pytest.raises(ValueError):
             bpe_pair_counts(corpus, "text", k=0)
+
+
+class TestKrippendorffAlpha:
+    DATA = {1: [1, 1, 1], 2: [2, 2, 2], 3: [3, 3, 3, 3],
+            4: [3, 3, 3, 3], 5: [2, 2, 2, 2], 6: [1, 2, 3, 4],
+            7: [4, 4, 4, 4], 8: [1, 1, 2, 1], 9: [2, 2, 2, 2],
+            10: [5, 5, 5], 11: [1, 1, 1], 12: [3, 3, 3],
+            13: [3]}  # single rating -> excluded (not pairable)
+
+    @staticmethod
+    def _py_alpha(data, metric):
+        from collections import Counter
+        pair = {i: vs for i, vs in data.items() if len(vs) >= 2}
+        n = sum(len(vs) for vs in pair.values())
+        do_sum = 0.0
+        for vs in pair.values():
+            m = len(vs)
+            c = Counter(vs)
+            if metric == "nominal":
+                num = m * m - sum(k * k for k in c.values())
+            else:
+                s1, s2 = sum(vs), sum(x * x for x in vs)
+                num = 2 * (m * s2 - s1 * s1)
+            do_sum += num / (m - 1)
+        do = do_sum / n
+        allv = [v for vs in pair.values() for v in vs]
+        cc = Counter(allv)
+        if metric == "nominal":
+            de = (n * n - sum(k * k for k in cc.values())) \
+                / (n * (n - 1))
+        else:
+            s1, s2 = sum(allv), sum(x * x for x in allv)
+            de = 2 * (n * s2 - s1 * s1) / (n * (n - 1))
+        return 1 - do / de, do, de, n
+
+    @pytest.fixture(scope="class")
+    def ratings(self, spark):
+        rows = [(i, v) for i, vs in self.DATA.items() for v in vs]
+        return spark.createDataFrame(rows, "item int, v int")
+
+    @pytest.mark.parametrize("metric", ["nominal", "interval"])
+    def test_matches_python_reference(self, spark, ratings, metric):
+        from spark_df_profiling_spark.operators.correlation import (
+            krippendorff_alpha)
+        r = krippendorff_alpha(ratings, "item", "v",
+                               metric).collect()[0]
+        pa, pdo, pde, pn = self._py_alpha(self.DATA, metric)
+        assert r.n_items == 12          # item 13 excluded
+        assert r.n_ratings == pn
+        assert r.min_raters == 2 or r.min_raters == 3
+        assert r.d_o == pytest.approx(pdo, rel=1e-12)
+        assert r.d_e == pytest.approx(pde, rel=1e-12)
+        assert r.alpha == pytest.approx(pa, rel=1e-12)
+
+    def test_perfect_agreement_with_variation(self, spark):
+        # distinct values across items but unanimous within each:
+        # d_o = 0, d_e > 0 -> alpha = 1 exactly
+        from spark_df_profiling_spark.operators.correlation import (
+            krippendorff_alpha)
+        df = spark.createDataFrame(
+            [(1, "a"), (1, "a"), (2, "b"), (2, "b")],
+            "item int, v string")
+        r = krippendorff_alpha(df, "item", "v").collect()[0]
+        assert r.d_o == 0.0 and r.alpha == 1.0
+
+    def test_constant_ratings_alpha_null(self, spark):
+        from spark_df_profiling_spark.operators.correlation import (
+            krippendorff_alpha)
+        df = spark.createDataFrame(
+            [(1, 5), (1, 5), (2, 5), (2, 5)], "item int, v int")
+        r = krippendorff_alpha(df, "item", "v").collect()[0]
+        assert r.d_e == 0.0 and r.alpha is None
+
+    def test_systematic_disagreement_negative(self, spark):
+        from spark_df_profiling_spark.operators.correlation import (
+            krippendorff_alpha)
+        df = spark.createDataFrame(
+            [(i, v) for i in range(10) for v in ("x", "y")],
+            "item int, v string")
+        r = krippendorff_alpha(df, "item", "v").collect()[0]
+        # every item maximally split -> worse than chance
+        assert r.alpha < 0
+
+    def test_metric_validation(self, spark, ratings):
+        from spark_df_profiling_spark.operators.correlation import (
+            krippendorff_alpha)
+        with pytest.raises(ValueError):
+            krippendorff_alpha(ratings, "item", "v", "ordinal")
