@@ -6377,6 +6377,27 @@ FROM (
                   AND "value" IS NOT NULL)
           WINDOW wk AS (PARTITION BY u ORDER BY tus)))))
   GROUP BY u)
+UNION ALL
+-- stateful_distinct_sample replay: final state = per-user k=5
+-- smallest (md5 bucket, event_id) — identical arithmetic to
+-- sample_exact_k; the availableNow streaming run must emit exactly
+-- these (user, rank, event_id, bucket) rows
+SELECT 'ssmp:' || CAST(user_id AS VARCHAR) || ':'
+           || CAST(rk AS VARCHAR) || ':'
+           || CAST(event_id AS VARCHAR),
+       CAST(bucket AS BIGINT), CAST(nev AS BIGINT)
+FROM (
+  SELECT user_id, event_id, bucket,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY bucket ASC, event_id ASC) AS rk,
+         count(*) OVER (PARTITION BY user_id) AS nev
+  FROM (
+    SELECT user_id, event_id,
+           (('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':0'),
+                            1, 15))::BIGINT % 1000000) AS bucket
+    FROM events
+    WHERE user_id IS NOT NULL AND event_id IS NOT NULL))
+WHERE rk <= 5
 ORDER BY key
 """)
 def stateful_user_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6800,6 +6821,28 @@ def stateful_user_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                .alias("key"),
                F.col("n").alias("total_events"),
                F.col("cp_index").alias("total_value_cents")))
+    # 'ssmp:' rows grade streaming.stateful_distinct_sample — a real
+    # availableNow execution whose final per-user sample must equal
+    # the batch sample_exact_k rank (identical md5 priorities); the
+    # graded values are the id identity per rank, its exact bucket,
+    # and the per-user processed count
+    from spark_df_profiling_spark.streaming import (
+        stateful_distinct_sample)
+    ssstream = events_stream(spark, sf_dir)
+    ss_out = stateful_distinct_sample(
+        ssstream.select("user_id", "event_id"),
+        "user_id", "event_id", k=5, seed=0)
+    run_stream_to_memory(ss_out, "ssmp_oracle_out",
+                         output_mode="update")
+    ssmp = (spark.table("ssmp_oracle_out")
+            .where(F.col("key").isNotNull())
+            .select(F.concat(F.lit("ssmp:"),
+                             F.col("key").cast("string"), F.lit(":"),
+                             F.col("rank").cast("string"), F.lit(":"),
+                             F.col("sample_id").cast("string"))
+                    .alias("key"),
+                    F.col("bucket").alias("total_events"),
+                    F.col("n_events").alias("total_value_cents")))
     return (totals_rows.unionByName(fun).unionByName(roll)
             .unionByName(acf).unionByName(anom).unionByName(broll)
             .unionByName(banom).unionByName(gp).unionByName(gpm)
@@ -6809,6 +6852,7 @@ def stateful_user_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(ewadj).unionByName(sew).unionByName(shh)
             .unionByName(kmr)
             .unionByName(lrk).unionByName(bsr).unionByName(cpr)
+            .unionByName(ssmp)
             .orderBy("key"))
 
 

@@ -771,3 +771,120 @@ def stateful_heavy_hitters(stream_df: DataFrame,
             .applyInPandasWithState(
                 update, out_schema, state_schema, "update",
                 GroupStateTimeout.NoTimeout))
+
+
+def stateful_distinct_sample(stream_df: DataFrame,
+                             key_col: str = "user_id",
+                             id_col: str = "event_id",
+                             k: int = 10,
+                             seed: int = 0) -> DataFrame:
+    """Streaming deterministic per-key sample: keep the ``k`` items
+    with the SMALLEST ``(md5-bucket(id), id)`` priority per key — the
+    streaming twin of :func:`~spark_df_profiling_spark.operators.
+    sampling.sample_exact_k` (identical md5 arithmetic, identical
+    rank order), for pipelines that need a stable exemplar set per
+    user/source as events arrive.
+
+    Because min-k-by-hash is a pure function of the SET of ids seen,
+    the state is ORDER-INDEPENDENT: batch boundaries, retries,
+    shuffles, and late data cannot change the final sample (no
+    ``ts_col`` — this operator is the one stateful op that needs no
+    event-time contract), and an availableNow replay equals the batch
+    operator EXACTLY.  Duplicate ids collapse (set semantics);
+    ``n_events`` counts processed rows, duplicates included.
+
+    Each batch emits the key's CURRENT sample:
+    ``(key, sample_id, bucket, rank, n_events)`` — rank 1 = smallest
+    priority.  State is O(#keys × k) (``k ≤ 10000`` enforced); NULL
+    ids are excluded.  Key/id typing derives from the input schema
+    (integral → long with numeric tie-order, string kept with
+    lexicographic tie-order, else TypeError) — the stateful_anomaly
+    ADVICE-r10 contract, applied to BOTH columns.
+    """
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import (
+        GroupState, GroupStateTimeout)
+
+    if not 1 <= k <= 10_000:
+        raise ValueError(f"k must be in [1, 10000]: {k}")
+
+    def _typing(col, what):
+        dt = stream_df.schema[col].dataType
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
+                           T.LongType)):
+            return (F.col(col).cast("long").alias(col),
+                    T.LongType(), True)
+        if isinstance(dt, T.StringType):
+            return F.col(col).alias(col), T.StringType(), False
+        raise TypeError(
+            f"stateful_distinct_sample {what} column {col!r} has "
+            f"unsupported type {dt.simpleString()!r}; integral or "
+            f"string only (a lossy cast would corrupt priorities)")
+
+    key_expr, key_out_type, key_int = _typing(key_col, "key")
+    id_expr, id_out_type, id_int = _typing(id_col, "id")
+
+    out_schema = T.StructType([
+        T.StructField("key", key_out_type),
+        T.StructField("sample_id", id_out_type),
+        T.StructField("bucket", T.LongType()),
+        T.StructField("rank", T.IntegerType()),
+        T.StructField("n_events", T.LongType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("n", T.LongType()),
+        T.StructField("buckets", T.ArrayType(T.LongType())),
+        T.StructField("ids", T.ArrayType(T.StringType())),
+    ])
+
+    def _bucket(id_str: str) -> int:
+        h = hashlib.md5(f"{id_str}:{seed}".encode()).hexdigest()[:15]
+        return int(h, 16) % 1_000_000
+
+    def _prio(b: int, id_str: str):
+        return (b, int(id_str)) if id_int else (b, id_str)
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            n, bks, ids = state.get
+            kept = {i: int(b) for b, i in zip(list(bks), list(ids))}
+        else:
+            n, kept = 0, {}
+        trim_at = max(4 * k, 1024)
+        for pdf in pdfs:
+            for idv in pdf[id_col]:
+                s = str(idv)
+                n += 1
+                if s not in kept:
+                    kept[s] = _bucket(s)
+                    if len(kept) > trim_at:
+                        # bound in-batch memory: evicting everything
+                        # past rank k never changes the final sample
+                        # (min-k is monotone under insertion)
+                        kept = dict(sorted(
+                            kept.items(),
+                            key=lambda kv: _prio(kv[1], kv[0]))[:k])
+        items = sorted(kept.items(),
+                       key=lambda kv: _prio(kv[1], kv[0]))[:k]
+        state.update((n, [b for _, b in items],
+                      [i for i, _ in items]))
+        out_id = ([int(i) for i, _ in items] if id_int
+                  else [i for i, _ in items])
+        kv = int(key[0]) if key_int else key[0]
+        yield pd.DataFrame({
+            "key": [kv] * len(items),
+            "sample_id": out_id,
+            "bucket": [b for _, b in items],
+            "rank": list(range(1, len(items) + 1)),
+            "n_events": [n] * len(items)})
+
+    return (stream_df
+            .where(F.col(id_col).isNotNull())
+            .select(key_expr, id_expr)
+            .groupBy(key_col)
+            .applyInPandasWithState(
+                update, out_schema, state_schema, "update",
+                GroupStateTimeout.NoTimeout))

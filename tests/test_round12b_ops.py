@@ -484,3 +484,96 @@ class TestKrippendorffAlpha:
             krippendorff_alpha)
         with pytest.raises(ValueError):
             krippendorff_alpha(ratings, "item", "v", "ordinal")
+
+
+class TestStatefulDistinctSample:
+    def test_availablenow_equals_batch_twin(self, spark, sf_dir):
+        from spark_df_profiling_spark.operators.sampling import (
+            sample_exact_k)
+        from spark_df_profiling_spark.streaming import (
+            events_stream, run_stream_to_memory,
+            stateful_distinct_sample)
+        stream = events_stream(spark, sf_dir)
+        out = stateful_distinct_sample(
+            stream.select("user_id", "event_id"),
+            "user_id", "event_id", k=5, seed=0)
+        run_stream_to_memory(out, "t_ssmp_out", output_mode="update")
+        got = {(r.key, r.sample_id) for r in
+               spark.table("t_ssmp_out").collect()
+               if r.key is not None}
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        batch = {(r.user_id, r.event_id) for r in
+                 sample_exact_k(ev.select("user_id", "event_id"),
+                                "user_id", 5, "event_id", seed=0)
+                 .where("user_id is not null").collect()}
+        assert got == batch and len(got) > 0
+
+    def test_rank_follows_md5_priority(self, spark, sf_dir):
+        import hashlib
+        rows = spark.table("t_ssmp_out").collect()
+        by_user = {}
+        for r in rows:
+            if r.key is not None:
+                by_user.setdefault(r.key, []).append(r)
+        u, urows = sorted(by_user.items())[0]
+        urows.sort(key=lambda r: r.rank)
+        for r in urows:
+            b = int(hashlib.md5(f"{r.sample_id}:0".encode())
+                    .hexdigest()[:15], 16) % 1_000_000
+            assert r.bucket == b
+        assert [tuple(x) for x in
+                sorted((r.bucket, r.sample_id) for r in urows)] \
+            == [(r.bucket, r.sample_id) for r in urows]
+
+    def test_order_independence_and_dedup(self, spark, tmp_path):
+        # the SET of ids determines the sample: two multi-batch runs
+        # over the same ids in different arrival orders, with
+        # duplicates, end in the identical state
+        import hashlib
+
+        from spark_df_profiling_spark.streaming import (
+            run_stream_to_memory, stateful_distinct_sample)
+
+        def run(name, batches):
+            src = tmp_path / name
+            for i, ids in enumerate(batches):
+                spark.createDataFrame(
+                    [(1, x) for x in ids],
+                    "user_id long, event_id long").coalesce(1) \
+                    .write.parquet(str(src / f"b{i}"))
+            stream = (spark.readStream
+                      .schema("user_id long, event_id long")
+                      .option("maxFilesPerTrigger", "1")
+                      .parquet(str(src) + "/*"))
+            out = stateful_distinct_sample(stream, "user_id",
+                                           "event_id", k=7, seed=0)
+            run_stream_to_memory(out, f"t_{name}",
+                                 output_mode="update")
+            rows = spark.table(f"t_{name}").collect()
+            last_n = max(r.n_events for r in rows)
+            return {(r.rank, r.sample_id) for r in rows
+                    if r.n_events == last_n}
+
+        ids = list(range(100))
+        sa = run("ordA", [ids[:60], ids[40:] + ids[:10]])  # dups
+        sb = run("ordB", [list(reversed(ids))])
+        assert sa == sb and len(sb) == 7
+        # and the state really is min-7 by md5 priority over the set
+        want = sorted(
+            ids, key=lambda i: (int(hashlib.md5(f"{i}:0".encode())
+                                    .hexdigest()[:15], 16) % 1_000_000,
+                                i))[:7]
+        assert [i for _, i in sorted(sb)] == want
+
+    def test_k_bounds_and_typing(self, spark, sf_dir):
+        from spark_df_profiling_spark.streaming import (
+            events_stream, stateful_distinct_sample)
+        stream = events_stream(spark, sf_dir)
+        with pytest.raises(ValueError):
+            stateful_distinct_sample(stream, "user_id", "event_id",
+                                     k=0)
+        with pytest.raises(TypeError):
+            stateful_distinct_sample(
+                stream.select("user_id",
+                              F.col("value").alias("event_id")),
+                "user_id", "event_id", k=5)
