@@ -2216,9 +2216,90 @@ def r12g_main() -> None:
           f"{time.time() - t0:.1f}s", flush=True)
 
 
+def r12h_main() -> None:
+    """Round-12 continuation rehearsals: Poisson bootstrap at 10M rows
+    (100 replicates = 1e9 hash evals in ONE scan), gains_curve at 10M
+    with a 50% tie block straddling bucket boundaries, BPE training on
+    an all-unique-words corpus (the histogram-cap worst case),
+    krippendorff_alpha at 10M ratings with a 50%-hot item."""
+    spark = (SparkSession.builder.master("local[32]")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory", "32g")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from spark_df_profiling_spark.operators.sampling import (
+        bootstrap_ci)
+    rows = spark.range(10_000_000).select(
+        F.col("id"),
+        F.concat(F.lit("g"), F.pmod(F.col("id"), F.lit(5)))
+        .alias("g"),
+        F.pmod(F.xxhash64("id"), F.lit(1000)).alias("v"))
+    t0 = time.time()
+    out = bootstrap_ci(rows, "v", "id", n_boot=100, group_col="g",
+                       hash_fn="xxhash64").collect()
+    print(f"bootstrap_ci 10M rows x 100 replicates grouped: "
+          f"{len(out)} groups, "
+          f"widths {[round(r.ci_hi - r.ci_lo, 3) for r in out][:3]}, "
+          f"{time.time() - t0:.1f}s", flush=True)
+
+    from spark_df_profiling_spark.operators.evaluation import (
+        gains_curve)
+    # 50% of rows share ONE score (the tie block), rest distinct-ish
+    sc = F.when(F.pmod(F.col("id"), F.lit(2)) == 0, F.lit(500.0))         .otherwise(F.pmod(F.xxhash64("id", F.lit(3)),
+                          F.lit(1_000_000)).cast("double"))
+    gdf = spark.range(10_000_000).select(
+        F.concat(F.lit("g"), F.pmod(F.col("id"), F.lit(4)))
+        .alias("g"), sc.alias("s"),
+        (F.pmod(F.xxhash64("id", F.lit(7)), F.lit(10)) < 3)
+        .cast("int").alias("y"))
+    t0 = time.time()
+    gout = gains_curve(gdf, "y", "s", n_buckets=10,
+                       group_col="g").collect()
+    print(f"gains_curve 10M rows, 50% tie block, 4 groups: "
+          f"{len(gout)} rows, {time.time() - t0:.1f}s", flush=True)
+
+    from spark_df_profiling_spark.operators.text import (
+        bpe_pair_counts, bpe_train)
+    # worst case: every word unique -> word-type histogram is
+    # corpus-sized; the deterministic top-50k cap must hold the line
+    docs = spark.range(2_000_000).select(
+        F.concat(F.lit("w"), F.col("id").cast("string"), F.lit("x"),
+                 F.pmod(F.xxhash64("id"), F.lit(100)).cast("string"),
+                 F.lit(" common shared tail")).alias("text"))
+    t0 = time.time()
+    bp = bpe_pair_counts(docs, "text", k=20).collect()
+    t1 = time.time()
+    bt = bpe_train(docs, "text", n_merges=5, max_word_types=50_000)
+    print(f"bpe 2M all-unique-word docs: pair_counts {len(bp)} rows "
+          f"{t1 - t0:.1f}s; train 5 merges (50k-type cap) "
+          f"{time.time() - t1:.1f}s -> {[m[3] for m in bt]}",
+          flush=True)
+
+    from spark_df_profiling_spark.operators.correlation import (
+        krippendorff_alpha)
+    # 10M ratings over 1M items, 50% of all ratings on ONE hot item
+    kdf = spark.range(10_000_000).select(
+        F.when(F.pmod(F.col("id"), F.lit(2)) == 0, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(1_000_000)) + 1)
+        .alias("item"),
+        F.pmod(F.xxhash64("id", F.lit(11)), F.lit(7)).alias("v"))
+    for metric in ("nominal", "interval"):
+        t0 = time.time()
+        r = krippendorff_alpha(kdf, "item", "v", metric).collect()[0]
+        print(f"krippendorff {metric} 10M ratings, 50%-hot item: "
+              f"alpha {r.alpha:.4f}, items {r.n_items}, "
+              f"{time.time() - t0:.1f}s", flush=True)
+    spark.stop()
+
+
 if __name__ == "__main__":
     if "r12g" in sys.argv:
         r12g_main()
+    elif "r12h" in sys.argv:
+        r12h_main()
     elif "r12f" in sys.argv:
         r12f_main()
     elif "r12e" in sys.argv:
