@@ -590,3 +590,121 @@ def gains_curve(df: DataFrame, label_col: str, score_col: str,
     return hit.select(*gsel, "bucket", "depth",
                       cum_pos.alias("cum_pos"), gain.alias("gain"),
                       lift.alias("lift"))
+
+
+def conformal_threshold(df: DataFrame, score_col: str,
+                        alpha: float = 0.1,
+                        group_col: "str | None" = None) -> DataFrame:
+    """Split-conformal threshold (Vovk et al. 2005; Angelopoulos &
+    Bates 2021 tutorial): from a CALIBRATION set of nonconformity
+    scores, the cutoff ``q`` such that a fresh exchangeable score
+    satisfies ``P(s ≤ q) ≥ 1 − alpha`` — the distribution-free way to
+    turn any filter/judge score into a guarantee ("keep documents the
+    quality model scores below q, and at most ~alpha of good
+    documents are lost").  ``q`` is the ``k``-th smallest calibration
+    score with ``k = ceil((n + 1)(1 − alpha))`` — the finite-sample
+    correction that plain quantiles miss; when ``k > n`` (alpha too
+    small for the calibration size) the threshold is NULL (+∞
+    semantically) and ``feasible`` is false.
+
+    One row per (group,): ``(group?, n, k, threshold, feasible)``.
+    NULL scores (and NULL groups, grouped mode) are excluded.
+
+    Scale: the k-th order statistic WITHOUT a global sort — scores
+    collapse to the distinct-value frame and the exclusive cumulative
+    count comes from the roc_auc frozen-boundary protocol
+    (:func:`_distinct_score_prefix`); the threshold is the minimal
+    distinct value whose inclusive cumulative count reaches ``k``.
+    A million-way tie is one row; nothing row-sized sits in a task.
+    """
+    import math
+
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1): {alpha}")
+    # ride the shared machinery with a constant label (positives
+    # unused here)
+    tagged = df.withColumn("__cal_y", F.lit(True))
+    staged, tot_rows = _distinct_score_prefix(tagged, "__cal_y",
+                                              score_col, group_col)
+    from pyspark.sql import types as T
+    spark = df.sparkSession
+    g_dt = staged.schema["__g"].dataType
+    krows = []
+    for gval, n_all, _pos in tot_rows:
+        k = math.ceil((n_all + 1) * (1.0 - alpha))
+        krows.append((gval, n_all, k))
+    kschema = T.StructType([
+        T.StructField("__g", g_dt),
+        T.StructField("n", T.LongType()),
+        T.StructField("k", T.LongType())])
+    kdf = spark.createDataFrame(krows, kschema)
+    # threshold = the distinct value whose tie block CONTAINS rank k:
+    # exclusive-before < k <= before + c
+    hit = (staged.join(
+        F.broadcast(kdf),
+        staged["__g"].eqNullSafe(kdf["__g"])
+        & (F.col("k") > F.col("__cb"))
+        & (F.col("k") <= F.col("__cb") + F.col("__c")))
+        .drop(kdf["__g"])
+        .select(F.col("__g"), "n", "k",
+                F.col("__s").alias("threshold")))
+    gsel = ([F.col("__g").alias(group_col)] if group_col else [])
+    found = hit.select(*gsel, "n", "k", "threshold",
+                       F.lit(True).alias("feasible"))
+    # infeasible groups (k > n) never match a tie block: emit them
+    # with NULL threshold from the driver-side totals
+    miss = [(gval, n_all, k) for gval, n_all, k in krows
+            if k > n_all]
+    if miss:
+        mdf = spark.createDataFrame(miss, kschema)
+        gsel_m = ([F.col("__g").alias(group_col)] if group_col
+                  else [])
+        found = found.unionByName(
+            mdf.select(*gsel_m, "n", "k",
+                       F.lit(None).cast("double").alias("threshold"),
+                       F.lit(False).alias("feasible")))
+    return found
+
+
+def conformal_coverage(df: DataFrame, thresholds: DataFrame,
+                       score_col: str,
+                       group_col: "str | None" = None) -> DataFrame:
+    """Empirical coverage audit of :func:`conformal_threshold` on a
+    held-out set: per (group,) the fraction of scores at or below the
+    threshold — should land at or above ``1 − alpha`` up to sampling
+    noise (systematically below = the exchangeability assumption
+    broke, e.g. distribution shift between calibration and test).
+    One row per (group,): ``(group?, n_test, n_covered, coverage,
+    threshold)`` — ``coverage`` is the pure ratio of the exact
+    integers.  Infeasible thresholds (NULL) audit as NULL coverage.
+
+    Scale: ONE map-side-combined aggregate over the test scan after a
+    broadcast join of the O(#groups) threshold frame.
+    """
+    if score_col not in df.columns:
+        raise ValueError(f"missing column: {score_col!r}")
+    s = F.col(score_col).cast("double")
+    keep = s.isNotNull()
+    if group_col:
+        keep = keep & F.col(group_col).isNotNull()
+        joined = (df.where(keep)
+                  .join(F.broadcast(
+                      thresholds.select(group_col, "threshold",
+                                        "feasible")), group_col))
+        grouped = joined.groupBy(group_col, "threshold", "feasible")
+    else:
+        joined = (df.where(keep)
+                  .crossJoin(F.broadcast(
+                      thresholds.select("threshold", "feasible"))))
+        grouped = joined.groupBy("threshold", "feasible")
+    agg = grouped.agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum(F.when(s <= F.col("threshold"), 1).otherwise(0))
+        .cast("long").alias("n_covered"))
+    cov = F.when(F.col("feasible") & (F.col("n_test") > 0),
+                 F.col("n_covered") / F.col("n_test"))
+    gsel = [group_col] if group_col else []
+    return agg.select(*gsel, "n_test",
+                      F.when(F.col("feasible"), F.col("n_covered"))
+                      .alias("n_covered"),
+                      cov.alias("coverage"), "threshold")

@@ -3404,6 +3404,30 @@ FROM (
       GROUP BY g, s)) c2, range(1, 11) t(k)
   WHERE CAST(ceil(c2.na * t.k / 10.0) AS BIGINT) > c2.ac
     AND CAST(ceil(c2.na * t.k / 10.0) AS BIGINT) <= c2.ac + c2.c)
+UNION ALL
+-- conformal replay (alpha=0.1, grouped): threshold = the
+-- k = ceil((n+1)*0.9)-th smallest score (a STORED datum), then the
+-- self-coverage integer count at that threshold
+SELECT 'conf', CAST(g AS BIGINT), CAST(k AS BIGINT),
+       {_psig('q')} || '/' || CAST(ncov AS VARCHAR), CAST(n AS INT)
+FROM (
+  WITH cb AS (SELECT label % 3 AS g, embedding[1]::DOUBLE AS s
+              FROM embeddings
+              WHERE label IS NOT NULL AND embedding IS NOT NULL),
+  ct AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+                CAST(ceil((count(*) + 1) * 0.9) AS BIGINT) AS k
+         FROM cb GROUP BY g),
+  cq AS (SELECT r.g, r.s AS q, ct.n, ct.k
+         FROM (SELECT g, s, row_number() OVER (PARTITION BY g
+                                               ORDER BY s) AS rn
+               FROM cb) r
+         JOIN ct ON r.g = ct.g AND r.rn = ct.k),
+  cc AS (SELECT cb.g,
+                CAST(sum(CASE WHEN cb.s <= cq.q THEN 1 ELSE 0 END)
+                     AS BIGINT) AS ncov
+         FROM cb JOIN cq ON cb.g = cq.g GROUP BY cb.g)
+  SELECT cq.g, cq.k, cq.q, cc.ncov, cq.n
+  FROM cq JOIN cc ON cq.g = cc.g)
 ORDER BY part, query_id, rank
 """)
 def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3628,6 +3652,21 @@ def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  sig(F.col("gain")),
                                  sig(F.col("lift"))).alias("sim_s"),
                      F.col("bucket").alias("rank")))
+    # 'conf' rows grade evaluation.conformal_threshold + the
+    # self-coverage audit (alpha=0.1, grouped): k and n_covered are
+    # exact integers, the threshold is a stored datum at 5 sig digits
+    from spark_df_profiling_spark.operators.evaluation import (
+        conformal_coverage, conformal_threshold)
+    cthr = conformal_threshold(gra_df, "s", 0.1, "g")
+    conf = (conformal_coverage(gra_df, cthr, "s", "g")
+            .join(cthr.select("g", "k"), "g")
+            .select(F.lit("conf").alias("part"),
+                    F.col("g").alias("query_id"),
+                    F.col("k").alias("neighbor_id"),
+                    F.concat(sig(F.col("threshold")), F.lit("/"),
+                             F.col("n_covered").cast("string"))
+                    .alias("sim_s"),
+                    F.col("n_test").cast("int").alias("rank")))
     return (knn.unionByName(mmr).unionByName(kcl).unionByName(lag)
             .unionByName(lagrs)
             .unionByName(crep).unionByName(rauc).unionByName(calib)
@@ -3635,6 +3674,7 @@ def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(rmet).unionByName(prow)
             .unionByName(grauc).unionByName(gprc)
             .unionByName(rreg).unionByName(gains)
+            .unionByName(conf)
             .orderBy("part", "query_id", "rank"))
 
 

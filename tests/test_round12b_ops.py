@@ -577,3 +577,73 @@ class TestStatefulDistinctSample:
                 stream.select("user_id",
                               F.col("value").alias("event_id")),
                 "user_id", "event_id", k=5)
+
+
+class TestConformal:
+    @pytest.fixture(scope="class")
+    def cal(self, spark):
+        rows = [(i, "g%d" % (i % 2), float((i * 13) % 97))
+                for i in range(500)]
+        return spark.createDataFrame(rows, "id long, g string, "
+                                           "s double")
+
+    def test_threshold_is_kth_order_statistic(self, spark, cal):
+        import math
+
+        from spark_df_profiling_spark.operators.evaluation import (
+            conformal_threshold)
+        out = {r.g: r for r in
+               conformal_threshold(cal, "s", 0.1, "g").collect()}
+        for gi in range(2):
+            vals = sorted(float((i * 13) % 97) for i in range(500)
+                          if i % 2 == gi)
+            n = len(vals)
+            k = math.ceil((n + 1) * 0.9)
+            r = out["g%d" % gi]
+            assert (r.n, r.k, r.threshold, r.feasible) == \
+                (n, k, vals[k - 1], True)
+
+    def test_tie_block_containing_rank(self, spark):
+        from spark_df_profiling_spark.operators.evaluation import (
+            conformal_threshold)
+        df = spark.createDataFrame(
+            [(i, float(i % 5)) for i in range(1000)],
+            "id long, s double")
+        r = conformal_threshold(df, "s", 0.25).collect()[0]
+        # k = ceil(1001*0.75) = 751 -> falls inside the 4th tie block
+        assert (r.k, r.threshold) == (751, 3.0)
+
+    def test_infeasible_small_calibration(self, spark):
+        from spark_df_profiling_spark.operators.evaluation import (
+            conformal_threshold)
+        df = spark.createDataFrame([(1, 1.0), (2, 2.0)],
+                                   "id long, s double")
+        r = conformal_threshold(df, "s", 0.1).collect()[0]
+        assert (r.feasible, r.threshold, r.k) == (False, None, 3)
+
+    def test_coverage_exact_integers(self, spark, cal):
+        from spark_df_profiling_spark.operators.evaluation import (
+            conformal_coverage, conformal_threshold)
+        thr = conformal_threshold(cal, "s", 0.1, "g")
+        tcol = {r.g: r.threshold for r in thr.collect()}
+        test = spark.createDataFrame(
+            [(i, "g%d" % (i % 2), float((i * 29 + 7) % 97))
+             for i in range(400)], "id long, g string, s double")
+        out = {r.g: r for r in
+               conformal_coverage(test, thr, "s", "g").collect()}
+        for gi in range(2):
+            g = "g%d" % gi
+            pyc = sum(1 for i in range(400) if i % 2 == gi
+                      and float((i * 29 + 7) % 97) <= tcol[g])
+            r = out[g]
+            assert r.n_covered == pyc
+            assert r.coverage == pytest.approx(pyc / r.n_test)
+            assert r.coverage >= 0.85   # ~1 - alpha up to noise
+
+    def test_alpha_bounds(self, cal):
+        from spark_df_profiling_spark.operators.evaluation import (
+            conformal_threshold)
+        with pytest.raises(ValueError):
+            conformal_threshold(cal, "s", 0.0)
+        with pytest.raises(ValueError):
+            conformal_threshold(cal, "s", 1.0)
