@@ -507,6 +507,20 @@ def main() -> None:
     from spark_df_profiling_spark.streaming import stateful_ewma
     # (streaming twin of ewma — see tests for the availableNow replay)
 
+    # round-12 continuation: uncertainty, targeting, guarantees
+    from spark_df_profiling_spark.operators.evaluation import (
+        conformal_coverage, conformal_threshold, gains_curve)
+    from spark_df_profiling_spark.operators.sampling import (
+        bootstrap_ci)
+    bootstrap_ci(docs, "n_chars", "doc_id", n_boot=41,
+                 group_col="lang").orderBy("lang").show(5)
+    gains_curve(scored, "y", "s", n_buckets=5).orderBy("bucket") \
+        .show(5)
+    thr = conformal_threshold(scored, "s", alpha=0.2)
+    conformal_coverage(scored, thr, "s").show()
+    from spark_df_profiling_spark.operators.text import bpe_train
+    print("BPE merges:", bpe_train(docs, "text", n_merges=5))
+
     spark.stop()
 
 

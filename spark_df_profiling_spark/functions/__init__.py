@@ -25,6 +25,7 @@ from spark_df_profiling_spark.operators.dedup import (
 )
 from spark_df_profiling_spark.operators.sampling import (
     hash_bucket,
+    poisson_weight,
 )
 from spark_df_profiling_spark.operators.similarity import (
     cosine,
@@ -73,6 +74,7 @@ __all__ = [
     "lang_scores", "n_chars", "n_tokens_bpe", "n_tokens_ws",
     "normalize_text", "pii_count", "punct_ratio", "quality_score",
     "readability_score",
+    "poisson_weight",
     "registered_domain", "rolling_hash", "simhash64", "space_ratio",
     "top_token_ratio", "type_token_ratio", "upper_ratio", "url_host",
     "winnow_fingerprints",

@@ -34,6 +34,10 @@ FLOAT_GRADED = [
     "stateful_user_totals",  # r11 ewma:/ewmadj: final values at _psig
     "knn_bruteforce",        # r11 kclass total_sim at _psig + election
     "embedding_array_stats",  # dim/edrift per-dim means/stds at _psig
+    "corr_matrix",           # r12 kripp alpha (per-item ratio sums),
+                             # theil/kappa/catassoc at _psig
+    "vocab_top_tokens",      # zipf slope / tfidf scores at _psig
+                             # (r12 bpair/bmerge rows are integers)
 ]
 
 RUNNER = r"""
