@@ -589,3 +589,37 @@ def topk_rank_drift(df_a: DataFrame, df_b: DataFrame, col: str,
         ((n_a - n_common).cast("double") / n_a).alias("churn_a"),
         ((n_b - n_common).cast("double") / n_b).alias("churn_b"),
         rho.alias("spearman"))
+
+
+def psi_reference(ref: DataFrame, col: str,
+                  bins: int = 10) -> "tuple[float, float, list[float]]":
+    """Fit the PSI reference for ONE numeric column as plain driver
+    literals ``(mn, mx, fractions)`` — the form a STREAMING consumer
+    needs (:func:`~spark_df_profiling_spark.streaming.streaming_psi`
+    folds them into its per-window aggregate as constants; a streaming
+    query cannot re-scan the reference).  Binning is the exact
+    :func:`psi_numeric` rule: ``bins`` equal widths over the reference
+    min/max, out-of-range clamped into the edge bins, NULLs excluded;
+    ``fractions[b]`` is the reference share of bin ``b`` (zero bins
+    stay 0.0 — EPS flooring happens at PSI time, not here).
+
+    Two aggregates over the reference (edges, then shares) — both
+    map-side combined; the result is O(bins) driver scalars.
+    """
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2: {bins}")
+    exprs = _numeric_bucket_exprs(ref, [col], bins)
+    row = ref.agg(F.min(col).alias("mn"),
+                  F.max(col).alias("mx")).collect()[0]
+    if row["mn"] is None:
+        raise ValueError(
+            f"psi_reference: column {col!r} is all-NULL/empty — no "
+            f"edges can be fit")
+    counts = {int(r["b"]): r["n"] for r in
+              (ref.select(exprs[col].alias("b"))
+               .where(F.col("b").isNotNull())
+               .groupBy("b").agg(F.count(F.lit(1)).alias("n"))
+               .collect())}
+    total = sum(counts.values()) or 1
+    fracs = [counts.get(b, 0) / total for b in range(bins)]
+    return float(row["mn"]), float(row["mx"]), fracs

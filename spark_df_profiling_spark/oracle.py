@@ -4574,6 +4574,74 @@ def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("lang_pred").count().orderBy("lang_pred"))
 
 
+@query("streaming_psi_events", f"""
+WITH vals AS (
+  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 AS w,
+         CAST("value" AS DOUBLE) AS v
+  FROM events WHERE "value" IS NOT NULL AND ts IS NOT NULL),
+mm AS (SELECT min(v) AS mn, max(v) AS mx FROM vals),
+bk AS (SELECT w,
+              CAST(least(greatest(floor((v - mn)
+                       / ((mx - mn) / 10.0)), 0), 9) AS INT) AS b
+       FROM vals, mm),
+refc AS (
+  SELECT r.b, CAST(coalesce(rc.c, 0) AS BIGINT) AS c
+  FROM range(0, 10) r(b)
+  LEFT JOIN (SELECT b, count(*) AS c FROM bk GROUP BY b) rc
+    ON rc.b = r.b),
+reft AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM refc),
+cells AS (
+  SELECT g.w, r.b, CAST(coalesce(cnt.c, 0) AS BIGINT) AS c
+  FROM (SELECT DISTINCT w FROM bk) g
+  CROSS JOIN range(0, 10) r(b)
+  LEFT JOIN (SELECT w, b, count(*) AS c FROM bk GROUP BY w, b) cnt
+    ON cnt.w = g.w AND cnt.b = r.b),
+wtot AS (SELECT w, CAST(sum(c) AS BIGINT) AS n FROM cells GROUP BY w),
+terms AS (
+  SELECT cells.w, wtot.n,
+         CAST(refc.c AS DOUBLE) / reft.t AS p_raw,
+         CAST(cells.c AS DOUBLE) / wtot.n AS q_raw
+  FROM cells
+  JOIN refc ON refc.b = cells.b
+  JOIN wtot ON wtot.w = cells.w
+  CROSS JOIN reft)
+SELECT w AS window_epoch, any_value(n) AS n,
+       {_psig('''sum((greatest(p_raw, 1e-6) - greatest(q_raw, 1e-6))
+                 * ln(greatest(p_raw, 1e-6)
+                      / greatest(q_raw, 1e-6)))''')} AS psi_s,
+       {_psig('''sum(CASE WHEN p_raw > 0 THEN 0.5 * p_raw
+                      * ln(p_raw / ((p_raw + q_raw) / 2))
+                      ELSE 0 END
+                 + CASE WHEN q_raw > 0 THEN 0.5 * q_raw
+                      * ln(q_raw / ((p_raw + q_raw) / 2))
+                      ELSE 0 END)''')} AS jsd_s
+FROM terms GROUP BY w ORDER BY w
+""")
+def streaming_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming drift monitor (streaming.streaming_psi via a
+    real availableNow run): reference fractions fit on the batch
+    events table (drift.psi_reference — identical clamped equal-width
+    binning in DuckDB), then every 1-day window's PSI/JSD against
+    that reference; psi/jsd sig-normalized, n exact."""
+    from spark_df_profiling_spark.operators.drift import psi_reference
+    from spark_df_profiling_spark.sources import with_event_time
+    from spark_df_profiling_spark.streaming import (
+        events_stream, run_stream_to_memory, streaming_psi)
+    ev = with_event_time(_t(spark, sf_dir, "events"))
+    ref = psi_reference(ev, "value", bins=10)
+    out = streaming_psi(events_stream(spark, sf_dir), "ts_ts",
+                        "value", ref, window="1 day",
+                        watermark="1 hour")
+    run_stream_to_memory(out, "spsi_oracle_out",
+                         output_mode="complete")
+    res = spark.table("spsi_oracle_out")
+    return (res.select(
+        epoch_seconds(res, "window_start").alias("window_epoch"),
+        F.col("n"), sig(F.col("psi")).alias("psi_s"),
+        sig(F.col("jsd")).alias("jsd_s"))
+        .orderBy("window_epoch"))
+
+
 @query("streaming_profile_events", """
 SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 AS window_epoch,
        event_type, count(*) AS cnt

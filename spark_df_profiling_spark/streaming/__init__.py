@@ -888,3 +888,70 @@ def stateful_distinct_sample(stream_df: DataFrame,
             .applyInPandasWithState(
                 update, out_schema, state_schema, "update",
                 GroupStateTimeout.NoTimeout))
+
+
+def streaming_psi(stream_df: DataFrame, ts_col: str, value_col: str,
+                  reference: "tuple[float, float, list[float]]",
+                  window: str = "1 hour",
+                  watermark: str = "2 hours") -> DataFrame:
+    """Per-window population drift against a frozen reference — the
+    streaming twin of :func:`~spark_df_profiling_spark.operators.
+    drift.psi_numeric`: each tumbling event-time window scores its
+    ``value_col`` histogram against the reference fractions fit by
+    :func:`~spark_df_profiling_spark.operators.drift.psi_reference`,
+    emitting ``(window_start, window_end, n, psi, jsd)`` as windows
+    close.  The standard deploy: fit the reference on last month's
+    batch, alert when a window's PSI crosses 0.2.
+
+    The trick that keeps this a SINGLE streaming aggregation (no
+    chained stateful operators): per-bin counts are ``bins``
+    conditional-sum COLUMNS of one windowed agg, and PSI/JSD fold
+    those columns with the reference fractions as literals in a plain
+    post-projection.  Identical EPS flooring and clamped equal-width
+    binning as the batch operator, so an availableNow replay equals
+    the batch computation exactly.
+
+    State is O(windows-in-flight × bins); NULL values excluded.
+    """
+    from spark_df_profiling_spark.operators.drift import EPS
+
+    mn, mx, fracs = reference
+    bins = len(fracs)
+    if bins < 2:
+        raise ValueError(f"reference must have >= 2 bins: {bins}")
+    v = F.col(value_col).cast("double")
+    if mx <= mn:
+        bucket = F.lit(0)
+    else:
+        width = (mx - mn) / bins
+        bucket = F.least(F.greatest(
+            F.floor((v - F.lit(mn)) / F.lit(width)), F.lit(0)),
+            F.lit(bins - 1)).cast("int")
+    base = (stream_df.where(v.isNotNull())
+            .select(F.col(ts_col), bucket.alias("__b"))
+            .withWatermark(ts_col, watermark))
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for b in range(bins):
+        aggs.append(F.sum(F.when(F.col("__b") == b, 1).otherwise(0))
+                    .cast("long").alias(f"__c{b}"))
+    agg = base.groupBy(F.window(ts_col, window)).agg(*aggs)
+    nd = F.col("n").cast("double")
+    psi = F.lit(0.0)
+    jsd = F.lit(0.0)
+    for b in range(bins):
+        q_raw = F.col(f"__c{b}") / nd
+        p_raw = F.lit(fracs[b])
+        p = F.greatest(p_raw, F.lit(EPS))
+        q = F.greatest(q_raw, F.lit(EPS))
+        psi = psi + (p - q) * F.log(p / q)
+        m = (p_raw + q_raw) / 2
+        jsd = (jsd
+               + F.when(p_raw > 0,
+                        0.5 * p_raw * F.log(p_raw / m))
+               .otherwise(F.lit(0.0))
+               + F.when(q_raw > 0, 0.5 * q_raw * F.log(q_raw / m))
+               .otherwise(F.lit(0.0)))
+    return agg.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "n", psi.alias("psi"), jsd.alias("jsd"))

@@ -647,3 +647,92 @@ class TestConformal:
             conformal_threshold(cal, "s", 0.0)
         with pytest.raises(ValueError):
             conformal_threshold(cal, "s", 1.0)
+
+
+class TestStreamingPSI:
+    def test_availablenow_matches_python_replay(self, spark, sf_dir):
+        import collections
+        import math
+
+        from spark_df_profiling_spark.operators.drift import (
+            EPS, psi_reference)
+        from spark_df_profiling_spark.sources import with_event_time
+        from spark_df_profiling_spark.streaming import (
+            events_stream, run_stream_to_memory, streaming_psi)
+        ev = with_event_time(
+            spark.read.parquet(f"{sf_dir}/events.parquet"))
+        ref = psi_reference(ev, "value", bins=10)
+        mn, mx, fracs = ref
+        out = streaming_psi(events_stream(spark, sf_dir), "ts_ts",
+                            "value", ref, window="1 day",
+                            watermark="1 hour")
+        run_stream_to_memory(out, "t_spsi_out",
+                             output_mode="complete")
+        got = {int(r.window_start.timestamp()): r
+               for r in spark.table("t_spsi_out").collect()}
+        assert len(got) > 1
+        rows = ev.select("ts_ts", "value") \
+                 .where("value is not null").collect()
+        width = (mx - mn) / 10
+        wins = collections.defaultdict(lambda: [0] * 10)
+        for r in rows:
+            ws = int(r.ts_ts.timestamp() // 86400) * 86400
+            b = min(max(int(math.floor((r.value - mn) / width)), 0), 9)
+            wins[ws][b] += 1
+        for ws, cnts in wins.items():
+            n = sum(cnts)
+            psi = 0.0
+            for b in range(10):
+                p = max(fracs[b], EPS)
+                q = max(cnts[b] / n, EPS)
+                psi += (p - q) * math.log(p / q)
+            r = got[ws]
+            assert r.n == n
+            assert r.psi == pytest.approx(psi, abs=1e-12)
+            assert 0.0 <= r.jsd <= math.log(2) + 1e-12
+
+    def test_planted_drift_scores_high(self, spark, tmp_path):
+        # reference uniform on [0, 100); a drifted day concentrated in
+        # [90, 100) must light up, a same-distribution day must not
+        import datetime
+
+        from spark_df_profiling_spark.operators.drift import (
+            psi_reference)
+        from spark_df_profiling_spark.streaming import (
+            run_stream_to_memory, streaming_psi)
+        base = datetime.datetime(2026, 1, 1)
+        ref_rows = [(base, float(i % 100)) for i in range(2000)]
+        ref_df = spark.createDataFrame(ref_rows,
+                                       "ts timestamp, value double")
+        ref = psi_reference(ref_df, "value", bins=10)
+        day2 = base + datetime.timedelta(days=1)
+        data = ([(base, float(i % 100)) for i in range(1000)]
+                + [(day2, 90.0 + (i % 10)) for i in range(1000)])
+        src = tmp_path / "spsi_src"
+        spark.createDataFrame(data, "ts timestamp, value double") \
+            .coalesce(1).write.parquet(str(src))
+        stream = (spark.readStream
+                  .schema("ts timestamp, value double")
+                  .parquet(str(src)))
+        out = streaming_psi(stream, "ts", "value", ref,
+                            window="1 day", watermark="1 hour")
+        run_stream_to_memory(out, "t_spsi_drift",
+                             output_mode="complete")
+        rows = sorted(spark.table("t_spsi_drift").collect(),
+                      key=lambda r: r.window_start)
+        assert len(rows) == 2
+        calm, drifted = rows
+        assert calm.psi < 0.05           # same distribution
+        assert drifted.psi > 1.0         # mass collapsed to one bin
+        assert drifted.jsd > calm.jsd
+
+    def test_reference_validation(self, spark):
+        from spark_df_profiling_spark.operators.drift import (
+            psi_reference)
+        from spark_df_profiling_spark.streaming import streaming_psi
+        df = spark.createDataFrame(
+            [(None,)], "value double")
+        with pytest.raises(ValueError):
+            psi_reference(df, "value")
+        with pytest.raises(ValueError):
+            streaming_psi(df, "ts", "value", (0.0, 1.0, [1.0]))
