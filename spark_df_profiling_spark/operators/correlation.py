@@ -632,11 +632,16 @@ def krippendorff_alpha(df: DataFrame, item_col: str, value_col: str,
                        - F.col("__s1") * F.col("__s1"))
     stat_aggs = [
         F.count(F.lit(1)).cast("long").alias("n_items"),
-        F.sum("__mu").cast("long").alias("n_ratings"),
+        # coalesce: zero PAIRABLE items must read as 0 ratings (an
+        # empty aggregate's NULL sum), with NULL alpha downstream
+        F.coalesce(F.sum("__mu"), F.lit(0)).cast("long")
+        .alias("n_ratings"),
         F.min("__mu").cast("long").alias("min_raters"),
         F.max("__mu").cast("long").alias("max_raters"),
-        F.sum(num_u).alias("sum_disagree_num"),
-        F.sum(num_u / (mu - 1.0).cast("double")).alias("__do_sum")]
+        F.coalesce(F.sum(num_u), F.lit(0.0))
+        .alias("sum_disagree_num"),
+        F.coalesce(F.sum(num_u / (mu - 1.0).cast("double")),
+                   F.lit(0.0)).alias("__do_sum")]
     if metric == "interval":
         stat_aggs += [F.sum("__s1").alias("__ts1"),
                       F.sum("__s2").alias("__ts2")]

@@ -439,3 +439,131 @@ def test_mixture_plan_property(spark, srcs, budget, max_epochs):
     unmet = out[0]["budget_unmet"]
     assert unmet == pytest.approx(max(0.0, budget - total_cap),
                                   rel=1e-9, abs=1e-6)
+
+
+@given(st.lists(st.tuples(st.integers(0, 9999),
+                          st.integers(1, 1000)),
+                min_size=2, max_size=60, unique_by=lambda t: t[0]),
+       st.integers(2, 12))
+@settings(max_examples=8, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bootstrap_invariants(spark, rows, n_boot):
+    """Poisson-bootstrap invariants on arbitrary id/value sets: every
+    replicate mean lies in [min v, max v], sum_wv == 0 iff n_eff == 0,
+    and the md5 path is a pure function of the rows (two calls agree
+    exactly)."""
+    from spark_df_profiling_spark.operators.sampling import (
+        bootstrap_replicates)
+    df = spark.createDataFrame(rows, "id long, v long")
+    out = bootstrap_replicates(df, "v", "id", n_boot=n_boot,
+                               hash_fn="md5").collect()
+    assert len(out) == n_boot
+    lo = min(v for _, v in rows)
+    hi = max(v for _, v in rows)
+    for r in out:
+        assert (r.n_eff == 0) == (int(r.sum_wv) == 0) or lo > 0
+        if r.boot_mean is not None:
+            assert lo - 1e-9 <= r.boot_mean <= hi + 1e-9
+    again = bootstrap_replicates(df, "v", "id", n_boot=n_boot,
+                                 hash_fn="md5").collect()
+    assert sorted((r.b, r.n_eff, r.sum_wv) for r in out) == \
+        sorted((r.b, r.n_eff, r.sum_wv) for r in again)
+
+
+@given(st.lists(st.tuples(st.floats(0, 100, allow_nan=False),
+                          st.booleans()),
+                min_size=5, max_size=80),
+       st.integers(2, 10))
+@settings(max_examples=8, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_gains_curve_invariants(spark, rows, n_buckets):
+    """Gains-table invariants on arbitrary scored sets: depths are
+    nondecreasing with the last = N, cum_pos is nondecreasing with the
+    last = n_pos, gain ends at 1, and lift·depth·P == cum_pos·N."""
+    from spark_df_profiling_spark.operators.evaluation import (
+        gains_curve)
+    df = spark.createDataFrame([(s, int(y)) for s, y in rows],
+                               "s double, y int")
+    out = sorted(gains_curve(df, "y", "s", n_buckets).collect(),
+                 key=lambda r: r.bucket)
+    n = len(rows)
+    n_pos = sum(1 for _, y in rows if y)
+    assert len(out) == n_buckets
+    assert out[-1].depth == n
+    depths = [r.depth for r in out]
+    assert depths == sorted(depths)
+    cums = [r.cum_pos for r in out]
+    assert all(b >= a - 1e-9 for a, b in zip(cums, cums[1:]))
+    assert cums[-1] == pytest.approx(n_pos)
+    if n_pos > 0:
+        assert out[-1].gain == pytest.approx(1.0)
+        for r in out:
+            assert r.lift * r.depth * n_pos == \
+                pytest.approx(r.cum_pos * n, rel=1e-9)
+    else:
+        assert all(r.gain is None and r.lift is None for r in out)
+
+
+@given(st.lists(st.floats(-1e6, 1e6, allow_nan=False),
+                min_size=1, max_size=80),
+       st.sampled_from([0.05, 0.1, 0.25, 0.5]))
+@settings(max_examples=8, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_conformal_invariants(spark, scores, alpha):
+    """Conformal invariants on arbitrary calibration sets: when
+    feasible the threshold IS the k-th smallest score and calibration
+    self-coverage reaches at least k; when k > n the result is
+    infeasible with a NULL threshold."""
+    import math
+
+    from spark_df_profiling_spark.operators.evaluation import (
+        conformal_coverage, conformal_threshold)
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(scores)],
+                               "id long, s double")
+    thr = conformal_threshold(df, "s", alpha)
+    r = thr.collect()[0]
+    n = len(scores)
+    k = math.ceil((n + 1) * (1 - alpha))
+    assert (r.n, r.k) == (n, k)
+    if k > n:
+        assert not r.feasible and r.threshold is None
+        return
+    assert r.feasible
+    assert r.threshold == sorted(scores)[k - 1]
+    cov = conformal_coverage(df, thr, "s").collect()[0]
+    assert cov.n_covered >= k           # ties can only add coverage
+    assert cov.n_covered == sum(1 for s in scores
+                                if s <= r.threshold)
+
+
+@given(st.lists(st.tuples(st.integers(0, 15), st.integers(0, 5)),
+                min_size=4, max_size=100))
+@settings(max_examples=8, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_krippendorff_invariants(spark, ratings):
+    """Alpha invariants on arbitrary (item, value) rating multisets:
+    alpha <= 1 + ulps, d_o/d_e >= 0, single-rating items never count,
+    and duplicating EVERY rating row leaves nominal d_o and d_e (and
+    alpha) unchanged in the constant-raters sense only when defined —
+    we assert the weaker, always-true invariants plus permutation
+    invariance (row order cannot matter)."""
+    from spark_df_profiling_spark.operators.correlation import (
+        krippendorff_alpha)
+    df = spark.createDataFrame(ratings, "item int, v int")
+    r = krippendorff_alpha(df, "item", "v").collect()[0]
+    from collections import Counter
+    m = Counter(i for i, _ in ratings)
+    pairable = {i for i, c in m.items() if c >= 2}
+    assert r.n_items == len(pairable)
+    assert r.n_ratings == sum(c for i, c in m.items()
+                              if i in pairable)
+    if r.n_items == 0:
+        return
+    assert r.d_o >= -1e-12 and r.d_e >= -1e-12
+    if r.alpha is not None:
+        assert r.alpha <= 1.0 + 1e-12
+    rev = spark.createDataFrame(list(reversed(ratings)),
+                                "item int, v int")
+    r2 = krippendorff_alpha(rev, "item", "v").collect()[0]
+    assert (r.n_items, r.n_ratings, r.sum_disagree_num) == \
+        (r2.n_items, r2.n_ratings, r2.sum_disagree_num)
