@@ -583,30 +583,41 @@ def krippendorff_alpha(df: DataFrame, item_col: str, value_col: str,
     * ``'interval'`` — disagreement is ``(v_c − v_k)²`` (Likert
       scores, reward-model scalar labels), via the closed form
       ``Σ_{c,k} n_c n_k (v_c−v_k)² = 2(m·Σn v² − (Σn v)²)`` — no
-      category-pair join ever materializes.
+      category-pair join ever materializes;
+    * ``'ordinal'`` — Krippendorff's rank metric, REDUCED to the
+      interval closed form on per-category mean-rank midpoints:
+      ``δ_ck = Σ_{g=c..k} n_g − (n_c+n_k)/2`` telescopes to
+      ``r_k − r_c`` with ``r_g = cum_g − n_g/2``, so the ordinal
+      distance IS the interval distance on ``r`` (one bounded window
+      over the category marginals, still no pair join).
 
     Input is one row per RATING ``(item, value)``.  One output row:
     ``(n_items, n_ratings, n_categories, min_raters, max_raters,
     sum_disagree_num, d_o, d_e, alpha)`` — ``sum_disagree_num`` is
     ``Σ_u (m_u² − Σ_c n_uc²)`` (nominal) or ``Σ_u 2(m_u S2_u −
-    S1_u²)`` (interval): EXACT when ratings are integers, the grading
-    handle behind ``d_o``; ``α = 1 − d_o/d_e``, NULL when ``d_e = 0``
-    (every rating identical — agreement is vacuous).  Items with
-    fewer than 2 ratings are excluded (not pairable — exactly
-    Krippendorff's missing-data rule); NULL item/value rows excluded.
+    S1_u²)`` (interval/ordinal): EXACT when ratings are integers
+    (ordinal midpoints are half-integers, so 4× the ordinal sum is an
+    exact integer), the grading handle behind ``d_o``; ``α = 1 −
+    d_o/d_e``, NULL when ``d_e = 0`` (every rating identical —
+    agreement is vacuous).  Items with fewer than 2 ratings are
+    excluded (not pairable — exactly Krippendorff's missing-data
+    rule); NULL item/value rows excluded.
 
     Scale: one (item, value) groupBy (cells), one item-level reduce,
     one value-marginal groupBy — the :func:`fleiss_kappa` shape; every
-    shuffle carries cell- or category-sized rows.
+    shuffle carries cell- or category-sized rows.  The ordinal rank
+    window runs over the CATEGORY frame (bounded by the label
+    vocabulary — lint-whitelisted).
     """
-    if metric not in ("nominal", "interval"):
+    if metric not in ("nominal", "interval", "ordinal"):
         raise ValueError(
-            f"metric must be 'nominal' or 'interval': {metric!r}")
+            f"metric must be 'nominal', 'interval' or 'ordinal': "
+            f"{metric!r}")
     for c in (item_col, value_col):
         if c not in df.columns:
             raise ValueError(f"missing column: {c!r}")
     it = F.col(item_col)
-    if metric == "interval":
+    if metric in ("interval", "ordinal"):
         val = F.col(value_col).cast("double")
     else:
         val = F.col(value_col).cast("string")
@@ -614,16 +625,36 @@ def krippendorff_alpha(df: DataFrame, item_col: str, value_col: str,
             .select(it.alias("__i"), val.alias("__v")))
     cells = base.groupBy("__i", "__v").agg(
         F.count(F.lit(1)).cast("long").alias("__nij"))
+    pairable = (cells.groupBy("__i")
+                .agg(F.sum("__nij").cast("long").alias("__mu"))
+                .where(F.col("__mu") >= 2))
+    # marginals over the SAME kept items (the fleiss_kappa rule: an
+    # excluded 1-rating item must not shift the expected term either)
+    kept_cells = cells.join(pairable.select("__i"), "__i")
+    cat = (kept_cells.groupBy("__v")
+           .agg(F.sum("__nij").cast("long").alias("__cj")))
+    if metric == "ordinal":
+        from pyspark.sql import Window
+        # category-frame-bounded window (label-vocabulary-sized)
+        wc = (Window.orderBy(F.col("__v"))
+              .rowsBetween(Window.unboundedPreceding, 0))
+        cat = cat.withColumn(
+            "__r", F.sum("__cj").over(wc).cast("double")
+            - F.col("__cj").cast("double") / 2.0)
+        kept_cells = (kept_cells
+                      .join(F.broadcast(cat.select("__v", "__r")),
+                            "__v")
+                      .drop("__v")
+                      .withColumnRenamed("__r", "__v"))
     item_aggs = [
         F.sum("__nij").cast("long").alias("__mu"),
         F.sum(F.col("__nij") * F.col("__nij")).cast("long")
         .alias("__sn2")]
-    if metric == "interval":
+    if metric != "nominal":
         v = F.col("__v").cast("double")
         item_aggs += [F.sum(F.col("__nij") * v).alias("__s1"),
                       F.sum(F.col("__nij") * v * v).alias("__s2")]
-    per_item = (cells.groupBy("__i").agg(*item_aggs)
-                .where(F.col("__mu") >= 2))
+    per_item = kept_cells.groupBy("__i").agg(*item_aggs)
     mu = F.col("__mu")
     if metric == "nominal":
         num_u = (mu * mu - F.col("__sn2")).cast("double")
@@ -642,19 +673,19 @@ def krippendorff_alpha(df: DataFrame, item_col: str, value_col: str,
         .alias("sum_disagree_num"),
         F.coalesce(F.sum(num_u / (mu - 1.0).cast("double")),
                    F.lit(0.0)).alias("__do_sum")]
-    if metric == "interval":
-        stat_aggs += [F.sum("__s1").alias("__ts1"),
-                      F.sum("__s2").alias("__ts2")]
     istats = per_item.agg(*stat_aggs)
-    # marginals over the SAME kept items (the fleiss_kappa rule: an
-    # excluded 1-rating item must not shift the expected term either)
-    kept_cells = cells.join(per_item.select("__i"), "__i")
-    cat = (kept_cells.groupBy("__v")
-           .agg(F.sum("__nij").cast("long").alias("__cj")))
-    cat_tot = cat.agg(
-        F.count(F.lit(1)).cast("long").alias("n_categories"),
-        F.sum(F.col("__cj") * F.col("__cj")).cast("long")
-        .alias("__cj2"))
+    cat_aggs = [F.count(F.lit(1)).cast("long").alias("n_categories"),
+                F.sum(F.col("__cj") * F.col("__cj")).cast("long")
+                .alias("__cj2")]
+    if metric == "ordinal":
+        r = F.col("__r")
+        cat_aggs += [F.sum(F.col("__cj") * r).alias("__ts1"),
+                     F.sum(F.col("__cj") * r * r).alias("__ts2")]
+    elif metric == "interval":
+        v = F.col("__v").cast("double")
+        cat_aggs += [F.sum(F.col("__cj") * v).alias("__ts1"),
+                     F.sum(F.col("__cj") * v * v).alias("__ts2")]
+    cat_tot = cat.agg(*cat_aggs)
     out = istats.crossJoin(F.broadcast(cat_tot))
     n = F.col("n_ratings").cast("double")
     d_o = F.when(F.col("n_ratings") > 0, F.col("__do_sum") / n)

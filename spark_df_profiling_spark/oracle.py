@@ -1471,7 +1471,39 @@ FROM (
          1.0 - (dos_int / nr)
              / (2.0 * (nr * ts2 - ts1 * ts1)
                 / (CAST(nr AS DOUBLE) * (nr - 1.0)))
-  FROM ktot)
+  FROM ktot
+  UNION ALL
+  -- ordinal metric: interval closed form on per-category mean-rank
+  -- midpoints r = cum - cj/2 (half-integers -> 4x the numerators are
+  -- exact integers)
+  SELECT 'ordinal', ko.ni, ko.nr,
+         CAST(round(ko.dn_ord * 4) AS BIGINT),
+         CAST(round(ko.den_ord * 4) AS BIGINT),
+         1.0 - (ko.dos_ord / ko.nr)
+             / (ko.den_ord / (CAST(ko.nr AS DOUBLE) * (ko.nr - 1.0)))
+  FROM (
+    WITH kord AS (
+      SELECT c, cj,
+             sum(cj) OVER (ORDER BY c
+                           ROWS UNBOUNDED PRECEDING) - cj / 2.0 AS r
+      FROM (SELECT c, CAST(sum(nij) AS BIGINT) AS cj
+            FROM kcells JOIN kitem USING (i) GROUP BY c)),
+    kio AS (
+      SELECT i, CAST(sum(nij) AS BIGINT) AS mu,
+             sum(nij * r) AS s1o, sum(nij * r * r) AS s2o
+      FROM kcells JOIN kitem USING (i)
+      JOIN kord ON kcells.c = kord.c
+      GROUP BY i)
+    SELECT CAST(count(*) AS BIGINT) AS ni,
+           CAST(sum(mu) AS BIGINT) AS nr,
+           sum(2 * (mu * s2o - s1o * s1o)) AS dn_ord,
+           sum(2 * (mu * s2o - s1o * s1o)
+               / CAST(mu - 1 AS DOUBLE)) AS dos_ord,
+           (SELECT 2 * (CAST(sum(cj) AS DOUBLE)
+                        * sum(cj * r * r)
+                        - sum(cj * r) * sum(cj * r))
+            FROM kord) AS den_ord
+    FROM kio) ko)
 """
 
 
@@ -1744,7 +1776,9 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_df_profiling_spark.operators.correlation import (
         krippendorff_alpha)
 
-    def _krow(metric: str):
+    def _krow(metric: str, scale: int = 1):
+        # ordinal midpoints are half-integers: 4x the numerators are
+        # the exact integers (scale=4); nominal/interval need scale=1
         r = krippendorff_alpha(fitems, "item", "label", metric)
         nrd = F.col("n_ratings").cast("double")
         return r.select(
@@ -1753,13 +1787,14 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(
                 F.col("n_items").cast("string"), F.lit(":"),
                 F.col("n_ratings").cast("string"), F.lit(":"),
-                F.round(F.col("sum_disagree_num")).cast("long")
-                .cast("string"), F.lit(":"),
-                F.round(F.col("d_e") * nrd * (nrd - 1.0))
+                F.round(F.col("sum_disagree_num") * scale)
+                .cast("long").cast("string"), F.lit(":"),
+                F.round(F.col("d_e") * nrd * (nrd - 1.0) * scale)
                 .cast("long").cast("string"), F.lit(":"),
                 sig(F.col("alpha"))).alias("rho"))
 
-    kr = _krow("nominal").unionByName(_krow("interval"))
+    kr = (_krow("nominal").unionByName(_krow("interval"))
+          .unionByName(_krow("ordinal", scale=4)))
     return (pearson.unionByName(cat).unionByName(fd)
             .unionByName(keys).unionByName(inc).unionByName(pg)
             .unionByName(tr).unionByName(dg)

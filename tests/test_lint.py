@@ -61,6 +61,13 @@ UNPARTITIONED_WINDOW_WHITELIST = {
     ("sources/__init__.py", "file_row_stats"),
     # the O(#sources) mixture table by contract (dashboard-grade)
     ("operators/sampling.py", "mixture_plan"),
+    # two-phase top-k (vocab_topk shape): global rank sees only the
+    # 64-bucket local survivors — sub_partitions × cap rows
+    ("operators/text.py", "_bpe_word_hist"),
+    ("operators/text.py", "bpe_pair_counts"),
+    # ordinal rank midpoints: cumulative sum over the CATEGORY
+    # marginal frame (label-vocabulary-sized by construction)
+    ("operators/correlation.py", "krippendorff_alpha"),
 }
 
 

@@ -483,7 +483,7 @@ class TestKrippendorffAlpha:
         from spark_df_profiling_spark.operators.correlation import (
             krippendorff_alpha)
         with pytest.raises(ValueError):
-            krippendorff_alpha(ratings, "item", "v", "ordinal")
+            krippendorff_alpha(ratings, "item", "v", "ratio")
 
 
 class TestStatefulDistinctSample:
@@ -736,3 +736,79 @@ class TestStreamingPSI:
             psi_reference(df, "value")
         with pytest.raises(ValueError):
             streaming_psi(df, "ts", "value", (0.0, 1.0, [1.0]))
+
+
+class TestKrippendorffOrdinal:
+    def test_matches_pairwise_reference(self, spark):
+        # brute-force pairwise delta^2 over rank midpoints vs the
+        # telescoped interval-on-midpoints closed form
+        from collections import Counter
+
+        from spark_df_profiling_spark.operators.correlation import (
+            krippendorff_alpha)
+        data = TestKrippendorffAlpha.DATA
+        rows = [(i, v) for i, vs in data.items() for v in vs]
+        df = spark.createDataFrame(rows, "item int, v int")
+        r = krippendorff_alpha(df, "item", "v", "ordinal").collect()[0]
+        pair = {i: vs for i, vs in data.items() if len(vs) >= 2}
+        allv = [v for vs in pair.values() for v in vs]
+        n = len(allv)
+        cc = Counter(allv)
+        rk, cum = {}, 0
+        for g in sorted(cc):
+            cum += cc[g]
+            rk[g] = cum - cc[g] / 2
+        do_sum = 0.0
+        for vs in pair.values():
+            m = len(vs)
+            s = sum((rk[vs[a]] - rk[vs[b]]) ** 2
+                    for a in range(m) for b in range(m) if a != b)
+            do_sum += s / (m - 1)
+        do = do_sum / n
+        de = sum(cc[c] * cc[k] * (rk[c] - rk[k]) ** 2
+                 for c in cc for k in cc) / (n * (n - 1))
+        assert r.d_o == pytest.approx(do, rel=1e-12)
+        assert r.d_e == pytest.approx(de, rel=1e-12)
+        assert r.alpha == pytest.approx(1 - do / de, rel=1e-12)
+        # half-integer midpoints: 4x the numerator is an exact integer
+        assert r.sum_disagree_num * 4 == pytest.approx(
+            round(r.sum_disagree_num * 4), abs=1e-9)
+
+    def test_ordinal_vs_nominal_on_near_miss(self, spark):
+        # raters disagree by ONE adjacent grade on every item: ordinal
+        # must forgive (alpha near/above 0), nominal punishes hard
+        from spark_df_profiling_spark.operators.correlation import (
+            krippendorff_alpha)
+        rows = []
+        for i in range(60):
+            g = i % 5
+            rows += [(i, g), (i, min(g + 1, 5))]
+        df = spark.createDataFrame(rows, "item int, v int")
+        rn = krippendorff_alpha(df, "item", "v", "nominal") \
+            .collect()[0]
+        ro = krippendorff_alpha(df, "item", "v", "ordinal") \
+            .collect()[0]
+        assert ro.alpha > rn.alpha
+
+    def test_ordinal_scale_invariance(self, spark):
+        # ordinal depends only on the ORDER of values: relabeling
+        # {1,2,3} -> {10, 200, 3000} must not change alpha
+        from spark_df_profiling_spark.operators.correlation import (
+            krippendorff_alpha)
+        rows = [(i, (i * 7 + j) % 3 + 1) for i in range(40)
+                for j in range(3)]
+        a = spark.createDataFrame(rows, "item int, v int")
+        remap = {1: 10, 2: 200, 3: 3000}
+        b = spark.createDataFrame([(i, remap[v]) for i, v in rows],
+                                  "item int, v int")
+        ra = krippendorff_alpha(a, "item", "v", "ordinal").collect()[0]
+        rb = krippendorff_alpha(b, "item", "v", "ordinal").collect()[0]
+        assert ra.alpha == pytest.approx(rb.alpha, rel=1e-12)
+        # interval distances, by contrast, see the stretch (alpha
+        # itself is a ratio of quadratic forms and can coincide on
+        # symmetric fixtures, but the disagreement mass must blow up)
+        ia = krippendorff_alpha(a, "item", "v",
+                                "interval").collect()[0]
+        ib = krippendorff_alpha(b, "item", "v",
+                                "interval").collect()[0]
+        assert ib.sum_disagree_num > ia.sum_disagree_num * 1000
