@@ -370,3 +370,45 @@ def centroids_from_state(state: DataFrame,
             out.append([dims[i][0] / dims[i][1]
                         for i in range(len(prev))])
     return out
+
+
+def silhouette_simplified(df: DataFrame,
+                          centroids: Sequence[Sequence[float]],
+                          vec_col: str = "embedding") -> DataFrame:
+    """Simplified silhouette per cluster (Hruschka et al. 2004; the
+    centroid-based silhouette sklearn exposes for big data): for each
+    point, ``a`` = Euclidean distance to its OWN centroid, ``b`` =
+    distance to the nearest OTHER centroid, ``s = (b − a)/max(a, b)``
+    — the clustering-quality readout (s → 1 tight and separated,
+    s ≈ 0 on a boundary, s < 0 likely mis-assigned) that the full
+    silhouette's O(n²) pairwise distances cannot give at corpus
+    scale.  One row per cluster: ``(cluster, n, mean_silhouette,
+    mean_a, mean_b)``; points equidistant at 0 (duplicate centroids)
+    score 0.
+
+    Scale: ONE pass — k per-row distance folds (the
+    :func:`_dist_sq_expr` zip_with/aggregate fold per centroid, HOFs
+    per row — playbook rule 8's cheap side), a/b from sorting the
+    k-element per-row distance array, then a map-side-combined
+    cluster groupBy.  No joins, nothing row-sized after the scan.
+    """
+    cents = [list(map(float, c)) for c in centroids]
+    if len(cents) < 2:
+        raise ValueError(
+            f"silhouette needs >= 2 centroids: {len(cents)}")
+    vec = _c(vec_col)
+    ds = F.array_sort(F.array(
+        *[F.sqrt(_dist_sq_expr(vec, c)) for c in cents]))
+    a = F.element_at(ds, 1)
+    b = F.element_at(ds, 2)
+    s = F.when(F.greatest(a, b) > 0,
+               (b - a) / F.greatest(a, b)).otherwise(F.lit(0.0))
+    assigned = kmeans_assign_expr(vec, cents)
+    base = (df.where(vec.isNotNull())
+            .select(assigned.alias("cluster"), a.alias("__a"),
+                    b.alias("__b"), s.alias("__s")))
+    return (base.groupBy("cluster")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.avg("__s").alias("mean_silhouette"),
+                 F.avg("__a").alias("mean_a"),
+                 F.avg("__b").alias("mean_b")))

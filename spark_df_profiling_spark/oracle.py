@@ -7452,6 +7452,64 @@ FROM (
          max(dist) AS sx
   FROM a3 GROUP BY c)
 UNION ALL
+SELECT 'silh', CAST(c AS VARCHAR), CAST(n AS BIGINT),
+       {_psig('ms')} || '/' || {_psig('ma')} || '/' || {_psig('mb')}
+FROM (
+  -- simplified silhouette on the SAME replayed 2-round kmeans
+  -- centroids: per point the two smallest Euclidean centroid
+  -- distances, s = (b - a)/max(a, b), averaged per cluster
+  WITH pts AS (
+    SELECT vec_id AS id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+    WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+  px AS (SELECT id, generate_subscripts(v, 1) AS dim, unnest(v) AS x
+         FROM pts),
+  sd AS (SELECT v, row_number() OVER (ORDER BY
+             ('0x' || substr(md5(id::VARCHAR || ':0'), 1, 15))::BIGINT,
+             id) - 1 AS c
+         FROM pts),
+  c0 AS (SELECT c, generate_subscripts(v, 1) AS dim, unnest(v) AS val
+         FROM sd WHERE c < 4),
+  d1 AS (SELECT px.id, c0.c,
+                sum((px.x - c0.val) * (px.x - c0.val)) AS dist
+         FROM px JOIN c0 USING (dim) GROUP BY px.id, c0.c),
+  a1 AS (SELECT id, c FROM (
+           SELECT id, c, row_number() OVER (PARTITION BY id
+                           ORDER BY dist, c) AS rk FROM d1)
+         WHERE rk = 1),
+  u1 AS (SELECT a1.c AS c, px.dim AS dim, avg(px.x) AS val
+         FROM px JOIN a1 USING (id) GROUP BY 1, 2),
+  c1 AS (SELECT c0.c, c0.dim, coalesce(u1.val, c0.val) AS val
+         FROM c0 LEFT JOIN u1 ON u1.c = c0.c AND u1.dim = c0.dim),
+  d2 AS (SELECT px.id, c1.c,
+                sum((px.x - c1.val) * (px.x - c1.val)) AS dist
+         FROM px JOIN c1 USING (dim) GROUP BY px.id, c1.c),
+  a2 AS (SELECT id, c FROM (
+           SELECT id, c, row_number() OVER (PARTITION BY id
+                           ORDER BY dist, c) AS rk FROM d2)
+         WHERE rk = 1),
+  u2 AS (SELECT a2.c AS c, px.dim AS dim, avg(px.x) AS val
+         FROM px JOIN a2 USING (id) GROUP BY 1, 2),
+  c2 AS (SELECT c1.c, c1.dim, coalesce(u2.val, c1.val) AS val
+         FROM c1 LEFT JOIN u2 ON u2.c = c1.c AND u2.dim = c1.dim),
+  d3 AS (SELECT px.id, c2.c,
+                sum((px.x - c2.val) * (px.x - c2.val)) AS dist
+         FROM px JOIN c2 USING (dim) GROUP BY px.id, c2.c),
+  sr AS (SELECT id, c, dist,
+                row_number() OVER (PARTITION BY id
+                                   ORDER BY dist, c) AS rk
+         FROM d3),
+  sab AS (SELECT a.id, a.c, sqrt(a.dist) AS da, sqrt(b.dist) AS db
+          FROM (SELECT * FROM sr WHERE rk = 1) a
+          JOIN (SELECT * FROM sr WHERE rk = 2) b USING (id))
+  SELECT c, count(*) AS n,
+         avg(CASE WHEN greatest(da, db) > 0
+                  THEN (db - da) / greatest(da, db)
+                  ELSE 0 END) AS ms,
+         avg(da) AS ma, avg(db) AS mb
+  FROM sab GROUP BY c)
+UNION ALL
 SELECT 'kbal', CAST(id AS VARCHAR), CAST(c AS BIGINT),
        CAST(NULL AS VARCHAR)
 FROM (
@@ -7723,6 +7781,18 @@ def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.concat_ws("/", sig(F.col("inertia")),
                               sig(F.col("mean_dist")),
                               sig(F.col("max_dist"))).alias("v2s")))
+    # 'silh' rows grade clustering.silhouette_simplified on the SAME
+    # fitted centroids — per-cluster mean silhouette / a / b at 5 sig
+    # digits over exact counts
+    from spark_df_profiling_spark.operators.clustering import (
+        silhouette_simplified)
+    sil = (silhouette_simplified(e, cents)
+           .select(F.lit("silh").alias("part"),
+                   F.col("cluster").cast("string").alias("k"),
+                   F.col("n").alias("v1"),
+                   F.concat_ws("/", sig(F.col("mean_silhouette")),
+                               sig(F.col("mean_a")),
+                               sig(F.col("mean_b"))).alias("v2s")))
     # 'kbal' rows grade clustering.cluster_balanced_sample — exactly 3
     # deterministically-chosen rows per cluster under FIXED literal
     # centroids (constant vectors at -0.5/0/0.5/1: the assignment is a
@@ -7851,6 +7921,7 @@ def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   F.lit("null")),
                        sig(F.col("centroid_cosine"))).alias("v2s")))
     return (arr.unionByName(dims).unionByName(quant).unionByName(km)
+            .unionByName(sil)
             .unionByName(kb).unionByName(ks).unionByName(pca)
             .unionByName(stdr).unionByName(rproj).unionByName(dv)
             .unionByName(edr)

@@ -812,3 +812,59 @@ class TestKrippendorffOrdinal:
         ib = krippendorff_alpha(b, "item", "v",
                                 "interval").collect()[0]
         assert ib.sum_disagree_num > ia.sum_disagree_num * 1000
+
+
+class TestSilhouetteSimplified:
+    def test_matches_python_reference(self, spark):
+        import math
+
+        from spark_df_profiling_spark.operators.clustering import (
+            silhouette_simplified)
+        cents = [[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]]
+        pts = [(i, [float((i * 7) % 5) - 2 + cents[i % 3][0],
+                    float((i * 3) % 5) - 2 + cents[i % 3][1]])
+               for i in range(120)]
+        df = spark.createDataFrame(pts, "id long, embedding array<double>")
+        out = {r.cluster: r for r in
+               silhouette_simplified(df, cents).collect()}
+        ref = {}
+        for _, v in pts:
+            ds = sorted(math.dist(v, c) for c in cents)
+            a, b = ds[0], ds[1]
+            cl = min(range(3),
+                     key=lambda j: (math.dist(v, cents[j]) ** 2, j))
+            s = (b - a) / max(a, b) if max(a, b) > 0 else 0.0
+            n, ss, sa, sb = ref.get(cl, (0, 0.0, 0.0, 0.0))
+            ref[cl] = (n + 1, ss + s, sa + a, sb + b)
+        for cl, (n, ss, sa, sb) in ref.items():
+            r = out[cl]
+            assert r.n == n
+            assert r.mean_silhouette == pytest.approx(ss / n,
+                                                      rel=1e-9)
+            assert r.mean_a == pytest.approx(sa / n, rel=1e-9)
+            assert r.mean_b == pytest.approx(sb / n, rel=1e-9)
+        # well-separated planted clusters score high
+        assert all(r.mean_silhouette > 0.5 for r in out.values())
+
+    def test_boundary_and_duplicate_centroids(self, spark):
+        from spark_df_profiling_spark.operators.clustering import (
+            silhouette_simplified)
+        df = spark.createDataFrame(
+            [(1, [5.0]), (2, [0.0]), (3, [10.0])],
+            "id long, embedding array<double>")
+        out = silhouette_simplified(df, [[0.0], [10.0]]).collect()
+        by_c = {r.cluster: r for r in out}
+        # the midpoint scores 0 (a == b) and lands in cluster 0 (tie)
+        assert by_c[0].n == 2
+        # duplicate centroids: everything equidistant -> s = 0
+        dup = silhouette_simplified(df, [[0.0], [0.0]]).collect()
+        assert all(r.mean_silhouette == 0.0 for r in dup
+                   if r.cluster == 0)
+
+    def test_needs_two_centroids(self, spark):
+        from spark_df_profiling_spark.operators.clustering import (
+            silhouette_simplified)
+        df = spark.createDataFrame([(1, [0.0])],
+                                   "id long, embedding array<double>")
+        with pytest.raises(ValueError):
+            silhouette_simplified(df, [[0.0]])
