@@ -412,3 +412,98 @@ def silhouette_simplified(df: DataFrame,
                  F.avg("__s").alias("mean_silhouette"),
                  F.avg("__a").alias("mean_a"),
                  F.avg("__b").alias("mean_b")))
+
+
+def cluster_quality(df: DataFrame,
+                    centroids: Sequence[Sequence[float]],
+                    vec_col: str = "embedding") -> DataFrame:
+    """Calinski–Harabasz and Davies–Bouldin indices for an assignment
+    under given centroids — the "is k right / did the fit degrade"
+    dashboard row next to :func:`silhouette_simplified`'s per-cluster
+    view.  ONE output row: ``(k_clusters, n, within_ss, between_ss,
+    calinski_harabasz, davies_bouldin)``:
+
+    * ``within_ss`` = Σ squared L2 to the ASSIGNED centroid;
+    * ``between_ss`` = Σ_i n_i·‖c_i − x̄‖² against the exact DATA mean
+      (per-dim sums — not the centroid average, which is wrong when
+      clusters are unbalanced or centroids aren't the means);
+    * ``CH = (between/(k−1)) / (within/(n−k))`` (higher = better;
+      NULL when k = 1 or n ≤ k);
+    * ``DB = mean_i max_{j≠i} (σ_i + σ_j)/‖c_i − c_j‖`` with σ = the
+      cluster's mean Euclidean distance to its centroid (lower =
+      better; empty clusters drop out; NULL when < 2 non-empty).
+
+    Scale: ONE pass — the assignment + per-cluster (n, Σdist²,
+    Σdist, per-dim sums) all in a single map-side-combined groupBy
+    carrying k×(d+3) cells; everything after (data mean, pairwise
+    centroid distances, the DB max) folds k- or k²-sized frames on
+    the driver-free broadcast path.
+    """
+    cents = [list(map(float, c)) for c in centroids]
+    if not cents:
+        raise ValueError("centroids must be non-empty")
+    k = len(cents)
+    d = len(cents[0])
+    # the k distance folds computed ONCE per row (rule 2: a separate
+    # assign expr + least() would re-run every fold twice); cluster =
+    # first index attaining the min (the kmeans_assign_expr tie rule)
+    ds = F.array(*[_dist_sq_expr(_c(vec_col), c) for c in cents])
+    v = F.transform(_c(vec_col), lambda x: x.cast("double"))
+    per_cluster = (df.where(_c(vec_col).isNotNull())
+                   .select(ds.alias("__ds"), v.alias("__v"))
+                   .select((F.array_position(
+                       "__ds", F.array_min("__ds")) - 1)
+                       .cast("int").alias("cluster"),
+                       F.array_min("__ds").alias("__d2"), "__v")
+                   .select("cluster", "__d2",
+                           F.sqrt("__d2").alias("__d1"),
+                           *[F.element_at("__v", i + 1)
+                             .alias(f"__x{i}") for i in range(d)])
+                   .groupBy("cluster")
+                   .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                        F.sum("__d2").alias("w"),
+                        F.avg("__d1").alias("sigma"),
+                        *[F.sum(f"__x{i}").alias(f"__s{i}")
+                          for i in range(d)])
+                   ).collect()
+    import math
+    n = sum(r["n"] for r in per_cluster)
+    within = sum(r["w"] for r in per_cluster)
+    if n == 0:
+        raise ValueError("cluster_quality: no non-null vectors")
+    mean = [sum(r[f"__s{i}"] for r in per_cluster) / n
+            for i in range(d)]
+    between = sum(
+        r["n"] * sum((cents[r["cluster"]][i] - mean[i]) ** 2
+                     for i in range(d))
+        for r in per_cluster)
+    ch = None
+    if k > 1 and n > k and within > 0:
+        ch = (between / (k - 1)) / (within / (n - k))
+    db = None
+    live = [(r["cluster"], r["sigma"]) for r in per_cluster]
+    if len(live) >= 2:
+        ratios = []
+        for ci, si in live:
+            worst = 0.0
+            for cj, sj in live:
+                if ci == cj:
+                    continue
+                dij = math.sqrt(sum(
+                    (cents[ci][t] - cents[cj][t]) ** 2
+                    for t in range(d)))
+                if dij > 0:
+                    worst = max(worst, (si + sj) / dij)
+            ratios.append(worst)
+        db = sum(ratios) / len(ratios)
+    spark = df.sparkSession
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField("k_clusters", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("within_ss", T.DoubleType()),
+        T.StructField("between_ss", T.DoubleType()),
+        T.StructField("calinski_harabasz", T.DoubleType()),
+        T.StructField("davies_bouldin", T.DoubleType())])
+    return spark.createDataFrame(
+        [(k, n, float(within), float(between), ch, db)], schema)

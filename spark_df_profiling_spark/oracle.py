@@ -7510,6 +7510,85 @@ FROM (
          avg(da) AS ma, avg(db) AS mb
   FROM sab GROUP BY c)
 UNION ALL
+SELECT 'cqual', 'all', CAST(n AS BIGINT),
+       {_psig('w')} || '/' || {_psig('b')} || '/' || {_psig('ch')}
+         || '/' || {_psig('db')}
+FROM (
+  -- Calinski-Harabasz + Davies-Bouldin on the SAME replayed fitted
+  -- centroids: W from final assignment distances, B against the
+  -- exact per-dim data mean, DB over live clusters only
+  WITH pts AS (
+    SELECT vec_id AS id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+    WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+  px AS (SELECT id, generate_subscripts(v, 1) AS dim, unnest(v) AS x
+         FROM pts),
+  sd AS (SELECT v, row_number() OVER (ORDER BY
+             ('0x' || substr(md5(id::VARCHAR || ':0'), 1, 15))::BIGINT,
+             id) - 1 AS c
+         FROM pts),
+  c0 AS (SELECT c, generate_subscripts(v, 1) AS dim, unnest(v) AS val
+         FROM sd WHERE c < 4),
+  d1 AS (SELECT px.id, c0.c,
+                sum((px.x - c0.val) * (px.x - c0.val)) AS dist
+         FROM px JOIN c0 USING (dim) GROUP BY px.id, c0.c),
+  a1 AS (SELECT id, c FROM (
+           SELECT id, c, row_number() OVER (PARTITION BY id
+                           ORDER BY dist, c) AS rk FROM d1)
+         WHERE rk = 1),
+  u1 AS (SELECT a1.c AS c, px.dim AS dim, avg(px.x) AS val
+         FROM px JOIN a1 USING (id) GROUP BY 1, 2),
+  c1 AS (SELECT c0.c, c0.dim, coalesce(u1.val, c0.val) AS val
+         FROM c0 LEFT JOIN u1 ON u1.c = c0.c AND u1.dim = c0.dim),
+  d2 AS (SELECT px.id, c1.c,
+                sum((px.x - c1.val) * (px.x - c1.val)) AS dist
+         FROM px JOIN c1 USING (dim) GROUP BY px.id, c1.c),
+  a2 AS (SELECT id, c FROM (
+           SELECT id, c, row_number() OVER (PARTITION BY id
+                           ORDER BY dist, c) AS rk FROM d2)
+         WHERE rk = 1),
+  u2 AS (SELECT a2.c AS c, px.dim AS dim, avg(px.x) AS val
+         FROM px JOIN a2 USING (id) GROUP BY 1, 2),
+  c2 AS (SELECT c1.c, c1.dim, coalesce(u2.val, c1.val) AS val
+         FROM c1 LEFT JOIN u2 ON u2.c = c1.c AND u2.dim = c1.dim),
+  d3 AS (SELECT px.id, c2.c,
+                sum((px.x - c2.val) * (px.x - c2.val)) AS dist
+         FROM px JOIN c2 USING (dim) GROUP BY px.id, c2.c),
+  sr AS (SELECT id, c, dist,
+                row_number() OVER (PARTITION BY id
+                                   ORDER BY dist, c) AS rk
+         FROM d3),
+  aq AS (SELECT id, c, dist FROM sr WHERE rk = 1),
+  st AS (SELECT c, count(*) AS nc, sum(dist) AS wc,
+                avg(sqrt(dist)) AS sg
+         FROM aq GROUP BY c),
+  gm AS (SELECT dim, avg(x) AS mx FROM px GROUP BY dim),
+  bs AS (SELECT st.c,
+                st.nc * sum((c2.val - gm.mx) * (c2.val - gm.mx))
+                    AS bc
+         FROM st JOIN c2 ON c2.c = st.c
+         JOIN gm ON gm.dim = c2.dim
+         GROUP BY st.c, st.nc),
+  cd AS (SELECT a.c AS ci, b.c AS cj,
+                sqrt(sum((a.val - b.val) * (a.val - b.val))) AS dij
+         FROM c2 a JOIN c2 b ON a.dim = b.dim AND a.c <> b.c
+         GROUP BY a.c, b.c),
+  dbr AS (SELECT cd.ci,
+                 max(CASE WHEN cd.dij > 0
+                     THEN (si.sg + sj.sg) / cd.dij ELSE 0 END)
+                     AS worst
+          FROM cd JOIN st si ON si.c = cd.ci
+          JOIN st sj ON sj.c = cd.cj
+          GROUP BY cd.ci)
+  SELECT (SELECT CAST(sum(nc) AS BIGINT) FROM st) AS n,
+         (SELECT sum(wc) FROM st) AS w,
+         (SELECT sum(bc) FROM bs) AS b,
+         ((SELECT sum(bc) FROM bs) / 3.0)
+           / ((SELECT sum(wc) FROM st)
+              / ((SELECT sum(nc) FROM st) - 4)) AS ch,
+         (SELECT avg(worst) FROM dbr) AS db)
+UNION ALL
 SELECT 'kbal', CAST(id AS VARCHAR), CAST(c AS BIGINT),
        CAST(NULL AS VARCHAR)
 FROM (
@@ -7793,6 +7872,19 @@ def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.concat_ws("/", sig(F.col("mean_silhouette")),
                                sig(F.col("mean_a")),
                                sig(F.col("mean_b"))).alias("v2s")))
+    # 'cqual' row grades clustering.cluster_quality on the same
+    # fitted centroids (W/B/CH/DB at 5 sig digits over the exact n)
+    from spark_df_profiling_spark.operators.clustering import (
+        cluster_quality)
+    cq = (cluster_quality(e, cents)
+          .select(F.lit("cqual").alias("part"),
+                  F.lit("all").alias("k"),
+                  F.col("n").alias("v1"),
+                  F.concat_ws("/", sig(F.col("within_ss")),
+                              sig(F.col("between_ss")),
+                              sig(F.col("calinski_harabasz")),
+                              sig(F.col("davies_bouldin")))
+                  .alias("v2s")))
     # 'kbal' rows grade clustering.cluster_balanced_sample — exactly 3
     # deterministically-chosen rows per cluster under FIXED literal
     # centroids (constant vectors at -0.5/0/0.5/1: the assignment is a
@@ -7921,7 +8013,7 @@ def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   F.lit("null")),
                        sig(F.col("centroid_cosine"))).alias("v2s")))
     return (arr.unionByName(dims).unionByName(quant).unionByName(km)
-            .unionByName(sil)
+            .unionByName(sil).unionByName(cq)
             .unionByName(kb).unionByName(ks).unionByName(pca)
             .unionByName(stdr).unionByName(rproj).unionByName(dv)
             .unionByName(edr)

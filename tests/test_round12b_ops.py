@@ -868,3 +868,71 @@ class TestSilhouetteSimplified:
                                    "id long, embedding array<double>")
         with pytest.raises(ValueError):
             silhouette_simplified(df, [[0.0]])
+
+
+class TestClusterQuality:
+    def test_matches_python_reference(self, spark):
+        import math
+        from collections import Counter
+
+        from spark_df_profiling_spark.operators.clustering import (
+            cluster_quality)
+        cents = [[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]]
+        pts = [(i, [float((i * 7) % 5) - 2 + cents[i % 3][0],
+                    float((i * 3) % 5) - 2 + cents[i % 3][1]])
+               for i in range(120)]
+        df = spark.createDataFrame(pts,
+                                   "id long, embedding array<double>")
+        r = cluster_quality(df, cents).collect()[0]
+        assign, d2s = [], []
+        for _, v in pts:
+            ds = [sum((a - b) ** 2 for a, b in zip(v, c))
+                  for c in cents]
+            m = min(ds)
+            assign.append(ds.index(m))
+            d2s.append(m)
+        n, k = len(pts), 3
+        within = sum(d2s)
+        mean = [sum(v[i] for _, v in pts) / n for i in range(2)]
+        cnt = Counter(assign)
+        between = sum(cnt[j] * sum((cents[j][i] - mean[i]) ** 2
+                                   for i in range(2)) for j in cnt)
+        ch = (between / (k - 1)) / (within / (n - k))
+        sg = {j: sum(math.sqrt(d2s[t]) for t in range(n)
+                     if assign[t] == j) / cnt[j] for j in cnt}
+        db = sum(max((sg[a] + sg[b])
+                     / math.dist(cents[a], cents[b])
+                     for b in cnt if b != a) for a in cnt) / len(cnt)
+        assert (r.k_clusters, r.n) == (k, n)
+        assert r.within_ss == pytest.approx(within, rel=1e-12)
+        assert r.between_ss == pytest.approx(between, rel=1e-12)
+        assert r.calinski_harabasz == pytest.approx(ch, rel=1e-12)
+        assert r.davies_bouldin == pytest.approx(db, rel=1e-12)
+
+    def test_degenerate_cases(self, spark):
+        from spark_df_profiling_spark.operators.clustering import (
+            cluster_quality)
+        df = spark.createDataFrame(
+            [(1, [0.0, 0.0]), (2, [1.0, 1.0])],
+            "id long, embedding array<double>")
+        # k = 1: CH and DB undefined
+        r1 = cluster_quality(df, [[0.5, 0.5]]).collect()[0]
+        assert r1.calinski_harabasz is None
+        assert r1.davies_bouldin is None
+        # empty input raises
+        with pytest.raises(ValueError):
+            cluster_quality(df.where("id > 99"), [[0.0, 0.0]])
+        with pytest.raises(ValueError):
+            cluster_quality(df, [])
+
+    def test_better_fit_scores_better(self, spark):
+        from spark_df_profiling_spark.operators.clustering import (
+            cluster_quality)
+        pts = [(i, [0.0 + (i % 3) * 0.1]) for i in range(30)] + \
+              [(100 + i, [50.0 + (i % 3) * 0.1]) for i in range(30)]
+        df = spark.createDataFrame(pts,
+                                   "id long, embedding array<double>")
+        good = cluster_quality(df, [[0.1], [50.1]]).collect()[0]
+        bad = cluster_quality(df, [[20.0], [30.0]]).collect()[0]
+        assert good.calinski_harabasz > bad.calinski_harabasz
+        assert good.davies_bouldin < bad.davies_bouldin
