@@ -397,16 +397,23 @@ def silhouette_simplified(df: DataFrame,
         raise ValueError(
             f"silhouette needs >= 2 centroids: {len(cents)}")
     vec = _c(vec_col)
-    ds = F.array_sort(F.array(
-        *[F.sqrt(_dist_sq_expr(vec, c)) for c in cents]))
-    a = F.element_at(ds, 1)
-    b = F.element_at(ds, 2)
+    # the k distance folds live in their OWN projection: downstream
+    # references then see an attribute, and CollapseProject refuses to
+    # re-inline a non-cheap expression referenced more than once
+    # (SPARK-36718) — a kmeans_assign_expr + per-element reads here
+    # re-ran every fold, measured 1.9x slower at 2M x 64d x k=16
+    ds0 = F.array(*[_dist_sq_expr(vec, c) for c in cents])
+    srt = F.array_sort(F.col("__ds0"))
+    a = F.sqrt(F.element_at(srt, 1))
+    b = F.sqrt(F.element_at(srt, 2))
     s = F.when(F.greatest(a, b) > 0,
                (b - a) / F.greatest(a, b)).otherwise(F.lit(0.0))
-    assigned = kmeans_assign_expr(vec, cents)
     base = (df.where(vec.isNotNull())
-            .select(assigned.alias("cluster"), a.alias("__a"),
-                    b.alias("__b"), s.alias("__s")))
+            .select(ds0.alias("__ds0"))
+            .select((F.array_position(
+                "__ds0", F.array_min("__ds0")) - 1)
+                .cast("int").alias("cluster"),
+                a.alias("__a"), b.alias("__b"), s.alias("__s")))
     return (base.groupBy("cluster")
             .agg(F.count(F.lit(1)).cast("long").alias("n"),
                  F.avg("__s").alias("mean_silhouette"),

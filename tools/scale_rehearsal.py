@@ -2295,9 +2295,59 @@ def r12h_main() -> None:
     spark.stop()
 
 
+def r12i_main() -> None:
+    """Clustering-quality + ordinal-alpha rehearsals: silhouette and
+    CH/DB at 2M x 64d x k=16 (per-row cost = k distance folds, the
+    kmeans-assignment shape), ordinal krippendorff at 10M ratings with
+    the 50%-hot item."""
+    spark = (SparkSession.builder.master("local[32]")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory", "32g")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    import random
+
+    from spark_df_profiling_spark.operators.clustering import (
+        cluster_quality, silhouette_simplified)
+    rng = random.Random(7)
+    k, d = 16, 64
+    cents = [[rng.uniform(-1, 1) * 5 for _ in range(d)]
+             for _ in range(k)]
+    vecs = spark.range(2_000_000).select(
+        F.transform(F.sequence(F.lit(1), F.lit(d)),
+                    lambda i: (F.pmod(F.xxhash64("id", i),
+                                      F.lit(1000)).cast("double")
+                               / 250.0 - 2.0)).alias("embedding"))
+    t0 = time.time()
+    sil = silhouette_simplified(vecs, cents).collect()
+    t1 = time.time()
+    cq = cluster_quality(vecs, cents).collect()[0]
+    print(f"silhouette 2M x {d}d x k={k}: {len(sil)} clusters "
+          f"{t1 - t0:.1f}s; cluster_quality CH "
+          f"{cq.calinski_harabasz:.1f} DB {cq.davies_bouldin:.2f} "
+          f"{time.time() - t1:.1f}s", flush=True)
+
+    from spark_df_profiling_spark.operators.correlation import (
+        krippendorff_alpha)
+    kdf = spark.range(10_000_000).select(
+        F.when(F.pmod(F.col("id"), F.lit(2)) == 0, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(1_000_000)) + 1)
+        .alias("item"),
+        F.pmod(F.xxhash64("id", F.lit(11)), F.lit(7)).alias("v"))
+    t0 = time.time()
+    r = krippendorff_alpha(kdf, "item", "v", "ordinal").collect()[0]
+    print(f"krippendorff ordinal 10M ratings, 50%-hot item: "
+          f"alpha {r.alpha:.4f}, {time.time() - t0:.1f}s", flush=True)
+    spark.stop()
+
+
 if __name__ == "__main__":
     if "r12g" in sys.argv:
         r12g_main()
+    elif "r12i" in sys.argv:
+        r12i_main()
     elif "r12h" in sys.argv:
         r12h_main()
     elif "r12f" in sys.argv:
