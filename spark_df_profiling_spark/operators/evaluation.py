@@ -708,3 +708,78 @@ def conformal_coverage(df: DataFrame, thresholds: DataFrame,
                       F.when(F.col("feasible"), F.col("n_covered"))
                       .alias("n_covered"),
                       cov.alias("coverage"), "threshold")
+
+
+def rbo_overlap(results_a: DataFrame, results_b: DataFrame,
+                query_col: str = "query_id",
+                doc_col: str = "neighbor_id",
+                rank_col: str = "rank",
+                k: int = 10, p: float = 0.9) -> DataFrame:
+    """Rank-biased overlap (Webber et al. 2010) between two ranked
+    lists per query — "how similar are these two retrieval systems /
+    model versions", top-weighted the way users read results (depth d
+    weighted ``p^(d−1)``): ``RBO@k = (1−p)·Σ_{d=1..k}
+    p^(d−1)·|A_d ∩ B_d|/d`` over the depth-d prefixes.  This is the
+    TRUNCATED (no-extrapolation) form: 1.0 = identical top-k order,
+    0.0 = disjoint; a list shorter than depth d contributes only what
+    it has (absent tail = non-overlapping — the conservative
+    convention, stated not hidden).  One row per query present in
+    EITHER side: ``(query, len_a, len_b, overlap_k, rbo)`` with
+    ``overlap_k`` the exact intersection size at full depth.
+
+    Scale: both sides filter to rank ≤ k at the scan, collapse to one
+    k-bounded array per query (groupBy + sort_array on (rank, doc) —
+    the shuffle carries k rows per query), full-outer join on the
+    query, then an in-row O(k²) prefix-intersection fold (k ≤ 100
+    enforced; 100² set ops per QUERY row is the cheap-HOF side of
+    rule 8).
+    """
+    if not 1 <= k <= 100:
+        raise ValueError(f"k must be in [1, 100]: {k}")
+    if not 0.0 < p < 1.0:
+        raise ValueError(f"p must be in (0, 1): {p}")
+
+    def side(df: DataFrame, name: str) -> DataFrame:
+        for c in (query_col, doc_col, rank_col):
+            if c not in df.columns:
+                raise ValueError(f"missing column: {c!r}")
+        return (df.where(F.col(rank_col) <= k)
+                .where(F.col(query_col).isNotNull()
+                       & F.col(doc_col).isNotNull())
+                .groupBy(F.col(query_col).alias("__q"))
+                .agg(F.transform(
+                    F.array_sort(F.collect_list(F.struct(
+                        F.col(rank_col).cast("long").alias("r"),
+                        F.col(doc_col).cast("string").alias("d")))),
+                    lambda s: s["d"]).alias(name)))
+
+    a = side(results_a, "__la")
+    b = side(results_b, "__lb")
+    la = F.coalesce(F.col("__la"),
+                    F.array().cast("array<string>"))
+    lb = F.coalesce(F.col("__lb"),
+                    F.array().cast("array<string>"))
+    weights = [(1.0 - p) * p ** (d - 1) for d in range(1, k + 1)]
+    warr = F.array(*[F.lit(w) for w in weights])
+    ov = F.transform(
+        F.sequence(F.lit(1), F.lit(k)),
+        lambda d: F.size(F.array_intersect(
+            F.slice(F.col("__ca"), 1, d),
+            F.slice(F.col("__cb"), 1, d))))
+    # fold with an explicit depth index (a zip against the overlap
+    # array + array_position would misidentify duplicate values)
+    rbo = F.aggregate(
+        F.sequence(F.lit(1), F.lit(k)), F.lit(0.0),
+        lambda acc, d: acc
+        + F.element_at(warr, d)
+        * F.element_at(F.col("__ov"), d).cast("double")
+        / d.cast("double"))
+    return (a.join(b, "__q", "full_outer")
+            .select(F.col("__q").alias(query_col),
+                    la.alias("__ca"), lb.alias("__cb"))
+            .withColumn("__ov", ov)
+            .select(F.col(query_col),
+                    F.size("__ca").alias("len_a"),
+                    F.size("__cb").alias("len_b"),
+                    F.element_at("__ov", k).alias("overlap_k"),
+                    rbo.alias("rbo")))

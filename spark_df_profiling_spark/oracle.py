@@ -3463,6 +3463,43 @@ FROM (
          FROM cb JOIN cq ON cb.g = cq.g GROUP BY cb.g)
   SELECT cq.g, cq.k, cq.q, cc.ncov, cq.n
   FROM cq JOIN cc ON cq.g = cc.g)
+UNION ALL
+-- rbo_overlap replay: per user, the top-10 event ranking by TIME vs
+-- by VALUE — truncated RBO@10 (p=0.9) with prefix intersections,
+-- absent tails non-overlapping, uneven lists included
+SELECT 'rbo', CAST(u AS BIGINT), CAST(ovk AS BIGINT),
+       {_psig('rbo')}, CAST(la * 100 + lb AS INT)
+FROM (
+  WITH ea AS (
+    SELECT user_id AS u, CAST(event_id AS VARCHAR) AS d,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS r
+    FROM events
+    WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+      AND ts IS NOT NULL),
+  eb AS (
+    SELECT user_id AS u, CAST(event_id AS VARCHAR) AS d,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY "value", event_id) AS r
+    FROM events
+    WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+      AND "value" IS NOT NULL),
+  lla AS (SELECT u, list(d ORDER BY r) AS A FROM ea
+          WHERE r <= 10 GROUP BY u),
+  llb AS (SELECT u, list(d ORDER BY r) AS B FROM eb
+          WHERE r <= 10 GROUP BY u),
+  j AS (SELECT coalesce(lla.u, llb.u) AS u,
+               coalesce(A, []) AS A, coalesce(B, []) AS B
+        FROM lla FULL OUTER JOIN llb ON lla.u = llb.u)
+  SELECT u, len(A) AS la, len(B) AS lb,
+         len(list_intersect(list_slice(A, 1, 10),
+                            list_slice(B, 1, 10))) AS ovk,
+         list_sum(list_transform(range(1, 11),
+             dd -> (1 - 0.9) * pow(0.9, dd - 1)
+                 * len(list_intersect(list_slice(A, 1, dd),
+                                      list_slice(B, 1, dd)))
+                 / dd)) AS rbo
+  FROM j)
 ORDER BY part, query_id, rank
 """)
 def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3702,6 +3739,37 @@ def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                              F.col("n_covered").cast("string"))
                     .alias("sim_s"),
                     F.col("n_test").cast("int").alias("rank")))
+    # 'rbo' rows grade evaluation.rbo_overlap — each user's top-10
+    # event ranking by TIME vs by VALUE (both rankings trivially
+    # replayable), truncated RBO@10 at p=0.9 incl. uneven lists and
+    # one-sided queries
+    from pyspark.sql import Window as _W
+
+    from spark_df_profiling_spark.operators.evaluation import (
+        rbo_overlap)
+    ev = _t(spark, sf_dir, "events")
+    base_ok = (F.col("user_id").isNotNull()
+               & F.col("event_id").isNotNull())
+    ra_ev = (ev.where(base_ok & F.col("ts").isNotNull())
+             .select("user_id", "event_id",
+                     F.row_number().over(
+                         _W.partitionBy("user_id")
+                         .orderBy("ts", "event_id")).alias("rank")))
+    rb_ev = (ev.where(base_ok & F.col("value").isNotNull())
+             .select("user_id", "event_id",
+                     F.row_number().over(
+                         _W.partitionBy("user_id")
+                         .orderBy("value", "event_id"))
+                     .alias("rank")))
+    rbo = (rbo_overlap(ra_ev, rb_ev, "user_id", "event_id", "rank",
+                       k=10, p=0.9)
+           .select(F.lit("rbo").alias("part"),
+                   F.col("user_id").alias("query_id"),
+                   F.col("overlap_k").cast("long")
+                   .alias("neighbor_id"),
+                   sig(F.col("rbo")).alias("sim_s"),
+                   (F.col("len_a") * 100 + F.col("len_b"))
+                   .cast("int").alias("rank")))
     return (knn.unionByName(mmr).unionByName(kcl).unionByName(lag)
             .unionByName(lagrs)
             .unionByName(crep).unionByName(rauc).unionByName(calib)
@@ -3709,7 +3777,7 @@ def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(rmet).unionByName(prow)
             .unionByName(grauc).unionByName(gprc)
             .unionByName(rreg).unionByName(gains)
-            .unionByName(conf)
+            .unionByName(conf).unionByName(rbo)
             .orderBy("part", "query_id", "rank"))
 
 

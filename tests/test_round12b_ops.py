@@ -936,3 +936,84 @@ class TestClusterQuality:
         bad = cluster_quality(df, [[20.0], [30.0]]).collect()[0]
         assert good.calinski_harabasz > bad.calinski_harabasz
         assert good.davies_bouldin < bad.davies_bouldin
+
+
+class TestRBO:
+    @staticmethod
+    def _py_rbo(A, B, k, p):
+        s = 0.0
+        for d in range(1, k + 1):
+            s += (1 - p) * p ** (d - 1) \
+                * len(set(A[:d]) & set(B[:d])) / d
+        return s
+
+    def test_matches_python_reference(self, spark):
+        import random
+
+        from spark_df_profiling_spark.operators.evaluation import (
+            rbo_overlap)
+        rng = random.Random(3)
+        rows_a, rows_b, ref = [], [], {}
+        for q in range(30):
+            docs = [f"d{i}" for i in range(20)]
+            A = rng.sample(docs, 10)
+            B = rng.sample(docs, rng.choice([10, 6]))  # uneven too
+            rows_a += [(q, d, r) for r, d in enumerate(A, 1)]
+            rows_b += [(q, d, r) for r, d in enumerate(B, 1)]
+            ref[q] = (self._py_rbo(A, B, 10, 0.9),
+                      len(set(A) & set(B)))
+        rows_a.append((99, "x", 1))     # one-sided query
+        ref[99] = (self._py_rbo(["x"], [], 10, 0.9), 0)
+        da = spark.createDataFrame(
+            rows_a, "query_id long, neighbor_id string, rank int")
+        db = spark.createDataFrame(
+            rows_b, "query_id long, neighbor_id string, rank int")
+        out = {r.query_id: r for r in
+               rbo_overlap(da, db, k=10, p=0.9).collect()}
+        assert len(out) == 31
+        for q, (pr, pov) in ref.items():
+            assert out[q].rbo == pytest.approx(pr, abs=1e-12)
+            assert out[q].overlap_k == pov
+
+    def test_identical_and_disjoint(self, spark):
+        from spark_df_profiling_spark.operators.evaluation import (
+            rbo_overlap)
+        a = spark.createDataFrame(
+            [(1, "a", 1), (1, "b", 2)],
+            "query_id long, neighbor_id string, rank int")
+        r = rbo_overlap(a, a, k=2, p=0.5).collect()[0]
+        # identical truncated lists: sum (1-p)p^(d-1) = 1 - p^k
+        assert r.rbo == pytest.approx(1 - 0.5 ** 2, abs=1e-12)
+        b = spark.createDataFrame(
+            [(1, "z", 1), (1, "w", 2)],
+            "query_id long, neighbor_id string, rank int")
+        r2 = rbo_overlap(a, b, k=2, p=0.5).collect()[0]
+        assert r2.rbo == 0.0 and r2.overlap_k == 0
+
+    def test_top_weighting(self, spark):
+        # agreeing at rank 1 beats agreeing at rank k
+        from spark_df_profiling_spark.operators.evaluation import (
+            rbo_overlap)
+        a = spark.createDataFrame(
+            [(1, d, r) for r, d in enumerate("abcde", 1)],
+            "query_id long, neighbor_id string, rank int")
+        top = spark.createDataFrame(
+            [(1, d, r) for r, d in enumerate("avwxy", 1)],
+            "query_id long, neighbor_id string, rank int")
+        tail = spark.createDataFrame(
+            [(1, d, r) for r, d in enumerate("vwxye", 1)],
+            "query_id long, neighbor_id string, rank int")
+        rt = rbo_overlap(a, top, k=5).collect()[0]
+        rl = rbo_overlap(a, tail, k=5).collect()[0]
+        assert rt.rbo > rl.rbo
+
+    def test_bounds(self, spark):
+        from spark_df_profiling_spark.operators.evaluation import (
+            rbo_overlap)
+        df = spark.createDataFrame(
+            [(1, "a", 1)], "query_id long, neighbor_id string, "
+                           "rank int")
+        with pytest.raises(ValueError):
+            rbo_overlap(df, df, k=0)
+        with pytest.raises(ValueError):
+            rbo_overlap(df, df, p=1.0)
