@@ -169,3 +169,92 @@ def violation_examples(df: DataFrame,
             .select(id_col, F.explode("__cks").alias("check")))
     return (sample_exact_k(viol, "check", k, id_col, seed=seed)
             .select("check", id_col))
+
+
+def k_anonymity(df: DataFrame, quasi_cols: Sequence[str],
+                k: int = 5) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002) over a quasi-identifier
+    combination — the re-identification screen run before a dataset
+    leaves the pipeline: every row whose quasi-identifier tuple is
+    shared by fewer than ``k`` rows is re-identifiable down to that
+    class.  ONE row: ``(n, n_classes, min_class_size, k_threshold,
+    rows_below_k, classes_below_k, p_rows_below_k, is_k_anonymous)``.
+    NULL is a VALUE here (NULL ZIP is as linkable as any other; the
+    groupBy's null-safe grouping is exactly right).
+
+    Scale: one map-side-combined groupBy on the quasi-identifier
+    tuple + one aggregate of the class-size frame — the same
+    two-level shape as :func:`~spark_df_profiling_spark.operators.
+    frequency.column_entropy`; nothing row-sized after the first
+    shuffle.
+    """
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    if k < 2:
+        raise ValueError(f"k must be >= 2: {k}")
+    for c in quasi_cols:
+        if c not in df.columns:
+            raise ValueError(f"missing column: {c!r}")
+    classes = (df.groupBy(*quasi_cols)
+               .agg(F.count(F.lit(1)).cast("long").alias("__cs")))
+    below = F.col("__cs") < k
+    return classes.agg(
+        F.coalesce(F.sum("__cs"), F.lit(0)).cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("__cs").cast("long").alias("min_class_size"),
+        F.lit(k).cast("long").alias("k_threshold"),
+        F.coalesce(F.sum(F.when(below, F.col("__cs"))), F.lit(0))
+        .cast("long").alias("rows_below_k"),
+        F.coalesce(F.sum(F.when(below, 1)), F.lit(0)).cast("long")
+        .alias("classes_below_k"),
+    ).select(
+        "*",
+        F.when(F.col("n") > 0,
+               F.col("rows_below_k") / F.col("n").cast("double"))
+        .alias("p_rows_below_k"),
+        (F.col("rows_below_k") == 0).alias("is_k_anonymous"))
+
+
+def l_diversity(df: DataFrame, quasi_cols: Sequence[str],
+                sensitive_col: str, l: int = 2) -> DataFrame:
+    """Distinct l-diversity audit (Machanavajjhala et al. 2007) — the
+    attribute-disclosure companion to :func:`k_anonymity`: a class
+    can be k-anonymous yet leak its sensitive value outright when
+    every member shares it.  Counts DISTINCT sensitive values per
+    quasi-identifier class; one row: ``(n, n_classes, min_diversity,
+    l_threshold, classes_below_l, rows_below_l, p_rows_below_l,
+    is_l_diverse)``.  NULL sensitive values are excluded from the
+    diversity count (an unknown value discloses nothing); classes
+    whose sensitive column is ALL NULL count 0 distinct and fail.
+
+    Scale: one (quasi, sensitive) distinct-collapse groupBy, one
+    class-level reduce of that frame, one scalar aggregate — every
+    shuffle carries cell- or class-sized rows.
+    """
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    if l < 2:
+        raise ValueError(f"l must be >= 2: {l}")
+    for c in list(quasi_cols) + [sensitive_col]:
+        if c not in df.columns:
+            raise ValueError(f"missing column: {c!r}")
+    cells = (df.groupBy(*quasi_cols)
+             .agg(F.count(F.lit(1)).cast("long").alias("__cs"),
+                  F.count_distinct(F.col(sensitive_col))
+                  .cast("long").alias("__ld")))
+    below = F.col("__ld") < l
+    return cells.agg(
+        F.coalesce(F.sum("__cs"), F.lit(0)).cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("__ld").cast("long").alias("min_diversity"),
+        F.lit(l).cast("long").alias("l_threshold"),
+        F.coalesce(F.sum(F.when(below, 1)), F.lit(0)).cast("long")
+        .alias("classes_below_l"),
+        F.coalesce(F.sum(F.when(below, F.col("__cs"))), F.lit(0))
+        .cast("long").alias("rows_below_l"),
+    ).select(
+        "*",
+        F.when(F.col("n") > 0,
+               F.col("rows_below_l") / F.col("n").cast("double"))
+        .alias("p_rows_below_l"),
+        (F.col("classes_below_l") == 0).alias("is_l_diverse"))

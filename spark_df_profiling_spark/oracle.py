@@ -8277,6 +8277,42 @@ FROM (
   FROM documents WHERE doc_id IS NOT NULL)
 GROUP BY fold, lang
 UNION ALL
+-- k_anonymity replay (customer, quasi = nationkey+mktsegment, k=5):
+-- class sizes from one GROUP BY; every graded quantity an exact int
+SELECT 'kanon',
+       CAST(n_classes AS VARCHAR) || ':' || CAST(mn AS VARCHAR)
+         || ':' || CAST(rb AS VARCHAR) || ':' || CAST(cb AS VARCHAR)
+         || ':' || CASE WHEN rb = 0 THEN 'true' ELSE 'false' END,
+       CAST(n AS BIGINT)
+FROM (
+  SELECT CAST(sum(cs) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS n_classes,
+         CAST(min(cs) AS BIGINT) AS mn,
+         CAST(coalesce(sum(CASE WHEN cs < 5 THEN cs END), 0)
+              AS BIGINT) AS rb,
+         CAST(coalesce(sum(CASE WHEN cs < 5 THEN 1 END), 0)
+              AS BIGINT) AS cb
+  FROM (SELECT count(*) AS cs FROM customer
+        GROUP BY c_nationkey, c_mktsegment))
+UNION ALL
+-- l_diversity replay (sensitive = c_acctbal, l=2): per-class
+-- distinct sensitive values (NULLs excluded by count(DISTINCT))
+SELECT 'ldiv',
+       CAST(n_classes AS VARCHAR) || ':' || CAST(mn AS VARCHAR)
+         || ':' || CAST(cb AS VARCHAR) || ':' || CAST(rb AS VARCHAR)
+         || ':' || CASE WHEN cb = 0 THEN 'true' ELSE 'false' END,
+       CAST(n AS BIGINT)
+FROM (
+  SELECT CAST(sum(cs) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS n_classes,
+         CAST(min(ld) AS BIGINT) AS mn,
+         CAST(coalesce(sum(CASE WHEN ld < 2 THEN 1 END), 0)
+              AS BIGINT) AS cb,
+         CAST(coalesce(sum(CASE WHEN ld < 2 THEN cs END), 0)
+              AS BIGINT) AS rb
+  FROM (SELECT count(*) AS cs, count(DISTINCT c_acctbal) AS ld
+        FROM customer GROUP BY c_nationkey, c_mktsegment))
+UNION ALL
 -- Poisson-bootstrap replicate replay (sampling.bootstrap_replicates,
 -- n_boot=7, seed=17, grouped by lang): identical md5 bucket of
 -- doc_id||'#b', identical integer inverse-CDF ladder; n_eff and
@@ -8514,6 +8550,33 @@ def hash_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select(F.concat(F.lit("kfold:"),
                            F.col("fold").cast("string")).alias("part"),
                   F.col("lang").alias("k"), "n"))
+    # 'kanon'/'ldiv' rows grade constraints.k_anonymity/l_diversity
+    # on customer (quasi = nationkey+mktsegment, sensitive = acctbal)
+    # — every graded quantity an exact integer
+    from spark_df_profiling_spark.operators.constraints import (
+        k_anonymity, l_diversity)
+    cust = _t(spark, sf_dir, "customer")
+    ka = (k_anonymity(cust, ["c_nationkey", "c_mktsegment"], k=5)
+          .select(F.lit("kanon").alias("part"),
+                  F.concat_ws(
+                      ":", F.col("n_classes").cast("string"),
+                      F.col("min_class_size").cast("string"),
+                      F.col("rows_below_k").cast("string"),
+                      F.col("classes_below_k").cast("string"),
+                      F.col("is_k_anonymous").cast("string"))
+                  .alias("k"),
+                  F.col("n")))
+    ld = (l_diversity(cust, ["c_nationkey", "c_mktsegment"],
+                      "c_acctbal", l=2)
+          .select(F.lit("ldiv").alias("part"),
+                  F.concat_ws(
+                      ":", F.col("n_classes").cast("string"),
+                      F.col("min_diversity").cast("string"),
+                      F.col("classes_below_l").cast("string"),
+                      F.col("rows_below_l").cast("string"),
+                      F.col("is_l_diverse").cast("string"))
+                  .alias("k"),
+                  F.col("n")))
     # 'boot:' rows grade sampling.bootstrap_replicates (md5 path,
     # n_boot=7, seed=17, grouped by lang) — n_eff and sum_wv are exact
     # integers, so the graded values are pure functions of the md5
@@ -8550,6 +8613,7 @@ def hash_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(rep).unionByName(repk)
             .unionByName(shuf).unionByName(laudit)
             .unionByName(xs).unionByName(boot).unionByName(bci)
+            .unionByName(ka).unionByName(ld)
             .orderBy("part", "k"))
 
 

@@ -1017,3 +1017,60 @@ class TestRBO:
             rbo_overlap(df, df, k=0)
         with pytest.raises(ValueError):
             rbo_overlap(df, df, p=1.0)
+
+
+class TestPrivacyAudits:
+    @pytest.fixture(scope="class")
+    def people(self, spark):
+        # (zip, age_band) quasi-identifiers; 'disease' sensitive.
+        # class (z1, a1): 6 rows, diverse; (z2, a2): 2 rows, all the
+        # SAME sensitive value; (z3, a3): 1 row (unique -> below k)
+        rows = ([("z1", "a1", f"d{i % 3}") for i in range(6)]
+                + [("z2", "a2", "dX"), ("z2", "a2", "dX")]
+                + [("z3", "a3", None)])
+        return spark.createDataFrame(rows, "zip string, age string, "
+                                           "disease string")
+
+    def test_k_anonymity_counts(self, spark, people):
+        from spark_df_profiling_spark.operators.constraints import (
+            k_anonymity)
+        r = k_anonymity(people, ["zip", "age"], k=5).collect()[0]
+        assert (r.n, r.n_classes, r.min_class_size) == (9, 3, 1)
+        assert (r.rows_below_k, r.classes_below_k) == (3, 2)
+        assert r.p_rows_below_k == pytest.approx(3 / 9)
+        assert not r.is_k_anonymous
+        ok = k_anonymity(people, ["zip", "age"], k=2).collect()[0]
+        assert ok.rows_below_k == 1 and not ok.is_k_anonymous
+
+    def test_l_diversity_counts(self, spark, people):
+        from spark_df_profiling_spark.operators.constraints import (
+            l_diversity)
+        r = l_diversity(people, ["zip", "age"], "disease",
+                        l=2).collect()[0]
+        # z1 class: 3 distinct; z2: 1 distinct (homogeneous leak);
+        # z3: all-NULL sensitive -> 0 distinct, fails
+        assert (r.n, r.n_classes, r.min_diversity) == (9, 3, 0)
+        assert (r.classes_below_l, r.rows_below_l) == (2, 3)
+        assert not r.is_l_diverse
+
+    def test_null_quasi_is_a_value(self, spark):
+        from spark_df_profiling_spark.operators.constraints import (
+            k_anonymity)
+        df = spark.createDataFrame(
+            [(None, "x"), (None, "x"), ("a", "x")],
+            "zip string, age string")
+        r = k_anonymity(df, ["zip", "age"], k=2).collect()[0]
+        # the two NULL-zip rows form one class of size 2
+        assert (r.n_classes, r.rows_below_k) == (2, 1)
+
+    def test_validation(self, spark, people):
+        from spark_df_profiling_spark.operators.constraints import (
+            k_anonymity, l_diversity)
+        with pytest.raises(ValueError):
+            k_anonymity(people, [], k=5)
+        with pytest.raises(ValueError):
+            k_anonymity(people, ["zip"], k=1)
+        with pytest.raises(ValueError):
+            l_diversity(people, ["zip"], "disease", l=1)
+        with pytest.raises(ValueError):
+            l_diversity(people, ["nope"], "disease")
