@@ -946,10 +946,14 @@ def _bootstrap_buckets(id_col: Union[str, Column], b: int, seed: int,
 def _bootstrap_wide_agg(df: DataFrame, value_col: Union[str, Column],
                         id_col: Union[str, Column], n_boot: int,
                         seed: int, group_col: Optional[str],
-                        hash_fn: str) -> DataFrame:
-    """One row per group carrying the full-sample (n, sum) plus the
-    2·n_boot replicate aggregates — the single scan every bootstrap
-    entry point shares."""
+                        hash_fn: str,
+                        denom_col: "Union[str, Column, None]" = None
+                        ) -> DataFrame:
+    """One row per group carrying the full-sample (n, Σnum[, Σden])
+    plus the 2·n_boot replicate aggregates — the single scan every
+    bootstrap entry point shares.  With ``denom_col`` the replicate
+    denominator slot ``__nw_b`` carries ``Σ w·den`` (ratio mode)
+    instead of ``Σ w`` (mean mode)."""
     if not 2 <= n_boot <= 200:
         raise ValueError(f"n_boot must be in [2, 200]: {n_boot}")
     if hash_fn not in ("xxhash64", "md5"):
@@ -961,18 +965,28 @@ def _bootstrap_wide_agg(df: DataFrame, value_col: Union[str, Column],
         "(replicate weights need a non-null key)")
     v = _c(value_col).cast("double")
     keep = v.isNotNull() & _c(id_col).isNotNull()
+    den = _c(denom_col).cast("double") if denom_col is not None \
+        else None
+    if den is not None:
+        keep = keep & den.isNotNull()
     if group_col:
         keep = keep & F.col(group_col).isNotNull()
     gsel = [F.col(group_col)] if group_col else []
-    base = df.where(keep).select(*gsel, v.alias("__v"),
+    dsel = [den.alias("__d")] if den is not None else []
+    base = df.where(keep).select(*gsel, v.alias("__v"), *dsel,
                                  _c(id_col).alias("__id"))
     aggs = [F.count(F.lit(1)).cast("long").alias("__n"),
             F.sum("__v").alias("__sv")]
+    if den is not None:
+        aggs.append(F.sum("__d").alias("__sd"))
     for b in range(n_boot):
         w = poisson_weight(
             _bootstrap_buckets(F.col("__id"), b, seed, hash_fn))
         aggs.append(F.sum(w * F.col("__v")).alias(f"__swv_{b}"))
-        aggs.append(F.sum(w).alias(f"__nw_{b}"))
+        if den is not None:
+            aggs.append(F.sum(w * F.col("__d")).alias(f"__nw_{b}"))
+        else:
+            aggs.append(F.sum(w).alias(f"__nw_{b}"))
     return (base.groupBy(group_col).agg(*aggs) if group_col
             else base.agg(*aggs))
 
@@ -1082,6 +1096,73 @@ def bootstrap_ci(df: DataFrame, value_col: Union[str, Column],
         *gsel, "n",
         F.when(F.col("n") > 0, F.col("__sv") / F.col("n"))
         .alias("mean"),
+        m.cast("int").alias("n_boot"),
+        F.when(m >= 2, F.col("boot_se")).alias("boot_se"),
+        _q(alpha).alias("ci_lo"),
+        _q(1.0 - alpha).alias("ci_hi"))
+
+
+def bootstrap_ratio_ci(df: DataFrame, num_col: Union[str, Column],
+                       den_col: Union[str, Column],
+                       id_col: Union[str, Column], n_boot: int = 41,
+                       level: float = 0.95, seed: int = 0,
+                       group_col: Optional[str] = None,
+                       hash_fn: str = "xxhash64") -> DataFrame:
+    """Percentile-bootstrap CI for a RATIO ``Σ num / Σ den`` per
+    group — the estimator behind every rate a pipeline reports
+    (dedup rate = removed_tokens/total_tokens, click rate =
+    clicks/impressions, cost per token): the delta-method-free
+    uncertainty :func:`bootstrap_ci` gives for means, extended to
+    ratio statistics (each replicate computes ``Σw·num / Σw·den``
+    with the SAME Poisson weights on both sums — numerator and
+    denominator resample TOGETHER, which is what makes this correct
+    where a naive independent resample is not).  One row per
+    (group,): ``(group?, n, ratio, n_boot, boot_se, ci_lo, ci_hi)``.
+
+    Denominator contract: rows with NULL num/den/id are excluded;
+    replicates whose resampled denominator is ≤ 0 are excluded from
+    the percentile set (meaningful for the nonnegative denominators
+    rates have; a signed denominator makes the ratio unstable and is
+    the caller's problem to rescale).
+
+    Scale: identical to :func:`bootstrap_ci` — ONE scan, 2·n_boot+3
+    map-side-combined aggregate columns, #groups-row exchange,
+    bounded-array quantiles.
+    """
+    if not 0.0 < level < 1.0:
+        raise ValueError(f"level must be in (0, 1): {level}")
+    wide = _bootstrap_wide_agg(df, num_col, id_col, n_boot, seed,
+                               group_col, hash_fn,
+                               denom_col=den_col).localCheckpoint()
+    parts = ", ".join(f"{b}, __swv_{b}, __nw_{b}"
+                      for b in range(n_boot))
+    stack = (f"stack({n_boot}, {parts}) as (b, sum_wn, sum_wd)")
+    gsel = [group_col] if group_col else []
+    reps = (wide.selectExpr(*gsel, "__n", "__sv", "__sd", stack)
+            .where(F.col("sum_wd") > 0)
+            .withColumn("__m", F.col("sum_wn") / F.col("sum_wd")))
+    agg = (reps.groupBy(group_col) if group_col else
+           reps.groupBy()).agg(
+        F.first("__n").alias("n"),
+        F.first("__sv").alias("__sv"),
+        F.first("__sd").alias("__sd"),
+        F.sort_array(F.collect_list("__m")).alias("__ms"),
+        F.stddev_samp("__m").alias("boot_se"))
+    m = F.size("__ms")
+    alpha = (1.0 - level) / 2.0
+
+    def _q(q: float) -> Column:
+        h = (m - 1).cast("double") * F.lit(q)
+        i0 = F.floor(h).cast("int")
+        frac = h - i0.cast("double")
+        lo = F.element_at("__ms", i0 + 1)
+        hi = F.element_at("__ms", F.least(i0 + 2, m))
+        return F.when(m >= 2, lo + (hi - lo) * frac)
+
+    return agg.select(
+        *gsel, "n",
+        F.when(F.col("__sd") > 0, F.col("__sv") / F.col("__sd"))
+        .alias("ratio"),
         m.cast("int").alias("n_boot"),
         F.when(m >= 2, F.col("boot_se")).alias("boot_se"),
         _q(alpha).alias("ci_lo"),

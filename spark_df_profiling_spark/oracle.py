@@ -8390,6 +8390,60 @@ JOIN (
   WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
     AND lang IS NOT NULL
   GROUP BY lang) f USING(lang)
+UNION ALL
+-- bootstrap_ratio_ci replay (num = n_chars % 97, den = n_chars,
+-- n_boot=41, seed=17): numerator and denominator resample with the
+-- SAME weights; replicate ratios are pure functions of exact
+-- integer (sum_wn, sum_wd) pairs
+SELECT 'bratio' AS part,
+       f.lang || '/' || CAST(f.n AS VARCHAR) || '/'
+         || {_psig('f.ratio')} || '/' || {_psig('s.se')} || '/'
+         || {_psig('''ms[CAST(floor((nb - 1) * 0.025) AS INT) + 1]
+              + (ms[least(CAST(floor((nb - 1) * 0.025) AS INT) + 2,
+                          nb)]
+                 - ms[CAST(floor((nb - 1) * 0.025) AS INT) + 1])
+                * ((nb - 1) * 0.025
+                   - floor((nb - 1) * 0.025))''')} || '/'
+         || {_psig('''ms[CAST(floor((nb - 1) * 0.975) AS INT) + 1]
+              + (ms[least(CAST(floor((nb - 1) * 0.975) AS INT) + 2,
+                          nb)]
+                 - ms[CAST(floor((nb - 1) * 0.975) AS INT) + 1])
+                * ((nb - 1) * 0.975
+                   - floor((nb - 1) * 0.975))''')} AS k,
+       CAST(s.nb AS BIGINT) AS n
+FROM (
+  SELECT lang, list_sort(list(mu)) AS ms, stddev_samp(mu) AS se,
+         CAST(count(*) AS INT) AS nb
+  FROM (
+    SELECT lang, b,
+           CAST(CAST(sum(w * (n_chars % 97)) AS BIGINT) AS DOUBLE)
+             / CAST(CAST(sum(w * n_chars) AS BIGINT) AS DOUBLE) AS mu
+    FROM (
+      SELECT lang, n_chars, b,
+             CASE WHEN bu < 367879 THEN 0 WHEN bu < 735758 THEN 1
+                  WHEN bu < 919698 THEN 2 WHEN bu < 981011 THEN 3
+                  WHEN bu < 996340 THEN 4 WHEN bu < 999405 THEN 5
+                  WHEN bu < 999916 THEN 6 WHEN bu < 999989 THEN 7
+                  WHEN bu < 999998 THEN 8 ELSE 9 END AS w
+      FROM (
+        SELECT lang, n_chars, b,
+               (('0x' || substr(md5(doc_id::VARCHAR || '#' ||
+                   b::VARCHAR || ':17'), 1, 15))::BIGINT
+                 % 1000000) AS bu
+        FROM documents, range(41) t(b)
+        WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+          AND lang IS NOT NULL))
+    GROUP BY lang, b
+    HAVING sum(w * n_chars) > 0)
+  GROUP BY lang) s
+JOIN (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         CAST(CAST(sum(n_chars % 97) AS BIGINT) AS DOUBLE)
+           / CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE) AS ratio
+  FROM documents
+  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+    AND lang IS NOT NULL
+  GROUP BY lang) f USING(lang)
 ORDER BY part, k
 """)
 def hash_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8605,6 +8659,21 @@ def hash_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                        sig(F.col("boot_se")), sig(F.col("ci_lo")),
                        sig(F.col("ci_hi"))).alias("k"),
                    F.col("n_boot").cast("long").alias("n")))
+    # 'bratio' rows grade sampling.bootstrap_ratio_ci — numerator
+    # n_chars % 97, denominator n_chars, same weights both sums
+    from spark_df_profiling_spark.operators.sampling import (
+        bootstrap_ratio_ci)
+    br = (bootstrap_ratio_ci(
+        d.withColumn("__num", F.col("n_chars") % 97),
+        "__num", "n_chars", "doc_id", n_boot=41, level=0.95,
+        seed=17, group_col="lang", hash_fn="md5")
+        .select(F.lit("bratio").alias("part"),
+                F.concat_ws(
+                    "/", F.col("lang"),
+                    F.col("n").cast("string"), sig(F.col("ratio")),
+                    sig(F.col("boot_se")), sig(F.col("ci_lo")),
+                    sig(F.col("ci_hi"))).alias("k"),
+                F.col("n_boot").cast("long").alias("n")))
     return (split.unionByName(samp).unionByName(strat)
             .unionByName(kf)
             .unionByName(exactk).unionByName(dsir)
@@ -8613,7 +8682,7 @@ def hash_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(rep).unionByName(repk)
             .unionByName(shuf).unionByName(laudit)
             .unionByName(xs).unionByName(boot).unionByName(bci)
-            .unionByName(ka).unionByName(ld)
+            .unionByName(ka).unionByName(ld).unionByName(br)
             .orderBy("part", "k"))
 
 

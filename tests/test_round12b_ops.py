@@ -1074,3 +1074,67 @@ class TestPrivacyAudits:
             l_diversity(people, ["zip"], "disease", l=1)
         with pytest.raises(ValueError):
             l_diversity(people, ["nope"], "disease")
+
+
+class TestBootstrapRatioCI:
+    def test_matches_python_reference(self, spark):
+        rows = [(i, "g%d" % (i % 2), (i * 13) % 7, (i * 13) % 7 + 5)
+                for i in range(400)]
+        df = spark.createDataFrame(rows,
+                                   "id long, g string, num long, "
+                                   "den long")
+        from spark_df_profiling_spark.operators.sampling import (
+            bootstrap_ratio_ci)
+        out = {r.g: r for r in
+               bootstrap_ratio_ci(df, "num", "den", "id", n_boot=41,
+                                  group_col="g",
+                                  hash_fn="md5").collect()}
+        for gi in range(2):
+            vals = [(n, d, i) for i, g, n, d in rows
+                    if g == "g%d" % gi]
+            ms = []
+            for b in range(41):
+                sn = sd = 0
+                for n, d, i in vals:
+                    w = _w(_bucket(f"{i}#{b}"))
+                    sn += w * n
+                    sd += w * d
+                if sd > 0:
+                    ms.append(sn / sd)
+            ms.sort()
+            r = out["g%d" % gi]
+            assert r.n == len(vals)
+            assert r.ratio == pytest.approx(
+                sum(n for n, _, _ in vals)
+                / sum(d for _, d, _ in vals), abs=1e-12)
+            assert r.ci_lo == pytest.approx(ms[1], abs=1e-12)
+            assert r.ci_hi == pytest.approx(ms[39], abs=1e-12)
+            mb = sum(ms) / len(ms)
+            se = math.sqrt(sum((x - mb) ** 2 for x in ms)
+                           / (len(ms) - 1))
+            assert r.boot_se == pytest.approx(se, rel=1e-9)
+
+    def test_constant_denominator_equals_mean_ci(self, spark,
+                                                 boot_df):
+        # den == 1 per row: the ratio IS the mean; CIs must coincide
+        from spark_df_profiling_spark.operators.sampling import (
+            bootstrap_ci, bootstrap_ratio_ci)
+        ones = boot_df.withColumn("one", F.lit(1))
+        rc = bootstrap_ratio_ci(ones, "v", "one", "id", n_boot=21,
+                                hash_fn="md5").collect()[0]
+        mc = bootstrap_ci(boot_df, "v", "id", n_boot=21,
+                          hash_fn="md5").collect()[0]
+        assert rc.ratio == pytest.approx(mc.mean, abs=1e-12)
+        assert rc.ci_lo == pytest.approx(mc.ci_lo, abs=1e-12)
+        assert rc.ci_hi == pytest.approx(mc.ci_hi, abs=1e-12)
+
+    def test_zero_denominator_replicates_excluded(self, spark):
+        from spark_df_profiling_spark.operators.sampling import (
+            bootstrap_ratio_ci)
+        # den = 0 everywhere: no valid replicate, NULL everything
+        df = spark.createDataFrame([(i, 5, 0) for i in range(20)],
+                                   "id long, num long, den long")
+        r = bootstrap_ratio_ci(df, "num", "den", "id",
+                               n_boot=5).collect()[0]
+        assert r.ratio is None and r.ci_lo is None
+        assert r.n_boot == 0
