@@ -783,3 +783,153 @@ def rbo_overlap(results_a: DataFrame, results_b: DataFrame,
                     F.size("__cb").alias("len_b"),
                     F.element_at("__ov", k).alias("overlap_k"),
                     rbo.alias("rbo")))
+
+
+def ab_test_report(df: DataFrame, arm_col: str, metric_col: str,
+                   covariate_col: "str | None" = None) -> DataFrame:
+    """Two-arm experiment readout in ONE aggregate: per-arm
+    ``(n, mean, var)``, the absolute and relative effect, its
+    standard error and Welch z — plus, when ``covariate_col`` is
+    given, the CUPED-adjusted effect (Deng et al. 2013: subtract
+    ``θ·(x − x̄)`` with ``θ = cov(y,x)/var(x)`` pooled across arms —
+    a pre-experiment covariate soaks up baseline variance, shrinking
+    the CI at identical data size).  Exactly two non-NULL arms
+    required (raises otherwise — a silent pick would report the wrong
+    comparison); arm order is lexicographic: effect = mean(b) −
+    mean(a).  One row: ``(arm_a, arm_b, n_a, n_b, mean_a, mean_b,
+    effect, rel_effect, se, welch_z[, theta, effect_cuped, se_cuped,
+    welch_z_cuped])``.
+
+    Scale: ONE map-side-combined groupBy on the arm (2 rows out) —
+    sums, sum-squares, and co-moments; everything after folds the
+    2-row frame.  The co-moment is the centered ``Σxy − n·x̄·ȳ``
+    identity — adequate at experiment scale (the
+    :func:`regression_report` caveat).
+    """
+    for c in [arm_col, metric_col] + ([covariate_col]
+                                      if covariate_col else []):
+        if c not in df.columns:
+            raise ValueError(f"missing column: {c!r}")
+    y = F.col(metric_col).cast("double")
+    keep = F.col(arm_col).isNotNull() & y.isNotNull()
+    x = F.col(covariate_col).cast("double") if covariate_col else None
+    if x is not None:
+        keep = keep & x.isNotNull()
+    aggs = [F.count(F.lit(1)).cast("long").alias("n"),
+            F.avg(y).alias("mean"),
+            F.var_samp(y).alias("var")]
+    if x is not None:
+        aggs += [F.avg(x).alias("mx"),
+                 F.var_pop(x).alias("vx"),
+                 F.covar_pop(y, x).alias("cxy")]
+    arms = (df.where(keep)
+            .groupBy(F.col(arm_col).cast("string").alias("arm"))
+            .agg(*aggs)
+            .orderBy("arm").collect())
+    if len(arms) != 2:
+        raise ValueError(
+            f"ab_test_report needs exactly 2 arms, got "
+            f"{[r['arm'] for r in arms]}")
+    import math
+    a, b = arms
+    eff = b["mean"] - a["mean"]
+    se2 = (a["var"] or 0.0) / a["n"] + (b["var"] or 0.0) / b["n"]
+    se = math.sqrt(se2)
+    z = eff / se if se > 0 else None
+    rel = eff / a["mean"] if a["mean"] else None
+    row = {"arm_a": a["arm"], "arm_b": b["arm"],
+           "n_a": a["n"], "n_b": b["n"],
+           "mean_a": a["mean"], "mean_b": b["mean"],
+           "effect": eff, "rel_effect": rel, "se": se,
+           "welch_z": z}
+    if x is not None:
+        # pooled theta over both arms (the standard single-theta CUPED)
+        n_t = a["n"] + b["n"]
+        cxy = (a["cxy"] * a["n"] + b["cxy"] * b["n"]) / n_t
+        vx = (a["vx"] * a["n"] + b["vx"] * b["n"]) / n_t
+        theta = cxy / vx if vx and vx > 0 else 0.0
+        # adjusted means: mean_y - theta * (mean_x - grand mean_x);
+        # the grand-mean shift cancels in the DIFFERENCE
+        eff_c = eff - theta * (b["mx"] - a["mx"])
+        # adjusted variance per arm: var_y - 2θ·cov + θ²·var_x
+        def _vc(r):
+            return max((r["var"] or 0.0) - 2 * theta * r["cxy"]
+                       + theta * theta * r["vx"], 0.0)
+        se_c = math.sqrt(_vc(a) / a["n"] + _vc(b) / b["n"])
+        row.update({
+            "theta": theta, "effect_cuped": eff_c, "se_cuped": se_c,
+            "welch_z_cuped": eff_c / se_c if se_c > 0 else None})
+    from pyspark.sql import types as T
+    fields = [("arm_a", T.StringType()), ("arm_b", T.StringType()),
+              ("n_a", T.LongType()), ("n_b", T.LongType()),
+              ("mean_a", T.DoubleType()), ("mean_b", T.DoubleType()),
+              ("effect", T.DoubleType()),
+              ("rel_effect", T.DoubleType()),
+              ("se", T.DoubleType()), ("welch_z", T.DoubleType())]
+    if x is not None:
+        fields += [("theta", T.DoubleType()),
+                   ("effect_cuped", T.DoubleType()),
+                   ("se_cuped", T.DoubleType()),
+                   ("welch_z_cuped", T.DoubleType())]
+    schema = T.StructType([T.StructField(n2, t) for n2, t in fields])
+    return df.sparkSession.createDataFrame(
+        [tuple(row[n2] for n2, _ in fields)], schema)
+
+
+def covariate_balance(df: DataFrame, arm_col: str,
+                      cols: "list[str]") -> DataFrame:
+    """Standardized mean differences per covariate between two arms —
+    the randomization-health check run BEFORE reading an experiment
+    (|SMD| > 0.1 is the conventional imbalance flag; a significant
+    effect on an imbalanced covariate is confounding, not treatment):
+    ``SMD = (mean_b − mean_a) / sqrt((var_a + var_b)/2)``.  One row
+    per covariate: ``(column, n_a, n_b, mean_a, mean_b, smd,
+    flagged)``; NULL smd for constant covariates.  Exactly two arms
+    (same contract as :func:`ab_test_report`).
+
+    Scale: ONE stacked aggregate — all covariates ride a single scan
+    (#cols × 2 output cells), the :func:`~spark_df_profiling_spark.
+    operators.drift.psi_report` stack-explode recipe.
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    for c in [arm_col] + list(cols):
+        if c not in df.columns:
+            raise ValueError(f"missing column: {c!r}")
+    stacked = df.where(F.col(arm_col).isNotNull()).select(
+        F.col(arm_col).cast("string").alias("__arm"),
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("column"),
+                     F.col(c).cast("double").alias("v"))
+            for c in cols])).alias("kv")) \
+        .select("__arm", "kv.column", "kv.v") \
+        .where(F.col("v").isNotNull())
+    cells = (stacked.groupBy("column", "__arm")
+             .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                  F.avg("v").alias("m"),
+                  F.var_samp("v").alias("s2")))
+    arms = [r["__arm"] for r in
+            cells.select("__arm").distinct().orderBy("__arm")
+            .collect()]
+    if len(arms) != 2:
+        raise ValueError(
+            f"covariate_balance needs exactly 2 arms, got {arms}")
+    a, b = arms
+    wide = (cells.groupBy("column").agg(
+        F.max(F.when(F.col("__arm") == a, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("__arm") == b, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("__arm") == a, F.col("m")))
+        .alias("mean_a"),
+        F.max(F.when(F.col("__arm") == b, F.col("m")))
+        .alias("mean_b"),
+        F.max(F.when(F.col("__arm") == a, F.col("s2"))).alias("__va"),
+        F.max(F.when(F.col("__arm") == b, F.col("s2")))
+        .alias("__vb")))
+    pooled = F.sqrt((F.coalesce(F.col("__va"), F.lit(0.0))
+                     + F.coalesce(F.col("__vb"), F.lit(0.0))) / 2.0)
+    smd = F.when(pooled > 0,
+                 (F.col("mean_b") - F.col("mean_a")) / pooled)
+    return wide.select(
+        "column", "n_a", "n_b", "mean_a", "mean_b",
+        smd.alias("smd"),
+        F.when(smd.isNotNull(), F.abs(smd) > 0.1).alias("flagged"))

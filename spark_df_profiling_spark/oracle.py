@@ -3500,6 +3500,85 @@ FROM (
                                       list_slice(B, 1, dd)))
                  / dd)) AS rbo
   FROM j)
+UNION ALL
+-- ab_test_report replay (arms = vec_id %% 2, metric = dim 0,
+-- covariate = dim 1): Welch z + pooled-theta CUPED in the operator's
+-- exact formula order
+SELECT 'abt', 0, CAST(na * 1000000 + nb AS BIGINT),
+       {_psig('eff')} || '/' || {_psig('se')} || '/' || {_psig('z')}
+         || '/' || {_psig('theta')} || '/' || {_psig('effc')}
+         || '/' || {_psig('sec')},
+       1
+FROM (
+  WITH ab AS (
+    SELECT CAST(vec_id % 2 AS VARCHAR) AS arm,
+           embedding[1]::DOUBLE AS y, embedding[2]::DOUBLE AS x
+    FROM embeddings
+    WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+  st AS (SELECT arm, CAST(count(*) AS BIGINT) AS n, avg(y) AS m,
+                var_samp(y) AS v, avg(x) AS mx, var_pop(x) AS vx,
+                covar_pop(y, x) AS cxy
+         FROM ab GROUP BY arm),
+  tw AS (SELECT
+           max(CASE WHEN arm = '0' THEN n END) AS na,
+           max(CASE WHEN arm = '1' THEN n END) AS nb,
+           max(CASE WHEN arm = '0' THEN m END) AS ma,
+           max(CASE WHEN arm = '1' THEN m END) AS mb,
+           max(CASE WHEN arm = '0' THEN v END) AS va,
+           max(CASE WHEN arm = '1' THEN v END) AS vb,
+           max(CASE WHEN arm = '0' THEN mx END) AS mxa,
+           max(CASE WHEN arm = '1' THEN mx END) AS mxb,
+           max(CASE WHEN arm = '0' THEN vx END) AS vxa,
+           max(CASE WHEN arm = '1' THEN vx END) AS vxb,
+           max(CASE WHEN arm = '0' THEN cxy END) AS ca,
+           max(CASE WHEN arm = '1' THEN cxy END) AS cb
+         FROM st)
+  SELECT na, nb, mb - ma AS eff,
+         sqrt(va / na + vb / nb) AS se,
+         (mb - ma) / sqrt(va / na + vb / nb) AS z,
+         ((ca * na + cb * nb) / (na + nb))
+           / ((vxa * na + vxb * nb) / (na + nb)) AS theta,
+         (mb - ma) - ((ca * na + cb * nb) / (na + nb))
+             / ((vxa * na + vxb * nb) / (na + nb)) * (mxb - mxa)
+           AS effc,
+         sqrt(greatest(va - 2 * (((ca * na + cb * nb) / (na + nb))
+                  / ((vxa * na + vxb * nb) / (na + nb))) * ca
+                + pow(((ca * na + cb * nb) / (na + nb))
+                  / ((vxa * na + vxb * nb) / (na + nb)), 2) * vxa,
+                0) / na
+            + greatest(vb - 2 * (((ca * na + cb * nb) / (na + nb))
+                  / ((vxa * na + vxb * nb) / (na + nb))) * cb
+                + pow(((ca * na + cb * nb) / (na + nb))
+                  / ((vxa * na + vxb * nb) / (na + nb)), 2) * vxb,
+                0) / nb) AS sec
+  FROM tw)
+UNION ALL
+-- covariate_balance replay on the same arms (y and x as covariates):
+-- SMD with the pooled-sd denominator
+SELECT 'cbal', CAST(ci AS BIGINT), CAST(na * 1000000 + nb AS BIGINT),
+       {_psig('smd')} || '/'
+         || CASE WHEN abs(smd) > 0.1 THEN 'true' ELSE 'false' END,
+       1
+FROM (
+  WITH ab AS (
+    SELECT CAST(vec_id % 2 AS VARCHAR) AS arm,
+           embedding[1]::DOUBLE AS y, embedding[2]::DOUBLE AS x
+    FROM embeddings
+    WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+  lg AS (SELECT arm, 0 AS ci, y AS v FROM ab
+         UNION ALL SELECT arm, 1, x FROM ab),
+  st AS (SELECT ci, arm, CAST(count(*) AS BIGINT) AS n,
+                avg(v) AS m, var_samp(v) AS s2
+         FROM lg WHERE v IS NOT NULL GROUP BY ci, arm)
+  SELECT ci,
+         max(CASE WHEN arm = '0' THEN n END) AS na,
+         max(CASE WHEN arm = '1' THEN n END) AS nb,
+         (max(CASE WHEN arm = '1' THEN m END)
+          - max(CASE WHEN arm = '0' THEN m END))
+           / sqrt((coalesce(max(CASE WHEN arm = '0' THEN s2 END), 0)
+                   + coalesce(max(CASE WHEN arm = '1' THEN s2 END),
+                              0)) / 2) AS smd
+  FROM st GROUP BY ci)
 ORDER BY part, query_id, rank
 """)
 def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3770,6 +3849,38 @@ def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                    sig(F.col("rbo")).alias("sim_s"),
                    (F.col("len_a") * 100 + F.col("len_b"))
                    .cast("int").alias("rank")))
+    # 'abt'/'cbal' rows grade evaluation.ab_test_report (Welch +
+    # CUPED) and covariate_balance on arms = vec_id % 2
+    from spark_df_profiling_spark.operators.evaluation import (
+        ab_test_report, covariate_balance)
+    ab_df = (e.where(F.col("vec_id").isNotNull()
+                     & F.col("embedding").isNotNull())
+             .select((F.col("vec_id") % 2).cast("string")
+                     .alias("arm"),
+                     F.get("embedding", 0).cast("double").alias("y"),
+                     F.get("embedding", 1).cast("double")
+                     .alias("x")))
+    abr = ab_test_report(ab_df, "arm", "y", "x")
+    abt = abr.select(
+        F.lit("abt").alias("part"),
+        F.lit(0).cast("long").alias("query_id"),
+        (F.col("n_a") * 1000000 + F.col("n_b")).cast("long")
+        .alias("neighbor_id"),
+        F.concat_ws("/", sig(F.col("effect")), sig(F.col("se")),
+                    sig(F.col("welch_z")), sig(F.col("theta")),
+                    sig(F.col("effect_cuped")),
+                    sig(F.col("se_cuped"))).alias("sim_s"),
+        F.lit(1).alias("rank"))
+    cbal = (covariate_balance(ab_df, "arm", ["y", "x"])
+            .select(F.lit("cbal").alias("part"),
+                    F.when(F.col("column") == "y", 0).otherwise(1)
+                    .cast("long").alias("query_id"),
+                    (F.col("n_a") * 1000000 + F.col("n_b"))
+                    .cast("long").alias("neighbor_id"),
+                    F.concat_ws("/", sig(F.col("smd")),
+                                F.col("flagged").cast("string"))
+                    .alias("sim_s"),
+                    F.lit(1).alias("rank")))
     return (knn.unionByName(mmr).unionByName(kcl).unionByName(lag)
             .unionByName(lagrs)
             .unionByName(crep).unionByName(rauc).unionByName(calib)
@@ -3778,6 +3889,7 @@ def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(grauc).unionByName(gprc)
             .unionByName(rreg).unionByName(gains)
             .unionByName(conf).unionByName(rbo)
+            .unionByName(abt).unionByName(cbal)
             .orderBy("part", "query_id", "rank"))
 
 

@@ -1138,3 +1138,86 @@ class TestBootstrapRatioCI:
                                n_boot=5).collect()[0]
         assert r.ratio is None and r.ci_lo is None
         assert r.n_boot == 0
+
+
+class TestExperimentation:
+    @pytest.fixture(scope="class")
+    def exp_df(self, spark):
+        # y = x + 2 for treat, x for ctrl, + deterministic residue;
+        # x imbalanced across arms -> raw diff is confounded, CUPED
+        # recovers the true +2
+        rows = []
+        for i in range(1000):
+            arm = "treat" if i % 2 else "ctrl"
+            x = float((i * 7) % 50)
+            y = x + (2.0 if arm == "treat" else 0.0) \
+                + float((i * 13) % 5)
+            rows.append((i, arm, y, x))
+        return spark.createDataFrame(rows, "id long, arm string, "
+                                           "y double, x double")
+
+    def test_welch_and_cuped_match_python(self, spark, exp_df):
+        import statistics
+
+        from spark_df_profiling_spark.operators.evaluation import (
+            ab_test_report)
+        rows = [(r.id, r.arm, r.y, r.x) for r in exp_df.collect()]
+        r = ab_test_report(exp_df, "arm", "y", "x").collect()[0]
+        ctrl = [(y, x) for _, a, y, x in rows if a == "ctrl"]
+        trt = [(y, x) for _, a, y, x in rows if a == "treat"]
+        eff = statistics.fmean(y for y, _ in trt) \
+            - statistics.fmean(y for y, _ in ctrl)
+        va = statistics.variance([y for y, _ in ctrl])
+        vb = statistics.variance([y for y, _ in trt])
+        se = math.sqrt(va / len(ctrl) + vb / len(trt))
+        assert (r.arm_a, r.arm_b) == ("ctrl", "treat")
+        assert r.effect == pytest.approx(eff, abs=1e-9)
+        assert r.se == pytest.approx(se, abs=1e-9)
+        assert r.welch_z == pytest.approx(eff / se, abs=1e-9)
+        # CUPED: the confounded raw +3 collapses to the true +2 with
+        # a much smaller se
+        assert r.effect_cuped == pytest.approx(2.0, abs=0.15)
+        assert r.se_cuped < r.se * 0.6
+        assert r.welch_z_cuped > r.welch_z
+
+    def test_without_covariate(self, spark, exp_df):
+        from spark_df_profiling_spark.operators.evaluation import (
+            ab_test_report)
+        r = ab_test_report(exp_df, "arm", "y").collect()[0]
+        assert "theta" not in r.asDict()
+        assert r.effect == pytest.approx(3.0, abs=0.2)
+
+    def test_not_two_arms_raises(self, spark, exp_df):
+        from spark_df_profiling_spark.operators.evaluation import (
+            ab_test_report, covariate_balance)
+        three = exp_df.withColumn(
+            "arm", F.when(F.col("id") % 3 == 0, "c")
+            .otherwise(F.col("arm")))
+        with pytest.raises(ValueError):
+            ab_test_report(three, "arm", "y")
+        with pytest.raises(ValueError):
+            covariate_balance(three, "arm", ["x"])
+
+    def test_covariate_balance_matches_python(self, spark, exp_df):
+        import statistics
+
+        from spark_df_profiling_spark.operators.evaluation import (
+            covariate_balance)
+        rows = [(r.arm, r.y, r.x) for r in exp_df.collect()]
+        out = {r.column: r for r in
+               covariate_balance(exp_df, "arm",
+                                 ["x", "y"]).collect()}
+        for ci, c in enumerate(("x", "y")):
+            pa = [row[2 - ci] if c == "x" else row[1]
+                  for row in rows if row[0] == "ctrl"]
+            pb = [row[2 - ci] if c == "x" else row[1]
+                  for row in rows if row[0] == "treat"]
+            smd = (statistics.fmean(pb) - statistics.fmean(pa)) \
+                / math.sqrt((statistics.variance(pa)
+                             + statistics.variance(pb)) / 2)
+            assert out[c].smd == pytest.approx(smd, abs=1e-9)
+        # constant covariate -> NULL smd
+        const = exp_df.withColumn("k1", F.lit(5.0))
+        r = {x.column: x for x in
+             covariate_balance(const, "arm", ["k1"]).collect()}
+        assert r["k1"].smd is None and r["k1"].flagged is None
