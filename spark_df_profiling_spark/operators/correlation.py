@@ -702,3 +702,70 @@ def krippendorff_alpha(df: DataFrame, item_col: str, value_col: str,
         "n_items", "n_ratings", "n_categories", "min_raters",
         "max_raters", "sum_disagree_num", d_o.alias("d_o"),
         d_e.alias("d_e"), alpha.alias("alpha"))
+
+
+def inclusion_coefficients(child: DataFrame, parent: DataFrame,
+                           pairs: "list[tuple[str, str]]"
+                           ) -> DataFrame:
+    """Inclusion-dependency discovery between two tables (the SINDY /
+    Spider profiling primitive): for each ``(child_col, parent_col)``
+    candidate, the fraction of DISTINCT non-NULL child values present
+    in the parent column — 1.0 is a foreign-key-shaped containment,
+    the cross-TABLE companion of :func:`fd_strength` (within-table
+    dependencies) and :func:`key_candidates` (uniqueness).  One row
+    per pair: ``(child_col, parent_col, n_child_distinct,
+    n_contained, coefficient, is_inclusion)``.  Values compare as
+    strings (cross-type candidates like INT⊆VARCHAR score honestly
+    rather than erroring); NULLs are excluded on both sides (SQL FK
+    semantics ignore NULL children).
+
+    Scale: every pair rides TWO stacked distinct-collapses (one scan
+    per table regardless of pair count — the stack-explode recipe) +
+    one (pair, value) left join of the distinct frames; all shuffles
+    carry distinct-value-sized rows, never table-sized.
+    """
+    if not pairs:
+        raise ValueError("pairs must be non-empty")
+    for cc, _ in pairs:
+        if cc not in child.columns:
+            raise ValueError(f"missing child column: {cc!r}")
+    for _, pc in pairs:
+        if pc not in parent.columns:
+            raise ValueError(f"missing parent column: {pc!r}")
+
+    def stacked(df: DataFrame, cols: "list[str]",
+                tags: "list[int]") -> DataFrame:
+        return (df.select(F.explode(F.array(*[
+            F.struct(F.lit(t).alias("pair"),
+                     F.col(c).cast("string").alias("v"))
+            for c, t in zip(cols, tags)])).alias("kv"))
+            .select("kv.pair", "kv.v")
+            .where(F.col("v").isNotNull())
+            .distinct())
+
+    tags = list(range(len(pairs)))
+    cvals = stacked(child, [c for c, _ in pairs], tags)
+    pvals = (stacked(parent, [p for _, p in pairs], tags)
+             .withColumn("__hit", F.lit(1)))
+    joined = cvals.join(pvals, ["pair", "v"], "left")
+    agg = (joined.groupBy("pair")
+           .agg(F.count(F.lit(1)).cast("long")
+                .alias("n_child_distinct"),
+                F.coalesce(F.sum("__hit"), F.lit(0)).cast("long")
+                .alias("n_contained")))
+    from pyspark.sql import types as T
+    spark = child.sparkSession
+    names = spark.createDataFrame(
+        [(t, c, p) for t, (c, p) in enumerate(pairs)],
+        T.StructType([T.StructField("pair", T.IntegerType()),
+                      T.StructField("child_col", T.StringType()),
+                      T.StructField("parent_col", T.StringType())]))
+    coef = F.when(F.col("n_child_distinct") > 0,
+                  F.col("n_contained")
+                  / F.col("n_child_distinct").cast("double"))
+    return (agg.join(F.broadcast(names), "pair")
+            .select("child_col", "parent_col", "n_child_distinct",
+                    "n_contained", coef.alias("coefficient"),
+                    (F.col("n_contained")
+                     == F.col("n_child_distinct")).alias(
+                        "is_inclusion")))

@@ -1577,6 +1577,41 @@ FROM (
 """
 
 
+_INCL_SQL = f"""
+SELECT 'incl' AS col_x, pr AS col_y,
+       CAST(nd AS VARCHAR) || ':' || CAST(nc AS VARCHAR) || ':'
+         || {_psig('CAST(nc AS DOUBLE) / nd')} || ':'
+         || CASE WHEN nc = nd THEN 'true' ELSE 'false' END AS rho
+FROM (
+  SELECT 'lok~ook' AS pr,
+         CAST(count(*) AS BIGINT) AS nd,
+         CAST(sum(CASE WHEN p.v IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS nc
+  FROM (SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS v
+        FROM lineitem WHERE l_orderkey IS NOT NULL) c
+  LEFT JOIN (SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS v
+             FROM orders WHERE o_orderkey IS NOT NULL) p USING (v)
+  UNION ALL
+  SELECT 'lsk~ock',
+         CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN p.v IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT)
+  FROM (SELECT DISTINCT CAST(l_suppkey AS VARCHAR) AS v
+        FROM lineitem WHERE l_suppkey IS NOT NULL) c
+  LEFT JOIN (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS v
+             FROM orders WHERE o_custkey IS NOT NULL) p USING (v)
+  UNION ALL
+  SELECT 'lqt~ock',
+         CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN p.v IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT)
+  FROM (SELECT DISTINCT CAST(l_quantity AS VARCHAR) AS v
+        FROM lineitem WHERE l_quantity IS NOT NULL) c
+  LEFT JOIN (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS v
+             FROM orders WHERE o_custkey IS NOT NULL) p USING (v))
+"""
+
+
 @query("corr_matrix",
        f"{_corr_sql}\nUNION ALL\nSELECT * FROM (\n{_CATASSOC_SQL}\n)"
        f"\nUNION ALL\n"
@@ -1593,7 +1628,8 @@ FROM (
        f"{_theil_sql('l_returnflag', 'l_linestatus', 'rf->ls')}"
        f"\nUNION ALL\n"
        f"{_theil_sql('l_linestatus', 'l_returnflag', 'ls->rf')}"
-       f"\nUNION ALL\n{_KAPPA_SQL}")
+       f"\nUNION ALL\n{_KAPPA_SQL}"
+       f"\nUNION ALL\n{_INCL_SQL}")
 def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_df_profiling_spark.operators.correlation import (
         categorical_association,
@@ -1793,13 +1829,36 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("long").cast("string"), F.lit(":"),
                 sig(F.col("alpha"))).alias("rho"))
 
+    # 'incl' rows grade correlation.inclusion_coefficients — the
+    # true FK (l_orderkey in o_orderkey), a near-miss numeric pair,
+    # and a non-inclusion, all as exact distinct/contained integers
+    from spark_df_profiling_spark.operators.correlation import (
+        inclusion_coefficients)
+    ord_t = _t(spark, sf_dir, "orders")
+    tag_map = {"l_orderkey": "lok~ook", "l_suppkey": "lsk~ock",
+               "l_quantity": "lqt~ock"}
+    tag = F.create_map(*[x for kx, vx in tag_map.items()
+                         for x in (F.lit(kx), F.lit(vx))])
+    incl = (inclusion_coefficients(
+        li, ord_t, [("l_orderkey", "o_orderkey"),
+                    ("l_suppkey", "o_custkey"),
+                    ("l_quantity", "o_custkey")])
+        .select(F.lit("incl").alias("col_x"),
+                tag[F.col("child_col")].alias("col_y"),
+                F.concat_ws(
+                    ":", F.col("n_child_distinct").cast("string"),
+                    F.col("n_contained").cast("string"),
+                    sig(F.col("coefficient")),
+                    F.col("is_inclusion").cast("string"))
+                .alias("rho")))
     kr = (_krow("nominal").unionByName(_krow("interval"))
           .unionByName(_krow("ordinal", scale=4)))
     return (pearson.unionByName(cat).unionByName(fd)
             .unionByName(keys).unionByName(inc).unionByName(pg)
             .unionByName(tr).unionByName(dg)
             .unionByName(er).unionByName(th).unionByName(kap)
-            .unionByName(fl).unionByName(kr))
+            .unionByName(fl).unionByName(kr)
+            .unionByName(incl))
 
 
 # ---------------------------------------------------------------------------

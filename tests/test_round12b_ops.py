@@ -1221,3 +1221,57 @@ class TestExperimentation:
         r = {x.column: x for x in
              covariate_balance(const, "arm", ["k1"]).collect()}
         assert r["k1"].smd is None and r["k1"].flagged is None
+
+
+class TestInclusionCoefficients:
+    def test_containment_fractions(self, spark):
+        from spark_df_profiling_spark.operators.correlation import (
+            inclusion_coefficients)
+        child = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c"), (3, "c"), (None, "d")],
+            "k int, s string")
+        parent = spark.createDataFrame(
+            [(1,), (2,), (9,)], "pk int")
+        out = {(r.child_col, r.parent_col): r for r in
+               inclusion_coefficients(
+                   child, parent,
+                   [("k", "pk"), ("s", "pk")]).collect()}
+        r = out[("k", "pk")]
+        # distinct non-null child ks: {1,2,3}; contained: {1,2}
+        assert (r.n_child_distinct, r.n_contained) == (3, 2)
+        assert r.coefficient == pytest.approx(2 / 3)
+        assert not r.is_inclusion
+        # strings vs ints: zero overlap, honest 0 not an error
+        assert out[("s", "pk")].n_contained == 0
+
+    def test_true_fk_detected(self, spark, sf_dir):
+        from spark_df_profiling_spark.operators.correlation import (
+            inclusion_coefficients)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        out = {r.child_col: r for r in inclusion_coefficients(
+            li, od, [("l_orderkey", "o_orderkey"),
+                     ("l_quantity", "o_custkey")]).collect()}
+        assert out["l_orderkey"].is_inclusion
+        assert out["l_orderkey"].coefficient == 1.0
+        assert not out["l_quantity"].is_inclusion
+
+    def test_distinct_not_table_sized(self, spark):
+        # duplicates in the child collapse before the join
+        from spark_df_profiling_spark.operators.correlation import (
+            inclusion_coefficients)
+        child = spark.createDataFrame([(7,)] * 100, "k int")
+        parent = spark.createDataFrame([(7,)], "pk int")
+        r = inclusion_coefficients(child, parent,
+                                   [("k", "pk")]).collect()[0]
+        assert (r.n_child_distinct, r.n_contained) == (1, 1)
+        assert r.is_inclusion
+
+    def test_validation(self, spark):
+        from spark_df_profiling_spark.operators.correlation import (
+            inclusion_coefficients)
+        df = spark.createDataFrame([(1,)], "k int")
+        with pytest.raises(ValueError):
+            inclusion_coefficients(df, df, [])
+        with pytest.raises(ValueError):
+            inclusion_coefficients(df, df, [("nope", "k")])
