@@ -1462,3 +1462,108 @@ def label_agreement_stats(corpus: DataFrame, label_col: str = "label",
                               < F.lit(float(suspect_below)), 1)
                        .otherwise(0)).cast("long").alias("n_suspect"))
             .withColumn("p_suspect", F.col("n_suspect") / F.col("n")))
+
+
+def mine_negatives(corpus: DataFrame, queries: DataFrame,
+                   gold: DataFrame, k_hard: int = 5,
+                   k_random: int = 5, seed: int = 0,
+                   random_pool: int = 10_000,
+                   id_col: str = "vec_id",
+                   emb_col: str = "embedding",
+                   query_id_col: str = "query_id",
+                   gold_doc_col: str = "doc_id") -> DataFrame:
+    """Contrastive-training negative mining (the DPR / sentence-
+    transformers recipe): per query, ``k_hard`` HARD negatives (the
+    most similar corpus items that are NOT gold — the examples that
+    actually move a retriever) plus ``k_random`` deterministic random
+    negatives (the easy in-batch-style contrast).  One row per mined
+    negative: ``(query_id, doc_id, kind, rank, sim)`` — ``sim`` only
+    for hard negatives (random ones are never scored; that is the
+    point of them being cheap).
+
+    Hard path: :func:`knn_bruteforce` at ``k_hard + max_gold`` (the
+    per-query gold maximum, one tiny aggregate) → anti-join gold →
+    re-rank.  The standing caveat of hard mining applies and is the
+    CALLER's modeling decision, not a bug here: an unlabeled true
+    positive ranks as the hardest negative (filter near-duplicates
+    first, or drop the top band).
+
+    Random path: a deterministic md5-ranked pool of ``random_pool``
+    corpus ids (frozen with ``localCheckpoint`` — rule-7: it sits on
+    both sides of later joins) crossed with the BROADCAST query set
+    (bounded by the same queries-are-small contract as
+    :func:`knn_bruteforce`), gold and hard picks anti-joined away,
+    then a per-query md5 priority rank — reproducible across runs,
+    retries, and engines.
+
+    Scale: the hard path IS knn_bruteforce (broadcast queries,
+    salted two-phase top-k); the random path's widest frame is
+    |queries| × random_pool.
+    """
+    from spark_df_profiling_spark.operators.sampling import (
+        hash_bucket)
+
+    if k_hard < 0 or k_random < 0 or k_hard + k_random == 0:
+        raise ValueError(
+            f"need k_hard >= 0, k_random >= 0, and at least one "
+            f"positive: {k_hard}, {k_random}")
+    if random_pool < 1:
+        raise ValueError(f"random_pool must be >= 1: {random_pool}")
+    for c in (query_id_col, gold_doc_col):
+        if c not in gold.columns:
+            raise ValueError(f"missing gold column: {c!r}")
+    g = (gold.select(F.col(query_id_col).alias("__q"),
+                     F.col(gold_doc_col).alias("__d"))
+         .where(F.col("__q").isNotNull() & F.col("__d").isNotNull())
+         .distinct())
+    from pyspark.sql import Window
+    out_parts = []
+    if k_hard > 0:
+        max_gold = (g.groupBy("__q").agg(F.count(F.lit(1)).alias("c"))
+                    .agg(F.max("c")).collect()[0][0]) or 0
+        knn = knn_bruteforce(corpus, queries, k=k_hard + max_gold)
+        hard = (knn.join(
+            g, (knn["query_id"] == g["__q"])
+            & (knn["neighbor_id"] == g["__d"]), "left_anti"))
+        wq = Window.partitionBy("query_id").orderBy(
+            F.desc("sim"), F.asc("neighbor_id"))
+        hard = (hard.withColumn("__rk", F.row_number().over(wq))
+                .where(F.col("__rk") <= k_hard)
+                .select(F.col("query_id"),
+                        F.col("neighbor_id").alias("doc_id"),
+                        F.lit("hard").alias("kind"),
+                        F.col("__rk").alias("rank"),
+                        F.col("sim")))
+        out_parts.append(hard)
+    if k_random > 0:
+        ids = corpus.select(F.col(id_col).alias("doc_id")) \
+            .where(F.col(id_col).isNotNull()).distinct()
+        pool = (ids.orderBy(hash_bucket(F.col("doc_id"), seed).asc(),
+                            F.col("doc_id").asc())
+                .limit(random_pool).localCheckpoint())
+        qs = queries.select(F.col(id_col).alias("query_id")) \
+            .where(F.col(id_col).isNotNull()).distinct()
+        cand = qs.crossJoin(F.broadcast(pool))
+        cand = cand.join(
+            g, (cand["query_id"] == g["__q"])
+            & (cand["doc_id"] == g["__d"]), "left_anti")
+        if k_hard > 0:
+            hsel = out_parts[0].select("query_id", "doc_id")
+            cand = cand.join(hsel, ["query_id", "doc_id"],
+                             "left_anti")
+        prio = hash_bucket(
+            F.concat(F.col("query_id").cast("string"), F.lit("#"),
+                     F.col("doc_id").cast("string")), seed)
+        wr = Window.partitionBy("query_id").orderBy(
+            prio.asc(), F.col("doc_id").asc())
+        rand = (cand.withColumn("__rk", F.row_number().over(wr))
+                .where(F.col("__rk") <= k_random)
+                .select("query_id", "doc_id",
+                        F.lit("random").alias("kind"),
+                        F.col("__rk").alias("rank"),
+                        F.lit(None).cast("double").alias("sim")))
+        out_parts.append(rand)
+    out = out_parts[0]
+    for p in out_parts[1:]:
+        out = out.unionByName(p)
+    return out

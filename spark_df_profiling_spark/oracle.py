@@ -3638,6 +3638,55 @@ FROM (
                    + coalesce(max(CASE WHEN arm = '1' THEN s2 END),
                               0)) / 2) AS smd
   FROM st GROUP BY ci)
+UNION ALL
+-- mine_negatives replay (queries = vec_id < 5, gold = self, k_hard=3,
+-- k_random=4, pool=50): hard = top non-gold cosines; random = md5
+-- pool rank + per-query md5 priority, gold and hard picks excluded
+SELECT 'negm', CAST(q AS BIGINT), CAST(d AS BIGINT), sim_s,
+       CAST(rk AS INT)
+FROM (
+  WITH npts AS (
+    SELECT vec_id AS id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+    WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+  nqv AS (SELECT * FROM npts WHERE id < 5),
+  nsims AS (
+    SELECT nqv.id AS q, p.id AS d,
+           list_dot_product(nqv.v, p.v)
+             / (sqrt(list_dot_product(nqv.v, nqv.v))
+                * sqrt(list_dot_product(p.v, p.v))) AS sim
+    FROM nqv, npts p),
+  nhard AS (
+    SELECT q, d, sim, rk FROM (
+      SELECT q, d, sim,
+             row_number() OVER (PARTITION BY q
+                                ORDER BY sim DESC, d ASC) AS rk
+      FROM nsims WHERE d <> q)
+    WHERE rk <= 3),
+  npool AS (
+    SELECT id FROM (
+      SELECT id, row_number() OVER (ORDER BY
+          ('0x' || substr(md5(id::VARCHAR || ':0'), 1, 15))::BIGINT
+            % 1000000 ASC, id ASC) AS pr
+      FROM (SELECT DISTINCT id FROM npts))
+    WHERE pr <= 50),
+  nrand AS (
+    SELECT q, d, rk FROM (
+      SELECT c.q, c.d,
+             row_number() OVER (PARTITION BY c.q ORDER BY
+                 ('0x' || substr(md5(CAST(c.q AS VARCHAR) || '#'
+                     || CAST(c.d AS VARCHAR) || ':0'), 1, 15))
+                   ::BIGINT % 1000000 ASC, c.d ASC) AS rk
+      FROM (SELECT nq.id AS q, npool.id AS d
+            FROM (SELECT DISTINCT id FROM nqv) nq, npool
+            WHERE npool.id <> nq.id) c
+      LEFT JOIN nhard h ON h.q = c.q AND h.d = c.d
+      WHERE h.q IS NULL)
+    WHERE rk <= 4)
+  SELECT q, d, {_psig('sim')} AS sim_s, rk FROM nhard
+  UNION ALL
+  SELECT q, d, 'r', 100 + rk FROM nrand)
 ORDER BY part, query_id, rank
 """)
 def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3940,6 +3989,22 @@ def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 F.col("flagged").cast("string"))
                     .alias("sim_s"),
                     F.lit(1).alias("rank")))
+    # 'negm' rows grade similarity.mine_negatives — hard (top
+    # non-gold cosines) + deterministic random picks, fully replayed
+    from spark_df_profiling_spark.operators.similarity import (
+        mine_negatives)
+    ng = qs.select(F.col("vec_id").alias("query_id"),
+                   F.col("vec_id").alias("doc_id"))
+    negm_raw = mine_negatives(e, qs, ng, k_hard=3, k_random=4,
+                              seed=0, random_pool=50)
+    negm = negm_raw.select(
+        F.lit("negm").alias("part"),
+        F.col("query_id"),
+        F.col("doc_id").cast("long").alias("neighbor_id"),
+        F.when(F.col("kind") == "hard", sig(F.col("sim")))
+        .otherwise(F.lit("r")).alias("sim_s"),
+        F.when(F.col("kind") == "hard", F.col("rank"))
+        .otherwise(F.col("rank") + 100).cast("int").alias("rank"))
     return (knn.unionByName(mmr).unionByName(kcl).unionByName(lag)
             .unionByName(lagrs)
             .unionByName(crep).unionByName(rauc).unionByName(calib)
@@ -3949,6 +4014,7 @@ def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(rreg).unionByName(gains)
             .unionByName(conf).unionByName(rbo)
             .unionByName(abt).unionByName(cbal)
+            .unionByName(negm)
             .orderBy("part", "query_id", "rank"))
 
 

@@ -1275,3 +1275,80 @@ class TestInclusionCoefficients:
             inclusion_coefficients(df, df, [])
         with pytest.raises(ValueError):
             inclusion_coefficients(df, df, [("nope", "k")])
+
+
+class TestMineNegatives:
+    @pytest.fixture(scope="class")
+    def emb(self, spark, sf_dir):
+        return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def test_hard_are_top_nongold_and_random_deterministic(
+            self, spark, emb):
+        from spark_df_profiling_spark.operators.similarity import (
+            knn_bruteforce, mine_negatives)
+        qs = emb.where(F.col("vec_id") < 5)
+        gold = qs.select(F.col("vec_id").alias("query_id"),
+                        F.col("vec_id").alias("doc_id"))
+        out = mine_negatives(emb, qs, gold, k_hard=3, k_random=4,
+                             seed=0, random_pool=50).collect()
+        hard = [r for r in out if r.kind == "hard"]
+        rand = [r for r in out if r.kind == "random"]
+        assert len(hard) == 15 and len(rand) == 20
+        assert all(r.doc_id != r.query_id for r in out)  # no gold
+        assert len({(r.query_id, r.doc_id) for r in out}) == len(out)
+        knn = knn_bruteforce(emb, qs, k=4).collect()
+        for q in range(5):
+            expect = [r.neighbor_id for r in sorted(
+                (x for x in knn
+                 if x.query_id == q and x.neighbor_id != q),
+                key=lambda x: (-x.sim, x.neighbor_id))][:3]
+            got = [r.doc_id for r in sorted(
+                (x for x in hard if x.query_id == q),
+                key=lambda x: x.rank)]
+            assert got == expect
+        # random picks: exact md5 replay (pool rank, then per-query
+        # priority, hard picks excluded)
+        pool = sorted(
+            (_bucket(str(i)), i) for i in
+            [r.vec_id for r in
+             emb.select("vec_id").distinct().collect()])[:50]
+        pool_ids = [i for _, i in pool]
+        q0_hard = {r.doc_id for r in hard if r.query_id == 0}
+        cands = [i for i in pool_ids
+                 if i != 0 and i not in q0_hard]
+        cands.sort(key=lambda i: (_bucket(f"0#{i}"), i))
+        got_r = [r.doc_id for r in sorted(
+            (x for x in rand if x.query_id == 0),
+            key=lambda x: x.rank)]
+        assert got_r == cands[:4]
+        assert all(r.sim is None for r in rand)
+
+    def test_multi_gold_and_hard_only(self, spark, emb):
+        from spark_df_profiling_spark.operators.similarity import (
+            mine_negatives)
+        qs = emb.where(F.col("vec_id") < 3)
+        # two gold docs per query: self and self+1
+        gold = qs.selectExpr("vec_id as query_id",
+                             "vec_id as doc_id") \
+            .unionByName(qs.selectExpr("vec_id as query_id",
+                                       "vec_id + 1 as doc_id"))
+        out = mine_negatives(emb, qs, gold, k_hard=2, k_random=0,
+                             seed=0).collect()
+        assert len(out) == 6
+        banned = {(q, q) for q in range(3)} \
+            | {(q, q + 1) for q in range(3)}
+        assert all((r.query_id, r.doc_id) not in banned for r in out)
+
+    def test_validation(self, spark, emb):
+        from spark_df_profiling_spark.operators.similarity import (
+            mine_negatives)
+        qs = emb.where(F.col("vec_id") < 2)
+        gold = qs.selectExpr("vec_id as query_id",
+                             "vec_id as doc_id")
+        with pytest.raises(ValueError):
+            mine_negatives(emb, qs, gold, k_hard=0, k_random=0)
+        with pytest.raises(ValueError):
+            mine_negatives(emb, qs, gold, random_pool=0)
+        with pytest.raises(ValueError):
+            mine_negatives(emb, qs, gold.withColumnRenamed(
+                "doc_id", "x"))
