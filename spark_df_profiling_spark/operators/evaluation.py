@@ -933,3 +933,76 @@ def covariate_balance(df: DataFrame, arm_col: str,
         "column", "n_a", "n_b", "mean_a", "mean_b",
         smd.alias("smd"),
         F.when(smd.isNotNull(), F.abs(smd) > 0.1).alias("flagged"))
+
+
+def operating_points(df: DataFrame, label_col: str, score_col: str,
+                     beta: float = 1.0,
+                     min_precision: "float | None" = None,
+                     min_recall: "float | None" = None,
+                     group_col: "str | None" = None) -> DataFrame:
+    """Objective-driven threshold selection from the PR sweep — the
+    step after :func:`precision_recall_curve` that pipelines actually
+    deploy: per (group,) one row per objective, tagged:
+
+    * ``'max_fbeta'`` — the threshold maximizing F_β (β<1 favors
+      precision, β>1 recall);
+    * ``'recall_at_precision'`` (when ``min_precision`` given) — the
+      maximal-recall point with precision ≥ the floor ("catch as much
+      as possible while staying this clean");
+    * ``'precision_at_recall'`` (when ``min_recall`` given) — the
+      maximal-precision point with recall ≥ the floor.
+
+    Columns: ``(group?, objective, threshold, tp, fp, fn, precision,
+    recall, fbeta)``.  Ties break to the HIGHEST threshold (the
+    strictest filter achieving the optimum — deterministic).
+    Objectives with no feasible point (floor unreachable) emit no
+    row: absence is the honest answer, not a clamped fake.
+
+    Scale: rides :func:`precision_recall_curve` verbatim (distinct-
+    score frame, no global sort); each objective is one
+    ``max_by`` aggregate over that frame.
+    """
+    if beta <= 0:
+        raise ValueError(f"beta must be > 0: {beta}")
+    for nm, v in (("min_precision", min_precision),
+                  ("min_recall", min_recall)):
+        if v is not None and not 0.0 < v <= 1.0:
+            raise ValueError(f"{nm} must be in (0, 1]: {v}")
+    curve = precision_recall_curve(df, label_col, score_col,
+                                   group_col)
+    b2 = beta * beta
+    fbeta = F.when(
+        F.col("precision").isNotNull() & F.col("recall").isNotNull()
+        & (b2 * F.col("precision") + F.col("recall") > 0),
+        (1 + b2) * F.col("precision") * F.col("recall")
+        / (b2 * F.col("precision") + F.col("recall")))
+    curve = curve.withColumn("__fb", fbeta)
+    point = F.struct("threshold", "tp", "fp", "fn", "precision",
+                     "recall", F.col("__fb").alias("fbeta"))
+
+    def pick(cond, order, tag):
+        """max_by over the (filtered) curve; ties -> highest
+        threshold via the (order, threshold) struct comparison."""
+        src = curve.where(cond) if cond is not None else curve
+        agg = [F.max_by(point, F.struct(order, F.col("threshold")))
+               .alias("p"),
+               F.count(F.lit(1)).alias("__feasible")]
+        g = (src.groupBy(F.col(group_col)) if group_col
+             else src.groupBy())
+        out = g.agg(*agg).where(F.col("__feasible") > 0)
+        cols = ([group_col] if group_col else [])
+        return out.select(*cols, F.lit(tag).alias("objective"),
+                          "p.*")
+
+    parts = [pick(F.col("__fb").isNotNull(), F.col("__fb"),
+                  "max_fbeta")]
+    if min_precision is not None:
+        parts.append(pick(F.col("precision") >= min_precision,
+                          F.col("recall"), "recall_at_precision"))
+    if min_recall is not None:
+        parts.append(pick(F.col("recall") >= min_recall,
+                          F.col("precision"), "precision_at_recall"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

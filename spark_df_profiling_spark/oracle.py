@@ -3687,6 +3687,60 @@ FROM (
   SELECT q, d, {_psig('sim')} AS sim_s, rk FROM nhard
   UNION ALL
   SELECT q, d, 'r', 100 + rk FROM nrand)
+UNION ALL
+-- operating_points replay (grouped, beta=1, min_precision=0.5):
+-- the DESC tp/fp sweep (the gprc machinery), then argmax with the
+-- (metric DESC, threshold DESC) tie rule; obj 1 = max F1, obj 2 =
+-- max recall at precision >= 0.5
+SELECT 'oppt', CAST(g AS BIGINT), CAST(tp * 1000000 + fp AS BIGINT),
+       {_psig('s')} || '/' || {_psig('prec')} || '/' || {_psig('rec')},
+       CAST(obj AS INT)
+FROM (
+  WITH osw AS (
+    SELECT g, s,
+           CAST(gp - pb AS BIGINT) AS tp,
+           CAST((ga - cb) - (gp - pb) AS BIGINT) AS fp,
+           CAST(gp AS BIGINT) AS gp, CAST(ga - cb AS BIGINT) AS pred
+    FROM (
+      SELECT g, s, c, pos,
+             coalesce(sum(c) OVER (PARTITION BY g ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING), 0) AS cb,
+             coalesce(sum(pos) OVER (PARTITION BY g ORDER BY s
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING), 0) AS pb,
+             sum(c) OVER (PARTITION BY g) AS ga,
+             sum(pos) OVER (PARTITION BY g) AS gp
+      FROM (
+        SELECT g, s, count(*) AS c,
+               sum(CASE WHEN y THEN 1 ELSE 0 END) AS pos
+        FROM (SELECT label % 3 AS g, label < 5 AS y,
+                     embedding[1]::DOUBLE AS s
+              FROM embeddings
+              WHERE label IS NOT NULL AND embedding IS NOT NULL)
+        GROUP BY g, s))),
+  om AS (
+    SELECT g, s, tp, fp,
+           CAST(tp AS DOUBLE) / pred AS prec,
+           CAST(tp AS DOUBLE) / gp AS rec,
+           CASE WHEN CAST(tp AS DOUBLE) / pred
+                     + CAST(tp AS DOUBLE) / gp > 0
+                THEN 2 * (CAST(tp AS DOUBLE) / pred)
+                     * (CAST(tp AS DOUBLE) / gp)
+                     / (CAST(tp AS DOUBLE) / pred
+                        + CAST(tp AS DOUBLE) / gp) END AS fb
+    FROM osw)
+  SELECT g, s, tp, fp, prec, rec, 1 AS obj
+  FROM (SELECT *, row_number() OVER (PARTITION BY g
+            ORDER BY fb DESC, s DESC) AS rk
+        FROM om WHERE fb IS NOT NULL)
+  WHERE rk = 1
+  UNION ALL
+  SELECT g, s, tp, fp, prec, rec, 2
+  FROM (SELECT *, row_number() OVER (PARTITION BY g
+            ORDER BY rec DESC, s DESC) AS rk
+        FROM om WHERE prec >= 0.5)
+  WHERE rk = 1)
 ORDER BY part, query_id, rank
 """)
 def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4005,6 +4059,21 @@ def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("r")).alias("sim_s"),
         F.when(F.col("kind") == "hard", F.col("rank"))
         .otherwise(F.col("rank") + 100).cast("int").alias("rank"))
+    # 'oppt' rows grade evaluation.operating_points — per group the
+    # max-F1 point and the max-recall point at precision >= 0.5
+    from spark_df_profiling_spark.operators.evaluation import (
+        operating_points)
+    oppt = (operating_points(gra_df, "y", "s", beta=1.0,
+                             min_precision=0.5, group_col="g")
+            .select(F.lit("oppt").alias("part"),
+                    F.col("g").alias("query_id"),
+                    (F.col("tp") * 1000000 + F.col("fp"))
+                    .cast("long").alias("neighbor_id"),
+                    F.concat_ws("/", sig(F.col("threshold")),
+                                sig(F.col("precision")),
+                                sig(F.col("recall"))).alias("sim_s"),
+                    F.when(F.col("objective") == "max_fbeta", 1)
+                    .otherwise(2).cast("int").alias("rank")))
     return (knn.unionByName(mmr).unionByName(kcl).unionByName(lag)
             .unionByName(lagrs)
             .unionByName(crep).unionByName(rauc).unionByName(calib)
@@ -4014,7 +4083,7 @@ def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(rreg).unionByName(gains)
             .unionByName(conf).unionByName(rbo)
             .unionByName(abt).unionByName(cbal)
-            .unionByName(negm)
+            .unionByName(negm).unionByName(oppt)
             .orderBy("part", "query_id", "rank"))
 
 

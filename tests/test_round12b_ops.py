@@ -1352,3 +1352,94 @@ class TestMineNegatives:
         with pytest.raises(ValueError):
             mine_negatives(emb, qs, gold.withColumnRenamed(
                 "doc_id", "x"))
+
+
+class TestOperatingPoints:
+    @pytest.fixture(scope="class")
+    def scored2(self, spark):
+        rows = [(float((i * 7) % 100),
+                 1 if (i * 11) % 100 < ((i * 7) % 100) * 0.8 else 0)
+                for i in range(2000)]
+        return spark.createDataFrame(rows, "s double, y int")
+
+    @staticmethod
+    def _sweep(rows):
+        from collections import defaultdict
+        agg = defaultdict(lambda: [0, 0])
+        for s, y in rows:
+            agg[s][0] += 1
+            agg[s][1] += y
+        n_all = len(rows)
+        n_pos = sum(y for _, y in rows)
+        pts, bc, bp = [], 0, 0
+        for s in sorted(agg):
+            c, p = agg[s]
+            tp = n_pos - bp
+            pred = n_all - bc
+            pts.append((s, tp, pred - tp,
+                        tp / pred if pred else None,
+                        tp / n_pos if n_pos else None))
+            bc += c
+            bp += p
+        return pts
+
+    def test_matches_sweep_reference(self, spark, scored2):
+        from spark_df_profiling_spark.operators.evaluation import (
+            operating_points)
+        rows = [(r.s, r.y) for r in scored2.collect()]
+        pts = self._sweep(rows)
+
+        def f1(p, r):
+            if p is None or r is None or p + r == 0:
+                return None
+            return 2 * p * r / (p + r)
+
+        out = {r.objective: r for r in operating_points(
+            scored2, "y", "s", min_precision=0.9,
+            min_recall=0.8).collect()}
+        bf = max((f1(p, r), s) for s, _, _, p, r in pts
+                 if f1(p, r) is not None)
+        r1 = out["max_fbeta"]
+        assert (r1.fbeta, r1.threshold) == \
+            (pytest.approx(bf[0], abs=1e-12), bf[1])
+        br = max((r, s) for s, _, _, p, r in pts
+                 if p is not None and p >= 0.9)
+        r2 = out["recall_at_precision"]
+        assert (r2.recall, r2.threshold) == \
+            (pytest.approx(br[0], abs=1e-12), br[1])
+        assert r2.precision >= 0.9
+        bp2 = max((p, s) for s, _, _, p, r in pts
+                  if r is not None and r >= 0.8)
+        r3 = out["precision_at_recall"]
+        assert (r3.precision, r3.threshold) == \
+            (pytest.approx(bp2[0], abs=1e-12), bp2[1])
+
+    def test_beta_shifts_the_point(self, spark, scored2):
+        from spark_df_profiling_spark.operators.evaluation import (
+            operating_points)
+        p_heavy = operating_points(scored2, "y", "s",
+                                   beta=0.25).collect()[0]
+        r_heavy = operating_points(scored2, "y", "s",
+                                   beta=4.0).collect()[0]
+        # precision-weighted beta picks a stricter threshold
+        assert p_heavy.threshold >= r_heavy.threshold
+        assert p_heavy.precision >= r_heavy.precision
+
+    def test_infeasible_floor_emits_no_row(self, spark):
+        from spark_df_profiling_spark.operators.evaluation import (
+            operating_points)
+        # every score has a negative above it -> precision 1.0 only
+        # reachable if some prefix is pure; construct an impure top
+        df = spark.createDataFrame(
+            [(3.0, 0), (2.0, 1), (1.0, 0)], "s double, y int")
+        out = operating_points(df, "y", "s",
+                               min_precision=1.0).collect()
+        assert {r.objective for r in out} == {"max_fbeta"}
+
+    def test_validation(self, spark, scored2):
+        from spark_df_profiling_spark.operators.evaluation import (
+            operating_points)
+        with pytest.raises(ValueError):
+            operating_points(scored2, "y", "s", beta=0)
+        with pytest.raises(ValueError):
+            operating_points(scored2, "y", "s", min_precision=1.5)
