@@ -464,7 +464,12 @@ def cluster_quality(df: DataFrame,
                        F.array_min("__ds").alias("__d2"), "__v")
                    .select("cluster", "__d2",
                            F.sqrt("__d2").alias("__d1"),
-                           *[F.element_at("__v", i + 1)
+                           # F.get, not element_at: under ANSI mode
+                           # element_at RAISES an opaque
+                           # ArrayIndexOutOfBoundsException on short
+                           # vectors; get returns NULL and the guard
+                           # below names the real problem
+                           *[F.get("__v", i)
                              .alias(f"__x{i}") for i in range(d)])
                    .groupBy("cluster")
                    .agg(F.count(F.lit(1)).cast("long").alias("n"),
@@ -474,6 +479,18 @@ def cluster_quality(df: DataFrame,
                           for i in range(d)])
                    ).collect()
     import math
+    if not per_cluster:
+        raise ValueError("cluster_quality: no non-null vectors")
+    # guard BEFORE any driver arithmetic: short vectors NULL the
+    # distance folds / per-dim sums (zip_with pads, F.get returns
+    # NULL) and a bare sum() would crash with an opaque TypeError
+    if any(r["cluster"] is None or r["w"] is None
+           or any(r[f"__s{i}"] is None for i in range(d))
+           for r in per_cluster):
+        raise ValueError(
+            f"cluster_quality: vectors shorter than the centroid "
+            f"dimension ({d}) — per-dim sums/assignments came back "
+            f"NULL")
     n = sum(r["n"] for r in per_cluster)
     within = sum(r["w"] for r in per_cluster)
     if n == 0:

@@ -763,9 +763,17 @@ def inclusion_coefficients(child: DataFrame, parent: DataFrame,
     coef = F.when(F.col("n_child_distinct") > 0,
                   F.col("n_contained")
                   / F.col("n_child_distinct").cast("double"))
-    return (agg.join(F.broadcast(names), "pair")
-            .select("child_col", "parent_col", "n_child_distinct",
-                    "n_contained", coef.alias("coefficient"),
-                    (F.col("n_contained")
-                     == F.col("n_child_distinct")).alias(
-                        "is_inclusion")))
+    # names LEFT — a pair whose child column is all-NULL must still
+    # emit its row (n=0, NULL coefficient/verdict): 'audited and
+    # vacuous' is different from 'never audited' (review r12c)
+    return (names.join(agg, "pair", "left")
+            .select("child_col", "parent_col",
+                    F.coalesce(F.col("n_child_distinct"), F.lit(0))
+                    .alias("n_child_distinct"),
+                    F.coalesce(F.col("n_contained"), F.lit(0))
+                    .alias("n_contained"),
+                    coef.alias("coefficient"),
+                    F.when(F.col("n_child_distinct") > 0,
+                           F.col("n_contained")
+                           == F.col("n_child_distinct"))
+                    .alias("is_inclusion")))

@@ -608,18 +608,30 @@ def psi_reference(ref: DataFrame, col: str,
     """
     if bins < 2:
         raise ValueError(f"bins must be >= 2: {bins}")
-    exprs = _numeric_bucket_exprs(ref, [col], bins)
+    # ONE edges scan; the bucket expression is built from the SAME
+    # (mn, mx) pair that is returned — calling _numeric_bucket_exprs
+    # here would scan the reference again AND could disagree with the
+    # returned edges on a non-deterministic frame (review r12c)
     row = ref.agg(F.min(col).alias("mn"),
                   F.max(col).alias("mx")).collect()[0]
     if row["mn"] is None:
         raise ValueError(
             f"psi_reference: column {col!r} is all-NULL/empty — no "
             f"edges can be fit")
+    mn, mx = float(row["mn"]), float(row["mx"])
+    if mx <= mn:
+        bucket = F.when(F.col(col).isNotNull(), F.lit(0))
+    else:
+        width = (mx - mn) / bins
+        raw = F.floor((F.col(col) - F.lit(mn)) / F.lit(width))
+        bucket = F.when(
+            F.col(col).isNotNull(),
+            F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1)))
     counts = {int(r["b"]): r["n"] for r in
-              (ref.select(exprs[col].alias("b"))
+              (ref.select(bucket.alias("b"))
                .where(F.col("b").isNotNull())
                .groupBy("b").agg(F.count(F.lit(1)).alias("n"))
                .collect())}
     total = sum(counts.values()) or 1
     fracs = [counts.get(b, 0) / total for b in range(bins)]
-    return float(row["mn"]), float(row["mx"]), fracs
+    return mn, mx, fracs

@@ -720,8 +720,10 @@ def rbo_overlap(results_a: DataFrame, results_b: DataFrame,
     model versions", top-weighted the way users read results (depth d
     weighted ``p^(d−1)``): ``RBO@k = (1−p)·Σ_{d=1..k}
     p^(d−1)·|A_d ∩ B_d|/d`` over the depth-d prefixes.  This is the
-    TRUNCATED (no-extrapolation) form: 1.0 = identical top-k order,
-    0.0 = disjoint; a list shorter than depth d contributes only what
+    TRUNCATED (no-extrapolation) form: its MAXIMUM is ``1 − p^k``
+    (identical top-k order — ≈0.651 at the k=10/p=0.9 defaults, NOT
+    1.0: the residual mass belongs to the unobserved tail); 0.0 =
+    disjoint; a list shorter than depth d contributes only what
     it has (absent tail = non-overlapping — the conservative
     convention, stated not hidden).  One row per query present in
     EITHER side: ``(query, len_a, len_b, overlap_k, rbo)`` with
@@ -819,9 +821,13 @@ def ab_test_report(df: DataFrame, arm_col: str, metric_col: str,
             F.avg(y).alias("mean"),
             F.var_samp(y).alias("var")]
     if x is not None:
+        # SAMPLE moments throughout (review r12c: mixing var_samp(y)
+        # with population co-moments biased se_cuped low by (n-1)/n);
+        # theta is invariant to the samp/pop choice when cov and var
+        # use the SAME convention and weights
         aggs += [F.avg(x).alias("mx"),
-                 F.var_pop(x).alias("vx"),
-                 F.covar_pop(y, x).alias("cxy")]
+                 F.var_samp(x).alias("vx"),
+                 F.covar_samp(y, x).alias("cxy")]
     arms = (df.where(keep)
             .groupBy(F.col(arm_col).cast("string").alias("arm"))
             .agg(*aggs)
@@ -843,10 +849,14 @@ def ab_test_report(df: DataFrame, arm_col: str, metric_col: str,
            "effect": eff, "rel_effect": rel, "se": se,
            "welch_z": z}
     if x is not None:
-        # pooled theta over both arms (the standard single-theta CUPED)
-        n_t = a["n"] + b["n"]
-        cxy = (a["cxy"] * a["n"] + b["cxy"] * b["n"]) / n_t
-        vx = (a["vx"] * a["n"] + b["vx"] * b["n"]) / n_t
+        # pooled theta over both arms (the standard single-theta
+        # CUPED); (n-1) weights make the pooled SAMPLE co-moments
+        # equal the merged sums-of-products
+        n_t = a["n"] + b["n"] - 2
+        cxy = (a["cxy"] * (a["n"] - 1)
+               + b["cxy"] * (b["n"] - 1)) / n_t
+        vx = (a["vx"] * (a["n"] - 1)
+              + b["vx"] * (b["n"] - 1)) / n_t
         theta = cxy / vx if vx and vx > 0 else 0.0
         # adjusted means: mean_y - theta * (mean_x - grand mean_x);
         # the grand-mean shift cancels in the DIFFERENCE

@@ -926,12 +926,15 @@ POISSON1_CUTS = (367879, 735758, 919698, 981011, 996340,
 def poisson_weight(bucket: Column) -> Column:
     """Poisson(1) draw from a uniform bucket in [0, BUCKETS) — the
     chained-when inverse CDF over :data:`POISSON1_CUTS` (NULL bucket →
-    NULL weight, matching :func:`hash_bucket`'s NULL-key contract)."""
+    NULL weight, matching :func:`hash_bucket`'s NULL-key contract —
+    guarded explicitly: a NULL falling through every when() would
+    otherwise land in the otherwise(9) branch, review r12c)."""
     w = None
     for i, cut in enumerate(POISSON1_CUTS):
         w = (F.when(bucket < cut, F.lit(i)) if w is None
              else w.when(bucket < cut, F.lit(i)))
-    return w.otherwise(F.lit(len(POISSON1_CUTS))).cast("long")
+    ladder = w.otherwise(F.lit(len(POISSON1_CUTS)))
+    return F.when(bucket.isNotNull(), ladder).cast("long")
 
 
 def _bootstrap_buckets(id_col: Union[str, Column], b: int, seed: int,
@@ -1035,6 +1038,57 @@ def bootstrap_replicates(df: DataFrame, value_col: Union[str, Column],
                F.col("sum_wv") / F.col("n_eff")).alias("boot_mean"))
 
 
+def _bootstrap_percentile_readout(wide: DataFrame,
+                                  group_col: Optional[str],
+                                  n_boot: int, level: float,
+                                  ratio: bool) -> DataFrame:
+    """Shared replicate→percentile readout for :func:`bootstrap_ci`
+    (mean mode) and :func:`bootstrap_ratio_ci` — ONE copy of the
+    stack assembly, replicate exclusion, sorted-array quantile
+    interpolation, and se aggregate (review r12c: the two near-
+    verbatim blocks would drift under a future quantile fix)."""
+    parts = ", ".join(f"{b}, __swv_{b}, __nw_{b}"
+                      for b in range(n_boot))
+    stack = f"stack({n_boot}, {parts}) as (b, sum_wv, den)"
+    gsel = [group_col] if group_col else []
+    extra = ["__n", "__sv"] + (["__sd"] if ratio else [])
+    reps = (wide.selectExpr(*gsel, *extra, stack)
+            .where(F.col("den") > 0)
+            .withColumn("__m", F.col("sum_wv") / F.col("den")))
+    firsts = [F.first("__n").alias("n"),
+              F.first("__sv").alias("__sv")]
+    if ratio:
+        firsts.append(F.first("__sd").alias("__sd"))
+    agg = (reps.groupBy(group_col) if group_col else
+           reps.groupBy()).agg(
+        *firsts,
+        F.sort_array(F.collect_list("__m")).alias("__ms"),
+        F.stddev_samp("__m").alias("boot_se"))
+    m = F.size("__ms")
+    alpha = (1.0 - level) / 2.0
+
+    def _q(q: float) -> Column:
+        h = (m - 1).cast("double") * F.lit(q)
+        i0 = F.floor(h).cast("int")
+        frac = h - i0.cast("double")
+        lo = F.element_at("__ms", i0 + 1)
+        hi = F.element_at("__ms", F.least(i0 + 2, m))
+        return F.when(m >= 2, lo + (hi - lo) * frac)
+
+    if ratio:
+        stat = F.when(F.col("__sd") > 0,
+                      F.col("__sv") / F.col("__sd")).alias("ratio")
+    else:
+        stat = F.when(F.col("n") > 0,
+                      F.col("__sv") / F.col("n")).alias("mean")
+    return agg.select(
+        *gsel, "n", stat,
+        m.cast("int").alias("n_boot"),
+        F.when(m >= 2, F.col("boot_se")).alias("boot_se"),
+        _q(alpha).alias("ci_lo"),
+        _q(1.0 - alpha).alias("ci_hi"))
+
+
 def bootstrap_ci(df: DataFrame, value_col: Union[str, Column],
                  id_col: Union[str, Column], n_boot: int = 41,
                  level: float = 0.95, seed: int = 0,
@@ -1068,38 +1122,8 @@ def bootstrap_ci(df: DataFrame, value_col: Union[str, Column],
     # first() readout can't re-trigger it (playbook rule 7)
     wide = _bootstrap_wide_agg(df, value_col, id_col, n_boot, seed,
                                group_col, hash_fn).localCheckpoint()
-    parts = ", ".join(f"{b}, __swv_{b}, __nw_{b}"
-                      for b in range(n_boot))
-    stack = (f"stack({n_boot}, {parts}) as (b, sum_wv, n_eff)")
-    gsel = [group_col] if group_col else []
-    reps = (wide.selectExpr(*gsel, "__n", "__sv", stack)
-            .where(F.col("n_eff") > 0)
-            .withColumn("__m", F.col("sum_wv") / F.col("n_eff")))
-    agg = (reps.groupBy(group_col) if group_col else
-           reps.groupBy()).agg(
-        F.first("__n").alias("n"),
-        F.first("__sv").alias("__sv"),
-        F.sort_array(F.collect_list("__m")).alias("__ms"),
-        F.stddev_samp("__m").alias("boot_se"))
-    m = F.size("__ms")
-    alpha = (1.0 - level) / 2.0
-
-    def _q(q: float) -> Column:
-        h = (m - 1).cast("double") * F.lit(q)
-        i0 = F.floor(h).cast("int")
-        frac = h - i0.cast("double")
-        lo = F.element_at("__ms", i0 + 1)
-        hi = F.element_at("__ms", F.least(i0 + 2, m))
-        return F.when(m >= 2, lo + (hi - lo) * frac)
-
-    return agg.select(
-        *gsel, "n",
-        F.when(F.col("n") > 0, F.col("__sv") / F.col("n"))
-        .alias("mean"),
-        m.cast("int").alias("n_boot"),
-        F.when(m >= 2, F.col("boot_se")).alias("boot_se"),
-        _q(alpha).alias("ci_lo"),
-        _q(1.0 - alpha).alias("ci_hi"))
+    return _bootstrap_percentile_readout(wide, group_col, n_boot,
+                                         level, ratio=False)
 
 
 def bootstrap_ratio_ci(df: DataFrame, num_col: Union[str, Column],
@@ -1134,36 +1158,5 @@ def bootstrap_ratio_ci(df: DataFrame, num_col: Union[str, Column],
     wide = _bootstrap_wide_agg(df, num_col, id_col, n_boot, seed,
                                group_col, hash_fn,
                                denom_col=den_col).localCheckpoint()
-    parts = ", ".join(f"{b}, __swv_{b}, __nw_{b}"
-                      for b in range(n_boot))
-    stack = (f"stack({n_boot}, {parts}) as (b, sum_wn, sum_wd)")
-    gsel = [group_col] if group_col else []
-    reps = (wide.selectExpr(*gsel, "__n", "__sv", "__sd", stack)
-            .where(F.col("sum_wd") > 0)
-            .withColumn("__m", F.col("sum_wn") / F.col("sum_wd")))
-    agg = (reps.groupBy(group_col) if group_col else
-           reps.groupBy()).agg(
-        F.first("__n").alias("n"),
-        F.first("__sv").alias("__sv"),
-        F.first("__sd").alias("__sd"),
-        F.sort_array(F.collect_list("__m")).alias("__ms"),
-        F.stddev_samp("__m").alias("boot_se"))
-    m = F.size("__ms")
-    alpha = (1.0 - level) / 2.0
-
-    def _q(q: float) -> Column:
-        h = (m - 1).cast("double") * F.lit(q)
-        i0 = F.floor(h).cast("int")
-        frac = h - i0.cast("double")
-        lo = F.element_at("__ms", i0 + 1)
-        hi = F.element_at("__ms", F.least(i0 + 2, m))
-        return F.when(m >= 2, lo + (hi - lo) * frac)
-
-    return agg.select(
-        *gsel, "n",
-        F.when(F.col("__sd") > 0, F.col("__sv") / F.col("__sd"))
-        .alias("ratio"),
-        m.cast("int").alias("n_boot"),
-        F.when(m >= 2, F.col("boot_se")).alias("boot_se"),
-        _q(alpha).alias("ci_lo"),
-        _q(1.0 - alpha).alias("ci_hi"))
+    return _bootstrap_percentile_readout(wide, group_col, n_boot,
+                                         level, ratio=True)

@@ -1519,9 +1519,16 @@ def mine_negatives(corpus: DataFrame, queries: DataFrame,
     from pyspark.sql import Window
     out_parts = []
     if k_hard > 0:
-        max_gold = (g.groupBy("__q").agg(F.count(F.lit(1)).alias("c"))
+        # max gold over the MINED queries only (review r12c: a global
+        # max over a historical gold table inflates knn's k for no
+        # benefit — semi-join first)
+        mined_q = queries.select(
+            F.col(id_col).alias("__q")).distinct()
+        max_gold = (g.join(mined_q, "__q", "left_semi")
+                    .groupBy("__q").agg(F.count(F.lit(1)).alias("c"))
                     .agg(F.max("c")).collect()[0][0]) or 0
-        knn = knn_bruteforce(corpus, queries, k=k_hard + max_gold)
+        knn = knn_bruteforce(corpus, queries, id_col=id_col,
+                             vec_col=emb_col, k=k_hard + max_gold)
         hard = (knn.join(
             g, (knn["query_id"] == g["__q"])
             & (knn["neighbor_id"] == g["__d"]), "left_anti"))

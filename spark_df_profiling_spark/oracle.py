@@ -3575,8 +3575,8 @@ FROM (
     FROM embeddings
     WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
   st AS (SELECT arm, CAST(count(*) AS BIGINT) AS n, avg(y) AS m,
-                var_samp(y) AS v, avg(x) AS mx, var_pop(x) AS vx,
-                covar_pop(y, x) AS cxy
+                var_samp(y) AS v, avg(x) AS mx, var_samp(x) AS vx,
+                covar_samp(y, x) AS cxy
          FROM ab GROUP BY arm),
   tw AS (SELECT
            max(CASE WHEN arm = '0' THEN n END) AS na,
@@ -3595,20 +3595,32 @@ FROM (
   SELECT na, nb, mb - ma AS eff,
          sqrt(va / na + vb / nb) AS se,
          (mb - ma) / sqrt(va / na + vb / nb) AS z,
-         ((ca * na + cb * nb) / (na + nb))
-           / ((vxa * na + vxb * nb) / (na + nb)) AS theta,
-         (mb - ma) - ((ca * na + cb * nb) / (na + nb))
-             / ((vxa * na + vxb * nb) / (na + nb)) * (mxb - mxa)
-           AS effc,
-         sqrt(greatest(va - 2 * (((ca * na + cb * nb) / (na + nb))
-                  / ((vxa * na + vxb * nb) / (na + nb))) * ca
-                + pow(((ca * na + cb * nb) / (na + nb))
-                  / ((vxa * na + vxb * nb) / (na + nb)), 2) * vxa,
+         ((ca * (na - 1) + cb * (nb - 1)) / (na + nb - 2))
+           / ((vxa * (na - 1) + vxb * (nb - 1)) / (na + nb - 2))
+           AS theta,
+         (mb - ma)
+           - ((ca * (na - 1) + cb * (nb - 1)) / (na + nb - 2))
+             / ((vxa * (na - 1) + vxb * (nb - 1)) / (na + nb - 2))
+             * (mxb - mxa) AS effc,
+         sqrt(greatest(va
+                - 2 * (((ca * (na - 1) + cb * (nb - 1))
+                        / (na + nb - 2))
+                  / ((vxa * (na - 1) + vxb * (nb - 1))
+                     / (na + nb - 2))) * ca
+                + pow(((ca * (na - 1) + cb * (nb - 1))
+                       / (na + nb - 2))
+                  / ((vxa * (na - 1) + vxb * (nb - 1))
+                     / (na + nb - 2)), 2) * vxa,
                 0) / na
-            + greatest(vb - 2 * (((ca * na + cb * nb) / (na + nb))
-                  / ((vxa * na + vxb * nb) / (na + nb))) * cb
-                + pow(((ca * na + cb * nb) / (na + nb))
-                  / ((vxa * na + vxb * nb) / (na + nb)), 2) * vxb,
+            + greatest(vb
+                - 2 * (((ca * (na - 1) + cb * (nb - 1))
+                        / (na + nb - 2))
+                  / ((vxa * (na - 1) + vxb * (nb - 1))
+                     / (na + nb - 2))) * cb
+                + pow(((ca * (na - 1) + cb * (nb - 1))
+                       / (na + nb - 2))
+                  / ((vxa * (na - 1) + vxb * (nb - 1))
+                     / (na + nb - 2)), 2) * vxb,
                 0) / nb) AS sec
   FROM tw)
 UNION ALL

@@ -882,7 +882,8 @@ def stateful_distinct_sample(stream_df: DataFrame,
             "n_events": [n] * len(items)})
 
     return (stream_df
-            .where(F.col(id_col).isNotNull())
+            .where(F.col(id_col).isNotNull()
+                   & F.col(key_col).isNotNull())
             .select(key_expr, id_expr)
             .groupBy(key_col)
             .applyInPandasWithState(

@@ -1443,3 +1443,111 @@ class TestOperatingPoints:
             operating_points(scored2, "y", "s", beta=0)
         with pytest.raises(ValueError):
             operating_points(scored2, "y", "s", min_precision=1.5)
+
+
+class TestReviewR12cFixes:
+    def test_poisson_weight_null_bucket_is_null(self, spark):
+        from spark_df_profiling_spark.operators.sampling import (
+            hash_bucket, poisson_weight)
+        df = spark.createDataFrame([(1,), (None,)], "id long")
+        out = df.select(
+            poisson_weight(hash_bucket(F.col("id"))).alias("w")) \
+            .collect()
+        ws = [r.w for r in out]
+        assert None in ws                  # NULL id -> NULL weight
+        assert any(w is not None for w in ws)
+
+    def test_mine_negatives_custom_columns(self, spark, sf_dir):
+        from pyspark.sql import functions as FF
+
+        from spark_df_profiling_spark.operators.similarity import (
+            mine_negatives)
+        emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+               .select(FF.col("vec_id").alias("doc_key"),
+                       FF.col("embedding").alias("vec")))
+        qs = emb.where(FF.col("doc_key") < 3)
+        gold = qs.select(FF.col("doc_key").alias("query_id"),
+                         FF.col("doc_key").alias("doc_id"))
+        out = mine_negatives(emb, qs, gold, k_hard=2, k_random=2,
+                             id_col="doc_key", emb_col="vec")
+        rows = out.collect()
+        assert len(rows) == 12
+        assert all(r.doc_id != r.query_id for r in rows)
+
+    def test_inclusion_all_null_child_still_emits_row(self, spark):
+        from spark_df_profiling_spark.operators.correlation import (
+            inclusion_coefficients)
+        child = spark.createDataFrame(
+            [(None, 1), (None, 2)], "dead int, live int")
+        parent = spark.createDataFrame([(1,)], "pk int")
+        out = {r.child_col: r for r in inclusion_coefficients(
+            child, parent, [("dead", "pk"), ("live", "pk")])
+            .collect()}
+        assert len(out) == 2               # audited-and-vacuous row
+        r = out["dead"]
+        assert (r.n_child_distinct, r.n_contained) == (0, 0)
+        assert r.coefficient is None and r.is_inclusion is None
+
+    def test_cluster_quality_dim_mismatch_raises(self, spark):
+        from spark_df_profiling_spark.operators.clustering import (
+            cluster_quality)
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0])], "id long, embedding array<double>")
+        with pytest.raises(ValueError, match="dimension"):
+            cluster_quality(df, [[0.0, 0.0, 0.0, 0.0]])
+
+    def test_stateful_sample_null_keys_dropped(self, spark,
+                                               tmp_path):
+        from spark_df_profiling_spark.streaming import (
+            run_stream_to_memory, stateful_distinct_sample)
+        src = tmp_path / "nullkey"
+        spark.createDataFrame(
+            [(None, 1), (None, 2), (7, 3)],
+            "user_id long, event_id long").coalesce(1) \
+            .write.parquet(str(src))
+        stream = (spark.readStream
+                  .schema("user_id long, event_id long")
+                  .parquet(str(src)))
+        out = stateful_distinct_sample(stream, "user_id",
+                                       "event_id", k=5)
+        run_stream_to_memory(out, "t_nullkey", output_mode="update")
+        rows = spark.table("t_nullkey").collect()
+        assert {r.key for r in rows} == {7}
+
+    def test_cuped_sample_moments(self, spark):
+        # two tiny arms: se_cuped from SAMPLE moments must match a
+        # python replay using variance/covariance with n-1
+        import statistics
+
+        from spark_df_profiling_spark.operators.evaluation import (
+            ab_test_report)
+        rows = [(i, "a" if i < 6 else "b",
+                 float(i % 4) + (1.0 if i >= 6 else 0.0),
+                 float(i % 4)) for i in range(12)]
+        df = spark.createDataFrame(rows, "id long, arm string, "
+                                         "y double, x double")
+        r = ab_test_report(df, "arm", "y", "x").collect()[0]
+
+        def samp_cov(p):
+            my = statistics.fmean(v[0] for v in p)
+            mx = statistics.fmean(v[1] for v in p)
+            return sum((y - my) * (x - mx) for y, x in p) \
+                / (len(p) - 1)
+        a = [(y, x) for _, g, y, x in rows if g == "a"]
+        b = [(y, x) for _, g, y, x in rows if g == "b"]
+        nt = len(a) + len(b) - 2
+        cxy = (samp_cov(a) * (len(a) - 1)
+               + samp_cov(b) * (len(b) - 1)) / nt
+        vx = (statistics.variance([x for _, x in a]) * (len(a) - 1)
+              + statistics.variance([x for _, x in b])
+              * (len(b) - 1)) / nt
+        theta = cxy / vx
+
+        def adj(p):
+            vy = statistics.variance([y for y, _ in p])
+            vxx = statistics.variance([x for _, x in p])
+            return max(vy - 2 * theta * samp_cov(p)
+                       + theta * theta * vxx, 0.0)
+        se_c = math.sqrt(adj(a) / len(a) + adj(b) / len(b))
+        assert r.theta == pytest.approx(theta, abs=1e-9)
+        assert r.se_cuped == pytest.approx(se_c, abs=1e-9)
