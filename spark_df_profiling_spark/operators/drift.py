@@ -635,3 +635,38 @@ def psi_reference(ref: DataFrame, col: str,
     total = sum(counts.values()) or 1
     fracs = [counts.get(b, 0) / total for b in range(bins)]
     return mn, mx, fracs
+
+
+def categorical_psi_reference(ref: DataFrame, col: str,
+                              max_categories: int = 100
+                              ) -> "list[tuple[str, float]]":
+    """Fit the categorical PSI reference as driver literals — the
+    companion of :func:`psi_reference` for string columns: the top
+    ``max_categories`` values by count (count desc, value asc — the
+    deterministic cap every streaming consumer needs frozen) each
+    with its reference share, plus a final ``('__other__', share)``
+    bucket absorbing the tail AND any value never seen in the
+    reference (an unseen category IS drift and must score, exactly
+    like :func:`psi_numeric`'s out-of-range clamp).  NULLs excluded.
+
+    One value-count aggregate over the reference; O(max_categories)
+    driver scalars.
+    """
+    if max_categories < 1:
+        raise ValueError(
+            f"max_categories must be >= 1: {max_categories}")
+    rows = (ref.select(F.col(col).cast("string").alias("v"))
+            .where(F.col("v").isNotNull())
+            .groupBy("v").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("v"))
+            .collect())
+    if not rows:
+        raise ValueError(
+            f"categorical_psi_reference: column {col!r} is "
+            f"all-NULL/empty")
+    total = sum(r["n"] for r in rows)
+    head = rows[:max_categories]
+    other = sum(r["n"] for r in rows[max_categories:])
+    out = [(r["v"], r["n"] / total) for r in head]
+    out.append(("__other__", other / total))
+    return out

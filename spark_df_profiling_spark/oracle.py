@@ -4996,6 +4996,7 @@ def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("streaming_psi_events", f"""
+SELECT 'num' AS metric, * FROM (
 WITH vals AS (
   SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 AS w,
          CAST("value" AS DOUBLE) AS v
@@ -5036,7 +5037,56 @@ SELECT w AS window_epoch, any_value(n) AS n,
                  + CASE WHEN q_raw > 0 THEN 0.5 * q_raw
                       * ln(q_raw / ((p_raw + q_raw) / 2))
                       ELSE 0 END)''')} AS jsd_s
-FROM terms GROUP BY w ORDER BY w
+FROM terms GROUP BY w)
+UNION ALL
+-- categorical twin (streaming_psi_categorical, event_type capped to
+-- the top 3 + '__other__'): reference shares over ALL non-NULL
+-- values, window counts over ts-bearing rows, same EPS-floored PSI
+SELECT 'cat', w AS window_epoch, any_value(n) AS n,
+       {_psig('''sum((greatest(p_raw, 1e-6) - greatest(q_raw, 1e-6))
+                 * ln(greatest(p_raw, 1e-6)
+                      / greatest(q_raw, 1e-6)))''')} AS psi_s,
+       {_psig('''sum(CASE WHEN p_raw > 0 THEN 0.5 * p_raw
+                      * ln(p_raw / ((p_raw + q_raw) / 2))
+                      ELSE 0 END
+                 + CASE WHEN q_raw > 0 THEN 0.5 * q_raw
+                      * ln(q_raw / ((p_raw + q_raw) / 2))
+                      ELSE 0 END)''')} AS jsd_s
+FROM (
+  WITH chead AS (
+    SELECT v, c, row_number() OVER (ORDER BY c DESC, v ASC) AS rk
+    FROM (SELECT event_type AS v, count(*) AS c FROM events
+          WHERE event_type IS NOT NULL GROUP BY event_type)),
+  cref AS (
+    SELECT CAST(rk - 1 AS INT) AS b,
+           CAST(c AS DOUBLE)
+             / (SELECT sum(c) FROM chead) AS p_raw
+    FROM chead WHERE rk <= 3
+    UNION ALL
+    SELECT 3,
+           CAST(coalesce((SELECT sum(c) FROM chead WHERE rk > 3), 0)
+                AS DOUBLE) / (SELECT sum(c) FROM chead)),
+  cwin AS (
+    SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400 AS w,
+           CAST(CASE WHEN h.rk IS NOT NULL AND h.rk <= 3
+                THEN h.rk - 1 ELSE 3 END AS INT) AS b
+    FROM events e LEFT JOIN chead h ON e.event_type = h.v
+    WHERE e.event_type IS NOT NULL AND e.ts IS NOT NULL),
+  ccells AS (
+    SELECT g.w, r.b, CAST(coalesce(cnt.c, 0) AS BIGINT) AS c
+    FROM (SELECT DISTINCT w FROM cwin) g
+    CROSS JOIN range(0, 4) r(b)
+    LEFT JOIN (SELECT w, b, count(*) AS c FROM cwin GROUP BY w, b)
+      cnt ON cnt.w = g.w AND cnt.b = r.b),
+  cwtot AS (SELECT w, CAST(sum(c) AS BIGINT) AS n FROM ccells
+            GROUP BY w)
+  SELECT ccells.w, cwtot.n, cref.p_raw,
+         CAST(ccells.c AS DOUBLE) / cwtot.n AS q_raw
+  FROM ccells
+  JOIN cref ON cref.b = ccells.b
+  JOIN cwtot ON cwtot.w = ccells.w)
+GROUP BY w
+ORDER BY metric, window_epoch
 """)
 def streaming_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE streaming drift monitor (streaming.streaming_psi via a
@@ -5048,6 +5098,10 @@ def streaming_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_df_profiling_spark.sources import with_event_time
     from spark_df_profiling_spark.streaming import (
         events_stream, run_stream_to_memory, streaming_psi)
+    from spark_df_profiling_spark.operators.drift import (
+        categorical_psi_reference)
+    from spark_df_profiling_spark.streaming import (
+        streaming_psi_categorical)
     ev = with_event_time(_t(spark, sf_dir, "events"))
     ref = psi_reference(ev, "value", bins=10)
     out = streaming_psi(events_stream(spark, sf_dir), "ts_ts",
@@ -5056,11 +5110,28 @@ def streaming_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_stream_to_memory(out, "spsi_oracle_out",
                          output_mode="complete")
     res = spark.table("spsi_oracle_out")
-    return (res.select(
+    num = (res.select(
+        F.lit("num").alias("metric"),
         epoch_seconds(res, "window_start").alias("window_epoch"),
         F.col("n"), sig(F.col("psi")).alias("psi_s"),
-        sig(F.col("jsd")).alias("jsd_s"))
-        .orderBy("window_epoch"))
+        sig(F.col("jsd")).alias("jsd_s")))
+    # categorical twin: event_type capped at 3 + '__other__' (the cap
+    # deliberately small so the OTHER bucket carries real mass)
+    cref = categorical_psi_reference(ev, "event_type",
+                                     max_categories=3)
+    cout = streaming_psi_categorical(
+        events_stream(spark, sf_dir), "ts_ts", "event_type", cref,
+        window="1 day", watermark="1 hour")
+    run_stream_to_memory(cout, "scpsi_oracle_out",
+                         output_mode="complete")
+    cres = spark.table("scpsi_oracle_out")
+    cat = (cres.select(
+        F.lit("cat").alias("metric"),
+        epoch_seconds(cres, "window_start").alias("window_epoch"),
+        F.col("n"), sig(F.col("psi")).alias("psi_s"),
+        sig(F.col("jsd")).alias("jsd_s")))
+    return (num.unionByName(cat)
+            .orderBy("metric", "window_epoch"))
 
 
 @query("streaming_profile_events", """

@@ -956,3 +956,70 @@ def streaming_psi(stream_df: DataFrame, ts_col: str, value_col: str,
         F.col("window.start").alias("window_start"),
         F.col("window.end").alias("window_end"),
         "n", psi.alias("psi"), jsd.alias("jsd"))
+
+
+def streaming_psi_categorical(stream_df: DataFrame, ts_col: str,
+                              col: str,
+                              reference: "list[tuple[str, float]]",
+                              window: str = "1 hour",
+                              watermark: str = "2 hours"
+                              ) -> DataFrame:
+    """Categorical twin of :func:`streaming_psi` — per-window
+    category-mix drift against a frozen reference
+    (:func:`~spark_df_profiling_spark.operators.drift.
+    categorical_psi_reference`): emits ``(window_start, window_end,
+    n, psi, jsd)`` as windows close, with every value outside the
+    frozen head mapping to the ``'__other__'`` bucket (an unseen
+    category scores as drift, never vanishes).
+
+    Same single-streaming-aggregation design: the category → bucket
+    index map is one literal CASE chain, per-bucket counts are
+    conditional-sum COLUMNS of one windowed agg, and PSI/JSD fold
+    them with the reference shares as literals in the
+    post-projection.  State is O(windows-in-flight × categories);
+    NULL values excluded; requires the reference's final entry to be
+    the ``'__other__'`` bucket (raises otherwise — a truncated
+    reference would silently mis-bucket).
+    """
+    from spark_df_profiling_spark.operators.drift import EPS
+
+    if (not reference or reference[-1][0] != "__other__"
+            or len(reference) < 2):
+        raise ValueError(
+            "reference must be categorical_psi_reference output: "
+            "at least one category plus a final '__other__' bucket")
+    cats = [v for v, _ in reference[:-1]]
+    fracs = [f for _, f in reference]
+    bins = len(fracs)
+    v = F.col(col).cast("string")
+    idx = F.lit(bins - 1)
+    for i in range(len(cats) - 1, -1, -1):
+        idx = F.when(v == cats[i], F.lit(i)).otherwise(idx)
+    base = (stream_df.where(v.isNotNull())
+            .select(F.col(ts_col), idx.cast("int").alias("__b"))
+            .withWatermark(ts_col, watermark))
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for b in range(bins):
+        aggs.append(F.sum(F.when(F.col("__b") == b, 1).otherwise(0))
+                    .cast("long").alias(f"__c{b}"))
+    agg = base.groupBy(F.window(ts_col, window)).agg(*aggs)
+    nd = F.col("n").cast("double")
+    psi = F.lit(0.0)
+    jsd = F.lit(0.0)
+    for b in range(bins):
+        q_raw = F.col(f"__c{b}") / nd
+        p_raw = F.lit(fracs[b])
+        p = F.greatest(p_raw, F.lit(EPS))
+        q = F.greatest(q_raw, F.lit(EPS))
+        psi = psi + (p - q) * F.log(p / q)
+        m = (p_raw + q_raw) / 2
+        jsd = (jsd
+               + F.when(p_raw > 0,
+                        0.5 * p_raw * F.log(p_raw / m))
+               .otherwise(F.lit(0.0))
+               + F.when(q_raw > 0, 0.5 * q_raw * F.log(q_raw / m))
+               .otherwise(F.lit(0.0)))
+    return agg.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "n", psi.alias("psi"), jsd.alias("jsd"))

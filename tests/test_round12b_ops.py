@@ -1551,3 +1551,90 @@ class TestReviewR12cFixes:
         se_c = math.sqrt(adj(a) / len(a) + adj(b) / len(b))
         assert r.theta == pytest.approx(theta, abs=1e-9)
         assert r.se_cuped == pytest.approx(se_c, abs=1e-9)
+
+
+class TestStreamingPSICategorical:
+    def test_matches_python_replay_with_other_bucket(self, spark,
+                                                     sf_dir):
+        import collections
+
+        from spark_df_profiling_spark.operators.drift import (
+            EPS, categorical_psi_reference)
+        from spark_df_profiling_spark.sources import with_event_time
+        from spark_df_profiling_spark.streaming import (
+            events_stream, run_stream_to_memory,
+            streaming_psi_categorical)
+        ev = with_event_time(
+            spark.read.parquet(f"{sf_dir}/events.parquet"))
+        ref = categorical_psi_reference(ev, "event_type",
+                                        max_categories=3)
+        assert ref[-1][0] == "__other__" and ref[-1][1] > 0
+        assert sum(f for _, f in ref) == pytest.approx(1.0)
+        out = streaming_psi_categorical(
+            events_stream(spark, sf_dir), "ts_ts", "event_type",
+            ref, window="1 day", watermark="1 hour")
+        run_stream_to_memory(out, "t_scpsi", output_mode="complete")
+        got = {int(r.window_start.timestamp()): r
+               for r in spark.table("t_scpsi").collect()}
+        assert len(got) > 1
+        cats = [v for v, _ in ref[:-1]]
+        fracs = [f for _, f in ref]
+        rows = ev.select("ts_ts", "event_type") \
+                 .where("event_type is not null").collect()
+        wins = collections.defaultdict(lambda: [0] * len(fracs))
+        for r in rows:
+            ws = int(r.ts_ts.timestamp() // 86400) * 86400
+            b = (cats.index(r.event_type)
+                 if r.event_type in cats else len(fracs) - 1)
+            wins[ws][b] += 1
+        for ws, cnts in wins.items():
+            n = sum(cnts)
+            psi = sum((max(fracs[b], EPS) - max(cnts[b] / n, EPS))
+                      * math.log(max(fracs[b], EPS)
+                                 / max(cnts[b] / n, EPS))
+                      for b in range(len(fracs)))
+            assert got[ws].n == n
+            assert got[ws].psi == pytest.approx(psi, abs=1e-12)
+
+    def test_unseen_category_scores_as_drift(self, spark, tmp_path):
+        import datetime
+
+        from spark_df_profiling_spark.operators.drift import (
+            categorical_psi_reference)
+        from spark_df_profiling_spark.streaming import (
+            run_stream_to_memory, streaming_psi_categorical)
+        base = datetime.datetime(2026, 2, 1)
+        ref_df = spark.createDataFrame(
+            [(base, ["a", "b"][i % 2]) for i in range(100)],
+            "ts timestamp, v string")
+        ref = categorical_psi_reference(ref_df, "v",
+                                        max_categories=5)
+        day2 = base + datetime.timedelta(days=1)
+        data = ([(base, ["a", "b"][i % 2]) for i in range(100)]
+                + [(day2, "NEVER_SEEN") for _ in range(100)])
+        src = tmp_path / "scpsi_src"
+        spark.createDataFrame(data, "ts timestamp, v string") \
+            .coalesce(1).write.parquet(str(src))
+        stream = (spark.readStream.schema("ts timestamp, v string")
+                  .parquet(str(src)))
+        out = streaming_psi_categorical(stream, "ts", "v", ref,
+                                        window="1 day",
+                                        watermark="1 hour")
+        run_stream_to_memory(out, "t_scpsi_drift",
+                             output_mode="complete")
+        rows = sorted(spark.table("t_scpsi_drift").collect(),
+                      key=lambda r: r.window_start)
+        calm, drifted = rows
+        assert calm.psi < 0.01
+        assert drifted.psi > 2.0   # all mass fell into __other__
+
+    def test_reference_contract(self, spark):
+        from spark_df_profiling_spark.operators.drift import (
+            categorical_psi_reference)
+        from spark_df_profiling_spark.streaming import (
+            streaming_psi_categorical)
+        df = spark.createDataFrame([(None,)], "v string")
+        with pytest.raises(ValueError):
+            categorical_psi_reference(df, "v")
+        with pytest.raises(ValueError):
+            streaming_psi_categorical(df, "ts", "v", [("a", 1.0)])
