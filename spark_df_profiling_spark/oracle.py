@@ -10145,3 +10145,115 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(pmi).unionByName(ov)
             .unionByName(bpair).unionByName(bmerge)
             .orderBy("part", "k"))
+
+
+# ---------------------------------------------------------------------------
+# Slot consolidation (round 13): the driver grades only the FIRST 50
+# ``queries()`` entries — CORRECTNESS_r12 contained exactly the first 50
+# of 53 declared slots, leaving drift_psi_lineitem / mixture_sample_counts
+# / vocab_top_tokens ungraded.  Rather than rotate whole operator families
+# out of the hard signal, the three youngest standalone slots are folded
+# into schema-compatible hosts below: every graded row survives (the
+# compare is row-order-insensitive), only the slot layout changes.
+# Tag namespacing ('bat:' / 'mix:' / 'vocab:' prefixes) keeps the folded
+# rows distinguishable and keeps tests/test_oracle_slot_hygiene.py able
+# to assert every tag is still anchored in the host SQL.
+# ---------------------------------------------------------------------------
+
+
+def _fold_slot(host: str, retired: str, spark_adapter, sql_adapter) -> None:
+    """Merge a retired standalone slot's rows into ``host``.
+
+    ``spark_adapter`` normalizes the retired slot's DataFrame to the
+    host's exact schema (names + types); ``sql_adapter`` wraps the
+    retired slot's DuckDB SQL identically.  Both sides append via
+    UNION ALL, so a drifting adapter fails the hash compare loudly.
+    """
+    host_q = SPARK_QUERIES[host]
+    retired_q = SPARK_QUERIES.pop(retired)
+    retired_sql = ORACLE_SQL.pop(retired)
+
+    def combined(spark: SparkSession, sf_dir: str,
+                 _h=host_q, _r=retired_q) -> DataFrame:
+        return _h(spark, sf_dir).unionByName(
+            spark_adapter(_r(spark, sf_dir)))
+
+    combined.__name__ = host
+    combined.__doc__ = ((host_q.__doc__ or "")
+                        + "\n\n    [folded slot: " + retired + "] "
+                        + (retired_q.__doc__ or ""))
+    SPARK_QUERIES[host] = combined
+    ORACLE_SQL[host] = (
+        "SELECT * FROM (\n" + ORACLE_SQL[host] + "\n)\nUNION ALL\n"
+        + sql_adapter(retired_sql))
+
+
+# drift_psi_lineitem (part, k, psi_s, band — all strings) rides
+# streaming_psi_events (metric, window_epoch, n, psi_s, jsd_s): the
+# batch PSI/KS/JSD/rank-drift report is the batch twin of the streaming
+# monitor, so the drift family shares one slot.  part+k pack into the
+# 'bat:'-prefixed metric tag; window_epoch/n are NULL for batch rows
+# (symmetric int->float pandas degradation on both engines).
+_fold_slot(
+    "streaming_psi_events", "drift_psi_lineitem",
+    lambda df: df.select(
+        F.concat(F.lit("bat:"), F.col("part"), F.lit(":"),
+                 F.col("k")).alias("metric"),
+        F.lit(None).cast("long").alias("window_epoch"),
+        F.lit(None).cast("long").alias("n"),
+        F.col("psi_s"),
+        F.col("band").alias("jsd_s")),
+    lambda sql: f"""
+SELECT 'bat:' || part || ':' || k AS metric,
+       CAST(NULL AS BIGINT) AS window_epoch,
+       CAST(NULL AS BIGINT) AS n,
+       psi_s, band AS jsd_s
+FROM (
+{sql}
+)""")
+
+
+# mixture_sample_counts (part, k, n_out, s) rides hash_sampling_suite
+# (part, k, n): both grade deterministic hash-bucket sampling, so the
+# mixture/temperature/water-filling rows live under 'mix:'-prefixed
+# part tags with the optional sig-string packed into k (the dsir/
+# wsample key-packing precedent in the host).
+_fold_slot(
+    "hash_sampling_suite", "mixture_sample_counts",
+    lambda df: df.select(
+        F.concat(F.lit("mix:"), F.col("part")).alias("part"),
+        F.concat(F.col("k"),
+                 F.coalesce(F.concat(F.lit(":"), F.col("s")),
+                            F.lit(""))).alias("k"),
+        F.col("n_out").cast("long").alias("n")),
+    lambda sql: f"""
+SELECT 'mix:' || part AS part,
+       k || coalesce(':' || s, '') AS k,
+       CAST(n_out AS BIGINT) AS n
+FROM (
+{sql}
+)""")
+
+
+# vocab_top_tokens (part, k, v1, v2s) rides token_count_bpe
+# (part, k, v1, v2): both grade the tokenization stack, so the vocab/
+# tfidf/zipf/bm25/pmi/oov/bpe rows live under 'vocab:'-prefixed part
+# tags with the sig-string v2s packed into k and v2 NULL for folded
+# rows (symmetric int->float pandas degradation on both engines).
+_fold_slot(
+    "token_count_bpe", "vocab_top_tokens",
+    lambda df: df.select(
+        F.concat(F.lit("vocab:"), F.col("part")).alias("part"),
+        F.concat(F.col("k"),
+                 F.coalesce(F.concat(F.lit("|"), F.col("v2s")),
+                            F.lit(""))).alias("k"),
+        F.col("v1").cast("long").alias("v1"),
+        F.lit(None).cast("long").alias("v2")),
+    lambda sql: f"""
+SELECT 'vocab:' || part AS part,
+       k || coalesce('|' || v2s, '') AS k,
+       CAST(v1 AS BIGINT) AS v1,
+       CAST(NULL AS BIGINT) AS v2
+FROM (
+{sql}
+)""")

@@ -32,10 +32,10 @@ TAGGED = {
     "multidim_agg_counts": "mode",
     "asof_click_attribution": "part",
     "embedding_array_stats": "part",
-    "hash_sampling_suite": "part",
-    "drift_psi_lineitem": "part",
-    "mixture_sample_counts": "part",
-    "vocab_top_tokens": "part",
+    "hash_sampling_suite": "part",   # r13: + folded 'mix:' mixture rows
+    "streaming_psi_events": "metric",  # r13: + folded 'bat:' drift rows
+    # token_count_bpe (tag 'part', listed above) also hosts the folded
+    # 'vocab:'-prefixed rows since r13 — same tag column, no new entry.
 }
 
 # slot -> column whose 'prefix:' headers (text before the first colon,

@@ -36,7 +36,8 @@ FLOAT_GRADED = [
     "embedding_array_stats",  # dim/edrift per-dim means/stds at _psig
     "corr_matrix",           # r12 kripp alpha (per-item ratio sums),
                              # theil/kappa/catassoc at _psig
-    "vocab_top_tokens",      # zipf slope / tfidf scores at _psig
+    "token_count_bpe",       # r13 fold host: zipf slope / tfidf
+                             # scores at _psig ride 'vocab:' rows
                              # (r12 bpair/bmerge rows are integers)
 ]
 
