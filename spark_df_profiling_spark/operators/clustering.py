@@ -384,7 +384,9 @@ def silhouette_simplified(df: DataFrame,
     silhouette's O(n²) pairwise distances cannot give at corpus
     scale.  One row per cluster: ``(cluster, n, mean_silhouette,
     mean_a, mean_b)``; points equidistant at 0 (duplicate centroids)
-    score 0.
+    score 0; vectors whose length mismatches the centroid dimension
+    raise at execution (the :func:`cluster_quality` contract — never
+    a silent s=0 under a NULL cluster).
 
     Scale: ONE pass — k per-row distance folds (the
     :func:`_dist_sq_expr` zip_with/aggregate fold per centroid, HOFs
@@ -408,12 +410,24 @@ def silhouette_simplified(df: DataFrame,
     b = F.sqrt(F.element_at(srt, 2))
     s = F.when(F.greatest(a, b) > 0,
                (b - a) / F.greatest(a, b)).otherwise(F.lit(0.0))
+    # same malformed-vector contract as cluster_quality (ADVICE r12):
+    # a vector shorter/longer than the centroid dimension NULLs the
+    # zip_with distance fold; without the guard it would silently
+    # score s=0 under a NULL cluster.  raise_error because this
+    # operator never collects — the error surfaces at execution with
+    # the real cause named instead of a NULL-cluster row.
+    bad = F.exists(F.col("__ds0"), lambda x: x.isNull())
+    cluster = F.when(
+        ~bad,
+        (F.array_position("__ds0", F.array_min("__ds0")) - 1)
+        .cast("int")).otherwise(F.raise_error(F.lit(
+            "silhouette_simplified: vector length does not match "
+            "the centroid dimension — distance fold came back "
+            "NULL")).cast("int"))
     base = (df.where(vec.isNotNull())
             .select(ds0.alias("__ds0"))
-            .select((F.array_position(
-                "__ds0", F.array_min("__ds0")) - 1)
-                .cast("int").alias("cluster"),
-                a.alias("__a"), b.alias("__b"), s.alias("__s")))
+            .select(cluster.alias("cluster"),
+                    a.alias("__a"), b.alias("__b"), s.alias("__s")))
     return (base.groupBy("cluster")
             .agg(F.count(F.lit(1)).cast("long").alias("n"),
                  F.avg("__s").alias("mean_silhouette"),

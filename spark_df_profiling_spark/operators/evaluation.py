@@ -836,6 +836,14 @@ def ab_test_report(df: DataFrame, arm_col: str, metric_col: str,
         raise ValueError(
             f"ab_test_report needs exactly 2 arms, got "
             f"{[r['arm'] for r in arms]}")
+    if x is not None:
+        small = [r["arm"] for r in arms if r["n"] < 2]
+        if small:
+            raise ValueError(
+                "ab_test_report: CUPED adjustment needs n >= 2 rows "
+                f"per arm (sample (co)variances are undefined at "
+                f"n=1), but arm(s) {small} are smaller — drop "
+                "covariate_col or collect more data")
     import math
     a, b = arms
     eff = b["mean"] - a["mean"]
@@ -897,9 +905,12 @@ def covariate_balance(df: DataFrame, arm_col: str,
     flagged)``; NULL smd for constant covariates.  Exactly two arms
     (same contract as :func:`ab_test_report`).
 
-    Scale: ONE stacked aggregate — all covariates ride a single scan
-    (#cols × 2 output cells), the :func:`~spark_df_profiling_spark.
-    operators.drift.psi_report` stack-explode recipe.
+    Scale: the input is scanned ONCE into the stacked per-(covariate,
+    arm) cells frame (#cols × 2 output cells, the :func:`~spark_df_
+    profiling_spark.operators.drift.psi_report` stack-explode recipe),
+    which is ``localCheckpoint``-ed before the arm-list collect so the
+    final wide pivot folds the materialized cells instead of
+    re-scanning the input (rule 7).
     """
     if not cols:
         raise ValueError("cols must be non-empty")
@@ -917,7 +928,8 @@ def covariate_balance(df: DataFrame, arm_col: str,
     cells = (stacked.groupBy("column", "__arm")
              .agg(F.count(F.lit(1)).cast("long").alias("n"),
                   F.avg("v").alias("m"),
-                  F.var_samp("v").alias("s2")))
+                  F.var_samp("v").alias("s2"))
+             .localCheckpoint(eager=True))
     arms = [r["__arm"] for r in
             cells.select("__arm").distinct().orderBy("__arm")
             .collect()]

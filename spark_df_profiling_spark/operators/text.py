@@ -1494,6 +1494,13 @@ def bpe_pair_counts(df: DataFrame, text_col: str, k: int = 20,
     """
     if k < 1:
         raise ValueError(f"k must be >= 1: {k}")
+    if sub_partitions < 1:
+        # pmod(_, 0) is NULL: every pair would land in ONE NULL
+        # bucket and the 'local' rank window would silently become
+        # the global single-task window this two-phase shape exists
+        # to avoid (ADVICE r12)
+        raise ValueError(
+            f"sub_partitions must be >= 1: {sub_partitions}")
     hist = _bpe_word_hist(df, text_col, None)
     seqs = hist.select(F.split(F.col("word"), "").alias("syms"),
                        "cnt")

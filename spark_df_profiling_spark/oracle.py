@@ -3469,8 +3469,11 @@ UNION ALL
 -- the boundary tie group split proportionally — cum_pos/gain/lift
 -- are pure functions of exact integer (depth, ac, ap, c, pos)
 SELECT 'gain', CAST(g AS BIGINT), CAST(depth AS BIGINT),
-       {_psig('cum')} || '/' || {_psig('cum / np')} || '/'
-         || {_psig('cum * na / (CAST(depth AS DOUBLE) * np)')},
+       coalesce({_psig('cum')}, 'null') || '/'
+         || coalesce({_psig('cum / np')}, 'null') || '/'
+         || coalesce(
+              {_psig('cum * na / (CAST(depth AS DOUBLE) * np)')},
+              'null'),
        CAST(k AS INT)
 FROM (
   SELECT c2.g, t.k,
@@ -3973,9 +3976,18 @@ def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.lit("gain").alias("part"),
                      F.col("g").alias("query_id"),
                      F.col("depth").alias("neighbor_id"),
-                     F.concat_ws("/", sig(F.col("cum_pos")),
-                                 sig(F.col("gain")),
-                                 sig(F.col("lift"))).alias("sim_s"),
+                     # explicit coalesce-to-'null' per term (NOT
+                     # concat_ws, which silently SKIPS a NULL term
+                     # while DuckDB's || NULL-propagates — ADVICE
+                     # r12): both engines now encode a no-positives
+                     # group identically
+                     F.concat(
+                         F.coalesce(sig(F.col("cum_pos")),
+                                    F.lit("null")), F.lit("/"),
+                         F.coalesce(sig(F.col("gain")),
+                                    F.lit("null")), F.lit("/"),
+                         F.coalesce(sig(F.col("lift")),
+                                    F.lit("null"))).alias("sim_s"),
                      F.col("bucket").alias("rank")))
     # 'conf' rows grade evaluation.conformal_threshold + the
     # self-coverage audit (alpha=0.1, grouped): k and n_covered are
