@@ -66,6 +66,8 @@ def main() -> None:
     scale_cfg = ProfileConfig()
 
     fns = {
+        "profile_lineitem": lambda: profile(t("lineitem"),
+                                            scale_cfg).collect(),
         "window_profile": lambda: SPARK_QUERIES["window_profile_events"](
             spark, sf_dir).collect(),
         "session_profile": lambda: SPARK_QUERIES["session_profile_events"](
