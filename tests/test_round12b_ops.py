@@ -290,16 +290,19 @@ class TestGainsCurve:
         with pytest.raises(ValueError):
             gains_curve(scored, "y", "s", 1001)
 
-    def test_bucket_join_is_broadcast(self, spark, scored):
+    def test_bucket_join_broadcasts_under_aqe(self, spark, scored):
+        """r13: the bucket frame lost its unconditional broadcast
+        hint (unbounded at extreme group cardinality — VERDICT r12
+        #3); for the common small-#groups case AQE must still pick a
+        broadcast join at runtime from the localCheckpoint-ed stats,
+        so assert on the FINAL adaptive plan after execution."""
         from spark_df_profiling_spark.operators.evaluation import (
             gains_curve)
-        plan = (gains_curve(scored, "y", "s", 10, group_col="g")
-                ._jdf.queryExecution().executedPlan().toString())
-        # bucket boundaries join back broadcast (the distinct-score
-        # prefix itself sits behind the localCheckpoint barrier, so
-        # the range partitioning is pinned by the roc_auc plan tests)
+        out = gains_curve(scored, "y", "s", 10, group_col="g")
+        out.collect()
+        plan = (out._jdf.queryExecution().executedPlan().toString())
+        assert "isFinalPlan=true" in plan
         assert "BroadcastHashJoin" in plan
-        assert "SortMergeJoin" not in plan
 
 
 class TestBPE:

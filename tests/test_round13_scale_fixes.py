@@ -1,0 +1,150 @@
+"""Pins for the two VERDICT r12 scale findings (weak-marked components).
+
+#2: categorical_psi_reference collected EVERY distinct value to the
+    driver before capping — a driver OOM on user-id-like columns even
+    though the streaming consumer is bounded.  Now the head arrives
+    via limit(max_categories) (TakeOrderedAndProject, no full sort)
+    and the tail mass folds from one sum aggregate over the
+    localCheckpoint-ed counts frame: O(max_categories) driver rows.
+
+#3: the grouped frozen-boundary prefix (grouped roc_auc /
+    precision_recall_curve / gains_curve / conformal_threshold /
+    ks_by_group) collected O(n_bk x #groups) boundary rows to the
+    driver, and the gains/conformal consumers built their bucket/k
+    frames in driver loops.  All of that is now Spark-side: the
+    boundary prefix is a Window.partitionBy(group).orderBy(pid) over
+    the per-(pid, group) totals frame (<= #partitions rows per window
+    partition), totals return as a DataFrame, and the consumer frames
+    derive from it.  Rehearsed at 1M groups (roc_auc, 13.8s) and 500k
+    groups (gains + conformal) — BASELINE.md round-13 section.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestCategoricalPsiReferenceBounded:
+    def test_output_identical_to_python_reference(self, spark):
+        from spark_df_profiling_spark.operators.drift import (
+            categorical_psi_reference)
+        # 40 distinct values with distinct counts (value_i appears
+        # 41-i times) so the (count desc, value asc) head is unique
+        rows = [(f"v{i:02d}",) for i in range(40)
+                for _ in range(41 - i)]
+        df = spark.createDataFrame(rows, "v string")
+        got = categorical_psi_reference(df, "v", max_categories=10)
+        total = sum(41 - i for i in range(40))
+        exp = [(f"v{i:02d}", (41 - i) / total) for i in range(10)]
+        tail = sum(41 - i for i in range(10, 40)) / total
+        exp.append(("__other__", tail))
+        assert len(got) == 11
+        for (gv, gf), (ev, ef) in zip(got, exp):
+            assert gv == ev
+            assert gf == pytest.approx(ef, abs=1e-15)
+
+    def test_tie_break_is_count_desc_value_asc(self, spark):
+        from spark_df_profiling_spark.operators.drift import (
+            categorical_psi_reference)
+        df = spark.createDataFrame(
+            [("b",), ("b",), ("a",), ("a",), ("c",)], "v string")
+        got = categorical_psi_reference(df, "v", max_categories=2)
+        assert [v for v, _ in got] == ["a", "b", "__other__"]
+        assert got[2][1] == pytest.approx(1 / 5)
+
+    def test_head_plan_is_take_ordered_not_full_sort(self, spark):
+        """The head must come from limit()'s TakeOrderedAndProject —
+        a global Sort in the plan means the unbounded shape is back."""
+        counts = (spark.range(1000)
+                  .select(F.concat(F.lit("u"), F.col("id"))
+                          .alias("v"))
+                  .groupBy("v").agg(F.count(F.lit(1)).alias("n")))
+        plan = (counts.orderBy(F.desc("n"), F.asc("v")).limit(50)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "TakeOrderedAndProject" in plan
+
+    def test_cap_one_returns_two_rows(self, spark):
+        from spark_df_profiling_spark.operators.drift import (
+            categorical_psi_reference)
+        df = spark.createDataFrame(
+            [("a",), ("a",), ("b",)], "v string")
+        got = categorical_psi_reference(df, "v", max_categories=1)
+        assert got == [("a", pytest.approx(2 / 3)),
+                       ("__other__", pytest.approx(1 / 3))]
+
+
+class TestDistributedBoundaryPrefix:
+    def test_grouped_roc_auc_many_groups_matches_python(self, spark):
+        """2000 groups x 50 rows: the distributed prefix must produce
+        the exact tie-corrected Mann-Whitney AUC per group."""
+        import random
+
+        from spark_df_profiling_spark.operators.evaluation import (
+            roc_auc)
+        rng = random.Random(7)
+        rows = [(g, rng.random() < 0.5,
+                 float(rng.randint(0, 19)))  # heavy ties
+                for g in range(2000) for _ in range(50)]
+        df = spark.createDataFrame(rows, "g long, y boolean, s double")
+        got = {r["g"]: r for r in
+               roc_auc(df, "y", "s", group_col="g").collect()}
+        assert len(got) == 2000
+
+        def py_auc(sub):
+            pos = sorted(s for y, s in sub if y)
+            neg = sorted(s for y, s in sub if not y)
+            if not pos or not neg:
+                return None
+            import bisect
+            u = 0.0
+            for p in pos:
+                u += bisect.bisect_left(neg, p)
+                u += 0.5 * (bisect.bisect_right(neg, p)
+                            - bisect.bisect_left(neg, p))
+            return u / (len(pos) * len(neg))
+
+        by_g = {}
+        for g, y, s in rows:
+            by_g.setdefault(g, []).append((y, s))
+        for g in (0, 1, 999, 1999):
+            exp = py_auc(by_g[g])
+            if exp is None:
+                assert got[g]["auc"] is None
+            else:
+                assert got[g]["auc"] == pytest.approx(exp, abs=1e-12)
+
+    def test_prefix_has_no_driver_state(self, spark):
+        """The staged plan must NOT contain a LocalTableScan /
+        parallelize of driver-built prefix rows — the boundary prefix
+        rides a per-group window over the bounds frame."""
+        from spark_df_profiling_spark.operators.evaluation import (
+            _distinct_score_prefix)
+        df = spark.createDataFrame(
+            [(i % 5, i % 2 == 0, float(i % 7)) for i in range(200)],
+            "g long, y boolean, s double")
+        staged, tot_df = _distinct_score_prefix(df, "y", "s", "g")
+        plan = staged._jdf.queryExecution().analyzed().toString()
+        assert "LocalRelation" not in plan
+        # totals now return as a DataFrame, not a driver list
+        from pyspark.sql import DataFrame as SparkDataFrame
+        assert isinstance(tot_df, SparkDataFrame)
+        rows = {r["__g"]: (r["__na"], r["__np"])
+                for r in tot_df.collect()}
+        assert rows[0] == (40, 20)
+
+    def test_conformal_infeasible_group_spark_side(self, spark):
+        """A group too small for the alpha must still emit a
+        NULL-threshold infeasible row (now built in Spark)."""
+        from spark_df_profiling_spark.operators.evaluation import (
+            conformal_threshold)
+        df = spark.createDataFrame(
+            [("big", float(i)) for i in range(100)]
+            + [("tiny", 1.0), ("tiny", 2.0)],
+            "g string, s double")
+        got = {r["g"]: r for r in
+               conformal_threshold(df, "s", alpha=0.1,
+                                   group_col="g").collect()}
+        assert got["big"]["feasible"] is True
+        assert got["big"]["threshold"] is not None
+        # tiny: k = ceil(3 * 0.9) = 3 > n = 2 -> infeasible
+        assert got["tiny"]["feasible"] is False
+        assert got["tiny"]["threshold"] is None
