@@ -4314,6 +4314,17 @@ SELECT 'sniffav', doc_id,
             ELSE ((doc_id + 1) * 1234 * 1000) // (600 + doc_id * 10) END
 FROM documents WHERE doc_id < 12
 UNION ALL
+-- sniff2 replay (r13): WebP / TIFF / AVIF header sniffing — dims and
+-- byte lengths in closed form from the construction parameters
+SELECT 'sniff2', doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image/webp'
+                       WHEN 1 THEN 'image/tiff'
+                       ELSE 'image/avif' END,
+       (doc_id * 11) % 1024 + 1,
+       (doc_id * 17) % 768 + 1,
+       CASE doc_id % 3 WHEN 0 THEN 30 WHEN 1 THEN 38 ELSE 36 END
+FROM documents WHERE doc_id < 18
+UNION ALL
 -- plan_frame_samples replay: duration_ms in closed form from the
 -- payload construction parameters, n = duration_ms // 1000 + 1
 -- samples at 1/s, frame_idx = least(t * 30, last decodable frame
@@ -4465,8 +4476,58 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("t_seconds").cast("long").alias("v1"),
                      F.col("frame_idx").cast("long").alias("v2"),
                      F.lit(None).cast("long").alias("v3")))
+
+    # 'sniff2' rows (r13): the remaining common web-crawl image
+    # formats — WebP (VP8X extended header, 24-bit LE minus-one
+    # canvas), TIFF (little-endian first-IFD walk, LONG width + SHORT
+    # height entries), AVIF (ftyp brand + ispe spatial extents) —
+    # constructed in pure Spark SQL with doc_id-derived dims and
+    # parsed back by the SAME sniff_meta mapInPandas path; DuckDB
+    # recomputes the dimension formulas arithmetically.
+    def le3(c):
+        return F.unhex(F.concat(
+            F.lpad(F.hex(c % 256), 2, "0"),
+            F.lpad(F.hex(F.floor(c / 256).cast("long") % 256),
+                   2, "0"),
+            F.lpad(F.hex(F.floor(c / 65536).cast("long") % 256),
+                   2, "0")))
+
+    d2 = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 18)
+    w2 = (F.col("doc_id") * 11 % 1024 + 1).cast("long")
+    h2 = (F.col("doc_id") * 17 % 768 + 1).cast("long")
+    webp = F.concat(
+        F.unhex(F.lit("52494646")), le4(F.lit(22).cast("long")),
+        F.unhex(F.lit("57454250")), F.unhex(F.lit("56503858")),
+        le4(F.lit(10).cast("long")), F.unhex(F.lit("00000000")),
+        le3(w2 - 1), le3(h2 - 1))                        # 30 bytes
+    tiff = F.concat(
+        F.unhex(F.lit("49492A00")), le4(F.lit(8).cast("long")),
+        le2(F.lit(2).cast("long")),
+        le2(F.lit(256).cast("long")), le2(F.lit(4).cast("long")),
+        le4(F.lit(1).cast("long")), le4(w2),
+        le2(F.lit(257).cast("long")), le2(F.lit(3).cast("long")),
+        le4(F.lit(1).cast("long")), le2(h2),
+        F.unhex(F.lit("0000")),
+        le4(F.lit(0).cast("long")))                      # 38 bytes
+    avif = F.concat(
+        be4(F.lit(16).cast("long")), F.unhex(F.lit("66747970")),
+        F.unhex(F.lit("61766966")), F.unhex(F.lit("00000000")),
+        be4(F.lit(20).cast("long")), F.unhex(F.lit("69737065")),
+        F.unhex(F.lit("00000000")), be4(w2), be4(h2))    # 36 bytes
+    kind2 = F.col("doc_id") % 3
+    payload2 = (F.when(kind2 == 0, webp).when(kind2 == 1, tiff)
+                .otherwise(avif))
+    constructed2 = d2.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        payload2.alias("payload"))
+    sniff2 = (sniff_meta(constructed2)
+              .select(F.lit("sniff2").alias("part"), "media_id",
+                      F.col("mime").alias("s1"),
+                      F.col("width").cast("long").alias("v1"),
+                      F.col("height").cast("long").alias("v2"),
+                      F.col("n_bytes").alias("v3")))
     return (feat.unionByName(sniff).unionByName(sniffav)
-            .unionByName(fplan)
+            .unionByName(fplan).unionByName(sniff2)
             .orderBy("part", "media_id"))
 
 

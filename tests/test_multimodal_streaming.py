@@ -197,3 +197,73 @@ def test_streaming_dedup_drops_redeliveries(spark, sf_dir, tmp_path):
     # batch path: same call site, plain dropDuplicates
     batch = streaming_dedup(with_event_time(static), ["event_id"])
     assert batch.count() == want
+
+
+def test_sniff_image_meta_webp_tiff_avif():
+    """r13: the remaining common web-crawl formats sniff real dims
+    from constructed headers (all three WebP variants, both TIFF byte
+    orders, AVIF ispe) and truncated/garbage variants stay NULL-safe."""
+    from spark_df_profiling_spark.operators.multimodal import (
+        sniff_image_meta)
+
+    def webp_vp8x(w, h):
+        p = (b"VP8X" + (10).to_bytes(4, "little") + b"\x00" * 4
+             + (w - 1).to_bytes(3, "little")
+             + (h - 1).to_bytes(3, "little"))
+        return (b"RIFF" + (len(p) + 4).to_bytes(4, "little")
+                + b"WEBP" + p)
+
+    def webp_vp8(w, h):
+        fr = (b"\x00" * 3 + b"\x9d\x01\x2a"
+              + w.to_bytes(2, "little") + h.to_bytes(2, "little"))
+        p = b"VP8 " + len(fr).to_bytes(4, "little") + fr
+        return (b"RIFF" + (len(p) + 4).to_bytes(4, "little")
+                + b"WEBP" + p)
+
+    def webp_vp8l(w, h):
+        bits = (w - 1) | ((h - 1) << 14)
+        st = b"\x2f" + bits.to_bytes(4, "little")
+        p = b"VP8L" + len(st).to_bytes(4, "little") + st
+        return (b"RIFF" + (len(p) + 4).to_bytes(4, "little")
+                + b"WEBP" + p)
+
+    def tiff(order, w, h):
+        if order == "little":
+            hdr = b"II*\x00" + (8).to_bytes(4, order)
+        else:
+            hdr = b"MM\x00*" + (8).to_bytes(4, order)
+        n = (2).to_bytes(2, order)
+        e1 = ((256).to_bytes(2, order) + (4).to_bytes(2, order)
+              + (1).to_bytes(4, order) + w.to_bytes(4, order))
+        pad = h.to_bytes(2, order)
+        e2 = ((257).to_bytes(2, order) + (3).to_bytes(2, order)
+              + (1).to_bytes(4, order) + pad + b"\x00\x00")
+        return hdr + n + e1 + e2 + b"\x00" * 4
+
+    def avif(w, h):
+        ftyp = (16).to_bytes(4, "big") + b"ftypavif" + b"\x00" * 4
+        ispe = ((20).to_bytes(4, "big") + b"ispe" + b"\x00" * 4
+                + w.to_bytes(4, "big") + h.to_bytes(4, "big"))
+        return ftyp + ispe
+
+    assert sniff_image_meta(webp_vp8x(640, 480)) == \
+        ("image/webp", 640, 480)
+    assert sniff_image_meta(webp_vp8(320, 240)) == \
+        ("image/webp", 320, 240)
+    assert sniff_image_meta(webp_vp8l(100, 50)) == \
+        ("image/webp", 100, 50)
+    assert sniff_image_meta(tiff("little", 800, 600)) == \
+        ("image/tiff", 800, 600)
+    assert sniff_image_meta(tiff("big", 123, 77)) == \
+        ("image/tiff", 123, 77)
+    assert sniff_image_meta(avif(1920, 1080)) == \
+        ("image/avif", 1920, 1080)
+    # unknown chunk tag / truncation: mime sticks, dims go NULL
+    assert sniff_image_meta(b"RIFF\x10\x00\x00\x00WEBPXXXX") == \
+        ("image/webp", None, None)
+    assert sniff_image_meta(webp_vp8x(640, 480)[:20]) == \
+        ("image/webp", None, None)
+    assert sniff_image_meta(tiff("little", 800, 600)[:9]) == \
+        ("image/tiff", None, None)
+    assert sniff_image_meta(avif(1920, 1080)[:24]) == \
+        ("image/avif", None, None)
