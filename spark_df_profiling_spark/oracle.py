@@ -8319,6 +8319,28 @@ SELECT 'div', k, v1, v2s FROM (
   UNION ALL SELECT 'mean_cos', NULL, {_psig('m')} FROM agg
   UNION ALL SELECT 'std_cos', NULL, {_psig('sd')} FROM agg
   UNION ALL SELECT 'p_hi', NULL, {_psig('ph')} FROM agg)
+UNION ALL
+-- pca_fit replay (r13): the full-rank eigenreconstruction must equal
+-- the sample covariance, so independent covar_samp entries (upper
+-- triangle, dims 0-7) + the variance trace pin the one-pass
+-- co-moment aggregate AND the driver eigh chain
+SELECT 'pcacov', CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR),
+       CAST(count(*) AS BIGINT),
+       {_psig('''covar_samp(CAST(embedding[i + 1] AS DOUBLE),
+                            CAST(embedding[j + 1] AS DOUBLE))''')}
+FROM embeddings, range(0, 8) r1(i), range(0, 8) r2(j)
+WHERE embedding IS NOT NULL AND i <= j
+GROUP BY i, j
+UNION ALL
+SELECT 'pcatv', 'trace', nn, {_psig('tv')}
+FROM (SELECT sum(vs) AS tv FROM (
+        SELECT var_samp(v) AS vs FROM (
+          SELECT generate_subscripts(embedding, 1) AS d,
+                 CAST(unnest(embedding) AS DOUBLE) AS v
+          FROM embeddings WHERE embedding IS NOT NULL)
+        GROUP BY d)),
+     (SELECT CAST(count(*) AS BIGINT) AS nn FROM embeddings
+      WHERE embedding IS NOT NULL)
 ORDER BY part, k
 """)
 def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8542,11 +8564,38 @@ def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.coalesce(sig(F.col("std_ratio")),
                                   F.lit("null")),
                        sig(F.col("centroid_cosine"))).alias("v2s")))
+    # 'pcacov' / 'pcatv' rows (r13) grade similarity.pca_fit end to
+    # end THROUGH the eigendecomposition: a FULL-rank fit (k = dim)
+    # must reconstruct the sample covariance as Σ_l λ_l·C_l⊗C_l, so
+    # DuckDB's independent covar_samp over the same corpus pins the
+    # one-pass co-moment aggregate AND the driver eigh/sign-normalize
+    # chain (a wrong eigenvector shows up as a wrong reconstruction).
+    # Upper-triangle dims 0-7 (36 entries) + the trace row.
+    from spark_df_profiling_spark.operators.similarity import pca_fit
+    pst = pca_fit(e, k=64, vec_col="embedding")
+    from pyspark.sql import types as T
+    rec_rows = []
+    for i in range(8):
+        for j in range(i, 8):
+            val = sum(ev * c[i] * c[j] for ev, c in
+                      zip(pst["explained_variance"],
+                          pst["components"]))
+            rec_rows.append(("pcacov", f"{i}:{j}", pst["n"], val))
+    rec_rows.append(("pcatv", "trace", pst["n"],
+                     pst["total_variance"]))
+    pschema = T.StructType([
+        T.StructField("part", T.StringType()),
+        T.StructField("k", T.StringType()),
+        T.StructField("v1", T.LongType()),
+        T.StructField("__val", T.DoubleType())])
+    pcov = (spark.createDataFrame(rec_rows, pschema)
+            .select("part", "k", "v1",
+                    sig(F.col("__val")).alias("v2s")))
     return (arr.unionByName(dims).unionByName(quant).unionByName(km)
             .unionByName(sil).unionByName(cq)
             .unionByName(kb).unionByName(ks).unionByName(pca)
             .unionByName(stdr).unionByName(rproj).unionByName(dv)
-            .unionByName(edr)
+            .unionByName(edr).unionByName(pcov)
             .orderBy("part", "k"))
 
 
