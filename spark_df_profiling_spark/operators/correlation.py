@@ -829,3 +829,75 @@ def cronbach_alpha(df: DataFrame, item_cols: "list[str]") -> DataFrame:
     return agg.select("n", F.lit(k).alias("k_items"),
                       alpha.alias("alpha"),
                       sum_v.alias("sum_item_var"), "total_var")
+
+
+def spearman_matrix(df: DataFrame, cols: "list[str]") -> DataFrame:
+    """Spearman rank correlation for every column pair — the
+    robust companion of :func:`correlation_matrix` (Pearson measures
+    LINEAR association and one heavy-tailed outlier owns it; Spearman
+    on tie-AVERAGED ranks measures monotone association and is what
+    you want for quality scores, token counts, and anything
+    long-tailed).  One row per unordered pair: ``(col_x, col_y, n,
+    spearman)`` — NULL when either rank column is constant.  LISTWISE
+    deletion (rows with any NULL among ``cols`` are dropped before
+    ranking, so every pair sees the same population — the replayable
+    convention; pairwise-complete is a policy choice upstream).
+
+    Scale: per column, values collapse to the DISTINCT-value frame
+    and the tie-averaged rank ``cb + (c+1)/2`` comes from the
+    :func:`~spark_df_profiling_spark.operators.evaluation.
+    _distinct_score_prefix` frozen-boundary protocol (never a global
+    sort, never a single-task window); rows re-attach their rank via
+    a hash join on the value (a 50%-hot tie is ONE lookup row, never
+    an expansion) and ONE final map-side-combined aggregate computes
+    all k(k−1)/2 guarded Pearson folds over the rank columns.
+    """
+    if not 2 <= len(cols) <= 16:
+        raise ValueError(
+            f"spearman_matrix needs 2-16 columns: {len(cols)}")
+    for c in cols:
+        if c not in df.columns:
+            raise ValueError(f"missing column: {c!r}")
+    from spark_df_profiling_spark.operators.evaluation import (
+        _distinct_score_prefix)
+    keep = F.col(cols[0]).isNotNull()
+    for c in cols[1:]:
+        keep = keep & F.col(c).isNotNull()
+    clean = df.where(keep).select(
+        *[F.col(c).cast("double").alias(f"__x{i}")
+          for i, c in enumerate(cols)])
+    cur = clean
+    for i in range(len(cols)):
+        staged, _ = _distinct_score_prefix(
+            clean.withColumn("__y", F.lit(True)), "__y", f"__x{i}",
+            None)
+        ranks = staged.select(
+            F.col("__s").alias(f"__v{i}"),
+            (F.col("__cb") + (F.col("__c") + 1) / 2.0)
+            .alias(f"__r{i}"))
+        cur = (cur.join(ranks,
+                        cur[f"__x{i}"] == ranks[f"__v{i}"])
+               .drop(f"__v{i}"))
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            aggs += [
+                F.covar_samp(f"__r{i}", f"__r{j}")
+                .alias(f"__c{i}_{j}"),
+            ]
+        aggs.append(F.var_samp(f"__r{i}").alias(f"__v{i}"))
+    row = cur.agg(*aggs)
+    out = []
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            rho = F.when(
+                (F.col(f"__v{i}") > 0) & (F.col(f"__v{j}") > 0),
+                F.col(f"__c{i}_{j}")
+                / F.sqrt(F.col(f"__v{i}") * F.col(f"__v{j}")))
+            out.append(F.struct(
+                F.lit(cols[i]).alias("col_x"),
+                F.lit(cols[j]).alias("col_y"),
+                F.col("n").alias("n"),
+                rho.alias("spearman")))
+    return (row.select(F.explode(F.array(*out)).alias("p"))
+            .select("p.*"))

@@ -1611,6 +1611,47 @@ FROM (
              FROM orders WHERE o_custkey IS NOT NULL) p USING (v))
 """
 
+# spearman_matrix replay (r13): tie-averaged ranks from the distinct-
+# value cumulative (cb + (c+1)/2), re-attached by value join, then
+# sample Pearson over the rank pairs — listwise deletion
+_SPEAR_SQL = f"""
+SELECT 'spear' AS col_x, pr AS col_y,
+       CAST(n AS VARCHAR) || ':'
+         || coalesce({_psig('rho')}, 'null') AS rho
+FROM (
+  WITH cl AS (SELECT CAST(l_quantity AS DOUBLE) AS a,
+                     CAST(l_extendedprice AS DOUBLE) AS b,
+                     CAST(l_discount AS DOUBLE) AS c
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL
+                AND l_extendedprice IS NOT NULL
+                AND l_discount IS NOT NULL),
+  ra AS (SELECT a AS v,
+                sum(cnt) OVER (ORDER BY a) - cnt + (cnt + 1) / 2.0
+                  AS r
+         FROM (SELECT a, count(*) AS cnt FROM cl GROUP BY a)),
+  rb AS (SELECT b AS v,
+                sum(cnt) OVER (ORDER BY b) - cnt + (cnt + 1) / 2.0
+                  AS r
+         FROM (SELECT b, count(*) AS cnt FROM cl GROUP BY b)),
+  rc AS (SELECT c AS v,
+                sum(cnt) OVER (ORDER BY c) - cnt + (cnt + 1) / 2.0
+                  AS r
+         FROM (SELECT c, count(*) AS cnt FROM cl GROUP BY c)),
+  j AS (SELECT ra.r AS x, rb.r AS y, rc.r AS z
+        FROM cl JOIN ra ON cl.a = ra.v
+                JOIN rb ON cl.b = rb.v
+                JOIN rc ON cl.c = rc.v)
+  SELECT 'l_quantity~l_extendedprice' AS pr,
+         CAST(count(*) AS BIGINT) AS n, corr(x, y) AS rho FROM j
+  UNION ALL
+  SELECT 'l_quantity~l_discount', CAST(count(*) AS BIGINT),
+         corr(x, z) FROM j
+  UNION ALL
+  SELECT 'l_extendedprice~l_discount', CAST(count(*) AS BIGINT),
+         corr(y, z) FROM j)
+"""
+
 # cronbach_alpha replay (r13): item variances + composite variance
 # with the same listwise deletion and sample (n-1) normalization
 _CRALPHA_SQL = f"""
@@ -1650,7 +1691,8 @@ FROM (
        f"{_theil_sql('l_linestatus', 'l_returnflag', 'ls->rf')}"
        f"\nUNION ALL\n{_KAPPA_SQL}"
        f"\nUNION ALL\n{_INCL_SQL}"
-       f"\nUNION ALL\n{_CRALPHA_SQL}")
+       f"\nUNION ALL\n{_CRALPHA_SQL}"
+       f"\nUNION ALL\n{_SPEAR_SQL}")
 def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_df_profiling_spark.operators.correlation import (
         categorical_association,
@@ -1887,11 +1929,26 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                             sig(F.col("alpha")), F.lit(":"),
                             sig(F.col("sum_item_var")), F.lit(":"),
                             sig(F.col("total_var"))).alias("rho")))
+    # 'spear' rows grade correlation.spearman_matrix — tie-averaged
+    # ranks (the distinct-frame frozen-boundary protocol) + guarded
+    # Pearson over rank pairs, replayed end to end in DuckDB
+    from spark_df_profiling_spark.operators.correlation import (
+        spearman_matrix)
+    spear = (spearman_matrix(li, ["l_quantity", "l_extendedprice",
+                                  "l_discount"])
+             .select(F.lit("spear").alias("col_x"),
+                     F.concat(F.col("col_x"), F.lit("~"),
+                              F.col("col_y")).alias("col_y"),
+                     F.concat(F.col("n").cast("string"), F.lit(":"),
+                              F.coalesce(sig(F.col("spearman")),
+                                         F.lit("null")))
+                     .alias("rho")))
     return (pearson.unionByName(cat).unionByName(fd)
             .unionByName(keys).unionByName(inc).unionByName(pg)
             .unionByName(tr).unionByName(dg)
             .unionByName(er).unionByName(th).unionByName(kap)
             .unionByName(fl).unionByName(kr).unionByName(cra)
+            .unionByName(spear)
             .unionByName(incl))
 
 

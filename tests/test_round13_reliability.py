@@ -117,3 +117,82 @@ class TestCronbachAlpha:
             cronbach_alpha(df, ["a"])
         with pytest.raises(ValueError, match="missing column"):
             cronbach_alpha(df, ["a", "zz"])
+
+
+class TestSpearmanMatrix:
+    @staticmethod
+    def _py_spearman(xs, ys):
+        def avg_ranks(vals):
+            order = sorted(range(len(vals)), key=lambda i: vals[i])
+            ranks = [0.0] * len(vals)
+            i = 0
+            while i < len(order):
+                j = i
+                while (j + 1 < len(order)
+                       and vals[order[j + 1]] == vals[order[i]]):
+                    j += 1
+                avg = (i + j) / 2.0 + 1.0
+                for t in range(i, j + 1):
+                    ranks[order[t]] = avg
+                i = j + 1
+            return ranks
+
+        import statistics
+        rx, ry = avg_ranks(xs), avg_ranks(ys)
+        mx, my = statistics.mean(rx), statistics.mean(ry)
+        cov = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+        vx = sum((a - mx) ** 2 for a in rx)
+        vy = sum((b - my) ** 2 for b in ry)
+        return cov / (vx * vy) ** 0.5 if vx > 0 and vy > 0 else None
+
+    def test_matches_python_with_heavy_ties(self, spark):
+        import random
+
+        from spark_df_profiling_spark.operators.correlation import (
+            spearman_matrix)
+        rng = random.Random(11)
+        rows = [(float(rng.randint(0, 9)),          # heavy ties
+                 rng.gauss(0, 1),
+                 float(rng.randint(0, 3)))          # very heavy ties
+                for _ in range(300)]
+        # monotone-ish link: y increases with x plus noise
+        rows = [(x, x * 0.5 + y, z) for x, y, z in rows]
+        df = spark.createDataFrame(rows, "a double, b double, c double")
+        got = {(r["col_x"], r["col_y"]): r for r in
+               spearman_matrix(df, ["a", "b", "c"]).collect()}
+        assert len(got) == 3
+        xs = [r[0] for r in rows]
+        ys = [r[1] for r in rows]
+        zs = [r[2] for r in rows]
+        assert got[("a", "b")]["spearman"] == pytest.approx(
+            self._py_spearman(xs, ys), abs=1e-10)
+        assert got[("a", "c")]["spearman"] == pytest.approx(
+            self._py_spearman(xs, zs), abs=1e-10)
+        assert got[("b", "c")]["spearman"] == pytest.approx(
+            self._py_spearman(ys, zs), abs=1e-10)
+        assert got[("a", "b")]["n"] == 300
+
+    def test_perfect_monotone_is_one(self, spark):
+        from spark_df_profiling_spark.operators.correlation import (
+            spearman_matrix)
+        rows = [(float(i), float(i ** 3)) for i in range(50)]
+        df = spark.createDataFrame(rows, "a double, b double")
+        r = spearman_matrix(df, ["a", "b"]).collect()[0]
+        assert r["spearman"] == pytest.approx(1.0, abs=1e-12)
+
+    def test_constant_column_null_and_listwise(self, spark):
+        from spark_df_profiling_spark.operators.correlation import (
+            spearman_matrix)
+        rows = [(float(i), 7.0) for i in range(20)] + [(None, 1.0)]
+        df = spark.createDataFrame(rows, "a double, b double")
+        r = spearman_matrix(df, ["a", "b"]).collect()[0]
+        assert r["n"] == 20 and r["spearman"] is None
+
+    def test_bounds(self, spark):
+        from spark_df_profiling_spark.operators.correlation import (
+            spearman_matrix)
+        df = spark.createDataFrame([(1.0,)], "a double")
+        with pytest.raises(ValueError, match="2-16"):
+            spearman_matrix(df, ["a"])
+        with pytest.raises(ValueError, match="missing column"):
+            spearman_matrix(df, ["a", "zz"])
