@@ -1065,3 +1065,119 @@ def mcnemar_test(df: DataFrame, label_col: str,
     gsel = [group_col] if group_col else []
     return agg.select(*gsel, "n", "n_both_correct", "b", "c",
                       "n_both_wrong", chi2.alias("chi2"))
+
+
+def isotonic_fit(df: DataFrame, label_col: str, score_col: str,
+                 max_boundaries: int = 100_000) -> dict:
+    """Fit an isotonic (monotone non-decreasing) calibration map from
+    raw scores to labels — the non-parametric calibrator that turns
+    any monotone-ish quality/judge score into an unbiased probability
+    (Zadrozny & Elkan 2002; what :func:`calibration_report` DIAGNOSES,
+    this FIXES), via pool-adjacent-violators.  Returns the frozen
+    state ``{"n", "n_distinct", "boundaries": [...], "predictions":
+    [...]}`` — the same store-once / apply-everywhere contract as
+    :func:`~spark_df_profiling_spark.operators.drift.psi_reference`.
+
+    Scale: rows collapse to the DISTINCT-score frame first (one
+    map-side-combined groupBy: score → (mean label, count); a
+    million-row tie is ONE weighted point — PAV on the weighted
+    distinct frame is exactly PAV on the rows), then
+    ``pyspark.ml.regression.IsotonicRegression`` runs the
+    parallelized PAV (per-partition pooling + merge, JVM-side).  The
+    fitted boundaries are driver state BY CONSTRUCTION of PAV (block
+    representatives, ≤ n_distinct); ``max_boundaries`` bounds the
+    distinct-score frame loudly — quantize continuous scores (e.g.
+    :func:`~spark_df_profiling_spark.operators.sampling.
+    score_buckets`) before fitting rather than silently degrading.
+    NULL label/score rows are excluded.
+    """
+    for c in (label_col, score_col):
+        if c not in df.columns:
+            raise ValueError(f"missing column: {c!r}")
+    y = F.col(label_col).cast("double")
+    s = F.col(score_col).cast("double")
+    per_s = (df.where(y.isNotNull() & s.isNotNull())
+             .groupBy(s.alias("__s"))
+             .agg(F.avg(y).alias("__my"),
+                  F.count(F.lit(1)).cast("double").alias("__w"),
+                  F.sum(y).alias("__sy"))
+             .localCheckpoint(eager=True))
+    counts = per_s.agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum("__w").cast("long").alias("n")).collect()[0]
+    if counts["nd"] == 0:
+        raise ValueError("isotonic_fit: no non-NULL (label, score) "
+                         "rows")
+    if counts["nd"] > max_boundaries:
+        raise ValueError(
+            f"isotonic_fit: {counts['nd']} distinct scores > "
+            f"max_boundaries={max_boundaries} — quantize the score "
+            f"(score_buckets) before fitting")
+    from pyspark.ml.regression import IsotonicRegression
+    iso = IsotonicRegression(
+        labelCol="__my", featuresCol="__f", weightCol="__w")
+    from pyspark.ml.functions import array_to_vector
+    fitted = iso.fit(per_s.select(
+        "__my", "__w",
+        array_to_vector(F.array(F.col("__s"))).alias("__f")))
+    return {
+        "n": int(counts["n"]),
+        "n_distinct": int(counts["nd"]),
+        "boundaries": [float(b) for b in fitted.boundaries],
+        "predictions": [float(p) for p in fitted.predictions],
+    }
+
+
+def isotonic_apply(df: DataFrame, state: dict, score_col: str,
+                   out_col: str = "score_calibrated") -> DataFrame:
+    """Apply a frozen :func:`isotonic_fit` map: piecewise-LINEAR
+    interpolation between fitted boundaries (the ml transform
+    semantics), clamped to the edge predictions outside the fitted
+    range; NULL scores pass through as NULL.
+
+    Scale: the boundary segments travel as a BROADCAST frame (one row
+    per adjacent boundary pair) and each row finds its segment with a
+    range join — no literals blow-up at large boundary counts, no
+    shuffle of the data side, no Python.
+    """
+    if score_col not in df.columns:
+        raise ValueError(f"missing column: {score_col!r}")
+    bs, ps = state["boundaries"], state["predictions"]
+    if not bs:
+        raise ValueError("isotonic_apply: empty state")
+    spark = df.sparkSession
+    segs = []
+    if len(bs) == 1:
+        segs.append((bs[0], bs[0], ps[0], ps[0]))
+    else:
+        for i in range(len(bs) - 1):
+            segs.append((bs[i], bs[i + 1], ps[i], ps[i + 1]))
+    from pyspark.sql import types as T
+    seg_schema = T.StructType([
+        T.StructField("__lo", T.DoubleType()),
+        T.StructField("__hi", T.DoubleType()),
+        T.StructField("__plo", T.DoubleType()),
+        T.StructField("__phi", T.DoubleType()),
+        T.StructField("__last", T.BooleanType())])
+    seg_df = spark.createDataFrame(
+        [(lo, hi, plo, phi, i == len(segs) - 1)
+         for i, (lo, hi, plo, phi) in enumerate(segs)], seg_schema)
+    s = F.col(score_col).cast("double")
+    in_seg = (s >= F.col("__lo")) & (
+        F.when(F.col("__last"), s <= F.col("__hi"))
+        .otherwise(s < F.col("__hi")))
+    # clamped rows (below first / above last boundary / NULL) join no
+    # segment -> left join keeps them, coalesce picks the edge value
+    joined = df.join(F.broadcast(seg_df), in_seg, "left")
+    interp = F.when(
+        F.col("__hi") == F.col("__lo"), F.col("__plo")).otherwise(
+        F.col("__plo") + (F.col("__phi") - F.col("__plo"))
+        * (s - F.col("__lo")) / (F.col("__hi") - F.col("__lo")))
+    lo_b, hi_b = float(bs[0]), float(bs[-1])
+    lo_p, hi_p = float(ps[0]), float(ps[-1])
+    cal = (F.when(s.isNull(), F.lit(None).cast("double"))
+           .when(s < F.lit(lo_b), F.lit(lo_p))
+           .when(s > F.lit(hi_b), F.lit(hi_p))
+           .otherwise(interp))
+    return (joined.withColumn(out_col, cal)
+            .drop("__lo", "__hi", "__plo", "__phi", "__last"))

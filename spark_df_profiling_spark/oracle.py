@@ -3848,6 +3848,36 @@ FROM (
         FROM om WHERE prec >= 0.5)
   WHERE rk = 1)
 UNION ALL
+-- isotonic replay (r13): exact PAV via the max-min formula
+-- fitted(i) = max_j<=i min_k>=i weightedmean(j..k) over the distinct-
+-- score frame (O(n^3) at the ~tens-of-points fixture scale)
+SELECT 'iso', CAST(ii AS BIGINT), CAST(w AS BIGINT), {_psig('f')}, 1
+FROM (
+  WITH ibase AS (
+    SELECT floor(CAST(embedding[3] AS DOUBLE) * 2) / 2 AS s,
+           CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS y
+    FROM embeddings
+    WHERE label IS NOT NULL AND embedding IS NOT NULL),
+  pts AS (SELECT s, avg(y) AS my, CAST(count(*) AS DOUBLE) AS w,
+                 row_number() OVER (ORDER BY s) AS i
+          FROM ibase GROUP BY s),
+  cc AS (SELECT i, s, w, sum(my * w) OVER (ORDER BY i) AS cy,
+                sum(w) OVER (ORDER BY i) AS cw
+         FROM pts),
+  sm AS (SELECT j.i AS j, k.i AS k,
+                (k.cy - coalesce(jm.cy, 0))
+                  / (k.cw - coalesce(jm.cw, 0)) AS m
+         FROM cc j JOIN cc k ON k.i >= j.i
+         LEFT JOIN cc jm ON jm.i = j.i - 1),
+  fit AS (SELECT i, max(mnv) AS f FROM (
+            SELECT sm.j, ii.i, min(sm.m) AS mnv
+            FROM sm JOIN cc ii ON sm.k >= ii.i AND sm.j <= ii.i
+            GROUP BY sm.j, ii.i)
+          GROUP BY i)
+  SELECT CAST(cc.s * 2 AS BIGINT) AS ii, CAST(cc.w AS BIGINT) AS w,
+         fit.f AS f
+  FROM cc JOIN fit USING (i))
+UNION ALL
 -- mcnemar replay (r13, grouped): paired-correctness disagreement
 -- cells as exact integers + the continuity-corrected chi2
 SELECT 'mcn', CAST(g AS BIGINT),
@@ -4225,6 +4255,29 @@ def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.coalesce(sig(F.col("chi2")),
                                        F.lit("null"))).alias("sim_s"),
                    F.col("n").cast("int").alias("rank")))
+    # 'iso' rows grade evaluation.isotonic_fit/isotonic_apply — the
+    # score is dimension 2 floored to halves (~bounded distinct set),
+    # the label the usual label<5; at every TRAINING score the applied
+    # value must equal the exact PAV solution, which DuckDB replays
+    # via the max-min formula fitted(i) = max_{j<=i} min_{k>=i}
+    # weightedmean(j..k)
+    from spark_df_profiling_spark.operators.evaluation import (
+        isotonic_apply, isotonic_fit)
+    iso_base = (e.where(F.col("label").isNotNull()
+                        & F.col("embedding").isNotNull())
+                .select(
+                    (F.floor(F.get(F.col("embedding"), 2)
+                             .cast("double") * 2) / 2).alias("s"),
+                    (F.col("label") < 5).cast("double").alias("y")))
+    ist = isotonic_fit(iso_base, "y", "s")
+    iso_probe = (iso_base.groupBy("s")
+                 .agg(F.count(F.lit(1)).cast("long").alias("w")))
+    iso = (isotonic_apply(iso_probe, ist, "s")
+           .select(F.lit("iso").alias("part"),
+                   (F.col("s") * 2).cast("long").alias("query_id"),
+                   F.col("w").alias("neighbor_id"),
+                   sig(F.col("score_calibrated")).alias("sim_s"),
+                   F.lit(1).alias("rank")))
     oppt = (operating_points(gra_df, "y", "s", beta=1.0,
                              min_precision=0.5, group_col="g")
             .select(F.lit("oppt").alias("part"),
@@ -4246,7 +4299,7 @@ def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(conf).unionByName(rbo)
             .unionByName(abt).unionByName(cbal)
             .unionByName(negm).unionByName(oppt)
-            .unionByName(mcn)
+            .unionByName(mcn).unionByName(iso)
             .orderBy("part", "query_id", "rank"))
 
 
