@@ -1564,3 +1564,81 @@ def bpe_train(df: DataFrame, text_col: str, n_merges: int = 10,
         seqs = (seqs.withColumn("syms", _bpe_merge_expr(a, b))
                 .localCheckpoint())
     return merges
+
+
+def bpe_encode_words(df: DataFrame, text_col: str,
+                     merges: "list[tuple]",
+                     checkpoint_every: int = 16) -> DataFrame:
+    """Apply a trained :func:`bpe_train` merge table to the corpus —
+    the ENCODE half of the tokenizer pair: one row per word TYPE with
+    ``(word, tokens, n_tokens, cnt)``, where ``tokens`` is the
+    symbol sequence after replaying every merge in rank order with
+    the exact left-to-right non-overlapping fold training used
+    (:func:`_bpe_merge_expr` — encode/train asymmetry is how token
+    counts silently drift).
+
+    Scale: THE word-type collapse again — the corpus is touched once
+    (map-side-combined histogram), and all merges replay over the
+    vocabulary-sized frame, never the token stream ('the' is encoded
+    ONCE no matter how many billion times it occurs).  Lineage is
+    localCheckpoint-ed every ``checkpoint_every`` merges so a
+    10k-merge vocabulary doesn't build a 10k-deep expression tree.
+    """
+    if not merges:
+        raise ValueError("merges must be non-empty")
+    for m in merges:
+        if len(m) < 3:
+            raise ValueError(
+                f"merge rows need (rank, sym_a, sym_b, ...): {m!r}")
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"checkpoint_every must be >= 1: {checkpoint_every}")
+    hist = _bpe_word_hist(df, text_col, None)
+    seqs = hist.select("word",
+                       F.split(F.col("word"), "").alias("syms"),
+                       "cnt")
+    for i, m in enumerate(merges):
+        a, b = str(m[1]), str(m[2])
+        seqs = seqs.withColumn("syms", _bpe_merge_expr(a, b))
+        if (i + 1) % checkpoint_every == 0:
+            seqs = seqs.localCheckpoint()
+    return seqs.select("word", F.col("syms").alias("tokens"),
+                       F.size("syms").cast("long").alias("n_tokens"),
+                       F.col("cnt").cast("long").alias("cnt"))
+
+
+def bpe_token_count(df: DataFrame, text_col: str,
+                    merges: "list[tuple]", id_col: str,
+                    out_col: str = "n_tokens_bpe") -> DataFrame:
+    """Per-document token count under a trained BPE merge table —
+    the budget number every packing/mixture/pricing step needs, from
+    the REAL tokenizer rather than the whitespace/regex proxies
+    (:func:`n_tokens_ws` / :func:`n_tokens_bpe`): one row per input
+    row, ``(id, n_tokens_bpe)``; a document with no encodable words
+    counts 0; NULL text counts 0 (a NULL doc has no tokens — filter
+    upstream if NULL should be an error).
+
+    Scale: word TYPES encode once (:func:`bpe_encode_words`), then
+    each document's exploded words hash-join the vocabulary frame on
+    the word and one map-side-combined groupBy sums per document —
+    the join side is vocabulary-sized and AQE broadcasts it when it
+    fits; a stop-word's million occurrences are a million probes of
+    ONE build row, never an expansion.
+    """
+    if id_col not in df.columns:
+        raise ValueError(f"missing column: {id_col!r}")
+    enc = bpe_encode_words(df, text_col, merges) \
+        .select("word", "n_tokens")
+    words = (df.select(F.col(id_col).alias("__id"),
+                       F.explode(F.split(_c(text_col), " "))
+                       .alias("word"))
+             .where((F.col("word") != "")
+                    & ~F.col("word").contains(BPE_SEP)))
+    per_doc = (words.join(enc, "word")
+               .groupBy("__id")
+               .agg(F.sum("n_tokens").cast("long").alias("__nt")))
+    return (df.select(F.col(id_col).alias("__id"))
+            .join(per_doc, "__id", "left")
+            .select(F.col("__id").alias(id_col),
+                    F.coalesce("__nt", F.lit(0).cast("long"))
+                    .alias(out_col)))

@@ -10357,6 +10357,99 @@ FROM (
   SELECT 1 AS rank, pair, cnt FROM b1
   UNION ALL SELECT 2, pair, cnt FROM b2
   UNION ALL SELECT 3, pair, cnt FROM b3)
+UNION ALL
+-- bpe_encode_words replay (r13): re-derive the same three merges
+-- independently, then replay the per-word left-to-right list_reduce
+-- fold over every word type of docs < 30 — token counts exact
+SELECT 'benc', word, CAST(len(syms) AS BIGINT),
+       CAST(NULL AS VARCHAR)
+FROM (
+  WITH ebh AS (SELECT word AS w, count(*) AS cnt
+               FROM (SELECT unnest(string_split(text, ' ')) AS word
+                     FROM documents)
+               WHERE word <> '' AND NOT contains(word, chr(31))
+               GROUP BY word),
+  es0 AS (SELECT list_transform(range(1, len(w)+1), i -> w[i])
+              AS syms, cnt FROM ebh),
+  eb1 AS (
+    SELECT pair FROM (
+      SELECT pair, CAST(sum(cnt) AS BIGINT) AS cnt
+      FROM (SELECT unnest(list_transform(range(1, len(syms)),
+                   i -> syms[i] || chr(31) || syms[i+1])) AS pair, cnt
+            FROM es0)
+      GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 1)),
+  es1 AS (
+    SELECT list_reduce(list_transform(syms, x -> [x]),
+             (acc, x) -> CASE WHEN len(acc) > 0
+                  AND acc[-1] = string_split(eb1.pair, chr(31))[1]
+                  AND x[1] = string_split(eb1.pair, chr(31))[2]
+               THEN list_append(list_slice(acc, 1, len(acc)-1),
+                                replace(eb1.pair, chr(31), ''))
+               ELSE list_concat(acc, x) END) AS syms,
+           es0.cnt AS cnt
+    FROM es0, eb1),
+  eb2 AS (
+    SELECT pair FROM (
+      SELECT pair, CAST(sum(cnt) AS BIGINT) AS cnt
+      FROM (SELECT unnest(list_transform(range(1, len(syms)),
+                   i -> syms[i] || chr(31) || syms[i+1])) AS pair, cnt
+            FROM es1)
+      GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 1)),
+  es2 AS (
+    SELECT list_reduce(list_transform(syms, x -> [x]),
+             (acc, x) -> CASE WHEN len(acc) > 0
+                  AND acc[-1] = string_split(eb2.pair, chr(31))[1]
+                  AND x[1] = string_split(eb2.pair, chr(31))[2]
+               THEN list_append(list_slice(acc, 1, len(acc)-1),
+                                replace(eb2.pair, chr(31), ''))
+               ELSE list_concat(acc, x) END) AS syms,
+           es1.cnt AS cnt
+    FROM es1, eb2),
+  eb3 AS (
+    SELECT pair FROM (
+      SELECT pair, CAST(sum(cnt) AS BIGINT) AS cnt
+      FROM (SELECT unnest(list_transform(range(1, len(syms)),
+                   i -> syms[i] || chr(31) || syms[i+1])) AS pair, cnt
+            FROM es2)
+      GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 1)),
+  ew0 AS (SELECT word,
+                 list_transform(range(1, len(word)+1), i -> word[i])
+                   AS syms
+          FROM (SELECT DISTINCT unnest(string_split(text, ' '))
+                    AS word
+                FROM documents WHERE doc_id < 30)
+          WHERE word <> '' AND NOT contains(word, chr(31))),
+  ew1 AS (
+    SELECT word,
+           list_reduce(list_transform(syms, x -> [x]),
+             (acc, x) -> CASE WHEN len(acc) > 0
+                  AND acc[-1] = string_split(eb1.pair, chr(31))[1]
+                  AND x[1] = string_split(eb1.pair, chr(31))[2]
+               THEN list_append(list_slice(acc, 1, len(acc)-1),
+                                replace(eb1.pair, chr(31), ''))
+               ELSE list_concat(acc, x) END) AS syms
+    FROM ew0, eb1),
+  ew2 AS (
+    SELECT word,
+           list_reduce(list_transform(syms, x -> [x]),
+             (acc, x) -> CASE WHEN len(acc) > 0
+                  AND acc[-1] = string_split(eb2.pair, chr(31))[1]
+                  AND x[1] = string_split(eb2.pair, chr(31))[2]
+               THEN list_append(list_slice(acc, 1, len(acc)-1),
+                                replace(eb2.pair, chr(31), ''))
+               ELSE list_concat(acc, x) END) AS syms
+    FROM ew1, eb2),
+  ew3 AS (
+    SELECT word,
+           list_reduce(list_transform(syms, x -> [x]),
+             (acc, x) -> CASE WHEN len(acc) > 0
+                  AND acc[-1] = string_split(eb3.pair, chr(31))[1]
+                  AND x[1] = string_split(eb3.pair, chr(31))[2]
+               THEN list_append(list_slice(acc, 1, len(acc)-1),
+                                replace(eb3.pair, chr(31), ''))
+               ELSE list_concat(acc, x) END) AS syms
+    FROM ew2, eb3)
+  SELECT word, syms FROM ew3)
 ORDER BY part, k
 """)
 def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10455,9 +10548,23 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("cnt").alias("v1"),
                       F.concat(F.col("sym_a"), F.lit("/"),
                                F.col("sym_b")).alias("v2s")))
+    # 'benc' rows (r13) grade text.bpe_encode_words — the ENCODE half
+    # of the tokenizer pair: every word type of docs < 30 encoded
+    # under the SAME first-three trained merges, token counts exact;
+    # DuckDB re-derives the merges AND replays the per-word
+    # left-to-right list_reduce fold independently
+    from spark_df_profiling_spark.operators.text import (
+        bpe_encode_words)
+    benc = (bpe_encode_words(d.where(F.col("doc_id") < 30), "text",
+                             bm_rows)
+            .select(F.lit("benc").alias("part"),
+                    F.col("word").alias("k"),
+                    F.col("n_tokens").alias("v1"),
+                    F.lit(None).cast("string").alias("v2s")))
     return (top.unionByName(tfidf).unionByName(zipf).unionByName(bm25)
             .unionByName(pmi).unionByName(ov)
             .unionByName(bpair).unionByName(bmerge)
+            .unionByName(benc)
             .orderBy("part", "k"))
 
 
