@@ -670,3 +670,64 @@ def categorical_psi_reference(ref: DataFrame, col: str,
     out = [(r["v"], r["n"] / total) for r in head]
     out.append(("__other__", other / total))
     return out
+
+
+def bh_fdr(df: DataFrame, p_col: str, alpha: float = 0.05,
+           group_col: "str | None" = None,
+           out_col: str = "bh_rejected") -> DataFrame:
+    """Benjamini–Hochberg FDR control over a frame of test results —
+    the missing step after running :func:`ks_by_group` /
+    :func:`psi_by_group` / :func:`~spark_df_profiling_spark.operators.
+    evaluation.mcnemar_test` across 10k segments: at alpha=0.05, 500
+    of 10k NULL segments "drift" by chance; BH caps the expected
+    FALSE-discovery fraction at alpha instead (Benjamini & Hochberg
+    1995).  Appends to every row: ``bh_m`` (tests in its family),
+    ``bh_threshold`` (the p* cutoff = the largest p(k) ≤ k·alpha/m;
+    NULL when nothing qualifies), and ``out_col`` (p ≤ p*; false when
+    no discovery, NULL for NULL p).  ``group_col`` runs one BH per
+    family (e.g. per metric) — the standard per-family control.
+
+    Scale: p-values collapse to the per-(family,) DISTINCT frame and
+    the rank of each tie block's LAST member comes from the shared
+    frozen-boundary prefix (``cb + c`` — BH's step-up rule is
+    tie-invariant under "reject all p ≤ p*", so block ranks are
+    exact); one aggregate finds p* per family and a broadcast-sized
+    join hands it back to the rows.  Nothing row-sized sits in one
+    task at any family cardinality.
+    """
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1): {alpha}")
+    if p_col not in df.columns:
+        raise ValueError(f"missing column: {p_col!r}")
+    if group_col and group_col not in df.columns:
+        raise ValueError(f"missing column: {group_col!r}")
+    from spark_df_profiling_spark.operators.evaluation import (
+        _distinct_score_prefix)
+    staged, tot_df = _distinct_score_prefix(
+        df.withColumn("__bh_y", F.lit(True)), "__bh_y", p_col,
+        group_col)
+    ranked = staged.join(tot_df, "__g")
+    # last-member rank of the tie block; candidate iff
+    # p <= rank * alpha / m
+    qualifies = (F.col("__s")
+                 <= (F.col("__cb") + F.col("__c")).cast("double")
+                 * F.lit(alpha) / F.col("__na"))
+    pstar = (ranked.where(qualifies)
+             .groupBy("__g")
+             .agg(F.max("__s").alias("__pstar")))
+    fam = (tot_df.select("__g", F.col("__na").alias("bh_m"))
+           .join(pstar, "__g", "left"))
+    p = F.col(p_col).cast("double")
+    if group_col:
+        joined = df.join(
+            fam.withColumnRenamed("__g", group_col), group_col,
+            "left")
+    else:
+        joined = df.crossJoin(F.broadcast(fam.drop("__g")))
+    rejected = (F.when(p.isNull(), F.lit(None).cast("boolean"))
+                .when(F.col("__pstar").isNotNull(),
+                      p <= F.col("__pstar"))
+                .otherwise(F.lit(False)))
+    return (joined.withColumn("bh_threshold", F.col("__pstar"))
+            .withColumn(out_col, rejected)
+            .drop("__pstar"))

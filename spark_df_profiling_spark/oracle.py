@@ -5351,6 +5351,35 @@ FROM (
   JOIN cref ON cref.b = ccells.b
   JOIN cwtot ON cwtot.w = ccells.w)
 GROUP BY w
+UNION ALL
+-- bh_fdr replay (r13, per-returnflag families): last-member tie-
+-- block ranks, p* = max p(k) <= k*alpha/m, rejected = p <= p*
+SELECT 'bh:' || g AS metric, CAST(m AS BIGINT) AS window_epoch,
+       CAST(nrej AS BIGINT) AS n,
+       coalesce({_psig('ps')}, 'null') AS psi_s,
+       CAST(NULL AS VARCHAR) AS jsd_s
+FROM (
+  WITH pv AS (
+    SELECT l_returnflag AS g,
+           CASE WHEN l_partkey % 10 = 0
+                THEN (l_partkey % 1000) / 100000.0
+                ELSE (l_partkey % 1000) / 1000.0 END AS p
+    FROM lineitem
+    WHERE l_returnflag IS NOT NULL AND l_partkey IS NOT NULL),
+  fm AS (SELECT g, CAST(count(*) AS BIGINT) AS m FROM pv GROUP BY g),
+  dd AS (SELECT g, p, count(*) AS c FROM pv GROUP BY g, p),
+  cum AS (SELECT g, p,
+                 sum(c) OVER (PARTITION BY g ORDER BY p) AS r
+          FROM dd),
+  st AS (SELECT cum.g, max(p) AS ps
+         FROM cum JOIN fm USING (g)
+         WHERE p <= r * 0.05 / m
+         GROUP BY cum.g)
+  SELECT fm.g, fm.m, st.ps,
+         (SELECT count(*) FROM pv
+          WHERE pv.g = fm.g AND st.ps IS NOT NULL
+            AND pv.p <= st.ps) AS nrej
+  FROM fm LEFT JOIN st ON fm.g = st.g)
 ORDER BY metric, window_epoch
 """)
 def streaming_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5395,7 +5424,31 @@ def streaming_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         epoch_seconds(cres, "window_start").alias("window_epoch"),
         F.col("n"), sig(F.col("psi")).alias("psi_s"),
         sig(F.col("jsd")).alias("jsd_s")))
-    return (num.unionByName(cat)
+    # 'bh:' rows (r13) grade drift.bh_fdr — the multiple-testing step
+    # after per-segment drift tests: deterministic p-values from
+    # l_partkey (every 10th scaled down so real discoveries exist),
+    # one BH family per returnflag; m / n_rejected exact, p* at sig
+    from spark_df_profiling_spark.operators.drift import bh_fdr
+    li = _t(spark, sf_dir, "lineitem")
+    pv = (li.where(F.col("l_returnflag").isNotNull()
+                   & F.col("l_partkey").isNotNull())
+          .select(F.col("l_returnflag").alias("g"),
+                  F.when(F.col("l_partkey") % 10 == 0,
+                         (F.col("l_partkey") % 1000) / 100000.0)
+                  .otherwise((F.col("l_partkey") % 1000) / 1000.0)
+                  .alias("p")))
+    bh = bh_fdr(pv, "p", alpha=0.05, group_col="g")
+    bhrows = (bh.groupBy("g", "bh_m", "bh_threshold")
+              .agg(F.sum(F.when(F.col("bh_rejected"), 1)
+                         .otherwise(0)).cast("long").alias("__nrej"))
+              .select(F.concat(F.lit("bh:"), F.col("g"))
+                      .alias("metric"),
+                      F.col("bh_m").alias("window_epoch"),
+                      F.col("__nrej").alias("n"),
+                      F.coalesce(sig(F.col("bh_threshold")),
+                                 F.lit("null")).alias("psi_s"),
+                      F.lit(None).cast("string").alias("jsd_s")))
+    return (num.unionByName(cat).unionByName(bhrows)
             .orderBy("metric", "window_epoch"))
 
 

@@ -148,3 +148,62 @@ class TestDistributedBoundaryPrefix:
         # tiny: k = ceil(3 * 0.9) = 3 > n = 2 -> infeasible
         assert got["tiny"]["feasible"] is False
         assert got["tiny"]["threshold"] is None
+
+
+class TestBhFdr:
+    @staticmethod
+    def _py_bh(ps, alpha):
+        m = len(ps)
+        pstar = None
+        for i, p in enumerate(sorted(ps), 1):
+            if p <= i * alpha / m:
+                pstar = p
+        return pstar
+
+    def test_matches_python_reference(self, spark):
+        import random
+
+        from spark_df_profiling_spark.operators.drift import bh_fdr
+        rng = random.Random(3)
+        # 100 null tests + 20 genuine small p-values, with ties
+        ps = ([round(rng.random(), 2) for _ in range(100)]
+              + [rng.random() * 0.001 for _ in range(20)])
+        df = spark.createDataFrame([(p,) for p in ps], "p double")
+        out = bh_fdr(df, "p", alpha=0.05).collect()
+        pstar = self._py_bh(ps, 0.05)
+        assert pstar is not None
+        for r in out:
+            assert r["bh_m"] == 120
+            assert r["bh_threshold"] == pytest.approx(pstar)
+            assert r["bh_rejected"] == (r["p"] <= pstar)
+        assert sum(1 for r in out if r["bh_rejected"]) >= 20
+
+    def test_grouped_families_and_no_discovery(self, spark):
+        from spark_df_profiling_spark.operators.drift import bh_fdr
+        rows = ([("hot", 0.0001), ("hot", 0.5), ("hot", 0.9)]
+                + [("calm", 0.4), ("calm", 0.6), ("calm", 0.8)])
+        df = spark.createDataFrame(rows, "g string, p double")
+        got = {(r["g"], r["p"]): r for r in
+               bh_fdr(df, "p", alpha=0.05, group_col="g").collect()}
+        assert got[("hot", 0.0001)]["bh_rejected"] is True
+        assert got[("hot", 0.5)]["bh_rejected"] is False
+        # calm family: nothing qualifies -> threshold NULL, all False
+        assert got[("calm", 0.4)]["bh_threshold"] is None
+        assert got[("calm", 0.4)]["bh_rejected"] is False
+        assert got[("hot", 0.5)]["bh_m"] == 3
+
+    def test_null_p_propagates_null(self, spark):
+        from spark_df_profiling_spark.operators.drift import bh_fdr
+        df = spark.createDataFrame(
+            [(0.001,), (0.5,), (None,)], "p double")
+        got = {r["p"]: r for r in bh_fdr(df, "p", 0.05).collect()}
+        assert got[None]["bh_rejected"] is None
+        assert got[0.001]["bh_m"] == 2   # NULL p not a test
+
+    def test_bounds(self, spark):
+        from spark_df_profiling_spark.operators.drift import bh_fdr
+        df = spark.createDataFrame([(0.1,)], "p double")
+        with pytest.raises(ValueError, match="alpha"):
+            bh_fdr(df, "p", alpha=1.5)
+        with pytest.raises(ValueError, match="missing column"):
+            bh_fdr(df, "zz")
