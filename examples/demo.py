@@ -519,7 +519,55 @@ def main() -> None:
     thr = conformal_threshold(scored, "s", alpha=0.2)
     conformal_coverage(scored, thr, "s").show()
     from spark_df_profiling_spark.operators.text import bpe_train
-    print("BPE merges:", bpe_train(docs, "text", n_merges=5))
+    merges = bpe_train(docs, "text", n_merges=5)
+    print("BPE merges:", merges)
+
+    # --- round 13: projection, calibration, reliability, FDR --------
+    from spark_df_profiling_spark.operators.similarity import (
+        pca_fit, pca_project)
+    pst = pca_fit(emb, k=4)
+    print("PCA top-4 explained variance ratio:",
+          [round(r, 4) for r in pst["explained_variance_ratio"]])
+    pca_project(emb, pst).select("vec_id", "embedding_pca").show(
+        3, truncate=60)
+
+    from spark_df_profiling_spark.operators.evaluation import (
+        isotonic_apply, isotonic_fit, mcnemar_test)
+    ist = isotonic_fit(scored.select(
+        F.col("y").cast("double").alias("yd"),
+        F.round(F.col("s") * 20).alias("sq")), "yd", "sq")
+    isotonic_apply(scored.select(F.round(F.col("s") * 20)
+                                 .alias("sq")).distinct(),
+                   ist, "sq").orderBy("sq").show(5)
+    paired = emb.select(
+        (F.col("label") < 5).alias("y"),
+        (F.get("embedding", 0).cast("double") > 0).alias("pa"),
+        (F.get("embedding", 1).cast("double") > 0).alias("pb"))
+    mcnemar_test(paired, "y", "pa", "pb").show()
+
+    from spark_df_profiling_spark.operators.correlation import (
+        cronbach_alpha, spearman_matrix)
+    cronbach_alpha(li, ["l_quantity", "l_extendedprice",
+                        "l_tax"]).show()
+    spearman_matrix(li, ["l_quantity", "l_extendedprice",
+                         "l_discount"]).show()
+
+    from spark_df_profiling_spark.operators.drift import bh_fdr
+    pvals = li.select(
+        F.col("l_returnflag").alias("seg"),
+        F.when(F.col("l_partkey") % 10 == 0,
+               (F.col("l_partkey") % 1000) / 100000.0)
+        .otherwise((F.col("l_partkey") % 1000) / 1000.0).alias("p"))
+    (bh_fdr(pvals, "p", alpha=0.05, group_col="seg")
+     .groupBy("seg").agg(
+         F.sum(F.when(F.col("bh_rejected"), 1).otherwise(0))
+         .alias("n_discoveries"),
+         F.max("bh_threshold").alias("p_star")).show())
+
+    from spark_df_profiling_spark.operators.text import (
+        bpe_token_count)
+    bpe_token_count(docs, "text", merges, "doc_id") \
+        .orderBy("doc_id").show(3)
 
     spark.stop()
 
