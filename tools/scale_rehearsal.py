@@ -2377,8 +2377,91 @@ def r13_main() -> None:
     spark.stop()
 
 
+def r13b_main() -> None:
+    """Planted-skew rehearsals for the round-13 operators:
+    spearman_matrix at 10M rows with a 50%-hot tie value (the tie
+    block must stay ONE distinct row + a hash-join probe, never an
+    expansion), bh_fdr at 10M p-values / 1M families (the per-family
+    prefix is bounded), isotonic at a 50% tie score, bpe_token_count
+    with a 50%-hot stop word (one build row, a million probes)."""
+    spark = (SparkSession.builder.master("local[32]")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory", "32g")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from spark_df_profiling_spark.operators.correlation import (
+        spearman_matrix)
+    # 50% of rows share ONE value of a; b continuous-ish; c coarse
+    sk = spark.range(10_000_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit(500.0))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(1_000_000))
+                   .cast("double")).alias("a"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(10_000_000))
+        .cast("double").alias("b"),
+        F.pmod(F.xxhash64("id", F.lit(2)), F.lit(7))
+        .cast("double").alias("c")).localCheckpoint()
+    t0 = time.time()
+    rows = spearman_matrix(sk, ["a", "b", "c"]).collect()
+    print(f"spearman_matrix 10M rows, 50%-hot tie on a: "
+          f"{[(r['col_x'], r['col_y'], round(r['spearman'], 4)) for r in rows]}, "
+          f"{time.time() - t0:.1f}s", flush=True)
+
+    from spark_df_profiling_spark.operators.drift import bh_fdr
+    pv = spark.range(10_000_000).select(
+        F.pmod(F.col("id"), F.lit(1_000_000)).alias("fam"),
+        (F.pmod(F.xxhash64("id"), F.lit(1_000_000))
+         / 1_000_000.0).alias("p"))
+    t0 = time.time()
+    n_rej = (bh_fdr(pv, "p", alpha=0.05, group_col="fam")
+             .where(F.col("bh_rejected")).count())
+    print(f"bh_fdr 10M p-values / 1M families: {n_rej} discoveries "
+          f"(uniform nulls -> ~0 expected), "
+          f"{time.time() - t0:.1f}s", flush=True)
+
+    from spark_df_profiling_spark.operators.evaluation import (
+        isotonic_apply, isotonic_fit)
+    iso_df = spark.range(10_000_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit(50.0))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(100))
+                   .cast("double")).alias("s"),
+        (F.pmod(F.xxhash64("id", F.lit(3)), F.lit(100))
+         < F.pmod(F.xxhash64("id"), F.lit(100))).cast("double")
+        .alias("y"))
+    t0 = time.time()
+    st = isotonic_fit(iso_df, "y", "s")
+    t1 = time.time()
+    out = isotonic_apply(iso_df, st, "s").agg(
+        F.avg("score_calibrated")).collect()[0][0]
+    print(f"isotonic 10M rows, 50%-hot tie score, "
+          f"{st['n_distinct']} distinct: fit {t1 - t0:.1f}s, "
+          f"apply {time.time() - t1:.1f}s (mean {out:.4f})",
+          flush=True)
+
+    from spark_df_profiling_spark.operators.text import (
+        bpe_token_count, bpe_train)
+    docs = spark.range(2_000_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("the the the "),      # 50%-hot words
+                 F.lit("w"), F.col("id").cast("string"),
+                 F.lit(" tail")).alias("text"))
+    t0 = time.time()
+    merges = bpe_train(docs, "text", n_merges=5)
+    t1 = time.time()
+    tot = bpe_token_count(docs, "text", merges, "doc_id").agg(
+        F.sum("n_tokens_bpe")).collect()[0][0]
+    print(f"bpe train(5)+token_count 2M docs, hot stop word: "
+          f"train {t1 - t0:.1f}s, count {time.time() - t1:.1f}s "
+          f"({tot} tokens)", flush=True)
+    spark.stop()
+
+
 if __name__ == "__main__":
-    if "r13" in sys.argv:
+    if "r13b" in sys.argv:
+        r13b_main()
+    elif "r13" in sys.argv:
         r13_main()
     elif "r12g" in sys.argv:
         r12g_main()
