@@ -723,7 +723,15 @@ def bh_fdr(df: DataFrame, p_col: str, alpha: float = 0.05,
             fam.withColumnRenamed("__g", group_col), group_col,
             "left")
     else:
-        joined = df.crossJoin(F.broadcast(fam.drop("__g")))
+        # keyless: the family frame is exactly one row (collect it —
+        # a bare crossJoin would silently DROP every input row when
+        # all p are NULL and the frame is empty)
+        frow = fam.collect()
+        m = frow[0]["bh_m"] if frow else 0
+        ps_val = frow[0]["__pstar"] if frow else None
+        joined = (df.withColumn("bh_m", F.lit(m).cast("long"))
+                  .withColumn("__pstar",
+                              F.lit(ps_val).cast("double")))
     rejected = (F.when(p.isNull(), F.lit(None).cast("boolean"))
                 .when(F.col("__pstar").isNotNull(),
                       p <= F.col("__pstar"))

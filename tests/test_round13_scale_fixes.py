@@ -207,3 +207,15 @@ class TestBhFdr:
             bh_fdr(df, "p", alpha=1.5)
         with pytest.raises(ValueError, match="missing column"):
             bh_fdr(df, "zz")
+
+    def test_all_null_p_keeps_rows(self, spark):
+        """Keyless bh_fdr on an all-NULL p frame must keep every row
+        (bh_m=0, rejected NULL) — not silently drop them."""
+        from spark_df_profiling_spark.operators.drift import bh_fdr
+        df = spark.createDataFrame(
+            [(None,), (None,)], "p double")
+        out = bh_fdr(df, "p", 0.05).collect()
+        assert len(out) == 2
+        for r in out:
+            assert r["bh_m"] == 0
+            assert r["bh_rejected"] is None
