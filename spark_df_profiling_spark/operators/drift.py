@@ -739,3 +739,61 @@ def bh_fdr(df: DataFrame, p_col: str, alpha: float = 0.05,
     return (joined.withColumn("bh_threshold", F.col("__pstar"))
             .withColumn(out_col, rejected)
             .drop("__pstar"))
+
+
+def ks_reference(ref: DataFrame, col: str,
+                 n_edges: int = 64) -> "list[tuple[float, float]]":
+    """Fit the frozen reference for :func:`~spark_df_profiling_spark.
+    streaming.streaming_ks` — the KS companion of
+    :func:`psi_reference`: ``n_edges`` exact order-statistic edges
+    (edge ``k`` = the smallest value whose cumulative count reaches
+    ``ceil(k·n/(n_edges+1))``) each with the reference CDF AT that
+    edge (ties included).  Returned as ``[(edge, cdf), ...]`` driver
+    literals; the streaming consumer measures ``max_k |ecdf_window
+    (edge_k) − cdf_k|`` — the KS statistic restricted to the edge
+    grid, so the discretization error is bounded by ``1/(n_edges+1)``
+    of CDF mass (stated, not hidden).  NULLs excluded.
+
+    Scale: the exact order statistics WITHOUT a global sort — the
+    distinct-value frame + the shared frozen-boundary prefix
+    (:func:`~spark_df_profiling_spark.operators.evaluation.
+    _distinct_score_prefix`), then the ``n_edges`` rank targets join
+    the tie block containing each rank (the conformal_threshold
+    shape).  O(n_edges) driver rows.
+    """
+    if not 1 <= n_edges <= 4096:
+        raise ValueError(
+            f"n_edges must be in [1, 4096]: {n_edges}")
+    if col not in ref.columns:
+        raise ValueError(f"missing column: {col!r}")
+    from spark_df_profiling_spark.operators.evaluation import (
+        _distinct_score_prefix)
+    staged, tot_df = _distinct_score_prefix(
+        ref.withColumn("__ks_y", F.lit(True)), "__ks_y", col, None)
+    trow = tot_df.collect()
+    if not trow or trow[0]["__na"] == 0:
+        raise ValueError(
+            f"ks_reference: column {col!r} is all-NULL/empty")
+    n = int(trow[0]["__na"])
+    spark = ref.sparkSession
+    kdf = (spark.range(1, n_edges + 1)
+           .select(F.col("id").alias("__k"),
+                   F.ceil(F.col("id") * n / (n_edges + 1.0))
+                   .cast("long").alias("__r")))
+    hit = (staged.join(
+        F.broadcast(kdf),
+        (F.col("__r") > F.col("__cb"))
+        & (F.col("__r") <= F.col("__cb") + F.col("__c")))
+        .select("__k", F.col("__s").alias("__edge"),
+                ((F.col("__cb") + F.col("__c")) / F.lit(float(n)))
+                .alias("__cdf"))
+        .orderBy("__k").collect())
+    # adjacent rank targets can land in the same tie block — keep the
+    # distinct edges (duplicate edges measure the same CDF point)
+    out, seen = [], set()
+    for r in hit:
+        e = float(r["__edge"])
+        if e not in seen:
+            seen.add(e)
+            out.append((e, float(r["__cdf"])))
+    return out

@@ -5352,6 +5352,46 @@ FROM (
   JOIN cwtot ON cwtot.w = ccells.w)
 GROUP BY w
 UNION ALL
+-- streaming_ks replay (r13): 8 exact order-statistic edges from the
+-- batch events table, per-window cumulative counts at each edge, max
+-- |ecdf - ref_cdf| with the (d DESC, edge DESC) tie rule
+SELECT 'sks' AS metric, w AS window_epoch, n,
+       {_psig('d')} AS psi_s, {_psig('e')} AS jsd_s
+FROM (
+  WITH kv AS (SELECT CAST("value" AS DOUBLE) AS v FROM events
+              WHERE "value" IS NOT NULL),
+  kn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM kv),
+  kcum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cm
+           FROM (SELECT v, count(*) AS c FROM kv GROUP BY v)),
+  ke0 AS (SELECT r.k AS k,
+                 (SELECT min(v) FROM kcum, kn
+                  WHERE cm >= ceil(r.k * kn.n / 9.0)) AS edge
+          FROM range(1, 9) r(k)),
+  ke AS (SELECT DISTINCT edge,
+                (SELECT cm FROM kcum WHERE kcum.v = ke0.edge)
+                  / (SELECT CAST(n AS DOUBLE) FROM kn) AS cdf
+         FROM ke0),
+  kwin AS (SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400
+                    AS w,
+                  CAST("value" AS DOUBLE) AS v
+           FROM events
+           WHERE "value" IS NOT NULL AND ts IS NOT NULL),
+  kwn AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM kwin
+          GROUP BY w),
+  kc AS (SELECT kwin.w, ke.edge, ke.cdf,
+                sum(CASE WHEN kwin.v <= ke.edge THEN 1 ELSE 0 END)
+                  AS cnt
+         FROM kwin CROSS JOIN ke GROUP BY kwin.w, ke.edge, ke.cdf),
+  kd AS (SELECT w, n, d, e,
+                row_number() OVER (PARTITION BY w
+                                   ORDER BY d DESC, e DESC) AS rk
+         FROM (SELECT kc.w, kwn.n,
+                      abs(kc.cnt / CAST(kwn.n AS DOUBLE) - kc.cdf)
+                        AS d,
+                      kc.edge AS e
+               FROM kc JOIN kwn USING (w)))
+  SELECT w, n, d, e FROM kd WHERE rk = 1)
+UNION ALL
 -- bh_fdr replay (r13, per-returnflag families): last-member tie-
 -- block ranks, p* = max p(k) <= k*alpha/m, rejected = p <= p*
 SELECT 'bh:' || g AS metric, CAST(m AS BIGINT) AS window_epoch,
@@ -5424,6 +5464,26 @@ def streaming_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         epoch_seconds(cres, "window_start").alias("window_epoch"),
         F.col("n"), sig(F.col("psi")).alias("psi_s"),
         sig(F.col("jsd")).alias("jsd_s")))
+    # 'sks' rows (r13) grade drift.ks_reference + streaming.
+    # streaming_ks via a REAL availableNow run: exact order-statistic
+    # edge grid (8 edges) frozen on the batch events table, then each
+    # 1-day window's max CDF gap; DuckDB re-derives the edges and
+    # replays every per-window cumulative count independently
+    from spark_df_profiling_spark.operators.drift import ks_reference
+    from spark_df_profiling_spark.streaming import streaming_ks
+    kref = ks_reference(ev, "value", n_edges=8)
+    kout = streaming_ks(events_stream(spark, sf_dir), "ts_ts",
+                        "value", kref, window="1 day",
+                        watermark="1 hour")
+    run_stream_to_memory(kout, "sks_oracle_out",
+                         output_mode="complete")
+    kres = spark.table("sks_oracle_out")
+    sks = kres.select(
+        F.lit("sks").alias("metric"),
+        epoch_seconds(kres, "window_start").alias("window_epoch"),
+        F.col("n"),
+        sig(F.col("d_stat")).alias("psi_s"),
+        sig(F.col("at_edge")).alias("jsd_s"))
     # 'bh:' rows (r13) grade drift.bh_fdr — the multiple-testing step
     # after per-segment drift tests: deterministic p-values from
     # l_partkey (every 10th scaled down so real discoveries exist),
@@ -5449,6 +5509,7 @@ def streaming_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  F.lit("null")).alias("psi_s"),
                       F.lit(None).cast("string").alias("jsd_s")))
     return (num.unionByName(cat).unionByName(bhrows)
+            .unionByName(sks)
             .orderBy("metric", "window_epoch"))
 
 

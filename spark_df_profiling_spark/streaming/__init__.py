@@ -1023,3 +1023,55 @@ def streaming_psi_categorical(stream_df: DataFrame, ts_col: str,
         F.col("window.start").alias("window_start"),
         F.col("window.end").alias("window_end"),
         "n", psi.alias("psi"), jsd.alias("jsd"))
+
+
+def streaming_ks(stream_df: DataFrame, ts_col: str, value_col: str,
+                 reference: "list[tuple[float, float]]",
+                 window: str = "1 hour",
+                 watermark: str = "2 hours") -> DataFrame:
+    """Per-window KS drift against a frozen reference — the KS twin
+    of :func:`streaming_psi` (PSI sees bin-mass shifts; KS sees the
+    largest CDF gap, catching tail/median shifts equal-width bins
+    smear): each tumbling event-time window measures ``d_stat =
+    max_k |ecdf_window(edge_k) − cdf_ref(edge_k)|`` over the
+    :func:`~spark_df_profiling_spark.operators.drift.ks_reference`
+    edge grid, emitting ``(window_start, window_end, n, d_stat,
+    at_edge)`` — ``at_edge`` the edge attaining the supremum (largest
+    such edge on ties).  Exact at the grid; discretization error ≤
+    one grid cell of reference mass (the fit docstring's bound).
+
+    ONE streaming aggregation (the :func:`streaming_psi` trick): the
+    per-edge cumulative counts are ``len(reference)`` conditional-sum
+    COLUMNS of a single windowed agg, and the max-gap fold is a plain
+    post-projection with the reference CDF as literals — so an
+    availableNow replay equals the identical batch windowed agg, and
+    state is O(windows-in-flight × n_edges).  NULL values excluded.
+    """
+    if not reference:
+        raise ValueError("reference must be non-empty")
+    edges = [float(e) for e, _ in reference]
+    cdfs = [float(c) for _, c in reference]
+    if edges != sorted(edges):
+        raise ValueError("reference edges must be ascending")
+    v = F.col(value_col).cast("double")
+    base = (stream_df.where(v.isNotNull())
+            .select(F.col(ts_col), v.alias("__v"))
+            .withWatermark(ts_col, watermark))
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for i, e in enumerate(edges):
+        aggs.append(F.sum(F.when(F.col("__v") <= F.lit(e), 1)
+                          .otherwise(0)).cast("long")
+                    .alias(f"__le{i}"))
+    agg = base.groupBy(F.window(ts_col, window)).agg(*aggs)
+    nd = F.col("n").cast("double")
+    gaps = F.array(*[
+        F.struct(
+            F.abs(F.col(f"__le{i}") / nd - F.lit(cdfs[i]))
+            .alias("d"),
+            F.lit(edges[i]).alias("e"))
+        for i in range(len(edges))])
+    best = F.array_max(gaps)
+    return agg.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "n", best["d"].alias("d_stat"), best["e"].alias("at_edge"))
