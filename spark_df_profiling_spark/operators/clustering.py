@@ -545,3 +545,76 @@ def cluster_quality(df: DataFrame,
         T.StructField("davies_bouldin", T.DoubleType())])
     return spark.createDataFrame(
         [(k, n, float(within), float(between), ch, db)], schema)
+
+
+def prototypicality_prune(df: DataFrame,
+                          centroids: Sequence[Sequence[float]],
+                          drop_frac: float,
+                          vec_col: str = "embedding") -> DataFrame:
+    """D4-style prototype pruning (Tirumala et al. 2023: after
+    SemDeDup, drop each cluster's most PROTOTYPICAL points — the
+    dense near-duplicate core contributes the least marginal
+    information, while boundary points and outliers carry the
+    diversity): assign every vector to its nearest centroid, rank by
+    squared L2 distance WITHIN the cluster, and mark the closest
+    ``drop_frac`` for removal.  Appends ``(cluster, dist_sq,
+    pruned)`` to every row; the per-cluster threshold is the smallest
+    distinct distance whose cumulative count reaches
+    ``ceil(drop_frac · n_c)`` and the WHOLE boundary tie block prunes
+    with it (deterministic — at least the requested fraction goes; a
+    physical percentile cut would depend on sort nondeterminism
+    inside the tie).  NULL vectors pass through with NULL cluster /
+    pruned; length-mismatched vectors raise at execution (the
+    :func:`silhouette_simplified` contract).
+
+    Scale: assignment + distance are pure row expressions (the
+    SPARK-36718 own-projection fold array); the per-cluster
+    threshold is a k-th order statistic WITHOUT a global sort or a
+    per-cluster window — the shared frozen-boundary machinery over
+    the distinct-distance frame (a 5M-row hot cluster spreads across
+    partitions; its threshold join is one row).
+    """
+    if not 0.0 < drop_frac < 1.0:
+        raise ValueError(
+            f"drop_frac must be in (0, 1): {drop_frac}")
+    cents = [list(map(float, c)) for c in centroids]
+    if not cents:
+        raise ValueError("centroids must be non-empty")
+    vec = _c(vec_col)
+    ds = F.array(*[_dist_sq_expr(vec, c) for c in cents])
+    bad = F.exists(F.col("__pp_ds"), lambda x: x.isNull())
+    cluster = F.when(
+        F.col("__pp_ds").isNull(), F.lit(None).cast("int")) \
+        .when(~bad,
+              (F.array_position("__pp_ds", F.array_min("__pp_ds"))
+               - 1).cast("int")) \
+        .otherwise(F.raise_error(F.lit(
+            "prototypicality_prune: vector length does not match "
+            "the centroid dimension — distance fold came back "
+            "NULL")).cast("int"))
+    base = (df.withColumn("__pp_ds",
+                          F.when(vec.isNotNull(), ds))
+            .withColumn("cluster", cluster)
+            .withColumn("dist_sq", F.array_min("__pp_ds"))
+            .drop("__pp_ds"))
+    from spark_df_profiling_spark.operators.evaluation import (
+        _distinct_score_prefix)
+    staged, tot_df = _distinct_score_prefix(
+        base.where(F.col("cluster").isNotNull())
+        .withColumn("__pp_y", F.lit(True)),
+        "__pp_y", "dist_sq", "cluster")
+    kdf = tot_df.select(
+        "__g",
+        F.ceil(F.col("__na") * F.lit(drop_frac)).cast("long")
+        .alias("__k"))
+    thr = (staged.join(kdf, "__g")
+           .where((F.col("__k") > F.col("__cb"))
+                  & (F.col("__k") <= F.col("__cb") + F.col("__c")))
+           .select(F.col("__g").alias("cluster"),
+                   F.col("__s").alias("__thr")))
+    pruned = (F.when(F.col("cluster").isNull(),
+                     F.lit(None).cast("boolean"))
+              .otherwise(F.col("dist_sq") <= F.col("__thr")))
+    return (base.join(thr, "cluster", "left")
+            .withColumn("pruned", pruned)
+            .drop("__thr"))

@@ -8626,6 +8626,46 @@ SELECT 'div', k, v1, v2s FROM (
   UNION ALL SELECT 'std_cos', NULL, {_psig('sd')} FROM agg
   UNION ALL SELECT 'p_hi', NULL, {_psig('ph')} FROM agg)
 UNION ALL
+-- prototypicality_prune replay (r13, drop_frac=0.3): the kbal
+-- constant-vector assignment + per-cluster cumulative distance rank
+-- -> exact order-statistic threshold, pruned = dist <= thr
+SELECT 'prune', CAST(c AS VARCHAR), CAST(np AS BIGINT),
+       CAST(n AS VARCHAR) || ':' || {_psig('thr')}
+FROM (
+  WITH ppts AS (
+    SELECT vec_id AS id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings WHERE embedding IS NOT NULL),
+  pdd AS (
+    SELECT id,
+      [list_sum(list_transform(range(1, 1 + len(v)),
+         i -> (v[i] - (CASE WHEN i = 1 THEN -0.24 ELSE 0.0 END))
+            * (v[i] - (CASE WHEN i = 1 THEN -0.24 ELSE 0.0 END)))),
+       list_sum(list_transform(range(1, 1 + len(v)),
+         i -> (v[i] - (CASE WHEN i = 1 THEN -0.08 ELSE 0.0 END))
+            * (v[i] - (CASE WHEN i = 1 THEN -0.08 ELSE 0.0 END)))),
+       list_sum(list_transform(range(1, 1 + len(v)),
+         i -> (v[i] - (CASE WHEN i = 1 THEN 0.08 ELSE 0.0 END))
+            * (v[i] - (CASE WHEN i = 1 THEN 0.08 ELSE 0.0 END)))),
+       list_sum(list_transform(range(1, 1 + len(v)),
+         i -> (v[i] - (CASE WHEN i = 1 THEN 0.24 ELSE 0.0 END))
+            * (v[i] - (CASE WHEN i = 1 THEN 0.24 ELSE 0.0 END))))]
+      AS ds
+    FROM ppts),
+  pa AS (SELECT id, list_indexof(ds, list_min(ds)) - 1 AS c,
+                list_min(ds) AS d
+         FROM pdd),
+  pn AS (SELECT c, CAST(count(*) AS BIGINT) AS n FROM pa GROUP BY c),
+  pc AS (SELECT c, d, sum(cnt) OVER (PARTITION BY c ORDER BY d) AS cm
+         FROM (SELECT c, d, count(*) AS cnt FROM pa GROUP BY c, d)),
+  pt AS (SELECT pc.c, min(d) AS thr
+         FROM pc JOIN pn USING (c)
+         WHERE cm >= ceil(pn.n * 0.3) GROUP BY pc.c)
+  SELECT pn.c, pn.n, pt.thr,
+         (SELECT count(*) FROM pa
+          WHERE pa.c = pn.c AND pa.d <= pt.thr) AS np
+  FROM pn JOIN pt ON pn.c = pt.c)
+UNION ALL
 -- pca_fit replay (r13): the full-rank eigenreconstruction must equal
 -- the sample covariance, so independent covar_samp entries (upper
 -- triangle, dims 0-7) + the variance trace pin the one-pass
@@ -8870,6 +8910,28 @@ def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.coalesce(sig(F.col("std_ratio")),
                                   F.lit("null")),
                        sig(F.col("centroid_cosine"))).alias("v2s")))
+    # 'prune' rows (r13) grade clustering.prototypicality_prune (D4,
+    # Tirumala et al. 2023) under the same frozen _KBAL_CENTS: per
+    # cluster the exact order-statistic threshold at drop_frac=0.3,
+    # the pruned count (tie block inclusive), and n — DuckDB replays
+    # assignment, distances, the per-cluster cumulative rank, and the
+    # counts independently
+    from spark_df_profiling_spark.operators.clustering import (
+        prototypicality_prune)
+    pr = prototypicality_prune(e, _KBAL_CENTS, drop_frac=0.3)
+    prune = (pr.where(F.col("cluster").isNotNull())
+             .groupBy("cluster")
+             .agg(F.count(F.lit(1)).cast("long").alias("__n"),
+                  F.sum(F.when(F.col("pruned"), 1).otherwise(0))
+                  .cast("long").alias("__np"),
+                  F.max(F.when(F.col("pruned"), F.col("dist_sq")))
+                  .alias("__thr"))
+             .select(F.lit("prune").alias("part"),
+                     F.col("cluster").cast("string").alias("k"),
+                     F.col("__np").alias("v1"),
+                     F.concat(F.col("__n").cast("string"),
+                              F.lit(":"), sig(F.col("__thr")))
+                     .alias("v2s")))
     # 'pcacov' / 'pcatv' rows (r13) grade similarity.pca_fit end to
     # end THROUGH the eigendecomposition: a FULL-rank fit (k = dim)
     # must reconstruct the sample covariance as Σ_l λ_l·C_l⊗C_l, so
@@ -8901,7 +8963,7 @@ def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(sil).unionByName(cq)
             .unionByName(kb).unionByName(ks).unionByName(pca)
             .unionByName(stdr).unionByName(rproj).unionByName(dv)
-            .unionByName(edr).unionByName(pcov)
+            .unionByName(edr).unionByName(pcov).unionByName(prune)
             .orderBy("part", "k"))
 
 

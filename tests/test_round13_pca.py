@@ -1,11 +1,13 @@
-"""PCA family (round 13): pca_fit / pca_project vs a numpy oracle.
+"""PCA family + prototype pruning (round 13) vs numpy/python oracles.
 
-The fit is ONE map-side-combined aggregate (element sums + upper-tri
-product sums as GetArrayItem chains) with the d x d eigh on the driver
-— the same freeze-the-config contract as quantization_ranges /
-standardize_stats.  The covariance arithmetic is oracle-graded in the
-embedding_array_stats slot ('pcacov' / 'pcatv' rows); the eigen step
-is pinned here against numpy directly.
+pca_fit = a cheap 2d+2-column aggregate (mean / variance trace /
+ragged count) + the pyspark.ml BLAS-Gramian basis — the same
+freeze-the-config contract as quantization_ranges / standardize_stats.
+The covariance arithmetic is oracle-graded in embedding_array_stats
+('pcacov' / 'pcatv' rows — full-rank eigenreconstruction vs
+covar_samp); the eigen chain is pinned here against numpy directly.
+prototypicality_prune (D4-style) is pinned against an exact python
+order-statistic reference, tie block inclusive.
 """
 
 import math
@@ -140,3 +142,69 @@ class TestPcaProject:
                 ._jdf.queryExecution().executedPlan().toString())
         assert "Exchange" not in plan
         assert "Python" not in plan
+
+
+class TestPrototypicalityPrune:
+    def test_matches_python_reference(self, spark):
+        import math
+        import random
+
+        from spark_df_profiling_spark.operators.clustering import (
+            prototypicality_prune)
+        rng = random.Random(17)
+        cents = [[0.0, 0.0], [10.0, 10.0]]
+        rows = [([c[0] + rng.gauss(0, 1), c[1] + rng.gauss(0, 1)],)
+                for c in cents for _ in range(200)]
+        df = spark.createDataFrame(rows, "embedding array<double>")
+        out = prototypicality_prune(df, cents, drop_frac=0.25)
+        got = [(r["cluster"], r["dist_sq"], r["pruned"])
+               for r in out.collect()]
+
+        def d2(v, c):
+            return sum((a - b) ** 2 for a, b in zip(v, c))
+
+        by_c = {}
+        for (v,) in rows:
+            cl = min(range(2), key=lambda j: (d2(v, cents[j]), j))
+            by_c.setdefault(cl, []).append(d2(v, cents[cl]))
+        thr = {}
+        for cl, ds in by_c.items():
+            k = math.ceil(0.25 * len(ds))
+            thr[cl] = sorted(ds)[k - 1]
+        for cl, dsq, pruned in got:
+            assert pruned == (dsq <= thr[cl]), (cl, dsq)
+        n_pruned = sum(1 for _, _, p in got if p)
+        assert n_pruned >= 0.25 * len(rows)      # tie block inclusive
+        assert n_pruned < 0.35 * len(rows)
+
+    def test_tie_block_prunes_whole(self, spark):
+        from spark_df_profiling_spark.operators.clustering import (
+            prototypicality_prune)
+        # 10 rows at the exact same distance + 10 farther
+        rows = ([([1.0, 0.0],)] * 10 + [([5.0, 0.0],)] * 10)
+        df = spark.createDataFrame(rows, "embedding array<double>")
+        out = prototypicality_prune(df, [[0.0, 0.0]], drop_frac=0.2)
+        got = [(r["dist_sq"], r["pruned"]) for r in out.collect()]
+        # threshold lands in the 10-row tie block at d=1 -> all 10 go
+        assert sum(1 for d, p in got if p) == 10
+        assert all(p for d, p in got if d == 1.0)
+        assert not any(p for d, p in got if d == 25.0)
+
+    def test_null_passthrough_and_guards(self, spark):
+        from spark_df_profiling_spark.operators.clustering import (
+            prototypicality_prune)
+        rows = [([0.1, 0.0],), ([5.0, 5.0],), (None,)]
+        df = spark.createDataFrame(rows, "embedding array<double>")
+        out = {tuple(r["embedding"]) if r["embedding"] else None:
+               r for r in prototypicality_prune(
+                   df, [[0.0, 0.0], [5.0, 5.0]],
+                   drop_frac=0.5).collect()}
+        assert out[None]["cluster"] is None
+        assert out[None]["pruned"] is None
+        with pytest.raises(ValueError, match="drop_frac"):
+            prototypicality_prune(df, [[0.0, 0.0]], drop_frac=1.0)
+        bad = spark.createDataFrame([([1.0],)],
+                                    "embedding array<double>")
+        with pytest.raises(Exception, match="centroid dimension"):
+            prototypicality_prune(bad, [[0.0, 0.0]],
+                                  drop_frac=0.5).collect()
