@@ -569,6 +569,24 @@ def main() -> None:
     bpe_token_count(docs, "text", merges, "doc_id") \
         .orderBy("doc_id").show(3)
 
+    from spark_df_profiling_spark.operators.clustering import (
+        kmeans_fit, prototypicality_prune)
+    cents13 = kmeans_fit(emb, "embedding", "vec_id", k=4, n_iter=2)
+    (prototypicality_prune(emb, cents13, drop_frac=0.25)
+     .groupBy("cluster")
+     .agg(F.count(F.lit(1)).alias("n"),
+          F.sum(F.when(F.col("pruned"), 1).otherwise(0))
+          .alias("n_pruned")).orderBy("cluster").show())
+
+    from spark_df_profiling_spark.operators.drift import ks_reference
+    kref13 = ks_reference(li.select(
+        F.col("l_extendedprice").cast("double").alias("v")), "v",
+        n_edges=8)
+    print("KS reference grid:",
+          [(round(e, 1), round(c, 3)) for e, c in kref13[:4]], "...")
+    # streaming_ks itself runs in the oracle slot + tests via a real
+    # availableNow execution (see test_round13_streaming_ks)
+
     spark.stop()
 
 
