@@ -258,3 +258,78 @@ def l_diversity(df: DataFrame, quasi_cols: Sequence[str],
                F.col("rows_below_l") / F.col("n").cast("double"))
         .alias("p_rows_below_l"),
         (F.col("classes_below_l") == 0).alias("is_l_diverse"))
+
+
+def dp_release(df: DataFrame, col: str, lower: float, upper: float,
+               epsilon: float = 1.0, seed: int = 0) -> DataFrame:
+    """Seeded-Laplace differentially-private release of a column's
+    (count, sum, mean) — the publish step after the
+    :func:`k_anonymity` / :func:`l_diversity` screens when aggregate
+    statistics must ship outside the enclave: values clip to
+    ``[lower, upper]`` (clipping bounds the sensitivity — the part of
+    DP that actually touches the data), the ``epsilon`` budget splits
+    evenly between the count (sensitivity 1) and the clipped sum
+    (sensitivity ``max(|lower|, |upper|)``), and Laplace noise comes
+    from the repo's md5-uniform arithmetic via the inverse CDF —
+    REPRODUCIBLE releases: re-running the same release yields the
+    same numbers, so a re-query cannot be averaged away and spends no
+    extra budget.  The standard caveat, stated not hidden: the DP
+    guarantee holds only while seed+hash stay secret from the
+    adversary (a seeded mechanism is pseudo-random; rotate the seed
+    per release like any key).  One row: ``(n_dp, sum_dp, mean_dp,
+    epsilon, lower, upper)`` — TRUE values never leave the operator;
+    ``mean_dp = sum_dp / n_dp`` is the standard post-processed ratio
+    (NULL when ``n_dp ≤ 0``).  NULL values are excluded (they carry
+    no clipped mass; releasing the null count is a second
+    ``dp_release`` on an is-null indicator).
+
+    Scale: ONE map-side-combined aggregate (count + clipped sum);
+    the two noise draws are driver scalars from md5 literals —
+    engine-portable, so an oracle replays the release bit-for-bit.
+    """
+    if col not in df.columns:
+        raise ValueError(f"missing column: {col!r}")
+    if not epsilon > 0:
+        raise ValueError(f"epsilon must be > 0: {epsilon}")
+    lower, upper = float(lower), float(upper)
+    if not lower < upper:
+        raise ValueError(
+            f"need lower < upper: ({lower}, {upper})")
+    v = F.col(col).cast("double")
+    clipped = F.least(F.greatest(v, F.lit(lower)), F.lit(upper))
+    row = (df.where(v.isNotNull())
+           .agg(F.count(F.lit(1)).cast("long").alias("__n"),
+                F.sum(clipped).alias("__s"))
+           .collect()[0])
+    n_true = row["__n"] or 0
+    s_true = row["__s"] if row["__s"] is not None else 0.0
+
+    import hashlib
+    import math
+
+    def _lap(tag: str, scale: float) -> float:
+        # md5-uniform in (0, 1), bounded away from the endpoints by
+        # the 1e6 grain (the hash_bucket arithmetic), then the
+        # inverse-CDF transform — identical in any engine with md5
+        h = hashlib.md5(f"{seed}:dp:{tag}".encode()).hexdigest()
+        u = (int(h[:15], 16) % 1_000_000 + 0.5) / 1_000_000.0
+        return (-scale * math.copysign(1.0, u - 0.5)
+                * math.log(1.0 - 2.0 * abs(u - 0.5)))
+
+    b_n = 2.0 / epsilon
+    b_s = 2.0 * max(abs(lower), abs(upper)) / epsilon
+    n_dp = n_true + _lap("count", b_n)
+    sum_dp = s_true + _lap("sum", b_s)
+    mean_dp = sum_dp / n_dp if n_dp > 0 else None
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField("n_dp", T.DoubleType()),
+        T.StructField("sum_dp", T.DoubleType()),
+        T.StructField("mean_dp", T.DoubleType()),
+        T.StructField("epsilon", T.DoubleType()),
+        T.StructField("lower", T.DoubleType()),
+        T.StructField("upper", T.DoubleType())])
+    return df.sparkSession.createDataFrame(
+        [(float(n_dp), float(sum_dp),
+          float(mean_dp) if mean_dp is not None else None,
+          float(epsilon), lower, upper)], schema)

@@ -5789,6 +5789,35 @@ FROM (
 """
 
 
+# dp_release replay (r13): clipped aggregate + the two seeded
+# md5-uniform Laplace draws (eps=2 split evenly, seed=5, clip [5,30]
+# so b_count = 1.0 and b_sum = 30.0)
+_DP_SQL = f"""
+UNION ALL
+SELECT 'dp' AS mode, g1, g2, CAST(NULL AS BIGINT) AS cnt
+FROM (
+  WITH dpt AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n,
+           sum(least(greatest(CAST(l_quantity AS DOUBLE), 5.0),
+                     30.0)) AS s
+    FROM lineitem WHERE l_quantity IS NOT NULL),
+  dpu AS (
+    SELECT (('0x' || substr(md5('5:dp:count'), 1, 15))::BIGINT
+            % 1000000 + 0.5) / 1000000.0 AS uc,
+           (('0x' || substr(md5('5:dp:sum'), 1, 15))::BIGINT
+            % 1000000 + 0.5) / 1000000.0 AS us),
+  dpv AS (
+    SELECT n + (-1.0 * sign(uc - 0.5) * ln(1 - 2 * abs(uc - 0.5)))
+             AS ndp,
+           s + (-30.0 * sign(us - 0.5) * ln(1 - 2 * abs(us - 0.5)))
+             AS sdp
+    FROM dpt, dpu)
+  SELECT 'n_dp' AS g1, {_psig('ndp')} AS g2 FROM dpv
+  UNION ALL SELECT 'sum_dp', {_psig('sdp')} FROM dpv
+  UNION ALL SELECT 'mean_dp', {_psig('sdp / ndp')} FROM dpv)
+"""
+
+
 @query("multidim_agg_counts", """
 SELECT 'rollup' AS mode,
        coalesce(l_returnflag, '<all>') AS g1,
@@ -6075,8 +6104,7 @@ UNION ALL
 SELECT 'cpack', lang, 'oversize', count(*)
 FROM documents WHERE n_chars >= 500
 GROUP BY 1, 2
-ORDER BY 1, 2, 3
-""")
+""" + _DP_SQL + "\nORDER BY 1, 2, 3")
 def multidim_agg_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP + CUBE + explicit GROUPING SETS + the data-quality
     CONSTRAINT suite (operators/constraints.py) in one graded row set,
@@ -6344,6 +6372,30 @@ def multidim_agg_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit("cpack").alias("mode"),
                     F.col("lang").alias("g1"),
                     F.lit("oversize").alias("g2"), "cnt"))
+    # 'dp' rows (r13) grade constraints.dp_release — the seeded-
+    # Laplace private release of l_quantity clipped to [5, 30] at
+    # epsilon=2/seed=5: DuckDB recomputes the clipped aggregate AND
+    # both md5-uniform inverse-CDF noise draws independently, so the
+    # clipping, the budget split, and the noise arithmetic are all
+    # pinned end to end
+    from spark_df_profiling_spark.operators.constraints import (
+        dp_release)
+    dpr = dp_release(li, "l_quantity", lower=5.0, upper=30.0,
+                     epsilon=2.0, seed=5)
+    dp_rows = dpr.select(F.explode(F.array(
+        F.struct(F.lit("dp").alias("mode"),
+                 F.lit("n_dp").alias("g1"),
+                 sig(F.col("n_dp")).alias("g2"),
+                 F.lit(None).cast("long").alias("cnt")),
+        F.struct(F.lit("dp").alias("mode"),
+                 F.lit("sum_dp").alias("g1"),
+                 sig(F.col("sum_dp")).alias("g2"),
+                 F.lit(None).cast("long").alias("cnt")),
+        F.struct(F.lit("dp").alias("mode"),
+                 F.lit("mean_dp").alias("g1"),
+                 sig(F.col("mean_dp")).alias("g2"),
+                 F.lit(None).cast("long").alias("cnt"))))
+        .alias("r")).select("r.*")
     return (rollup.unionByName(cube).unionByName(gsets)
             .unionByName(cons).unionByName(cexam)
             .unionByName(tjoin)
@@ -6351,7 +6403,7 @@ def multidim_agg_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(salt).unionByName(decay).unionByName(ivm)
             .unionByName(rrf).unionByName(pa).unionByName(snap_rows)
             .unionByName(scd2_rows).unionByName(cpk)
-            .unionByName(cpko)
+            .unionByName(cpko).unionByName(dp_rows)
             .orderBy("mode", "g1", "g2"))
 
 

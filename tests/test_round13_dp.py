@@ -1,0 +1,67 @@
+"""dp_release (round 13) vs a python replay of the seeded mechanism."""
+
+import hashlib
+import math
+
+import pytest
+
+
+def _lap(seed, tag, scale):
+    h = hashlib.md5(f"{seed}:dp:{tag}".encode()).hexdigest()
+    u = (int(h[:15], 16) % 1_000_000 + 0.5) / 1_000_000.0
+    return (-scale * math.copysign(1.0, u - 0.5)
+            * math.log(1.0 - 2.0 * abs(u - 0.5)))
+
+
+class TestDpRelease:
+    def test_matches_python_mechanism(self, spark):
+        from spark_df_profiling_spark.operators.constraints import (
+            dp_release)
+        vals = [float(i % 50) for i in range(1000)] + [None, 999.0]
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        r = dp_release(df, "v", lower=0.0, upper=100.0,
+                       epsilon=2.0, seed=7).collect()[0]
+        n_true = 1001                       # NULL excluded
+        s_true = sum(min(max(v, 0.0), 100.0) for v in vals
+                     if v is not None)      # 999 clips to 100
+        exp_n = n_true + _lap(7, "count", 2.0 / 2.0)
+        exp_s = s_true + _lap(7, "sum", 2.0 * 100.0 / 2.0)
+        assert r["n_dp"] == pytest.approx(exp_n, rel=1e-12)
+        assert r["sum_dp"] == pytest.approx(exp_s, rel=1e-12)
+        assert r["mean_dp"] == pytest.approx(exp_s / exp_n, rel=1e-12)
+        assert r["epsilon"] == 2.0
+
+    def test_reproducible_and_seed_sensitive(self, spark):
+        from spark_df_profiling_spark.operators.constraints import (
+            dp_release)
+        df = spark.createDataFrame(
+            [(float(i),) for i in range(100)], "v double")
+        a = dp_release(df, "v", 0, 100, seed=1).collect()[0]
+        b = dp_release(df, "v", 0, 100, seed=1).collect()[0]
+        c = dp_release(df, "v", 0, 100, seed=2).collect()[0]
+        assert a["n_dp"] == b["n_dp"] and a["sum_dp"] == b["sum_dp"]
+        assert a["n_dp"] != c["n_dp"]
+
+    def test_noise_scales_with_epsilon(self, spark):
+        from spark_df_profiling_spark.operators.constraints import (
+            dp_release)
+        df = spark.createDataFrame(
+            [(50.0,) for _ in range(1000)], "v double")
+        tight = dp_release(df, "v", 0, 100, epsilon=10.0,
+                           seed=3).collect()[0]
+        loose = dp_release(df, "v", 0, 100, epsilon=0.1,
+                           seed=3).collect()[0]
+        # identical uniforms, scale ratio 100x exactly
+        assert abs(loose["n_dp"] - 1000) == pytest.approx(
+            100 * abs(tight["n_dp"] - 1000), rel=1e-9)
+
+    def test_guards(self, spark):
+        from spark_df_profiling_spark.operators.constraints import (
+            dp_release)
+        df = spark.createDataFrame([(1.0,)], "v double")
+        with pytest.raises(ValueError, match="epsilon"):
+            dp_release(df, "v", 0, 1, epsilon=0)
+        with pytest.raises(ValueError, match="lower < upper"):
+            dp_release(df, "v", 5, 5)
+        with pytest.raises(ValueError, match="missing column"):
+            dp_release(df, "zz", 0, 1)
