@@ -405,6 +405,27 @@ def ks_2samp(ref: DataFrame, new: DataFrame, col: str,
 
     NULLs are excluded on both sides (a CDF over NULL is undefined).
     """
+    cdf, n_ref, n_new = _two_sample_cdf(ref, new, col, num_buckets,
+                                        caller="ks_2samp")
+    return (cdf.agg(F.max_by(F.struct(F.col("__d"),
+                                      (-F.col("__v")).alias("__nv")),
+                             F.struct(F.col("__d"),
+                                      (-F.col("__v")).alias("__nv")))
+                    .alias("__m"))
+            .select(F.col("__m.__d").alias("d_stat"),
+                    (-F.col("__m.__nv")).alias("at_value"),
+                    F.lit(n_ref).cast("long").alias("n_ref"),
+                    F.lit(n_new).cast("long").alias("n_new")))
+
+
+def _two_sample_cdf(ref: DataFrame, new: DataFrame, col: str,
+                    num_buckets: "int | None", caller: str):
+    """Shared two-sample empirical-CDF frame for :func:`ks_2samp` and
+    :func:`cvm_2samp`: the distinct-value recipe with the frozen-
+    boundary distributed prefix (keyless — driver state is
+    O(#partitions) scalars).  Returns ``(cdf_frame, n_ref, n_new)``;
+    the frame carries ``(__v, __ca, __cb, __cum_a, __cum_b, __d)``.
+    """
     spark = ref.sparkSession
     n = int(num_buckets
             or spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -421,7 +442,7 @@ def ks_2samp(ref: DataFrame, new: DataFrame, col: str,
     ranged = (merged.repartitionByRange(n, F.col("__v"))
               .withColumn("__pid", F.spark_partition_id()))
     # same re-execution hazard (and fix) as pack_offsets: both the
-    # totals collect and the final max read the SAME frozen partitions
+    # totals collect and the final agg read the SAME frozen partitions
     ranged = ranged.localCheckpoint(eager=True)
     totals = {r["__pid"]: (r["__ta"], r["__tb"]) for r in
               ranged.groupBy("__pid")
@@ -436,7 +457,7 @@ def ks_2samp(ref: DataFrame, new: DataFrame, col: str,
     n_ref, n_new = acc_a, acc_b
     if n_ref == 0 or n_new == 0:
         raise ValueError(
-            f"ks_2samp: empty sample for {col!r} "
+            f"{caller}: empty sample for {col!r} "
             f"(n_ref={n_ref}, n_new={n_new})")
     pref_df = spark.createDataFrame(
         prefix, "__pid int, __pa long, __pb long")
@@ -450,13 +471,37 @@ def ks_2samp(ref: DataFrame, new: DataFrame, col: str,
                F.abs(F.col("__cum_a").cast("double") / F.lit(float(n_ref))
                      - F.col("__cum_b").cast("double")
                      / F.lit(float(n_new)))))
-    return (cdf.agg(F.max_by(F.struct(F.col("__d"),
-                                      (-F.col("__v")).alias("__nv")),
-                             F.struct(F.col("__d"),
-                                      (-F.col("__v")).alias("__nv")))
-                    .alias("__m"))
-            .select(F.col("__m.__d").alias("d_stat"),
-                    (-F.col("__m.__nv")).alias("at_value"),
+    return cdf, n_ref, n_new
+
+
+def cvm_2samp(ref: DataFrame, new: DataFrame, col: str,
+              num_buckets: "int | None" = None) -> DataFrame:
+    """Two-sample Cramér–von Mises statistic (Anderson 1962) — the
+    INTEGRAL companion of :func:`ks_2samp`: KS reports only the single
+    largest CDF gap, so a broad low-amplitude shape drift (every
+    quantile nudged a little) under-scores; CvM accumulates the
+    squared gap over EVERY sample point, ``T = (n·m / N²) ·
+    Σ_{all N points} (F_ref(x) − F_new(x))²`` (each distinct value
+    weighted by its combined multiplicity).  One row: ``(t_stat,
+    h0_mean, n_ref, n_new)`` — ``h0_mean = (1 + 1/N)/6`` is the exact
+    null expectation (Anderson & Darling 1952), so ``t_stat ≫
+    h0_mean`` reads as drift without a table (the classic p<0.05
+    landmark is T ≈ 0.461 at large N).  NULLs excluded.
+
+    Scale: the identical distinct-value + frozen-boundary machinery
+    as :func:`ks_2samp` (one shared helper), with the final sup
+    replaced by a weighted-sum aggregate — a million-row tie is one
+    distinct row with weight, never an expansion.
+    """
+    cdf, n_ref, n_new = _two_sample_cdf(ref, new, col, num_buckets,
+                                        caller="cvm_2samp")
+    n_tot = n_ref + n_new
+    term = ((F.col("__ca") + F.col("__cb")).cast("double")
+            * F.col("__d") * F.col("__d"))
+    scale = float(n_ref) * float(n_new) / (float(n_tot) ** 2)
+    return (cdf.agg(F.sum(term).alias("__s"))
+            .select((F.lit(scale) * F.col("__s")).alias("t_stat"),
+                    F.lit((1.0 + 1.0 / n_tot) / 6.0).alias("h0_mean"),
                     F.lit(n_ref).cast("long").alias("n_ref"),
                     F.lit(n_new).cast("long").alias("n_new")))
 

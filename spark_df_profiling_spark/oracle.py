@@ -10039,6 +10039,34 @@ FROM (
   SELECT v AS at_v, dd AS d, na, nb FROM cdf
   ORDER BY dd DESC, v ASC LIMIT 1)
 UNION ALL
+-- cvm_2samp replay (r13): the integral companion — the SAME shared
+-- CDF frame, weighted-sum of squared gaps instead of the sup
+SELECT 'cvm', CAST(na AS VARCHAR) || ':' || CAST(nb AS VARCHAR),
+       {_psig('t')}, {_psig('(1.0 + 1.0 / (na + nb)) / 6.0')}
+FROM (
+  WITH va AS (SELECT l_extendedprice AS v, count(*) AS c FROM ref
+              WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+  vb AS (SELECT l_extendedprice AS v, count(*) AS c FROM nw
+         WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+  vm AS (SELECT coalesce(va.v, vb.v) AS v, coalesce(va.c, 0) AS ca,
+                coalesce(vb.c, 0) AS cb
+         FROM va FULL OUTER JOIN vb ON va.v = vb.v),
+  vt AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM vm),
+  vd AS (SELECT ca, cb,
+                abs(sum(ca) OVER (ORDER BY v)
+                      / CAST(vt.na AS DOUBLE)
+                    - sum(cb) OVER (ORDER BY v)
+                      / CAST(vt.nb AS DOUBLE)) AS d,
+                vt.na AS na, vt.nb AS nb
+         FROM vm, vt),
+  vc AS (SELECT CAST(ca + cb AS DOUBLE) * d * d AS w, na, nb
+         FROM vd)
+  SELECT any_value(na) AS na, any_value(nb) AS nb,
+         CAST(any_value(na) AS DOUBLE) * any_value(nb)
+           / pow(CAST(any_value(na) + any_value(nb) AS DOUBLE), 2)
+           * sum(w) AS t
+  FROM vc)
+UNION ALL
 SELECT 'gks', g || ':' || CAST(nm AS VARCHAR), {_psig('d')},
        {_psig('atv')}
 FROM (
@@ -10184,6 +10212,18 @@ def drift_psi_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig(F.col("d_stat")).alias("psi_s"),
         F.when(F.col("d_stat") > crit, F.lit("drift"))
         .otherwise(F.lit("ok")).alias("band"))
+    # 'cvm' row grades drift.cvm_2samp (r13) — the integral companion
+    # on the same halves: the shared two-sample CDF frame with the
+    # weighted squared-gap sum instead of the sup, plus the exact
+    # Anderson-Darling null mean
+    from spark_df_profiling_spark.operators.drift import cvm_2samp
+    cvr = cvm_2samp(ref, new, "l_extendedprice")
+    cvm_row = cvr.select(
+        F.lit("cvm").alias("part"),
+        F.concat(F.col("n_ref").cast("string"), F.lit(":"),
+                 F.col("n_new").cast("string")).alias("k"),
+        sig(F.col("t_stat")).alias("psi_s"),
+        sig(F.col("h0_mean")).alias("band"))
     # 'gks' rows grade drift.ks_by_group — per-returnflag exact KS on
     # the same halves; the integer numerator max|cum_ref*n_new -
     # cum_new*n_ref| pins the statistic and the tie-exact at_value
@@ -10225,7 +10265,8 @@ def drift_psi_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.concat_ws(":", "n_a", "n_b", "n_common")
                   .alias("band")))
     return (cols.unionByName(wins).unionByName(grp)
-            .unionByName(ks_row).unionByName(gks).unionByName(jsd_rows)
+            .unionByName(ks_row).unionByName(cvm_row)
+            .unionByName(gks).unionByName(jsd_rows)
             .unionByName(rd)
             .orderBy("part", "k"))
 
