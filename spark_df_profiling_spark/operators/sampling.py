@@ -1160,3 +1160,50 @@ def bootstrap_ratio_ci(df: DataFrame, num_col: Union[str, Column],
                                denom_col=den_col).localCheckpoint()
     return _bootstrap_percentile_readout(wide, group_col, n_boot,
                                          level, ratio=True)
+
+
+def weight_diagnostics(df: DataFrame, weight_col: str,
+                       group_col: "str | None" = None) -> DataFrame:
+    """Health check for an importance-weighting scheme (DSIR
+    log-weights exponentiated, :func:`soft_dedup_weights`, temperature
+    weights, survey weights): the classic effective sample size
+    ``ESS = (Σw)² / Σw²`` (Kish 1965) with its ratio to n — ``ess_n``
+    near 1 means the weights barely matter; near 0 means a handful of
+    rows dominate the weighted estimate and downstream training/eval
+    variance explodes — plus ``max_w_share`` (the single heaviest
+    row's fraction of total weight, the "one document is 30% of the
+    mixture" alarm).  One row per (group,): ``(group?, n, sum_w, ess,
+    ess_n, max_w_share)``.  NULL and non-positive weights are
+    EXCLUDED and counted (``n_nonpos``) — a negative importance
+    weight is always an upstream bug worth surfacing, never mass to
+    aggregate silently.
+
+    Scale: ONE map-side-combined aggregate (count + three moments +
+    max) per group; nothing row-sized leaves the scan.
+    """
+    if weight_col not in df.columns:
+        raise ValueError(f"missing column: {weight_col!r}")
+    if group_col and group_col not in df.columns:
+        raise ValueError(f"missing column: {group_col!r}")
+    w = F.col(weight_col).cast("double")
+    keep = F.col(weight_col).isNotNull()
+    if group_col:
+        keep = keep & F.col(group_col).isNotNull()
+    pos = F.when(w > 0, w)
+    aggs = [F.count(pos).cast("long").alias("n"),
+            F.sum(F.when(w.isNotNull() & ~(w > 0), 1).otherwise(0))
+            .cast("long").alias("n_nonpos"),
+            F.sum(pos).alias("sum_w"),
+            F.sum(pos * pos).alias("__sw2"),
+            F.max(pos).alias("__wmax")]
+    src = df.where(keep)
+    agg = (src.groupBy(group_col).agg(*aggs) if group_col
+           else src.agg(*aggs))
+    ess = F.when(F.col("__sw2") > 0,
+                 F.col("sum_w") * F.col("sum_w") / F.col("__sw2"))
+    gsel = [group_col] if group_col else []
+    return agg.select(
+        *gsel, "n", "n_nonpos", "sum_w", ess.alias("ess"),
+        F.when(F.col("n") > 0, ess / F.col("n")).alias("ess_n"),
+        F.when(F.col("sum_w") > 0,
+               F.col("__wmax") / F.col("sum_w")).alias("max_w_share"))

@@ -9375,6 +9375,22 @@ JOIN (
   WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
     AND lang IS NOT NULL
   GROUP BY lang) f USING(lang)
+UNION ALL
+-- weight_diagnostics replay (r13): Kish ESS + max-weight share of
+-- n_chars-as-importance-weights per lang
+SELECT 'wdiag' AS part,
+       lang || ':' || {_psig('sw * sw / sw2')} || ':'
+            || {_psig('wmax / sw')} AS k,
+       CAST(n AS BIGINT) AS n
+FROM (
+  SELECT lang, count(*) AS n,
+         sum(CAST(n_chars AS DOUBLE)) AS sw,
+         sum(CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE))
+           AS sw2,
+         max(CAST(n_chars AS DOUBLE)) AS wmax
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0 AND lang IS NOT NULL
+  GROUP BY lang)
 ORDER BY part, k
 """)
 def hash_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9605,6 +9621,18 @@ def hash_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                     sig(F.col("boot_se")), sig(F.col("ci_lo")),
                     sig(F.col("ci_hi"))).alias("k"),
                 F.col("n_boot").cast("long").alias("n")))
+    # 'wdiag' rows (r13) grade sampling.weight_diagnostics — Kish ESS
+    # of n_chars-as-importance-weights per lang; DuckDB replays the
+    # three weight moments and the max-share ratio, sig-packed into k
+    # (the dsir key-packing precedent)
+    from spark_df_profiling_spark.operators.sampling import (
+        weight_diagnostics)
+    wdiag = (weight_diagnostics(d, "n_chars", group_col="lang")
+             .select(F.lit("wdiag").alias("part"),
+                     F.concat(F.col("lang"), F.lit(":"),
+                              sig(F.col("ess")), F.lit(":"),
+                              sig(F.col("max_w_share"))).alias("k"),
+                     F.col("n")))
     return (split.unionByName(samp).unionByName(strat)
             .unionByName(kf)
             .unionByName(exactk).unionByName(dsir)
@@ -9614,6 +9642,7 @@ def hash_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(shuf).unionByName(laudit)
             .unionByName(xs).unionByName(boot).unionByName(bci)
             .unionByName(ka).unionByName(ld).unionByName(br)
+            .unionByName(wdiag)
             .orderBy("part", "k"))
 
 

@@ -65,3 +65,45 @@ class TestDpRelease:
             dp_release(df, "v", 5, 5)
         with pytest.raises(ValueError, match="missing column"):
             dp_release(df, "zz", 0, 1)
+
+
+class TestWeightDiagnostics:
+    def test_matches_python(self, spark):
+        from spark_df_profiling_spark.operators.sampling import (
+            weight_diagnostics)
+        ws = [1.0, 1.0, 2.0, 4.0, 0.5]
+        df = spark.createDataFrame(
+            [(w,) for w in ws] + [(None,), (-1.0,), (0.0,)],
+            "w double")
+        r = weight_diagnostics(df, "w").collect()[0]
+        sw = sum(ws)
+        sw2 = sum(w * w for w in ws)
+        assert r["n"] == 5 and r["n_nonpos"] == 2
+        assert r["sum_w"] == pytest.approx(sw)
+        assert r["ess"] == pytest.approx(sw * sw / sw2)
+        assert r["ess_n"] == pytest.approx(sw * sw / sw2 / 5)
+        assert r["max_w_share"] == pytest.approx(4.0 / sw)
+
+    def test_uniform_weights_ess_is_n(self, spark):
+        from spark_df_profiling_spark.operators.sampling import (
+            weight_diagnostics)
+        df = spark.createDataFrame([(3.0,)] * 100, "w double")
+        r = weight_diagnostics(df, "w").collect()[0]
+        assert r["ess"] == pytest.approx(100.0)
+        assert r["ess_n"] == pytest.approx(1.0)
+        assert r["max_w_share"] == pytest.approx(0.01)
+
+    def test_grouped_and_degenerate(self, spark):
+        from spark_df_profiling_spark.operators.sampling import (
+            weight_diagnostics)
+        rows = ([("a", 1.0), ("a", 99.0)]   # one row dominates
+                + [("b", -5.0)])            # no positive mass
+        df = spark.createDataFrame(rows, "g string, w double")
+        got = {r["g"]: r for r in
+               weight_diagnostics(df, "w", group_col="g").collect()}
+        assert got["a"]["ess_n"] < 0.55
+        assert got["a"]["max_w_share"] == pytest.approx(0.99)
+        assert got["b"]["n"] == 0 and got["b"]["n_nonpos"] == 1
+        assert got["b"]["ess"] is None
+        with pytest.raises(ValueError, match="missing column"):
+            weight_diagnostics(df, "zz")
