@@ -797,7 +797,10 @@ def ks_reference(ref: DataFrame, col: str,
     literals; the streaming consumer measures ``max_k |ecdf_window
     (edge_k) − cdf_k|`` — the KS statistic restricted to the edge
     grid, so the discretization error is bounded by ``1/(n_edges+1)``
-    of CDF mass (stated, not hidden).  NULLs excluded.
+    of CDF mass (stated, not hidden).  NULLs excluded.  Note
+    ``streaming_ks`` accepts at most 512 edges (one agg column per
+    edge); the 4096 ceiling here serves batch replays of the same
+    grid, where a wide one-shot agg is tolerable.
 
     Scale: the exact order statistics WITHOUT a global sort — the
     distinct-value frame + the shared frozen-boundary prefix

@@ -184,16 +184,24 @@ def _tiff_dims(b: bytes) -> "tuple[int | None, int | None]":
 def _avif_dims(b: bytes) -> "tuple[int | None, int | None]":
     """(width, height) from the ``ispe`` spatial-extents property box.
 
-    A bounded scan for the box type, validated by re-reading it as a
-    FullBox (version/flags then two 32-bit BE extents) — ``ispe`` is
-    the authoritative dimension carrier in HEIF/AVIF and appears once
-    per image item, so find-first is the header truth, not a guess.
+    A bounded scan for the box type, where each candidate hit is
+    validated as a real ISO-BMFF FullBox before being trusted: the 4
+    bytes preceding the tag must decode to the exact ispe box size
+    (20 = size + type + version/flags + two 32-bit BE extents) and the
+    version/flags word at tag+4 must be 0 (ispe is defined only at
+    version 0).  A stray ``ispe`` byte sequence inside an EXIF blob or
+    mdat payload fails both checks and the scan continues to the next
+    candidate instead of returning garbage extents.
     """
-    idx = b.find(b"ispe", 0, 65536)
-    if idx < 0 or idx + 16 > len(b):
-        return (None, None)
-    return (int.from_bytes(b[idx + 8:idx + 12], "big"),
-            int.from_bytes(b[idx + 12:idx + 16], "big"))
+    idx = b.find(b"ispe", 4, 65536)
+    while idx >= 0:
+        if (idx + 16 <= len(b)
+                and int.from_bytes(b[idx - 4:idx], "big") == 20
+                and int.from_bytes(b[idx + 4:idx + 8], "big") == 0):
+            return (int.from_bytes(b[idx + 8:idx + 12], "big"),
+                    int.from_bytes(b[idx + 12:idx + 16], "big"))
+        idx = b.find(b"ispe", idx + 4, 65536)
+    return (None, None)
 
 
 def sniff_image_meta(payload: "bytes | None"

@@ -1176,7 +1176,9 @@ def weight_diagnostics(df: DataFrame, weight_col: str,
     ess_n, max_w_share)``.  NULL and non-positive weights are
     EXCLUDED and counted (``n_nonpos``) — a negative importance
     weight is always an upstream bug worth surfacing, never mass to
-    aggregate silently.
+    aggregate silently.  (Rows whose *group* is NULL are dropped
+    outright when ``group_col`` is given — there is no group to
+    attribute them to.)
 
     Scale: ONE map-side-combined aggregate (count + three moments +
     max) per group; nothing row-sized leaves the scan.
@@ -1186,17 +1188,17 @@ def weight_diagnostics(df: DataFrame, weight_col: str,
     if group_col and group_col not in df.columns:
         raise ValueError(f"missing column: {group_col!r}")
     w = F.col(weight_col).cast("double")
-    keep = F.col(weight_col).isNotNull()
-    if group_col:
-        keep = keep & F.col(group_col).isNotNull()
     pos = F.when(w > 0, w)
+    # NULL weights land in n_nonpos alongside zero/negative ones (the
+    # docstring contract); only NULL *groups* are filtered out, since
+    # they have no row to report under.
     aggs = [F.count(pos).cast("long").alias("n"),
-            F.sum(F.when(w.isNotNull() & ~(w > 0), 1).otherwise(0))
+            F.sum(F.when(w.isNull() | ~(w > 0), 1).otherwise(0))
             .cast("long").alias("n_nonpos"),
             F.sum(pos).alias("sum_w"),
             F.sum(pos * pos).alias("__sw2"),
             F.max(pos).alias("__wmax")]
-    src = df.where(keep)
+    src = (df.where(F.col(group_col).isNotNull()) if group_col else df)
     agg = (src.groupBy(group_col).agg(*aggs) if group_col
            else src.agg(*aggs))
     ess = F.when(F.col("__sw2") > 0,

@@ -1228,8 +1228,10 @@ def pca_fit(df: DataFrame, k: int = 8,
     "explained_variance_ratio": [k], "total_variance": float}``.
 
     Scale: a cheap one-pass aggregate (2d + 2 columns: element sums /
-    sum-squares for the mean, the per-dim variance trace, and the
-    loud ragged-vector count), then ``pyspark.ml.feature.PCA`` for
+    sum-squares for the mean, the per-dim variance trace — both
+    accumulated about a pilot point (the first row) so a large common
+    offset can't cancel catastrophically — and the loud ragged-vector
+    count), then ``pyspark.ml.feature.PCA`` for
     the component basis — the JVM-BLAS Gramian path (per-row ``dspr``
     rank-1 updates tree-aggregated; the ml.stat precedent
     ``correlation_matrix`` already rides for wide inputs).  Measured
@@ -1244,11 +1246,11 @@ def pca_fit(df: DataFrame, k: int = 8,
     would corrupt every co-moment).
     """
     v = F.col(vec_col)
+    first = (df.where(v.isNotNull())
+             .select(F.size(v).alias("__d"), v.alias("__p")).first())
+    if first is None:
+        raise ValueError("pca_fit: no non-NULL vectors")
     if dim is None:
-        first = (df.where(v.isNotNull())
-                 .select(F.size(v).alias("__d")).first())
-        if first is None:
-            raise ValueError("pca_fit: no non-NULL vectors")
         dim = int(first["__d"])
     if not 1 <= dim <= PCA_MAX_DIM:
         raise ValueError(
@@ -1261,7 +1263,16 @@ def pca_fit(df: DataFrame, k: int = 8,
     staged = df.where(v.isNotNull()).select(
         F.when(F.size(v) == dim, v).alias("__v"),
         F.when(F.size(v) != dim, 1).otherwise(0).alias("__bad"))
-    gv = [F.get(F.col("__v"), i).cast("double") for i in range(dim)]
+    # Moments are accumulated about a PILOT point (the first row's
+    # values, literal-folded) instead of about 0: sum(x²)−(sum x)²/n
+    # cancels catastrophically when the common offset dwarfs the
+    # spread, while the same formula on pilot-shifted values is
+    # numerically benign because the shifted values straddle zero.
+    pilot = [float(x) if x is not None else 0.0
+             for x in (first["__p"][:dim] if len(first["__p"]) >= dim
+                       else list(first["__p"]) + [0.0] * dim)]
+    gv = [F.get(F.col("__v"), i).cast("double") - F.lit(pilot[i])
+          for i in range(dim)]
     aggs = [F.count("__v").cast("long").alias("__n"),
             F.sum("__bad").cast("long").alias("__nbad")]
     aggs += [F.sum(gv[i]).alias(f"__s{i}") for i in range(dim)]
@@ -1275,9 +1286,9 @@ def pca_fit(df: DataFrame, k: int = 8,
     n = row["__n"]
     if n < 2:
         raise ValueError(f"pca_fit: need >= 2 vectors, got {n}")
-    mean = [row[f"__s{i}"] / n for i in range(dim)]
+    mean = [pilot[i] + row[f"__s{i}"] / n for i in range(dim)]
     total = max(sum(
-        (row[f"__q{i}"] - row[f"__s{i}"] * row[f"__s{i}"] / n)
+        max(row[f"__q{i}"] - row[f"__s{i}"] * row[f"__s{i}"] / n, 0.0)
         / (n - 1) for i in range(dim)), 0.0)
 
     from pyspark.ml.feature import PCA as _MLPCA

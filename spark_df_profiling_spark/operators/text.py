@@ -1609,7 +1609,8 @@ def bpe_encode_words(df: DataFrame, text_col: str,
 
 def bpe_token_count(df: DataFrame, text_col: str,
                     merges: "list[tuple]", id_col: str,
-                    out_col: str = "n_tokens_bpe") -> DataFrame:
+                    out_col: str = "n_tokens_bpe",
+                    validate_ids: bool = True) -> DataFrame:
     """Per-document token count under a trained BPE merge table —
     the budget number every packing/mixture/pricing step needs, from
     the REAL tokenizer rather than the whitespace/regex proxies
@@ -1617,6 +1618,14 @@ def bpe_token_count(df: DataFrame, text_col: str,
     row, ``(id, n_tokens_bpe)``; a document with no encodable words
     counts 0; NULL text counts 0 (a NULL doc has no tokens — filter
     upstream if NULL should be an error).
+
+    ``id_col`` must be UNIQUE: the per-document sum groups by id and
+    joins back, so duplicate ids would silently receive the combined
+    total of every row sharing the id.  With ``validate_ids``
+    (default) one cheap count-vs-countDistinct aggregate enforces
+    this and raises on duplicates; pass ``validate_ids=False`` only
+    when uniqueness is already guaranteed upstream (a constraints
+    check, a primary key) to skip that scan at the 100 TB tier.
 
     Scale: word TYPES encode once (:func:`bpe_encode_words`), then
     each document's exploded words hash-join the vocabulary frame on
@@ -1627,6 +1636,22 @@ def bpe_token_count(df: DataFrame, text_col: str,
     """
     if id_col not in df.columns:
         raise ValueError(f"missing column: {id_col!r}")
+    if validate_ids:
+        chk = df.agg(
+            F.count(id_col).alias("__n"),
+            F.count_distinct(F.col(id_col)).alias("__nd"),
+            F.sum(F.col(id_col).isNull().cast("long"))
+            .alias("__nnull")).collect()[0]
+        if chk["__nnull"]:
+            raise ValueError(
+                f"bpe_token_count: {chk['__nnull']} NULL id(s) in "
+                f"{id_col!r} — ids must be unique and non-NULL")
+        if chk["__n"] != chk["__nd"]:
+            raise ValueError(
+                f"bpe_token_count: {id_col!r} is not unique "
+                f"({chk['__n']} rows, {chk['__nd']} distinct) — "
+                "duplicate ids would each receive the combined "
+                "token total of all rows sharing the id")
     enc = bpe_encode_words(df, text_col, merges) \
         .select("word", "n_tokens")
     words = (df.select(F.col(id_col).alias("__id"),

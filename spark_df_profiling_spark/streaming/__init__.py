@@ -1046,9 +1046,22 @@ def streaming_ks(stream_df: DataFrame, ts_col: str, value_col: str,
     post-projection with the reference CDF as literals — so an
     availableNow replay equals the identical batch windowed agg, and
     state is O(windows-in-flight × n_edges).  NULL values excluded.
+
+    The reference is capped at 512 edges here (``ks_reference``
+    itself permits up to 4096): every edge is one conditional-sum
+    aggregate column PLUS one struct in the max-gap array, and past
+    ~1k columns the streaming agg risks whole-stage-codegen fallback
+    and planner blowup.  512 edges bound the KS discretization error
+    at ~0.2% of reference mass — refit with ``n_edges<=512`` rather
+    than raising this cap.
     """
     if not reference:
         raise ValueError("reference must be non-empty")
+    if len(reference) > 512:
+        raise ValueError(
+            f"streaming_ks: reference has {len(reference)} edges; "
+            "the streaming agg carries one column per edge, so cap "
+            "is 512 — refit ks_reference with n_edges <= 512")
     edges = [float(e) for e, _ in reference]
     cdfs = [float(c) for _, c in reference]
     if edges != sorted(edges):
