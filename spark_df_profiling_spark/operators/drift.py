@@ -200,6 +200,125 @@ def psi_categorical(ref: DataFrame, new: DataFrame,
                             _bucket_counts(new, exprs))
 
 
+def _erf_expr(y: F.Column) -> F.Column:
+    """erf(y) for y >= 0 via the Abramowitz & Stegun 7.1.26 polynomial
+    (max abs error 1.5e-7) — pure deterministic double arithmetic, so
+    an oracle can replay it bit-for-bit in any engine."""
+    t = 1.0 / (1.0 + 0.3275911 * y)
+    poly = (t * (0.254829592
+                 + t * (-0.284496736
+                        + t * (1.421413741
+                               + t * (-1.453152027
+                                      + t * 1.061405429)))))
+    return 1.0 - poly * F.exp(-(y * y))
+
+
+def _norm_sf_expr(z: F.Column) -> F.Column:
+    """P(Z > z) for standard normal Z, both signs, via :func:`_erf_expr`."""
+    return F.when(z >= 0, 0.5 * (1.0 - _erf_expr(z / SQRT2))) \
+        .otherwise(1.0 - 0.5 * (1.0 - _erf_expr(-z / SQRT2)))
+
+
+SQRT2 = 2.0 ** 0.5
+
+
+def chi2_sf_expr(x: F.Column, k: F.Column) -> F.Column:
+    """Chi-square survival function P(X_k > x) as a deterministic
+    column expression — EXACT (up to the erf polynomial's 1.5e-7) for
+    dof 1 (``2·P(Z > sqrt(x))``) and dof 2 (``exp(-x/2)``), and the
+    Wilson–Hilferty cube-root normal approximation for dof >= 3
+    (relative error ~1e-3 in the body, adequate for a drift ALARM and
+    for BH ordering; stated, not hidden).  x < 0 or k < 1 yield NULL;
+    x = 0 yields 1."""
+    wh_z = ((F.pow(x / k, F.lit(1.0 / 3.0))
+             - (1.0 - 2.0 / (9.0 * k)))
+            / F.sqrt(2.0 / (9.0 * k)))
+    return (F.when(x.isNull() | k.isNull() | (x < 0) | (k < 1),
+                   F.lit(None).cast("double"))
+            .when(x == 0, F.lit(1.0))
+            .when(k == 1, 2.0 * _norm_sf_expr(F.sqrt(x)))
+            .when(k == 2, F.exp(-x / 2.0))
+            .otherwise(_norm_sf_expr(wh_z)))
+
+
+def chi2_drift(ref: DataFrame, new: DataFrame,
+               cols: Sequence[str],
+               include_nulls: bool = False) -> DataFrame:
+    """Two-sample chi-square AND G-test of homogeneity per categorical
+    column, WITH p-values — the inferential companion of
+    :func:`psi_categorical` / rank drift (which emit scores but no
+    p-value, so :func:`bh_fdr` had nothing to control on the
+    categorical family): one row per column, ``(column, n_categories,
+    dof, n_ref, n_new, chi2, p_chi2, g_stat, p_g,
+    n_small_expected)``.
+
+    Each distinct value is a cell of the 2×V contingency table;
+    expected cell counts are the usual ``row_total·col_total/N`` (no
+    eps floors — a one-side-only category contributes exactly, which
+    is the chi-square's advantage over PSI's arbitrary eps spike);
+    G-test terms with a zero observed count contribute 0 (the x·ln x
+    limit).  ``dof = V − 1``; V = 1 (no variation) yields NULL
+    p-values.  ``n_small_expected`` counts cells with expected < 5 —
+    Cochran's rule; a large value means trust the G-test less.
+    P-values via :func:`chi2_sf_expr` (exact at dof 1-2,
+    Wilson–Hilferty above).  Same NULL contract as
+    :func:`psi_categorical` (``include_nulls=True`` buckets NULL).
+
+    Scale: ONE scan per dataset (stack-explode, the
+    :func:`psi_categorical` shape); the shuffle carries
+    ``#cols × #values`` count rows, never data rows; p-values are
+    plain row expressions over the per-column aggregate.  Compose:
+    ``bh_fdr(chi2_drift(...), "p_chi2")`` controls the FDR across a
+    many-column scan.
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    if include_nulls:
+        exprs = {c: F.coalesce(F.col(c).cast("string"),
+                               F.lit("__null__")) for c in cols}
+    else:
+        exprs = {c: F.col(c).cast("string") for c in cols}
+    rc = _bucket_counts(ref, exprs).withColumnRenamed("n", "n_r")
+    nc = _bucket_counts(new, exprs).withColumnRenamed("n", "n_n")
+    cells = (rc.join(nc, ["column", "bucket"], "full_outer")
+             .select("column", "bucket",
+                     F.coalesce("n_r", F.lit(0)).cast("double")
+                     .alias("n_r"),
+                     F.coalesce("n_n", F.lit(0)).cast("double")
+                     .alias("n_n")))
+    tots = (cells.groupBy("column")
+            .agg(F.sum("n_r").alias("tot_r"),
+                 F.sum("n_n").alias("tot_n")))
+    j = cells.join(F.broadcast(tots), "column")
+    colt = F.col("n_r") + F.col("n_n")
+    grand = F.col("tot_r") + F.col("tot_n")
+    e_r = F.col("tot_r") * colt / grand
+    e_n = F.col("tot_n") * colt / grand
+    chi2_term = ((F.col("n_r") - e_r) * (F.col("n_r") - e_r) / e_r
+                 + (F.col("n_n") - e_n) * (F.col("n_n") - e_n) / e_n)
+    g_term = 2.0 * (
+        F.when(F.col("n_r") > 0,
+               F.col("n_r") * F.log(F.col("n_r") / e_r)).otherwise(0.0)
+        + F.when(F.col("n_n") > 0,
+                 F.col("n_n") * F.log(F.col("n_n") / e_n))
+        .otherwise(0.0))
+    agg = (j.groupBy("column").agg(
+        F.count(F.lit(1)).cast("long").alias("n_categories"),
+        F.max("tot_r").cast("long").alias("n_ref"),
+        F.max("tot_n").cast("long").alias("n_new"),
+        F.sum(chi2_term).alias("chi2"),
+        F.sum(g_term).alias("g_stat"),
+        F.sum(F.when(F.least(e_r, e_n) < 5, 1).otherwise(0))
+        .cast("long").alias("n_small_expected")))
+    dof = (F.col("n_categories") - 1).cast("double")
+    return agg.select(
+        "column", "n_categories",
+        dof.cast("long").alias("dof"), "n_ref", "n_new",
+        "chi2", chi2_sf_expr(F.col("chi2"), dof).alias("p_chi2"),
+        "g_stat", chi2_sf_expr(F.col("g_stat"), dof).alias("p_g"),
+        "n_small_expected")
+
+
 def psi_by_group(ref: DataFrame, new: DataFrame, group_col: str,
                  cols: Sequence[str], bins: int = 10) -> DataFrame:
     """PSI per (group, column): does the new snapshot drift WITHIN each

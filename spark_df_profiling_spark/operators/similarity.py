@@ -328,6 +328,176 @@ def ann_ivf(corpus: DataFrame, queries: DataFrame,
             .where(F.col("rank") <= k))
 
 
+def ivf_probe_expr(vec: Column, centroids: "list[list[float]]",
+                   nprobe: int) -> Column:
+    """``array<int>`` of the ``nprobe`` nearest cluster ids by squared
+    L2 distance to the frozen centroid literals (ties resolve to the
+    LOWER cluster id — struct sort on (dist, id)) — a pure row
+    expression: no join, no shuffle, no Python.  The multi-probe
+    generalization of ``clustering.kmeans_assign_expr``."""
+    from spark_df_profiling_spark.operators.clustering import (
+        _dist_sq_expr)
+    v = F.transform(vec, lambda x: x.cast("double"))
+    entries = F.array(*[
+        F.struct(_dist_sq_expr(v, c).alias("d"),
+                 F.lit(i).cast("int").alias("i"))
+        for i, c in enumerate(centroids)])
+    return F.transform(F.slice(F.array_sort(entries), 1, nprobe),
+                       lambda s: s["i"])
+
+
+def knn_ivf(corpus: DataFrame, queries: DataFrame,
+            centroids: "list[list[float]]",
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            k: int = 10, nprobe: int = 4,
+            sub_partitions: int = 32) -> DataFrame:
+    """IVF-flat ANN over FROZEN centroids (the FAISS recipe on the
+    deterministic ``clustering.kmeans_fit`` state): assign the corpus
+    to its nearest centroid once (inverted lists), rank each query's
+    ``nprobe`` nearest clusters, and score ONLY the rows in those
+    lists — a ~``nprobe/len(centroids)`` fraction of the corpus per
+    query instead of :func:`knn_bruteforce`'s full scan.
+
+    The centroid-literal twin of :func:`ann_ivf` (which fits ml
+    KMeans inline per call): here the quantizer is store-once driver
+    state from :func:`~spark_df_profiling_spark.operators.clustering.
+    kmeans_fit` / ``centroids_from_state`` — fit on a reference
+    corpus, persist O(k·d) floats, and every later batch (or engine)
+    probes the SAME partitioning; day-2 searches never refit.
+    Same output contract as :func:`knn_bruteforce` (``query_id,
+    neighbor_id, sim, rank``; cosine; self-matches excluded; ties by
+    neighbor_id), same two-phase salted top-k.
+
+    Scale: corpus assignment and query probe lists are pure row
+    expressions over centroid literals (zero shuffle, NO crossJoin
+    anywhere); the candidate join is a broadcast HASH join on the
+    cluster id (queries are the small side); report scanned volume
+    with :func:`ivf_candidate_stats`.  Recall is data-dependent —
+    gate it (oracle: ``ann_recall_gates``) like any approximate
+    index; raise ``nprobe`` to trade scan fraction for recall.
+    """
+    if not centroids:
+        raise ValueError("knn_ivf: centroids must be non-empty")
+    if not 1 <= nprobe <= len(centroids):
+        raise ValueError(
+            f"knn_ivf: nprobe must be in [1, {len(centroids)}]: "
+            f"{nprobe}")
+    from spark_df_profiling_spark.operators.clustering import (
+        kmeans_assign)
+    c = (corpus.where(F.col(vec_col).isNotNull())
+         .select(F.col(id_col).alias("neighbor_id"),
+                 F.col(vec_col).alias("__cv"),
+                 l2_norm(F.col(vec_col)).alias("__cn")))
+    c = kmeans_assign(c, centroids, vec_col="__cv",
+                      cluster_col="__cl").where(F.col("__cn") > 0)
+    q = (queries.where(F.col(vec_col).isNotNull())
+         .select(F.col(id_col).alias("query_id"),
+                 F.col(vec_col).alias("__qv"),
+                 l2_norm(F.col(vec_col)).alias("__qn")))
+    q = q.where(F.col("__qn") > 0)
+    qe = (q.withColumn("__probes",
+                       ivf_probe_expr(F.col("__qv"), centroids,
+                                      nprobe))
+          .select("query_id", "__qv", "__qn",
+                  F.explode("__probes").alias("__cl")))
+    joined = c.join(F.broadcast(qe), "__cl").where(
+        F.col("neighbor_id") != F.col("query_id"))
+    sim = dot(F.col("__qv"), F.col("__cv")) \
+        / (F.col("__qn") * F.col("__cn"))
+    scored = (joined.select("query_id", "neighbor_id",
+                            sim.alias("sim"))
+              .where(F.col("sim").isNotNull()))
+    if sub_partitions > 1:
+        salt = F.pmod(F.xxhash64("neighbor_id"),
+                      F.lit(sub_partitions))
+        w1 = Window.partitionBy("query_id", "__salt").orderBy(
+            F.desc("sim"), F.asc("neighbor_id"))
+        scored = (scored.withColumn("__salt", salt)
+                  .withColumn("__r1", F.row_number().over(w1))
+                  .where(F.col("__r1") <= k)
+                  .drop("__salt", "__r1"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
+def knn_ivf_quantized(corpus_q8: DataFrame, queries: DataFrame,
+                      centroids: "list[list[float]]",
+                      ranges: "list[tuple]",
+                      id_col: str = "vec_id",
+                      q_col: str = "embedding_q8",
+                      vec_col: str = "embedding",
+                      k: int = 10, nprobe: int = 4,
+                      sub_partitions: int = 32) -> DataFrame:
+    """IVF + int8 ADC composed: the corpus lives as 4×-smaller
+    ``array<tinyint>`` codes, dequantization fuses into the scoring
+    scan (the :func:`knn_bruteforce_quantized` device), and the IVF
+    probe prunes which codes are scored at all — the two savings
+    multiply (scan ``nprobe/k_clusters`` of the corpus at a quarter
+    of the bytes).  Centroids are in FLOAT space (fit before
+    quantizing, or on dequantized vectors) so probe ranking is
+    unaffected by code granularity."""
+    deq = dequantize_embeddings(corpus_q8, ranges, q_col=q_col,
+                                out_col="__deqv")
+    c = deq.select(F.col(id_col), F.col("__deqv").alias(vec_col))
+    return knn_ivf(c, queries, centroids, id_col=id_col,
+                   vec_col=vec_col, k=k, nprobe=nprobe,
+                   sub_partitions=sub_partitions)
+
+
+def ivf_candidate_stats(corpus: DataFrame, queries: DataFrame,
+                        centroids: "list[list[float]]",
+                        nprobe: int,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Scanned-volume readout for :func:`knn_ivf`: per query,
+    ``(query_id, n_candidates, n_corpus, candidate_fraction)`` where
+    ``n_candidates`` is the total size of its ``nprobe`` probed
+    inverted lists (self-row included — this measures scan cost, not
+    result quality).  THE number an IVF deployment is judged by: the
+    recall gate says whether ``nprobe`` is high enough, this says
+    what that recall costs relative to brute force.
+
+    Scale: cluster sizes are ONE map-side-combined aggregate
+    (≤ ``len(centroids)`` rows — O(k) driver state, same size as the
+    centroid state itself); probe lists are row expressions; the
+    stats join is broadcast-sized.
+    """
+    if not centroids:
+        raise ValueError("ivf_candidate_stats: centroids must be "
+                         "non-empty")
+    if not 1 <= nprobe <= len(centroids):
+        raise ValueError(
+            f"ivf_candidate_stats: nprobe must be in "
+            f"[1, {len(centroids)}]: {nprobe}")
+    from spark_df_profiling_spark.operators.clustering import (
+        kmeans_assign)
+    c = (corpus.where(F.col(vec_col).isNotNull())
+         .select(F.col(vec_col).alias("__cv")))
+    c = kmeans_assign(c, centroids, vec_col="__cv",
+                      cluster_col="__cl")
+    sizes = c.groupBy("__cl").agg(
+        F.count(F.lit(1)).cast("long").alias("__sz"))
+    n_corpus = sum(r["__sz"] for r in sizes.collect())  # O(k) rows
+    sizes_df = sizes  # still a DataFrame for the broadcast join
+    probes = (queries.where(F.col(vec_col).isNotNull())
+              .select(F.col(id_col).alias("query_id"),
+                      F.explode(ivf_probe_expr(
+                          F.col(vec_col), centroids, nprobe))
+                      .alias("__cl")))
+    return (probes.join(F.broadcast(sizes_df), "__cl", "left")
+            .groupBy("query_id")
+            .agg(F.sum(F.coalesce("__sz", F.lit(0))).cast("long")
+                 .alias("n_candidates"))
+            .select("query_id", "n_candidates",
+                    F.lit(n_corpus).cast("long").alias("n_corpus"),
+                    F.when(F.lit(n_corpus) > 0,
+                           F.col("n_candidates")
+                           / F.lit(float(n_corpus)))
+                    .alias("candidate_fraction")))
+
+
 def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
                    vec_col: str = "embedding",
                    n_clusters: int | None = None,

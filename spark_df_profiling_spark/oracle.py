@@ -113,6 +113,36 @@ def _psig(expr: str) -> str:
             f"CAST(CAST({m} AS BIGINT) AS VARCHAR) END")
 
 
+def _chi2_sf_sql(x: str, k: str) -> str:
+    """DuckDB replay of ``drift.chi2_sf_expr`` — the identical
+    deterministic arithmetic (A&S erf polynomial, exact dof-1/2 forms,
+    Wilson–Hilferty above), term for term."""
+    sqrt2 = "1.4142135623730951"
+
+    def erf(y: str) -> str:
+        t = f"(1.0 / (1.0 + 0.3275911 * ({y})))"
+        poly = (f"({t} * (0.254829592 + {t} * (-0.284496736 + {t} * "
+                f"(1.421413741 + {t} * (-1.453152027 + {t} * "
+                f"1.061405429)))))")
+        return f"(1.0 - {poly} * exp(-(({y}) * ({y}))))"
+
+    def nsf(z: str) -> str:
+        return (f"(CASE WHEN ({z}) >= 0 "
+                f"THEN 0.5 * (1.0 - {erf(f'(({z}) / {sqrt2})')}) "
+                f"ELSE 1.0 - 0.5 * (1.0 - "
+                f"{erf(f'((-({z})) / {sqrt2})')}) END)")
+
+    whz = (f"((pow(({x}) / ({k}), 0.3333333333333333) - "
+           f"(1.0 - 2.0 / (9.0 * ({k})))) / "
+           f"sqrt(2.0 / (9.0 * ({k}))))")
+    return (f"(CASE WHEN ({x}) IS NULL OR ({k}) IS NULL "
+            f"OR ({x}) < 0 OR ({k}) < 1 THEN NULL "
+            f"WHEN ({x}) = 0 THEN 1.0 "
+            f"WHEN ({k}) = 1 THEN 2.0 * {nsf(f'sqrt(({x}))')} "
+            f"WHEN ({k}) = 2 THEN exp(-(({x})) / 2.0) "
+            f"ELSE {nsf(whz)} END)")
+
+
 # ---------------------------------------------------------------------------
 # N1-N9: numeric moments on lineitem.l_extendedprice (SURVEY §2.3)
 # ---------------------------------------------------------------------------
@@ -3878,6 +3908,41 @@ FROM (
          fit.f AS f
   FROM cc JOIN fit USING (i))
 UNION ALL
+-- grouped isotonic replay (r14): evaluation.isotonic_fit_by — the
+-- SAME exact max-min PAV formula, independently per g = label % 3;
+-- at every training (g, score) the applied value must equal the
+-- per-group PAV solution
+SELECT 'isog', CAST(g AS BIGINT), CAST(ii AS BIGINT),
+       CAST(w AS BIGINT) || ':' || {_psig('f')}, 1
+FROM (
+  WITH gbase AS (
+    SELECT label % 3 AS g,
+           floor(CAST(embedding[3] AS DOUBLE) * 2) / 2 AS s,
+           CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS y
+    FROM embeddings
+    WHERE label IS NOT NULL AND embedding IS NOT NULL),
+  gpts AS (SELECT g, s, avg(y) AS my, CAST(count(*) AS DOUBLE) AS w,
+                  row_number() OVER (PARTITION BY g ORDER BY s) AS i
+           FROM gbase GROUP BY g, s),
+  gcc AS (SELECT g, i, s, w,
+                 sum(my * w) OVER (PARTITION BY g ORDER BY i) AS cy,
+                 sum(w) OVER (PARTITION BY g ORDER BY i) AS cw
+          FROM gpts),
+  gsm AS (SELECT j.g, j.i AS j, k.i AS k,
+                 (k.cy - coalesce(jm.cy, 0))
+                   / (k.cw - coalesce(jm.cw, 0)) AS m
+          FROM gcc j JOIN gcc k ON k.g = j.g AND k.i >= j.i
+          LEFT JOIN gcc jm ON jm.g = j.g AND jm.i = j.i - 1),
+  gfit AS (SELECT g, i, max(mnv) AS f FROM (
+             SELECT sm.g, sm.j, ii.i, min(sm.m) AS mnv
+             FROM gsm sm JOIN gcc ii
+               ON ii.g = sm.g AND sm.k >= ii.i AND sm.j <= ii.i
+             GROUP BY sm.g, sm.j, ii.i)
+           GROUP BY g, i)
+  SELECT gcc.g, CAST(gcc.s * 2 AS BIGINT) AS ii,
+         CAST(gcc.w AS BIGINT) AS w, gfit.f AS f
+  FROM gcc JOIN gfit ON gfit.g = gcc.g AND gfit.i = gcc.i)
+UNION ALL
 -- mcnemar replay (r13, grouped): paired-correctness disagreement
 -- cells as exact integers + the continuity-corrected chi2
 SELECT 'mcn', CAST(g AS BIGINT),
@@ -4278,6 +4343,30 @@ def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.col("w").alias("neighbor_id"),
                    sig(F.col("score_calibrated")).alias("sim_s"),
                    F.lit(1).alias("rank")))
+    # 'isog' rows (r14) grade evaluation.isotonic_fit_by + the grouped
+    # isotonic_apply routing: independent per-group PAV (g = label%3)
+    # replayed by DuckDB's max-min formula PARTITIONed BY g; applied
+    # values at every training (g, score) must match per group
+    from spark_df_profiling_spark.operators.evaluation import (
+        isotonic_fit_by)
+    isog_base = (e.where(F.col("label").isNotNull()
+                         & F.col("embedding").isNotNull())
+                 .select(
+                     (F.col("label") % 3).cast("long").alias("g"),
+                     (F.floor(F.get(F.col("embedding"), 2)
+                              .cast("double") * 2) / 2).alias("s"),
+                     (F.col("label") < 5).cast("double").alias("y")))
+    gist = isotonic_fit_by(isog_base, "y", "s", "g")
+    isog_probe = (isog_base.groupBy("g", "s")
+                  .agg(F.count(F.lit(1)).cast("long").alias("w")))
+    isog = (isotonic_apply(isog_probe, gist, "s")
+            .select(F.lit("isog").alias("part"),
+                    F.col("g").alias("query_id"),
+                    (F.col("s") * 2).cast("long").alias("neighbor_id"),
+                    F.concat(F.col("w").cast("string"), F.lit(":"),
+                             sig(F.col("score_calibrated")))
+                    .alias("sim_s"),
+                    F.lit(1).alias("rank")))
     oppt = (operating_points(gra_df, "y", "s", beta=1.0,
                              min_precision=0.5, group_col="g")
             .select(F.lit("oppt").alias("part"),
@@ -4299,7 +4388,7 @@ def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(conf).unionByName(rbo)
             .unionByName(abt).unionByName(cbal)
             .unionByName(negm).unionByName(oppt)
-            .unionByName(mcn).unionByName(iso)
+            .unionByName(mcn).unionByName(iso).unionByName(isog)
             .orderBy("part", "query_id", "rank"))
 
 
@@ -5169,6 +5258,21 @@ def _ann_recall(spark: SparkSession, sf_dir: str, method: str,
         n_corpus = 500
         approx = knn_projected_rerank(e, q, in_dim=64, proj_dim=16,
                                       k=k, rerank_k=n_corpus, seed=5)
+    elif method == "ivfd":
+        # knn_ivf (r14): the FROZEN-centroid IVF-flat twin of ann_ivf
+        # — deterministic kmeans_fit state, expression probe lists,
+        # broadcast hash join.  Full probe -> recall == exact by
+        # construction (the same deterministic-invariant device as
+        # 'ivf' below); partial-probe recall is pinned on directional
+        # blobs by tests/test_round14_ivf.py, and the scanned-volume
+        # economics are graded by embedding_array_stats 'ivffr' rows.
+        from spark_df_profiling_spark.operators.clustering import (
+            kmeans_fit)
+        from spark_df_profiling_spark.operators.similarity import (
+            knn_ivf)
+        cents = kmeans_fit(e, "embedding", "vec_id", k=8, n_iter=2,
+                           seed=0)
+        approx = knn_ivf(e, q, cents, k=k, nprobe=8)
     else:
         # Probe ALL clusters in the graded adapter: recall == exact by
         # construction, so the gate is a deterministic invariant — a
@@ -5195,7 +5299,8 @@ def _ann_recall(spark: SparkSession, sf_dir: str, method: str,
 
 @query("ann_recall_gates", """
 SELECT method, CAST(vec_id AS BIGINT) AS query_id, true AS recall_ok
-FROM (SELECT 'ivf' AS method UNION ALL SELECT 'lsh'
+FROM (SELECT 'ivf' AS method UNION ALL SELECT 'ivfd'
+      UNION ALL SELECT 'lsh'
       UNION ALL SELECT 'q8' UNION ALL SELECT 'rproj'), embeddings
 WHERE vec_id < 5 ORDER BY method, query_id
 """)
@@ -5212,13 +5317,16 @@ def ann_recall_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("lsh").alias("method"), "query_id", "recall_ok")
     ivf = _ann_recall(spark, sf_dir, "ivf", min_hits=2) \
         .select(F.lit("ivf").alias("method"), "query_id", "recall_ok")
+    ivfd = _ann_recall(spark, sf_dir, "ivfd", min_hits=2) \
+        .select(F.lit("ivfd").alias("method"), "query_id",
+                "recall_ok")
     q8 = _ann_recall(spark, sf_dir, "q8", min_hits=2) \
         .select(F.lit("q8").alias("method"), "query_id", "recall_ok")
     rpj = _ann_recall(spark, sf_dir, "rproj", min_hits=2) \
         .select(F.lit("rproj").alias("method"), "query_id",
                 "recall_ok")
-    return ivf.unionByName(lsh).unionByName(q8).unionByName(rpj) \
-        .orderBy("method", "query_id")
+    return (ivf.unionByName(ivfd).unionByName(lsh).unionByName(q8)
+            .unionByName(rpj).orderBy("method", "query_id"))
 
 
 def _lang_id_sql() -> str:
@@ -8739,6 +8847,68 @@ FROM (SELECT sum(vs) AS tv FROM (
         GROUP BY d)),
      (SELECT CAST(count(*) AS BIGINT) AS nn FROM embeddings
       WHERE embedding IS NOT NULL)
+UNION ALL
+-- ivf_candidate_stats replay (r14): the scanned-volume readout of
+-- knn_ivf over the SAME replayed 2-round md5-seeded kmeans centroids
+-- — per query (vec_id < 5) the nprobe=2 nearest final centroids
+-- (ties -> lower cluster) and the probed inverted-list size totals
+SELECT 'ivffr', CAST(qid AS VARCHAR), CAST(nc AS BIGINT),
+       CAST(ncorp AS VARCHAR) || '/'
+         || {_psig('CAST(nc AS DOUBLE) / CAST(ncorp AS DOUBLE)')}
+FROM (
+  WITH pts AS (
+    SELECT vec_id AS id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+    WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+  px AS (SELECT id, generate_subscripts(v, 1) AS dim, unnest(v) AS x
+         FROM pts),
+  sd AS (SELECT v, row_number() OVER (ORDER BY
+             ('0x' || substr(md5(id::VARCHAR || ':0'), 1, 15))::BIGINT,
+             id) - 1 AS c
+         FROM pts),
+  c0 AS (SELECT c, generate_subscripts(v, 1) AS dim, unnest(v) AS val
+         FROM sd WHERE c < 4),
+  d1 AS (SELECT px.id, c0.c,
+                sum((px.x - c0.val) * (px.x - c0.val)) AS dist
+         FROM px JOIN c0 USING (dim) GROUP BY px.id, c0.c),
+  a1 AS (SELECT id, c FROM (
+           SELECT id, c, row_number() OVER (PARTITION BY id
+                           ORDER BY dist, c) AS rk FROM d1)
+         WHERE rk = 1),
+  u1 AS (SELECT a1.c AS c, px.dim AS dim, avg(px.x) AS val
+         FROM px JOIN a1 USING (id) GROUP BY 1, 2),
+  c1 AS (SELECT c0.c, c0.dim, coalesce(u1.val, c0.val) AS val
+         FROM c0 LEFT JOIN u1 ON u1.c = c0.c AND u1.dim = c0.dim),
+  d2 AS (SELECT px.id, c1.c,
+                sum((px.x - c1.val) * (px.x - c1.val)) AS dist
+         FROM px JOIN c1 USING (dim) GROUP BY px.id, c1.c),
+  a2 AS (SELECT id, c FROM (
+           SELECT id, c, row_number() OVER (PARTITION BY id
+                           ORDER BY dist, c) AS rk FROM d2)
+         WHERE rk = 1),
+  u2 AS (SELECT a2.c AS c, px.dim AS dim, avg(px.x) AS val
+         FROM px JOIN a2 USING (id) GROUP BY 1, 2),
+  c2 AS (SELECT c1.c, c1.dim, coalesce(u2.val, c1.val) AS val
+         FROM c1 LEFT JOIN u2 ON u2.c = c1.c AND u2.dim = c1.dim),
+  d3 AS (SELECT px.id, c2.c,
+                sum((px.x - c2.val) * (px.x - c2.val)) AS dist
+         FROM px JOIN c2 USING (dim) GROUP BY px.id, c2.c),
+  a3 AS (SELECT id, c FROM (
+           SELECT id, c, row_number() OVER (PARTITION BY id
+                           ORDER BY dist, c) AS rk FROM d3)
+         WHERE rk = 1),
+  szs AS (SELECT c, CAST(count(*) AS BIGINT) AS sz
+          FROM a3 GROUP BY c),
+  tot AS (SELECT CAST(count(*) AS BIGINT) AS ncorp FROM pts),
+  pr AS (SELECT id AS qid, c FROM (
+           SELECT id, c, row_number() OVER (PARTITION BY id
+                           ORDER BY dist, c) AS rk
+           FROM d3 WHERE id < 5)
+         WHERE rk <= 2)
+  SELECT pr.qid, sum(szs.sz) AS nc, max(tot.ncorp) AS ncorp
+  FROM pr JOIN szs USING (c), tot
+  GROUP BY pr.qid)
 ORDER BY part, k
 """)
 def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8810,6 +8980,23 @@ def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.concat_ws("/", sig(F.col("inertia")),
                               sig(F.col("mean_dist")),
                               sig(F.col("max_dist"))).alias("v2s")))
+    # 'ivffr' rows (r14) grade similarity.ivf_candidate_stats — the
+    # scanned-volume readout of knn_ivf over the SAME fitted
+    # centroids: per query (vec_id < 5) the nprobe=2 probed
+    # inverted-list size total and its fraction of the corpus;
+    # DuckDB re-derives the centroids, every row's assignment, the
+    # probe ranking, and the size sums independently
+    from spark_df_profiling_spark.operators.similarity import (
+        ivf_candidate_stats)
+    ivffr = (ivf_candidate_stats(e, e.where(F.col("vec_id") < 5),
+                                 cents, nprobe=2)
+             .select(F.lit("ivffr").alias("part"),
+                     F.col("query_id").cast("string").alias("k"),
+                     F.col("n_candidates").alias("v1"),
+                     F.concat(F.col("n_corpus").cast("string"),
+                              F.lit("/"),
+                              sig(F.col("candidate_fraction")))
+                     .alias("v2s")))
     # 'silh' rows grade clustering.silhouette_simplified on the SAME
     # fitted centroids — per-cluster mean silhouette / a / b at 5 sig
     # digits over exact counts
@@ -9012,6 +9199,7 @@ def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("part", "k", "v1",
                     sig(F.col("__val")).alias("v2s")))
     return (arr.unionByName(dims).unionByName(quant).unionByName(km)
+            .unionByName(ivffr)
             .unionByName(sil).unionByName(cq)
             .unionByName(kb).unionByName(ks).unionByName(pca)
             .unionByName(stdr).unionByName(rproj).unionByName(dv)
@@ -10186,6 +10374,104 @@ FROM (
               FROM nw WHERE l_partkey IS NOT NULL GROUP BY 1)
         QUALIFY r <= 50) tb
   ON ta.v = tb.v)
+UNION ALL
+-- chi2_drift replay (r14): two-sample chi-square + G homogeneity per
+-- categorical column with p-values — expected counts, both statistics
+-- and the full sf arithmetic (A&S erf / exact dof-1,2 / WH) re-derived
+SELECT 'chi2' AS part,
+       col || ':' || CAST(CAST(dof AS BIGINT) AS VARCHAR)
+           || ':' || CAST(nsmall AS VARCHAR) AS k,
+       {_psig('chi2v')} || ':'
+         || {_psig(_chi2_sf_sql('chi2v', 'dof'))} AS psi_s,
+       {_psig('gv')} || ':'
+         || {_psig(_chi2_sf_sql('gv', 'dof'))} AS band
+FROM (
+  SELECT col, CAST(count(*) - 1 AS DOUBLE) AS dof,
+         sum((n_r - er) * (n_r - er) / er
+             + (n_n - en) * (n_n - en) / en) AS chi2v,
+         sum(2.0 * (CASE WHEN n_r > 0
+                         THEN n_r * ln(n_r / er) ELSE 0.0 END
+                  + CASE WHEN n_n > 0
+                         THEN n_n * ln(n_n / en) ELSE 0.0 END)) AS gv,
+         sum(CASE WHEN least(er, en) < 5 THEN 1 ELSE 0 END) AS nsmall
+  FROM (
+    SELECT col, n_r, n_n,
+           tot_r * (n_r + n_n) / (tot_r + tot_n) AS er,
+           tot_n * (n_r + n_n) / (tot_r + tot_n) AS en
+    FROM (
+      SELECT col, val,
+             CAST(sum(1 - side) AS DOUBLE) AS n_r,
+             CAST(sum(side) AS DOUBLE) AS n_n,
+             CAST(sum(sum(1 - side)) OVER (PARTITION BY col)
+                  AS DOUBLE) AS tot_r,
+             CAST(sum(sum(side)) OVER (PARTITION BY col)
+                  AS DOUBLE) AS tot_n
+      FROM (
+        SELECT CASE WHEN epoch(l_shipdate) < {_DRIFT_EPOCH}
+                    THEN 0 ELSE 1 END AS side, col, val
+        FROM (
+          SELECT l_shipdate, 'l_returnflag' AS col,
+                 l_returnflag AS val
+          FROM lineitem WHERE l_returnflag IS NOT NULL
+          UNION ALL
+          SELECT l_shipdate, 'l_linestatus', l_linestatus
+          FROM lineitem WHERE l_linestatus IS NOT NULL
+          UNION ALL
+          SELECT l_shipdate, 'l_linenumber',
+                 CAST(l_linenumber AS VARCHAR)
+          FROM lineitem WHERE l_linenumber IS NOT NULL))
+      GROUP BY col, val))
+  GROUP BY col)
+UNION ALL
+-- bh_fdr composition over the chi-square p-values (the reason the
+-- test exists): BH step-up over the 3-column family, p* and the
+-- reject/keep decision per column
+SELECT 'chifdr', col,
+       CASE WHEN p <= pstar THEN 'reject' ELSE 'keep' END,
+       coalesce({_psig('pstar')}, 'null')
+FROM (
+  SELECT col, p,
+         max(CASE WHEN p <= CAST(cnt_le AS DOUBLE) * 0.05 / m
+                  THEN p END) OVER () AS pstar
+  FROM (
+    SELECT col, p,
+           count(*) OVER (ORDER BY p RANGE BETWEEN UNBOUNDED
+                          PRECEDING AND CURRENT ROW) AS cnt_le,
+           count(*) OVER () AS m
+    FROM (
+      SELECT col, {_chi2_sf_sql('chi2v', 'dof')} AS p
+      FROM (
+        SELECT col, CAST(count(*) - 1 AS DOUBLE) AS dof,
+               sum((n_r - er) * (n_r - er) / er
+                   + (n_n - en) * (n_n - en) / en) AS chi2v
+        FROM (
+          SELECT col, n_r, n_n,
+                 tot_r * (n_r + n_n) / (tot_r + tot_n) AS er,
+                 tot_n * (n_r + n_n) / (tot_r + tot_n) AS en
+          FROM (
+            SELECT col, val,
+                   CAST(sum(1 - side) AS DOUBLE) AS n_r,
+                   CAST(sum(side) AS DOUBLE) AS n_n,
+                   CAST(sum(sum(1 - side)) OVER (PARTITION BY col)
+                        AS DOUBLE) AS tot_r,
+                   CAST(sum(sum(side)) OVER (PARTITION BY col)
+                        AS DOUBLE) AS tot_n
+            FROM (
+              SELECT CASE WHEN epoch(l_shipdate) < {_DRIFT_EPOCH}
+                          THEN 0 ELSE 1 END AS side, col, val
+              FROM (
+                SELECT l_shipdate, 'l_returnflag' AS col,
+                       l_returnflag AS val
+                FROM lineitem WHERE l_returnflag IS NOT NULL
+                UNION ALL
+                SELECT l_shipdate, 'l_linestatus', l_linestatus
+                FROM lineitem WHERE l_linestatus IS NOT NULL
+                UNION ALL
+                SELECT l_shipdate, 'l_linenumber',
+                       CAST(l_linenumber AS VARCHAR)
+                FROM lineitem WHERE l_linenumber IS NOT NULL))
+            GROUP BY col, val))
+        GROUP BY col))))
 ORDER BY part, k
 """
 
@@ -10293,10 +10579,35 @@ def drift_psi_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
                   sig(F.col("spearman")).alias("psi_s"),
                   F.concat_ws(":", "n_a", "n_b", "n_common")
                   .alias("band")))
+    # 'chi2' rows grade drift.chi2_drift (r14) — two-sample chi-square
+    # + G-test with p-values on the same date halves over three
+    # categorical columns spanning all three sf branches (linestatus
+    # dof=1 erf path, returnflag dof=2 exact exp, linenumber dof=6 WH);
+    # 'chifdr' rows grade the bh_fdr composition over that family
+    from spark_df_profiling_spark.operators.drift import (
+        bh_fdr, chi2_drift)
+    x2 = chi2_drift(ref, new, _DRIFT_CAT + ["l_linenumber"])
+    chi_rows = x2.select(
+        F.lit("chi2").alias("part"),
+        F.concat_ws(":", "column", F.col("dof").cast("string"),
+                    F.col("n_small_expected").cast("string"))
+        .alias("k"),
+        F.concat(sig(F.col("chi2")), F.lit(":"),
+                 sig(F.col("p_chi2"))).alias("psi_s"),
+        F.concat(sig(F.col("g_stat")), F.lit(":"),
+                 sig(F.col("p_g"))).alias("band"))
+    fdr_rows = (bh_fdr(x2, "p_chi2", alpha=0.05)
+                .select(F.lit("chifdr").alias("part"),
+                        F.col("column").alias("k"),
+                        F.when(F.col("bh_rejected"), F.lit("reject"))
+                        .otherwise(F.lit("keep")).alias("psi_s"),
+                        F.coalesce(sig(F.col("bh_threshold")),
+                                   F.lit("null")).alias("band")))
     return (cols.unionByName(wins).unionByName(grp)
             .unionByName(ks_row).unionByName(cvm_row)
             .unionByName(gks).unionByName(jsd_rows)
-            .unionByName(rd)
+            .unionByName(rd).unionByName(chi_rows)
+            .unionByName(fdr_rows)
             .orderBy("part", "k"))
 
 

@@ -109,10 +109,38 @@ class TestIsotonic:
         with pytest.raises(ValueError, match="missing column"):
             isotonic_fit(dff, "y", "zz")
 
-    def test_apply_plan_broadcasts_no_python(self, spark):
+    def test_apply_plan_no_join_no_python(self, spark):
+        """r14: the default (when-tree) path is join-free — the r13
+        inequality-only broadcast join executed as
+        BroadcastNestedLoopJoin, O(rows x n_seg) predicate evals."""
         rows, df = _fixture(spark, n=60)
         state = isotonic_fit(df, "y", "s")
         out = isotonic_apply(df, state, "s")
         plan = out._jdf.queryExecution().executedPlan().toString()
-        assert "Broadcast" in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "Join" not in plan        # pure projection
         assert "Python" not in plan
+
+    def test_apply_bucketed_plan_is_hash_join(self, spark):
+        """Above when_tree_max the plan is a broadcast HASH join on
+        the bucket id (equality key), never a nested loop."""
+        rows, df = _fixture(spark, n=60)
+        state = isotonic_fit(df, "y", "s")
+        if len(state["boundaries"]) - 1 < 4:
+            import pytest as _pt
+            _pt.skip("fixture fitted fewer than 4 segments")
+        out = isotonic_apply(df, state, "s", when_tree_max=2)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "Python" not in plan
+
+    def test_bucketed_path_matches_when_tree(self, spark):
+        rows, df = _fixture(spark, n=60)
+        state = isotonic_fit(df, "y", "s")
+        a = {r["s"]: r["score_calibrated"]
+             for r in isotonic_apply(df, state, "s").collect()}
+        b = {r["s"]: r["score_calibrated"]
+             for r in isotonic_apply(df, state, "s",
+                                     when_tree_max=2).collect()}
+        assert a == b

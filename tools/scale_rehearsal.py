@@ -2459,8 +2459,75 @@ def r13b_main() -> None:
     spark.stop()
 
 
+def r14_main() -> None:
+    """isotonic_apply at the fit's boundary CAP (VERDICT r13 #1): a
+    strictly-monotone mean-label corpus keeps every distinct score as
+    its own PAV block, so the fit emits ~100k boundaries and the apply
+    must take the bucketed broadcast-HASH path (~100 residual checks
+    per row), never the r13 BroadcastNestedLoopJoin (~100k predicate
+    evals per row).  Also times the default when-tree path at 1k
+    boundaries."""
+    spark = (SparkSession.builder.master("local[32]")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory", "32g")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    from spark_df_profiling_spark.operators.evaluation import (
+        isotonic_apply, isotonic_fit)
+
+    for n_distinct in (1_000, 100_000):
+        df = spark.range(10_000_000).select(
+            F.pmod(F.xxhash64("id"), F.lit(n_distinct))
+            .cast("double").alias("s")).withColumn(
+            "y", F.col("s") / n_distinct).localCheckpoint()
+        t0 = time.time()
+        st = isotonic_fit(df, "y", "s")
+        t1 = time.time()
+        out = isotonic_apply(df, st, "s")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan, "NLJ regressed"
+        path = ("bucketed-hash-join" if "BroadcastHashJoin" in plan
+                else "when-tree")
+        mean = out.agg(F.avg("score_calibrated")).collect()[0][0]
+        print(f"isotonic 10M rows, {len(st['boundaries'])} "
+              f"boundaries: fit {t1 - t0:.1f}s, apply "
+              f"{time.time() - t1:.1f}s via {path} "
+              f"(mean {mean:.4f})", flush=True)
+
+    # grouped isotonic at the state cap: 10k groups x 10 distinct
+    # scores = 100k (group, score) state rows over 10M input rows;
+    # one group is 50%-hot (planted skew) — the distinct frame keeps
+    # it at 10 rows regardless
+    from spark_df_profiling_spark.operators.evaluation import (
+        isotonic_fit_by)
+    gdf = spark.range(10_000_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64("id", F.lit(7)), F.lit(10_000)))
+        .cast("long").alias("g"),
+        F.pmod(F.xxhash64("id"), F.lit(10)).cast("double").alias("s"),
+        (F.pmod(F.xxhash64("id", F.lit(3)), F.lit(10))
+         < F.pmod(F.xxhash64("id"), F.lit(10))).cast("double")
+        .alias("y")).localCheckpoint()
+    t0 = time.time()
+    gst = isotonic_fit_by(gdf, "y", "s", "g", max_group_boundaries=16)
+    t1 = time.time()
+    gout = isotonic_apply(gdf, gst, "s")
+    gplan = gout._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in gplan
+    gmean = gout.agg(F.avg("score_calibrated")).collect()[0][0]
+    print(f"grouped isotonic 10M rows, {len(gst['groups'])} groups "
+          f"(one 50%-hot), 100k state rows: fit {t1 - t0:.1f}s, "
+          f"apply {time.time() - t1:.1f}s (mean {gmean:.4f})",
+          flush=True)
+    spark.stop()
+
+
 if __name__ == "__main__":
-    if "r13b" in sys.argv:
+    if "r14" in sys.argv:
+        r14_main()
+    elif "r13b" in sys.argv:
         r13b_main()
     elif "r13" in sys.argv:
         r13_main()
