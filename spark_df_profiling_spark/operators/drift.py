@@ -508,8 +508,12 @@ def ks_2samp(ref: DataFrame, new: DataFrame, col: str,
     ``D = sup_x |F_ref(x) - F_new(x)|`` — the strongest classical
     two-sample distribution test, complementing :func:`psi_numeric`
     (PSI needs binning and saturates; KS is binning-free and exact).
-    Returns ONE row ``(d_stat, at_value, n_ref, n_new)`` where
-    ``at_value`` is the smallest value attaining the supremum.
+    Returns ONE row ``(d_stat, at_value, n_ref, n_new, p_value)``
+    where ``at_value`` is the smallest value attaining the supremum
+    and ``p_value`` is the asymptotic two-sided Kolmogorov survival
+    function at ``D·sqrt(n·m/(n+m))`` (:func:`ks_sf_expr`; r14 — so
+    :func:`bh_fdr` can control a many-column numeric scan, the same
+    composition :func:`chi2_drift` gives the categorical family).
 
     Scale design: the empirical CDFs step only at DISTINCT values, so
     the sup is a max over the distinct-value set.  Per-side counts per
@@ -526,6 +530,8 @@ def ks_2samp(ref: DataFrame, new: DataFrame, col: str,
     """
     cdf, n_ref, n_new = _two_sample_cdf(ref, new, col, num_buckets,
                                         caller="ks_2samp")
+    lam_scale = (float(n_ref) * float(n_new)
+                 / (float(n_ref) + float(n_new))) ** 0.5
     return (cdf.agg(F.max_by(F.struct(F.col("__d"),
                                       (-F.col("__v")).alias("__nv")),
                              F.struct(F.col("__d"),
@@ -534,7 +540,9 @@ def ks_2samp(ref: DataFrame, new: DataFrame, col: str,
             .select(F.col("__m.__d").alias("d_stat"),
                     (-F.col("__m.__nv")).alias("at_value"),
                     F.lit(n_ref).cast("long").alias("n_ref"),
-                    F.lit(n_new).cast("long").alias("n_new")))
+                    F.lit(n_new).cast("long").alias("n_new"),
+                    ks_sf_expr(F.col("__m.__d") * F.lit(lam_scale))
+                    .alias("p_value")))
 
 
 def _two_sample_cdf(ref: DataFrame, new: DataFrame, col: str,
@@ -591,6 +599,91 @@ def _two_sample_cdf(ref: DataFrame, new: DataFrame, col: str,
                      - F.col("__cum_b").cast("double")
                      / F.lit(float(n_new)))))
     return cdf, n_ref, n_new
+
+
+def ks_sf_expr(lam: F.Column) -> F.Column:
+    """Asymptotic two-sided Kolmogorov survival function ``Q(λ) =
+    P(sup|B(t)| > λ)`` as a deterministic column expression — the
+    p-value companion for :func:`ks_2samp` at ``λ =
+    D·sqrt(n·m/(n+m))``.  Two branches (the standard numerical
+    split): for λ < 1.18 the Jacobi-theta dual series ``1 −
+    (sqrt(2π)/λ)·Σ_{j=1..3} exp(−(2j−1)²π²/(8λ²))`` (the direct
+    series alternates too slowly there), else the direct series
+    ``2·Σ_{j=1..8} (−1)^{j−1} exp(−2j²λ²)``; both truncations are
+    far below double noise at their branch.  λ ≤ 0 → 1; NULL → NULL.
+    Every term is plain exp/pow arithmetic, so an oracle can replay
+    it bit-for-bit."""
+    pi2 = 9.869604401089358           # pi*pi
+    sqrt2pi = 2.5066282746310002      # sqrt(2*pi)
+    small = 1.0 - (sqrt2pi / lam) * sum(
+        (F.exp(-((2 * j - 1) ** 2 * pi2) / (8.0 * lam * lam))
+         for j in range(2, 4)),
+        F.exp(-(pi2) / (8.0 * lam * lam)))
+    big = 2.0 * sum(
+        ((-1.0) ** (j - 1) * F.exp(-2.0 * j * j * lam * lam)
+         for j in range(2, 9)),
+        F.exp(-2.0 * lam * lam))
+    return (F.when(lam.isNull(), F.lit(None).cast("double"))
+            .when(lam <= 0, F.lit(1.0))
+            .when(lam < 1.18,
+                  F.greatest(F.least(small, F.lit(1.0)), F.lit(0.0)))
+            .otherwise(F.greatest(F.least(big, F.lit(1.0)),
+                                  F.lit(0.0))))
+
+
+def mannwhitney_2samp(ref: DataFrame, new: DataFrame, col: str,
+                      num_buckets: "int | None" = None) -> DataFrame:
+    """Two-sample Mann–Whitney U (Wilcoxon rank-sum) with the
+    tie-corrected normal approximation — the LOCATION-shift p-value
+    for numeric drift (:func:`ks_2samp` asks "any distribution
+    change?"; this asks the sharper "did the distribution move
+    up/down?", the usual question about a quality score or length
+    distribution between snapshots).  One row: ``(u_stat, mu, sigma,
+    z, p_value, n_ref, n_new)`` — ``u_stat`` counts (ref, new) pairs
+    with ref > new (ties half), ``z`` is continuity-corrected,
+    ``p_value`` two-sided via the same erf machinery as
+    :func:`chi2_sf_expr` (the normal approximation is standard for
+    n ≳ 20 per side; tie correction is exact).  All values tied →
+    sigma 0 → NULL z/p.  Composes with :func:`bh_fdr` across a
+    many-column scan exactly like :func:`chi2_drift`.
+
+    Scale: the SAME shared distinct-value + frozen-boundary CDF frame
+    as :func:`ks_2samp`/:func:`cvm_2samp` (``U = Σ_v ca_v·(cum_b_v −
+    cb_v/2)`` — a pure per-distinct-row expression), then ONE
+    aggregate; a million-row tie stays one weighted row.
+    """
+    cdf, n_ref, n_new = _two_sample_cdf(ref, new, col, num_buckets,
+                                        caller="mannwhitney_2samp")
+    # pairs (a, b) with a > b, ties counted half: for each distinct
+    # value, its a-count times (#b strictly below + half the tied b's)
+    u_term = (F.col("__ca").cast("double")
+              * (F.col("__cum_b").cast("double")
+                 - F.col("__cb").cast("double") / 2.0))
+    t = (F.col("__ca") + F.col("__cb")).cast("double")
+    tie_term = t * t * t - t
+    agg = cdf.agg(F.sum(u_term).alias("__u"),
+                  F.sum(tie_term).alias("__ties"))
+    na, nb = float(n_ref), float(n_new)
+    n_tot = na + nb
+    mu = na * nb / 2.0
+    var = (na * nb / 12.0) * (
+        (n_tot + 1.0)
+        - F.col("__ties") / (n_tot * (n_tot - 1.0)))
+    sigma = F.sqrt(F.greatest(var, F.lit(0.0)))
+    diff = F.col("__u") - F.lit(mu)
+    # continuity correction toward the mean, never across it
+    cc = F.signum(diff) * F.least(F.abs(diff), F.lit(0.5))
+    z = F.when(sigma > 0, (diff - cc) / sigma)
+    # cap INSIDE the when: least() skips NULLs, so least(NULL, 1.0)
+    # would resurrect a p-value for the sigma=0 degenerate case
+    p = F.when(z.isNotNull(),
+               F.least(2.0 * _norm_sf_expr(F.abs(z)), F.lit(1.0)))
+    return agg.select(
+        F.col("__u").alias("u_stat"), F.lit(mu).alias("mu"),
+        sigma.alias("sigma"), z.alias("z"),
+        p.alias("p_value"),
+        F.lit(n_ref).cast("long").alias("n_ref"),
+        F.lit(n_new).cast("long").alias("n_new"))
 
 
 def cvm_2samp(ref: DataFrame, new: DataFrame, col: str,

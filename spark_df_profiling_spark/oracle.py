@@ -113,34 +113,59 @@ def _psig(expr: str) -> str:
             f"CAST(CAST({m} AS BIGINT) AS VARCHAR) END")
 
 
+def _erf_sql(y: str) -> str:
+    """DuckDB replay of ``drift._erf_expr`` (A&S 7.1.26 polynomial,
+    y >= 0) — identical arithmetic, term for term."""
+    t = f"(1.0 / (1.0 + 0.3275911 * ({y})))"
+    poly = (f"({t} * (0.254829592 + {t} * (-0.284496736 + {t} * "
+            f"(1.421413741 + {t} * (-1.453152027 + {t} * "
+            f"1.061405429)))))")
+    return f"(1.0 - {poly} * exp(-(({y}) * ({y}))))"
+
+
+def _norm_sf_sql(z: str) -> str:
+    """DuckDB replay of ``drift._norm_sf_expr``."""
+    sqrt2 = "1.4142135623730951"
+    return (f"(CASE WHEN ({z}) >= 0 "
+            f"THEN 0.5 * (1.0 - {_erf_sql(f'(({z}) / {sqrt2})')}) "
+            f"ELSE 1.0 - 0.5 * (1.0 - "
+            f"{_erf_sql(f'((-({z})) / {sqrt2})')}) END)")
+
+
 def _chi2_sf_sql(x: str, k: str) -> str:
     """DuckDB replay of ``drift.chi2_sf_expr`` — the identical
     deterministic arithmetic (A&S erf polynomial, exact dof-1/2 forms,
     Wilson–Hilferty above), term for term."""
-    sqrt2 = "1.4142135623730951"
-
-    def erf(y: str) -> str:
-        t = f"(1.0 / (1.0 + 0.3275911 * ({y})))"
-        poly = (f"({t} * (0.254829592 + {t} * (-0.284496736 + {t} * "
-                f"(1.421413741 + {t} * (-1.453152027 + {t} * "
-                f"1.061405429)))))")
-        return f"(1.0 - {poly} * exp(-(({y}) * ({y}))))"
-
-    def nsf(z: str) -> str:
-        return (f"(CASE WHEN ({z}) >= 0 "
-                f"THEN 0.5 * (1.0 - {erf(f'(({z}) / {sqrt2})')}) "
-                f"ELSE 1.0 - 0.5 * (1.0 - "
-                f"{erf(f'((-({z})) / {sqrt2})')}) END)")
-
     whz = (f"((pow(({x}) / ({k}), 0.3333333333333333) - "
            f"(1.0 - 2.0 / (9.0 * ({k})))) / "
            f"sqrt(2.0 / (9.0 * ({k}))))")
     return (f"(CASE WHEN ({x}) IS NULL OR ({k}) IS NULL "
             f"OR ({x}) < 0 OR ({k}) < 1 THEN NULL "
             f"WHEN ({x}) = 0 THEN 1.0 "
-            f"WHEN ({k}) = 1 THEN 2.0 * {nsf(f'sqrt(({x}))')} "
+            f"WHEN ({k}) = 1 THEN 2.0 * {_norm_sf_sql(f'sqrt(({x}))')} "
             f"WHEN ({k}) = 2 THEN exp(-(({x})) / 2.0) "
-            f"ELSE {nsf(whz)} END)")
+            f"ELSE {_norm_sf_sql(whz)} END)")
+
+
+def _ks_sf_sql(lam: str) -> str:
+    """DuckDB replay of ``drift.ks_sf_expr`` — the two-branch
+    asymptotic Kolmogorov survival function, identical truncations."""
+    pi2 = "9.869604401089358"
+    sqrt2pi = "2.5066282746310002"
+    small_terms = " + ".join(
+        f"exp(-({(2 * j - 1) ** 2} * {pi2}) / (8.0 * ({lam}) * ({lam})))"
+        for j in range(1, 4))
+    big_terms = " + ".join(
+        f"({(-1.0) ** (j - 1)} * exp(-2.0 * {j * j} "
+        f"* ({lam}) * ({lam})))"
+        for j in range(1, 9))
+    small = f"(1.0 - ({sqrt2pi} / ({lam})) * ({small_terms}))"
+    big = f"(2.0 * ({big_terms}))"
+    return (f"(CASE WHEN ({lam}) IS NULL THEN NULL "
+            f"WHEN ({lam}) <= 0 THEN 1.0 "
+            f"WHEN ({lam}) < 1.18 "
+            f"THEN greatest(least({small}, 1.0), 0.0) "
+            f"ELSE greatest(least({big}, 1.0), 0.0) END)")
 
 
 # ---------------------------------------------------------------------------
@@ -5460,6 +5485,64 @@ FROM (
   JOIN cwtot ON cwtot.w = ccells.w)
 GROUP BY w
 UNION ALL
+-- streaming_chi2 replay (r14): per-window chi-square GOODNESS-OF-FIT
+-- against the SAME frozen top-3+'__other__' reference as the 'cat'
+-- rows — expected counts n·p_c, positive-cell dof, unexpected count,
+-- and the full sf arithmetic (A&S erf / exact dof-1,2 / WH)
+SELECT 'sx2' AS metric, w AS window_epoch, n,
+       {_psig('chi2v')} || ':'
+         || CAST(CAST(dof AS BIGINT) AS VARCHAR) AS psi_s,
+       {_psig(_chi2_sf_sql('chi2v', 'dof'))} || ':'
+         || CAST(nunex AS VARCHAR) AS jsd_s
+FROM (
+  SELECT w, any_value(n) AS n,
+         sum(CASE WHEN p_raw > 0
+                  THEN (CAST(c AS DOUBLE)
+                        - CAST(n AS DOUBLE) * p_raw)
+                       * (CAST(c AS DOUBLE)
+                          - CAST(n AS DOUBLE) * p_raw)
+                       / (CAST(n AS DOUBLE) * p_raw)
+                  ELSE 0 END) AS chi2v,
+         CAST(sum(CASE WHEN p_raw > 0 THEN 1 ELSE 0 END) - 1
+              AS DOUBLE) AS dof,
+         CAST(sum(CASE WHEN p_raw = 0 THEN c ELSE 0 END)
+              AS BIGINT) AS nunex
+  FROM (
+    WITH xhead AS (
+      SELECT v, c, row_number() OVER (ORDER BY c DESC, v ASC) AS rk
+      FROM (SELECT event_type AS v, count(*) AS c FROM events
+            WHERE event_type IS NOT NULL GROUP BY event_type)),
+    xref AS (
+      SELECT CAST(rk - 1 AS INT) AS b,
+             CAST(c AS DOUBLE)
+               / (SELECT sum(c) FROM xhead) AS p_raw
+      FROM xhead WHERE rk <= 3
+      UNION ALL
+      SELECT 3,
+             CAST(coalesce((SELECT sum(c) FROM xhead WHERE rk > 3),
+                           0)
+                  AS DOUBLE) / (SELECT sum(c) FROM xhead)),
+    xwin AS (
+      SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400
+               AS w,
+             CAST(CASE WHEN h.rk IS NOT NULL AND h.rk <= 3
+                  THEN h.rk - 1 ELSE 3 END AS INT) AS b
+      FROM events e LEFT JOIN xhead h ON e.event_type = h.v
+      WHERE e.event_type IS NOT NULL AND e.ts IS NOT NULL),
+    xcells AS (
+      SELECT g.w, r.b, CAST(coalesce(cnt.c, 0) AS BIGINT) AS c
+      FROM (SELECT DISTINCT w FROM xwin) g
+      CROSS JOIN range(0, 4) r(b)
+      LEFT JOIN (SELECT w, b, count(*) AS c FROM xwin GROUP BY w, b)
+        cnt ON cnt.w = g.w AND cnt.b = r.b),
+    xwtot AS (SELECT w, CAST(sum(c) AS BIGINT) AS n FROM xcells
+              GROUP BY w)
+    SELECT xcells.w, xwtot.n, xcells.c, xref.p_raw
+    FROM xcells
+    JOIN xref ON xref.b = xcells.b
+    JOIN xwtot ON xwtot.w = xcells.w)
+  GROUP BY w)
+UNION ALL
 -- streaming_ks replay (r13): 8 exact order-statistic edges from the
 -- batch events table, per-window cumulative counts at each edge, max
 -- |ecdf - ref_cdf| with the (d DESC, edge DESC) tie rule
@@ -5592,6 +5675,27 @@ def streaming_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n"),
         sig(F.col("d_stat")).alias("psi_s"),
         sig(F.col("at_edge")).alias("jsd_s"))
+    # 'sx2' rows (r14) grade streaming.streaming_chi2 via a REAL
+    # availableNow run on the SAME frozen top-3+'__other__' reference
+    # as the 'cat' rows: per-window goodness-of-fit chi2 / dof /
+    # p-value / unexpected count, the full sf arithmetic re-derived
+    # in DuckDB
+    from spark_df_profiling_spark.streaming import streaming_chi2
+    xout = streaming_chi2(events_stream(spark, sf_dir), "ts_ts",
+                          "event_type", cref, window="1 day",
+                          watermark="1 hour")
+    run_stream_to_memory(xout, "sx2_oracle_out",
+                         output_mode="complete")
+    xres = spark.table("sx2_oracle_out")
+    sx2 = xres.select(
+        F.lit("sx2").alias("metric"),
+        epoch_seconds(xres, "window_start").alias("window_epoch"),
+        F.col("n"),
+        F.concat(sig(F.col("chi2")), F.lit(":"),
+                 F.col("dof").cast("string")).alias("psi_s"),
+        F.concat(sig(F.col("p_value")), F.lit(":"),
+                 F.col("n_unexpected").cast("string"))
+        .alias("jsd_s"))
     # 'bh:' rows (r13) grade drift.bh_fdr — the multiple-testing step
     # after per-segment drift tests: deterministic p-values from
     # l_partkey (every 10th scaled down so real discoveries exist),
@@ -5617,7 +5721,7 @@ def streaming_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  F.lit("null")).alias("psi_s"),
                       F.lit(None).cast("string").alias("jsd_s")))
     return (num.unionByName(cat).unionByName(bhrows)
-            .unionByName(sks)
+            .unionByName(sks).unionByName(sx2)
             .orderBy("metric", "window_epoch"))
 
 
@@ -10284,6 +10388,74 @@ FROM (
            * sum(w) AS t
   FROM vc)
 UNION ALL
+-- ks_2samp p_value replay (r14): the asymptotic two-branch
+-- Kolmogorov survival function at lambda = D*sqrt(n*m/(n+m)),
+-- identical truncated series both engines
+SELECT 'ksp', 'l_extendedprice',
+       {_psig(_ks_sf_sql(
+           'd * sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)'
+           ' / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))'))},
+       {_psig('d')}
+FROM (
+  WITH ka AS (SELECT l_extendedprice AS v, count(*) AS c FROM ref
+              WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+  kb2 AS (SELECT l_extendedprice AS v, count(*) AS c FROM nw
+          WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+  km AS (SELECT coalesce(ka.v, kb2.v) AS v, coalesce(ka.c, 0) AS ca,
+                coalesce(kb2.c, 0) AS cb
+         FROM ka FULL OUTER JOIN kb2 ON ka.v = kb2.v),
+  kt AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM km),
+  kc AS (SELECT v,
+                abs(sum(ca) OVER (ORDER BY v) / CAST(kt.na AS DOUBLE)
+                    - sum(cb) OVER (ORDER BY v)
+                      / CAST(kt.nb AS DOUBLE)) AS dd,
+                kt.na AS na, kt.nb AS nb
+         FROM km, kt)
+  SELECT dd AS d, na, nb FROM kc
+  ORDER BY dd DESC, v ASC LIMIT 1)
+UNION ALL
+-- mannwhitney_2samp replay (r14): tie-corrected rank-sum on the same
+-- halves — U, tie term, continuity-corrected z, two-sided normal p;
+-- every addend is an exact double (integers and halves < 2^53), so
+-- both engines compute bit-identical statistics before sig-rounding
+SELECT 'mwu', 'l_extendedprice',
+       {_psig('z')} || ':' || {_psig(
+           'least(2.0 * ' + _norm_sf_sql('abs(z)') + ', 1.0)')},
+       {_psig('u')} || ':' || CAST(na AS VARCHAR)
+         || ':' || CAST(nb AS VARCHAR)
+FROM (
+  SELECT u, na, nb,
+         (u - mu - (CASE WHEN u - mu >= 0 THEN 1 ELSE -1 END)
+            * least(abs(u - mu), 0.5)) / sigma AS z
+  FROM (
+    SELECT u, ties, na, nb,
+           CAST(na AS DOUBLE) * nb / 2.0 AS mu,
+           sqrt(greatest(
+             (CAST(na AS DOUBLE) * nb / 12.0)
+             * ((CAST(na AS DOUBLE) + nb + 1.0)
+                - ties / ((CAST(na AS DOUBLE) + nb)
+                          * (CAST(na AS DOUBLE) + nb - 1.0))),
+             0.0)) AS sigma
+    FROM (
+      WITH wa AS (SELECT l_extendedprice AS v, count(*) AS c FROM ref
+                  WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+      wb AS (SELECT l_extendedprice AS v, count(*) AS c FROM nw
+             WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+      wm AS (SELECT coalesce(wa.v, wb.v) AS v,
+                    coalesce(wa.c, 0) AS ca, coalesce(wb.c, 0) AS cb
+             FROM wa FULL OUTER JOIN wb ON wa.v = wb.v),
+      wt AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM wm),
+      wc AS (SELECT ca, cb, sum(cb) OVER (ORDER BY v) AS cum_b
+             FROM wm)
+      SELECT sum(CAST(ca AS DOUBLE)
+                 * (CAST(cum_b AS DOUBLE)
+                    - CAST(cb AS DOUBLE) / 2.0)) AS u,
+             sum(CAST(ca + cb AS DOUBLE) * CAST(ca + cb AS DOUBLE)
+                 * CAST(ca + cb AS DOUBLE)
+                 - CAST(ca + cb AS DOUBLE)) AS ties,
+             any_value(wt.na) AS na, any_value(wt.nb) AS nb
+      FROM wc, wt)))
+UNION ALL
 SELECT 'gks', g || ':' || CAST(nm AS VARCHAR), {_psig('d')},
        {_psig('atv')}
 FROM (
@@ -10539,6 +10711,29 @@ def drift_psi_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("n_new").cast("string")).alias("k"),
         sig(F.col("t_stat")).alias("psi_s"),
         sig(F.col("h0_mean")).alias("band"))
+    # 'ksp' row grades ks_2samp's r14 p_value — the asymptotic
+    # Kolmogorov survival function at lambda = D*sqrt(nm/(n+m)),
+    # identical truncated series replayed in DuckDB
+    ksp_row = ksr.select(
+        F.lit("ksp").alias("part"),
+        F.lit("l_extendedprice").alias("k"),
+        sig(F.col("p_value")).alias("psi_s"),
+        sig(F.col("d_stat")).alias("band"))
+    # 'mwu' row grades drift.mannwhitney_2samp (r14) — tie-corrected
+    # rank-sum z and two-sided p on the same halves; U and the tie
+    # term are exact doubles, so the full chain is bit-replayable
+    from spark_df_profiling_spark.operators.drift import (
+        mannwhitney_2samp)
+    mwu_row = (mannwhitney_2samp(ref, new, "l_extendedprice")
+               .select(F.lit("mwu").alias("part"),
+                       F.lit("l_extendedprice").alias("k"),
+                       F.concat(sig(F.col("z")), F.lit(":"),
+                                sig(F.col("p_value"))).alias("psi_s"),
+                       F.concat(sig(F.col("u_stat")), F.lit(":"),
+                                F.col("n_ref").cast("string"),
+                                F.lit(":"),
+                                F.col("n_new").cast("string"))
+                       .alias("band")))
     # 'gks' rows grade drift.ks_by_group — per-returnflag exact KS on
     # the same halves; the integer numerator max|cum_ref*n_new -
     # cum_new*n_ref| pins the statistic and the tie-exact at_value
@@ -10605,6 +10800,7 @@ def drift_psi_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    F.lit("null")).alias("band")))
     return (cols.unionByName(wins).unionByName(grp)
             .unionByName(ks_row).unionByName(cvm_row)
+            .unionByName(ksp_row).unionByName(mwu_row)
             .unionByName(gks).unionByName(jsd_rows)
             .unionByName(rd).unionByName(chi_rows)
             .unionByName(fdr_rows)

@@ -1025,6 +1025,86 @@ def streaming_psi_categorical(stream_df: DataFrame, ts_col: str,
         "n", psi.alias("psi"), jsd.alias("jsd"))
 
 
+def streaming_chi2(stream_df: DataFrame, ts_col: str, col: str,
+                   reference: "list[tuple[str, float]]",
+                   window: str = "1 hour",
+                   watermark: str = "2 hours") -> DataFrame:
+    """Per-window chi-square GOODNESS-OF-FIT against a frozen
+    categorical reference — the p-value twin of
+    :func:`streaming_psi_categorical` (PSI scores the mix shift but
+    says nothing about significance; a small window drifts "0.3 PSI"
+    by pure sampling noise).  Each tumbling window tests its category
+    counts against the frozen multinomial ``p_c`` from
+    :func:`~spark_df_profiling_spark.operators.drift.
+    categorical_psi_reference`: ``chi2 = Σ_c (O_c − n·p_c)²/(n·p_c)``
+    over the reference cells with ``p_c > 0``, ``dof = #those − 1``,
+    p-value via the shared
+    :func:`~spark_df_profiling_spark.operators.drift.chi2_sf_expr`.
+    Cells whose reference share is 0 (an ``'__other__'`` bucket that
+    absorbed nothing at fit time) can't enter the statistic (E = 0);
+    their observations are surfaced as ``n_unexpected`` — nonzero
+    means brand-new vocabulary, which IS drift even when chi2 can't
+    price it.  Emits ``(window_start, window_end, n, chi2, dof,
+    p_value, n_unexpected)``.
+
+    ONE streaming aggregation (the :func:`streaming_psi` trick):
+    per-cell counts are conditional-sum COLUMNS, the statistic and
+    the p-value fold literals in the post-projection, so an
+    availableNow replay equals the identical batch windowed agg.
+    Reference capped at 256 categories (the :func:`streaming_ks`
+    column-count rationale).  NULL values excluded; windows with
+    n = 0 never materialize; dof = 0 (single positive cell) yields
+    NULL p.
+    """
+    if (not reference or reference[-1][0] != "__other__"
+            or len(reference) < 2):
+        raise ValueError(
+            "reference must be categorical_psi_reference output: "
+            "at least one category plus a final '__other__' bucket")
+    if len(reference) > 256:
+        raise ValueError(
+            f"streaming_chi2: reference has {len(reference)} "
+            "categories; the streaming agg carries one column per "
+            "category, so cap is 256 — refit with max_categories "
+            "<= 255")
+    from spark_df_profiling_spark.operators.drift import chi2_sf_expr
+    cats = [v for v, _ in reference[:-1]]
+    fracs = [float(f) for _, f in reference]
+    bins = len(fracs)
+    v = F.col(col).cast("string")
+    idx = F.lit(bins - 1)
+    for i in range(len(cats) - 1, -1, -1):
+        idx = F.when(v == cats[i], F.lit(i)).otherwise(idx)
+    base = (stream_df.where(v.isNotNull())
+            .select(F.col(ts_col), idx.cast("int").alias("__b"))
+            .withWatermark(ts_col, watermark))
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for b in range(bins):
+        aggs.append(F.sum(F.when(F.col("__b") == b, 1).otherwise(0))
+                    .cast("long").alias(f"__c{b}"))
+    agg = base.groupBy(F.window(ts_col, window)).agg(*aggs)
+    nd = F.col("n").cast("double")
+    chi2 = F.lit(0.0)
+    n_unexpected = F.lit(0).cast("long")
+    n_pos = 0
+    for b in range(bins):
+        if fracs[b] > 0:
+            e = nd * F.lit(fracs[b])
+            o = F.col(f"__c{b}").cast("double")
+            chi2 = chi2 + (o - e) * (o - e) / e
+            n_pos += 1
+        else:
+            n_unexpected = n_unexpected + F.col(f"__c{b}")
+    dof = F.lit(float(n_pos - 1))
+    return agg.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "n", chi2.alias("chi2"),
+        dof.cast("long").alias("dof"),
+        chi2_sf_expr(chi2, dof).alias("p_value"),
+        n_unexpected.alias("n_unexpected"))
+
+
 def streaming_ks(stream_df: DataFrame, ts_col: str, value_col: str,
                  reference: "list[tuple[float, float]]",
                  window: str = "1 hour",
