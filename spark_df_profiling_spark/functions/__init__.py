@@ -18,6 +18,10 @@ from __future__ import annotations
 from spark_df_profiling_spark.operators.clustering import (
     kmeans_assign_expr,
 )
+from spark_df_profiling_spark.operators.drift import (
+    chi2_sf_expr,
+    ks_sf_expr,
+)
 from spark_df_profiling_spark.operators.dedup import (
     char_qgram_expr,
     content_hash,
@@ -30,6 +34,7 @@ from spark_df_profiling_spark.operators.sampling import (
 from spark_df_profiling_spark.operators.similarity import (
     cosine,
     dot,
+    ivf_probe_expr,
     l2_norm,
 )
 from spark_df_profiling_spark.operators.frequency import (
@@ -67,6 +72,7 @@ from spark_df_profiling_spark.operators.text import (
 
 __all__ = [
     "alpha_ratio", "avg_token_len", "canonical_url", "char_qgram_expr",
+    "chi2_sf_expr", "ks_sf_expr", "ivf_probe_expr",
     "cms_positions", "content_hash", "hll_position",
     "cosine", "digit_ratio", "dot", "dup_ngram_ratio", "extract_urls",
     "fingerprint_min_shingle", "format_pattern_expr", "hash_bucket",

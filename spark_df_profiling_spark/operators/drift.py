@@ -243,7 +243,8 @@ def chi2_sf_expr(x: F.Column, k: F.Column) -> F.Column:
 
 def chi2_drift(ref: DataFrame, new: DataFrame,
                cols: Sequence[str],
-               include_nulls: bool = False) -> DataFrame:
+               include_nulls: bool = False,
+               group_col: "str | None" = None) -> DataFrame:
     """Two-sample chi-square AND G-test of homogeneity per categorical
     column, WITH p-values — the inferential companion of
     :func:`psi_categorical` / rank drift (which emit scores but no
@@ -270,26 +271,63 @@ def chi2_drift(ref: DataFrame, new: DataFrame,
     plain row expressions over the per-column aggregate.  Compose:
     ``bh_fdr(chi2_drift(...), "p_chi2")`` controls the FDR across a
     many-column scan.
+
+    ``group_col`` runs the whole test independently per segment (one
+    output row per (group, column) — per language, per source, the
+    :func:`psi_by_group` question with a p-value), which is exactly
+    the 10k-segment sweep BH-FDR exists for:
+    ``bh_fdr(chi2_drift(..., group_col='lang'), 'p_chi2',
+    group_col='column')``.  NULL groups are excluded; a (group,
+    column) present on only ONE side is dropped (every expected count
+    would be 0 — the :func:`psi_by_group` rule: appeared/vanished
+    segments are a set-difference check, not a test statistic).
+    The shuffle grows to ``#groups × #cols × #values`` count rows —
+    still state-sized, never data-sized.
     """
     if not cols:
         raise ValueError("cols must be non-empty")
+    if group_col:
+        for d, name in ((ref, "ref"), (new, "new")):
+            if group_col not in d.columns:
+                raise ValueError(
+                    f"{name} missing group column: {group_col!r}")
     if include_nulls:
         exprs = {c: F.coalesce(F.col(c).cast("string"),
                                F.lit("__null__")) for c in cols}
     else:
         exprs = {c: F.col(c).cast("string") for c in cols}
-    rc = _bucket_counts(ref, exprs).withColumnRenamed("n", "n_r")
-    nc = _bucket_counts(new, exprs).withColumnRenamed("n", "n_n")
-    cells = (rc.join(nc, ["column", "bucket"], "full_outer")
-             .select("column", "bucket",
+
+    if group_col:
+        def counts(d: DataFrame, out: str) -> DataFrame:
+            pairs = ", ".join(f"'{c}', `__bkt_{c}`" for c in exprs)
+            staged = d.where(F.col(group_col).isNotNull()).select(
+                F.col(group_col).cast("string").alias("group"),
+                *[e.alias(f"__bkt_{c}") for c, e in exprs.items()])
+            stacked = staged.select("group", F.expr(
+                f"stack({len(exprs)}, {pairs}) as (column, bucket)"))
+            return (stacked.where(F.col("bucket").isNotNull())
+                    .groupBy("group", "column", "bucket")
+                    .agg(F.count(F.lit(1)).alias(out)))
+        rc = counts(ref, "n_r")
+        nc = counts(new, "n_n")
+        keys = ["group", "column"]
+    else:
+        rc = _bucket_counts(ref, exprs).withColumnRenamed("n", "n_r")
+        nc = _bucket_counts(new, exprs).withColumnRenamed("n", "n_n")
+        keys = ["column"]
+    cells = (rc.join(nc, keys + ["bucket"], "full_outer")
+             .select(*keys, "bucket",
                      F.coalesce("n_r", F.lit(0)).cast("double")
                      .alias("n_r"),
                      F.coalesce("n_n", F.lit(0)).cast("double")
                      .alias("n_n")))
-    tots = (cells.groupBy("column")
+    tots = (cells.groupBy(*keys)
             .agg(F.sum("n_r").alias("tot_r"),
-                 F.sum("n_n").alias("tot_n")))
-    j = cells.join(F.broadcast(tots), "column")
+                 F.sum("n_n").alias("tot_n"))
+            # one-side-only (group, column): every expected count is
+            # 0 -> the statistic is undefined; drop, don't NaN
+            .where((F.col("tot_r") > 0) & (F.col("tot_n") > 0)))
+    j = cells.join(F.broadcast(tots), keys)
     colt = F.col("n_r") + F.col("n_n")
     grand = F.col("tot_r") + F.col("tot_n")
     e_r = F.col("tot_r") * colt / grand
@@ -302,7 +340,7 @@ def chi2_drift(ref: DataFrame, new: DataFrame,
         + F.when(F.col("n_n") > 0,
                  F.col("n_n") * F.log(F.col("n_n") / e_n))
         .otherwise(0.0))
-    agg = (j.groupBy("column").agg(
+    agg = (j.groupBy(*keys).agg(
         F.count(F.lit(1)).cast("long").alias("n_categories"),
         F.max("tot_r").cast("long").alias("n_ref"),
         F.max("tot_n").cast("long").alias("n_new"),
@@ -312,7 +350,7 @@ def chi2_drift(ref: DataFrame, new: DataFrame,
         .cast("long").alias("n_small_expected")))
     dof = (F.col("n_categories") - 1).cast("double")
     return agg.select(
-        "column", "n_categories",
+        *keys, "n_categories",
         dof.cast("long").alias("dof"), "n_ref", "n_new",
         "chi2", chi2_sf_expr(F.col("chi2"), dof).alias("p_chi2"),
         "g_stat", chi2_sf_expr(F.col("g_stat"), dof).alias("p_g"),
@@ -686,6 +724,63 @@ def mannwhitney_2samp(ref: DataFrame, new: DataFrame, col: str,
         F.lit(n_new).cast("long").alias("n_new"))
 
 
+def welch_ttest(ref: DataFrame, new: DataFrame,
+                cols: Sequence[str]) -> DataFrame:
+    """Welch's unequal-variance two-sample mean test per numeric
+    column — the cheapest drift p-value of all (three moments per
+    side), answering the narrowest question: "did the MEAN move?"
+    (:func:`mannwhitney_2samp` detects any location shift;
+    :func:`ks_2samp` any distribution change; this one prices a mean
+    shift in units of its standard error).  One row per column:
+    ``(column, n_ref, n_new, mean_ref, mean_new, effect, se, t, dof,
+    p_value)`` — ``effect = mean_new − mean_ref``, Welch–Satterthwaite
+    ``dof``, two-sided p from the NORMAL approximation to the t
+    distribution (an exact t sf needs the incomplete beta; at the
+    corpus sizes this library targets the difference is far below the
+    drift-decision grain — check ``dof`` and distrust p below ~30).
+    Composes with :func:`bh_fdr` like the rest of the r14 family.
+
+    Scale: ONE stack-explode scan per dataset (#cols moment rows out
+    of the map-side combine), p-values are row expressions.  NULLs
+    excluded per column; a column with < 2 non-NULL rows on either
+    side (no variance) yields NULL t/p.
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+
+    def moments(d: DataFrame, tag: str) -> DataFrame:
+        pairs = ", ".join(f"'{c}', `__v_{c}`" for c in cols)
+        staged = d.select(*[F.col(c).cast("double").alias(f"__v_{c}")
+                            for c in cols])
+        stacked = staged.select(F.expr(
+            f"stack({len(cols)}, {pairs}) as (column, v)"))
+        return (stacked.where(F.col("v").isNotNull())
+                .groupBy("column")
+                .agg(F.count(F.lit(1)).cast("long").alias(f"n_{tag}"),
+                     F.avg("v").alias(f"m_{tag}"),
+                     F.var_samp("v").alias(f"v_{tag}")))
+    j = moments(ref, "r").join(moments(new, "n"), "column")
+    na = F.col("n_r").cast("double")
+    nb = F.col("n_n").cast("double")
+    va, vb = F.col("v_r"), F.col("v_n")
+    se2 = va / na + vb / nb
+    se = F.sqrt(se2)
+    t = F.when(se > 0, (F.col("m_n") - F.col("m_r")) / se)
+    dof = F.when(
+        se2 > 0,
+        se2 * se2 / ((va / na) * (va / na) / (na - 1.0)
+                     + (vb / nb) * (vb / nb) / (nb - 1.0)))
+    p = F.when(t.isNotNull(),
+               F.least(2.0 * _norm_sf_expr(F.abs(t)), F.lit(1.0)))
+    return j.select(
+        "column", "n_r", "n_n",
+        F.col("m_r").alias("mean_ref"), F.col("m_n").alias("mean_new"),
+        (F.col("m_n") - F.col("m_r")).alias("effect"),
+        se.alias("se"), t.alias("t"), dof.alias("dof"),
+        p.alias("p_value")).withColumnsRenamed(
+        {"n_r": "n_ref", "n_n": "n_new"})
+
+
 def cvm_2samp(ref: DataFrame, new: DataFrame, col: str,
               num_buckets: "int | None" = None) -> DataFrame:
     """Two-sample Cramér–von Mises statistic (Anderson 1962) — the
@@ -777,6 +872,70 @@ def ks_by_group(ref: DataFrame, new: DataFrame, col: str,
         (F.col("__w.nm") / (F.col("n_ref").cast("double")
                             * F.col("n_new"))).alias("d_stat"),
         (-F.col("__w.nv")).alias("at_value"))
+
+
+def mannwhitney_by_group(ref: DataFrame, new: DataFrame, col: str,
+                         group_col: str) -> DataFrame:
+    """Per-group :func:`mannwhitney_2samp` — "which SEGMENTS moved",
+    completing the grouped drift row (:func:`psi_by_group` /
+    :func:`ks_by_group` / :func:`chi2_drift(group_col=)`) with the
+    location-shift p-value, which is what :func:`bh_fdr` wants from a
+    10k-segment sweep.  One row per group present on BOTH sides:
+    ``(group, n_ref, n_new, u_stat, mu, sigma, z, p_value)`` — same
+    statistics and continuity/tie corrections as the ungrouped test.
+
+    Scale: rides the SAME ``_distinct_score_prefix`` machinery as
+    :func:`ks_by_group` (distinct-(group, value) frame, distributed
+    boundary prefix — no per-group window over data rows, no driver
+    state at any group cardinality), then ONE map-side-combined
+    aggregate per group; z/p are row expressions over the per-group
+    totals.  All-tied groups yield NULL z/p.
+    """
+    for d, name in ((ref, "ref"), (new, "new")):
+        for c in (col, group_col):
+            if c not in d.columns:
+                raise ValueError(f"{name} missing column: {c!r}")
+    from spark_df_profiling_spark.operators.evaluation import (
+        _distinct_score_prefix)
+    a = ref.select(F.col(group_col), F.col(col),
+                   F.lit(False).alias("__isnew"))
+    b = new.select(F.col(group_col), F.col(col),
+                   F.lit(True).alias("__isnew"))
+    staged, tot_df = _distinct_score_prefix(
+        a.unionByName(b), "__isnew", col, group_col)
+    j = (staged.join(tot_df.select("__g", "__na",
+                                   F.col("__np").alias("__nn")),
+                     "__g")
+         .withColumn("__nref", F.col("__na") - F.col("__nn"))
+         .where((F.col("__nn") > 0) & (F.col("__nref") > 0)))
+    # at each distinct value: __c = combined count, __pos = new-side
+    # count, __pb = new-side count strictly below -> ref count,
+    # inclusive new cumulative, and the U/tie terms
+    ca = (F.col("__c") - F.col("__pos")).cast("double")
+    cb = F.col("__pos").cast("double")
+    cum_b = (F.col("__pb") + F.col("__pos")).cast("double")
+    t = F.col("__c").cast("double")
+    agg = (j.groupBy(F.col("__g").alias(group_col))
+           .agg(F.max("__nref").cast("long").alias("n_ref"),
+                F.max("__nn").cast("long").alias("n_new"),
+                F.sum(ca * (cum_b - cb / 2.0)).alias("__u"),
+                F.sum(t * t * t - t).alias("__ties")))
+    na = F.col("n_ref").cast("double")
+    nb = F.col("n_new").cast("double")
+    n_tot = na + nb
+    mu = na * nb / 2.0
+    var = (na * nb / 12.0) * (
+        (n_tot + 1.0) - F.col("__ties") / (n_tot * (n_tot - 1.0)))
+    sigma = F.sqrt(F.greatest(var, F.lit(0.0)))
+    diff = F.col("__u") - mu
+    cc = F.signum(diff) * F.least(F.abs(diff), F.lit(0.5))
+    z = F.when(sigma > 0, (diff - cc) / sigma)
+    p = F.when(z.isNotNull(),
+               F.least(2.0 * _norm_sf_expr(F.abs(z)), F.lit(1.0)))
+    return agg.select(
+        group_col, "n_ref", "n_new",
+        F.col("__u").alias("u_stat"), mu.alias("mu"),
+        sigma.alias("sigma"), z.alias("z"), p.alias("p_value"))
 
 
 def topk_rank_drift(df_a: DataFrame, df_b: DataFrame, col: str,

@@ -498,6 +498,369 @@ def ivf_candidate_stats(corpus: DataFrame, queries: DataFrame,
                     .alias("candidate_fraction")))
 
 
+PQ_MAX_SUBSPACES = 64
+PQ_MAX_CODES = 256
+
+
+def pq_fit(df: DataFrame, vec_col: str = "embedding",
+           id_col: str = "vec_id", m: int = 8, k: int = 64,
+           n_iter: int = 5, seed: int = 0,
+           hash_mode: str = "xxhash64",
+           max_fit_rows: "int | None" = 100_000) -> dict:
+    """Fit a product-quantization codebook (Jégou et al. 2011 — the
+    FAISS PQ recipe): split each ``dim``-dimensional vector into ``m``
+    contiguous subvectors and k-means each subspace independently
+    (``clustering.kmeans_fit`` — deterministic seeds, fixed Lloyd
+    rounds, so the codebook is reproducible across runs AND engines).
+    Returns frozen driver state ``{"m", "k", "dim", "sub_dim",
+    "codebooks": [m][k][sub_dim]}`` — ``m·k·sub_dim = k·dim`` floats,
+    the store-once / encode-everywhere contract of
+    ``quantization_ranges``.
+
+    Compression: codes are ``m`` small ints per vector — at m=8 over
+    a 64-dim float corpus that is 8 bytes vs 256 (32×), one tier
+    beyond :func:`quantize_embeddings`'s int8 (4×), at the price of
+    approximating each subvector by its nearest centroid.  ``dim``
+    must divide evenly by ``m`` (raise, don't pad silently).
+
+    Scale: ``m`` sequential :func:`~spark_df_profiling_spark.
+    operators.clustering.kmeans_fit` runs over the SLICED subvector
+    column (each ``n_iter`` bounded scans over the
+    ``max_fit_rows``-capped frame); state is O(k·dim) driver floats.
+    """
+    if not 1 <= m <= PQ_MAX_SUBSPACES:
+        raise ValueError(f"pq_fit: m must be in "
+                         f"[1, {PQ_MAX_SUBSPACES}]: {m}")
+    if not 2 <= k <= PQ_MAX_CODES:
+        raise ValueError(f"pq_fit: k must be in "
+                         f"[2, {PQ_MAX_CODES}]: {k}")
+    v = F.col(vec_col)
+    first = (df.where(v.isNotNull())
+             .select(F.size(v).alias("__d")).first())
+    if first is None:
+        raise ValueError("pq_fit: no non-NULL vectors")
+    dim = int(first["__d"])
+    if dim % m != 0:
+        raise ValueError(
+            f"pq_fit: dim={dim} not divisible by m={m} — pick m "
+            f"dividing the dimension (or pad upstream explicitly)")
+    sub_dim = dim // m
+    from spark_df_profiling_spark.operators.clustering import (
+        kmeans_fit)
+    fit_src = df.where(v.isNotNull())
+    codebooks = []
+    for s in range(m):
+        sliced = fit_src.select(
+            F.col(id_col),
+            F.slice(v, s * sub_dim + 1, sub_dim).alias("__sub"))
+        codebooks.append(kmeans_fit(
+            sliced, "__sub", id_col, k=k, n_iter=n_iter,
+            seed=seed + s, hash_mode=hash_mode,
+            max_fit_rows=max_fit_rows))
+    return {"m": m, "k": k, "dim": dim, "sub_dim": sub_dim,
+            "codebooks": codebooks}
+
+
+def pq_encode(df: DataFrame, state: dict,
+              vec_col: str = "embedding",
+              out_col: str = "pq_codes") -> DataFrame:
+    """Encode vectors under a frozen :func:`pq_fit` codebook:
+    ``out[s]`` = the nearest centroid index of subvector ``s``
+    (squared L2, ties to the lower index — the
+    ``kmeans_assign_expr`` rule per subspace).  NULL vectors encode
+    to NULL; a wrong-length vector raises at execution.
+
+    Scale: ``m`` independent ``kmeans_assign_expr`` row expressions
+    over array slices — zero shuffle, no Python; each subspace's
+    assignment is staged in its OWN projection (the SPARK-36718
+    no-reinline rule) so the k·sub_dim fold isn't duplicated.
+    Expression volume is m·k HOF folds per row; at the m=8 / k=64
+    default that rehearsed fine (plan stays pipelined), but m·k is
+    the knob to watch before raising either cap.
+    """
+    m, sub_dim, dim = state["m"], state["sub_dim"], state["dim"]
+    v = F.col(vec_col)
+    # Assignment uses the EXPANDED score −2⟨x,c_j⟩ + ‖c_j‖² (affine
+    # in the dropped ‖x‖², so the argmin is the L2 argmin) as
+    # indexed-element chains over a STAGED slice column — the
+    # random_projection codegen lesson: per-ROW GetArrayItem chains
+    # amortize where interpreted HOF folds pay per-subexpression
+    # overhead (measured on the m=8 × k=64 / 2M×64d encode:
+    # zip_with/aggregate folds 623s, +slice staging 240s, this form
+    # 12.3s — 51×; plan ANALYSIS of the 4096-term tree costs a
+    # one-time ~18s on the driver).  Ties resolve to the LOWEST code
+    # (array_position finds the first minimum), matching
+    # ``kmeans_assign_expr``; the oracle replays the same expanded
+    # arithmetic.
+    staged = df
+    for s in range(m):
+        staged = staged.withColumn(
+            f"__pqs{s}",
+            F.transform(F.slice(v, s * sub_dim + 1, sub_dim),
+                        lambda x: x.cast("double")))
+    cols = []
+    for s in range(m):
+        sub = F.col(f"__pqs{s}")
+        scores = []
+        for cb in state["codebooks"][s]:
+            b = sum(float(c) * float(c) for c in cb)
+            term = F.lit(float(b))
+            for d, c in enumerate(cb):
+                term = term + F.get(sub, d) * F.lit(-2.0 * float(c))
+            scores.append(term)
+        sarr = F.array(*scores)
+        staged = staged.withColumn(f"__pqd{s}", sarr)
+        staged = staged.withColumn(
+            f"__pq{s}",
+            F.when(v.isNull(), F.lit(None).cast("int"))
+            .when(F.size(v) == dim,
+                  (F.array_position(
+                      F.col(f"__pqd{s}"),
+                      F.array_min(F.col(f"__pqd{s}"))) - 1)
+                  .cast("int"))
+            .otherwise(F.raise_error(F.concat(
+                F.lit(f"pq_encode: vector length != {dim}: "),
+                F.size(v).cast("string"))).cast("int")))
+        cols.append(F.col(f"__pq{s}"))
+    arr = F.when(v.isNotNull(), F.array(*cols))
+    return (staged.withColumn(out_col, arr)
+            .drop(*[f"__pqs{s}" for s in range(m)],
+                  *[f"__pqd{s}" for s in range(m)],
+                  *[f"__pq{s}" for s in range(m)]))
+
+
+def pq_reconstruction_stats(df: DataFrame, state: dict,
+                            vec_col: str = "embedding",
+                            codes_col: str = "pq_codes") -> DataFrame:
+    """Audit the PQ approximation like ``quantization_error_stats``
+    audits int8: ONE row ``(n, mean_sq_err, max_sq_err,
+    mean_vec_norm_sq)`` where the error is the squared L2 between
+    each vector and its codebook reconstruction — the number that
+    says whether m/k are adequate BEFORE search quality degrades
+    mysteriously.  Pure row expressions + one aggregate."""
+    m, sub_dim = state["m"], state["sub_dim"]
+    v = F.col(vec_col)
+    err = None
+    for s in range(m):
+        sub = F.transform(F.slice(v, s * sub_dim + 1, sub_dim),
+                          lambda x: x.cast("double"))
+        cb = state["codebooks"][s]
+        code = F.element_at(F.col(codes_col), s + 1)
+        # reconstruction = the coded centroid, selected by a when
+        # chain over the k codes (literals; k is bounded)
+        expr = None
+        for j in range(len(cb) - 1, -1, -1):
+            lits = F.array(*[F.lit(float(x)) for x in cb[j]])
+            expr = (lits if expr is None
+                    else F.when(code == j, lits).otherwise(expr))
+        diff = F.zip_with(sub, expr, lambda a, b: (a - b) * (a - b))
+        e = F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+        err = e if err is None else err + e
+    nrm = F.aggregate(
+        F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    src = df.where(v.isNotNull() & F.col(codes_col).isNotNull())
+    return src.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg(err).alias("mean_sq_err"),
+        F.max(err).alias("max_sq_err"),
+        F.avg(nrm).alias("mean_vec_norm_sq"))
+
+
+def pq_adc_topk(corpus_codes: DataFrame, queries: DataFrame,
+                state: dict,
+                id_col: str = "vec_id",
+                codes_col: str = "pq_codes",
+                vec_col: str = "embedding",
+                k: int = 10, max_queries: int = 128,
+                sub_partitions: int = 32) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes — the FAISS
+    search shape: per query, precompute the ``m × k`` lookup table of
+    squared L2 distances from each query SUBVECTOR to every centroid
+    (driver arithmetic over the frozen codebook — queries are
+    collected, bounded LOUDLY by ``max_queries``, the
+    ``mmr_rerank`` contract), then every corpus row's approximate
+    distance is ``Σ_s LUT[s][code_s]`` — ``m`` literal-array lookups
+    per (row, query), no decode, no float vectors in the scan.
+    Returns ``(query_id, neighbor_id, dist, rank)``, SMALLEST
+    distance first (L2 semantics — L2-normalize upstream if cosine
+    ranking is wanted), self-matches excluded, ties by neighbor_id.
+
+    Scale: ONE corpus scan scoring all queries (per-row cost
+    ``n_queries · m`` element_at lookups), then the same two-phase
+    salted top-k as :func:`knn_bruteforce` (smallest-first).
+    Compose with :func:`knn_ivf`'s cluster pruning for the full
+    IVF+PQ pipeline: assign codes once, search only probed lists.
+    """
+    m, kk, sub_dim = state["m"], state["k"], state["sub_dim"]
+    q_rows = (queries.where(F.col(vec_col).isNotNull())
+              .select(F.col(id_col).alias("query_id"),
+                      F.col(vec_col).alias("__qv"))
+              .limit(max_queries + 1).collect())
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"pq_adc_topk: more than max_queries={max_queries} "
+            f"query rows — batch the query set")
+    if not q_rows:
+        raise ValueError("pq_adc_topk: no non-NULL query vectors")
+    per_q = []
+    for r in q_rows:
+        qv = [float(x) for x in r["__qv"]]
+        if len(qv) != state["dim"]:
+            raise ValueError(
+                f"pq_adc_topk: query {r['query_id']!r} has length "
+                f"{len(qv)} != dim {state['dim']}")
+        luts = []
+        for s in range(m):
+            sub = qv[s * sub_dim:(s + 1) * sub_dim]
+            luts.append([
+                sum((a - b) * (a - b)
+                    for a, b in zip(sub, state["codebooks"][s][j]))
+                for j in range(kk)])
+        per_q.append((r["query_id"], luts))
+    codes = F.col(codes_col)
+    entries = []
+    for qid, luts in per_q:
+        dist = None
+        for s in range(m):
+            lut = F.array(*[F.lit(float(x)) for x in luts[s]])
+            term = F.element_at(lut, F.element_at(codes, s + 1) + 1)
+            dist = term if dist is None else dist + term
+        entries.append(F.struct(
+            F.lit(qid).alias("query_id"), dist.alias("dist")))
+    scored = (corpus_codes.where(codes.isNotNull())
+              .select(F.col(id_col).alias("neighbor_id"),
+                      F.explode(F.array(*entries))
+                      .alias("__q"))
+              .select("neighbor_id", F.col("__q.query_id"),
+                      F.col("__q.dist").alias("dist"))
+              .where(F.col("neighbor_id") != F.col("query_id"))
+              # a NULL distance (NULL code element, foreign codes
+              # frame) must never rank: NULLs sort FIRST under asc
+              .where(F.col("dist").isNotNull()))
+    if sub_partitions > 1:
+        salt = F.pmod(F.xxhash64("neighbor_id"),
+                      F.lit(sub_partitions))
+        w1 = Window.partitionBy("query_id", "__salt").orderBy(
+            F.asc("dist"), F.asc("neighbor_id"))
+        scored = (scored.withColumn("__salt", salt)
+                  .withColumn("__r1", F.row_number().over(w1))
+                  .where(F.col("__r1") <= k)
+                  .drop("__salt", "__r1"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("dist"), F.asc("neighbor_id"))
+    return (scored.select("query_id", "neighbor_id", "dist")
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
+def ivf_pq_topk(corpus_codes: DataFrame, queries: DataFrame,
+                centroids: "list[list[float]]", state: dict,
+                id_col: str = "vec_id",
+                codes_col: str = "pq_codes",
+                cluster_col: str = "cluster",
+                vec_col: str = "embedding",
+                k: int = 10, nprobe: int = 4,
+                max_queries: int = 128) -> DataFrame:
+    """The full FAISS IVFPQ pipeline composed: coarse IVF pruning
+    (:func:`knn_ivf`'s frozen-centroid probe lists) over an
+    ADC-scored PQ-coded corpus (:func:`pq_adc_topk`'s lookup tables)
+    — each query scans ``~nprobe/len(centroids)`` of the corpus at
+    ``m`` bytes per vector instead of ``4·dim``: the two savings
+    multiply, which is what makes billion-vector search tractable.
+
+    ``corpus_codes`` must carry BOTH the PQ codes and the coarse
+    ``cluster_col`` (assign once at encode time:
+    ``kmeans_assign(...)`` then :func:`pq_encode`); queries stay
+    float.  Queries are collected (bounded by ``max_queries``, the
+    :func:`pq_adc_topk` contract) — per query the driver computes
+    the ``nprobe`` probe list AND the ``m × k`` LUT, which travel as
+    a small exploded ``(query_id, cluster, lut)`` frame; the
+    candidate join is a broadcast HASH join on the cluster id and the
+    distance is ``m`` nested ``element_at`` lookups on the LUT
+    COLUMN — no float vectors, no decode, no nested loop anywhere.
+    Returns ``(query_id, neighbor_id, dist, rank)``, smallest-L2
+    first (normalize upstream for cosine semantics); recall is
+    data-dependent — gate it and report scan volume via
+    :func:`ivf_candidate_stats`.
+    """
+    if not centroids:
+        raise ValueError("ivf_pq_topk: centroids must be non-empty")
+    if not 1 <= nprobe <= len(centroids):
+        raise ValueError(
+            f"ivf_pq_topk: nprobe must be in "
+            f"[1, {len(centroids)}]: {nprobe}")
+    for c in (codes_col, cluster_col):
+        if c not in corpus_codes.columns:
+            raise ValueError(f"corpus missing column: {c!r}")
+    m, kk, sub_dim = state["m"], state["k"], state["sub_dim"]
+    q_rows = (queries.where(F.col(vec_col).isNotNull())
+              .select(F.col(id_col).alias("query_id"),
+                      F.col(vec_col).alias("__qv"))
+              .limit(max_queries + 1).collect())
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"ivf_pq_topk: more than max_queries={max_queries} "
+            f"query rows — batch the query set")
+    if not q_rows:
+        raise ValueError("ivf_pq_topk: no non-NULL query vectors")
+    probe_rows = []
+    for r in q_rows:
+        qv = [float(x) for x in r["__qv"]]
+        if len(qv) != state["dim"]:
+            raise ValueError(
+                f"ivf_pq_topk: query {r['query_id']!r} has length "
+                f"{len(qv)} != dim {state['dim']}")
+        cdists = sorted(
+            (sum((a - b) * (a - b) for a, b in zip(qv, c)), i)
+            for i, c in enumerate(centroids))
+        probes = [i for _, i in cdists[:nprobe]]
+        lut = []
+        for s in range(m):
+            sub = qv[s * sub_dim:(s + 1) * sub_dim]
+            lut.append([
+                sum((a - b) * (a - b)
+                    for a, b in zip(sub, state["codebooks"][s][j]))
+                for j in range(kk)])
+        for cl in probes:
+            probe_rows.append((r["query_id"], int(cl), lut))
+    from pyspark.sql import types as T
+    spark = corpus_codes.sparkSession
+    probe_df = spark.createDataFrame(
+        probe_rows, T.StructType([
+            T.StructField("query_id", T.LongType()),
+            T.StructField("__cl", T.IntegerType()),
+            T.StructField("__lut", T.ArrayType(
+                T.ArrayType(T.DoubleType())))]))
+    codes = F.col(codes_col)
+    joined = (corpus_codes.where(codes.isNotNull())
+              .select(F.col(id_col).alias("neighbor_id"),
+                      F.col(cluster_col).cast("int").alias("__cl"),
+                      codes.alias("__codes"))
+              .join(F.broadcast(probe_df), "__cl")
+              .where(F.col("neighbor_id") != F.col("query_id")))
+    dist = None
+    for s in range(m):
+        term = F.element_at(F.element_at(F.col("__lut"), s + 1),
+                            F.element_at(F.col("__codes"), s + 1) + 1)
+        dist = term if dist is None else dist + term
+    scored = (joined.select("query_id", "neighbor_id",
+                            dist.alias("dist"))
+              # NULLs sort FIRST under asc — a NULL distance (NULL
+              # code element) must never rank
+              .where(F.col("dist").isNotNull()))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("dist"), F.asc("neighbor_id"))
+    salt = F.pmod(F.xxhash64("neighbor_id"), F.lit(32))
+    w1 = Window.partitionBy("query_id", "__salt").orderBy(
+        F.asc("dist"), F.asc("neighbor_id"))
+    return (scored.withColumn("__salt", salt)
+            .withColumn("__r1", F.row_number().over(w1))
+            .where(F.col("__r1") <= k).drop("__salt", "__r1")
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
 def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
                    vec_col: str = "embedding",
                    n_clusters: int | None = None,

@@ -8952,6 +8952,90 @@ FROM (SELECT sum(vs) AS tv FROM (
      (SELECT CAST(count(*) AS BIGINT) AS nn FROM embeddings
       WHERE embedding IS NOT NULL)
 UNION ALL
+-- pq_encode replay (r14): FIXED arithmetic codebooks (m=2 subspaces
+-- x k=4 codes over the 64 dims; centroid value = (j-1.5)*0.5 +
+-- 0.01*d_local) — per-(subspace, code) assignment histogram pins
+-- every row's argmin; ties -> lowest code both engines
+SELECT 'pqe', CAST(s AS VARCHAR) || ':' || CAST(j AS VARCHAR),
+       CAST(count(*) AS BIGINT), NULL
+FROM (
+  WITH qpx AS (
+    SELECT vec_id AS id, generate_subscripts(embedding, 1) AS d,
+           CAST(unnest(embedding) AS DOUBLE) AS x
+    FROM embeddings
+    WHERE embedding IS NOT NULL AND vec_id IS NOT NULL),
+  qds AS (
+    -- the operator's EXPANDED assignment score -2<x,c> + ||c||^2
+    -- (affine in the dropped ||x||^2, same argmin)
+    SELECT id, CAST((d - 1) // 32 AS INT) AS s, r.j,
+           sum(x * (-2.0 * ((r.j - 1.5) * 0.5
+                            + 0.01 * (d - ((d - 1) // 32) * 32))))
+           + sum(((r.j - 1.5) * 0.5
+                  + 0.01 * (d - ((d - 1) // 32) * 32))
+                 * ((r.j - 1.5) * 0.5
+                    + 0.01 * (d - ((d - 1) // 32) * 32)))
+             AS dist
+    FROM qpx, range(0, 4) r(j)
+    GROUP BY id, (d - 1) // 32, r.j),
+  qcd AS (SELECT id, s, j FROM (
+            SELECT id, s, j, row_number() OVER (
+                PARTITION BY id, s ORDER BY dist, j) AS rk
+            FROM qds)
+          WHERE rk = 1)
+  SELECT s, j FROM qcd)
+GROUP BY s, j
+UNION ALL
+-- pq_adc_topk replay (r14): asymmetric-distance top-3 for queries
+-- vec_id < 3 over the same fixed codebooks — the per-query m x k
+-- LUT re-derived, every neighbor's distance = sum of its codes'
+-- LUT entries, (dist, neighbor) ranking
+SELECT 'pqa', CAST(qid AS VARCHAR) || ':' || CAST(rk AS VARCHAR),
+       CAST(nid AS BIGINT), {_psig('dist')}
+FROM (
+  WITH apx AS (
+    SELECT vec_id AS id, generate_subscripts(embedding, 1) AS d,
+           CAST(unnest(embedding) AS DOUBLE) AS x
+    FROM embeddings
+    WHERE embedding IS NOT NULL AND vec_id IS NOT NULL),
+  ads AS (
+    -- two distances per (id, s, j): the operator's expanded
+    -- assignment SCORE (argmin only) and the TRUE squared L2 (the
+    -- ADC LUT values pq_adc_topk computes)
+    SELECT id, CAST((d - 1) // 32 AS INT) AS s, r.j,
+           sum(x * (-2.0 * ((r.j - 1.5) * 0.5
+                            + 0.01 * (d - ((d - 1) // 32) * 32))))
+           + sum(((r.j - 1.5) * 0.5
+                  + 0.01 * (d - ((d - 1) // 32) * 32))
+                 * ((r.j - 1.5) * 0.5
+                    + 0.01 * (d - ((d - 1) // 32) * 32)))
+             AS score,
+           sum((x - ((r.j - 1.5) * 0.5
+                     + 0.01 * (d - ((d - 1) // 32) * 32)))
+               * (x - ((r.j - 1.5) * 0.5
+                       + 0.01 * (d - ((d - 1) // 32) * 32))))
+             AS dist
+    FROM apx, range(0, 4) r(j)
+    GROUP BY id, (d - 1) // 32, r.j),
+  acd AS (SELECT id, s, j FROM (
+            SELECT id, s, j, row_number() OVER (
+                PARTITION BY id, s ORDER BY score, j) AS rk
+            FROM ads)
+          WHERE rk = 1),
+  acodes AS (SELECT id, max(CASE WHEN s = 0 THEN j END) AS c0,
+                    max(CASE WHEN s = 1 THEN j END) AS c1
+             FROM acd GROUP BY id),
+  alut AS (SELECT id AS qid, s, j, dist FROM ads WHERE id < 3),
+  apd AS (SELECT l0.qid, n.id AS nid, l0.dist + l1.dist AS dist
+          FROM acodes n
+          JOIN alut l0 ON l0.s = 0 AND l0.j = n.c0
+          JOIN alut l1 ON l1.s = 1 AND l1.j = n.c1
+                       AND l1.qid = l0.qid
+          WHERE n.id != l0.qid)
+  SELECT qid, nid, dist,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY dist, nid) AS rk
+  FROM apd QUALIFY rk <= 3)
+UNION ALL
 -- ivf_candidate_stats replay (r14): the scanned-volume readout of
 -- knn_ivf over the SAME replayed 2-round md5-seeded kmeans centroids
 -- — per query (vec_id < 5) the nprobe=2 nearest final centroids
@@ -9084,6 +9168,36 @@ def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.concat_ws("/", sig(F.col("inertia")),
                               sig(F.col("mean_dist")),
                               sig(F.col("max_dist"))).alias("v2s")))
+    # 'pqe'/'pqa' rows (r14) grade similarity.pq_encode /
+    # pq_adc_topk with FIXED arithmetic codebooks (so the DuckDB
+    # replay is pure arithmetic — the deterministic-kmeans fit half
+    # is already graded by the 'kmeans' rows it reuses): per-
+    # (subspace, code) assignment histogram + ADC top-3 for 3 queries
+    from spark_df_profiling_spark.operators.similarity import (
+        pq_adc_topk, pq_encode)
+    cbs = [[[(j - 1.5) * 0.5 + 0.01 * (t + 1) for t in range(32)]
+            for j in range(4)] for _ in range(2)]
+    pq_state = {"m": 2, "k": 4, "dim": 64, "sub_dim": 32,
+                "codebooks": cbs}
+    pq_src = e.where(F.col("embedding").isNotNull()
+                     & F.col("vec_id").isNotNull())
+    enc = pq_encode(pq_src, pq_state).localCheckpoint(eager=True)
+    pqe = (enc.select(F.posexplode("pq_codes").alias("s", "j"))
+           .groupBy("s", "j")
+           .agg(F.count(F.lit(1)).cast("long").alias("v1"))
+           .select(F.lit("pqe").alias("part"),
+                   F.concat_ws(":", F.col("s").cast("string"),
+                               F.col("j").cast("string")).alias("k"),
+                   "v1", F.lit(None).cast("string").alias("v2s")))
+    pqa = (pq_adc_topk(enc, pq_src.where(F.col("vec_id") < 3),
+                       pq_state, k=3)
+           .select(F.lit("pqa").alias("part"),
+                   F.concat_ws(":",
+                               F.col("query_id").cast("string"),
+                               F.col("rank").cast("string"))
+                   .alias("k"),
+                   F.col("neighbor_id").cast("long").alias("v1"),
+                   sig(F.col("dist")).alias("v2s")))
     # 'ivffr' rows (r14) grade similarity.ivf_candidate_stats — the
     # scanned-volume readout of knn_ivf over the SAME fitted
     # centroids: per query (vec_id < 5) the nprobe=2 probed
@@ -9303,7 +9417,7 @@ def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("part", "k", "v1",
                     sig(F.col("__val")).alias("v2s")))
     return (arr.unionByName(dims).unionByName(quant).unionByName(km)
-            .unionByName(ivffr)
+            .unionByName(ivffr).unionByName(pqe).unionByName(pqa)
             .unionByName(sil).unionByName(cq)
             .unionByName(kb).unionByName(ks).unionByName(pca)
             .unionByName(stdr).unionByName(rproj).unionByName(dv)
@@ -10595,6 +10709,138 @@ FROM (
       GROUP BY col, val))
   GROUP BY col)
 UNION ALL
+-- mannwhitney_by_group replay (r14): the per-returnflag rank-sum on
+-- the same halves — per-group U / tie term / z / p, groups present
+-- on both sides only, the same exact-double chain PARTITIONed BY g
+SELECT 'mwg', g,
+       {_psig('z')} || ':' || {_psig(
+           'least(2.0 * ' + _norm_sf_sql('abs(z)') + ', 1.0)')},
+       {_psig('u')} || ':' || CAST(na AS VARCHAR)
+         || ':' || CAST(nb AS VARCHAR)
+FROM (
+  SELECT g, u, na, nb,
+         (u - mu - (CASE WHEN u - mu >= 0 THEN 1 ELSE -1 END)
+            * least(abs(u - mu), 0.5)) / sigma AS z
+  FROM (
+    SELECT g, u, ties, na, nb,
+           CAST(na AS DOUBLE) * nb / 2.0 AS mu,
+           sqrt(greatest(
+             (CAST(na AS DOUBLE) * nb / 12.0)
+             * ((CAST(na AS DOUBLE) + nb + 1.0)
+                - ties / ((CAST(na AS DOUBLE) + nb)
+                          * (CAST(na AS DOUBLE) + nb - 1.0))),
+             0.0)) AS sigma
+    FROM (
+      WITH gwa AS (SELECT l_returnflag AS g, l_extendedprice AS v,
+                          count(*) AS c
+                   FROM ref WHERE l_extendedprice IS NOT NULL
+                     AND l_returnflag IS NOT NULL GROUP BY 1, 2),
+      gwb AS (SELECT l_returnflag AS g, l_extendedprice AS v,
+                     count(*) AS c
+              FROM nw WHERE l_extendedprice IS NOT NULL
+                AND l_returnflag IS NOT NULL GROUP BY 1, 2),
+      gwm AS (SELECT coalesce(gwa.g, gwb.g) AS g,
+                     coalesce(gwa.v, gwb.v) AS v,
+                     coalesce(gwa.c, 0) AS ca,
+                     coalesce(gwb.c, 0) AS cb
+              FROM gwa FULL OUTER JOIN gwb
+                ON gwa.g = gwb.g AND gwa.v = gwb.v),
+      gwt AS (SELECT g, sum(ca) AS na, sum(cb) AS nb FROM gwm
+              GROUP BY g),
+      gwc AS (SELECT g, ca, cb,
+                     sum(cb) OVER (PARTITION BY g ORDER BY v)
+                       AS cum_b
+              FROM gwm)
+      SELECT gwc.g,
+             sum(CAST(ca AS DOUBLE)
+                 * (CAST(cum_b AS DOUBLE)
+                    - CAST(cb AS DOUBLE) / 2.0)) AS u,
+             sum(CAST(ca + cb AS DOUBLE) * CAST(ca + cb AS DOUBLE)
+                 * CAST(ca + cb AS DOUBLE)
+                 - CAST(ca + cb AS DOUBLE)) AS ties,
+             any_value(gwt.na) AS na, any_value(gwt.nb) AS nb
+      FROM gwc JOIN gwt ON gwc.g = gwt.g
+      WHERE gwt.na > 0 AND gwt.nb > 0
+      GROUP BY gwc.g)))
+UNION ALL
+-- chi2_drift(group_col) replay (r14): the per-segment sweep — the
+-- same homogeneity test independently per l_returnflag on
+-- l_linenumber, one-side-only groups dropped
+SELECT 'chig',
+       g || ':l_linenumber:' || CAST(CAST(dof AS BIGINT) AS VARCHAR),
+       {_psig('chi2v')} || ':'
+         || {_psig(_chi2_sf_sql('chi2v', 'dof'))},
+       {_psig('gv')} || ':'
+         || {_psig(_chi2_sf_sql('gv', 'dof'))}
+FROM (
+  SELECT g, CAST(count(*) - 1 AS DOUBLE) AS dof,
+         sum((n_r - er) * (n_r - er) / er
+             + (n_n - en) * (n_n - en) / en) AS chi2v,
+         sum(2.0 * (CASE WHEN n_r > 0
+                         THEN n_r * ln(n_r / er) ELSE 0.0 END
+                  + CASE WHEN n_n > 0
+                         THEN n_n * ln(n_n / en) ELSE 0.0 END)) AS gv
+  FROM (
+    SELECT g, n_r, n_n,
+           tot_r * (n_r + n_n) / (tot_r + tot_n) AS er,
+           tot_n * (n_r + n_n) / (tot_r + tot_n) AS en
+    FROM (
+      SELECT g, val,
+             CAST(sum(1 - side) AS DOUBLE) AS n_r,
+             CAST(sum(side) AS DOUBLE) AS n_n,
+             CAST(sum(sum(1 - side)) OVER (PARTITION BY g)
+                  AS DOUBLE) AS tot_r,
+             CAST(sum(sum(side)) OVER (PARTITION BY g)
+                  AS DOUBLE) AS tot_n
+      FROM (
+        SELECT CASE WHEN epoch(l_shipdate) < {_DRIFT_EPOCH}
+                    THEN 0 ELSE 1 END AS side,
+               l_returnflag AS g,
+               CAST(l_linenumber AS VARCHAR) AS val
+        FROM lineitem
+        WHERE l_linenumber IS NOT NULL
+          AND l_returnflag IS NOT NULL)
+      GROUP BY g, val)
+    WHERE tot_r > 0 AND tot_n > 0)
+  GROUP BY g)
+UNION ALL
+-- welch_ttest replay (r14): per-column mean-shift test on the same
+-- halves — three moments per side, Welch-Satterthwaite dof, normal-
+-- approximation two-sided p (the documented approximation)
+SELECT 'wtt', col,
+       {_psig('t')} || ':' || {_psig(
+           'least(2.0 * ' + _norm_sf_sql('abs(t)') + ', 1.0)')},
+       {_psig('eff')} || ':' || {_psig('dof')}
+FROM (
+  SELECT col, (mn - mr) AS eff,
+         (mn - mr) / sqrt(vr / nr + vn / nn) AS t,
+         (vr / nr + vn / nn) * (vr / nr + vn / nn)
+           / ((vr / nr) * (vr / nr) / (nr - 1.0)
+              + (vn / nn) * (vn / nn) / (nn - 1.0)) AS dof
+  FROM (
+    SELECT col,
+           CAST(max(CASE WHEN side = 0 THEN n END) AS DOUBLE) AS nr,
+           max(CASE WHEN side = 0 THEN m END) AS mr,
+           max(CASE WHEN side = 0 THEN vv END) AS vr,
+           CAST(max(CASE WHEN side = 1 THEN n END) AS DOUBLE) AS nn,
+           max(CASE WHEN side = 1 THEN m END) AS mn,
+           max(CASE WHEN side = 1 THEN vv END) AS vn
+    FROM (
+      SELECT side, col, count(*) AS n, avg(v) AS m,
+             var_samp(v) AS vv
+      FROM (
+        SELECT CASE WHEN epoch(l_shipdate) < {_DRIFT_EPOCH}
+                    THEN 0 ELSE 1 END AS side,
+               'l_quantity' AS col, CAST(l_quantity AS DOUBLE) AS v
+        FROM lineitem WHERE l_quantity IS NOT NULL
+        UNION ALL
+        SELECT CASE WHEN epoch(l_shipdate) < {_DRIFT_EPOCH}
+                    THEN 0 ELSE 1 END,
+               'l_extendedprice', CAST(l_extendedprice AS DOUBLE)
+        FROM lineitem WHERE l_extendedprice IS NOT NULL)
+      GROUP BY side, col)
+    GROUP BY col))
+UNION ALL
 -- bh_fdr composition over the chi-square p-values (the reason the
 -- test exists): BH step-up over the 3-column family, p* and the
 -- reject/keep decision per column
@@ -10798,12 +11044,52 @@ def drift_psi_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .otherwise(F.lit("keep")).alias("psi_s"),
                         F.coalesce(sig(F.col("bh_threshold")),
                                    F.lit("null")).alias("band")))
+    # 'mwg' rows grade mannwhitney_by_group (r14) — the per-segment
+    # rank-sum on l_extendedprice per returnflag, riding the shared
+    # _distinct_score_prefix machinery
+    from spark_df_profiling_spark.operators.drift import (
+        mannwhitney_by_group)
+    mwg = (mannwhitney_by_group(ref, new, "l_extendedprice",
+                                "l_returnflag")
+           .select(F.lit("mwg").alias("part"),
+                   F.col("l_returnflag").alias("k"),
+                   F.concat(sig(F.col("z")), F.lit(":"),
+                            sig(F.col("p_value"))).alias("psi_s"),
+                   F.concat(sig(F.col("u_stat")), F.lit(":"),
+                            F.col("n_ref").cast("string"),
+                            F.lit(":"),
+                            F.col("n_new").cast("string"))
+                   .alias("band")))
+    # 'chig' rows grade chi2_drift(group_col=...) (r14) — the same
+    # homogeneity test per l_returnflag segment on l_linenumber
+    chig = (chi2_drift(ref, new, ["l_linenumber"],
+                       group_col="l_returnflag")
+            .select(F.lit("chig").alias("part"),
+                    F.concat_ws(":", "group", "column",
+                                F.col("dof").cast("string"))
+                    .alias("k"),
+                    F.concat(sig(F.col("chi2")), F.lit(":"),
+                             sig(F.col("p_chi2"))).alias("psi_s"),
+                    F.concat(sig(F.col("g_stat")), F.lit(":"),
+                             sig(F.col("p_g"))).alias("band")))
+    # 'wtt' rows grade welch_ttest (r14) — per-column mean-shift
+    # test; DuckDB recomputes the three moments per side and the
+    # Welch t / dof / normal-approx p chain
+    from spark_df_profiling_spark.operators.drift import welch_ttest
+    wtt = (welch_ttest(ref, new, ["l_quantity", "l_extendedprice"])
+           .select(F.lit("wtt").alias("part"),
+                   F.col("column").alias("k"),
+                   F.concat(sig(F.col("t")), F.lit(":"),
+                            sig(F.col("p_value"))).alias("psi_s"),
+                   F.concat(sig(F.col("effect")), F.lit(":"),
+                            sig(F.col("dof"))).alias("band")))
     return (cols.unionByName(wins).unionByName(grp)
             .unionByName(ks_row).unionByName(cvm_row)
             .unionByName(ksp_row).unionByName(mwu_row)
             .unionByName(gks).unionByName(jsd_rows)
             .unionByName(rd).unionByName(chi_rows)
-            .unionByName(fdr_rows)
+            .unionByName(fdr_rows).unionByName(chig)
+            .unionByName(wtt).unionByName(mwg)
             .orderBy("part", "k"))
 
 

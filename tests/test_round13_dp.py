@@ -78,7 +78,9 @@ class TestWeightDiagnostics:
         r = weight_diagnostics(df, "w").collect()[0]
         sw = sum(ws)
         sw2 = sum(w * w for w in ws)
-        assert r["n"] == 5 and r["n_nonpos"] == 2
+        # r14 ADVICE fix: NULL weights count into n_nonpos alongside
+        # zero/negative (the docstring contract) -> 3, not 2
+        assert r["n"] == 5 and r["n_nonpos"] == 3
         assert r["sum_w"] == pytest.approx(sw)
         assert r["ess"] == pytest.approx(sw * sw / sw2)
         assert r["ess_n"] == pytest.approx(sw * sw / sw2 / 5)

@@ -2524,8 +2524,82 @@ def r14_main() -> None:
     spark.stop()
 
 
+def r14b_main() -> None:
+    """Planted-skew rehearsals for the r14 drift family: Mann–Whitney
+    at 10M+10M rows with a 50%-hot tie value (the tie stays ONE
+    distinct row), the grouped variant at 1M groups (the shared
+    frozen-boundary prefix), and the grouped chi-square sweep at 1M
+    segments (the count shuffle is #groups x #values rows)."""
+    spark = (SparkSession.builder.master("local[32]")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory", "32g")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    from spark_df_profiling_spark.operators.drift import (
+        chi2_drift, mannwhitney_2samp, mannwhitney_by_group)
+
+    def corpus(shift, salt):
+        return spark.range(10_000_000).select(
+            F.when(F.col("id") % 2 == 0, F.lit(500.0)) # 50%-hot tie
+            .otherwise(F.pmod(F.xxhash64("id", F.lit(salt)),
+                              F.lit(100_000)).cast("double") + shift)
+            .alias("v"),
+            F.pmod(F.xxhash64("id", F.lit(9)), F.lit(1_000_000))
+            .alias("g"),
+            # categorical col varies with the corpus salt so the two
+            # sides are independent draws (a shared salt would make
+            # ref == new exactly and chi2 identically 0)
+            F.pmod(F.xxhash64("id", F.lit(salt + 100)), F.lit(5))
+            .cast("string").alias("c")).localCheckpoint()
+
+    ref, new = corpus(0.0, 1), corpus(5_000.0, 2)
+    t0 = time.time()
+    row = mannwhitney_2samp(ref, new, "v").collect()[0]
+    print(f"mannwhitney_2samp 10M+10M rows, 50%-hot tie: "
+          f"z={row['z']:.2f} p={row['p_value']:.3g}, "
+          f"{time.time() - t0:.1f}s", flush=True)
+
+    t0 = time.time()
+    n_g = mannwhitney_by_group(ref, new, "v", "g").count()
+    print(f"mannwhitney_by_group 10M+10M rows, 1M groups: "
+          f"{n_g} group rows, {time.time() - t0:.1f}s", flush=True)
+
+    t0 = time.time()
+    n_c = (chi2_drift(ref, new, ["c"], group_col="g")
+           .where(F.col("p_chi2") < 0.05).count())
+    print(f"chi2_drift grouped 10M+10M rows, 1M segments x 5 vals: "
+          f"{n_c} p<.05 segments (~5% of 1M under H0 is the "
+          f"contract), {time.time() - t0:.1f}s", flush=True)
+
+    # PQ at production shape: m=8 x k=64 over 64 dims, 2M vectors —
+    # encode is the m·k-fold expression-volume stress; ADC scores 16
+    # queries against all 2M codes in one scan
+    from spark_df_profiling_spark.operators.similarity import (
+        pq_adc_topk, pq_encode, pq_fit)
+    emb = spark.range(2_000_000).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.pmod(F.xxhash64("id", F.lit(d)), F.lit(1000))
+                   / 500.0 - 1.0) for d in range(64)])
+        .alias("embedding")).localCheckpoint()
+    t0 = time.time()
+    pst = pq_fit(emb, m=8, k=64, n_iter=2, seed=0)
+    t1 = time.time()
+    codes = pq_encode(emb, pst).localCheckpoint()
+    t2 = time.time()
+    n_top = pq_adc_topk(codes, emb.where(F.col("vec_id") < 16),
+                        pst, k=10).count()
+    print(f"pq m=8 k=64 over 2M x 64d: fit {t1 - t0:.1f}s, encode "
+          f"{t2 - t1:.1f}s, adc top-10 x16 queries "
+          f"{time.time() - t2:.1f}s ({n_top} rows)", flush=True)
+    spark.stop()
+
+
 if __name__ == "__main__":
-    if "r14" in sys.argv:
+    if "r14b" in sys.argv:
+        r14b_main()
+    elif "r14" in sys.argv:
         r14_main()
     elif "r13b" in sys.argv:
         r13b_main()
