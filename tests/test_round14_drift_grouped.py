@@ -158,3 +158,50 @@ class TestMannWhitneyByGroup:
                mannwhitney_by_group(ref, new, "v", "g").collect()}
         assert set(got) == {"a"}        # b/c are one-sided
         assert got["a"]["z"] is None    # all values tied
+
+
+class TestDriftTestReport:
+    def test_matches_components_and_bh(self, spark):
+        from spark_df_profiling_spark.operators.drift import (
+            drift_test_report, ks_2samp)
+        ref = spark.range(400).select(
+            (F.col("id") % 50).cast("double").alias("x"),
+            (F.col("id") % 3).cast("string").alias("c"))
+        new = spark.range(400).select(
+            ((F.col("id") % 50) + 15).cast("double").alias("x"),
+            (F.col("id") % 4).cast("string").alias("c"))
+        rep = drift_test_report(ref, new, ["x"], ["c"]).collect()
+        by = {(r["column"], r["test"]): r for r in rep}
+        assert set(by) == {("x", "welch"), ("x", "mannwhitney"),
+                           ("x", "ks"), ("c", "chi2")}
+        # component equality spot-checks
+        ks = ks_2samp(ref, new, "x").collect()[0]
+        assert by[("x", "ks")]["stat"] == pytest.approx(ks["d_stat"])
+        assert by[("x", "ks")]["p_value"] == pytest.approx(
+            ks["p_value"])
+        w = welch_ttest(ref, new, ["x"]).collect()[0]
+        assert by[("x", "welch")]["p_value"] == pytest.approx(
+            w["p_value"])
+        x2 = chi2_drift(ref, new, ["c"]).collect()[0]
+        assert by[("c", "chi2")]["p_value"] == pytest.approx(
+            x2["p_chi2"])
+        # planted shifts everywhere -> the whole family rejects
+        assert all(r["bh_rejected"] for r in rep)
+        assert all(r["bh_m"] == 4 for r in rep)
+
+    def test_stable_data_nothing_rejected(self, spark):
+        from spark_df_profiling_spark.operators.drift import (
+            drift_test_report)
+        df = spark.range(500).select(
+            (F.col("id") % 50).cast("double").alias("x"),
+            (F.col("id") % 3).cast("string").alias("c"))
+        rep = drift_test_report(df, df, ["x"], ["c"]).collect()
+        assert all(not r["bh_rejected"] for r in rep)
+
+    def test_no_columns_raises(self, spark):
+        from spark_df_profiling_spark.operators.drift import (
+            drift_test_report)
+        df = spark.range(5).select(F.col("id").cast("double")
+                                   .alias("x"))
+        with pytest.raises(ValueError, match="no columns"):
+            drift_test_report(df, df)
