@@ -820,7 +820,8 @@ def ks_by_group(ref: DataFrame, new: DataFrame, col: str,
     extends :func:`psi_numeric`: a corpus-level KS can stay green
     while one language or source shifts hard.  One row per group
     present on BOTH sides: ``(group, n_ref, n_new, d_numer, d_stat,
-    at_value)`` — ``d_numer = max_v |cum_ref·n_new − cum_new·n_ref|``
+    at_value, p_value)`` —
+    ``d_numer = max_v |cum_ref·n_new − cum_new·n_ref|``
     is the integer-valued numerator (exact below 2^53 — every grading
     and real segment regime; estimator beyond), ``d_stat =
     d_numer/(n_ref·n_new)`` its pure function, ``at_value`` the
@@ -866,12 +867,19 @@ def ks_by_group(ref: DataFrame, new: DataFrame, col: str,
            .agg(F.max("__nref").cast("long").alias("n_ref"),
                 F.max("__nn").cast("long").alias("n_new"),
                 win.alias("__w")))
+    d_stat = (F.col("__w.nm") / (F.col("n_ref").cast("double")
+                                 * F.col("n_new")))
+    lam = d_stat * F.sqrt(
+        F.col("n_ref").cast("double") * F.col("n_new").cast("double")
+        / (F.col("n_ref").cast("double") + F.col("n_new")))
     return out.select(
         group_col, "n_ref", "n_new",
         F.round(F.col("__w.nm")).cast("long").alias("d_numer"),
-        (F.col("__w.nm") / (F.col("n_ref").cast("double")
-                            * F.col("n_new"))).alias("d_stat"),
-        (-F.col("__w.nv")).alias("at_value"))
+        d_stat.alias("d_stat"),
+        (-F.col("__w.nv")).alias("at_value"),
+        # r14: the asymptotic p per segment (ks_sf_expr), so the
+        # grouped KS composes with bh_fdr like mwg/chig
+        ks_sf_expr(lam).alias("p_value"))
 
 
 def drift_test_report(ref: DataFrame, new: DataFrame,

@@ -144,3 +144,26 @@ class TestKs2sampPValue:
         row = ks_2samp(df, df, "v").collect()[0]
         assert row["d_stat"] == pytest.approx(0.0)
         assert row["p_value"] == pytest.approx(1.0)
+
+
+class TestKsByGroupPValue:
+    def test_p_matches_sf_of_d(self, spark):
+        import random
+        rng = random.Random(2)
+        ref = spark.createDataFrame(
+            [(g, rng.gauss(0, 1)) for g in ("a", "b")
+             for _ in range(150)], "g string, v double")
+        new = spark.createDataFrame(
+            [(g, rng.gauss(0.6 if g == "b" else 0.0, 1))
+             for g in ("a", "b") for _ in range(120)],
+            "g string, v double")
+        from spark_df_profiling_spark.operators.drift import (
+            ks_by_group)
+        got = {r["g"]: r for r in
+               ks_by_group(ref, new, "v", "g").collect()}
+        for g, r in got.items():
+            lam = r["d_stat"] * math.sqrt(
+                r["n_ref"] * r["n_new"] / (r["n_ref"] + r["n_new"]))
+            assert r["p_value"] == pytest.approx(
+                _py_kolmogorov_sf(lam), abs=1e-9), g
+        assert got["b"]["p_value"] < 0.01 < got["a"]["p_value"]
