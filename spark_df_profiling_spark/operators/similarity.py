@@ -570,13 +570,11 @@ def pq_encode(df: DataFrame, state: dict,
     ``kmeans_assign_expr`` rule per subspace).  NULL vectors encode
     to NULL; a wrong-length vector raises at execution.
 
-    Scale: ``m`` independent ``kmeans_assign_expr`` row expressions
-    over array slices — zero shuffle, no Python; each subspace's
-    assignment is staged in its OWN projection (the SPARK-36718
-    no-reinline rule) so the k·sub_dim fold isn't duplicated.
-    Expression volume is m·k HOF folds per row; at the m=8 / k=64
-    default that rehearsed fine (plan stays pipelined), but m·k is
-    the knob to watch before raising either cap.
+    Scale: ``m`` independent per-subspace assignments as FLAT
+    indexed-element score chains over STAGED slice columns — zero
+    shuffle, no Python, no joins; rehearsed at m=8 × k=64 over
+    2M×64d in 12.3s (see the inline measurement note).  m·k·sub_dim
+    is the expression-volume knob to watch before raising any cap.
     """
     m, sub_dim, dim = state["m"], state["sub_dim"], state["dim"]
     v = F.col(vec_col)
