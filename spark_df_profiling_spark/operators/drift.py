@@ -743,7 +743,11 @@ def welch_ttest(ref: DataFrame, new: DataFrame,
     Scale: ONE stack-explode scan per dataset (#cols moment rows out
     of the map-side combine), p-values are row expressions.  NULLs
     excluded per column; a column with < 2 non-NULL rows on either
-    side (no variance) yields NULL t/p.
+    side (no variance) yields NULL t/p, and a column ALL-NULL on one
+    side still emits its row (n = 0 for that side, NULL
+    mean/effect/t/dof/p) — a FULL outer join on the moment frames, so
+    the column never silently vanishes from the output or from
+    :func:`drift_test_report`'s BH family (r14 ADVICE fix).
     """
     if not cols:
         raise ValueError("cols must be non-empty")
@@ -759,7 +763,9 @@ def welch_ttest(ref: DataFrame, new: DataFrame,
                 .agg(F.count(F.lit(1)).cast("long").alias(f"n_{tag}"),
                      F.avg("v").alias(f"m_{tag}"),
                      F.var_samp("v").alias(f"v_{tag}")))
-    j = moments(ref, "r").join(moments(new, "n"), "column")
+    j = (moments(ref, "r").join(moments(new, "n"), "column", "full")
+         .withColumn("n_r", F.coalesce("n_r", F.lit(0)).cast("long"))
+         .withColumn("n_n", F.coalesce("n_n", F.lit(0)).cast("long")))
     na = F.col("n_r").cast("double")
     nb = F.col("n_n").cast("double")
     va, vb = F.col("v_r"), F.col("v_n")

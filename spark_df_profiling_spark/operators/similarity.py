@@ -457,7 +457,10 @@ def ivf_candidate_stats(corpus: DataFrame, queries: DataFrame,
     inverted lists (self-row included — this measures scan cost, not
     result quality).  THE number an IVF deployment is judged by: the
     recall gate says whether ``nprobe`` is high enough, this says
-    what that recall costs relative to brute force.
+    what that recall costs relative to brute force.  Zero-norm rows
+    are excluded on BOTH sides (the :func:`knn_ivf` ``__cn > 0`` /
+    ``__qn > 0`` filters) so the stats measure exactly the set that
+    search scans (r14 ADVICE fix).
 
     Scale: cluster sizes are ONE map-side-combined aggregate
     (≤ ``len(centroids)`` rows — O(k) driver state, same size as the
@@ -474,7 +477,9 @@ def ivf_candidate_stats(corpus: DataFrame, queries: DataFrame,
     from spark_df_profiling_spark.operators.clustering import (
         kmeans_assign)
     c = (corpus.where(F.col(vec_col).isNotNull())
-         .select(F.col(vec_col).alias("__cv")))
+         .select(F.col(vec_col).alias("__cv"),
+                 l2_norm(F.col(vec_col)).alias("__cn"))
+         .where(F.col("__cn") > 0))
     c = kmeans_assign(c, centroids, vec_col="__cv",
                       cluster_col="__cl")
     sizes = c.groupBy("__cl").agg(
@@ -482,6 +487,7 @@ def ivf_candidate_stats(corpus: DataFrame, queries: DataFrame,
     n_corpus = sum(r["__sz"] for r in sizes.collect())  # O(k) rows
     sizes_df = sizes  # still a DataFrame for the broadcast join
     probes = (queries.where(F.col(vec_col).isNotNull())
+              .where(l2_norm(F.col(vec_col)) > 0)
               .select(F.col(id_col).alias("query_id"),
                       F.explode(ivf_probe_expr(
                           F.col(vec_col), centroids, nprobe))
@@ -547,12 +553,22 @@ def pq_fit(df: DataFrame, vec_col: str = "embedding",
     sub_dim = dim // m
     from spark_df_profiling_spark.operators.clustering import (
         kmeans_fit)
+    # LOUD wrong-length contract, mirroring pq_encode (r14 ADVICE
+    # fix): a row shorter/longer than dim raises during the fit scan
+    # instead of silently contributing truncated/NULL-padded slices.
+    # The guard rides the slice source column, so Catalyst can't
+    # prune it away — zero extra scans.
+    vtype = df.schema[vec_col].dataType.simpleString()
+    vv = (F.when(F.size(v) == dim, v)
+          .otherwise(F.raise_error(F.concat(
+              F.lit(f"pq_fit: vector length != {dim}: "),
+              F.size(v).cast("string"))).cast(vtype)))
     fit_src = df.where(v.isNotNull())
     codebooks = []
     for s in range(m):
         sliced = fit_src.select(
             F.col(id_col),
-            F.slice(v, s * sub_dim + 1, sub_dim).alias("__sub"))
+            F.slice(vv, s * sub_dim + 1, sub_dim).alias("__sub"))
         codebooks.append(kmeans_fit(
             sliced, "__sub", id_col, k=k, n_iter=n_iter,
             seed=seed + s, hash_mode=hash_mode,
@@ -824,9 +840,13 @@ def ivf_pq_topk(corpus_codes: DataFrame, queries: DataFrame,
             probe_rows.append((r["query_id"], int(cl), lut))
     from pyspark.sql import types as T
     spark = corpus_codes.sparkSession
+    # query_id keeps the INPUT id type (string vec_ids work like they
+    # do in knn_ivf / pq_adc_topk) — the _isotonic_apply_grouped gtype
+    # rule, not a hardcoded LongType (r14 ADVICE fix)
+    qid_type = queries.schema[id_col].dataType
     probe_df = spark.createDataFrame(
         probe_rows, T.StructType([
-            T.StructField("query_id", T.LongType()),
+            T.StructField("query_id", qid_type),
             T.StructField("__cl", T.IntegerType()),
             T.StructField("__lut", T.ArrayType(
                 T.ArrayType(T.DoubleType())))]))

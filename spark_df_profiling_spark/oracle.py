@@ -5488,7 +5488,12 @@ UNION ALL
 -- streaming_chi2 replay (r14): per-window chi-square GOODNESS-OF-FIT
 -- against the SAME frozen top-3+'__other__' reference as the 'cat'
 -- rows — expected counts n·p_c, positive-cell dof, unexpected count,
--- and the full sf arithmetic (A&S erf / exact dof-1,2 / WH)
+-- and the full sf arithmetic (A&S erf / exact dof-1,2 / WH).
+-- r15 note: the engine now conditions expected counts on the
+-- positive cells (E_c = (n − n_unexpected)·p_c/Σp_positive) when a
+-- zero-share cell exists; this reference has 4 positive cells (5
+-- distinct event types → '__other__' share > 0), so n_unexpected ≡ 0
+-- and Σp ≡ 1 — the n·p_c form below IS the engine arithmetic here.
 SELECT 'sx2' AS metric, w AS window_epoch, n,
        {_psig('chi2v')} || ':'
          || CAST(CAST(dof AS BIGINT) AS VARCHAR) AS psi_s,
@@ -9045,10 +9050,16 @@ SELECT 'ivffr', CAST(qid AS VARCHAR), CAST(nc AS BIGINT),
          || {_psig('CAST(nc AS DOUBLE) / CAST(ncorp AS DOUBLE)')}
 FROM (
   WITH pts AS (
+    -- zero-norm rows excluded on both sides (r15: the engine's
+    -- knn_ivf-matching __cn/__qn > 0 filters — none exist in driver
+    -- data, so values are unchanged)
     SELECT vec_id AS id,
            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
     FROM embeddings
-    WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+    WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+      AND list_sum(list_transform(embedding,
+                                  x -> CAST(x AS DOUBLE)
+                                       * CAST(x AS DOUBLE))) > 0),
   px AS (SELECT id, generate_subscripts(v, 1) AS dim, unnest(v) AS x
          FROM pts),
   sd AS (SELECT v, row_number() OVER (ORDER BY

@@ -1036,16 +1036,23 @@ def streaming_chi2(stream_df: DataFrame, ts_col: str, col: str,
     by pure sampling noise).  Each tumbling window tests its category
     counts against the frozen multinomial ``p_c`` from
     :func:`~spark_df_profiling_spark.operators.drift.
-    categorical_psi_reference`: ``chi2 = Σ_c (O_c − n·p_c)²/(n·p_c)``
-    over the reference cells with ``p_c > 0``, ``dof = #those − 1``,
+    categorical_psi_reference`: ``chi2 = Σ_c (O_c − E_c)²/E_c`` over
+    the reference cells with ``p_c > 0``, ``dof = #those − 1``,
     p-value via the shared
     :func:`~spark_df_profiling_spark.operators.drift.chi2_sf_expr`.
     Cells whose reference share is 0 (an ``'__other__'`` bucket that
     absorbed nothing at fit time) can't enter the statistic (E = 0);
     their observations are surfaced as ``n_unexpected`` — nonzero
     means brand-new vocabulary, which IS drift even when chi2 can't
-    price it.  Emits ``(window_start, window_end, n, chi2, dof,
-    p_value, n_unexpected)``.
+    price it.  Expected counts CONDITION on landing in a positive
+    cell: ``E_c = (n − n_unexpected) · p_c / Σ_{positive} p`` — so the
+    statistic follows the stated GOF chi-square distribution over the
+    positive cells even when ``n_unexpected > 0`` (the old ``n·p_c``
+    form inflated chi2 by counting unexpected mass in n while
+    excluding it from the cells — r14 ADVICE fix); a window that is
+    ALL unexpected (n_unexpected = n) has no testable cells and
+    yields NULL chi2/p.  Emits ``(window_start, window_end, n, chi2,
+    dof, p_value, n_unexpected)``.
 
     ONE streaming aggregation (the :func:`streaming_psi` trick):
     per-cell counts are conditional-sum COLUMNS, the statistic and
@@ -1083,18 +1090,31 @@ def streaming_chi2(stream_df: DataFrame, ts_col: str, col: str,
         aggs.append(F.sum(F.when(F.col("__b") == b, 1).otherwise(0))
                     .cast("long").alias(f"__c{b}"))
     agg = base.groupBy(F.window(ts_col, window)).agg(*aggs)
-    nd = F.col("n").cast("double")
-    chi2 = F.lit(0.0)
     n_unexpected = F.lit(0).cast("long")
+    pos_sum = 0.0
     n_pos = 0
     for b in range(bins):
         if fracs[b] > 0:
-            e = nd * F.lit(fracs[b])
-            o = F.col(f"__c{b}").cast("double")
-            chi2 = chi2 + (o - e) * (o - e) / e
+            pos_sum += fracs[b]
             n_pos += 1
         else:
             n_unexpected = n_unexpected + F.col(f"__c{b}")
+    # expected counts condition on the positive cells: the testable
+    # mass is n − n_unexpected, renormalized over Σ positive p.  When
+    # NO zero cell exists the conditioning is an exact no-op — keep
+    # the literal reference shares un-divided there so the common
+    # case is arithmetically untouched (pos_sum's float rounding
+    # must not perturb replays).
+    all_pos = (n_pos == bins)
+    nd_eff = (F.col("n") - n_unexpected).cast("double")
+    chi2 = F.lit(0.0)
+    for b in range(bins):
+        if fracs[b] > 0:
+            share = fracs[b] if all_pos else fracs[b] / pos_sum
+            e = nd_eff * F.lit(share)
+            o = F.col(f"__c{b}").cast("double")
+            chi2 = chi2 + (o - e) * (o - e) / e
+    chi2 = F.when(nd_eff > 0, chi2)
     dof = F.lit(float(n_pos - 1))
     return agg.select(
         F.col("window.start").alias("window_start"),

@@ -87,11 +87,14 @@ class TestStreamingChi2:
         row = spark.table("t_sx2b_out").collect()[0]
         assert row["n_unexpected"] == 5     # NEW vocabulary surfaced
         assert row["dof"] == 1
-        # chi2 over the two positive cells only, n includes NEW rows
-        n = 15
-        chi2 = ((7 - n * 0.7) ** 2 / (n * 0.7)
-                + (3 - n * 0.3) ** 2 / (n * 0.3))
-        assert row["chi2"] == pytest.approx(chi2, rel=1e-12)
+        assert row["n"] == 15               # n still counts NEW rows
+        # r15 semantics: expected counts CONDITION on the positive
+        # cells (E_c = (n - n_unexpected) * p_c / sum_pos p), so the
+        # 7/3 split over a_share 0.7 / b_share 0.3 is a PERFECT fit —
+        # chi2 exactly 0 and the new vocabulary is priced solely by
+        # n_unexpected (the old n*p_c form inflated chi2 here)
+        assert row["chi2"] == pytest.approx(0.0, abs=1e-12)
+        assert row["p_value"] == pytest.approx(1.0)
 
     def test_reference_contract(self, spark):
         from spark_df_profiling_spark.streaming import streaming_chi2
