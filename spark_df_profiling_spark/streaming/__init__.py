@@ -1136,9 +1136,17 @@ def streaming_ks(stream_df: DataFrame, ts_col: str, value_col: str,
     max_k |ecdf_window(edge_k) − cdf_ref(edge_k)|`` over the
     :func:`~spark_df_profiling_spark.operators.drift.ks_reference`
     edge grid, emitting ``(window_start, window_end, n, d_stat,
-    at_edge)`` — ``at_edge`` the edge attaining the supremum (largest
-    such edge on ties).  Exact at the grid; discretization error ≤
-    one grid cell of reference mass (the fit docstring's bound).
+    at_edge, p_value)`` — ``at_edge`` the edge attaining the supremum
+    (largest such edge on ties), ``p_value`` the one-sample
+    asymptotic Kolmogorov survival function at ``λ = d_stat·√n``
+    (r15: the same shared :func:`~spark_df_profiling_spark.operators.
+    drift.ks_sf_expr` series as the batch tests, so the drift family
+    emits p-values end to end — note the frozen reference plays the
+    role of a KNOWN distribution, hence the ONE-sample √n scaling,
+    and the grid discretization makes p conservative by at most one
+    grid cell of reference mass).  Exact at the grid; discretization
+    error ≤ one grid cell of reference mass (the fit docstring's
+    bound).
 
     ONE streaming aggregation (the :func:`streaming_psi` trick): the
     per-edge cumulative counts are ``len(reference)`` conditional-sum
@@ -1184,7 +1192,12 @@ def streaming_ks(stream_df: DataFrame, ts_col: str, value_col: str,
             F.lit(edges[i]).alias("e"))
         for i in range(len(edges))])
     best = F.array_max(gaps)
+    from spark_df_profiling_spark.operators.drift import ks_sf_expr
+    # p is a pure post-projection over the existing per-window
+    # columns — zero new state, zero new aggregate columns
+    lam = best["d"] * F.sqrt(nd)
     return agg.select(
         F.col("window.start").alias("window_start"),
         F.col("window.end").alias("window_end"),
-        "n", best["d"].alias("d_stat"), best["e"].alias("at_edge"))
+        "n", best["d"].alias("d_stat"), best["e"].alias("at_edge"),
+        ks_sf_expr(lam).alias("p_value"))

@@ -99,6 +99,30 @@ class TestStreamingKs:
         assert rows[1]["at_edge"] == pytest.approx(e_hot)
         assert rows[0]["d_stat"] < 0.01 < rows[1]["d_stat"]
         assert rows[1]["d_stat"] > 0.4   # ~half the mass shifted past
+        # r15: the one-sample asymptotic p at lambda = d*sqrt(n) —
+        # replay ks_sf_expr's series in python per window
+        import math
+
+        def py_sf(lam):
+            if lam <= 0:
+                return 1.0
+            if lam < 1.18:
+                s = sum(math.exp(-((2 * j - 1) ** 2 * math.pi ** 2)
+                                 / (8 * lam * lam))
+                        for j in range(1, 4))
+                return max(min(
+                    1.0 - (math.sqrt(2 * math.pi) / lam) * s, 1.0),
+                    0.0)
+            s = sum((-1.0) ** (j - 1)
+                    * math.exp(-2.0 * j * j * lam * lam)
+                    for j in range(1, 9))
+            return max(min(2.0 * s, 1.0), 0.0)
+        for row, d in ((rows[0], d_calm), (rows[1], d_hot)):
+            lam = d * math.sqrt(row["n"])
+            assert row["p_value"] == pytest.approx(py_sf(lam),
+                                                   rel=1e-9)
+        assert rows[0]["p_value"] > 0.99  # calm fits its own ref
+        assert rows[1]["p_value"] < 1e-10  # planted shift priced
 
     def test_reference_contract(self, spark):
         from spark_df_profiling_spark.streaming import streaming_ks
