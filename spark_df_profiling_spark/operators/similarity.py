@@ -879,6 +879,80 @@ def ivf_pq_topk(corpus_codes: DataFrame, queries: DataFrame,
             .where(F.col("rank") <= k))
 
 
+def ivf_pq_refine(corpus_codes: DataFrame, queries: DataFrame,
+                  centroids: "list[list[float]]", state: dict,
+                  id_col: str = "vec_id",
+                  codes_col: str = "pq_codes",
+                  cluster_col: str = "cluster",
+                  vec_col: str = "embedding",
+                  k: int = 10, nprobe: int = 4,
+                  rerank_k: int = 50,
+                  max_queries: int = 128) -> DataFrame:
+    """IVFPQ with exact refinement — the FAISS ``IndexRefineFlat``
+    recipe: :func:`ivf_pq_topk` generates ``rerank_k`` candidates per
+    query by asymmetric PQ distance (coarse pruning × code lookup —
+    the cheap, lossy stage), then ONLY those candidates are re-scored
+    against the float vectors and the true top-``k`` re-ranked by
+    exact squared L2.  The standard quality rung: candidate recall is
+    the PQ index's (data-dependent, gate it); final DISTANCES are
+    exact, so ranking errors can only come from true neighbors missing
+    the candidate set — raise ``rerank_k``/``nprobe`` to buy recall
+    without touching the stored codes.
+
+    ``corpus_codes`` must carry the PQ codes, the coarse cluster AND
+    the float ``vec_col`` (the refine store — FAISS keeps the same
+    triple).  Returns ``(query_id, neighbor_id, dist, rank)``,
+    smallest exact L2 first, self-matches excluded, ties by
+    neighbor_id.  With ``nprobe = len(centroids)`` and ``rerank_k >=
+    |corpus|`` the output IS exact brute-force L2 top-k (every row
+    becomes a candidate and the ranking is exact) — the
+    deterministic-invariant device the ann_recall_gates oracle row
+    uses, mirroring the rproj/ivfd full-coverage gates.
+
+    Scale: the candidate frame is ≤ ``max_queries · rerank_k`` rows —
+    broadcast-sized by construction — so the refine join against the
+    corpus floats is a broadcast HASH join on ``(neighbor_id)``
+    streaming the corpus ONCE, and the exact distance is one
+    ``zip_with``/``aggregate`` fold per CANDIDATE (the per-pair HOF
+    rule), never per corpus row.
+    """
+    if rerank_k < k:
+        raise ValueError(
+            f"ivf_pq_refine: rerank_k={rerank_k} must be >= k={k}")
+    if vec_col not in corpus_codes.columns:
+        raise ValueError(
+            f"ivf_pq_refine: corpus missing float column "
+            f"{vec_col!r} (the refine store)")
+    cand = ivf_pq_topk(corpus_codes, queries, centroids, state,
+                       id_col=id_col, codes_col=codes_col,
+                       cluster_col=cluster_col, vec_col=vec_col,
+                       k=rerank_k, nprobe=nprobe,
+                       max_queries=max_queries) \
+        .select("query_id", "neighbor_id")
+    qv = (queries.where(F.col(vec_col).isNotNull())
+          .select(F.col(id_col).alias("query_id"),
+                  F.col(vec_col).alias("__qv")))
+    cv = corpus_codes.select(F.col(id_col).alias("neighbor_id"),
+                             F.col(vec_col).alias("__cv"))
+    # both joins broadcast the SMALL side (candidates ≤ max_queries ·
+    # rerank_k rows; queries ≤ max_queries): the corpus float store
+    # streams through once, nothing corpus-sized shuffles
+    joined = (cv.join(F.broadcast(cand), "neighbor_id")
+              .join(F.broadcast(qv), "query_id"))
+    dist = F.aggregate(
+        F.zip_with(F.col("__qv"), F.col("__cv"),
+                   lambda a, b: (a.cast("double") - b.cast("double"))
+                   * (a.cast("double") - b.cast("double"))),
+        F.lit(0.0), lambda acc, x: acc + x)
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("dist"), F.asc("neighbor_id"))
+    return (joined.select("query_id", "neighbor_id",
+                          dist.alias("dist"))
+            .where(F.col("dist").isNotNull())
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
 def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
                    vec_col: str = "embedding",
                    n_clusters: int | None = None,

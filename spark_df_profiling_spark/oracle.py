@@ -5298,6 +5298,56 @@ def _ann_recall(spark: SparkSession, sf_dir: str, method: str,
         cents = kmeans_fit(e, "embedding", "vec_id", k=8, n_iter=2,
                            seed=0)
         approx = knn_ivf(e, q, cents, k=k, nprobe=8)
+    elif method == "ivfq8":
+        # knn_ivf_quantized (r14): IVF pruning over the int8-coded
+        # corpus with dequantize-fused scoring.  Full probe -> the
+        # composition degenerates to knn_bruteforce_quantized exactly
+        # (pinned by test_round14_ivf), so this row carries the SAME
+        # quantization-recall contract as the 'q8' row while driving
+        # the real compose path (assign + probe + dequantized ADC).
+        from spark_df_profiling_spark.operators.clustering import (
+            kmeans_fit)
+        from spark_df_profiling_spark.operators.similarity import (
+            knn_ivf_quantized, quantization_ranges,
+            quantize_embeddings)
+        cents = kmeans_fit(e, "embedding", "vec_id", k=8, n_iter=2,
+                           seed=0)
+        ranges = quantization_ranges(e)
+        cq = quantize_embeddings(e, ranges).drop("embedding")
+        approx = knn_ivf_quantized(cq, q, cents, ranges, k=k,
+                                   nprobe=8)
+    elif method == "ivfpq":
+        # ivf_pq_refine (r15): the full FAISS IVFPQ + IndexRefineFlat
+        # pipeline — coarse probe lists, PQ/ADC candidate generation,
+        # exact float re-scoring.  Embeddings are L2-NORMALIZED first
+        # so exact-L2 ranking == cosine ranking; with full probe and
+        # rerank_k = |corpus| every row is a candidate and the exact
+        # re-score makes recall == exact BY CONSTRUCTION (the
+        # rproj/ivfd deterministic-invariant device — partial-probe /
+        # partial-rerank recall is pinned on directional blobs by
+        # tests/test_round15_ivfpq_refine.py).  The full pruned path
+        # (probe lists, LUT ADC scan, broadcast hash join) still
+        # executes to produce the candidates; the 'ivfpq' rows in
+        # embedding_array_stats grade the PRUNED nprobe=2 ADC path by
+        # value.
+        from spark_df_profiling_spark.operators.clustering import (
+            kmeans_assign, kmeans_fit)
+        from spark_df_profiling_spark.operators.similarity import (
+            ivf_pq_refine, l2_norm, pq_encode, pq_fit)
+        en = e.select(
+            "vec_id",
+            F.transform("embedding",
+                        lambda x: x / l2_norm(F.col("embedding")))
+            .alias("embedding"))
+        qn = en.where(F.col("vec_id") < 5)
+        # codebook quality is IRRELEVANT to this gate (full coverage +
+        # exact re-score), so keep the fit cheap: m=4 subspace fits
+        st = pq_fit(en, m=4, k=16, n_iter=2, seed=0)
+        cents = kmeans_fit(en, "embedding", "vec_id", k=8, n_iter=2,
+                           seed=0)
+        corpus = pq_encode(kmeans_assign(en, cents), st)
+        approx = ivf_pq_refine(corpus, qn, cents, st, k=k, nprobe=8,
+                               rerank_k=500)
     else:
         # Probe ALL clusters in the graded adapter: recall == exact by
         # construction, so the gate is a deterministic invariant — a
@@ -5325,6 +5375,7 @@ def _ann_recall(spark: SparkSession, sf_dir: str, method: str,
 @query("ann_recall_gates", """
 SELECT method, CAST(vec_id AS BIGINT) AS query_id, true AS recall_ok
 FROM (SELECT 'ivf' AS method UNION ALL SELECT 'ivfd'
+      UNION ALL SELECT 'ivfpq' UNION ALL SELECT 'ivfq8'
       UNION ALL SELECT 'lsh'
       UNION ALL SELECT 'q8' UNION ALL SELECT 'rproj'), embeddings
 WHERE vec_id < 5 ORDER BY method, query_id
@@ -5350,7 +5401,14 @@ def ann_recall_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     rpj = _ann_recall(spark, sf_dir, "rproj", min_hits=2) \
         .select(F.lit("rproj").alias("method"), "query_id",
                 "recall_ok")
-    return (ivf.unionByName(ivfd).unionByName(lsh).unionByName(q8)
+    ivfq8 = _ann_recall(spark, sf_dir, "ivfq8", min_hits=2) \
+        .select(F.lit("ivfq8").alias("method"), "query_id",
+                "recall_ok")
+    ivfpq = _ann_recall(spark, sf_dir, "ivfpq", min_hits=2) \
+        .select(F.lit("ivfpq").alias("method"), "query_id",
+                "recall_ok")
+    return (ivf.unionByName(ivfd).unionByName(ivfpq)
+            .unionByName(ivfq8).unionByName(lsh).unionByName(q8)
             .unionByName(rpj).orderBy("method", "query_id"))
 
 
@@ -5550,9 +5608,13 @@ FROM (
 UNION ALL
 -- streaming_ks replay (r13): 8 exact order-statistic edges from the
 -- batch events table, per-window cumulative counts at each edge, max
--- |ecdf - ref_cdf| with the (d DESC, edge DESC) tie rule
+-- |ecdf - ref_cdf| with the (d DESC, edge DESC) tie rule; r15 adds
+-- the one-sample asymptotic p at lambda = d*sqrt(n), same series
 SELECT 'sks' AS metric, w AS window_epoch, n,
-       {_psig('d')} AS psi_s, {_psig('e')} AS jsd_s
+       {_psig('d')} || ':'
+         || {_psig(_ks_sf_sql('(d * sqrt(CAST(n AS DOUBLE)))'))}
+         AS psi_s,
+       {_psig('e')} AS jsd_s
 FROM (
   WITH kv AS (SELECT CAST("value" AS DOUBLE) AS v FROM events
               WHERE "value" IS NOT NULL),
@@ -5678,7 +5740,10 @@ def streaming_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("sks").alias("metric"),
         epoch_seconds(kres, "window_start").alias("window_epoch"),
         F.col("n"),
-        sig(F.col("d_stat")).alias("psi_s"),
+        # r15: p_value (one-sample asymptotic sf at d*sqrt(n)) rides
+        # the same graded row — DuckDB replays the series term-by-term
+        F.concat(sig(F.col("d_stat")), F.lit(":"),
+                 sig(F.col("p_value"))).alias("psi_s"),
         sig(F.col("at_edge")).alias("jsd_s"))
     # 'sx2' rows (r14) grade streaming.streaming_chi2 via a REAL
     # availableNow run on the SAME frozen top-3+'__other__' reference
