@@ -508,11 +508,52 @@ PQ_MAX_SUBSPACES = 64
 PQ_MAX_CODES = 256
 
 
+def _pq_residual_expr(vec: Column,
+                      centroids: "list[list[float]]") -> Column:
+    """``x − coarse_centroid(x)`` as a pure row expression (double
+    array): nearest-centroid assignment via ``kmeans_assign_expr``
+    (ties → lowest cluster), centroid selected by a bounded
+    when-chain over the frozen literals, one ``zip_with`` subtract.
+    The residual-PQ staging shared by fit/encode/reconstruction —
+    FAISS IVFPQ's ``by_residual`` preprocessing (Jégou 2011 §V.B:
+    residuals concentrate tighter than raw vectors, so the same m·k
+    codebook budget quantizes finer)."""
+    from spark_df_profiling_spark.operators.clustering import (
+        kmeans_assign_expr)
+    v = F.transform(vec, lambda x: x.cast("double"))
+    cl = kmeans_assign_expr(vec, centroids)
+    cent = None
+    for i in range(len(centroids) - 1, -1, -1):
+        lits = F.array(*[F.lit(float(x)) for x in centroids[i]])
+        cent = (lits if cent is None
+                else F.when(cl == i, lits).otherwise(cent))
+    return F.zip_with(v, cent, lambda a, b: a - b)
+
+
+def _pq_check_residual_centroids(state: dict,
+                                 centroids: "list[list[float]]",
+                                 caller: str) -> None:
+    """A residual codebook is only meaningful against the EXACT
+    coarse quantizer it was fit on — a different centroid set would
+    decode residuals against the wrong origins, silently."""
+    res = state.get("residuals_of")
+    if res is None:
+        return
+    same = ([[float(x) for x in c] for c in res]
+            == [[float(x) for x in c] for c in centroids])
+    if not same:
+        raise ValueError(
+            f"{caller}: state was fit with residuals_of a DIFFERENT "
+            f"centroid set than the one passed — residual codes only "
+            f"decode against their own coarse quantizer")
+
+
 def pq_fit(df: DataFrame, vec_col: str = "embedding",
            id_col: str = "vec_id", m: int = 8, k: int = 64,
            n_iter: int = 5, seed: int = 0,
            hash_mode: str = "xxhash64",
-           max_fit_rows: "int | None" = 100_000) -> dict:
+           max_fit_rows: "int | None" = 100_000,
+           residuals_of: "list[list[float]] | None" = None) -> dict:
     """Fit a product-quantization codebook (Jégou et al. 2011 — the
     FAISS PQ recipe): split each ``dim``-dimensional vector into ``m``
     contiguous subvectors and k-means each subspace independently
@@ -533,6 +574,21 @@ def pq_fit(df: DataFrame, vec_col: str = "embedding",
     operators.clustering.kmeans_fit` runs over the SLICED subvector
     column (each ``n_iter`` bounded scans over the
     ``max_fit_rows``-capped frame); state is O(k·dim) driver floats.
+
+    ``residuals_of`` (r15 — FAISS IVFPQ's ``by_residual``): pass the
+    frozen COARSE centroids and the codebooks are fit on ``x −
+    coarse_centroid(x)`` instead of raw vectors — residuals cluster
+    around 0 far tighter than vectors cluster around anything, so the
+    same m·k budget quantizes finer and IVFPQ recall rises at equal
+    code size (Jégou 2011 Fig. 7).  The state records the centroid
+    set; :func:`pq_encode` / :func:`ivf_pq_topk` /
+    :func:`pq_reconstruction_stats` switch automatically, and
+    :func:`pq_adc_topk` REJECTS residual states (plain ADC has no
+    per-row coarse cell to decode against — search residual codes
+    through :func:`ivf_pq_topk`, whose per-(query, cluster) probe
+    frame is exactly the LUT granularity residuals need).  The
+    residual staging is one assignment expression + one zip_with per
+    fit scan — zero extra passes, zero shuffle.
     """
     if not 1 <= m <= PQ_MAX_SUBSPACES:
         raise ValueError(f"pq_fit: m must be in "
@@ -558,11 +614,19 @@ def pq_fit(df: DataFrame, vec_col: str = "embedding",
     # instead of silently contributing truncated/NULL-padded slices.
     # The guard rides the slice source column, so Catalyst can't
     # prune it away — zero extra scans.
-    vtype = df.schema[vec_col].dataType.simpleString()
-    vv = (F.when(F.size(v) == dim, v)
+    if residuals_of is not None:
+        if not residuals_of or len(residuals_of[0]) != dim:
+            raise ValueError(
+                f"pq_fit: residuals_of centroids must be non-empty "
+                f"with dim {dim}")
+        base = _pq_residual_expr(v, residuals_of)
+        btype = "array<double>"
+    else:
+        base, btype = v, df.schema[vec_col].dataType.simpleString()
+    vv = (F.when(F.size(v) == dim, base)
           .otherwise(F.raise_error(F.concat(
               F.lit(f"pq_fit: vector length != {dim}: "),
-              F.size(v).cast("string"))).cast(vtype)))
+              F.size(v).cast("string"))).cast(btype)))
     fit_src = df.where(v.isNotNull())
     codebooks = []
     for s in range(m):
@@ -573,8 +637,12 @@ def pq_fit(df: DataFrame, vec_col: str = "embedding",
             sliced, "__sub", id_col, k=k, n_iter=n_iter,
             seed=seed + s, hash_mode=hash_mode,
             max_fit_rows=max_fit_rows))
-    return {"m": m, "k": k, "dim": dim, "sub_dim": sub_dim,
-            "codebooks": codebooks}
+    state = {"m": m, "k": k, "dim": dim, "sub_dim": sub_dim,
+             "codebooks": codebooks}
+    if residuals_of is not None:
+        state["residuals_of"] = [
+            [float(x) for x in c] for c in residuals_of]
+    return state
 
 
 def pq_encode(df: DataFrame, state: dict,
@@ -584,7 +652,10 @@ def pq_encode(df: DataFrame, state: dict,
     ``out[s]`` = the nearest centroid index of subvector ``s``
     (squared L2, ties to the lower index — the
     ``kmeans_assign_expr`` rule per subspace).  NULL vectors encode
-    to NULL; a wrong-length vector raises at execution.
+    to NULL; a wrong-length vector raises at execution.  Residual
+    states (``pq_fit(residuals_of=...)``) encode ``x −
+    coarse_centroid(x)`` — one staged assignment+subtract expression,
+    same scan count.
 
     Scale: ``m`` independent per-subspace assignments as FLAT
     indexed-element score chains over STAGED slice columns — zero
@@ -607,6 +678,23 @@ def pq_encode(df: DataFrame, state: dict,
     # ``kmeans_assign_expr``; the oracle replays the same expanded
     # arithmetic.
     staged = df
+    res_cents = state.get("residuals_of")
+    if res_cents:
+        # residual state (r15): codes quantize x − coarse_centroid(x).
+        # The residual is NOT materialized as an array column — a
+        # staged residual gets re-inlined by the optimizer into every
+        # one of the m·k·sub_dim score terms and plan analysis blows
+        # up ~30× (measured 106s vs 3.8s at m=2 k=4 over 500×64d).
+        # Instead the expansion absorbs the centroid: ‖(x−c)−cb_j‖²
+        # − ‖x−c‖² = ‖cb_j‖² − 2⟨x,cb_j⟩ + 2⟨c,cb_j⟩, where
+        # 2⟨c_sub,cb_j⟩ is a PYTHON-precomputed literal per (coarse
+        # cell, subspace, code) selected by one small when-chain over
+        # the staged cluster-id INT — the raw fast path plus O(k_coarse)
+        # nodes per term.  Same argmin, same ties.
+        from spark_df_profiling_spark.operators.clustering import (
+            kmeans_assign_expr)
+        staged = staged.withColumn(
+            "__pqcl", kmeans_assign_expr(v, res_cents))
     for s in range(m):
         staged = staged.withColumn(
             f"__pqs{s}",
@@ -621,6 +709,17 @@ def pq_encode(df: DataFrame, state: dict,
             term = F.lit(float(b))
             for d, c in enumerate(cb):
                 term = term + F.get(sub, d) * F.lit(-2.0 * float(c))
+            if res_cents:
+                corr = [2.0 * sum(
+                    float(cc[s * sub_dim + d]) * float(cb[d])
+                    for d in range(sub_dim)) for cc in res_cents]
+                cexp = None
+                for i in range(len(res_cents) - 1, -1, -1):
+                    lit = F.lit(corr[i])
+                    cexp = (lit if cexp is None
+                            else F.when(F.col("__pqcl") == i, lit)
+                            .otherwise(cexp))
+                term = term + cexp
             scores.append(term)
         sarr = F.array(*scores)
         staged = staged.withColumn(f"__pqd{s}", sarr)
@@ -638,7 +737,8 @@ def pq_encode(df: DataFrame, state: dict,
         cols.append(F.col(f"__pq{s}"))
     arr = F.when(v.isNotNull(), F.array(*cols))
     return (staged.withColumn(out_col, arr)
-            .drop(*[f"__pqs{s}" for s in range(m)],
+            .drop("__pqcl",
+                  *[f"__pqs{s}" for s in range(m)],
                   *[f"__pqd{s}" for s in range(m)],
                   *[f"__pq{s}" for s in range(m)]))
 
@@ -651,12 +751,18 @@ def pq_reconstruction_stats(df: DataFrame, state: dict,
     mean_vec_norm_sq)`` where the error is the squared L2 between
     each vector and its codebook reconstruction — the number that
     says whether m/k are adequate BEFORE search quality degrades
-    mysteriously.  Pure row expressions + one aggregate."""
+    mysteriously.  Pure row expressions + one aggregate.  Residual
+    states reconstruct ``coarse_centroid + codebook[code]``, so the
+    error is still measured against the RAW vector (and
+    ``mean_vec_norm_sq`` stays the raw norm) — the number that shows
+    residual encoding's whole point: same m/k, smaller error."""
     m, sub_dim = state["m"], state["sub_dim"]
     v = F.col(vec_col)
+    res_cents = state.get("residuals_of")
+    base = (_pq_residual_expr(v, res_cents) if res_cents else v)
     err = None
     for s in range(m):
-        sub = F.transform(F.slice(v, s * sub_dim + 1, sub_dim),
+        sub = F.transform(F.slice(base, s * sub_dim + 1, sub_dim),
                           lambda x: x.cast("double"))
         cb = state["codebooks"][s]
         code = F.element_at(F.col(codes_col), s + 1)
@@ -706,6 +812,12 @@ def pq_adc_topk(corpus_codes: DataFrame, queries: DataFrame,
     Compose with :func:`knn_ivf`'s cluster pruning for the full
     IVF+PQ pipeline: assign codes once, search only probed lists.
     """
+    if state.get("residuals_of"):
+        raise ValueError(
+            "pq_adc_topk: residual-encoded states need the per-row "
+            "coarse cell to decode against — search them through "
+            "ivf_pq_topk (its per-(query, cluster) probe frame is "
+            "the LUT granularity residuals require)")
     m, kk, sub_dim = state["m"], state["k"], state["sub_dim"]
     q_rows = (queries.where(F.col(vec_col).isNotNull())
               .select(F.col(id_col).alias("query_id"),
@@ -818,6 +930,9 @@ def ivf_pq_topk(corpus_codes: DataFrame, queries: DataFrame,
             f"query rows — batch the query set")
     if not q_rows:
         raise ValueError("ivf_pq_topk: no non-NULL query vectors")
+    res_cents = state.get("residuals_of")
+    if res_cents is not None:
+        _pq_check_residual_centroids(state, centroids, "ivf_pq_topk")
     probe_rows = []
     for r in q_rows:
         qv = [float(x) for x in r["__qv"]]
@@ -829,14 +944,24 @@ def ivf_pq_topk(corpus_codes: DataFrame, queries: DataFrame,
             (sum((a - b) * (a - b) for a, b in zip(qv, c)), i)
             for i, c in enumerate(centroids))
         probes = [i for _, i in cdists[:nprobe]]
-        lut = []
-        for s in range(m):
-            sub = qv[s * sub_dim:(s + 1) * sub_dim]
-            lut.append([
-                sum((a - b) * (a - b)
-                    for a, b in zip(sub, state["codebooks"][s][j]))
-                for j in range(kk)])
         for cl in probes:
+            # residual states (r15, FAISS by_residual): codes in cell
+            # cl approximate x − c_cl, so THIS cell's LUT measures
+            # (q − c_cl) against the residual codebook — the probe
+            # frame is already per-(query, cluster), so residual
+            # search costs no extra rows, joins, or lookups
+            if res_cents is not None:
+                base = [a - b for a, b in zip(qv, centroids[cl])]
+            else:
+                base = qv
+            lut = []
+            for s in range(m):
+                sub = base[s * sub_dim:(s + 1) * sub_dim]
+                lut.append([
+                    sum((a - b) * (a - b)
+                        for a, b in
+                        zip(sub, state["codebooks"][s][j]))
+                    for j in range(kk)])
             probe_rows.append((r["query_id"], int(cl), lut))
     from pyspark.sql import types as T
     spark = corpus_codes.sparkSession

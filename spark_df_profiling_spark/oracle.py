@@ -9173,6 +9173,216 @@ FROM (
   SELECT pr.qid, sum(szs.sz) AS nc, max(tot.ncorp) AS ncorp
   FROM pr JOIN szs USING (c), tot
   GROUP BY pr.qid)
+UNION ALL
+-- ivf_pq_topk replay (r15): the PRUNED IVFPQ path by VALUE — probe
+-- lists = each query's top-2 fitted clusters (the same 2-round
+-- md5-seeded kmeans replay as 'kmeans'/'ivffr'), candidates = corpus
+-- rows whose assigned cluster is probed, distance = the per-query
+-- ADC LUT sums over the fixed arithmetic codebooks, then the
+-- (dist, neighbor) top-3 ranking
+SELECT 'ivfpq', CAST(qid AS VARCHAR) || ':' || CAST(rk AS VARCHAR),
+       CAST(nid AS BIGINT), {_psig('dist')}
+FROM (
+  WITH pts AS (
+    SELECT vec_id AS id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+    WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+  px AS (SELECT id, generate_subscripts(v, 1) AS dim, unnest(v) AS x
+         FROM pts),
+  sd AS (SELECT v, row_number() OVER (ORDER BY
+             ('0x' || substr(md5(id::VARCHAR || ':0'), 1, 15))::BIGINT,
+             id) - 1 AS c
+         FROM pts),
+  c0 AS (SELECT c, generate_subscripts(v, 1) AS dim, unnest(v) AS val
+         FROM sd WHERE c < 4),
+  d1 AS (SELECT px.id, c0.c,
+                sum((px.x - c0.val) * (px.x - c0.val)) AS dist
+         FROM px JOIN c0 USING (dim) GROUP BY px.id, c0.c),
+  a1 AS (SELECT id, c FROM (
+           SELECT id, c, row_number() OVER (PARTITION BY id
+                           ORDER BY dist, c) AS rk FROM d1)
+         WHERE rk = 1),
+  u1 AS (SELECT a1.c AS c, px.dim AS dim, avg(px.x) AS val
+         FROM px JOIN a1 USING (id) GROUP BY 1, 2),
+  c1 AS (SELECT c0.c, c0.dim, coalesce(u1.val, c0.val) AS val
+         FROM c0 LEFT JOIN u1 ON u1.c = c0.c AND u1.dim = c0.dim),
+  d2 AS (SELECT px.id, c1.c,
+                sum((px.x - c1.val) * (px.x - c1.val)) AS dist
+         FROM px JOIN c1 USING (dim) GROUP BY px.id, c1.c),
+  a2 AS (SELECT id, c FROM (
+           SELECT id, c, row_number() OVER (PARTITION BY id
+                           ORDER BY dist, c) AS rk FROM d2)
+         WHERE rk = 1),
+  u2 AS (SELECT a2.c AS c, px.dim AS dim, avg(px.x) AS val
+         FROM px JOIN a2 USING (id) GROUP BY 1, 2),
+  c2 AS (SELECT c1.c, c1.dim, coalesce(u2.val, c1.val) AS val
+         FROM c1 LEFT JOIN u2 ON u2.c = c1.c AND u2.dim = c1.dim),
+  d3 AS (SELECT px.id, c2.c,
+                sum((px.x - c2.val) * (px.x - c2.val)) AS dist
+         FROM px JOIN c2 USING (dim) GROUP BY px.id, c2.c),
+  a3 AS (SELECT id, c FROM (
+           SELECT id, c, row_number() OVER (PARTITION BY id
+                           ORDER BY dist, c) AS rk FROM d3)
+         WHERE rk = 1),
+  pr AS (SELECT id AS qid, c FROM (
+           SELECT id, c, row_number() OVER (PARTITION BY id
+                           ORDER BY dist, c) AS rk
+           FROM d3 WHERE id < 3)
+         WHERE rk <= 2),
+  apx AS (
+    SELECT vec_id AS id, generate_subscripts(embedding, 1) AS d,
+           CAST(unnest(embedding) AS DOUBLE) AS x
+    FROM embeddings
+    WHERE embedding IS NOT NULL AND vec_id IS NOT NULL),
+  ads AS (
+    SELECT id, CAST((d - 1) // 32 AS INT) AS s, r.j,
+           sum(x * (-2.0 * ((r.j - 1.5) * 0.5
+                            + 0.01 * (d - ((d - 1) // 32) * 32))))
+           + sum(((r.j - 1.5) * 0.5
+                  + 0.01 * (d - ((d - 1) // 32) * 32))
+                 * ((r.j - 1.5) * 0.5
+                    + 0.01 * (d - ((d - 1) // 32) * 32)))
+             AS score,
+           sum((x - ((r.j - 1.5) * 0.5
+                     + 0.01 * (d - ((d - 1) // 32) * 32)))
+               * (x - ((r.j - 1.5) * 0.5
+                       + 0.01 * (d - ((d - 1) // 32) * 32))))
+             AS dist
+    FROM apx, range(0, 4) r(j)
+    GROUP BY id, (d - 1) // 32, r.j),
+  acd AS (SELECT id, s, j FROM (
+            SELECT id, s, j, row_number() OVER (
+                PARTITION BY id, s ORDER BY score, j) AS rk
+            FROM ads)
+          WHERE rk = 1),
+  acodes AS (SELECT id, max(CASE WHEN s = 0 THEN j END) AS c0,
+                    max(CASE WHEN s = 1 THEN j END) AS c1
+             FROM acd GROUP BY id),
+  alut AS (SELECT id AS qid, s, j, dist FROM ads WHERE id < 3),
+  apd AS (SELECT pr.qid, n.id AS nid, l0.dist + l1.dist AS dist
+          FROM acodes n
+          JOIN a3 ON a3.id = n.id
+          JOIN pr ON pr.c = a3.c
+          JOIN alut l0 ON l0.qid = pr.qid AND l0.s = 0
+                       AND l0.j = n.c0
+          JOIN alut l1 ON l1.qid = pr.qid AND l1.s = 1
+                       AND l1.j = n.c1
+          WHERE n.id != pr.qid)
+  SELECT qid, nid, dist,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY dist, nid) AS rk
+  FROM apd QUALIFY rk <= 3)
+UNION ALL
+-- pq_reconstruction_stats replay (r15): per row the squared L2 to
+-- the CODED centroid per subspace (the argmin row's true distance,
+-- tie -> lowest code), summed; n + mean/max error + mean norm
+SELECT 'pqr', 'all', CAST(n AS BIGINT),
+       {_psig('mse')} || '/' || {_psig('mxe')} || '/'
+         || {_psig('mnn')}
+FROM (
+  WITH qpx AS (
+    SELECT vec_id AS id, generate_subscripts(embedding, 1) AS d,
+           CAST(unnest(embedding) AS DOUBLE) AS x
+    FROM embeddings
+    WHERE embedding IS NOT NULL AND vec_id IS NOT NULL),
+  qds AS (
+    SELECT id, CAST((d - 1) // 32 AS INT) AS s, r.j,
+           sum(x * (-2.0 * ((r.j - 1.5) * 0.5
+                            + 0.01 * (d - ((d - 1) // 32) * 32))))
+           + sum(((r.j - 1.5) * 0.5
+                  + 0.01 * (d - ((d - 1) // 32) * 32))
+                 * ((r.j - 1.5) * 0.5
+                    + 0.01 * (d - ((d - 1) // 32) * 32)))
+             AS score,
+           sum((x - ((r.j - 1.5) * 0.5
+                     + 0.01 * (d - ((d - 1) // 32) * 32)))
+               * (x - ((r.j - 1.5) * 0.5
+                       + 0.01 * (d - ((d - 1) // 32) * 32))))
+             AS dist
+    FROM qpx, range(0, 4) r(j)
+    GROUP BY id, (d - 1) // 32, r.j),
+  qcd AS (SELECT id, s, dist FROM (
+            SELECT id, s, dist, row_number() OVER (
+                PARTITION BY id, s ORDER BY score, j) AS rk
+            FROM qds)
+          WHERE rk = 1),
+  rerr AS (SELECT id, sum(dist) AS err FROM qcd GROUP BY id),
+  rnrm AS (SELECT id, sum(x * x) AS nrm FROM qpx GROUP BY id)
+  SELECT count(*) AS n, avg(err) AS mse, max(err) AS mxe,
+         avg(nrm) AS mnn
+  FROM rerr JOIN rnrm USING (id))
+UNION ALL
+-- residual pq_encode replay (r15, FAISS by_residual): the SAME fixed
+-- arithmetic codebooks applied to x − coarse_centroid(x) under the
+-- replayed 2-round md5 kmeans — per-(subspace, code) histogram pins
+-- every residual and every argmin
+SELECT 'pqres', CAST(s AS VARCHAR) || ':' || CAST(j AS VARCHAR),
+       CAST(count(*) AS BIGINT), NULL
+FROM (
+  WITH pts AS (
+    SELECT vec_id AS id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+    WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+  px AS (SELECT id, generate_subscripts(v, 1) AS dim, unnest(v) AS x
+         FROM pts),
+  sd AS (SELECT v, row_number() OVER (ORDER BY
+             ('0x' || substr(md5(id::VARCHAR || ':0'), 1, 15))::BIGINT,
+             id) - 1 AS c
+         FROM pts),
+  c0 AS (SELECT c, generate_subscripts(v, 1) AS dim, unnest(v) AS val
+         FROM sd WHERE c < 4),
+  d1 AS (SELECT px.id, c0.c,
+                sum((px.x - c0.val) * (px.x - c0.val)) AS dist
+         FROM px JOIN c0 USING (dim) GROUP BY px.id, c0.c),
+  a1 AS (SELECT id, c FROM (
+           SELECT id, c, row_number() OVER (PARTITION BY id
+                           ORDER BY dist, c) AS rk FROM d1)
+         WHERE rk = 1),
+  u1 AS (SELECT a1.c AS c, px.dim AS dim, avg(px.x) AS val
+         FROM px JOIN a1 USING (id) GROUP BY 1, 2),
+  c1 AS (SELECT c0.c, c0.dim, coalesce(u1.val, c0.val) AS val
+         FROM c0 LEFT JOIN u1 ON u1.c = c0.c AND u1.dim = c0.dim),
+  d2 AS (SELECT px.id, c1.c,
+                sum((px.x - c1.val) * (px.x - c1.val)) AS dist
+         FROM px JOIN c1 USING (dim) GROUP BY px.id, c1.c),
+  a2 AS (SELECT id, c FROM (
+           SELECT id, c, row_number() OVER (PARTITION BY id
+                           ORDER BY dist, c) AS rk FROM d2)
+         WHERE rk = 1),
+  u2 AS (SELECT a2.c AS c, px.dim AS dim, avg(px.x) AS val
+         FROM px JOIN a2 USING (id) GROUP BY 1, 2),
+  c2 AS (SELECT c1.c, c1.dim, coalesce(u2.val, c1.val) AS val
+         FROM c1 LEFT JOIN u2 ON u2.c = c1.c AND u2.dim = c1.dim),
+  d3 AS (SELECT px.id, c2.c,
+                sum((px.x - c2.val) * (px.x - c2.val)) AS dist
+         FROM px JOIN c2 USING (dim) GROUP BY px.id, c2.c),
+  a3 AS (SELECT id, c FROM (
+           SELECT id, c, row_number() OVER (PARTITION BY id
+                           ORDER BY dist, c) AS rk FROM d3)
+         WHERE rk = 1),
+  rpx AS (SELECT px.id, px.dim AS d, px.x - c2.val AS x
+          FROM px JOIN a3 USING (id)
+          JOIN c2 ON c2.c = a3.c AND c2.dim = px.dim),
+  rds AS (
+    SELECT id, CAST((d - 1) // 32 AS INT) AS s, r.j,
+           sum(x * (-2.0 * ((r.j - 1.5) * 0.5
+                            + 0.01 * (d - ((d - 1) // 32) * 32))))
+           + sum(((r.j - 1.5) * 0.5
+                  + 0.01 * (d - ((d - 1) // 32) * 32))
+                 * ((r.j - 1.5) * 0.5
+                    + 0.01 * (d - ((d - 1) // 32) * 32)))
+             AS score
+    FROM rpx, range(0, 4) r(j)
+    GROUP BY id, (d - 1) // 32, r.j),
+  rcd AS (SELECT id, s, j FROM (
+            SELECT id, s, j, row_number() OVER (
+                PARTITION BY id, s ORDER BY score, j) AS rk
+            FROM rds)
+          WHERE rk = 1)
+  SELECT s, j FROM rcd)
+GROUP BY s, j
 ORDER BY part, k
 """)
 def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9274,6 +9484,57 @@ def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .alias("k"),
                    F.col("neighbor_id").cast("long").alias("v1"),
                    sig(F.col("dist")).alias("v2s")))
+    # 'ivfpq' rows (r15) grade similarity.ivf_pq_topk — the PRUNED
+    # nprobe=2 IVFPQ path by VALUE: corpus = the 'kmeans' fitted
+    # clusters + the fixed-codebook PQ codes, queries vec_id < 3,
+    # k=3; DuckDB independently re-derives the probe lists (top-2
+    # fitted clusters per query), the cluster-pruned candidate set,
+    # every ADC LUT distance and the (dist, neighbor) ranking
+    from spark_df_profiling_spark.operators.clustering import (
+        kmeans_assign)
+    from spark_df_profiling_spark.operators.similarity import (
+        ivf_pq_topk)
+    enc_cl = kmeans_assign(enc, cents)
+    ivfpq = (ivf_pq_topk(enc_cl, pq_src.where(F.col("vec_id") < 3),
+                         cents, pq_state, k=3, nprobe=2)
+             .select(F.lit("ivfpq").alias("part"),
+                     F.concat_ws(":",
+                                 F.col("query_id").cast("string"),
+                                 F.col("rank").cast("string"))
+                     .alias("k"),
+                     F.col("neighbor_id").cast("long").alias("v1"),
+                     sig(F.col("dist")).alias("v2s")))
+    # 'pqr' row (r15) grades similarity.pq_reconstruction_stats —
+    # the m/k-adequacy audit over the same codes: n + mean/max
+    # squared reconstruction error + mean vector norm, every argmin
+    # and distance replayed arithmetically in DuckDB
+    from spark_df_profiling_spark.operators.similarity import (
+        pq_reconstruction_stats)
+    pqr = (pq_reconstruction_stats(enc, pq_state)
+           .select(F.lit("pqr").alias("part"),
+                   F.lit("all").alias("k"),
+                   F.col("n").alias("v1"),
+                   F.concat_ws("/", sig(F.col("mean_sq_err")),
+                               sig(F.col("max_sq_err")),
+                               sig(F.col("mean_vec_norm_sq")))
+                   .alias("v2s")))
+    # 'pqres' rows (r15) grade RESIDUAL encoding (pq_fit
+    # residuals_of= / pq_encode over x − coarse_centroid(x)): the
+    # same fixed arithmetic codebooks applied to each row's residual
+    # against the fitted md5-kmeans centroids — DuckDB re-derives the
+    # centroids, every residual, and every per-subspace argmin
+    pq_res_state = dict(pq_state,
+                        residuals_of=[[float(x) for x in c]
+                                      for c in cents])
+    encr = pq_encode(pq_src, pq_res_state)
+    pqres = (encr.select(F.posexplode("pq_codes").alias("s", "j"))
+             .groupBy("s", "j")
+             .agg(F.count(F.lit(1)).cast("long").alias("v1"))
+             .select(F.lit("pqres").alias("part"),
+                     F.concat_ws(":", F.col("s").cast("string"),
+                                 F.col("j").cast("string"))
+                     .alias("k"),
+                     "v1", F.lit(None).cast("string").alias("v2s")))
     # 'ivffr' rows (r14) grade similarity.ivf_candidate_stats — the
     # scanned-volume readout of knn_ivf over the SAME fitted
     # centroids: per query (vec_id < 5) the nprobe=2 probed
@@ -9494,6 +9755,7 @@ def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     sig(F.col("__val")).alias("v2s")))
     return (arr.unionByName(dims).unionByName(quant).unionByName(km)
             .unionByName(ivffr).unionByName(pqe).unionByName(pqa)
+            .unionByName(ivfpq).unionByName(pqr).unionByName(pqres)
             .unionByName(sil).unionByName(cq)
             .unionByName(kb).unionByName(ks).unionByName(pca)
             .unionByName(stdr).unionByName(rproj).unionByName(dv)
@@ -10966,6 +11228,150 @@ FROM (
                 FROM lineitem WHERE l_linenumber IS NOT NULL))
             GROUP BY col, val))
         GROUP BY col))))
+UNION ALL
+-- drift_test_report replay (r15): the one-call composition graded as
+-- ONE BH family — welch + mannwhitney + ks on l_extendedprice plus
+-- chi2 on the three categorical columns (6 tests), every statistic
+-- and p re-derived from the templates above, then the BH step-up
+-- (tie-invariant last-member ranks) over the whole family
+SELECT 'rpt', col || ':' || tst,
+       {_psig('stat')} || ':' || {_psig('p')},
+       (CASE WHEN p <= pstar THEN 'reject' ELSE 'keep' END)
+         || ':' || CAST(m AS VARCHAR) || ':'
+         || coalesce({_psig('pstar')}, 'null')
+FROM (
+  SELECT col, tst, stat, p, m,
+         max(CASE WHEN p <= CAST(cnt_le AS DOUBLE) * 0.05 / m
+                  THEN p END) OVER () AS pstar
+  FROM (
+    SELECT col, tst, stat, p,
+           count(*) OVER (ORDER BY p RANGE BETWEEN UNBOUNDED
+                          PRECEDING AND CURRENT ROW) AS cnt_le,
+           count(*) OVER () AS m
+    FROM (
+      -- welch on l_extendedprice (the wtt template, one column)
+      SELECT 'l_extendedprice' AS col, 'welch' AS tst, t AS stat,
+             least(2.0 * {_norm_sf_sql('abs(t)')}, 1.0) AS p
+      FROM (
+        SELECT (mn - mr) / sqrt(vr / nr + vn / nn) AS t
+        FROM (
+          SELECT CAST(max(CASE WHEN side = 0 THEN n END)
+                      AS DOUBLE) AS nr,
+                 max(CASE WHEN side = 0 THEN m2 END) AS mr,
+                 max(CASE WHEN side = 0 THEN vv END) AS vr,
+                 CAST(max(CASE WHEN side = 1 THEN n END)
+                      AS DOUBLE) AS nn,
+                 max(CASE WHEN side = 1 THEN m2 END) AS mn,
+                 max(CASE WHEN side = 1 THEN vv END) AS vn
+          FROM (
+            SELECT side, count(*) AS n, avg(v) AS m2,
+                   var_samp(v) AS vv
+            FROM (
+              SELECT CASE WHEN epoch(l_shipdate) < {_DRIFT_EPOCH}
+                          THEN 0 ELSE 1 END AS side,
+                     CAST(l_extendedprice AS DOUBLE) AS v
+              FROM lineitem WHERE l_extendedprice IS NOT NULL)
+            GROUP BY side)))
+      UNION ALL
+      -- mannwhitney on l_extendedprice (the mwu template)
+      SELECT 'l_extendedprice', 'mannwhitney', z,
+             least(2.0 * {_norm_sf_sql('abs(z)')}, 1.0)
+      FROM (
+        SELECT (u - mu - (CASE WHEN u - mu >= 0 THEN 1 ELSE -1 END)
+                  * least(abs(u - mu), 0.5)) / sigma AS z
+        FROM (
+          SELECT u, na, nb,
+                 CAST(na AS DOUBLE) * nb / 2.0 AS mu,
+                 sqrt(greatest(
+                   (CAST(na AS DOUBLE) * nb / 12.0)
+                   * ((CAST(na AS DOUBLE) + nb + 1.0)
+                      - ties / ((CAST(na AS DOUBLE) + nb)
+                                * (CAST(na AS DOUBLE) + nb - 1.0))),
+                   0.0)) AS sigma
+          FROM (
+            WITH za AS (SELECT l_extendedprice AS v, count(*) AS c
+                        FROM ref WHERE l_extendedprice IS NOT NULL
+                        GROUP BY 1),
+            zb AS (SELECT l_extendedprice AS v, count(*) AS c
+                   FROM nw WHERE l_extendedprice IS NOT NULL
+                   GROUP BY 1),
+            zm AS (SELECT coalesce(za.v, zb.v) AS v,
+                          coalesce(za.c, 0) AS ca,
+                          coalesce(zb.c, 0) AS cb
+                   FROM za FULL OUTER JOIN zb ON za.v = zb.v),
+            zt AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM zm),
+            zc AS (SELECT ca, cb, sum(cb) OVER (ORDER BY v) AS cum_b
+                   FROM zm)
+            SELECT sum(CAST(ca AS DOUBLE)
+                       * (CAST(cum_b AS DOUBLE)
+                          - CAST(cb AS DOUBLE) / 2.0)) AS u,
+                   sum(CAST(ca + cb AS DOUBLE)
+                       * CAST(ca + cb AS DOUBLE)
+                       * CAST(ca + cb AS DOUBLE)
+                       - CAST(ca + cb AS DOUBLE)) AS ties,
+                   any_value(zt.na) AS na, any_value(zt.nb) AS nb
+            FROM zc, zt)))
+      UNION ALL
+      -- ks on l_extendedprice (the ksp template)
+      SELECT 'l_extendedprice', 'ks', d,
+             {_ks_sf_sql(
+                 'd * sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)'
+                 ' / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))')}
+      FROM (
+        WITH ya AS (SELECT l_extendedprice AS v, count(*) AS c
+                    FROM ref WHERE l_extendedprice IS NOT NULL
+                    GROUP BY 1),
+        yb AS (SELECT l_extendedprice AS v, count(*) AS c FROM nw
+               WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+        ym AS (SELECT coalesce(ya.v, yb.v) AS v,
+                      coalesce(ya.c, 0) AS ca,
+                      coalesce(yb.c, 0) AS cb
+               FROM ya FULL OUTER JOIN yb ON ya.v = yb.v),
+        yt AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM ym),
+        yc AS (SELECT v,
+                      abs(sum(ca) OVER (ORDER BY v)
+                            / CAST(yt.na AS DOUBLE)
+                          - sum(cb) OVER (ORDER BY v)
+                            / CAST(yt.nb AS DOUBLE)) AS dd,
+                      yt.na AS na, yt.nb AS nb
+               FROM ym, yt)
+        SELECT dd AS d, na, nb FROM yc
+        ORDER BY dd DESC, v ASC LIMIT 1)
+      UNION ALL
+      -- chi2 on the three categorical columns (the chi2 template)
+      SELECT col, 'chi2', chi2v, {_chi2_sf_sql('chi2v', 'dof')}
+      FROM (
+        SELECT col, CAST(count(*) - 1 AS DOUBLE) AS dof,
+               sum((n_r - er) * (n_r - er) / er
+                   + (n_n - en) * (n_n - en) / en) AS chi2v
+        FROM (
+          SELECT col, n_r, n_n,
+                 tot_r * (n_r + n_n) / (tot_r + tot_n) AS er,
+                 tot_n * (n_r + n_n) / (tot_r + tot_n) AS en
+          FROM (
+            SELECT col, val,
+                   CAST(sum(1 - side) AS DOUBLE) AS n_r,
+                   CAST(sum(side) AS DOUBLE) AS n_n,
+                   CAST(sum(sum(1 - side)) OVER (PARTITION BY col)
+                        AS DOUBLE) AS tot_r,
+                   CAST(sum(sum(side)) OVER (PARTITION BY col)
+                        AS DOUBLE) AS tot_n
+            FROM (
+              SELECT CASE WHEN epoch(l_shipdate) < {_DRIFT_EPOCH}
+                          THEN 0 ELSE 1 END AS side, col, val
+              FROM (
+                SELECT l_shipdate, 'l_returnflag' AS col,
+                       l_returnflag AS val
+                FROM lineitem WHERE l_returnflag IS NOT NULL
+                UNION ALL
+                SELECT l_shipdate, 'l_linestatus', l_linestatus
+                FROM lineitem WHERE l_linestatus IS NOT NULL
+                UNION ALL
+                SELECT l_shipdate, 'l_linenumber',
+                       CAST(l_linenumber AS VARCHAR)
+                FROM lineitem WHERE l_linenumber IS NOT NULL))
+            GROUP BY col, val))
+        GROUP BY col))))
 ORDER BY part, k
 """
 
@@ -11159,13 +11565,33 @@ def drift_psi_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
                             sig(F.col("p_value"))).alias("psi_s"),
                    F.concat(sig(F.col("effect")), F.lit(":"),
                             sig(F.col("dof"))).alias("band")))
+    # 'rpt' rows (r15) grade drift_test_report — the one-call
+    # p-valued sweep as ONE composition: welch + mannwhitney + ks on
+    # l_extendedprice, chi2 on the three categorical columns, a
+    # single BH family over all 6 tests.  DuckDB re-derives every
+    # statistic, every p, and the family-wide step-up cutoff.
+    from spark_df_profiling_spark.operators.drift import (
+        drift_test_report)
+    rpt = (drift_test_report(ref, new, ["l_extendedprice"],
+                             _DRIFT_CAT + ["l_linenumber"])
+           .select(F.lit("rpt").alias("part"),
+                   F.concat_ws(":", "column", "test").alias("k"),
+                   F.concat(sig(F.col("stat")), F.lit(":"),
+                            sig(F.col("p_value"))).alias("psi_s"),
+                   F.concat_ws(
+                       ":",
+                       F.when(F.col("bh_rejected"), F.lit("reject"))
+                       .otherwise(F.lit("keep")),
+                       F.col("bh_m").cast("string"),
+                       F.coalesce(sig(F.col("bh_threshold")),
+                                  F.lit("null"))).alias("band")))
     return (cols.unionByName(wins).unionByName(grp)
             .unionByName(ks_row).unionByName(cvm_row)
             .unionByName(ksp_row).unionByName(mwu_row)
             .unionByName(gks).unionByName(jsd_rows)
             .unionByName(rd).unionByName(chi_rows)
             .unionByName(fdr_rows).unionByName(chig)
-            .unionByName(wtt).unionByName(mwg)
+            .unionByName(wtt).unionByName(mwg).unionByName(rpt)
             .orderBy("part", "k"))
 
 
