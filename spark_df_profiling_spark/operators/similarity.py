@@ -508,25 +508,52 @@ PQ_MAX_SUBSPACES = 64
 PQ_MAX_CODES = 256
 
 
+def _pq_coarse_cluster_expr(vec: Column,
+                            centroids: "list[list[float]]") -> Column:
+    """Nearest-coarse-centroid id as FLAT indexed-element chains —
+    the expanded ``−2⟨x,c⟩ + ‖c‖²`` score per centroid (affine in the
+    shared, dropped ``‖x‖²``, so the argmin is the true-L2 argmin;
+    ties → lowest cluster via array_position-first-minimum, the
+    ``kmeans_assign_expr`` rule).  The HOF-fold spelling
+    (``_dist_sq_expr`` zip_with/aggregate per centroid) pays ~50×
+    per-row interpreter overhead at this fan-out — the measured
+    pq_encode codegen lesson applies to the coarse assignment too
+    (residual fit/encode read 156s/95s at 500k×64d×k_coarse=16 on the
+    HOF spelling; flat chains bring the assignment to ~µs/row).
+    Each term indexes the RAW column and casts the ELEMENT — a
+    ``transform(...)``-wrapped array as the ``F.get`` child is
+    re-evaluated per term (64 lambda steps × k·d terms ≈ 1ms/row,
+    measured)."""
+    scores = []
+    for c in centroids:
+        b = sum(float(x) * float(x) for x in c)
+        term = F.lit(float(b))
+        for d, x in enumerate(c):
+            term = (term + F.get(vec, d).cast("double")
+                    * F.lit(-2.0 * float(x)))
+        scores.append(term)
+    sarr = F.array(*scores)
+    return (F.array_position(sarr, F.array_min(sarr)) - 1) \
+        .cast("int")
+
+
 def _pq_residual_expr(vec: Column,
                       centroids: "list[list[float]]") -> Column:
     """``x − coarse_centroid(x)`` as a pure row expression (double
-    array): nearest-centroid assignment via ``kmeans_assign_expr``
-    (ties → lowest cluster), centroid selected by a bounded
-    when-chain over the frozen literals, one ``zip_with`` subtract.
-    The residual-PQ staging shared by fit/encode/reconstruction —
-    FAISS IVFPQ's ``by_residual`` preprocessing (Jégou 2011 §V.B:
-    residuals concentrate tighter than raw vectors, so the same m·k
-    codebook budget quantizes finer)."""
-    from spark_df_profiling_spark.operators.clustering import (
-        kmeans_assign_expr)
+    array): flat-chain nearest-centroid assignment
+    (:func:`_pq_coarse_cluster_expr`), centroid selected by ONE
+    ``element_at`` into a constant-folded array-of-arrays literal
+    (never a when-chain — each when condition would duplicate the
+    whole assignment tree), one ``zip_with`` subtract.  The
+    residual-PQ staging shared by fit/encode/reconstruction — FAISS
+    IVFPQ's ``by_residual`` preprocessing (Jégou 2011 §V.B: residuals
+    concentrate tighter than raw vectors, so the same m·k codebook
+    budget quantizes finer)."""
     v = F.transform(vec, lambda x: x.cast("double"))
-    cl = kmeans_assign_expr(vec, centroids)
-    cent = None
-    for i in range(len(centroids) - 1, -1, -1):
-        lits = F.array(*[F.lit(float(x)) for x in centroids[i]])
-        cent = (lits if cent is None
-                else F.when(cl == i, lits).otherwise(cent))
+    cl = _pq_coarse_cluster_expr(vec, centroids)
+    cents_lit = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    cent = F.element_at(cents_lit, cl + 1)
     return F.zip_with(v, cent, lambda a, b: a - b)
 
 
@@ -628,15 +655,47 @@ def pq_fit(df: DataFrame, vec_col: str = "embedding",
               F.lit(f"pq_fit: vector length != {dim}: "),
               F.size(v).cast("string"))).cast(btype)))
     fit_src = df.where(v.isNotNull())
+    fit_cap = max_fit_rows
+    if residuals_of is not None and max_fit_rows is not None:
+        # The m kmeans_fit calls each re-scan their input twice
+        # (count + persist materialization) — with the residual
+        # expression inlined that is 2·m evaluations over however
+        # many rows reach them.  Caching the full-corpus residual is
+        # WORSE (columnar cache-write of array rows measured ~28s per
+        # 100k rows).  Instead apply the max_fit_rows hash cap ONCE
+        # here, BEFORE the residual is ever computed: the fit becomes
+        # corpus-size-independent (the cap is the same deterministic
+        # md5-bucket rule kmeans_fit uses; one shared subset for all
+        # subspaces instead of per-subspace resamples — an equivalent
+        # uniform draw).
+        n_all = fit_src.count()
+        if n_all > max_fit_rows:
+            from spark_df_profiling_spark.operators.sampling import (
+                BUCKETS, hash_bucket)
+            cut = max(1, int(round(BUCKETS * max_fit_rows / n_all)))
+            fit_src = fit_src.where(
+                hash_bucket(id_col, seed=seed) < F.lit(cut))
+        fit_cap = None   # already capped; don't re-count per fit
+    slice_src = vv
+    if residuals_of is not None:
+        # materialize the (capped) residual frame ONCE so the m
+        # subspace fits slice a plain column: localCheckpoint, not
+        # persist — the columnar cache-write of array rows measured
+        # ~28s/100k, the checkpoint's flat serialization does not
+        fit_src = (fit_src.select(F.col(id_col),
+                                  vv.alias("__pqfv"))
+                   .localCheckpoint(eager=True))
+        slice_src = F.col("__pqfv")
     codebooks = []
     for s in range(m):
         sliced = fit_src.select(
             F.col(id_col),
-            F.slice(vv, s * sub_dim + 1, sub_dim).alias("__sub"))
+            F.slice(slice_src, s * sub_dim + 1,
+                    sub_dim).alias("__sub"))
         codebooks.append(kmeans_fit(
             sliced, "__sub", id_col, k=k, n_iter=n_iter,
             seed=seed + s, hash_mode=hash_mode,
-            max_fit_rows=max_fit_rows))
+            max_fit_rows=fit_cap))
     state = {"m": m, "k": k, "dim": dim, "sub_dim": sub_dim,
              "codebooks": codebooks}
     if residuals_of is not None:
@@ -677,29 +736,35 @@ def pq_encode(df: DataFrame, state: dict,
     # (array_position finds the first minimum), matching
     # ``kmeans_assign_expr``; the oracle replays the same expanded
     # arithmetic.
-    staged = df
     res_cents = state.get("residuals_of")
+    # Stage ALL shared columns in ONE select (never a withColumn
+    # chain): chained projections collapse pairwise and the optimizer
+    # re-inlines a staged non-cheap column into EACH later projection
+    # that uses it — measured as m× re-evaluation of the coarse
+    # assignment (78s vs 9s at 500k×64d) and, for a staged residual
+    # ARRAY, ~30× plan-analysis blowup (106s vs 3.8s at the tiny
+    # oracle shape).  A single projection whose aliases are each
+    # referenced by the NEXT projection many times is the form
+    # CollapseProject provably leaves alone.
+    stage1 = [F.col(c) for c in df.columns]
     if res_cents:
         # residual state (r15): codes quantize x − coarse_centroid(x).
-        # The residual is NOT materialized as an array column — a
-        # staged residual gets re-inlined by the optimizer into every
-        # one of the m·k·sub_dim score terms and plan analysis blows
-        # up ~30× (measured 106s vs 3.8s at m=2 k=4 over 500×64d).
-        # Instead the expansion absorbs the centroid: ‖(x−c)−cb_j‖²
-        # − ‖x−c‖² = ‖cb_j‖² − 2⟨x,cb_j⟩ + 2⟨c,cb_j⟩, where
-        # 2⟨c_sub,cb_j⟩ is a PYTHON-precomputed literal per (coarse
-        # cell, subspace, code) selected by one small when-chain over
-        # the staged cluster-id INT — the raw fast path plus O(k_coarse)
-        # nodes per term.  Same argmin, same ties.
-        from spark_df_profiling_spark.operators.clustering import (
-            kmeans_assign_expr)
-        staged = staged.withColumn(
-            "__pqcl", kmeans_assign_expr(v, res_cents))
+        # The residual is NOT materialized — the expansion absorbs
+        # the centroid: ‖(x−c)−cb_j‖² − ‖x−c‖² = ‖cb_j‖² − 2⟨x,cb_j⟩
+        # + 2⟨c,cb_j⟩, where 2⟨c_sub,cb_j⟩ is a PYTHON-precomputed
+        # literal per (coarse cell, subspace, code) selected by one
+        # element_at indexed by the staged cluster-id INT.  Same
+        # argmin, same ties.  The cluster id uses the FLAT-chain
+        # assignment (never the HOF folds — the 50× interpreter-
+        # overhead lesson).
+        stage1.append(
+            _pq_coarse_cluster_expr(v, res_cents).alias("__pqcl"))
     for s in range(m):
-        staged = staged.withColumn(
-            f"__pqs{s}",
+        stage1.append(
             F.transform(F.slice(v, s * sub_dim + 1, sub_dim),
-                        lambda x: x.cast("double")))
+                        lambda x: x.cast("double"))
+            .alias(f"__pqs{s}"))
+    staged = df.select(*stage1)
     cols = []
     for s in range(m):
         sub = F.col(f"__pqs{s}")
@@ -710,16 +775,11 @@ def pq_encode(df: DataFrame, state: dict,
             for d, c in enumerate(cb):
                 term = term + F.get(sub, d) * F.lit(-2.0 * float(c))
             if res_cents:
-                corr = [2.0 * sum(
+                corr = F.array(*[F.lit(2.0 * sum(
                     float(cc[s * sub_dim + d]) * float(cb[d])
-                    for d in range(sub_dim)) for cc in res_cents]
-                cexp = None
-                for i in range(len(res_cents) - 1, -1, -1):
-                    lit = F.lit(corr[i])
-                    cexp = (lit if cexp is None
-                            else F.when(F.col("__pqcl") == i, lit)
-                            .otherwise(cexp))
-                term = term + cexp
+                    for d in range(sub_dim))) for cc in res_cents])
+                term = term + F.element_at(corr,
+                                           F.col("__pqcl") + 1)
             scores.append(term)
         sarr = F.array(*scores)
         staged = staged.withColumn(f"__pqd{s}", sarr)
@@ -759,20 +819,20 @@ def pq_reconstruction_stats(df: DataFrame, state: dict,
     m, sub_dim = state["m"], state["sub_dim"]
     v = F.col(vec_col)
     res_cents = state.get("residuals_of")
-    base = (_pq_residual_expr(v, res_cents) if res_cents else v)
+    base = (F.col("__prv") if res_cents else v)
     err = None
     for s in range(m):
         sub = F.transform(F.slice(base, s * sub_dim + 1, sub_dim),
                           lambda x: x.cast("double"))
         cb = state["codebooks"][s]
         code = F.element_at(F.col(codes_col), s + 1)
-        # reconstruction = the coded centroid, selected by a when
-        # chain over the k codes (literals; k is bounded)
-        expr = None
-        for j in range(len(cb) - 1, -1, -1):
-            lits = F.array(*[F.lit(float(x)) for x in cb[j]])
-            expr = (lits if expr is None
-                    else F.when(code == j, lits).otherwise(expr))
+        # reconstruction = the coded centroid, selected by ONE
+        # element_at into a constant-folded array of the k codebook
+        # rows (a when-chain walks ~k/2 branches per row AND
+        # duplicates the selector per condition)
+        cb_lit = F.array(*[
+            F.array(*[F.lit(float(x)) for x in row]) for row in cb])
+        expr = F.element_at(cb_lit, code + 1)
         diff = F.zip_with(sub, expr, lambda a, b: (a - b) * (a - b))
         e = F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
         err = e if err is None else err + e
@@ -780,6 +840,13 @@ def pq_reconstruction_stats(df: DataFrame, state: dict,
         F.transform(v, lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0), lambda acc, x: acc + x)
     src = df.where(v.isNotNull() & F.col(codes_col).isNotNull())
+    if res_cents:
+        # stage the residual ONCE in an explicit projection (the
+        # Aggregate's child) — inlined per-subspace it re-evaluates
+        # the assignment m times per row
+        src = src.select(
+            F.col(codes_col), v.alias(vec_col),
+            _pq_residual_expr(v, res_cents).alias("__prv"))
     return src.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.avg(err).alias("mean_sq_err"),

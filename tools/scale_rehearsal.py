@@ -2596,8 +2596,62 @@ def r14b_main() -> None:
     spark.stop()
 
 
+def r15_main() -> None:
+    """Residual-PQ + refine rehearsal at the r14b production shape
+    (2M × 64d, m=8 k=64, 16-centroid coarse quantizer): residual
+    encode must stay in the indexed-element fast lane (the corr-
+    literal spelling — the staged-array form measured 30× slower
+    PLAN ANALYSIS at even the tiny oracle shape), and ivf_pq_refine's
+    exact re-score joins must stay broadcast-bounded."""
+    spark = (SparkSession.builder.master("local[32]")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory", "32g")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    from spark_df_profiling_spark.operators.clustering import (
+        kmeans_assign, kmeans_fit)
+    from spark_df_profiling_spark.operators.similarity import (
+        ivf_pq_refine, ivf_pq_topk, pq_encode, pq_fit,
+        pq_reconstruction_stats)
+    emb = spark.range(2_000_000).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.pmod(F.xxhash64("id", F.lit(d)), F.lit(1000))
+                   / 500.0 - 1.0) for d in range(64)])
+        .alias("embedding")).localCheckpoint()
+    t0 = time.time()
+    cents = kmeans_fit(emb, k=16, n_iter=2, seed=0,
+                       max_fit_rows=100_000)
+    t1 = time.time()
+    pst = pq_fit(emb, m=8, k=64, n_iter=2, seed=0,
+                 residuals_of=cents)
+    t2 = time.time()
+    codes = pq_encode(kmeans_assign(emb, cents), pst) \
+        .localCheckpoint()
+    t3 = time.time()
+    q = emb.where(F.col("vec_id") < 16)
+    n_top = ivf_pq_topk(codes, q, cents, pst, k=10,
+                        nprobe=4).count()
+    t4 = time.time()
+    n_ref = ivf_pq_refine(codes, q, cents, pst, k=10, nprobe=4,
+                          rerank_k=100).count()
+    t5 = time.time()
+    rec = pq_reconstruction_stats(codes, pst).collect()[0]
+    print(f"r15 residual IVFPQ 2M x 64d m=8 k=64 coarse-16: coarse "
+          f"fit {t1 - t0:.1f}s, residual pq_fit {t2 - t1:.1f}s, "
+          f"residual encode {t3 - t2:.1f}s, ivf_pq_topk nprobe=4 "
+          f"x16q {t4 - t3:.1f}s ({n_top} rows), ivf_pq_refine "
+          f"rerank_k=100 {t5 - t4:.1f}s ({n_ref} rows), "
+          f"reconstruction mse {rec['mean_sq_err']:.4f} over "
+          f"{time.time() - t5:.1f}s", flush=True)
+    spark.stop()
+
+
 if __name__ == "__main__":
-    if "r14b" in sys.argv:
+    if "r15" in sys.argv:
+        r15_main()
+    elif "r14b" in sys.argv:
         r14b_main()
     elif "r14" in sys.argv:
         r14_main()
