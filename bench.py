@@ -40,6 +40,21 @@ def main() -> None:
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Scan-split floor (guide §6): FilePartition sizes splits as
+        # min(maxPartitionBytes, max(openCostInBytes, bytes/cores)) — the
+        # 4 MB openCost floor serializes any table smaller than
+        # 4 MB x cores onto a handful of tasks (sf0.1 lineitem = 3 tasks
+        # on 32 cores; every other table = 1).  Lowering the floor lets
+        # the built-in bytes-per-core logic spread small scans across
+        # however many cores $SPARK_GRAFT_CPUS grants (adaptive at ANY
+        # core count, so the driver's low-core scaling run is measured
+        # faithfully).  At production scale files exceed maxPartitionBytes
+        # and this knob is inert except for many-tiny-files layouts,
+        # where the packing charge is a deployment-specific setting
+        # (SPARK_OPEN_COST_BYTES) — default documented in
+        # OPTIMIZATION_r15.md.
+        .config("spark.sql.files.openCostInBytes",
+                os.environ.get("SPARK_OPEN_COST_BYTES", "16384"))
         .appName("spark-df-profiling-bench")
         .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")

@@ -77,15 +77,51 @@ def decode_correlation_row(row: dict, num_cols: list[str]
     return out
 
 
+# Column count up to which the standalone matrix runs as declarative
+# covar/stddev aggregate expressions instead of pyspark.ml.  16 columns
+# = 120 pair expressions = 2 concurrent codegen'd chunks (make_chunks) —
+# two columnar scans with zero row boxing beat ml.stat's
+# RowMatrix path (VectorAssembler projection + per-row ml.Vector
+# allocation + an RDD treeAggregate outside whole-stage codegen) at any
+# scale; beyond ~16 columns the O(k^2) expression count grows past what
+# a few chunks absorb and the single-pass ml.stat job wins.
+_DECLARATIVE_MAX_COLS = 16
+
+
 def correlation_matrix(df: DataFrame,
                        num_cols: list[str]) -> dict[tuple[str, str], float]:
-    """Full Pearson matrix over num_cols in one Spark job.
+    """Full Pearson matrix over num_cols in one pass.
 
     Returns {(col_x, col_y): rho}.  Empty dict when fewer than 2 columns
     or no complete rows survive listwise deletion.
+
+    Up to ``_DECLARATIVE_MAX_COLS`` columns the matrix is computed with
+    the same declarative :func:`correlation_exprs` aggregates that ride
+    profile()'s pass 1 (whole-stage codegen, columnar parquet read, no
+    per-row vector allocation); beyond that, one ``pyspark.ml.stat``
+    job.  Both paths implement textbook Pearson over listwise-deleted
+    rows — values agree to float rounding (the oracle's 5-significant-
+    digit normalization absorbs the summation-order difference).
     """
     if len(num_cols) < 2:
         return {}
+    if len(num_cols) <= _DECLARATIVE_MAX_COLS:
+        from spark_df_profiling_spark.config import DEFAULT_CONFIG
+        from spark_df_profiling_spark.plans.wide_agg import run_chunked_agg
+        sel = df.select(*[df[c].cast("double").alias(c) for c in num_cols])
+        exprs = correlation_exprs(sel, num_cols)
+        # completeness guard: the ml path returns {} when listwise
+        # deletion leaves nothing (Correlation.corr raises on empty
+        # input) — replicate that contract explicitly
+        allnn = " AND ".join(
+            f"(`{c}` IS NOT NULL AND NOT isnan(CAST(`{c}` AS DOUBLE)))"
+            for c in num_cols)
+        exprs.append(f"count(CASE WHEN {allnn} THEN 1 END) "
+                     f"AS `__n_complete`")
+        row = run_chunked_agg(sel, exprs, DEFAULT_CONFIG)
+        if not int(row.get("__n_complete") or 0):
+            return {}
+        return decode_correlation_row(row, num_cols)
     from pyspark.ml.feature import VectorAssembler
     from pyspark.ml.stat import Correlation
 

@@ -181,7 +181,8 @@ def shingle(df: DataFrame, text_col: str, n: int = 3,
 def minhash_candidates(df: DataFrame, text_col: str, id_col: str,
                        shingle_n: int = 3, num_features: int = 1 << 18,
                        num_hashes: int = 8,
-                       jaccard_max_distance: float = 0.2) -> DataFrame:
+                       jaccard_max_distance: float = 0.2,
+                       persist_features: bool = True) -> DataFrame:
     """Near-duplicate candidate pairs via MinHashLSH.
 
     Returns (id_a, id_b, jaccard_distance) with id_a < id_b.  The
@@ -196,17 +197,41 @@ def minhash_candidates(df: DataFrame, text_col: str, id_col: str,
     similarity s the miss probability is (1-s)^num_hashes — for s=0.7
     and 8 tables that is 7e-5.  Raise it when hunting LOW-similarity
     pairs, not for near-dup dedup.
+
+    ``persist_features`` (default True) materializes the hashed feature
+    frame once before the self-join.  Without it the plan computes the
+    whole Tokenizer→NGram→HashingTF→MinHash UDF chain INDEPENDENTLY on
+    both join branches, and — because the empty-shingle filter is pushed
+    below the feature projection and deterministic UDFs are freely
+    duplicated — each branch tokenizes every document up to 5× (plan-
+    verified: the pre-r15 filter node alone held four nested UDF
+    re-evaluations of the text column).  Persisted, the chain runs once
+    per row total; this is the standard Spark-ML posture for LSH
+    self-joins.  Set False only when the corpus' TF vectors exceed
+    cluster MEMORY_AND_DISK capacity — the join then recomputes them
+    per branch (the caller owns the memory trade-off; results are
+    identical either way).
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
+    from pyspark.storagelevel import StorageLevel
     sh = shingle(df.select(id_col, text_col), text_col, shingle_n)
+    # filter on the shingle column BEFORE HashingTF: same rows survive
+    # (transform is row-preserving), one fewer UDF stage in the pushed
+    # filter when the frame is not persisted
+    sh = sh.where(F.size(F.col("__shingles")) > 0)
     tf = HashingTF(inputCol="__shingles", outputCol="__features",
                    numFeatures=num_features, binary=True)
-    feat = tf.transform(sh).where(
-        F.size(F.col("__shingles")) > 0).select(id_col, "__features")
+    feat = tf.transform(sh).select(id_col, "__features")
     lsh = MinHashLSH(inputCol="__features", outputCol="__hashes",
                      numHashTables=num_hashes, seed=42)
     model = lsh.fit(feat)
-    joined = model.approxSimilarityJoin(feat, feat, jaccard_max_distance,
+    feat_h = model.transform(feat)
+    if persist_features:
+        feat_h = feat_h.persist(StorageLevel.MEMORY_AND_DISK)
+    # approxSimilarityJoin skips re-hashing when the output column is
+    # already present, so both branches read the persisted frame as-is
+    joined = model.approxSimilarityJoin(feat_h, feat_h,
+                                        jaccard_max_distance,
                                         distCol="jaccard_distance")
     return (joined
             .select(F.col(f"datasetA.{id_col}").alias("id_a"),

@@ -144,9 +144,18 @@ def describe(df: DataFrame,
                       profile_complex=cfg.profile_complex)
         for f in fields]
 
-    # ---- pass 1: the wide agg ------------------------------------------
-    # Very wide plans lose codegen'd projections at the default
-    # codegen.maxFields=100; profiles routinely exceed that.
+    # ---- overlapped job pipeline ---------------------------------------
+    # Dependency-driven scheduling instead of serial passes: only MAD and
+    # histogram bins truly need pass-1 results (mean / min / max), so the
+    # quantile-sketch job (schema-only, see build_quantile_exprs) and the
+    # frequency shuffle (string/bool columns ALWAYS resolve to a
+    # freq-eligible class — CAT/UNIQUE/CONST) launch CONCURRENTLY with
+    # pass 1.  Wall-clock drops from
+    #     pass1 + (quantiles | pass2) + freq       (three barriers)
+    # to  max(pass1, quantiles, freq) + pass2-lite (one barrier)
+    # with bit-identical output.  Very wide plans lose codegen'd
+    # projections at the default codegen.maxFields=100; profiles
+    # routinely exceed that.
     try:
         spark.conf.set("spark.sql.codegen.maxFields", "500")
     except Exception:
@@ -162,19 +171,57 @@ def describe(df: DataFrame,
                      and 2 <= len(dtype_num_cols) <= 50)
     if corr_in_pass1:
         p1_exprs.extend(C.correlation_exprs(df, dtype_num_cols))
-    p1 = W.run_chunked_agg(df, p1_exprs, cfg)
-    n = int(p1.get("__n") or 0)
-    if n == 0:
-        raise ValueError("df cannot be empty")
 
-    distincts = [int(p1.get(W.stat_key(i, "distinct")) or 0)
-                 for i in range(len(fields))]
-    classes = [S.resolve_class(bc, d, n)
-               for bc, d in zip(base_classes, distincts)]
+    import threading
+    gate = threading.Semaphore(8)
 
-    # ---- pass 2: MAD + histograms --------------------------------------
-    p2_exprs = W.build_pass2_exprs(df, classes, p1, cfg)
-    p2 = W.run_chunked_agg(df, p2_exprs, cfg) if p2_exprs else {}
+    def chunk_thunk(ch: list[str]):
+        return lambda: df.selectExpr(*ch).collect()[0]
+
+    p1_tasks = [W.InheritableTask(chunk_thunk(ch), gate)
+                for ch in W.make_chunks(p1_exprs, cfg)]
+    q_exprs = W.build_quantile_exprs(df, base_classes, cfg)
+    spec_tasks = [W.InheritableTask(chunk_thunk(ch), gate)
+                  for ch in W.make_chunks(q_exprs, cfg)]
+    # Speculative frequency pass: every base-CAT (string/bool/binary)
+    # column lands in freq_cols whatever its resolved class; columns of
+    # OTHER base classes only join freq_cols when they resolve CONST
+    # (distinct <= 1) — those few get a supplementary job below.
+    freq_spec_cols = [f.name for f, bc in zip(fields, base_classes)
+                      if bc == S.CAT]
+    freq_task = (W.InheritableTask(
+        lambda: FR.topk_frequencies(df, freq_spec_cols, cfg.top_k), gate)
+        if freq_spec_cols else None)
+    all_tasks = p1_tasks + spec_tasks + ([freq_task] if freq_task else [])
+
+    p1: dict[str, Any] = {}
+    p2: dict[str, Any] = {}
+    try:
+        for t_ in p1_tasks:
+            p1.update(t_.join().asDict())
+        n = int(p1.get("__n") or 0)
+        if n == 0:
+            raise ValueError("df cannot be empty")
+
+        distincts = [int(p1.get(W.stat_key(i, "distinct")) or 0)
+                     for i in range(len(fields))]
+        classes = [S.resolve_class(bc, d, n)
+                   for bc, d in zip(base_classes, distincts)]
+
+        # ---- pass 2: MAD + histograms (the true pass-1 dependents) ----
+        p2_exprs = W.build_pass2_exprs(df, classes, p1, cfg,
+                                       include_quantiles=False)
+        p2_tasks = [W.InheritableTask(chunk_thunk(ch), gate)
+                    for ch in W.make_chunks(p2_exprs, cfg)] \
+            if p2_exprs else []
+        all_tasks.extend(p2_tasks)
+        for t_ in spec_tasks + p2_tasks:
+            p2.update(t_.join().asDict())
+        freqs_raw = freq_task.join() if freq_task is not None else {}
+    except BaseException:
+        for t_ in all_tasks:  # don't leave jobs running behind the error
+            t_.wait_noraise()
+        raise
 
     # ---- correlation matrix + greedy rejection -------------------------
     # Rejection applies among columns RESOLVED as NUM (a constant numeric
@@ -198,14 +245,18 @@ def describe(df: DataFrame,
         rejected = {safe_to_orig[x]: (safe_to_orig[y], rho)
                     for x, (y, rho) in rej_safe.items()}
 
-    # ---- pass 4: stacked top-k frequencies -----------------------------
+    # ---- stacked top-k frequencies (speculative + supplement) ----------
     # CONST columns ride along: their single top value doubles as the
     # G1 "first value" (keeps string aggregates out of the wide agg).
     freq_cols = [f.name for f, cls in zip(fields, classes)
                  if cls in (S.CAT, S.UNIQUE, S.CONST)]
-    freqs = {safe_to_orig[c]: v
-             for c, v in FR.topk_frequencies(df, freq_cols,
-                                             cfg.top_k).items()}
+    extra_freq_cols = [c for c in freq_cols
+                       if c not in set(freq_spec_cols)]
+    if extra_freq_cols:  # non-string columns that resolved CONST
+        freqs_raw = dict(freqs_raw)
+        freqs_raw.update(FR.topk_frequencies(df, extra_freq_cols,
+                                             cfg.top_k))
+    freqs = {safe_to_orig[c]: v for c, v in freqs_raw.items()}
 
     # ---- assemble the profile DataFrame (driver: O(#cols) scalars) -----
     rows = []

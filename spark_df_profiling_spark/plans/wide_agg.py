@@ -119,8 +119,39 @@ def build_pass1_exprs(df: DataFrame, classes: list[str],
     return exprs
 
 
+def build_quantile_exprs(df: DataFrame, base_classes: list[str],
+                         cfg: ProfileConfig) -> list[str]:
+    """Quantile (N6) sketch expressions from SCHEMA-ONLY dispatch.
+
+    Quantiles need nothing from pass 1 — unlike MAD (mean) and histogram
+    bins (min/max) — so the ObjectHashAggregate job they force can run
+    CONCURRENTLY with pass 1 instead of serializing behind it.  Built
+    from base classes, not resolved ones: the only divergence is a
+    base-numeric column that pass 1 would resolve to CONST or that is
+    all-NULL — there ``percentile(_approx)`` returns NULL, which the
+    assembler treats exactly like an absent key, so the result is
+    IDENTICAL to the old pass-2 placement (oracle-verified); the cost is
+    one wasted sketch for the (rare) constant numeric column.
+    """
+    exprs: list[str] = []
+    qs = ", ".join(repr(q) for q in cfg.quantiles)
+    for i, (field, cls) in enumerate(zip(df.schema.fields, base_classes)):
+        if not S.is_numeric(cls):
+            continue
+        c = f"CAST(`{field.name}` AS DOUBLE)"
+        if cfg.exact_quantiles:
+            exprs.append(f"percentile({c}, array({qs})) "
+                         f"AS `{_key(i, 'quantiles')}`")
+        else:
+            exprs.append(
+                f"percentile_approx({c}, array({qs}), "
+                f"{cfg.quantile_accuracy}) AS `{_key(i, 'quantiles')}`")
+    return exprs
+
+
 def build_pass2_exprs(df: DataFrame, classes: list[str], pass1: dict[str, Any],
-                      cfg: ProfileConfig) -> list[str]:
+                      cfg: ProfileConfig,
+                      include_quantiles: bool = True) -> list[str]:
     """Pass-2 SQL expressions: quantiles (N6), MAD (N10), histograms (N12).
 
     MAD is the reference's *mean* absolute deviation around the mean
@@ -128,7 +159,10 @@ def build_pass2_exprs(df: DataFrame, classes: list[str], pass1: dict[str, Any],
     statistic.  Histogram bins are equal-width on [min, max] with the last
     bin right-closed, matching ``base.py::describe>>create_hist_data``.
     Quantile sketches sit here (not pass 1) so the ObjectHashAggregate
-    they force is paid once, on this smaller expression set.  Bin-edge
+    they force is paid once, on this smaller expression set — and the
+    orchestrator passes ``include_quantiles=False`` to issue them via
+    :func:`build_quantile_exprs` concurrently WITH pass 1 instead (they
+    are the only pass-2 statistic with no pass-1 dependency).  Bin-edge
     literals are emitted with :func:`_dlit`, so the SQL form computes the
     bit-exact same bins as driver-side float arithmetic.
     """
@@ -164,7 +198,7 @@ def build_pass2_exprs(df: DataFrame, classes: list[str], pass1: dict[str, Any],
         mn = pass1.get(_key(i, "min"))
         mx = pass1.get(_key(i, "max"))
         c = f"CAST(`{field.name}` AS DOUBLE)"
-        if cnt > 0:
+        if include_quantiles and cnt > 0:
             qs = ", ".join(repr(q) for q in cfg.quantiles)
             if cfg.exact_quantiles:
                 exprs.append(f"percentile({c}, array({qs})) "
@@ -230,32 +264,15 @@ def _expr_class(s: str) -> str:
 _CHUNK_CAP = {"light": 64, "sketch": 48, "object": 32}
 
 
-def run_chunked_agg(df: DataFrame, exprs: list[str],
-                    cfg: ProfileConfig) -> dict[str, Any]:
-    """Execute a wide agg, chunked by buffer class, chunks run CONCURRENTLY.
+def make_chunks(exprs: list[str], cfg: ProfileConfig) -> list[list[str]]:
+    """Split aggregate expressions into buffer-class-homogeneous chunks.
 
     Grouping rules (measured on 600k-row lineitem, local[32]):
     * declarative aggs mixed with HLL sketches lose whole-stage codegen
       (buffer > codegen.maxFields) — 9.3s; split into two chunks — 1.2s.
     * percentile sketches demote a chunk to ObjectHashAggregateExec; they
       get their own chunk so histograms/MAD stay codegen'd.
-
-    Each chunk is one Spark job (one scan) issued as a single
-    ``selectExpr`` — one py4j round-trip however many expressions the
-    chunk holds.  Chunks are submitted from ``pyspark.InheritableThread``
-    workers (NOT a plain ThreadPoolExecutor): in pinned-thread mode each
-    Python thread maps to its own JVM thread, so a bare pool thread would
-    silently drop the caller's job group / job description / scheduler
-    pool — InheritableThread copies those local properties, keeping the
-    chunk jobs attributable in the Spark UI and cancellable via the
-    user's ``cancelJobGroup``.  Spark schedules concurrent jobs natively,
-    so on a multi-core driver the scans overlap; on a real cluster each
-    chunk's tasks also fan out across executors.  Returns merged
-    {alias: value}.
     """
-    out: dict[str, Any] = {}
-    if not exprs:
-        return out
     groups: dict[str, list[str]] = {"light": [], "sketch": [], "object": []}
     for e in exprs:
         groups[_expr_class(e)].append(e)
@@ -264,6 +281,31 @@ def run_chunked_agg(df: DataFrame, exprs: list[str],
         step = max(1, min(cfg.max_agg_exprs, _CHUNK_CAP[klass]))
         for start in range(0, len(es), step):
             chunks.append(es[start:start + step])
+    return chunks
+
+
+def run_chunked_agg(df: DataFrame, exprs: list[str],
+                    cfg: ProfileConfig) -> dict[str, Any]:
+    """Execute a wide agg, chunked by buffer class, chunks run CONCURRENTLY.
+
+    Chunking per :func:`make_chunks`.  Each chunk is one Spark job (one
+    scan) issued as a single ``selectExpr`` — one py4j round-trip however
+    many expressions the chunk holds.  Chunks are submitted from
+    ``pyspark.InheritableThread`` workers (NOT a plain
+    ThreadPoolExecutor): in pinned-thread mode each Python thread maps to
+    its own JVM thread, so a bare pool thread would silently drop the
+    caller's job group / job description / scheduler pool —
+    InheritableThread copies those local properties, keeping the chunk
+    jobs attributable in the Spark UI and cancellable via the user's
+    ``cancelJobGroup``.  Spark schedules concurrent jobs natively, so on
+    a multi-core driver the scans overlap; on a real cluster each
+    chunk's tasks also fan out across executors.  Returns merged
+    {alias: value}.
+    """
+    out: dict[str, Any] = {}
+    if not exprs:
+        return out
+    chunks = make_chunks(exprs, cfg)
     if len(chunks) == 1:
         return df.selectExpr(*chunks[0]).collect()[0].asDict()
     rows = run_inheritable(
@@ -311,6 +353,52 @@ def run_inheritable(fns: list, max_concurrency: int = 8) -> list:
     if errs:
         raise errs[0]
     return results
+
+
+class InheritableTask:
+    """A single thunk running on its own ``pyspark.InheritableThread``
+    with join-for-result semantics — the submit/join counterpart of the
+    join-all :func:`run_inheritable` (same pinned-thread-mode rationale:
+    a plain pool thread would drop the caller's job group / description /
+    scheduler pool).  Lets the profiling orchestrator OVERLAP job batches
+    with different dependency depths (e.g. the quantile sketch job and
+    the frequency shuffle, which need nothing from pass 1, run while
+    pass 1 is still in flight) instead of running them in serial
+    barriers.  ``gate`` (a ``threading.Semaphore``) bounds how many
+    Spark jobs the caller has in flight at once.
+    """
+
+    def __init__(self, fn, gate=None) -> None:
+        from pyspark import InheritableThread
+        self._fn = fn
+        self._gate = gate
+        self._result: Any = None
+        self._err: BaseException | None = None
+        self._thread = InheritableThread(target=self._run)
+        self._thread.start()
+
+    def _run(self) -> None:
+        if self._gate is not None:
+            self._gate.acquire()
+        try:
+            self._result = self._fn()
+        except BaseException as e:
+            self._err = e
+        finally:
+            if self._gate is not None:
+                self._gate.release()
+
+    def join(self) -> Any:
+        """Wait for the thunk; re-raise its failure on the caller."""
+        self._thread.join()
+        if self._err is not None:
+            raise self._err
+        return self._result
+
+    def wait_noraise(self) -> None:
+        """Join without raising (error-path cleanup: don't leave Spark
+        jobs running behind an exception)."""
+        self._thread.join()
 
 
 def stat_key(i: int, stat: str) -> str:

@@ -52,6 +52,10 @@ def main() -> None:
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # mirror bench.py's scan-split floor so isolated reads measure
+        # the same environment (see bench.py for the rationale)
+        .config("spark.sql.files.openCostInBytes",
+                os.environ.get("SPARK_OPEN_COST_BYTES", "16384"))
         .appName(f"bench-one-{name}")
         .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
