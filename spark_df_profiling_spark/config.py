@@ -51,6 +51,15 @@ class ProfileConfig:
     compute_correlations: bool = True
     compute_histograms: bool = True
     compute_mad: bool = True
+    # Small-input fast path: a file-backed input smaller than
+    # cores x 4 MiB cannot reach core-parallelism at the scan (parquet
+    # row groups bound splits), so each profiling chunk runs as a
+    # ~1-task pass.  When True, describe() splits the chunk lists finer
+    # (wide_agg._CHUNK_CAP_SMALL) and runs more of them concurrently —
+    # chunk-level concurrency with column pruning substitutes for scan
+    # parallelism.  Bit-identical values under any chunking; inert for
+    # non-file frames and for inputs that parallelize at the scan.
+    parallelize_small_input: bool = True
 
     def exact(self) -> "ProfileConfig":
         """Return a copy in fully-exact mode (for oracle parity tests)."""
@@ -68,6 +77,7 @@ class ProfileConfig:
             compute_correlations=self.compute_correlations,
             compute_histograms=self.compute_histograms,
             compute_mad=self.compute_mad,
+            parallelize_small_input=self.parallelize_small_input,
         )
 
 

@@ -72,6 +72,14 @@ def main() -> None:
     fns = {
         "profile_lineitem": lambda: profile(t("lineitem"),
                                             scale_cfg).collect(),
+        "profile_core8": lambda: [
+            r.variables.collect() for r in __import__(
+                "spark_df_profiling_spark.operators.profile",
+                fromlist=["profile_many"]).profile_many(
+                {n: t(n) for n in ("region", "nation", "customer",
+                                   "supplier", "part", "orders",
+                                   "lineitem", "events")},
+                scale_cfg, max_threads=8).values()],
         "window_profile": lambda: SPARK_QUERIES["window_profile_events"](
             spark, sf_dir).collect(),
         "session_profile": lambda: SPARK_QUERIES["session_profile_events"](
