@@ -214,7 +214,14 @@ def minhash_candidates(df: DataFrame, text_col: str, id_col: str,
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
     from pyspark.storagelevel import StorageLevel
-    sh = shingle(df.select(id_col, text_col), text_col, shingle_n)
+
+    from spark_df_profiling_spark.sources import parallelize_small_scan
+    # shingle+TF+MinHash per-row work dwarfs the scan; a small
+    # file-backed corpus (single parquet row group -> ~1-task scan)
+    # gets one cheap repartition so the persisted-materialization job
+    # fans out; inert at scale (see parallelize_small_scan)
+    sh = shingle(parallelize_small_scan(df.select(id_col, text_col)),
+                 text_col, shingle_n)
     # filter on the shingle column BEFORE HashingTF: same rows survive
     # (transform is row-preserving), one fewer UDF stage in the pushed
     # filter when the frame is not persisted

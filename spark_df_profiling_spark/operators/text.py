@@ -531,8 +531,14 @@ def text_features(df: DataFrame, text_col: str) -> DataFrame:
     duplicate a non-cheap expression referenced several times; the
     regexp/length kernels stay whole-stage-codegen either way.
     """
+    from spark_df_profiling_spark.sources import parallelize_small_scan
     tws, tlc = "__tf_toks_ws", "__tf_toks_lc"
-    step = df.select(
+    # the per-row kernels here (regex ratios, min-shingle fingerprint,
+    # stopword scans) dwarf the scan, so a small file-backed input —
+    # whose single parquet row group pins everything to ~1 task — is
+    # worth one cheap repartition to fan the compute out; inert for
+    # non-file frames and at-scale inputs (see parallelize_small_scan)
+    step = parallelize_small_scan(df).select(
         "*",
         F.split(F.col(text_col), " ").alias(tws),
         F.split(F.lower(F.col(text_col)), r"\s+").alias(tlc))

@@ -87,15 +87,24 @@ def sig(col: Column) -> Column:
     HALF_UP while C/DuckDB's printf rounds the exact binary expansion, so
     the two disagree whenever the shortest repr is a decimal tie at digit
     6 (e.g. an integral-sum mean like 25.40225).  Doing the rounding as
-    IEEE arithmetic — mantissa = floor(x / 10^(floor(log10|x|) - 4) + .5)
+    IEEE arithmetic — mantissa = floor(x * 10^(4 - floor(log10|x|)) + .5)
     — produces bit-identical results in both engines because the inputs
     are (near-)identical doubles and every op is deterministic.
+
+    The scale factor is built by PARSING the literal ``'1e<k>'``, never
+    via ``pow``: float parsing and multiplication are correctly-rounded
+    IEEE ops (bit-identical across engines), while ``pow`` is only
+    ulp-accurate and the engines genuinely disagree — Java's
+    ``Math.pow(10, -5)`` is one ulp BELOW 1e-5 where DuckDB/libm land
+    one ulp above, which flipped a decimal-tie mantissa
+    (0.984375 -> 98438 vs 98437) in driver data.
     Output: "<mantissa>e<exponent>" string, "0" for zero, NULL for NULL.
     """
     c = col.cast("double")
     m = F.floor(F.log10(F.abs(c)))  # long
-    scale = F.pow(F.lit(10.0), (m - F.lit(4)).cast("double"))
-    mant = F.floor(c / scale + F.lit(0.5)).cast("long")
+    scale = F.concat(F.lit("1e"), (F.lit(4) - m).cast("long")
+                     .cast("string")).cast("double")
+    mant = F.floor(c * scale + F.lit(0.5)).cast("long")
     return (F.when(c.isNull(), F.lit(None).cast("string"))
             .when(c == 0, F.lit("0"))
             .otherwise(F.concat(mant.cast("string"), F.lit("e"),
@@ -103,10 +112,13 @@ def sig(col: Column) -> Column:
 
 
 def _psig(expr: str) -> str:
-    """DuckDB-side equivalent of sig() — the identical arithmetic."""
+    """DuckDB-side equivalent of sig() — the identical arithmetic
+    (parsed '1e<k>' scale + multiply, never pow: see sig())."""
     x = f"CAST({expr} AS DOUBLE)"
     m = f"floor(log10(abs({x})))"
-    mant = f"CAST(floor({x} / pow(10, {m} - 4) + 0.5) AS BIGINT)"
+    scale = (f"CAST('1e' || CAST(CAST(4 - {m} AS BIGINT) AS VARCHAR) "
+             f"AS DOUBLE)")
+    mant = f"CAST(floor({x} * {scale} + 0.5) AS BIGINT)"
     return (f"CASE WHEN {x} IS NULL THEN NULL "
             f"WHEN {x} = 0 THEN '0' "
             f"ELSE CAST({mant} AS VARCHAR) || 'e' || "

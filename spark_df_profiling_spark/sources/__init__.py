@@ -109,6 +109,52 @@ def load_all(spark: SparkSession,
     return {t: load_table(spark, t, sf_dir) for t in TABLES}
 
 
+def input_bytes(df: DataFrame) -> int:
+    """Total size of the DataFrame's input files (metadata only, no job).
+
+    Local file:// paths are sized via the OS; anything else returns 0
+    rather than issuing remote filesystem calls from the driver.
+    """
+    total = 0
+    try:
+        for f in df.inputFiles():
+            if f.startswith("file:"):
+                p = f[len("file:"):]
+                while p.startswith("//"):
+                    p = p[1:]
+                if os.path.exists(p):
+                    total += os.path.getsize(p)
+    except Exception:
+        return 0
+    return total
+
+
+def parallelize_small_scan(df: DataFrame, min_bytes: int = 64 << 10,
+                           max_bytes_per_core: int = 4 << 20) -> DataFrame:
+    """Repartition a SMALL file-backed frame to core count so heavy
+    per-row work downstream can use the whole machine.
+
+    Parquet splits cannot go below row-group granularity, so a small
+    file pins the scan — and every per-row kernel above it — to ~1
+    task regardless of cores.  When the input is file-backed and its
+    size sits in ``[min_bytes, cores * max_bytes_per_core)``, a
+    round-robin repartition (a cheap shuffle of the small input) lets
+    the compute above fan out; outside the band — non-file frames,
+    trivially small inputs where the exchange costs more than it
+    saves, and at-scale inputs whose scan already parallelizes — the
+    frame is returned unchanged, so the helper is inert at 100 TB.
+    Row ORDER changes under repartition; callers must be
+    order-insensitive (every profiling aggregate/join/shuffle consumer
+    here is).
+    """
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    b = input_bytes(df)
+    if min_bytes <= b < cores * max_bytes_per_core:
+        return df.repartition(cores)
+    return df
+
+
 def read_any(spark: SparkSession, path: str, fmt: str | None = None,
              **options) -> DataFrame:
     """Generic reader: parquet/csv/json/orc by extension or explicit fmt."""
