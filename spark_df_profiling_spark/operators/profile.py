@@ -299,7 +299,13 @@ def describe(df: DataFrame,
         rows.append(_assemble_row(i, f_, base_cls, cls, n, p1, p2,
                                   freqs, rejected, cfg,
                                   name=original_names[i]))
-    variables = spark.createDataFrame(rows, PROFILE_SCHEMA)
+    # one explicit slice: the default createDataFrame path parallelizes
+    # #cols rows over defaultParallelism slices, making every
+    # variables.collect() a cores-wide task storm for a frame that is
+    # O(#cols) rows by construction (measured 0.28s -> 0.17s per
+    # collect on local[32])
+    variables = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), PROFILE_SCHEMA)
 
     # ---- table-level stats (T1-T5) -------------------------------------
     nvar = len(fields)
@@ -504,9 +510,15 @@ def profile_many(dfs: dict[str, DataFrame],
     natively — FAIR scheduling recommended on shared clusters.
     """
     from spark_df_profiling_spark.plans.wide_agg import run_inheritable
+    from spark_df_profiling_spark.sources import input_bytes
 
     names = list(dfs)
-    results = run_inheritable(
-        [(lambda df=dfs[n]: describe(df, cfg)) for n in names],
-        max_concurrency=max_threads)
-    return dict(zip(names, results))
+    # LPT scheduling: submit the LARGEST tables first so their long job
+    # chains overlap the small tables' instead of queueing behind them
+    # (the catalog dict often lists dimension tables first); returned
+    # dict keeps the caller's order.
+    order = sorted(names, key=lambda n: -input_bytes(dfs[n]))
+    results = dict(zip(order, run_inheritable(
+        [(lambda df=dfs[n]: describe(df, cfg)) for n in order],
+        max_concurrency=max_threads)))
+    return {n: results[n] for n in names}

@@ -62,30 +62,33 @@ def main() -> None:
         sections: list[str] = []
         orig_run = W.run_chunked_agg
 
-        def spy_run(df, exprs, cfg):
-            groups: dict[str, list[str]] = {
-                "light": [], "sketch": [], "object": []}
-            for e in exprs:
-                groups[W._expr_class(e)].append(e)
-            for klass, es in groups.items():
-                step = max(1, min(cfg.max_agg_exprs, W._CHUNK_CAP[klass]))
-                for start in range(0, len(es), step):
-                    ch = es[start:start + step]
-                    sections.append(
-                        f"=== chunked agg [{klass}] "
-                        f"({len(ch)} exprs) ===\n"
-                        + fmt(df.selectExpr(*ch)))
-            return orig_run(df, exprs, cfg)
+        orig_make = W.make_chunks
 
-        W.run_chunked_agg = spy_run
-        P.W.run_chunked_agg = spy_run
+        def _chunk_df(ch):
+            # rebuild the chunk frame over the safe-renamed table, the
+            # same shape describe() executes
+            d = t(table)
+            safe = d.toDF(*[f"__c{i}" for i in range(len(d.columns))])
+            return safe.selectExpr(*ch)
+
+        def spy_make(exprs, cfg, small_input=False):
+            chunks = orig_make(exprs, cfg, small_input)
+            for ch in chunks:
+                sections.append(
+                    f"=== chunked agg [{W._expr_class(ch[0])}] "
+                    f"({len(ch)} exprs, small_input={small_input}) ===\n"
+                    + fmt(_chunk_df(ch)))
+            return chunks
+
+        W.make_chunks = spy_make
+        P.W.make_chunks = spy_make
         try:
             res = P.describe(t(table), scale_cfg)
             sections.append("=== variables (result assembly) ===\n"
                             + fmt(res.variables))
         finally:
-            W.run_chunked_agg = orig_run
-            P.W.run_chunked_agg = orig_run
+            W.make_chunks = orig_make
+            P.W.make_chunks = orig_make
         return "\n".join(sections)
 
     def corr_matrix_plan() -> str:
@@ -95,8 +98,18 @@ def main() -> None:
         cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
                 "l_quantity", "l_extendedprice", "l_discount", "l_tax"]
         li = t("lineitem")
-        if hasattr(C, "correlation_agg_frame"):
-            return fmt(C.correlation_agg_frame(li, cols))
+        if len(cols) <= getattr(C, "_DECLARATIVE_MAX_COLS", 0):
+            # mirror of correlation_matrix's declarative branch
+            sel = li.select(*[li[c].cast("double").alias(c)
+                              for c in cols])
+            exprs = C.correlation_exprs(sel, cols)
+            allnn = " AND ".join(
+                f"(`{c}` IS NOT NULL AND NOT "
+                f"isnan(CAST(`{c}` AS DOUBLE)))" for c in cols)
+            exprs.append(f"count(CASE WHEN {allnn} THEN 1 END) "
+                         f"AS `__n_complete`")
+            return ("=== declarative covar/stddev aggregate path ===\n"
+                    + fmt(sel.selectExpr(*exprs)))
         clean = li.select(
             *[li[c].cast("double").alias(c) for c in cols]).na.drop("any")
         from pyspark.ml.feature import VectorAssembler
