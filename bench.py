@@ -40,21 +40,14 @@ def main() -> None:
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # Scan-split floor (guide §6): FilePartition sizes splits as
-        # min(maxPartitionBytes, max(openCostInBytes, bytes/cores)) — the
-        # 4 MB openCost floor serializes any table smaller than
-        # 4 MB x cores onto a handful of tasks (sf0.1 lineitem = 3 tasks
-        # on 32 cores; every other table = 1).  Lowering the floor lets
-        # the built-in bytes-per-core logic spread small scans across
-        # however many cores $SPARK_GRAFT_CPUS grants (adaptive at ANY
-        # core count, so the driver's low-core scaling run is measured
-        # faithfully).  At production scale files exceed maxPartitionBytes
-        # and this knob is inert except for many-tiny-files layouts,
-        # where the packing charge is a deployment-specific setting
-        # (SPARK_OPEN_COST_BYTES) — default documented in
-        # OPTIMIZATION_r15.md.
-        .config("spark.sql.files.openCostInBytes",
-                os.environ.get("SPARK_OPEN_COST_BYTES", "16384"))
+        # NOTE on scan splits: lowering spark.sql.files.openCostInBytes
+        # to split small inputs across cores was tried and REVERTED by
+        # measurement — every test parquet is ONE row group, so the
+        # extra splits are empty and their task-launch overhead costs
+        # 10-20% (profile_lineitem best-of-5: 2.28s at the 4 MB default
+        # vs 2.65s at 16 KB; profile_core8 4.31s vs 5.40s).  Engine-side
+        # mechanisms (fine chunking, parallelize_small_scan) carry the
+        # small-input parallelism instead.  See OPTIMIZATION_r15.md.
         .appName("spark-df-profiling-bench")
         .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")

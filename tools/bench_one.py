@@ -52,10 +52,11 @@ def main() -> None:
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # mirror bench.py's scan-split floor so isolated reads measure
-        # the same environment (see bench.py for the rationale)
+        # keep session conf aligned with bench.py (openCostInBytes
+        # override tried and reverted — see bench.py note); the env
+        # hook remains for A/B experiments
         .config("spark.sql.files.openCostInBytes",
-                os.environ.get("SPARK_OPEN_COST_BYTES", "16384"))
+                os.environ.get("SPARK_OPEN_COST_BYTES", "4194304"))
         .appName(f"bench-one-{name}")
         .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
