@@ -91,6 +91,15 @@ def zorder_key(df: DataFrame, cols: Sequence[str], bits: int = 8,
                          "just sort by it)")
     if not 1 <= bits <= 16:
         raise ValueError(f"bits must be in [1, 16]: {bits}")
+    if len(cols) * bits > 63:
+        # fail BEFORE the cut-computation job: interleave_bits would
+        # reject this anyway, but only after an exact-percentile
+        # aggregate with 2^bits-1 probs per column has run (measured:
+        # 4 cols x bits=16 on lineitem = a 27-minute job for an error)
+        raise ValueError(
+            f"interleave_bits: {len(cols)} columns x {bits} bits = "
+            f"{len(cols) * bits} key bits > 63 (long sign bit); "
+            f"lower bits or drop columns")
     n_tiers = 1 << bits
     fn = "percentile" if exact else "percentile_approx"
     extra = "" if exact else f", {int(accuracy)}"

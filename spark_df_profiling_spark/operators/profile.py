@@ -32,6 +32,7 @@ from spark_df_profiling_spark.config import DEFAULT_CONFIG, ProfileConfig
 from spark_df_profiling_spark.operators import correlation as C
 from spark_df_profiling_spark.operators import frequency as FR
 from spark_df_profiling_spark.plans import wide_agg as W
+from spark_df_profiling_spark.sources import input_bytes, scan_parallelism
 
 # Explicit result schema — stable across inputs (the driver smoke check
 # requires a stable schema for entry()).
@@ -154,9 +155,17 @@ def describe(df: DataFrame,
     # fine chunks took profile(documents, 584 KB) from 0.80s to 1.09s
     # while taking profile(lineitem, 11 MB) from 2.62s to 2.46s).
     cores = spark.sparkContext.defaultParallelism
-    src_bytes = _input_bytes(orig_df)
+    src_bytes = input_bytes(orig_df)
+    # Row-group-aware predicate: the byte band alone is only a proxy for
+    # "the scan cannot parallelize" — on a many-core cluster it could
+    # reach multi-GB files whose many row groups split fine.  The footer
+    # row-group count (metadata-only, no job) is the honest test; None
+    # (non-file / non-parquet / many files) means the scan parallelizes
+    # by other means and the band stays off.
+    rg = scan_parallelism(orig_df) if cfg.parallelize_small_input else None
     small_input = (cfg.parallelize_small_input
-                   and (4 << 20) <= src_bytes < cores * (4 << 20))
+                   and (4 << 20) <= src_bytes < cores * (4 << 20)
+                   and rg is not None and rg < cores)
     fields = df.schema.fields
     base_classes = [
         S.dtype_class(f.dataType, fix_decimal=cfg.fix_decimal,
@@ -191,6 +200,16 @@ def describe(df: DataFrame,
     if corr_in_pass1:
         p1_exprs.extend(C.correlation_exprs(df, dtype_num_cols))
 
+    # NOTE (r16 negative result): packing each batch's chunks into one
+    # SELECT of uncorrelated scalar subqueries — one py4j submission,
+    # fan-out on Spark's internal subquery pool — was built and measured
+    # this round and LOST to the thread-per-chunk form (pass-1 batch on
+    # lineitem, best-of-3: packed 0.97s / threads 0.41s with AQE on;
+    # 0.55s / 0.32s with AQE off): subquery analysis is serialized in
+    # one tree and AQE inserts a materialization barrier per subquery,
+    # while py4j releases the GIL during each chunk's JVM call so
+    # threaded submissions already overlap analysis AND execution.
+    # See OPTIMIZATION_r16.md.
     import threading
     # with fine chunks the jobs are ~1-task each, so a wider gate just
     # fills idle cores; at scale (small_input False) the 8-job bound
@@ -321,7 +340,7 @@ def describe(df: DataFrame,
         "n_duplicates": None,   # opt-in via operators.dedup (full-row hash)
         # T5: the reference hardcodes memsize 0; we report real input
         # bytes when the source files are resolvable (no Spark job).
-        "memsize": _input_bytes(orig_df),
+        "memsize": input_bytes(orig_df),
         "rejected": type_counts.get("CONST", 0) + type_counts.get("CORR", 0),
     }
     return ProfileResult(
@@ -338,27 +357,6 @@ def profile(df: DataFrame,
             cfg: ProfileConfig = DEFAULT_CONFIG) -> DataFrame:
     """Convenience: just the per-column statistics DataFrame."""
     return describe(df, cfg).variables
-
-
-def _input_bytes(df: DataFrame) -> int:
-    """Total size of the DataFrame's input files (metadata only).
-
-    Local file:// paths are sized via the OS; anything else returns 0
-    rather than issuing remote filesystem calls from the driver.
-    """
-    import os
-    total = 0
-    try:
-        for f in df.inputFiles():
-            if f.startswith("file:"):
-                p = f[len("file:"):]
-                while p.startswith("//"):
-                    p = p[1:]
-                if os.path.exists(p):
-                    total += os.path.getsize(p)
-    except Exception:
-        return 0
-    return total
 
 
 def _assemble_row(i: int, f_: T.StructField, base_cls: str, cls: str,
@@ -510,7 +508,6 @@ def profile_many(dfs: dict[str, DataFrame],
     natively — FAIR scheduling recommended on shared clusters.
     """
     from spark_df_profiling_spark.plans.wide_agg import run_inheritable
-    from spark_df_profiling_spark.sources import input_bytes
 
     names = list(dfs)
     # LPT scheduling: submit the LARGEST tables first so their long job

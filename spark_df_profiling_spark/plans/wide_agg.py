@@ -318,6 +318,14 @@ def run_chunked_agg(df: DataFrame, exprs: list[str],
     a multi-core driver the scans overlap; on a real cluster each
     chunk's tasks also fan out across executors.  Returns merged
     {alias: value}.
+
+    (r16 note: a one-submission variant — every chunk an uncorrelated
+    scalar subquery in a single SELECT, fanned out on Spark's internal
+    subquery pool — was built and MEASURED SLOWER than this form (2-3x
+    on the pass-1 batch: subquery analysis serializes in one tree and
+    AQE adds a materialization barrier per subquery, while py4j releases
+    the GIL during each chunk's JVM call so threaded submissions already
+    overlap analysis and execution).  Reverted; see OPTIMIZATION_r16.md.)
     """
     out: dict[str, Any] = {}
     if not exprs:

@@ -129,6 +129,41 @@ def input_bytes(df: DataFrame) -> int:
     return total
 
 
+def scan_parallelism(df: DataFrame, probe_cap: int = 256) -> int | None:
+    """Upper bound on the frame's achievable parquet-scan task count:
+    the total ROW-GROUP count of its input files (splits cannot go below
+    row-group granularity).  Footer metadata only — no Spark job, a few
+    hundred µs per file.
+
+    Returns ``None`` when the bound cannot be determined cheaply — a
+    non-file frame, a non-local path, an unreadable/non-parquet footer,
+    or more than ``probe_cap`` files (that many files already scan in
+    parallel by file count alone).  Callers must treat ``None`` as "the
+    scan parallelizes fine" and keep small-input remedies OFF: the
+    remedies are only safe when the scan provably cannot fan out.
+    """
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    paths: list[str] = []
+    for f in files:
+        if not f.startswith("file:"):
+            return None
+        p = f[len("file:"):]
+        while p.startswith("//"):
+            p = p[1:]
+        paths.append(p)
+    if not paths or len(paths) > probe_cap:
+        return None
+    try:
+        import pyarrow.parquet as pq
+        return sum(pq.ParquetFile(p).metadata.num_row_groups
+                   for p in paths)
+    except Exception:
+        return None
+
+
 def parallelize_small_scan(df: DataFrame, min_bytes: int = 64 << 10,
                            max_bytes_per_core: int = 4 << 20) -> DataFrame:
     """Repartition a SMALL file-backed frame to core count so heavy
@@ -146,12 +181,21 @@ def parallelize_small_scan(df: DataFrame, min_bytes: int = 64 << 10,
     Row ORDER changes under repartition; callers must be
     order-insensitive (every profiling aggregate/join/shuffle consumer
     here is).
+
+    The byte band is a cost guard; the row-group bound
+    (:func:`scan_parallelism`) is the correctness-of-purpose guard — a
+    file whose footer shows >= cores row groups (or any frame whose
+    bound is unknowable) already scans in parallel and is returned
+    unchanged, so a many-core cluster can't be tricked into shuffling a
+    multi-GB many-row-group input that never needed help.
     """
     spark = df.sparkSession
     cores = spark.sparkContext.defaultParallelism
     b = input_bytes(df)
     if min_bytes <= b < cores * max_bytes_per_core:
-        return df.repartition(cores)
+        rg = scan_parallelism(df)
+        if rg is not None and rg < cores:
+            return df.repartition(cores)
     return df
 
 
