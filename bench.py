@@ -114,8 +114,17 @@ def main() -> None:
                     order_col="doc_id").count()
 
     def bench_minhash_neardup():
-        minhash_candidates(t("documents"), "text", "doc_id",
-                           jaccard_max_distance=0.3).count()
+        out = minhash_candidates(t("documents"), "text", "doc_id",
+                                 jaccard_max_distance=0.3)
+        out.count()
+        # Release the persisted feature frame (r16): each call persists
+        # its own copy and the cache otherwise lives until session end,
+        # leaving both timed runs' copies resident in storage memory
+        # while every LATER query runs.  The release is INSIDE the
+        # timed region, so the measured query bears its own cleanup.
+        feats = getattr(out, "_minhash_features", None)
+        if feats is not None:
+            feats.unpersist()
 
     def bench_knn_bruteforce():
         emb = t("embeddings")

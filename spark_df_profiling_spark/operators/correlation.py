@@ -105,29 +105,47 @@ def correlation_matrix(df: DataFrame,
     """
     if len(num_cols) < 2:
         return {}
+    # Positional rename to safe internal names (same posture as
+    # describe()'s __c{i}): caller-supplied names are matched against
+    # df.columns ONCE, by position — never run through name resolution
+    # (df["a`b"] raises INVALID_ATTRIBUTE_NAME_SYNTAX) and never
+    # interpolated into SQL strings (where an embedded backtick would
+    # break the generated expressions).  First occurrence wins on
+    # duplicate names, matching what unambiguous resolution would pick.
+    pos: dict[str, int] = {}
+    for i, c in enumerate(df.columns):
+        pos.setdefault(c, i)
+    missing = [c for c in num_cols if c not in pos]
+    if missing:
+        raise ValueError(f"columns not in DataFrame: {missing}")
+    safe_all = df.toDF(*[f"__x{i}" for i in range(len(df.columns))])
+    safe = [f"__p{j}" for j in range(len(num_cols))]
+    sel = safe_all.select(
+        *[safe_all[f"__x{pos[c]}"].cast("double").alias(s)
+          for c, s in zip(num_cols, safe)])
     if len(num_cols) <= _DECLARATIVE_MAX_COLS:
         from spark_df_profiling_spark.config import DEFAULT_CONFIG
         from spark_df_profiling_spark.plans.wide_agg import run_chunked_agg
-        sel = df.select(*[df[c].cast("double").alias(c) for c in num_cols])
-        exprs = correlation_exprs(sel, num_cols)
+        exprs = correlation_exprs(sel, safe)
         # completeness guard: the ml path returns {} when listwise
         # deletion leaves nothing (Correlation.corr raises on empty
         # input) — replicate that contract explicitly
         allnn = " AND ".join(
-            f"(`{c}` IS NOT NULL AND NOT isnan(CAST(`{c}` AS DOUBLE)))"
-            for c in num_cols)
+            f"(`{s}` IS NOT NULL AND NOT isnan(CAST(`{s}` AS DOUBLE)))"
+            for s in safe)
         exprs.append(f"count(CASE WHEN {allnn} THEN 1 END) "
                      f"AS `__n_complete`")
         row = run_chunked_agg(sel, exprs, DEFAULT_CONFIG)
         if not int(row.get("__n_complete") or 0):
             return {}
+        # decode_correlation_row keys pairs by POSITION (__corr_{i}_{j});
+        # passing the original names restores the caller's naming
         return decode_correlation_row(row, num_cols)
     from pyspark.ml.feature import VectorAssembler
     from pyspark.ml.stat import Correlation
 
-    clean = df.select(
-        *[df[c].cast("double").alias(c) for c in num_cols]).na.drop("any")
-    assembler = VectorAssembler(inputCols=num_cols, outputCol="__features")
+    clean = sel.na.drop("any")
+    assembler = VectorAssembler(inputCols=safe, outputCol="__features")
     vec = assembler.transform(clean).select("__features")
     try:
         mat = Correlation.corr(vec, "__features", "pearson").head()[0]

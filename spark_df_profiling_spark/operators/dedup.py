@@ -211,6 +211,13 @@ def minhash_candidates(df: DataFrame, text_col: str, id_col: str,
     cluster MEMORY_AND_DISK capacity — the join then recomputes them
     per branch (the caller owns the memory trade-off; results are
     identical either way).
+
+    The cache lives until session end unless released: because the
+    result is lazy, unpersisting here would silently undo the
+    optimization before the join ever runs.  The persisted frame is
+    exposed as the returned DataFrame's ``_minhash_features``
+    attribute — call ``.unpersist()`` on it once the result has been
+    materialized (collected/written) to free the cached partitions.
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
     from pyspark.storagelevel import StorageLevel
@@ -240,11 +247,17 @@ def minhash_candidates(df: DataFrame, text_col: str, id_col: str,
     joined = model.approxSimilarityJoin(feat_h, feat_h,
                                         jaccard_max_distance,
                                         distCol="jaccard_distance")
-    return (joined
-            .select(F.col(f"datasetA.{id_col}").alias("id_a"),
-                    F.col(f"datasetB.{id_col}").alias("id_b"),
-                    F.col("jaccard_distance"))
-            .where(F.col("id_a") < F.col("id_b")))
+    out = (joined
+           .select(F.col(f"datasetA.{id_col}").alias("id_a"),
+                   F.col(f"datasetB.{id_col}").alias("id_b"),
+                   F.col("jaccard_distance"))
+           .where(F.col("id_a") < F.col("id_b")))
+    if persist_features:
+        # release handle (see docstring): caller unpersists after
+        # materializing; unpersisting eagerly here would undo the
+        # single-tokenization optimization on the still-lazy result
+        out._minhash_features = feat_h
+    return out
 
 
 def shingle_expr(text_col: str, n: int = 3) -> Column:

@@ -113,11 +113,21 @@ def first_digit(col) -> F.Column:
     yield 10 or 0 instead of the true digit — so the quotient is
     RE-NORMALIZED into [1, 10) before flooring.  After that correction
     every IEEE engine produces the identical digit regardless of which
-    side its log10 landed on (the oracle replays the same guard)."""
+    side its log10 landed on (the oracle replays the same guard).
+
+    The scale is built by PARSING the literal ``'1e<mag>'``, never via
+    ``pow``: float parsing and division are correctly-rounded IEEE ops
+    (bit-identical across engines), while ``pow`` is only ulp-accurate
+    for non-representable powers (negative magnitudes: 10^-2 etc.) and
+    the engines genuinely disagree by an ulp — enough to flip
+    ``floor(d0)`` when d0 sits exactly on an integer (same divergence
+    class as the r15 sig() decimal-tie bug; see oracle.sig)."""
     c = (F.col(col) if isinstance(col, str) else col).cast("double")
     a = F.abs(c)
     mag = F.floor(F.log10(a))
-    d0 = a / F.pow(F.lit(10.0), mag.cast("double"))
+    scale = F.concat(F.lit("1e"),
+                     mag.cast("long").cast("string")).cast("double")
+    d0 = a / scale
     return (F.when(a > 0,
                    F.when(d0 >= 10, F.floor(d0 / 10))
                    .when(d0 < 1, F.floor(d0 * 10))

@@ -213,8 +213,13 @@ def describe(df: DataFrame,
     import threading
     # with fine chunks the jobs are ~1-task each, so a wider gate just
     # fills idle cores; at scale (small_input False) the 8-job bound
-    # keeps driver pressure at the long-standing level
-    gate = threading.Semaphore(max(8, cores) if small_input else 8)
+    # keeps driver pressure at the long-standing level.  Hard 64-job
+    # ceiling: past ~64 in-flight jobs the driver's py4j/GIL submission
+    # serialization dominates anyway, so on a many-core cluster a raw
+    # defaultParallelism gate would only add scheduler pressure, never
+    # throughput (ADVICE r15).
+    gate = threading.Semaphore(
+        min(max(8, cores), 64) if small_input else 8)
 
     def chunk_thunk(ch: list[str], label: str):
         def run():

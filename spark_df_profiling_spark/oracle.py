@@ -716,8 +716,9 @@ LEFT JOIN (
               WHEN d0 < 1 THEN floor(d0 * 10)
               ELSE floor(d0) END AS dg, count(*) AS cnt
   FROM (SELECT abs(CAST(l_extendedprice AS DOUBLE))
-               / pow(10, floor(log10(abs(CAST(l_extendedprice
-                                              AS DOUBLE))))) AS d0
+               / CAST('1e' || CAST(CAST(floor(log10(abs(CAST(
+                   l_extendedprice AS DOUBLE)))) AS BIGINT) AS VARCHAR)
+                      AS DOUBLE) AS d0
         FROM lineitem
         WHERE abs(l_extendedprice) > 0)
   GROUP BY 1) g ON d.d = g.dg

@@ -72,3 +72,55 @@ def test_describe_small_input_band_gates_on_row_groups(spark, tmp_path):
     # the describe() predicate: band AND rg is not None AND rg < cores
     assert not (rg is not None and rg < cores), \
         "many-row-group file must fail the small_input predicate"
+
+
+def test_first_digit_pow_free(spark):
+    """Benford first_digit builds its scale by parsing '1e<mag>' (never
+    pow): negative magnitudes like 10^-2 are not exactly representable
+    and Java/libm pow land an ulp apart, which can flip floor(d0) on an
+    exact-integer quotient (same class as the r15 sig() tie bug)."""
+    from spark_df_profiling_spark.operators.outliers import first_digit
+    vals = [0.02, 0.07, 0.001, 100.0, 999.99, 123.456, 1.0, 9.999,
+            0.999999, -250.0, 0.0, None]
+    want = [2, 7, 1, 1, 9, 1, 1, 9, 9, 2, None, None]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = [r.d for r in
+           df.select(first_digit(F.col("v")).alias("d")).collect()]
+    assert got == want
+
+
+def test_correlation_matrix_backtick_names(spark):
+    """Declarative correlation path must survive caller-supplied column
+    names containing backticks/spaces (ADVICE r15): names are renamed
+    positionally before any SQL interpolation."""
+    from spark_df_profiling_spark.operators.correlation import (
+        correlation_matrix)
+    rows = [(float(i), float(2 * i + 1), float(10 - i)) for i in range(20)]
+    df = spark.createDataFrame(rows, ["plain", "x", "y"]) \
+        .withColumnRenamed("x", "a`b").withColumnRenamed("y", "c d")
+    out = correlation_matrix(df, ["plain", "a`b", "c d"])
+    assert out[("plain", "a`b")] == pytest.approx(1.0)
+    assert out[("plain", "c d")] == pytest.approx(-1.0)
+    assert out[("a`b", "c d")] == pytest.approx(-1.0)
+
+
+def test_minhash_persist_release_handle(spark):
+    """minhash_candidates exposes the persisted feature frame so callers
+    can release the cache after materializing (ADVICE r15: it otherwise
+    lives until session end)."""
+    from spark_df_profiling_spark.operators.dedup import minhash_candidates
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog number %d" % (i % 3))
+         for i in range(30)], ["doc_id", "text"])
+    out = minhash_candidates(docs, "text", "doc_id",
+                             jaccard_max_distance=0.5)
+    out.count()  # materialize
+    feats = getattr(out, "_minhash_features", None)
+    assert feats is not None and feats.is_cached
+    feats.unpersist()
+    assert not feats.is_cached
+    # opt-out path carries no handle
+    out2 = minhash_candidates(docs, "text", "doc_id",
+                              jaccard_max_distance=0.5,
+                              persist_features=False)
+    assert getattr(out2, "_minhash_features", None) is None

@@ -119,11 +119,15 @@ def main() -> None:
             "spark_df_profiling_spark.operators.dedup",
             fromlist=["exact_dedup"]).exact_dedup(
             t("documents"), cols=["text"], order_col="doc_id").count(),
-        "minhash_neardup": lambda: __import__(
-            "spark_df_profiling_spark.operators.dedup",
-            fromlist=["minhash_candidates"]).minhash_candidates(
-            t("documents"), "text", "doc_id",
-            jaccard_max_distance=0.3).count(),
+        "minhash_neardup": lambda: (lambda out: (
+            out.count(),
+            # release the per-call feature cache (mirrors bench.py)
+            getattr(out, "_minhash_features", None) is not None
+            and out._minhash_features.unpersist()))(__import__(
+                "spark_df_profiling_spark.operators.dedup",
+                fromlist=["minhash_candidates"]).minhash_candidates(
+                t("documents"), "text", "doc_id",
+                jaccard_max_distance=0.3)),
         "canonical_dedup": lambda: __import__(
             "spark_df_profiling_spark.operators.text",
             fromlist=["canonical_dedup"]).canonical_dedup(

@@ -1,13 +1,21 @@
-"""Plan-shape audit over every declared slot query.
+"""Plan-shape audit over every declared slot query — now a DRIFT GATE.
 
 For each __spark_entry__.queries() entry (at sf0.01 by default): build
 the DataFrame, capture explain("formatted"), and summarize the physical
 operators that matter at 100 TB — Exchange count, join strategies,
 nested-loop joins, Python-boundary nodes, non-broadcast cartesians,
-global (unpartitioned) windows and sorts.  One line per slot; exit 1 if
-any red-flag column is non-zero.
+global (unpartitioned) windows and sorts.  One line per slot.
+
+Gate semantics (r16): when ``plans/audit_baseline.tsv`` exists (it is
+committed), every slot is compared against it and the exit code is 1 on
+DRIFT — a new CartesianProduct, a new Python-boundary node, a higher
+Exchange count, or a join-strategy downgrade (BHJ lost to SMJ/SHJ).
+This lets deliberate shapes (multimodal_meta's bounded Arrow sniffers)
+stay green while catching regressions.  Without a baseline the old
+absolute rule applies (exit 1 on any cartesian / Python boundary).
 
 Usage: python tools/plan_audit.py [sf_dir] [slot,slot,...]
+       python tools/plan_audit.py --write-baseline [sf_dir]
 """
 
 from __future__ import annotations
@@ -20,8 +28,13 @@ from contextlib import redirect_stdout
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ONLY = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
+_args = [a for a in sys.argv[1:] if a != "--write-baseline"]
+WRITE_BASELINE = "--write-baseline" in sys.argv[1:]
+SF_DIR = _args[0] if _args else "/root/testdata/sf0.01"
+ONLY = set(_args[1].split(",")) if len(_args) > 1 else None
+BASELINE = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "plans", "audit_baseline.tsv")
+_COLS = ("exch", "bhj", "smj", "shj", "bnlj", "cart", "py", "gwin")
 
 
 def main() -> None:
@@ -40,6 +53,8 @@ def main() -> None:
     from spark_df_profiling_spark.oracle import SPARK_QUERIES
 
     red_total = 0
+    metrics: dict[str, dict[str, int]] = {}
+    base = None if WRITE_BASELINE else _load_baseline()
     print(f"{'slot':34} {'Exch':>4} {'BHJ':>3} {'SMJ':>3} {'SHJ':>3} "
           f"{'BNLJ':>4} {'CART':>4} {'Py':>3} {'gWin':>4}")
     for name, fn in SPARK_QUERIES.items():
@@ -74,17 +89,54 @@ def main() -> None:
         gwin = len(re.findall(
             r"Arguments: SinglePartition", plan)) if (
             "Window" in joined) else 0
+        metrics[name] = dict(zip(_COLS, (exch, bhj, smj, shj, bnlj,
+                                         cart, py, gwin)))
         flags = []
-        if cart:
-            flags.append("CARTESIAN")
-        if py:
-            flags.append("PYTHON-BOUNDARY")
+        if base is not None:
+            b = base.get(name)
+            if b is None:
+                flags.append("NEW-SLOT(rebaseline)")
+            else:
+                if cart > b["cart"]:
+                    flags.append("NEW-CARTESIAN")
+                if py > b["py"]:
+                    flags.append("NEW-PY-BOUNDARY")
+                if exch > b["exch"]:
+                    flags.append(f"EXCH {b['exch']}->{exch}")
+                if bhj < b["bhj"] and (smj > b["smj"] or shj > b["shj"]):
+                    flags.append("BHJ-DOWNGRADE")
+        else:
+            if cart:
+                flags.append("CARTESIAN")
+            if py:
+                flags.append("PYTHON-BOUNDARY")
         red_total += len(flags)
         print(f"{name:34} {exch:>4} {bhj:>3} {smj:>3} {shj:>3} "
               f"{bnlj:>4} {cart:>4} {py:>3} {gwin:>4}"
               + ("  << " + ",".join(flags) if flags else ""))
     spark.stop()
+    if WRITE_BASELINE:
+        with open(BASELINE, "w") as fh:
+            fh.write("slot\t" + "\t".join(_COLS) + "\n")
+            for nm in sorted(metrics):
+                fh.write(nm + "\t" + "\t".join(
+                    str(metrics[nm][c]) for c in _COLS) + "\n")
+        print(f"baseline written: {BASELINE} ({len(metrics)} slots)")
+        sys.exit(0)
     sys.exit(1 if red_total else 0)
+
+
+def _load_baseline() -> dict | None:
+    if not os.path.exists(BASELINE):
+        return None
+    out: dict[str, dict[str, int]] = {}
+    with open(BASELINE) as fh:
+        header = fh.readline()
+        assert header.split() == ["slot", *_COLS], "baseline header drift"
+        for line in fh:
+            parts = line.split()
+            out[parts[0]] = dict(zip(_COLS, map(int, parts[1:])))
+    return out
 
 
 if __name__ == "__main__":
