@@ -323,13 +323,7 @@ def describe(df: DataFrame,
         rows.append(_assemble_row(i, f_, base_cls, cls, n, p1, p2,
                                   freqs, rejected, cfg,
                                   name=original_names[i]))
-    # one explicit slice: the default createDataFrame path parallelizes
-    # #cols rows over defaultParallelism slices, making every
-    # variables.collect() a cores-wide task storm for a frame that is
-    # O(#cols) rows by construction (measured 0.28s -> 0.17s per
-    # collect on local[32])
-    variables = spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), PROFILE_SCHEMA)
+    variables = _local_result_frame(spark, rows)
 
     # ---- table-level stats (T1-T5) -------------------------------------
     nvar = len(fields)
@@ -362,6 +356,39 @@ def profile(df: DataFrame,
             cfg: ProfileConfig = DEFAULT_CONFIG) -> DataFrame:
     """Convenience: just the per-column statistics DataFrame."""
     return describe(df, cfg).variables
+
+
+def _local_result_frame(spark: SparkSession, rows: list[dict]) -> DataFrame:
+    """O(#cols)-row result frame WITHOUT the Python-RDD boundary.
+
+    The obvious ``createDataFrame(parallelize(rows, 1), schema)`` backs
+    the frame with PICKLED Python rows, so every ``collect()`` launches
+    a job that round-trips through a Python worker (~250ms each;
+    guide §4 — the gantt showed profile_many's eight result collects as
+    a 2s serial tail of exactly these jobs).  Handing Spark an Arrow
+    table instead keeps both creation and every later action entirely
+    in the JVM (the values cross as Arrow batches ONCE, at creation).
+    Values are bit-identical: every PROFILE_SCHEMA field is
+    long/double/string/bool or arrays of structs of those, and Arrow
+    carries doubles/longs exactly (no pandas float64 coercion — the
+    table is built column-by-column with explicit Arrow types).
+    Falls back to the pickled-RDD path if the Arrow conversion is
+    unavailable.
+    """
+    try:
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+        arrow_schema = to_arrow_schema(PROFILE_SCHEMA)
+        arrays = [
+            pa.array([r[f.name] for r in rows], type=arrow_schema.types[i])
+            for i, f in enumerate(PROFILE_SCHEMA.fields)]
+        tbl = pa.Table.from_arrays(arrays, schema=arrow_schema)
+        return spark.createDataFrame(tbl, schema=PROFILE_SCHEMA)
+    except Exception:
+        # one explicit slice (not defaultParallelism): the frame is
+        # O(#cols) rows by construction
+        return spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1), PROFILE_SCHEMA)
 
 
 def _assemble_row(i: int, f_: T.StructField, base_cls: str, cls: str,

@@ -124,3 +124,39 @@ def test_minhash_persist_release_handle(spark):
                               jaccard_max_distance=0.5,
                               persist_features=False)
     assert getattr(out2, "_minhash_features", None) is None
+
+
+def test_local_result_frame_arrow_exactness(spark):
+    """The Arrow-backed result frame (no Python-RDD boundary; every
+    variables.collect() used to round-trip a Python worker) must carry
+    values bit-identically to the pickled-RDD fallback — including
+    >2^53 longs, NaN/inf doubles and nested freq/histogram structs."""
+    import math
+    from spark_df_profiling_spark.operators.profile import (
+        PROFILE_SCHEMA, _local_result_frame)
+    base = {f.name: None for f in PROFILE_SCHEMA.fields}
+    r1 = dict(base, column="big", pos=0, dtype="bigint", type_class="NUM",
+              n=2**60 + 1, count=2**60, n_missing=1,
+              p_missing=float("nan"), mean=0.1 + 0.2, std=float("inf"),
+              is_unique=False,
+              freq=[{"value": "x", "cnt": 2**55 + 3}],
+              histogram=[{"bin_left": -0.0, "bin_right": 1e-308,
+                          "cnt": 7}])
+    r2 = dict(base, column="nulls", pos=1, dtype="string",
+              type_class="CAT", n=5, count=0, n_missing=5, is_unique=True)
+    rows = [r1, r2]
+    out = _local_result_frame(spark, rows)
+    assert out.schema == PROFILE_SCHEMA
+    a = out.collect()
+    b = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), PROFILE_SCHEMA).collect()
+    for ra, rb in zip(a, b):
+        da = ra.asDict(recursive=True)
+        db = rb.asDict(recursive=True)
+        for k in da:
+            va, vb = da[k], db[k]
+            assert (va == vb) or (
+                isinstance(va, float) and isinstance(vb, float)
+                and math.isnan(va) and math.isnan(vb)), (k, va, vb)
+    assert a[0]["n"] == 2**60 + 1
+    assert a[0]["freq"][0]["cnt"] == 2**55 + 3
