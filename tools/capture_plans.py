@@ -99,13 +99,15 @@ def main() -> None:
                 "l_quantity", "l_extendedprice", "l_discount", "l_tax"]
         li = t("lineitem")
         if len(cols) <= getattr(C, "_DECLARATIVE_MAX_COLS", 0):
-            # mirror of correlation_matrix's declarative branch
-            sel = li.select(*[li[c].cast("double").alias(c)
-                              for c in cols])
-            exprs = C.correlation_exprs(sel, cols)
+            # mirror of correlation_matrix's declarative branch (r16:
+            # positional safe names, matching the operator)
+            safe = [f"__p{j}" for j in range(len(cols))]
+            sel = li.select(*[li[c].cast("double").alias(s)
+                              for c, s in zip(cols, safe)])
+            exprs = C.correlation_exprs(sel, safe)
             allnn = " AND ".join(
-                f"(`{c}` IS NOT NULL AND NOT "
-                f"isnan(CAST(`{c}` AS DOUBLE)))" for c in cols)
+                f"(`{s}` IS NOT NULL AND NOT "
+                f"isnan(CAST(`{s}` AS DOUBLE)))" for s in safe)
             exprs.append(f"count(CASE WHEN {allnn} THEN 1 END) "
                          f"AS `__n_complete`")
             return ("=== declarative covar/stddev aggregate path ===\n"
