@@ -24,7 +24,8 @@ from pyspark.sql import functions as F
 
 
 def topk_frequencies(df: DataFrame, cat_cols: list[str], k: int,
-                     sub_partitions: int = 64
+                     sub_partitions: int = 64,
+                     two_phase: bool = True
                      ) -> dict[str, list[tuple[str, int]]]:
     """Return {column: [(value, count), ...]} for the top-k values of each
     categorical column, computed in one Spark job.
@@ -38,7 +39,14 @@ def topk_frequencies(df: DataFrame, cat_cols: list[str], k: int,
     ``sub_partitions x k`` rows per column — trivially small.  The local
     top-k provably contains the global top-k (a value's full count lives
     in exactly one bucket since the bucket key is a function of the
-    value)."""
+    value).
+
+    ``two_phase=False`` skips the bucket phase and ranks the aggregated
+    counts directly — IDENTICAL results (the bucket phase only
+    pre-prunes rows that cannot be in the global top-k), one fewer
+    exchange+window.  For callers who KNOW the distinct-value volume is
+    trivial (describe() passes this for sub-MiB inputs, where the extra
+    stage is pure per-job overhead); the scale-safe default stays on."""
     if not cat_cols:
         return {}
     stacked = stack_columns(df, cat_cols)
@@ -46,16 +54,17 @@ def topk_frequencies(df: DataFrame, cat_cols: list[str], k: int,
               .where(F.col("value").isNotNull())
               .groupBy("col_name", "value")
               .agg(F.count(F.lit(1)).alias("cnt")))
-    bucket = F.pmod(F.xxhash64(F.col("value")), F.lit(sub_partitions))
-    w_local = (Window.partitionBy("col_name", bucket)
-               .orderBy(F.desc("cnt"), F.asc("value")))
-    local_top = (counts
-                 .withColumn("rk", F.row_number().over(w_local))
-                 .where(F.col("rk") <= k)
-                 .drop("rk"))
+    if two_phase:
+        bucket = F.pmod(F.xxhash64(F.col("value")), F.lit(sub_partitions))
+        w_local = (Window.partitionBy("col_name", bucket)
+                   .orderBy(F.desc("cnt"), F.asc("value")))
+        counts = (counts
+                  .withColumn("rk", F.row_number().over(w_local))
+                  .where(F.col("rk") <= k)
+                  .drop("rk"))
     w_global = (Window.partitionBy("col_name")
                 .orderBy(F.desc("cnt"), F.asc("value")))
-    top = (local_top
+    top = (counts
            .withColumn("rk", F.row_number().over(w_global))
            .where(F.col("rk") <= k)
            .select("col_name", "value", "cnt", "rk"))

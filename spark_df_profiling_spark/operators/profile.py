@@ -166,6 +166,19 @@ def describe(df: DataFrame,
     small_input = (cfg.parallelize_small_input
                    and (4 << 20) <= src_bytes < cores * (4 << 20)
                    and rg is not None and rg < cores)
+    # Tiny-input band (disjoint from the band above — it ends at 1 MiB,
+    # the band starts at 4 MiB): the distinct-value volume of every
+    # column is trivially bounded by the input bytes, so the frequency
+    # pass can skip its scale-safe bucket pre-prune phase (one fewer
+    # exchange+window of pure per-stage overhead; measured 0.10-0.15s
+    # per table, interleaved best-of-8 at sf0.1 local[32]: supplier
+    # freq 0.344→0.240s, documents 0.378→0.249s).  Results identical —
+    # the bucket phase only drops rows that cannot reach the global
+    # top-k.  Non-file frames (src_bytes 0) keep the standard path.
+    # (A second tiny-input remedy — merging all agg chunks into ONE
+    # job — was built and measured SLOWER everywhere; see the negative
+    # result note in wide_agg.make_chunks.)
+    tiny_input = 0 < src_bytes < cfg.tiny_input_bytes
     fields = df.schema.fields
     base_classes = [
         S.dtype_class(f.dataType, fix_decimal=cfg.fix_decimal,
@@ -250,7 +263,11 @@ def describe(df: DataFrame,
 
     def freq_thunk():
         spark.sparkContext.setJobDescription("profile: frequencies")
-        return FR.topk_frequencies(df, freq_spec_cols, cfg.top_k)
+        # tiny inputs skip the bucket pre-prune phase: identical values
+        # (it only drops rows that cannot reach the global top-k), one
+        # fewer exchange+window of pure per-stage overhead
+        return FR.topk_frequencies(df, freq_spec_cols, cfg.top_k,
+                                   two_phase=not tiny_input)
 
     freq_task = (W.InheritableTask(freq_thunk, gate)
                  if freq_spec_cols else None)
@@ -322,7 +339,8 @@ def describe(df: DataFrame,
     if extra_freq_cols:  # non-string columns that resolved CONST
         freqs_raw = dict(freqs_raw)
         freqs_raw.update(FR.topk_frequencies(df, extra_freq_cols,
-                                             cfg.top_k))
+                                             cfg.top_k,
+                                             two_phase=not tiny_input))
     freqs = {safe_to_orig[c]: v for c, v in freqs_raw.items()}
 
     # ---- assemble the profile DataFrame (driver: O(#cols) scalars) -----
@@ -392,10 +410,30 @@ def _local_result_frame(spark: SparkSession, rows: list[dict]) -> DataFrame:
             pa.array([r[f.name] for r in rows], type=arrow_schema.types[i])
             for i, f in enumerate(PROFILE_SCHEMA.fields)]
         tbl = pa.Table.from_arrays(arrays, schema=arrow_schema)
-        return spark.createDataFrame(tbl, schema=PROFILE_SCHEMA)
-    except Exception:
-        # one explicit slice (not defaultParallelism): the frame is
-        # O(#cols) rows by construction
+        out = spark.createDataFrame(tbl, schema=PROFILE_SCHEMA)
+        try:
+            # Force analysis+planning now (no job): Dataset caches its
+            # queryExecution, so the caller's first action pays only
+            # execution instead of the full compile (~10ms less per
+            # collect; this runs inside the overlapped profile window)
+            out._jdf.queryExecution().executedPlan()
+        except Exception:
+            pass
+        return out
+    except Exception as exc:
+        # One explicit slice (not defaultParallelism): the frame is
+        # O(#cols) rows by construction.  LOUD fallback: the pickled-RDD
+        # frame round-trips a Python worker on EVERY later action
+        # (~150ms per collect vs ~15ms) — a silent fallback hid a
+        # KeyError for a full round (r16: _assemble_row omitted the
+        # jarque_bera key on non-numeric columns, so every real profile
+        # quietly kept the slow path while the Arrow micro-benchmarks,
+        # built with all-keys rows, looked great).
+        import warnings
+        warnings.warn(
+            f"profile result frame: Arrow construction failed "
+            f"({type(exc).__name__}: {exc}); falling back to the "
+            f"pickled-RDD path (slower collects)")
         return spark.createDataFrame(
             spark.sparkContext.parallelize(rows, 1), PROFILE_SCHEMA)
 
@@ -430,8 +468,8 @@ def _assemble_row(i: int, f_: T.StructField, base_cls: str, cls: str,
         "n_infinite": None, "p_infinite": None, "n_nan": None,
         "n_zeros": None, "p_zeros": None,
         "mean": None, "std": None, "variance": None, "skewness": None,
-        "kurtosis": None, "sum_value": None, "min_num": None,
-        "max_num": None, "range_num": None,
+        "kurtosis": None, "jarque_bera": None, "sum_value": None,
+        "min_num": None, "max_num": None, "range_num": None,
         "q05": None, "q25": None, "q50": None, "q75": None, "q95": None,
         "iqr": None, "cv": None, "mad": None,
         "min_date": None, "max_date": None, "range_seconds": None,

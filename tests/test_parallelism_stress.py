@@ -17,11 +17,21 @@ of a driver mystery.
 
 Subprocesses because one JVM allows one SparkContext: the session-scoped
 ``spark`` fixture cannot re-master mid-run.
+
+Wall-clock (r16): the two runners launch at MODULE IMPORT — i.e. during
+pytest collection, ~20 minutes before this test runs in a full-suite
+pass — and the test only joins them and compares.  The suite's slowest
+test (283s serial in the r16 durations run) thus overlaps the rest of
+the suite instead of extending it.  Output goes to FILES, not pipes: a
+pipe nobody drains until join time can fill and deadlock the runner.
 """
 
+import atexit
 import json
+import os
 import subprocess
 import sys
+import tempfile
 
 import pytest
 
@@ -78,29 +88,41 @@ with open(out_path, "w") as f:
 spark.stop()
 """
 
+# ---- module-import launch (pytest collection time) ----------------------
+_DIR = tempfile.mkdtemp(prefix="par-stress-")
+_PROCS: dict[str, tuple] = {}
+for _master, _shuffle in (("local[2]", "2"), ("local[32]", "200")):
+    _out = os.path.join(_DIR, f"par_{_shuffle}.json")
+    _log = open(os.path.join(_DIR, f"par_{_shuffle}.log"), "w")
+    _PROCS[_master] = (subprocess.Popen(
+        [sys.executable, "-c", RUNNER, _master, _shuffle, _out,
+         ",".join(FLOAT_GRADED)],
+        stdout=_log, stderr=subprocess.STDOUT), _out, _log)
 
-def test_float_graded_slots_stable_across_parallelism(tmp_path):
-    # the two runners are independent fresh JVMs — run them
-    # CONCURRENTLY (the box has cores for both); halves the wall-clock
-    # of the suite's slowest test
-    procs = {}
-    for master, shuffle in (("local[2]", "2"), ("local[32]", "200")):
-        out = tmp_path / f"par_{shuffle}.json"
-        procs[master] = (subprocess.Popen(
-            [sys.executable, "-c", RUNNER, master, shuffle, str(out),
-             ",".join(FLOAT_GRADED)],
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True),
-            out)
+
+@atexit.register
+def _reap_runners():
+    """Don't leak JVMs when the suite exits before the test runs
+    (-x on an earlier failure, -k deselection, --collect-only)."""
+    for proc, _, log in _PROCS.values():
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait()
+        log.close()
+
+
+def test_float_graded_slots_stable_across_parallelism():
     results = {}
-    for master, (proc, out) in procs.items():
+    for master, (proc, out, log) in _PROCS.items():
         try:
-            _, err = proc.communicate(timeout=900)
+            proc.wait(timeout=900)
         except subprocess.TimeoutExpired:
             proc.kill()
             raise
-        assert proc.returncode == 0, (
-            f"{master} runner failed:\n{err[-3000:]}")
-        results[master] = json.loads(out.read_text())
+        log.flush()
+        tail = open(log.name).read()[-3000:]
+        assert proc.returncode == 0, f"{master} runner failed:\n{tail}"
+        results[master] = json.loads(open(out).read())
     a, b = results["local[2]"], results["local[32]"]
     for slot in FLOAT_GRADED:
         assert a[slot] == b[slot], (

@@ -160,3 +160,68 @@ def test_local_result_frame_arrow_exactness(spark):
                 and math.isnan(va) and math.isnan(vb)), (k, va, vb)
     assert a[0]["n"] == 2**60 + 1
     assert a[0]["freq"][0]["cnt"] == 2**55 + 3
+
+
+def test_tiny_input_band_identical(spark):
+    """Sub-MiB file-backed inputs run the single-phase frequency form
+    (two_phase=False) — the full describe() result must be identical
+    to the band disabled (tiny_input_bytes=0), in default AND exact
+    mode."""
+    from dataclasses import replace
+
+    from spark_df_profiling_spark.config import ProfileConfig
+    from spark_df_profiling_spark.operators.profile import describe
+
+    df = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    for cfg in (ProfileConfig(), ProfileConfig().exact()):
+        tiny = describe(df, cfg)
+        std = describe(df, replace(cfg, tiny_input_bytes=0))
+        assert tiny.variables.collect() == std.variables.collect()
+        assert tiny.table == std.table and tiny.freq == std.freq
+
+
+def test_topk_single_phase_identical(spark):
+    """two_phase=False (tiny-input form) must return exactly the
+    two-phase result — the bucket phase only pre-prunes rows that
+    cannot reach the global top-k."""
+    from spark_df_profiling_spark.operators.frequency import (
+        topk_frequencies)
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_shipdate"]
+    a = topk_frequencies(df, cols, 5)
+    b = topk_frequencies(df, cols, 5, two_phase=False)
+    assert a == b
+
+
+def test_assemble_rows_cover_schema_and_arrow_path_engages(spark):
+    """Every _assemble_row output must carry EVERY PROFILE_SCHEMA key:
+    a missing key (r16 found jarque_bera absent on non-numeric columns)
+    raises inside the Arrow result-frame builder, silently demoting
+    every real profile to the pickled-RDD path whose collects
+    round-trip a Python worker (~150ms vs ~15ms).  Also asserts the
+    frame built from REAL describe rows is NOT RDD-backed."""
+    import warnings
+
+    from spark_df_profiling_spark.config import ProfileConfig
+    from spark_df_profiling_spark.operators import profile as P
+
+    captured = {}
+    orig = P._local_result_frame
+
+    def spy(spark_, rows):
+        captured["rows"] = rows
+        return orig(spark_, rows)
+
+    P._local_result_frame = spy
+    try:
+        df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # loud-fallback warning fails
+            res = P.describe(df, ProfileConfig())
+            res.variables.collect()
+    finally:
+        P._local_result_frame = orig
+    want = {f.name for f in P.PROFILE_SCHEMA.fields}
+    for r in captured["rows"]:
+        missing = want - set(r)
+        assert not missing, f"row for {r.get('column')} missing {missing}"
