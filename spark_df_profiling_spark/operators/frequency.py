@@ -49,6 +49,21 @@ def topk_frequencies(df: DataFrame, cat_cols: list[str], k: int,
     stage is pure per-job overhead); the scale-safe default stays on."""
     if not cat_cols:
         return {}
+    top = topk_frequencies_frame(df, cat_cols, k, sub_partitions,
+                                 two_phase)
+    out: dict[str, list[tuple[str, int]]] = {c: [] for c in cat_cols}
+    rows = top.collect()
+    for r in sorted(rows, key=lambda r: (r["col_name"], r["rk"])):
+        out[r["col_name"]].append((r["value"], r["cnt"]))
+    return out
+
+
+def topk_frequencies_frame(df: DataFrame, cat_cols: list[str], k: int,
+                           sub_partitions: int = 64,
+                           two_phase: bool = True) -> DataFrame:
+    """The (col_name, value, cnt, rk) frame :func:`topk_frequencies`
+    collects — exposed so plan-capture tooling explains the EXACT frame
+    the operator executes instead of a hand-mirrored copy."""
     stacked = stack_columns(df, cat_cols)
     counts = (stacked
               .where(F.col("value").isNotNull())
@@ -64,15 +79,10 @@ def topk_frequencies(df: DataFrame, cat_cols: list[str], k: int,
                   .drop("rk"))
     w_global = (Window.partitionBy("col_name")
                 .orderBy(F.desc("cnt"), F.asc("value")))
-    top = (counts
-           .withColumn("rk", F.row_number().over(w_global))
-           .where(F.col("rk") <= k)
-           .select("col_name", "value", "cnt", "rk"))
-    out: dict[str, list[tuple[str, int]]] = {c: [] for c in cat_cols}
-    rows = top.collect()
-    for r in sorted(rows, key=lambda r: (r["col_name"], r["rk"])):
-        out[r["col_name"]].append((r["value"], r["cnt"]))
-    return out
+    return (counts
+            .withColumn("rk", F.row_number().over(w_global))
+            .where(F.col("rk") <= k)
+            .select("col_name", "value", "cnt", "rk"))
 
 
 def stack_columns(df: DataFrame, cols: list[str]) -> DataFrame:

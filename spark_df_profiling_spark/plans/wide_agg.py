@@ -302,7 +302,19 @@ def make_chunks(exprs: list[str], cfg: ProfileConfig,
     experiment — it removes a per-stage overhead, not concurrency.)
     """
     caps = _CHUNK_CAP_SMALL if small_input else _CHUNK_CAP
-    groups: dict[str, list[str]] = {"light": [], "sketch": [], "object": []}
+    # sketch chunks FIRST: task threads start in list order and the HLL
+    # sketch chunks are pass 1's long poles (0.3-0.6s vs 0.1-0.3s for
+    # light chunks on fine-chunked lineitem) — and pass 2 cannot start
+    # before EVERY pass-1 chunk (classes need the distinct counts, bins
+    # need min/max), so the longest chunks should not queue behind a
+    # dozen short ones (LPT, guide §2.6; same reasoning as submitting
+    # the quantile sketches before pass 1).  Measured NEUTRAL at sf0.1
+    # local[32] (interleaved best-of-8: lineitem 1.52s med both orders
+    # — the 32-slot small-input gate admits every chunk within the
+    # ~0.7s submission spread, so nothing queues); it matters when the
+    # chunk count exceeds the in-flight gate (8 at scale).  Chunk
+    # contents are unchanged — only the submission order.
+    groups: dict[str, list[str]] = {"sketch": [], "light": [], "object": []}
     for e in exprs:
         groups[_expr_class(e)].append(e)
     chunks: list[list[str]] = []

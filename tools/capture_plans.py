@@ -80,8 +80,20 @@ def main() -> None:
                     + fmt(_chunk_df(ch)))
             return chunks
 
+        from spark_df_profiling_spark.operators import frequency as FR
+        orig_freq = FR.topk_frequencies
+
+        def spy_freq(d, cat_cols, k, sub_partitions=64, two_phase=True):
+            sections.append(
+                f"=== frequencies (two_phase={two_phase}) ===\n"
+                + fmt(FR.topk_frequencies_frame(d, cat_cols, k,
+                                                sub_partitions, two_phase)))
+            return orig_freq(d, cat_cols, k, sub_partitions, two_phase)
+
         W.make_chunks = spy_make
         P.W.make_chunks = spy_make
+        FR.topk_frequencies = spy_freq
+        P.FR.topk_frequencies = spy_freq
         try:
             res = P.describe(t(table), scale_cfg)
             sections.append("=== variables (result assembly) ===\n"
@@ -89,6 +101,8 @@ def main() -> None:
         finally:
             W.make_chunks = orig_make
             P.W.make_chunks = orig_make
+            FR.topk_frequencies = orig_freq
+            P.FR.topk_frequencies = orig_freq
         return "\n".join(sections)
 
     def corr_matrix_plan() -> str:
@@ -123,22 +137,10 @@ def main() -> None:
     def freq_topk_plan() -> str:
         from spark_df_profiling_spark.operators import frequency as FR
         li = t("lineitem")
-        stacked = FR.stack_columns(li, ["l_returnflag", "l_linestatus"])
-        from pyspark.sql import Window
-        counts = (stacked.where(F.col("value").isNotNull())
-                  .groupBy("col_name", "value")
-                  .agg(F.count(F.lit(1)).alias("cnt")))
-        bucket = F.pmod(F.xxhash64(F.col("value")), F.lit(64))
-        w_local = (Window.partitionBy("col_name", bucket)
-                   .orderBy(F.desc("cnt"), F.asc("value")))
-        local_top = (counts.withColumn("rk", F.row_number().over(w_local))
-                     .where(F.col("rk") <= 50).drop("rk"))
-        w_global = (Window.partitionBy("col_name")
-                    .orderBy(F.desc("cnt"), F.asc("value")))
-        top = (local_top.withColumn("rk", F.row_number().over(w_global))
-               .where(F.col("rk") <= 50)
-               .select("col_name", "value", "cnt", "rk"))
-        return fmt(top)
+        # the exact frame the operator executes (r16: no more inline
+        # mirror that could drift from the implementation)
+        return fmt(FR.topk_frequencies_frame(
+            li, ["l_returnflag", "l_linestatus"], 50))
 
     def dedup_exact_plan() -> str:
         from spark_df_profiling_spark.operators.dedup import exact_dedup
