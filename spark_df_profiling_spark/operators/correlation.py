@@ -126,6 +126,31 @@ def correlation_matrix(df: DataFrame,
     if len(num_cols) <= _DECLARATIVE_MAX_COLS:
         from spark_df_profiling_spark.config import DEFAULT_CONFIG
         from spark_df_profiling_spark.plans.wide_agg import run_chunked_agg
+        from spark_df_profiling_spark.sources import (
+            input_bytes, scan_parallelism)
+        # The pair aggregates hold ~9 buffer slots each, so even the
+        # 8-column matrix (28 pairs ≈ 250 slots) exceeds the default
+        # codegen.maxFields=100 and silently demotes the whole agg to
+        # interpreted execution (measured 2.7s vs 0.8s codegen'd on
+        # sf0.1 lineitem).  describe() already raises the ceiling; the
+        # standalone operator must not depend on a profile having run
+        # first in the same session.
+        try:
+            df.sparkSession.conf.set("spark.sql.codegen.maxFields", "500")
+        except Exception:
+            pass
+        # Same small-input band as describe(): a single-row-group file
+        # pins the matrix job to ~1 task however many cores exist, so
+        # the pair expressions are fanned out as concurrent fine chunks
+        # (wide_agg._CHUNK_CAP_SMALL['pair']; bit-identical values —
+        # each expression runs over the full input in exactly one job;
+        # measured 0.78s -> 0.31s best on the 8-column sf0.1 matrix).
+        # At scale the band is off and the matrix stays a one-scan job.
+        cores = df.sparkSession.sparkContext.defaultParallelism
+        src_bytes = input_bytes(df)
+        rg = scan_parallelism(df)
+        small = ((4 << 20) <= src_bytes < cores * (4 << 20)
+                 and rg is not None and rg < cores)
         exprs = correlation_exprs(sel, safe)
         # completeness guard: the ml path returns {} when listwise
         # deletion leaves nothing (Correlation.corr raises on empty
@@ -135,7 +160,7 @@ def correlation_matrix(df: DataFrame,
             for s in safe)
         exprs.append(f"count(CASE WHEN {allnn} THEN 1 END) "
                      f"AS `__n_complete`")
-        row = run_chunked_agg(sel, exprs, DEFAULT_CONFIG)
+        row = run_chunked_agg(sel, exprs, DEFAULT_CONFIG, small_input=small)
         if not int(row.get("__n_complete") or 0):
             return {}
         # decode_correlation_row keys pairs by POSITION (__corr_{i}_{j});

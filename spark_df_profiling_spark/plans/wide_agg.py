@@ -254,6 +254,18 @@ def _expr_class(s: str) -> str:
         return "sketch"
     if "percentile" in s:
         return "object"
+    if "covar_samp(" in s:
+        # correlation pair expressions: ~9 buffer slots each (two
+        # stddev states + one covar state), so a 28-pair 8-column
+        # matrix alone holds ~250 slots — past codegen.maxFields they
+        # silently demote the WHOLE aggregate to interpreted execution
+        # (measured: the one-job 8-column matrix runs 2.7s interpreted
+        # vs 0.8s codegen'd on sf0.1 lineitem).  Own class: budgeted
+        # caps keep every pair chunk codegen'd, and the small-input
+        # band fans them out (cap 4 -> 8 concurrent 1-task jobs,
+        # 0.31s best — values bit-identical, each expression still
+        # computed over the full input in exactly one job).
+        return "pair"
     return "light"
 
 
@@ -261,7 +273,7 @@ def _expr_class(s: str) -> str:
 # light: worst case ~6 slots/expr (corr) -> 64 exprs ~= 384 slots, safely
 # under the codegen.maxFields=500 we set; sketch/object: execution is
 # per-row cheap / already interpreted, cap only to bound planning time.
-_CHUNK_CAP = {"light": 64, "sketch": 48, "object": 32}
+_CHUNK_CAP = {"light": 64, "sketch": 48, "object": 32, "pair": 40}
 
 
 # Chunk caps for inputs whose SCAN cannot parallelize (single parquet
@@ -274,7 +286,7 @@ _CHUNK_CAP = {"light": 64, "sketch": 48, "object": 32}
 # concurrent single-column jobs; light chunks similar.  Values are
 # bit-identical under any chunking (each aggregate expression runs over
 # the full input in exactly one job; partitioning is untouched).
-_CHUNK_CAP_SMALL = {"light": 16, "sketch": 3, "object": 1}
+_CHUNK_CAP_SMALL = {"light": 16, "sketch": 3, "object": 1, "pair": 4}
 
 
 def make_chunks(exprs: list[str], cfg: ProfileConfig,
@@ -314,7 +326,8 @@ def make_chunks(exprs: list[str], cfg: ProfileConfig,
     # ~0.7s submission spread, so nothing queues); it matters when the
     # chunk count exceeds the in-flight gate (8 at scale).  Chunk
     # contents are unchanged — only the submission order.
-    groups: dict[str, list[str]] = {"sketch": [], "light": [], "object": []}
+    groups: dict[str, list[str]] = {"sketch": [], "pair": [],
+                                    "light": [], "object": []}
     for e in exprs:
         groups[_expr_class(e)].append(e)
     chunks: list[list[str]] = []
@@ -326,7 +339,8 @@ def make_chunks(exprs: list[str], cfg: ProfileConfig,
 
 
 def run_chunked_agg(df: DataFrame, exprs: list[str],
-                    cfg: ProfileConfig) -> dict[str, Any]:
+                    cfg: ProfileConfig,
+                    small_input: bool = False) -> dict[str, Any]:
     """Execute a wide agg, chunked by buffer class, chunks run CONCURRENTLY.
 
     Chunking per :func:`make_chunks`.  Each chunk is one Spark job (one
@@ -354,7 +368,7 @@ def run_chunked_agg(df: DataFrame, exprs: list[str],
     out: dict[str, Any] = {}
     if not exprs:
         return out
-    chunks = make_chunks(exprs, cfg)
+    chunks = make_chunks(exprs, cfg, small_input)
     if len(chunks) == 1:
         return df.selectExpr(*chunks[0]).collect()[0].asDict()
     rows = run_inheritable(

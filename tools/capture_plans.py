@@ -113,19 +113,33 @@ def main() -> None:
                 "l_quantity", "l_extendedprice", "l_discount", "l_tax"]
         li = t("lineitem")
         if len(cols) <= getattr(C, "_DECLARATIVE_MAX_COLS", 0):
-            # mirror of correlation_matrix's declarative branch (r16:
-            # positional safe names, matching the operator)
+            # the declarative branch through the operator's OWN
+            # chunking (r16: pair-class fine chunks in the small-input
+            # band), captured by spying run_chunked_agg's make_chunks —
+            # no hand-mirrored plan that can drift
+            from spark_df_profiling_spark.plans import wide_agg as W
+            sections: list[str] = []
+            orig_make = W.make_chunks
             safe = [f"__p{j}" for j in range(len(cols))]
             sel = li.select(*[li[c].cast("double").alias(s)
                               for c, s in zip(cols, safe)])
-            exprs = C.correlation_exprs(sel, safe)
-            allnn = " AND ".join(
-                f"(`{s}` IS NOT NULL AND NOT "
-                f"isnan(CAST(`{s}` AS DOUBLE)))" for s in safe)
-            exprs.append(f"count(CASE WHEN {allnn} THEN 1 END) "
-                         f"AS `__n_complete`")
-            return ("=== declarative covar/stddev aggregate path ===\n"
-                    + fmt(sel.selectExpr(*exprs)))
+
+            def spy_make(exprs, cfg, small_input=False):
+                chunks = orig_make(exprs, cfg, small_input)
+                for ch in chunks:
+                    sections.append(
+                        f"=== declarative corr chunk "
+                        f"[{W._expr_class(ch[0])}] ({len(ch)} exprs, "
+                        f"small_input={small_input}) ===\n"
+                        + fmt(sel.selectExpr(*ch)))
+                return chunks
+
+            W.make_chunks = spy_make
+            try:
+                C.correlation_matrix(li, cols)
+            finally:
+                W.make_chunks = orig_make
+            return "\n".join(sections)
         clean = li.select(
             *[li[c].cast("double").alias(c) for c in cols]).na.drop("any")
         from pyspark.ml.feature import VectorAssembler
