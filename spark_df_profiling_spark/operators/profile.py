@@ -271,27 +271,38 @@ def describe(df: DataFrame,
 
     freq_task = (W.InheritableTask(freq_thunk, gate)
                  if freq_spec_cols else None)
+    p1_chunks = W.make_chunks(p1_exprs, cfg, small_input)
     p1_tasks = [W.InheritableTask(chunk_thunk(ch, f"pass1 #{i}"), gate)
-                for i, ch in enumerate(
-                    W.make_chunks(p1_exprs, cfg, small_input))]
+                for i, ch in enumerate(p1_chunks)]
+    # Pass 2's TRUE dependency is the LIGHT pass-1 chunks only: MAD
+    # needs mean, histogram bins need min/max/count — all light-class
+    # results.  The distinct counts (sketch chunks, pass 1's 0.3-0.6s
+    # long poles) only decide which columns the ASSEMBLER reads, never
+    # an expression value: building pass 2 from BASE classes instead of
+    # resolved ones diverges only for a column that resolves CONST,
+    # whose pass-2 expressions are computed and then never read (and
+    # date-CONST emits nothing — the mx > mn guard fails).  So pass 2
+    # launches as soon as the light chunks join, overlapping the
+    # sketch/pair/quantile tail instead of serializing behind it
+    # (gantt: lineitem pass 2 started 1.83s after the timed window
+    # opened, 0.6-0.9s after its true inputs were ready).
+    light_tasks = [t for ch, t in zip(p1_chunks, p1_tasks)
+                   if W._expr_class(ch[0]) == "light"]
+    slow_tasks = [t for ch, t in zip(p1_chunks, p1_tasks)
+                  if W._expr_class(ch[0]) != "light"]
     all_tasks = p1_tasks + spec_tasks + ([freq_task] if freq_task else [])
 
     p1: dict[str, Any] = {}
     p2: dict[str, Any] = {}
     try:
-        for t_ in p1_tasks:
+        for t_ in light_tasks:
             p1.update(t_.join().asDict())
         n = int(p1.get("__n") or 0)
         if n == 0:
             raise ValueError("df cannot be empty")
 
-        distincts = [int(p1.get(W.stat_key(i, "distinct")) or 0)
-                     for i in range(len(fields))]
-        classes = [S.resolve_class(bc, d, n)
-                   for bc, d in zip(base_classes, distincts)]
-
-        # ---- pass 2: MAD + histograms (the true pass-1 dependents) ----
-        p2_exprs = W.build_pass2_exprs(df, classes, p1, cfg,
+        # ---- pass 2: MAD + histograms (light-dependent only) ----------
+        p2_exprs = W.build_pass2_exprs(df, base_classes, p1, cfg,
                                        include_quantiles=False)
         p2_tasks = [W.InheritableTask(chunk_thunk(ch, f"pass2 #{i}"),
                                       gate)
@@ -299,6 +310,14 @@ def describe(df: DataFrame,
                         W.make_chunks(p2_exprs, cfg, small_input))] \
             if p2_exprs else []
         all_tasks.extend(p2_tasks)
+
+        for t_ in slow_tasks:
+            p1.update(t_.join().asDict())
+        distincts = [int(p1.get(W.stat_key(i, "distinct")) or 0)
+                     for i in range(len(fields))]
+        classes = [S.resolve_class(bc, d, n)
+                   for bc, d in zip(base_classes, distincts)]
+
         for t_ in spec_tasks + p2_tasks:
             p2.update(t_.join().asDict())
         freqs_raw = freq_task.join() if freq_task is not None else {}

@@ -225,3 +225,31 @@ def test_assemble_rows_cover_schema_and_arrow_path_engages(spark):
     for r in captured["rows"]:
         missing = want - set(r)
         assert not missing, f"row for {r.get('column')} missing {missing}"
+
+
+def test_pass2_early_launch_const_columns_unchanged(spark):
+    """Pass 2 now launches from BASE classes as soon as the light
+    pass-1 chunks join (before the HLL distinct chunks finish).  The
+    only base-vs-resolved divergence is a column that resolves CONST:
+    its MAD/histogram expressions are computed but never read.  Pin the
+    visible contract: CONST numeric/date columns still report
+    type_class CONST with mad/histogram/quantiles all None, and normal
+    columns still get their pass-2 stats."""
+    import datetime as dt
+
+    from spark_df_profiling_spark.config import ProfileConfig
+    from spark_df_profiling_spark.operators.profile import describe
+
+    rows = [(7.5, dt.date(2020, 1, 1), float(i), i % 3) for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "const_num double, const_date date, x double, y bigint")
+    out = {r["column"]: r for r in
+           describe(df, ProfileConfig()).variables.collect()}
+    for c in ("const_num", "const_date"):
+        r = out[c]
+        assert r["type_class"] == "CONST"
+        assert r["mad"] is None and r["histogram"] is None
+        assert r["q50"] is None
+    assert out["x"]["mad"] is not None
+    assert out["x"]["histogram"] is not None and len(out["x"]["histogram"]) == 10
+    assert out["x"]["q50"] is not None
