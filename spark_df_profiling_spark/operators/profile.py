@@ -155,14 +155,21 @@ def describe(df: DataFrame,
     # fine chunks took profile(documents, 584 KB) from 0.80s to 1.09s
     # while taking profile(lineitem, 11 MB) from 2.62s to 2.46s).
     cores = spark.sparkContext.defaultParallelism
-    src_bytes = input_bytes(orig_df)
+    # one inputFiles() py4j round-trip (~10-30ms), shared by the byte
+    # band, the row-group probe, and the T5 memsize below
+    try:
+        src_files = orig_df.inputFiles()
+    except Exception:
+        src_files = []
+    src_bytes = input_bytes(orig_df, files=src_files)
     # Row-group-aware predicate: the byte band alone is only a proxy for
     # "the scan cannot parallelize" — on a many-core cluster it could
     # reach multi-GB files whose many row groups split fine.  The footer
     # row-group count (metadata-only, no job) is the honest test; None
     # (non-file / non-parquet / many files) means the scan parallelizes
     # by other means and the band stays off.
-    rg = scan_parallelism(orig_df) if cfg.parallelize_small_input else None
+    rg = (scan_parallelism(orig_df, files=src_files)
+          if cfg.parallelize_small_input else None)
     small_input = (cfg.parallelize_small_input
                    and (4 << 20) <= src_bytes < cores * (4 << 20)
                    and rg is not None and rg < cores)
@@ -385,7 +392,7 @@ def describe(df: DataFrame,
         "n_duplicates": None,   # opt-in via operators.dedup (full-row hash)
         # T5: the reference hardcodes memsize 0; we report real input
         # bytes when the source files are resolvable (no Spark job).
-        "memsize": input_bytes(orig_df),
+        "memsize": src_bytes,
         "rejected": type_counts.get("CONST", 0) + type_counts.get("CORR", 0),
     }
     return ProfileResult(

@@ -109,15 +109,18 @@ def load_all(spark: SparkSession,
     return {t: load_table(spark, t, sf_dir) for t in TABLES}
 
 
-def input_bytes(df: DataFrame) -> int:
+def input_bytes(df: DataFrame, files: "list[str] | None" = None) -> int:
     """Total size of the DataFrame's input files (metadata only, no job).
 
     Local file:// paths are sized via the OS; anything else returns 0
     rather than issuing remote filesystem calls from the driver.
+    ``files`` lets a caller that already fetched ``df.inputFiles()``
+    skip the repeat py4j round-trip (~10-30ms each — describe() needs
+    the file list three times per table otherwise).
     """
     total = 0
     try:
-        for f in df.inputFiles():
+        for f in (df.inputFiles() if files is None else files):
             if f.startswith("file:"):
                 p = f[len("file:"):]
                 while p.startswith("//"):
@@ -129,7 +132,8 @@ def input_bytes(df: DataFrame) -> int:
     return total
 
 
-def scan_parallelism(df: DataFrame, probe_cap: int = 256) -> int | None:
+def scan_parallelism(df: DataFrame, probe_cap: int = 256,
+                     files: "list[str] | None" = None) -> int | None:
     """Upper bound on the frame's achievable parquet-scan task count:
     the total ROW-GROUP count of its input files (splits cannot go below
     row-group granularity).  Footer metadata only — no Spark job, a few
@@ -142,10 +146,11 @@ def scan_parallelism(df: DataFrame, probe_cap: int = 256) -> int | None:
     scan parallelizes fine" and keep small-input remedies OFF: the
     remedies are only safe when the scan provably cannot fan out.
     """
-    try:
-        files = df.inputFiles()
-    except Exception:
-        return None
+    if files is None:
+        try:
+            files = df.inputFiles()
+        except Exception:
+            return None
     paths: list[str] = []
     for f in files:
         if not f.startswith("file:"):
