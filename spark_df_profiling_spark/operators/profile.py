@@ -618,8 +618,16 @@ def profile_many(dfs: dict[str, DataFrame],
     # LPT scheduling: submit the LARGEST tables first so their long job
     # chains overlap the small tables' instead of queueing behind them
     # (the catalog dict often lists dimension tables first); returned
-    # dict keeps the caller's order.
-    order = sorted(names, key=lambda n: -input_bytes(dfs[n]))
+    # dict keeps the caller's order.  Sizes are fetched CONCURRENTLY —
+    # each input_bytes is a ~10-30ms inputFiles() py4j round-trip that
+    # releases the GIL, so a serial loop here is pure added latency
+    # before the first describe can start (plain pool threads are fine:
+    # no Spark jobs run, only metadata calls).
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=min(8, max(1, len(names)))) as pool:
+        sizes = dict(zip(names, pool.map(
+            lambda n: input_bytes(dfs[n]), names)))
+    order = sorted(names, key=lambda n: -sizes[n])
     results = dict(zip(order, run_inheritable(
         [(lambda df=dfs[n]: describe(df, cfg)) for n in order],
         max_concurrency=max_threads)))
